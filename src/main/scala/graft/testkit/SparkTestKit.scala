@@ -1,0 +1,52 @@
+package graft.testkit
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Shared local SparkSession for the test suite — one JVM-wide session
+  * (Spark's getOrCreate caches), mirroring the reference's
+  * session-scoped pytest fixture (`/root/reference/tests/conftest.py:28-41`).
+  */
+object SparkTestKit {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Tuple-table builder: DDL schema + rows, the ScalaTest analogue of
+    * the reference's `create_dataframe` (`ons_utils/testing.py:14-16`). */
+  def table(ddl: String, rows: Seq[Row]): DataFrame = {
+    val schema = StructType.fromDDL(ddl)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  def row(values: Any*): Row = Row(values: _*)
+
+  /** chispa-style equality: schema (optionally ignoring nullability) and
+    * collected rows (optionally order-insensitive). */
+  def assertDfEquality(
+      actual: DataFrame,
+      expected: DataFrame,
+      ignoreNullable: Boolean = true,
+      ignoreRowOrder: Boolean = false): Unit = {
+    def norm(s: StructType): Seq[(String, String)] =
+      s.fields.toSeq.map(f =>
+        (f.name, f.dataType.simpleString + (if (ignoreNullable) "" else s":${f.nullable}")))
+    val (as, es) = (norm(actual.schema), norm(expected.schema))
+    assert(as == es, s"schema mismatch:\n  actual:   $as\n  expected: $es")
+    def rows(df: DataFrame): Seq[Seq[Any]] = {
+      val r = df.collect().toSeq.map(_.toSeq)
+      if (ignoreRowOrder) r.sortBy(_.mkString("|")) else r
+    }
+    val (ar, er) = (rows(actual), rows(expected))
+    assert(ar == er, s"row mismatch:\n  actual:   $ar\n  expected: $er")
+  }
+}

@@ -1,0 +1,134 @@
+package graft.types
+
+import org.apache.spark.sql.types._
+
+/** Diagnostics emitted by schema reconciliation (the JVM replacement for
+  * the reference's `warnings.warn(UnequalSchemaWarning)` channel,
+  * `/root/reference/ons_utils/pyspark/concat.py:280-285,320-321`).
+  */
+final case class ColumnDrift(name: String, dtypes: Seq[Option[DataType]]) {
+  def render: String =
+    s"$name: ${dtypes.map(_.map(_.simpleString).getOrElse("<missing>")).mkString(", ")}"
+}
+
+final case class UnequalSchemaWarning(columns: Seq[ColumnDrift]) {
+  def message: String =
+    "column dtypes in the schemas are not equal, attempting to coerce\n" +
+      columns.map(_.render).mkString("\n")
+}
+
+/** Raised when a column's types cannot be auto-coerced (the reference's
+  * `TypeError`, `concat.py:234-238`). */
+final class SchemaCoercionException(msg: String) extends RuntimeException(msg)
+
+/** Result of driver-side schema analysis over the inputs of a concat.
+  *
+  * @param finalSchema   coerced target schema, columns in first-appearance
+  *                      order across the input frames
+  * @param schemasEqual  true iff every input already has identical schema
+  *                      (same columns, same order-insensitive dtypes)
+  * @param warning       present iff dtypes differ among frames where the
+  *                      column exists (missing-column-only drift coerces
+  *                      silently, `concat.py:277-287`)
+  */
+final case class SchemaAnalysis(
+    finalSchema: StructType,
+    schemasEqual: Boolean,
+    warning: Option[UnequalSchemaWarning],
+)
+
+/** Pure driver-side schema reconciliation for the schema-harmonizing union.
+  *
+  * Re-expresses `/root/reference/ons_utils/pyspark/concat.py:209-317` over
+  * Catalyst `DataType`s instead of dtype strings. The coercion lattice
+  * deliberately diverges from Spark's own `TypeCoercion` (decimal(10,0)
+  * outranks double, `concat.py:24-33`), which is why this runs pre-plan on
+  * the driver rather than as a Catalyst rule.
+  */
+object SchemaOps {
+
+  /** Widening order, big ---> small (`concat.py:24-33`). Only the exact
+    * type `decimal(10,0)` participates, mirroring the reference's
+    * stringly-typed lattice: other decimals are NOT auto-coercible.
+    */
+  val NumericPrecedence: Seq[DataType] = Seq(
+    DecimalType(10, 0), DoubleType, FloatType, LongType,
+    IntegerType, ShortType, ByteType,
+  )
+
+  private val numericSet: Set[DataType] = NumericPrecedence.toSet
+
+  /** Widest type present, by lattice order (`concat.py:247-252`). */
+  def largestNumericType(dtypes: Seq[DataType]): DataType =
+    NumericPrecedence.find(dtypes.contains).getOrElse(
+      throw new SchemaCoercionException(
+        s"no lattice numeric type among ${dtypes.map(_.simpleString)}"))
+
+  /** Column names in first-appearance order across all schemas
+    * (pandas axis=1 concat index order, `concat.py:304-308`). */
+  def columnOrder(schemas: Seq[StructType]): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    schemas.foreach(_.fields.foreach(f => seen += f.name))
+    seen.toSeq
+  }
+
+  /** Full analysis: drift detection + coerced target schema.
+    *
+    * Per-column resolution (`concat.py:209-244`):
+    *  1. any frame has the column as string  -> string (nulls absorbed)
+    *  2. every frame's entry (missing -> int) is a lattice numeric
+    *     -> widest *present* type (the int default gates eligibility
+    *     only; it never widens, `concat.py:224-231`)
+    *  3. otherwise the column must be present in ALL frames with one
+    *     identical type; anything else (e.g. timestamp vs boolean, or a
+    *     timestamp column missing from one frame) throws.
+    */
+  def analyze(schemas: Seq[StructType]): SchemaAnalysis = {
+    require(schemas.nonEmpty, "No objects to concatenate")
+    val names = columnOrder(schemas)
+    val matrix: Seq[(String, Seq[Option[DataType]])] = names.map { n =>
+      n -> schemas.map(s => s.fields.find(_.name == n).map(_.dataType))
+    }
+
+    val schemasEqual = matrix.forall { case (_, ds) =>
+      ds.forall(_.isDefined) && ds.flatten.distinct.size == 1
+    } && schemas.forall(_.fields.map(_.name).sameElements(
+      schemas.head.fields.map(_.name)))
+
+    // Warn only where present dtypes genuinely differ (bfill/ffill of
+    // missing cells before the check, concat.py:277-278).
+    val driftCols = matrix.collect {
+      case (n, ds) if ds.flatten.distinct.size > 1 => ColumnDrift(n, ds)
+    }
+    val warning =
+      if (driftCols.nonEmpty) Some(UnequalSchemaWarning(driftCols)) else None
+
+    val (resolved, failures) = matrix.foldLeft(
+      (Vector.empty[StructField], Vector.empty[ColumnDrift])) {
+      case ((ok, bad), (n, ds)) =>
+        val present = ds.flatten
+        if (present.contains(StringType))
+          (ok :+ StructField(n, StringType, nullable = true), bad)
+        else if (ds.map(_.getOrElse(IntegerType)).forall(numericSet.contains))
+          (ok :+ StructField(n, largestNumericType(present), nullable = true), bad)
+        else if (ds.forall(_.isDefined) && present.distinct.size == 1)
+          (ok :+ StructField(n, present.head, nullable = true), bad)
+        else (ok, bad :+ ColumnDrift(n, ds))
+    }
+    if (failures.nonEmpty)
+      throw new SchemaCoercionException(
+        "Spark column data type mismatch, can't auto-convert between types.\n\n" +
+          failures.map(_.render).mkString("\n"))
+
+    SchemaAnalysis(StructType(resolved), schemasEqual, warning)
+  }
+
+  /** Target column order for the union output: first frame's own order,
+    * then columns missing from it in final-schema (first-appearance)
+    * order — what the reference's withColumn-append + unionByName
+    * pipeline produces (`concat.py:196-206,130-136`). */
+  def outputOrder(first: StructType, finalSchema: StructType): Seq[String] = {
+    val own = first.fields.map(_.name).toSeq
+    own ++ finalSchema.fields.map(_.name).filterNot(own.contains)
+  }
+}
