@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.operators.Concat
+import graft.functions.ArrayFunctions
+import graft.operators.{Concat, General}
 import graft.sources.Tables
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -56,9 +57,71 @@ object SparkEntry {
       .orderBy("src", "l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q04
+  /** Partition-only analytic window (`get_window_spec`): per-flag window
+    * sum, de-duplicated, then a whole-frame window grand total — the
+    * whole-frame (1-partition) variant runs on the already-reduced
+    * 3-row frame, exactly the safe usage the reference documents. */
+  private def q04WindowSum(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.select(col("l_returnflag"),
+        sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .over(General.windowSpec(Seq("l_returnflag")))
+          .cast(DoubleType).as("flag_qty"))
+      .distinct()
+      .withColumn("grand_qty",
+        sum(col("flag_qty").cast(DecimalType(18, 2)))
+          .over(General.windowSpec()).cast(DoubleType))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- q06
+  /** `map_col` literal-map recode: plan-embedded lookup, no shuffle. */
+  private def q06MapCol(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"),
+        General.mapCol("n_regionkey",
+          Seq(0 -> "zone_a", 1 -> "zone_b", 2 -> "zone_c")).as("zone"))
+      .orderBy("n_nationkey")
+
+  // ---------------------------------------------------------------- q07
+  /** `map_column_names` bulk rename as a single projection. */
+  private def q07Rename(s: SparkSession, dir: String): DataFrame =
+    General.mapColumnNames(
+        Tables.part(s, dir).filter(col("p_size") > 25),
+        Map("p_retailprice" -> "price", "p_size" -> "size"))
+      .select("p_partkey", "p_brand", "size", "price")
+      .orderBy("p_partkey")
+
+  // ---------------------------------------------------------------- q08
+  /** `get_first_group` on a deterministically-ordered frame: filter to
+    * the minimum o_orderstatus group, then aggregate it. */
+  private def q08FirstGroup(s: SparkSession, dir: String): DataFrame =
+    General.firstGroup(
+        Tables.orders(s, dir).orderBy("o_orderstatus"), Seq("o_orderstatus"))
+      .groupBy("o_orderstatus")
+      .agg(decSum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+
+  // ---------------------------------------------------------------- q09
+  /** Array first-difference (`diff` UDF) as codegen'd built-ins. */
+  private def q09ArrayDiff(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        ArrayFunctions.arrayDiff(col("embedding")).as("d"))
+      .select(col("vec_id"),
+        size(col("d")).as("n_diffs"),
+        round(element_at(col("d"), 1).cast(DoubleType), 4).as("d1"))
+      .orderBy("vec_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
+    "q04_window_sum" -> (q04WindowSum _),
     "q05_concat_union" -> (q05ConcatUnion _),
+    "q06_map_col" -> (q06MapCol _),
+    "q07_rename" -> (q07Rename _),
+    "q08_first_group" -> (q08FirstGroup _),
+    "q09_array_diff" -> (q09ArrayDiff _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -88,5 +151,40 @@ object SparkEntry {
         |FROM u
         |GROUP BY src, l_returnflag
         |ORDER BY src, l_returnflag""".stripMargin,
+    "q04_window_sum" ->
+      """WITH flags AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |         OVER (PARTITION BY l_returnflag) AS DOUBLE) AS flag_qty
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, flag_qty,
+        |  CAST(SUM(CAST(flag_qty AS DECIMAL(18,2))) OVER () AS DOUBLE) AS grand_qty
+        |FROM flags
+        |ORDER BY l_returnflag""".stripMargin,
+    "q06_map_col" ->
+      """SELECT n_nationkey, n_name,
+        |  CASE n_regionkey WHEN 0 THEN 'zone_a' WHEN 1 THEN 'zone_b'
+        |       WHEN 2 THEN 'zone_c' ELSE NULL END AS zone
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "q07_rename" ->
+      """SELECT p_partkey, p_brand, p_size AS size, p_retailprice AS price
+        |FROM part
+        |WHERE p_size > 25
+        |ORDER BY p_partkey""".stripMargin,
+    "q08_first_group" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderstatus = (SELECT min(o_orderstatus) FROM orders)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q09_array_diff" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) - 1 AS INTEGER) AS n_diffs,
+        |  ROUND(CAST(embedding[2] - embedding[1] AS DOUBLE), 4) AS d1
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
   )
 }

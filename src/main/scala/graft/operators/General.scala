@@ -1,0 +1,108 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
+
+/** General dataflow helpers — the Spark-native re-expression of
+  * `/root/reference/ons_utils/pyspark/general.py`.
+  *
+  * Everything here is pure plan construction over codegen'd built-in
+  * expressions: no UDFs, no driver-side loops over data, no shuffles
+  * beyond what the semantics demand.
+  */
+object General {
+
+  /** Dict-driven column recode (`general.py:152-162`): a literal
+    * `MapType` expression indexed by the column. Unmatched keys yield
+    * NULL; Seq values become array columns.
+    *
+    * Scale note: this is a broadcast-map-side lookup join that never
+    * shuffles — the lookup table lives inside the plan as a constant,
+    * so it beats an actual join for small vocabularies at any scale.
+    */
+  def mapCol(colName: String, mapping: Seq[(Any, Any)]): Column = {
+    val entries = mapping.flatMap { case (k, v) =>
+      Seq(lit(k), v match {
+        case s: Seq[_] => array(s.map(x => lit(x)): _*)
+        case other     => lit(other)
+      })
+    }
+    map(entries: _*)(col(colName))
+  }
+
+  /** Bulk rename via a single projection (`general.py:202-211`);
+    * unmapped names pass through. */
+  def mapColumnNames(df: DataFrame, mapper: Map[String, String]): DataFrame =
+    df.select(df.columns.toSeq.map(c => col(c).as(mapper.getOrElse(c, c))): _*)
+
+  /** Partition-only window over groups, or the whole frame when no
+    * groups are given (`general.py:170-183`). The whole-frame variant
+    * collapses to ONE partition — the reference documents this hazard;
+    * reserve it for already-reduced frames.
+    */
+  def windowSpec(groups: Seq[String] = Nil): WindowSpec =
+    if (groups.nonEmpty) Window.partitionBy(groups.map(col): _*)
+    else Window.partitionBy()
+
+  /** Collect to the driver (`general.py:186-199`): single column -> flat
+    * values; multiple columns -> row seqs. Driver-side by design — only
+    * for small results. */
+  def toList(df: DataFrame): Seq[Any] =
+    if (df.columns.length == 1) df.collect().toSeq.map(_.get(0))
+    else df.collect().toSeq.map(_.toSeq)
+
+  /** Filter to the group of the first physical row (`general.py:224-228`).
+    * Uses null-safe Column equality instead of the reference's
+    * injection-prone SQL-string interpolation. */
+  def firstGroup(df: DataFrame, groups: Seq[String]): DataFrame = {
+    val first: Row = df.select(groups.map(col): _*).head()
+    val pred = groups.zipWithIndex
+      .map { case (g, i) => col(g) <=> lit(first.get(i)) }
+      .reduce(_ && _)
+    df.filter(pred)
+  }
+
+  /** (name, dtype) fields, optionally for a selection (`general.py:128-149`,
+    * unified to Seq[StructField] — the reference's dict/list split is a
+    * Python-ism). */
+  def fields(df: DataFrame, selection: Seq[String] = Nil): Seq[StructField] =
+    if (selection.isEmpty) df.schema.fields.toSeq
+    else selection.map(c => df.schema.fields.find(_.name == c).getOrElse(
+      StructField(c, org.apache.spark.sql.types.NullType)))
+
+  /** DDL rendering (`general.py:109-125`) — first-class in Spark. */
+  def ddlSchema(df: DataFrame): String = df.schema.toDDL
+
+  /** Column names of a catalog table (`general.py:214-216`). */
+  def tableColumns(spark: SparkSession, table: String): Seq[String] =
+    spark.catalog.listColumns(table).collect().toSeq.map(_.name)
+
+  /** Catalog existence via the public API — the reference needed a py4j
+    * backdoor for this on Spark 2.4 (`validation.py:318-320`). */
+  def tableExists(spark: SparkSession, db: String, table: String): Boolean =
+    spark.catalog.tableExists(s"$db.$table")
+
+  private val fsExistsCache = TrieMap.empty[String, Boolean]
+
+  /** Memoized filesystem existence check (`validation.py:303-315`,
+    * `lru_cache` -> TrieMap). Works for any Hadoop-supported scheme. */
+  def fileExists(spark: SparkSession, path: String): Boolean =
+    fsExistsCache.getOrElseUpdate(path, {
+      val p = new Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    })
+
+  /** Fluent extension surface replacing the reference's monkeypatched
+    * `DataFrame.transform` and friends (`general.py:219-221`). */
+  implicit class DataFrameOps(private val df: DataFrame) extends AnyVal {
+    def renamed(mapper: Map[String, String]): DataFrame = mapColumnNames(df, mapper)
+    def firstGroupOf(groups: String*): DataFrame = firstGroup(df, groups)
+    def toLocalList: Seq[Any] = toList(df)
+    def concatWith(others: DataFrame*): DataFrame = Concat.concat(df +: others)
+  }
+}

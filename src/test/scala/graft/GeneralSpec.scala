@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ArrayFunctions
+import graft.operators.General
+import graft.testkit.SparkTestKit._
+
+/** Ports `/root/reference/tests/pyspark/test_general.py` golden tables. */
+class GeneralSpec extends AnyFunSuite {
+
+  test("window spec: grouped analytic sum (test_general.py:41-68)") {
+    val df = table("group string, val bigint",
+      Seq(row("A", 5L), row("A", 2L), row("B", 1L), row("B", 9L), row("B", 6L)))
+    val out = df.withColumn("sum", sum("val").over(General.windowSpec(Seq("group"))))
+    val expected = table("group string, val bigint, sum bigint",
+      Seq(row("A", 5L, 7L), row("A", 2L, 7L),
+        row("B", 1L, 16L), row("B", 9L, 16L), row("B", 6L, 16L)))
+    assertDfEquality(out, expected, ignoreRowOrder = true)
+  }
+
+  test("window spec: whole-frame sum (test_general.py:70-86)") {
+    val df = table("group string, val bigint",
+      Seq(row("A", 5L), row("A", 2L), row("B", 1L), row("B", 9L), row("B", 6L)))
+    val out = df.withColumn("sum", sum("val").over(General.windowSpec()))
+    assert(out.select("sum").distinct().collect().map(_.getLong(0)).toSeq == Seq(23L))
+  }
+
+  test("map_col: unmatched keys yield null (test_general.py:92-106)") {
+    val df = table("position bigint", Seq(row(1L), row(2L), row(3L), row(4L)))
+    val out = df.withColumn("ordinal",
+      General.mapCol("position", Seq(1L -> "first", 2L -> "second", 3L -> "third")))
+    val expected = table("position bigint, ordinal string",
+      Seq(row(1L, "first"), row(2L, "second"), row(3L, "third"), row(4L, null)))
+    assertDfEquality(out, expected, ignoreRowOrder = true)
+  }
+
+  test("map_col: seq values become array columns (test_general.py:108-122)") {
+    val df = table("animal string", Seq(row("cat"), row("dog")))
+    val out = df.withColumn("sounds",
+      General.mapCol("animal", Seq("cat" -> Seq("meow", "purr"), "dog" -> Seq("woof"))))
+    assert(out.schema("sounds").dataType == ArrayType(StringType, containsNull = false))
+    assert(out.orderBy("animal").collect().map(_.getSeq[String](1).toList).toSeq ==
+      Seq(List("meow", "purr"), List("woof")))
+  }
+
+  test("map_column_names renames mapped, passes through rest (test_general.py:125-142)") {
+    val df = table("col_A string, col_Y string, col_Z string", Seq(row("a", "y", "z")))
+    val out = General.mapColumnNames(df, Map("col_Y" -> "col_C", "col_Z" -> "col_E"))
+    assert(out.columns.toSeq == Seq("col_A", "col_C", "col_E"))
+  }
+
+  test("to_list: single column flat, multi column nested (general.py:186-199)") {
+    val df = table("a string, b bigint", Seq(row("x", 1L), row("y", 2L)))
+    assert(General.toList(df.select("a").orderBy("a")) == Seq("x", "y"))
+    assert(General.toList(df.orderBy("a")) == Seq(Seq("x", 1L), Seq("y", 2L)))
+  }
+
+  test("first group filters to first row's key (general.py:224-228)") {
+    val df = table("g string, v bigint",
+      Seq(row("a", 1L), row("a", 2L), row("b", 3L))).orderBy("g")
+    val out = General.firstGroup(df, Seq("g"))
+    assert(out.collect().map(_.getString(0)).toSet == Set("a"))
+    assert(out.count() == 2)
+  }
+
+  test("first group handles null keys via null-safe equality") {
+    val df = table("g string, v bigint", Seq(row(null, 1L), row(null, 2L), row("b", 3L)))
+      .orderBy(col("g").asc_nulls_first)
+    assert(General.firstGroup(df, Seq("g")).count() == 2)
+  }
+
+  test("fields + ddl round-trip (general.py:109-149)") {
+    val df = table("a string, b bigint", Seq(row("x", 1L)))
+    assert(General.fields(df).map(f => (f.name, f.dataType)) ==
+      Seq(("a", StringType), ("b", LongType)))
+    assert(General.fields(df, Seq("b")).map(_.name) == Seq("b"))
+    assert(General.ddlSchema(df).contains("a STRING"))
+  }
+
+  test("arrayDiff matches np.diff semantics (udfs.py:7-10)") {
+    val df = table("id bigint, xs array<float>", Seq(
+      row(1L, Seq(1.0f, 3.0f, 6.0f, 10.0f)),
+      row(2L, Seq(5.0f)),
+      row(3L, null)))
+    val out = df.select(col("id"), ArrayFunctions.arrayDiff(col("xs")).as("d"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Float](1).toList == List(2.0f, 3.0f, 4.0f))
+    assert(out(1).getSeq[Float](1).isEmpty)
+    assert(out(2).isNullAt(1))
+    // UDF variant agrees
+    val viaUdf = df.select(col("id"), ArrayFunctions.arrayDiffUdf(col("xs")).as("d"))
+      .orderBy("id").collect()
+    assert(viaUdf(0).getSeq[Float](1).toList == List(2.0f, 3.0f, 4.0f))
+  }
+
+  test("cosine similarity of identical vectors is 1") {
+    val df = table("a array<float>, b array<float>",
+      Seq(row(Seq(1.0f, 2.0f, 2.0f), Seq(1.0f, 2.0f, 2.0f))))
+    val sim = df.select(ArrayFunctions.cosineSimilarity(col("a"), col("b")).as("s"))
+      .head().getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-12)
+    val dot = df.select(ArrayFunctions.dotProduct(col("a"), col("b")).as("d"))
+      .head().getDouble(0)
+    assert(dot == 9.0)
+  }
+}
