@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.functions.ArrayFunctions
-import graft.operators.{Concat, General}
+import graft.operators.{Concat, General, Grouped, Reshape}
 import graft.sources.Tables
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -114,6 +114,57 @@ object SparkEntry {
         round(element_at(col("d"), 1).cast(DoubleType), 4).as("d1"))
       .orderBy("vec_id")
 
+  // ---------------------------------------------------------------- q10
+  /** Grouped-map lifting (`convert_to_pandas_udf` contract): a per-group
+    * JVM closure over each customer's orders, keys re-broadcast onto the
+    * output. Exact decimal accumulation inside the closure keeps the
+    * double result order-independent. */
+  private def q10GroupedApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val orders = Tables.orders(s, dir).select("o_custkey", "o_totalprice")
+    Grouped.applyPerGroup(orders, Seq("o_custkey"),
+      StructType(Seq(
+        StructField("sum_price", DoubleType),
+        StructField("n_orders", LongType)))) { rows =>
+      var n = 0L
+      var total = java.math.BigDecimal.ZERO
+      rows.foreach { r =>
+        n += 1
+        total = total.add(java.math.BigDecimal.valueOf(r.getDouble(1))
+          .setScale(2, java.math.RoundingMode.HALF_UP))
+      }
+      Iterator(Row(total.doubleValue(), n))
+    }.orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------- q11
+  /** Stacker.unstack as groupBy().pivot() with explicit pivot values
+    * (skips the distinct-discovery job; bounds output width). */
+  private def q11Pivot(s: SparkSession, dir: String): DataFrame =
+    Reshape.unstack(
+        Tables.lineitem(s, dir),
+        idCols = Seq("l_returnflag"),
+        pivotCol = "l_linestatus",
+        valueCol = "l_quantity",
+        pivotValues = Seq("F", "O"),
+        agg = c => sum(c.cast(DecimalType(18, 2))).cast(DoubleType))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------- q12
+  /** Within-fiscal-year forward fill (`shifted_within_year_ffill`) as a
+    * single sorted window pass per (user, fiscal-year) partition. */
+  private def q12WithinYearFfill(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(
+      col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") =!= "error", col("value")).as("v"))
+    Reshape.shiftedWithinYearFfill(base, "ts", "v",
+        keys = Seq("user_id"), tieBreak = Seq("event_id"))
+      .groupBy("user_id")
+      .agg(decSum(col("v")).as("sum_v"), count(col("v")).as("n_filled"))
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q04_window_sum" -> (q04WindowSum _),
@@ -122,6 +173,9 @@ object SparkEntry {
     "q07_rename" -> (q07Rename _),
     "q08_first_group" -> (q08FirstGroup _),
     "q09_array_diff" -> (q09ArrayDiff _),
+    "q10_grouped_apply" -> (q10GroupedApply _),
+    "q11_pivot" -> (q11Pivot _),
+    "q12_within_year_ffill" -> (q12WithinYearFfill _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -186,5 +240,41 @@ object SparkEntry {
         |  ROUND(CAST(embedding[2] - embedding[1] AS DOUBLE), 4) AS d1
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin,
+    "q10_grouped_apply" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "q11_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q12_within_year_ffill" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type <> 'error' THEN value END AS v,
+        |    year(ts - INTERVAL 1 MONTH) AS fy
+        |  FROM events
+        |), filled AS (
+        |  SELECT user_id,
+        |    last_value(v IGNORE NULLS) OVER (
+        |      PARTITION BY user_id, fy
+        |      ORDER BY date_trunc('microseconds', ts), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |  FROM base
+        |)
+        |SELECT user_id,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  COUNT(v) AS n_filled
+        |FROM filled
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+/** Driver-side collection utilities — the Scala port of
+  * `/root/reference/ons_utils/generic.py`. Pure functions over nested
+  * maps and tuple-like key sequences; no Spark session involved.
+  */
+object Generic {
+
+  type NestedMap = Map[Any, Any]
+
+  /** Flatten a nested map to path-keyed entries, insertion-ordered
+    * (the `flatten_dict.flatten` of `generic.py:9-11`). */
+  def flattenNested(d: NestedMap, prefix: Vector[Any] = Vector.empty): ListMap[Vector[Any], Any] =
+    d.foldLeft(ListMap.empty[Vector[Any], Any]) {
+      case (acc, (k, v: Map[_, _])) =>
+        acc ++ flattenNested(v.asInstanceOf[NestedMap], prefix :+ k)
+      case (acc, (k, v)) => acc + ((prefix :+ k) -> v)
+    }
+
+  /** Rebuild a nested map from path-keyed entries. */
+  def unflatten(flat: Map[Vector[Any], Any]): NestedMap = {
+    val grouped = flat.toSeq.groupBy(_._1.head)
+    grouped.map {
+      case (k, entries) if entries.forall(_._1.length == 1) && entries.size == 1 =>
+        k -> entries.head._2
+      case (k, entries) =>
+        k -> unflatten(entries.map { case (p, v) => p.tail -> v }.toMap)
+    }
+  }
+
+  /** Reverse the nesting order of keys (`generic.py:9-11`). */
+  def invertNestedKeys(d: NestedMap): NestedMap =
+    unflatten(flattenNested(d).map { case (k, v) => k.reverse -> v })
+
+  /** Cartesian (key, value) pairs with sequence values exploded
+    * (`generic.py:14-25`). */
+  def keyValuePairs(d: Map[Any, Any]): Seq[(Any, Any)] =
+    d.toSeq.flatMap { case (k, v) =>
+      for (kk <- seqConvert(k); vv <- seqConvert(v)) yield (kk, vv)
+    }
+
+  /** Pad tuple-like seqs to uniform length (`generic.py:28-65`):
+    * bfill prepends / ffill appends; `repeat` copies the edge value,
+    * otherwise fills null. Length defaults to the max seq length; if no
+    * element is a seq the input is returned untouched. */
+  def fillTuples(
+      tuples: Seq[Any],
+      length: Option[Int] = None,
+      repeat: Boolean = false,
+      fillMethod: String = "bfill"): Seq[Seq[Any]] = {
+    val seqs = tuples.map { case s: Seq[_] => Some(s); case _ => None }
+    val target = length.getOrElse {
+      val lens = seqs.flatten.map(_.length)
+      if (lens.isEmpty) return tuples.map(seqConvert)
+      lens.max
+    }
+    tuples.map { t =>
+      var cur = seqConvert(t)
+      while (cur.length < target) cur = fillMethod match {
+        case "bfill" => ((if (repeat) cur.head else null): Any) +: cur
+        case _       => cur :+ ((if (repeat) cur.last else null): Any)
+      }
+      cur
+    }
+  }
+
+  /** fill_tuples over a map's keys (`generic.py:68-88`). */
+  def fillTupleKeys(
+      d: ListMap[Any, Any],
+      length: Option[Int] = None,
+      repeat: Boolean = false,
+      fillMethod: String = "bfill"): ListMap[Seq[Any], Any] =
+    ListMap.from(fillTuples(d.keys.toSeq, length, repeat, fillMethod).zip(d.values))
+
+  /** Scalar -> single-element seq; seqs pass through; null wraps to
+    * Seq(null) (`generic.py:96-111` incl. the None -> [None] case). */
+  def seqConvert(x: Any): Seq[Any] = x match {
+    case s: Seq[_] => s
+    case other     => Seq(other)
+  }
+}

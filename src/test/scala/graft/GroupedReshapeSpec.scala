@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Generic, Grouped, Reshape}
+import graft.testkit.SparkTestKit._
+
+class GroupedReshapeSpec extends AnyFunSuite {
+
+  test("applyPerGroup re-broadcasts keys onto every output row (general.py:96-104)") {
+    val df = table("g string, v bigint",
+      Seq(row("a", 1L), row("a", 2L), row("b", 30L)))
+    val out = Grouped.applyPerGroup(df, Seq("g"),
+      StructType(Seq(StructField("total", LongType), StructField("n", LongType)))) {
+      rows =>
+        val vs = rows.map(_.getLong(1)).toSeq
+        Iterator(Row(vs.sum, vs.size.toLong))
+    }
+    assert(out.columns.toSeq == Seq("g", "total", "n"))
+    val got = out.orderBy("g").collect().map(_.toSeq).toSeq
+    assert(got == Seq(Seq("a", 3L, 2L), Seq("b", 30L, 1L)))
+  }
+
+  test("applyPerGroup supports multi-row output per group (UDTF-like)") {
+    val df = table("g string, v bigint", Seq(row("a", 1L), row("a", 2L)))
+    val out = Grouped.applyPerGroup(df, Seq("g"),
+      StructType(Seq(StructField("v2", LongType)))) { rows =>
+      rows.map(r => Row(r.getLong(1) * 10))
+    }
+    assert(out.orderBy("v2").collect().map(_.toSeq).toSeq ==
+      Seq(Seq("a", 10L), Seq("a", 20L)))
+  }
+
+  test("applyPerGroupTyped") {
+    import graft.testkit.SparkTestKit.spark.implicits._
+    val ds = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDS()
+    val out = Grouped.applyPerGroupTyped(ds, (t: (String, Long)) => t._1) {
+      (k, it) => Iterator((k, it.map(_._2).max))
+    }
+    assert(out.collect().toSet == Set(("a", 2L), ("b", 5L)))
+  }
+
+  test("unstack pivots to columns; stack melts back (pandas.py:21-64)") {
+    val df = table("id string, cat string, v bigint", Seq(
+      row("x", "p", 1L), row("x", "q", 2L), row("y", "p", 3L), row("y", "q", 4L)))
+    val wide = Reshape.unstack(df, Seq("id"), "cat", "v", Seq("p", "q"))
+    assert(wide.columns.toSeq == Seq("id", "p", "q"))
+    assert(wide.orderBy("id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq("x", 1L, 2L), Seq("y", 3L, 4L)))
+    val long = Reshape.stack(wide, Seq("id"), Seq("p", "q"), "cat", "v")
+    assertDfEquality(
+      long.orderBy("id", "cat"), df.orderBy("id", "cat"), ignoreNullable = true)
+  }
+
+  test("within-year ffill carries last non-null forward per fiscal year (pandas.py:121-138)") {
+    val df = table("k string, ts timestamp, v double", Seq(
+      row("a", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 1.0),
+      row("a", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), null),
+      row("a", java.sql.Timestamp.valueOf("2025-01-01 00:00:00"), null),
+      // New fiscal year starts Feb: the null must NOT inherit 1.0.
+      row("a", java.sql.Timestamp.valueOf("2025-02-01 00:00:00"), null),
+      row("a", java.sql.Timestamp.valueOf("2025-03-01 00:00:00"), 9.0)))
+    val out = Reshape.shiftedWithinYearFfill(df, "ts", "v", Seq("k"))
+      .orderBy("ts").collect().map(r => Option(r.get(2))).toSeq
+    assert(out == Seq(Some(1.0), Some(1.0), Some(1.0), None, Some(9.0)))
+  }
+
+  test("fiscalYear assigns Jan to the previous year") {
+    val df = table("ts timestamp", Seq(
+      row(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")),
+      row(java.sql.Timestamp.valueOf("2024-02-15 00:00:00"))))
+    assert(df.select(Reshape.fiscalYear(col("ts"))).collect().map(_.getInt(0)).toSeq ==
+      Seq(2023, 2024))
+  }
+
+  test("generic: fillTuples bfill/ffill, repeat and null fills (test_generic.py:84-112)") {
+    assert(Generic.fillTuples(Seq(Seq(1, 2), 3)) == Seq(Seq(1, 2), Seq(null, 3)))
+    assert(Generic.fillTuples(Seq(Seq(1, 2), 3), fillMethod = "ffill") ==
+      Seq(Seq(1, 2), Seq(3, null)))
+    assert(Generic.fillTuples(Seq(Seq(1, 2), 3), repeat = true) ==
+      Seq(Seq(1, 2), Seq(3, 3)))
+    // no sequences at all -> untouched scalars wrapped
+    assert(Generic.fillTuples(Seq(1, 2)) == Seq(Seq(1), Seq(2)))
+  }
+
+  test("generic: nested flatten/unflatten/invert (generic.py:9-11)") {
+    val d: Generic.NestedMap = Map("a" -> Map("x" -> 1, "y" -> 2), "b" -> 3)
+    val flat = Generic.flattenNested(d)
+    assert(flat == Map(Vector("a", "x") -> 1, Vector("a", "y") -> 2, Vector("b") -> 3))
+    assert(Generic.unflatten(flat) == d)
+    val inv = Generic.invertNestedKeys(Map("a" -> Map("x" -> 1)))
+    assert(inv == Map("x" -> Map("a" -> 1)))
+  }
+
+  test("generic: keyValuePairs explodes sequence values (generic.py:14-25)") {
+    val pairs = Generic.keyValuePairs(Map("a" -> Seq(1, 2), "b" -> 3)).toSet
+    assert(pairs == Set(("a", 1), ("a", 2), ("b", 3)))
+  }
+}
