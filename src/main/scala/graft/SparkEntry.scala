@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.functions.ArrayFunctions
-import graft.operators.{Concat, General, Grouped, Reshape}
+import graft.functions.{ArrayFunctions, TextFunctions}
+import graft.operators.{Concat, Dedup, General, Grouped, Multimodal, Reshape, Similarity}
 import graft.sources.Tables
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -165,6 +165,88 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- q13
+  /** Exact dedup: double the corpus, dedup on the normalized-text md5
+    * fingerprint keeping the lowest doc_id, count per language. */
+  private def q13DedupExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.exactTextDedup(Concat.concat(Seq(docs, docs)), "text", "doc_id")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** MinHash+LSH near-dup pairs, exact-Jaccard verified. Engine-internal
+    * hashing (xxhash64) — no SQL oracle; driver records rows-only. */
+  private def q14MinhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------- q15
+  /** SimHash corpus signatures (rows-only: xxhash64 is engine-internal). */
+  private def q15Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash32(Tables.documents(s, dir), "text", "simhash")
+      .select(col("doc_id"), col("simhash"),
+        TextFunctions.rollingHash(col("text")).as("rolling_fp"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q16
+  /** Text analysis: token counts, language ID, quality metrics — all
+    * codegen'd expressions, exactly mirrored in the SQL oracle. */
+  private def q16TextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.langId(col("text")).as("lang_guess"),
+        TextFunctions.qualityMetrics(col("text")).as("m"))
+      .select(col("doc_id"), col("n_tokens"), col("lang_guess"),
+        col("m.mean_token_len").as("mean_token_len"),
+        col("m.alnum_ratio").as("alnum_ratio"),
+        col("m.stopword_ratio").as("stopword_ratio"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q17
+  /** Brute-force cosine top-k against the vec_id=0 embedding. */
+  private def q17SimilarityTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val query = emb.filter(col("vec_id") === 0L)
+      .head().getSeq[Float](emb.schema.fieldIndex("embedding"))
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", query, 10)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** ANN top-k via sign-LSH bucket pruning (rows-only: derived planes
+    * are engine-internal). */
+  private def q18AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val query = emb.filter(col("vec_id") === 0L)
+      .head().getSeq[Float](emb.schema.fieldIndex("embedding"))
+    Similarity.annTopK(emb.filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", query, 10, planes = 10, maxHamming = 3)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  // ---------------------------------------------------------------- q19
+  /** Embedding near-dup pairs in a doc-id window (linear equi-join). */
+  private def q19EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.windowedCosinePairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", window = 3, threshold = 0.15)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------- q20
+  /** Multimodal plumbing: text lifted to binary payloads, partition-wise
+    * stub decode, feature columns out. */
+  private def q20Multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"),
+        Multimodal.StubDecoder)
+      .orderBy("media_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q04_window_sum" -> (q04WindowSum _),
@@ -176,6 +258,14 @@ object SparkEntry {
     "q10_grouped_apply" -> (q10GroupedApply _),
     "q11_pivot" -> (q11Pivot _),
     "q12_within_year_ffill" -> (q12WithinYearFfill _),
+    "q13_dedup_exact" -> (q13DedupExact _),
+    "q14_minhash_neardup" -> (q14MinhashNearDup _),
+    "q15_simhash" -> (q15Simhash _),
+    "q16_text_stats" -> (q16TextStats _),
+    "q17_similarity_topk" -> (q17SimilarityTopK _),
+    "q18_ann_topk" -> (q18AnnTopK _),
+    "q19_embedding_neardup" -> (q19EmbeddingNearDup _),
+    "q20_multimodal" -> (q20Multimodal _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -276,5 +366,87 @@ object SparkEntry {
         |FROM filled
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "q13_dedup_exact" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS f
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS f
+        |  FROM documents
+        |), keep AS (
+        |  SELECT f, min(doc_id) AS doc_id FROM u GROUP BY f
+        |), dedup AS (
+        |  SELECT DISTINCT u.doc_id, u.lang
+        |  FROM u JOIN keep ON u.f = keep.f AND u.doc_id = keep.doc_id
+        |)
+        |SELECT lang, count(*) AS n_docs FROM dedup
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q16_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, text, toks,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('el','los','las','y'))) AS s_es
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CASE
+        |    WHEN s_en = greatest(s_en, s_fr, s_de, s_es) AND s_en > 0 THEN 'en'
+        |    WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) AND s_fr > 0 THEN 'fr'
+        |    WHEN s_de = greatest(s_en, s_fr, s_de, s_es) AND s_de > 0 THEN 'de'
+        |    WHEN s_es = greatest(s_en, s_fr, s_de, s_es) AND s_es > 0 THEN 'es'
+        |    ELSE 'und' END AS lang_guess,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS alnum_ratio,
+        |  CAST(s_en AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q17_similarity_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qv,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> 0
+        |)
+        |SELECT vec_id, ROUND(c, 4) AS cosine FROM scored
+        |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+    "q19_embedding_neardup" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        |  FROM embeddings a JOIN embeddings b
+        |    ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 3
+        |)
+        |SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM pairs
+        |WHERE c >= 0.15 ORDER BY id_a, id_b""".stripMargin,
+    "q20_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INTEGER) AS width,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 480 + 1 AS INTEGER) AS height,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

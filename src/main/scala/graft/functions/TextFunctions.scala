@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for large-scale corpus pipelines: tokenization,
+  * normalization, fingerprinting, language ID, and quality scoring.
+  *
+  * All pure built-in expressions (whole-stage codegen, no UDFs), so they
+  * run at full scan speed over 100 TB and push no state to the driver.
+  * No reference counterpart — these extend the engine for LLM-data
+  * pipelines (see BASELINE.json north star).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a text column (empty tokens dropped). */
+  def tokens(c: Column): Column = split(trim(c), " +")
+
+  /** Token count by whitespace split. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Lowercase, strip non-alphanumerics (keeping spaces), collapse runs
+    * of spaces, trim — canonical form for fingerprinting/dedup. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Deterministic document fingerprint: md5 of the normalized text.
+    * Cross-engine stable (md5 is md5 everywhere), unlike xxhash64. */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** Distinct word n-gram shingles, joined with '_'. Documents shorter
+    * than n tokens yield an empty array. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val w = tokens(c)
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws("_", slice(w, i, lit(n))))))
+  }
+
+  /** Jaccard similarity of the distinct word n-gram shingle sets of two
+    * text columns (in double). */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column =
+    shingleJaccard(wordShingles(a, n), wordShingles(b, n))
+
+  /** Jaccard over two pre-computed distinct-element arrays. */
+  def shingleJaccard(sa: Column, sb: Column): Column =
+    size(array_intersect(sa, sb)).cast("double") /
+      nullif(size(array_union(sa, sb)).cast("double"), lit(0.0))
+
+  /** Language markers: per-language stopword lists for the n-gram
+    * heuristic. Deterministic; tie-break follows declaration order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "los", "las", "y"),
+  )
+
+  /** Count of tokens appearing in `markers`. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+
+  /** Heuristic language ID: argmax of per-language marker-token counts,
+    * declaration order breaking ties; all-zero scores -> "und". */
+  def langId(c: Column): Column = {
+    val t = tokens(c)
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerCount(t, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight nests the WHENs so declaration order wins ties.
+    scores.foldRight(lit("und")) { case ((lang, s), elseExpr) =>
+      when(s === best && s > 0, lit(lang)).otherwise(elseExpr)
+    }
+  }
+
+  /** Quality metrics for corpus filtering, one struct per document:
+    * character count, token count, mean token length, alphanumeric
+    * ratio, and English-stopword ratio. All ratios are single divisions
+    * of exact integer counts — deterministic across engines. */
+  def qualityMetrics(c: Column): Column = {
+    val t = tokens(c)
+    val nChars = length(c)
+    val nToks = size(t)
+    val alnum = length(regexp_replace(c, "[^a-zA-Z0-9]", ""))
+    val stop = markerCount(t, LangMarkers.head._2)
+    struct(
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      (length(regexp_replace(c, " ", "")).cast("double") /
+        nToks.cast("double")).as("mean_token_len"),
+      (alnum.cast("double") / nChars.cast("double")).as("alnum_ratio"),
+      (stop.cast("double") / nToks.cast("double")).as("stopword_ratio"))
+  }
+
+  /** Rolling polynomial fingerprint of the token stream (base-31 over a
+    * Mersenne-prime modulus) — an order-sensitive complement to the
+    * set-based md5 fingerprint. Engine-portable integer arithmetic. */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      tokens(c),
+      lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + crc32(t.cast("binary")), lit(2147483647L)))
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for large-scale corpus pipelines: exact
+  * (hash-keyed), MinHash+LSH, SimHash, and windowed n-gram Jaccard.
+  * No reference counterpart — LLM-pipeline extensions designed
+  * shuffle-bounded for 100 TB (every stage is a hash shuffle on a
+  * bounded key or a bucket-local pair expansion; nothing is O(n²) on
+  * the full corpus).
+  */
+object Dedup {
+
+  /** Exact dedup: keep exactly one row per key, the one with the lowest
+    * `orderCol` (deterministic, unlike dropDuplicates). One hash shuffle
+    * on the keys; ties impossible when orderCol is unique. */
+  def exactDedup(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact text dedup on the md5 fingerprint of normalized text. */
+  def exactTextDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exactDedup(
+      df.withColumn("__fp", TextFunctions.fingerprint(col(textCol))),
+      Seq("__fp"), idCol).drop("__fp")
+
+  /** MinHash signature of a distinct-shingle array: k independent hash
+    * functions realized as seeded xxhash64 (shingle, seed i), each taking
+    * the min over the shingle set. Codegen'd built-ins, O(k·|shingles|)
+    * per row, no shuffle. */
+  def minHashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** LSH band keys for a signature: `bands` hashes, each over a
+    * contiguous `rows`-wide slice. Emitted as structs (band, key). */
+  def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(slice(sig, b * rows + 1, lit(rows))).as("key")))
+
+  /** Candidate near-duplicate pairs by MinHash+LSH, verified with exact
+    * shingle Jaccard.
+    *
+    * Plan at scale: shingle+sign each doc (map-only) -> explode to
+    * (band, key) -> hash shuffle on the band key -> per-bucket pair
+    * expansion via self-join -> distinct candidates -> join signatures'
+    * shingle sets back (hash joins on id) -> exact Jaccard filter.
+    * Only bucket-local pairs are ever materialized, so cost tracks the
+    * number of colliding pairs, not n². Skew guard: buckets larger than
+    * `maxBucket` are dropped (a giant bucket means a degenerate key —
+    * e.g. empty docs — not useful dup candidates).
+    */
+  def minHashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val docs = df.select(
+      col(idCol).as("id"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+
+    val banded = docs
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val bucketed = banded
+      .groupBy("band", "key").agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+
+    val candidates = bucketed
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+
+    val shA = docs.select(col("id").as("a"), col("sh").as("sh_a"))
+    val shB = docs.select(col("id").as("b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, "a").join(shB, "b")
+      .withColumn("jaccard", TextFunctions.shingleJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash over the token stream: one pass accumulating 32
+    * +1/-1 bit counters (array accumulator, zip_with combine), then the
+    * sign pattern packs into a long. Bit positions are Scala-side
+    * literals so every shift is codegen-friendly. Near-dups differ in
+    * few bits — compare with [[hammingDistance32]]. */
+  def simHash32(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    def bitsOf(t: Column): Column = array((0 until 32).map { b =>
+      when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))
+    }: _*)
+    df.withColumn("__counts",
+        aggregate(toks, array_repeat(lit(0L), 32),
+          (acc, t) => zip_with(acc, bitsOf(t), _ + _)))
+      .withColumn(outCol,
+        (0 until 32).map { b =>
+          when(element_at(col("__counts"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _))
+      .drop("__counts")
+  }
+
+  /** Hamming distance between two 32-bit simhashes. */
+  def hammingDistance32(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

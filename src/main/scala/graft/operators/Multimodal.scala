@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extract runs partition-wise so one task touches one batch of
+  * payloads. LLM-pipeline extension; no reference counterpart.
+  *
+  * The actual codec step is pluggable ([[Decoder]]): this container has
+  * no media libraries, so the shipped [[StubDecoder]] is a
+  * clearly-marked deterministic fake — the Spark-side plumbing (schema,
+  * partitioning, batch shape, column contracts) is real and tested.
+  */
+object Multimodal {
+
+  /** Canonical media schema: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("media_type", StringType),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", IntegerType),
+      StructField("format", StringType)))),
+  ))
+
+  /** Feature record produced by decoding a payload. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("checksum", StringType),
+  ))
+
+  /** Pluggable codec: bytes -> (width, height). A real deployment
+    * plugs an image/audio decoder here; decode failures return None and
+    * the row is surfaced with null dimensions rather than killing the
+    * task. */
+  trait Decoder extends Serializable {
+    def decodeDimensions(payload: Array[Byte]): Option[(Int, Int)]
+  }
+
+  /** Deterministic fake standing in for a real media codec (media libs
+    * are unavailable in this container): dimensions derived from the
+    * payload length so tests are stable. */
+  object StubDecoder extends Decoder {
+    def decodeDimensions(payload: Array[Byte]): Option[(Int, Int)] =
+      if (payload == null || payload.isEmpty) None
+      else Some((payload.length % 640 + 1, payload.length % 480 + 1))
+  }
+
+  /** Lift a text column into the media schema (payload = utf-8 bytes) —
+    * the test-data stand-in for reading real media blobs. */
+  def asMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("media_id"),
+      col(textCol).cast(BinaryType).as("payload"),
+      lit("text/plain").as("media_type"),
+      struct(
+        octet_length(col(textCol)).as("n_bytes"),
+        lit("utf-8").as("format")).as("meta"))
+
+  /** Partition-wise feature extraction: one decoder instance per task,
+    * payloads processed in iterator order (constant memory — no
+    * collect, no per-row decoder setup). Output = media_id + features.
+    */
+  def extractFeatures(media: DataFrame, decoder: Decoder): DataFrame = {
+    val out = StructType(StructField("media_id", LongType) +: featureSchema.fields.toSeq)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val dims = decoder.decodeDimensions(payload)
+        Row(
+          r.getLong(idIdx),
+          if (payload == null) 0 else payload.length,
+          dims.map(_._1).orNull,
+          dims.map(_._2).orNull,
+          if (payload == null) null
+          else java.security.MessageDigest.getInstance("MD5")
+            .digest(payload).map("%02x".format(_)).mkString)
+      }
+    }(Encoders.row(out))
+  }
+}

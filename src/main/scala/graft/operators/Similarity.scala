@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayFunctions
+
+/** Similarity search over embedding columns (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and a sign-LSH
+  * (random-hyperplane) bucketed variant as the scale path. LLM-pipeline
+  * extension; no reference counterpart.
+  */
+object Similarity {
+
+  /** Literal column for a query vector. */
+  def vectorLit(v: Seq[Float]): Column = array(v.map(lit): _*)
+
+  /** Exact top-k by cosine similarity against a single query vector.
+    *
+    * Scale shape: map-only scoring (codegen'd aggregate/zip_with dot
+    * product), then `orderBy(...).limit(k)` which Spark executes as
+    * TakeOrderedAndProject — per-partition top-k heaps merged on the
+    * driver, no full sort, no shuffle of the corpus. Ties broken by id
+    * for determinism.
+    */
+  def bruteForceTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int): DataFrame =
+    df.select(col(idCol),
+        ArrayFunctions.cosineSimilarity(col(vecCol), vectorLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    * a splitmix64-style integer mix of (plane, dim) — no RNG state, so
+    * every executor and every run derives identical planes. */
+  private[operators] def planeComponent(plane: Int, dim: Int): Float = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    ((z & 0xFFFFFFL).toFloat / 0x1000000L.toFloat) - 0.5f
+  }
+
+  /** Sign-LSH bucket id: one bit per hyperplane (sign of the dot
+    * product), packed into a long. `dims` must match the embedding
+    * width. Map-only. */
+  def signLshBucket(vec: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      val plane = (0 until dims).map(d => planeComponent(p, d))
+      when(ArrayFunctions.dotProduct(vec, vectorLit(plane)) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: score only vectors whose LSH bucket is within
+    * `maxHamming` bits of the query's bucket, then exact cosine top-k on
+    * the candidates.
+    *
+    * Scale shape: bucket assignment is map-only; the bucket filter
+    * prunes the corpus before any scoring; the final top-k is again
+    * TakeOrderedAndProject. Recall improves with maxHamming (and the
+    * candidate set grows ~ C(planes, maxHamming)/2^planes of the data).
+    */
+  def annTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      planes: Int = 12,
+      maxHamming: Int = 2): DataFrame = {
+    val dims = query.length
+    val queryBucket = (0 until planes).map { p =>
+      val plane = (0 until dims).map(d => planeComponent(p, d))
+      val dot = plane.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (dot > 0) 1L << p else 0L
+    }.sum
+    df.withColumn("__bucket", signLshBucket(col(vecCol), planes, dims))
+      .filter(bit_count(col("__bucket").bitwiseXOR(lit(queryBucket))) <= maxHamming)
+      .select(col(idCol),
+        ArrayFunctions.cosineSimilarity(col(vecCol), vectorLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs within a doc-id window: exact
+    * cosine on (id, id+delta) pairs for delta in 1..window. Linear in
+    * corpus size — the deterministic, oracle-checkable complement to
+    * LSH-based all-pairs detection. */
+  def windowedCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      window: Int,
+      threshold: Double): DataFrame = {
+    // Explode each left row into its `window` prospective partner ids,
+    // then ONE equi hash join — a range-predicate join would plan as a
+    // nested-loop broadcast join, which is O(n*n) work at scale.
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+      .withColumn("id_b", explode(sequence(col("id_a") + 1, col("id_a") + window)))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, "id_b")
+      .withColumn("cosine", ArrayFunctions.cosineSimilarity(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.testkit.SparkTestKit._
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  private def docs = table("doc_id bigint, text string", Seq(
+    row(1L, "the quick brown fox jumps over the lazy dog"),
+    row(2L, "the quick brown fox jumps over the lazy cat"),
+    row(3L, "completely different words appear in this one here"),
+    row(4L, "The quick  brown fox jumps over the lazy dog!"), // normalizes to #1
+    row(5L, "le chat et le chien et la maison")))
+
+  test("normalize + fingerprint: case/punct/space-insensitive") {
+    val fps = docs.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(4L))
+    assert(fps(1L) != fps(2L))
+  }
+
+  test("exact dedup keeps lowest id per fingerprint") {
+    val out = Dedup.exactTextDedup(docs, "text", "doc_id")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("word shingles: distinct n-grams; short docs empty") {
+    val sh = table("t string", Seq(row("a b c d"), row("a b")))
+      .select(TextFunctions.wordShingles(col("t"), 3).as("s"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(sh == List(List("a_b_c", "b_c_d"), Nil))
+  }
+
+  test("ngram jaccard: near-dup high, unrelated low") {
+    val pairs = docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") === 1 && col("b.doc_id").isin(2, 3))
+      .select(col("b.doc_id"),
+        TextFunctions.ngramJaccard(col("a.text"), col("b.text"), 3).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pairs(2L) > 0.5)
+    assert(pairs(3L) == 0.0)
+  }
+
+  test("minhash LSH surfaces the planted near-dup pair and the exact dup") {
+    val out = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 4L)))   // jaccard 1.0 after normalization? raw shingles ~identical
+    assert(out.contains((1L, 2L)))   // near-dup
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: near-dups closer in hamming than unrelated docs") {
+    val hashed = Dedup.simHash32(docs, "text", "sh")
+      .select("doc_id", "sh").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashed(1L), hashed(2L)) < ham(hashed(1L), hashed(3L)))
+    assert(hashed.values.forall(v => v >= 0 && v <= 0xFFFFFFFFL))
+  }
+
+  test("langId picks marker-dominant language deterministically") {
+    val out = docs.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(5L) == "fr")
+    assert(out(3L) == "und")
+  }
+
+  test("quality metrics: exact counts, deterministic ratios") {
+    val m = table("t string", Seq(row("the cat sat")))
+      .select(TextFunctions.qualityMetrics(col("t")).as("m"))
+      .select("m.*").head()
+    assert(m.getAs[Int]("n_chars") == 11)
+    assert(m.getAs[Int]("n_tokens") == 3)
+    assert(m.getAs[Double]("mean_token_len") == 3.0)
+    assert(m.getAs[Double]("stopword_ratio") == 1.0 / 3.0)
+  }
+
+  test("brute-force top-k: self is rank 1, ties broken by id") {
+    val emb = table("vec_id bigint, embedding array<float>", Seq(
+      row(0L, Seq(1.0f, 0.0f)), row(1L, Seq(0.9f, 0.1f)),
+      row(2L, Seq(0.0f, 1.0f)), row(3L, Seq(1.0f, 0.0f))))
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(1.0f, 0.0f), 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(0L, 3L, 1L))
+  }
+
+  test("ann top-k: bucket filter keeps the true neighbor for itself") {
+    val emb = table("vec_id bigint, embedding array<float>",
+      (0L to 20L).map(i => row(i, Seq(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat))))
+    val query = Seq(math.cos(0.3).toFloat, math.sin(0.3).toFloat) // == vec 1
+    val top = Similarity.annTopK(emb, "vec_id", "embedding", query, 1,
+      planes = 8, maxHamming = 2)
+    assert(top.head().getLong(0) == 1L)
+  }
+
+  test("windowed cosine pairs: linear equi-join shape, correct values") {
+    val emb = table("vec_id bigint, embedding array<float>", Seq(
+      row(0L, Seq(1.0f, 0.0f)), row(1L, Seq(1.0f, 0.0f)), row(2L, Seq(0.0f, 1.0f))))
+    val out = Similarity.windowedCosinePairs(emb, "vec_id", "embedding", 2, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)))
+    // plan must not contain a nested-loop join
+    val plan = Similarity.windowedCosinePairs(emb, "vec_id", "embedding", 2, 0.99)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("multimodal: stub decode populates features; null payload survives") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "payload", "media_type", "meta"))
+    val feats = Multimodal.extractFeatures(media, Multimodal.StubDecoder)
+    val r1 = feats.filter(col("media_id") === 1L).head()
+    val text1 = "the quick brown fox jumps over the lazy dog"
+    assert(r1.getAs[Int]("n_bytes") == text1.length)
+    assert(r1.getAs[Int]("width") == text1.length % 640 + 1)
+    assert(r1.getAs[String]("checksum").length == 32)
+  }
+}
