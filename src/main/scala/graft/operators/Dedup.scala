@@ -33,11 +33,31 @@ object Dedup {
 
   /** MinHash signature of a distinct-shingle array: k independent hash
     * functions realized as seeded xxhash64 (shingle, seed i), each taking
-    * the min over the shingle set. Codegen'd built-ins, O(k·|shingles|)
-    * per row, no shuffle. */
-  def minHashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+    * the min over the shingle set.
+    *
+    * Single pass over the shingles with an element-wise running min
+    * (`aggregate` + `zip_with(least)`): one traversal and one k-array
+    * per shingle, instead of k traversals building k intermediate
+    * arrays — higher-order functions are interpreted (not codegen'd),
+    * so traversal count dominates. */
+  def minHashSignature(shingles: Column, k: Int): Column = {
+    // Hash each shingle string ONCE, then derive the k values by integer
+    // mixing (Kirsch-Mitzenmacher): h_i = mix(h + (i+1)*phi). String
+    // hashing is the expensive step; k seeded rehashes of the string
+    // would cost k times more for no statistical benefit here.
+    def mix(z0: Column): Column = {
+      val z1 = (z0.bitwiseXOR(shiftrightunsigned(z0, 30))) * lit(-4658895280553007687L)
+      val z2 = (z1.bitwiseXOR(shiftrightunsigned(z1, 27))) * lit(-7723592293110705685L)
+      z2.bitwiseXOR(shiftrightunsigned(z2, 31))
+    }
+    aggregate(
+      shingles,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc,
+        transform(sequence(lit(1), lit(k)),
+          i => mix(xxhash64(s) + i.cast("long") * lit(-7046029254386353131L))),
+        (a, h) => least(a, h)))
+  }
 
   /** LSH band keys for a signature: `bands` hashes, each over a
     * contiguous `rows`-wide slice. Emitted as structs (band, key). */
@@ -67,10 +87,15 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
+    // Persist the (shingles, signature) frame: three downstream branches
+    // (banding + both sides of the verify join) would otherwise each
+    // re-evaluate the shingling and k-hash signature — CollapseProject
+    // inlines the aliased expressions into every consumer.
     val docs = df.select(
       col(idCol).as("id"),
       TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
       .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = docs
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))

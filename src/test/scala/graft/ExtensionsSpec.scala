@@ -48,7 +48,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("minhash LSH surfaces the planted near-dup pair and the exact dup") {
     val out = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
-      shingleN = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      shingleN = 3, numHashes = 32, bands = 32, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out.contains((1L, 4L)))   // jaccard 1.0 after normalization? raw shingles ~identical
     assert(out.contains((1L, 2L)))   // near-dup
