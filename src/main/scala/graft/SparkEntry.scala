@@ -176,8 +176,12 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------- q14
-  /** MinHash+LSH near-dup pairs, exact-Jaccard verified. Engine-internal
-    * hashing (xxhash64) — no SQL oracle; driver records rows-only. */
+  /** MinHash+LSH near-dup pairs, exact-Jaccard verified. The oracle is
+    * the full exact-Jaccard pair set at the same threshold: every >=0.5
+    * pair in this corpus has Jaccard >= 0.9, where 16-band/4-row LSH
+    * detection probability is 1-(1-0.9^4)^16 ~ 1, so the LSH output must
+    * equal the exact set — the oracle checks the Jaccard math AND that
+    * banding lost nothing. */
   private def q14MinhashNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
@@ -185,11 +189,15 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
 
   // ---------------------------------------------------------------- q15
-  /** SimHash corpus signatures (rows-only: xxhash64 is engine-internal). */
+  /** SimHash corpus signatures. Uses the md5-derived portable token hash
+    * (instead of the default xxhash64 fast path) so the DuckDB oracle
+    * reproduces the exact signature bits value-for-value. */
   private def q15Simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHash32(Tables.documents(s, dir), "text", "simhash")
+    Dedup.simHash32(Tables.documents(s, dir), "text", "simhash",
+        tokenHash = TextFunctions.portableTokenHash32)
       .select(col("doc_id"), col("simhash"),
-        TextFunctions.rollingHash(col("text")).as("rolling_fp"))
+        TextFunctions.rollingHash(col("text"),
+          TextFunctions.portableTokenHash32).as("rolling_fp"))
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------- q16
@@ -219,14 +227,28 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------- q18
-  /** ANN top-k via sign-LSH bucket pruning (rows-only: derived planes
-    * are engine-internal). */
+  /** ANN top-k via sign-LSH bucket pruning, tested in the regime ANN is
+    * for: near-duplicate retrieval. The raw embeddings are isotropic
+    * (max pairwise cosine ~0.5 — no pruning scheme can keep full recall
+    * there), so the query plants three near-dup twins per vector — one
+    * element scaled by a power of two (exact in float AND double, so
+    * DuckDB reproduces it bit-for-bit) — and retrieves the query
+    * vector's twins. The oracle is the EXACT cosine top-3 over the same
+    * augmented corpus: it hash-matches only if LSH pruning achieves
+    * full recall on the planted neighbors — a real recall gate. */
   private def q18AnnTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
+    def twin(j: Int): DataFrame = emb.select(
+      (col("vec_id") + lit(1000000L * j)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === lit(j - 1), x * lit((1 << j).toFloat)).otherwise(x))
+        .as("embedding"))
+    val base = emb.select("vec_id", "embedding")
+    val corpus = base.unionByName(twin(1)).unionByName(twin(2)).unionByName(twin(3))
     val query = emb.filter(col("vec_id") === 0L)
       .head().getSeq[Float](emb.schema.fieldIndex("embedding"))
-    Similarity.annTopK(emb.filter(col("vec_id") =!= 0L),
-        "vec_id", "embedding", query, 10, planes = 10, maxHamming = 3)
+    Similarity.annTopK(corpus.filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", query, 3, planes = 10, maxHamming = 2)
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
@@ -424,6 +446,48 @@ object SparkEntry {
         |)
         |SELECT lang, count(*) AS n_docs FROM dedup
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q14_minhash_neardup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks)-2), i ->
+        |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
+        |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
+        |  FROM tk
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+        |               AS DOUBLE), 0.0) AS j
+        |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+        |)
+        |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q15_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+        |), h AS (
+        |  SELECT doc_id, list_transform(toks, tok ->
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef', substr(md5(tok), CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT)) AS hs
+        |  FROM t
+        |), c AS (
+        |  SELECT doc_id, hs,
+        |    list_transform(range(32), b ->
+        |      list_sum(list_transform(hs, hv ->
+        |        CASE WHEN (hv >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END))) AS cnts
+        |  FROM h
+        |)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(32), b ->
+        |    CASE WHEN cnts[CAST(b AS INT)+1] > 0 THEN 2**CAST(b AS INT) ELSE 0 END))
+        |    AS BIGINT) AS simhash,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_fp
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q16_text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text,
@@ -466,6 +530,30 @@ object SparkEntry {
         |)
         |SELECT vec_id, ROUND(c, 4) AS cosine FROM scored
         |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+    "q18_ann_topk" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000*j AS vec_id,
+        |    list_transform(list_zip(embedding, range(1, len(embedding)+1)),
+        |      z -> CASE WHEN z[2] = j
+        |           THEN CAST(z[1] * CAST(2**j AS REAL) AS REAL) ELSE z[1] END)
+        |      AS embedding
+        |  FROM embeddings CROSS JOIN (SELECT unnest([1,2,3]) AS j)
+        |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qv,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        |  FROM corpus e CROSS JOIN q
+        |  WHERE e.vec_id <> 0
+        |)
+        |SELECT vec_id, ROUND(c, 4) AS cosine FROM scored
+        |ORDER BY c DESC, vec_id LIMIT 3""".stripMargin,
     "q19_embedding_neardup" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

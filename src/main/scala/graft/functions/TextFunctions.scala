@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens of a text column (empty tokens dropped). */
+  /** Whitespace tokens of a text column. NB split semantics: an
+    * empty/whitespace-only input yields `[""]` (one empty token, size
+    * 1) — this matches the SQL-oracle construction
+    * (`string_split_regex(trim(text), ' +')`), which is the contract
+    * the token-count/ratio metrics are checked against. */
   def tokens(c: Column): Column = split(trim(c), " +")
 
   /** Token count by whitespace split. */
@@ -92,12 +96,27 @@ object TextFunctions {
       (stop.cast("double") / nToks.cast("double")).as("stopword_ratio"))
   }
 
+  /** 32-bit per-token hash reproducible across engines: the first 8 hex
+    * chars of md5, parsed to a long. Slower than xxhash64 (md5 + string
+    * slicing) but bit-identical in any engine with md5 — DuckDB
+    * reproduces it with hex-digit arithmetic, so simhash/rolling
+    * fingerprints built on it are oracle-checkable. All ANSI-safe: the
+    * parsed value is < 2^32, far from Long overflow. */
+  def portableTokenHash32(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+
   /** Rolling polynomial fingerprint of the token stream (base-31 over a
     * Mersenne-prime modulus) — an order-sensitive complement to the
-    * set-based md5 fingerprint. Engine-portable integer arithmetic. */
-  def rollingHash(c: Column): Column =
+    * set-based md5 fingerprint. Engine-portable integer arithmetic:
+    * acc < 2^31 and hash < 2^32, so acc*31 + hash < 2^37 never
+    * approaches Long overflow (ANSI-safe). `tokenHash` defaults to the
+    * fast crc32; pass [[portableTokenHash32]] for a cross-engine-stable
+    * fingerprint. */
+  def rollingHash(
+      c: Column,
+      tokenHash: Column => Column = t => crc32(t.cast("binary"))): Column =
     aggregate(
       tokens(c),
       lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + crc32(t.cast("binary")), lit(2147483647L)))
+      (acc, t) => pmod(acc * lit(31L) + tokenHash(t), lit(2147483647L)))
 }

@@ -41,22 +41,20 @@ object Dedup {
     * arrays — higher-order functions are interpreted (not codegen'd),
     * so traversal count dominates. */
   def minHashSignature(shingles: Column, k: Int): Column = {
-    // Hash each shingle string ONCE, then derive the k values by integer
-    // mixing (Kirsch-Mitzenmacher): h_i = mix(h + (i+1)*phi). String
-    // hashing is the expensive step; k seeded rehashes of the string
-    // would cost k times more for no statistical benefit here.
-    def mix(z0: Column): Column = {
-      val z1 = (z0.bitwiseXOR(shiftrightunsigned(z0, 30))) * lit(-4658895280553007687L)
-      val z2 = (z1.bitwiseXOR(shiftrightunsigned(z1, 27))) * lit(-7723592293110705685L)
-      z2.bitwiseXOR(shiftrightunsigned(z2, 31))
-    }
+    // Hash each variable-length shingle STRING once (the expensive step),
+    // then derive the k seeded values by re-hashing the resulting 8-byte
+    // long with the seed: h_i = xxhash64(h, i). Multi-arg xxhash64 is a
+    // codegen'd built-in with no overflow arithmetic, so it is safe under
+    // Spark 4's default ANSI mode (integer-mixing constants like
+    // Kirsch-Mitzenmacher rely on Long wrap-around, which ANSI rejects
+    // with ARITHMETIC_OVERFLOW).
+    val hashed = transform(shingles, s => xxhash64(s))
     aggregate(
-      shingles,
+      hashed,
       array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(acc,
-        transform(sequence(lit(1), lit(k)),
-          i => mix(xxhash64(s) + i.cast("long") * lit(-7046029254386353131L))),
-        (a, h) => least(a, h)))
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(1), lit(k)), i => xxhash64(h, i)),
+        (a, v) => least(a, v)))
   }
 
   /** LSH band keys for a signature: `bands` hashes, each over a
@@ -87,15 +85,19 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    // Persist the (shingles, signature) frame: three downstream branches
-    // (banding + both sides of the verify join) would otherwise each
-    // re-evaluate the shingling and k-hash signature — CollapseProject
-    // inlines the aliased expressions into every consumer.
+    // Deliberately NOT cached: the only branch that needs the expensive
+    // k-hash signature is the banding one (the verify-join sides below
+    // select just (id, sh), so Catalyst's column pruning drops the `sig`
+    // computation there). The cost of no cache is recomputing the
+    // map-side shingling for the two join sides — partition-local work
+    // that scales with a columnar re-scan — whereas materializing a
+    // >=10x-corpus-size (shingles, signature) cache is exactly what a
+    // 100 TB cluster cannot afford, and a persist with no unpersist pins
+    // memory/disk for the rest of the session.
     val docs = df.select(
       col(idCol).as("id"),
       TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
       .withColumn("sig", minHashSignature(col("sh"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = docs
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
@@ -124,16 +126,32 @@ object Dedup {
     * +1/-1 bit counters (array accumulator, zip_with combine), then the
     * sign pattern packs into a long. Bit positions are Scala-side
     * literals so every shift is codegen-friendly. Near-dups differ in
-    * few bits — compare with [[hammingDistance32]]. */
-  def simHash32(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    * few bits — compare with [[hammingDistance32]].
+    *
+    * Each token is hashed ONCE up front (`transform` binds the hash to a
+    * lambda variable) and the 32 bit probes read that bound value —
+    * common-subexpression elimination is not guaranteed inside
+    * interpreted higher-order lambdas, so hashing inside each of the 32
+    * branches would cost 32 string hashes per token.
+    *
+    * `tokenHash` picks the per-token 64/32-bit hash column: default is
+    * xxhash64 (fastest; engine-internal), while
+    * [[TextFunctions.portableTokenHash32]] gives a slower md5-derived
+    * hash reproducible in other engines (used by the DuckDB oracle). */
+  def simHash32(
+      df: DataFrame,
+      textCol: String,
+      outCol: String,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    def bitsOf(t: Column): Column = array((0 until 32).map { b =>
-      when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+    val hashes = transform(toks, t => tokenHash(t))
+    def bitsOf(h: Column): Column = array((0 until 32).map { b =>
+      when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L))
         .otherwise(lit(-1L))
     }: _*)
     df.withColumn("__counts",
-        aggregate(toks, array_repeat(lit(0L), 32),
-          (acc, t) => zip_with(acc, bitsOf(t), _ + _)))
+        aggregate(hashes, array_repeat(lit(0L), 32),
+          (acc, h) => zip_with(acc, bitsOf(h), _ + _)))
       .withColumn(outCol,
         (0 until 32).map { b =>
           when(element_at(col("__counts"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
