@@ -57,6 +57,52 @@ object SparkEntry {
       .orderBy("src", "l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q02
+  /** Schema-introspection-driven query: `fields` discovers the double
+    * columns to aggregate, `to_list` collects a small driver-side key
+    * list that parameterizes the filter, and the filter itself is
+    * chained through the fluent `transform` surface. The introspection
+    * results (column count, DDL length) are emitted as data so the
+    * oracle checks them by value. */
+  private def q02SchemaIntrospect(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val doubleCols = General.fields(li)
+      .filter(_.dataType == DoubleType).map(_.name).sorted
+    val flags = General.toList(
+        li.select("l_returnflag").distinct().orderBy("l_returnflag").limit(2))
+      .map(_.toString)
+    li.transform(df => df.filter(col("l_returnflag").isin(flags: _*)))
+      .groupBy("l_returnflag")
+      .agg(
+        doubleCols.map(c => decSum(col(c)).as(s"sum_$c")).head,
+        doubleCols.map(c => decSum(col(c)).as(s"sum_$c")).tail: _*)
+      .withColumn("n_fields", lit(General.fields(li).length))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- q03
+  /** Catalog/file-existence checks as data: a temp view is registered,
+    * then `tableColumns`, `tableExists`, and the memoized `fileExists`
+    * results ride along a per-region rollup so the oracle verifies
+    * them by value (wrong column count -> hash mismatch). */
+  private def q03Catalog(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(s, dir)
+    nation.createOrReplaceTempView("nation_v")
+    val cols = General.tableColumns(s, "nation_v")
+    val viewExists = General.tableExists(s, "nation_v")
+    val ghostExists = General.tableExists(s, "no_such_table_v")
+    val fileOk = General.fileExists(s, s"$dir/nation.parquet")
+    val fileGhost = General.fileExists(s, s"$dir/no_such_file.parquet")
+    nation.groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"))
+      .withColumn("n_cols", lit(cols.length))
+      .withColumn("view_exists", lit(viewExists))
+      .withColumn("ghost_exists", lit(ghostExists))
+      .withColumn("file_exists", lit(fileOk))
+      .withColumn("ghost_file_exists", lit(fileGhost))
+      .orderBy("n_regionkey")
+  }
+
   // ---------------------------------------------------------------- q04
   /** Partition-only analytic window (`get_window_spec`): per-flag window
     * sum, de-duplicated, then a whole-frame window grand total — the
@@ -306,8 +352,43 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- q23
+  /** Generic within-fiscal-year apply (`shifted_within_year_apply` with
+    * an arbitrary method, `pandas.py:121-133`): mean-imputation of
+    * missing values per (user, Feb..Jan+1 fiscal year) group. The group
+    * mean is accumulated in exact decimals (order-independent) and
+    * divided once in double, so the oracle reproduces it bit-for-bit. */
+  private def q23WithinYearImpute(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val base = Tables.events(s, dir).select(
+      col("user_id"), col("ts"),
+      when(col("event_type") =!= "error", col("value"))
+        .cast(DecimalType(18, 2)).as("v"))
+    val vIdx = base.schema.fieldIndex("v") // fiscal-year col is appended AFTER v
+    val imputed = Reshape.shiftedWithinYearApply(base, "ts",
+        StructType(Seq(StructField("vi", DoubleType))),
+        keys = Seq("user_id")) { rows =>
+      val buf = rows.toVector
+      var n = 0L
+      var sum = java.math.BigDecimal.ZERO
+      buf.foreach { r =>
+        if (!r.isNullAt(vIdx)) { n += 1; sum = sum.add(r.getDecimal(vIdx)) }
+      }
+      val mean: Any = if (n == 0) null else sum.doubleValue() / n
+      buf.iterator.map { r =>
+        Row(if (r.isNullAt(vIdx)) mean else r.getDecimal(vIdx).doubleValue())
+      }
+    }
+    imputed.groupBy("user_id")
+      .agg(decSum(col("vi")).as("sum_v"), count(col("vi")).as("n_vals"))
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
+    "q02_schema_introspect" -> (q02SchemaIntrospect _),
+    "q03_catalog" -> (q03Catalog _),
     "q04_window_sum" -> (q04WindowSum _),
     "q05_concat_union" -> (q05ConcatUnion _),
     "q06_map_col" -> (q06MapCol _),
@@ -327,6 +408,7 @@ object SparkEntry {
     "q20_multimodal" -> (q20Multimodal _),
     "q21_asof_join" -> (q21AsofJoin _),
     "q22_sessionize" -> (q22Sessionize _),
+    "q23_within_year_impute" -> (q23WithinYearImpute _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -338,6 +420,23 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_schema_introspect" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_discount,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_extendedprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,
+        |  CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_tax,
+        |  11 AS n_fields
+        |FROM lineitem
+        |WHERE l_returnflag IN
+        |  (SELECT DISTINCT l_returnflag FROM lineitem ORDER BY 1 LIMIT 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q03_catalog" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+        |  3 AS n_cols, TRUE AS view_exists, FALSE AS ghost_exists,
+        |  TRUE AS file_exists, FALSE AS ghost_file_exists
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q05_concat_union" ->
       """WITH u AS (
         |  SELECT 'a' AS src, l_returnflag, l_quantity AS qty,
@@ -615,5 +714,24 @@ object SparkEntry {
         |  CAST(max(n) AS BIGINT) AS max_session_events,
         |  CAST(sum(n) AS BIGINT) AS n_events
         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q23_within_year_impute" ->
+      """WITH base AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type <> 'error'
+        |         THEN CAST(value AS DECIMAL(18,2)) END AS v,
+        |    year(ts - INTERVAL 1 MONTH) AS fy
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, fy,
+        |    CAST(SUM(v) AS DOUBLE) / COUNT(v) AS mean_v
+        |  FROM base GROUP BY user_id, fy
+        |), imp AS (
+        |  SELECT b.user_id, COALESCE(CAST(b.v AS DOUBLE), m.mean_v) AS vi
+        |  FROM base b JOIN m ON b.user_id = m.user_id AND b.fy = m.fy
+        |)
+        |SELECT user_id,
+        |  CAST(SUM(CAST(vi AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  COUNT(vi) AS n_vals
+        |FROM imp GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

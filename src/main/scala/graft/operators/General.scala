@@ -87,6 +87,11 @@ object General {
   def tableExists(spark: SparkSession, db: String, table: String): Boolean =
     spark.catalog.tableExists(s"$db.$table")
 
+  /** Single-name variant: resolves temp views and current-database
+    * tables alike. */
+  def tableExists(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(table)
+
   private val fsExistsCache = TrieMap.empty[String, Boolean]
 
   /** Memoized filesystem existence check (`validation.py:303-315`,

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Tidy-frame reshaping — the Spark-native re-imagining of the
   * reference's pandas MultiIndex machinery
@@ -60,6 +61,31 @@ object Reshape {
     * ordered monthly axis that assigns each timestamp to year(ts - 1
     * month), which is directly computable — no shifting needed. */
   def fiscalYear(ts: Column): Column = year(add_months(ts, -1))
+
+  /** Generic `shifted_within_year_apply` (`pandas.py:121-133`): apply an
+    * arbitrary per-group transformation within each (keys, Feb..Jan+1
+    * fiscal year) group. The reference takes any
+    * `pd.DataFrame -> pd.DataFrame` method; here `fn` maps the group's
+    * rows (input schema + the appended fiscal-year column) to rows of
+    * `outputSchema`, and the group keys — `keys` plus `fiscalYearCol` —
+    * are re-broadcast onto every output row (the
+    * [[Grouped.applyPerGroup]] contract).
+    *
+    * Scale shape: one hash shuffle on (keys, fiscalYear); the closure
+    * runs inside the executor JVM per group, so skewed group sizes —
+    * not total volume — are the limit. Methods expressible as window
+    * functions (ffill, running sums) should use the specialized
+    * window recipes below instead, which keep whole-stage codegen. */
+  def shiftedWithinYearApply(
+      df: DataFrame,
+      tsCol: String,
+      outputSchema: StructType,
+      keys: Seq[String] = Nil,
+      fiscalYearCol: String = "fiscal_year")(
+      fn: Iterator[Row] => Iterator[Row]): DataFrame = {
+    val withFy = df.withColumn(fiscalYearCol, fiscalYear(col(tsCol)))
+    Grouped.applyPerGroup(withFy, keys :+ fiscalYearCol, outputSchema)(fn)
+  }
 
   /** `shifted_within_year_ffill` (`pandas.py:136-138`): forward-fill
     * `valueCol` within each (keys, Feb..Jan+1 fiscal year) group in

@@ -68,6 +68,31 @@ class GroupedReshapeSpec extends AnyFunSuite {
     assert(out == Seq(Some(1.0), Some(1.0), Some(1.0), None, Some(9.0)))
   }
 
+  test("shiftedWithinYearApply runs an arbitrary method per fiscal-year group (pandas.py:121-133)") {
+    // Mean-imputation: nulls take the (key, fiscal-year) group mean.
+    // Feb 2025 starts a NEW fiscal year, so its null must use the 2025
+    // group's mean (9.0), not the 2024 group's (2.0).
+    val df = table("k string, ts timestamp, v double", Seq(
+      row("a", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 1.0),
+      row("a", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), null),
+      row("a", java.sql.Timestamp.valueOf("2024-04-01 00:00:00"), 3.0),
+      row("a", java.sql.Timestamp.valueOf("2025-02-01 00:00:00"), null),
+      row("a", java.sql.Timestamp.valueOf("2025-03-01 00:00:00"), 9.0)))
+    val out = Reshape.shiftedWithinYearApply(df, "ts",
+        StructType(Seq(StructField("ts", TimestampType), StructField("vi", DoubleType))),
+        keys = Seq("k")) { rows =>
+      val buf = rows.toVector
+      val vs = buf.collect { case r if !r.isNullAt(2) => r.getDouble(2) }
+      val mean = if (vs.isEmpty) null else (vs.sum / vs.size): java.lang.Double
+      buf.iterator.map(r => Row(r.getTimestamp(1),
+        if (r.isNullAt(2)) mean else r.getDouble(2)))
+    }
+    assert(out.columns.toSeq == Seq("k", "fiscal_year", "ts", "vi"))
+    val got = out.orderBy("ts").collect()
+      .map(r => (r.getInt(1), r.getDouble(3))).toSeq
+    assert(got == Seq((2024, 1.0), (2024, 2.0), (2024, 3.0), (2025, 9.0), (2025, 9.0)))
+  }
+
   test("fiscalYear assigns Jan to the previous year") {
     val df = table("ts timestamp", Seq(
       row(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")),
