@@ -307,12 +307,12 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
 
   // ---------------------------------------------------------------- q20
-  /** Multimodal plumbing: text lifted to binary payloads, partition-wise
-    * stub decode, feature columns out. */
+  /** Multimodal plumbing: text lifted to binary payloads, features via
+    * codegen'd built-in expressions (the pluggable-codec mapPartitions
+    * path exists separately for real decoders). */
   private def q20Multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
-        Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"),
-        Multimodal.StubDecoder)
+        Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
       .orderBy("media_id")
 
   // ---------------------------------------------------------------- q21

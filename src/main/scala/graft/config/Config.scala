@@ -30,11 +30,20 @@ class Config private (initial: Map[String, Any]) {
   def update(kv: (String, Any)*): Unit = attrs = attrs ++ kv
 
   /** Unpack the mappings under `toUnpack` keys as top-level attributes
-    * (config.py:110-136); the original nested attr is kept too. */
+    * (config.py:110-136); the original nested attr is kept too. A
+    * collision with an existing top-level key still overwrites (the
+    * reference behaves the same) but is logged, so a config that
+    * silently shadows a sibling section is at least diagnosable. */
   def unpack(toUnpack: Seq[String]): Unit = toUnpack.foreach { k =>
     attrs(k) match {
       case m: Map[_, _] =>
-        attrs = attrs ++ m.asInstanceOf[Map[String, Any]]
+        val nested = m.asInstanceOf[Map[String, Any]]
+        val clashes = nested.keySet.intersect(attrs.keySet - k)
+        if (clashes.nonEmpty)
+          org.slf4j.LoggerFactory.getLogger(classOf[Config]).warn(
+            s"unpack('$k') overwrites existing top-level keys: " +
+              clashes.toSeq.sorted.mkString(", "))
+        attrs = attrs ++ nested
       case other => throw new IllegalArgumentException(
         s"given attr $k to unpack must be a mapping, got $other")
     }

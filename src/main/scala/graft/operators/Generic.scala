@@ -2,6 +2,9 @@ package graft.operators
 
 import scala.collection.immutable.ListMap
 
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
 /** Driver-side collection utilities — the Scala port of
   * `/root/reference/ons_utils/generic.py`. Pure functions over nested
   * maps and tuple-like key sequences; no Spark session involved.
@@ -73,6 +76,52 @@ object Generic {
       repeat: Boolean = false,
       fillMethod: String = "bfill"): ListMap[Seq[Any], Any] =
     ListMap.from(fillTuples(d.keys.toSeq, length, repeat, fillMethod).zip(d.values))
+
+  /** `nested_dict_to_df` (`/root/reference/ons_utils/pandas.py:9-18`):
+    * flatten a nested map, pad ragged key paths to uniform depth
+    * (ffill — trailing nulls, mirroring `fill_tuple_keys(fill_method=
+    * 'ffill')`), and promote to a long-form Spark DataFrame with one
+    * column per key level plus the value column. The MultiIndex of the
+    * reference becomes ordinary key columns — the Spark-native shape
+    * every other operator here composes with.
+    *
+    * Driver-side by design (config-sized data): the input is an
+    * in-memory map, never a distributed dataset. */
+  def nestedDictToDf(
+      spark: SparkSession,
+      d: NestedMap,
+      levelNames: Seq[String] = Nil,
+      valueCol: String = "value"): DataFrame = {
+    val flat = flattenNested(d)
+    val filled = fillTupleKeys(
+      ListMap.from(flat.map { case (k, v) => (k: Any) -> v }),
+      fillMethod = "ffill")
+    val depth = filled.keys.foldLeft(0)((m, k) => math.max(m, k.length))
+    val names =
+      if (levelNames.nonEmpty) levelNames
+      else (0 until depth).map(i => s"level_$i")
+    require(names.length == depth,
+      s"levelNames has ${names.length} entries for depth-$depth keys")
+    val valueType = filled.values.collectFirst {
+      case _: Int => IntegerType
+      case _: Long => LongType
+      case _: Double => DoubleType
+      case _: Boolean => BooleanType
+    }.getOrElse(StringType)
+    val schema = StructType(
+      names.map(StructField(_, StringType, nullable = true)) :+
+        StructField(valueCol, valueType, nullable = true))
+    val rows = filled.toSeq.map { case (k, v) =>
+      val levels = k.map(x => if (x == null) null else x.toString)
+      val value = (v, valueType) match {
+        case (null, _) => null
+        case (x, StringType) => x.toString
+        case (x, _) => x
+      }
+      Row.fromSeq(levels ++ Seq(value))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
 
   /** Scalar -> single-element seq; seqs pass through; null wraps to
     * Seq(null) (`generic.py:96-111` incl. the None -> [None] case). */

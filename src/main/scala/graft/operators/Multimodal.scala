@@ -62,11 +62,31 @@ object Multimodal {
         octet_length(col(textCol)).as("n_bytes"),
         lit("utf-8").as("format")).as("meta"))
 
-  /** Partition-wise feature extraction: one decoder instance per task,
-    * payloads processed in iterator order (constant memory — no
-    * collect, no per-row decoder setup). Output = media_id + features.
-    */
-  def extractFeatures(media: DataFrame, decoder: Decoder): DataFrame = {
+  /** Feature extraction through codegen'd built-in expressions — the
+    * default path. Every feature the [[StubDecoder]] produces (byte
+    * count, modular stub dimensions, md5 checksum) is expressible as a
+    * Catalyst expression, so this stays inside whole-stage codegen over
+    * the columnar scan: no SerializeFromObject, no per-row JVM object
+    * churn. Null-payload rows surface with null dimensions/checksum and
+    * n_bytes 0, matching the decoder path. Plug a REAL codec via
+    * [[extractFeaturesWith]] — only genuine media decoding justifies
+    * leaving codegen. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val len = octet_length(col("payload"))
+    media.select(
+      col("media_id"),
+      coalesce(len, lit(0)).as("n_bytes"),
+      when(len > 0, pmod(len, lit(640)) + 1).as("width"),
+      when(len > 0, pmod(len, lit(480)) + 1).as("height"),
+      md5(col("payload")).as("checksum"))
+  }
+
+  /** Partition-wise feature extraction with a pluggable codec: one
+    * decoder instance per task, payloads processed in iterator order
+    * (constant memory — no collect, no per-row decoder setup). Output =
+    * media_id + features. Use only for real codecs; stub-expressible
+    * features should go through [[extractFeatures]] (codegen'd). */
+  def extractFeaturesWith(media: DataFrame, decoder: Decoder): DataFrame = {
     val out = StructType(StructField("media_id", LongType) +: featureSchema.fields.toSeq)
     val payloadIdx = media.schema.fieldIndex("payload")
     val idIdx = media.schema.fieldIndex("media_id")

@@ -31,6 +31,33 @@ object SparkTestKit {
 
   def row(values: Any*): Row = Row(values: _*)
 
+  /** Labeled test case — the ScalaTest analogue of the reference's
+    * `Case` (`/root/reference/ons_utils/testing.py:19-87`,
+    * `tests/conftest.py:71-154`): a description plus named arguments.
+    * Typed getters replace Python kwargs; suite-level defaults come in
+    * via [[Case.withDefaults]]. */
+  final case class Case(label: String, args: Map[String, Any] = Map.empty) {
+    def apply[T](key: String): T = args.getOrElse(key,
+      throw new NoSuchElementException(s"case '$label' has no arg '$key'")
+    ).asInstanceOf[T]
+    def getOrElse[T](key: String, default: => T): T =
+      args.get(key).map(_.asInstanceOf[T]).getOrElse(default)
+    def withDefaults(defaults: (String, Any)*): Case =
+      copy(args = defaults.toMap ++ args)
+  }
+
+  /** `parametrize_cases`: run the body once per labeled case; a failure
+    * is re-thrown with the case label prepended so the failing case is
+    * identifiable (pytest's parametrized test ids). */
+  def parametrizeCases(cases: Case*)(body: Case => Unit): Unit =
+    cases.foreach { c =>
+      try body(c)
+      catch {
+        case e: Throwable =>
+          throw new AssertionError(s"[case: ${c.label}] ${e.getMessage}", e)
+      }
+    }
+
   /** chispa-style equality: schema (optionally ignoring nullability) and
     * collected rows (optionally order-insensitive). */
   def assertDfEquality(

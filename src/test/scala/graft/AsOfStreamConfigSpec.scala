@@ -135,4 +135,26 @@ class AsOfStreamConfigSpec extends AnyFunSuite {
     val errs = res.left.toOption.get.map(_.section)
     assert(errs.contains("nope") && errs.contains("input"))
   }
+
+  test("config: LoggingConfig creates timestamped file + console handlers (config.py:225-304)") {
+    import graft.config.LoggingConfig
+    val tmp = java.nio.file.Files.createTempDirectory("graft_logs")
+    val fixed = java.time.LocalDateTime.of(2026, 8, 12, 10, 30, 0)
+    val lc = new LoggingConfig(baseDir = Some(tmp), clock = () => fixed)
+    assert(lc.logId == "log_260812_103000")
+    assert(lc.filename == "log_260812_103000.log")
+    try {
+      val root = lc.setLoggingConfig()
+      val logger = java.util.logging.Logger.getLogger("graft.test")
+      logger.setLevel(java.util.logging.Level.FINE) // opt in to DEBUG
+      logger.info("hello from the engine")
+      logger.fine("debug detail") // reaches the ALL-level file handler
+      root.getHandlers.foreach(_.flush())
+      assert(java.nio.file.Files.exists(lc.fullPath))
+      val content = new String(java.nio.file.Files.readAllBytes(lc.fullPath))
+      assert(content.contains("hello from the engine"))
+      assert(content.contains("debug detail"))
+      assert(content.contains("INFO"))
+    } finally lc.close()
+  }
 }

@@ -115,11 +115,18 @@ class ExtensionsSpec extends AnyFunSuite {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq ==
       Seq("media_id", "payload", "media_type", "meta"))
-    val feats = Multimodal.extractFeatures(media, Multimodal.StubDecoder)
+    val feats = Multimodal.extractFeatures(media)
     val r1 = feats.filter(col("media_id") === 1L).head()
     val text1 = "the quick brown fox jumps over the lazy dog"
     assert(r1.getAs[Int]("n_bytes") == text1.length)
     assert(r1.getAs[Int]("width") == text1.length % 640 + 1)
     assert(r1.getAs[String]("checksum").length == 32)
+    // the built-in path must stay inside codegen: no object serialization
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"), plan)
+    // the pluggable-codec path agrees with the expression path row-for-row
+    val viaDecoder = Multimodal.extractFeaturesWith(media, Multimodal.StubDecoder)
+    assert(viaDecoder.orderBy("media_id").collect().map(_.toSeq).toSeq ==
+      feats.orderBy("media_id").collect().map(_.toSeq).toSeq)
   }
 }

@@ -124,4 +124,32 @@ class GroupedReshapeSpec extends AnyFunSuite {
     val pairs = Generic.keyValuePairs(Map("a" -> Seq(1, 2), "b" -> 3)).toSet
     assert(pairs == Set(("a", 1), ("a", 2), ("b", 3)))
   }
+
+  test("nestedDictToDf promotes a ragged nested map to a long-form frame (pandas.py:9-18)") {
+    val df = Generic.nestedDictToDf(spark,
+      Map("a" -> Map("x" -> 1, "y" -> 2), "b" -> 3), Seq("l0", "l1"))
+    assert(df.columns.toSeq == Seq("l0", "l1", "value"))
+    assert(df.schema("value").dataType == IntegerType)
+    val got = df.collect().map(_.toSeq).toSet
+    // ragged key 'b' ffills: trailing level null
+    assert(got == Set(Seq("a", "x", 1), Seq("a", "y", 2), Seq("b", null, 3)))
+  }
+
+  test("Case/parametrizeCases labeled-case harness (testing.py:19-87, conftest.py:71-154)") {
+    parametrizeCases(
+      Case("jan belongs to prior fiscal year",
+        Map("ts" -> "2024-01-15 00:00:00", "fy" -> 2023)),
+      Case("feb starts new fiscal year",
+        Map("ts" -> "2024-02-15 00:00:00", "fy" -> 2024)).withDefaults("fy" -> -1)
+    ) { c =>
+      val df = table("ts timestamp",
+        Seq(row(java.sql.Timestamp.valueOf(c[String]("ts")))))
+      assert(df.select(Reshape.fiscalYear(col("ts"))).head().getInt(0) == c[Int]("fy"))
+    }
+    // failures carry the case label
+    val e = intercept[AssertionError] {
+      parametrizeCases(Case("doomed")) { _ => assert(1 == 2) }
+    }
+    assert(e.getMessage.contains("[case: doomed]"))
+  }
 }

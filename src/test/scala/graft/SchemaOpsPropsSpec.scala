@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.types.SchemaOps
+
+/** ScalaCheck properties for the coercion lattice — the reference only
+  * spot-checks widening on a handful of cases
+  * (`/root/reference/tests/pyspark/test_concat.py:435-458`); these
+  * verify the algebra for the whole coercible type universe
+  * (lattice numerics + string, with columns allowed to be missing).
+  */
+class SchemaOpsPropsSpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val coercible: Gen[DataType] =
+    Gen.oneOf(SchemaOps.NumericPrecedence :+ StringType)
+
+  private val colNames = Seq("a", "b", "c", "d")
+
+  /** A schema over a random subset (never empty) of four columns. */
+  private val genSchema: Gen[StructType] = for {
+    picked <- Gen.someOf(colNames).suchThat(_.nonEmpty)
+    types <- Gen.listOfN(picked.size, coercible)
+  } yield StructType(picked.toSeq.zip(types).map {
+    case (n, t) => StructField(n, t)
+  })
+
+  private val genSchemas: Gen[List[StructType]] =
+    Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, genSchema))
+
+  private def typeMap(s: StructType): Map[String, DataType] =
+    s.fields.map(f => f.name -> f.dataType).toMap
+
+  test("largestNumericType is permutation-invariant and a semilattice join") {
+    val nums = Gen.nonEmptyListOf(Gen.oneOf(SchemaOps.NumericPrecedence))
+    check("commutative", Prop.forAll(nums) { xs =>
+      SchemaOps.largestNumericType(xs) ==
+        SchemaOps.largestNumericType(xs.reverse)
+    })
+    check("associative-split", Prop.forAll(nums, nums) { (xs, ys) =>
+      SchemaOps.largestNumericType(xs ++ ys) ==
+        SchemaOps.largestNumericType(Seq(
+          SchemaOps.largestNumericType(xs), SchemaOps.largestNumericType(ys)))
+    })
+    check("idempotent", Prop.forAll(Gen.oneOf(SchemaOps.NumericPrecedence)) {
+      t => SchemaOps.largestNumericType(Seq(t, t)) == t
+    })
+  }
+
+  test("analyze resolved types are input-order independent (test_concat.py:435-458 generalized)") {
+    check("permutation", Prop.forAll(genSchemas) { schemas =>
+      typeMap(SchemaOps.analyze(schemas).finalSchema) ==
+        typeMap(SchemaOps.analyze(schemas.reverse).finalSchema)
+    })
+  }
+
+  test("analyze: string wins wherever any input has the column as string") {
+    check("string-wins", Prop.forAll(genSchemas) { schemas =>
+      val resolved = typeMap(SchemaOps.analyze(schemas).finalSchema)
+      colNames.forall { n =>
+        val present = schemas.flatMap(_.fields.find(_.name == n)).map(_.dataType)
+        !present.contains(StringType) || resolved(n) == StringType
+      }
+    })
+  }
+
+  test("analyze: numeric result is at least as wide as every input type") {
+    check("monotone", Prop.forAll(genSchemas) { schemas =>
+      val resolved = typeMap(SchemaOps.analyze(schemas).finalSchema)
+      schemas.forall(_.fields.forall { f =>
+        resolved(f.name) == StringType || {
+          val idx = SchemaOps.NumericPrecedence.indexOf(resolved(f.name))
+          idx >= 0 && idx <= SchemaOps.NumericPrecedence.indexOf(f.dataType)
+        }
+      })
+    })
+  }
+
+  test("analyze is idempotent: re-analyzing the result is a fixpoint") {
+    check("fixpoint", Prop.forAll(genSchemas) { schemas =>
+      val first = SchemaOps.analyze(schemas).finalSchema
+      typeMap(SchemaOps.analyze(Seq(first, first)).finalSchema) == typeMap(first)
+    })
+  }
+}
