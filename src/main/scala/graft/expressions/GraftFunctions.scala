@@ -1,0 +1,86 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.IntegerType
+
+/** Registration + Column surface for the engine's native expressions.
+  *
+  * Spark 4 keeps Expression -> Column construction private, so the
+  * supported route is the function registry: either install
+  * [[GraftExtensions]] at session build time
+  * (`spark.sql.extensions=graft.expressions.GraftExtensions`) or call
+  * [[GraftFunctions.ensureRegistered]] on a live session — operators do
+  * the latter automatically via `df.sparkSession`, so library users
+  * never see the plumbing. Both paths register the same builders;
+  * `call_function` resolves them at analysis time.
+  */
+object GraftFunctions {
+
+  private def intArg(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int argument, got $other")
+  }
+
+  /** (name, builder) for every native expression. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot_f32" -> { args => DotProductF32(args(0), args(1)) },
+    "graft_cosine_f32" -> { args => CosineSimF32(args(0), args(1)) },
+    "graft_minhash_sig" -> { args =>
+      MinHashSig(args(0), intArg("graft_minhash_sig", args(1)))
+    },
+    "graft_shingles" -> { args =>
+      ShingleSet(args(0), intArg("graft_shingles", args(1)))
+    },
+  )
+
+  /** Idempotent per-session registration (temp functions live in the
+    * session's own registry, so each new session registers again). */
+  def ensureRegistered(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      if (!spark.catalog.functionExists(name))
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  /** Dot product of two float-array columns (native, codegen'd). */
+  def dotF32(df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Column = {
+    ensureRegistered(df.sparkSession)
+    call_function("graft_dot_f32", a, b)
+  }
+
+  /** Cosine similarity of two float-array columns (native, codegen'd). */
+  def cosineF32(df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Column = {
+    ensureRegistered(df.sparkSession)
+    call_function("graft_cosine_f32", a, b)
+  }
+
+  /** MinHash signature (k longs) of a distinct-shingle string array. */
+  def minhashSig(df: org.apache.spark.sql.DataFrame, shingles: Column, k: Int): Column = {
+    ensureRegistered(df.sparkSession)
+    call_function("graft_minhash_sig", shingles, lit(k))
+  }
+
+  /** Distinct word n-gram shingles of a token array (native). */
+  def shingles(df: org.apache.spark.sql.DataFrame, tokens: Column, n: Int): Column = {
+    ensureRegistered(df.sparkSession)
+    call_function("graft_shingles", tokens, lit(n))
+  }
+}
+
+/** `spark.sql.extensions` injector — the SparkSessionExtensions route
+  * for cluster deployments where the session is built once:
+  * every native function is available to SQL and `call_function`
+  * without any per-session code. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftFunctions.type].getName, name),
+        builder))
+    }
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.GraftFunctions
 import graft.functions.TextFunctions
 
 /** Deduplication operators for large-scale corpus pipelines: exact
@@ -35,11 +36,12 @@ object Dedup {
     * functions realized as seeded xxhash64 (shingle, seed i), each taking
     * the min over the shingle set.
     *
-    * Single pass over the shingles with an element-wise running min
-    * (`aggregate` + `zip_with(least)`): one traversal and one k-array
-    * per shingle, instead of k traversals building k intermediate
-    * arrays — higher-order functions are interpreted (not codegen'd),
-    * so traversal count dominates. */
+    * This is the portable composed-builtins formulation (single pass,
+    * element-wise running min via `aggregate` + `zip_with(least)`).
+    * The LSH pipeline itself uses the native
+    * [[graft.expressions.MinHashSig]] expression instead — same recipe
+    * inside one Janino-compiled loop, with none of the per-step array
+    * allocation interpreted higher-order functions pay. */
   def minHashSignature(shingles: Column, k: Int): Column = {
     // Hash each variable-length shingle STRING once (the expensive step),
     // then derive the k seeded values by re-hashing the resulting 8-byte
@@ -96,8 +98,9 @@ object Dedup {
     // memory/disk for the rest of the session.
     val docs = df.select(
       col(idCol).as("id"),
-      TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      GraftFunctions.shingles(df,
+        TextFunctions.tokens(col(textCol)), shingleN).as("sh"))
+      .withColumn("sig", GraftFunctions.minhashSig(df, col("sh"), numHashes))
 
     val banded = docs
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))

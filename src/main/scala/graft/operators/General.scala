@@ -102,12 +102,48 @@ object General {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     })
 
+  /** `convert_to_spark_col` (`general.py:29-39`): runtime lifting for
+    * dynamic call sites — string becomes `col(...)`, Column passes
+    * through, anything else throws like the reference's ValueError
+    * (incl. null/boolean/double, `tests/pyspark/test_general.py:19-35`).
+    * Static call sites should prefer the compile-time [[ColumnLike]]
+    * magnet, which makes the invalid cases unrepresentable. */
+  def convertToSparkCol(x: Any): Column = x match {
+    case s: String => col(s)
+    case c: Column => c
+    case other => throw new IllegalArgumentException(
+      s"cannot convert $other to a Column: expected a column name or Column")
+  }
+
+  /** Compile-time string-or-Column magnet — the idiomatic replacement
+    * for the reference's argument-rewriting decorator machinery
+    * (`to_spark_col` + `args_kwargs_transformer_factory`,
+    * `ons_utils/decorators.py:15-16`, `ons_utils/factories.py:16-106`).
+    * A Python decorator rewrites arguments at call time; in Scala the
+    * implicit conversions fire at compile time, so a function declared
+    * over `ColumnLike` accepts `"name"` and `col("name")` alike and
+    * rejects everything else before it can run. */
+  sealed trait ColumnLike { def toColumn: Column }
+  object ColumnLike {
+    implicit def fromName(s: String): ColumnLike =
+      new ColumnLike { def toColumn: Column = col(s) }
+    implicit def fromColumn(c: Column): ColumnLike =
+      new ColumnLike { def toColumn: Column = c }
+  }
+
   /** Fluent extension surface replacing the reference's monkeypatched
-    * `DataFrame.transform` and friends (`general.py:219-221`). */
+    * `DataFrame.transform` and friends (`general.py:219-221`), with the
+    * [[ColumnLike]] argument-lifting the decorator factory provided in
+    * Python. */
   implicit class DataFrameOps(private val df: DataFrame) extends AnyVal {
     def renamed(mapper: Map[String, String]): DataFrame = mapColumnNames(df, mapper)
     def firstGroupOf(groups: String*): DataFrame = firstGroup(df, groups)
     def toLocalList: Seq[Any] = toList(df)
     def concatWith(others: DataFrame*): DataFrame = Concat.concat(df +: others)
+    /** select with string-or-Column args lifted at compile time. */
+    def selecting(cols: ColumnLike*): DataFrame = df.select(cols.map(_.toColumn): _*)
+    /** filter accepting either a predicate Column or a column name
+      * (lifted; a bare name filters on its truthiness, as Spark does). */
+    def where(pred: ColumnLike): DataFrame = df.filter(pred.toColumn)
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.GraftFunctions
 import graft.functions.ArrayFunctions
 
 /** Similarity search over embedding columns (`Array[Float]`):
@@ -17,8 +18,10 @@ object Similarity {
 
   /** Exact top-k by cosine similarity against a single query vector.
     *
-    * Scale shape: map-only scoring (codegen'd aggregate/zip_with dot
-    * product), then `orderBy(...).limit(k)` which Spark executes as
+    * Scale shape: map-only scoring through the native [[graft.expressions.CosineSimF32]]
+    * expression (one fused Janino-compiled loop per row — the
+    * interpreted higher-order formulation allocates intermediate arrays
+    * per row), then `orderBy(...).limit(k)` which Spark executes as
     * TakeOrderedAndProject — per-partition top-k heaps merged on the
     * driver, no full sort, no shuffle of the corpus. Ties broken by id
     * for determinism.
@@ -30,7 +33,7 @@ object Similarity {
       query: Seq[Float],
       k: Int): DataFrame =
     df.select(col(idCol),
-        ArrayFunctions.cosineSimilarity(col(vecCol), vectorLit(query)).as("cosine"))
+        GraftFunctions.cosineF32(df, col(vecCol), vectorLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
@@ -47,11 +50,17 @@ object Similarity {
 
   /** Sign-LSH bucket id: one bit per hyperplane (sign of the dot
     * product), packed into a long. `dims` must match the embedding
-    * width. Map-only. */
-  def signLshBucket(vec: Column, planes: Int, dims: Int): Column =
+    * width. Map-only. `dot` defaults to the generic composed dot
+    * product; pass a native one (e.g. [[GraftFunctions.dotF32]]) for
+    * float embeddings. */
+  def signLshBucket(
+      vec: Column,
+      planes: Int,
+      dims: Int,
+      dot: (Column, Column) => Column = ArrayFunctions.dotProduct): Column =
     (0 until planes).map { p =>
       val plane = (0 until dims).map(d => planeComponent(p, d))
-      when(ArrayFunctions.dotProduct(vec, vectorLit(plane)) > 0, lit(1L << p))
+      when(dot(vec, vectorLit(plane)) > 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -78,10 +87,12 @@ object Similarity {
       val dot = plane.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
       if (dot > 0) 1L << p else 0L
     }.sum
-    df.withColumn("__bucket", signLshBucket(col(vecCol), planes, dims))
+    df.withColumn("__bucket",
+        signLshBucket(col(vecCol), planes, dims,
+          (a, b) => GraftFunctions.dotF32(df, a, b)))
       .filter(bit_count(col("__bucket").bitwiseXOR(lit(queryBucket))) <= maxHamming)
       .select(col(idCol),
-        ArrayFunctions.cosineSimilarity(col(vecCol), vectorLit(query)).as("cosine"))
+        GraftFunctions.cosineF32(df, col(vecCol), vectorLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -103,7 +114,7 @@ object Similarity {
       .withColumn("id_b", explode(sequence(col("id_a") + 1, col("id_a") + window)))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, "id_b")
-      .withColumn("cosine", ArrayFunctions.cosineSimilarity(col("v_a"), col("v_b")))
+      .withColumn("cosine", GraftFunctions.cosineF32(df, col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -96,6 +96,25 @@ class GeneralSpec extends AnyFunSuite {
     assert(viaUdf(0).getSeq[Float](1).toList == List(2.0f, 3.0f, 4.0f))
   }
 
+  test("convertToSparkCol lifts names, passes Columns, rejects the rest (general.py:29-39)") {
+    val df = table("x bigint", Seq(row(1L), row(2L)))
+    assert(df.select(General.convertToSparkCol("x")).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(df.select(General.convertToSparkCol(col("x") + 1)).collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+    intercept[IllegalArgumentException](General.convertToSparkCol(null))
+    intercept[IllegalArgumentException](General.convertToSparkCol(true))
+    intercept[IllegalArgumentException](General.convertToSparkCol(1.5))
+  }
+
+  test("ColumnLike magnet lifts strings and Columns at compile time (decorators.py/factories.py)") {
+    import General.DataFrameOps
+    val df = table("g string, v bigint", Seq(row("a", 1L), row("b", 5L)))
+    // same call site takes a bare name and an expression Column
+    val out = df.selecting("g", col("v") * 2).where(col("v") > 2)
+    assert(out.columns.toSeq == Seq("g", "(v * 2)"))
+    assert(out.collect().map(_.getLong(1)).toSeq == Seq(10L))
+  }
+
   test("cosine similarity of identical vectors is 1") {
     val df = table("a array<float>, b array<float>",
       Seq(row(Seq(1.0f, 2.0f, 2.0f), Seq(1.0f, 2.0f, 2.0f))))
