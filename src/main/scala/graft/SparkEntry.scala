@@ -385,6 +385,28 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- q24
+  /** ALL-PAIRS embedding near-dup via banded sign-LSH: the corpus gets
+    * two planted near-dup twins per vector (power-of-two single-element
+    * scalings, cross-engine exact), and the operator must recover every
+    * >=0.9-cosine pair through bucket collisions + exact verify. The
+    * oracle is the full exact-threshold pair set — matching requires
+    * full LSH recall AND exact scoring, the same gate shape as q14. */
+  private def q24LshEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    def twin(j: Int): DataFrame = emb.select(
+      (col("vec_id") + lit(1000000L * j)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === lit(j - 1), x * lit((1 << j).toFloat)).otherwise(x))
+        .as("embedding"))
+    val corpus = emb.select("vec_id", "embedding")
+      .unionByName(twin(1)).unionByName(twin(2))
+    Similarity.lshCosineNearDupPairs(corpus, "vec_id", "embedding",
+        dims = 64, threshold = 0.9, planes = 16, bands = 8)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -409,6 +431,7 @@ object SparkEntry {
     "q21_asof_join" -> (q21AsofJoin _),
     "q22_sessionize" -> (q22Sessionize _),
     "q23_within_year_impute" -> (q23WithinYearImpute _),
+    "q24_lsh_embedding_neardup" -> (q24LshEmbeddingNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -733,5 +756,29 @@ object SparkEntry {
         |  CAST(SUM(CAST(vi AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         |  COUNT(vi) AS n_vals
         |FROM imp GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q24_lsh_embedding_neardup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000*j AS vec_id,
+        |    list_transform(list_zip(embedding, range(1, len(embedding)+1)),
+        |      z -> CASE WHEN z[2] = j
+        |           THEN CAST(z[1] * CAST(2**j AS REAL) AS REAL) ELSE z[1] END)
+        |      AS embedding
+        |  FROM embeddings CROSS JOIN (SELECT unnest([1,2]) AS j)
+        |), n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM corpus
+        |), p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |      / (a.nrm * b.nrm) AS c
+        |  FROM n a JOIN n b ON b.vec_id > a.vec_id
+        |)
+        |SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM p
+        |WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin,
   )
 }

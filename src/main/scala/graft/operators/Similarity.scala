@@ -97,6 +97,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** ALL-PAIRS embedding near-duplicates via banded sign-LSH buckets —
+    * the corpus-scale complement to [[windowedCosinePairs]] (which only
+    * examines id-adjacent pairs). Each vector gets a `planes`-bit sign
+    * signature; the signature splits into `bands` contiguous bit
+    * groups; vectors sharing ANY band's bit pattern become candidate
+    * pairs; candidates verify with exact (native codegen) cosine at
+    * `threshold`.
+    *
+    * Scale shape mirrors the MinHash text pipeline: map-only signature
+    * -> explode to bands -> one hash shuffle on (band, key) ->
+    * bucket-local pair expansion (skew-guarded by `maxBucket` — a giant
+    * bucket means a degenerate region, not useful dup candidates) ->
+    * distinct -> two hash joins to fetch vectors -> exact verify. Cost
+    * tracks colliding pairs, never n². Recall rises with more, smaller
+    * bands (collision needs only rows=planes/bands agreeing bits).
+    */
+  def lshCosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      threshold: Double,
+      planes: Int = 16,
+      bands: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
+    require(planes % bands == 0, s"bands ($bands) must divide planes ($planes)")
+    require(planes <= 63, "sign signature is packed into one long")
+    val rows = planes / bands
+    val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket",
+        signLshBucket(col("v"), planes, dims,
+          (a, b) => GraftFunctions.dotF32(df, a, b)))
+    val banded = docs.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("bucket"), b * rows)
+              .bitwiseAND(lit((1L << rows) - 1)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bucketed = banded
+      .groupBy("band", "key").agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val candidates = bucketed
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val va = df.select(col(idCol).as("a"), col(vecCol).as("v_a"))
+    val vb = df.select(col(idCol).as("b"), col(vecCol).as("v_b"))
+    candidates.join(va, "a").join(vb, "b")
+      .withColumn("cosine", GraftFunctions.cosineF32(df, col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("cosine"))
+  }
+
   /** Embedding near-duplicate pairs within a doc-id window: exact
     * cosine on (id, id+delta) pairs for delta in 1..window. Linear in
     * corpus size — the deterministic, oracle-checkable complement to

@@ -111,6 +111,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("lsh all-pairs cosine near-dup recovers planted twins, never n^2") {
+    // two tight clusters + isolated vectors; only intra-cluster pairs
+    // clear the 0.9 threshold
+    val emb = table("vec_id bigint, embedding array<float>", Seq(
+      row(1L, Seq(1.0f, 0.01f, 0.0f, 0.0f)),
+      row(2L, Seq(1.0f, 0.02f, 0.0f, 0.0f)),   // twin of 1
+      row(3L, Seq(0.0f, 0.0f, 1.0f, 0.01f)),
+      row(4L, Seq(0.0f, 0.0f, 1.0f, 0.03f)),   // twin of 3
+      row(5L, Seq(0.5f, -0.5f, 0.5f, -0.5f)))) // isolated
+    val out = Similarity.lshCosineNearDupPairs(emb, "vec_id", "embedding",
+        dims = 4, threshold = 0.9, planes = 8, bands = 8)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+    assert(!out.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("multimodal: stub decode populates features; null payload survives") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq ==
