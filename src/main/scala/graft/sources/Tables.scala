@@ -32,4 +32,16 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** CSV with an explicit schema — the Spark-native replacement for the
+    * reference's pandas `read_csv` -> `createDataFrame` promotion
+    * (`/root/reference/tests/conftest.py:180-195`). An explicit schema
+    * skips the inference pre-scan (a full extra read at 100 TB), and
+    * the CSV DSv2 scan still gets column pruning. */
+  def readCsv(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
 }

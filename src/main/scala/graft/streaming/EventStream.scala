@@ -47,6 +47,22 @@ object EventStream {
       .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
 
+  /** Streaming exact dedup: drop events whose `keyCols` were already
+    * seen within the watermark horizon. Spark's streaming
+    * `dropDuplicates` keeps one state row per distinct key; the
+    * watermark on the event-time column lets it EXPIRE state for keys
+    * older than the horizon — without it, state grows without bound and
+    * a 100 TB/day stream eventually OOMs the state store. This is the
+    * incremental twin of [[graft.operators.Dedup.exactDedup]]. */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stateful gap sessionization: one GroupState per user carries the
     * open session; events beyond `gapUs` close it and emit. Processing-
     * time timeout flushes idle users. State is O(active users), not

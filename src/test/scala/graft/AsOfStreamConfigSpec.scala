@@ -86,6 +86,36 @@ class AsOfStreamConfigSpec extends AnyFunSuite {
     assert(n == 200L)
   }
 
+  test("streaming: watermarked dedup drops repeat keys within the horizon") {
+    val s = spark
+    import graft.testkit.SparkTestKit.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dd").toString
+    Seq(
+      EventStream.Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      EventStream.Event(1L, ts("2024-01-01 10:01:00"), 1L, "click", 1.0), // dup id
+      EventStream.Event(2L, ts("2024-01-01 10:02:00"), 1L, "click", 2.0),
+      EventStream.Event(2L, ts("2024-01-01 10:03:00"), 2L, "view", 9.0),  // dup id
+      EventStream.Event(3L, ts("2024-01-01 10:04:00"), 3L, "click", 3.0),
+    ).toDS().write.mode("overwrite").parquet(dir)
+    val stream = EventStream.readEventStream(s, dir, s.read.parquet(dir).schema)
+    val deduped = EventStream.dedupStream(stream, Seq("event_id"), watermark = "1 hour")
+    val q = EventStream.runToMemory(deduped, "dd_out")
+    val ids = s.table("dd_out").select("event_id").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("csv source reads with explicit schema, no inference scan (conftest.py:180-195)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    val f = dir.resolve("t.csv")
+    java.nio.file.Files.writeString(f, "id,name,score\n1,ann,2.5\n2,bob,3.5\n")
+    val df = graft.sources.Tables.readCsv(spark, f.toString,
+      org.apache.spark.sql.types.StructType.fromDDL("id bigint, name string, score double"))
+    assert(df.schema.toDDL == "id BIGINT,name STRING,score DOUBLE")
+    assert(df.orderBy("id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, "ann", 2.5), Seq(2L, "bob", 3.5)))
+  }
+
   test("streaming: stateful sessionizer emits closed sessions") {
     import graft.testkit.SparkTestKit.spark.implicits._
     val s = spark
