@@ -282,15 +282,23 @@ object SparkEntry {
     * vector's twins. The oracle is the EXACT cosine top-3 over the same
     * augmented corpus: it hash-matches only if LSH pruning achieves
     * full recall on the planted neighbors — a real recall gate. */
-  private def q18AnnTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+  /** Embeddings corpus with `n` planted near-dup twins per vector: twin
+    * j scales element j-1 by 2^j — a power of two, so the arithmetic is
+    * exact in float AND double and DuckDB reproduces the corpus
+    * bit-for-bit. Shared by the ANN recall-gate queries (q18/q24/q25). */
+  private def twinCorpus(emb: DataFrame, n: Int): DataFrame = {
     def twin(j: Int): DataFrame = emb.select(
       (col("vec_id") + lit(1000000L * j)).as("vec_id"),
       transform(col("embedding"),
         (x, i) => when(i === lit(j - 1), x * lit((1 << j).toFloat)).otherwise(x))
         .as("embedding"))
-    val base = emb.select("vec_id", "embedding")
-    val corpus = base.unionByName(twin(1)).unionByName(twin(2)).unionByName(twin(3))
+    (1 to n).foldLeft(emb.select("vec_id", "embedding"))(
+      (acc, j) => acc.unionByName(twin(j)))
+  }
+
+  private def q18AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = twinCorpus(emb, 3)
     val query = emb.filter(col("vec_id") === 0L)
       .head().getSeq[Float](emb.schema.fieldIndex("embedding"))
     Similarity.annTopK(corpus.filter(col("vec_id") =!= 0L),
@@ -394,17 +402,32 @@ object SparkEntry {
     * full LSH recall AND exact scoring, the same gate shape as q14. */
   private def q24LshEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    def twin(j: Int): DataFrame = emb.select(
-      (col("vec_id") + lit(1000000L * j)).as("vec_id"),
-      transform(col("embedding"),
-        (x, i) => when(i === lit(j - 1), x * lit((1 << j).toFloat)).otherwise(x))
-        .as("embedding"))
-    val corpus = emb.select("vec_id", "embedding")
-      .unionByName(twin(1)).unionByName(twin(2))
+    val corpus = twinCorpus(emb, 2)
     Similarity.lshCosineNearDupPairs(corpus, "vec_id", "embedding",
         dims = 64, threshold = 0.9, planes = 16, bands = 8)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------- q25
+  /** IVF ANN over the twin-planted corpus: deterministic hash-sampled
+    * k-means centroids (driver-trained), map-only cell assignment via
+    * the native cosine, then search probing only the nprobe nearest
+    * cells. Oracle = EXACT top-3 over the same corpus (q18's gate
+    * shape): a hash match requires the probed cells to contain the true
+    * neighbors — a real IVF recall gate. */
+  private def q25IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ivf
+    val emb = Tables.embeddings(s, dir)
+    val corpus = twinCorpus(emb, 3)
+    val query = emb.filter(col("vec_id") === 0L)
+      .head().getSeq[Float](emb.schema.fieldIndex("embedding"))
+    val model = Ivf.train(corpus, "vec_id", "embedding",
+      k = 16, iters = 3, sampleMod = 4)
+    val assigned = Ivf.assign(corpus.filter(col("vec_id") =!= 0L), "embedding", model)
+    Ivf.search(assigned, "vec_id", "embedding", model, query,
+        topK = 3, nprobe = 4)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -432,6 +455,7 @@ object SparkEntry {
     "q22_sessionize" -> (q22Sessionize _),
     "q23_within_year_impute" -> (q23WithinYearImpute _),
     "q24_lsh_embedding_neardup" -> (q24LshEmbeddingNearDup _),
+    "q25_ivf_topk" -> (q25IvfTopK _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -780,5 +804,29 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM p
         |WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "q25_ivf_topk" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000*j AS vec_id,
+        |    list_transform(list_zip(embedding, range(1, len(embedding)+1)),
+        |      z -> CASE WHEN z[2] = j
+        |           THEN CAST(z[1] * CAST(2**j AS REAL) AS REAL) ELSE z[1] END)
+        |      AS embedding
+        |  FROM embeddings CROSS JOIN (SELECT unnest([1,2,3]) AS j)
+        |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qv,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        |  FROM corpus e CROSS JOIN q
+        |  WHERE e.vec_id <> 0
+        |)
+        |SELECT vec_id, ROUND(c, 4) AS cosine FROM scored
+        |ORDER BY c DESC, vec_id LIMIT 3""".stripMargin,
   )
 }

@@ -17,9 +17,30 @@ import graft.functions.TextFunctions
 object Dedup {
 
   /** Exact dedup: keep exactly one row per key, the one with the lowest
-    * `orderCol` (deterministic, unlike dropDuplicates). One hash shuffle
-    * on the keys; ties impossible when orderCol is unique. */
+    * `orderCol` (deterministic, unlike dropDuplicates; ties impossible
+    * when orderCol is unique).
+    *
+    * Formulated as an ALGEBRAIC aggregation — `min_by(struct(cols),
+    * orderCol)` — not a window `row_number`: the aggregate gets
+    * map-side partial aggregation, so each executor reduces its own
+    * duplicates before the shuffle and a skewed key ships one
+    * pre-reduced row per map task instead of dragging every duplicate
+    * into a single sorted partition. At 100 TB with a degenerate key
+    * (e.g. the empty document) that is the difference between a working
+    * job and a straggler. */
   def exactDedup(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(payload.map(col): _*), col(orderCol)).as("__row"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__row.$c").as(c)): _*)
+      // restore the input column order
+      .select(df.columns.map(col): _*)
+  }
+
+  /** Window-sort formulation of [[exactDedup]] — same result, one
+    * per-key sorted pass. Prefer the algebraic form; this exists for
+    * rank-dependent generalizations (keep top-N per key). */
+  def exactDedupViaWindow(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -81,6 +81,26 @@ object Multimodal {
       md5(col("payload")).as("checksum"))
   }
 
+  /** Frame sampling plumbing: `nFrames` evenly-spaced `frameBytes`-wide
+    * byte windows of the payload, as an array<binary> column. This is
+    * the Spark-side shape of video/audio frame extraction — schema,
+    * per-row batching, and even spacing are real; a production codec
+    * replaces the byte slicing with actual frame decoding. Pure
+    * built-ins (`substr` on binary is codegen'd), map-only, no shuffle.
+    * Payloads shorter than a stride yield overlapping/clamped windows;
+    * null payloads yield null. */
+  def sampleFrames(media: DataFrame, nFrames: Int, frameBytes: Int): DataFrame = {
+    require(nFrames > 0 && frameBytes > 0)
+    val len = octet_length(col("payload"))
+    val stride = greatest((len / nFrames).cast(IntegerType), lit(1))
+    media.select(
+      col("media_id"),
+      transform(sequence(lit(0), lit(nFrames - 1)),
+        i => col("payload").substr(i * stride + 1, lit(frameBytes)))
+        .as("frames"),
+      len.as("n_bytes"))
+  }
+
   /** Partition-wise feature extraction with a pluggable codec: one
     * decoder instance per task, payloads processed in iterator order
     * (constant memory — no collect, no per-row decoder setup). Output =

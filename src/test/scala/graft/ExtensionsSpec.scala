@@ -127,6 +127,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!out.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ivf: deterministic train/assign/search recovers cluster neighbors with pruning") {
+    import graft.operators.Ivf
+    // two tight clusters around orthogonal axes
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.0f, 0.0f, 0.0f) else Seq(0.0f, 0.0f, 1.0f, 0.0f)
+      row(i.toLong, base.updated(1, 0.01f * (i / 2)).map(_.toFloat))
+    }
+    val emb = table("vec_id bigint, embedding array<float>", rows)
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 2, iters = 3)
+    assert(model.k == 2)
+    // determinism: retraining yields the identical model
+    val model2 = Ivf.train(emb, "vec_id", "embedding", k = 2, iters = 3)
+    assert(model.centroids.map(_.toSeq) == model2.centroids.map(_.toSeq))
+    val assigned = Ivf.assign(emb, "embedding", model)
+    // the two axis clusters land in different cells
+    val cellsByParity = assigned.collect()
+      .groupBy(_.getLong(0) % 2).map { case (p, rs) => p -> rs.map(_.getAs[Int]("cell")).toSet }
+    assert(cellsByParity(0L).size == 1 && cellsByParity(1L).size == 1)
+    assert(cellsByParity(0L) != cellsByParity(1L))
+    // nprobe=1 search returns only same-cluster vectors
+    val query = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val top = Ivf.search(assigned.filter(col("vec_id") =!= 0L),
+      "vec_id", "embedding", model, query, topK = 3, nprobe = 1)
+    val ids = top.collect().map(_.getLong(0))
+    assert(ids.forall(_ % 2 == 0), s"got ${ids.toSeq}")
+    assert(ids.length == 3)
+  }
+
   test("multimodal: stub decode populates features; null payload survives") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq ==
@@ -144,5 +172,22 @@ class ExtensionsSpec extends AnyFunSuite {
     val viaDecoder = Multimodal.extractFeaturesWith(media, Multimodal.StubDecoder)
     assert(viaDecoder.orderBy("media_id").collect().map(_.toSeq).toSeq ==
       feats.orderBy("media_id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("multimodal: frame sampling slices evenly-spaced byte windows, map-only") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, nFrames = 4, frameBytes = 8)
+    val r1 = frames.filter(col("media_id") === 1L).head()
+    val text1 = "the quick brown fox jumps over the lazy dog" // 43 bytes
+    val got = r1.getSeq[Array[Byte]](1)
+    assert(got.length == 4)
+    val stride = math.max(text1.length / 4, 1)
+    got.zipWithIndex.foreach { case (frame, i) =>
+      val expected = text1.drop(i * stride).take(8)
+      assert(new String(frame) == expected, s"frame $i")
+    }
+    assert(r1.getAs[Int]("n_bytes") == text1.length)
+    // map-only: no exchange in the plan
+    assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 }
