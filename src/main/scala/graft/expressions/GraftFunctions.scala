@@ -35,6 +35,7 @@ object GraftFunctions {
     "graft_shingles" -> { args =>
       ShingleSet(args(0), intArg("graft_shingles", args(1)))
     },
+    "graft_clean_text" -> { args => CleanAsciiText(args(0)) },
   )
 
   /** Idempotent per-session registration (temp functions live in the
@@ -68,6 +69,13 @@ object GraftFunctions {
   def shingles(df: org.apache.spark.sql.DataFrame, tokens: Column, n: Int): Column = {
     ensureRegistered(df.sparkSession)
     call_function("graft_shingles", tokens, lit(n))
+  }
+
+  /** Single-pass `[a-z0-9 ]`-keep + space-collapse + trim of an
+    * already-lowercased string (native). */
+  def cleanText(df: org.apache.spark.sql.DataFrame, c: Column): Column = {
+    ensureRegistered(df.sparkSession)
+    call_function("graft_clean_text", c)
   }
 }
 

@@ -47,10 +47,15 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Exact text dedup on the md5 fingerprint of normalized text. */
+  /** Exact text dedup on the md5 fingerprint of normalized text. The
+    * normalization runs through the native single-pass
+    * [[graft.expressions.CleanAsciiText]] (byte-identical to the
+    * two-regex composed form on lowercased input, ~one regex-engine
+    * pass cheaper per document). */
   def exactTextDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
     exactDedup(
-      df.withColumn("__fp", TextFunctions.fingerprint(col(textCol))),
+      df.withColumn("__fp",
+        md5(GraftFunctions.cleanText(df, lower(col(textCol))))),
       Seq("__fp"), idCol).drop("__fp")
 
   /** MinHash signature of a distinct-shingle array: k independent hash

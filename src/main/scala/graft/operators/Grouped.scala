@@ -38,6 +38,30 @@ object Grouped {
       }(outEnc)
   }
 
+  /** [[applyPerGroup]] with a guaranteed within-group iteration order
+    * (secondary sort): rows arrive at `fn` sorted by `sortCols`. Spark
+    * sorts each group inside the shuffle machinery
+    * (`flatMapSortedGroups`), so order-dependent methods (ffill,
+    * interpolation, sessionization-style scans) need no driver-side
+    * sorting and no per-group buffering just to sort. */
+  def applyPerGroupSorted(
+      df: DataFrame,
+      groups: Seq[String],
+      sortCols: Seq[String],
+      outputSchema: StructType)(
+      fn: Iterator[Row] => Iterator[Row]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keySchema = StructType(groups.map(g => df.schema(g)))
+    val fullSchema = StructType(keySchema.fields ++ outputSchema.fields)
+    val keyIdx = groups.map(df.schema.fieldIndex)
+    val keyEnc: Encoder[Row] = Encoders.row(keySchema)
+    val outEnc: Encoder[Row] = Encoders.row(fullSchema)
+    df.groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(keyEnc)
+      .flatMapSortedGroups(sortCols.map(col): _*) { (key: Row, rows: Iterator[Row]) =>
+        fn(rows).map(out => Row.fromSeq(key.toSeq ++ out.toSeq))
+      }(outEnc)
+  }
+
   /** Typed variant for compile-time safety when case classes model the
     * rows: per-group function with the key passed explicitly. */
   def applyPerGroupTyped[T, K: Encoder, U: Encoder](

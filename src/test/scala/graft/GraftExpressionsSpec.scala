@@ -87,6 +87,24 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(both(1).getSeq[String](0).isEmpty && both(2).getSeq[String](0).isEmpty)
   }
 
+  test("cleanText equals the two-regex normalize pipeline byte-for-byte") {
+    val df = table("text string", Seq(
+      row("The  Quick, Brown... FOX!!  "),
+      row("   leading and trailing   "),
+      row("tabs\tand\nnewlines"),
+      row("unicode éü dropped"),
+      row(""),
+      row("...!!!...")))
+    val both = df.select(
+      GraftFunctions.cleanText(df, lower(col("text"))).as("nat"),
+      graft.functions.TextFunctions.normalizeText(col("text")).as("regex"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"native='${r.getString(0)}' regex='${r.getString(1)}'")
+    }
+  }
+
   test("native expressions survive both codegen and interpreted evaluation") {
     val df = table("a array<float>, b array<float>",
       Seq(row(Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))))

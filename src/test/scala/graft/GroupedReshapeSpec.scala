@@ -34,6 +34,18 @@ class GroupedReshapeSpec extends AnyFunSuite {
       Seq(Seq("a", 10L), Seq("a", 20L)))
   }
 
+  test("applyPerGroupSorted delivers rows in secondary-sort order") {
+    val df = table("g string, seq bigint, v string", Seq(
+      row("a", 3L, "z"), row("a", 1L, "x"), row("a", 2L, "y"),
+      row("b", 2L, "q"), row("b", 1L, "p")))
+    val out = Grouped.applyPerGroupSorted(df, Seq("g"), Seq("seq"),
+      StructType(Seq(StructField("joined", StringType)))) { rows =>
+      Iterator(Row(rows.map(_.getString(2)).mkString("")))
+    }
+    val got = out.orderBy("g").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("a", "xyz"), ("b", "pq")))
+  }
+
   test("applyPerGroupTyped") {
     import graft.testkit.SparkTestKit.spark.implicits._
     val ds = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDS()
