@@ -430,6 +430,25 @@ object SparkEntry {
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  // ---------------------------------------------------------------- q26
+  /** Star-schema rollup: lineitem joins orders and customer on their
+    * keys (shuffle hash joins on the fact side), and the nation
+    * dimension is EXPLICITLY broadcast — at 100 TB the two fact joins
+    * shuffle co-partitioned data once each, while the 25-row dim never
+    * shuffles anything. The reference ships no join helpers (SURVEY
+    * §2.3); this exercises the engine's join planning end-to-end. */
+  private def q26StarJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        decSum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -456,6 +475,7 @@ object SparkEntry {
     "q23_within_year_impute" -> (q23WithinYearImpute _),
     "q24_lsh_embedding_neardup" -> (q24LshEmbeddingNearDup _),
     "q25_ivf_topk" -> (q25IvfTopK _),
+    "q26_star_join" -> (q26StarJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -828,5 +848,15 @@ object SparkEntry {
         |)
         |SELECT vec_id, ROUND(c, 4) AS cosine FROM scored
         |ORDER BY c DESC, vec_id LIMIT 3""".stripMargin,
+    "q26_star_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
   )
 }
