@@ -253,9 +253,11 @@ object SparkEntry {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"),
         TextFunctions.langId(col("text")).as("lang_guess"),
         TextFunctions.qualityMetrics(col("text")).as("m"))
-      .select(col("doc_id"), col("n_tokens"), col("lang_guess"),
+      .select(col("doc_id"), col("n_tokens"), col("n_bpe_tokens"),
+        col("lang_guess"),
         col("m.mean_token_len").as("mean_token_len"),
         col("m.alnum_ratio").as("alnum_ratio"),
         col("m.stopword_ratio").as("stopword_ratio"))
@@ -449,6 +451,18 @@ object SparkEntry {
         count(lit(1)).as("n_items"))
       .orderBy("n_name")
 
+  // ---------------------------------------------------------------- q27
+  /** Corpus token frequencies: explode -> map-side-combined count ->
+    * top-20. The shuffle carries one row per distinct token per
+    * partition (vocabulary-bounded); the top-k is TakeOrdered, no full
+    * sort. */
+  private def q27TokenFreq(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    Corpus.tokenFrequencies(Tables.documents(s, dir), "text")
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -476,6 +490,7 @@ object SparkEntry {
     "q24_lsh_embedding_neardup" -> (q24LshEmbeddingNearDup _),
     "q25_ivf_topk" -> (q25IvfTopK _),
     "q26_star_join" -> (q26StarJoin _),
+    "q27_token_freq" -> (q27TokenFreq _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -669,6 +684,7 @@ object SparkEntry {
         |)
         |SELECT doc_id,
         |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS n_bpe_tokens,
         |  CASE
         |    WHEN s_en = greatest(s_en, s_fr, s_de, s_es) AND s_en > 0 THEN 'en'
         |    WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) AND s_fr > 0 THEN 'fr'
@@ -858,5 +874,14 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+    "q27_token_freq" ->
+      """SELECT token, COUNT(*) AS freq
+        |FROM (
+        |  SELECT unnest(string_split_regex(trim(text), ' +')) AS token
+        |  FROM documents
+        |)
+        |GROUP BY token
+        |ORDER BY freq DESC, token
+        |LIMIT 20""".stripMargin,
   )
 }

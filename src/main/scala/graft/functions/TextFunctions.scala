@@ -23,6 +23,16 @@ object TextFunctions {
   /** Token count by whitespace split. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** BPE-style pre-tokenizer count: runs of word chars OR single
+    * non-word non-space chars (`\w+|[^\w\s]`) — the shape GPT-2-family
+    * pre-tokenizers produce before merges, so it tracks real LLM token
+    * counts far better than whitespace splitting on punctuated text.
+    * `regexp_extract_all` is a codegen'd built-in, and the pattern is
+    * dialect-portable (RE2 and Java agree on \w/\s here), so the count
+    * is oracle-checkable. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0)))
+
   /** Lowercase, strip non-alphanumerics (keeping spaces), collapse runs
     * of spaces, trim — canonical form for fingerprinting/dedup. */
   def normalizeText(c: Column): Column =

@@ -49,6 +49,25 @@ object General {
     if (groups.nonEmpty) Window.partitionBy(groups.map(col): _*)
     else Window.partitionBy()
 
+  /** Per-group aggregate totals joined back onto every row — the
+    * scale-path alternative to `agg(...).over(windowSpec(groups))` when
+    * group cardinality is LOW. The window form shuffles EVERY row into
+    * #groups partitions and sorts them (three distinct values of a
+    * 100 TB column = three straggler partitions); this form computes
+    * the totals with map-side partial aggregation and broadcast-joins
+    * the tiny result back, so the big side never shuffles at all.
+    * Same result, different plan — pick by group cardinality. */
+  def withGroupTotals(
+      df: DataFrame,
+      groups: Seq[String],
+      aggs: (String, Column)*): DataFrame = {
+    require(aggs.nonEmpty, "at least one (name, aggregate) pair")
+    val totals = df.groupBy(groups.map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    df.join(broadcast(totals), groups, "left")
+  }
+
   /** Collect to the driver (`general.py:186-199`): single column -> flat
     * values; multiple columns -> row seqs. Driver-side by design — only
     * for small results. */

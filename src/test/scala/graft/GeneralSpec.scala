@@ -115,6 +115,44 @@ class GeneralSpec extends AnyFunSuite {
     assert(out.collect().map(_.getLong(1)).toSeq == Seq(10L))
   }
 
+  test("withGroupTotals equals the window formulation, broadcast plan") {
+    val df = table("g string, v bigint", Seq(
+      row("a", 1L), row("a", 2L), row("b", 30L), row("b", 10L)))
+    val viaJoin = General.withGroupTotals(df, Seq("g"),
+      "total" -> sum(col("v")), "n" -> count(lit(1)))
+    val viaWindow = df
+      .withColumn("total", sum(col("v")).over(General.windowSpec(Seq("g"))))
+      .withColumn("n", count(lit(1)).over(General.windowSpec(Seq("g"))))
+    assertDfEquality(
+      viaJoin.orderBy("g", "v"), viaWindow.orderBy("g", "v"),
+      ignoreNullable = true)
+    val plan = viaJoin.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("bpeTokenCount counts word runs and punctuation separately") {
+    val df = table("text string", Seq(
+      row("Hello, world!"),          // Hello , world ! -> 4
+      row("don't stop"),             // don ' t stop -> 4
+      row("abc"),                    // 1
+      row("  spaced   out  ")))      // spaced out -> 2
+    import graft.functions.TextFunctions
+    val got = df.select(TextFunctions.bpeTokenCount(col("text"))).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(4, 4, 1, 2))
+  }
+
+  test("token/document frequencies: map-side-combined counts") {
+    import graft.operators.Corpus
+    val df = table("text string", Seq(
+      row("a b a"), row("a c"), row("b b b")))
+    val tf = Corpus.tokenFrequencies(df, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tf == Map("a" -> 3L, "b" -> 4L, "c" -> 1L))
+    val dfreq = Corpus.documentFrequencies(df, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfreq == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("cosine similarity of identical vectors is 1") {
     val df = table("a array<float>, b array<float>",
       Seq(row(Seq(1.0f, 2.0f, 2.0f), Seq(1.0f, 2.0f, 2.0f))))
