@@ -463,6 +463,18 @@ object SparkEntry {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- q28
+  /** SimHash near-dup pairs with the banded pigeonhole guarantee
+    * (maxHamming=3 <= bands-1 ⇒ full recall by construction). Portable
+    * md5-derived token hash, so the oracle recomputes the signatures
+    * AND the exact hamming pair set value-for-value — the LSH must
+    * recover every pair or the hash mismatches. */
+  private def q28SimhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3, bands = 4,
+        tokenHash = TextFunctions.portableTokenHash32)
+      .orderBy("id_a", "id_b")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -491,6 +503,7 @@ object SparkEntry {
     "q25_ivf_topk" -> (q25IvfTopK _),
     "q26_star_join" -> (q26StarJoin _),
     "q27_token_freq" -> (q27TokenFreq _),
+    "q28_simhash_neardup" -> (q28SimhashNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -883,5 +896,32 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY freq DESC, token
         |LIMIT 20""".stripMargin,
+    "q28_simhash_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+        |), h AS (
+        |  SELECT doc_id, list_transform(toks, tok ->
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef', substr(md5(tok), CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT)) AS hs
+        |  FROM t
+        |), c AS (
+        |  SELECT doc_id, hs,
+        |    list_transform(range(32), b ->
+        |      list_sum(list_transform(hs, hv ->
+        |        CASE WHEN (hv >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END))) AS cnts
+        |  FROM h
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(32), b ->
+        |      CASE WHEN cnts[CAST(b AS INT)+1] > 0 THEN 2**CAST(b AS INT) ELSE 0 END))
+        |      AS BIGINT) AS sim
+        |  FROM c
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        |FROM s a JOIN s b ON b.doc_id > a.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -191,4 +191,54 @@ object Dedup {
   /** Hamming distance between two 32-bit simhashes. */
   def hammingDistance32(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** ALL-PAIRS SimHash near-duplicates: banded simhash buckets (pairs
+    * whose signatures agree on at least one contiguous `32/bands`-bit
+    * band become candidates) verified with exact Hamming distance.
+    * Same shuffle-bounded LSH shape as [[minHashNearDupPairs]] — one
+    * hash shuffle on the band key, bucket-local pair expansion with a
+    * `maxBucket` skew guard, candidate-only verification — and, when
+    * `maxHamming <= bands - 1`, a PIGEONHOLE GUARANTEE of full recall:
+    * maxHamming differing bits can dirty at most maxHamming bands, so
+    * at least one band is identical and the pair always becomes a
+    * candidate. No probabilistic recall argument needed.
+    *
+    * Scale note: a 32-bit signature banded 4 ways gives 8-bit band
+    * keys (256 buckets) — ample for corpora up to ~10^5 docs; beyond
+    * that, widen the signature before banding or raise `bands` with a
+    * larger signature, or bucket sizes grow linearly. */
+  def simHashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucket: Int = 1000,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(32 % bands == 0, s"bands ($bands) must divide 32")
+    val rows = 32 / bands
+    val mask = (1L << rows) - 1
+    val sigs = simHash32(df, textCol, "sim", tokenHash)
+      .select(col(idCol).as("id"), col("sim"))
+    val banded = sigs.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sim"), b * rows).bitwiseAND(lit(mask)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bucketed = banded
+      .groupBy("band", "key").agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val candidates = bucketed
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val sa = sigs.select(col("id").as("a"), col("sim").as("sim_a"))
+    val sb = sigs.select(col("id").as("b"), col("sim").as("sim_b"))
+    candidates.join(sa, "a").join(sb, "b")
+      .withColumn("hamming", hammingDistance32(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("hamming"))
+  }
 }

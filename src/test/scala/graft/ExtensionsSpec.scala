@@ -111,6 +111,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("simhash near-dup: banded recall equals the exact hamming pair set (pigeonhole)") {
+    val sigs = Dedup.simHash32(docs, "text", "sim").select(col("doc_id"), col("sim"))
+    val exact = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("h", Dedup.hammingDistance32(col("a.sim"), col("b.sim")))
+      .filter(col("h") <= 3)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaLsh = Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaLsh == exact, s"lsh=$viaLsh exact=$exact")
+  }
+
   test("lsh all-pairs cosine near-dup recovers planted twins, never n^2") {
     // two tight clusters + isolated vectors; only intra-cluster pairs
     // clear the 0.9 threshold
