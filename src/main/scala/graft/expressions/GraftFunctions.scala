@@ -36,6 +36,7 @@ object GraftFunctions {
       ShingleSet(args(0), intArg("graft_shingles", args(1)))
     },
     "graft_clean_text" -> { args => CleanAsciiText(args(0)) },
+    "graft_simhash32" -> { args => SimHash32FromHashes(args(0)) },
   )
 
   /** Idempotent per-session registration (temp functions live in the
@@ -76,6 +77,12 @@ object GraftFunctions {
   def cleanText(df: org.apache.spark.sql.DataFrame, c: Column): Column = {
     ensureRegistered(df.sparkSession)
     call_function("graft_clean_text", c)
+  }
+
+  /** 32-bit SimHash of an array<bigint> of token hashes (native). */
+  def simhash32(df: org.apache.spark.sql.DataFrame, hashes: Column): Column = {
+    ensureRegistered(df.sparkSession)
+    call_function("graft_simhash32", hashes)
   }
 }
 

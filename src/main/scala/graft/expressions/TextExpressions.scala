@@ -74,3 +74,65 @@ case class CleanAsciiText(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): CleanAsciiText =
     copy(child = newChild)
 }
+
+/** 32-bit SimHash from an array of per-token hash values: accumulate
+  * 32 +1/-1 counters over the low 32 bits of each hash, pack the sign
+  * pattern into a long. The token hashing itself stays a composed
+  * column (pluggable: fast xxhash64 or the md5-portable variant); this
+  * expression replaces the interpreted 32-branch `aggregate`/`zip_with`
+  * accumulation — per token, one tight 32-iteration loop instead of an
+  * interpreted lambda tree allocating two 32-element arrays. */
+case class SimHash32FromHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> token hashes, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_simhash32"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val counts = new Array[Long](32)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < 32) {
+          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 32) { if (counts(b) > 0) sim |= (1L << b); b += 1 }
+    sim
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      s"""
+         |long[] cnt$$ = new long[32];
+         |int n$$ = $hs.numElements();
+         |for (int i$$ = 0; i$$ < n$$; i$$++) {
+         |  if ($hs.isNullAt(i$$)) continue;
+         |  long h$$ = $hs.getLong(i$$);
+         |  for (int b$$ = 0; b$$ < 32; b$$++) {
+         |    if (((h$$ >> b$$) & 1L) == 1L) cnt$$[b$$]++; else cnt$$[b$$]--;
+         |  }
+         |}
+         |long sim$$ = 0L;
+         |for (int b$$ = 0; b$$ < 32; b$$++) if (cnt$$[b$$] > 0) sim$$ |= (1L << b$$);
+         |${ev.value} = sim$$;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32FromHashes =
+    copy(child = newChild)
+}

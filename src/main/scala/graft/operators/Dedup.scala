@@ -151,20 +151,15 @@ object Dedup {
       .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
   }
 
-  /** 32-bit SimHash over the token stream: one pass accumulating 32
-    * +1/-1 bit counters (array accumulator, zip_with combine), then the
-    * sign pattern packs into a long. Bit positions are Scala-side
-    * literals so every shift is codegen-friendly. Near-dups differ in
-    * few bits — compare with [[hammingDistance32]].
+  /** 32-bit SimHash over the token stream: each token hashed once
+    * (`transform` binds the hash), then the native
+    * [[graft.expressions.SimHash32FromHashes]] expression accumulates
+    * the 32 +1/-1 counters and packs the sign pattern in one
+    * Janino-compiled loop. Near-dups differ in few bits — compare with
+    * [[hammingDistance32]].
     *
-    * Each token is hashed ONCE up front (`transform` binds the hash to a
-    * lambda variable) and the 32 bit probes read that bound value —
-    * common-subexpression elimination is not guaranteed inside
-    * interpreted higher-order lambdas, so hashing inside each of the 32
-    * branches would cost 32 string hashes per token.
-    *
-    * `tokenHash` picks the per-token 64/32-bit hash column: default is
-    * xxhash64 (fastest; engine-internal), while
+    * `tokenHash` picks the per-token hash column: default is xxhash64
+    * (fastest; engine-internal), while
     * [[TextFunctions.portableTokenHash32]] gives a slower md5-derived
     * hash reproducible in other engines (used by the DuckDB oracle). */
   def simHash32(
@@ -174,18 +169,7 @@ object Dedup {
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
     val hashes = transform(toks, t => tokenHash(t))
-    def bitsOf(h: Column): Column = array((0 until 32).map { b =>
-      when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L))
-        .otherwise(lit(-1L))
-    }: _*)
-    df.withColumn("__counts",
-        aggregate(hashes, array_repeat(lit(0L), 32),
-          (acc, h) => zip_with(acc, bitsOf(h), _ + _)))
-      .withColumn(outCol,
-        (0 until 32).map { b =>
-          when(element_at(col("__counts"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _))
-      .drop("__counts")
+    df.withColumn(outCol, GraftFunctions.simhash32(df, hashes))
   }
 
   /** Hamming distance between two 32-bit simhashes. */
@@ -218,27 +202,29 @@ object Dedup {
     require(32 % bands == 0, s"bands ($bands) must divide 32")
     val rows = 32 / bands
     val mask = (1L << rows) - 1
+    // Unlike the MinHash pipeline (whose verify payload — the shingle
+    // sets — is far too big to ship through the band explode), a
+    // simhash signature is ONE long: carrying it through the shuffle
+    // costs 8 bytes/row and eliminates both join-backs AND the two
+    // signature recomputations they would trigger.
     val sigs = simHash32(df, textCol, "sim", tokenHash)
-      .select(col(idCol).as("id"), col("sim"))
-    val banded = sigs.select(col("id"),
+      .select(struct(col(idCol).as("id"), col("sim")).as("ds"))
+    val banded = sigs.select(col("ds"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
-            shiftrightunsigned(col("sim"), b * rows).bitwiseAND(lit(mask)).as("key"))
+            shiftrightunsigned(col("ds.sim"), b * rows).bitwiseAND(lit(mask)).as("key"))
         }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("ds"), col("bk.band").as("band"), col("bk.key").as("key"))
     val bucketed = banded
-      .groupBy("band", "key").agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    val candidates = bucketed
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
-    val sa = sigs.select(col("id").as("a"), col("sim").as("sim_a"))
-    val sb = sigs.select(col("id").as("b"), col("sim").as("sim_b"))
-    candidates.join(sa, "a").join(sb, "b")
-      .withColumn("hamming", hammingDistance32(col("sim_a"), col("sim_b")))
+      .groupBy("band", "key").agg(collect_list("ds").as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+    bucketed
+      .select(explode(col("ds")).as("x"), col("ds"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hammingDistance32(col("x.sim"), col("y.sim")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a").as("id_a"), col("b").as("id_b"), col("hamming"))
+      .distinct() // a pair may collide in several bands
   }
 }
