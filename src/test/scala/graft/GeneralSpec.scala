@@ -153,6 +153,47 @@ class GeneralSpec extends AnyFunSuite {
     assert(dfreq == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("saltedJoin equals the plain join; salted agg merges partials (skew path)") {
+    import graft.operators.Skew
+    // skewed: key "hot" dominates
+    val left = table("id bigint, k string, v bigint",
+      (1L to 50L).map(i => row(i, if (i <= 40) "hot" else s"k$i", i)))
+    val right = table("k string, label string", Seq(
+      row("hot", "H"), row("k45", "A"), row("k50", "B")))
+    val plain = left.join(right, Seq("k")).select("id", "k", "v", "label")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val salted = Skew.saltedJoin(left, right, Seq("k"), saltBy = "id", nSalts = 4)
+      .select("id", "k", "v", "label")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+    assert(plain.size == 42)
+    // salted two-phase collect_set equals direct collect_set
+    val direct = left.groupBy("k").agg(collect_set(col("v")).as("vs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    val viaSalt = Skew.saltedAgg(left, Seq("k"), "id", 4,
+        partial = collect_set, merge = c => array_distinct(flatten(collect_list(c))),
+        valueCol = "v", outCol = "vs")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(viaSalt == direct)
+  }
+
+  test("bucketed tables co-locate: equi-join plans with NO shuffle exchange") {
+    val s = graft.testkit.SparkTestKit.spark
+    val a = table("id bigint, v bigint", (1L to 100L).map(i => row(i, i * 10)))
+    val b = table("id bigint, w string", (1L to 100L).map(i => row(i, s"w$i")))
+    a.write.mode("overwrite").bucketBy(4, "id").sortBy("id").saveAsTable("bt_a")
+    b.write.mode("overwrite").bucketBy(4, "id").sortBy("id").saveAsTable("bt_b")
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val joined = s.table("bt_a").join(s.table("bt_b"), "id")
+      assert(joined.count() == 100L)
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucket-pruned co-located join: neither side shuffles
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("cosine similarity of identical vectors is 1") {
     val df = table("a array<float>, b array<float>",
       Seq(row(Seq(1.0f, 2.0f, 2.0f), Seq(1.0f, 2.0f, 2.0f))))
