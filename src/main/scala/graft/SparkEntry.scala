@@ -475,6 +475,36 @@ object SparkEntry {
         tokenHash = TextFunctions.portableTokenHash32)
       .orderBy("id_a", "id_b")
 
+  // ---------------------------------------------------------------- q29
+  /** Semi-structured extraction: events.props is a JSON string; parse
+    * with a schema-aware from_json (codegen'd, no UDF) and roll up per
+    * event type. Exact integer oracle via DuckDB's json extraction. */
+  private def q29JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------- q30
+  /** TF-IDF pipeline: per-doc term frequencies joined with the
+    * broadcast document-frequency table. The oracle checks the exact
+    * integer components (tf, doc_freq) for the highest-tf terms; the
+    * floating tfidf weight is spec-verified (ln differs by ulps across
+    * libm implementations, so it stays out of the hash compare). */
+  private def q30Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    Corpus.tfidf(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("token"), col("tf"), col("doc_freq"))
+      .orderBy(col("tf").desc, col("doc_id"), col("token"))
+      .limit(50)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -504,6 +534,8 @@ object SparkEntry {
     "q26_star_join" -> (q26StarJoin _),
     "q27_token_freq" -> (q27TokenFreq _),
     "q28_simhash_neardup" -> (q28SimhashNearDup _),
+    "q29_json_extract" -> (q29JsonExtract _),
+    "q30_tfidf" -> (q30Tfidf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -923,5 +955,26 @@ object SparkEntry {
         |FROM s a JOIN s b ON b.doc_id > a.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    "q29_json_extract" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q30_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token
+        |), dfq AS (
+        |  SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM tk GROUP BY token
+        |)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfq.doc_freq
+        |FROM tf JOIN dfq USING (token)
+        |ORDER BY tf.tf DESC, tf.doc_id, tf.token
+        |LIMIT 50""".stripMargin,
   )
 }

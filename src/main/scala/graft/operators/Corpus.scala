@@ -26,4 +26,25 @@ object Corpus {
     df.select(explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("doc_freq"))
+
+  /** TF-IDF weights per (document, token): smoothed
+    * `tf * (ln((N+1)/(df+1)) + 1)`. Plan shape: one explode+count for
+    * per-doc term frequencies (shuffle bounded by distinct (doc,
+    * token)), the document-frequency table joined in — at corpus scale
+    * the df table is vocabulary-sized, so Spark broadcasts it; the
+    * per-doc side never reshuffles after its aggregation. N is taken
+    * from a scalar count, not a window over the corpus. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.count()
+    val tf = df.select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("doc", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = documentFrequencies(df, textCol)
+    tf.join(broadcast(dfreq), "token")
+      .withColumn("tfidf",
+        col("tf") * (log((lit(n) + 1.0) / (col("doc_freq") + 1.0)) + 1.0))
+      .select(col("doc").as(idCol), col("token"), col("tf"),
+        col("doc_freq"), col("tfidf"))
+  }
 }

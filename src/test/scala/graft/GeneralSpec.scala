@@ -153,6 +153,22 @@ class GeneralSpec extends AnyFunSuite {
     assert(dfreq == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("tfidf: smoothed weights from tf and broadcast document frequencies") {
+    import graft.operators.Corpus
+    val df = table("doc_id bigint, text string", Seq(
+      row(1L, "a b a"), row(2L, "a c"), row(3L, "b b b")))
+    val w = Corpus.tfidf(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 1, token a: tf=2, df=2, weight = 2*(ln(4/3)+1)
+    val (tfA, dfA, wA) = w((1L, "a"))
+    assert(tfA == 2L && dfA == 2L)
+    assert(math.abs(wA - 2.0 * (math.log(4.0 / 3.0) + 1.0)) < 1e-12)
+    // token c appears once in one doc: weight = 1*(ln(4/2)+1)
+    val (_, _, wC) = w((2L, "c"))
+    assert(math.abs(wC - (math.log(2.0) + 1.0)) < 1e-12)
+  }
+
   test("saltedJoin equals the plain join; salted agg merges partials (skew path)") {
     import graft.operators.Skew
     // skewed: key "hot" dominates
