@@ -505,6 +505,21 @@ object SparkEntry {
       .limit(50)
   }
 
+  // ---------------------------------------------------------------- q31
+  /** Grouped top-k via the custom bounded-heap Aggregator (udaf): each
+    * map task pre-reduces its slice to k elements before the shuffle,
+    * unlike the window row_number formulation that sorts whole groups
+    * in one task. Oracle = the window formulation in DuckDB. */
+  private def q31GroupedTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Aggregators
+    val scored = Tables.documents(s, dir).select(col("lang"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"), col("doc_id"))
+    Aggregators.topKPerGroup(scored, Seq("lang"), "n_tokens", "doc_id", 3)
+      .select(col("lang"), col("doc_id"),
+        col("n_tokens").cast("int").as("n_tokens"))
+      .orderBy(col("lang"), col("n_tokens").desc, col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -536,6 +551,7 @@ object SparkEntry {
     "q28_simhash_neardup" -> (q28SimhashNearDup _),
     "q29_json_extract" -> (q29JsonExtract _),
     "q30_tfidf" -> (q30Tfidf _),
+    "q31_grouped_topk" -> (q31GroupedTopK _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -976,5 +992,18 @@ object SparkEntry {
         |FROM tf JOIN dfq USING (token)
         |ORDER BY tf.tf DESC, tf.doc_id, tf.token
         |LIMIT 50""".stripMargin,
+    "q31_grouped_topk" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS INTEGER) AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM t
+        |)
+        |SELECT lang, doc_id, n_tokens FROM r WHERE rn <= 3
+        |ORDER BY lang, n_tokens DESC, doc_id""".stripMargin,
   )
 }

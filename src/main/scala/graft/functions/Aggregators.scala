@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Custom typed aggregators (`Aggregator[IN, BUF, OUT]` + `udaf`) — the
+  * UDAF surface of the engine (SURVEY §2.7). */
+object Aggregators {
+
+  /** One scored element flowing into [[TopK]]. */
+  final case class Scored(score: Double, id: Long)
+
+  /** Bounded top-k aggregator: the buffer never holds more than k
+    * elements, ordered by (score desc, id asc) for deterministic ties.
+    *
+    * Why this beats the `row_number().over(window) <= k` formulation at
+    * scale: the window plan shuffles EVERY row of a group to one task
+    * and sorts the whole group; this aggregator participates in
+    * partial aggregation — each map task reduces its slice to <= k
+    * elements before the shuffle, so the exchange carries
+    * O(k x partitions) rows per group no matter how skewed the group
+    * is. The same shape Spark uses for global TakeOrdered, made
+    * available per group.
+    */
+  final class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    require(k > 0, "k must be positive")
+    private def ord(s: Scored): (Double, Long) = (-s.score, s.id)
+    override def zero: Seq[Scored] = Vector.empty
+    override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+      ((b :+ a): Seq[Scored]).sortBy(ord).take(k)
+    override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
+      (b1 ++ b2).sortBy(ord).take(k)
+    override def finish(r: Seq[Scored]): Seq[Scored] = r.sortBy(ord)
+    override def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] = bufferEncoder
+  }
+
+  /** Grouped top-k: one row per (group, retained element), ordered by
+    * (score desc, id asc) within each group. `scoreCol` must be
+    * numeric (cast to double), `idCol` integral. */
+  def topKPerGroup(
+      df: DataFrame,
+      groups: Seq[String],
+      scoreCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(new TopK(k), Encoders.product[Scored])
+    df.groupBy(groups.map(col): _*)
+      .agg(topk(col(scoreCol).cast("double"), col(idCol).cast("long")).as("__top"))
+      .select(groups.map(col) :+ explode(col("__top")).as("__e"): _*)
+      .select(groups.map(col) :+ col("__e.score").as(scoreCol) :+ col("__e.id").as(idCol): _*)
+  }
+}

@@ -210,6 +210,18 @@ class GeneralSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("topKPerGroup: bounded-heap aggregator equals the window formulation") {
+    import graft.functions.Aggregators
+    val df = table("g string, score bigint, id bigint", Seq(
+      row("a", 5L, 1L), row("a", 9L, 2L), row("a", 9L, 3L), row("a", 1L, 4L),
+      row("b", 7L, 5L), row("b", 2L, 6L)))
+    val got = Aggregators.topKPerGroup(df, Seq("g"), "score", "id", 2)
+      .orderBy("g", "id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    // group a: ties at 9 break toward the lower id (2 then 3); group b: both rows
+    assert(got == Seq(("a", 9.0, 2L), ("a", 9.0, 3L), ("b", 7.0, 5L), ("b", 2.0, 6L)))
+  }
+
   test("cosine similarity of identical vectors is 1") {
     val df = table("a array<float>, b array<float>",
       Seq(row(Seq(1.0f, 2.0f, 2.0f), Seq(1.0f, 2.0f, 2.0f))))
