@@ -105,6 +105,22 @@ class GraftExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("cleanText equals the regex pipeline on 300 random strings (generative)") {
+    val rnd = new scala.util.Random(99)
+    val alphabet = "abz09AZ .,!?\t\n-_éü日本😀"
+    val rows300 = (0 until 300).map { _ =>
+      val len = rnd.nextInt(40)
+      row((0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = table("text string", rows300)
+    val mismatches = df.select(
+        GraftFunctions.cleanText(df, lower(col("text"))).as("nat"),
+        graft.functions.TextFunctions.normalizeText(col("text")).as("regex"))
+      .filter(col("nat") =!= col("regex"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
   test("native expressions survive both codegen and interpreted evaluation") {
     val df = table("a array<float>, b array<float>",
       Seq(row(Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))))
