@@ -104,14 +104,21 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------- q04
-  /** Partition-only analytic window (`get_window_spec`): per-flag window
-    * sum, de-duplicated, then a whole-frame window grand total — the
-    * whole-frame (1-partition) variant runs on the already-reduced
-    * 3-row frame, exactly the safe usage the reference documents. */
+  /** Partition-only analytic windows (`get_window_spec`), both variants
+    * applied the way the docs prescribe — to ALREADY-REDUCED frames. A
+    * partial groupBy first collapses the fact table to 6 rows (exact
+    * decimal partials, so the window over partials equals the window
+    * over raw rows); the grouped window then runs per flag and the
+    * whole-frame (1-partition) window computes the grand total over 3
+    * rows. Windowing the raw 600k-row frame into 3 partitions — the
+    * naive formulation — shuffles everything into 3 straggler sorts
+    * for identical output. */
   private def q04WindowSum(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    li.select(col("l_returnflag"),
-        sum(col("l_quantity").cast(DecimalType(18, 2)))
+    val partial = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("part_qty"))
+    partial.select(col("l_returnflag"),
+        sum(col("part_qty"))
           .over(General.windowSpec(Seq("l_returnflag")))
           .cast(DoubleType).as("flag_qty"))
       .distinct()
