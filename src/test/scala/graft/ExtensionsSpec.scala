@@ -111,6 +111,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("composed minHashSignature: width k and the union min-property") {
+    val df = table("id bigint, sh array<string>", Seq(
+      row(1L, Seq("a_b_c", "b_c_d")),
+      row(2L, Seq("x_y_z")),
+      row(3L, Seq("a_b_c", "b_c_d", "x_y_z"))))
+    val sigs = df.select(col("id"), Dedup.minHashSignature(col("sh"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs.values.forall(_.length == 16))
+    val unionSig = sigs(1L).zip(sigs(2L)).map { case (x, y) => math.min(x, y) }
+    assert(sigs(3L) == unionSig)
+  }
+
+  test("exactDedupViaWindow equals the algebraic min_by exactDedup") {
+    val df = table("k string, id bigint, v string", Seq(
+      row("x", 3L, "c"), row("x", 1L, "a"), row("x", 2L, "b"),
+      row("y", 9L, "z"), row("y", 7L, "w")))
+    val viaAgg = Dedup.exactDedup(df, Seq("k"), "id")
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val viaWin = Dedup.exactDedupViaWindow(df, Seq("k"), "id")
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(viaAgg == viaWin)
+    assert(viaAgg == Seq(Seq("x", 1L, "a"), Seq("y", 7L, "w")))
+  }
+
   test("simhash near-dup: banded recall equals the exact hamming pair set (pigeonhole)") {
     val sigs = Dedup.simHash32(docs, "text", "sim").select(col("doc_id"), col("sim"))
     val exact = sigs.as("a").crossJoin(sigs.as("b"))
