@@ -37,6 +37,16 @@ object Dedup {
       .select(df.columns.map(col): _*)
   }
 
+  /** Winner ids only: the shuffle carries just (keys, orderCol) pairs.
+    * [[exactDedup]] ships every surviving row's full payload through
+    * its shuffle (min_by of the whole-row struct) — right when the
+    * output IS the deduped corpus. When payloads are heavy (full
+    * document text) and the caller only needs survivor identities, or
+    * will fetch a selective subset later, this variant keeps the
+    * shuffle payload-free. */
+  def exactDedupIds(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(min(col(orderCol)).as(orderCol))
+
   /** Window-sort formulation of [[exactDedup]] — same result, one
     * per-key sorted pass. Prefer the algebraic form; this exists for
     * rank-dependent generalizations (keep top-N per key). */

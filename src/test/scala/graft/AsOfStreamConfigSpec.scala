@@ -116,6 +116,29 @@ class AsOfStreamConfigSpec extends AnyFunSuite {
       Seq(Seq(1L, "ann", 2.5), Seq(2L, "bob", 3.5)))
   }
 
+  test("streaming: stream-static enrichment join reaches the sink") {
+    val s = spark
+    import graft.testkit.SparkTestKit.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-enrich").toString
+    Seq(
+      EventStream.Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      EventStream.Event(2L, ts("2024-01-01 10:01:00"), 2L, "view", 2.0),
+      EventStream.Event(3L, ts("2024-01-01 10:02:00"), 1L, "click", 3.0),
+    ).toDS().write.mode("overwrite").parquet(dir)
+    val users = table("user_id bigint, segment string",
+      Seq(row(1L, "gold"), row(2L, "silver")))
+    val stream = EventStream.readEventStream(s, dir, s.read.parquet(dir).schema)
+    // stream-static join: the static side is re-read per micro-batch,
+    // no state accumulates for it
+    val enriched = stream.join(users, Seq("user_id"))
+    val q = EventStream.runToMemory(enriched, "enriched_out")
+    val got = s.table("enriched_out")
+      .select("event_id", "segment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    q.stop()
+    assert(got == Map(1L -> "gold", 2L -> "silver", 3L -> "gold"))
+  }
+
   test("streaming: stateful sessionizer emits closed sessions") {
     import graft.testkit.SparkTestKit.spark.implicits._
     val s = spark

@@ -133,6 +133,10 @@ class ExtensionsSpec extends AnyFunSuite {
       .orderBy("k").collect().map(_.toSeq).toSeq
     assert(viaAgg == viaWin)
     assert(viaAgg == Seq(Seq("x", 1L, "a"), Seq("y", 7L, "w")))
+    // payload-free variant agrees on the winner set
+    val ids = Dedup.exactDedupIds(df, Seq("k"), "id")
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(ids == Seq(Seq("x", 1L), Seq("y", 7L)))
   }
 
   test("simhash near-dup: banded recall equals the exact hamming pair set (pigeonhole)") {
