@@ -67,6 +67,23 @@ class GroupedReshapeSpec extends AnyFunSuite {
       long.orderBy("id", "cat"), df.orderBy("id", "cat"), ignoreNullable = true)
   }
 
+  test("levelToTimestamp casts a key column in place (pandas.py:67-79)") {
+    val df = table("period string, v bigint",
+      Seq(row("2024-01-01", 1L), row("2024-02-01", 2L)))
+    val out = Reshape.levelToTimestamp(df, "period")
+    assert(out.schema("period").dataType == TimestampType)
+    assert(out.orderBy("v").collect().map(_.getTimestamp(0).toString).toSeq ==
+      Seq("2024-01-01 00:00:00.0", "2024-02-01 00:00:00.0"))
+  }
+
+  test("indexLevelValues returns distinct key combos (pandas.py:112-118)") {
+    val df = table("a string, b bigint, v bigint", Seq(
+      row("x", 1L, 10L), row("x", 1L, 20L), row("x", 2L, 30L), row("y", 1L, 40L)))
+    val got = Reshape.indexLevelValues(df, Seq("a", "b")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("x", 1L), ("x", 2L), ("y", 1L)))
+  }
+
   test("within-year ffill carries last non-null forward per fiscal year (pandas.py:121-138)") {
     val df = table("k string, ts timestamp, v double", Seq(
       row("a", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 1.0),
