@@ -220,10 +220,25 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- q13
   /** Exact dedup: double the corpus, dedup on the normalized-text md5
-    * fingerprint keeping the lowest doc_id, count per language. */
+    * fingerprint keeping the lowest doc_id, count per language.
+    *
+    * Uses the PAYLOAD-FREE dedup shape: fingerprints are computed
+    * map-side, the winner election shuffles only (fingerprint, doc_id)
+    * pairs, and the narrow (fingerprint, doc_id, lang) projection joins
+    * back — the document text never enters a shuffle. The full-row
+    * [[Dedup.exactTextDedup]] (min_by of the whole row) is the right
+    * tool when the OUTPUT is the deduped corpus; for an aggregate over
+    * survivors, shipping text would waste the whole corpus's bytes
+    * through the exchange at 100 TB. */
   private def q13DedupExact(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    Dedup.exactTextDedup(Concat.concat(Seq(docs, docs)), "text", "doc_id")
+    val u = Concat.concat(Seq(docs, docs))
+    val keyed = u.select(col("doc_id"), col("lang"),
+      md5(graft.expressions.GraftFunctions.cleanText(u, lower(col("text")))).as("__fp"))
+    val winners = Dedup.exactDedupIds(
+      keyed.select("__fp", "doc_id"), Seq("__fp"), "doc_id")
+    keyed.join(winners, Seq("__fp", "doc_id"))
+      .select("doc_id", "lang").distinct() // both corpus copies of a winner collapse
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang")
   }
