@@ -542,6 +542,20 @@ object SparkEntry {
       .orderBy(col("lang"), col("n_tokens").desc, col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q32
+  /** Deterministic hash-sampled split: keep docs whose portable id-hash
+    * lands in residue 0 mod 8 (~1/8 of the corpus, reproducible in any
+    * engine with md5), then roll up per language. The oracle recomputes
+    * the identical split — a wrong hash, mod, or cast changes the
+    * sample membership and the hash compare fails. */
+  private def q32HashSample(s: SparkSession, dir: String): DataFrame =
+    General.hashSample(Tables.documents(s, dir), "doc_id", m = 8,
+        hash = c => TextFunctions.portableTokenHash32(c.cast("string")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -574,6 +588,7 @@ object SparkEntry {
     "q29_json_extract" -> (q29JsonExtract _),
     "q30_tfidf" -> (q30Tfidf _),
     "q31_grouped_topk" -> (q31GroupedTopK _),
+    "q32_hash_sample" -> (q32HashSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1027,5 +1042,18 @@ object SparkEntry {
         |)
         |SELECT lang, doc_id, n_tokens FROM r WHERE rn <= 3
         |ORDER BY lang, n_tokens DESC, doc_id""".stripMargin,
+    "q32_hash_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(doc_id AS VARCHAR)), CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) AS hv
+        |  FROM documents
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM h WHERE hv % 8 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

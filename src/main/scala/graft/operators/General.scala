@@ -68,6 +68,26 @@ object General {
     df.join(broadcast(totals), groups, "left")
   }
 
+  /** Deterministic hash sampling: keep rows whose key hashes into
+    * `residue` mod `m` — reproducible across runs, executors, engines
+    * (pass a portable hash like
+    * [[graft.functions.TextFunctions.portableTokenHash32]] for
+    * cross-engine identity), and stable under repartitioning, unlike
+    * `df.sample` whose RNG stream depends on partition layout. A pure
+    * map-side filter: no shuffle, candidates for scan pushdown. The
+    * residue classes partition the corpus, so m disjoint samples (e.g.
+    * train/heldout splits) come from the same call with different
+    * residues. */
+  def hashSample(
+      df: DataFrame,
+      keyCol: String,
+      m: Int,
+      residue: Int = 0,
+      hash: Column => Column = org.apache.spark.sql.functions.xxhash64(_)): DataFrame = {
+    require(m > 0 && residue >= 0 && residue < m)
+    df.filter(pmod(hash(col(keyCol)), lit(m.toLong)) === residue)
+  }
+
   /** Collect to the driver (`general.py:186-199`): single column -> flat
     * values; multiple columns -> row seqs. Driver-side by design — only
     * for small results. */
