@@ -193,6 +193,23 @@ class GeneralSpec extends AnyFunSuite {
     assert(viaSalt == direct)
   }
 
+  test("partitioned parquet write: reads back with partition pruning") {
+    import graft.sources.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/t"
+    val df = table("id bigint, lang string, v bigint",
+      (1L to 30L).map(i => row(i, if (i % 3 == 0) "en" else "fr", i * 2)))
+    Sinks.writePartitioned(df, dir, Seq("lang"))
+    // hive-style layout on disk
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq == Seq("lang=en", "lang=fr"))
+    val back = graft.testkit.SparkTestKit.spark.read.parquet(dir)
+      .filter(col("lang") === "en")
+    assert(back.count() == 10L)
+    // the partition filter prunes directories at plan time
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"), plan)
+  }
+
   test("bucketed tables co-locate: equi-join plans with NO shuffle exchange") {
     val s = graft.testkit.SparkTestKit.spark
     val a = table("id bigint, v bigint", (1L to 100L).map(i => row(i, i * 10)))
