@@ -101,6 +101,33 @@ object Multimodal {
       len.as("n_bytes"))
   }
 
+  /** Resize planning: target dimensions that fit (maxW, maxH)
+    * preserving aspect ratio, never upscaling — the real Spark-side
+    * arithmetic of a resize stage, over the feature frame
+    * ([[extractFeatures]] output). The pixel resampling itself is the
+    * pluggable codec step ([[Decoder]]) this container stubs; a real
+    * deployment maps the planned (target_width, target_height) through
+    * its image library partition-wise. All codegen'd expressions,
+    * map-only. Null dimensions (undecodable payloads) stay null. */
+  def resizePlan(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0)
+    // least/greatest SKIP nulls, so undecodable rows (null dims) must
+    // be gated explicitly or they'd silently plan a 1x1 "resize".
+    val decodable = col("width").isNotNull && col("height").isNotNull
+    val scale = when(decodable, least(
+      lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"),
+      lit(1.0)))
+    features
+      .withColumn("scale", scale)
+      .withColumn("target_width",
+        when(decodable,
+          greatest(floor(col("width") * col("scale")), lit(1)).cast(IntegerType)))
+      .withColumn("target_height",
+        when(decodable,
+          greatest(floor(col("height") * col("scale")), lit(1)).cast(IntegerType)))
+  }
+
   /** Partition-wise feature extraction with a pluggable codec: one
     * decoder instance per task, payloads processed in iterator order
     * (constant memory — no collect, no per-row decoder setup). Output =

@@ -215,6 +215,20 @@ class ExtensionsSpec extends AnyFunSuite {
       feats.orderBy("media_id").collect().map(_.toSeq).toSeq)
   }
 
+  test("multimodal: resize planning fits max box, preserves aspect, never upscales") {
+    val feats = table("media_id bigint, width int, height int", Seq(
+      row(1L, 640, 480),   // downscale, bound by width
+      row(2L, 100, 400),   // downscale, bound by height
+      row(3L, 50, 40),     // already fits: untouched
+      row(4L, null, null)))// undecodable: stays null
+    val planned = Multimodal.resizePlan(feats, maxW = 320, maxH = 240)
+      .orderBy("media_id").collect()
+    assert((planned(0).getInt(4), planned(0).getInt(5)) == (320, 240))
+    assert((planned(1).getInt(4), planned(1).getInt(5)) == (60, 240))
+    assert((planned(2).getInt(4), planned(2).getInt(5)) == (50, 40))
+    assert(planned(3).isNullAt(4) && planned(3).isNullAt(5))
+  }
+
   test("multimodal: frame sampling slices evenly-spaced byte windows, map-only") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(media, nFrames = 4, frameBytes = 8)
