@@ -133,6 +133,22 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(filtered == 1L)
   }
 
+  test("extensions injector wires every builder; registration is idempotent") {
+    // the SparkSessionExtensions route (cluster deployments set
+    // spark.sql.extensions=graft.expressions.GraftExtensions); here we
+    // drive the injector against a fresh extensions container
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.expressions.GraftExtensions().apply(ext) // must not throw
+    val names = GraftFunctions.builders.map(_._1)
+    assert(names.distinct.size == names.size)
+    assert(names.toSet == Set("graft_dot_f32", "graft_cosine_f32",
+      "graft_minhash_sig", "graft_shingles", "graft_clean_text", "graft_simhash32"))
+    // per-session registration: repeated calls are safe, functions resolve
+    GraftFunctions.ensureRegistered(spark)
+    GraftFunctions.ensureRegistered(spark)
+    names.foreach(n => assert(spark.catalog.functionExists(n), n))
+  }
+
   test("sql surface: registered functions resolve from spark.sql") {
     val df = table("a array<float>", Seq(row(Seq(1.0f, 0.0f))))
     GraftFunctions.ensureRegistered(spark)
