@@ -556,6 +556,28 @@ object SparkEntry {
         max(col("doc_id")).as("max_id"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q33
+  /** Exact quantiles per group: `percentile` (exact linear
+    * interpolation, one sort-based aggregation per group). Hash-exact
+    * across engines here because l_quantity is integer-valued and the
+    * quartile fractions are dyadic, so every interpolated value is
+    * exactly representable — the oracle-safety reasoning, not an
+    * accident. For 100 TB use approx_percentile (t-digest, mergeable,
+    * no per-group sort); it is engine-specific so the exact form is
+    * what the oracle checks. */
+  private def q33Quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("q"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"),
+        col("n"))
+      .orderBy("l_returnflag")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -589,6 +611,7 @@ object SparkEntry {
     "q30_tfidf" -> (q30Tfidf _),
     "q31_grouped_topk" -> (q31GroupedTopK _),
     "q32_hash_sample" -> (q32HashSample _),
+    "q33_quantiles" -> (q33Quantiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1055,5 +1078,14 @@ object SparkEntry {
         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM h WHERE hv % 8 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q33_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }
