@@ -578,6 +578,43 @@ object SparkEntry {
         col("n"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q34
+  /** Hierarchical rollup (GROUPING SETS surface inherited from Spark):
+    * per-(flag, status) subtotals, per-flag totals, and the grand
+    * total in ONE aggregation pass — partial aggregation applies to
+    * every grouping set, so this stays a single shuffle. `grouping()`
+    * flags distinguish subtotal rows from data NULLs. */
+  private def q34Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"),
+        col("l_linestatus"))
+
+  // ---------------------------------------------------------------- q35
+  /** Bounded range join via time bucketing: purchase-click pairs of the
+    * same user within +/-30 minutes, counted per user. The raw range
+    * predicate would plan a nested-loop join; bucketing turns it into
+    * one hash equi-join with a 3x-amplified left side. */
+  private def q35RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    RangeJoin.rangeJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+        deltaUs = 30L * 60 * 1000000, rightValues = Seq("event_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("event_id")).as("n_purchases_matched"))
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -612,6 +649,8 @@ object SparkEntry {
     "q31_grouped_topk" -> (q31GroupedTopK _),
     "q32_hash_sample" -> (q32HashSample _),
     "q33_quantiles" -> (q33Quantiles _),
+    "q34_rollup" -> (q34Rollup _),
+    "q35_range_join" -> (q35RangeJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1087,5 +1126,29 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q34_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows,
+        |  CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS TINYINT) AS g_status
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "q35_range_join" ->
+      """WITH p AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts
+        |  FROM events WHERE event_type = 'click'
+        |), j AS (
+        |  SELECT p.user_id, p.event_id
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |   AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 1800000000
+        |)
+        |SELECT user_id, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT event_id) AS n_purchases_matched
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

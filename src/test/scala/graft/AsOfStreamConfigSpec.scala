@@ -116,6 +116,24 @@ class AsOfStreamConfigSpec extends AnyFunSuite {
       Seq(Seq(1L, "ann", 2.5), Seq(2L, "bob", 3.5)))
   }
 
+  test("range join: bucketed equi-join matches the range predicate, no nested loop") {
+    import graft.operators.RangeJoin
+    val l = table("k string, t bigint, lid bigint", Seq(
+      row("a", 100L, 1L), row("a", 250L, 2L), row("b", 100L, 3L)))
+    val r = table("k string, t bigint, rid bigint", Seq(
+      row("a", 120L, 10L),   // within 50 of lid 1
+      row("a", 210L, 11L),   // within 50 of lid 2 (and not lid 1), adjacent bucket
+      row("a", 400L, 12L),   // matches nothing
+      row("b", 60L, 13L)))   // within 50 of lid 3
+    val out = RangeJoin.rangeJoin(l, r, Seq("k"), "t", "t",
+      deltaUs = 50L, rightValues = Seq("rid"))
+    val pairs = out.select("lid", "r_rid").collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L), (2L, 11L), (3L, 13L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("streaming: stream-static enrichment join reaches the sink") {
     val s = spark
     import graft.testkit.SparkTestKit.spark.implicits._
