@@ -615,6 +615,19 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- q36
+  /** Contiguous row ids over a range-partitioned sort (DataFrame
+    * zipWithIndex — no single-partition window). The oracle is the
+    * window formulation, which is only viable at oracle scale. */
+  private def q36RowIds(s: SparkSession, dir: String): DataFrame =
+    General.withContiguousRowIds(
+        Tables.documents(s, dir).select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("row_id")).as("sum_row_id"),
+        min(col("row_id")).as("min_row_id"))
+      .orderBy("lang")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -651,6 +664,7 @@ object SparkEntry {
     "q33_quantiles" -> (q33Quantiles _),
     "q34_rollup" -> (q34Rollup _),
     "q35_range_join" -> (q35RangeJoin _),
+    "q36_row_ids" -> (q36RowIds _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1150,5 +1164,15 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_pairs,
         |  COUNT(DISTINCT event_id) AS n_purchases_matched
         |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q36_row_ids" ->
+      """WITH ids AS (
+        |  SELECT lang,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+        |  FROM documents
+        |)
+        |SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(row_id) AS BIGINT) AS sum_row_id,
+        |  MIN(row_id) AS min_row_id
+        |FROM ids GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -68,6 +68,39 @@ object General {
     df.join(broadcast(totals), groups, "left")
   }
 
+  /** Contiguous global row ids in `sortCols` order — the DataFrame
+    * `zipWithIndex`. Spark's own options both fail at scale:
+    * `monotonically_increasing_id` is non-contiguous, and
+    * `row_number().over(Window.orderBy(...))` collapses the whole
+    * dataset into ONE sorted partition. This keeps the sort range-
+    * partitioned (parallel) and assigns ids in two passes: count rows
+    * per partition (tiny collect of one long per partition), then
+    * attach `offset(p) + localIndex` partition-wise. The per-partition
+    * imperative step is the textbook justified RDD drop-down — no
+    * Column expression can see partition-local position.
+    *
+    * Deterministic when `sortCols` is a total order (unique keys). */
+  def withContiguousRowIds(
+      df: DataFrame,
+      sortCols: Seq[String],
+      outCol: String = "row_id"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(sortCols.nonEmpty, "a sort order is required for deterministic ids")
+    val sorted = df.sort(sortCols.map(col): _*)
+    val schema = StructType(
+      StructField(outCol, LongType, nullable = false) +: sorted.schema.fields)
+    val rdd = sorted.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val withIds = rdd.mapPartitionsWithIndex { (i, it) =>
+      var id = offsets(i)
+      it.map { r => val out = Row.fromSeq(id +: r.toSeq); id += 1; out }
+    }
+    df.sparkSession.createDataFrame(withIds, schema)
+  }
+
   /** Deterministic hash sampling: keep rows whose key hashes into
     * `residue` mod `m` — reproducible across runs, executors, engines
     * (pass a portable hash like

@@ -239,6 +239,16 @@ class GeneralSpec extends AnyFunSuite {
     assert(got == Seq(("a", 9.0, 2L), ("a", 9.0, 3L), ("b", 7.0, 5L), ("b", 2.0, 6L)))
   }
 
+  test("withContiguousRowIds: 0..n-1 in sort order across partitions") {
+    val df = table("k bigint, v string",
+      scala.util.Random.shuffle((0L until 40L).toList).map(i => row(i, s"v$i")))
+    val out = General.withContiguousRowIds(df, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // ids are contiguous 0..39 and follow k order exactly
+    assert(out.map(_._1).toSeq == (0L until 40L))
+    assert(out.map(_._2).toSeq == (0L until 40L))
+  }
+
   test("cosine similarity of identical vectors is 1") {
     val df = table("a array<float>, b array<float>",
       Seq(row(Seq(1.0f, 2.0f, 2.0f), Seq(1.0f, 2.0f, 2.0f))))
