@@ -628,6 +628,22 @@ object SparkEntry {
         min(col("row_id")).as("min_row_id"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q37
+  /** Dimension-chain rollup over the remaining tables: suppliers
+    * through nation to region, both dims broadcast (a 25-row and a
+    * 5-row table never justify a shuffle). */
+  private def q37SupplierRegion(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        decSum(col("s_acctbal")).as("sum_acctbal"))
+      .orderBy("r_name")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -665,6 +681,7 @@ object SparkEntry {
     "q34_rollup" -> (q34Rollup _),
     "q35_range_join" -> (q35RangeJoin _),
     "q36_row_ids" -> (q36RowIds _),
+    "q37_supplier_region" -> (q37SupplierRegion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1174,5 +1191,14 @@ object SparkEntry {
         |  CAST(SUM(row_id) AS BIGINT) AS sum_row_id,
         |  MIN(row_id) AS min_row_id
         |FROM ids GROUP BY lang ORDER BY lang""".stripMargin,
+    "q37_supplier_region" ->
+      """SELECT r_name,
+        |  COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
   )
 }
