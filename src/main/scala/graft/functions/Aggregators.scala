@@ -26,9 +26,15 @@ object Aggregators {
   final class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     require(k > 0, "k must be positive")
     private def ord(s: Scored): (Double, Long) = (-s.score, s.id)
+    private val tupleOrd = implicitly[Ordering[(Double, Long)]]
     override def zero: Seq[Scored] = Vector.empty
+    // invariant: the buffer is always sorted by `ord`, so a full buffer
+    // rejects a non-qualifying row with one comparison against its
+    // worst element — the common case on large groups — instead of
+    // re-sorting per row.
     override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
-      ((b :+ a): Seq[Scored]).sortBy(ord).take(k)
+      if (b.size >= k && tupleOrd.gteq(ord(a), ord(b.last))) b
+      else ((b :+ a): Seq[Scored]).sortBy(ord).take(k)
     override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
       (b1 ++ b2).sortBy(ord).take(k)
     override def finish(r: Seq[Scored]): Seq[Scored] = r.sortBy(ord)
