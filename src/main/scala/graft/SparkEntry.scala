@@ -644,6 +644,20 @@ object SparkEntry {
         decSum(col("s_acctbal")).as("sum_acctbal"))
       .orderBy("r_name")
 
+  // ---------------------------------------------------------------- q38
+  /** Sliding-window token chunking (64-token windows, stride 48 — 16
+    * tokens of overlapping context): the packing step of a training
+    * pipeline. The oracle recomputes every (doc, chunk) window length
+    * arithmetically, so window count, boundaries, and tail handling
+    * must all agree. */
+  private def q38ChunkTokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    Corpus.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -682,6 +696,7 @@ object SparkEntry {
     "q35_range_join" -> (q35RangeJoin _),
     "q36_row_ids" -> (q36RowIds _),
     "q37_supplier_region" -> (q37SupplierRegion _),
+    "q38_chunk_tokens" -> (q38ChunkTokens _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1200,5 +1215,23 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name
         |ORDER BY r_name""".stripMargin,
+    "q38_chunk_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), ' +')) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n,
+        |    greatest(CAST(ceil((n - 64) / 48.0) AS INT) + 1, 1) AS n_chunks
+        |  FROM t
+        |)
+        |, e AS (
+        |  SELECT doc_id, n, unnest(range(n_chunks)) AS j FROM c
+        |)
+        |SELECT doc_id,
+        |  CAST(j AS INT) AS chunk_id,
+        |  CAST(least(64, n - j*48) AS INT) AS n_chunk_tokens
+        |FROM e
+        |ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }

@@ -27,6 +27,35 @@ object Corpus {
       .groupBy("token")
       .agg(count(lit(1)).as("doc_freq"))
 
+  /** Sliding-window token chunking — the packing step ahead of
+    * tokenizer/training: each document's token stream splits into
+    * `chunkSize`-token windows advancing by `stride` (stride <
+    * chunkSize gives overlapping context windows). Pure built-ins
+    * (sequence/transform/slice + posexplode): map-only until the
+    * explode, which multiplies rows by ~n/stride — no shuffle at all.
+    * Documents yield at least one (possibly short) chunk; the final
+    * window holds the tail. */
+  def chunkTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0)
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = greatest(
+      (ceil((n - lit(chunkSize)).cast("double") / stride) + 1).cast("int"),
+      lit(1))
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1),
+          i => slice(col("__toks"), i * stride + 1, lit(chunkSize)))))
+      .withColumnRenamed("pos", "chunk_id")
+      .withColumnRenamed("col", "chunk_tokens")
+      .withColumn("n_chunk_tokens", size(col("chunk_tokens")))
+  }
+
   /** TF-IDF weights per (document, token): smoothed
     * `tf * (ln((N+1)/(df+1)) + 1)`. Plan shape: one explode+count for
     * per-doc term frequencies (shuffle bounded by distinct (doc,

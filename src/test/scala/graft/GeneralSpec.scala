@@ -153,6 +153,21 @@ class GeneralSpec extends AnyFunSuite {
     assert(dfreq == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("chunkTokens: sliding windows with overlap and a short tail") {
+    import graft.operators.Corpus
+    // 10 tokens, chunk 4, stride 3 -> windows [1-4],[4-7],[7-10] (j=0,1,2)
+    val df = table("doc_id bigint, text string",
+      Seq(row(1L, (1 to 10).map(i => s"t$i").mkString(" ")), row(2L, "a")))
+    val got = Corpus.chunkTokens(df, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[String](2)))
+    assert(got(0)._3 == Seq("t1", "t2", "t3", "t4"))
+    assert(got(1)._3 == Seq("t4", "t5", "t6", "t7")) // 1-token overlap
+    assert(got(2)._3 == Seq("t7", "t8", "t9", "t10"))
+    // single-token doc -> exactly one short chunk
+    assert(got.count(_._1 == 2L) == 1 && got.last._3 == Seq("a"))
+  }
+
   test("tfidf: smoothed weights from tf and broadcast document frequencies") {
     import graft.operators.Corpus
     val df = table("doc_id bigint, text string", Seq(
