@@ -515,7 +515,9 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- q30
   /** TF-IDF pipeline: per-doc term frequencies joined with the
-    * broadcast document-frequency table. The oracle checks the exact
+    * document-frequency table (join strategy left to AQE — at this SF
+    * it broadcasts; at web-scale vocabulary it degrades to a shuffle
+    * join instead of an OOM). The oracle checks the exact
     * integer components (tf, doc_freq) for the highest-tf terms; the
     * floating tfidf weight is spec-verified (ln differs by ulps across
     * libm implementations, so it stays out of the hash compare). */

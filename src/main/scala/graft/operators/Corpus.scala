@@ -59,18 +59,35 @@ object Corpus {
   /** TF-IDF weights per (document, token): smoothed
     * `tf * (ln((N+1)/(df+1)) + 1)`. Plan shape: one explode+count for
     * per-doc term frequencies (shuffle bounded by distinct (doc,
-    * token)), the document-frequency table joined in — at corpus scale
-    * the df table is vocabulary-sized, so Spark broadcasts it; the
-    * per-doc side never reshuffles after its aggregation. N is taken
-    * from a scalar count, not a window over the corpus. */
-  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * token)), the document-frequency table joined in. N is taken from a
+    * scalar count (a column-pruned metadata-cheap job), not a window
+    * over the corpus.
+    *
+    * The df-table join is deliberately UNHINTED: "vocabulary-bounded"
+    * is not "broadcastable" — web-scale text has 10^8-10^9 distinct
+    * tokens (typos, ids, code), and a forced broadcast() bypasses
+    * Spark's size checks and OOMs executors at that scale. Left to
+    * AQE/autoBroadcastJoinThreshold, small vocabularies still broadcast
+    * (runtime-measured) while unbounded ones degrade gracefully to a
+    * shuffle join on `token` — the key both sides are already
+    * aggregated by. `minDocFreq > 1` prunes the long hapax tail (often
+    * >half of a web vocabulary) from the df table BEFORE the join,
+    * which both shrinks the join and is usually what a training
+    * pipeline wants anyway. */
+  def tfidf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocFreq: Long = 1L): DataFrame = {
+    require(minDocFreq >= 1, "minDocFreq must be >= 1")
     val n = df.count()
     val tf = df.select(col(idCol).as("doc"),
         explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy("doc", "token")
       .agg(count(lit(1)).as("tf"))
     val dfreq = documentFrequencies(df, textCol)
-    tf.join(broadcast(dfreq), "token")
+      .filter(col("doc_freq") >= minDocFreq)
+    tf.join(dfreq, "token")
       .withColumn("tfidf",
         col("tf") * (log((lit(n) + 1.0) / (col("doc_freq") + 1.0)) + 1.0))
       .select(col("doc").as(idCol), col("token"), col("tf"),

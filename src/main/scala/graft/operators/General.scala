@@ -79,6 +79,14 @@ object General {
     * imperative step is the textbook justified RDD drop-down — no
     * Column expression can see partition-local position.
     *
+    * The sorted RDD is `localCheckpoint()`ed so the sort executes ONCE:
+    * the counts pass materializes the sorted partitions on the
+    * executors and the id pass reads them back, instead of re-running
+    * the sort lineage (shuffle-file reuse made pass 2 cheap anyway;
+    * the checkpoint makes the single-sort cost model explicit). The
+    * checkpointed blocks are released by the ContextCleaner when the
+    * RDD is garbage-collected — nothing is pinned for the session.
+    *
     * Deterministic when `sortCols` is a total order (unique keys). */
   def withContiguousRowIds(
       df: DataFrame,
@@ -89,7 +97,7 @@ object General {
     val sorted = df.sort(sortCols.map(col): _*)
     val schema = StructType(
       StructField(outCol, LongType, nullable = false) +: sorted.schema.fields)
-    val rdd = sorted.rdd
+    val rdd = sorted.rdd.localCheckpoint()
     val counts = rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
       .collect().sortBy(_._1).map(_._2)
@@ -215,7 +223,11 @@ object General {
     /** select with string-or-Column args lifted at compile time. */
     def selecting(cols: ColumnLike*): DataFrame = df.select(cols.map(_.toColumn): _*)
     /** filter accepting either a predicate Column or a column name
-      * (lifted; a bare name filters on its truthiness, as Spark does). */
-    def where(pred: ColumnLike): DataFrame = df.filter(pred.toColumn)
+      * (lifted; a bare name filters on its truthiness, as Spark does).
+      * Named `filtering` — NOT `where`/`filter` — because Dataset's own
+      * overloads always win resolution over an implicit-class
+      * extension, which would make a `where(ColumnLike)` unreachable
+      * dead code. */
+    def filtering(pred: ColumnLike): DataFrame = df.filter(pred.toColumn)
   }
 }

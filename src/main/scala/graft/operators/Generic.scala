@@ -102,23 +102,36 @@ object Generic {
       else (0 until depth).map(i => s"level_$i")
     require(names.length == depth,
       s"levelNames has ${names.length} entries for depth-$depth keys")
-    val valueType = filled.values.collectFirst {
-      case _: Int => IntegerType
-      case _: Long => LongType
-      case _: Double => DoubleType
-      case _: Boolean => BooleanType
-    }.getOrElse(StringType)
+    // Value dtype by the numeric-widening lattice over ALL values —
+    // not just the first — so heterogeneous maps encode instead of
+    // failing at runtime (mirroring how pandas upcasts mixed dtypes):
+    // all-Int -> int, Int/Long -> bigint, any Double in a numeric mix
+    // -> double, uniform Boolean -> boolean, anything else mixed ->
+    // string. Every value is then COERCED to the chosen type.
+    val nonNull = filled.values.filter(_ != null).toSeq
+    val valueType =
+      if (nonNull.isEmpty) StringType
+      else if (nonNull.forall(_.isInstanceOf[Int])) IntegerType
+      else if (nonNull.forall(v => v.isInstanceOf[Int] || v.isInstanceOf[Long]))
+        LongType
+      else if (nonNull.forall(v => v.isInstanceOf[Int] || v.isInstanceOf[Long]
+          || v.isInstanceOf[Double])) DoubleType
+      else if (nonNull.forall(_.isInstanceOf[Boolean])) BooleanType
+      else StringType
     val schema = StructType(
       names.map(StructField(_, StringType, nullable = true)) :+
         StructField(valueCol, valueType, nullable = true))
+    def coerce(v: Any): Any = (v, valueType) match {
+      case (null, _) => null
+      case (x, StringType) => x.toString
+      case (x: Int, LongType) => x.toLong
+      case (x: Int, DoubleType) => x.toDouble
+      case (x: Long, DoubleType) => x.toDouble
+      case (x, _) => x
+    }
     val rows = filled.toSeq.map { case (k, v) =>
       val levels = k.map(x => if (x == null) null else x.toString)
-      val value = (v, valueType) match {
-        case (null, _) => null
-        case (x, StringType) => x.toString
-        case (x, _) => x
-      }
-      Row.fromSeq(levels ++ Seq(value))
+      Row.fromSeq(levels ++ Seq(coerce(v)))
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }

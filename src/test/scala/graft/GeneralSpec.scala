@@ -109,10 +109,13 @@ class GeneralSpec extends AnyFunSuite {
   test("ColumnLike magnet lifts strings and Columns at compile time (decorators.py/factories.py)") {
     import General.DataFrameOps
     val df = table("g string, v bigint", Seq(row("a", 1L), row("b", 5L)))
-    // same call site takes a bare name and an expression Column
-    val out = df.selecting("g", col("v") * 2).where(col("v") > 2)
+    // same call sites take a bare name and an expression Column
+    val out = df.selecting("g", col("v") * 2).filtering(col("v") > 2)
     assert(out.columns.toSeq == Seq("g", "(v * 2)"))
     assert(out.collect().map(_.getLong(1)).toSeq == Seq(10L))
+    // the string form lifts to col(...) — filters on boolean truthiness
+    val flagged = table("g string, ok boolean", Seq(row("a", true), row("b", false)))
+    assert(flagged.filtering("ok").collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
   test("withGroupTotals equals the window formulation, broadcast plan") {

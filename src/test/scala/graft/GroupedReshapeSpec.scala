@@ -164,6 +164,21 @@ class GroupedReshapeSpec extends AnyFunSuite {
     assert(got == Set(Seq("a", "x", 1), Seq("a", "y", 2), Seq("b", null, 3)))
   }
 
+  test("nestedDictToDf widens heterogeneous values instead of failing at encode time") {
+    // Int mixed with Double -> double column, every value coerced
+    val nums = Generic.nestedDictToDf(spark, Map("a" -> 1, "b" -> 2.5))
+    assert(nums.schema("value").dataType == DoubleType)
+    assert(nums.collect().map(_.getDouble(1)).toSet == Set(1.0, 2.5))
+    // Int mixed with String -> string fallback
+    val mixed = Generic.nestedDictToDf(spark, Map("a" -> 1, "b" -> "two"))
+    assert(mixed.schema("value").dataType == StringType)
+    assert(mixed.collect().map(_.getString(1)).toSet == Set("1", "two"))
+    // Int mixed with Long -> bigint
+    val longs = Generic.nestedDictToDf(spark, Map("a" -> 1, "b" -> 5L))
+    assert(longs.schema("value").dataType == LongType)
+    assert(longs.collect().map(_.getLong(1)).toSet == Set(1L, 5L))
+  }
+
   test("Case/parametrizeCases labeled-case harness (testing.py:19-87, conftest.py:71-154)") {
     parametrizeCases(
       Case("jan belongs to prior fiscal year",
