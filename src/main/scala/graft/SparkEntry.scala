@@ -660,6 +660,20 @@ object SparkEntry {
       .orderBy("doc_id", "chunk_id")
   }
 
+  // ---------------------------------------------------------------- q39
+  /** 64-bit SimHash near-dup pairs — the corpus-scale variant of q28:
+    * 16-bit band keys (65536 buckets vs 32-bit's 256) keep the
+    * pigeonhole guarantee (maxHamming=3 <= bands-1 ⇒ full recall)
+    * healthy to ~10^8 docs, and an oversize bucket now FAILS the job
+    * rather than silently dropping recall. The md5-derived portable
+    * 64-bit token hash lets the oracle recompute the exact signatures
+    * AND the full hamming pair set value-for-value. */
+  private def q39Simhash64NearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDupPairs64(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3, bands = 4,
+        tokenHash = TextFunctions.portableTokenHash64)
+      .orderBy("id_a", "id_b")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -699,6 +713,7 @@ object SparkEntry {
     "q36_row_ids" -> (q36RowIds _),
     "q37_supplier_region" -> (q37SupplierRegion _),
     "q38_chunk_tokens" -> (q38ChunkTokens _),
+    "q39_simhash64_neardup" -> (q39Simhash64NearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1235,5 +1250,59 @@ object SparkEntry {
         |  CAST(least(64, n - j*48) AS INT) AS n_chunk_tokens
         |FROM e
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // 64-bit portable token hash: md5's first 16 hex chars as a SIGNED
+    // two's-complement BIGINT, built from 32-bit halves with the high
+    // half sign-adjusted before the shift-combine (the direct 16-digit
+    // parse would overflow BIGINT). Signature packing mirrors it: two
+    // 32-counter halves, same signed combine. Identical arithmetic to
+    // TextFunctions.portableTokenHash64 / SimHashFromHashes(64).
+    "q39_simhash64_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+        |), h AS (
+        |  SELECT doc_id, list_transform(toks, tok ->
+        |    CASE WHEN CAST(list_sum(list_transform(range(8), i ->
+        |           (strpos('0123456789abcdef', substr(md5(tok), CAST(i+1 AS INT), 1)) - 1)
+        |             * 16**(7-i))) AS BIGINT) >= 2147483648
+        |         THEN (CAST(list_sum(list_transform(range(8), i ->
+        |           (strpos('0123456789abcdef', substr(md5(tok), CAST(i+1 AS INT), 1)) - 1)
+        |             * 16**(7-i))) AS BIGINT) - 4294967296)*4294967296
+        |           + CAST(list_sum(list_transform(range(8), i ->
+        |           (strpos('0123456789abcdef', substr(md5(tok), CAST(i+9 AS INT), 1)) - 1)
+        |             * 16**(7-i))) AS BIGINT)
+        |         ELSE CAST(list_sum(list_transform(range(8), i ->
+        |           (strpos('0123456789abcdef', substr(md5(tok), CAST(i+1 AS INT), 1)) - 1)
+        |             * 16**(7-i))) AS BIGINT)*4294967296
+        |           + CAST(list_sum(list_transform(range(8), i ->
+        |           (strpos('0123456789abcdef', substr(md5(tok), CAST(i+9 AS INT), 1)) - 1)
+        |             * 16**(7-i))) AS BIGINT)
+        |    END) AS hs
+        |  FROM t
+        |), c AS (
+        |  SELECT doc_id,
+        |    list_transform(range(64), b ->
+        |      list_sum(list_transform(hs, hv ->
+        |        CASE WHEN (hv >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END))) AS cnts
+        |  FROM h
+        |), p AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(32), b ->
+        |      CASE WHEN cnts[CAST(b AS INT)+33] > 0 THEN 2**CAST(b AS INT) ELSE 0 END))
+        |      AS BIGINT) AS hi32,
+        |    CAST(list_sum(list_transform(range(32), b ->
+        |      CASE WHEN cnts[CAST(b AS INT)+1] > 0 THEN 2**CAST(b AS INT) ELSE 0 END))
+        |      AS BIGINT) AS lo32
+        |  FROM c
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hi32 >= 2147483648 THEN (hi32 - 4294967296)*4294967296 + lo32
+        |         ELSE hi32*4294967296 + lo32 END AS sim
+        |  FROM p
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        |FROM s a JOIN s b ON b.doc_id > a.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -36,7 +36,9 @@ object GraftFunctions {
       ShingleSet(args(0), intArg("graft_shingles", args(1)))
     },
     "graft_clean_text" -> { args => CleanAsciiText(args(0)) },
-    "graft_simhash32" -> { args => SimHash32FromHashes(args(0)) },
+    "graft_simhash" -> { args =>
+      SimHashFromHashes(args(0), intArg("graft_simhash", args(1)))
+    },
   )
 
   /** Idempotent per-session registration (temp functions live in the
@@ -79,11 +81,19 @@ object GraftFunctions {
     call_function("graft_clean_text", c)
   }
 
-  /** 32-bit SimHash of an array<bigint> of token hashes (native). */
-  def simhash32(df: org.apache.spark.sql.DataFrame, hashes: Column): Column = {
+  /** width-bit SimHash of an array<bigint> of token hashes (native). */
+  def simhash(df: org.apache.spark.sql.DataFrame, hashes: Column, width: Int): Column = {
     ensureRegistered(df.sparkSession)
-    call_function("graft_simhash32", hashes)
+    call_function("graft_simhash", hashes, lit(width))
   }
+
+  /** 32-bit SimHash of an array<bigint> of token hashes (native). */
+  def simhash32(df: org.apache.spark.sql.DataFrame, hashes: Column): Column =
+    simhash(df, hashes, 32)
+
+  /** 64-bit SimHash of an array<bigint> of token hashes (native). */
+  def simhash64(df: org.apache.spark.sql.DataFrame, hashes: Column): Column =
+    simhash(df, hashes, 64)
 }
 
 /** `spark.sql.extensions` injector — the SparkSessionExtensions route

@@ -75,14 +75,28 @@ case class CleanAsciiText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** 32-bit SimHash from an array of per-token hash values: accumulate
-  * 32 +1/-1 counters over the low 32 bits of each hash, pack the sign
-  * pattern into a long. The token hashing itself stays a composed
-  * column (pluggable: fast xxhash64 or the md5-portable variant); this
-  * expression replaces the interpreted 32-branch `aggregate`/`zip_with`
-  * accumulation — per token, one tight 32-iteration loop instead of an
-  * interpreted lambda tree allocating two 32-element arrays. */
-case class SimHash32FromHashes(child: Expression) extends UnaryExpression {
+/** width-bit SimHash (width <= 64) from an array of per-token hash
+  * values: accumulate `width` +1/-1 counters over the low `width` bits
+  * of each hash, pack the sign pattern into a long (bit width-1 lands
+  * in the long's sign bit at width=64 — two's-complement packing, the
+  * same value a 64-bit unsigned pack reinterpreted signed would give).
+  *
+  * The width is a Literal parameter, not hardcoded: a 32-bit signature
+  * banded 4 ways gives 8-bit band keys (256 buckets — saturates near
+  * 10^5 docs), while 64 bits at the same band count gives 16-bit keys
+  * (65536 buckets) and headroom to 10^8 docs; the banding recall
+  * guarantee survives corpus growth by widening here, not by silently
+  * dropping buckets.
+  *
+  * The token hashing itself stays a composed column (pluggable: fast
+  * xxhash64 or an md5-portable variant); this expression replaces the
+  * interpreted `aggregate`/`zip_with` accumulation — per token, one
+  * tight width-iteration loop instead of an interpreted lambda tree
+  * allocating two width-element arrays. */
+case class SimHashFromHashes(child: Expression, width: Int) extends UnaryExpression {
+
+  require(width >= 1 && width <= 64,
+    s"simhash width must be in [1, 64], got $width")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) =>
@@ -91,18 +105,18 @@ case class SimHash32FromHashes(child: Expression) extends UnaryExpression {
       s"$prettyName expects array<bigint> token hashes, got ${other.simpleString}")
   }
   override def dataType: DataType = org.apache.spark.sql.types.LongType
-  override def prettyName: String = "graft_simhash32"
+  override def prettyName: String = "graft_simhash"
 
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val counts = new Array[Long](32)
+    val counts = new Array[Long](width)
     val n = hs.numElements()
     var i = 0
     while (i < n) {
       if (!hs.isNullAt(i)) {
         val h = hs.getLong(i)
         var b = 0
-        while (b < 32) {
+        while (b < width) {
           if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
           b += 1
         }
@@ -111,28 +125,28 @@ case class SimHash32FromHashes(child: Expression) extends UnaryExpression {
     }
     var sim = 0L
     var b = 0
-    while (b < 32) { if (counts(b) > 0) sim |= (1L << b); b += 1 }
+    while (b < width) { if (counts(b) > 0) sim |= (1L << b); b += 1 }
     sim
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, hs => {
       s"""
-         |long[] cnt$$ = new long[32];
+         |long[] cnt$$ = new long[$width];
          |int n$$ = $hs.numElements();
          |for (int i$$ = 0; i$$ < n$$; i$$++) {
          |  if ($hs.isNullAt(i$$)) continue;
          |  long h$$ = $hs.getLong(i$$);
-         |  for (int b$$ = 0; b$$ < 32; b$$++) {
+         |  for (int b$$ = 0; b$$ < $width; b$$++) {
          |    if (((h$$ >> b$$) & 1L) == 1L) cnt$$[b$$]++; else cnt$$[b$$]--;
          |  }
          |}
          |long sim$$ = 0L;
-         |for (int b$$ = 0; b$$ < 32; b$$++) if (cnt$$[b$$] > 0) sim$$ |= (1L << b$$);
+         |for (int b$$ = 0; b$$ < $width; b$$++) if (cnt$$[b$$] > 0) sim$$ |= (1L << b$$);
          |${ev.value} = sim$$;
        """.stripMargin
     })
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash32FromHashes =
+  override protected def withNewChildInternal(newChild: Expression): SimHashFromHashes =
     copy(child = newChild)
 }

@@ -115,6 +115,23 @@ object TextFunctions {
   def portableTokenHash32(t: Column): Column =
     conv(substring(md5(t), 1, 8), 16, 10).cast("long")
 
+  /** 64-bit portable token hash: md5's first 16 hex chars as a signed
+    * two's-complement long, built from two 32-bit halves. The naive
+    * `conv(16 hex chars)` would produce unsigned values past
+    * Long.MaxValue (ANSI cast failure); instead the high half is
+    * sign-adjusted BEFORE the shift-combine, so every intermediate
+    * stays inside [-2^63, 2^63) exactly:
+    * hi >= 2^31 (bit 63 set) -> (hi - 2^32) * 2^32 + lo in [-2^63, -1];
+    * otherwise hi * 2^32 + lo in [0, 2^63 - 2^32 + 2^32 - 1]. DuckDB
+    * reproduces the identical CASE over identical BIGINT arithmetic. */
+  def portableTokenHash64(t: Column): Column = {
+    val h = md5(t)
+    val hi = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(h, 9, 8), 16, 10).cast("long")
+    when(hi >= 2147483648L, (hi - 4294967296L) * 4294967296L + lo)
+      .otherwise(hi * 4294967296L + lo)
+  }
+
   /** Rolling polynomial fingerprint of the token stream (base-31 over a
     * Mersenne-prime modulus) — an order-sensitive complement to the
     * set-based md5 fingerprint. Engine-portable integer arithmetic:

@@ -161,46 +161,195 @@ object Dedup {
       .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
   }
 
-  /** 32-bit SimHash over the token stream: each token hashed once
+  /** width-bit SimHash over the token stream: each token hashed once
     * (`transform` binds the hash), then the native
-    * [[graft.expressions.SimHash32FromHashes]] expression accumulates
-    * the 32 +1/-1 counters and packs the sign pattern in one
+    * [[graft.expressions.SimHashFromHashes]] expression accumulates
+    * the +1/-1 counters and packs the sign pattern in one
     * Janino-compiled loop. Near-dups differ in few bits — compare with
-    * [[hammingDistance32]].
+    * [[hammingDistance]].
     *
     * `tokenHash` picks the per-token hash column: default is xxhash64
     * (fastest; engine-internal), while
-    * [[TextFunctions.portableTokenHash32]] gives a slower md5-derived
-    * hash reproducible in other engines (used by the DuckDB oracle). */
+    * [[TextFunctions.portableTokenHash32]] /
+    * [[TextFunctions.portableTokenHash64]] give slower md5-derived
+    * hashes reproducible in other engines (used by the DuckDB oracle). */
+  def simHash(
+      df: DataFrame,
+      textCol: String,
+      outCol: String,
+      width: Int,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val hashes = transform(toks, t => tokenHash(t))
+    df.withColumn(outCol, GraftFunctions.simhash(df, hashes, width))
+  }
+
+  /** 32-bit [[simHash]]. For corpora past ~10^5 docs prefer
+    * [[simHash64]] — banding needs the wider key space. */
   def simHash32(
       df: DataFrame,
       textCol: String,
       outCol: String,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    val hashes = transform(toks, t => tokenHash(t))
-    df.withColumn(outCol, GraftFunctions.simhash32(df, hashes))
-  }
+      tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    simHash(df, textCol, outCol, 32, tokenHash)
+
+  /** 64-bit [[simHash]] — the corpus-scale default. */
+  def simHash64(
+      df: DataFrame,
+      textCol: String,
+      outCol: String,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    simHash(df, textCol, outCol, 64, tokenHash)
+
+  /** Hamming distance between two packed simhash signatures (any
+    * width up to 64). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
 
   /** Hamming distance between two 32-bit simhashes. */
   def hammingDistance32(a: Column, b: Column): Column =
-    bit_count(a.bitwiseXOR(b))
+    hammingDistance(a, b)
+
+  private val simHashObsId = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Shared banding pipeline: width-bit signatures, band-key explode,
+    * one hash shuffle on (band, key), per-bucket signature lists. A
+    * signature is ONE long — unlike the MinHash pipeline (whose verify
+    * payload, the shingle sets, is far too big to ship through the
+    * band explode), carrying it through the shuffle costs 8 bytes/row
+    * and eliminates both join-backs AND the two signature
+    * recomputations they would trigger. */
+  private def simHashBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      bands: Int,
+      tokenHash: Column => Column): DataFrame = {
+    val rows = width / bands
+    val mask = if (rows == 64) -1L else (1L << rows) - 1
+    val sigs = simHash(df, textCol, "sim", width, tokenHash)
+      .select(struct(col(idCol).as("id"), col("sim")).as("ds"))
+    sigs.select(col("ds"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("ds.sim"), b * rows).bitwiseAND(lit(mask)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("ds"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .groupBy("band", "key").agg(collect_list("ds").as("ds"))
+  }
+
+  private def bucketMetrics(maxBucket: Int): Seq[Column] = Seq(
+    sum(when(size(col("ds")) > maxBucket, 1L).otherwise(0L)).as("oversize_buckets"),
+    sum(when(size(col("ds")) > maxBucket, size(col("ds")).cast("long"))
+      .otherwise(0L)).as("oversize_rows"),
+    max(size(col("ds"))).as("max_bucket_size"),
+    count(lit(1)).as("n_buckets"))
+
+  /** Bucket-population audit for [[simHashNearDupPairsW]]: one row of
+    * (oversize_buckets, oversize_rows, max_bucket_size, n_buckets) for
+    * the given banding parameters. Unlike the inline observe() metrics
+    * (which AQE can lose when a downstream stage collapses to empty),
+    * this is its own query — run it alongside a `dropOversize = true`
+    * dedup to quantify exactly how much recall the drops cost. The
+    * aggregation input is band-key-bounded (at most bands x 2^(width/
+    * bands) rows after the bucket agg), so the audit costs one extra
+    * corpus scan and a vocabulary-sized reduce, nothing more. */
+  def simHashBucketStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 64,
+      bands: Int = 4,
+      maxBucket: Int = 1000,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(width % bands == 0, s"bands ($bands) must divide $width")
+    val m = bucketMetrics(maxBucket)
+    simHashBuckets(df, idCol, textCol, width, bands, tokenHash)
+      .agg(m.head, m.tail: _*)
+  }
 
   /** ALL-PAIRS SimHash near-duplicates: banded simhash buckets (pairs
-    * whose signatures agree on at least one contiguous `32/bands`-bit
-    * band become candidates) verified with exact Hamming distance.
-    * Same shuffle-bounded LSH shape as [[minHashNearDupPairs]] — one
-    * hash shuffle on the band key, bucket-local pair expansion with a
-    * `maxBucket` skew guard, candidate-only verification — and, when
-    * `maxHamming <= bands - 1`, a PIGEONHOLE GUARANTEE of full recall:
-    * maxHamming differing bits can dirty at most maxHamming bands, so
-    * at least one band is identical and the pair always becomes a
-    * candidate. No probabilistic recall argument needed.
+    * whose signatures agree on at least one contiguous
+    * `width/bands`-bit band become candidates) verified with exact
+    * Hamming distance. Same shuffle-bounded LSH shape as
+    * [[minHashNearDupPairs]] — one hash shuffle on the band key,
+    * bucket-local pair expansion with a `maxBucket` skew guard,
+    * candidate-only verification — and, when `maxHamming <= bands - 1`,
+    * a PIGEONHOLE GUARANTEE of full recall: maxHamming differing bits
+    * can dirty at most maxHamming bands, so at least one band is
+    * identical and the pair always becomes a candidate. No
+    * probabilistic recall argument needed.
     *
-    * Scale note: a 32-bit signature banded 4 ways gives 8-bit band
-    * keys (256 buckets) — ample for corpora up to ~10^5 docs; beyond
-    * that, widen the signature before banding or raise `bands` with a
-    * larger signature, or bucket sizes grow linearly. */
+    * Width picks the band-key space and therefore the corpus size the
+    * guarantee survives: 32-bit / 4 bands = 8-bit keys (256 buckets,
+    * ~10^5 docs before buckets hit `maxBucket`); 64-bit / 4 bands =
+    * 16-bit keys (65536 buckets, ~10^8 docs). Past that, raise `bands`
+    * (with a proportionally higher `maxHamming` bound) or `maxBucket`.
+    *
+    * Oversize buckets are NEVER silent: by default a bucket exceeding
+    * `maxBucket` fails the job with a clear message (a dropped bucket
+    * would silently void the recall guarantee this operator
+    * advertises). Pass `dropOversize = true` to accept recall loss —
+    * e.g. a degenerate empty-document key — and the drop is still
+    * observable: every run attaches `observe()` metrics
+    * (oversize_buckets, oversize_rows, max_bucket_size, n_buckets)
+    * visible to any QueryExecutionListener, or synchronously through
+    * the `bucketStats` Observation parameter. */
+  def simHashNearDupPairsW(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucket: Int = 1000,
+      tokenHash: Column => Column = xxhash64(_),
+      dropOversize: Boolean = false,
+      bucketStats: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(width % bands == 0, s"bands ($bands) must divide $width")
+    // maxBucket < 2 would make the keep-filter (2 <= size <= maxBucket)
+    // a constant contradiction, which Catalyst folds to an empty
+    // relation — pruning the observe() metrics with it.
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) must be >= 2")
+    val aggregated = simHashBuckets(df, idCol, textCol, width, bands, tokenHash)
+    // observe(): computed inline over the rows already flowing past —
+    // zero extra jobs, surfaced to QueryExecutionListeners (and the
+    // caller's Observation if given). AQE caveat: if a downstream stage
+    // collapses to an empty relation (e.g. every bucket dropped), AQE's
+    // empty-relation propagation can replace the subtree holding the
+    // CollectMetrics node and the observed metrics are lost — use
+    // [[simHashBucketStats]] for an audit that cannot disappear, or the
+    // strict default below, which fails the job outright.
+    val metrics = bucketMetrics(maxBucket)
+    val observed = bucketStats match {
+      case Some(obs) => aggregated.observe(obs, metrics.head, metrics.tail: _*)
+      case None => aggregated.observe(
+        s"graft_simhash${width}_buckets_${simHashObsId.getAndIncrement()}",
+        metrics.head, metrics.tail: _*)
+    }
+    val bucketed =
+      if (dropOversize) observed.filter(size(col("ds")).between(2, maxBucket))
+      else observed.filter(size(col("ds")) >= 2)
+        .withColumn("ds",
+          when(size(col("ds")) <= maxBucket, col("ds")).otherwise(raise_error(concat(
+            lit(s"simhash$width/$bands-band bucket exceeded maxBucket=$maxBucket " +
+              "(size "), size(col("ds")).cast("string"),
+            lit(") — the pigeonhole recall guarantee would silently degrade. " +
+              "Widen the signature, raise bands/maxBucket, or pass " +
+              "dropOversize=true to accept recall loss.")))))
+    bucketed
+      .select(explode(col("ds")).as("x"), col("ds"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hammingDistance(col("x.sim"), col("y.sim")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide in several bands
+  }
+
+  /** 32-bit [[simHashNearDupPairsW]] (8-bit band keys at bands=4 —
+    * corpora to ~10^5 docs; beyond that use [[simHashNearDupPairs64]]). */
   def simHashNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -208,33 +357,22 @@ object Dedup {
       maxHamming: Int = 3,
       bands: Int = 4,
       maxBucket: Int = 1000,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    require(32 % bands == 0, s"bands ($bands) must divide 32")
-    val rows = 32 / bands
-    val mask = (1L << rows) - 1
-    // Unlike the MinHash pipeline (whose verify payload — the shingle
-    // sets — is far too big to ship through the band explode), a
-    // simhash signature is ONE long: carrying it through the shuffle
-    // costs 8 bytes/row and eliminates both join-backs AND the two
-    // signature recomputations they would trigger.
-    val sigs = simHash32(df, textCol, "sim", tokenHash)
-      .select(struct(col(idCol).as("id"), col("sim")).as("ds"))
-    val banded = sigs.select(col("ds"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("ds.sim"), b * rows).bitwiseAND(lit(mask)).as("key"))
-        }: _*)).as("bk"))
-      .select(col("ds"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val bucketed = banded
-      .groupBy("band", "key").agg(collect_list("ds").as("ds"))
-      .filter(size(col("ds")).between(2, maxBucket))
-    bucketed
-      .select(explode(col("ds")).as("x"), col("ds"))
-      .select(col("x"), explode(col("ds")).as("y"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        hammingDistance32(col("x.sim"), col("y.sim")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct() // a pair may collide in several bands
-  }
+      tokenHash: Column => Column = xxhash64(_),
+      dropOversize: Boolean = false): DataFrame =
+    simHashNearDupPairsW(df, idCol, textCol, 32, maxHamming, bands, maxBucket,
+      tokenHash, dropOversize)
+
+  /** 64-bit [[simHashNearDupPairsW]] — 16-bit band keys at bands=4
+    * keep the pigeonhole guarantee healthy to ~10^8 docs. */
+  def simHashNearDupPairs64(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucket: Int = 1000,
+      tokenHash: Column => Column = xxhash64(_),
+      dropOversize: Boolean = false): DataFrame =
+    simHashNearDupPairsW(df, idCol, textCol, 64, maxHamming, bands, maxBucket,
+      tokenHash, dropOversize)
 }

@@ -152,6 +152,70 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaLsh == exact, s"lsh=$viaLsh exact=$exact")
   }
 
+  test("simhash64: banded recall equals the exact hamming pair set; 32-bit low half agrees") {
+    val sigs = Dedup.simHash64(docs, "text", "sim").select(col("doc_id"), col("sim"))
+    val exact = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("h", Dedup.hammingDistance(col("a.sim"), col("b.sim")))
+      .filter(col("h") <= 6)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // maxHamming=6 <= bands-1=7 at 8 bands: pigeonhole holds at 64 bits too
+    val viaLsh = Dedup.simHashNearDupPairs64(docs, "doc_id", "text",
+        maxHamming = 6, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaLsh == exact, s"lsh=$viaLsh exact=$exact")
+    // width parameterization is consistent: the 64-bit signature's low
+    // 32 bits ARE the 32-bit signature (same counters, same packing)
+    val s32 = Dedup.simHash32(docs, "text", "s").select("doc_id", "s")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s64 = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    s32.foreach { case (id, v) => assert((s64(id) & 0xFFFFFFFFL) == v, s"doc $id") }
+  }
+
+  test("simhash banding: oversize buckets fail loudly by default, observable when dropped") {
+    val triplets = table("doc_id bigint, text string", Seq(
+      row(1L, "identical corpus entry repeated verbatim"),
+      row(2L, "identical corpus entry repeated verbatim"),
+      row(3L, "identical corpus entry repeated verbatim"),
+      row(4L, "an entirely unrelated document body here")))
+    // strict default: identical docs share every band; maxBucket=2 must raise
+    val err = intercept[Throwable] {
+      Dedup.simHashNearDupPairs64(triplets, "doc_id", "text",
+        maxHamming = 3, bands = 4, maxBucket = 2).collect()
+    }
+    val messages = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("maxBucket=2"), messages.take(500))
+    // dropOversize: the result loses the pairs, but the audit query
+    // reports exactly what was dropped — recall loss is never invisible
+    val out = Dedup.simHashNearDupPairsW(triplets, "doc_id", "text", width = 64,
+      maxHamming = 3, bands = 4, maxBucket = 2, dropOversize = true).collect()
+    assert(out.isEmpty)
+    val stats = Dedup.simHashBucketStats(triplets, "doc_id", "text",
+      width = 64, bands = 4, maxBucket = 2).head()
+    assert(stats.getAs[Long]("oversize_buckets") == 4L, stats.toString)
+    assert(stats.getAs[Long]("oversize_rows") == 12L, stats.toString)
+    assert(stats.getAs[Int]("max_bucket_size") == 3, stats.toString)
+    assert(stats.getAs[Long]("n_buckets") == 8L, stats.toString)
+    // the inline observe() metrics agree — pinned with AQE off, because
+    // AQE's empty-relation propagation can drop a CollectMetrics node
+    // when every bucket is filtered away (the documented caveat that
+    // simHashBucketStats exists to cover)
+    val spark = triplets.sparkSession
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val obs = org.apache.spark.sql.Observation("simhash_bucket_stats")
+      Dedup.simHashNearDupPairsW(triplets, "doc_id", "text", width = 64,
+        maxHamming = 3, bands = 4, maxBucket = 2,
+        dropOversize = true, bucketStats = Some(obs)).collect()
+      val m = obs.get
+      assert(m("oversize_buckets").asInstanceOf[Long] == 4L, m.toString)
+      assert(m("max_bucket_size").asInstanceOf[Int] == 3, m.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("lsh all-pairs cosine near-dup recovers planted twins, never n^2") {
     // two tight clusters + isolated vectors; only intra-cluster pairs
     // clear the 0.9 threshold
