@@ -11,11 +11,13 @@ import graft.expressions.GraftFunctions
   *
   * Three phases, each with the right distribution shape:
   *  - '''train''': k centroids by Lloyd's algorithm over a
-  *    deterministic hash-sampled subset, computed on the driver. The
-  *    sample is bounded by `sampleMod` (collect only every
-  *    `sampleMod`-th vector by id hash — a pushdown-able filter, not a
-  *    full-corpus collect), and sorted by id first so the model is
-  *    independent of partitioning.
+  *    deterministic hash-sampled subset, run DISTRIBUTED: each
+  *    iteration is one map-only assignment pass plus a map-side-
+  *    combined (cell, dim) partial-sum aggregation — the only data the
+  *    driver ever holds is the k x dims model itself. `sampleMod`
+  *    bounds the training subset (a pushdown-able id-hash filter), but
+  *    the subset no longer has to fit in driver memory: at 100 TB a
+  *    billion-vector sample trains exactly like a thousand-vector one.
   *  - '''assign''': map-only nearest-centroid (max cosine) cell id per
   *    vector via the native codegen cosine — k fused loops per row, no
   *    shuffle. At 100 TB this is the only full-corpus pass, and it
@@ -25,9 +27,10 @@ import graft.expressions.GraftFunctions
   *    cosine top-k over the pruned candidates — a filter that prunes
   *    ~(1 - nprobe/k) of the corpus ahead of any scoring.
   *
-  * No RNG state anywhere: sampling is id-hash-based and init picks
-  * evenly spaced sorted sample vectors, so every run and every executor
-  * derives the identical model.
+  * No RNG state anywhere: sampling is id-hash-based, init picks evenly
+  * spaced vectors of the id-sorted sample, and the per-cell sums
+  * accumulate in exact decimals (order-independent addition), so every
+  * run on every partitioning derives the identical model.
   */
 object Ivf {
 
@@ -48,9 +51,24 @@ object Ivf {
     if (d == 0.0) 0.0 else dot / d
   }
 
-  /** Train k centroids on a deterministic sample. `sampleMod = m` keeps
-    * ~1/m of the corpus (id-hash filter); the sample must fit on the
-    * driver — choose m so it does. */
+  /** Train k centroids on a deterministic sample, fully distributed.
+    * `sampleMod = m` keeps ~1/m of the corpus (id-hash filter applied
+    * before anything else, so column pruning and pushdown still reach
+    * the scan). Per iteration: a map-only nearest-centroid assignment
+    * (the same native-cosine expression [[assign]] uses, so train and
+    * assign share one tie-breaking rule), then `posexplode` of each
+    * vector into (cell, dim, value) and a map-side-combined aggregation
+    * down to k x dims rows — the shuffle carries one partial sum per
+    * (cell, dim) per map task, never a vector. Only the k x dims model
+    * ever reaches the driver.
+    *
+    * Determinism without collecting: init picks evenly spaced rows of
+    * the id-sorted sample via [[General.withContiguousRowIds]] (a
+    * range-partitioned sort; only the k seed rows come back), and the
+    * per-cell component sums accumulate as DECIMAL(30,15) — exact,
+    * order-independent addition, so the centroids are bit-identical
+    * under any partitioning or shuffle arrival order, where a double
+    * sum would drift by ulps from run to run. */
   def train(
       df: DataFrame,
       idCol: String,
@@ -63,34 +81,37 @@ object Ivf {
     val sampled = df
       .filter(pmod(xxhash64(col(idCol), lit(seed)), lit(sampleMod)) === 0)
       .select(col(idCol), col(vecCol))
-      .orderBy(col(idCol))
-      .collect()
-      .map(_.getSeq[Float](1).toArray)
-    require(sampled.length >= k,
-      s"sample of ${sampled.length} vectors cannot seed $k centroids")
     // deterministic init: evenly spaced vectors of the id-sorted sample
-    var centroids: Vector[Array[Float]] =
-      (0 until k).map(i => sampled((i.toLong * sampled.length / k).toInt).clone()).toVector
+    val indexed = General.withContiguousRowIds(sampled, Seq(idCol), "__rid")
+    val n = indexed.select(max(col("__rid"))).head().getLong(0) + 1
+    require(n >= k, s"sample of $n vectors cannot seed $k centroids")
+    val targets = (0 until k).map(i => i.toLong * n / k)
+    var centroids: Vector[Array[Float]] = indexed
+      .filter(col("__rid").isin(targets: _*))
+      .orderBy(col("__rid"))
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray).toVector
     var it = 0
     while (it < iters) {
       val dims = centroids.head.length
-      val sums = Array.fill(k)(new Array[Double](dims))
+      val assigned = assign(sampled, vecCol, Model(centroids), "__cell")
+      val partials = assigned
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__d", "__x")))
+        .groupBy(col("__cell"), col("__d"))
+        .agg(sum(col("__x").cast("double").cast("decimal(30,15)")).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect()
+      val sums = Array.fill(k)(new Array[java.math.BigDecimal](dims))
       val counts = new Array[Long](k)
-      sampled.foreach { v =>
-        var best = 0; var bestCos = Double.NegativeInfinity
-        var c = 0
-        while (c < k) {
-          val cs = cosine(v, centroids(c))
-          if (cs > bestCos) { bestCos = cs; best = c }
-          c += 1
-        }
-        counts(best) += 1
-        var d = 0
-        while (d < dims) { sums(best)(d) += v(d); d += 1 }
+      partials.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        sums(c)(d) = r.getDecimal(2)
+        if (d == 0) counts(c) = r.getLong(3)
       }
       centroids = centroids.zipWithIndex.map { case (old, c) =>
         if (counts(c) == 0) old
-        else Array.tabulate(dims)(d => (sums(c)(d) / counts(c)).toFloat)
+        else Array.tabulate(dims)(d => (sums(c)(d).doubleValue() / counts(c)).toFloat)
       }.toVector
       it += 1
     }
