@@ -674,6 +674,51 @@ object SparkEntry {
         tokenHash = TextFunctions.portableTokenHash64)
       .orderBy("id_a", "id_b")
 
+  // ---------------------------------------------------------------- q41
+  /** STREAMING correctness gate, sessionization: the events table is
+    * replayed through a file stream into the stateful
+    * `flatMapGroupsWithState` sessionizer (per-key flush sentinels
+    * close every real session), and the emitted sessions roll up to
+    * exactly q22's per-user stats — the oracle is q22's batch SQL
+    * verbatim, so the incremental operator faces the same value gate
+    * as its batch twin. */
+  private def q41StreamSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replaySessionize(
+        Tables.events(s, dir), 30L * 60 * 1000000)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy("user_id")
+
+  // ---------------------------------------------------------------- q42
+  /** STREAMING correctness gate, watermarked windowed aggregation: a
+    * global sentinel pushes the watermark past every real 5-minute
+    * window so append mode flushes them all; the emitted (window,
+    * event_type) counts and decimal-exact value sums must equal the
+    * plain batch rollup the oracle computes. Window starts are emitted
+    * as epoch µs (integer arithmetic on both engines — the µs epoch
+    * exceeds double's mantissa, so no float bucketing anywhere). */
+  private def q42StreamWindowedCounts(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayWindowedCounts(Tables.events(s, dir),
+        "5 minutes", "5 minutes", "10 minutes", horizonUs = 3600L * 1000000)
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("value_sum"))
+      .orderBy("window_start_us", "event_type")
+
+  // ---------------------------------------------------------------- q43
+  /** STREAMING correctness gate, watermarked dedup: the replay runs
+    * dropDuplicatesWithinWatermark over (user_id, event_type) and the
+    * survivors must aggregate to exactly the batch DISTINCT — count
+    * AND id-sum per event type, so a wrong or duplicated survivor
+    * changes the hash. */
+  private def q43StreamDedup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayDedup(Tables.events(s, dir),
+        Seq("user_id", "event_type"), "10 minutes")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("sum_uid"))
+      .orderBy("event_type")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -714,6 +759,9 @@ object SparkEntry {
     "q37_supplier_region" -> (q37SupplierRegion _),
     "q38_chunk_tokens" -> (q38ChunkTokens _),
     "q39_simhash64_neardup" -> (q39Simhash64NearDup _),
+    "q41_stream_sessionize" -> (q41StreamSessionize _),
+    "q42_stream_windowed_counts" -> (q42StreamWindowedCounts _),
+    "q43_stream_dedup" -> (q43StreamDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1304,5 +1352,43 @@ object SparkEntry {
         |FROM s a JOIN s b ON b.doc_id > a.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // q41's oracle is q22's batch sessionization SQL VERBATIM: the
+    // streamed operator must reproduce the batch answer exactly.
+    "q41_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g
+        |), per AS (
+        |  SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2
+        |)
+        |SELECT user_id,
+        |  count(*) AS n_sessions,
+        |  CAST(max(n) AS BIGINT) AS max_session_events,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q42_stream_windowed_counts" ->
+      """SELECT (epoch_us(date_trunc('microseconds', ts)) // 300000000)
+        |         * 300000000 AS window_start_us,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q43_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n_users,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

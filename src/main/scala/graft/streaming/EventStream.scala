@@ -36,6 +36,9 @@ object EventStream {
   /** Event-time windowed counts with a watermark: state for windows
     * older than the watermark is dropped, which bounds state size on an
     * unbounded stream — the knob that makes this viable at 100 TB/day.
+    * The value sum accumulates through DECIMAL(18,2): exact and
+    * order-independent, so a replayed stream, the batch twin, and an
+    * external oracle all produce the bit-identical double.
     */
   def windowedCounts(
       events: DataFrame,
@@ -45,7 +48,9 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("value_sum"))
 
   /** Streaming exact dedup: drop events whose `keyCols` were already
     * seen within the watermark horizon. Spark's streaming
@@ -63,10 +68,23 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Microsecond-exact epoch extraction — `Timestamp.getTime` alone is
+    * millisecond-truncated, which would make stream session boundaries
+    * diverge from the µs-precision batch operator on sub-ms data. */
+  private[streaming] def micros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  private[streaming] def tsFromMicros(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
   /** Stateful gap sessionization: one GroupState per user carries the
-    * open session; events beyond `gapUs` close it and emit. Processing-
-    * time timeout flushes idle users. State is O(active users), not
-    * O(events). */
+    * open session; events beyond `gapUs` close it and emit. All time
+    * arithmetic is µs-exact, so the emitted sessions match
+    * [[graft.operators.Sessionize.sessionize]] boundary-for-boundary.
+    * State is O(active users), not O(events). */
   def sessionizeStream(
       events: Dataset[Event],
       gapUs: Long): Dataset[Session] = {
@@ -76,18 +94,17 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var cur = state.getOption
           val closed = Seq.newBuilder[Session]
           sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
+            val us = micros(e.ts)
             cur match {
               case Some(st) if us - st.lastUs <= gapUs =>
                 cur = Some(st.copy(lastUs = us, n = st.n + 1, valueSum = st.valueSum + e.value))
               case Some(st) =>
                 closed += Session(userId,
-                  new java.sql.Timestamp(st.startUs / 1000L),
-                  new java.sql.Timestamp(st.lastUs / 1000L), st.n, st.valueSum)
+                  tsFromMicros(st.startUs), tsFromMicros(st.lastUs), st.n, st.valueSum)
                 cur = Some(SessionState(us, us, 1L, e.value))
               case None =>
                 cur = Some(SessionState(us, us, 1L, e.value))

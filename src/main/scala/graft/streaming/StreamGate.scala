@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Batch-vs-stream correctness gates: replay a batch events frame
+  * through the Structured Streaming operators (file source ->
+  * `Trigger.AvailableNow` -> parquet sink) and hand back the result as
+  * an ordinary batch DataFrame. This is what lets the incremental
+  * operators face the same value-checked oracle as everything else —
+  * the stream output must equal the batch twin row-for-row, not just
+  * "look plausible in a spec".
+  *
+  * Flush mechanics: append-mode streaming only emits state the
+  * watermark (windows) or a newer event (sessions) has closed, so a
+  * finite replay would hold the tail back in the state store. The
+  * replays therefore append one SENTINEL event per key (sessions) or
+  * per stream (windows) far past the real data: every real session and
+  * window closes and is emitted, while the sentinel's own session or
+  * window stays open and is never seen downstream. The sentinel only
+  * exists in the replay's temp source dir — an oracle reading the
+  * original table never sees it, which is exactly the point: the
+  * stream must reproduce the batch answer over the REAL events.
+  *
+  * Everything stays distributed: the sink is parquet (never a driver
+  * collect), and the temp source/checkpoint dirs are per-run unique so
+  * replays are rerunnable and never share state.
+  */
+object StreamGate {
+
+  private def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def eventSchema(spark: SparkSession) = {
+    import spark.implicits._
+    implicitly[Encoder[EventStream.Event]].schema
+  }
+
+  /** Write `events` (event_id, ts, user_id, event_type, value) to a
+    * fresh dir and open it as a typed file stream. The write is
+    * coalesced so the replay fits ONE micro-batch: the source files
+    * are not time-ordered, and a multi-batch replay would advance the
+    * watermark between batches and drop later files' older rows as
+    * late data — breaking the exact batch equivalence this gate
+    * exists to prove. (A real deployment replays time-ordered files;
+    * see StreamBatchEquivalenceSpec for the multi-batch ordered case.) */
+  private def replayStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val src = tempDir("graft_stream_src")
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(16)
+      .write.mode("overwrite").parquet(src)
+    EventStream.readEventStream(spark, src, eventSchema(spark))
+  }
+
+  /** Drive a streaming frame to a parquet sink with AvailableNow and
+    * read the result back with the sink's own schema. */
+  private def runToParquet(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val out = tempDir("graft_stream_out")
+    val ck = tempDir("graft_stream_ck")
+    val q = df.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(df.schema).parquet(out)
+  }
+
+  /** One sentinel event per user, `horizonUs` past the newest real
+    * event: closes every user's final session (the sentinel's own
+    * session stays open in state and is never emitted). */
+  private def withPerKeySentinels(events: DataFrame, horizonUs: Long): DataFrame = {
+    val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinels = events.select("user_id").distinct()
+      .select(lit(-1L).as("event_id"),
+        timestamp_micros(lit(maxUs + horizonUs)).as("ts"),
+        col("user_id"),
+        lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"))
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .unionByName(sentinels)
+  }
+
+  /** One global sentinel `horizonUs` past the newest real event: drags
+    * the watermark past every real window so append mode flushes them
+    * all (the sentinel's own window stays unflushed). */
+  private def withGlobalSentinel(events: DataFrame, horizonUs: Long): DataFrame = {
+    val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinel = events.limit(1)
+      .select(lit(-1L).as("event_id"),
+        timestamp_micros(lit(maxUs + horizonUs)).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"))
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .unionByName(sentinel)
+  }
+
+  /** Replay through [[EventStream.sessionizeStream]]: every real
+    * session closes (per-key sentinels) and comes back as a batch
+    * frame of Session rows. */
+  def replaySessionize(events: DataFrame, gapUs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stream = replayStream(withPerKeySentinels(events, 2 * gapUs))
+      .as[EventStream.Event]
+    runToParquet(EventStream.sessionizeStream(stream, gapUs).toDF())
+  }
+
+  /** Replay through [[EventStream.windowedCounts]]: the global
+    * sentinel pushes the watermark past every real window, so append
+    * mode emits them all; the sentinel's own row is filtered out of
+    * the result. */
+  def replayWindowedCounts(
+      events: DataFrame,
+      windowDur: String,
+      slide: String,
+      watermark: String,
+      horizonUs: Long): DataFrame = {
+    val stream = replayStream(withGlobalSentinel(events, horizonUs))
+    runToParquet(EventStream.windowedCounts(stream, windowDur, slide, watermark))
+      .filter(col("event_type") =!= "__sentinel")
+  }
+
+  /** Replay through [[EventStream.dedupStream]]: one surviving row per
+    * distinct key (all data lands inside the watermark horizon of a
+    * single AvailableNow batch, so the streaming state dedups the
+    * whole replay — the incremental twin of a batch dropDuplicates). */
+  def replayDedup(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermark: String): DataFrame = {
+    val stream = replayStream(
+      events.select("event_id", "ts", "user_id", "event_type", "value"))
+    runToParquet(EventStream.dedupStream(stream, keyCols, watermark = watermark))
+  }
+}

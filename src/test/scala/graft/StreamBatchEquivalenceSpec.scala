@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sessionize
+import graft.sources.Tables
+import graft.streaming.{EventStream, StreamGate}
+import graft.testkit.SparkTestKit._
+
+/** Batch-vs-stream equivalence over the real events table: the
+  * streaming operators must reproduce their batch twins row-for-row.
+  * The sessionize case runs MULTI-batch (time-split source files,
+  * maxFilesPerTrigger=1) so state genuinely crosses micro-batch
+  * boundaries — a single-batch replay would never exercise the state
+  * store handoff. (The q41-q43 oracle queries check the same
+  * operators against DuckDB; this spec checks the incremental
+  * machinery itself, including the multi-batch path DuckDB can't see.)
+  */
+class StreamBatchEquivalenceSpec extends AnyFunSuite {
+
+  private val dataDir = "/root/testdata/sf0.001"
+  private val gapUs = 30L * 60 * 1000000
+
+  private def events = Tables.events(spark, dataDir)
+    .select("event_id", "ts", "user_id", "event_type", "value")
+
+  test("stream sessionize == batch sessionize across micro-batch boundaries") {
+    val s = spark
+    import s.implicits._
+    val ev = events
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val minUs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+    val midUs = (minUs + maxUs) / 2
+    // per-user sentinels close every real session; they ride in the
+    // newer half so they land in the LAST micro-batch
+    val sentinels = ev.select("user_id").distinct()
+      .select(lit(-1L).as("event_id"),
+        timestamp_micros(lit(maxUs + 2 * gapUs)).as("ts"),
+        col("user_id"), lit("__sentinel").as("event_type"), lit(0.0).as("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-eq").toString
+    // two time-ordered files written sequentially: the file source
+    // processes oldest-modified first, so with maxFilesPerTrigger=1
+    // the replay is a genuine two-batch stream in event-time order
+    ev.filter(unix_micros(col("ts")) <= midUs)
+      .coalesce(1).write.mode("append").parquet(dir)
+    ev.filter(unix_micros(col("ts")) > midUs).unionByName(sentinels)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = implicitly[org.apache.spark.sql.Encoder[EventStream.Event]].schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[EventStream.Event]
+    val q = EventStream.sessionizeStream(stream, gapUs).toDF()
+      .writeStream.format("memory").queryName("sess_eq")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "replay must span at least two non-empty micro-batches")
+    val streamed = s.table("sess_eq")
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"),
+        col("n_events"))
+      .collect().map(_.toSeq).toSet
+    val batch = Sessionize.sessionStats(
+        Sessionize.sessionize(ev, Seq("user_id"), "ts", gapUs,
+          tieBreak = Seq("event_id")),
+        Seq("user_id"), "ts", "value")
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"),
+        col("n_events"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("stream windowed counts == batch windowed rollup (watermark-flushed)") {
+    val streamed = StreamGate.replayWindowedCounts(events,
+        "5 minutes", "5 minutes", "10 minutes", horizonUs = 3600L * 1000000)
+      .select(unix_micros(col("window.start")).as("w_us"),
+        col("event_type"), col("n"), col("value_sum"))
+      .collect().map(_.toSeq).toSet
+    val batch = events
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(unix_micros(col("window.start")).as("w_us"),
+        col("event_type"), col("n"), col("value_sum"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("stream dedup == batch distinct on the key columns") {
+    val streamed = StreamGate.replayDedup(events,
+        Seq("user_id", "event_type"), "10 minutes")
+      .select("user_id", "event_type")
+      .collect().map(_.toSeq).toSet
+    val batch = events.select("user_id", "event_type").distinct()
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
