@@ -27,23 +27,37 @@ object Bench {
     }
     // Warm-up: absorb session/codegen startup and first-touch file I/O
     // (parquet footers, OS page cache) so the first timed query isn't
-    // charged for them; queries then run in name order so timings are
+    // charged for them — EVERY table the query suite reads is
+    // pre-touched; queries then run in name order so timings are
     // comparable across rounds (Map order is arbitrary).
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    Seq("lineitem", "orders", "part", "nation", "events",
-        "documents", "embeddings").foreach { t =>
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // Each query runs `runs` times and reports the MEDIAN: single runs
+    // on a shared host vary +/-40% under load, which is larger than
+    // most real regressions — the median is reproducible to ~10%.
+    // A query that throws is still reported loudly and retried never.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val results: Seq[(String, Double, Option[String])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $e")
-            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var err: Option[String] = None
+        var r = 0
+        while (r < runs && err.isEmpty) {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: $e")
+              err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+          }
+          r += 1
         }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.length / 2)
+        (name, median, err)
       }
     val qs = results.map { case (k, v, _) => s"\"${esc(k)}\":$v" }
       .mkString("{", ",", "}")

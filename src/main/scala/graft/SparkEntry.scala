@@ -674,6 +674,32 @@ object SparkEntry {
         tokenHash = TextFunctions.portableTokenHash64)
       .orderBy("id_a", "id_b")
 
+  // ---------------------------------------------------------------- q40
+  /** Salted-join equality gate: lineitem joins its per-flag stats on
+    * l_returnflag — a deliberately pathological key (3 distinct values
+    * over the whole fact table, the skew shape that strands a plain
+    * hash join's hot key in one task). The salted form spreads each
+    * flag over 8 salt partitions by replicating the small side; the
+    * oracle is the PLAIN join's aggregate, so the salt must change the
+    * partitioning and nothing else — row counts, sums, and the joined
+    * dimension values all hash-checked. */
+  private def q40SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skew
+    val li = Tables.lineitem(s, dir)
+    val flagStats = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("flag_rows"),
+        decSum(col("l_extendedprice")).as("flag_price"))
+    Skew.saltedJoin(
+        li.select("l_orderkey", "l_returnflag", "l_quantity"),
+        flagStats, Seq("l_returnflag"), saltBy = "l_orderkey", nSalts = 8)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        max(col("flag_rows")).as("flag_rows"),
+        max(col("flag_price")).as("flag_price"))
+      .orderBy("l_returnflag")
+  }
+
   // ---------------------------------------------------------------- q41
   /** STREAMING correctness gate, sessionization: the events table is
     * replayed through a file stream into the stateful
@@ -759,6 +785,7 @@ object SparkEntry {
     "q37_supplier_region" -> (q37SupplierRegion _),
     "q38_chunk_tokens" -> (q38ChunkTokens _),
     "q39_simhash64_neardup" -> (q39Simhash64NearDup _),
+    "q40_salted_join" -> (q40SaltedJoin _),
     "q41_stream_sessionize" -> (q41StreamSessionize _),
     "q42_stream_windowed_counts" -> (q42StreamWindowedCounts _),
     "q43_stream_dedup" -> (q43StreamDedup _),
@@ -1352,6 +1379,19 @@ object SparkEntry {
         |FROM s a JOIN s b ON b.doc_id > a.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    "q40_salted_join" ->
+      """WITH fs AS (
+        |  SELECT l_returnflag, COUNT(*) AS flag_rows,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS flag_price
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l.l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  MAX(fs.flag_rows) AS flag_rows,
+        |  MAX(fs.flag_price) AS flag_price
+        |FROM lineitem l JOIN fs USING (l_returnflag)
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin,
     // q41's oracle is q22's batch sessionization SQL VERBATIM: the
     // streamed operator must reproduce the batch answer exactly.
     "q41_stream_sessionize" ->
