@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkTestKit._
+
+/** Plan-shape regression gate over EVERY registered query: the shapes
+  * the round verdicts have audited by hand, promoted to assertions so
+  * a future change cannot silently reintroduce a scale-killer.
+  *
+  * - No CartesianProduct / BroadcastNestedLoopJoin anywhere: every
+  *   range/similarity predicate must stay bucketed into an equi-join
+  *   (a nested-loop join is O(n*m) at 100 TB — the single worst plan
+  *   regression possible).
+  * - The dimension joins that SHOULD broadcast (q26 star schema, q37
+  *   dimension chain) actually do.
+  *
+  * Queries are PLANNED at sf0.001 (the physical plan shape is SF-
+  * independent for these queries; AQE may later rewrite sort-merge
+  * joins to broadcast at runtime, but it never introduces a nested
+  * loop that the static plan lacks). The streaming replay queries run
+  * their stream during construction and return a plain parquet-scan
+  * aggregate — they participate like any other query.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private val dataDir = "/root/testdata/sf0.001"
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, dataDir).queryExecution.executedPlan.toString
+    }
+
+  test("no query plans a cartesian product or nested-loop join") {
+    val offenders = plans.collect {
+      case (name, plan)
+          if plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin") =>
+        name
+    }
+    assert(offenders.isEmpty,
+      s"nested-loop/cartesian plans in: ${offenders.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("dimension joins broadcast: q26 star schema, q37 dimension chain") {
+    assert(plans("q26_star_join").contains("BroadcastHashJoin"),
+      plans("q26_star_join").take(2000))
+    assert(plans("q37_supplier_region").contains("BroadcastHashJoin"),
+      plans("q37_supplier_region").take(2000))
+  }
+
+  test("no query collapses the corpus into a single-partition global sort window") {
+    // Window.partitionBy() over a RAW table is the one window hazard;
+    // the only whole-frame window in the suite (q04) runs over an
+    // already-reduced 6-row frame. Guard: any plan with a Window over
+    // an Exchange SinglePartition must also contain the reducing
+    // aggregate below it — cheap proxy: single-partition windows may
+    // only appear in q04.
+    val offenders = plans.collect {
+      case (name, plan)
+          if name != "q04_window_sum" &&
+            plan.contains("Window") && plan.contains("SinglePartition") =>
+        name
+    }
+    assert(offenders.isEmpty,
+      s"single-partition window plans in: ${offenders.toSeq.sorted.mkString(", ")}")
+  }
+}
