@@ -490,10 +490,20 @@ object SparkEntry {
     * (maxHamming=3 <= bands-1 ⇒ full recall by construction). Portable
     * md5-derived token hash, so the oracle recomputes the signatures
     * AND the exact hamming pair set value-for-value — the LSH must
-    * recover every pair or the hash mismatches. */
+    * recover every pair or the hash mismatches.
+    *
+    * maxBucket is raised to 10000 here because a 32-bit signature
+    * banded 4 ways has only 256 possible keys per band: bucket
+    * population grows ~n/256, and at 5000 docs the hottest bucket
+    * already exceeds the 1000 default (the strict oversize guard
+    * caught this at bench scale — previously those pairs were lost
+    * silently). Scaling maxBucket with n keeps the guarantee but grows
+    * the bucket-local pair expansion quadratically — which is exactly
+    * why the 64-bit variant (q39: 65536 keys per band) is the
+    * corpus-scale default and this one is documented for <=1e5 docs. */
   private def q28SimhashNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 3, bands = 4,
+        maxHamming = 3, bands = 4, maxBucket = 10000,
         tokenHash = TextFunctions.portableTokenHash32)
       .orderBy("id_a", "id_b")
 
