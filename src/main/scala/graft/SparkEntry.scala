@@ -755,6 +755,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("sum_uid"))
       .orderBy("event_type")
 
+  // ---------------------------------------------------------------- q44
+  /** Windowed n-gram Jaccard near-dup pairs — the exact, linear text
+    * dedup: each doc compared to its 25 id-successors on 3-gram
+    * shingle Jaccard (explode + ONE equi hash join, never a range
+    * nested-loop). The oracle recomputes every shingle set and Jaccard
+    * value, so shingling, the window shape, and the division all
+    * hash-check. */
+  private def q44NgramJaccardWindow(s: SparkSession, dir: String): DataFrame =
+    Dedup.windowedNgramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, window = 25, threshold = 0.01)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -799,6 +812,7 @@ object SparkEntry {
     "q41_stream_sessionize" -> (q41StreamSessionize _),
     "q42_stream_windowed_counts" -> (q42StreamWindowedCounts _),
     "q43_stream_dedup" -> (q43StreamDedup _),
+    "q44_ngram_jaccard_window" -> (q44NgramJaccardWindow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1440,5 +1454,24 @@ object SparkEntry {
         |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
         |FROM (SELECT DISTINCT user_id, event_type FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q44_ngram_jaccard_window" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks)-2), i ->
+        |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
+        |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
+        |  FROM tk
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+        |               AS DOUBLE), 0.0) AS j
+        |  FROM s a JOIN s b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
+        |)
+        |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
+        |WHERE j >= 0.01 ORDER BY id_a, id_b""".stripMargin,
   )
 }

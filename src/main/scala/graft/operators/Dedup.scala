@@ -161,6 +161,34 @@ object Dedup {
       .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
   }
 
+  /** Text near-duplicate pairs within a doc-id window: exact n-gram
+    * shingle Jaccard on (id, id+delta) pairs for delta in 1..window —
+    * the text twin of [[Similarity.windowedCosinePairs]], and the
+    * deterministic, oracle-checkable complement to the LSH all-pairs
+    * detectors ([[minHashNearDupPairs]]/[[simHashNearDupPairsW]]).
+    * Linear in corpus size: each left row explodes into its `window`
+    * prospective partner ids, then ONE equi hash join — a range
+    * predicate would plan as a nested-loop join, O(n^2) at scale.
+    * Shingling runs through the native [[graft.expressions.ShingleSet]]
+    * expression on both sides. */
+  def windowedNgramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      window: Int,
+      threshold: Double): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      GraftFunctions.shingles(df,
+        TextFunctions.tokens(col(textCol)), shingleN).as("sh"))
+    docs.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        explode(sequence(col("id") + 1, col("id") + window)).as("id_b"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", TextFunctions.shingleJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** width-bit SimHash over the token stream: each token hashed once
     * (`transform` binds the hash), then the native
     * [[graft.expressions.SimHashFromHashes]] expression accumulates

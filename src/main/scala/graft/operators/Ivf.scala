@@ -78,9 +78,25 @@ object Ivf {
       sampleMod: Int = 1,
       seed: Long = 42L): Model = {
     require(k > 0 && iters >= 0 && sampleMod > 0)
+    // The sample is read (iters + 2) times (init indexing + one
+    // assignment pass per iteration); persist it for the duration of
+    // training and release it before returning — the classic iterative-
+    // ML cache, bounded by sampleMod, never the full corpus.
     val sampled = df
       .filter(pmod(xxhash64(col(idCol), lit(seed)), lit(sampleMod)) === 0)
       .select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      trainOnSample(sampled, idCol, vecCol, k, iters)
+    } finally sampled.unpersist(blocking = false)
+  }
+
+  private def trainOnSample(
+      sampled: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): Model = {
     // deterministic init: evenly spaced vectors of the id-sorted sample
     val indexed = General.withContiguousRowIds(sampled, Seq(idCol), "__rid")
     val n = indexed.select(max(col("__rid"))).head().getLong(0) + 1
