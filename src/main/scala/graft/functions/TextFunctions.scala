@@ -57,10 +57,16 @@ object TextFunctions {
   def ngramJaccard(a: Column, b: Column, n: Int): Column =
     shingleJaccard(wordShingles(a, n), wordShingles(b, n))
 
-  /** Jaccard over two pre-computed distinct-element arrays. */
-  def shingleJaccard(sa: Column, sb: Column): Column =
-    size(array_intersect(sa, sb)).cast("double") /
-      nullif(size(array_union(sa, sb)).cast("double"), lit(0.0))
+  /** Jaccard over two pre-computed distinct-element arrays. The union
+    * size is derived arithmetically (|A u B| = |A| + |B| - |A n B|,
+    * exact for distinct arrays), so only the intersection is ever
+    * materialized — half the per-pair array work of an
+    * intersect+union formulation, with bit-identical results (the
+    * counts are the same integers either way). */
+  def shingleJaccard(sa: Column, sb: Column): Column = {
+    val i = size(array_intersect(sa, sb)).cast("double")
+    i / nullif(size(sa).cast("double") + size(sb).cast("double") - i, lit(0.0))
+  }
 
   /** Language markers: per-language stopword lists for the n-gram
     * heuristic. Deterministic; tie-break follows declaration order. */
