@@ -768,6 +768,26 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  // ---------------------------------------------------------------- q45
+  /** Two-phase salted aggregation gate: exact distinct suppliers per
+    * returnflag, computed as collect_set per (flag, salt-of-orderkey)
+    * then a distinct-flatten merge — the shape for NON-algebraic
+    * aggregates (set/list collection) where map-side partial
+    * aggregation cannot pre-reduce and a hot key would otherwise
+    * accumulate its whole group in one task. Oracle = the plain
+    * COUNT(DISTINCT) — salting must redistribute the work and change
+    * nothing else. */
+  private def q45SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skew
+    Skew.saltedAgg(
+        Tables.lineitem(s, dir).select("l_returnflag", "l_orderkey", "l_suppkey"),
+        keys = Seq("l_returnflag"), saltBy = "l_orderkey", nSalts = 8,
+        partial = collect_set(_),
+        merge = c => size(array_distinct(flatten(collect_list(c)))).cast("long"),
+        valueCol = "l_suppkey", outCol = "n_suppliers")
+      .orderBy("l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -813,6 +833,7 @@ object SparkEntry {
     "q42_stream_windowed_counts" -> (q42StreamWindowedCounts _),
     "q43_stream_dedup" -> (q43StreamDedup _),
     "q44_ngram_jaccard_window" -> (q44NgramJaccardWindow _),
+    "q45_salted_agg" -> (q45SaltedAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1473,5 +1494,11 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
         |WHERE j >= 0.01 ORDER BY id_a, id_b""".stripMargin,
+    "q45_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }
