@@ -788,6 +788,23 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q46
+  /** Near-dup CLUSTERING: q14's exact-verified MinHash pair graph fed
+    * through iterative min-label connected components — the step that
+    * turns pairs into duplicate groups (keep `min(doc_id)` per comp and
+    * the corpus is deduped). The oracle recomputes the same components
+    * with a recursive CTE over the exact-Jaccard pair set, so edge
+    * recall, the propagation fixpoint, and the min-id labeling all
+    * hash-check. */
+  private def q46DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Components
+    val pairs = Dedup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    Components.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("comp"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -834,6 +851,7 @@ object SparkEntry {
     "q43_stream_dedup" -> (q43StreamDedup _),
     "q44_ngram_jaccard_window" -> (q44NgramJaccardWindow _),
     "q45_salted_agg" -> (q45SaltedAgg _),
+    "q46_dedup_clusters" -> (q46DedupClusters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1500,5 +1518,33 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q46_dedup_clusters" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks)-2), i ->
+        |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
+        |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
+        |  FROM tk
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+        |               AS DOUBLE), 0.0) AS j
+        |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+        |), e AS (
+        |  SELECT id_a, id_b FROM p WHERE j >= 0.5
+        |), sym AS (
+        |  SELECT id_a AS a, id_b AS b FROM e
+        |  UNION SELECT id_b, id_a FROM e
+        |), reach AS (
+        |  SELECT a AS node, a AS r FROM sym
+        |  UNION
+        |  SELECT s2.a, r.r FROM sym s2 JOIN reach r ON s2.b = r.node
+        |)
+        |SELECT node AS doc_id, MIN(r) AS comp FROM reach
+        |GROUP BY node ORDER BY doc_id""".stripMargin,
   )
 }

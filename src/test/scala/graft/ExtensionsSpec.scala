@@ -260,6 +260,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ids.length == 3)
   }
 
+  test("connected components: chains, cliques, and disjoint groups get min-id labels") {
+    import graft.operators.Components
+    // chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated edge 20-21
+    val edges = table("a bigint, b bigint", Seq(
+      row(1L, 2L), row(2L, 3L), row(3L, 4L),
+      row(10L, 11L), row(11L, 12L), row(10L, 12L),
+      row(20L, 21L)))
+    val comps = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // non-convergence fails loudly, never returns partial clusters
+    val longChain = table("a bigint, b bigint",
+      (0L until 10L).map(i => row(i, i + 1)))
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents(longChain, "a", "b", maxIters = 2)
+    }
+  }
+
   test("multimodal: stub decode populates features; null payload survives") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq ==
