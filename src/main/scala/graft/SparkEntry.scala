@@ -805,6 +805,73 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q47
+  /** Bloom-filter join pruning: lineitem joined to the p_size<=5 slice
+    * of part (~10% of parts), with the fact side pre-filtered map-side
+    * by a bloom over the dimension's keys BEFORE the join exchange. At
+    * 100 TB this is the difference between shuffling every fact row and
+    * shuffling only candidates; false positives are eliminated by the
+    * join itself, so the oracle is the PLAIN join — any bloom-induced
+    * row loss or phantom row hash-mismatches. */
+  private def q47BloomPrunedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bloom
+    val dim = Tables.part(s, dir).filter(col("p_size") <= 5)
+      .select("p_partkey", "p_brand")
+    Bloom.bloomPrunedJoin(
+        Tables.lineitem(s, dir).select("l_partkey", "l_extendedprice"),
+        dim, "l_partkey", "p_partkey",
+        expectedNumItems = 4096, fpp = 0.01)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  // ---------------------------------------------------------------- q48
+  /** Stratified deterministic sampling — training-data mixture control:
+    * keep all of fr, half of en, a quarter of de, an eighth of es, none
+    * of zh, selected by portable md5 hash residue so the oracle
+    * recomputes the exact member set (not just the rates). */
+  private def q48StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    General.stratifiedHashSample(Tables.documents(s, dir),
+        strataCol = "lang", keyCol = "doc_id",
+        rates = Map("en" -> 0.5, "fr" -> 1.0, "de" -> 0.25, "es" -> 0.125),
+        m = 16,
+        hash = c => TextFunctions.portableTokenHash32(c.cast("string")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+
+  // ---------------------------------------------------------------- q49
+  /** End-to-end corpus cleaning — the composed pre-training pipeline:
+    * token-count quality gate, then MinHash near-dup clustering
+    * (q14/q46's exact-verified machinery), keep each cluster's min-id
+    * representative via anti-join, and report the surviving mixture per
+    * language. The oracle recomputes the whole pipeline: gate, exact
+    * Jaccard pair set, recursive-CTE components, loser removal —
+    * so every stage's row set hash-checks, not just the final counts. */
+  private def q49CorpusClean(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Components
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") >= 20)
+    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    val losers = Components.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -852,6 +919,9 @@ object SparkEntry {
     "q44_ngram_jaccard_window" -> (q44NgramJaccardWindow _),
     "q45_salted_agg" -> (q45SaltedAgg _),
     "q46_dedup_clusters" -> (q46DedupClusters _),
+    "q47_bloom_pruned_join" -> (q47BloomPrunedJoin _),
+    "q48_stratified_sample" -> (q48StratifiedSample _),
+    "q49_corpus_clean" -> (q49CorpusClean _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1546,5 +1616,61 @@ object SparkEntry {
         |)
         |SELECT node AS doc_id, MIN(r) AS comp FROM reach
         |GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q47_bloom_pruned_join" ->
+      """SELECT p_brand, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q48_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(doc_id AS VARCHAR)), CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) AS hv
+        |  FROM documents
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM h
+        |WHERE hv % 16 < (CASE lang WHEN 'en' THEN 8 WHEN 'fr' THEN 16
+        |                           WHEN 'de' THEN 4 WHEN 'es' THEN 2
+        |                           ELSE 0 END)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q49_corpus_clean" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, lang, toks, len(toks) AS n_tokens
+        |  FROM tk WHERE len(toks) >= 20
+        |), s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(toks)-2), i ->
+        |      toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
+        |        || '_' || toks[CAST(i+3 AS INT)])) AS sh
+        |  FROM f
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+        |               AS DOUBLE), 0.0) AS j
+        |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+        |), e AS (SELECT id_a, id_b FROM p WHERE j >= 0.5
+        |), sym AS (
+        |  SELECT id_a AS a, id_b AS b FROM e
+        |  UNION SELECT id_b, id_a FROM e
+        |), reach AS (
+        |  SELECT a AS node, a AS r FROM sym
+        |  UNION
+        |  SELECT s2.a, r.r FROM sym s2 JOIN reach r ON s2.b = r.node
+        |), comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node
+        |), losers AS (SELECT node AS doc_id FROM comp WHERE node <> c)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM f WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -129,6 +129,36 @@ object General {
     df.filter(pmod(hash(col(keyCol)), lit(m.toLong)) === residue)
   }
 
+  /** Stratified deterministic sampling: per-stratum keep rates, the
+    * training-data mixture-control primitive (upsample the scarce
+    * language, downsample the dominant crawl). A row survives when its
+    * key's hash residue mod `m` falls below `round(rate(stratum) * m)`,
+    * so realized rates are exact multiples of 1/m and the SAME row set
+    * survives on any engine, any partitioning, any run — rerunning the
+    * pipeline after adding data only ADDS rows to the sample, it never
+    * swaps previously-selected ones (the property `df.sample` lacks, and
+    * the one that makes ablation corpora reproducible). Map-side filter,
+    * no shuffle; strata absent from `rates` default to `defaultRate`.
+    * Rate lookup is a literal CASE chain — strata counts are small
+    * (languages, sources), so no join materializes. */
+  def stratifiedHashSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      rates: Map[String, Double],
+      m: Int = 1024,
+      defaultRate: Double = 0.0,
+      hash: Column => Column = org.apache.spark.sql.functions.xxhash64(_)): DataFrame = {
+    require(m > 0, "m must be positive")
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must lie in [0, 1]")
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(
+        lit(math.round(defaultRate * m).toInt)) { case ((stratum, rate), e) =>
+      when(col(strataCol) === stratum, lit(math.round(rate * m).toInt)).otherwise(e)
+    }
+    df.filter(pmod(hash(col(keyCol)), lit(m.toLong)) < threshold)
+  }
+
   /** Collect to the driver (`general.py:186-199`): single column -> flat
     * values; multiple columns -> row seqs. Driver-side by design — only
     * for small results. */

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bloom, General}
+import graft.testkit.SparkTestKit._
+
+/** Bloom-pruned join and stratified hash sampling (extension operators,
+  * no reference counterpart — SURVEY.md §2.8). */
+class BloomSamplingSpec extends AnyFunSuite {
+
+  private def fact = table("k bigint, v bigint",
+    (0L until 200L).map(i => row(i % 50L, i)))
+  private def dim = table("dk bigint, name string",
+    Seq(row(3L, "three"), row(7L, "seven"), row(11L, "eleven")))
+
+  test("bloomPrunedJoin equals the plain join row-for-row") {
+    val pruned = Bloom.bloomPrunedJoin(fact, dim, "k", "dk",
+      expectedNumItems = 16, fpp = 0.01)
+    val plain = fact.join(dim, col("k") === col("dk"))
+    assertDfEquality(pruned, plain, ignoreRowOrder = true)
+    assert(pruned.count() == 12) // 3 dim keys x 4 fact rows each
+  }
+
+  test("bloomPrunedJoin's pre-filter actually prunes the fact side") {
+    val bf = dim.stat.bloomFilter("dk", 16, 0.01)
+    val kept = fact.collect().count(r => bf.mightContainLong(r.getLong(0)))
+    // All 12 true matches pass; with fpp=1% on 50 keys essentially
+    // nothing else does. The operator's correctness never depends on
+    // this (the join removes false positives), only its efficiency.
+    assert(kept >= 12 && kept < 200)
+  }
+
+  test("bloomPrunedJoin supports string keys and rejects others") {
+    val sf = table("k string, v bigint", Seq(row("a", 1L), row("b", 2L), row("c", 3L)))
+    val sd = table("dk string", Seq(row("b")))
+    val out = Bloom.bloomPrunedJoin(sf, sd, "k", "dk", expectedNumItems = 4)
+    assert(out.collect().map(_.getLong(1)).toSeq == Seq(2L))
+    val bad = table("k double", Seq(row(1.0)))
+    intercept[IllegalArgumentException] {
+      Bloom.bloomPrunedJoin(bad, sd, "k", "dk", expectedNumItems = 4)
+    }
+  }
+
+  test("stratifiedHashSample: per-stratum rates, deterministic and nested") {
+    val df = table("lang string, id bigint",
+      (0L until 400L).map(i => row(if (i % 2 == 0) "en" else "de", i)))
+    val half = General.stratifiedHashSample(df, "lang", "id",
+      rates = Map("en" -> 1.0, "de" -> 0.5), m = 8)
+    val quarter = General.stratifiedHashSample(df, "lang", "id",
+      rates = Map("en" -> 1.0, "de" -> 0.25), m = 8)
+    val en = half.filter(col("lang") === "en").count()
+    assert(en == 200) // rate 1.0 keeps everything
+    val deHalf = half.filter(col("lang") === "de").count()
+    assert(deHalf > 50 && deHalf < 150) // ~100 expected, hash-binomial
+    // Lower rate selects a SUBSET of the higher rate's rows (threshold
+    // monotonicity) — the property that makes ablation corpora nest.
+    val halfIds = half.filter(col("lang") === "de")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val quarterIds = quarter.filter(col("lang") === "de")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(quarterIds.subsetOf(halfIds))
+    // Unlisted strata default to rate 0.
+    val none = General.stratifiedHashSample(df, "lang", "id",
+      rates = Map("en" -> 1.0), m = 8)
+    assert(none.filter(col("lang") === "de").count() == 0)
+    // Determinism across partitionings.
+    val repart = General.stratifiedHashSample(df.repartition(7), "lang", "id",
+      rates = Map("en" -> 1.0, "de" -> 0.5), m = 8)
+    assert(repart.filter(col("lang") === "de")
+      .select("id").collect().map(_.getLong(0)).toSet == halfIds)
+  }
+
+  test("stratifiedHashSample rejects rates outside [0, 1]") {
+    val df = table("lang string, id bigint", Seq(row("en", 1L)))
+    intercept[IllegalArgumentException] {
+      General.stratifiedHashSample(df, "lang", "id", rates = Map("en" -> 1.5))
+    }
+  }
+}
