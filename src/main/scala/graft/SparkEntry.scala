@@ -872,6 +872,34 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q50
+  /** Tokenizer-vocabulary build: corpus frequencies pruned at
+    * minFreq=50, contiguous ids in (freq DESC, token) order via the
+    * distributed zipWithIndex — never a single-partition window. The
+    * oracle's row_number() recomputes every id. */
+  private def q50VocabBuild(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    Corpus.buildVocabulary(Tables.documents(s, dir), "text", minFreq = 50L)
+      .orderBy("token_id")
+  }
+
+  // ---------------------------------------------------------------- q51
+  /** Int8 embedding quantization (vector-index compression): per-vector
+    * symmetric scale, round-half-up codes — deterministic across
+    * engines, so the oracle recomputes every code's sum/min/max and the
+    * exact scale. Map-only plan. */
+  private def q51QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantizeInt8(col("embedding"))
+    Tables.embeddings(s, dir).select(col("vec_id"), q.as("__q"))
+      .select(col("vec_id"),
+        aggregate(col("__q.q"), lit(0L), (acc, x) => acc + x.cast("long"))
+          .as("q_sum"),
+        array_min(col("__q.q")).as("q_min"),
+        array_max(col("__q.q")).as("q_max"),
+        col("__q.scale").as("scale"))
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -922,6 +950,8 @@ object SparkEntry {
     "q47_bloom_pruned_join" -> (q47BloomPrunedJoin _),
     "q48_stratified_sample" -> (q48StratifiedSample _),
     "q49_corpus_clean" -> (q49CorpusClean _),
+    "q50_vocab_build" -> (q50VocabBuild _),
+    "q51_quantize_int8" -> (q51QuantizeInt8 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1672,5 +1702,35 @@ object SparkEntry {
         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM f WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q50_vocab_build" ->
+      """WITH freq AS (
+        |  SELECT token, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS token
+        |        FROM documents)
+        |  GROUP BY token HAVING COUNT(*) >= 50
+        |)
+        |SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1 AS token_id,
+        |  token, freq
+        |FROM freq ORDER BY token_id""".stripMargin,
+    "q51_quantize_int8" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      y -> abs(CAST(y AS DOUBLE)))) AS ma
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END AS scale,
+        |    list_transform(embedding, x -> GREATEST(-127, LEAST(127,
+        |      CAST(floor(CAST(x AS DOUBLE)
+        |        * (CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END)
+        |        + 0.5) AS INTEGER)))) AS qv
+        |  FROM m
+        |)
+        |SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS INTEGER) AS q_min,
+        |  CAST(list_max(qv) AS INTEGER) AS q_max,
+        |  scale
+        |FROM q ORDER BY vec_id""".stripMargin,
   )
 }

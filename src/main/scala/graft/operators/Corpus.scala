@@ -93,4 +93,27 @@ object Corpus {
       .select(col("doc").as(idCol), col("token"), col("tf"),
         col("doc_freq"), col("tfidf"))
   }
+
+  /** Tokenizer-vocabulary builder: corpus token frequencies pruned at
+    * `minFreq`, then contiguous ids 0..V-1 assigned in (freq DESC,
+    * token) order — the conventional layout where id 0 is the most
+    * frequent token and rare tokens get the high ids, so a later
+    * truncation to the top-V' ids is a simple `token_id < V'` filter.
+    *
+    * Scale shape: the frequency aggregation's shuffle is
+    * vocabulary-bounded (map-side partial counts), and id assignment
+    * rides [[General.withContiguousRowIds]] — a per-partition count
+    * pass plus offset arithmetic, NOT a single-partition window, so a
+    * billion-token web vocabulary never funnels through one task. */
+  def buildVocabulary(
+      df: DataFrame,
+      textCol: String,
+      minFreq: Long = 1L): DataFrame = {
+    require(minFreq >= 1, "minFreq must be >= 1")
+    val freq = tokenFrequencies(df, textCol)
+      .filter(col("freq") >= minFreq)
+      .withColumn("__negfreq", -col("freq"))
+    General.withContiguousRowIds(freq, Seq("__negfreq", "token"), "token_id")
+      .select("token_id", "token", "freq")
+  }
 }

@@ -173,4 +173,28 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Symmetric int8 quantization of a float-vector column — the
+    * vector-index compression step (4x smaller than float32, and the
+    * dot-product kernel becomes integer SIMD). Per-vector scale
+    * `127 / max|x|`; each component maps to
+    * `clamp(floor(x * scale + 0.5), -127, 127)` (round-half-up — NOT
+    * engine-dependent banker's rounding, so the quantized bytes are
+    * bit-identical across engines and reruns). A zero vector gets
+    * scale 0 and all-zero codes rather than an Inf scale.
+    *
+    * Map-only: no shuffle, no state; returns a struct column
+    * `(q: array<int>, scale: double)` so callers keep the scale for
+    * dequantization. All arithmetic is in double — float32 inputs are
+    * exactly representable, so the oracle reproduces every code. */
+  def quantizeInt8(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = when(maxAbs === 0.0, lit(0.0)).otherwise(lit(127.0) / maxAbs)
+    struct(
+      transform(vec, x =>
+        greatest(lit(-127),
+          least(lit(127),
+            floor(x.cast("double") * scale + 0.5).cast("int")))).as("q"),
+      scale.as("scale"))
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, Similarity}
+import graft.testkit.SparkTestKit._
+
+/** Vocabulary building and int8 quantization (SURVEY.md §2.8). */
+class VocabQuantizeSpec extends AnyFunSuite {
+
+  test("buildVocabulary: freq-desc contiguous ids, ties by token, minFreq prunes") {
+    val df = table("text string", Seq(
+      row("b b b a a c"), row("a b d"), row("b")))
+    // freqs: b=5, a=3, c=1, d=1
+    val out = Corpus.buildVocabulary(df, "text").orderBy("token_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, "b", 5L), (1L, "a", 3L), (2L, "c", 1L), (3L, "d", 1L)))
+    val pruned = Corpus.buildVocabulary(df, "text", minFreq = 2L)
+      .orderBy("token_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(pruned == Seq((0L, "b"), (1L, "a")))
+  }
+
+  test("quantizeInt8: symmetric round-half-up codes, zero-vector safe") {
+    val df = table("id bigint, v array<float>", Seq(
+      row(1L, Seq(2.0f, -1.0f, 0.5f, 0.0f)),
+      row(2L, Seq(0.0f, 0.0f))))
+    val q = Similarity.quantizeInt8(col("v"))
+    val rows = df.select(col("id"), q.getField("q").as("q"),
+        q.getField("scale").as("scale"))
+      .orderBy("id").collect()
+    // id=1: scale = 127/2 = 63.5; codes = floor(x*63.5 + 0.5)
+    assert(rows(0).getDouble(2) == 63.5)
+    assert(rows(0).getSeq[Int](1) == Seq(127, -63, 32, 0))
+    // zero vector: scale 0, all-zero codes (never Inf/NaN)
+    assert(rows(1).getDouble(2) == 0.0)
+    assert(rows(1).getSeq[Int](1) == Seq(0, 0))
+  }
+
+  test("quantizeInt8 codes stay within [-127, 127]") {
+    val df = table("v array<float>",
+      Seq(row(Seq(3.3f, -3.3f, 1.1f, -0.7f))))
+    val codes = df.select(Similarity.quantizeInt8(col("v")).getField("q"))
+      .head().getSeq[Int](0)
+    assert(codes.head == 127 && codes(1) == -127)
+    assert(codes.forall(c => c >= -127 && c <= 127))
+  }
+}
