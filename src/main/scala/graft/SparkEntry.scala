@@ -900,6 +900,36 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- q52
+  /** Train/test decontamination over a mod-7 split of the corpus: every
+    * held-out doc's distinct 3-grams checked for membership anywhere in
+    * the train side. The oracle recomputes the full gram sets and the
+    * membership join, so shingling, the semi-join pruning, and the
+    * contamination ratio all hash-check. */
+  private def q52Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val docs = Tables.documents(s, dir)
+    Corpus.contaminationReport(
+        train = docs.filter(col("doc_id") % 7 =!= 3), trainTextCol = "text",
+        test = docs.filter(col("doc_id") % 7 === 3), testIdCol = "doc_id",
+        testTextCol = "text", n = 3)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q53
+  /** Gopher-style repetition metrics per document (duplicated-token
+    * fraction, top-bigram fraction) — the self-repetition quality gate.
+    * Map-only plan; the oracle recomputes every count and division. */
+  private def q53RepetitionMetrics(s: SparkSession, dir: String): DataFrame = {
+    val m = TextFunctions.repetitionMetrics(col("text"))
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"), col("__m.n_tokens").as("n_tokens"),
+        col("__m.n_distinct_tokens").as("n_distinct_tokens"),
+        col("__m.dup_token_frac").as("dup_token_frac"),
+        col("__m.top_bigram_frac").as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -952,6 +982,8 @@ object SparkEntry {
     "q49_corpus_clean" -> (q49CorpusClean _),
     "q50_vocab_build" -> (q50VocabBuild _),
     "q51_quantize_int8" -> (q51QuantizeInt8 _),
+    "q52_decontaminate" -> (q52Decontaminate _),
+    "q53_repetition_metrics" -> (q53RepetitionMetrics _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1732,5 +1764,49 @@ object SparkEntry {
         |  CAST(list_max(qv) AS INTEGER) AS q_max,
         |  scale
         |FROM q ORDER BY vec_id""".stripMargin,
+    "q52_decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks)-2), i ->
+        |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
+        |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
+        |  FROM tk
+        |), tr AS (
+        |  SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 7 != 3
+        |), te AS (
+        |  SELECT doc_id, unnest(sh) AS gram FROM s WHERE doc_id % 7 = 3
+        |), h AS (
+        |  SELECT doc_id, COUNT(*) AS n_cont FROM te
+        |  WHERE gram IN (SELECT gram FROM tr) GROUP BY doc_id
+        |)
+        |SELECT s.doc_id, CAST(len(s.sh) AS INTEGER) AS n_grams,
+        |  CAST(COALESCE(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+        |  CASE WHEN len(s.sh) = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(h.n_cont, 0) AS DOUBLE)
+        |         / CAST(len(s.sh) AS DOUBLE) END AS contamination
+        |FROM s LEFT JOIN h ON s.doc_id = h.doc_id
+        |WHERE s.doc_id % 7 = 3 ORDER BY s.doc_id""".stripMargin,
+    "q53_repetition_metrics" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+        |), b AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(range(len(toks)-1), i ->
+        |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]) END AS bg
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+        |  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS dup_token_frac,
+        |  COALESCE(CAST(list_max(list_transform(list_distinct(bg),
+        |      x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+        |    / CAST(len(toks) - 1 AS DOUBLE), 0.0) AS top_bigram_frac
+        |FROM b ORDER BY doc_id""".stripMargin,
   )
 }

@@ -112,6 +112,32 @@ object TextFunctions {
       (stop.cast("double") / nToks.cast("double")).as("stopword_ratio"))
   }
 
+  /** Repetition metrics for corpus filtering (the Gopher-rule family:
+    * heavily self-repeating documents are low-quality boilerplate/spam
+    * and get dropped before training). One struct per document:
+    * token count, distinct-token count, duplicated-token fraction
+    * (`1 - distinct/total`), and the fraction of bigram slots taken by
+    * the single most frequent bigram. Pure per-row expressions —
+    * map-only, no shuffle, cost O(distinct * total) per doc, bounded by
+    * document length not corpus size. Fractions are single divisions of
+    * exact integer counts — deterministic across engines. */
+  def repetitionMetrics(c: Column): Column = {
+    val t = tokens(c)
+    val nToks = size(t)
+    val bigrams = when(nToks < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nToks - 1),
+        i => concat(element_at(t, i), lit("_"), element_at(t, i + 1))))
+    val topBigram = array_max(transform(array_distinct(bigrams),
+      x => size(filter(bigrams, y => y === x))))
+    struct(
+      nToks.as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      (lit(1.0) - size(array_distinct(t)).cast("double") / nToks.cast("double"))
+        .as("dup_token_frac"),
+      coalesce(topBigram.cast("double") / (nToks - 1).cast("double"), lit(0.0))
+        .as("top_bigram_frac"))
+  }
+
   /** 32-bit per-token hash reproducible across engines: the first 8 hex
     * chars of md5, parsed to a long. Slower than xxhash64 (md5 + string
     * slicing) but bit-identical in any engine with md5 — DuckDB

@@ -94,6 +94,54 @@ object Corpus {
         col("doc_freq"), col("tfidf"))
   }
 
+  /** Train/test decontamination report: for each evaluation document,
+    * how many of its distinct word `n`-grams appear ANYWHERE in the
+    * training corpus (the standard benchmark-leakage check run before
+    * training). Returns one row per test doc:
+    * `(id, n_grams, n_contaminated, contamination)`.
+    *
+    * Scale shape — the asymmetry is the whole design: train is the
+    * 100 TB side, test is a benchmark suite (MBs). The train corpus is
+    * therefore NEVER distinct-aggregated corpus-wide; instead its
+    * per-doc-distinct n-grams are left-semi-joined against the test
+    * gram set (AQE broadcasts the small build side at runtime — no
+    * forced hint, same rationale as [[tfidf]]), so the only shuffle
+    * whose width matters is a distinct over grams that survived the
+    * semi-join — bounded by the TEST gram count, not the train corpus.
+    * Everything upstream of that distinct is map-only. */
+  def contaminationReport(
+      train: DataFrame,
+      trainTextCol: String,
+      test: DataFrame,
+      testIdCol: String,
+      testTextCol: String,
+      n: Int): DataFrame = {
+    import graft.expressions.GraftFunctions
+    require(n >= 1, "n must be >= 1")
+    val testDocs = test.select(col(testIdCol).as("id"),
+      GraftFunctions.shingles(test,
+        TextFunctions.tokens(col(testTextCol)), n).as("sh"))
+    val testGrams = testDocs.select(col("id"), size(col("sh")).as("n_grams"),
+      explode_outer(col("sh")).as("gram"))
+    val trainGrams = train.select(
+      explode(GraftFunctions.shingles(train,
+        TextFunctions.tokens(col(trainTextCol)), n)).as("gram"))
+    // Grams seen in train, pruned to the test set BEFORE the distinct.
+    val contaminated = trainGrams
+      .join(testGrams.select("gram").distinct(), Seq("gram"), "left_semi")
+      .distinct()
+      .withColumn("__hit", lit(1))
+    testGrams.join(contaminated, Seq("gram"), "left")
+      .groupBy("id", "n_grams")
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("n_contaminated"))
+      .withColumn("contamination",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_contaminated").cast("double") /
+            col("n_grams").cast("double")))
+      .select(col("id").as(testIdCol), col("n_grams"),
+        col("n_contaminated"), col("contamination"))
+  }
+
   /** Tokenizer-vocabulary builder: corpus token frequencies pruned at
     * `minFreq`, then contiguous ids 0..V-1 assigned in (freq DESC,
     * token) order — the conventional layout where id 0 is the most
