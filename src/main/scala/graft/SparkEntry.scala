@@ -930,6 +930,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q54
+  /** Token-budget sequence packing via the distributed prefix sum:
+    * every doc's start offset in the concatenated token stream and its
+    * 512-token training-sequence id. The oracle's running window
+    * recomputes every offset, so the range-partitioned two-pass prefix
+    * sum must agree with the single-ordering semantics exactly. */
+  private def q54PackSequences(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    Corpus.packSequences(Tables.documents(s, dir), "doc_id", "text", seqLen = 512L)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q55
+  /** Fuzzy decontamination: MinHash-LSH near-dup join between the
+    * held-out split and the train split (same mod-7 split as q52). The
+    * oracle is the FULL exact-Jaccard cross pair set at the threshold,
+    * so the banding provably lost nothing and every verified Jaccard
+    * value hash-checks. */
+  private def q55CrossCorpusNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.crossCorpusNearDupPairs(
+        left = docs.filter(col("doc_id") % 7 === 3), leftIdCol = "doc_id",
+        leftTextCol = "text",
+        right = docs.filter(col("doc_id") % 7 =!= 3), rightIdCol = "doc_id",
+        rightTextCol = "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -984,6 +1014,8 @@ object SparkEntry {
     "q51_quantize_int8" -> (q51QuantizeInt8 _),
     "q52_decontaminate" -> (q52Decontaminate _),
     "q53_repetition_metrics" -> (q53RepetitionMetrics _),
+    "q54_pack_sequences" -> (q54PackSequences _),
+    "q55_cross_corpus_neardup" -> (q55CrossCorpusNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1808,5 +1840,39 @@ object SparkEntry {
         |      x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
         |    / CAST(len(toks) - 1 AS DOUBLE), 0.0) AS top_bigram_frac
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q54_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_offset,
+        |  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+        |    AS BIGINT) AS seq_id
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q55_cross_corpus_neardup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks)-2), i ->
+        |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
+        |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
+        |  FROM tk
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / NULLIF(CAST(len(a.sh) + len(b.sh)
+        |          - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 0.0) AS j
+        |  FROM s a JOIN s b
+        |    ON a.doc_id % 7 = 3 AND b.doc_id % 7 != 3
+        |)
+        |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
   )
 }

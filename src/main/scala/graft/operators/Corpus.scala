@@ -94,6 +94,30 @@ object Corpus {
         col("doc_freq"), col("tfidf"))
   }
 
+  /** Token-budget sequence packing: assign each document to a training
+    * sequence by its starting offset in the concatenated token stream —
+    * doc d starts at `start_offset` (the exclusive prefix sum of token
+    * counts in `idCol` order) and lands in `seq_id = start_offset /
+    * seqLen`. The deterministic, shuffle-light packing that turns a
+    * corpus into fixed-budget training shards: downstream, one
+    * `groupBy(seq_id)` gathers each sequence's docs.
+    *
+    * The prefix sum rides [[General.withRunningTotal]] — range-
+    * partitioned sort + per-partition offsets, never a one-partition
+    * running window, so a billion-document corpus packs in parallel. */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val counted = df.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+    General.withRunningTotal(counted, Seq(idCol), "n_tokens", "start_offset")
+      .withColumn("seq_id", floor(col("start_offset") / seqLen))
+      .select(col(idCol), col("n_tokens"), col("start_offset"), col("seq_id"))
+  }
+
   /** Train/test decontamination report: for each evaluation document,
     * how many of its distinct word `n`-grams appear ANYWHERE in the
     * training corpus (the standard benchmark-leakage check run before

@@ -161,6 +161,58 @@ object Dedup {
       .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate pairs by MinHash+LSH — fuzzy
+    * decontamination: which evaluation documents have a NEAR-duplicate
+    * (not just shared n-grams, cf. `Corpus.contaminationReport`)
+    * anywhere in the training corpus. Both sides are shingled + signed
+    * map-side with the same hash family, so equal texts get equal
+    * signatures; candidates come from ONE equi hash join on (band,
+    * key); every candidate is verified with exact shingle Jaccard.
+    *
+    * Scale shape mirrors [[minHashNearDupPairs]], with the asymmetry
+    * exploited: only the huge train side is bucket-aggregated (capped
+    * at `maxBucket` ids — the stopword-shingle skew guard), and the
+    * bucket join's small probe side is the eval suite, which AQE
+    * broadcasts at runtime. Cost tracks colliding pairs, never
+    * |train| x |test|. */
+  def crossCorpusNearDupPairs(
+      left: DataFrame,
+      leftIdCol: String,
+      leftTextCol: String,
+      right: DataFrame,
+      rightIdCol: String,
+      rightTextCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    def signed(df: DataFrame, id: String, text: String): DataFrame =
+      df.select(col(id).as("id"),
+        GraftFunctions.shingles(df,
+          TextFunctions.tokens(col(text)), shingleN).as("sh"))
+        .withColumn("sig", GraftFunctions.minhashSig(df, col("sh"), numHashes))
+    def banded(d: DataFrame): DataFrame = d
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = signed(left, leftIdCol, leftTextCol)
+    val r = signed(right, rightIdCol, rightTextCol)
+    val rBuckets = banded(r)
+      .groupBy("band", "key").agg(collect_list("id").as("rids"))
+      .filter(size(col("rids")) <= maxBucket)
+    val candidates = banded(l)
+      .join(rBuckets, Seq("band", "key"))
+      .select(col("id").as("a"), explode(col("rids")).as("b"))
+      .distinct()
+    candidates
+      .join(l.select(col("id").as("a"), col("sh").as("sh_a")), "a")
+      .join(r.select(col("id").as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("jaccard", TextFunctions.shingleJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
+  }
+
   /** Text near-duplicate pairs within a doc-id window: exact n-gram
     * shingle Jaccard on (id, id+delta) pairs for delta in 1..window —
     * the text twin of [[Similarity.windowedCosinePairs]], and the

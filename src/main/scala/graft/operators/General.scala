@@ -109,6 +109,48 @@ object General {
     df.sparkSession.createDataFrame(withIds, schema)
   }
 
+  /** Distributed prefix sum: each row gets the running total of
+    * `valueCol` over all rows STRICTLY BEFORE it in `sortCols` order
+    * (exclusive prefix — the row's own start offset). The scale story
+    * mirrors [[withContiguousRowIds]]: `sum().over(Window.orderBy(...))`
+    * funnels the whole dataset through ONE sorted partition, while this
+    * keeps the sort range-partitioned and runs two passes over the
+    * `localCheckpoint()`ed sorted RDD — per-partition value totals (a
+    * tiny collect of one long per partition) become partition offsets,
+    * then each partition accumulates locally from its offset. Values
+    * are summed as longs — exact, order-independent, overflow-checked
+    * by ANSI mode rather than silently wrapped.
+    *
+    * Deterministic when `sortCols` is a total order (unique keys). */
+  def withRunningTotal(
+      df: DataFrame,
+      sortCols: Seq[String],
+      valueCol: String,
+      outCol: String = "running_total"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(sortCols.nonEmpty, "a sort order is required for a deterministic prefix")
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val sorted = df.sort(sortCols.map(col): _*)
+      .withColumn(valueCol, col(valueCol).cast(LongType))
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    val rdd = sorted.rdd.localCheckpoint()
+    val partTotals = rdd
+      .mapPartitionsWithIndex((i, it) =>
+        Iterator((i, it.foldLeft(0L)((acc, r) => acc + r.getLong(vIdx)))))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val withTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ acc)
+        acc += r.getLong(vIdx)
+        out
+      }
+    }
+    df.sparkSession.createDataFrame(withTotals, schema)
+  }
+
   /** Deterministic hash sampling: keep rows whose key hashes into
     * `residue` mod `m` — reproducible across runs, executors, engines
     * (pass a portable hash like
