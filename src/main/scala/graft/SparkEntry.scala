@@ -960,6 +960,22 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- q56
+  /** Leakage-safe splitting: q14's exact-verified near-dup pair graph
+    * clustered into components, every doc assigned split = portable-
+    * hash(cluster representative) mod 10 — near-dups provably share a
+    * split. The oracle recomputes pairs, components, representatives,
+    * and the md5 hash arithmetic, so the whole chain hash-checks. */
+  private def q56LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    Corpus.leakageSafeSplit(docs, "doc_id", pairs, "id_a", "id_b", m = 10,
+        hash = c => TextFunctions.portableTokenHash32(c.cast("string")))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1016,6 +1032,7 @@ object SparkEntry {
     "q53_repetition_metrics" -> (q53RepetitionMetrics _),
     "q54_pack_sequences" -> (q54PackSequences _),
     "q55_cross_corpus_neardup" -> (q55CrossCorpusNearDup _),
+    "q56_leakage_safe_split" -> (q56LeakageSafeSplit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1874,5 +1891,42 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q56_leakage_safe_split" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks)-2), i ->
+        |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
+        |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
+        |  FROM tk
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / NULLIF(CAST(len(a.sh) + len(b.sh)
+        |          - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 0.0) AS j
+        |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+        |), e AS (
+        |  SELECT id_a, id_b FROM p WHERE j >= 0.5
+        |), sym AS (
+        |  SELECT id_a AS a, id_b AS b FROM e
+        |  UNION SELECT id_b, id_a FROM e
+        |), reach AS (
+        |  SELECT a AS node, a AS r FROM sym
+        |  UNION
+        |  SELECT s2.a, r.r FROM sym s2 JOIN reach r ON s2.b = r.node
+        |), comp AS (
+        |  SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+        |), reps AS (
+        |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        |)
+        |SELECT doc_id, rep,
+        |  CAST(CAST(list_sum(list_transform(range(8), i ->
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(CAST(rep AS VARCHAR)), CAST(i+1 AS INT), 1)) - 1)
+        |      * 16**(7-i))) AS BIGINT) % 10 AS INTEGER) AS split
+        |FROM reps ORDER BY doc_id""".stripMargin,
   )
 }

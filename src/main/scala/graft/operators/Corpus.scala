@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -164,6 +164,37 @@ object Corpus {
             col("n_grams").cast("double")))
       .select(col("id").as(testIdCol), col("n_grams"),
         col("n_contaminated"), col("contamination"))
+  }
+
+  /** Leakage-safe split assignment: every document goes to the split
+    * chosen by hashing its near-dup CLUSTER representative (the min id
+    * of its connected component in the `pairs` graph; singletons
+    * represent themselves) — so near-duplicates always land in the
+    * same split and a train/val/test cut can never leak a twin across
+    * the boundary (the failure mode a row-wise `hashSample` split has
+    * on a deduplicated-but-clustered corpus).
+    *
+    * Scale shape: components run over the (sparse) near-dup pair graph
+    * only — corpus-bounded work never enters the iteration; the final
+    * assignment is one equi join (component membership is a small
+    * fraction of the corpus, AQE broadcasts it) plus a map-side hash.
+    * Pass a portable `hash` for cross-engine-reproducible splits. */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      pairACol: String,
+      pairBCol: String,
+      m: Int,
+      hash: Column => Column = c => xxhash64(c)): DataFrame = {
+    require(m > 0, "m must be positive")
+    val comps = Components.connectedComponents(pairs, pairACol, pairBCol)
+      .select(col("node").as(idCol), col("comp"))
+    df.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("comp"), col(idCol)))
+      .withColumn("split", pmod(hash(col("rep")), lit(m.toLong)).cast("int"))
+      .select(col(idCol), col("rep"), col("split"))
   }
 
   /** Tokenizer-vocabulary builder: corpus token frequencies pruned at
