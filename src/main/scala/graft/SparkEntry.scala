@@ -976,6 +976,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q57
+  /** Quantized similarity search: int8 codes, exact integer dot
+    * products, dequantized ranking — the compressed-index twin of q17.
+    * The oracle recomputes codes, every 128-term integer dot, and the
+    * scale division, so quantization AND scoring hash-check. */
+  private def q57QuantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val query = emb.filter(col("vec_id") === 0L)
+      .head().getSeq[Float](emb.schema.fieldIndex("embedding"))
+    Similarity.quantizedTopK(emb.filter(col("vec_id") =!= 0L),
+      "vec_id", "embedding", query, 10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1033,6 +1046,7 @@ object SparkEntry {
     "q54_pack_sequences" -> (q54PackSequences _),
     "q55_cross_corpus_neardup" -> (q55CrossCorpusNearDup _),
     "q56_leakage_safe_split" -> (q56LeakageSafeSplit _),
+    "q57_quantized_topk" -> (q57QuantizedTopK _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1928,5 +1942,32 @@ object SparkEntry {
         |       substr(md5(CAST(rep AS VARCHAR)), CAST(i+1 AS INT), 1)) - 1)
         |      * 16**(7-i))) AS BIGINT) % 10 AS INTEGER) AS split
         |FROM reps ORDER BY doc_id""".stripMargin,
+    "q57_quantized_topk" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS ma
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END AS scale,
+        |    list_transform(embedding, x -> GREATEST(-127, LEAST(127,
+        |      CAST(floor(CAST(x AS DOUBLE)
+        |        * (CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END)
+        |        + 0.5) AS INTEGER)))) AS qv
+        |  FROM m
+        |), qq AS (
+        |  SELECT scale AS s_q, qv AS qv_q FROM q WHERE vec_id = 0
+        |), d AS (
+        |  SELECT q.vec_id,
+        |    CAST(list_sum(list_transform(range(len(qv)), i ->
+        |      CAST(qv[CAST(i+1 AS INT)] AS BIGINT)
+        |        * CAST(qv_q[CAST(i+1 AS INT)] AS BIGINT))) AS BIGINT) AS dot_q,
+        |    scale, s_q
+        |  FROM q, qq WHERE q.vec_id != 0
+        |)
+        |SELECT vec_id, dot_q,
+        |  CASE WHEN scale = 0 OR s_q = 0 THEN 0.0
+        |       ELSE CAST(dot_q AS DOUBLE) / (scale * s_q) END AS approx_dot
+        |FROM d ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin,
   )
 }

@@ -174,6 +174,38 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Brute-force top-k over int8-QUANTIZED vectors — the search path
+    * [[quantizeInt8]] compresses for: the integer dot product `dot_q`
+    * is exact (no float accumulation order to worry about), and the
+    * dequantized score `dot_q / (scale_d * scale_q)` approximates the
+    * raw dot product to quantization error. Plan shape matches
+    * [[bruteForceTopK]]: map-only scoring + TakeOrderedAndProject —
+    * per-partition heaps of k, never a global sort. The query's own
+    * quantization is a constant-foldable literal expression. At 100 TB
+    * the win is the 4x scan-footprint cut when the corpus is STORED
+    * quantized (persist `quantizeInt8` output once, reuse per query). */
+  def quantizedTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int): DataFrame = {
+    val q = quantizeInt8(vectorLit(query))
+    val d = quantizeInt8(col(vecCol))
+    val dotQ = aggregate(
+      zip_with(d.getField("q"), q.getField("q"),
+        (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    df.select(col(idCol), dotQ.as("dot_q"),
+        d.getField("scale").as("__sd"), q.getField("scale").as("__sq"))
+      .withColumn("approx_dot",
+        when(col("__sd") === 0.0 || col("__sq") === 0.0, lit(0.0))
+          .otherwise(col("dot_q").cast("double") / (col("__sd") * col("__sq"))))
+      .orderBy(col("approx_dot").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dot_q"), col("approx_dot"))
+  }
+
   /** Symmetric int8 quantization of a float-vector column — the
     * vector-index compression step (4x smaller than float32, and the
     * dot-product kernel becomes integer SIMD). Per-vector scale

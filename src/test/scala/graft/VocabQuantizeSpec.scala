@@ -38,6 +38,19 @@ class VocabQuantizeSpec extends AnyFunSuite {
     assert(rows(1).getSeq[Int](1) == Seq(0, 0))
   }
 
+  test("quantizedTopK: integer dots rank the planted twin first") {
+    val df = table("id bigint, v array<float>", Seq(
+      row(1L, Seq(1.0f, 2.0f, -1.0f)),   // same direction as query
+      row(2L, Seq(-1.0f, -2.0f, 1.0f)),  // opposite
+      row(3L, Seq(2.0f, -1.0f, 1.0f))))  // near-orthogonal
+    val out = Similarity.quantizedTopK(df, "id", "v",
+        query = Seq(1.0f, 2.0f, -1.0f), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._1).toSeq == Seq(1L, 3L))
+    // query quantizes to (64,127,-63) at scale 63.5; self-dot exact
+    assert(out.head._2 == 64L * 64 + 127L * 127 + 63L * 63)
+  }
+
   test("quantizeInt8 codes stay within [-127, 127]") {
     val df = table("v array<float>",
       Seq(row(Seq(3.3f, -3.3f, 1.1f, -0.7f))))
