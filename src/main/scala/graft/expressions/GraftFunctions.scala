@@ -39,6 +39,7 @@ object GraftFunctions {
     "graft_simhash" -> { args =>
       SimHashFromHashes(args(0), intArg("graft_simhash", args(1)))
     },
+    "graft_quantized_dot" -> { args => QuantizedDotF32(args(0), args(1)) },
   )
 
   /** Idempotent per-session registration (temp functions live in the
@@ -79,6 +80,13 @@ object GraftFunctions {
   def cleanText(df: org.apache.spark.sql.DataFrame, c: Column): Column = {
     ensureRegistered(df.sparkSession)
     call_function("graft_clean_text", c)
+  }
+
+  /** Fused int8 quantize + integer dot vs pre-quantized query codes
+    * (native): struct(dot_q, scale). */
+  def quantizedDot(df: org.apache.spark.sql.DataFrame, vec: Column, qCodes: Column): Column = {
+    ensureRegistered(df.sparkSession)
+    call_function("graft_quantized_dot", vec, qCodes)
   }
 
   /** width-bit SimHash of an array<bigint> of token hashes (native). */

@@ -1,10 +1,10 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Native Catalyst expressions for the embedding hot path.
   *
@@ -134,5 +134,93 @@ case class CosineSimF32(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimF32 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused int8 quantize + integer dot against pre-quantized query codes:
+  * `(dot_q, scale)` where `scale = maxAbs == 0 ? 0 : 127 / maxAbs` and
+  * `dot_q = Σ clamp(floor(x_i * scale + 0.5), -127, 127) * qcode_i` —
+  * bit-identical to composing
+  * [[graft.operators.Similarity.quantizeInt8]] with a `zip_with` /
+  * `aggregate` dot (same IEEE ops in the same order, exact integer
+  * accumulation), but one two-pass Janino loop per row with zero
+  * allocation instead of an interpreted lambda tree materializing the
+  * code array. Null on length mismatch or a null element, like the
+  * HOF formulation. */
+case class QuantizedDotF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_quantized_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float>, array<int>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dot_q", LongType, nullable = false),
+    StructField("scale", DoubleType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val q = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != q.numElements()) return null
+    var ma = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || q.isNullAt(i)) return null
+      val ax = math.abs(x.getFloat(i).toDouble)
+      if (ax > ma) ma = ax
+      i += 1
+    }
+    val scale = if (ma == 0.0) 0.0 else 127.0 / ma
+    var dot = 0L
+    i = 0
+    while (i < n) {
+      val c = math.max(-127L,
+        math.min(127L, math.floor(x.getFloat(i).toDouble * scale + 0.5).toLong))
+      dot += c * q.getInt(i)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](dot, scale))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, q) => {
+      s"""
+         |int n$$ = $x.numElements();
+         |if (n$$ != $q.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double ma$$ = 0.0;
+         |  for (int i$$ = 0; i$$ < n$$; i$$++) {
+         |    if ($x.isNullAt(i$$) || $q.isNullAt(i$$)) { ${ev.isNull} = true; break; }
+         |    double ax$$ = java.lang.Math.abs((double) $x.getFloat(i$$));
+         |    if (ax$$ > ma$$) ma$$ = ax$$;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double scale$$ = (ma$$ == 0.0) ? 0.0 : 127.0 / ma$$;
+         |    long dot$$ = 0L;
+         |    for (int i$$ = 0; i$$ < n$$; i$$++) {
+         |      long c$$ = java.lang.Math.max(-127L, java.lang.Math.min(127L,
+         |        (long) java.lang.Math.floor((double) $x.getFloat(i$$) * scale$$ + 0.5)));
+         |      dot$$ += c$$ * (long) $q.getInt(i$$);
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[]{java.lang.Long.valueOf(dot$$), java.lang.Double.valueOf(scale$$)});
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedDotF32 =
     copy(left = newLeft, right = newRight)
 }

@@ -184,23 +184,35 @@ object Similarity {
     * quantization is a constant-foldable literal expression. At 100 TB
     * the win is the 4x scan-footprint cut when the corpus is STORED
     * quantized (persist `quantizeInt8` output once, reuse per query). */
+  /** Driver-side twin of [[quantizeInt8]] for a query vector — the same
+    * IEEE ops (double scale, round-half-up, clamp), so query codes are
+    * bit-identical to quantizing the vector in-engine. */
+  def quantizeInt8Local(v: Seq[Float]): (Seq[Int], Double) = {
+    val ma = v.foldLeft(0.0)((m, x) => math.max(m, math.abs(x.toDouble)))
+    val scale = if (ma == 0.0) 0.0 else 127.0 / ma
+    val codes = v.map(x =>
+      math.max(-127L, math.min(127L,
+        math.floor(x.toDouble * scale + 0.5).toLong)).toInt)
+    (codes, scale)
+  }
+
   def quantizedTopK(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       query: Seq[Float],
       k: Int): DataFrame = {
-    val q = quantizeInt8(vectorLit(query))
-    val d = quantizeInt8(col(vecCol))
-    val dotQ = aggregate(
-      zip_with(d.getField("q"), q.getField("q"),
-        (a, b) => a.cast("long") * b.cast("long")),
-      lit(0L), (acc, x) => acc + x)
-    df.select(col(idCol), dotQ.as("dot_q"),
-        d.getField("scale").as("__sd"), q.getField("scale").as("__sq"))
+    val (qCodes, qScale) = quantizeInt8Local(query)
+    // Fused native quantize+dot: one codegen'd two-pass loop per row,
+    // no per-row code-array allocation (the HOF composition of
+    // quantizeInt8 + zip_with + aggregate is ~6x slower, interpreted).
+    val d = GraftFunctions.quantizedDot(df, col(vecCol),
+      array(qCodes.map(lit): _*))
+    df.select(col(idCol), d.getField("dot_q").as("dot_q"),
+        d.getField("scale").as("__sd"))
       .withColumn("approx_dot",
-        when(col("__sd") === 0.0 || col("__sq") === 0.0, lit(0.0))
-          .otherwise(col("dot_q").cast("double") / (col("__sd") * col("__sq"))))
+        when(col("__sd") === 0.0 || lit(qScale) === 0.0, lit(0.0))
+          .otherwise(col("dot_q").cast("double") / (col("__sd") * lit(qScale))))
       .orderBy(col("approx_dot").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("dot_q"), col("approx_dot"))

@@ -51,6 +51,26 @@ class VocabQuantizeSpec extends AnyFunSuite {
     assert(out.head._2 == 64L * 64 + 127L * 127 + 63L * 63)
   }
 
+  test("native quantizedDot == composed quantizeInt8 + zip_with dot") {
+    import graft.expressions.GraftFunctions
+    val vecs = (1L to 50L).map { i =>
+      row(i, (0 until 16).map(j => ((i * 31 + j * 7) % 23).toFloat - 11.0f))
+    }
+    val df = table("id bigint, v array<float>", vecs)
+    val query = (0 until 16).map(j => (j % 5).toFloat - 2.0f)
+    val (qCodes, _) = Similarity.quantizeInt8Local(query)
+    val native = GraftFunctions.quantizedDot(df, col("v"),
+      array(qCodes.map(lit): _*))
+    val composed = Similarity.quantizeInt8(col("v"))
+    val bad = df.select(
+        native.getField("dot_q").as("nd"), native.getField("scale").as("ns"),
+        aggregate(zip_with(composed.getField("q"), array(qCodes.map(lit): _*),
+          (a, b) => a.cast("long") * b.cast("long")), lit(0L), _ + _).as("cd"),
+        composed.getField("scale").as("cs"))
+      .filter(col("nd") =!= col("cd") || col("ns") =!= col("cs"))
+    assert(bad.isEmpty)
+  }
+
   test("quantizeInt8 codes stay within [-127, 127]") {
     val df = table("v array<float>",
       Seq(row(Seq(3.3f, -3.3f, 1.1f, -0.7f))))
