@@ -989,6 +989,18 @@ object SparkEntry {
       "vec_id", "embedding", query, 10)
   }
 
+  // ---------------------------------------------------------------- q58
+  /** STREAMING correctness gate, stream-stream interval join: clicks
+    * joined to same-user purchases within 2 hours, replayed through a
+    * watermarked self-join of the file stream. The oracle is the plain
+    * batch join over the original events, so the streaming join must
+    * emit exactly the batch pair set — no extras, no late drops. */
+  private def q58StreamIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayIntervalJoin(Tables.events(s, dir),
+        typeA = "click", typeB = "purchase",
+        maxGap = "2 hours", watermark = "4 hours")
+      .orderBy("user_id", "id_a", "id_b")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1047,6 +1059,7 @@ object SparkEntry {
     "q55_cross_corpus_neardup" -> (q55CrossCorpusNearDup _),
     "q56_leakage_safe_split" -> (q56LeakageSafeSplit _),
     "q57_quantized_topk" -> (q57QuantizedTopK _),
+    "q58_stream_interval_join" -> (q58StreamIntervalJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1969,5 +1982,12 @@ object SparkEntry {
         |  CASE WHEN scale = 0 OR s_q = 0 THEN 0.0
         |       ELSE CAST(dot_q AS DOUBLE) / (scale * s_q) END AS approx_dot
         |FROM d ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin,
+    "q58_stream_interval_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+        |FROM events a JOIN events b
+        |  ON a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND a.user_id = b.user_id
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin,
   )
 }

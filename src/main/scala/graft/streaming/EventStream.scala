@@ -115,6 +115,32 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: each left event matched to right
+    * events of the same user with `r.ts` in `[l.ts, l.ts + maxGap]` —
+    * the incremental funnel/attribution join (click -> purchase within
+    * the window), twin of the batch [[graft.operators.RangeJoin]].
+    *
+    * Both sides carry a watermark and the join condition bounds event
+    * time in BOTH directions; together those let Spark expire join
+    * state older than `watermark + maxGap`, so state is
+    * O(events in the horizon), never the whole stream — the constraint
+    * that makes a stream-stream join viable on an unbounded feed. An
+    * INNER join emits each match as soon as both rows have arrived;
+    * no sentinel flush is needed in a replay. */
+  def intervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      maxGap: String = "2 hours",
+      watermark: String = "4 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+        s"""l.user_id = r.user_id AND
+           |r.ts >= l.ts AND r.ts <= l.ts + interval $maxGap""".stripMargin))
+      .select(col("l.user_id").as("user_id"),
+        col("l.event_id").as("id_a"), col("r.event_id").as("id_b"))
+  }
+
   /** Drive a streaming frame to a named in-memory table and block until
     * all available input is processed — the local smoke path. */
   def runToMemory(df: DataFrame, name: String,

@@ -126,6 +126,24 @@ object StreamGate {
       .filter(col("event_type") =!= "__sentinel")
   }
 
+  /** Replay through [[EventStream.intervalJoinStream]]: a stream
+    * SELF-join (both sides read the same replayed file source) of
+    * `typeA` events against `typeB` events within the gap. Inner join
+    * needs no sentinel: every match emits once both rows are in. */
+  def replayIntervalJoin(
+      events: DataFrame,
+      typeA: String,
+      typeB: String,
+      maxGap: String,
+      watermark: String): DataFrame = {
+    val stream = replayStream(
+      events.select("event_id", "ts", "user_id", "event_type", "value"))
+    runToParquet(EventStream.intervalJoinStream(
+      stream.filter(col("event_type") === typeA),
+      stream.filter(col("event_type") === typeB),
+      maxGap, watermark))
+  }
+
   /** Replay through [[EventStream.dedupStream]]: one surviving row per
     * distinct key (all data lands inside the watermark horizon of a
     * single AvailableNow batch, so the streaming state dedups the

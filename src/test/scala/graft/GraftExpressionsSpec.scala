@@ -142,7 +142,8 @@ class GraftExpressionsSpec extends AnyFunSuite {
     val names = GraftFunctions.builders.map(_._1)
     assert(names.distinct.size == names.size)
     assert(names.toSet == Set("graft_dot_f32", "graft_cosine_f32",
-      "graft_minhash_sig", "graft_shingles", "graft_clean_text", "graft_simhash"))
+      "graft_minhash_sig", "graft_shingles", "graft_clean_text", "graft_simhash",
+      "graft_quantized_dot"))
     // per-session registration: repeated calls are safe, functions resolve
     GraftFunctions.ensureRegistered(spark)
     GraftFunctions.ensureRegistered(spark)
