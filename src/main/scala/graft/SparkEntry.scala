@@ -1001,6 +1001,69 @@ object SparkEntry {
         maxGap = "2 hours", watermark = "4 hours")
       .orderBy("user_id", "id_a", "id_b")
 
+  // ---------------------------------------------------------------- q59
+  /** STREAMING correctness gate, stream-static enrichment: every event
+    * joined to its customer's market segment through the stateless
+    * broadcast stream-static join. The oracle is the plain batch join,
+    * so the per-micro-batch join must reproduce it row-for-row. */
+  private def q59StreamEnrich(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayEnrich(Tables.events(s, dir),
+        dim = Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+        streamKey = "user_id", dimKey = "c_custkey",
+        dimCols = Seq("c_mktsegment" -> "segment"))
+      .select("event_id", "user_id", "event_type", "segment", "value")
+      .orderBy("event_id")
+
+  // ---------------------------------------------------------------- q60
+  /** PII scrubbing: deterministic emails/phones/IPs planted from
+    * doc_id (the raw corpus has none — the planting makes every row a
+    * real redaction case), then the rule-family redaction with per-rule
+    * audit counts. The oracle replants and re-redacts with its own
+    * regex engine, so patterns, rule order, and the redacted text all
+    * hash-check cross-engine. */
+  private def q60PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).withColumn("__pii",
+      concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@mail.example"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" cc u"), col("doc_id").cast("string"), lit("@backup.example")))
+          .otherwise(lit("")),
+        lit(" ph 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+    val counts = TextFunctions.piiCounts(col("__pii"))
+      .map { case (name, c) => c.cast("int").as(s"n_$name") }
+    planted.select(
+        (col("doc_id") +: counts) :+
+          md5(TextFunctions.redactPii(col("__pii"))).as("redacted_md5"): _*)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q61
+  /** Deterministic corpus shuffle + sharding: md5-permuted order,
+    * contiguous positions from the range-partitioned zipWithIndex,
+    * round-robin shards. The oracle recomputes the permutation with
+    * its own md5 and a row_number window, so the two-pass distributed
+    * id assignment must match the single-ordering semantics exactly. */
+  private def q61ShuffleShard(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    Corpus.shuffleShard(Tables.documents(s, dir).select("doc_id"), "doc_id", 8)
+      .select("doc_id", "pos", "shard")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q62
+  /** EXACT heavy hitters by sketch-then-verify: a mergeable
+    * Misra-Gries pass (capacity 30 < the 31-token vocabulary, so real
+    * evictions happen) guarantees every token above n/31 survives as a
+    * candidate; an exact candidate-only count trims to the true heavy
+    * hitters. The oracle computes the same set exactly, so the sketch's
+    * no-miss guarantee is value-checked, not assumed. */
+  private def q62HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    Corpus.heavyHitterTokens(Tables.documents(s, dir), "text", sketchK = 30)
+      .orderBy("token")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1060,6 +1123,10 @@ object SparkEntry {
     "q56_leakage_safe_split" -> (q56LeakageSafeSplit _),
     "q57_quantized_topk" -> (q57QuantizedTopK _),
     "q58_stream_interval_join" -> (q58StreamIntervalJoin _),
+    "q59_stream_enrich" -> (q59StreamEnrich _),
+    "q60_pii_redact" -> (q60PiiRedact _),
+    "q61_shuffle_shard" -> (q61ShuffleShard _),
+    "q62_heavy_hitters" -> (q62HeavyHitters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1989,5 +2056,54 @@ object SparkEntry {
         |  AND a.user_id = b.user_id
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
         |ORDER BY a.user_id, id_a, id_b""".stripMargin,
+    "q59_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |  c.c_mktsegment AS segment, e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+    "q60_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' cc u' || CAST(doc_id AS VARCHAR) || '@backup.example'
+        |         ELSE '' END ||
+        |    ' ph 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS pii
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(pii,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+        |    regexp_replace(pii,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+        |  FROM planted),
+        |s2 AS (
+        |  SELECT doc_id, n_email,
+        |    CAST(len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS INTEGER) AS n_phone,
+        |    regexp_replace(t, '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS t
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id, n_email, n_phone,
+        |    CAST(len(regexp_extract_all(t,
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS n_ipv4,
+        |    regexp_replace(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t
+        |  FROM s2)
+        |SELECT doc_id, n_email, n_phone, n_ipv4, md5(t) AS redacted_md5
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+    "q61_shuffle_shard" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+        |  FROM documents)
+        |SELECT doc_id, pos, CAST(pos % 8 AS INTEGER) AS shard
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q62_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), ' +')) AS token FROM documents),
+        |cnts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+        |tot AS (SELECT SUM(cnt) AS n FROM cnts)
+        |SELECT token, cnt FROM cnts, tot WHERE cnt * 31 > n
+        |ORDER BY token""".stripMargin,
   )
 }

@@ -59,4 +59,51 @@ object Aggregators {
       .select(groups.map(col) :+ explode(col("__top")).as("__e"): _*)
       .select(groups.map(col) :+ col("__e.score").as(scoreCol) :+ col("__e.id").as(idCol): _*)
   }
+
+  /** Misra-Gries heavy-hitter sketch: a bounded summary of at most `k`
+    * (item, weight) counters with the classical guarantee that any item
+    * whose true frequency exceeds n/(k+1) is PRESENT in the final
+    * summary (weights may undercount, membership cannot miss).
+    *
+    * Mergeability is the point at scale: each map task sketches its
+    * partition independently, partial aggregation combines sketches
+    * pairwise (sum weights, then subtract the (k+1)-th largest weight
+    * from all and drop non-positive — Agarwal et al.'s merge, which
+    * preserves the n/(k+1) guarantee for the COMBINED stream), so the
+    * shuffle carries O(k x partitions) counters regardless of corpus
+    * size or skew. A 100 TB token stream reduces to one k-entry map on
+    * the driver — compare an exact groupBy whose shuffle is
+    * vocabulary-sized. */
+  final class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k > 0, "k must be positive")
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+      b.get(item) match {
+        case Some(w) => b.updated(item, w + 1L)
+        case None if b.size < k => b.updated(item, 1L)
+        case None =>
+          // decrement-all eviction: O(k), amortized over >= k arrivals
+          b.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+      }
+
+    override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
+      val combined = b2.foldLeft(b1) { case (m, (i, w)) =>
+        m.updated(i, m.getOrElse(i, 0L) + w)
+      }
+      if (combined.size <= k) combined
+      else {
+        // subtract the (k+1)-th largest weight, keep strictly positive
+        val cut = combined.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+        combined.view.mapValues(_ - cut).filter(_._2 > 0L).toMap
+      }
+    }
+
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] = bufferEncoder
+  }
 }

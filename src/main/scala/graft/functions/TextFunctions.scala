@@ -178,4 +178,39 @@ object TextFunctions {
       tokens(c),
       lit(0L),
       (acc, t) => pmod(acc * lit(31L) + tokenHash(t), lit(2147483647L)))
+
+  // ------------------------------------------------------------------
+  // PII scrubbing — pattern-family redaction for training corpora.
+  // The patterns avoid constructs where Java regex and RE2 diverge
+  // (no backrefs, no lookaround), so redaction counts and redacted
+  // text are oracle-checkable cross-engine.
+
+  /** (name, pattern, replacement) redaction rules. Order matters:
+    * emails first, so a phone-like digit run inside an address is
+    * consumed by the email rule, never double-redacted. */
+  val PiiRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b555-[0-9]{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"))
+
+  /** Replace every PII match with its rule's placeholder — one chained
+    * `regexp_replace` per rule, all codegen'd built-ins, map-only: the
+    * shape a full-corpus scrub needs at 100 TB (no shuffle, no state,
+    * no driver round-trips). */
+  def redactPii(c: Column, rules: Seq[(String, String, String)] = PiiRules): Column =
+    rules.foldLeft(c) { case (acc, (_, re, repl)) =>
+      regexp_replace(acc, lit(re), lit(repl))
+    }
+
+  /** Per-rule match count (audit/reporting side of the scrub). Counts
+    * run over the same progressive redaction as [[redactPii]], so a
+    * span consumed by an earlier rule is never counted twice. */
+  def piiCounts(c: Column, rules: Seq[(String, String, String)] = PiiRules): Seq[(String, Column)] = {
+    val (_, counts) = rules.foldLeft((c, Seq.empty[(String, Column)])) {
+      case ((acc, out), (name, re, repl)) =>
+        (regexp_replace(acc, lit(re), lit(repl)),
+          out :+ (name, regexp_count(acc, lit(re))))
+    }
+    counts
+  }
 }

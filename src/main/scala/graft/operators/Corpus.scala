@@ -219,4 +219,49 @@ object Corpus {
     General.withContiguousRowIds(freq, Seq("__negfreq", "token"), "token_id")
       .select("token_id", "token", "freq")
   }
+
+  /** EXACT heavy hitters over the token stream via the classical
+    * two-pass sketch-then-verify algorithm: pass 1 runs a mergeable
+    * [[graft.functions.Aggregators.MisraGries]] sketch (capacity
+    * `sketchK`) alongside the total-token count in ONE aggregation —
+    * any token with frequency > n/(sketchK+1) is guaranteed to be
+    * among the <= sketchK candidates; pass 2 exactly counts ONLY the
+    * candidates and keeps those strictly above the threshold. Output
+    * is exact (the sketch can only over-admit, and the second pass
+    * trims), yet neither pass shuffles the vocabulary: pass 1's
+    * exchange carries O(sketchK x partitions) counters, pass 2's is
+    * candidate-bounded. The candidate list (<= sketchK strings) is the
+    * only thing that touches the driver — bounded by construction,
+    * independent of corpus size. */
+  def heavyHitterTokens(
+      df: DataFrame,
+      textCol: String,
+      sketchK: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val mg = udaf(new graft.functions.Aggregators.MisraGries(sketchK), Encoders.STRING)
+    val toks = df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val row = toks.agg(mg(col("token")).as("sketch"), count(lit(1)).as("n")).head()
+    val candidates = row.getMap[String, Long](0).keys.toSeq
+    val n = row.getLong(1)
+    toks.filter(col("token").isin(candidates: _*))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(sketchK + 1L) > n)
+  }
+
+  /** Deterministic global corpus shuffle + shard assignment: order the
+    * corpus by a portable hash of its id (a fixed pseudo-random
+    * permutation — the pre-training shuffle that decorrelates adjacent
+    * source documents), assign contiguous positions with the
+    * range-partitioned [[General.withContiguousRowIds]] (never a
+    * one-partition window), and deal positions round-robin into
+    * `nShards` equal output shards. Rerunnable: same ids -> same
+    * permutation -> same shards, on any cluster size. */
+  def shuffleShard(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val keyed = df.withColumn("__skey", md5(col(idCol).cast("string")))
+    General.withContiguousRowIds(keyed, Seq("__skey", idCol), "pos")
+      .withColumn("shard", (col("pos") % nShards).cast("int"))
+      .drop("__skey")
+  }
 }

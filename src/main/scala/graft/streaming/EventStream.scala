@@ -141,6 +141,33 @@ object EventStream {
         col("l.event_id").as("id_a"), col("r.event_id").as("id_b"))
   }
 
+  /** Stream-static enrichment join: attach dimension attributes to
+    * each streaming event. Stream-static joins are STATELESS — no
+    * watermark, no join state — because the static side is re-planned
+    * on every micro-batch (so a refreshed dimension table is picked up
+    * mid-stream). The explicit `broadcast` keeps the unbounded side
+    * shuffle-free: the events never move, the (small) dimension ships
+    * to them — the only join shape that scales on a 100 TB/day feed.
+    * Inner join: events with no dimension row are dropped (use the
+    * dim's own completeness checks upstream).
+    *
+    * `dimCols` maps dimension column -> output alias, so the enriched
+    * schema is explicit and stable. */
+  def enrichStream(
+      events: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String,
+      dimCols: Seq[(String, String)]): DataFrame = {
+    val e = events.alias("e")
+    val d = broadcast(dim).alias("d")
+    val out = Seq(col(s"e.$streamKey")) ++
+      events.columns.filter(_ != streamKey).map(c => col(s"e.$c")) ++
+      dimCols.map { case (c, a) => col(s"d.$c").as(a) }
+    e.join(d, col(s"e.$streamKey") === col(s"d.$dimKey"), "inner")
+      .select(out: _*)
+  }
+
   /** Drive a streaming frame to a named in-memory table and block until
     * all available input is processed — the local smoke path. */
   def runToMemory(df: DataFrame, name: String,

@@ -144,6 +144,20 @@ object StreamGate {
       maxGap, watermark))
   }
 
+  /** Replay through [[EventStream.enrichStream]]: stateless
+    * stream-static join, so no sentinel and no watermark — every
+    * event emits as soon as its micro-batch runs. */
+  def replayEnrich(
+      events: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String,
+      dimCols: Seq[(String, String)]): DataFrame = {
+    val stream = replayStream(
+      events.select("event_id", "ts", "user_id", "event_type", "value"))
+    runToParquet(EventStream.enrichStream(stream, dim, streamKey, dimKey, dimCols))
+  }
+
   /** Replay through [[EventStream.dedupStream]]: one surviving row per
     * distinct key (all data lands inside the watermark horizon of a
     * single AvailableNow batch, so the streaming state dedups the
