@@ -40,6 +40,7 @@ object GraftFunctions {
       SimHashFromHashes(args(0), intArg("graft_simhash", args(1)))
     },
     "graft_quantized_dot" -> { args => QuantizedDotF32(args(0), args(1)) },
+    "graft_sorted_intersect" -> { args => SortedIntersectCount(args(0), args(1)) },
   )
 
   /** Idempotent per-session registration (temp functions live in the
@@ -87,6 +88,13 @@ object GraftFunctions {
   def quantizedDot(df: org.apache.spark.sql.DataFrame, vec: Column, qCodes: Column): Column = {
     ensureRegistered(df.sparkSession)
     call_function("graft_quantized_dot", vec, qCodes)
+  }
+
+  /** Merge-walk intersection size of two sorted-ascending long arrays
+    * (native). */
+  def sortedIntersect(df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Column = {
+    ensureRegistered(df.sparkSession)
+    call_function("graft_sorted_intersect", a, b)
   }
 
   /** width-bit SimHash of an array<bigint> of token hashes (native). */

@@ -68,6 +68,26 @@ object TextFunctions {
     i / nullif(size(sa).cast("double") + size(sb).cast("double") - i, lit(0.0))
   }
 
+  /** Sorted 64-bit hashes of a distinct-shingle string array — the
+    * shape [[graft.expressions.SortedIntersectCount]] consumes. Hash
+    * ONCE per document here (map-side), so the per-pair Jaccard never
+    * touches a string again: the verify joins ship 8-byte longs and
+    * the intersection is a primitive merge walk. Distinctness carries
+    * over unless two shingles collide in 64 bits (~2^-64/pair — the
+    * standard hashed-shingle trade; a collision would nudge Jaccard by
+    * one count). */
+  def hashedShingles(sh: Column): Column =
+    array_sort(transform(sh, t => xxhash64(t)))
+
+  /** [[shingleJaccard]] over pre-hashed sorted arrays from
+    * [[hashedShingles]]: same integers (intersection count and sizes
+    * are collision-free in practice), ~10x cheaper per pair. */
+  def shingleJaccardHashed(
+      df: org.apache.spark.sql.DataFrame, ha: Column, hb: Column): Column = {
+    val i = graft.expressions.GraftFunctions.sortedIntersect(df, ha, hb).cast("double")
+    i / nullif(size(ha).cast("double") + size(hb).cast("double") - i, lit(0.0))
+  }
+
   /** Language markers: per-language stopword lists for the n-gram
     * heuristic. Deterministic; tie-break follows declaration order. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
