@@ -59,12 +59,16 @@ object Bench {
         val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.length / 2)
         (name, median, err)
       }
-    val qs = results.map { case (k, v, _) => s"\"${esc(k)}\":$v" }
+    // 3-decimal timings keep the whole JSON line under ~1.8 KB even at
+    // 60+ queries: the harness only retains the tail of stdout, and a
+    // line longer than that window gets its head (metric+total) clipped.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => s"\"${esc(k)}\":${fmt(v)}" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }
