@@ -152,11 +152,18 @@ object Dedup {
       .filter(col("a") < col("b"))
       .distinct()
 
-    val shA = docs.select(col("id").as("a"), col("sh").as("sh_a"))
-    val shB = docs.select(col("id").as("b"), col("sh").as("sh_b"))
+    // Verify joins ship HASHED shingles: 8-byte longs instead of ~20-byte
+    // strings through both exchanges, and the per-pair Jaccard is a
+    // primitive merge walk (SortedIntersectCount) instead of a per-pair
+    // string hash set. Same integers (collision odds ~2^-64/pair).
+    val shA = docs.select(col("id").as("a"),
+      TextFunctions.hashedShingles(col("sh")).as("sh_a"))
+    val shB = docs.select(col("id").as("b"),
+      TextFunctions.hashedShingles(col("sh")).as("sh_b"))
     candidates
       .join(shA, "a").join(shB, "b")
-      .withColumn("jaccard", TextFunctions.shingleJaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        TextFunctions.shingleJaccardHashed(df, col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
   }
@@ -206,9 +213,12 @@ object Dedup {
       .select(col("id").as("a"), explode(col("rids")).as("b"))
       .distinct()
     candidates
-      .join(l.select(col("id").as("a"), col("sh").as("sh_a")), "a")
-      .join(r.select(col("id").as("b"), col("sh").as("sh_b")), "b")
-      .withColumn("jaccard", TextFunctions.shingleJaccard(col("sh_a"), col("sh_b")))
+      .join(l.select(col("id").as("a"),
+        TextFunctions.hashedShingles(col("sh")).as("sh_a")), "a")
+      .join(r.select(col("id").as("b"),
+        TextFunctions.hashedShingles(col("sh")).as("sh_b")), "b")
+      .withColumn("jaccard",
+        TextFunctions.shingleJaccardHashed(left, col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
   }
@@ -218,11 +228,18 @@ object Dedup {
     * the text twin of [[Similarity.windowedCosinePairs]], and the
     * deterministic, oracle-checkable complement to the LSH all-pairs
     * detectors ([[minHashNearDupPairs]]/[[simHashNearDupPairsW]]).
-    * Linear in corpus size: each left row explodes into its `window`
-    * prospective partner ids, then ONE equi hash join — a range
-    * predicate would plan as a nested-loop join, O(n^2) at scale.
-    * Shingling runs through the native [[graft.expressions.ShingleSet]]
-    * expression on both sides. */
+    *
+    * Plan: shingle + hash each doc ONCE map-side (native
+    * [[graft.expressions.ShingleSet]] then 8-byte sorted hashes), then a
+    * BUCKETED self-join on `floor(id/window)`: the probe side carries
+    * each doc once, the build side twice (its own bucket and the
+    * previous one — every (a, a+delta<=window) pair lands in one of the
+    * two), so each shingle set crosses the exchange at most 3 times
+    * total. The naive explode-to-partner-ids shape ships the array
+    * `window+1` times — 26x the shuffle bytes at window=25. The range
+    * predicate stays OUT of the join condition (bucket equality is the
+    * key; delta in 1..window is a post-join filter), so this plans as a
+    * hash join, never a nested loop. */
   def windowedNgramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -231,12 +248,16 @@ object Dedup {
       window: Int,
       threshold: Double): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
-      GraftFunctions.shingles(df,
-        TextFunctions.tokens(col(textCol)), shingleN).as("sh"))
-    docs.select(col("id").as("id_a"), col("sh").as("sh_a"),
-        explode(sequence(col("id") + 1, col("id") + window)).as("id_b"))
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", TextFunctions.shingleJaccard(col("sh_a"), col("sh_b")))
+      TextFunctions.hashedShingles(GraftFunctions.shingles(df,
+        TextFunctions.tokens(col(textCol)), shingleN)).as("sh"))
+    val bkt = floor(col("id") / window)
+    val a = docs.select(col("id").as("id_a"), col("sh").as("sh_a"), bkt.as("bkt"))
+    val b = docs.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      explode(array(bkt, bkt - 1)).as("bkt"))
+    a.join(b, "bkt")
+      .filter(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + window)
+      .withColumn("jaccard",
+        TextFunctions.shingleJaccardHashed(df, col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
