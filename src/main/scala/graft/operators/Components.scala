@@ -20,11 +20,19 @@ import org.apache.spark.sql.functions._
   * the same per-round join shape, so it drops in here if diameter ever
   * becomes the bottleneck.
   *
-  * Iterative-lineage discipline: each iteration `localCheckpoint`s the
-  * new label frame (eagerly), truncating the plan — without this the
-  * lineage doubles per iteration and the job dies in the optimizer
-  * long before it dies in execution. The checkpoint also means the
-  * convergence check (a count on the already-materialized frame) costs
+  * Iterative-lineage discipline: the symmetrized edge frame is
+  * `localCheckpoint`ed ONCE up front, and each iteration
+  * `localCheckpoint`s the new label frame (eagerly). The edge
+  * checkpoint matters most: exchange reuse never crosses separate
+  * actions, so without it every iteration's `sym.join(labels)` would
+  * re-execute the caller's entire upstream pipeline — for a dedup flow
+  * that is the full MinHash-LSH pair detection, multiplied by the
+  * iteration count. The pair graph is sparse and bounded (near-dup
+  * pairs, not the corpus), which is exactly the frame a checkpoint is
+  * for. The label checkpoint truncates the per-iteration plan —
+  * without it the lineage doubles per iteration and the job dies in
+  * the optimizer long before it dies in execution — and makes the
+  * convergence check (a scan of the already-materialized frame) cost
   * no recompute.
   */
 object Components {
@@ -44,6 +52,7 @@ object Components {
     val sym = edges.select(col(srcCol).as("node"), col(dstCol).as("nb"))
       .unionByName(edges.select(col(dstCol).as("node"), col(srcCol).as("nb")))
       .distinct()
+      .localCheckpoint() // materialize edges ONCE; iterations read blocks
     var labels = sym.select("node").distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint()

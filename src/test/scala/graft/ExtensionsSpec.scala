@@ -279,6 +279,31 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: edge lineage executes exactly once across iterations") {
+    import graft.operators.Components
+    import spark.implicits._
+    // Regression gate for the round-5 defect: the symmetrized edge
+    // frame must be checkpointed, or every label-propagation iteration
+    // re-executes the caller's whole upstream pipeline (for dedup flows
+    // that is the full MinHash-LSH pair detection, times the iteration
+    // count). The accumulator counts edge-lineage row reads; a chain of
+    // diameter 6 forces ~7 iterations, so any per-iteration recompute
+    // multiplies the count well past the single-materialization value.
+    val acc = spark.sparkContext.longAccumulator("edge-rows-read")
+    val edges = (0L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+      .as[(Long, Long)]
+      .map { e => acc.add(1); e }
+      .toDF("a", "b")
+    val comps = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == (0L to 6L).map(_ -> 0L).toMap)
+    // sym = edges UNION reversed-edges, so ONE materialization reads the
+    // 6-row lineage exactly twice (12); per-iteration recompute would
+    // add 12 more per iteration.
+    assert(acc.value == 12L,
+      s"edge lineage re-executed across iterations: ${acc.value} row reads, expected 12")
+  }
+
   test("multimodal: stub decode populates features; null payload survives") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq ==
