@@ -758,10 +758,13 @@ object SparkEntry {
   // ---------------------------------------------------------------- q44
   /** Windowed n-gram Jaccard near-dup pairs — the exact, linear text
     * dedup: each doc compared to its 25 id-successors on 3-gram
-    * shingle Jaccard (explode + ONE equi hash join, never a range
-    * nested-loop). The oracle recomputes every shingle set and Jaccard
-    * value, so shingling, the window shape, and the division all
-    * hash-check. */
+    * shingle Jaccard via a BUCKETED `id div window` self-join (probe
+    * side once, build side in its own and the previous bucket; delta
+    * is a post-join filter), so each hashed shingle set crosses the
+    * exchange at most 3 times and the join stays an equi hash join,
+    * never a range nested-loop. The oracle recomputes every shingle
+    * set and Jaccard value, so shingling, the window shape, and the
+    * division all hash-check. */
   private def q44NgramJaccardWindow(s: SparkSession, dir: String): DataFrame =
     Dedup.windowedNgramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, window = 25, threshold = 0.01)

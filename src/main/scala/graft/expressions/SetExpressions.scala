@@ -64,18 +64,29 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // freshName, not fixed names: two instances of this expression in
+      // one codegen scope (e.g. non-nullable inputs, no wrapping block)
+      // would otherwise declare duplicate locals — a Janino compile
+      // error and a silent fallback out of whole-stage codegen.
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj")
       s"""
-         |int nx$$ = $x.numElements();
-         |int ny$$ = $y.numElements();
-         |int i$$ = 0, j$$ = 0, c$$ = 0;
-         |while (i$$ < nx$$ && j$$ < ny$$) {
-         |  if ($x.isNullAt(i$$) || $y.isNullAt(j$$)) { ${ev.isNull} = true; break; }
-         |  long xi$$ = $x.getLong(i$$);
-         |  long yj$$ = $y.getLong(j$$);
-         |  if (xi$$ == yj$$) { c$$++; i$$++; j$$++; }
-         |  else if (xi$$ < yj$$) { i$$++; } else { j$$++; }
+         |int $nx = $x.numElements();
+         |int $ny = $y.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  long $xi = $x.getLong($i);
+         |  long $yj = $y.getLong($j);
+         |  if ($xi == $yj) { $c++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
          |}
-         |if (!${ev.isNull}) ${ev.value} = c$$;
+         |if (!${ev.isNull}) ${ev.value} = $c;
        """.stripMargin
     })
 

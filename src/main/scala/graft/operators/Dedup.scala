@@ -247,10 +247,16 @@ object Dedup {
       shingleN: Int,
       window: Int,
       threshold: Double): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
     val docs = df.select(col(idCol).as("id"),
       TextFunctions.hashedShingles(GraftFunctions.shingles(df,
         TextFunctions.tokens(col(textCol)), shingleN)).as("sh"))
-    val bkt = floor(col("id") / window)
+    // `div` = exact integral division: `floor(id / window)` goes through
+    // doubles, which mis-buckets ids past 2^53 (silently dropped pairs).
+    // Truncating division buckets are still contiguous runs of >= window
+    // ids, monotone in id, so every (a, b <= a+window) pair lands in
+    // b's bucket or the one before it — the invariant the join needs.
+    val bkt = expr(s"CAST(id AS BIGINT) div $window")
     val a = docs.select(col("id").as("id_a"), col("sh").as("sh_a"), bkt.as("bkt"))
     val b = docs.select(col("id").as("id_b"), col("sh").as("sh_b"),
       explode(array(bkt, bkt - 1)).as("bkt"))
