@@ -145,11 +145,14 @@ object EventStream {
     * each streaming event. Stream-static joins are STATELESS — no
     * watermark, no join state — because the static side is re-planned
     * on every micro-batch (so a refreshed dimension table is picked up
-    * mid-stream). The explicit `broadcast` keeps the unbounded side
-    * shuffle-free: the events never move, the (small) dimension ships
-    * to them — the only join shape that scales on a 100 TB/day feed.
-    * Inner join: events with no dimension row are dropped (use the
-    * dim's own completeness checks upstream).
+    * mid-stream). With `broadcastDim = true` (the default) the explicit
+    * `broadcast` keeps the unbounded side shuffle-free: the events
+    * never move, the (small) dimension ships to them — the join shape
+    * that scales on a 100 TB/day feed. For a dimension too big to fit
+    * in executor memory, pass `broadcastDim = false` to degrade to a
+    * per-micro-batch shuffled hash join instead of an OOM — slower,
+    * never fatal. Inner join: events with no dimension row are dropped
+    * (use the dim's own completeness checks upstream).
     *
     * `dimCols` maps dimension column -> output alias, so the enriched
     * schema is explicit and stable. */
@@ -158,9 +161,10 @@ object EventStream {
       dim: DataFrame,
       streamKey: String,
       dimKey: String,
-      dimCols: Seq[(String, String)]): DataFrame = {
+      dimCols: Seq[(String, String)],
+      broadcastDim: Boolean = true): DataFrame = {
     val e = events.alias("e")
-    val d = broadcast(dim).alias("d")
+    val d = (if (broadcastDim) broadcast(dim) else dim).alias("d")
     val out = Seq(col(s"e.$streamKey")) ++
       events.columns.filter(_ != streamKey).map(c => col(s"e.$c")) ++
       dimCols.map { case (c, a) => col(s"d.$c").as(a) }

@@ -145,16 +145,23 @@ class AsOfStreamConfigSpec extends AnyFunSuite {
     ).toDS().write.mode("overwrite").parquet(dir)
     val users = table("user_id bigint, segment string",
       Seq(row(1L, "gold"), row(2L, "silver")))
-    val stream = EventStream.readEventStream(s, dir, s.read.parquet(dir).schema)
     // stream-static join: the static side is re-read per micro-batch,
-    // no state accumulates for it
-    val enriched = stream.join(users, Seq("user_id"))
-    val q = EventStream.runToMemory(enriched, "enriched_out")
-    val got = s.table("enriched_out")
-      .select("event_id", "segment").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    q.stop()
-    assert(got == Map(1L -> "gold", 2L -> "silver", 3L -> "gold"))
+    // no state accumulates for it. Both dimension-side shapes must
+    // agree: broadcast (default, shuffle-free events) and the
+    // non-broadcast degradation for a dimension too big to broadcast.
+    val results = Seq(true -> "enriched_bcast", false -> "enriched_shuffle").map {
+      case (bcast, sink) =>
+        val stream = EventStream.readEventStream(s, dir, s.read.parquet(dir).schema)
+        val enriched = EventStream.enrichStream(stream, users,
+          "user_id", "user_id", Seq("segment" -> "segment"), broadcastDim = bcast)
+        val q = EventStream.runToMemory(enriched, sink)
+        val got = s.table(sink)
+          .select("event_id", "segment").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        q.stop()
+        got
+    }
+    assert(results.forall(_ == Map(1L -> "gold", 2L -> "silver", 3L -> "gold")))
   }
 
   test("streaming: stateful sessionizer emits closed sessions") {
