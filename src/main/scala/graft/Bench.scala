@@ -41,7 +41,7 @@ object Bench {
     // most real regressions — the median is reproducible to ~10%.
     // A query that throws is still reported loudly and retried never.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val results: Seq[(String, Double, Option[String])] =
+    val results: Seq[(String, Double, Double, Double, Option[String])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
         var err: Option[String] = None
@@ -57,19 +57,47 @@ object Bench {
           r += 1
         }
         val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.length / 2)
-        (name, median, err)
+        val mn = if (times.isEmpty) 0.0 else times.min
+        val mx = if (times.isEmpty) 0.0 else times.max
+        (name, median, mn, mx, err)
       }
-    // 3-decimal timings keep the whole JSON line under ~1.8 KB even at
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Full per-query spread sidecar: the stdout retention window (the
+    // harness keeps ~2 KB of tail) can't hold 62 [med,min,max] triples,
+    // so the complete spread lands in a file next to the build and the
+    // JSON line carries a pointer plus the few widest spreads inline —
+    // enough to tell noise from regression without re-running.
+    val spreadFile = "BENCH_SPREAD.json"
+    val spreadJson = results.map { case (k, med, mn, mx, _) =>
+      s"""  "${esc(k)}": [${fmt(med)}, ${fmt(mn)}, ${fmt(mx)}]"""
+    }.mkString("{\n", ",\n", "\n}\n")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(spreadFile),
+      spreadJson.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] spread write failed: $e") }
+    // 3-decimal timings keep the whole JSON line under ~1.9 KB even at
     // 60+ queries: the harness only retains the tail of stdout, and a
     // line longer than that window gets its head (metric+total) clipped.
-    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => s"\"${esc(k)}\":${fmt(v)}" }
+    val qs = results.map { case (k, v, _, _, _) => s"\"${esc(k)}\":${fmt(v)}" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
+    val errs = results.collect { case (k, _, _, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _, _, None) => v }.sum
+    // Inline the widest absolute spreads (keyed by the unique qNN
+    // prefix), adding entries only while the line stays inside the
+    // retention window.
+    val lineBudget = 1880
+    def line(spread: Seq[String]): String = {
+      val sp = spread.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"spread_file":"$spreadFile","noisiest":$sp,"sf":"$sfDir"}"""
+    }
+    val byAbsSpread = results
+      .collect { case (k, _, mn, mx, None) => (k.takeWhile(_ != '_'), mx - mn, mn, mx) }
+      .sortBy(-_._2)
+      .map { case (q, _, mn, mx) => s"\"$q\":[${fmt(mn)},${fmt(mx)}]" }
+    val inlined = byAbsSpread.inits.find(s => line(s).length <= lineBudget)
+      .getOrElse(Seq.empty)
+    println(line(inlined))
     spark.stop()
-    if (results.exists(_._3.isDefined)) sys.exit(1)
+    if (results.exists(_._5.isDefined)) sys.exit(1)
   }
 }
