@@ -1067,6 +1067,23 @@ object SparkEntry {
       .orderBy("token")
   }
 
+  // ---------------------------------------------------------------- q63
+  /** q46's clustering through the ALTERNATING STAR-CONTRACTION
+    * formulation (Kiveris et al.) instead of min-label propagation —
+    * the O(log^2 n)-round variant for graphs whose diameter breaks the
+    * iterative version. Identical oracle to q46: both formulations must
+    * produce the exact same (doc_id, comp) labeling, so the contraction
+    * fixpoint and the min-id star centers hash-check against the
+    * recursive-CTE ground truth. */
+  private def q63DedupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Components
+    val pairs = Dedup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    Components.connectedComponentsStar(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("comp"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1130,6 +1147,7 @@ object SparkEntry {
     "q60_pii_redact" -> (q60PiiRedact _),
     "q61_shuffle_shard" -> (q61ShuffleShard _),
     "q62_heavy_hitters" -> (q62HeavyHitters _),
+    "q63_dedup_clusters_star" -> (q63DedupClustersStar _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1796,34 +1814,7 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
-    "q46_dedup_clusters" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
-        |), s AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-        |         ELSE list_distinct(list_transform(range(len(toks)-2), i ->
-        |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
-        |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
-        |  FROM tk
-        |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-        |               AS DOUBLE), 0.0) AS j
-        |  FROM s a JOIN s b ON b.doc_id > a.doc_id
-        |), e AS (
-        |  SELECT id_a, id_b FROM p WHERE j >= 0.5
-        |), sym AS (
-        |  SELECT id_a AS a, id_b AS b FROM e
-        |  UNION SELECT id_b, id_a FROM e
-        |), reach AS (
-        |  SELECT a AS node, a AS r FROM sym
-        |  UNION
-        |  SELECT s2.a, r.r FROM sym s2 JOIN reach r ON s2.b = r.node
-        |)
-        |SELECT node AS doc_id, MIN(r) AS comp FROM reach
-        |GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q46_dedup_clusters" -> dedupClustersOracle,
     "q47_bloom_pruned_join" ->
       """SELECT p_brand, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -2108,5 +2099,40 @@ object SparkEntry {
         |tot AS (SELECT SUM(cnt) AS n FROM cnts)
         |SELECT token, cnt FROM cnts, tot WHERE cnt * 31 > n
         |ORDER BY token""".stripMargin,
+    // q63 runs the same clustering through star contraction — the two
+    // formulations must agree label-for-label, so they share the oracle.
+    "q63_dedup_clusters_star" -> dedupClustersOracle,
   )
+
+  /** Ground truth for q46/q63: exact-Jaccard pair set + recursive-CTE
+    * reachability + min-id labeling. Shared so the min-label and
+    * star-contraction formulations are held to the identical answer. */
+  private val dedupClustersOracle: String =
+    """WITH RECURSIVE tk AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_distinct(list_transform(range(len(toks)-2), i ->
+      |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
+      |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
+      |  FROM tk
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+      |               AS DOUBLE), 0.0) AS j
+      |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+      |), e AS (
+      |  SELECT id_a, id_b FROM p WHERE j >= 0.5
+      |), sym AS (
+      |  SELECT id_a AS a, id_b AS b FROM e
+      |  UNION SELECT id_b, id_a FROM e
+      |), reach AS (
+      |  SELECT a AS node, a AS r FROM sym
+      |  UNION
+      |  SELECT s2.a, r.r FROM sym s2 JOIN reach r ON s2.b = r.node
+      |)
+      |SELECT node AS doc_id, MIN(r) AS comp FROM reach
+      |GROUP BY node ORDER BY doc_id""".stripMargin
 }

@@ -76,4 +76,80 @@ object Components {
         "(graph diameter exceeds the bound); raise maxIters")
     labels
   }
+
+  /** Alternating star-contraction connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14, the
+    * alternating algorithm): the drop-in for graphs whose DIAMETER, not
+    * size, breaks [[connectedComponents]] — min-label propagation needs
+    * ~diameter rounds, star contraction O(log^2 n) regardless of shape
+    * (a 10^6-hop chain converges in tens of rounds, not 10^6).
+    *
+    * Per round, two halving steps over the edge set:
+    *   - large-star: for each node u, point every LARGER neighbor at
+    *     the minimum of u's closed neighborhood;
+    *   - small-star: orient edges larger->smaller, then contract each
+    *     node's smaller neighbors (and the node itself) onto their
+    *     minimum.
+    * Both steps are one map-side-combined min aggregation plus one equi
+    * join back — neighbor lists are never collected, so a high-degree
+    * hub costs a skewed-but-splittable join (AQE handles it), never a
+    * single-task array build. The fixpoint is a forest of stars whose
+    * centers are the component minima.
+    *
+    * Same contract and output schema as [[connectedComponents]]:
+    * (node, comp = min reachable node id) for every node appearing in
+    * `edges`, deterministic, loud on non-convergence. Each round's edge
+    * frame is localCheckpoint'ed (sparse — at most one out-edge per
+    * node after the first small-star), keeping lineage flat and the
+    * upstream pair pipeline executed exactly once. */
+  def connectedComponentsStar(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    require(maxRounds > 0)
+    val nodes = edges.select(col(srcCol).as("node"))
+      .unionByName(edges.select(col(dstCol).as("node")))
+      .distinct()
+      .localCheckpoint()
+    // Orient larger -> smaller; self-loops carry no connectivity (their
+    // nodes still get labeled via `nodes`).
+    var cur = edges
+      .select(greatest(col(srcCol), col(dstCol)).as("u"),
+        least(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // large-star over the symmetrized edges:
+      // emit (v, min(N(u) ∪ {u})) for every neighbor v > u
+      val sym = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
+      val ls = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        .distinct()
+      // small-star on the larger->smaller orientation:
+      // emit (x, min(N(u))) for every x in N(u) ∪ {u}
+      val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+      val next = ls.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // both frames are checkpointed, so the fixpoint test scans blocks
+      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      cur = next
+      round += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge within $maxRounds rounds; " +
+        "raise maxRounds")
+    nodes
+      .join(cur.select(col("u").as("node"), col("v").as("comp")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+  }
 }

@@ -279,6 +279,45 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("star-contraction components: long chains converge in O(log^2) rounds") {
+    import graft.operators.Components
+    // chain of diameter 100 with PERMUTED ids (37 is coprime to 101, so
+    // i -> 37*i mod 101 visits every id once): min-label propagation
+    // would need ~100 iterations — past its default bound — while star
+    // contraction halves distances every round.
+    val perm = (0 to 100).map(i => (37L * i) % 101L)
+    val chain = table("a bigint, b bigint",
+      perm.sliding(2).map(p => row(p(0), p(1))).toSeq)
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents(chain, "a", "b") // diameter > 25
+    }
+    val starLabels = Components.connectedComponentsStar(chain, "a", "b", maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starLabels == (0L to 100L).map(_ -> 0L).toMap)
+    // mixed graph: agrees exactly with the min-label formulation
+    val edges = table("a bigint, b bigint", Seq(
+      row(1L, 2L), row(2L, 3L), row(3L, 4L),
+      row(10L, 11L), row(11L, 12L), row(10L, 12L),
+      row(20L, 21L), row(30L, 30L))) // incl. a self-loop singleton
+    val star = Components.connectedComponentsStar(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minLabel = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == minLabel)
+    // seeded random graphs: the two formulations agree edge-set for
+    // edge-set (40 nodes, varying density)
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val es = Seq.fill(60)(row(rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val g = table("a bigint, b bigint", es)
+      val s1 = Components.connectedComponentsStar(g, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val s2 = Components.connectedComponents(g, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(s1 == s2)
+    }
+  }
+
   test("connected components: edge lineage executes exactly once across iterations") {
     import graft.operators.Components
     import spark.implicits._
