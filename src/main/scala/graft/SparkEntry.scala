@@ -1084,6 +1084,54 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q64
+  /** Intra-corpus duplicated n-gram fraction (the Lee et al. exact-
+    * substring duplication signal): per document, how many of its
+    * distinct trigrams appear in at least one other document. Grams
+    * cross the exchange as xxhash64 longs; the oracle recomputes every
+    * gram set, the >= 2-doc membership, and the fraction on the raw
+    * strings — so the hashed-gram shuffle must reproduce the
+    * string-gram answer exactly (collisions would show). */
+  private def q64DupNgramStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    Corpus.interDocDuplicationStats(Tables.documents(s, dir),
+        "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q65
+  /** Inverted-index build with capped postings: per token surviving
+    * doc_freq >= 50, the top-10 documents by (tf desc, id asc) plus
+    * the full document frequency — doc counting and the bounded-heap
+    * top-k ride ONE aggregation, so a stopword's posting list costs
+    * O(k x partitions) exchange rows, never a corpus-sized
+    * collect_list. The oracle is the window row_number formulation,
+    * holding the heap's ordering and tie-breaks to SQL semantics. */
+  private def q65InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    Corpus.invertedIndex(Tables.documents(s, dir), "doc_id", "text",
+        k = 10, minDocFreq = 50L)
+      .orderBy("token", "doc_id")
+  }
+
+  // ---------------------------------------------------------------- q66
+  /** Per-stratum frequency-cap sampling: every language downsampled to
+    * an expected 72 docs (rate = min(1, 72/count) — data-computed, so
+    * dominant `en` is cut hard, near-cap langs lightly, small langs
+    * kept whole). Membership is the portable md5-derived hash mod 64
+    * against round(rate*64), which the oracle recomputes from its own
+    * counts — counts, rate arithmetic, rounding, and the exact member
+    * set all cross-check. */
+  private def q66CapSample(s: SparkSession, dir: String): DataFrame =
+    General.capPerStratumSample(Tables.documents(s, dir),
+        strataCol = "lang", keyCol = "doc_id", cap = 72L, m = 64,
+        hash = c => TextFunctions.portableTokenHash32(c.cast("string")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1148,6 +1196,9 @@ object SparkEntry {
     "q61_shuffle_shard" -> (q61ShuffleShard _),
     "q62_heavy_hitters" -> (q62HeavyHitters _),
     "q63_dedup_clusters_star" -> (q63DedupClustersStar _),
+    "q64_dup_ngram_stats" -> (q64DupNgramStats _),
+    "q65_inverted_index" -> (q65InvertedIndex _),
+    "q66_cap_sample" -> (q66CapSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2102,6 +2153,69 @@ object SparkEntry {
     // q63 runs the same clustering through star contraction — the two
     // formulations must agree label-for-label, so they share the oracle.
     "q63_dedup_clusters_star" -> dedupClustersOracle,
+    "q64_dup_ngram_stats" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks)-2), i ->
+        |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
+        |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
+        |  FROM tk
+        |), g AS (
+        |  SELECT doc_id, unnest(sh) AS gram FROM s
+        |), c AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+        |), d AS (
+        |  SELECT g.doc_id, COUNT(*) AS n_dup FROM g
+        |  WHERE g.gram IN (SELECT gram FROM c) GROUP BY g.doc_id
+        |)
+        |SELECT s.doc_id, CAST(len(s.sh) AS INTEGER) AS n_grams,
+        |  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CASE WHEN len(s.sh) = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(d.n_dup, 0) AS DOUBLE)
+        |         / CAST(len(s.sh) AS DOUBLE) END AS dup_frac
+        |FROM s LEFT JOIN d ON s.doc_id = d.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+    "q65_inverted_index" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT token, doc_id, COUNT(*) AS tf FROM t GROUP BY token, doc_id
+        |), df AS (
+        |  SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token
+        |), r AS (
+        |  SELECT tf.token, df.doc_freq, tf.doc_id, tf.tf,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.token
+        |      ORDER BY tf.tf DESC, tf.doc_id) AS rn
+        |  FROM tf JOIN df ON tf.token = df.token
+        |  WHERE df.doc_freq >= 50
+        |)
+        |SELECT token, doc_freq, doc_id, CAST(tf AS BIGINT) AS tf
+        |FROM r WHERE rn <= 10 ORDER BY token, doc_id""".stripMargin,
+    "q66_cap_sample" ->
+      """WITH n AS (
+        |  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+        |), th AS (
+        |  SELECT lang,
+        |    CAST(round(LEAST(1.0, 72.0 / cnt) * 64) AS BIGINT) AS thr
+        |  FROM n
+        |), h AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(doc_id AS VARCHAR)), CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) AS hv
+        |  FROM documents
+        |)
+        |SELECT h.lang, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM h JOIN th ON h.lang = th.lang
+        |WHERE h.hv % 64 < th.thr
+        |GROUP BY h.lang ORDER BY h.lang""".stripMargin,
   )
 
   /** Ground truth for q46/q63: exact-Jaccard pair set + recursive-CTE

@@ -249,6 +249,94 @@ object Corpus {
       .filter(col("cnt") * lit(sketchK + 1L) > n)
   }
 
+  /** Intra-corpus duplicated n-gram statistics — the exact-substring
+    * duplication signal of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (ACL'22), at n-gram granularity:
+    * for each document, how many of its DISTINCT word `n`-grams occur
+    * in at least one OTHER document (per-doc-distinct grams make
+    * "appears in >= 2 docs" equivalent to "appears elsewhere"), plus
+    * the duplicated fraction — the per-document gate a pipeline uses
+    * to drop boilerplate-heavy pages that near-dup pair detection
+    * (q14/q44) misses because no single pair crosses its threshold.
+    *
+    * Scale shape: grams are per-doc DISTINCT before the explode (a
+    * boilerplate line repeated 1000x inside one doc adds one row), and
+    * with `hashGrams` (the default) every gram crosses the exchange as
+    * an 8-byte `xxhash64` long instead of a string — the same
+    * hashed-shingle trick the q14 verify joins use; a 64-bit collision
+    * needs ~2^32 distinct grams to become likely and only ever
+    * OVER-counts a single gram's duplication. The gram-count
+    * aggregation is map-side combined (shuffle bounded by distinct
+    * grams per partition, never corpus token volume), the duplicated
+    * filter prunes BEFORE the semi join back, and the per-doc rollup
+    * is a plain hash aggregation on id. */
+  def interDocDuplicationStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      hashGrams: Boolean = true): DataFrame = {
+    import graft.expressions.GraftFunctions
+    require(n >= 1, "n must be >= 1")
+    val docs = df.select(col(idCol).as("id"),
+      GraftFunctions.shingles(df, TextFunctions.tokens(col(textCol)), n).as("sh"))
+    val gramKey = if (hashGrams) xxhash64(col("gram")) else col("gram")
+    val gramDocs = docs.select(col("id"), explode(col("sh")).as("gram"))
+      .select(col("id"), gramKey.as("g"))
+    val dupGrams = gramDocs.groupBy("g")
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select("g")
+    val perDoc = gramDocs.join(dupGrams, Seq("g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup"))
+    docs.select(col("id"), size(col("sh")).as("n_grams"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_grams").cast("double")).as("dup_frac"))
+  }
+
+  /** Inverted-index build with CAPPED posting lists: one row per
+    * (token, retained document), keeping each token's top `k` documents
+    * by (term frequency desc, id asc) plus the token's full document
+    * frequency — the text-retrieval support structure (BM25 candidate
+    * generation, keyword search over the corpus).
+    *
+    * The cap is the scale design, not a convenience: an uncapped
+    * posting list for a stopword is corpus-sized, and the
+    * `collect_list`-per-token formulation funnels it through one task.
+    * Here the per-token doc count and the bounded
+    * [[graft.functions.Aggregators.TopK]] heap ride ONE aggregation —
+    * partial aggregation reduces every map task's slice to <= k
+    * candidates before the shuffle, so the exchange carries
+    * O(k x partitions) rows for the hottest stopword, and `minDocFreq`
+    * prunes the hapax tail after the (already vocabulary-bounded)
+    * aggregation. */
+  def invertedIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDocFreq: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    require(k > 0, "k must be positive")
+    require(minDocFreq >= 1, "minDocFreq must be >= 1")
+    val topk = udaf(new graft.functions.Aggregators.TopK(k),
+      Encoders.product[graft.functions.Aggregators.Scored])
+    df.select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token", "doc").agg(count(lit(1)).as("tf"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"),
+        topk(col("tf").cast("double"), col("doc").cast("long")).as("__top"))
+      .filter(col("doc_freq") >= minDocFreq)
+      .select(col("token"), col("doc_freq"), explode(col("__top")).as("__e"))
+      .select(col("token"), col("doc_freq"), col("__e.id").as(idCol),
+        col("__e.score").cast("long").as("tf"))
+  }
+
   /** Deterministic global corpus shuffle + shard assignment: order the
     * corpus by a portable hash of its id (a fixed pseudo-random
     * permutation — the pre-training shuffle that decorrelates adjacent

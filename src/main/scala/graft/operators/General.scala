@@ -201,6 +201,37 @@ object General {
     df.filter(pmod(hash(col(keyCol)), lit(m.toLong)) < threshold)
   }
 
+  /** Per-stratum frequency-cap sampling: downsample every stratum to an
+    * EXPECTED `cap` rows (rate = min(1, cap / count)), leaving smaller
+    * strata untouched — the C4/RefinedWeb-style "no single domain may
+    * dominate the corpus" mixture control, with the rates COMPUTED from
+    * the data instead of hand-specified as in [[stratifiedHashSample]]
+    * (which this delegates to, inheriting its determinism: membership
+    * is a pure function of the key's hash, so reruns and engine swaps
+    * reproduce the exact row set, and re-capping after new data arrives
+    * only moves rows whose stratum's rate changed).
+    *
+    * Scale shape: the stratum count aggregation is map-side combined
+    * and its result is bounded by the number of strata (domains,
+    * languages, sources — thousands, not rows), which is the only thing
+    * collected to the driver; the sample itself is a map-side filter,
+    * no shuffle. Note the count pass runs eagerly at call time (one
+    * column-pruned job) — the price of data-dependent rates. */
+  def capPerStratumSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      cap: Long,
+      m: Int = 1024,
+      hash: Column => Column = org.apache.spark.sql.functions.xxhash64(_)): DataFrame = {
+    require(cap >= 0, "cap must be non-negative")
+    val rates = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> math.min(1.0, cap.toDouble / r.getLong(1)))
+      .toMap
+    stratifiedHashSample(df, strataCol, keyCol, rates, m, defaultRate = 0.0, hash)
+  }
+
   /** Collect to the driver (`general.py:186-199`): single column -> flat
     * values; multiple columns -> row seqs. Driver-side by design — only
     * for small results. */

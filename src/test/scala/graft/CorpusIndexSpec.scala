@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, General}
+import graft.testkit.SparkTestKit._
+
+/** Intra-corpus duplicated n-gram stats, capped inverted index, and
+  * per-stratum cap sampling (SURVEY.md §2.8). */
+class CorpusIndexSpec extends AnyFunSuite {
+
+  private val corpus = table("id bigint, text string", Seq(
+    row(1L, "a b c d"),     // grams {a_b_c, b_c_d}
+    row(2L, "a b c x"),     // grams {a_b_c, b_c_x} — shares a_b_c with 1
+    row(3L, "p q"),         // < 3 tokens -> 0 grams
+    row(4L, "z z z z z")))  // gram z_z_z repeated intra-doc -> distinct 1
+
+  test("interDocDuplicationStats: cross-doc grams counted, intra-doc repeats once") {
+    val out = Corpus.interDocDuplicationStats(corpus, "id", "text", 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2, 1L, 0.5),   // a_b_c also in doc 2
+      (2L, 2, 1L, 0.5),
+      (3L, 0, 0L, 0.0),
+      (4L, 1, 0L, 0.0)))  // z_z_z repeats only INSIDE doc 4 -> not duplicated
+  }
+
+  test("interDocDuplicationStats: hashed and string gram paths agree") {
+    val hashed = Corpus.interDocDuplicationStats(corpus, "id", "text", 3)
+      .orderBy("id").collect().toSeq
+    val strings = Corpus.interDocDuplicationStats(corpus, "id", "text", 3,
+      hashGrams = false).orderBy("id").collect().toSeq
+    assert(hashed == strings)
+  }
+
+  test("invertedIndex: caps postings at k by (tf desc, id asc), prunes by doc_freq") {
+    val docs = table("id bigint, text string", Seq(
+      row(1L, "w w w t a"),
+      row(2L, "w w t b"),
+      row(3L, "w c")))
+    val out = Corpus.invertedIndex(docs, "id", "text", k = 2, minDocFreq = 2L)
+      .orderBy("token", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      // w: df=3, postings capped to top-2 by tf
+      ("t", 2L, 1L, 1L), ("t", 2L, 2L, 1L), // tf tie -> id asc retained
+      ("w", 3L, 1L, 3L), ("w", 3L, 2L, 2L)))
+  }
+
+  test("capPerStratumSample: computed rates match hand-specified stratifiedHashSample") {
+    val rows = (0L until 10L).map(i => row(i, "big")) ++
+      (100L until 103L).map(i => row(i, "small"))
+    val df = table("id bigint, s string", rows)
+    val capped = General.capPerStratumSample(df, "s", "id", cap = 3L, m = 64)
+      .collect().map(r => r.getLong(0)).sorted.toSeq
+    val manual = General.stratifiedHashSample(df, "s", "id",
+        rates = Map("big" -> 0.3, "small" -> 1.0), m = 64)
+      .collect().map(r => r.getLong(0)).sorted.toSeq
+    assert(capped == manual)
+    // whole small stratum survives (cap >= its count)
+    assert(capped.filter(_ >= 100L) == Seq(100L, 101L, 102L))
+  }
+
+  test("capPerStratumSample: cap >= every stratum keeps the full frame") {
+    val df = table("id bigint, s string",
+      (0L until 6L).map(i => row(i, if (i % 2 == 0) "a" else "b")))
+    assert(General.capPerStratumSample(df, "s", "id", cap = 10L).count() == 6L)
+  }
+}
