@@ -1132,6 +1132,22 @@ object SparkEntry {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q67
+  /** EXACT per-language quota: exactly min(60, count) docs per lang,
+    * selected as the 60 largest portable-hash keys via the bounded-heap
+    * top-k (O(cap x partitions) exchange — never a stratum-wide
+    * row_number sort). The oracle IS that row_number formulation, so
+    * the heap's selection, hash arithmetic, and tie-breaks must
+    * reproduce full-sort SQL semantics exactly. */
+  private def q67ExactCap(s: SparkSession, dir: String): DataFrame =
+    General.exactCapPerStratum(Tables.documents(s, dir),
+        strataCol = "lang", keyCol = "doc_id", cap = 60)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1199,6 +1215,7 @@ object SparkEntry {
     "q64_dup_ngram_stats" -> (q64DupNgramStats _),
     "q65_inverted_index" -> (q65InvertedIndex _),
     "q66_cap_sample" -> (q66CapSample _),
+    "q67_exact_cap" -> (q67ExactCap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2216,6 +2233,25 @@ object SparkEntry {
         |FROM h JOIN th ON h.lang = th.lang
         |WHERE h.hv % 64 < th.thr
         |GROUP BY h.lang ORDER BY h.lang""".stripMargin,
+    "q67_exact_cap" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(doc_id AS VARCHAR)), CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) AS hv
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY hv DESC, doc_id) AS rn
+        |  FROM h
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM r WHERE rn <= 60
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   /** Ground truth for q46/q63: exact-Jaccard pair set + recursive-CTE

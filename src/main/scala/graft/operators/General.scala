@@ -232,6 +232,48 @@ object General {
     stratifiedHashSample(df, strataCol, keyCol, rates, m, defaultRate = 0.0, hash)
   }
 
+  /** EXACT per-stratum cap: keep exactly min(cap, stratum size) rows
+    * per stratum — the rows whose key hashes LARGEST under a portable
+    * hash (hash ties, possible with a 32-bit hash, break by id asc).
+    * [[capPerStratumSample]] hits the cap only in expectation; this
+    * variant is for quota semantics ("exactly 10k docs per language in
+    * the eval set"), still deterministic and rerun-stable: the selected
+    * set is a pure function of the keys present, so adding new data
+    * only displaces rows at the hash boundary.
+    *
+    * Scale shape: selection rides the bounded-heap
+    * [[graft.functions.Aggregators.TopK]] — partial aggregation caps
+    * every map task's slice at `cap` candidates before the shuffle, so
+    * a stratum with a billion rows costs O(cap x partitions) exchange
+    * rows, never a stratum-wide sort (the row_number window
+    * formulation shuffles and sorts EVERY row of the biggest stratum
+    * into one task). The winner set (<= cap x strata rows) flows into
+    * a left-semi join that AQE broadcasts at runtime. */
+  def exactCapPerStratum(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      cap: Int,
+      hash: Column => Column = c =>
+        graft.functions.TextFunctions.portableTokenHash32(c.cast("string"))): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    require(cap > 0, "cap must be positive")
+    val topk = udaf(new graft.functions.Aggregators.TopK(cap),
+      Encoders.product[graft.functions.Aggregators.Scored])
+    val selected = df
+      .select(col(strataCol).as("__s"),
+        hash(col(keyCol)).cast("double").as("__h"),
+        col(keyCol).cast("long").as("__k"))
+      .groupBy("__s")
+      .agg(topk(col("__h"), col("__k")).as("__top"))
+      .select(col("__s"), explode(col("__top")).as("__e"))
+      .select(col("__s"), col("__e.id").as("__k"))
+    df.join(selected,
+      df(strataCol) === selected("__s") &&
+        df(keyCol).cast("long") === selected("__k"),
+      "left_semi")
+  }
+
   /** Collect to the driver (`general.py:186-199`): single column -> flat
     * values; multiple columns -> row seqs. Driver-side by design — only
     * for small results. */

@@ -68,4 +68,26 @@ class CorpusIndexSpec extends AnyFunSuite {
       (0L until 6L).map(i => row(i, if (i % 2 == 0) "a" else "b")))
     assert(General.capPerStratumSample(df, "s", "id", cap = 10L).count() == 6L)
   }
+
+  test("exactCapPerStratum: exact sizes, matches the row_number formulation, nested") {
+    import graft.functions.TextFunctions
+    val rows = (0L until 10L).map(i => row(i, "big")) ++
+      (100L until 103L).map(i => row(i, "small"))
+    val df = table("id bigint, s string", rows)
+    val got4 = General.exactCapPerStratum(df, "s", "id", cap = 4)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got4.count(_._1 == "big") == 4 && got4.count(_._1 == "small") == 3)
+    // ground truth: per stratum, the cap ids with largest portable hash
+    val hv = df.select(col("s"), col("id"),
+        TextFunctions.portableTokenHash32(col("id").cast("string")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = hv.groupBy(_._1).toSeq.flatMap { case (s, g) =>
+      g.sortBy(t => (-t._3, t._2)).take(4).map(t => (s, t._2)).toSeq
+    }.toSet
+    assert(got4 == expected)
+    // nested: lowering the cap only removes rows, never swaps them
+    val got2 = General.exactCapPerStratum(df, "s", "id", cap = 2)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got2.subsetOf(got4))
+  }
 }
