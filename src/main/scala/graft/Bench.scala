@@ -41,8 +41,13 @@ object Bench {
     // most real regressions — the median is reproducible to ~10%.
     // A query that throws is still reported loudly and retried never.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // Local-iteration subset: comma-separated name substrings. The
+    // driver never sets this — full-suite totals stay comparable.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val results: Seq[(String, Double, Double, Double, Option[String])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+        .map { case (name, fn) =>
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
         var err: Option[String] = None
         var r = 0

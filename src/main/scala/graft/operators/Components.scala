@@ -37,12 +37,34 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Unpersist the block-manager copy behind an (eagerly)
+    * `localCheckpoint`ed frame. Checkpoint blocks are NOT freed when
+    * the `DataFrame` goes out of scope — only when the driver GCs the
+    * RDD handle and the context cleaner notices — so an iterative
+    * operator that checkpoints per round leaks O(iterations) block
+    * sets per CALL until some later GC. In a long-lived session (a
+    * service, a bench harness, a notebook) those dead blocks compound
+    * into block-manager/disk pressure that slows everything AFTER this
+    * operator. Superseded checkpoints are therefore released
+    * explicitly the moment no live plan can reference them. Lineage
+    * caveat: an unpersisted local checkpoint CANNOT recompute, so this
+    * must only ever run on frames the returned plan does not read. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => () // not a checkpoint frame — nothing to release
+    }
+
   /** (node, comp) for every node appearing in `edges`, where `comp` is
     * the minimum node id reachable from the node. Deterministic.
     * Fails loudly if `maxIters` is hit before the fixpoint (raise
     * `maxIters` for graphs with diameter > 25 — or switch to star
     * contraction; silent partial clustering would merge/split dedup
-    * groups unpredictably). */
+    * groups unpredictably). The only checkpoint blocks that outlive
+    * the call are the returned frame's own — the edge frame and every
+    * superseded label generation are released as the iteration
+    * advances. */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
@@ -53,9 +75,10 @@ object Components {
       .unionByName(edges.select(col(dstCol).as("node"), col(srcCol).as("nb")))
       .distinct()
       .localCheckpoint() // materialize edges ONCE; iterations read blocks
-    var labels = sym.select("node").distinct()
+    var checkpoint = sym.select("node").distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint()
+    var labels = checkpoint
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -66,11 +89,14 @@ object Components {
         .join(nbMin, Seq("node"), "left")
         .select(col("node"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("nb_min"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before the old gen dies
       converged = joined.filter(col("comp") < col("__old")).isEmpty
+      releaseCheckpoint(checkpoint) // superseded generation
+      checkpoint = joined
       labels = joined.select("node", "comp") // reads the checkpoint, plan stays 1-node
       it += 1
     }
+    releaseCheckpoint(sym) // result reads only the final label checkpoint
     require(converged,
       s"connectedComponents did not converge within $maxIters iterations " +
         "(graph diameter exceeds the bound); raise maxIters")
@@ -101,7 +127,10 @@ object Components {
     * `edges`, deterministic, loud on non-convergence. Each round's edge
     * frame is localCheckpoint'ed (sparse — at most one out-edge per
     * node after the first small-star), keeping lineage flat and the
-    * upstream pair pipeline executed exactly once. */
+    * upstream pair pipeline executed exactly once; superseded rounds
+    * are released as contraction advances, so only the final star
+    * forest and the node set outlive the call (the returned plan reads
+    * both). */
   def connectedComponentsStar(
       edges: DataFrame,
       srcCol: String,
@@ -142,6 +171,7 @@ object Components {
         .localCheckpoint()
       // both frames are checkpointed, so the fixpoint test scans blocks
       converged = next.count() == cur.count() && next.except(cur).isEmpty
+      releaseCheckpoint(cur) // superseded round (next is already material)
       cur = next
       round += 1
     }

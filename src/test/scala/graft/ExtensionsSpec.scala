@@ -343,6 +343,31 @@ class ExtensionsSpec extends AnyFunSuite {
       s"edge lineage re-executed across iterations: ${acc.value} row reads, expected 12")
   }
 
+  test("connected components: superseded checkpoints are released, not leaked") {
+    import graft.operators.Components
+    // Lifecycle gate: checkpoint blocks die with the call, not with
+    // some later driver GC. Only the frames the RETURNED plan reads
+    // may remain persisted: the final labels (min-label), or the node
+    // set + final star forest (star contraction). Without the explicit
+    // release, min-label on a diameter-6 chain leaves ~9 persisted
+    // RDDs per call and a long-lived session accumulates them without
+    // bound.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = table("a bigint, b bigint",
+      (0L until 7L).map(i => row(i, i + 1)))
+    val labels = Components.connectedComponents(chain, "a", "b")
+    assert(labels.count() == 8L)
+    val leakedMin = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leakedMin.size <= 1,
+      s"min-label components leaked ${leakedMin.size} persisted RDDs (allowed: final labels only)")
+    val beforeStar = spark.sparkContext.getPersistentRDDs.keySet
+    val starLabels = Components.connectedComponentsStar(chain, "a", "b")
+    assert(starLabels.count() == 8L)
+    val leakedStar = spark.sparkContext.getPersistentRDDs.keySet -- beforeStar
+    assert(leakedStar.size <= 2,
+      s"star components leaked ${leakedStar.size} persisted RDDs (allowed: nodes + final forest)")
+  }
+
   test("multimodal: stub decode populates features; null payload survives") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq ==
