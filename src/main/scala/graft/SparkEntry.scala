@@ -1132,6 +1132,27 @@ object SparkEntry {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q68
+  /** BM25 term weights, every engine-portable term oracle-gated: tf,
+    * doc_freq, dl are exact integers; idf_arg is a division-only
+    * rational chain — bit-identical cross-engine, hash-checked
+    * outright; tf_norm's multiply-add chain is NOT bit-portable (FMA
+    * contraction differs between engines, measured at 1-2 ulp on ~17%
+    * of rows), so it is gated at 6 decimals — boundary-flip odds
+    * ~1e-10 per value. Only the final ln(idf_arg) product stays
+    * spec-checked (still a stronger gate than q30's integers-only
+    * precedent). Corpus stats (N, avgdl) are two driver scalars; dl
+    * rides the tf shuffle as a group key instead of costing a
+    * doc-level join. */
+  private def q68Bm25(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    Corpus.bm25(Tables.documents(s, dir), "doc_id", "text")
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("token"), col("tf"), col("doc_freq"),
+        col("dl"), round(col("tf_norm"), 6).as("tf_norm6"), col("idf_arg"))
+      .orderBy("doc_id", "token")
+  }
+
   // ---------------------------------------------------------------- q67
   /** EXACT per-language quota: exactly min(60, count) docs per lang,
     * selected as the 60 largest portable-hash keys via the bounded-heap
@@ -1216,6 +1237,7 @@ object SparkEntry {
     "q65_inverted_index" -> (q65InvertedIndex _),
     "q66_cap_sample" -> (q66CapSample _),
     "q67_exact_cap" -> (q67ExactCap _),
+    "q68_bm25" -> (q68Bm25 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2252,6 +2274,28 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM r WHERE rn <= 60
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q68_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+        |), st AS (
+        |  SELECT COUNT(*) AS n, SUM(len(toks)) AS tot FROM tk
+        |), t AS (
+        |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM tk
+        |), tf AS (
+        |  SELECT doc_id, dl, token, COUNT(*) AS tf FROM t GROUP BY doc_id, dl, token
+        |), dfq AS (
+        |  SELECT token, COUNT(*) AS doc_freq
+        |  FROM (SELECT DISTINCT doc_id, token FROM t) GROUP BY token
+        |)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfq.doc_freq,
+        |  CAST(tf.dl AS INTEGER) AS dl,
+        |  round((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 +
+        |    (0.75 * tf.dl) / (CAST(st.tot AS DOUBLE) / st.n))), 6) AS tf_norm6,
+        |  (CAST(st.n AS DOUBLE) - dfq.doc_freq + 0.5) / (dfq.doc_freq + 0.5)
+        |    + 1.0 AS idf_arg
+        |FROM tf CROSS JOIN st JOIN dfq ON tf.token = dfq.token
+        |WHERE tf.doc_id % 25 = 0
+        |ORDER BY tf.doc_id, tf.token""".stripMargin,
   )
 
   /** Ground truth for q46/q63: exact-Jaccard pair set + recursive-CTE

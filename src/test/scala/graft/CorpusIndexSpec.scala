@@ -69,6 +69,36 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(General.capPerStratumSample(df, "s", "id", cap = 10L).count() == 6L)
   }
 
+  test("bm25: exact weights on a hand-computed corpus; minDocFreq prunes") {
+    val docs = table("id bigint, text string", Seq(
+      row(1L, "a a b"),
+      row(2L, "a c c c")))
+    // N=2, total tokens 7, avgdl=3.5; same IEEE op order as the operator
+    def tfNorm(tf: Long, dl: Int): Double =
+      (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / 3.5))
+    def idfArg(dfq: Long): Double = (2.0 - dfq + 0.5) / (dfq + 0.5) + 1.0
+    val out = Corpus.bm25(docs, "id", "text")
+      .orderBy("id", "token").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    val expected = Seq(
+      (1L, "a", 2L, 2L, 3, tfNorm(2, 3), idfArg(2)),
+      (1L, "b", 1L, 1L, 3, tfNorm(1, 3), idfArg(1)),
+      (2L, "a", 1L, 2L, 4, tfNorm(1, 4), idfArg(2)),
+      (2L, "c", 3L, 1L, 4, tfNorm(3, 4), idfArg(1)))
+    assert(out.length == 4)
+    out.zip(expected).foreach { case (got, e) =>
+      assert((got._1, got._2, got._3, got._4, got._5) == ((e._1, e._2, e._3, e._4, e._5)))
+      assert(got._6 == e._6, s"tf_norm mismatch for ${e._2}") // exact doubles
+      assert(got._7 == e._7, s"idf_arg mismatch for ${e._2}")
+      assert(got._8 == math.log(e._7) * e._6, s"bm25 mismatch for ${e._2}")
+    }
+    // hapax pruning drops b and c entirely
+    val pruned = Corpus.bm25(docs, "id", "text", minDocFreq = 2L)
+      .select("token").distinct().collect().map(_.getString(0)).toSeq
+    assert(pruned == Seq("a"))
+  }
+
   test("exactCapPerStratum: exact sizes, matches the row_number formulation, nested") {
     import graft.functions.TextFunctions
     val rows = (0L until 10L).map(i => row(i, "big")) ++
