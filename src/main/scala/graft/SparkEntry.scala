@@ -1132,6 +1132,28 @@ object SparkEntry {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q69
+  /** Batch IVF ANN join over the twin-planted corpus: ten query
+    * vectors, each probing its nprobe nearest cells, exact cosine
+    * top-3 within the probed candidates via the bounded-heap per-qid
+    * top-k. Oracle = EXACT per-query top-3 over the full corpus
+    * (q25's recall gate, batched): a hash match requires every
+    * query's probed cells to contain its true neighbors. */
+  private def q69IvfBatchTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ivf
+    val emb = Tables.embeddings(s, dir)
+    val corpus = twinCorpus(emb, 3)
+    val model = Ivf.train(corpus, "vec_id", "embedding",
+      k = 16, iters = 3, sampleMod = 4)
+    val assigned = Ivf.assign(corpus.filter(col("vec_id") >= 10L), "embedding", model)
+    val queries = emb.filter(col("vec_id") < 10L)
+      .select(col("vec_id"), col("embedding"))
+    Ivf.searchBatch(assigned, "vec_id", "embedding", model,
+        queries, "vec_id", "embedding", topK = 3, nprobe = 8)
+      .select(col("qid"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("qid", "vec_id")
+  }
+
   // ---------------------------------------------------------------- q68
   /** BM25 term weights, every engine-portable term oracle-gated: tf,
     * doc_freq, dl are exact integers; idf_arg is a division-only
@@ -1238,6 +1260,7 @@ object SparkEntry {
     "q66_cap_sample" -> (q66CapSample _),
     "q67_exact_cap" -> (q67ExactCap _),
     "q68_bm25" -> (q68Bm25 _),
+    "q69_ivf_batch_topk" -> (q69IvfBatchTopK _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2296,6 +2319,35 @@ object SparkEntry {
         |FROM tf CROSS JOIN st JOIN dfq ON tf.token = dfq.token
         |WHERE tf.doc_id % 25 = 0
         |ORDER BY tf.doc_id, tf.token""".stripMargin,
+    "q69_ivf_batch_topk" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000*j AS vec_id,
+        |    list_transform(list_zip(embedding, range(1, len(embedding)+1)),
+        |      z -> CASE WHEN z[2] = j
+        |           THEN CAST(z[1] * CAST(2**j AS REAL) AS REAL) ELSE z[1] END)
+        |      AS embedding
+        |  FROM embeddings CROSS JOIN (SELECT unnest([1,2,3]) AS j)
+        |), q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qv,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        |  FROM corpus e CROSS JOIN q
+        |  WHERE e.vec_id >= 10
+        |), r AS (
+        |  SELECT qid, vec_id, c,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+        |  FROM scored
+        |)
+        |SELECT qid, vec_id, ROUND(c, 4) AS cosine
+        |FROM r WHERE rn <= 3 ORDER BY qid, vec_id""".stripMargin,
   )
 
   /** Ground truth for q46/q63: exact-Jaccard pair set + recursive-CTE

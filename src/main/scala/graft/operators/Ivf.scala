@@ -146,6 +146,54 @@ object Ivf {
     df.withColumn(cellCol, array_max(scored).getField("cell"))
   }
 
+  /** Batch ANN join: for EVERY query vector, the exact cosine top-k
+    * over the `nprobe` cells nearest that query — "find each eval
+    * doc's nearest training docs" as one dataflow, where [[search]] is
+    * the single-query special case.
+    *
+    * Scale shape, stage by stage: (1) per-query cell ranking is
+    * map-only — each query row scores the k centroid literals with the
+    * native codegen cosine, sorts the k-element array, keeps `nprobe`
+    * (never a join against a centroid table); (2) probes join the
+    * assigned corpus on `cell` — a tiny probe side broadcasts (AQE),
+    * a corpus-sized query side degrades to a shuffle join on exactly
+    * the key the IVF index is stored partitioned by, and a popular
+    * cell is AQE-skew-splittable because the probe row is duplicable;
+    * (3) per-query top-k rides the bounded-heap
+    * [[graft.functions.Aggregators.TopK]] — every map task reduces its
+    * candidate slice to k before the qid shuffle, so the exchange
+    * carries O(k x partitions) rows per query regardless of how many
+    * candidates its cells held. */
+  def searchBatch(
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Model,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      topK: Int,
+      nprobe: Int,
+      cellCol: String = "cell"): DataFrame = {
+    require(topK > 0 && nprobe > 0 && nprobe <= model.k)
+    // (-cos, cell) structs: ascending sort = best cell first, ties to
+    // the lower cell id — the same order `search` derives on the driver
+    val scoredCells = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        (-GraftFunctions.cosineF32(queries, col(qVecCol), Similarity.vectorLit(c.toSeq))).as("neg"),
+        lit(i).as("cell"))
+    }: _*)
+    val probes = queries
+      .select(col(qIdCol).as("qid"), col(qVecCol).as("__qv"),
+        explode(slice(sort_array(scoredCells), 1, nprobe)).as("__pr"))
+      .select(col("qid"), col("__qv"), col("__pr.cell").as(cellCol))
+    val cands = probes.join(assigned, Seq(cellCol))
+    val scored = cands.select(col("qid"), col(idCol),
+      GraftFunctions.cosineF32(cands, col(vecCol), col("__qv")).as("cosine"))
+    graft.functions.Aggregators.topKPerGroup(
+      scored, Seq("qid"), "cosine", idCol, topK)
+  }
+
   /** Exact cosine top-k over the `nprobe` cells nearest the query. */
   def search(
       assigned: DataFrame,

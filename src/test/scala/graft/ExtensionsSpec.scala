@@ -260,6 +260,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ids.length == 3)
   }
 
+  test("ivf searchBatch: agrees with per-query single search") {
+    import graft.operators.Ivf
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.0f, 0.0f, 0.0f) else Seq(0.0f, 0.0f, 1.0f, 0.0f)
+      row(i.toLong, base.updated(1, 0.01f * (i / 2)).map(_.toFloat))
+    }
+    val emb = table("vec_id bigint, embedding array<float>", rows)
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 2, iters = 3)
+    val queries = emb.filter(col("vec_id") < 2L)
+    val corpus = Ivf.assign(emb.filter(col("vec_id") >= 2L), "embedding", model)
+    val batch = Ivf.searchBatch(corpus, "vec_id", "embedding", model,
+        queries, "vec_id", "embedding", topK = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), math.round(r.getDouble(1) * 1e9)))
+      .toSet
+    val single = queries.collect().flatMap { qr =>
+      val qid = qr.getLong(0)
+      val qv = qr.getSeq[Float](1)
+      Ivf.search(corpus, "vec_id", "embedding", model, qv, topK = 3, nprobe = 1)
+        .collect().map(r => (qid, r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+    }.toSet
+    assert(batch == single)
+  }
+
   test("connected components: chains, cliques, and disjoint groups get min-id labels") {
     import graft.operators.Components
     // chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated edge 20-21
