@@ -1132,6 +1132,20 @@ object SparkEntry {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q70
+  /** STREAMING correctness gate, stream-static exclusion: every event
+    * whose user sits in the static BUILDING-segment blocklist is
+    * dropped at ingest via the stateless broadcast anti join. The
+    * oracle is the plain batch anti join, so the per-micro-batch
+    * exclusion must reproduce it row-for-row. */
+  private def q70StreamExcludeKnown(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayExcludeKnown(Tables.events(s, dir),
+        known = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey"),
+        streamKey = "user_id", knownKey = "c_custkey")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+
   // ---------------------------------------------------------------- q69
   /** Batch IVF ANN join over the twin-planted corpus: ten query
     * vectors, each probing its nprobe nearest cells, exact cosine
@@ -1261,6 +1275,7 @@ object SparkEntry {
     "q67_exact_cap" -> (q67ExactCap _),
     "q68_bm25" -> (q68Bm25 _),
     "q69_ivf_batch_topk" -> (q69IvfBatchTopK _),
+    "q70_stream_exclude_known" -> (q70StreamExcludeKnown _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2348,6 +2363,12 @@ object SparkEntry {
         |)
         |SELECT qid, vec_id, ROUND(c, 4) AS cosine
         |FROM r WHERE rn <= 3 ORDER BY qid, vec_id""".stripMargin,
+    "q70_stream_exclude_known" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE user_id NOT IN (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY event_id""".stripMargin,
   )
 
   /** Ground truth for q46/q63: exact-Jaccard pair set + recursive-CTE

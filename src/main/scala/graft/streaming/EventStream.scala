@@ -172,6 +172,29 @@ object EventStream {
       .select(out: _*)
   }
 
+  /** Stream-static EXCLUSION join: drop every streaming event whose
+    * key appears in a static known set — ingest-time blocklisting /
+    * decontamination against an existing corpus (the anti-join twin of
+    * [[enrichStream]]). Stateless like every stream-static join (the
+    * static side is re-planned per micro-batch, so a growing known set
+    * is picked up mid-stream), and with `broadcastKnown = true` (the
+    * default) the unbounded side never shuffles — the distinct key set
+    * ships to the events. A known set too big for executor memory
+    * degrades via `broadcastKnown = false` to a per-micro-batch
+    * shuffled anti join instead of an OOM. The known side is reduced
+    * to its DISTINCT key column before the join — the only bytes
+    * shipped are the keys themselves. */
+  def excludeKnownStream(
+      events: DataFrame,
+      known: DataFrame,
+      streamKey: String,
+      knownKey: String,
+      broadcastKnown: Boolean = true): DataFrame = {
+    val keys = known.select(col(knownKey).as(streamKey)).distinct()
+    val k = if (broadcastKnown) broadcast(keys) else keys
+    events.join(k, Seq(streamKey), "left_anti")
+  }
+
   /** Drive a streaming frame to a named in-memory table and block until
     * all available input is processed — the local smoke path. */
   def runToMemory(df: DataFrame, name: String,

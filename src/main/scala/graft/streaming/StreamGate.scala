@@ -158,6 +158,19 @@ object StreamGate {
     runToParquet(EventStream.enrichStream(stream, dim, streamKey, dimKey, dimCols))
   }
 
+  /** Replay through [[EventStream.excludeKnownStream]]: stateless
+    * stream-static anti join, so no sentinel and no watermark — every
+    * surviving event emits as soon as its micro-batch runs. */
+  def replayExcludeKnown(
+      events: DataFrame,
+      known: DataFrame,
+      streamKey: String,
+      knownKey: String): DataFrame = {
+    val stream = replayStream(
+      events.select("event_id", "ts", "user_id", "event_type", "value"))
+    runToParquet(EventStream.excludeKnownStream(stream, known, streamKey, knownKey))
+  }
+
   /** Replay through [[EventStream.dedupStream]]: one surviving row per
     * distinct key (all data lands inside the watermark horizon of a
     * single AvailableNow batch, so the streaming state dedups the

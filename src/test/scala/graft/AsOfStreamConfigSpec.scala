@@ -164,6 +164,32 @@ class AsOfStreamConfigSpec extends AnyFunSuite {
     assert(results.forall(_ == Map(1L -> "gold", 2L -> "silver", 3L -> "gold")))
   }
 
+  test("streaming: stream-static exclusion join drops known keys on both paths") {
+    val s = spark
+    import graft.testkit.SparkTestKit.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-excl").toString
+    Seq(
+      EventStream.Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      EventStream.Event(2L, ts("2024-01-01 10:01:00"), 2L, "view", 2.0),
+      EventStream.Event(3L, ts("2024-01-01 10:02:00"), 3L, "click", 3.0),
+      EventStream.Event(4L, ts("2024-01-01 10:03:00"), 1L, "view", 4.0),
+    ).toDS().write.mode("overwrite").parquet(dir)
+    // duplicate keys in the known set must not duplicate output rows
+    val known = table("uid bigint, why string",
+      Seq(row(1L, "blocked"), row(1L, "blocked-again"), row(9L, "unused")))
+    val results = Seq(true -> "excl_bcast", false -> "excl_shuffle").map {
+      case (bcast, sink) =>
+        val stream = EventStream.readEventStream(s, dir, s.read.parquet(dir).schema)
+        val kept = EventStream.excludeKnownStream(stream, known,
+          "user_id", "uid", broadcastKnown = bcast)
+        val q = EventStream.runToMemory(kept, sink)
+        val got = s.table(sink).select("event_id").collect().map(_.getLong(0)).toSet
+        q.stop()
+        got
+    }
+    assert(results.forall(_ == Set(2L, 3L)))
+  }
+
   test("streaming: stateful sessionizer emits closed sessions") {
     import graft.testkit.SparkTestKit.spark.implicits._
     val s = spark
