@@ -55,18 +55,34 @@ object StreamGate {
   }
 
   /** Drive a streaming frame to a parquet sink with AvailableNow and
-    * read the result back with the sink's own schema. */
+    * read the result back with the sink's own schema.
+    *
+    * The stream runs with `spark.sql.shuffle.partitions` scoped down to
+    * at most 8 (restored right after): a stateful operator materializes
+    * one state-store instance per shuffle partition per micro-batch,
+    * and a single-node replay carrying KBs of state per partition pays
+    * pure per-store overhead at 32 partitions. The setting is captured
+    * into the query's fresh checkpoint at `start()`, so only this
+    * replay is affected; on a real cluster the state partition count is
+    * a deliberate deployment choice — this scoping documents exactly
+    * that knob. Batch queries never see the change (the replay drives
+    * the query to completion before restoring). */
   private def runToParquet(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val out = tempDir("graft_stream_out")
     val ck = tempDir("graft_stream_ck")
-    val q = df.writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ck)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    try {
+      val q = df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.read.schema(df.schema).parquet(out)
   }
 
