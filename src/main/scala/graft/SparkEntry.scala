@@ -1132,6 +1132,18 @@ object SparkEntry {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q71
+  /** Per-label embedding centroids via long-form mean pooling: one
+    * (key, dim) partial-sum shuffle, bounded by labels x dims. Means
+    * gated at 6 decimals (double sums differ across engines by
+    * summation order — rounding dwarfs the ~1e-13 relative wobble);
+    * counts exact. */
+  private def q71MeanPool(s: SparkSession, dir: String): DataFrame =
+    Similarity.meanPoolBy(Tables.embeddings(s, dir), "label", "embedding")
+      .select(col("label"), col("dim"), col("n_vecs"),
+        round(col("mean"), 6).as("mean6"))
+      .orderBy("label", "dim")
+
   // ---------------------------------------------------------------- q70
   /** STREAMING correctness gate, stream-static exclusion: every event
     * whose user sits in the static BUILDING-segment blocklist is
@@ -1276,6 +1288,7 @@ object SparkEntry {
     "q68_bm25" -> (q68Bm25 _),
     "q69_ivf_batch_topk" -> (q69IvfBatchTopK _),
     "q70_stream_exclude_known" -> (q70StreamExcludeKnown _),
+    "q71_mean_pool" -> (q71MeanPool _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2369,6 +2382,16 @@ object SparkEntry {
         |WHERE user_id NOT IN (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |ORDER BY event_id""".stripMargin,
+    "q71_mean_pool" ->
+      """WITH e AS (
+        |  SELECT label, CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |)
+        |SELECT label, dim, COUNT(*) AS n_vecs,
+        |  ROUND(SUM(x) / COUNT(*), 6) AS mean6
+        |FROM e GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
   )
 
   /** Ground truth for q46/q63: exact-Jaccard pair set + recursive-CTE

@@ -16,6 +16,29 @@ object Similarity {
   /** Literal column for a query vector. */
   def vectorLit(v: Seq[Float]): Column = array(v.map(lit): _*)
 
+  /** Per-key element-wise mean of embedding vectors — the pooling step
+    * that turns chunk embeddings into a document embedding or a class
+    * of vectors into its centroid (classification QA, cluster
+    * summaries, prototype search). Output is LONG form — one row per
+    * (key, dim) with the mean — because long form is what the next
+    * aggregation or join wants, and it avoids a collect_list whose
+    * per-key width is the full vector set.
+    *
+    * Scale shape: `posexplode` is map-only; the single shuffle is the
+    * (key, dim) partial-sum aggregation — map-side combined, carrying
+    * one (sum, count) pair per (key, dim) per task, bounded by
+    * keys x dims regardless of corpus size (the same shape as IVF's
+    * distributed centroid update, `Ivf.trainOnSample`). Sums
+    * accumulate in double on purpose: the oracle-facing surface
+    * rounds, and a billion-row sum's ulp wobble sits ~1e-13 relative —
+    * far inside the rounding. */
+  def meanPoolBy(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .groupBy(keyCol, "dim")
+      .agg(sum(col("__x").cast("double")).as("__s"), count(lit(1)).as("n_vecs"))
+      .select(col(keyCol), col("dim"), col("n_vecs"),
+        (col("__s") / col("n_vecs")).as("mean"))
+
   /** Exact top-k by cosine similarity against a single query vector.
     *
     * Scale shape: map-only scoring through the native [[graft.expressions.CosineSimF32]]

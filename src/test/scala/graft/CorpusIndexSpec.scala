@@ -99,6 +99,20 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(pruned == Seq("a"))
   }
 
+  test("meanPoolBy: per-key element-wise means in long form") {
+    import graft.operators.Similarity
+    val df = table("k string, v array<float>", Seq(
+      row("a", Seq(1.0f, 2.0f)),
+      row("a", Seq(3.0f, 6.0f)),
+      row("b", Seq(10.0f, 0.0f))))
+    val out = Similarity.meanPoolBy(df, "k", "v")
+      .orderBy("k", "dim").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", 0, 2L, 2.0), ("a", 1, 2L, 4.0),
+      ("b", 0, 1L, 10.0), ("b", 1, 1L, 0.0)))
+  }
+
   test("exactCapPerStratum: exact sizes, matches the row_number formulation, nested") {
     import graft.functions.TextFunctions
     val rows = (0L until 10L).map(i => row(i, "big")) ++
