@@ -133,6 +133,7 @@ object Corpus {
     val stats = df.select(count(lit(1)).as("n"),
       sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("tot")).head()
     val n = stats.getLong(0)
+    require(n > 0, "bm25 requires a non-empty corpus (avgdl is undefined)")
     val avgdl = stats.getLong(1).toDouble / n
     val tf = df.select(col(idCol).as("doc"),
         TextFunctions.tokenCount(col(textCol)).as("dl"),

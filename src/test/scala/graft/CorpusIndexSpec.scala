@@ -99,6 +99,37 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(pruned == Seq("a"))
   }
 
+  test("interDocDuplicationStats: agrees with brute force on random corpora") {
+    // seeded random corpora over a tiny alphabet so gram collisions
+    // across docs actually happen; brute force recomputes the per-doc
+    // duplicated-gram count from first principles
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val docs = (0 until 8).map { i =>
+        val n = rnd.nextInt(7) // 0..6 tokens
+        row(i.toLong, Seq.fill(n)(('a' + rnd.nextInt(3)).toChar.toString).mkString(" "))
+      }
+      val texts = docs.map(_.getString(1))
+      def grams(t: String): Set[String] = {
+        val toks = t.split(" +").filter(_.nonEmpty)
+        if (toks.length < 3) Set.empty
+        else toks.sliding(3).map(_.mkString("_")).toSet
+      }
+      val gsets = texts.map(grams)
+      val expected = gsets.zipWithIndex.map { case (g, i) =>
+        val others = gsets.zipWithIndex.collect { case (h, j) if j != i => h }
+        val dup = g.count(x => others.exists(_.contains(x)))
+        (i.toLong, g.size, dup.toLong,
+          if (g.isEmpty) 0.0 else dup.toDouble / g.size)
+      }
+      val got = Corpus.interDocDuplicationStats(
+          table("id bigint, text string", docs), "id", "text", 3)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == expected)
+    }
+  }
+
   test("meanPoolBy: per-key element-wise means in long form") {
     import graft.operators.Similarity
     val df = table("k string, v array<float>", Seq(
