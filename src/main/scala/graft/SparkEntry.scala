@@ -1132,6 +1132,20 @@ object SparkEntry {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q72
+  /** Content-defined chunking over the corpus: boundaries where the
+    * portable token hash % 8 == 3 (expected 8-token chunks), chunk
+    * fingerprints = md5 of the space-joined tokens. The oracle
+    * recomputes every boundary decision, the chunk partition, and
+    * every fingerprint from hex-digit md5 arithmetic — order, token
+    * membership, and hashes all cross-check. */
+  private def q72CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    Corpus.contentDefinedChunks(Tables.documents(s, dir), "doc_id", "text",
+        m = 8, r = 3)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ---------------------------------------------------------------- q71
   /** Per-label embedding centroids via long-form mean pooling: one
     * (key, dim) partial-sum shuffle, bounded by labels x dims. Means
@@ -1289,6 +1303,7 @@ object SparkEntry {
     "q69_ivf_batch_topk" -> (q69IvfBatchTopK _),
     "q70_stream_exclude_known" -> (q70StreamExcludeKnown _),
     "q71_mean_pool" -> (q71MeanPool _),
+    "q72_cdc_chunks" -> (q72CdcChunks _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2392,6 +2407,31 @@ object SparkEntry {
         |  ROUND(SUM(x) / COUNT(*), 6) AS mean6
         |FROM e GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
+    "q72_cdc_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+        |), t AS (
+        |  SELECT doc_id, CAST(unnest(range(len(toks))) AS INTEGER) AS pos,
+        |    unnest(toks) AS tok
+        |  FROM tk
+        |), h AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(tok), CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) % 8 = 3 THEN 1 ELSE 0 END AS b
+        |  FROM t
+        |), c AS (
+        |  SELECT doc_id, pos, tok,
+        |    CAST(COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS INTEGER) AS chunk_idx
+        |  FROM h
+        |)
+        |SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
+        |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+        |FROM c GROUP BY doc_id, chunk_idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 
   /** Ground truth for q46/q63: exact-Jaccard pair set + recursive-CTE

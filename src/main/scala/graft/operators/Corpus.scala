@@ -396,6 +396,56 @@ object Corpus {
         col("__e.score").cast("long").as("tf"))
   }
 
+  /** Content-defined chunking (the rsync/LBFS boundary trick at token
+    * granularity): a token whose hash satisfies `hash % m == r` CLOSES
+    * the current chunk, so chunk boundaries are a pure function of
+    * local content — insert or delete a paragraph and every chunk
+    * outside it keeps its exact fingerprint, which is what makes
+    * chunk-level dedup robust to near-identical document versions
+    * where whole-doc fingerprints ([[graft.functions.TextFunctions.fingerprint]])
+    * and fixed-stride windows ([[chunkTokens]]) both miss. Expected
+    * chunk length is `m` tokens (geometric tail). Returns one row per
+    * chunk: `(id, chunk_idx, n_tokens, chunk_fp)` with `chunk_fp` the
+    * md5 of the space-joined chunk — join chunks on `chunk_fp` across
+    * docs/corpora for the dedup signal.
+    *
+    * Scale shape: both shuffles are doc-keyed — the boundary-counting
+    * window partitions by document (pos-sorted WITHIN each doc, never
+    * a global sort), and the chunk rebuild aggregates per (doc,
+    * chunk) with a collect bounded by the chunk length, not the doc.
+    * The default `tokenHash` is [[graft.functions.TextFunctions.portableTokenHash32]]
+    * so boundaries and fingerprints are cross-engine reproducible;
+    * swap in a cheaper hash (crc32/xxhash64) when oracle portability
+    * is not needed. */
+  def contentDefinedChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: Int,
+      r: Int = 0,
+      tokenHash: Column => Column = TextFunctions.portableTokenHash32(_)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m > 0, "m must be positive")
+    require(r >= 0 && r < m, "r must lie in [0, m)")
+    val toks = df.select(col(idCol).as("__id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val flagged = toks.withColumn("__b",
+      when(pmod(tokenHash(col("__tok")), lit(m.toLong)) === r, 1L).otherwise(0L))
+    // chunk index = boundaries strictly BEFORE this token (the boundary
+    // token itself still belongs to the chunk it closes)
+    val w = Window.partitionBy("__id").orderBy("__pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    flagged
+      .withColumn("chunk_idx", coalesce(sum(col("__b")).over(w), lit(0L)).cast("int"))
+      .groupBy(col("__id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            s => s.getField("__tok")))).as("chunk_fp"))
+      .select(col("__id").as(idCol), col("chunk_idx"), col("n_tokens"),
+        col("chunk_fp"))
+  }
+
   /** Deterministic global corpus shuffle + shard assignment: order the
     * corpus by a portable hash of its id (a fixed pseudo-random
     * permutation — the pre-training shuffle that decorrelates adjacent

@@ -130,6 +130,53 @@ class CorpusIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("contentDefinedChunks: boundary closes its chunk; version edit preserves fingerprints") {
+    // transparent hash for hand-checkable boundaries: token length,
+    // boundary iff len % 2 == 0
+    val lenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => length(t).cast("long")
+    val df = table("id bigint, text string", Seq(row(1L, "aa b cc dd e")))
+    val out = Corpus.contentDefinedChunks(df, "id", "text", m = 2, r = 0,
+        tokenHash = lenHash)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getString(3)))
+    // chunks: [aa] [b cc] [dd] [e] — each even-length token closes one
+    assert(out.map(c => (c._1, c._2)).toSeq == Seq((0, 1L), (1, 2L), (2, 1L), (3, 1L)))
+    // CDC robustness: inserting a chunk-aligned span leaves every other
+    // chunk's fingerprint intact (the property fixed-stride chunking lacks)
+    val v2 = table("id bigint, text string", Seq(row(1L, "aa zz b cc dd e")))
+    val fps2 = Corpus.contentDefinedChunks(v2, "id", "text", m = 2, r = 0,
+        tokenHash = lenHash)
+      .collect().map(_.getString(3)).toSet
+    val fps1 = out.map(_._3).toSet
+    // all original chunks except [aa] (whose neighborhood changed) survive
+    assert((fps1 -- fps2).size <= 1, s"lost ${(fps1 -- fps2).size} fingerprints")
+  }
+
+  test("contentDefinedChunks: default portable hash matches a local md5 brute force") {
+    val docs = table("id bigint, text string", Seq(row(7L, "alpha beta gamma delta epsilon zeta eta theta")))
+    val out = Corpus.contentDefinedChunks(docs, "id", "text", m = 2, r = 1)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getInt(1), r.getString(3)))
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4)
+      d.foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    val toks = "alpha beta gamma delta epsilon zeta eta theta".split(" ")
+    val chunks = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[String])
+    toks.foreach { t =>
+      chunks.last += t
+      if (h32(t) % 2 == 1) chunks += scala.collection.mutable.ArrayBuffer.empty[String]
+    }
+    val expected = chunks.filter(_.nonEmpty).zipWithIndex.map { case (c, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.mkString(" ").getBytes("UTF-8"))
+      (i, md.map(b => f"${b & 0xff}%02x").mkString)
+    }
+    assert(out.toSeq == expected.toSeq)
+  }
+
   test("meanPoolBy: per-key element-wise means in long form") {
     import graft.operators.Similarity
     val df = table("k string, v array<float>", Seq(
