@@ -1132,6 +1132,18 @@ object SparkEntry {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q73
+  /** Chunk-level cross-document duplication over the CDC chunks: per
+    * doc, the count and token share of chunks whose fingerprint
+    * appears in another document. Oracle recomputes the chunker AND
+    * the distinct-doc duplication logic end to end. */
+  private def q73CdcDupStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    Corpus.cdcDuplicationStats(Tables.documents(s, dir), "doc_id", "text",
+        m = 8, r = 3)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q72
   /** Content-defined chunking over the corpus: boundaries where the
     * portable token hash % 8 == 3 (expected 8-token chunks), chunk
@@ -1304,6 +1316,7 @@ object SparkEntry {
     "q70_stream_exclude_known" -> (q70StreamExcludeKnown _),
     "q71_mean_pool" -> (q71MeanPool _),
     "q72_cdc_chunks" -> (q72CdcChunks _),
+    "q73_cdc_dup_stats" -> (q73CdcDupStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2432,6 +2445,49 @@ object SparkEntry {
         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
         |FROM c GROUP BY doc_id, chunk_idx
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q73_cdc_dup_stats" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+        |), t AS (
+        |  SELECT doc_id, CAST(unnest(range(len(toks))) AS INTEGER) AS pos,
+        |    unnest(toks) AS tok
+        |  FROM tk
+        |), h AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(tok), CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) % 8 = 3 THEN 1 ELSE 0 END AS b
+        |  FROM t
+        |), c AS (
+        |  SELECT doc_id, pos, tok,
+        |    CAST(COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS INTEGER) AS chunk_idx
+        |  FROM h
+        |), g AS (
+        |  SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+        |  FROM c GROUP BY doc_id, chunk_idx
+        |), d AS (
+        |  SELECT chunk_fp FROM g GROUP BY chunk_fp
+        |  HAVING COUNT(DISTINCT doc_id) >= 2
+        |), p AS (
+        |  SELECT doc_id, COUNT(*) AS n_dup_chunks,
+        |    SUM(n_tokens) AS n_dup_tokens
+        |  FROM g WHERE chunk_fp IN (SELECT chunk_fp FROM d)
+        |  GROUP BY doc_id
+        |), tt AS (
+        |  SELECT doc_id, COUNT(*) AS n_chunks, SUM(n_tokens) AS n_tokens
+        |  FROM g GROUP BY doc_id
+        |)
+        |SELECT tt.doc_id, tt.n_chunks, CAST(tt.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(p.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+        |  CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        |  CAST(COALESCE(p.n_dup_tokens, 0) AS DOUBLE)
+        |    / CAST(tt.n_tokens AS DOUBLE) AS dup_token_frac
+        |FROM tt LEFT JOIN p ON tt.doc_id = p.doc_id
+        |ORDER BY tt.doc_id""".stripMargin,
   )
 
   /** Ground truth for q46/q63: exact-Jaccard pair set + recursive-CTE

@@ -446,6 +446,48 @@ object Corpus {
         col("chunk_fp"))
   }
 
+  /** Chunk-level cross-document duplication report over
+    * [[contentDefinedChunks]]: for each document, how many of its CDC
+    * chunks (and what token share) also appear — by exact fingerprint —
+    * in at least one OTHER document. This is the deployable 100 TB
+    * dedup signal: boilerplate and mirrored passages surface as shared
+    * chunk fingerprints at a fraction of the cost of all-n-gram
+    * comparison ([[interDocDuplicationStats]] touches every n-gram;
+    * this touches ~1/m as many chunk rows), and the content-defined
+    * boundaries make it robust to insertions that shift every
+    * fixed-stride window.
+    *
+    * Scale shape on top of the chunker's own: the duplicated-set
+    * aggregation is fingerprint-bounded with map-side combine (the
+    * DISTINCT doc count per fingerprint shuffles one (fp, doc) row per
+    * chunk), the semi join prunes to duplicated chunks before the
+    * per-doc rollup, and both per-doc aggregations are plain hash
+    * aggs on the id. */
+  def cdcDuplicationStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: Int,
+      r: Int = 0,
+      tokenHash: Column => Column = TextFunctions.portableTokenHash32(_)): DataFrame = {
+    val chunks = contentDefinedChunks(df, idCol, textCol, m, r, tokenHash)
+    val dupFps = chunks.groupBy("chunk_fp")
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select("chunk_fp")
+    val perDoc = chunks.join(dupFps, Seq("chunk_fp"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_dup_chunks"), sum("n_tokens").as("n_dup_tokens"))
+    chunks.groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"), col("n_tokens"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        (coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_token_frac"))
+  }
+
   /** Deterministic global corpus shuffle + shard assignment: order the
     * corpus by a portable hash of its id (a fixed pseudo-random
     * permutation — the pre-training shuffle that decorrelates adjacent

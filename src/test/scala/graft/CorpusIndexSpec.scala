@@ -177,6 +177,24 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(out.toSeq == expected.toSeq)
   }
 
+  test("cdcDuplicationStats: cross-doc shared chunks counted, intra-doc repeats not") {
+    val lenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => length(t).cast("long")
+    val df = table("id bigint, text string", Seq(
+      row(1L, "aa b cc dd e"),   // chunks [aa][b cc][dd][e]
+      row(2L, "xx b cc dd yy"),  // chunks [xx][b cc][dd][yy] — shares 2
+      row(3L, "ff ff")))         // [ff][ff] repeats only WITHIN doc 3
+    val out = Corpus.cdcDuplicationStats(df, "id", "text", m = 2, r = 0,
+        tokenHash = lenHash)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 5L, 2L, 3L, 0.6), // [b cc] + [dd] shared with doc 2
+      (2L, 4L, 5L, 2L, 3L, 0.6),
+      (3L, 2L, 2L, 0L, 0L, 0.0))) // same fp twice in ONE doc is not dup
+  }
+
   test("meanPoolBy: per-key element-wise means in long form") {
     import graft.operators.Similarity
     val df = table("k string, v array<float>", Seq(
