@@ -178,20 +178,35 @@ object Similarity {
   /** Embedding near-duplicate pairs within a doc-id window: exact
     * cosine on (id, id+delta) pairs for delta in 1..window. Linear in
     * corpus size — the deterministic, oracle-checkable complement to
-    * LSH-based all-pairs detection. */
+    * LSH-based all-pairs detection.
+    *
+    * Plan: BUCKETED self-join on `id div window`, the same shape as
+    * [[graft.operators.Dedup.windowedNgramJaccardPairs]] — the probe
+    * side carries each vector once, the build side twice (its own
+    * bucket and the previous one; every (a, b <= a+window) pair lands
+    * in one of the two), so each embedding crosses the exchange at
+    * most 3 times total. The explode-to-partner-ids shape ships each
+    * vector `window+1` times — 26x the shuffle bytes at window=25,
+    * and embeddings (768-dim float) are the widest payload in the
+    * engine, so the amplification lands where it hurts most at 100 TB.
+    * Bucket equality is the join key; `delta in 1..window` stays a
+    * post-join filter, so this plans as a hash join, never a nested
+    * loop. `div` (exact integral division) rather than `floor(/)`:
+    * the double round-trip mis-buckets ids past 2^53. */
   def windowedCosinePairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       window: Int,
       threshold: Double): DataFrame = {
-    // Explode each left row into its `window` prospective partner ids,
-    // then ONE equi hash join — a range-predicate join would plan as a
-    // nested-loop broadcast join, which is O(n*n) work at scale.
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-      .withColumn("id_b", explode(sequence(col("id_a") + 1, col("id_a") + window)))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, "id_b")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bkt = expr(s"CAST(id AS BIGINT) div $window")
+    val a = docs.select(col("id").as("id_a"), col("v").as("v_a"), bkt.as("bkt"))
+    val b = docs.select(col("id").as("id_b"), col("v").as("v_b"),
+      explode(array(bkt, bkt - 1)).as("bkt"))
+    a.join(b, "bkt")
+      .filter(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + window)
       .withColumn("cosine", GraftFunctions.cosineF32(df, col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

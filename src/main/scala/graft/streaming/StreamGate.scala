@@ -26,11 +26,33 @@ import org.apache.spark.sql.streaming.Trigger
   * Everything stays distributed: the sink is parquet (never a driver
   * collect), and the temp source/checkpoint dirs are per-run unique so
   * replays are rerunnable and never share state.
+  *
+  * Hygiene: every replay's temp source, sink, and checkpoint+state
+  * dirs are deleted before the replay returns — the result is
+  * materialized into executor blocks (`localCheckpoint`) first, so the
+  * returned frame never reads the deleted files. Without this a bench
+  * session accumulates runs x replays x 3 dirs of parquet and RocksDB
+  * state on the temp volume, and disk pressure is precisely what
+  * amplifies host-load noise into the 10-50x in-suite timing swings a
+  * shared host can produce.
   */
 object StreamGate {
 
   private def tempDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Best-effort recursive delete (replay hygiene must never turn a
+    * green query into a failure — a locked file just stays behind). */
+  private def deleteRecursively(dir: String): Unit =
+    try {
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    } catch { case _: Exception => () }
 
   private def eventSchema(spark: SparkSession) = {
     import spark.implicits._
@@ -45,13 +67,13 @@ object StreamGate {
     * late data — breaking the exact batch equivalence this gate
     * exists to prove. (A real deployment replays time-ordered files;
     * see StreamBatchEquivalenceSpec for the multi-batch ordered case.) */
-  private def replayStream(events: DataFrame): DataFrame = {
+  private def replayStream(events: DataFrame): (DataFrame, String) = {
     val spark = events.sparkSession
     val src = tempDir("graft_stream_src")
     events.select("event_id", "ts", "user_id", "event_type", "value")
       .coalesce(16)
       .write.mode("overwrite").parquet(src)
-    EventStream.readEventStream(spark, src, eventSchema(spark))
+    (EventStream.readEventStream(spark, src, eventSchema(spark)), src)
   }
 
   /** Drive a streaming frame to a parquet sink with AvailableNow and
@@ -66,8 +88,15 @@ object StreamGate {
     * replay is affected; on a real cluster the state partition count is
     * a deliberate deployment choice — this scoping documents exactly
     * that knob. Batch queries never see the change (the replay drives
-    * the query to completion before restoring). */
-  private def runToParquet(df: DataFrame): DataFrame = {
+    * the query to completion before restoring).
+    *
+    * The read-back is eagerly `localCheckpoint`ed — materialized into
+    * executor blocks — so the sink, checkpoint, and `srcDir` temp dirs
+    * can be deleted in the `finally` before the frame is handed back.
+    * The block cost is one small result frame per replay (released
+    * when the driver GCs the handle); the files it replaces are a full
+    * parquet corpus copy plus RocksDB state per replay. */
+  private def runToParquet(df: DataFrame, srcDir: String): DataFrame = {
     val spark = df.sparkSession
     val out = tempDir("graft_stream_out")
     val ck = tempDir("graft_stream_ck")
@@ -82,8 +111,11 @@ object StreamGate {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set(key, prev)
-    spark.read.schema(df.schema).parquet(out)
+      spark.read.schema(df.schema).parquet(out).localCheckpoint()
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(srcDir, out, ck).foreach(deleteRecursively)
+    }
   }
 
   /** One sentinel event per user, `horizonUs` past the newest real
@@ -122,9 +154,9 @@ object StreamGate {
   def replaySessionize(events: DataFrame, gapUs: Long): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val stream = replayStream(withPerKeySentinels(events, 2 * gapUs))
-      .as[EventStream.Event]
-    runToParquet(EventStream.sessionizeStream(stream, gapUs).toDF())
+    val (streamDf, src) = replayStream(withPerKeySentinels(events, 2 * gapUs))
+    val stream = streamDf.as[EventStream.Event]
+    runToParquet(EventStream.sessionizeStream(stream, gapUs).toDF(), src)
   }
 
   /** Replay through [[EventStream.windowedCounts]]: the global
@@ -137,8 +169,8 @@ object StreamGate {
       slide: String,
       watermark: String,
       horizonUs: Long): DataFrame = {
-    val stream = replayStream(withGlobalSentinel(events, horizonUs))
-    runToParquet(EventStream.windowedCounts(stream, windowDur, slide, watermark))
+    val (stream, src) = replayStream(withGlobalSentinel(events, horizonUs))
+    runToParquet(EventStream.windowedCounts(stream, windowDur, slide, watermark), src)
       .filter(col("event_type") =!= "__sentinel")
   }
 
@@ -152,12 +184,12 @@ object StreamGate {
       typeB: String,
       maxGap: String,
       watermark: String): DataFrame = {
-    val stream = replayStream(
+    val (stream, src) = replayStream(
       events.select("event_id", "ts", "user_id", "event_type", "value"))
     runToParquet(EventStream.intervalJoinStream(
       stream.filter(col("event_type") === typeA),
       stream.filter(col("event_type") === typeB),
-      maxGap, watermark))
+      maxGap, watermark), src)
   }
 
   /** Replay through [[EventStream.enrichStream]]: stateless
@@ -169,9 +201,9 @@ object StreamGate {
       streamKey: String,
       dimKey: String,
       dimCols: Seq[(String, String)]): DataFrame = {
-    val stream = replayStream(
+    val (stream, src) = replayStream(
       events.select("event_id", "ts", "user_id", "event_type", "value"))
-    runToParquet(EventStream.enrichStream(stream, dim, streamKey, dimKey, dimCols))
+    runToParquet(EventStream.enrichStream(stream, dim, streamKey, dimKey, dimCols), src)
   }
 
   /** Replay through [[EventStream.excludeKnownStream]]: stateless
@@ -182,9 +214,9 @@ object StreamGate {
       known: DataFrame,
       streamKey: String,
       knownKey: String): DataFrame = {
-    val stream = replayStream(
+    val (stream, src) = replayStream(
       events.select("event_id", "ts", "user_id", "event_type", "value"))
-    runToParquet(EventStream.excludeKnownStream(stream, known, streamKey, knownKey))
+    runToParquet(EventStream.excludeKnownStream(stream, known, streamKey, knownKey), src)
   }
 
   /** Replay through [[EventStream.dedupStream]]: one surviving row per
@@ -195,8 +227,8 @@ object StreamGate {
       events: DataFrame,
       keyCols: Seq[String],
       watermark: String): DataFrame = {
-    val stream = replayStream(
+    val (stream, src) = replayStream(
       events.select("event_id", "ts", "user_id", "event_type", "value"))
-    runToParquet(EventStream.dedupStream(stream, keyCols, watermark = watermark))
+    runToParquet(EventStream.dedupStream(stream, keyCols, watermark = watermark), src)
   }
 }

@@ -111,6 +111,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("windowed cosine pairs: bucketed join finds every in-window pair") {
+    // deterministic pseudo-random vectors; threshold -1 keeps ALL pairs,
+    // so the assertion is purely about the bucketed join's pair coverage
+    val vecs = (0L to 23L).map { i =>
+      row(i, Seq(math.cos(i * 1.7).toFloat, math.sin(i * 1.7).toFloat))
+    }
+    val emb = table("vec_id bigint, embedding array<float>", vecs)
+    val window = 5
+    val got = Similarity.windowedCosinePairs(emb, "vec_id", "embedding", window, -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      a <- 0L to 23L
+      b <- (a + 1) to math.min(23L, a + window)
+    } yield (a, b)).toSet
+    assert(got == want)
+  }
+
   test("composed minHashSignature: width k and the union min-property") {
     val df = table("id bigint, sh array<string>", Seq(
       row(1L, Seq("a_b_c", "b_c_d")),

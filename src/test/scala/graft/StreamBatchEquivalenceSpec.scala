@@ -94,6 +94,24 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("replay gates leave no temp dirs behind and the result outlives them") {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def replayDirs(): Set[String] = {
+      val s = java.nio.file.Files.list(tmp)
+      try {
+        val b = Set.newBuilder[String]
+        s.forEach(p => b += p.getFileName.toString)
+        b.result().filter(_.startsWith("graft_stream_"))
+      } finally s.close()
+    }
+    val before = replayDirs()
+    val out = StreamGate.replayDedup(events, Seq("user_id"), "1 hour")
+    // result must be readable AFTER the sink files are gone
+    assert(out.count() > 0)
+    val leaked = replayDirs() -- before
+    assert(leaked.isEmpty, s"replay left temp dirs behind: $leaked")
+  }
+
   test("stream dedup == batch distinct on the key columns") {
     val streamed = StreamGate.replayDedup(events,
         Seq("user_id", "event_type"), "10 minutes")
