@@ -41,10 +41,29 @@ object Bench {
     // most real regressions — the median is reproducible to ~10%.
     // A query that throws is still reported loudly and retried never.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    // Local-iteration subset: comma-separated name substrings. The
-    // driver never sets this — full-suite totals stay comparable.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
-    val results: Seq[(String, Double, Double, Double, Option[String])] =
+    // Local-iteration subset: comma-separated name substrings (trimmed;
+    // empty tokens dropped so "q01, q41" and a stray trailing comma
+    // behave as intended). The driver never sets this — full-suite
+    // totals stay comparable.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    // Host-condition signals captured after each query: driver heap in
+    // use, block-manager cached partitions (checkpoint/persist blocks),
+    // and free space on the temp volume (shuffle + stream-state spill
+    // target). In-suite drift attribution: a query that is slow while
+    // heap/blocks/disk are flat is HOST load (CPU steal from a
+    // co-tenant), not an engine leak — this is what separates the two
+    // without an isolated rerun.
+    def signals(): (Long, Int, Double) = {
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
+      val blocks = spark.sparkContext.getRDDStorageInfo.map(_.numCachedPartitions).sum
+      val tmpFreeGb =
+        new java.io.File(System.getProperty("java.io.tmpdir")).getUsableSpace / 1e9
+      (heapMb, blocks, tmpFreeGb)
+    }
+    val results: Seq[(String, Double, Double, Double, Option[String], (Long, Int, Double))] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.exists(name.contains)) }
         .map { case (name, fn) =>
@@ -64,17 +83,21 @@ object Bench {
         val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.length / 2)
         val mn = if (times.isEmpty) 0.0 else times.min
         val mx = if (times.isEmpty) 0.0 else times.max
-        (name, median, mn, mx, err)
+        (name, median, mn, mx, err, signals())
       }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // Full per-query spread sidecar: the stdout retention window (the
-    // harness keeps ~2 KB of tail) can't hold 62 [med,min,max] triples,
+    // harness keeps ~2 KB of tail) can't hold 73 [med,min,max] triples,
     // so the complete spread lands in a file next to the build and the
     // JSON line carries a pointer plus the few widest spreads inline —
-    // enough to tell noise from regression without re-running.
+    // enough to tell noise from regression without re-running. Each
+    // entry also carries the post-query host signals so drift inside a
+    // suite run is attributable from the file alone.
     val spreadFile = "BENCH_SPREAD.json"
-    val spreadJson = results.map { case (k, med, mn, mx, _) =>
-      s"""  "${esc(k)}": [${fmt(med)}, ${fmt(mn)}, ${fmt(mx)}]"""
+    val spreadJson = results.map { case (k, med, mn, mx, _, (heapMb, blocks, freeGb)) =>
+      s"""  "${esc(k)}": {"sec": [${fmt(med)}, ${fmt(mn)}, ${fmt(mx)}],""" +
+        s""" "heap_mb": $heapMb, "cached_blocks": $blocks,""" +
+        s""" "tmp_free_gb": ${fmt(freeGb)}}"""
     }.mkString("{\n", ",\n", "\n}\n")
     try java.nio.file.Files.write(java.nio.file.Paths.get(spreadFile),
       spreadJson.getBytes("UTF-8"))
@@ -82,11 +105,11 @@ object Bench {
     // 3-decimal timings keep the whole JSON line under ~1.9 KB even at
     // 60+ queries: the harness only retains the tail of stdout, and a
     // line longer than that window gets its head (metric+total) clipped.
-    val qs = results.map { case (k, v, _, _, _) => s"\"${esc(k)}\":${fmt(v)}" }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"${esc(k)}\":${fmt(v)}" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
+    val errs = results.collect { case (k, _, _, _, Some(m), _) => s"\"${esc(k)}\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, None) => v }.sum
+    val total = results.collect { case (_, v, _, _, None, _) => v }.sum
     // Inline the widest absolute spreads (keyed by the unique qNN
     // prefix), adding entries only while the line stays inside the
     // retention window.
@@ -96,7 +119,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"spread_file":"$spreadFile","noisiest":$sp,"sf":"$sfDir"}"""
     }
     val byAbsSpread = results
-      .collect { case (k, _, mn, mx, None) => (k.takeWhile(_ != '_'), mx - mn, mn, mx) }
+      .collect { case (k, _, mn, mx, None, _) => (k.takeWhile(_ != '_'), mx - mn, mn, mx) }
       .sortBy(-_._2)
       .map { case (q, _, mn, mx) => s"\"$q\":[${fmt(mn)},${fmt(mx)}]" }
     val inlined = byAbsSpread.inits.find(s => line(s).length <= lineBudget)

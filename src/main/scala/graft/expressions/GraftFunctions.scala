@@ -41,6 +41,7 @@ object GraftFunctions {
     },
     "graft_quantized_dot" -> { args => QuantizedDotF32(args(0), args(1)) },
     "graft_sorted_intersect" -> { args => SortedIntersectCount(args(0), args(1)) },
+    "graft_bloom_might_contain" -> { args => BloomMightContain(args(0), args(1)) },
   )
 
   /** Idempotent per-session registration (temp functions live in the
@@ -95,6 +96,16 @@ object GraftFunctions {
   def sortedIntersect(df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Column = {
     ensureRegistered(df.sparkSession)
     call_function("graft_sorted_intersect", a, b)
+  }
+
+  /** Bloom-filter membership probe over a serialized sketch (native;
+    * bigint or string key). */
+  def bloomMightContain(
+      df: org.apache.spark.sql.DataFrame,
+      key: Column,
+      filterBytes: Array[Byte]): Column = {
+    ensureRegistered(df.sparkSession)
+    call_function("graft_bloom_might_contain", key, lit(filterBytes))
   }
 
   /** width-bit SimHash of an array<bigint> of token hashes (native). */

@@ -45,7 +45,9 @@ object Aggregators {
 
   /** Grouped top-k: one row per (group, retained element), ordered by
     * (score desc, id asc) within each group. `scoreCol` must be
-    * numeric (cast to double), `idCol` integral. */
+    * numeric (cast to double), `idCol` integral — enforced, because a
+    * non-integral id would cast to NULL and silently drop every row
+    * instead of failing. */
   def topKPerGroup(
       df: DataFrame,
       groups: Seq[String],
@@ -53,6 +55,10 @@ object Aggregators {
       idCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"topKPerGroup requires an integral id column, got $idType for '$idCol'")
     val topk = udaf(new TopK(k), Encoders.product[Scored])
     df.groupBy(groups.map(col): _*)
       .agg(topk(col(scoreCol).cast("double"), col(idCol).cast("long")).as("__top"))

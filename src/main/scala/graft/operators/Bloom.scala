@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.expressions.GraftFunctions
+
 /** Bloom-filter join pruning: cut the fact side's shuffle volume down
   * to (matching rows + false positives) BEFORE the join's exchange.
   *
@@ -46,19 +48,26 @@ object Bloom {
       expectedNumItems: Long,
       fpp: Double = 0.01): DataFrame = {
     val bf = dim.stat.bloomFilter(dimKey, expectedNumItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = fact.schema(factKey).dataType match {
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // Native codegen'd probe (graft.expressions.BloomMightContain) so
+    // the fact scan + probe + join-input projection stay ONE
+    // whole-stage-codegen span — a Scala UDF here is correct but boxes
+    // every key and breaks the stage in two. A null key yields null,
+    // which the filter drops — exactly the rows the inner join below
+    // could never match.
+    val keyCol = fact.schema(factKey).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-          .apply(col(factKey).cast(LongType))
-      case StringType =>
-        udf((k: String) => k != null && bc.value.mightContainString(k))
-          .apply(col(factKey))
+        col(factKey).cast(LongType)
+      case StringType => col(factKey)
       case dt =>
         throw new IllegalArgumentException(
           s"bloomPrunedJoin supports integral or string keys, got $dt for $factKey")
     }
-    fact.filter(mightContain)
+    fact.filter(GraftFunctions.bloomMightContain(fact, keyCol, bytes))
       .join(dim, fact.col(factKey) === dim.col(dimKey))
   }
 }

@@ -64,43 +64,54 @@ object Components {
     * groups unpredictably). The only checkpoint blocks that outlive
     * the call are the returned frame's own — the edge frame and every
     * superseded label generation are released as the iteration
-    * advances. */
+    * advances, and EVERY live checkpoint is released when the call
+    * throws (a job failure mid-iteration, the non-convergence
+    * require): the failure paths must not be the one place the
+    * long-lived-session block leak survives. */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       maxIters: Int = 25): DataFrame = {
     require(maxIters > 0)
-    val sym = edges.select(col(srcCol).as("node"), col(dstCol).as("nb"))
-      .unionByName(edges.select(col(dstCol).as("node"), col(srcCol).as("nb")))
-      .distinct()
-      .localCheckpoint() // materialize edges ONCE; iterations read blocks
-    var checkpoint = sym.select("node").distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint()
-    var labels = checkpoint
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIters) {
-      val nbMin = sym
-        .join(labels.select(col("node").as("nb"), col("comp").as("nb_comp")), "nb")
-        .groupBy("node").agg(min("nb_comp").as("nb_min"))
-      val joined = labels
-        .join(nbMin, Seq("node"), "left")
-        .select(col("node"), col("comp").as("__old"),
-          least(col("comp"), coalesce(col("nb_min"), col("comp"))).as("comp"))
-        .localCheckpoint() // eager: materialized before the old gen dies
-      converged = joined.filter(col("comp") < col("__old")).isEmpty
-      releaseCheckpoint(checkpoint) // superseded generation
-      checkpoint = joined
-      labels = joined.select("node", "comp") // reads the checkpoint, plan stays 1-node
-      it += 1
+    val live = scala.collection.mutable.Set.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = { val c = df.localCheckpoint(); live += c; c }
+    def release(df: DataFrame): Unit = { releaseCheckpoint(df); live -= df }
+    try {
+      val sym = ckpt(
+        edges.select(col(srcCol).as("node"), col(dstCol).as("nb"))
+          .unionByName(edges.select(col(dstCol).as("node"), col(srcCol).as("nb")))
+          .distinct()) // materialize edges ONCE; iterations read blocks
+      var checkpoint = ckpt(sym.select("node").distinct()
+        .withColumn("comp", col("node")))
+      var labels = checkpoint
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIters) {
+        val nbMin = sym
+          .join(labels.select(col("node").as("nb"), col("comp").as("nb_comp")), "nb")
+          .groupBy("node").agg(min("nb_comp").as("nb_min"))
+        // eager checkpoint: materialized before the old gen dies
+        val joined = ckpt(labels
+          .join(nbMin, Seq("node"), "left")
+          .select(col("node"), col("comp").as("__old"),
+            least(col("comp"), coalesce(col("nb_min"), col("comp"))).as("comp")))
+        converged = joined.filter(col("comp") < col("__old")).isEmpty
+        release(checkpoint) // superseded generation
+        checkpoint = joined
+        labels = joined.select("node", "comp") // reads the checkpoint, plan stays 1-node
+        it += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge within $maxIters iterations " +
+          "(graph diameter exceeds the bound); raise maxIters")
+      release(sym) // result reads only the final label checkpoint
+      labels
+    } catch {
+      case t: Throwable =>
+        live.foreach(releaseCheckpoint)
+        throw t
     }
-    releaseCheckpoint(sym) // result reads only the final label checkpoint
-    require(converged,
-      s"connectedComponents did not converge within $maxIters iterations " +
-        "(graph diameter exceeds the bound); raise maxIters")
-    labels
   }
 
   /** Alternating star-contraction connected components (Kiveris et al.,
@@ -137,49 +148,55 @@ object Components {
       dstCol: String,
       maxRounds: Int = 50): DataFrame = {
     require(maxRounds > 0)
-    val nodes = edges.select(col(srcCol).as("node"))
-      .unionByName(edges.select(col(dstCol).as("node")))
-      .distinct()
-      .localCheckpoint()
-    // Orient larger -> smaller; self-loops carry no connectivity (their
-    // nodes still get labeled via `nodes`).
-    var cur = edges
-      .select(greatest(col(srcCol), col(dstCol)).as("u"),
-        least(col(srcCol), col(dstCol)).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      // large-star over the symmetrized edges:
-      // emit (v, min(N(u) ∪ {u})) for every neighbor v > u
-      val sym = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
-      val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
-      val ls = sym.join(lsMin, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
-        .distinct()
-      // small-star on the larger->smaller orientation:
-      // emit (x, min(N(u))) for every x in N(u) ∪ {u}
-      val ssMin = ls.groupBy("u").agg(min("v").as("m"))
-      val next = ls.join(ssMin, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+    val live = scala.collection.mutable.Set.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = { val c = df.localCheckpoint(); live += c; c }
+    def release(df: DataFrame): Unit = { releaseCheckpoint(df); live -= df }
+    try {
+      val nodes = ckpt(edges.select(col(srcCol).as("node"))
+        .unionByName(edges.select(col(dstCol).as("node")))
+        .distinct())
+      // Orient larger -> smaller; self-loops carry no connectivity (their
+      // nodes still get labeled via `nodes`).
+      var cur = ckpt(edges
+        .select(greatest(col(srcCol), col(dstCol)).as("u"),
+          least(col(srcCol), col(dstCol)).as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint()
-      // both frames are checkpointed, so the fixpoint test scans blocks
-      converged = next.count() == cur.count() && next.except(cur).isEmpty
-      releaseCheckpoint(cur) // superseded round (next is already material)
-      cur = next
-      round += 1
+        .distinct())
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        // large-star over the symmetrized edges:
+        // emit (v, min(N(u) ∪ {u})) for every neighbor v > u
+        val sym = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
+        val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
+        val ls = sym.join(lsMin, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+          .distinct()
+        // small-star on the larger->smaller orientation:
+        // emit (x, min(N(u))) for every x in N(u) ∪ {u}
+        val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+        val next = ckpt(ls.join(ssMin, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(ssMin.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v"))
+          .distinct())
+        // both frames are checkpointed, so the fixpoint test scans blocks
+        converged = next.count() == cur.count() && next.except(cur).isEmpty
+        release(cur) // superseded round (next is already material)
+        cur = next
+        round += 1
+      }
+      require(converged,
+        s"connectedComponentsStar did not converge within $maxRounds rounds; " +
+          "raise maxRounds")
+      nodes
+        .join(cur.select(col("u").as("node"), col("v").as("comp")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+    } catch {
+      case t: Throwable =>
+        live.foreach(releaseCheckpoint)
+        throw t
     }
-    require(converged,
-      s"connectedComponentsStar did not converge within $maxRounds rounds; " +
-        "raise maxRounds")
-    nodes
-      .join(cur.select(col("u").as("node"), col("v").as("comp")), Seq("node"), "left")
-      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
   }
 }

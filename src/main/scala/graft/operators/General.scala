@@ -216,7 +216,14 @@ object General {
     * languages, sources — thousands, not rows), which is the only thing
     * collected to the driver; the sample itself is a map-side filter,
     * no shuffle. Note the count pass runs eagerly at call time (one
-    * column-pruned job) — the price of data-dependent rates. */
+    * column-pruned job) — the price of data-dependent rates.
+    *
+    * Strata values are read as strings (non-string strata columns are
+    * counted after a string cast, matching the Map[String, Double]
+    * rate contract of [[stratifiedHashSample]]). A NULL stratum fails
+    * loudly: the rate CASE chain's null-unsafe equality would silently
+    * drop every null-stratum row (defaultRate 0) instead of capping
+    * it — fill or filter nulls upstream, explicitly. */
   def capPerStratumSample(
       df: DataFrame,
       strataCol: String,
@@ -225,8 +232,14 @@ object General {
       m: Int = 1024,
       hash: Column => Column = org.apache.spark.sql.functions.xxhash64(_)): DataFrame = {
     require(cap >= 0, "cap must be non-negative")
-    val rates = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val counts = df.groupBy(col(strataCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
       .collect()
+    require(!counts.exists(_.isNullAt(0)),
+      s"capPerStratumSample: stratum column '$strataCol' contains NULL; " +
+        "null-stratum rows cannot be capped (they would be silently " +
+        "dropped) — fill or filter them before sampling")
+    val rates = counts
       .map(r => r.getString(0) -> math.min(1.0, cap.toDouble / r.getLong(1)))
       .toMap
     stratifiedHashSample(df, strataCol, keyCol, rates, m, defaultRate = 0.0, hash)
@@ -248,7 +261,13 @@ object General {
     * rows, never a stratum-wide sort (the row_number window
     * formulation shuffles and sorts EVERY row of the biggest stratum
     * into one task). The winner set (<= cap x strata rows) flows into
-    * a left-semi join that AQE broadcasts at runtime. */
+    * a left-semi join that AQE broadcasts at runtime.
+    *
+    * Key contract (enforced): `keyCol` must be an integral id column —
+    * the bounded heap carries ids as longs, and a non-integral key
+    * would cast to NULL and silently select NOTHING. Keys must also be
+    * unique per stratum (they are ids): the semi join keeps every row
+    * sharing a selected key, so duplicates would overshoot the cap. */
   def exactCapPerStratum(
       df: DataFrame,
       strataCol: String,
@@ -257,7 +276,13 @@ object General {
       hash: Column => Column = c =>
         graft.functions.TextFunctions.portableTokenHash32(c.cast("string"))): DataFrame = {
     import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     require(cap > 0, "cap must be positive")
+    val keyType = df.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
+      s"exactCapPerStratum requires an integral key column, got $keyType " +
+        s"for '$keyCol' (a non-integral key casts to NULL and would " +
+        "silently select nothing)")
     val topk = udaf(new graft.functions.Aggregators.TopK(cap),
       Encoders.product[graft.functions.Aggregators.Scored])
     val selected = df

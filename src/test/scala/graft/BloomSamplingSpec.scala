@@ -32,6 +32,37 @@ class BloomSamplingSpec extends AnyFunSuite {
     assert(kept >= 12 && kept < 200)
   }
 
+  test("bloomPrunedJoin's probe stays inside whole-stage codegen") {
+    val pruned = Bloom.bloomPrunedJoin(fact, dim, "k", "dk",
+      expectedNumItems = 16, fpp = 0.01)
+    // drive THIS frame's queryExecution to the final adaptive plan —
+    // the codegen marks only exist there (count() would execute a
+    // different, wrapping queryExecution and leave this one unplanned)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the native probe must appear, the UDF must not
+    assert(plan.contains("graft_bloom_might_contain"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    // the Filter carrying the probe is codegen'd: the FINAL adaptive
+    // plan marks operators inside a WholeStageCodegen span with "*(id)"
+    val finalPlan = plan.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    val probeLines = finalPlan
+      .filter(l => l.contains("Filter") && l.contains("graft_bloom_might_contain"))
+    assert(probeLines.nonEmpty, s"no bloom probe filter in the final plan:\n$plan")
+    assert(probeLines.forall(_.contains("*(")),
+      s"bloom probe filter fell out of whole-stage codegen:\n$plan")
+  }
+
+  test("bloomPrunedJoin: null fact keys drop, matching the plain inner join") {
+    val nf = table("k bigint, v bigint",
+      Seq(row(3L, 1L), row(null, 2L), row(9L, 3L)))
+    val pruned = Bloom.bloomPrunedJoin(nf, dim, "k", "dk", expectedNumItems = 4)
+    val plain = nf.join(dim, col("k") === col("dk"))
+    assertDfEquality(pruned, plain, ignoreRowOrder = true)
+    assert(pruned.count() == 1)
+  }
+
   test("bloomPrunedJoin supports string keys and rejects others") {
     val sf = table("k string, v bigint", Seq(row("a", 1L), row("b", 2L), row("c", 3L)))
     val sd = table("dk string", Seq(row("b")))

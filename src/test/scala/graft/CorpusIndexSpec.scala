@@ -69,6 +69,30 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(General.capPerStratumSample(df, "s", "id", cap = 10L).count() == 6L)
   }
 
+  test("capPerStratumSample: non-string strata cap via the string cast") {
+    val df = table("id bigint, s int",
+      (0L until 6L).map(i => row(i, (i % 2).toInt)))
+    assert(General.capPerStratumSample(df, "s", "id", cap = 10L).count() == 6L)
+  }
+
+  test("capPerStratumSample: NULL stratum fails loudly, never silently drops") {
+    val df = table("id bigint, s string",
+      Seq(row(0L, "a"), row(1L, null), row(2L, "a")))
+    val e = intercept[IllegalArgumentException] {
+      General.capPerStratumSample(df, "s", "id", cap = 10L)
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
+  test("exactCapPerStratum: non-integral key fails loudly, never empty") {
+    val df = table("id string, s string",
+      Seq(row("a", "x"), row("b", "x")))
+    val e = intercept[IllegalArgumentException] {
+      General.exactCapPerStratum(df, "s", "id", cap = 1)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("bm25: exact weights on a hand-computed corpus; minDocFreq prunes") {
     val docs = table("id bigint, text string", Seq(
       row(1L, "a a b"),

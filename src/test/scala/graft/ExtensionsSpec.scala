@@ -408,6 +408,30 @@ class ExtensionsSpec extends AnyFunSuite {
       s"star components leaked ${leakedStar.size} persisted RDDs (allowed: nodes + final forest)")
   }
 
+  test("connected components: failure paths release every checkpoint") {
+    import graft.operators.Components
+    // Non-convergence is the deterministic failure path: a diameter-7
+    // chain cannot fixpoint in one min-label iteration, so the require
+    // fires — and must leave ZERO persisted RDDs behind (there is no
+    // returned frame to keep alive).
+    val chain = table("a bigint, b bigint",
+      (0L until 7L).map(i => row(i, i + 1)))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents(chain, "a", "b", maxIters = 1)
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"non-converged min-label components leaked ${leaked.size} persisted RDDs")
+    val beforeStar = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[IllegalArgumentException] {
+      Components.connectedComponentsStar(chain, "a", "b", maxRounds = 1)
+    }
+    val leakedStar = spark.sparkContext.getPersistentRDDs.keySet -- beforeStar
+    assert(leakedStar.isEmpty,
+      s"non-converged star components leaked ${leakedStar.size} persisted RDDs")
+  }
+
   test("multimodal: stub decode populates features; null payload survives") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq ==

@@ -257,6 +257,16 @@ class GeneralSpec extends AnyFunSuite {
     assert(got == Seq(("a", 9.0, 2L), ("a", 9.0, 3L), ("b", 7.0, 5L), ("b", 2.0, 6L)))
   }
 
+  test("topKPerGroup: non-integral id column fails loudly, never empty") {
+    import graft.functions.Aggregators
+    val df = table("g string, score bigint, id string", Seq(
+      row("a", 5L, "doc-1"), row("a", 9L, "doc-2")))
+    val e = intercept[IllegalArgumentException] {
+      Aggregators.topKPerGroup(df, Seq("g"), "score", "id", 2)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("withContiguousRowIds: 0..n-1 in sort order across partitions") {
     val df = table("k bigint, v string",
       scala.util.Random.shuffle((0L until 40L).toList).map(i => row(i, s"v$i")))

@@ -143,7 +143,8 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(names.distinct.size == names.size)
     assert(names.toSet == Set("graft_dot_f32", "graft_cosine_f32",
       "graft_minhash_sig", "graft_shingles", "graft_clean_text", "graft_simhash",
-      "graft_quantized_dot", "graft_sorted_intersect"))
+      "graft_quantized_dot", "graft_sorted_intersect",
+      "graft_bloom_might_contain"))
     // per-session registration: repeated calls are safe, functions resolve
     GraftFunctions.ensureRegistered(spark)
     GraftFunctions.ensureRegistered(spark)
