@@ -102,11 +102,14 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(spreadFile),
       spreadJson.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] spread write failed: $e") }
-    // 3-decimal timings keep the whole JSON line under ~1.9 KB even at
-    // 60+ queries: the harness only retains the tail of stdout, and a
-    // line longer than that window gets its head (metric+total) clipped.
-    val qs = results.map { case (k, v, _, _, _, _) => s"\"${esc(k)}\":${fmt(v)}" }
-      .mkString("{", ",", "}")
+    // The stdout line keys queries by their UNIQUE qNN prefix: at 73
+    // queries the full names alone overflow the ~1.9 KB stdout
+    // retention window and the line loses its HEAD (metric+total) —
+    // round 6's recorded bench line was exactly such a clipped tail.
+    // Full names live in the spread sidecar, keyed by the same prefix.
+    val qs = results.map { case (k, v, _, _, _, _) =>
+      s"\"${esc(k.takeWhile(_ != '_'))}\":${fmt(v)}"
+    }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, _, Some(m), _) => s"\"${esc(k)}\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _, None, _) => v }.sum

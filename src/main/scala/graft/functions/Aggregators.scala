@@ -43,6 +43,32 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Scored]] = bufferEncoder
   }
 
+  /** One scored element flowing into [[TopKByKey]] — the string-keyed
+    * twin of [[Scored]] for corpora whose document ids are strings
+    * (URLs, UUIDs, path-like ids). */
+  final case class ScoredKey(score: Double, id: String)
+
+  /** String-keyed twin of [[TopK]]: same bounded buffer, same partial
+    * aggregation shape (O(k x partitions) exchange rows per group),
+    * ties broken by id ascending LEXICOGRAPHICALLY — deterministic,
+    * though a different order than [[TopK]]'s numeric tie-break. */
+  final class TopKByKey(k: Int)
+      extends Aggregator[ScoredKey, Seq[ScoredKey], Seq[ScoredKey]] {
+    require(k > 0, "k must be positive")
+    private def ord(s: ScoredKey): (Double, String) = (-s.score, s.id)
+    private val tupleOrd = implicitly[Ordering[(Double, String)]]
+    override def zero: Seq[ScoredKey] = Vector.empty
+    override def reduce(b: Seq[ScoredKey], a: ScoredKey): Seq[ScoredKey] =
+      if (b.size >= k && tupleOrd.gteq(ord(a), ord(b.last))) b
+      else ((b :+ a): Seq[ScoredKey]).sortBy(ord).take(k)
+    override def merge(b1: Seq[ScoredKey], b2: Seq[ScoredKey]): Seq[ScoredKey] =
+      (b1 ++ b2).sortBy(ord).take(k)
+    override def finish(r: Seq[ScoredKey]): Seq[ScoredKey] = r.sortBy(ord)
+    override def bufferEncoder: Encoder[Seq[ScoredKey]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredKey]]()
+    override def outputEncoder: Encoder[Seq[ScoredKey]] = bufferEncoder
+  }
+
   /** Grouped top-k: one row per (group, retained element), ordered by
     * (score desc, id asc) within each group. `scoreCol` must be
     * numeric (cast to double), `idCol` integral — enforced, because a

@@ -263,11 +263,15 @@ object General {
     * into one task). The winner set (<= cap x strata rows) flows into
     * a left-semi join that AQE broadcasts at runtime.
     *
-    * Key contract (enforced): `keyCol` must be an integral id column —
-    * the bounded heap carries ids as longs, and a non-integral key
-    * would cast to NULL and silently select NOTHING. Keys must also be
-    * unique per stratum (they are ids): the semi join keeps every row
-    * sharing a selected key, so duplicates would overshoot the cap. */
+    * Key contract (enforced): `keyCol` must be an integral id column
+    * (ids ride the bounded heap as longs) or a string id column (URLs,
+    * UUIDs — carried verbatim through the string-keyed heap twin); any
+    * other type fails loudly, because a silent cast to NULL would
+    * select NOTHING. Keys must also be unique per stratum (they are
+    * ids): the semi join keeps every row sharing a selected key, so
+    * duplicates would overshoot the cap. Hash ties (possible with the
+    * 32-bit portable hash) break by id ascending — numerically for
+    * integral keys, lexicographically for string keys. */
   def exactCapPerStratum(
       df: DataFrame,
       strataCol: String,
@@ -276,26 +280,34 @@ object General {
       hash: Column => Column = c =>
         graft.functions.TextFunctions.portableTokenHash32(c.cast("string"))): DataFrame = {
     import org.apache.spark.sql.Encoders
-    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, StringType}
     require(cap > 0, "cap must be positive")
-    val keyType = df.schema(keyCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
-      s"exactCapPerStratum requires an integral key column, got $keyType " +
-        s"for '$keyCol' (a non-integral key casts to NULL and would " +
-        "silently select nothing)")
-    val topk = udaf(new graft.functions.Aggregators.TopK(cap),
-      Encoders.product[graft.functions.Aggregators.Scored])
-    val selected = df
-      .select(col(strataCol).as("__s"),
-        hash(col(keyCol)).cast("double").as("__h"),
-        col(keyCol).cast("long").as("__k"))
-      .groupBy("__s")
-      .agg(topk(col("__h"), col("__k")).as("__top"))
-      .select(col("__s"), explode(col("__top")).as("__e"))
-      .select(col("__s"), col("__e.id").as("__k"))
-    df.join(selected,
-      df(strataCol) === selected("__s") &&
-        df(keyCol).cast("long") === selected("__k"),
+    val score = hash(col(keyCol)).cast("double").as("__h")
+    val selected = df.schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val topk = udaf(new graft.functions.Aggregators.TopK(cap),
+          Encoders.product[graft.functions.Aggregators.Scored])
+        df.select(col(strataCol).as("__s"), score, col(keyCol).cast("long").as("__k"))
+          .groupBy("__s")
+          .agg(topk(col("__h"), col("__k")).as("__top"))
+          .select(col("__s"), col("__top.id").as("__ks"))
+      case StringType =>
+        val topk = udaf(new graft.functions.Aggregators.TopKByKey(cap),
+          Encoders.product[graft.functions.Aggregators.ScoredKey])
+        df.select(col(strataCol).as("__s"), score, col(keyCol).as("__k"))
+          .groupBy("__s")
+          .agg(topk(col("__h"), col("__k")).as("__top"))
+          .select(col("__s"), col("__top.id").as("__ks"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"exactCapPerStratum requires an integral or string key column, " +
+            s"got $other for '$keyCol' (any other type would cast to NULL " +
+            "and silently select nothing)")
+    }
+    val winners = selected.select(col("__s"), explode(col("__ks")).as("__k"))
+    df.join(winners,
+      df(strataCol) === winners("__s") &&
+        df(keyCol) === winners("__k"),
       "left_semi")
   }
 

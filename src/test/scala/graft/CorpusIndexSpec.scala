@@ -84,13 +84,32 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL"))
   }
 
-  test("exactCapPerStratum: non-integral key fails loudly, never empty") {
-    val df = table("id string, s string",
-      Seq(row("a", "x"), row("b", "x")))
+  test("exactCapPerStratum: unsupported key type fails loudly, never empty") {
+    val df = table("id double, s string",
+      Seq(row(1.5, "x"), row(2.5, "x")))
     val e = intercept[IllegalArgumentException] {
       General.exactCapPerStratum(df, "s", "id", cap = 1)
     }
-    assert(e.getMessage.contains("integral"))
+    assert(e.getMessage.contains("integral or string"))
+  }
+
+  test("exactCapPerStratum: string ids match the row_number formulation") {
+    import graft.functions.TextFunctions
+    val rows = (0 until 9).map(i => row(s"url-$i", "big")) ++
+      Seq(row("url-x", "small"), row("url-y", "small"))
+    val df = table("id string, s string", rows)
+    val got = General.exactCapPerStratum(df, "s", "id", cap = 3)
+      .collect().map(r => (r.getString(1), r.getString(0))).toSet
+    assert(got.count(_._1 == "big") == 3 && got.count(_._1 == "small") == 2)
+    // ground truth: per stratum, the cap ids with largest portable
+    // hash, ties by id ascending (lexicographic)
+    val hv = df.select(col("s"), col("id"),
+        TextFunctions.portableTokenHash32(col("id")).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = hv.groupBy(_._1).toSeq.flatMap { case (s, g) =>
+      g.sortBy(t => (-t._3, t._2)).take(3).map(t => (s, t._2)).toSeq
+    }.toSet
+    assert(got == expected)
   }
 
   test("bm25: exact weights on a hand-computed corpus; minDocFreq prunes") {
