@@ -1144,6 +1144,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q74
+  /** Quality-weighted dedup RETENTION: q46's exact-verified near-dup
+    * clusters, but each cluster keeps its highest-token-count member
+    * (ties min id) instead of the arbitrary min-id doc — the policy
+    * step that decides which bytes survive dedup. The oracle recomputes
+    * the pair graph, the recursive-CTE components, the token counts,
+    * AND the argmax selection (window row_number), so the algebraic
+    * max_by retention is value-checked end to end, singletons included. */
+  private def q74DedupRetainBest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Components
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    val pairs = Dedup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    val labels = Components.connectedComponents(pairs, "id_a", "id_b")
+    Dedup.keepBestPerCluster(docs, "doc_id", "n_tokens", labels)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q72
   /** Content-defined chunking over the corpus: boundaries where the
     * portable token hash % 8 == 3 (expected 8-token chunks), chunk
@@ -1317,6 +1337,7 @@ object SparkEntry {
     "q71_mean_pool" -> (q71MeanPool _),
     "q72_cdc_chunks" -> (q72CdcChunks _),
     "q73_cdc_dup_stats" -> (q73CdcDupStats _),
+    "q74_dedup_retain_best" -> (q74DedupRetainBest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2445,6 +2466,7 @@ object SparkEntry {
         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
         |FROM c GROUP BY doc_id, chunk_idx
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q74_dedup_retain_best" -> dedupRetainBestOracle,
     "q73_cdc_dup_stats" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
@@ -2521,4 +2543,46 @@ object SparkEntry {
       |)
       |SELECT node AS doc_id, MIN(r) AS comp FROM reach
       |GROUP BY node ORDER BY doc_id""".stripMargin
+
+  /** q74: the q46/q63 component ground truth extended with token
+    * counts and the per-cluster argmax retention (row_number over
+    * n_tokens desc, doc_id asc), singletons kept via the left join. */
+  private val dedupRetainBestOracle: String =
+    """WITH RECURSIVE tk AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_distinct(list_transform(range(len(toks)-2), i ->
+      |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
+      |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
+      |  FROM tk
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+      |               AS DOUBLE), 0.0) AS j
+      |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+      |), e AS (
+      |  SELECT id_a, id_b FROM p WHERE j >= 0.5
+      |), sym AS (
+      |  SELECT id_a AS a, id_b AS b FROM e
+      |  UNION SELECT id_b, id_a FROM e
+      |), reach AS (
+      |  SELECT a AS node, a AS r FROM sym
+      |  UNION
+      |  SELECT s2.a, r.r FROM sym s2 JOIN reach r ON s2.b = r.node
+      |), comp AS (
+      |  SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+      |), lab AS (
+      |  SELECT tk.doc_id, CAST(len(tk.toks) AS INTEGER) AS n_tokens,
+      |    COALESCE(c.comp, tk.doc_id) AS comp
+      |  FROM tk LEFT JOIN comp c ON tk.doc_id = c.node
+      |), w AS (
+      |  SELECT doc_id, n_tokens,
+      |    ROW_NUMBER() OVER (PARTITION BY comp
+      |      ORDER BY n_tokens DESC, doc_id ASC) AS rn
+      |  FROM lab
+      |)
+      |SELECT doc_id, n_tokens FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin
 }

@@ -482,4 +482,45 @@ object Dedup {
       dropOversize: Boolean = false): DataFrame =
     simHashNearDupPairsW(df, idCol, textCol, 64, maxHamming, bands, maxBucket,
       tokenHash, dropOversize)
+
+  /** RETENTION POLICY between clustering and the cleaned corpus: keep
+    * exactly one document per near-dup cluster — the HIGHEST-`scoreCol`
+    * member, ties broken by id ascending — plus every document with no
+    * cluster label (a singleton is its own best member). Min-id
+    * retention (the q49 pipeline) is arbitrary; production pipelines
+    * keep the best-quality duplicate (longest, highest language/quality
+    * score), which changes which bytes survive dedup.
+    *
+    * `labels` is a (node, comp) frame from [[Components]] — it covers
+    * exactly the docs that appear in the pair graph, which is why the
+    * doc->label join is LEFT (unlabeled docs coalesce to their own id
+    * as a singleton cluster).
+    *
+    * Scale shape: the label join is big-side `docs` against the sparse
+    * pair-graph node set (AQE broadcasts it); the winner per cluster is
+    * ONE algebraic `max_by(id, struct(score, -id))` aggregation —
+    * map-side combined, so a degenerate million-member cluster ships
+    * one candidate per map task, never a cluster-wide row_number sort;
+    * the kept set flows back through a semi join on ids (winner set is
+    * one row per cluster, AQE-broadcast). Scores must be non-null and
+    * numeric; ids integral and unique (they are ids). */
+  def keepBestPerCluster(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      labels: DataFrame,
+      nodeCol: String = "node",
+      compCol: String = "comp"): DataFrame = {
+    val labeled = docs
+      .join(labels.select(col(nodeCol).as(idCol), col(compCol).as("__comp")),
+        Seq(idCol), "left")
+      .select(col(idCol), col(scoreCol),
+        coalesce(col("__comp"), col(idCol)).as("__comp"))
+    val winners = labeled
+      .groupBy("__comp")
+      .agg(max_by(col(idCol),
+        struct(col(scoreCol), (lit(-1L) * col(idCol)).as("__negid"))).as(idCol))
+      .select(idCol)
+    docs.join(winners, Seq(idCol), "left_semi")
+  }
 }

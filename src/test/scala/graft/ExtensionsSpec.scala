@@ -408,6 +408,19 @@ class ExtensionsSpec extends AnyFunSuite {
       s"star components leaked ${leakedStar.size} persisted RDDs (allowed: nodes + final forest)")
   }
 
+  test("keepBestPerCluster: max-score survivor, ties by id, singletons kept") {
+    val docs = table("doc_id bigint, score int", Seq(
+      row(1L, 5), row(2L, 9), row(3L, 9),   // cluster A: 2 wins (tie -> lower id)
+      row(10L, 1), row(11L, 7),             // cluster B: 11 wins
+      row(20L, 0)))                         // unlabeled singleton: kept
+    val labels = table("node bigint, comp bigint", Seq(
+      row(1L, 1L), row(2L, 1L), row(3L, 1L),
+      row(10L, 10L), row(11L, 10L)))
+    val kept = Dedup.keepBestPerCluster(docs, "doc_id", "score", labels)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 11L, 20L))
+  }
+
   test("connected components: failure paths release every checkpoint") {
     import graft.operators.Components
     // Non-convergence is the deterministic failure path: a diameter-7

@@ -257,6 +257,37 @@ class GeneralSpec extends AnyFunSuite {
     assert(got == Seq(("a", 9.0, 2L), ("a", 9.0, 3L), ("b", 7.0, 5L), ("b", 2.0, 6L)))
   }
 
+  test("TopK aggregators: any partition split + merge equals global sort-take") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.Aggregators.{Scored, ScoredKey, TopK, TopKByKey}
+    // scores from a SMALL discrete pool so ties are common — the
+    // tie-break path is the one a uniform-double generator never hits
+    val elems = Gen.listOf(Gen.chooseNum(-3, 3).map(_.toDouble))
+    val prop = Prop.forAll(elems, Gen.chooseNum(1, 6), Gen.chooseNum(1, 4)) {
+      (scores, k, nParts) =>
+        val xs = scores.zipWithIndex // index = unique id
+        // long-keyed heap: fold each slice, merge across slices
+        val agg = new TopK(k)
+        val merged = xs.groupBy(_._2 % nParts).values
+          .map(_.map { case (s, i) => Scored(s, i.toLong) }
+            .foldLeft(agg.zero)(agg.reduce))
+          .foldLeft(agg.zero)(agg.merge)
+        val expected = xs.map { case (s, i) => Scored(s, i.toLong) }
+          .sortBy(e => (-e.score, e.id)).take(k)
+        val strAgg = new TopKByKey(k)
+        val strMerged = xs.groupBy(_._2 % nParts).values
+          .map(_.map { case (s, i) => ScoredKey(s, f"id-$i%03d") }
+            .foldLeft(strAgg.zero)(strAgg.reduce))
+          .foldLeft(strAgg.zero)(strAgg.merge)
+        val strExpected = xs.map { case (s, i) => ScoredKey(s, f"id-$i%03d") }
+          .sortBy(e => (-e.score, e.id)).take(k)
+        agg.finish(merged) == expected && strAgg.finish(strMerged) == strExpected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"topk split/merge property: ${res.status}")
+  }
+
   test("topKPerGroup: non-integral id column fails loudly, never empty") {
     import graft.functions.Aggregators
     val df = table("g string, score bigint, id string", Seq(
