@@ -1164,6 +1164,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q75
+  /** Hybrid retrieval: integer term-frequency lexical recall over the
+    * corpus (top-50 candidates via bounded heaps — the integer rank
+    * makes the candidate cutoff engine-exact), then exact cosine
+    * re-rank of only the candidates against doc 0's embedding. The
+    * oracle recomputes both stages — term counts, the candidate set,
+    * the cosine chain, and the final top-10. */
+  private def q75HybridSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val emb = Tables.embeddings(s, dir)
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .head().getSeq[Float](emb.schema.fieldIndex("embedding"))
+    Corpus.hybridSearch(Tables.documents(s, dir), "doc_id", "text",
+        emb, "vec_id", "embedding",
+        queryTerms = Seq("vector", "hash", "merge"), queryVec = qvec,
+        nCandidates = 50, k = 10, excludeIds = Seq(0L))
+      .select(col("doc_id"), col("lex_tf"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q72
   /** Content-defined chunking over the corpus: boundaries where the
     * portable token hash % 8 == 3 (expected 8-token chunks), chunk
@@ -1338,6 +1358,7 @@ object SparkEntry {
     "q72_cdc_chunks" -> (q72CdcChunks _),
     "q73_cdc_dup_stats" -> (q73CdcDupStats _),
     "q74_dedup_retain_best" -> (q74DedupRetainBest _),
+    "q75_hybrid_search" -> (q75HybridSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2467,6 +2488,35 @@ object SparkEntry {
         |FROM c GROUP BY doc_id, chunk_idx
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q74_dedup_retain_best" -> dedupRetainBestOracle,
+    "q75_hybrid_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+        |), lex AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(t, x -> x = 'vector')) +
+        |         len(list_filter(t, x -> x = 'hash')) +
+        |         len(list_filter(t, x -> x = 'merge')) AS INTEGER) AS lex_tf
+        |  FROM toks
+        |), cand AS (
+        |  SELECT doc_id, lex_tf FROM lex
+        |  WHERE lex_tf > 0 AND doc_id <> 0
+        |  ORDER BY lex_tf DESC, doc_id LIMIT 50
+        |), q AS (
+        |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        |), scored AS (
+        |  SELECT cd.doc_id, cd.lex_tf,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qv,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        |  FROM cand cd JOIN embeddings e ON e.vec_id = cd.doc_id CROSS JOIN q
+        |), top AS (
+        |  SELECT doc_id, lex_tf, c FROM scored ORDER BY c DESC, doc_id LIMIT 10
+        |)
+        |SELECT doc_id, lex_tf, ROUND(c, 4) AS cosine FROM top
+        |ORDER BY doc_id""".stripMargin,
     "q73_cdc_dup_stats" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents

@@ -503,4 +503,58 @@ object Corpus {
       .withColumn("shard", (col("pos") % nShards).cast("int"))
       .drop("__skey")
   }
+
+  /** HYBRID retrieval: a cheap lexical recall stage over the full
+    * corpus, then an exact dense (cosine) re-rank over only the
+    * surviving candidates — the two-stage shape retrieval-augmented
+    * data curation runs at corpus scale, where scoring every embedding
+    * against every query is unaffordable but a term filter is one
+    * codegen'd scan.
+    *
+    * Stage 1 ranks by TOTAL term frequency of `queryTerms` (an integer
+    * — deterministic and engine-exact, no float-ranking boundary
+    * wobble at the candidate cutoff), ties by id ascending, keeping
+    * `nCandidates` docs via TakeOrderedAndProject (per-partition
+    * bounded heaps — the corpus is never sorted). Stage 2 joins the
+    * candidate ids to the embedding table — candidates are a
+    * broadcast-sized set, so the embedding side probes a broadcast
+    * hash, no shuffle — scores the survivors with the native codegen
+    * cosine, and keeps the final `k`, again heap-based. `excludeIds`
+    * drops known ids (the query document itself). */
+  def hybridSearch(
+      docs: DataFrame,
+      docIdCol: String,
+      textCol: String,
+      embeddings: DataFrame,
+      vecIdCol: String,
+      vecCol: String,
+      queryTerms: Seq[String],
+      queryVec: Seq[Float],
+      nCandidates: Int,
+      k: Int,
+      excludeIds: Seq[Long] = Nil): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(nCandidates >= k, "nCandidates must be >= k")
+    val toks = TextFunctions.tokens(col(textCol))
+    val lexTf = queryTerms
+      .map(t => size(filter(toks, x => x === lit(t))))
+      .reduce(_ + _)
+    val scored = docs
+      .select(col(docIdCol).as("doc_id"), lexTf.as("lex_tf"))
+      .filter(col("lex_tf") > 0)
+    val candidates =
+      (if (excludeIds.isEmpty) scored
+       else scored.filter(!col("doc_id").isin(excludeIds: _*)))
+        .orderBy(col("lex_tf").desc, col("doc_id"))
+        .limit(nCandidates)
+    candidates
+      .join(embeddings.select(col(vecIdCol).as("doc_id"), col(vecCol).as("__v")),
+        "doc_id")
+      .withColumn("cosine",
+        graft.expressions.GraftFunctions.cosineF32(embeddings,
+          col("__v"), Similarity.vectorLit(queryVec)))
+      .select(col("doc_id"), col("lex_tf"), col("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -49,6 +49,28 @@ class CorpusIndexSpec extends AnyFunSuite {
       ("w", 3L, 1L, 3L), ("w", 3L, 2L, 2L)))
   }
 
+  test("hybridSearch: lexical candidate cutoff, dense re-rank, exclusions") {
+    val docs = table("doc_id bigint, text string", Seq(
+      row(0L, "hash hash hash hash"),   // excluded (the query doc)
+      row(1L, "hash hash hash"),        // tf=3, candidate
+      row(2L, "hash merge"),            // tf=2, candidate
+      row(3L, "hash"),                  // tf=1, cut by nCandidates=2
+      row(4L, "scan table row")))       // tf=0, never a candidate
+    val emb = table("vec_id bigint, embedding array<float>", Seq(
+      row(0L, Seq(1.0f, 0.0f)),
+      row(1L, Seq(0.0f, 1.0f)),         // orthogonal to query
+      row(2L, Seq(1.0f, 0.0f)),         // parallel -> top
+      row(3L, Seq(1.0f, 0.0f)),
+      row(4L, Seq(1.0f, 0.0f))))
+    val out = Corpus.hybridSearch(docs, "doc_id", "text",
+        emb, "vec_id", "embedding",
+        queryTerms = Seq("hash", "merge"), queryVec = Seq(1.0f, 0.0f),
+        nCandidates = 2, k = 2, excludeIds = Seq(0L))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // candidates = {1 (tf 3), 2 (tf 2)}; re-rank puts 2 (cos 1) above 1 (cos 0)
+    assert(out == Seq((2L, 2), (1L, 3)))
+  }
+
   test("capPerStratumSample: computed rates match hand-specified stratifiedHashSample") {
     val rows = (0L until 10L).map(i => row(i, "big")) ++
       (100L until 103L).map(i => row(i, "small"))
