@@ -133,6 +133,39 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(filtered == 1L)
   }
 
+  test("BloomMightContain: interpreted eval matches the sketch; null key -> null") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.util.sketch.BloomFilter
+    def ser(bf: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    // direct .eval() — the interpreted path codegen'd plans never take
+    val bf = BloomFilter.create(100, 0.01)
+    bf.putLong(42L); bf.putLong(7L)
+    val e = graft.expressions.BloomMightContain(
+      BoundReference(0, LongType, nullable = true),
+      Literal(ser(bf), BinaryType))
+    assert(e.eval(InternalRow(42L)) == true)
+    assert(e.eval(InternalRow(7L)) == true)
+    (0L until 200L).foreach { k =>
+      assert(e.eval(InternalRow(k)) == bf.mightContainLong(k), s"key $k")
+    }
+    assert(e.eval(InternalRow(null)) == null)
+    val bfs = BloomFilter.create(100, 0.01)
+    bfs.putString("hello")
+    val es = graft.expressions.BloomMightContain(
+      BoundReference(0, StringType, nullable = true),
+      Literal(ser(bfs), BinaryType))
+    assert(es.eval(InternalRow(UTF8String.fromString("hello"))) == true)
+    assert(es.eval(InternalRow(UTF8String.fromString("goodbye"))) ==
+      bfs.mightContainString("goodbye"))
+    assert(es.eval(InternalRow(null)) == null)
+  }
+
   test("extensions injector wires every builder; registration is idempotent") {
     // the SparkSessionExtensions route (cluster deployments set
     // spark.sql.extensions=graft.expressions.GraftExtensions); here we
