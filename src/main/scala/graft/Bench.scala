@@ -86,10 +86,11 @@ object Bench {
         (name, median, mn, mx, err, signals())
       }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // Full per-query spread sidecar: the stdout retention window (the
-    // harness keeps ~2 KB of tail) can't hold 73 [med,min,max] triples,
-    // so the complete spread lands in a file next to the build and the
-    // JSON line carries a pointer plus the few widest spreads inline —
+    // Full per-query spread sidecar, keyed by FULL query name: the
+    // stdout retention window (the harness keeps ~2 KB of tail) can't
+    // hold every query's [med,min,max] at the registry's size, so the
+    // complete spread lands in a file next to the build and the JSON
+    // line carries a pointer plus the few widest spreads inline —
     // enough to tell noise from regression without re-running. Each
     // entry also carries the post-query host signals so drift inside a
     // suite run is attributable from the file alone.
@@ -102,11 +103,13 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(spreadFile),
       spreadJson.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] spread write failed: $e") }
-    // The stdout line keys queries by their UNIQUE qNN prefix: at 73
-    // queries the full names alone overflow the ~1.9 KB stdout
-    // retention window and the line loses its HEAD (metric+total) —
-    // round 6's recorded bench line was exactly such a clipped tail.
-    // Full names live in the spread sidecar, keyed by the same prefix.
+    // The stdout line's `queries` and `noisiest` maps key by the
+    // UNIQUE qNN prefix: at 70+ queries the full names alone overflow
+    // the ~1.9 KB stdout retention window and the line loses its HEAD
+    // (metric+total) — round 6's recorded bench line was exactly such
+    // a clipped tail. `errors` keeps FULL names (errors are rare and
+    // the name is the diagnostic); the sidecar keys by full name too —
+    // match on the qNN prefix to cross-reference.
     val qs = results.map { case (k, v, _, _, _, _) =>
       s"\"${esc(k.takeWhile(_ != '_'))}\":${fmt(v)}"
     }.mkString("{", ",", "}")

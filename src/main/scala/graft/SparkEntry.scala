@@ -2562,10 +2562,13 @@ object SparkEntry {
         |ORDER BY tt.doc_id""".stripMargin,
   )
 
-  /** Ground truth for q46/q63: exact-Jaccard pair set + recursive-CTE
-    * reachability + min-id labeling. Shared so the min-label and
-    * star-contraction formulations are held to the identical answer. */
-  private val dedupClustersOracle: String =
+  /** ONE shared components ground truth: exact-Jaccard pair graph +
+    * recursive-CTE reachability over `documents`. q46 (min-label), q63
+    * (star contraction), and q74 (retention) all compose this prefix,
+    * so a fix to the shingling/threshold/reachability applies to every
+    * consumer or to none — the formulations stay held to the identical
+    * labeling by construction. */
+  private val componentsOracleCte: String =
     """WITH RECURSIVE tk AS (
       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
       |), s AS (
@@ -2590,39 +2593,18 @@ object SparkEntry {
       |  SELECT a AS node, a AS r FROM sym
       |  UNION
       |  SELECT s2.a, r.r FROM sym s2 JOIN reach r ON s2.b = r.node
-      |)
+      |)""".stripMargin
+
+  private val dedupClustersOracle: String = componentsOracleCte +
+    """
       |SELECT node AS doc_id, MIN(r) AS comp FROM reach
       |GROUP BY node ORDER BY doc_id""".stripMargin
 
   /** q74: the q46/q63 component ground truth extended with token
     * counts and the per-cluster argmax retention (row_number over
     * n_tokens desc, doc_id asc), singletons kept via the left join. */
-  private val dedupRetainBestOracle: String =
-    """WITH RECURSIVE tk AS (
-      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
-      |), s AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-      |         ELSE list_distinct(list_transform(range(len(toks)-2), i ->
-      |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
-      |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
-      |  FROM tk
-      |), p AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-      |               AS DOUBLE), 0.0) AS j
-      |  FROM s a JOIN s b ON b.doc_id > a.doc_id
-      |), e AS (
-      |  SELECT id_a, id_b FROM p WHERE j >= 0.5
-      |), sym AS (
-      |  SELECT id_a AS a, id_b AS b FROM e
-      |  UNION SELECT id_b, id_a FROM e
-      |), reach AS (
-      |  SELECT a AS node, a AS r FROM sym
-      |  UNION
-      |  SELECT s2.a, r.r FROM sym s2 JOIN reach r ON s2.b = r.node
-      |), comp AS (
+  private val dedupRetainBestOracle: String = componentsOracleCte +
+    """, comp AS (
       |  SELECT node, MIN(r) AS comp FROM reach GROUP BY node
       |), lab AS (
       |  SELECT tk.doc_id, CAST(len(tk.toks) AS INTEGER) AS n_tokens,

@@ -38,17 +38,28 @@ case class BloomMightContain(key: Expression, filterBytes: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (key.dataType, filterBytes.dataType) match {
-      case (LongType | StringType, BinaryType) if filterBytes.foldable =>
-        TypeCheckResult.TypeCheckSuccess
-      case (LongType | StringType, BinaryType) =>
+      case (LongType | StringType, BinaryType) if !filterBytes.foldable =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects a foldable (literal) serialized filter")
+      case (LongType | StringType, BinaryType) if filterBytes.eval(null) == null =>
+        // Rejected at ANALYSIS: a null filter would otherwise make the
+        // interpreted path null-out (silently dropping every row under
+        // a filter) while the codegen path throws from the lazy
+        // deserialize — two behaviors for one query. It would also
+        // falsify `nullable` below, which assumes the probe itself
+        // never introduces nulls.
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: serialized filter must not be null")
+      case (LongType | StringType, BinaryType) =>
+        TypeCheckResult.TypeCheckSuccess
       case (k, f) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (bigint or string, binary), got " +
           s"(${k.simpleString}, ${f.simpleString})")
     }
 
   override def dataType: DataType = BooleanType
+  // the filter operand is analysis-checked non-null, so only the key
+  // contributes nulls
   override def nullable: Boolean = key.nullable
 
   @transient private lazy val filter: BloomFilter = {

@@ -11,8 +11,16 @@ object Aggregators {
   /** One scored element flowing into [[TopK]]. */
   final case class Scored(score: Double, id: Long)
 
-  /** Bounded top-k aggregator: the buffer never holds more than k
-    * elements, ordered by (score desc, id asc) for deterministic ties.
+  /** One scored element flowing into [[TopKByKey]] — the string-keyed
+    * twin of [[Scored]] for corpora whose document ids are strings
+    * (URLs, UUIDs, path-like ids). */
+  final case class ScoredKey(score: Double, id: String)
+
+  /** Shared bounded top-k heap logic: the buffer never holds more than
+    * k elements, ordered by (score desc, id asc) for deterministic
+    * ties. Concrete subclasses fix the element type (so the buffer
+    * encoder stays a plain non-generic `ExpressionEncoder`) and
+    * provide the (−score, id) sort key.
     *
     * Why this beats the `row_number().over(window) <= k` formulation at
     * scale: the window plan shuffles EVERY row of a group to one task
@@ -21,49 +29,38 @@ object Aggregators {
     * elements before the shuffle, so the exchange carries
     * O(k x partitions) rows per group no matter how skewed the group
     * is. The same shape Spark uses for global TakeOrdered, made
-    * available per group.
-    */
-  final class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    * available per group. */
+  sealed abstract class TopKBase[E, I](k: Int)(implicit iOrd: Ordering[I])
+      extends Aggregator[E, Seq[E], Seq[E]] {
     require(k > 0, "k must be positive")
-    private def ord(s: Scored): (Double, Long) = (-s.score, s.id)
-    private val tupleOrd = implicitly[Ordering[(Double, Long)]]
-    override def zero: Seq[Scored] = Vector.empty
+    protected def ord(e: E): (Double, I)
+    private val tupleOrd = implicitly[Ordering[(Double, I)]]
+    final override def zero: Seq[E] = Vector.empty
     // invariant: the buffer is always sorted by `ord`, so a full buffer
     // rejects a non-qualifying row with one comparison against its
     // worst element — the common case on large groups — instead of
     // re-sorting per row.
-    override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+    final override def reduce(b: Seq[E], a: E): Seq[E] =
       if (b.size >= k && tupleOrd.gteq(ord(a), ord(b.last))) b
-      else ((b :+ a): Seq[Scored]).sortBy(ord).take(k)
-    override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
-      (b1 ++ b2).sortBy(ord).take(k)
-    override def finish(r: Seq[Scored]): Seq[Scored] = r.sortBy(ord)
+      else ((b :+ a): Seq[E]).sortBy(ord)(tupleOrd).take(k)
+    final override def merge(b1: Seq[E], b2: Seq[E]): Seq[E] =
+      (b1 ++ b2).sortBy(ord)(tupleOrd).take(k)
+    final override def finish(r: Seq[E]): Seq[E] = r.sortBy(ord)(tupleOrd)
+  }
+
+  /** Long-keyed bounded top-k; ties break by id ascending numerically. */
+  final class TopK(k: Int) extends TopKBase[Scored, Long](k) {
+    override protected def ord(s: Scored): (Double, Long) = (-s.score, s.id)
     override def bufferEncoder: Encoder[Seq[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
     override def outputEncoder: Encoder[Seq[Scored]] = bufferEncoder
   }
 
-  /** One scored element flowing into [[TopKByKey]] — the string-keyed
-    * twin of [[Scored]] for corpora whose document ids are strings
-    * (URLs, UUIDs, path-like ids). */
-  final case class ScoredKey(score: Double, id: String)
-
-  /** String-keyed twin of [[TopK]]: same bounded buffer, same partial
-    * aggregation shape (O(k x partitions) exchange rows per group),
-    * ties broken by id ascending LEXICOGRAPHICALLY — deterministic,
-    * though a different order than [[TopK]]'s numeric tie-break. */
-  final class TopKByKey(k: Int)
-      extends Aggregator[ScoredKey, Seq[ScoredKey], Seq[ScoredKey]] {
-    require(k > 0, "k must be positive")
-    private def ord(s: ScoredKey): (Double, String) = (-s.score, s.id)
-    private val tupleOrd = implicitly[Ordering[(Double, String)]]
-    override def zero: Seq[ScoredKey] = Vector.empty
-    override def reduce(b: Seq[ScoredKey], a: ScoredKey): Seq[ScoredKey] =
-      if (b.size >= k && tupleOrd.gteq(ord(a), ord(b.last))) b
-      else ((b :+ a): Seq[ScoredKey]).sortBy(ord).take(k)
-    override def merge(b1: Seq[ScoredKey], b2: Seq[ScoredKey]): Seq[ScoredKey] =
-      (b1 ++ b2).sortBy(ord).take(k)
-    override def finish(r: Seq[ScoredKey]): Seq[ScoredKey] = r.sortBy(ord)
+  /** String-keyed bounded top-k; ties break by id ascending
+    * LEXICOGRAPHICALLY — deterministic, though a different order than
+    * [[TopK]]'s numeric tie-break. */
+  final class TopKByKey(k: Int) extends TopKBase[ScoredKey, String](k) {
+    override protected def ord(s: ScoredKey): (Double, String) = (-s.score, s.id)
     override def bufferEncoder: Encoder[Seq[ScoredKey]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredKey]]()
     override def outputEncoder: Encoder[Seq[ScoredKey]] = bufferEncoder

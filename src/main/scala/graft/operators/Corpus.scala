@@ -534,11 +534,14 @@ object Corpus {
       k: Int,
       excludeIds: Seq[Long] = Nil): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct.size == queryTerms.size,
+      "queryTerms must be distinct (total-tf sums per-term counts)")
     require(nCandidates >= k, "nCandidates must be >= k")
+    // ONE token-array traversal per row (isin over the term set), not
+    // one filter pass per term — at Q terms the per-term formulation
+    // tokenizes and walks the array Q times inside the full-corpus scan
     val toks = TextFunctions.tokens(col(textCol))
-    val lexTf = queryTerms
-      .map(t => size(filter(toks, x => x === lit(t))))
-      .reduce(_ + _)
+    val lexTf = size(filter(toks, x => x.isin(queryTerms: _*)))
     val scored = docs
       .select(col(docIdCol).as("doc_id"), lexTf.as("lex_tf"))
       .filter(col("lex_tf") > 0)

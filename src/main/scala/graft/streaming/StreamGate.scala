@@ -93,9 +93,29 @@ object StreamGate {
     * The read-back is eagerly `localCheckpoint`ed — materialized into
     * executor blocks — so the sink, checkpoint, and `srcDir` temp dirs
     * can be deleted in the `finally` before the frame is handed back.
-    * The block cost is one small result frame per replay (released
-    * when the driver GCs the handle); the files it replaces are a full
-    * parquet corpus copy plus RocksDB state per replay. */
+    * ONE replay generation stays live: each replay releases the
+    * PREVIOUS replay's checkpoint blocks (the same superseded-
+    * generation discipline as [[graft.operators.Components]]), because
+    * waiting for the driver to GC the handle lets result blocks pile
+    * up across a bench suite — climbing block counts that the bench's
+    * own `cached_blocks` drift signal would then misread as an engine
+    * leak. Contract: a replay result is fully consumed (counted,
+    * written, compared) before the next replay runs — which is how
+    * every oracle/bench/spec caller uses the gate. */
+  private var lastReplay: Option[DataFrame] = None
+
+  private def releaseLastReplay(next: DataFrame): DataFrame = synchronized {
+    lastReplay.foreach { df =>
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
+    lastReplay = Some(next)
+    next
+  }
+
   private def runToParquet(df: DataFrame, srcDir: String): DataFrame = {
     val spark = df.sparkSession
     val out = tempDir("graft_stream_out")
@@ -111,7 +131,8 @@ object StreamGate {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.read.schema(df.schema).parquet(out).localCheckpoint()
+      releaseLastReplay(
+        spark.read.schema(df.schema).parquet(out).localCheckpoint())
     } finally {
       spark.conf.set(key, prev)
       Seq(srcDir, out, ck).foreach(deleteRecursively)

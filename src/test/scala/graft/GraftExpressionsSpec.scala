@@ -164,6 +164,12 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(es.eval(InternalRow(UTF8String.fromString("goodbye"))) ==
       bfs.mightContainString("goodbye"))
     assert(es.eval(InternalRow(null)) == null)
+    // a NULL serialized filter is an analysis error, not a silent
+    // row-dropper (interpreted) or a planning-time throw (codegen)
+    val eNull = graft.expressions.BloomMightContain(
+      BoundReference(0, LongType, nullable = true),
+      Literal(null, BinaryType))
+    assert(eNull.checkInputDataTypes().isFailure)
   }
 
   test("extensions injector wires every builder; registration is idempotent") {
