@@ -94,6 +94,19 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("replay gates keep at most one checkpointed result generation live") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    StreamGate.replayDedup(events, Seq("user_id"), "1 hour").count()
+    StreamGate.replayDedup(events, Seq("event_type"), "1 hour").count()
+    val out = StreamGate.replayDedup(events, Seq("user_id", "event_type"), "1 hour")
+    assert(out.count() > 0)
+    // each replay releases the previous one's checkpoint, so three
+    // replays leave exactly the LAST result's blocks, not three sets
+    val live = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(live.size <= 1,
+      s"replays accumulated ${live.size} checkpointed result generations")
+  }
+
   test("replay gates leave no temp dirs behind and the result outlives them") {
     val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     def replayDirs(): Set[String] = {
