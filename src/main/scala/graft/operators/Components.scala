@@ -181,8 +181,12 @@ object Components {
           .unionByName(ssMin.select(col("u"), col("m").as("v")))
           .filter(col("u") =!= col("v"))
           .distinct())
-        // both frames are checkpointed, so the fixpoint test scans blocks
-        converged = next.count() == cur.count() && next.except(cur).isEmpty
+        // both frames are checkpointed, so the fixpoint test scans
+        // blocks. Equal counts + empty anti join ⟺ set equality here,
+        // because both edge frames are `.distinct()` by construction —
+        // `except` would redundantly re-distinct both sides per round.
+        converged = next.count() == cur.count() &&
+          next.join(cur, Seq("u", "v"), "left_anti").isEmpty
         release(cur) // superseded round (next is already material)
         cur = next
         round += 1
