@@ -421,6 +421,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(kept == Seq(2L, 11L, 20L))
   }
 
+  test("components: min-label and star contraction agree on random graphs") {
+    import graft.operators.Components
+    // deterministic pseudo-random edge sets: both formulations must
+    // produce the identical (node, min-reachable-id) labeling on
+    // arbitrary topology, not just the oracle query's near-cliques
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 24
+      val edges = (0 until 30)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => row(a, b) }
+      val df = table("a bigint, b bigint", edges)
+      val minLabel = Components.connectedComponents(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Components.connectedComponentsStar(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(minLabel == star, s"trial $trial: formulations disagree")
+    }
+  }
+
   test("connected components: failure paths release every checkpoint") {
     import graft.operators.Components
     // Non-convergence is the deterministic failure path: a diameter-7
