@@ -1184,6 +1184,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q76
+  /** Unicode NFC normalization of the corpus (the first step of a web
+    * text pipeline — composed/decomposed variants of the same visible
+    * string must hash identically before any byte-keyed dedup). The
+    * oracle re-normalizes with its own UAX #15 implementation and
+    * md5-gates the bytes, so the whole normalize chain — not just the
+    * ASCII identity subset — must agree across engines. */
+  private def q76UnicodeNormalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id"),
+        md5(graft.expressions.GraftFunctions
+          .unicodeNormalize(docs, col("text"), "NFC")).as("text_md5"),
+        length(graft.expressions.GraftFunctions
+          .unicodeNormalize(docs, col("text"), "NFC")).as("n_chars_nfc"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q72
   /** Content-defined chunking over the corpus: boundaries where the
     * portable token hash % 8 == 3 (expected 8-token chunks), chunk
@@ -1359,6 +1376,7 @@ object SparkEntry {
     "q73_cdc_dup_stats" -> (q73CdcDupStats _),
     "q74_dedup_retain_best" -> (q74DedupRetainBest _),
     "q75_hybrid_search" -> (q75HybridSearch _),
+    "q76_unicode_normalize" -> (q76UnicodeNormalize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2488,6 +2506,10 @@ object SparkEntry {
         |FROM c GROUP BY doc_id, chunk_idx
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q74_dedup_retain_best" -> dedupRetainBestOracle,
+    "q76_unicode_normalize" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS text_md5,
+        |  CAST(length(nfc_normalize(text)) AS INTEGER) AS n_chars_nfc
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q75_hybrid_search" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents

@@ -25,6 +25,12 @@ object GraftFunctions {
       s"$name expects a literal int argument, got $other")
   }
 
+  private def stringArg(name: String, e: Expression): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal string argument, got $other")
+  }
+
   /** (name, builder) for every native expression. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot_f32" -> { args => DotProductF32(args(0), args(1)) },
@@ -42,6 +48,9 @@ object GraftFunctions {
     "graft_quantized_dot" -> { args => QuantizedDotF32(args(0), args(1)) },
     "graft_sorted_intersect" -> { args => SortedIntersectCount(args(0), args(1)) },
     "graft_bloom_might_contain" -> { args => BloomMightContain(args(0), args(1)) },
+    "graft_unicode_normalize" -> { args =>
+      UnicodeNormalize(args(0), stringArg("graft_unicode_normalize", args(1)))
+    },
   )
 
   /** Idempotent per-session registration (temp functions live in the
@@ -106,6 +115,16 @@ object GraftFunctions {
       filterBytes: Array[Byte]): Column = {
     ensureRegistered(df.sparkSession)
     call_function("graft_bloom_might_contain", key, lit(filterBytes))
+  }
+
+  /** Unicode normalization (UAX #15; form NFC | NFD | NFKC | NFKD) of
+    * a string column (native). */
+  def unicodeNormalize(
+      df: org.apache.spark.sql.DataFrame,
+      c: Column,
+      form: String = "NFC"): Column = {
+    ensureRegistered(df.sparkSession)
+    call_function("graft_unicode_normalize", c, lit(form))
   }
 
   /** width-bit SimHash of an array<bigint> of token hashes (native). */

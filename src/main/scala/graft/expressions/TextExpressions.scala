@@ -75,6 +75,61 @@ case class CleanAsciiText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode normalization (UAX #15) of a string column — the text-prep
+  * step web-corpus pipelines run FIRST, because every downstream
+  * operator keyed on text bytes (exact dedup hashes, shingles, token
+  * counts, fingerprints) silently fragments when the same visible
+  * string arrives in composed and decomposed forms ("é" as U+00E9 vs
+  * "e"+U+0301). `form` is one of NFC | NFD | NFKC | NFKD, fixed at
+  * plan time. Delegates to `java.text.Normalizer` (the JDK's UAX #15
+  * implementation); already-normalized text — the overwhelming common
+  * case — short-circuits through `isNormalized`, which is a scan
+  * without allocation. Map-only, null-preserving; NFC output is
+  * byte-identical to engines exposing UAX #15 (e.g. a `nfc_normalize`
+  * SQL function), which is what lets the oracle re-check it. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+
+  @transient private lazy val normForm: java.text.Normalizer.Form =
+    java.text.Normalizer.Form.valueOf(form)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType
+        if Seq("NFC", "NFD", "NFKC", "NFKD").contains(form) =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: form must be NFC, NFD, NFKC or NFKD, got '$form'")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_unicode_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, normForm)) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, normForm))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      val norm = "java.text.Normalizer"
+      val str = ctx.freshName("str")
+      s"""
+         |String $str = $s.toString();
+         |if ($norm.isNormalized($str, $norm.Form.$form)) {
+         |  ${ev.value} = $s;
+         |} else {
+         |  ${ev.value} = $utf8.fromString($norm.normalize($str, $norm.Form.$form));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
 /** width-bit SimHash (width <= 64) from an array of per-token hash
   * values: accumulate `width` +1/-1 counters over the low `width` bits
   * of each hash, pack the sign pattern into a long (bit width-1 lands

@@ -172,6 +172,30 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(eNull.checkInputDataTypes().isFailure)
   }
 
+  test("UnicodeNormalize: composed == decomposed under NFC; NFKC folds ligatures") {
+    val df = table("s string", Seq(
+      row("café"),          // composed e-acute
+      row("café"),         // decomposed e + combining acute
+      row("ﬁle"),           // 'fi' ligature + "le"
+      row(null)))
+    df.createOrReplaceTempView("norm_in")
+    GraftFunctions.ensureRegistered(spark)
+    val nfc = spark.sql(
+      "SELECT graft_unicode_normalize(s, 'NFC') AS n FROM norm_in")
+      .collect().map(r => Option(r.getString(0)))
+    // both spellings of café normalize to the same bytes
+    assert(nfc(0) == nfc(1) && nfc(0).contains("café"))
+    assert(nfc(3).isEmpty) // null preserved
+    val nfkc = spark.sql(
+      "SELECT graft_unicode_normalize(s, 'NFKC') AS n FROM norm_in WHERE s IS NOT NULL")
+      .collect().map(_.getString(0))
+    assert(nfkc(2) == "file") // compatibility fold of the ligature
+    // bad form is an analysis error
+    intercept[Exception] {
+      spark.sql("SELECT graft_unicode_normalize('x', 'NFX') FROM norm_in").collect()
+    }
+  }
+
   test("extensions injector wires every builder; registration is idempotent") {
     // the SparkSessionExtensions route (cluster deployments set
     // spark.sql.extensions=graft.expressions.GraftExtensions); here we
@@ -183,7 +207,7 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(names.toSet == Set("graft_dot_f32", "graft_cosine_f32",
       "graft_minhash_sig", "graft_shingles", "graft_clean_text", "graft_simhash",
       "graft_quantized_dot", "graft_sorted_intersect",
-      "graft_bloom_might_contain"))
+      "graft_bloom_might_contain", "graft_unicode_normalize"))
     // per-session registration: repeated calls are safe, functions resolve
     GraftFunctions.ensureRegistered(spark)
     GraftFunctions.ensureRegistered(spark)
