@@ -194,9 +194,16 @@ object General {
     require(m > 0, "m must be positive")
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       "rates must lie in [0, 1]")
+    // Compare the stratum CAST TO STRING against the map keys: the raw
+    // column would route through Spark's implicit coercion, whose
+    // rendering of floats/decimals/binary need not round-trip the
+    // string keys a caller (or capPerStratumSample's count pass)
+    // derived via cast('string') — a mismatch would silently hand the
+    // stratum `defaultRate` instead of its intended rate.
+    val strata = col(strataCol).cast("string")
     val threshold = rates.toSeq.sortBy(_._1).foldRight(
         lit(math.round(defaultRate * m).toInt)) { case ((stratum, rate), e) =>
-      when(col(strataCol) === stratum, lit(math.round(rate * m).toInt)).otherwise(e)
+      when(strata === stratum, lit(math.round(rate * m).toInt)).otherwise(e)
     }
     df.filter(pmod(hash(col(keyCol)), lit(m.toLong)) < threshold)
   }

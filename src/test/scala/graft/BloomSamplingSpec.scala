@@ -103,6 +103,23 @@ class BloomSamplingSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet == halfIds)
   }
 
+  test("capPerStratumSample caps non-integral (float) strata correctly") {
+    // Regression: the rate CASE chain must compare the stratum on the
+    // SAME string representation the count pass derived the keys from.
+    // Comparing the raw column routes through implicit coercion to
+    // double, where float 0.1f != double 0.1 — the stratum misses its
+    // rate, falls to defaultRate 0, and is silently dropped.
+    val df = table("bucket float, id bigint",
+      (0L until 100L).map(i => row(if (i % 2 == 0) 0.1f else 0.3f, i)))
+    val all = General.capPerStratumSample(df, "bucket", "id", cap = 1000)
+    assert(all.count() == 100) // cap above every stratum size keeps all
+    val capped = General.capPerStratumSample(df, "bucket", "id", cap = 10, m = 8)
+    val perStratum = capped.groupBy("bucket").count()
+      .collect().map(_.getLong(1))
+    assert(perStratum.length == 2 && perStratum.forall(n => n > 0 && n < 50),
+      s"expected both float strata downsampled but kept: ${perStratum.toSeq}")
+  }
+
   test("stratifiedHashSample rejects rates outside [0, 1]") {
     val df = table("lang string, id bigint", Seq(row("en", 1L)))
     intercept[IllegalArgumentException] {
