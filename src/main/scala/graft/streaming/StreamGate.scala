@@ -99,16 +99,32 @@ object StreamGate {
     * waiting for the driver to GC the handle lets result blocks pile
     * up across a bench suite — climbing block counts that the bench's
     * own `cached_blocks` drift signal would then misread as an engine
-    * leak. Contract: a replay result is fully consumed (counted,
-    * written, compared) before the next replay runs — which is how
-    * every oracle/bench/spec caller uses the gate. */
+    * leak.
+    *
+    * ==One-generation replay contract (all public replay* methods)==
+    * A replay result is valid only until the NEXT replay runs on this
+    * JVM: fully consume it (count, write, compare) first. The
+    * superseding replay unpersists the prior result's checkpoint
+    * blocks SYNCHRONOUSLY, and since its lineage is truncated and its
+    * sink temp dirs already deleted, any later action on the prior
+    * frame fails with Spark's checkpoint-block-not-found error — a
+    * deliberate loud failure rather than a silent wrong answer
+    * (pinned by StreamBatchEquivalenceSpec's negative-path test).
+    * Replays are mutually serialized on [[replayLock]], so concurrent
+    * callers cannot interleave generations — they queue. */
   private var lastReplay: Option[DataFrame] = None
 
-  private def releaseLastReplay(next: DataFrame): DataFrame = synchronized {
+  /** Serializes whole replays (source write -> stream run -> release):
+    * generation tracking is only sound when replays never overlap. */
+  private val replayLock = new Object
+
+  private def releaseLastReplay(next: DataFrame): DataFrame = {
     lastReplay.foreach { df =>
       df.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
+          // blocking: supersession is deterministic — the prior frame
+          // is invalid the moment this replay returns, not "eventually"
+          lr.rdd.unpersist(blocking = true)
         case _ => ()
       }
     }
@@ -171,8 +187,9 @@ object StreamGate {
 
   /** Replay through [[EventStream.sessionizeStream]]: every real
     * session closes (per-key sentinels) and comes back as a batch
-    * frame of Session rows. */
-  def replaySessionize(events: DataFrame, gapUs: Long): DataFrame = {
+    * frame of Session rows.
+    * @note one-generation replay contract — see the object doc. */
+  def replaySessionize(events: DataFrame, gapUs: Long): DataFrame = replayLock.synchronized {
     val spark = events.sparkSession
     import spark.implicits._
     val (streamDf, src) = replayStream(withPerKeySentinels(events, 2 * gapUs))
@@ -183,13 +200,14 @@ object StreamGate {
   /** Replay through [[EventStream.windowedCounts]]: the global
     * sentinel pushes the watermark past every real window, so append
     * mode emits them all; the sentinel's own row is filtered out of
-    * the result. */
+    * the result.
+    * @note one-generation replay contract — see the object doc. */
   def replayWindowedCounts(
       events: DataFrame,
       windowDur: String,
       slide: String,
       watermark: String,
-      horizonUs: Long): DataFrame = {
+      horizonUs: Long): DataFrame = replayLock.synchronized {
     val (stream, src) = replayStream(withGlobalSentinel(events, horizonUs))
     runToParquet(EventStream.windowedCounts(stream, windowDur, slide, watermark), src)
       .filter(col("event_type") =!= "__sentinel")
@@ -198,13 +216,14 @@ object StreamGate {
   /** Replay through [[EventStream.intervalJoinStream]]: a stream
     * SELF-join (both sides read the same replayed file source) of
     * `typeA` events against `typeB` events within the gap. Inner join
-    * needs no sentinel: every match emits once both rows are in. */
+    * needs no sentinel: every match emits once both rows are in.
+    * @note one-generation replay contract — see the object doc. */
   def replayIntervalJoin(
       events: DataFrame,
       typeA: String,
       typeB: String,
       maxGap: String,
-      watermark: String): DataFrame = {
+      watermark: String): DataFrame = replayLock.synchronized {
     val (stream, src) = replayStream(
       events.select("event_id", "ts", "user_id", "event_type", "value"))
     runToParquet(EventStream.intervalJoinStream(
@@ -215,13 +234,14 @@ object StreamGate {
 
   /** Replay through [[EventStream.enrichStream]]: stateless
     * stream-static join, so no sentinel and no watermark — every
-    * event emits as soon as its micro-batch runs. */
+    * event emits as soon as its micro-batch runs.
+    * @note one-generation replay contract — see the object doc. */
   def replayEnrich(
       events: DataFrame,
       dim: DataFrame,
       streamKey: String,
       dimKey: String,
-      dimCols: Seq[(String, String)]): DataFrame = {
+      dimCols: Seq[(String, String)]): DataFrame = replayLock.synchronized {
     val (stream, src) = replayStream(
       events.select("event_id", "ts", "user_id", "event_type", "value"))
     runToParquet(EventStream.enrichStream(stream, dim, streamKey, dimKey, dimCols), src)
@@ -229,12 +249,13 @@ object StreamGate {
 
   /** Replay through [[EventStream.excludeKnownStream]]: stateless
     * stream-static anti join, so no sentinel and no watermark — every
-    * surviving event emits as soon as its micro-batch runs. */
+    * surviving event emits as soon as its micro-batch runs.
+    * @note one-generation replay contract — see the object doc. */
   def replayExcludeKnown(
       events: DataFrame,
       known: DataFrame,
       streamKey: String,
-      knownKey: String): DataFrame = {
+      knownKey: String): DataFrame = replayLock.synchronized {
     val (stream, src) = replayStream(
       events.select("event_id", "ts", "user_id", "event_type", "value"))
     runToParquet(EventStream.excludeKnownStream(stream, known, streamKey, knownKey), src)
@@ -243,11 +264,12 @@ object StreamGate {
   /** Replay through [[EventStream.dedupStream]]: one surviving row per
     * distinct key (all data lands inside the watermark horizon of a
     * single AvailableNow batch, so the streaming state dedups the
-    * whole replay — the incremental twin of a batch dropDuplicates). */
+    * whole replay — the incremental twin of a batch dropDuplicates).
+    * @note one-generation replay contract — see the object doc. */
   def replayDedup(
       events: DataFrame,
       keyCols: Seq[String],
-      watermark: String): DataFrame = {
+      watermark: String): DataFrame = replayLock.synchronized {
     val (stream, src) = replayStream(
       events.select("event_id", "ts", "user_id", "event_type", "value"))
     runToParquet(EventStream.dedupStream(stream, keyCols, watermark = watermark), src)

@@ -107,6 +107,23 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       s"replays accumulated ${live.size} checkpointed result generations")
   }
 
+  test("negative path: a superseded replay result fails LOUDLY, never silently") {
+    // One-generation contract (StreamGate object doc): replay N's frame
+    // is valid only until replay N+1 runs. Supersession unpersists the
+    // frame's checkpoint blocks synchronously, and its lineage is
+    // truncated (localCheckpoint) with the sink files already deleted —
+    // so a stale frame must THROW on its next action, not recompute and
+    // not return partial data. A caller holding two replay results at
+    // once is a bug this pins as a loud, immediate failure.
+    val stale = StreamGate.replayDedup(events, Seq("user_id"), "1 hour")
+    assert(stale.count() > 0) // valid while current
+    StreamGate.replayDedup(events, Seq("event_type"), "1 hour").count()
+    val thrown = intercept[Exception] { stale.count() }
+    val msg = Option(thrown.getMessage).getOrElse("") + thrown.getClass.getName
+    assert(msg.toLowerCase.contains("block") || msg.toLowerCase.contains("checkpoint"),
+      s"expected a block/checkpoint-loss failure, got: $thrown")
+  }
+
   test("replay gates leave no temp dirs behind and the result outlives them") {
     val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     def replayDirs(): Set[String] = {
