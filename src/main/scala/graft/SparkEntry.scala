@@ -1300,6 +1300,90 @@ object SparkEntry {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q77
+  /** Resize planning over the multimodal feature frame: aspect-ratio-
+    * preserving fit into 320x240, never upscaling. Map-only codegen'd
+    * arithmetic (SURVEY §2.8 multimodal family, previously spec-only) —
+    * the oracle recomputes scale and targets with the identical IEEE
+    * double division/multiply, so the plan is value-gated
+    * bit-for-bit. */
+  private def q77ResizePlan(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(
+        Multimodal.extractFeatures(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")),
+        maxW = 320, maxH = 240)
+      .select(col("media_id"), col("width"), col("height"), col("scale"),
+        col("target_width"), col("target_height"))
+      .orderBy("media_id")
+
+  // ---------------------------------------------------------------- q78
+  /** Frame-sampling plumbing (previously spec-only): 4 evenly-spaced
+    * 16-byte windows of each payload as array<binary>, gated on the
+    * hex bytes of the first and last frame plus the clamped last-frame
+    * length. The oracle slices the VARCHAR text at the same offsets —
+    * byte-for-char equality holds because the corpus is pure ASCII
+    * (asserted: octet_length == length for every row at every SF). */
+  private def q78FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"),
+        nFrames = 4, frameBytes = 16)
+      .select(col("media_id"), col("n_bytes"),
+        lower(hex(element_at(col("frames"), 1))).as("f1_hex"),
+        lower(hex(element_at(col("frames"), 4))).as("f4_hex"),
+        octet_length(element_at(col("frames"), 4)).as("f4_len"))
+      .orderBy("media_id")
+
+  // ---------------------------------------------------------------- q79
+  /** Sorted grouped apply (previously spec-only): the per-group closure
+    * sees each user's events in GUARANTEED event_id order (secondary
+    * sort inside the shuffle — `flatMapSortedGroups`, no per-group
+    * buffering), and computes order-DEPENDENT stats: first/last value
+    * and the count of strictly-increasing steps. A wrong or unstable
+    * iteration order changes n_incr/first/last and fails the hash. */
+  private def q79SortedGroupedApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ev = Tables.events(s, dir).select("user_id", "event_id", "value")
+    Grouped.applyPerGroupSorted(ev, Seq("user_id"), Seq("event_id"),
+      StructType(Seq(
+        StructField("n_events", LongType),
+        StructField("first_val", DoubleType),
+        StructField("last_val", DoubleType),
+        StructField("n_incr", LongType)))) { rows =>
+      var n = 0L; var nIncr = 0L
+      var first = 0.0; var last = 0.0; var seen = false
+      rows.foreach { r =>
+        val v = r.getDouble(2)
+        if (!seen) { first = v; seen = true }
+        else if (v > last) nIncr += 1
+        last = v; n += 1
+      }
+      Iterator(Row(n, first, last, nIncr))
+    }.orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- q80
+  /** EXACT quota on STRING ids with ENGINEERED hash ties: keys
+    * 'd'||doc_id hash into just 8 buckets, so the cap-50 boundary lands
+    * INSIDE a bucket and the winners are decided by TopKByKey's
+    * LEXICOGRAPHIC id tie-break ("d10" < "d9") — reproduced by the
+    * oracle's `ORDER BY hb DESC, doc_key` under SQL string ordering.
+    * 10 of the 250 selected docs differ from a numeric tie-break at
+    * sf0.01, so the string-keyed heap twin's ordering is value-gated
+    * here, not just spec-covered (q67 gates the integral twin). */
+  private def q80ExactCapString(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("doc_key", concat(lit("d"), col("doc_id").cast("string")))
+    General.exactCapPerStratum(docs, strataCol = "lang", keyCol = "doc_key",
+        cap = 50,
+        hash = c => pmod(TextFunctions.portableTokenHash32(c), lit(8L)))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_key")).as("min_key"), max(col("doc_key")).as("max_key"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1377,6 +1461,10 @@ object SparkEntry {
     "q74_dedup_retain_best" -> (q74DedupRetainBest _),
     "q75_hybrid_search" -> (q75HybridSearch _),
     "q76_unicode_normalize" -> (q76UnicodeNormalize _),
+    "q77_resize_plan" -> (q77ResizePlan _),
+    "q78_frame_sample" -> (q78FrameSample _),
+    "q79_sorted_grouped_apply" -> (q79SortedGroupedApply _),
+    "q80_exact_cap_string" -> (q80ExactCapString _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2582,6 +2670,77 @@ object SparkEntry {
         |    / CAST(tt.n_tokens AS DOUBLE) AS dup_token_frac
         |FROM tt LEFT JOIN p ON tt.doc_id = p.doc_id
         |ORDER BY tt.doc_id""".stripMargin,
+    "q77_resize_plan" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    octet_length(CAST(text AS BLOB)) AS len
+        |  FROM documents
+        |), d AS (
+        |  SELECT media_id,
+        |    CASE WHEN len > 0 THEN CAST(len % 640 + 1 AS INTEGER) END AS width,
+        |    CASE WHEN len > 0 THEN CAST(len % 480 + 1 AS INTEGER) END AS height
+        |  FROM f
+        |), s AS (
+        |  SELECT media_id, width, height,
+        |    CASE WHEN width IS NOT NULL AND height IS NOT NULL
+        |         THEN LEAST(320.0 / width, 240.0 / height, 1.0) END AS scale
+        |  FROM d
+        |)
+        |SELECT media_id, width, height, scale,
+        |  CASE WHEN scale IS NOT NULL
+        |       THEN CAST(GREATEST(FLOOR(width * scale), 1) AS INTEGER)
+        |  END AS target_width,
+        |  CASE WHEN scale IS NOT NULL
+        |       THEN CAST(GREATEST(FLOOR(height * scale), 1) AS INTEGER)
+        |  END AS target_height
+        |FROM s ORDER BY media_id""".stripMargin,
+    "q78_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS len FROM documents
+        |), s AS (
+        |  SELECT media_id, text, len, GREATEST(len // 4, 1) AS stride FROM m
+        |)
+        |SELECT media_id, CAST(len AS INTEGER) AS n_bytes,
+        |  lower(hex(CAST(substring(text, 1, 16) AS BLOB))) AS f1_hex,
+        |  lower(hex(CAST(substring(text, CAST(3*stride + 1 AS BIGINT), 16)
+        |    AS BLOB))) AS f4_hex,
+        |  CAST(length(substring(text, CAST(3*stride + 1 AS BIGINT), 16))
+        |    AS INTEGER) AS f4_len
+        |FROM s ORDER BY media_id""".stripMargin,
+    "q79_sorted_grouped_apply" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rrn
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(CASE WHEN rn = 1 THEN value END) AS first_val,
+        |  MIN(CASE WHEN rrn = 1 THEN value END) AS last_val,
+        |  CAST(COUNT(CASE WHEN prev IS NOT NULL AND value > prev THEN 1 END)
+        |    AS BIGINT) AS n_incr
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q80_exact_cap_string" ->
+      """WITH h AS (
+        |  SELECT lang, 'd' || CAST(doc_id AS VARCHAR) AS doc_key, n_chars,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5('d' || CAST(doc_id AS VARCHAR)), CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) % 8 AS hb
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_key, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY hb DESC, doc_key) AS rn
+        |  FROM h
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  MIN(doc_key) AS min_key, MAX(doc_key) AS max_key,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM r WHERE rn <= 50
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +

@@ -70,7 +70,14 @@ object Aggregators {
     * (score desc, id asc) within each group. `scoreCol` must be
     * numeric (cast to double), `idCol` integral — enforced, because a
     * non-integral id would cast to NULL and silently drop every row
-    * instead of failing. */
+    * instead of failing.
+    *
+    * Tie-break caveat: "id asc" here means NUMERIC order ([[TopK]]);
+    * callers moving a pipeline to string ids via [[TopKByKey]] (e.g.
+    * through `exactCapPerStratum`) get LEXICOGRAPHIC order instead —
+    * "10" sorts before "9" — so survivors at a score tie can differ
+    * between the twins. Zero-pad string ids if numeric tie order must
+    * be preserved. */
   def topKPerGroup(
       df: DataFrame,
       groups: Seq[String],

@@ -288,6 +288,23 @@ class GeneralSpec extends AnyFunSuite {
     assert(res.passed, s"topk split/merge property: ${res.status}")
   }
 
+  test("TopK vs TopKByKey tie-break divergence: numeric 9 < 10, lexicographic '10' < '9'") {
+    // Documented divergence (Aggregators scaladoc): at a score tie the
+    // long-keyed heap keeps the NUMERICALLY smaller id, the string-keyed
+    // twin the LEXICOGRAPHICALLY smaller one. A caller switching a
+    // pipeline's id column between long and string sees different
+    // survivors at ties — this pins the exact shape of that difference.
+    import graft.functions.Aggregators.{Scored, ScoredKey, TopK, TopKByKey}
+    val numAgg = new TopK(1)
+    val numeric = Seq(Scored(1.0, 10L), Scored(1.0, 9L))
+      .foldLeft(numAgg.zero)(numAgg.reduce)
+    assert(numAgg.finish(numeric).map(_.id) == Seq(9L)) // 9 < 10 numerically
+    val strAgg = new TopKByKey(1)
+    val lex = Seq(ScoredKey(1.0, "10"), ScoredKey(1.0, "9"))
+      .foldLeft(strAgg.zero)(strAgg.reduce)
+    assert(strAgg.finish(lex).map(_.id) == Seq("10")) // "10" < "9" lexicographically
+  }
+
   test("topKPerGroup: non-integral id column fails loudly, never empty") {
     import graft.functions.Aggregators
     val df = table("g string, score bigint, id string", Seq(
