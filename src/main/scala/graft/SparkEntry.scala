@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.functions.{ArrayFunctions, TextFunctions}
 import graft.operators.{AsOfJoin, Concat, Dedup, General, Grouped, Multimodal, Reshape, Sessionize, Similarity}
-import graft.sources.Tables
+import graft.sources.{Sinks, Tables}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2.
@@ -1384,6 +1384,79 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q81
+  /** Group totals via broadcast-join (previously spec-only): the
+    * low-cardinality alternative to `agg().over(windowSpec(groups))` —
+    * per-flag totals computed with map-side partial aggregation and
+    * broadcast back onto every row, so the 6M-row side never shuffles
+    * into 3 straggler window partitions. The oracle recomputes the
+    * totals independently and joins them in SQL; the per-row share is
+    * one IEEE double division, bit-portable. */
+  private def q81GroupTotals(s: SparkSession, dir: String): DataFrame = {
+    val withTotals = General.withGroupTotals(
+      Tables.lineitem(s, dir), Seq("l_returnflag"),
+      "flag_qty" -> sum(col("l_quantity").cast(DecimalType(18, 2))),
+      "flag_rows" -> count(lit(1)))
+    withTotals.groupBy("l_returnflag", "l_linestatus")
+      .agg(decSum(col("l_quantity")).as("sum_qty"),
+        max(col("flag_qty")).cast(DoubleType).as("flag_qty"),
+        max(col("flag_rows")).as("flag_rows"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("qty_share", col("sum_qty") / col("flag_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ---------------------------------------------------------------- q82
+  /** CSV source with explicit schema (previously spec-only), gated as a
+    * full write-read roundtrip: nation is written to CSV (quoted by the
+    * writer), read back through `readCsv`'s explicit schema (no
+    * inference pre-scan), and rolled up — while the oracle reads the
+    * ORIGINAL parquet, so any value lost or mangled in the CSV hop
+    * fails the hash. The sink path is fixed (tiny, overwritten per
+    * call) because the returned frame reads it lazily. */
+  private def q82CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val csvDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_csv_nation").getAbsolutePath
+    Tables.nation(s, dir).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(csvDir)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    Tables.readCsv(s, csvDir, schema)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("min_name"),
+        sum(col("n_nationkey")).as("sum_keys"))
+      .orderBy("n_regionkey")
+  }
+
+  // ---------------------------------------------------------------- q83
+  /** Bucketed co-located join (previously plan-spec-only): both sides
+    * written as tables bucketed 8 ways on the join key, then joined and
+    * rolled up — the layout where the join needs NO shuffle exchange on
+    * either side (each bucket pairs by file), the thing that makes a
+    * repeatedly-joined 100 TB fact table pay its shuffle once at write
+    * time. The oracle joins the ORIGINAL parquet in SQL, so the
+    * bucketed write+read+join must preserve every value; the no-shuffle
+    * plan shape itself stays asserted in the Sinks spec. */
+  private def q83BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    Sinks.writeBucketedTable(
+      Tables.orders(s, dir).select("o_custkey", "o_totalprice"),
+      "graft_q83_orders", 8, Seq("o_custkey"))
+    Sinks.writeBucketedTable(
+      Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+      "graft_q83_customer", 8, Seq("c_custkey"))
+    s.table("graft_q83_orders")
+      .join(s.table("graft_q83_customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+      .orderBy("c_mktsegment")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1465,6 +1538,9 @@ object SparkEntry {
     "q78_frame_sample" -> (q78FrameSample _),
     "q79_sorted_grouped_apply" -> (q79SortedGroupedApply _),
     "q80_exact_cap_string" -> (q80ExactCapString _),
+    "q81_group_totals" -> (q81GroupTotals _),
+    "q82_csv_roundtrip" -> (q82CsvRoundtrip _),
+    "q83_bucketed_join" -> (q83BucketedJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2741,6 +2817,34 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM r WHERE rn <= 50
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q81_group_totals" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    COUNT(*) AS n_rows
+        |  FROM lineitem GROUP BY 1, 2
+        |), t AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS flag_qty,
+        |    COUNT(*) AS flag_rows
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT g.l_returnflag, g.l_linestatus, g.sum_qty, t.flag_qty,
+        |  CAST(t.flag_rows AS BIGINT) AS flag_rows,
+        |  CAST(g.n_rows AS BIGINT) AS n_rows,
+        |  g.sum_qty / t.flag_qty AS qty_share
+        |FROM g JOIN t USING (l_returnflag) ORDER BY 1, 2""".stripMargin,
+    "q82_csv_roundtrip" ->
+      """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+        |  MIN(n_name) AS min_name,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q83_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +
