@@ -33,7 +33,15 @@ object Sinks {
       .parquet(path)
 
   /** Save as a bucketed (and optionally sorted) table for co-located
-    * downstream joins on `bucketCols`. */
+    * downstream joins on `bucketCols`.
+    *
+    * Overwrite is made restart-safe for simple (current-database) table
+    * names: an in-memory catalog forgets its tables when the session
+    * ends but the managed-table FILES survive in the warehouse dir, so
+    * a fresh session's `saveAsTable` would fail with
+    * LOCATION_ALREADY_EXISTS even in overwrite mode — the orphaned
+    * location is cleared first when the catalog has no entry for the
+    * table (when it does, overwrite's own drop handles it). */
   def writeBucketedTable(
       df: DataFrame,
       table: String,
@@ -41,6 +49,15 @@ object Sinks {
       bucketCols: Seq[String],
       sortCols: Seq[String] = Nil,
       mode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
+    if (mode == "overwrite" && !table.contains('.') &&
+        !spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+        table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val w = df.write.mode(mode)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
