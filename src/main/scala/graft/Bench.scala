@@ -117,7 +117,18 @@ object Bench {
         val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.length / 2)
         val mn = if (times.isEmpty) 0.0 else times.min
         val mx = if (times.isEmpty) 0.0 else times.max
-        (name, median, mn, mx, err, signals(), Probe(calSec, gcMs() - gc0, heapPeakMb()))
+        val sig = signals() // capture residue BEFORE the reset below
+        // Reset the block manager between queries: the queries are
+        // self-contained, so any persisted RDD still alive here is
+        // final-generation residue (component labels, prefix-sum
+        // checkpoints, IVF training blocks) waiting on driver GC.
+        // Releasing it (a) makes each entry's `cached_blocks` the
+        // query's OWN residue instead of its predecessors' leftovers,
+        // and (b) stops cross-query block accumulation from polluting
+        // the heap/disk drift signals the sidecar exists to provide.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        (name, median, mn, mx, err, sig, Probe(calSec, gcMs() - gc0, heapPeakMb()))
       }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // Full per-query spread sidecar, keyed by FULL query name: the

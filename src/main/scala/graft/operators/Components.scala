@@ -114,6 +114,25 @@ object Components {
     }
   }
 
+  /** Loan-pattern [[connectedComponents]] for pipelines that consume
+    * the labels IMMEDIATELY (aggregate them, join-and-write, collect):
+    * hands the label frame to `use`, then deterministically releases
+    * the final label checkpoint's blocks — the one block set the plain
+    * method must leave alive (the returned plan reads it) and which
+    * otherwise survives until some later driver GC. In a long-lived
+    * session running many dedup flows, that residue compounds; this
+    * variant makes label-block lifetime exactly the `use` scope.
+    *
+    * Contract (same as [[Blocks.consuming]]): `use` must execute its
+    * actions before returning — a lazy frame still reading the labels
+    * cannot be recomputed after release. */
+  def withConnectedComponents[T](
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIters: Int = 25)(use: DataFrame => T): T =
+    Blocks.consuming(connectedComponents(edges, srcCol, dstCol, maxIters))(use)
+
   /** Alternating star-contraction connected components (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14, the
     * alternating algorithm): the drop-in for graphs whose DIAMETER, not
@@ -203,4 +222,16 @@ object Components {
         throw t
     }
   }
+
+  /** Loan-pattern [[connectedComponentsStar]] — the star-contraction
+    * twin of [[withConnectedComponents]], releasing BOTH block sets the
+    * returned plan reads (the node set and the final star forest) once
+    * `use` has consumed the labels. Same execute-before-return
+    * contract. */
+  def withConnectedComponentsStar[T](
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int = 50)(use: DataFrame => T): T =
+    Blocks.consuming(connectedComponentsStar(edges, srcCol, dstCol, maxRounds))(use)
 }

@@ -84,8 +84,10 @@ object General {
     * executors and the id pass reads them back, instead of re-running
     * the sort lineage (shuffle-file reuse made pass 2 cheap anyway;
     * the checkpoint makes the single-sort cost model explicit). The
-    * checkpointed blocks are released by the ContextCleaner when the
-    * RDD is garbage-collected — nothing is pinned for the session.
+    * checkpointed blocks outlive the call (the returned plan reads
+    * them) and are freed by the ContextCleaner after driver GC — a
+    * long-lived session that wants them gone the moment the result is
+    * consumed calls [[Blocks.release]] on the returned frame.
     *
     * Deterministic when `sortCols` is a total order (unique keys). */
   def withContiguousRowIds(

@@ -408,6 +408,45 @@ class ExtensionsSpec extends AnyFunSuite {
       s"star components leaked ${leakedStar.size} persisted RDDs (allowed: nodes + final forest)")
   }
 
+  test("loan components: final label blocks released after use, even on throw") {
+    import graft.operators.{Blocks, Components}
+    // The loan variants close the one gap the plain methods must leave:
+    // the returned plan's own checkpoint blocks. After the loan, ZERO
+    // persisted RDDs may remain — for both formulations, and also when
+    // `use` throws (the finally path).
+    val chain = table("a bigint, b bigint",
+      (0L until 7L).map(i => row(i, i + 1)))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val n = Components.withConnectedComponents(chain, "a", "b")(_.count())
+    assert(n == 8L)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "min-label loan left persisted RDDs behind")
+    val nStar = Components.withConnectedComponentsStar(chain, "a", "b")(_.count())
+    assert(nStar == 8L)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "star loan left persisted RDDs behind")
+    val boom = intercept[RuntimeException] {
+      Components.withConnectedComponents(chain, "a", "b") { labels =>
+        labels.count(); throw new RuntimeException("consumer failed")
+      }
+    }
+    assert(boom.getMessage == "consumer failed")
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "throwing consumer left persisted RDDs behind")
+    // And the generic walker finds a checkpoint BEHIND a derived leaf:
+    // withContiguousRowIds checkpoints the sorted RDD underneath its
+    // id-attaching mapPartitions — a dependency, not the leaf itself.
+    import graft.operators.General
+    val ids = General.withContiguousRowIds(
+      table("k bigint", (0L until 100L).map(row(_))), Seq("k"))
+    assert(ids.count() == 100L)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "expected the sorted checkpoint to be persisted while the frame is live")
+    Blocks.release(ids)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "Blocks.release missed the checkpoint behind the derived leaf")
+  }
+
   test("keepBestPerCluster: max-score survivor, ties by id, singletons kept") {
     val docs = table("doc_id bigint, score int", Seq(
       row(1L, 5), row(2L, 9), row(3L, 9),   // cluster A: 2 wins (tie -> lower id)
