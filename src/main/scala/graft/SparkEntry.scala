@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.functions.{ArrayFunctions, TextFunctions}
-import graft.operators.{AsOfJoin, Concat, Dedup, General, Grouped, Multimodal, Reshape, Sessionize, Similarity}
+import graft.operators.{AsOfJoin, Concat, Dedup, General, Grouped, Multimodal, Profile, Reshape, Sessionize, Similarity}
 import graft.sources.{Sinks, Tables}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -1457,6 +1457,34 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  // ---------------------------------------------------------------- q84
+  /** Column profiling: the pre-flight data-quality scan (null counts,
+    * cardinalities, value ranges) as ONE algebraic aggregation over one
+    * pass — the statistics that decide partition counts and join
+    * strategies before a 100 TB pipeline commits to them. Runs the
+    * engine-exact distinct path so the oracle can recompute every cell;
+    * the default HLL path shares all plumbing but the distinct
+    * aggregate. */
+  private def q84Profile(s: SparkSession, dir: String): DataFrame = {
+    Profile.profile(Tables.documents(s, dir),
+      Seq("doc_id", "lang", "source", "n_chars"), exactDistinct = true)
+      .orderBy("col_name")
+  }
+
+  // ---------------------------------------------------------------- q85
+  /** Skew probe: exact top-5 most frequent values per column via the
+    * bounded-heap per-group top-k — the scan that finds the hot keys a
+    * join on that column would straggle on. One explode + two map-side-
+    * combined aggregations; the per-column heap caps every map task at
+    * k candidates, so no column ever funnels its distinct values
+    * through one task. The oracle recomputes counts and the (n desc,
+    * value asc) cutoff with a window. */
+  private def q85TopValues(s: SparkSession, dir: String): DataFrame = {
+    Profile.topValues(Tables.documents(s, dir),
+      Seq("lang", "source", "n_chars"), k = 5)
+      .orderBy(col("col_name"), col("n").desc, col("value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1541,6 +1569,8 @@ object SparkEntry {
     "q81_group_totals" -> (q81GroupTotals _),
     "q82_csv_roundtrip" -> (q82CsvRoundtrip _),
     "q83_bucketed_join" -> (q83BucketedJoin _),
+    "q84_profile" -> (q84Profile _),
+    "q85_top_values" -> (q85TopValues _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2845,6 +2875,42 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q84_profile" ->
+      """WITH p AS (
+        |  SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(doc_id) AS n_null,
+        |    COUNT(DISTINCT doc_id) AS n_distinct,
+        |    CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+        |    CAST(MAX(doc_id) AS VARCHAR) AS max_val
+        |  FROM documents
+        |  UNION ALL SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+        |    COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM documents
+        |  UNION ALL SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+        |    COUNT(DISTINCT source), MIN(source), MAX(source) FROM documents
+        |  UNION ALL SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+        |    COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+        |    CAST(MAX(n_chars) AS VARCHAR) FROM documents
+        |)
+        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_null AS BIGINT) AS n_null,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, min_val, max_val
+        |FROM p ORDER BY col_name""".stripMargin,
+    "q85_top_values" ->
+      """WITH pairs AS (
+        |  SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS value
+        |  FROM documents WHERE lang IS NOT NULL
+        |  UNION ALL SELECT 'source', CAST(source AS VARCHAR)
+        |  FROM documents WHERE source IS NOT NULL
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), c AS (
+        |  SELECT col_name, value, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY col_name ORDER BY n DESC, value) AS rk FROM c
+        |)
+        |SELECT col_name, value, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rk <= 5 ORDER BY col_name, n DESC, value""".stripMargin,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +
