@@ -1485,6 +1485,43 @@ object SparkEntry {
       .orderBy(col("col_name"), col("n").desc, col("value"))
   }
 
+  // ---------------------------------------------------------------- q86
+  /** Domain-mixture sampling under a char budget: rates derived from
+    * corpus totals (rate = min(1, budget*w/total)) so each language
+    * contributes ~budget*w kept chars — the pretraining-mixture
+    * primitive with the mixture stated once at the call site. The
+    * oracle recomputes totals, the IEEE rate/threshold arithmetic, and
+    * the portable-hash survivor set, so derivation AND membership are
+    * value-checked. */
+  private def q86MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    General.mixtureSample(Tables.documents(s, dir),
+      groupCol = "lang", keyCol = "doc_id", sizeCol = "n_chars",
+      weights = Map("de" -> 0.2, "en" -> 0.4, "es" -> 0.1, "fr" -> 0.2, "zh" -> 0.1),
+      budget = 20000L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------- q87
+  /** Incremental exact dedup: ingest every non-src0 document against
+    * the fingerprint ledger built from the src0 shard — kept rows are
+    * first-in-shard AND unseen-in-ledger. The oracle recomputes the
+    * normalization, both fingerprint sets, the min-id winner per
+    * fingerprint, and the anti-join, so the whole ingestion step is
+    * value-checked row for row. */
+  private def q87IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ledger = docs.filter(col("source") === "src0")
+      .select(TextFunctions.fingerprint(col("text")).as("fp"))
+    Dedup.incrementalExactDedup(
+      docs.filter(col("source") =!= "src0"), "text", "doc_id", ledger, "fp")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1571,6 +1608,8 @@ object SparkEntry {
     "q83_bucketed_join" -> (q83BucketedJoin _),
     "q84_profile" -> (q84Profile _),
     "q85_top_values" -> (q85TopValues _),
+    "q86_mixture_sample" -> (q86MixtureSample _),
+    "q87_incremental_dedup" -> (q87IncrementalDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2911,6 +2950,47 @@ object SparkEntry {
         |)
         |SELECT col_name, value, CAST(n AS BIGINT) AS n
         |FROM r WHERE rk <= 5 ORDER BY col_name, n DESC, value""".stripMargin,
+    "q86_mixture_sample" ->
+      """WITH w(lang, w) AS (VALUES
+        |  ('de', 0.2), ('en', 0.4), ('es', 0.1), ('fr', 0.2), ('zh', 0.1)
+        |), tot AS (
+        |  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS total FROM documents
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT lang, CAST(FLOOR(LEAST(1.0,
+        |    20000.0 * CAST(w AS DOUBLE) / total) * 4294967296.0) AS BIGINT)
+        |    AS thresh
+        |  FROM tot JOIN w USING (lang)
+        |), h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(doc_id AS VARCHAR)), CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) AS hv
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM h JOIN r USING (lang) WHERE hv < thresh
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q87_incremental_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM documents
+        |), ledger AS (
+        |  SELECT DISTINCT fp FROM f WHERE source = 'src0'
+        |), winners AS (
+        |  SELECT fp, MIN(doc_id) AS doc_id FROM f WHERE source <> 'src0'
+        |  GROUP BY fp
+        |)
+        |SELECT f.doc_id, f.lang, f.source, f.n_chars
+        |FROM f
+        |JOIN winners USING (doc_id)
+        |WHERE winners.fp NOT IN (SELECT fp FROM ledger)
+        |ORDER BY f.doc_id""".stripMargin,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +

@@ -68,6 +68,38 @@ object Dedup {
         md5(GraftFunctions.cleanText(df, lower(col(textCol))))),
       Seq("__fp"), idCol).drop("__fp")
 
+  /** Incremental exact dedup: the shard-ingestion step of a growing
+    * corpus — keep rows of `incoming` whose normalized-text fingerprint
+    * (a) has never been seen (`seenFps`, the fingerprint ledger from
+    * previous shards) and (b) is first (min `idCol`) within `incoming`
+    * itself. Append the kept rows' fingerprints to the ledger and the
+    * operation composes: dedup state is ONE fingerprint column, not the
+    * prior corpus, so ingesting shard N reads N-1 ledgers' worth of
+    * 16-byte hashes instead of re-scanning 100 TB of text.
+    *
+    * Scale shape: winner selection ships payload-free (fingerprint,
+    * id) pairs through a map-side-combined min; the ledger anti join
+    * shuffles fingerprints only (distinct-ed on the build side); the
+    * final semi join restores full payloads for winners. For a ledger
+    * small enough to sketch, pre-pruning `incoming` with a
+    * [[Bloom.bloomPrunedJoin]]-style membership probe (inverted: drop
+    * probable members early) cuts the anti-join exchange further —
+    * composition left to the call site. */
+  def incrementalExactDedup(
+      incoming: DataFrame,
+      textCol: String,
+      idCol: String,
+      seenFps: DataFrame,
+      fpCol: String): DataFrame = {
+    val withFp = incoming.withColumn("__fp",
+      md5(GraftFunctions.cleanText(incoming, lower(col(textCol)))))
+    val winners = withFp
+      .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+      .join(seenFps.select(col(fpCol).as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+    incoming.join(winners.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** MinHash signature of a distinct-shingle array: k independent hash
     * functions realized as seeded xxhash64 (shingle, seed i), each taking
     * the min over the shingle set.

@@ -210,6 +210,64 @@ object General {
     df.filter(pmod(hash(col(keyCol)), lit(m.toLong)) < threshold)
   }
 
+  /** Domain-mixture sampling under a size budget: downsample each group
+    * toward the target mixture `weights` so the kept corpus totals
+    * (in `sizeCol` units — tokens, chars, bytes) approximately
+    * `budget`, with group g contributing ~`budget * weights(g)`. THE
+    * pretraining-mixture primitive ("30% web, 30% code, 40% books, one
+    * trillion tokens total"): rates are DERIVED from the corpus totals
+    * (rate_g = min(1, budget*w_g / total_g)), so the call site states
+    * the mixture, not per-group knobs that drift as the corpus grows.
+    * Groups without a weight are dropped (weight 0 in effect); a group
+    * smaller than its allocation keeps everything — budget-constrained
+    * sampling can only downsample, never invent data.
+    *
+    * Deterministic and rerun-stable like the rest of the sampling
+    * family: a row survives iff `hash(key) < floor(rate_g * 2^32)`, a
+    * pure function of the key and the derived rate. The default hash
+    * is the portable md5-based 32-bit hash, so survivors are
+    * reproducible across engines (and oracle-checkable); the rate
+    * arithmetic is plain IEEE double ops any engine reproduces bit-for-
+    * bit from the same totals.
+    *
+    * Scale shape: one map-side-combined aggregation bounded by the
+    * group count, joined to the literal weights and broadcast back onto
+    * the corpus — the filter itself is map-side, no corpus shuffle. The
+    * expected kept size per group is rate*total = budget*w_g (exact in
+    * expectation; use `exactCapPerStratum` when hard quotas matter more
+    * than size proportionality). */
+  def mixtureSample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      sizeCol: String,
+      weights: Map[String, Double],
+      budget: Long,
+      hash: Column => Column = c =>
+        graft.functions.TextFunctions.portableTokenHash32(c.cast("string"))): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(weights.nonEmpty, "at least one group weight")
+    require(weights.values.forall(w => w >= 0 && !w.isNaN && !w.isInfinite),
+      "weights must be finite and non-negative")
+    val s = df.sparkSession
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructType}
+    val wDf = s.createDataFrame(
+      java.util.Arrays.asList(
+        weights.toSeq.sortBy(_._1).map { case (g, w) => Row(g, w) }: _*),
+      StructType(Seq(StructField("__g", StringType, nullable = false),
+        StructField("__w", DoubleType, nullable = false))))
+    val thresholds = df
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(sum(col(sizeCol)).cast("double").as("__tot"))
+      .join(wDf, "__g")
+      .select(col("__g"),
+        floor(least(lit(1.0), lit(budget.toDouble) * col("__w") / col("__tot"))
+          * lit(4294967296.0)).cast("long").as("__thresh"))
+    df.join(broadcast(thresholds), df.col(groupCol).cast("string") === col("__g"))
+      .filter(hash(col(keyCol)) < col("__thresh"))
+      .drop("__g", "__thresh")
+  }
+
   /** Per-stratum frequency-cap sampling: downsample every stratum to an
     * EXPECTED `cap` rows (rate = min(1, cap / count)), leaving smaller
     * strata untouched — the C4/RefinedWeb-style "no single domain may

@@ -29,6 +29,22 @@ class ExtensionsSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L, 5L))
   }
 
+  test("incremental dedup: unseen-in-ledger AND first-in-shard survive") {
+    // ledger holds the fingerprint of doc 1's text (normalized); the
+    // incoming shard carries: a ledger dup (4 normalizes to 1), an
+    // in-shard dup pair (2a/2b), and a fresh doc.
+    val ledger = table("t string", Seq(row("the quick brown fox")))
+      .select(TextFunctions.fingerprint(col("t")).as("fp"))
+    val incoming = table("doc_id bigint, text string", Seq(
+      row(4L, "The quick  brown FOX!"),        // normalizes into the ledger
+      row(5L, "a brand new document"),          // in-shard dup, min id wins
+      row(6L, "a brand new document"),
+      row(7L, "another fresh one")))
+    val kept = Dedup.incrementalExactDedup(incoming, "text", "doc_id",
+      ledger, "fp").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(5L, 7L))
+  }
+
   test("word shingles: distinct n-grams; short docs empty") {
     val sh = table("t string", Seq(row("a b c d"), row("a b")))
       .select(TextFunctions.wordShingles(col("t"), 3).as("s"))
