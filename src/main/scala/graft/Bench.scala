@@ -94,6 +94,12 @@ object Bench {
     def resetHeapPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
     def heapPeakMb(): Long = heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
     final case class Probe(calSec: Double, gcDeltaMs: Long, heapPeakMb: Long)
+    // One UNTIMED calibration before the loop: the first Spark job of a
+    // fresh JVM pays one-time session/codegen warmup, which would
+    // otherwise inflate the first query's cal_sec baseline and mimic
+    // the host-load signal the probe exists to provide. After this,
+    // every recorded cal_sec measures steady-state CPU grant.
+    calibrate()
     val results: Seq[(String, Double, Double, Double, Option[String], (Long, Int, Double), Probe)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.exists(name.contains)) }

@@ -2989,7 +2989,7 @@ object SparkEntry {
         |SELECT f.doc_id, f.lang, f.source, f.n_chars
         |FROM f
         |JOIN winners USING (doc_id)
-        |WHERE winners.fp NOT IN (SELECT fp FROM ledger)
+        |WHERE NOT EXISTS (SELECT 1 FROM ledger WHERE ledger.fp = winners.fp)
         |ORDER BY f.doc_id""".stripMargin,
   )
 

@@ -33,7 +33,15 @@ object Blocks {
     * unpersisted local checkpoint has no lineage to rebuild from), so
     * this must only run on a frame whose every consumer has already
     * executed. Safe to call on frames with no RDD-backed state at all
-    * (pure parquet-scan plans): it finds nothing and does nothing. */
+    * (pure parquet-scan plans): it finds nothing and does nothing.
+    *
+    * Shared-lineage hazard: the walk frees every persisted RDD the
+    * frame's plan REACHES, including checkpoints shared with OTHER
+    * still-live frames derived from the same intermediate — two frames
+    * built over one [[General.withContiguousRowIds]] result share its
+    * checkpoint, and releasing either breaks the other with Spark's
+    * cannot-recompute error. Release only after ALL frames descending
+    * from the shared intermediate are consumed, not just this one. */
   def release(df: DataFrame): Unit = {
     val seen = scala.collection.mutable.Set.empty[Int]
     def walk(rdd: RDD[_]): Unit = if (seen.add(rdd.id)) {
@@ -49,7 +57,9 @@ object Blocks {
     * its blocks no matter how `use` exits. `use` must fully CONSUME the
     * frame (run its actions — aggregate, write, collect) before
     * returning; returning a lazy plan that still reads `df` violates
-    * the contract and fails later with Spark's cannot-recompute error. */
+    * the contract and fails later with Spark's cannot-recompute error.
+    * [[release]]'s shared-lineage hazard applies equally: sibling
+    * frames over the same checkpointed intermediate die with it. */
   def consuming[T](df: DataFrame)(use: DataFrame => T): T =
     try use(df) finally release(df)
 }

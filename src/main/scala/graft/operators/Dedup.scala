@@ -84,7 +84,13 @@ object Dedup {
     * small enough to sketch, pre-pruning `incoming` with a
     * [[Bloom.bloomPrunedJoin]]-style membership probe (inverted: drop
     * probable members early) cuts the anti-join exchange further —
-    * composition left to the call site. */
+    * composition left to the call site.
+    *
+    * NULL handling (pinned by q87's oracle): a NULL fingerprint never
+    * matches the ledger — the anti join's null-rejecting equality is
+    * SQL `NOT EXISTS`, not `NOT IN`, semantics — so null-text rows are
+    * KEPT, collapsed to one winner (NULL is a single group on both
+    * engines' GROUP BY). A NULL in the ledger matches nothing. */
   def incrementalExactDedup(
       incoming: DataFrame,
       textCol: String,

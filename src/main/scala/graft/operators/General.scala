@@ -218,9 +218,13 @@ object General {
     * trillion tokens total"): rates are DERIVED from the corpus totals
     * (rate_g = min(1, budget*w_g / total_g)), so the call site states
     * the mixture, not per-group knobs that drift as the corpus grows.
-    * Groups without a weight are dropped (weight 0 in effect); a group
-    * smaller than its allocation keeps everything — budget-constrained
-    * sampling can only downsample, never invent data.
+    * Groups without a weight are dropped (weight 0 in effect), and so
+    * are rows with a NULL group — the mixture join's null-rejecting
+    * equality can match no weight; fill or filter null groups upstream,
+    * explicitly. A group smaller than its allocation keeps everything —
+    * budget-constrained sampling can only downsample, never invent
+    * data. The input may not already contain columns named `__g` or
+    * `__thresh` (the join's temp columns; asserted).
     *
     * Deterministic and rerun-stable like the rest of the sampling
     * family: a row survives iff `hash(key) < floor(rate_g * 2^32)`, a
@@ -249,6 +253,8 @@ object General {
     require(weights.nonEmpty, "at least one group weight")
     require(weights.values.forall(w => w >= 0 && !w.isNaN && !w.isInfinite),
       "weights must be finite and non-negative")
+    Seq("__g", "__thresh").foreach(t => require(!df.columns.contains(t),
+      s"mixtureSample reserves temp column name '$t'; rename it in the input"))
     val s = df.sparkSession
     import org.apache.spark.sql.types.{DoubleType, StringType, StructType}
     val wDf = s.createDataFrame(

@@ -41,7 +41,10 @@ object Sinks {
     * a fresh session's `saveAsTable` would fail with
     * LOCATION_ALREADY_EXISTS even in overwrite mode — the orphaned
     * location is cleared first when the catalog has no entry for the
-    * table (when it does, overwrite's own drop handles it). */
+    * table (when it does, overwrite's own drop handles it). The orphan
+    * path is resolved through the session catalog (database location +
+    * table name), so with a non-default current database the delete
+    * targets `mydb.db/t`, never `default`'s live `t` directory. */
   def writeBucketedTable(
       df: DataFrame,
       table: String,
@@ -53,8 +56,8 @@ object Sinks {
     if (mode == "overwrite" && !table.contains('.') &&
         !spark.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
-        table.toLowerCase(java.util.Locale.ROOT))
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }

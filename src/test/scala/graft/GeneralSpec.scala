@@ -245,6 +245,29 @@ class GeneralSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("bucketed overwrite in a non-default database never touches default's table") {
+    import graft.sources.Sinks
+    val s = graft.testkit.SparkTestKit.spark
+    val live = table("id bigint, v bigint", (1L to 20L).map(i => row(i, i)))
+    live.write.mode("overwrite").format("parquet").saveAsTable("orphan_probe")
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_alt")
+    try {
+      s.catalog.setCurrentDatabase("graft_alt")
+      // graft_alt.orphan_probe is absent from the catalog, so the
+      // orphan-location cleanup fires — it must resolve to graft_alt's
+      // managed location, not delete default.orphan_probe's live files
+      Sinks.writeBucketedTable(
+        table("id bigint, w bigint", (1L to 5L).map(i => row(i, i * 2))),
+        "orphan_probe", buckets = 2, bucketCols = Seq("id"))
+      assert(s.table("graft_alt.orphan_probe").count() == 5L)
+      assert(s.table("default.orphan_probe").count() == 20L)
+    } finally {
+      s.catalog.setCurrentDatabase("default")
+      s.sql("DROP DATABASE IF EXISTS graft_alt CASCADE")
+      s.sql("DROP TABLE IF EXISTS default.orphan_probe")
+    }
+  }
+
   test("topKPerGroup: bounded-heap aggregator equals the window formulation") {
     import graft.functions.Aggregators
     val df = table("g string, score bigint, id bigint", Seq(
