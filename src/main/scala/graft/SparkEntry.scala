@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.functions.{ArrayFunctions, TextFunctions}
-import graft.operators.{AsOfJoin, Concat, Dedup, General, Grouped, Multimodal, Profile, Reshape, Sessionize, Similarity}
+import graft.operators.{AsOfJoin, Concat, Dedup, Events, Fuzzy, General, Grouped, Multimodal, Profile, Reshape, Sessionize, Similarity, Stats}
 import graft.sources.{Sinks, Tables}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -1522,6 +1522,67 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q88
+  /** Blocked fuzzy matching: normalized-prefix keys compared by edit
+    * distance within prefix blocks — the record-linkage primitive. The
+    * oracle recomputes the normalization, the blocking, and every
+    * Levenshtein distance, so candidate generation AND verification
+    * are value-checked (the corpus yields both exact-prefix pairs,
+    * dist 0, and a genuinely fuzzy pair, dist 4). */
+  private def q88FuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    Fuzzy.blockedFuzzyPairs(Tables.documents(s, dir), "doc_id", "text",
+      keyLen = 64, blockLen = 6, maxDist = 10)
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------- q89
+  /** Per-language z-score of document length: one group-bounded stats
+    * aggregation joined back, map-only standardization. The oracle
+    * recomputes mean/stddev_samp with window functions; rounding to 6
+    * decimals absorbs the ~1e-15 accumulation-order wobble. */
+  private def q89ZScore(s: SparkSession, dir: String): DataFrame =
+    Stats.zScore(Tables.documents(s, dir), Seq("lang"), "n_chars", "z")
+      .select(col("doc_id"), col("lang"), round(col("z"), 6).as("z6"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q90
+  /** Winsorized per-language length stats: clip at the exact 1/16 and
+    * 15/16 percentiles, then aggregate the clipped values. Dyadic
+    * fractions over integer lengths make every interpolated bound
+    * exactly representable (the q33 oracle-safety argument), and the
+    * clipped values' 1/16-granular sums are order-independent in
+    * doubles — the oracle recomputes bounds, clipping, and stats. */
+  private def q90Winsorize(s: SparkSession, dir: String): DataFrame =
+    Stats.winsorize(Tables.documents(s, dir), Seq("lang"), "n_chars", "w")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("w")), 6).as("win_mean"),
+        round(min(col("w")), 6).as("win_min"),
+        round(max(col("w")), 6).as("win_max"))
+      .orderBy("lang")
+
+  // ---------------------------------------------------------------- q91
+  /** Recency-weighted engagement: per-user sum of value decayed by a
+    * 7-day half-life against the dataset's max timestamp (a broadcast
+    * scalar, so the feature is reproducible run-to-run). The oracle
+    * recomputes the reference, the per-event weights, and the sums;
+    * rounding absorbs libm pow ulp differences and sum order. */
+  private def q91DecaySum(s: SparkSession, dir: String): DataFrame =
+    Events.decayWeightedSum(Tables.events(s, dir), Seq("user_id"),
+        "ts", "value", halfLifeSec = 604800.0)
+      .select(col("user_id"), round(col("decayed_sum"), 6).as("decayed6"),
+        col("n"))
+      .orderBy("user_id")
+
+  // ---------------------------------------------------------------- q92
+  /** Ordered funnel view → click → purchase: greedy earliest chain,
+    * each step strictly after the previous. The oracle recomputes the
+    * same chain with per-step min-after joins, so step times, depth
+    * counts, and completion delays are value-checked per user. */
+  private def q92Funnel(s: SparkSession, dir: String): DataFrame =
+    Events.funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1610,6 +1671,11 @@ object SparkEntry {
     "q85_top_values" -> (q85TopValues _),
     "q86_mixture_sample" -> (q86MixtureSample _),
     "q87_incremental_dedup" -> (q87IncrementalDedup _),
+    "q88_fuzzy_pairs" -> (q88FuzzyPairs _),
+    "q89_zscore" -> (q89ZScore _),
+    "q90_winsorize" -> (q90Winsorize _),
+    "q91_decay_sum" -> (q91DecaySum _),
+    "q92_funnel" -> (q92Funnel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2991,6 +3057,71 @@ object SparkEntry {
         |JOIN winners USING (doc_id)
         |WHERE NOT EXISTS (SELECT 1 FROM ledger WHERE ledger.fp = winners.fp)
         |ORDER BY f.doc_id""".stripMargin,
+    "q88_fuzzy_pairs" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    substr(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 64) AS key
+        |  FROM documents
+        |), kb AS (SELECT doc_id, key, substr(key, 1, 6) AS blk FROM k)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+        |FROM kb a JOIN kb b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.key, b.key) <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q89_zscore" ->
+      """SELECT doc_id, lang,
+        |  ROUND((n_chars - AVG(n_chars) OVER w) / STDDEV_SAMP(n_chars) OVER w,
+        |    6) AS z6
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang)
+        |ORDER BY doc_id""".stripMargin,
+    "q90_winsorize" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    quantile_cont(n_chars, 0.0625) AS lo,
+        |    quantile_cont(n_chars, 0.9375) AS hi
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT d.lang, COUNT(*) AS n,
+        |  ROUND(AVG(LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi)), 6)
+        |    AS win_mean,
+        |  ROUND(MIN(LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi)), 6)
+        |    AS win_min,
+        |  ROUND(MAX(LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi)), 6)
+        |    AS win_max
+        |FROM documents d JOIN b USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q91_decay_sum" ->
+      """WITH r AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events)
+        |SELECT user_id,
+        |  ROUND(SUM(value * POWER(0.5,
+        |    CAST(ref_us - epoch_us(ts) AS DOUBLE) / 1000000.0 / 604800.0)), 6)
+        |    AS decayed6,
+        |  COUNT(*) AS n
+        |FROM events, r
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q92_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND epoch_us(e.ts) > s2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |)
+        |SELECT s1.user_id,
+        |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+        |            WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER)
+        |    AS steps_reached,
+        |  s1.t1 AS t1_us, s3.t3 AS tk_us, s3.t3 - s1.t1 AS delay_us
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics over (key, timestamp, type, value) streams:
+  * recency-weighted aggregation and ordered funnel conversion — the
+  * behavioral-feature operators of an activity pipeline ("how engaged
+  * was this user lately", "who completed view → click → purchase and
+  * how fast"). No reference counterpart — extensions in the same
+  * family as [[Sessionize]] / [[AsOfJoin]].
+  */
+object Events {
+
+  private def reserve(df: DataFrame, names: String*): Unit =
+    names.foreach(t => require(!df.columns.contains(t),
+      s"Events reserves temp column name '$t'; rename it in the input"))
+
+  /** Exponential time-decay weighted sum of `valueCol` per key:
+    * each event contributes `value * 2^(-age / halfLifeSec)`, ages
+    * measured against the dataset's max timestamp (one scalar,
+    * computed in a column-pruned pass and broadcast — so the result
+    * is a pure function of the data, reproducible across runs and
+    * engines, unlike a wall-clock reference). THE recency feature:
+    * yesterday counts double vs one-half-life-ago.
+    *
+    * Scale shape: the reference timestamp is ONE scalar from a
+    * column-pruned max pass to the driver (bounded by construction,
+    * like the sampling family's stratum counts — and unlike a 1-row
+    * broadcast cross join, it cannot plan as a nested-loop join);
+    * weighting is then a map-only literal expression and the per-key
+    * sum one map-side-combined aggregation. The max pass runs eagerly
+    * at call time — hand the operator a materialized frame, not an
+    * expensive unmaterialized plan it would execute twice. NULL
+    * values contribute nothing to the sum but still count in `n`. */
+  def decayWeightedSum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      halfLifeSec: Double,
+      outCol: String = "decayed_sum"): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(halfLifeSec > 0, s"halfLifeSec ($halfLifeSec) must be positive")
+    reserve(df, "__w")
+    val refRow = df.agg(max(unix_micros(col(tsCol)))).head()
+    require(!refRow.isNullAt(0), "decayWeightedSum needs at least one non-null timestamp")
+    val refUs = refRow.getLong(0)
+    df.withColumn("__w", pow(lit(0.5),
+        (lit(refUs) - unix_micros(col(tsCol))).cast("double")
+          / 1e6 / halfLifeSec))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(valueCol) * col("__w")).as(outCol), count(lit(1)).as("n"))
+  }
+
+  /** Ordered funnel: for every key that performed `steps.head`, how far
+    * through the step sequence it got, each step STRICTLY after the
+    * previous one in event time (the first qualifying occurrence, so
+    * the path is the earliest completion). Returns one row per key that
+    * reached step 1: the key, `steps_reached` (1..k), `t1_us` (first
+    * step-1 time, epoch microseconds), `tk_us` and `delay_us` (NULL
+    * unless the full funnel completed).
+    *
+    * Semantics pinned by the oracle: step i's time is the MINIMUM event
+    * time of type `steps(i)` strictly greater than step i-1's time —
+    * the greedy earliest chain. (Greedy is not maximal-subsequence
+    * matching: an earlier step-2 event with no step-3 after it still
+    * binds. State the contract, don't discover it in production.)
+    *
+    * Scale shape: k-1 (filter → join → min-aggregate) rounds, every
+    * one hash-partitioned on the key — each step's frame is bounded by
+    * the keys still in the funnel (monotonically shrinking), the event
+    * table is scanned once per step with the type filter pushed to the
+    * scan, and nothing is ever collected or windowed over the whole
+    * log. For funnels much deeper than a handful of steps prefer a
+    * single per-key sort (`flatMapGroups`) over k scans. */
+  def funnel(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val base = df.select(col(keyCol).as("__k"),
+      unix_micros(col(tsCol)).as("__t"), col(typeCol).as("__ty"))
+    val first = base.filter(col("__ty") === steps.head)
+      .groupBy("__k").agg(min(col("__t")).as("t1"))
+    val full = steps.tail.zipWithIndex.foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"t${i + 1}"
+      val next = base.filter(col("__ty") === step)
+        .join(acc.select(col("__k"), col(prev)), "__k")
+        .filter(col("__t") > col(prev))
+        .groupBy("__k").agg(min(col("__t")).as(s"t${i + 2}"))
+      acc.join(next, Seq("__k"), "left")
+    }
+    val k = steps.size
+    // Build inside-out so the DEEPEST step is tested first: t_i set
+    // implies t_{i-1} set, so the outermost when must be t_k.
+    val reached = (2 to k).foldLeft(lit(1)) { (e, i) =>
+      when(col(s"t$i").isNotNull, lit(i)).otherwise(e)
+    }
+    full.select(col("__k").as(keyCol), reached.as("steps_reached"),
+      col("t1").as("t1_us"), col(s"t$k").as("tk_us"),
+      (col(s"t$k") - col("t1")).as("delay_us"))
+  }
+}

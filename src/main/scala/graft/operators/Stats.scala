@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group statistical normalization: z-scores and winsorization
+  * (percentile clipping) — the feature-engineering / quality-score
+  * conditioning steps of a training-data pipeline ("standardize the
+  * quality score within each language", "clip document lengths at the
+  * tail percentiles before length-weighted sampling"). No reference
+  * counterpart — LLM-pipeline extensions.
+  *
+  * Shared scale shape: group statistics are ONE map-side-combined
+  * aggregation whose output is bounded by the group count (languages,
+  * sources, domains — thousands, not rows), joined back onto the
+  * corpus. The join is deliberately UNHINTED: bounded-by-groups is
+  * usually broadcastable and AQE will broadcast it runtime-measured,
+  * but a forced broadcast() would bypass the size check and OOM on a
+  * pathological high-cardinality grouping. The normalization itself
+  * is a map-only projection after the join.
+  */
+object Stats {
+
+  private def reserve(df: DataFrame, names: String*): Unit =
+    names.foreach(t => require(!df.columns.contains(t),
+      s"Stats reserves temp column name '$t'; rename it in the input"))
+
+  /** Per-group z-score: `(value - mean_g) / stddev_samp_g` as `outCol`.
+    * Groups with fewer than two rows or zero variance yield NULL (a
+    * constant column carries no standardizable signal; NULL is honest
+    * where 0/0 would be noise). Rows with a NULL value pass through
+    * with a NULL score. */
+  def zScore(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      outCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    reserve(df, "__mean", "__sd")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(avg(col(valueCol)).as("__mean"), stddev_samp(col(valueCol)).as("__sd"))
+    df.join(stats, groupCols)
+      .withColumn(outCol,
+        when(col("__sd") > 0, (col(valueCol) - col("__mean")) / col("__sd")))
+      .drop("__mean", "__sd")
+  }
+
+  /** Winsorize `valueCol` per group: clip into the group's
+    * [`lo`, `hi`] EXACT percentile bounds (linear interpolation) as
+    * `outCol`. The robust-stats answer to heavy-tailed web data: a
+    * handful of 100 MB documents stops dominating a mean length or a
+    * length-weighted mixture once clipped at, say, the 1/16 and 15/16
+    * percentiles.
+    *
+    * Exact `percentile` sorts within each group — the oracle-checkable
+    * formulation (and why dyadic fractions like 0.0625/0.9375 over
+    * integer values reproduce bit-for-bit across engines: every
+    * interpolated bound is exactly representable). At 100 TB swap in
+    * `approx_percentile` (t-digest, mergeable, no per-group sort);
+    * its bounds are engine-specific so the exact form is what the
+    * oracle pins. */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      outCol: String,
+      lo: Double = 0.0625,
+      hi: Double = 0.9375): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(0 <= lo && lo < hi && hi <= 1, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    reserve(df, "__b", "__lo", "__hi")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, array(${lo}D, ${hi}D))").as("__b"))
+      .select((groupCols.map(col) :+ element_at(col("__b"), 1).as("__lo")
+        :+ element_at(col("__b"), 2).as("__hi")): _*)
+    df.join(bounds, groupCols)
+      .withColumn(outCol,
+        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+}

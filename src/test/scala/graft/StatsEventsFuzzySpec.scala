@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Events, Fuzzy, Stats}
+import graft.testkit.SparkTestKit._
+
+/** Edge-case specs for the round-9 operators — the contracts the
+  * oracle queries (q88-q92) can't exercise: loud-failure paths, NULL
+  * and degenerate-group handling, and the greedy funnel semantics. */
+class StatsEventsFuzzySpec extends AnyFunSuite {
+
+  // --------------------------------------------------------- Fuzzy
+
+  test("fuzzy pairs: in-block near matches found, cross-block matches not candidates") {
+    val df = table("id bigint, text string", Seq(
+      row(1L, "alpha beta gamma"),
+      row(2L, "alpha beta gamme"),   // 1 edit from id 1, same block prefix
+      row(3L, "alpha beta delta"),   // 4-5 edits from id 1 — past maxDist
+      row(4L, "omega beta gamma"))) // 1 edit cluster but different block
+    val got = Fuzzy.blockedFuzzyPairs(df, "id", "text",
+        keyLen = 16, blockLen = 5, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1)))
+  }
+
+  test("fuzzy pairs: oversize block fails loudly by default, dropped on opt-in") {
+    val df = table("id bigint, text string",
+      (1L to 10L).map(i => row(i, s"prefix shared by all $i")))
+    val strict = intercept[Throwable] {
+      Fuzzy.blockedFuzzyPairs(df, "id", "text",
+        keyLen = 16, blockLen = 5, maxDist = 2, maxBucket = 4).count()
+    }
+    val messages = Iterator.iterate(strict)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("maxBucket=4"), messages.take(500))
+    val dropped = Fuzzy.blockedFuzzyPairs(df, "id", "text",
+      keyLen = 16, blockLen = 5, maxDist = 2, maxBucket = 4,
+      dropOversize = true)
+    assert(dropped.count() == 0L)
+  }
+
+  // --------------------------------------------------------- Stats
+
+  test("zScore: known groups standardize; degenerate groups yield NULL") {
+    val df = table("g string, v bigint", Seq(
+      row("a", 1L), row("a", 2L), row("a", 3L), // mean 2, sd 1
+      row("b", 7L),                             // single row: sd undefined
+      row("c", 5L), row("c", 5L)))              // zero variance
+    val got = Stats.zScore(df, Seq("g"), "v", "z")
+      .orderBy("g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 1L, -1.0), ("a", 2L, 0.0), ("a", 3L, 1.0),
+      ("b", 7L, null), ("c", 5L, null), ("c", 5L, null)))
+  }
+
+  test("zScore: reserved temp column collision fails loudly") {
+    val df = table("g string, v bigint, __mean double", Seq(row("a", 1L, 0.0)))
+    val e = intercept[IllegalArgumentException] {
+      Stats.zScore(df, Seq("g"), "v", "z")
+    }
+    assert(e.getMessage.contains("__mean"))
+  }
+
+  test("winsorize: values clip into the exact interpolated percentile bounds") {
+    val df = table("g string, v bigint", (1L to 16L).map(i => row("a", i)))
+    // p25 over 1..16: r = 0.25*15 = 3.75 -> 4 + 0.75 = 4.75
+    // p75:            r = 0.75*15 = 11.25 -> 12 + 0.25 = 12.25
+    val got = Stats.winsorize(df, Seq("g"), "v", "w", lo = 0.25, hi = 0.75)
+      .orderBy("v").collect().map(_.getDouble(2)).toSeq
+    assert(got.head == 4.75 && got.last == 12.25, got.toString)
+    assert(got(7) == 8.0) // interior value untouched
+  }
+
+  // --------------------------------------------------------- Events
+
+  test("decayWeightedSum: one-half-life-old events count half") {
+    val day = 86400000000L // µs
+    val df = table("u bigint, t_us bigint, v double", Seq(
+      row(1L, 3 * day, 1.0), // the max timestamp: weight 1
+      row(1L, 2 * day, 1.0), // one half-life old: 0.5
+      row(1L, 1 * day, 1.0)) // two: 0.25
+    ).select(col("u"), timestamp_micros(col("t_us")).as("ts"), col("v"))
+    val got = Events.decayWeightedSum(df, Seq("u"), "ts", "v",
+      halfLifeSec = 86400.0)
+    val r = got.collect().head
+    assert(math.abs(r.getDouble(1) - 1.75) < 1e-12, r.toString)
+    assert(r.getLong(2) == 3L)
+  }
+
+  test("funnel: greedy earliest chain, strictly-after steps, depth per key") {
+    val df = table("u bigint, t_us bigint, ty string", Seq(
+      // u1 completes in order
+      row(1L, 10L, "view"), row(1L, 20L, "click"), row(1L, 30L, "buy"),
+      // u2: pre-view click ignored; the click bound (50) has no buy after
+      row(2L, 10L, "click"), row(2L, 20L, "view"), row(2L, 30L, "buy"),
+      row(2L, 50L, "click"),
+      // u3: buy BEFORE the greedy click bound does not count
+      row(3L, 10L, "view"), row(3L, 40L, "click"), row(3L, 20L, "buy"),
+      // u4 never views: not in the result at all
+      row(4L, 10L, "click"), row(4L, 20L, "buy"))
+    ).select(col("u"), timestamp_micros(col("t_us")).as("ts"), col("ty"))
+    val got = Events.funnel(df, "u", "ts", "ty", Seq("view", "click", "buy"))
+      .orderBy("u")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(4)) null else r.getLong(4))).toSeq
+    assert(got == Seq((1L, 3, 20L), (2L, 2, null), (3L, 2, null)))
+  }
+}
