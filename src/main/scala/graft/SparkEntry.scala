@@ -1562,7 +1562,7 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- q91
   /** Recency-weighted engagement: per-user sum of value decayed by a
-    * 7-day half-life against the dataset's max timestamp (a broadcast
+    * 7-day half-life against the dataset's max timestamp (one driver
     * scalar, so the feature is reproducible run-to-run). The oracle
     * recomputes the reference, the per-event weights, and the sums;
     * rounding absorbs libm pow ulp differences and sum order. */
@@ -1582,6 +1582,27 @@ object SparkEntry {
     Events.funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
       Seq("view", "click", "purchase"))
       .orderBy("user_id")
+
+  // ---------------------------------------------------------------- q93
+  /** Cohort retention matrix: users grouped by first-event week,
+    * distinct active users per whole-week offset. Monday-start week
+    * truncation and day-difference arithmetic agree across engines,
+    * so every cell is integer-exact. */
+  private def q93Cohort(s: SparkSession, dir: String): DataFrame =
+    Events.cohortRetention(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+
+  // ---------------------------------------------------------------- q94
+  /** Rolling 1-hour activity features per event: count + decimal-exact
+    * value sum over the user's preceding hour (RANGE window, peers
+    * share equal timestamps so tie order cannot matter). The oracle
+    * recomputes the same window; the decimal sum kills accumulation-
+    * order wobble. */
+  private def q94Rolling(s: SparkSession, dir: String): DataFrame =
+    Events.rollingWindow(Tables.events(s, dir), "user_id", "ts", "value",
+        windowSec = 3600L, outSuffix = "1h")
+      .select(col("event_id"), col("n_1h"), col("sum_1h"))
+      .orderBy("event_id")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
@@ -1676,6 +1697,8 @@ object SparkEntry {
     "q90_winsorize" -> (q90Winsorize _),
     "q91_decay_sum" -> (q91DecaySum _),
     "q92_funnel" -> (q92Funnel _),
+    "q93_cohort" -> (q93Cohort _),
+    "q94_rolling_window" -> (q94Rolling _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3122,6 +3145,27 @@ object SparkEntry {
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |        LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY s1.user_id""".stripMargin,
+    "q93_cohort" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+        |), j AS (
+        |  SELECT e.user_id,
+        |    CAST(date_trunc('week', f.first_ts) AS DATE) AS cw,
+        |    CAST(date_trunc('week', e.ts) AS DATE) AS ww
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |)
+        |SELECT CAST(cw AS VARCHAR) AS cohort_week,
+        |  CAST(date_diff('day', cw, ww) // 7 AS INTEGER) AS week_offset,
+        |  COUNT(DISTINCT user_id) AS n_keys
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q94_rolling_window" ->
+      """SELECT event_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +

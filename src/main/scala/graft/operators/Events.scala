@@ -53,6 +53,66 @@ object Events {
       .agg(sum(col(valueCol) * col("__w")).as(outCol), count(lit(1)).as("n"))
   }
 
+  /** Cohort retention: group keys by the week of their FIRST event
+    * (Monday-start `date_trunc`), then count distinct keys active in
+    * each whole-week offset from their cohort — the (cohort x week)
+    * retention matrix behind every "do users come back" curve.
+    * Returns (`cohort_week` ISO date string, `week_offset` 0-based,
+    * `n_keys`).
+    *
+    * Scale shape: the first-event pass is one map-side-combined min
+    * bounded by the key count; joining it back is keyed on the same
+    * column the events already hash by (unhinted — AQE broadcasts a
+    * small key table); the distinct count shuffles (cohort, offset,
+    * key) triples, bounded by keys x active weeks, never raw events. */
+  def cohortRetention(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    reserve(df, "__first_ts")
+    val first = df.groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("__first_ts"))
+    df.select(col(keyCol), col(tsCol))
+      .join(first, keyCol)
+      .select(col(keyCol),
+        date_trunc("week", col("__first_ts")).cast("date").as("__cw"),
+        date_trunc("week", col(tsCol)).cast("date").as("__ww"))
+      .groupBy(col("__cw").cast("string").as("cohort_week"),
+        (datediff(col("__ww"), col("__cw")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct(col(keyCol)).as("n_keys"))
+  }
+
+  /** Rolling event-time window features: for every event, the count
+    * and (decimal-exact) sum of `valueCol` over this key's events in
+    * the PRECEDING `windowSec` seconds, inclusive of the current row —
+    * the "activity in the last hour" feature family. Appends
+    * `n_<outSuffix>` and `sum_<outSuffix>`.
+    *
+    * A RANGE window over event time, partitioned by key: one hash
+    * shuffle on the key plus a per-key sort, state bounded by the
+    * window span — never a whole-log window. Rows sharing a timestamp
+    * are PEERS (RANGE semantics): each sees the full peer group, so
+    * the result is deterministic under any sort-tie order. The sum
+    * aggregates through DECIMAL(18,2) (the engine-wide float-sum
+    * convention) so accumulation order cannot wobble the value. */
+  def rollingWindow(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      windowSec: Long,
+      outSuffix: String): DataFrame = {
+    require(windowSec > 0, s"windowSec ($windowSec) must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    df.withColumn(s"n_$outSuffix", count(lit(1)).over(w))
+      .withColumn(s"sum_$outSuffix",
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w).cast("double"))
+  }
+
   /** Ordered funnel: for every key that performed `steps.head`, how far
     * through the step sequence it got, each step STRICTLY after the
     * previous one in event time (the first qualifying occurrence, so

@@ -90,6 +90,41 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     assert(r.getLong(2) == 3L)
   }
 
+  test("cohortRetention: offsets measured in whole weeks from the cohort Monday") {
+    val day = 86400000000L // µs; epoch day 0 = Thursday 1970-01-01
+    // Monday 1970-01-05 = day 4
+    val df = table("u bigint, t_us bigint", Seq(
+      row(1L, 4 * day),        // first event: cohort Monday 01-05, offset 0
+      row(1L, 10 * day),       // Sunday 01-11, same week: offset 0
+      row(1L, 19 * day),       // 01-20, two weeks later: offset 2
+      row(2L, 12 * day))       // cohort Monday 01-12, offset 0
+    ).select(col("u"), timestamp_micros(col("t_us")).as("ts"))
+    val got = Events.cohortRetention(df, "u", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(("1970-01-05", 0, 1L), ("1970-01-05", 2, 1L),
+      ("1970-01-12", 0, 1L)))
+  }
+
+  test("rollingWindow: range bounds are inclusive and equal timestamps are peers") {
+    val df = table("u bigint, t_us bigint, v double", Seq(
+      row(1L, 0L, 1.0),
+      row(1L, 30000000L, 1.0),           // 30s
+      row(1L, 3600000000L, 1.0),         // exactly windowSec after t=0: included
+      row(1L, 3700000000L, 1.0),         // sees only [100s, 3700s]
+      row(2L, 100000000L, 2.0),          // peer pair: same user, same ts
+      row(2L, 100000000L, 3.0))
+    ).select(col("u"), timestamp_micros(col("t_us")).as("ts"), col("v"))
+    val got = Events.rollingWindow(df, "u", "ts", "v", 3600L, "w")
+      .select(col("u"), unix_micros(col("ts")).as("t"), col("n_w"), col("sum_w"))
+      .orderBy("u", "t", "sum_w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 1L, 1.0), (1L, 30000000L, 2L, 2.0),
+      (1L, 3600000000L, 3L, 3.0), (1L, 3700000000L, 2L, 2.0),
+      (2L, 100000000L, 2L, 5.0), (2L, 100000000L, 2L, 5.0)))
+  }
+
   test("funnel: greedy earliest chain, strictly-after steps, depth per key") {
     val df = table("u bigint, t_us bigint, ty string", Seq(
       // u1 completes in order
