@@ -1583,6 +1583,36 @@ object SparkEntry {
       Seq("view", "click", "purchase"))
       .orderBy("user_id")
 
+  // ---------------------------------------------------------------- q95
+  /** JSON-lines source with explicit schema, gated as a full write-read
+    * roundtrip: documents go out through the JSON writer (UTF-8, full
+    * escaping) and come back through `readJsonLines`' explicit schema
+    * (no inference pre-scan), then roll up per language with per-text
+    * md5 extremes — while the oracle reads the ORIGINAL parquet, so a
+    * single byte mangled in the JSON hop (escaping, unicode, numeric
+    * formatting) fails the hash. Fixed tiny sink path, overwritten per
+    * call, because the returned frame reads it lazily. */
+  private def q95JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val jsonDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_json_documents").getAbsolutePath
+    Tables.documents(s, dir).coalesce(1)
+      .write.mode("overwrite").json(jsonDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    Tables.readJsonLines(s, jsonDir, schema)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(md5(col("text"))).as("min_md5"),
+        max(md5(col("text"))).as("max_md5"))
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------- q93
   /** Cohort retention matrix: users grouped by first-event week,
     * distinct active users per whole-week offset. Monday-start week
@@ -1699,6 +1729,7 @@ object SparkEntry {
     "q92_funnel" -> (q92Funnel _),
     "q93_cohort" -> (q93Cohort _),
     "q94_rolling_window" -> (q94Rolling _),
+    "q95_json_roundtrip" -> (q95JsonRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3166,6 +3197,11 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q95_json_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +

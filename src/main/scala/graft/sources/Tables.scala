@@ -44,4 +44,15 @@ object Tables {
       schema: org.apache.spark.sql.types.StructType,
       header: Boolean = true): DataFrame =
     spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** JSON-lines (one object per line — the interchange format of most
+    * web-corpus dumps) with an explicit schema: no inference pre-scan
+    * (a full extra read at 100 TB), unlisted fields are simply never
+    * parsed, and the line-delimited framing keeps the format splittable
+    * so a 100 GB shard still fans out across tasks. */
+  def readJsonLines(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }
