@@ -1613,6 +1613,26 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q96
+  /** PageRank over the near-dup pair graph (q46's exact-verified
+    * MinHash pairs, symmetrized): the authority weighting of duplicate
+    * neighborhoods — documents central to a near-dup cluster rank
+    * high, peripherals low. Three fixed iterations; the oracle unrolls
+    * the identical recurrence over the shared exact-Jaccard pair
+    * prefix, so edge recall, out-degrees, and every iteration's
+    * arithmetic are value-checked (6-decimal gate absorbs sum-order
+    * wobble). */
+  private def q96PageRank(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Graph
+    val pairs = Dedup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
+    Graph.pageRank(sym, "id_a", "id_b", iterations = 3)
+      .select(col("v").as("doc_id"), round(col("r"), 6).as("rank6"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q93
   /** Cohort retention matrix: users grouped by first-event week,
     * distinct active users per whole-week offset. Monday-start week
@@ -1730,6 +1750,7 @@ object SparkEntry {
     "q93_cohort" -> (q93Cohort _),
     "q94_rolling_window" -> (q94Rolling _),
     "q95_json_roundtrip" -> (q95JsonRoundtrip _),
+    "q96_pagerank" -> (q96PageRank _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3202,6 +3223,7 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q96_pagerank" -> pageRankOracle,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +
@@ -3259,4 +3281,32 @@ object SparkEntry {
       |  FROM lab
       |)
       |SELECT doc_id, n_tokens FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** q96: the same exact-Jaccard pair prefix feeding a 3-iteration
+    * unrolled PageRank recurrence (uniform start, damping 0.85,
+    * teleport (1-d)/N over the symmetric node set). */
+  private val pageRankOracle: String = componentsOracleCte +
+    """, nodes AS (SELECT DISTINCT a AS v FROM sym
+      |), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+      |), deg AS (
+      |  SELECT a AS v, CAST(COUNT(*) AS DOUBLE) AS od FROM sym GROUP BY a
+      |), r0 AS (
+      |  SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM nodes
+      |), r1 AS (
+      |  SELECT s2.b AS v, 0.15 / (SELECT n FROM nn)
+      |    + 0.85 * SUM(r0.r / d.od) AS r
+      |  FROM sym s2 JOIN r0 ON s2.a = r0.v JOIN deg d ON s2.a = d.v
+      |  GROUP BY s2.b
+      |), r2 AS (
+      |  SELECT s2.b AS v, 0.15 / (SELECT n FROM nn)
+      |    + 0.85 * SUM(r1.r / d.od) AS r
+      |  FROM sym s2 JOIN r1 ON s2.a = r1.v JOIN deg d ON s2.a = d.v
+      |  GROUP BY s2.b
+      |), r3 AS (
+      |  SELECT s2.b AS v, 0.15 / (SELECT n FROM nn)
+      |    + 0.85 * SUM(r2.r / d.od) AS r
+      |  FROM sym s2 JOIN r2 ON s2.a = r2.v JOIN deg d ON s2.a = d.v
+      |  GROUP BY s2.b
+      |)
+      |SELECT v AS doc_id, ROUND(r, 6) AS rank6 FROM r3 ORDER BY v""".stripMargin
 }
