@@ -1412,12 +1412,14 @@ object SparkEntry {
     * writer), read back through `readCsv`'s explicit schema (no
     * inference pre-scan), and rolled up — while the oracle reads the
     * ORIGINAL parquet, so any value lost or mangled in the CSV hop
-    * fails the hash. The sink path is fixed (tiny, overwritten per
-    * call) because the returned frame reads it lazily. */
+    * fails the hash. The sink path is per-process (tiny, overwritten
+    * per call) because the returned frame reads it lazily. */
   private def q82CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
-    val csvDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_csv_nation").getAbsolutePath
+    // Per-process path, like q95: the returned frame re-reads it
+    // lazily, so a concurrent harness process must not overwrite it.
+    val csvDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_csv_nation_${ProcessHandle.current().pid()}").getAbsolutePath
     Tables.nation(s, dir).coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(csvDir)
     val schema = StructType(Seq(
@@ -1590,12 +1592,15 @@ object SparkEntry {
     * (no inference pre-scan), then roll up per language with per-text
     * md5 extremes — while the oracle reads the ORIGINAL parquet, so a
     * single byte mangled in the JSON hop (escaping, unicode, numeric
-    * formatting) fails the hash. Fixed tiny sink path, overwritten per
-    * call, because the returned frame reads it lazily. */
+    * formatting) fails the hash. Per-process tiny sink path,
+    * overwritten per call, because the returned frame reads it lazily. */
   private def q95JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val jsonDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_json_documents").getAbsolutePath
+    // Per-process path: a concurrent harness (Verify at one SF, Bench
+    // at another) must not overwrite the directory this frame re-reads
+    // lazily on every action.
+    val jsonDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_json_documents_${ProcessHandle.current().pid()}").getAbsolutePath
     Tables.documents(s, dir).coalesce(1)
       .write.mode("overwrite").json(jsonDir)
     val schema = StructType(Seq(
@@ -1627,7 +1632,13 @@ object SparkEntry {
     val pairs = Dedup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
       shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
       .select(col("id_a"), col("id_b"))
-    val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
+    // Symmetrize with ONE explode pass, not union(pairs, pairs.swap):
+    // union embeds the pair pipeline twice in the plan and pageRank's
+    // edge-checkpoint job would execute the MinHash verify twice.
+    val sym = pairs.select(explode(array(
+        struct(col("id_a"), col("id_b")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("e"))
+      .select(col("e.id_a").as("id_a"), col("e.id_b").as("id_b"))
     Graph.pageRank(sym, "id_a", "id_b", iterations = 3)
       .select(col("v").as("doc_id"), round(col("r"), 6).as("rank6"))
       .orderBy("doc_id")
@@ -3157,16 +3168,19 @@ object SparkEntry {
         |    quantile_cont(n_chars, 0.0625) AS lo,
         |    quantile_cont(n_chars, 0.9375) AS hi
         |  FROM documents GROUP BY lang
+        |), c AS (
+        |  -- NULL stays NULL: DuckDB's LEAST/GREATEST skip NULLs and
+        |  -- would fabricate the lo bound, diverging from the engine
+        |  SELECT d.lang,
+        |    CASE WHEN n_chars IS NULL THEN NULL
+        |         ELSE LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi) END AS w
+        |  FROM documents d JOIN b USING (lang)
         |)
-        |SELECT d.lang, COUNT(*) AS n,
-        |  ROUND(AVG(LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi)), 6)
-        |    AS win_mean,
-        |  ROUND(MIN(LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi)), 6)
-        |    AS win_min,
-        |  ROUND(MAX(LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi)), 6)
-        |    AS win_max
-        |FROM documents d JOIN b USING (lang)
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+        |SELECT lang, COUNT(*) AS n,
+        |  ROUND(AVG(w), 6) AS win_mean,
+        |  ROUND(MIN(w), 6) AS win_min,
+        |  ROUND(MAX(w), 6) AS win_max
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     "q91_decay_sum" ->
       """WITH r AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events)
         |SELECT user_id,

@@ -13,8 +13,7 @@ import org.apache.spark.sql.functions._
 object Events {
 
   private def reserve(df: DataFrame, names: String*): Unit =
-    names.foreach(t => require(!df.columns.contains(t),
-      s"Events reserves temp column name '$t'; rename it in the input"))
+    TempCols.reserve(df, "Events", names: _*)
 
   /** Exponential time-decay weighted sum of `valueCol` per key:
     * each event contributes `value * 2^(-age / halfLifeSec)`, ages
@@ -103,6 +102,7 @@ object Events {
       windowSec: Long,
       outSuffix: String): DataFrame = {
     require(windowSec > 0, s"windowSec ($windowSec) must be positive")
+    reserve(df, s"n_$outSuffix", s"sum_$outSuffix") // appended, never overwritten
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
       .orderBy(unix_micros(col(tsCol)))

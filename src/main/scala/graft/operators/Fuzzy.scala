@@ -52,9 +52,15 @@ object Fuzzy {
       s"need keyLen ($keyLen) > blockLen ($blockLen) >= 1")
     require(maxDist >= 0, s"maxDist ($maxDist) must be >= 0")
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must be >= 2")
+    // NULL texts normalize to NULL keys: no pair they could join could
+    // ever pass the dist filter (levenshtein with a NULL side is NULL),
+    // so drop them BEFORE the groupBy — otherwise every null-text row
+    // piles into one degenerate bucket that wastes n² comparisons or
+    // trips the oversize guard for pairs that were never candidates.
     val keyed = df.select(col(idCol).as("id"),
         substring(GraftFunctions.cleanText(df, lower(col(textCol))), 1, keyLen)
           .as("key"))
+      .filter(col("key").isNotNull)
       .select(struct(col("id"), col("key")).as("dk"),
         substring(col("key"), 1, blockLen).as("blk"))
     val buckets = keyed.groupBy("blk").agg(collect_list(col("dk")).as("ds"))

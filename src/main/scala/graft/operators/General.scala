@@ -253,8 +253,7 @@ object General {
     require(weights.nonEmpty, "at least one group weight")
     require(weights.values.forall(w => w >= 0 && !w.isNaN && !w.isInfinite),
       "weights must be finite and non-negative")
-    Seq("__g", "__thresh").foreach(t => require(!df.columns.contains(t),
-      s"mixtureSample reserves temp column name '$t'; rename it in the input"))
+    TempCols.reserve(df, "mixtureSample", "__g", "__thresh")
     val s = df.sparkSession
     import org.apache.spark.sql.types.{DoubleType, StringType, StructType}
     val wDf = s.createDataFrame(

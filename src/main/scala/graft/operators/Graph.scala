@@ -42,12 +42,19 @@ object Graph {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations ($iterations) must be >= 1")
     require(damping > 0 && damping < 1, s"damping ($damping) must be in (0, 1)")
+    // Checkpoint the RAW edges first: deg and the degree-carrying join
+    // below each embed the edge plan again, so without this the
+    // upstream pipeline (q96: the full MinHash pair verify) would
+    // execute once per plan occurrence in the ew job instead of once
+    // total.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("od"))
     // Edges carry the out-degree from here on: one join now instead of
     // one per iteration. Checkpointed — every iteration reads these
-    // blocks, never the upstream pair pipeline.
+    // blocks; the raw-edge blocks are released right after.
     val ew = e.join(deg, "src").localCheckpoint()
+    Blocks.release(e)
     val n = ew.select(col("src")).distinct().count().toDouble
     require(n > 0, "pageRank needs at least one edge")
     val teleport = (1.0 - damping) / n

@@ -16,30 +16,42 @@ import org.apache.spark.sql.functions._
   * corpus. The join is deliberately UNHINTED: bounded-by-groups is
   * usually broadcastable and AQE will broadcast it runtime-measured,
   * but a forced broadcast() would bypass the size check and OOM on a
-  * pathological high-cardinality grouping. The normalization itself
-  * is a map-only projection after the join.
+  * pathological high-cardinality grouping. The join is NULL-SAFE
+  * (`<=>`), so a NULL group is its own stratum — exactly window
+  * `PARTITION BY` semantics, no silently dropped rows. The
+  * normalization itself is a map-only projection after the join.
   */
 object Stats {
 
-  private def reserve(df: DataFrame, names: String*): Unit =
-    names.foreach(t => require(!df.columns.contains(t),
-      s"Stats reserves temp column name '$t'; rename it in the input"))
+  /** Null-safe group join: attach `stats`' non-group columns to every
+    * `df` row whose group matches, NULL group = NULL group included. */
+  private def joinOnGroups(
+      df: DataFrame, stats: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val l = df.alias("__sl")
+    val r = stats.alias("__sr")
+    val cond = groupCols.map(c => col(s"__sl.$c") <=> col(s"__sr.$c"))
+      .reduce(_ && _)
+    val keep = df.columns.toSeq.map(c => col(s"__sl.$c")) ++
+      stats.columns.toSeq.filterNot(groupCols.contains).map(c => col(s"__sr.$c"))
+    l.join(r, cond).select(keep: _*)
+  }
 
   /** Per-group z-score: `(value - mean_g) / stddev_samp_g` as `outCol`.
     * Groups with fewer than two rows or zero variance yield NULL (a
     * constant column carries no standardizable signal; NULL is honest
     * where 0/0 would be noise). Rows with a NULL value pass through
-    * with a NULL score. */
+    * with a NULL score; a NULL group standardizes within its own
+    * stratum (the null-safe join above), it is not dropped. */
   def zScore(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
       outCol: String): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
-    reserve(df, "__mean", "__sd")
+    TempCols.reserve(df, "zScore", "__mean", "__sd")
     val stats = df.groupBy(groupCols.map(col): _*)
       .agg(avg(col(valueCol)).as("__mean"), stddev_samp(col(valueCol)).as("__sd"))
-    df.join(stats, groupCols)
+    joinOnGroups(df, stats, groupCols)
       .withColumn(outCol,
         when(col("__sd") > 0, (col(valueCol) - col("__mean")) / col("__sd")))
       .drop("__mean", "__sd")
@@ -50,7 +62,9 @@ object Stats {
     * `outCol`. The robust-stats answer to heavy-tailed web data: a
     * handful of 100 MB documents stops dominating a mean length or a
     * length-weighted mixture once clipped at, say, the 1/16 and 15/16
-    * percentiles.
+    * percentiles. A NULL value stays NULL (least/greatest would
+    * otherwise fabricate the lo bound for a missing measurement);
+    * NULL groups clip within their own stratum.
     *
     * Exact `percentile` sorts within each group — the oracle-checkable
     * formulation (and why dyadic fractions like 0.0625/0.9375 over
@@ -68,14 +82,15 @@ object Stats {
       hi: Double = 0.9375): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     require(0 <= lo && lo < hi && hi <= 1, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
-    reserve(df, "__b", "__lo", "__hi")
+    TempCols.reserve(df, "winsorize", "__b", "__lo", "__hi")
     val bounds = df.groupBy(groupCols.map(col): _*)
       .agg(expr(s"percentile($valueCol, array(${lo}D, ${hi}D))").as("__b"))
       .select((groupCols.map(col) :+ element_at(col("__b"), 1).as("__lo")
         :+ element_at(col("__b"), 2).as("__hi")): _*)
-    df.join(bounds, groupCols)
+    joinOnGroups(df, bounds, groupCols)
       .withColumn(outCol,
-        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 }

@@ -56,6 +56,24 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
       ("b", 7L, null), ("c", 5L, null), ("c", 5L, null)))
   }
 
+  test("zScore: a NULL group is its own stratum, not dropped (window semantics)") {
+    val df = table("g string, v bigint", Seq(
+      row(null, 1L), row(null, 2L), row(null, 3L), row("a", 9L)))
+    val got = Stats.zScore(df, Seq("g"), "v", "z")
+      .orderBy("v")
+      .collect().map(r => (Option(r.getString(0)),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(got == Seq((None, -1.0), (None, 0.0), (None, 1.0), (Some("a"), null)))
+  }
+
+  test("winsorize: NULL values stay NULL instead of clipping to the lo bound") {
+    val df = table("g string, v bigint",
+      (1L to 16L).map(i => row("a", i)) :+ row("a", null))
+    val got = Stats.winsorize(df, Seq("g"), "v", "w", lo = 0.25, hi = 0.75)
+      .filter(col("v").isNull).collect()
+    assert(got.length == 1 && got.head.isNullAt(2), got.toSeq.toString)
+  }
+
   test("zScore: reserved temp column collision fails loudly") {
     val df = table("g string, v bigint, __mean double", Seq(row("a", 1L, 0.0)))
     val e = intercept[IllegalArgumentException] {
