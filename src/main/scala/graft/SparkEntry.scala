@@ -1644,6 +1644,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q97
+  /** Weighted sampling without replacement: 50 documents drawn with
+    * probability proportional to length via the deterministic A-Res
+    * key `ln(u)/w` over the portable hash. The oracle recomputes the
+    * hash, the uniform, every key, and the top-k cutoff — membership
+    * is value-checked exactly (the k-th/k+1-th key margin on this
+    * corpus is ~5e-6, dwarfing any libm ln() ulp difference). */
+  private def q97WeightedSample(s: SparkSession, dir: String): DataFrame =
+    General.weightedSample(Tables.documents(s, dir), "doc_id", "n_chars", k = 50)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- q93
   /** Cohort retention matrix: users grouped by first-event week,
     * distinct active users per whole-week offset. Monday-start week
@@ -1762,6 +1774,7 @@ object SparkEntry {
     "q94_rolling_window" -> (q94Rolling _),
     "q95_json_roundtrip" -> (q95JsonRoundtrip _),
     "q96_pagerank" -> (q96PageRank _),
+    "q97_weighted_sample" -> (q97WeightedSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3238,6 +3251,23 @@ object SparkEntry {
         |  MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q96_pagerank" -> pageRankOracle,
+    "q97_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(doc_id AS VARCHAR)), CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) AS hv
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ln((CAST(hv AS DOUBLE) + 1.0) / 4294967296.0) / n_chars AS key
+        |  FROM h
+        |), top AS (
+        |  SELECT doc_id, lang, n_chars FROM k
+        |  ORDER BY key DESC, doc_id LIMIT 50
+        |)
+        |SELECT doc_id, lang, n_chars FROM top ORDER BY doc_id""".stripMargin,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +

@@ -317,6 +317,43 @@ object General {
     stratifiedHashSample(df, strataCol, keyCol, rates, m, defaultRate = 0.0, hash)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    * Spirakis A-Res): keep the k rows with the largest `ln(u)/w`,
+    * where `u ∈ (0,1]` is a uniform derived from the portable hash of
+    * the key and `w` the row's weight — selection probability
+    * proportional to weight, no replacement, and (like the rest of the
+    * sampling family) a pure function of the keys and weights present:
+    * reruns and engine swaps reproduce the exact row set. THE
+    * quality-weighted subset primitive ("sample 1M docs, long/high-
+    * quality documents proportionally more often").
+    *
+    * Rows with a NULL or non-positive weight are excluded (they have
+    * no defined selection probability; ln(u)/w is meaningless at
+    * w <= 0) — fill or filter upstream if they should compete.
+    *
+    * Scale shape: the key is one map-only expression; selection is
+    * `orderBy(key).limit(k)` = TakeOrderedAndProject, a bounded heap
+    * of k rows per partition and one O(k x partitions) merge at the
+    * driver side of the exchange — the corpus is never fully sorted.
+    * Hash ties are broken by id ascending for absolute determinism. */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      hash: Column => Column = c =>
+        graft.functions.TextFunctions.portableTokenHash32(c.cast("string"))): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    TempCols.reserve(df, "weightedSample", "__u", "__key")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__u",
+        (hash(col(idCol)) + 1).cast("double") / lit(4294967296.0))
+      .withColumn("__key", log(col("__u")) / col(weightCol))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .drop("__u", "__key")
+  }
+
   /** EXACT per-stratum cap: keep exactly min(cap, stratum size) rows
     * per stratum — the rows whose key hashes LARGEST under a portable
     * hash (hash ties, possible with a 32-bit hash, break by id asc).

@@ -92,6 +92,21 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     assert(got(7) == 8.0) // interior value untouched
   }
 
+  test("weightedSample: deterministic, nested under k, excludes non-positive weights") {
+    import graft.operators.General
+    val df = table("id bigint, w bigint",
+      ((1L to 40L).map(i => row(i, i)) :+ row(41L, 0L) :+ row(42L, null)))
+    val top5 = General.weightedSample(df, "id", "w", 5)
+      .collect().map(_.getLong(0)).toSet
+    val top10 = General.weightedSample(df, "id", "w", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(top5.subsetOf(top10), s"$top5 not nested in $top10") // A-Res keys are fixed per row
+    assert(!top10.contains(41L) && !top10.contains(42L)) // w<=0 / NULL excluded
+    // rerun-stable: same call, same set
+    assert(General.weightedSample(df, "id", "w", 5)
+      .collect().map(_.getLong(0)).toSet == top5)
+  }
+
   // --------------------------------------------------------- Events
 
   test("decayWeightedSum: one-half-life-old events count half") {
