@@ -1656,6 +1656,35 @@ object SparkEntry {
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- q98
+  /** Peak session concurrency per day: sessionize (q22's gap rule),
+    * turn each session into a +1/-1 boundary pair, and take the
+    * inclusive global prefix sum over (time, starts-first) order — the
+    * "how many sessions were open at once" capacity metric. The
+    * prefix sum is [[General.withRunningTotal]]'s range-partitioned
+    * two-pass, never a single-partition window, and the per-day max is
+    * deterministic even under boundary ties: processing all starts
+    * before all ends at an equal timestamp makes the partial-sum
+    * multiset order-independent. The oracle recomputes sessionization,
+    * boundaries, and the same running sum. */
+  private def q98PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.sessionize(Tables.events(s, dir), Seq("user_id"),
+      "ts", gapUs = 1800L * 1000000L, tieBreak = Seq("event_id"))
+    val per = sess.groupBy("user_id", "session_id")
+      .agg(min(unix_micros(col("ts"))).as("st"),
+        max(unix_micros(col("ts"))).as("en"))
+    val bounds = per.select(explode(array(
+        struct(col("st").as("t"), lit(1L).as("d")),
+        struct(col("en").as("t"), lit(-1L).as("d")))).as("b"))
+      .select(col("b.t").as("t"), col("b.d").as("d"))
+      .withColumn("dneg", -col("d")) // ascending sort key: starts first
+    General.withRunningTotal(bounds, Seq("t", "dneg"), "d", "rt")
+      .withColumn("c", col("rt") + col("d")) // rt is the EXCLUSIVE prefix
+      .groupBy(to_date(timestamp_micros(col("t"))).cast("string").as("day"))
+      .agg(max(col("c")).as("peak"))
+      .orderBy("day")
+  }
+
   // ---------------------------------------------------------------- q93
   /** Cohort retention matrix: users grouped by first-event week,
     * distinct active users per whole-week offset. Monday-start week
@@ -1775,6 +1804,7 @@ object SparkEntry {
     "q95_json_roundtrip" -> (q95JsonRoundtrip _),
     "q96_pagerank" -> (q96PageRank _),
     "q97_weighted_sample" -> (q97WeightedSample _),
+    "q98_peak_concurrency" -> (q98PeakConcurrency _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3268,6 +3298,36 @@ object SparkEntry {
         |  ORDER BY key DESC, doc_id LIMIT 50
         |)
         |SELECT doc_id, lang, n_chars FROM top ORDER BY doc_id""".stripMargin,
+    "q98_peak_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS tu,
+        |    event_id
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, tu, event_id,
+        |    CASE WHEN lag(tu) OVER w IS NULL
+        |         OR tu - lag(tu) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+        |), s AS (
+        |  SELECT user_id, tu,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g
+        |), per AS (
+        |  SELECT user_id, sid, MIN(tu) AS st, MAX(tu) AS en
+        |  FROM s GROUP BY user_id, sid
+        |), b AS (
+        |  SELECT st AS t, 1 AS d FROM per
+        |  UNION ALL SELECT en, -1 FROM per
+        |), r AS (
+        |  SELECT t, CAST(SUM(d) OVER (ORDER BY t, d DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        |  FROM b
+        |)
+        |SELECT CAST(CAST(make_timestamp(t) AS DATE) AS VARCHAR) AS day,
+        |  MAX(c) AS peak
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +
