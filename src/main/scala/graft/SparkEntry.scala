@@ -1685,6 +1685,25 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  // ---------------------------------------------------------------- q99
+  /** Percentile rank + quartile bucket per language: the curriculum/
+    * difficulty-bucketing primitive ("assign each document its
+    * within-language length percentile and quartile"). `percent_rank`
+    * is the exact rational (rank-1)/(n-1) — integer arithmetic in
+    * doubles, bit-identical cross-engine; `ntile` is deterministic
+    * under the unique (n_chars, doc_id) order both engines share. One
+    * hash shuffle on the group key; the window sorts within languages
+    * only, never globally. */
+  private def q99PercentileRank(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        percent_rank().over(w).as("pr"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q93
   /** Cohort retention matrix: users grouped by first-event week,
     * distinct active users per whole-week offset. Monday-start week
@@ -1805,6 +1824,7 @@ object SparkEntry {
     "q96_pagerank" -> (q96PageRank _),
     "q97_weighted_sample" -> (q97WeightedSample _),
     "q98_peak_concurrency" -> (q98PeakConcurrency _),
+    "q99_percentile_rank" -> (q99PercentileRank _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3328,6 +3348,13 @@ object SparkEntry {
         |SELECT CAST(CAST(make_timestamp(t) AS DATE) AS VARCHAR) AS day,
         |  MAX(c) AS peak
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q99_percentile_rank" ->
+      """SELECT doc_id, lang, n_chars,
+        |  percent_rank() OVER w AS pr,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +
