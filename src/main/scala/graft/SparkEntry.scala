@@ -1704,6 +1704,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q100
+  /** Corpus bigram LM quality scoring: self-trained MLE conditional
+    * probabilities, mean log prob per document — the perplexity-style
+    * gibberish filter. The oracle retrains the identical counts and
+    * recomputes every per-doc mean; counts are integer-exact, the
+    * division/ln/avg chain is gated at 6 decimals. */
+  private def q100BigramLm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.bigramLogProbScore(
+        Tables.documents(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"),
+        round(col("avg_logprob"), 6).as("avg_logprob6"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- q93
   /** Cohort retention matrix: users grouped by first-event week,
     * distinct active users per whole-week offset. Monday-start week
@@ -1825,6 +1838,7 @@ object SparkEntry {
     "q97_weighted_sample" -> (q97WeightedSample _),
     "q98_peak_concurrency" -> (q98PeakConcurrency _),
     "q99_percentile_rank" -> (q99PercentileRank _),
+    "q100_bigram_lm" -> (q100BigramLm _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3355,6 +3369,29 @@ object SparkEntry {
         |FROM documents
         |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q100_bigram_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), bgl AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_transform(range(len(toks) - 1), i ->
+        |      {'w1': toks[CAST(i + 1 AS INT)],
+        |       'w2': toks[CAST(i + 2 AS INT)]})) AS bg
+        |  FROM tk WHERE len(toks) >= 2
+        |), bg AS (
+        |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bgl
+        |), c2 AS (
+        |  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1
+        |)
+        |SELECT bg.doc_id,
+        |  COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))), 6)
+        |    AS avg_logprob6
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +

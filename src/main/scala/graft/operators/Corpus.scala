@@ -560,4 +560,46 @@ object Corpus {
       .orderBy(col("cosine").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Corpus bigram language-model score per document: the KenLM-style
+    * quality filter approximated at bigram order — train MLE
+    * conditional probabilities `P(w2|w1) = c(w1,w2) / c_prefix(w1)` on
+    * the corpus itself, then score each document by the mean log
+    * probability of its bigrams. Low scores = improbable token
+    * sequences (gibberish, boilerplate soup, OCR noise) — the classic
+    * LM-perplexity filter without an external model artifact. Returns
+    * (id, `n_bigrams`, `avg_logprob`); documents with fewer than two
+    * tokens carry no bigram evidence and are excluded.
+    *
+    * Scale shape: the bigram count table is one hashed (w1, w2)
+    * shuffle bounded by the bigram vocabulary (like [[termFrequencies]]
+    * — NOT the corpus), prefix counts aggregate that same bounded
+    * table, and scoring joins the doc-bigram stream against both count
+    * tables on keys they are already aggregated by — unhinted, so AQE
+    * broadcasts small vocabularies and web-scale ones degrade to
+    * shuffle joins instead of OOM. Self-training on the scored corpus
+    * keeps everything distributed; to score against a FIXED reference
+    * corpus, build the count tables from that corpus and join here. */
+  def bigramLogProbScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val docs = df.select(col(idCol).as("id"), toks.as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val bigrams = docs.select(col("id"),
+        explode(transform(sequence(lit(0), size(col("__toks")) - 2),
+          i => struct(element_at(col("__toks"), i + 1).as("w1"),
+            element_at(col("__toks"), i + 2).as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    val prefCounts = bgCounts.groupBy("w1").agg(sum(col("__c2")).as("__c1"))
+    bigrams
+      .join(bgCounts, Seq("w1", "w2"))
+      .join(prefCounts, Seq("w1"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log(col("__c2").cast("double") / col("__c1").cast("double")))
+          .as("avg_logprob"))
+  }
 }

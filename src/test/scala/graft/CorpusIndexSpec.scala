@@ -295,4 +295,18 @@ class CorpusIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(1), r.getLong(0))).toSet
     assert(got2.subsetOf(got4))
   }
+
+  test("bigram LM score: hand-computed MLE probabilities; short docs excluded") {
+    import graft.operators.Corpus
+    val df = table("id bigint, text string", Seq(
+      row(1L, "a b"), row(2L, "a b"), row(3L, "a c"), row(4L, "solo")))
+    // c(a,b)=2, c(a,c)=1, prefix c(a)=3
+    val got = Corpus.bigramLogProbScore(df, "id", "text")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L)) // doc 4 has one token: excluded
+    assert(got.map(_._2) == Seq(1L, 1L, 1L))
+    assert(math.abs(got(0)._3 - math.log(2.0 / 3)) < 1e-12)
+    assert(math.abs(got(2)._3 - math.log(1.0 / 3)) < 1e-12)
+  }
 }
