@@ -29,4 +29,39 @@ class GraphSpec extends AnyFunSuite {
     ranks.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-12, ranks.toSeq))
     assert(math.abs(ranks.sum - 1.0) < 1e-12)
   }
+
+  test("pageRank: agrees with a driver-side reference on random symmetric graphs") {
+    // same recurrence computed in plain Scala over the same edge list —
+    // catches any drift in node-set, degree, or teleport handling on
+    // arbitrary topology, not just the hand-built cases above
+    def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+      val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+      val nodes = edges.map(_._1).distinct
+      val n = nodes.size.toDouble
+      var r = nodes.map(_ -> 1.0 / n).toMap
+      (1 to iters).foreach { _ =>
+        val in = edges.groupBy(_._2)
+          .map { case (d, es) => d -> es.map { case (s, _) => r(s) / out(s) }.sum }
+        r = nodes.map(v => v -> (0.15 / n + 0.85 * in.getOrElse(v, 0.0))).toMap
+      }
+      r
+    }
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val undirected = (0 until 20)
+        .map(_ => (rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val directed = undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      val got = Graph.pageRank(
+          table("a bigint, b bigint", directed.map { case (a, b) => row(a, b) }),
+          "a", "b", iterations = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val exp = reference(directed, 3)
+      assert(got.keySet == exp.keySet)
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - exp(v)) < 1e-9, s"node $v: $r vs ${exp(v)}")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    }
+  }
 }

@@ -74,6 +74,40 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     assert(got.length == 1 && got.head.isNullAt(2), got.toSeq.toString)
   }
 
+  test("zScore: matches the window formulation on random frames with NULLs") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    val groups = Array("a", "b", null)
+    (1 to 3).foreach { _ =>
+      val rows = (1L to 60L).map { i =>
+        row(i, groups(rnd.nextInt(3)),
+          if (rnd.nextInt(10) == 0) null else rnd.nextInt(100).toLong)
+      }
+      val df = table("id bigint, g string, v bigint", rows)
+      val got = Stats.zScore(df, Seq("g"), "v", "z")
+        .select("id", "z").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+        .toMap
+      val w = Window.partitionBy("g")
+      val exp = df.withColumn("__m", avg(col("v")).over(w))
+        .withColumn("__s", stddev_samp(col("v")).over(w))
+        .select(col("id"),
+          when(col("__s") > 0, (col("v") - col("__m")) / col("__s")).as("z"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+        .toMap
+      assert(got.keySet == exp.keySet) // no rows dropped — NULL groups included
+      got.foreach { case (id, z) =>
+        (z, exp(id)) match {
+          case (null, null) =>
+          case (a: java.lang.Double, b: java.lang.Double) =>
+            assert(math.abs(a - b) < 1e-9, s"id $id: $a vs $b")
+          case (a, b) => fail(s"id $id: $a vs $b")
+        }
+      }
+    }
+  }
+
   test("zScore: reserved temp column collision fails loudly") {
     val df = table("g string, v bigint, __mean double", Seq(row("a", 1L, 0.0)))
     val e = intercept[IllegalArgumentException] {
