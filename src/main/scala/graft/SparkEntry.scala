@@ -1665,8 +1665,11 @@ object SparkEntry {
     * two-pass, never a single-partition window, and the per-day max is
     * deterministic even under boundary ties: processing all starts
     * before all ends at an equal timestamp makes the partial-sum
-    * multiset order-independent. The oracle recomputes sessionization,
-    * boundaries, and the same running sum. */
+    * multiset order-independent. Each boundary contributes its pre-
+    * and post-event values, so overnight carry-in counts toward the
+    * day it lands in (a day with no boundaries at all is absent — the
+    * metric samples at session boundaries). The oracle recomputes
+    * sessionization, boundaries, and the same running sum. */
   private def q98PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
     val sess = Sessionize.sessionize(Tables.events(s, dir), Seq("user_id"),
       "ts", gapUs = 1800L * 1000000L, tieBreak = Seq("event_id"))
@@ -1679,7 +1682,14 @@ object SparkEntry {
       .select(col("b.t").as("t"), col("b.d").as("d"))
       .withColumn("dneg", -col("d")) // ascending sort key: starts first
     General.withRunningTotal(bounds, Seq("t", "dneg"), "d", "rt")
-      .withColumn("c", col("rt") + col("d")) // rt is the EXCLUSIVE prefix
+      // Each boundary contributes BOTH its pre-event value (rt, the
+      // EXCLUSIVE prefix = concurrency carried into this instant) and
+      // its post-event value (rt + d): a day that opens under sessions
+      // carried across midnight reports that carry-in via its first
+      // boundary's rt, not just post-event values. A day with NO
+      // boundaries at all is absent — the metric samples at session
+      // boundaries by construction.
+      .withColumn("c", greatest(col("rt"), col("rt") + col("d")))
       .groupBy(to_date(timestamp_micros(col("t"))).cast("string").as("day"))
       .agg(max(col("c")).as("peak"))
       .orderBy("day")
@@ -3324,9 +3334,12 @@ object SparkEntry {
         |        * 16**(7-i))) AS BIGINT) AS hv
         |  FROM documents
         |), k AS (
+        |  -- mirror the operator's contract: NULL / non-positive weights
+        |  -- never compete (DuckDB's x/0 = NULL would otherwise backfill
+        |  -- NULL-key rows into an undersubscribed top-k)
         |  SELECT doc_id, lang, n_chars,
         |    ln((CAST(hv AS DOUBLE) + 1.0) / 4294967296.0) / n_chars AS key
-        |  FROM h
+        |  FROM h WHERE n_chars IS NOT NULL AND n_chars > 0
         |), top AS (
         |  SELECT doc_id, lang, n_chars FROM k
         |  ORDER BY key DESC, doc_id LIMIT 50
@@ -3355,12 +3368,12 @@ object SparkEntry {
         |  SELECT st AS t, 1 AS d FROM per
         |  UNION ALL SELECT en, -1 FROM per
         |), r AS (
-        |  SELECT t, CAST(SUM(d) OVER (ORDER BY t, d DESC
+        |  SELECT t, d, CAST(SUM(d) OVER (ORDER BY t, d DESC
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
         |  FROM b
         |)
         |SELECT CAST(CAST(make_timestamp(t) AS DATE) AS VARCHAR) AS day,
-        |  MAX(c) AS peak
+        |  MAX(GREATEST(c, c - d)) AS peak
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q99_percentile_rank" ->
       """SELECT doc_id, lang, n_chars,
