@@ -1727,6 +1727,17 @@ object SparkEntry {
         round(col("avg_logprob"), 6).as("avg_logprob6"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- q101
+  /** The sorted-scan funnel formulation held to the SAME oracle as
+    * q92 (the q46/q63 two-formulations-one-ground-truth pattern): one
+    * shuffle + in-shuffle time sort + an O(1)-state streaming scan per
+    * user, depth-independent — must reproduce the join formulation's
+    * greedy chain exactly. */
+  private def q101FunnelSorted(s: SparkSession, dir: String): DataFrame =
+    Events.funnelSorted(Tables.events(s, dir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
   // ---------------------------------------------------------------- q93
   /** Cohort retention matrix: users grouped by first-event week,
     * distinct active users per whole-week offset. Monday-start week
@@ -1849,6 +1860,7 @@ object SparkEntry {
     "q98_peak_concurrency" -> (q98PeakConcurrency _),
     "q99_percentile_rank" -> (q99PercentileRank _),
     "q100_bigram_lm" -> (q100BigramLm _),
+    "q101_funnel_sorted" -> (q101FunnelSorted _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3277,27 +3289,7 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM events, r
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "q92_funnel" ->
-      """WITH s1 AS (
-        |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
-        |  WHERE event_type = 'view' GROUP BY user_id
-        |), s2 AS (
-        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
-        |  JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t1
-        |  WHERE e.event_type = 'click' GROUP BY e.user_id
-        |), s3 AS (
-        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
-        |  JOIN s2 ON e.user_id = s2.user_id AND epoch_us(e.ts) > s2.t2
-        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
-        |)
-        |SELECT s1.user_id,
-        |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
-        |            WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER)
-        |    AS steps_reached,
-        |  s1.t1 AS t1_us, s3.t3 AS tk_us, s3.t3 - s1.t1 AS delay_us
-        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
-        |ORDER BY s1.user_id""".stripMargin,
+    "q92_funnel" -> funnelOracle,
     "q93_cohort" ->
       """WITH f AS (
         |  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
@@ -3382,6 +3374,7 @@ object SparkEntry {
         |FROM documents
         |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q101_funnel_sorted" -> funnelOracle,
     "q100_bigram_lm" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
@@ -3462,6 +3455,32 @@ object SparkEntry {
       |  FROM lab
       |)
       |SELECT doc_id, n_tokens FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** ONE funnel ground truth: q92 (k-1 min-after joins) and q101 (one
+    * sorted scan) are two formulations of the same greedy chain — both
+    * held to this identical SQL, so a semantics drift in either
+    * formulation fails its gate. */
+  private val funnelOracle: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t1
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id AND epoch_us(e.ts) > s2.t2
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+      |)
+      |SELECT s1.user_id,
+      |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+      |            WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER)
+      |    AS steps_reached,
+      |  s1.t1 AS t1_us, s3.t3 AS tk_us, s3.t3 - s1.t1 AS delay_us
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin
 
   /** q96: the same exact-Jaccard pair prefix feeding a 3-iteration
     * unrolled PageRank recurrence (uniform start, damping 0.85,

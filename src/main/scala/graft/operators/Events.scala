@@ -164,4 +164,58 @@ object Events {
       col("t1").as("t1_us"), col(s"t$k").as("tk_us"),
       (col(s"t$k") - col("t1")).as("delay_us"))
   }
+
+  /** [[funnel]] in ONE pass: identical semantics (greedy earliest
+    * chain, strictly-after steps — a forward scan of the time-sorted
+    * stream advances exactly at the minimum qualifying time of each
+    * step, so the two formulations agree row for row; q101 holds this
+    * one to q92's oracle), but computed as a single sorted-grouped
+    * scan instead of k-1 (filter → join → min) rounds.
+    *
+    * The deep-funnel scale path: ONE hash shuffle on the key with the
+    * time sort done inside the shuffle machinery
+    * (`flatMapSortedGroups`), the per-key scan streams the iterator
+    * with O(1) state — no per-step corpus scans, no joins, and cost
+    * independent of funnel depth. Prefer [[funnel]] when steps are few
+    * and the per-step type filters prune the scan hard; prefer this
+    * when the funnel is deep or the event log is dominated by funnel
+    * event types. Rows with a NULL timestamp or type are ignored. */
+  def funnelSorted(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val base = df.select(col(keyCol),
+        unix_micros(col(tsCol)).as("__t"), col(typeCol).as("__ty"))
+      .filter(col("__t").isNotNull && col("__ty").isNotNull)
+    val out = StructType(Seq(
+      StructField("steps_reached", IntegerType, nullable = false),
+      StructField("t1_us", LongType),
+      StructField("tk_us", LongType),
+      StructField("delay_us", LongType)))
+    val stepArr = steps.toArray
+    Grouped.applyPerGroupSorted(base, Seq(keyCol), Seq("__t"), out) { rows =>
+      var stage = 0
+      var lastT = Long.MinValue
+      var t1 = 0L
+      rows.foreach { r =>
+        if (stage < stepArr.length) {
+          val t = r.getLong(1)
+          if (r.getString(2) == stepArr(stage) && (stage == 0 || t > lastT)) {
+            if (stage == 0) t1 = t
+            lastT = t
+            stage += 1
+          }
+        }
+      }
+      if (stage == 0) Iterator.empty
+      else Iterator(org.apache.spark.sql.Row(stage, t1,
+        if (stage == stepArr.length) lastT else null,
+        if (stage == stepArr.length) lastT - t1 else null))
+    }
+  }
 }

@@ -192,6 +192,29 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
       (2L, 100000000L, 2L, 5.0), (2L, 100000000L, 2L, 5.0)))
   }
 
+  test("funnelSorted: agrees with the join formulation on random event streams") {
+    val rnd = new scala.util.Random(17)
+    val types = Array("view", "click", "buy", "noise")
+    (1 to 3).foreach { _ =>
+      val rows = (1L to 120L).map { i =>
+        row(rnd.nextInt(8).toLong, rnd.nextInt(40).toLong * 1000000L,
+          types(rnd.nextInt(4)))
+      }
+      val df = table("u bigint, t_us bigint, ty string", rows)
+        .select(col("u"), timestamp_micros(col("t_us")).as("ts"), col("ty"))
+      def collect(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4))).toSet
+      val viaJoins = collect(
+        Events.funnel(df, "u", "ts", "ty", Seq("view", "click", "buy")))
+      val viaScan = collect(
+        Events.funnelSorted(df, "u", "ts", "ty", Seq("view", "click", "buy")))
+      assert(viaScan == viaJoins)
+    }
+  }
+
   test("funnel: greedy earliest chain, strictly-after steps, depth per key") {
     val df = table("u bigint, t_us bigint, ty string", Seq(
       // u1 completes in order
