@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, StructField, StructType}
 
 /** Event-log analytics over (key, timestamp, type, value) streams:
   * recency-weighted aggregation and ordered funnel conversion — the
@@ -11,9 +13,6 @@ import org.apache.spark.sql.functions._
   * family as [[Sessionize]] / [[AsOfJoin]].
   */
 object Events {
-
-  private def reserve(df: DataFrame, names: String*): Unit =
-    TempCols.reserve(df, "Events", names: _*)
 
   /** Exponential time-decay weighted sum of `valueCol` per key:
     * each event contributes `value * 2^(-age / halfLifeSec)`, ages
@@ -41,7 +40,7 @@ object Events {
       outCol: String = "decayed_sum"): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column")
     require(halfLifeSec > 0, s"halfLifeSec ($halfLifeSec) must be positive")
-    reserve(df, "__w")
+    TempCols.reserve(df, "decayWeightedSum", "__w")
     val refRow = df.agg(max(unix_micros(col(tsCol)))).head()
     require(!refRow.isNullAt(0), "decayWeightedSum needs at least one non-null timestamp")
     val refUs = refRow.getLong(0)
@@ -68,7 +67,7 @@ object Events {
       df: DataFrame,
       keyCol: String,
       tsCol: String): DataFrame = {
-    reserve(df, "__first_ts")
+    TempCols.reserve(df, "cohortRetention", "__first_ts")
     val first = df.groupBy(col(keyCol))
       .agg(min(col(tsCol)).as("__first_ts"))
     df.select(col(keyCol), col(tsCol))
@@ -102,15 +101,14 @@ object Events {
       windowSec: Long,
       outSuffix: String): DataFrame = {
     require(windowSec > 0, s"windowSec ($windowSec) must be positive")
-    reserve(df, s"n_$outSuffix", s"sum_$outSuffix") // appended, never overwritten
-    val w = org.apache.spark.sql.expressions.Window
+    TempCols.reserve(df, "rollingWindow", s"n_$outSuffix", s"sum_$outSuffix") // appended, never overwritten
+    val w = Window
       .partitionBy(col(keyCol))
       .orderBy(unix_micros(col(tsCol)))
       .rangeBetween(-windowSec * 1000000L, 0L)
     df.withColumn(s"n_$outSuffix", count(lit(1)).over(w))
       .withColumn(s"sum_$outSuffix",
-        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .over(w).cast("double"))
+        sum(col(valueCol).cast(DecimalType(18, 2))).over(w).cast("double"))
   }
 
   /** Ordered funnel: for every key that performed `steps.head`, how far
@@ -186,7 +184,6 @@ object Events {
       tsCol: String,
       typeCol: String,
       steps: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     require(steps.size >= 2, "a funnel needs at least two steps")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val base = df.select(col(keyCol),
@@ -213,7 +210,7 @@ object Events {
         }
       }
       if (stage == 0) Iterator.empty
-      else Iterator(org.apache.spark.sql.Row(stage, t1,
+      else Iterator(Row(stage, t1,
         if (stage == stepArr.length) lastT else null,
         if (stage == stepArr.length) lastT - t1 else null))
     }
