@@ -1738,6 +1738,17 @@ object SparkEntry {
       Seq("view", "click", "purchase"))
       .orderBy("user_id")
 
+  // ---------------------------------------------------------------- q102
+  /** The STREAMING funnel replay-gated against the same oracle as
+    * q92/q101 (three formulations, one ground truth): stateful
+    * per-user greedy-chain progress, completed funnels emitted on the
+    * final step, partials flushed by the replay's per-key sentinels —
+    * the replayed stream must reproduce the batch funnel row for row. */
+  private def q102StreamFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayFunnel(Tables.events(s, dir),
+      Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
   // ---------------------------------------------------------------- q93
   /** Cohort retention matrix: users grouped by first-event week,
     * distinct active users per whole-week offset. Monday-start week
@@ -1861,6 +1872,7 @@ object SparkEntry {
     "q99_percentile_rank" -> (q99PercentileRank _),
     "q100_bigram_lm" -> (q100BigramLm _),
     "q101_funnel_sorted" -> (q101FunnelSorted _),
+    "q102_stream_funnel" -> (q102StreamFunnel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3375,6 +3387,7 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q101_funnel_sorted" -> funnelOracle,
+    "q102_stream_funnel" -> funnelOracle,
     "q100_bigram_lm" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks

@@ -115,6 +115,75 @@ object EventStream {
       }
   }
 
+  /** Funnel progress emitted by the stateful streaming funnel. */
+  final case class FunnelResult(user_id: Long, steps_reached: Int,
+      t1_us: Long, tk_us: Option[Long], delay_us: Option[Long])
+
+  /** Per-user funnel progress carried in the state store. */
+  final case class FunnelState(stage: Int, t1Us: Long, lastUs: Long,
+      emitted: Boolean)
+
+  /** Stateful streaming funnel: the incremental twin of
+    * [[graft.operators.Events.funnelSorted]] — one GroupState per user
+    * carries the greedy-chain progress (stage index + last step time),
+    * O(1) state per user regardless of stream length or funnel depth.
+    *
+    * Emission semantics: a COMPLETED funnel emits the moment its final
+    * step arrives ("conversion detected", the real-time use) — and
+    * because the greedy earliest chain is fixed once complete, later
+    * events can never revise it, so the early emission is final. A
+    * PARTIAL funnel has no natural close; an event of type
+    * `flushType` (the replay sentinel, or an explicit end-of-day
+    * marker) flushes the user's partial progress once. Users who never
+    * performed `steps.head` emit nothing, matching the batch operator.
+    *
+    * Same deployment assumption as [[sessionizeStream]]: events arrive
+    * time-ordered across micro-batches (each batch is sorted
+    * internally); the replay gate feeds one sorted batch. */
+  def funnelStream(
+      events: Dataset[Event],
+      steps: Seq[String],
+      flushType: String = "__sentinel"): Dataset[FunnelResult] = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(!steps.contains(flushType), "flushType cannot be a funnel step")
+    import events.sparkSession.implicits._
+    val stepArr = steps.toArray
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelResult](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(
+            FunnelState(0, 0L, Long.MinValue, emitted = false))
+          val out = Seq.newBuilder[FunnelResult]
+          sorted.foreach { e =>
+            if (e.event_type == flushType) {
+              if (st.stage >= 1 && !st.emitted) {
+                out += FunnelResult(userId, st.stage, st.t1Us, None, None)
+                st = st.copy(emitted = true)
+              }
+            } else if (st.stage < stepArr.length &&
+                e.event_type == stepArr(st.stage)) {
+              val us = micros(e.ts)
+              if (st.stage == 0) {
+                st = FunnelState(1, us, us, emitted = false)
+              } else if (us > st.lastUs) {
+                st = st.copy(stage = st.stage + 1, lastUs = us)
+                if (st.stage == stepArr.length && !st.emitted) {
+                  out += FunnelResult(userId, st.stage, st.t1Us,
+                    Some(st.lastUs), Some(st.lastUs - st.t1Us))
+                  st = st.copy(emitted = true)
+                }
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join: each left event matched to right
     * events of the same user with `r.ts` in `[l.ts, l.ts + maxGap]` —
     * the incremental funnel/attribution join (click -> purchase within

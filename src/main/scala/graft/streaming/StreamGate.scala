@@ -197,6 +197,19 @@ object StreamGate {
     runToParquet(EventStream.sessionizeStream(stream, gapUs).toDF(), src)
   }
 
+  /** Replay through [[EventStream.funnelStream]]: completed funnels
+    * emit on their final step; per-key sentinels flush every partial
+    * funnel, so the replay returns exactly the batch funnel's rows.
+    * @note one-generation replay contract — see the object doc. */
+  def replayFunnel(events: DataFrame, steps: Seq[String]): DataFrame = replayLock.synchronized {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (streamDf, src) = replayStream(
+      withPerKeySentinels(events, horizonUs = 3600L * 1000000L))
+    val stream = streamDf.as[EventStream.Event]
+    runToParquet(EventStream.funnelStream(stream, steps).toDF(), src)
+  }
+
   /** Replay through [[EventStream.windowedCounts]]: the global
     * sentinel pushes the watermark past every real window, so append
     * mode emits them all; the sentinel's own row is filtered out of

@@ -152,4 +152,33 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stream funnel == batch funnel (completions early, partials sentinel-flushed)") {
+    import graft.operators.Events
+    val steps = Seq("view", "click", "purchase")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4))).toSet
+    val streamed = rows(StreamGate.replayFunnel(events, steps)
+      .select("user_id", "steps_reached", "t1_us", "tk_us", "delay_us"))
+    val batch = rows(Events.funnel(events, "user_id", "ts", "event_type", steps)
+      .select("user_id", "steps_reached", "t1_us", "tk_us", "delay_us"))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // crafted frame: exercise BOTH emission paths (early completion +
+    // sentinel-flushed partial) and the never-started exclusion —
+    // sf0.001's real users all complete, so the real table can't
+    val crafted = table(
+      "event_id bigint, t_us bigint, user_id bigint, event_type string, value double",
+      Seq(row(1L, 10L, 1L, "view", 0.0), row(2L, 20L, 1L, "click", 0.0),
+        row(3L, 30L, 1L, "purchase", 0.0),
+        row(4L, 10L, 2L, "view", 0.0), row(5L, 20L, 2L, "click", 0.0),
+        row(6L, 10L, 3L, "click", 0.0)))
+      .select(col("event_id"), timestamp_micros(col("t_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val craftedOut = rows(StreamGate.replayFunnel(crafted, steps)
+      .select("user_id", "steps_reached", "t1_us", "tk_us", "delay_us"))
+    assert(craftedOut == Set((1L, 3, 10L, 30L, 20L), (2L, 2, 10L, null, null)))
+  }
 }
