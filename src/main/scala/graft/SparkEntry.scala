@@ -1601,6 +1601,10 @@ object SparkEntry {
     // lazily on every action.
     val jsonDir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_json_documents_${ProcessHandle.current().pid()}").getAbsolutePath
+    // coalesce(1) is the GATE's determinism device (one file, one
+    // writer, stable bytes to hash) — the operator's read path stays
+    // splittable; a production JSON write keeps its natural
+    // parallelism and would never single-writer a corpus.
     Tables.documents(s, dir).coalesce(1)
       .write.mode("overwrite").json(jsonDir)
     val schema = StructType(Seq(
@@ -1657,43 +1661,17 @@ object SparkEntry {
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------- q98
-  /** Peak session concurrency per day: sessionize (q22's gap rule),
-    * turn each session into a +1/-1 boundary pair, and take the
-    * inclusive global prefix sum over (time, starts-first) order — the
-    * "how many sessions were open at once" capacity metric. The
-    * prefix sum is [[General.withRunningTotal]]'s range-partitioned
-    * two-pass, never a single-partition window, and the per-day max is
-    * deterministic even under boundary ties: processing all starts
-    * before all ends at an equal timestamp makes the partial-sum
-    * multiset order-independent. Each boundary contributes its pre-
-    * and post-event values, so overnight carry-in counts toward the
-    * day it lands in (a day with no boundaries at all is absent — the
-    * metric samples at session boundaries). The oracle recomputes
-    * sessionization, boundaries, and the same running sum. */
-  private def q98PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
-    val sess = Sessionize.sessionize(Tables.events(s, dir), Seq("user_id"),
-      "ts", gapUs = 1800L * 1000000L, tieBreak = Seq("event_id"))
-    val per = sess.groupBy("user_id", "session_id")
-      .agg(min(unix_micros(col("ts"))).as("st"),
-        max(unix_micros(col("ts"))).as("en"))
-    val bounds = per.select(explode(array(
-        struct(col("st").as("t"), lit(1L).as("d")),
-        struct(col("en").as("t"), lit(-1L).as("d")))).as("b"))
-      .select(col("b.t").as("t"), col("b.d").as("d"))
-      .withColumn("dneg", -col("d")) // ascending sort key: starts first
-    General.withRunningTotal(bounds, Seq("t", "dneg"), "d", "rt")
-      // Each boundary contributes BOTH its pre-event value (rt, the
-      // EXCLUSIVE prefix = concurrency carried into this instant) and
-      // its post-event value (rt + d): a day that opens under sessions
-      // carried across midnight reports that carry-in via its first
-      // boundary's rt, not just post-event values. A day with NO
-      // boundaries at all is absent — the metric samples at session
-      // boundaries by construction.
-      .withColumn("c", greatest(col("rt"), col("rt") + col("d")))
-      .groupBy(to_date(timestamp_micros(col("t"))).cast("string").as("day"))
-      .agg(max(col("c")).as("peak"))
-      .orderBy("day")
-  }
+  /** Peak session concurrency per day through the first-class
+    * [[Events.peakConcurrency]] operator (q22's gap rule): sessions
+    * become +1/-1 boundary pairs, the inclusive global prefix sum over
+    * (time, starts-first) order is the concurrency curve, and each
+    * day's max is the capacity metric. Carry-in/sampling semantics and
+    * the range-partitioned two-pass prefix sum are documented (and
+    * pinned) on the operator. The oracle recomputes sessionization,
+    * boundaries, and the same running sum. */
+  private def q98PeakConcurrency(s: SparkSession, dir: String): DataFrame =
+    Events.peakConcurrency(Tables.events(s, dir), Seq("user_id"), "ts",
+      gapUs = 1800L * 1000000L, tieBreak = Seq("event_id"))
 
   // ---------------------------------------------------------------- q99
   /** Percentile rank + quartile bucket per language: the curriculum/
@@ -3281,11 +3259,14 @@ object SparkEntry {
         |  FROM documents GROUP BY lang
         |), c AS (
         |  -- NULL stays NULL: DuckDB's LEAST/GREATEST skip NULLs and
-        |  -- would fabricate the lo bound, diverging from the engine
+        |  -- would fabricate the lo bound, diverging from the engine.
+        |  -- Null-safe join: the operator's pinned contract clips a NULL
+        |  -- lang within its own stratum, so the oracle must not reject
+        |  -- NULL-lang rows with a plain equality join.
         |  SELECT d.lang,
         |    CASE WHEN n_chars IS NULL THEN NULL
         |         ELSE LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi) END AS w
-        |  FROM documents d JOIN b USING (lang)
+        |  FROM documents d JOIN b ON d.lang IS NOT DISTINCT FROM b.lang
         |)
         |SELECT lang, COUNT(*) AS n,
         |  ROUND(AVG(w), 6) AS win_mean,
@@ -3338,12 +3319,13 @@ object SparkEntry {
         |        * 16**(7-i))) AS BIGINT) AS hv
         |  FROM documents
         |), k AS (
-        |  -- mirror the operator's contract: NULL / non-positive weights
-        |  -- never compete (DuckDB's x/0 = NULL would otherwise backfill
+        |  -- mirror the operator's contract: NULL ids and NULL /
+        |  -- non-positive weights never compete (either would backfill
         |  -- NULL-key rows into an undersubscribed top-k)
         |  SELECT doc_id, lang, n_chars,
         |    ln((CAST(hv AS DOUBLE) + 1.0) / 4294967296.0) / n_chars AS key
-        |  FROM h WHERE n_chars IS NOT NULL AND n_chars > 0
+        |  FROM h WHERE doc_id IS NOT NULL
+        |    AND n_chars IS NOT NULL AND n_chars > 0
         |), top AS (
         |  SELECT doc_id, lang, n_chars FROM k
         |  ORDER BY key DESC, doc_id LIMIT 50

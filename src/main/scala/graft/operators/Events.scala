@@ -111,6 +111,53 @@ object Events {
         sum(col(valueCol).cast(DecimalType(18, 2))).over(w).cast("double"))
   }
 
+  /** Peak session concurrency per day: sessionize the event log
+    * ([[Sessionize.sessionize]]'s gap rule), turn each (key, session)
+    * into a +1/-1 boundary pair at its first/last event time, and take
+    * the inclusive global prefix sum over (time, starts-first) order —
+    * "how many sessions were open at once", the capacity metric behind
+    * concurrency-based sizing. Returns (`day` ISO date string, `peak`).
+    *
+    * Semantics (pinned by the q98 oracle): each boundary contributes
+    * BOTH its pre-event value (the exclusive prefix = concurrency
+    * carried into that instant) and its post-event value, so a day that
+    * opens under sessions carried across midnight reports the carry-in
+    * via its first boundary; a day with no session boundaries at all is
+    * absent — the metric SAMPLES at session boundaries, which is where
+    * every concurrency extremum lives (concurrency only changes at a
+    * boundary). Boundary ties process all starts before all ends at an
+    * equal timestamp, which makes the partial-sum multiset — and
+    * therefore each day's max — independent of sort-tie order.
+    *
+    * Scale shape: sessionization is one hash shuffle on the keys; the
+    * boundary pairs are two rows per session (session-bounded, never
+    * event-bounded); the prefix sum is
+    * [[General.withRunningTotal]]'s range-partitioned two-pass — a
+    * global SORT by (time, starts-first) plus one O(partitions) scalar
+    * exchange, never a single-partition window; the per-day max is one
+    * map-side-combined aggregation. */
+  def peakConcurrency(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      gapUs: Long,
+      tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val sess = Sessionize.sessionize(df, keyCols, tsCol, gapUs, tieBreak)
+    val per = sess.groupBy((keyCols :+ "session_id").map(col): _*)
+      .agg(min(unix_micros(col(tsCol))).as("st"),
+        max(unix_micros(col(tsCol))).as("en"))
+    val bounds = per.select(explode(array(
+        struct(col("st").as("t"), lit(1L).as("d")),
+        struct(col("en").as("t"), lit(-1L).as("d")))).as("b"))
+      .select(col("b.t").as("t"), col("b.d").as("d"))
+      .withColumn("dneg", -col("d")) // ascending sort key: starts first
+    General.withRunningTotal(bounds, Seq("t", "dneg"), "d", "rt")
+      .withColumn("c", greatest(col("rt"), col("rt") + col("d")))
+      .groupBy(to_date(timestamp_micros(col("t"))).cast("string").as("day"))
+      .agg(max(col("c")).as("peak"))
+      .orderBy("day")
+  }
+
   /** Ordered funnel: for every key that performed `steps.head`, how far
     * through the step sequence it got, each step STRICTLY after the
     * previous one in event time (the first qualifying occurrence, so

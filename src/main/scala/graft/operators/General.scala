@@ -329,7 +329,11 @@ object General {
     *
     * Rows with a NULL or non-positive weight are excluded (they have
     * no defined selection probability; ln(u)/w is meaningless at
-    * w <= 0) — fill or filter upstream if they should compete.
+    * w <= 0), and so are rows with a NULL id: hash(NULL) is a NULL
+    * A-Res key, which sorts last under `desc` yet would still backfill
+    * an undersubscribed top-k when fewer than k valid rows exist — a
+    * row with no defined selection key must never enter the sample.
+    * Fill or filter upstream if such rows should compete.
     *
     * Scale shape: the key is one map-only expression; selection is
     * `orderBy(key).limit(k)` = TakeOrderedAndProject, a bounded heap
@@ -345,7 +349,7 @@ object General {
         graft.functions.TextFunctions.portableTokenHash32(c.cast("string"))): DataFrame = {
     require(k > 0, s"k ($k) must be positive")
     TempCols.reserve(df, "weightedSample", "__u", "__key")
-    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    df.filter(col(idCol).isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("__u",
         (hash(col(idCol)) + 1).cast("double") / lit(4294967296.0))
       .withColumn("__key", log(col("__u")) / col(weightCol))

@@ -41,6 +41,25 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     assert(dropped.count() == 0L)
   }
 
+  test("fuzzy pairs: oversize guard is count-first — decided BELOW the list aggregation") {
+    // The guard must act on the window-counted cardinality before
+    // collect_list can materialize a bucket: in the optimized plan the
+    // raise_error filter is a CHILD of the collect_list aggregate (tree
+    // prints top-down, so the aggregate's offset comes first). The old
+    // size(collect_list(...)) formulation had them inverted — and a
+    // degenerate bucket OOM'd the aggregation buffer before the guard
+    // could fire.
+    val df = table("id bigint, text string",
+      (1L to 10L).map(i => row(i, s"prefix shared by all $i")))
+    val plan = Fuzzy.blockedFuzzyPairs(df, "id", "text",
+        keyLen = 16, blockLen = 5, maxDist = 2, maxBucket = 4)
+      .queryExecution.optimizedPlan.toString
+    val agg = plan.indexOf("collect_list")
+    val guard = plan.indexOf("raise_error")
+    assert(agg >= 0 && guard >= 0 && agg < guard,
+      s"collect_list@$agg raise_error@$guard\n${plan.take(2000)}")
+  }
+
   // --------------------------------------------------------- Stats
 
   test("zScore: known groups standardize; degenerate groups yield NULL") {
@@ -139,6 +158,18 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     // rerun-stable: same call, same set
     assert(General.weightedSample(df, "id", "w", 5)
       .collect().map(_.getLong(0)).toSet == top5)
+  }
+
+  test("weightedSample: NULL ids never backfill an undersubscribed top-k") {
+    import graft.operators.General
+    // fewer valid rows than k: a NULL id's NULL A-Res key sorts last
+    // under desc, so without the explicit id filter it would slip into
+    // the sample exactly here
+    val df = table("id bigint, w bigint",
+      Seq(row(1L, 10L), row(2L, 20L), row(null, 30L)))
+    val got = General.weightedSample(df, "id", "w", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), got.toString)
   }
 
   // --------------------------------------------------------- Events
