@@ -149,7 +149,9 @@ object Dedup {
     * Only bucket-local pairs are ever materialized, so cost tracks the
     * number of colliding pairs, not n². Skew guard: buckets larger than
     * `maxBucket` are dropped (a giant bucket means a degenerate key —
-    * e.g. empty docs — not useful dup candidates).
+    * e.g. empty docs — not useful dup candidates), and the drop is
+    * COUNT-FIRST ([[BucketGuard]]): decided on the per-key cardinality
+    * before collect_list materializes anything.
     */
   def minHashNearDupPairs(
       df: DataFrame,
@@ -180,9 +182,12 @@ object Dedup {
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    val bucketed = banded
+    // Count-first skew guard (shared [[BucketGuard]]): oversize buckets
+    // are dropped on their per-key COUNT, before collect_list could
+    // materialize a degenerate-key bucket in an aggregation buffer.
+    val bucketed = BucketGuard.bounded(banded, Seq("band", "key"),
+        minSize = 2, maxBucket, dropOversize = true, oversizeMsg = identity)
       .groupBy("band", "key").agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
 
     val candidates = bucketed
       .select(explode(col("ids")).as("a"), col("ids"))
@@ -243,9 +248,12 @@ object Dedup {
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val l = signed(left, leftIdCol, leftTextCol)
     val r = signed(right, rightIdCol, rightTextCol)
-    val rBuckets = banded(r)
+    // Count-first skew guard: same drop-on-count shape as
+    // [[minHashNearDupPairs]], minSize 1 because a singleton train
+    // bucket can still pair with probing eval rows.
+    val rBuckets = BucketGuard.bounded(banded(r), Seq("band", "key"),
+        minSize = 1, maxBucket, dropOversize = true, oversizeMsg = identity)
       .groupBy("band", "key").agg(collect_list("id").as("rids"))
-      .filter(size(col("rids")) <= maxBucket)
     val candidates = banded(l)
       .join(rBuckets, Seq("band", "key"))
       .select(col("id").as("a"), explode(col("rids")).as("b"))
@@ -357,14 +365,14 @@ object Dedup {
 
   private val simHashObsId = new java.util.concurrent.atomic.AtomicInteger()
 
-  /** Shared banding pipeline: width-bit signatures, band-key explode,
-    * one hash shuffle on (band, key), per-bucket signature lists. A
-    * signature is ONE long — unlike the MinHash pipeline (whose verify
-    * payload, the shingle sets, is far too big to ship through the
-    * band explode), carrying it through the shuffle costs 8 bytes/row
-    * and eliminates both join-backs AND the two signature
-    * recomputations they would trigger. */
-  private def simHashBuckets(
+  /** Shared banding front half: width-bit signatures, band-key explode
+    * — one row per (doc, band), NOT yet aggregated. A signature is ONE
+    * long — unlike the MinHash pipeline (whose verify payload, the
+    * shingle sets, is far too big to ship through the band explode),
+    * carrying it through the shuffle costs 8 bytes/row and eliminates
+    * both join-backs AND the two signature recomputations they would
+    * trigger. */
+  private def simHashKeyed(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -381,14 +389,40 @@ object Dedup {
             shiftrightunsigned(col("ds.sim"), b * rows).bitwiseAND(lit(mask)).as("key"))
         }: _*)).as("bk"))
       .select(col("ds"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .groupBy("band", "key").agg(collect_list("ds").as("ds"))
   }
 
-  private def bucketMetrics(maxBucket: Int): Seq[Column] = Seq(
-    sum(when(size(col("ds")) > maxBucket, 1L).otherwise(0L)).as("oversize_buckets"),
-    sum(when(size(col("ds")) > maxBucket, size(col("ds")).cast("long"))
+  /** Banding back half, count-first ([[BucketGuard]] discipline): each
+    * row learns its bucket's cardinality from a whole-partition count
+    * window — spillable, list-free — and `collect_list` only ever
+    * aggregates rows of buckets within `maxBucket` (the `when` feeds it
+    * NULL for oversize-bucket rows, and collect_list skips NULLs, so a
+    * degenerate bucket materializes an EMPTY list, never its members).
+    * The window's exchange on (band, key) is the same partitioning the
+    * groupBy needs: one shuffle, one scan, and the oversize decision is
+    * made on a long before any list exists to OOM an aggregation
+    * buffer. Output: (band, key, `__bn` = true bucket size as int,
+    * `ds` = members for in-bound buckets, else empty). */
+  private def simHashCountedBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      bands: Int,
+      maxBucket: Int,
+      tokenHash: Column => Column): DataFrame =
+    BucketGuard.withBucketCount(
+        simHashKeyed(df, idCol, textCol, width, bands, tokenHash),
+        Seq("band", "key"))
+      .groupBy("band", "key")
+      .agg(max(col(BucketGuard.CountCol)).cast("int").as("__bn"),
+        collect_list(when(col(BucketGuard.CountCol) <= maxBucket, col("ds")))
+          .as("ds"))
+
+  private def bucketMetrics(sizeCol: Column, maxBucket: Int): Seq[Column] = Seq(
+    sum(when(sizeCol > maxBucket, 1L).otherwise(0L)).as("oversize_buckets"),
+    sum(when(sizeCol > maxBucket, sizeCol.cast("long"))
       .otherwise(0L)).as("oversize_rows"),
-    max(size(col("ds"))).as("max_bucket_size"),
+    max(sizeCol).as("max_bucket_size"),
     count(lit(1)).as("n_buckets"))
 
   /** Bucket-population audit for [[simHashNearDupPairsW]]: one row of
@@ -397,9 +431,9 @@ object Dedup {
     * (which AQE can lose when a downstream stage collapses to empty),
     * this is its own query — run it alongside a `dropOversize = true`
     * dedup to quantify exactly how much recall the drops cost. The
-    * aggregation input is band-key-bounded (at most bands x 2^(width/
-    * bands) rows after the bucket agg), so the audit costs one extra
-    * corpus scan and a vocabulary-sized reduce, nothing more. */
+    * audit is a pure COUNT aggregation (map-side combined, never a
+    * list): one extra corpus scan plus a band-key-bounded reduce (at
+    * most bands x 2^(width/bands) groups), nothing more. */
   def simHashBucketStats(
       df: DataFrame,
       idCol: String,
@@ -409,8 +443,10 @@ object Dedup {
       maxBucket: Int = 1000,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(width % bands == 0, s"bands ($bands) must divide $width")
-    val m = bucketMetrics(maxBucket)
-    simHashBuckets(df, idCol, textCol, width, bands, tokenHash)
+    val m = bucketMetrics(col("__bn"), maxBucket)
+    simHashKeyed(df, idCol, textCol, width, bands, tokenHash)
+      .groupBy("band", "key")
+      .agg(count(lit(1)).cast("int").as("__bn"))
       .agg(m.head, m.tail: _*)
   }
 
@@ -435,7 +471,11 @@ object Dedup {
     * Oversize buckets are NEVER silent: by default a bucket exceeding
     * `maxBucket` fails the job with a clear message (a dropped bucket
     * would silently void the recall guarantee this operator
-    * advertises). Pass `dropOversize = true` to accept recall loss —
+    * advertises) — and the check is COUNT-FIRST ([[BucketGuard]]
+    * discipline), evaluated on a window-counted long before any bucket
+    * list is materialized, so a degenerate hot key raises the intended
+    * error instead of OOMing an aggregation buffer on the way there.
+    * Pass `dropOversize = true` to accept recall loss —
     * e.g. a degenerate empty-document key — and the drop is still
     * observable: every run attaches `observe()` metrics
     * (oversize_buckets, oversize_rows, max_bucket_size, n_buckets)
@@ -457,7 +497,14 @@ object Dedup {
     // a constant contradiction, which Catalyst folds to an empty
     // relation — pruning the observe() metrics with it.
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must be >= 2")
-    val aggregated = simHashBuckets(df, idCol, textCol, width, bands, tokenHash)
+    // Count-first: `__bn` is each bucket's TRUE cardinality from the
+    // window count, while `ds` holds members only for in-bound buckets
+    // (an oversize bucket's list is empty by construction) — the
+    // raise/drop decision below acts on a long; no degenerate bucket is
+    // ever materialized, so the loud failure is a guarantee, not a race
+    // against the aggregation buffer's OOM.
+    val aggregated = simHashCountedBuckets(
+      df, idCol, textCol, width, bands, maxBucket, tokenHash)
     // observe(): computed inline over the rows already flowing past —
     // zero extra jobs, surfaced to QueryExecutionListeners (and the
     // caller's Observation if given). AQE caveat: if a downstream stage
@@ -466,7 +513,7 @@ object Dedup {
     // CollectMetrics node and the observed metrics are lost — use
     // [[simHashBucketStats]] for an audit that cannot disappear, or the
     // strict default below, which fails the job outright.
-    val metrics = bucketMetrics(maxBucket)
+    val metrics = bucketMetrics(col("__bn"), maxBucket)
     val observed = bucketStats match {
       case Some(obs) => aggregated.observe(obs, metrics.head, metrics.tail: _*)
       case None => aggregated.observe(
@@ -474,15 +521,15 @@ object Dedup {
         metrics.head, metrics.tail: _*)
     }
     val bucketed =
-      if (dropOversize) observed.filter(size(col("ds")).between(2, maxBucket))
-      else observed.filter(size(col("ds")) >= 2)
-        .withColumn("ds",
-          when(size(col("ds")) <= maxBucket, col("ds")).otherwise(raise_error(concat(
-            lit(s"simhash$width/$bands-band bucket exceeded maxBucket=$maxBucket " +
-              "(size "), size(col("ds")).cast("string"),
-            lit(") — the pigeonhole recall guarantee would silently degrade. " +
-              "Widen the signature, raise bands/maxBucket, or pass " +
-              "dropOversize=true to accept recall loss.")))))
+      (if (dropOversize) observed.filter(col("__bn").between(2, maxBucket))
+      else observed.filter(col("__bn") >= 2 &&
+        when(col("__bn") <= maxBucket, lit(true)).otherwise(raise_error(concat(
+          lit(s"simhash$width/$bands-band bucket exceeded maxBucket=$maxBucket " +
+            "(size "), col("__bn").cast("string"),
+          lit(") — the pigeonhole recall guarantee would silently degrade. " +
+            "Widen the signature, raise bands/maxBucket, or pass " +
+            "dropOversize=true to accept recall loss."))).cast("boolean"))))
+      .drop("__bn")
     bucketed
       .select(explode(col("ds")).as("x"), col("ds"))
       .select(col("x"), explode(col("ds")).as("y"))

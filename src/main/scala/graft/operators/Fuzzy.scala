@@ -34,7 +34,9 @@ object Fuzzy {
     * expansion bounded by `maxBucket` (like the LSH family, an
     * oversize bucket FAILS with a clear message rather than silently
     * exploding a boilerplate-prefix bucket into n² comparisons; pass
-    * `dropOversize = true` to accept recall loss instead), and the
+    * `dropOversize = true` to accept recall loss instead — and via
+    * [[BucketGuard]] the size check runs COUNT-FIRST, before any
+    * bucket list exists to OOM an aggregation buffer), and the
     * edit distance runs through Spark's threshold variant, which
     * abandons a row pair the moment the running distance exceeds
     * `maxDist` — O(keyLen * maxDist) per comparison, not O(keyLen²).
@@ -63,19 +65,18 @@ object Fuzzy {
       .filter(col("key").isNotNull)
       .select(struct(col("id"), col("key")).as("dk"),
         substring(col("key"), 1, blockLen).as("blk"))
-    val buckets = keyed.groupBy("blk").agg(collect_list(col("dk")).as("ds"))
-    val bounded =
-      if (dropOversize) buckets.filter(size(col("ds")).between(2, maxBucket))
-      else buckets.filter(size(col("ds")) >= 2)
-        .withColumn("ds",
-          when(size(col("ds")) <= maxBucket, col("ds")).otherwise(raise_error(
-            concat(
-              lit(s"fuzzy block exceeded maxBucket=$maxBucket (size "),
-              size(col("ds")).cast("string"),
-              lit(") — a degenerate shared prefix would go quadratic. " +
-                "Raise blockLen/maxBucket, pre-filter the boilerplate, or " +
-                "pass dropOversize=true to accept recall loss.")))))
-    bounded
+    // Count-first guard: the per-block cardinality is checked (and an
+    // oversize block raised/dropped) BEFORE collect_list materializes
+    // any bucket — a degenerate shared prefix fails on a long, never by
+    // OOMing the aggregation buffer.
+    BucketGuard.bounded(keyed, Seq("blk"), minSize = 2, maxBucket, dropOversize,
+        n => concat(
+          lit(s"fuzzy block exceeded maxBucket=$maxBucket (size "),
+          n.cast("string"),
+          lit(") — a degenerate shared prefix would go quadratic. " +
+            "Raise blockLen/maxBucket, pre-filter the boilerplate, or " +
+            "pass dropOversize=true to accept recall loss.")))
+      .groupBy("blk").agg(collect_list(col("dk")).as("ds"))
       .select(explode(col("ds")).as("x"), col("ds"))
       .select(col("x"), explode(col("ds")).as("y"))
       .filter(col("x.id") < col("y.id"))

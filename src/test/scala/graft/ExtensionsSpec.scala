@@ -249,6 +249,39 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("simhash + minhash oversize guards are count-first, minhash drops on count") {
+    val triplets = table("doc_id bigint, text string", Seq(
+      row(1L, "identical corpus entry repeated verbatim"),
+      row(2L, "identical corpus entry repeated verbatim"),
+      row(3L, "identical corpus entry repeated verbatim"),
+      row(4L, "an entirely unrelated document body here")))
+    // simhash strict path: the collect_list itself must be count-GATED
+    // (its argument is CASE WHEN window-count <= maxBucket, so an
+    // oversize bucket aggregates an empty list, never its members) and
+    // fed by the spillable window count BELOW it (plan prints
+    // top-down) — the no-OOM guarantee, machine-checked. The raise
+    // filter then acts on the counted long above, after observe().
+    val plan = Dedup.simHashNearDupPairs64(triplets, "doc_id", "text",
+        maxHamming = 3, bands = 4, maxBucket = 2)
+      .queryExecution.optimizedPlan.toString
+    val agg = plan.indexOf("collect_list(CASE WHEN")
+    assert(agg >= 0, plan.take(2000))
+    val win = plan.indexOf("windowspecdefinition", agg)
+    assert(win > agg, s"no window count below the gated aggregate\n${plan.take(2000)}")
+    assert(plan.contains("raise_error"), plan.take(2000))
+    // minhash skew guard: identical docs collide in every band; with
+    // maxBucket below the clone count every bucket is dropped on its
+    // COUNT (no pairs, no error); raising the cap restores the pairs.
+    val clones = table("doc_id bigint, text string",
+      (1L to 6L).map(i => row(i, "the very same document text each time")))
+    assert(Dedup.minHashNearDupPairs(clones, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5,
+      maxBucket = 4).count() == 0L)
+    assert(Dedup.minHashNearDupPairs(clones, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5,
+      maxBucket = 6).count() == 15L) // all C(6,2) exact-dup pairs
+  }
+
   test("lsh all-pairs cosine near-dup recovers planted twins, never n^2") {
     // two tight clusters + isolated vectors; only intra-cluster pairs
     // clear the 0.9 threshold
