@@ -1748,6 +1748,19 @@ object SparkEntry {
       .select(col("event_id"), col("n_1h"), col("sum_1h"))
       .orderBy("event_id")
 
+  // ---------------------------------------------------------------- q103
+  /** BPE merge training: the top-8 learned pair merges over the
+    * documents corpus ([[graft.operators.Corpus.bpeMerges]]). The
+    * oracle replays the IDENTICAL recurrence as 8 unrolled CTE levels —
+    * same whitespace tokens, same character-level init, same
+    * space-delimited greedy left-to-right replace, same
+    * (count desc, pair asc) argmax — so every learned merge and its
+    * frequency-weighted pair count is value-checked, integer-exact. */
+  private def q103BpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.bpeMerges(Tables.documents(s, dir), "text",
+        numMerges = 8)
+      .orderBy("merge_rank")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1851,6 +1864,7 @@ object SparkEntry {
     "q100_bigram_lm" -> (q100BigramLm _),
     "q101_funnel_sorted" -> (q101FunnelSorted _),
     "q102_stream_funnel" -> (q102StreamFunnel _),
+    "q103_bpe_merges" -> (q103BpeMerges _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3370,6 +3384,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q101_funnel_sorted" -> funnelOracle,
     "q102_stream_funnel" -> funnelOracle,
+    "q103_bpe_merges" -> bpeOracle,
     "q100_bigram_lm" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
@@ -3476,6 +3491,50 @@ object SparkEntry {
       |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
       |        LEFT JOIN s3 ON s1.user_id = s3.user_id
       |ORDER BY s1.user_id""".stripMargin
+
+  /** q103: the BPE merge recurrence unrolled to 8 CTE levels — level i
+    * counts adjacent symbol pairs of v_{i-1} (frequency-weighted, a
+    * pure integer aggregation), picks the (cnt desc, a, b) argmax, and
+    * rewrites the space-delimited symbol strings with ONE literal
+    * replace — greedy left-to-right and symbol-aligned because every
+    * symbol is wrapped in its own spaces (`" a  b "` can never match
+    * mid-symbol; replace's non-overlapping scan IS the greedy merge).
+    * Should the corpus run dry before 8 merges, m_i goes empty and the
+    * cascade truncates on both engines identically. */
+  private val bpeOracle: String = {
+    val n = 8
+    val levels = (1 to n).map { i =>
+      s"""p$i AS (
+         |  SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(s)), j ->
+         |      [s[CAST(j AS INT)], s[CAST(j + 1 AS INT)]])) AS pr
+         |    FROM (SELECT freq, string_split(trim(repr), '  ') AS s FROM v${i - 1})
+         |  ) GROUP BY 1, 2
+         |), m$i AS (
+         |  SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1
+         |), v$i AS (
+         |  SELECT freq, replace(repr, ' ' || a || '  ' || b || ' ',
+         |    ' ' || a || b || ' ') AS repr
+         |  FROM v${i - 1} CROSS JOIN m$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to n).map { i =>
+      s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, " +
+        s"cnt AS pair_freq FROM m$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
+       |  ) WHERE length(w) > 0 GROUP BY w
+       |), v0 AS (
+       |  SELECT freq, ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+       |    i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS repr
+       |  FROM words
+       |),
+       |$levels
+       |$union
+       |ORDER BY merge_rank""".stripMargin
+  }
 
   /** q96: the same exact-Jaccard pair prefix feeding a 3-iteration
     * unrolled PageRank recurrence (uniform start, damping 0.85,

@@ -51,6 +51,7 @@ object GraftFunctions {
     "graft_unicode_normalize" -> { args =>
       UnicodeNormalize(args(0), stringArg("graft_unicode_normalize", args(1)))
     },
+    "graft_dhash64" -> { args => DHash64(args(0)) },
   )
 
   /** Idempotent per-session registration (temp functions live in the
@@ -125,6 +126,13 @@ object GraftFunctions {
       form: String = "NFC"): Column = {
     ensureRegistered(df.sparkSession)
     call_function("graft_unicode_normalize", c, lit(form))
+  }
+
+  /** dHash-style 64-bit perceptual signature of a binary payload
+    * (native, codegen'd). */
+  def dhash64(df: org.apache.spark.sql.DataFrame, payload: Column): Column = {
+    ensureRegistered(df.sparkSession)
+    call_function("graft_dhash64", payload)
   }
 
   /** width-bit SimHash of an array<bigint> of token hashes (native). */

@@ -41,11 +41,43 @@ object Blocks {
     * built over one [[General.withContiguousRowIds]] result share its
     * checkpoint, and releasing either breaks the other with Spark's
     * cannot-recompute error. Release only after ALL frames descending
-    * from the shared intermediate are consumed, not just this one. */
+    * from the shared intermediate are consumed, not just this one — or
+    * use [[releaseExcept]] to free a consumed sibling while explicitly
+    * keeping every block the survivors still reach. */
   def release(df: DataFrame): Unit = {
     val seen = scala.collection.mutable.Set.empty[Int]
     def walk(rdd: RDD[_]): Unit = if (seen.add(rdd.id)) {
       if (rdd.getStorageLevel != StorageLevel.NONE)
+        rdd.unpersist(blocking = false)
+      rdd.dependencies.foreach(d => walk(d.rdd))
+    }
+    df.queryExecution.analyzed.collect { case lr: LogicalRDD => lr.rdd }
+      .foreach(walk)
+  }
+
+  /** [[release]] minus the blocks any `live` frame still needs: frees
+    * every persisted RDD reachable from `df` EXCEPT those also
+    * reachable from a frame in `live` — the API form of the
+    * shared-lineage hazard documented on [[release]]. Two frames built
+    * over one [[General.withContiguousRowIds]] intermediate share its
+    * checkpoint; `release(first)` would kill the second with Spark's
+    * cannot-recompute error, while `releaseExcept(first, Seq(second))`
+    * frees only what the first owns outright and leaves every shared
+    * block for the survivors. When the last sibling is consumed, a
+    * plain [[release]] on it frees the shared remainder.
+    *
+    * The ownership computation is driver-side plan/RDD-graph walking
+    * only (no jobs, no data movement), so calling it per consumed frame
+    * in a long pipeline costs microseconds. */
+  def releaseExcept(df: DataFrame, live: Seq[DataFrame]): Unit = {
+    val keep = scala.collection.mutable.Set.empty[Int]
+    def mark(rdd: RDD[_]): Unit = if (keep.add(rdd.id))
+      rdd.dependencies.foreach(d => mark(d.rdd))
+    live.foreach(_.queryExecution.analyzed.collect { case lr: LogicalRDD => lr.rdd }
+      .foreach(mark))
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def walk(rdd: RDD[_]): Unit = if (seen.add(rdd.id)) {
+      if (rdd.getStorageLevel != StorageLevel.NONE && !keep.contains(rdd.id))
         rdd.unpersist(blocking = false)
       rdd.dependencies.foreach(d => walk(d.rdd))
     }

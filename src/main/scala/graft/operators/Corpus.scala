@@ -602,4 +602,90 @@ object Corpus {
         avg(log(col("__c2").cast("double") / col("__c1").cast("double")))
           .as("avg_logprob"))
   }
+
+  /** BPE merge training (Sennrich-style subword vocabulary learning):
+    * learn the top-`numMerges` pair merges over the corpus — the
+    * primitive that PRODUCES the vocabulary whose application
+    * [[graft.functions.TextFunctions.bpeStyleTokenCount]]-class
+    * consumers assume. Character-level over whitespace tokens (the
+    * byte-level variant is the same recurrence over a byte alphabet);
+    * no end-of-word marker — merges never cross token boundaries.
+    * Returns one row per learned merge: (`merge_rank` 1-based, `lhs`,
+    * `rhs`, `merged`, `pair_freq`), fewer than `numMerges` rows if the
+    * corpus runs out of pairs first. Deterministic by construction:
+    * pair counts weighted by word frequency, argmax ties broken
+    * lexicographically by (lhs, rhs), so the merge table is a pure
+    * function of the corpus.
+    *
+    * Mechanics (pinned by the q103 oracle, which replays the identical
+    * recurrence in SQL): each word is a symbol sequence, initially its
+    * characters; one iteration counts all ADJACENT symbol pairs
+    * (overlapping occurrences each count) and merges the most frequent
+    * pair everywhere, greedily left-to-right within each word (so
+    * `aaa` under merge (a,a) becomes `aa`,`a`). Words are carried in a
+    * delimited string form — every symbol wrapped in single spaces,
+    * `" h "+" u "+" g "` — so one literal, non-overlapping
+    * left-to-right `replace` of `" a  b "` with `" ab "` IS the greedy
+    * merge, symbol-aligned by construction (symbols never contain
+    * spaces, so a wrapped pair cannot match mid-symbol).
+    *
+    * Scale shape ([[Graph.pageRank]]'s checkpoint discipline): the
+    * WORD VOCABULARY — one map-side-combined count over a single
+    * corpus scan, vocabulary-bounded like [[buildVocabulary]] — is the
+    * only frame the loop touches; each iteration is one pair-count
+    * aggregation over it (bounded by distinct adjacent pairs), ONE
+    * argmax row to the driver via TakeOrderedAndProject, and a
+    * map-only replace, checkpointed so iteration k+1 never re-executes
+    * k's plan and superseded blocks are released as the loop advances.
+    * The corpus itself is scanned exactly once, regardless of
+    * `numMerges`. */
+  def bpeMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges ($numMerges) must be >= 1")
+    val spark = df.sparkSession
+    val words = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // " c1  c2  ...  cn " — each char wrapped in its own spaces
+    var vocab = words
+      .select(col("freq"),
+        concat(lit(" "),
+          array_join(transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1))), "  "),
+          lit(" ")).as("repr"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val syms = split(trim(col("repr")), "  ")
+      val top = vocab
+        .filter(size(syms) >= 2) // sequence(1, 0) would run DESCENDING
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(syms) - 1),
+            i => struct(element_at(syms, i).as("a"),
+              element_at(syms, i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, a + b, cnt))
+        val next = vocab.withColumn("repr",
+            replace(col("repr"), lit(s" $a  $b "), lit(s" $a$b ")))
+          .localCheckpoint()
+        Blocks.release(vocab)
+        vocab = next
+        rank += 1
+      }
+    }
+    Blocks.release(vocab)
+    spark.createDataFrame(merges.result())
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq")
+  }
 }

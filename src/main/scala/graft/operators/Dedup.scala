@@ -365,25 +365,22 @@ object Dedup {
 
   private val simHashObsId = new java.util.concurrent.atomic.AtomicInteger()
 
-  /** Shared banding front half: width-bit signatures, band-key explode
-    * — one row per (doc, band), NOT yet aggregated. A signature is ONE
-    * long — unlike the MinHash pipeline (whose verify payload, the
-    * shingle sets, is far too big to ship through the band explode),
-    * carrying it through the shuffle costs 8 bytes/row and eliminates
-    * both join-backs AND the two signature recomputations they would
-    * trigger. */
-  private def simHashKeyed(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
+  /** Banding front half for ANY packed width-bit signature frame
+    * `(id, sim)`: band-key explode — one row per (id, band), NOT yet
+    * aggregated. A signature is ONE long — unlike the MinHash pipeline
+    * (whose verify payload, the shingle sets, is far too big to ship
+    * through the band explode), carrying it through the shuffle costs
+    * 8 bytes/row and eliminates both join-backs AND the signature
+    * recomputations they would trigger. Shared by the SimHash text
+    * path and [[Multimodal.dHashNearDupPairs]]' perceptual path. */
+  private[operators] def sigBandKeyed(
+      sigs: DataFrame,
       width: Int,
-      bands: Int,
-      tokenHash: Column => Column): DataFrame = {
+      bands: Int): DataFrame = {
     val rows = width / bands
     val mask = if (rows == 64) -1L else (1L << rows) - 1
-    val sigs = simHash(df, textCol, "sim", width, tokenHash)
-      .select(struct(col(idCol).as("id"), col("sim")).as("ds"))
-    sigs.select(col("ds"),
+    sigs.select(struct(col("id"), col("sim")).as("ds"))
+      .select(col("ds"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             shiftrightunsigned(col("ds.sim"), b * rows).bitwiseAND(lit(mask)).as("key"))
@@ -391,32 +388,62 @@ object Dedup {
       .select(col("ds"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Banding back half, count-first ([[BucketGuard]] discipline): each
-    * row learns its bucket's cardinality from a whole-partition count
-    * window — spillable, list-free — and `collect_list` only ever
-    * aggregates rows of buckets within `maxBucket` (the `when` feeds it
-    * NULL for oversize-bucket rows, and collect_list skips NULLs, so a
+  /** Hamming-banded near-dup pairs over ANY packed width-bit signature
+    * frame `(id, sim)` — the shared LSH back half behind
+    * [[simHashNearDupPairsW]] (text) and
+    * [[Multimodal.dHashNearDupPairs]] (perceptual/binary). Count-first
+    * ([[BucketGuard]] discipline): each banded row learns its bucket's
+    * cardinality from a whole-partition count window — spillable,
+    * list-free — and `collect_list` only ever aggregates rows of
+    * buckets within `maxBucket` (the `when` feeds it NULL for
+    * oversize-bucket rows, and collect_list skips NULLs, so a
     * degenerate bucket materializes an EMPTY list, never its members).
     * The window's exchange on (band, key) is the same partitioning the
-    * groupBy needs: one shuffle, one scan, and the oversize decision is
-    * made on a long before any list exists to OOM an aggregation
-    * buffer. Output: (band, key, `__bn` = true bucket size as int,
-    * `ds` = members for in-bound buckets, else empty). */
-  private def simHashCountedBuckets(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
+    * groupBy needs: one shuffle past the signature map, and the
+    * oversize decision acts on a long. `observeHook` lets a caller
+    * attach inline metrics to the aggregated bucket frame (the simhash
+    * path's observe()); the pigeonhole guarantee (full recall when
+    * `maxHamming <= bands - 1`) holds for any signature family. */
+  private[operators] def hammingBandedPairs(
+      sigs: DataFrame,
       width: Int,
       bands: Int,
+      maxHamming: Int,
       maxBucket: Int,
-      tokenHash: Column => Column): DataFrame =
-    BucketGuard.withBucketCount(
-        simHashKeyed(df, idCol, textCol, width, bands, tokenHash),
-        Seq("band", "key"))
+      dropOversize: Boolean,
+      label: String,
+      observeHook: DataFrame => DataFrame = identity): DataFrame = {
+    require(width % bands == 0, s"bands ($bands) must divide $width")
+    // maxBucket < 2 would make the keep-filter (2 <= size <= maxBucket)
+    // a constant contradiction, which Catalyst folds to an empty
+    // relation — pruning any observed metrics with it.
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) must be >= 2")
+    val aggregated = BucketGuard.withBucketCount(
+        sigBandKeyed(sigs, width, bands), Seq("band", "key"))
       .groupBy("band", "key")
       .agg(max(col(BucketGuard.CountCol)).cast("int").as("__bn"),
         collect_list(when(col(BucketGuard.CountCol) <= maxBucket, col("ds")))
           .as("ds"))
+    val observed = observeHook(aggregated)
+    val bucketed =
+      (if (dropOversize) observed.filter(col("__bn").between(2, maxBucket))
+      else observed.filter(col("__bn") >= 2 &&
+        when(col("__bn") <= maxBucket, lit(true)).otherwise(raise_error(concat(
+          lit(s"$label bucket exceeded maxBucket=$maxBucket (size "),
+          col("__bn").cast("string"),
+          lit(") — the pigeonhole recall guarantee would silently degrade. " +
+            "Widen the signature, raise bands/maxBucket, or pass " +
+            "dropOversize=true to accept recall loss."))).cast("boolean"))))
+      .drop("__bn")
+    bucketed
+      .select(explode(col("ds")).as("x"), col("ds"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hammingDistance(col("x.sim"), col("y.sim")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide in several bands
+  }
 
   private def bucketMetrics(sizeCol: Column, maxBucket: Int): Seq[Column] = Seq(
     sum(when(sizeCol > maxBucket, 1L).otherwise(0L)).as("oversize_buckets"),
@@ -444,11 +471,21 @@ object Dedup {
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(width % bands == 0, s"bands ($bands) must divide $width")
     val m = bucketMetrics(col("__bn"), maxBucket)
-    simHashKeyed(df, idCol, textCol, width, bands, tokenHash)
+    sigBandKeyed(simHashSigs(df, idCol, textCol, width, tokenHash), width, bands)
       .groupBy("band", "key")
       .agg(count(lit(1)).cast("int").as("__bn"))
       .agg(m.head, m.tail: _*)
   }
+
+  /** `(id, sim)` signature frame for the banding pipeline. */
+  private def simHashSigs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      tokenHash: Column => Column): DataFrame =
+    simHash(df, textCol, "sim", width, tokenHash)
+      .select(col(idCol).as("id"), col("sim"))
 
   /** ALL-PAIRS SimHash near-duplicates: banded simhash buckets (pairs
     * whose signatures agree on at least one contiguous
@@ -493,18 +530,13 @@ object Dedup {
       dropOversize: Boolean = false,
       bucketStats: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(width % bands == 0, s"bands ($bands) must divide $width")
-    // maxBucket < 2 would make the keep-filter (2 <= size <= maxBucket)
-    // a constant contradiction, which Catalyst folds to an empty
-    // relation — pruning the observe() metrics with it.
-    require(maxBucket >= 2, s"maxBucket ($maxBucket) must be >= 2")
-    // Count-first: `__bn` is each bucket's TRUE cardinality from the
-    // window count, while `ds` holds members only for in-bound buckets
-    // (an oversize bucket's list is empty by construction) — the
-    // raise/drop decision below acts on a long; no degenerate bucket is
-    // ever materialized, so the loud failure is a guarantee, not a race
-    // against the aggregation buffer's OOM.
-    val aggregated = simHashCountedBuckets(
-      df, idCol, textCol, width, bands, maxBucket, tokenHash)
+    // Count-first ([[hammingBandedPairs]]): `__bn` is each bucket's
+    // TRUE cardinality from the window count, while `ds` holds members
+    // only for in-bound buckets — the raise/drop decision acts on a
+    // long; no degenerate bucket is ever materialized, so the loud
+    // failure is a guarantee, not a race against the aggregation
+    // buffer's OOM.
+    //
     // observe(): computed inline over the rows already flowing past —
     // zero extra jobs, surfaced to QueryExecutionListeners (and the
     // caller's Observation if given). AQE caveat: if a downstream stage
@@ -512,32 +544,17 @@ object Dedup {
     // empty-relation propagation can replace the subtree holding the
     // CollectMetrics node and the observed metrics are lost — use
     // [[simHashBucketStats]] for an audit that cannot disappear, or the
-    // strict default below, which fails the job outright.
+    // strict default, which fails the job outright.
     val metrics = bucketMetrics(col("__bn"), maxBucket)
-    val observed = bucketStats match {
+    val observeHook: DataFrame => DataFrame = aggregated => bucketStats match {
       case Some(obs) => aggregated.observe(obs, metrics.head, metrics.tail: _*)
       case None => aggregated.observe(
         s"graft_simhash${width}_buckets_${simHashObsId.getAndIncrement()}",
         metrics.head, metrics.tail: _*)
     }
-    val bucketed =
-      (if (dropOversize) observed.filter(col("__bn").between(2, maxBucket))
-      else observed.filter(col("__bn") >= 2 &&
-        when(col("__bn") <= maxBucket, lit(true)).otherwise(raise_error(concat(
-          lit(s"simhash$width/$bands-band bucket exceeded maxBucket=$maxBucket " +
-            "(size "), col("__bn").cast("string"),
-          lit(") — the pigeonhole recall guarantee would silently degrade. " +
-            "Widen the signature, raise bands/maxBucket, or pass " +
-            "dropOversize=true to accept recall loss."))).cast("boolean"))))
-      .drop("__bn")
-    bucketed
-      .select(explode(col("ds")).as("x"), col("ds"))
-      .select(col("x"), explode(col("ds")).as("y"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        hammingDistance(col("x.sim"), col("y.sim")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct() // a pair may collide in several bands
+    hammingBandedPairs(simHashSigs(df, idCol, textCol, width, tokenHash),
+      width, bands, maxHamming, maxBucket, dropOversize,
+      label = s"simhash$width/$bands-band", observeHook = observeHook)
   }
 
   /** 32-bit [[simHashNearDupPairsW]] (8-bit band keys at bands=4 —

@@ -128,6 +128,43 @@ object Multimodal {
           greatest(floor(col("height") * col("scale")), lit(1)).cast(IntegerType)))
   }
 
+  /** Append the dHash-style 64-bit perceptual signature of each
+    * payload ([[graft.expressions.DHash64]], native codegen'd): the
+    * gradient hash behind image near-dup detection, computed here over
+    * the raw bytes as the container's deterministic decode stand-in
+    * (a real deployment hashes the decoded grayscale plane with the
+    * identical grid/gradient step — the downstream pipeline is
+    * unchanged). Map-only; NULL payloads get a NULL signature. */
+  def withDHash(media: DataFrame, outCol: String = "dhash"): DataFrame =
+    media.withColumn(outCol,
+      graft.expressions.GraftFunctions.dhash64(media, col("payload")))
+
+  /** Perceptual near-duplicate pairs over the media frame: dHash
+    * signatures banded through the SHARED Hamming-LSH machinery
+    * ([[Dedup.hammingBandedPairs]] — the SimHash text path's back
+    * half), verified with exact Hamming distance. Extends dedup beyond
+    * text: near-identical payloads (few gradient bits apart) surface
+    * as (id_a, id_b, hamming) pairs with the same pigeonhole recall
+    * guarantee (`maxHamming <= bands - 1` means a qualifying pair
+    * ALWAYS collides in at least one band), the same count-first
+    * `maxBucket` skew guard (loud by default, `dropOversize` to
+    * trade recall), and the same one-shuffle scale shape: signature is
+    * one map-side expression per payload, banding ships 8 bytes/row,
+    * pair expansion is bucket-local. NULL payloads carry no signature
+    * and never pair. */
+  def dHashNearDupPairs(
+      media: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucket: Int = 1000,
+      dropOversize: Boolean = false): DataFrame = {
+    val sigs = media.select(col("media_id").as("id"),
+        graft.expressions.GraftFunctions.dhash64(media, col("payload")).as("sim"))
+      .filter(col("sim").isNotNull)
+    Dedup.hammingBandedPairs(sigs, width = 64, bands, maxHamming, maxBucket,
+      dropOversize, label = s"dhash64/$bands-band")
+  }
+
   /** Partition-wise feature extraction with a pluggable codec: one
     * decoder instance per task, payloads processed in iterator order
     * (constant memory — no collect, no per-row decoder setup). Output =

@@ -128,14 +128,34 @@ object EventStream {
     * carries the greedy-chain progress (stage index + last step time),
     * O(1) state per user regardless of stream length or funnel depth.
     *
-    * Emission semantics: a COMPLETED funnel emits the moment its final
-    * step arrives ("conversion detected", the real-time use) — and
-    * because the greedy earliest chain is fixed once complete, later
-    * events can never revise it, so the early emission is final. A
-    * PARTIAL funnel has no natural close; an event of type
-    * `flushType` (the replay sentinel, or an explicit end-of-day
-    * marker) flushes the user's partial progress once. Users who never
-    * performed `steps.head` emit nothing, matching the batch operator.
+    * Emission contract (pinned by FunnelStreamSpec; q102 holds the
+    * replay to the batch oracle):
+    *  - A COMPLETED funnel emits the moment its final step arrives
+    *    ("conversion detected", the real-time use) — the greedy
+    *    earliest chain is fixed once complete, so later events can
+    *    never revise it and the early emission is final. The key then
+    *    holds a completed tombstone: further step events emit nothing.
+    *  - `flushType` (the replay sentinel, or an explicit end-of-day
+    *    marker) is TERMINAL for the key's current attempt: it emits
+    *    the partial progress if nothing was emitted yet, then CLEARS
+    *    the key's state (`state.remove()` — flushed keys provably
+    *    leave the store). Step events after a flush begin a NEW funnel
+    *    attempt with its own emission — a completion that arrives
+    *    after its attempt was flushed is counted toward the next
+    *    attempt only if the user re-enters at `steps.head`, never
+    *    silently merged into the flushed one. Periodic markers
+    *    therefore give per-interval funnels, each attempt one row.
+    *  - Users who never performed `steps.head` emit nothing, matching
+    *    the batch operator. Events with a NULL timestamp or type are
+    *    ignored (funnelSorted's filter, mirrored).
+    *
+    * State lifetime: flushed keys hold no state; mid-funnel and
+    * completed keys hold one O(1) entry. For an unbounded production
+    * stream without reliable markers, pass `idleTimeout` (e.g.
+    * "2 hours"): a key idle that long (processing time) flushes its
+    * un-emitted partial and is removed — the opt-in bound that keeps
+    * the store O(active users) forever. Replay gates, whose sentinels
+    * already clear every key, leave it None.
     *
     * Same deployment assumption as [[sessionizeStream]]: events arrive
     * time-ordered across micro-batches (each batch is sorted
@@ -143,44 +163,65 @@ object EventStream {
   def funnelStream(
       events: Dataset[Event],
       steps: Seq[String],
-      flushType: String = "__sentinel"): Dataset[FunnelResult] = {
+      flushType: String = "__sentinel",
+      idleTimeout: Option[String] = None): Dataset[FunnelResult] = {
     require(steps.size >= 2, "a funnel needs at least two steps")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     require(!steps.contains(flushType), "flushType cannot be a funnel step")
     import events.sparkSession.implicits._
     val stepArr = steps.toArray
+    val fresh = FunnelState(0, 0L, Long.MinValue, emitted = false)
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelResult](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
-          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var st = state.getOption.getOrElse(
-            FunnelState(0, 0L, Long.MinValue, emitted = false))
-          val out = Seq.newBuilder[FunnelResult]
-          sorted.foreach { e =>
-            if (e.event_type == flushType) {
-              if (st.stage >= 1 && !st.emitted) {
-                out += FunnelResult(userId, st.stage, st.t1Us, None, None)
-                st = st.copy(emitted = true)
-              }
-            } else if (st.stage < stepArr.length &&
-                e.event_type == stepArr(st.stage)) {
-              val us = micros(e.ts)
-              if (st.stage == 0) {
-                st = FunnelState(1, us, us, emitted = false)
-              } else if (us > st.lastUs) {
-                st = st.copy(stage = st.stage + 1, lastUs = us)
-                if (st.stage == stepArr.length && !st.emitted) {
-                  out += FunnelResult(userId, st.stage, st.t1Us,
-                    Some(st.lastUs), Some(st.lastUs - st.t1Us))
-                  st = st.copy(emitted = true)
+          if (state.hasTimedOut) {
+            // idle expiry == an implicit flush: surface the partial,
+            // then drop the key from the store
+            val st = state.get
+            state.remove()
+            if (st.stage >= 1 && !st.emitted)
+              Iterator.single(FunnelResult(userId, st.stage, st.t1Us, None, None))
+            else Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(fresh)
+            val out = Seq.newBuilder[FunnelResult]
+            sorted.foreach { e =>
+              if (e.event_type == flushType) {
+                if (st.stage >= 1 && !st.emitted)
+                  out += FunnelResult(userId, st.stage, st.t1Us, None, None)
+                st = fresh // terminal: the attempt is closed; start over
+              } else if (st.stage < stepArr.length &&
+                  e.event_type == stepArr(st.stage)) {
+                val us = micros(e.ts)
+                if (st.stage == 0) {
+                  st = FunnelState(1, us, us, emitted = false)
+                } else if (us > st.lastUs) {
+                  st = st.copy(stage = st.stage + 1, lastUs = us)
+                  if (st.stage == stepArr.length && !st.emitted) {
+                    out += FunnelResult(userId, st.stage, st.t1Us,
+                      Some(st.lastUs), Some(st.lastUs - st.t1Us))
+                    st = st.copy(emitted = true)
+                  }
                 }
               }
             }
+            if (st == fresh) {
+              // nothing in flight (never started, or closed by a
+              // flush): leave no state behind
+              if (state.exists) state.remove()
+            } else {
+              state.update(st)
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 

@@ -309,4 +309,37 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(math.abs(got(0)._3 - math.log(2.0 / 3)) < 1e-12)
     assert(math.abs(got(2)._3 - math.log(1.0 / 3)) < 1e-12)
   }
+
+  test("bpeMerges: hand-computed merge sequence, frequency weighting, early exhaustion") {
+    // words: hug freq 3, pug freq 2. pairs: (h,u)=3, (u,g)=5, (p,u)=2
+    // -> merge ug(5); then (h,ug)=3 -> hug; then (p,ug)=2 -> pug; dry.
+    val df = table("id bigint, text string", Seq(
+      row(1L, "hug pug hug"), row(2L, "hug pug"),
+      row(3L, null), row(4L, "")))
+    val got = Corpus.bpeMerges(df, "text", numMerges = 8)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1, "u", "g", "ug", 5L),
+      (2, "h", "ug", "hug", 3L),
+      (3, "p", "ug", "pug", 2L)), got.toString)
+  }
+
+  test("bpeMerges: overlap counting, greedy left-to-right apply, lexicographic ties") {
+    // aaa(freq 2): overlapping (a,a) counts twice per word -> 4.
+    // After merging (a,a), aaa segments greedily to [aa, a] (never
+    // [a, aa]); the (a,b)=2 vs (aa,a)=2 tie breaks to (a,b) (a < aa).
+    val df = table("id bigint, text string", Seq(
+      row(1L, "aaa aaa"), row(2L, "abab")))
+    val got = Corpus.bpeMerges(df, "text", numMerges = 8)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 2L),
+      (3, "aa", "a", "aaa", 2L),
+      (4, "ab", "ab", "abab", 1L)), got.toString)
+  }
 }

@@ -496,6 +496,37 @@ class ExtensionsSpec extends AnyFunSuite {
       "Blocks.release missed the checkpoint behind the derived leaf")
   }
 
+  test("releaseExcept: frees the consumed frame's own blocks, keeps shared-lineage survivors") {
+    import graft.operators.{Blocks, General}
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // one shared checkpointed intermediate, two descendants
+    val ids = General.withContiguousRowIds(
+      table("k bigint", (0L until 50L).map(row(_))), Seq("k"))
+    val evens = ids.filter(col("k") % 2 === 0)
+    val odds = ids.filter(col("k") % 2 === 1)
+    assert(evens.count() == 25L)
+    // every block evens reaches is shared with odds -> nothing freed,
+    // and odds stays computable (release() here would kill it)
+    Blocks.releaseExcept(evens, Seq(odds))
+    assert(odds.count() == 25L,
+      "releaseExcept freed a checkpoint the live sibling still needed")
+    // a second, UNshared intermediate: union reaches both, the live
+    // list only covers the shared one -> exactly the unshared blocks go
+    val other = General.withContiguousRowIds(
+      table("k bigint", (100L until 150L).map(row(_))), Seq("k"))
+    val un = odds.unionByName(other)
+    assert(un.count() == 75L)
+    val preFree = sc.getPersistentRDDs.keySet
+    Blocks.releaseExcept(un, Seq(odds))
+    assert((preFree -- sc.getPersistentRDDs.keySet).nonEmpty,
+      "releaseExcept freed nothing although `other`'s checkpoint was unshared")
+    assert(odds.count() == 25L, "the kept sibling must survive the partial free")
+    Blocks.release(odds)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "final release should return the store to its starting set")
+  }
+
   test("keepBestPerCluster: max-score survivor, ties by id, singletons kept") {
     val docs = table("doc_id bigint, score int", Seq(
       row(1L, 5), row(2L, 9), row(3L, 9),   // cluster A: 2 wins (tie -> lower id)
