@@ -1761,6 +1761,58 @@ object SparkEntry {
         numMerges = 8)
       .orderBy("merge_rank")
 
+  // ---------------------------------------------------------------- q104
+  /** dHash perceptual near-dup pairs ([[Multimodal.dHashNearDupPairs]]
+    * banding [[graft.expressions.DHash64]] signatures): the documents
+    * payloads plus a deterministic first-byte-zeroed twin of each doc.
+    * Zeroing offset 0 touches only the grid cells that sample byte 0
+    * (cell g reads byte (g*len)/72, so g=0 always, g=1 only when
+    * len < 72), leaving every twin within Hamming <= 2 of its original
+    * BY CONSTRUCTION — the corpus has no natural byte-gradient
+    * near-dups, and without the twins the pair set would be vacuously
+    * empty. The oracle recomputes the 72-cell gradient signature
+    * byte-for-byte from the hex dump in SQL and takes the exact
+    * all-pairs Hamming set, so the banded pipeline (pigeonhole full
+    * recall at maxHamming=3 <= bands-1) must recover every pair
+    * value-for-value or the hash mismatches. */
+  private def q104DHashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val twins = docs.select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      concat(lit(Array[Byte](0)),
+        substring(col("payload"), 2, Int.MaxValue)).as("payload"))
+    Multimodal.dHashNearDupPairs(docs.unionAll(twins),
+        maxHamming = 3, bands = 4, maxBucket = 10000,
+        idCol = "doc_id", payloadCol = "payload")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------- q105
+  /** BPE encode — the apply side closing q103's learn→apply tokenizer
+    * loop: learn 8 merges ([[graft.operators.Corpus.bpeMerges]]), then
+    * encode the whole corpus with them
+    * ([[graft.operators.Corpus.bpeEncode]] — map-only, merges as plan
+    * literals) and roll up the encoded subword frequencies. The oracle
+    * replays training's 8 unrolled CTE levels AND the per-word greedy
+    * rank-order merge application, so every emitted subword and its
+    * count is value-checked integer-exact. (Precondition shared with
+    * q103: the corpus yields all 8 merges — q103's green row pins it;
+    * on a dry corpus the oracle's cross joins would truncate where the
+    * engine keeps encoding with the shorter table.) */
+  private def q105BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val docs = Tables.documents(s, dir)
+    val merges = Corpus.collectMerges(Corpus.bpeMerges(docs, "text", 8))
+    Corpus.bpeEncode(docs, "text", merges)
+      .select(explode(col("bpe_tokens")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(50)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1865,6 +1917,8 @@ object SparkEntry {
     "q101_funnel_sorted" -> (q101FunnelSorted _),
     "q102_stream_funnel" -> (q102StreamFunnel _),
     "q103_bpe_merges" -> (q103BpeMerges _),
+    "q104_dhash_neardup" -> (q104DHashNearDup _),
+    "q105_bpe_encode" -> (q105BpeEncode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3385,6 +3439,47 @@ object SparkEntry {
     "q101_funnel_sorted" -> funnelOracle,
     "q102_stream_funnel" -> funnelOracle,
     "q103_bpe_merges" -> bpeOracle,
+    "q105_bpe_encode" -> bpeEncodeOracle,
+    "q104_dhash_neardup" ->
+      """WITH m0 AS (
+        |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx
+        |  FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, '00' || substr(hex(CAST(text AS BLOB)), 3)
+        |  FROM documents WHERE text IS NOT NULL
+        |), m AS (
+        |  SELECT media_id, hx, length(hx)//2 AS len FROM m0
+        |), c AS (
+        |  SELECT media_id, len,
+        |    list_transform(range(72), g ->
+        |      CASE WHEN len = 0 THEN 0 ELSE
+        |        (strpos('0123456789ABCDEF',
+        |           substr(hx, CAST(((g*len)//72)*2 + 1 AS INT), 1)) - 1) * 16
+        |        + (strpos('0123456789ABCDEF',
+        |           substr(hx, CAST(((g*len)//72)*2 + 2 AS INT), 1)) - 1)
+        |      END) AS cell
+        |  FROM m
+        |), p AS (
+        |  SELECT media_id,
+        |    CAST(list_sum(list_transform(range(32), b ->
+        |      CASE WHEN cell[((b+32)//8)*9 + ((b+32)%8) + 1]
+        |              < cell[((b+32)//8)*9 + ((b+32)%8) + 2]
+        |        THEN 2**CAST(b AS INT) ELSE 0 END)) AS BIGINT) AS hi32,
+        |    CAST(list_sum(list_transform(range(32), b ->
+        |      CASE WHEN cell[(b//8)*9 + (b%8) + 1] < cell[(b//8)*9 + (b%8) + 2]
+        |        THEN 2**CAST(b AS INT) ELSE 0 END)) AS BIGINT) AS lo32
+        |  FROM c
+        |), s AS (
+        |  SELECT media_id,
+        |    CASE WHEN hi32 >= 2147483648 THEN (hi32 - 4294967296)*4294967296 + lo32
+        |         ELSE hi32*4294967296 + lo32 END AS sig
+        |  FROM p
+        |)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM s a JOIN s b ON b.media_id > a.media_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q100_bigram_lm" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
@@ -3501,8 +3596,11 @@ object SparkEntry {
     * mid-symbol; replace's non-overlapping scan IS the greedy merge).
     * Should the corpus run dry before 8 merges, m_i goes empty and the
     * cascade truncates on both engines identically. */
-  private val bpeOracle: String = {
-    val n = 8
+  /** Shared CTE prefix for q103/q105: word-frequency vocabulary, its
+    * char-level symbol init (v0), and `n` unrolled merge-training
+    * levels — level i's argmax lives in m$i, the rewritten vocabulary
+    * in v$i. */
+  private def bpeTrainingCte(n: Int): String = {
     val levels = (1 to n).map { i =>
       s"""p$i AS (
          |  SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -3518,11 +3616,7 @@ object SparkEntry {
          |  FROM v${i - 1} CROSS JOIN m$i
          |)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to n).map { i =>
-      s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, " +
-        s"cnt AS pair_freq FROM m$i"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT w, COUNT(*) AS freq FROM (
        |    SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
        |  ) WHERE length(w) > 0 GROUP BY w
@@ -3531,9 +3625,38 @@ object SparkEntry {
        |    i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS repr
        |  FROM words
        |),
-       |$levels
+       |$levels""".stripMargin
+  }
+
+  private val bpeOracle: String = {
+    val n = 8
+    val union = (1 to n).map { i =>
+      s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, " +
+        s"cnt AS pair_freq FROM m$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeTrainingCte(n)}
        |$union
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** q105: the defining BPE-encode invariant — applying the learned
+    * merges in rank order to a raw word reproduces that word's
+    * END-OF-TRAINING symbol state (training rewrites the vocabulary
+    * with each merge as it is learned, in the same order, with the
+    * same replace), so the corpus-wide encoded-subword counts are
+    * exactly v8's symbols weighted by word frequency. The engine side
+    * computes the LEFT side of that invariant (a collected merge
+    * table re-applied from scratch by [[graft.operators.Corpus
+    * .bpeEncode]]); the oracle computes the right side. */
+  private val bpeEncodeOracle: String = {
+    val n = 8
+    s"""WITH ${bpeTrainingCte(n)}
+       |SELECT token, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+       |  SELECT freq, unnest(string_split(trim(repr), '  ')) AS token FROM v$n
+       |)
+       |GROUP BY token
+       |ORDER BY freq DESC, token
+       |LIMIT 50""".stripMargin
   }
 
   /** q96: the same exact-Jaccard pair prefix feeding a 3-iteration

@@ -63,20 +63,30 @@ case class DHash64(child: Expression) extends UnaryExpression {
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
+      // freshName per instance: two DHash64 calls in one codegen scope
+      // must not declare duplicate Java locals (Janino would reject the
+      // whole generated class and silently fall back to interpreted).
+      val len = ctx.freshName("len")
+      val sig = ctx.freshName("sig")
+      val r = ctx.freshName("r")
+      val c = ctx.freshName("c")
+      val g = ctx.freshName("g")
+      val p1 = ctx.freshName("p1")
+      val p2 = ctx.freshName("p2")
       s"""
-         |int len$$ = $arr.length;
-         |long sig$$ = 0L;
-         |if (len$$ > 0) {
-         |  for (int r$$ = 0; r$$ < 8; r$$++) {
-         |    for (int c$$ = 0; c$$ < 8; c$$++) {
-         |      int g$$ = r$$ * 9 + c$$;
-         |      int p1$$ = $arr[(int) (((long) g$$ * len$$) / 72L)] & 0xFF;
-         |      int p2$$ = $arr[(int) (((long) (g$$ + 1) * len$$) / 72L)] & 0xFF;
-         |      if (p1$$ < p2$$) sig$$ |= 1L << (r$$ * 8 + c$$);
+         |int $len = $arr.length;
+         |long $sig = 0L;
+         |if ($len > 0) {
+         |  for (int $r = 0; $r < 8; $r++) {
+         |    for (int $c = 0; $c < 8; $c++) {
+         |      int $g = $r * 9 + $c;
+         |      int $p1 = $arr[(int) (((long) $g * $len) / 72L)] & 0xFF;
+         |      int $p2 = $arr[(int) (((long) ($g + 1) * $len) / 72L)] & 0xFF;
+         |      if ($p1 < $p2) $sig |= 1L << ($r * 8 + $c);
          |    }
          |  }
          |}
-         |${ev.value} = sig$$;
+         |${ev.value} = $sig;
        """.stripMargin
     })
 

@@ -688,4 +688,56 @@ object Corpus {
     spark.createDataFrame(merges.result())
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq")
   }
+
+  /** Collect a [[bpeMerges]] output frame into the rank-ordered
+    * (lhs, rhs) merge table [[bpeEncode]] consumes. Driver-side by
+    * design: the merge table is `numMerges` rows — bounded by the
+    * training call, never corpus-sized. */
+  def collectMerges(mergesDf: DataFrame): Seq[(String, String)] =
+    mergesDf.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+
+  /** BPE ENCODE — apply a learned merge table ([[bpeMerges]] →
+    * [[collectMerges]]) to text, closing the learn→apply tokenizer
+    * loop: each whitespace token is char-split into the same
+    * space-wrapped symbol string training uses, every merge is applied
+    * in rank order with the SAME literal non-overlapping replace
+    * (greedy left-to-right, symbol-aligned because symbols never
+    * contain spaces), and the symbols split back out — `outCol` is the
+    * document's subword sequence, in order. This is exactly how a
+    * trained BPE tokenizer encodes at inference: earlier (more
+    * frequent) merges take precedence because later merge patterns are
+    * built FROM earlier merged symbols.
+    *
+    * Scale shape: map-only — zero shuffles, no UDF. The merge table
+    * ships as plan literals (the broadcast-equivalent for a table of
+    * `numMerges` rows), and the whole per-doc rewrite is a chain of
+    * codegen'd built-ins (`transform`/`replace`/`split`). The chain
+    * depth is one `replace` per merge, fine for the `numMerges`
+    * regimes training produces here; a vocabulary-scale merge table
+    * (tens of thousands) would want the replaces batched across
+    * several projections to stay inside codegen method limits. */
+  def bpeEncode(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+      outCol: String = "bpe_tokens"): DataFrame = {
+    val encodeWord: Column => Column = w => {
+      val repr0 = concat(lit(" "),
+        array_join(transform(sequence(lit(1), length(w)),
+          i => w.substr(i, lit(1))), "  "),
+        lit(" "))
+      val reprN = merges.foldLeft(repr0) { case (r, (a, b)) =>
+        replace(r, lit(s" $a  $b "), lit(s" $a$b "))
+      }
+      split(trim(reprN), "  ")
+    }
+    df.withColumn(outCol,
+      flatten(transform(
+        filter(TextFunctions.tokens(col(textCol)), w => length(w) > 0),
+        encodeWord)))
+  }
 }

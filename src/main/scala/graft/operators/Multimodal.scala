@@ -135,9 +135,10 @@ object Multimodal {
     * (a real deployment hashes the decoded grayscale plane with the
     * identical grid/gradient step — the downstream pipeline is
     * unchanged). Map-only; NULL payloads get a NULL signature. */
-  def withDHash(media: DataFrame, outCol: String = "dhash"): DataFrame =
+  def withDHash(media: DataFrame, outCol: String = "dhash",
+      payloadCol: String = "payload"): DataFrame =
     media.withColumn(outCol,
-      graft.expressions.GraftFunctions.dhash64(media, col("payload")))
+      graft.expressions.GraftFunctions.dhash64(media, col(payloadCol)))
 
   /** Perceptual near-duplicate pairs over the media frame: dHash
     * signatures banded through the SHARED Hamming-LSH machinery
@@ -157,9 +158,11 @@ object Multimodal {
       maxHamming: Int = 3,
       bands: Int = 4,
       maxBucket: Int = 1000,
-      dropOversize: Boolean = false): DataFrame = {
-    val sigs = media.select(col("media_id").as("id"),
-        graft.expressions.GraftFunctions.dhash64(media, col("payload")).as("sim"))
+      dropOversize: Boolean = false,
+      idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val sigs = media.select(col(idCol).as("id"),
+        graft.expressions.GraftFunctions.dhash64(media, col(payloadCol)).as("sim"))
       .filter(col("sim").isNotNull)
     Dedup.hammingBandedPairs(sigs, width = 64, bands, maxHamming, maxBucket,
       dropOversize, label = s"dhash64/$bands-band")

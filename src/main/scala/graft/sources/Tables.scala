@@ -19,16 +19,31 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 cannot read
-    * natively; sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * and the ns long is truncated here to a µs timestamp with integer
-    * division (epoch-ns exceeds double's 53-bit mantissa, so `div`, not
-    * `/`). */
+  /** events.parquet's `ts` physical type has varied across harness
+    * generations; normalize every variant to a session-tz TIMESTAMP so
+    * operators downstream see ONE type:
+    *  - TIMESTAMP(NANOS), which Spark 4 cannot read natively: sessions
+    *    set `spark.sql.legacy.parquet.nanosAsLong=true` and the ns long
+    *    is truncated here to a µs timestamp with integer division
+    *    (epoch-ns exceeds double's 53-bit mantissa, so `div`, not `/`);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 infers
+    *    as TIMESTAMP_NTZ: cast to TIMESTAMP — the identity on the
+    *    stored micros because every session pins
+    *    `spark.sql.session.timeZone=UTC` (and the DuckDB oracle reads
+    *    the same naive micros), while leaving the column usable by
+    *    `unix_micros`/watermarks, which reject NTZ. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -154,8 +154,20 @@ object EventStream {
     * stream without reliable markers, pass `idleTimeout` (e.g.
     * "2 hours"): a key idle that long (processing time) flushes its
     * un-emitted partial and is removed — the opt-in bound that keeps
-    * the store O(active users) forever. Replay gates, whose sentinels
-    * already clear every key, leave it None.
+    * the store O(active users) forever.
+    *
+    * WARNING — `idleTimeout` pins bounded runs open: with
+    * `ProcessingTimeTimeout` registered, Spark's
+    * `shouldRunAnotherBatch` is unconditionally true
+    * (`FlatMapGroupsWithStateExecBase`, spark-sql 4.1.2), so a
+    * `Trigger.AvailableNow`/`Once` query keeps scheduling EMPTY
+    * micro-batches until every registered timeout expires —
+    * `awaitTermination` on a bounded replay with a 1-hour idleTimeout
+    * blocks for the full hour, burning cores on no-op batches. Replay
+    * gates, whose sentinels already clear every key, must leave it
+    * None (the continuous-production setting is unaffected: such
+    * queries never terminate by design). FunnelStreamSpec pins both
+    * modes.
     *
     * Same deployment assumption as [[sessionizeStream]]: events arrive
     * time-ordered across micro-batches (each batch is sorted

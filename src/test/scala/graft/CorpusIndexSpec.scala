@@ -342,4 +342,39 @@ class CorpusIndexSpec extends AnyFunSuite {
       (3, "aa", "a", "aaa", 2L),
       (4, "ab", "ab", "abab", 1L)), got.toString)
   }
+
+  test("bpeEncode: hand-computed greedy rank-order apply; empty/null text; roundtrip") {
+    import graft.operators.Corpus
+    // manual merge table (a,b)@1 then (ab,c)@2:
+    //  ab   -> [ab]           abc -> [abc] (ab first, then ab+c)
+    //  a    -> [a]            cab -> [c, ab] (no " ab  c " match)
+    //  aaa  -> [a, a, a] (no merge applies)
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val df = table("id bigint, text string", Seq(
+      row(1L, "ab abc a cab"),
+      row(2L, "aaa"),
+      row(3L, ""), row(4L, null)))
+    val got = Corpus.bpeEncode(df, "text", merges)
+      .orderBy("id")
+      .collect().map(r => if (r.isNullAt(2)) null else r.getSeq[String](2)).toSeq
+    assert(got(0) == Seq("ab", "abc", "a", "c", "ab"), got(0).toString)
+    assert(got(1) == Seq("a", "a", "a"))
+    assert(got(2) == Seq.empty) // empty text -> zero subwords
+    assert(got(3) == null)      // null text propagates
+    // greedy left-to-right: "aaa" under (a,a) is [aa, a], never [a, aa]
+    val greedy = Corpus.bpeEncode(table("id bigint, text string",
+        Seq(row(1L, "aaa"))), "text", Seq(("a", "a")))
+      .head().getSeq[String](2)
+    assert(greedy == Seq("aa", "a"), greedy.toString)
+    // learn -> collect -> apply roundtrip: encoding the training corpus
+    // with its own merges reproduces the end-of-training word states
+    // (hug/pug fully merged after the 3 learned merges)
+    val corpus = table("id bigint, text string", Seq(
+      row(1L, "hug pug hug"), row(2L, "hug pug")))
+    val learned = Corpus.collectMerges(Corpus.bpeMerges(corpus, "text", 8))
+    assert(learned == Seq(("u", "g"), ("h", "ug"), ("p", "ug")))
+    val enc = Corpus.bpeEncode(corpus, "text", learned)
+      .orderBy("id").collect().map(_.getSeq[String](2)).toSeq
+    assert(enc == Seq(Seq("hug", "pug", "hug"), Seq("hug", "pug")), enc.toString)
+  }
 }

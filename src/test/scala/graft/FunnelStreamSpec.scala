@@ -28,7 +28,8 @@ class FunnelStreamSpec extends AnyFunSuite {
       rows: Seq[(Long, java.lang.Long, Long, String)],
       name: String,
       splitUs: Long = Long.MaxValue,
-      idleTimeout: Option[String] = None): Seq[(Long, Int, Long, Option[Long], Option[Long])] = {
+      idleTimeout: Option[String] = None,
+      minRows: Int = 0): Seq[(Long, Int, Long, Option[Long], Option[Long])] = {
     val s = spark
     import s.implicits._
     val ev: DataFrame = table("event_id bigint, ts_us bigint, user_id bigint, event_type string",
@@ -46,7 +47,29 @@ class FunnelStreamSpec extends AnyFunSuite {
     val q = EventStream.funnelStream(stream, steps, idleTimeout = idleTimeout).toDF()
       .writeStream.format("memory").queryName(s"funnel_$name")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    if (idleTimeout.isEmpty) {
+      // Bounded wait: surface a hang as a test FAILURE, never an
+      // sbt-test stall (this suite once parked for ~1 h here).
+      if (!q.awaitTermination(120000L)) {
+        q.stop()
+        fail(s"stream $name did not terminate within 120s")
+      }
+    } else {
+      // ProcessingTimeTimeout + AvailableNow NEVER self-terminates:
+      // shouldRunAnotherBatch is unconditionally `true` for
+      // processing-time timeouts (spark-sql 4.1.2,
+      // FlatMapGroupsWithStateExecBase), so the query keeps scheduling
+      // empty micro-batches forever — awaitTermination would hang. Poll
+      // the sink until the expected rows arrive (the sub-second timeout
+      // fires within a few batches), give it 3 more timeout periods to
+      // emit anything spurious, then stop the query ourselves.
+      val deadline = System.currentTimeMillis() + 60000L
+      while (s.table(s"funnel_$name").count() < minRows &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100L)
+      Thread.sleep(2000L)
+      q.stop()
+      q.awaitTermination(30000L)
+    }
     s.table(s"funnel_$name").collect().toSeq.map { r =>
       (r.getLong(0), r.getInt(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)),
@@ -107,10 +130,33 @@ class FunnelStreamSpec extends AnyFunSuite {
       (5L, 1, 1000000L, None, None),
       (5L, 2, 10000000L, Some(11000000L), Some(1000000L)))
     assert(replay(rows, "statefree", splitUs = 5000000L) == expected)
-    // ProcessingTimeTimeout wiring: same replay, timeout configured —
-    // AvailableNow never idles so the output is identical; a
-    // misconfigured setTimeoutDuration would throw instead.
+    // ProcessingTimeTimeout wiring: same replay, timeout configured.
+    // The timeout MUST be sub-second: ProcessingTimeTimeout makes the
+    // AvailableNow query keep scheduling empty micro-batches until the
+    // registered duration expires, so a long timeout would hold the
+    // replay open for its full length (a 1-hour value here once hung
+    // sbt test for an hour). The completed key's tombstone times out,
+    // hits the hasTimedOut branch with emitted=true, and emits nothing
+    // extra — output identical to the no-timeout replay.
     assert(replay(rows, "statefree_to", splitUs = 5000000L,
-      idleTimeout = Some("1 hour")) == expected)
+      idleTimeout = Some("500 milliseconds"), minRows = expected.size) == expected)
+  }
+
+  test("idle expiry flushes a mid-funnel partial exactly once and drops the key") {
+    // hasTimedOut branch: user 6 reaches stage 1 and then goes idle.
+    // The 500 ms processing-time timeout fires (AvailableNow keeps
+    // scheduling batches until it does), the partial is emitted via the
+    // timeout path, and state.remove() drops the key — so the query
+    // terminates instead of idling forever, and exactly one row exists.
+    val got = replay(Seq(
+      (1L, 1000000L: java.lang.Long, 6L, "view")), "idleflush",
+      idleTimeout = Some("500 milliseconds"), minRows = 1)
+    assert(got == Seq((6L, 1, 1000000L, None, None)), got.toString)
+    // a user who never reached steps.head times out silently: stage 0
+    // state is never stored (fresh => remove), so no row and no state
+    val none = replay(Seq(
+      (1L, 1000000L: java.lang.Long, 7L, "click")), "idlenone",
+      idleTimeout = Some("500 milliseconds"))
+    assert(none == Seq(), none.toString)
   }
 }

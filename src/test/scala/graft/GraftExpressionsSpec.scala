@@ -196,6 +196,41 @@ class GraftExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("DHash64: recipe pins, interpreted==codegen, two instances share a codegen scope") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.BinaryType
+    val e = graft.expressions.DHash64(BoundReference(0, BinaryType, nullable = true))
+    // hand-computed recipe pins (the 8x9-grid gradient rule):
+    //  - empty payload -> 0 (documented degenerate case)
+    //  - constant payload -> 0 (no gradients anywhere)
+    //  - [10,30,20] (len<72, cells repeat bytes): cell g reads byte
+    //    g/24, so the only rising edge is g=23->24 (10<30); g=23 is
+    //    (r=2,c=5) -> bit 2*8+5 = 21. The 30->20 edge at g=47 falls.
+    //  - 0..255 ramp: offsets (g*256)/72 strictly increase, bytes
+    //    strictly increase (unsigned), so all 64 bits set.
+    assert(e.eval(InternalRow(Array.emptyByteArray)) == 0L)
+    assert(e.eval(InternalRow(Array.fill[Byte](7)(42))) == 0L)
+    assert(e.eval(InternalRow(Array[Byte](10, 30, 20))) == (1L << 21))
+    val ramp = Array.tabulate[Byte](256)(i => i.toByte)
+    assert(e.eval(InternalRow(ramp)) == -1L)
+    assert(e.eval(InternalRow(null)) == null)
+    // interpreted (eval above) vs codegen must agree bit-for-bit, and
+    // TWO instances in ONE codegen scope must not collide on Java
+    // locals (the ctx.freshName regression: duplicate declarations fail
+    // Janino compilation outright at this layer — no silent fallback).
+    val proj = GenerateUnsafeProjection.generate(Seq(e,
+      graft.expressions.DHash64(BoundReference(0, BinaryType, nullable = true))))
+    Seq(Array.emptyByteArray, Array.fill[Byte](7)(42),
+        Array[Byte](10, 30, 20), ramp).foreach { payload =>
+      val out = proj(InternalRow(payload))
+      assert(out.getLong(0) == e.eval(InternalRow(payload)),
+        s"codegen != interpreted for len=${payload.length}")
+      assert(out.getLong(1) == out.getLong(0))
+    }
+  }
+
   test("extensions injector wires every builder; registration is idempotent") {
     // the SparkSessionExtensions route (cluster deployments set
     // spark.sql.extensions=graft.expressions.GraftExtensions); here we
@@ -207,7 +242,7 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(names.toSet == Set("graft_dot_f32", "graft_cosine_f32",
       "graft_minhash_sig", "graft_shingles", "graft_clean_text", "graft_simhash",
       "graft_quantized_dot", "graft_sorted_intersect",
-      "graft_bloom_might_contain", "graft_unicode_normalize"))
+      "graft_bloom_might_contain", "graft_unicode_normalize", "graft_dhash64"))
     // per-session registration: repeated calls are safe, functions resolve
     GraftFunctions.ensureRegistered(spark)
     GraftFunctions.ensureRegistered(spark)
