@@ -1813,6 +1813,32 @@ object SparkEntry {
       .limit(50)
   }
 
+  // ---------------------------------------------------------------- q106
+  /** Semantic dedup ([[graft.operators.Similarity.semanticDedup]] —
+    * SemDeDup): IVF k-means cells over the twin-planted embedding
+    * corpus (q24's exact corpus, j=1,2), cell-local cosine pairs at
+    * threshold 0.9 with nprobe=6 multi-probe, min-id representative
+    * per connected group. At this corpus every qualifying pair is a
+    * planted twin-family pair (non-twin cosines top out well below
+    * 0.9 — measured 0.73 at sf0.01, 0.78 at sf0.1), so the oracle's
+    * EXACT full-corpus pair graph + recursive components + min-id
+    * retention is a full-recall gate on the cell-local restriction: a
+    * twin pair whose probe sets diverge, a missed pair at the
+    * 0.90003-margin boundary, or a wrong representative all fail the
+    * hash. nprobe sizing is measured, q25/q69-style: losses at
+    * sf0.01/sf0.1 are 172/— at nprobe=1, 15/— at 2, 2/— at 3, 0/2 at
+    * 4, 0/0 at 5 — pinned at 6 for one step of margin (recall is
+    * monotone in nprobe). */
+  private def q106SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Ivf, Similarity}
+    val corpus = twinCorpus(Tables.embeddings(s, dir), 2)
+    val model = Ivf.train(corpus, "vec_id", "embedding",
+      k = 16, iters = 3, sampleMod = 4)
+    Similarity.semanticDedup(corpus, "vec_id", "embedding", model,
+        threshold = 0.9, nprobe = 6)
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1919,6 +1945,7 @@ object SparkEntry {
     "q103_bpe_merges" -> (q103BpeMerges _),
     "q104_dhash_neardup" -> (q104DHashNearDup _),
     "q105_bpe_encode" -> (q105BpeEncode _),
+    "q106_semantic_dedup" -> (q106SemanticDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3440,6 +3467,42 @@ object SparkEntry {
     "q102_stream_funnel" -> funnelOracle,
     "q103_bpe_merges" -> bpeOracle,
     "q105_bpe_encode" -> bpeEncodeOracle,
+    "q106_semantic_dedup" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000*j AS vec_id,
+        |    list_transform(list_zip(embedding, range(1, len(embedding)+1)),
+        |      z -> CASE WHEN z[2] = j
+        |           THEN CAST(z[1] * CAST(2**j AS REAL) AS REAL) ELSE z[1] END)
+        |      AS embedding
+        |  FROM embeddings CROSS JOIN (SELECT unnest([1,2]) AS j)
+        |), n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM corpus
+        |), e AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM n a JOIN n b ON b.vec_id > a.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |      / (a.nrm * b.nrm) >= 0.9
+        |), sym AS (
+        |  SELECT id_a AS a, id_b AS b FROM e
+        |  UNION SELECT id_b, id_a FROM e
+        |), reach AS (
+        |  SELECT a AS node, a AS r FROM sym
+        |  UNION
+        |  SELECT s2.a, r.r FROM sym s2 JOIN reach r ON s2.b = r.node
+        |), comp AS (
+        |  SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+        |)
+        |SELECT c0.vec_id,
+        |  COALESCE(cm.comp, c0.vec_id) AS rep_id,
+        |  (c0.vec_id = COALESCE(cm.comp, c0.vec_id)) AS kept
+        |FROM corpus c0 LEFT JOIN comp cm ON c0.vec_id = cm.node
+        |ORDER BY vec_id""".stripMargin,
     "q104_dhash_neardup" ->
       """WITH m0 AS (
         |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx

@@ -146,6 +146,29 @@ object Ivf {
     df.withColumn(cellCol, array_max(scored).getField("cell"))
   }
 
+  /** Multi-probe cell assignment: each vector EXPLODED into its
+    * `nprobe` nearest cells — [[searchBatch]]'s probe idiom applied to
+    * the corpus side (same (-cos, cell) ranking, ties to the lower
+    * cell id). This is the recall knob for cell-local pair operators
+    * ([[Similarity.semanticDedup]]): a near-dup pair straddling one
+    * argmax boundary still shares a cell at nprobe >= 2 unless BOTH
+    * vectors' rankings diverge past nprobe. Map-only over centroid
+    * literals; output carries every input column plus `cellCol`, with
+    * each row duplicated nprobe ways (the deliberate cost of the
+    * recall). */
+  def assignProbes(df: DataFrame, vecCol: String, model: Model,
+      nprobe: Int, cellCol: String = "cell"): DataFrame = {
+    require(nprobe > 0 && nprobe <= model.k,
+      s"nprobe ($nprobe) must be in [1, ${model.k}]")
+    val scoredCells = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        (-GraftFunctions.cosineF32(df, col(vecCol), Similarity.vectorLit(c.toSeq))).as("neg"),
+        lit(i).as("cell"))
+    }: _*)
+    df.withColumn(cellCol,
+      explode(slice(sort_array(scoredCells), 1, nprobe).getField("cell")))
+  }
+
   /** Batch ANN join: for EVERY query vector, the exact cosine top-k
     * over the `nprobe` cells nearest that query — "find each eval
     * doc's nearest training docs" as one dataflow, where [[search]] is

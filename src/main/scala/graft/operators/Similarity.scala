@@ -279,4 +279,97 @@ object Similarity {
             floor(x.cast("double") * scale + 0.5).cast("int")))).as("q"),
       scale.as("scale"))
   }
+
+  /** Semantic deduplication (SemDeDup-style, Abbas et al. 2023):
+    * cluster the embedding space with the shared IVF k-means model
+    * ([[Ivf.train]]), compare vectors ONLY within their cell, connect
+    * pairs with cosine >= `threshold`, and keep exactly one
+    * representative per connected group — the deterministic min-id,
+    * the same retention rule as the exact/MinHash dedup family (the
+    * paper keeps a centroid-distance extreme; min-id is rerun-stable
+    * and engine-portable, which is what an oracle-gated pipeline
+    * needs). Returns one row PER INPUT VECTOR: (`idCol`, `rep_id`,
+    * `kept`) — `rep_id` = the group representative (itself for
+    * singletons), `kept` = whether the vector survives dedup.
+    *
+    * Scale shape: the cell assignment is the corpus's only full pass
+    * (map-only argmax-cosine over centroid literals, the
+    * [[Ivf.assign]] kernel); pair expansion is CELL-LOCAL behind the
+    * count-first [[BucketGuard]] discipline — each row learns its
+    * cell's cardinality from a spillable whole-partition count window
+    * BEFORE any `collect_list` materializes a cell, so a degenerate
+    * cell (all-identical embeddings) costs disk and a loud
+    * `raise_error`, never an executor OOM; `dropOversize=true` trades
+    * that error for recall loss, observably. The component step runs
+    * on the SPARSE qualifying-pair graph only (near-dup groups, not
+    * the corpus). Cell-local restriction is the approximation the
+    * paper makes too — `nprobe` is the recall knob
+    * ([[Ivf.assignProbes]]): each vector pairs within its nprobe
+    * nearest cells, so a qualifying pair is missed only when BOTH
+    * vectors' cell rankings diverge past nprobe (at nprobe=1, any
+    * straddled argmax boundary loses the pair — measured 11% of twin
+    * pairs at sf0.01). The oracle gate (q106) holds the whole pipeline
+    * to the EXACT full-corpus pair graph, so at the gated scale the
+    * approximation is provably lossless.
+    *
+    * Cost model, honestly: cell-local pair work is
+    * O(n² * nprobe² / k) against brute force's O(n²) — the pruning is
+    * real only when k >> nprobe², which is how IVF is sized at corpus
+    * scale (k ~ sqrt(n): at 10^10 vectors and 10^5 cells, nprobe=8
+    * prunes 99.99% of the pair space). The gate corpus is cluster
+    * locality's WORST case — isotropic random vectors sit
+    * near-orthogonal to every centroid, cell rankings ride tiny
+    * margins, and even cosine-0.95 twins diverge in rank, which is
+    * what forces nprobe=6 against the toy k=16 model (at that ratio
+    * the pair stage costs ~2x the brute-force pair count; the gate is
+    * checking SEMANTICS — pair set, transitive groups, retention —
+    * not the prune ratio). Real embedding corpora cluster, which is
+    * SemDeDup's premise and what restores the asymptotic win. */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Ivf.Model,
+      threshold: Double,
+      nprobe: Int = 2,
+      maxCell: Int = 10000,
+      dropOversize: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    require(nprobe > 0, s"nprobe ($nprobe) must be positive")
+    val ids = emb.select(col(idCol), col(vecCol))
+    // clamp: a model with fewer cells than nprobe just probes them all
+    val assigned = Ivf.assignProbes(ids, vecCol, model,
+      math.min(nprobe, model.k), "__cell")
+      .select(col("__cell"),
+        struct(col(idCol).as("id"), col(vecCol).as("vec")).as("ds"))
+    val celled = BucketGuard.withBucketCount(assigned, Seq("__cell"))
+      .groupBy("__cell")
+      .agg(max(col(BucketGuard.CountCol)).cast("int").as("__bn"),
+        collect_list(when(col(BucketGuard.CountCol) <= maxCell, col("ds")))
+          .as("ds"))
+    val guarded =
+      (if (dropOversize) celled.filter(col("__bn").between(2, maxCell))
+      else celled.filter(col("__bn") >= 2 &&
+        when(col("__bn") <= maxCell, lit(true)).otherwise(raise_error(concat(
+          lit(s"semanticDedup cell exceeded maxCell=$maxCell (size "),
+          col("__bn").cast("string"),
+          lit(") — raise k (more, smaller cells), raise maxCell, or pass " +
+            "dropOversize=true to accept recall loss."))).cast("boolean"))))
+      .drop("__bn")
+    val pairs = guarded
+      .select(explode(col("ds")).as("x"), col("ds"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        GraftFunctions.cosineF32(emb, col("x.vec"), col("y.vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct() // a pair may share up to nprobe cells
+    val labels = Components.connectedComponents(pairs, "id_a", "id_b")
+    ids.select(col(idCol))
+      .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol)).as("rep_id"))
+      .withColumn("kept", col(idCol) === col("rep_id"))
+  }
 }

@@ -79,4 +79,72 @@ class VocabQuantizeSpec extends AnyFunSuite {
     assert(codes.head == 127 && codes(1) == -127)
     assert(codes.forall(c => c >= -127 && c <= 127))
   }
+
+  test("semanticDedup: within-cell groups, min-id rep, nprobe recall knob") {
+    import graft.operators.{Ivf, Similarity}
+    // hand-computed: cells along the two axes; (1,2) pair at cosine
+    // .9902 and (3,4) at .9950 group within their cells; (5,6) are at
+    // cosine .9996 but straddle the cell boundary (5 -> cell 0 at
+    // .7170 vs .6971, 6 mirrored) — nprobe=1 misses them BY DESIGN
+    // (the single-probe SemDeDup approximation), both stay kept.
+    val df = table("vec_id bigint, embedding array<float>", Seq(
+      row(1L, Seq(1.0f, 0.0f)),
+      row(2L, Seq(0.99f, 0.14f)),
+      row(3L, Seq(0.0f, 1.0f)),
+      row(4L, Seq(0.1f, 0.995f)),
+      row(5L, Seq(0.72f, 0.70f)),
+      row(6L, Seq(0.70f, 0.72f))))
+    val model = Ivf.Model(Vector(Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding", model, 0.98,
+        nprobe = 1)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq(
+      (1L, 1L, true), (2L, 1L, false),
+      (3L, 3L, true), (4L, 3L, false),
+      (5L, 5L, true), (6L, 6L, true)), got.toString)
+    // nprobe=2: 5 and 6 both probe {cell0, cell1}, share a cell, and
+    // the straddled pair is recovered — 6 joins 5's group
+    val probed = Similarity.semanticDedup(df, "vec_id", "embedding", model, 0.98,
+        nprobe = 2)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(probed == Seq(
+      (1L, 1L, true), (2L, 1L, false),
+      (3L, 3L, true), (4L, 3L, false),
+      (5L, 5L, true), (6L, 5L, false)), probed.toString)
+  }
+
+  test("semanticDedup: transitive chains group via components; oversize cell guard") {
+    import graft.operators.{Ivf, Similarity}
+    // a~b (.96) and b~c (.9628) but NOT a~c (.8486): components must
+    // still place all three in one group under rep a — pairwise-only
+    // retention would keep c.
+    val chain = table("vec_id bigint, embedding array<float>", Seq(
+      row(10L, Seq(1.0f, 0.0f)),
+      row(11L, Seq(0.96f, 0.28f)),
+      row(12L, Seq(0.85f, 0.53f))))
+    val one = Ivf.Model(Vector(Array(1.0f, 0.0f)))
+    val got = Similarity.semanticDedup(chain, "vec_id", "embedding", one, 0.95)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq((10L, 10L, true), (11L, 10L, false), (12L, 10L, false)),
+      got.toString)
+    // strict default: a 3-vector cell over maxCell=2 must raise loudly
+    val err = intercept[Throwable] {
+      Similarity.semanticDedup(chain, "vec_id", "embedding", one, 0.95,
+        maxCell = 2).collect()
+    }
+    val messages = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("maxCell=2"), messages.take(500))
+    // dropOversize: the cell's pairs are sacrificed observably — no
+    // groups form, every vector survives as its own representative
+    val dropped = Similarity.semanticDedup(chain, "vec_id", "embedding", one,
+        0.95, maxCell = 2, dropOversize = true)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(dropped == Seq((10L, 10L, true), (11L, 11L, true), (12L, 12L, true)),
+      dropped.toString)
+  }
 }
