@@ -1839,6 +1839,38 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- q107
+  /** The COMPLETE tokenizer pipeline, raw text → training token ids:
+    * learn 8 BPE merges (q103's trainer), encode every document
+    * ([[graft.operators.Corpus.bpeEncode]]), build the subword
+    * vocabulary with contiguous frequency-ranked ids
+    * ([[graft.operators.Corpus.vocabularyFromFrequencies]] — the q50
+    * id-assignment on the ENCODED stream), and emit each document's
+    * ordered id sequence as (doc_id, pos, token_id) rows. The oracle
+    * replays training (shared CTEs), reconstructs each doc's subword
+    * stream word-by-word from the end-of-training vocabulary states
+    * (the q105 invariant applied per position), rebuilds the
+    * vocabulary ranking, and joins — every position of every
+    * document's id sequence is value-checked integer-exact. The
+    * vocab join is unhinted: subword vocabularies are tiny here and
+    * AQE broadcasts them; a byte-level 100k-merge vocabulary still
+    * fits comfortably, and an unbounded one degrades to a shuffle
+    * join instead of an OOM. */
+  private def q107BpeIds(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val docs = Tables.documents(s, dir)
+    val merges = Corpus.collectMerges(Corpus.bpeMerges(docs, "text", 8))
+    val enc = Corpus.bpeEncode(docs, "text", merges)
+    val vocab = Corpus.vocabularyFromFrequencies(
+      enc.select(explode(col("bpe_tokens")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq")))
+    enc.select(col("doc_id"),
+        posexplode(col("bpe_tokens")).as(Seq("pos", "token")))
+      .join(vocab.select("token", "token_id"), Seq("token"))
+      .select(col("doc_id"), col("pos"), col("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1946,6 +1978,7 @@ object SparkEntry {
     "q104_dhash_neardup" -> (q104DHashNearDup _),
     "q105_bpe_encode" -> (q105BpeEncode _),
     "q106_semantic_dedup" -> (q106SemanticDedup _),
+    "q107_bpe_ids" -> (q107BpeIds _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3467,6 +3500,7 @@ object SparkEntry {
     "q102_stream_funnel" -> funnelOracle,
     "q103_bpe_merges" -> bpeOracle,
     "q105_bpe_encode" -> bpeEncodeOracle,
+    "q107_bpe_ids" -> bpeIdsOracle,
     "q106_semantic_dedup" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT vec_id, embedding FROM embeddings
@@ -3674,7 +3708,7 @@ object SparkEntry {
          |), m$i AS (
          |  SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1
          |), v$i AS (
-         |  SELECT freq, replace(repr, ' ' || a || '  ' || b || ' ',
+         |  SELECT w, freq, replace(repr, ' ' || a || '  ' || b || ' ',
          |    ' ' || a || b || ' ') AS repr
          |  FROM v${i - 1} CROSS JOIN m$i
          |)""".stripMargin
@@ -3684,7 +3718,8 @@ object SparkEntry {
        |    SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
        |  ) WHERE length(w) > 0 GROUP BY w
        |), v0 AS (
-       |  SELECT freq, ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+       |  SELECT w, freq,
+       |    ' ' || array_to_string(list_transform(range(1, length(w) + 1),
        |    i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS repr
        |  FROM words
        |),
@@ -3700,6 +3735,47 @@ object SparkEntry {
     s"""WITH ${bpeTrainingCte(n)}
        |$union
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** q107: training CTEs + per-document reconstruction — each doc's
+    * words in order, each word's end-of-training subword split (the
+    * q105 invariant), positions by (word order, subword order), ids
+    * from the (freq DESC, token) ranking over the encoded stream. */
+  private val bpeIdsOracle: String = {
+    val n = 8
+    s"""WITH ${bpeTrainingCte(n)},
+       |docw AS (
+       |  SELECT doc_id, unnest(list_transform(range(len(toks)), i ->
+       |    {'wo': i, 'w': toks[CAST(i + 1 AS INT)]})) AS u
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+       |        FROM documents)
+       |), dw AS (
+       |  SELECT doc_id, u.wo AS word_ord, u.w AS w FROM docw
+       |  WHERE length(u.w) > 0
+       |), sub AS (
+       |  SELECT doc_id, word_ord, unnest(list_transform(range(len(s)), j ->
+       |    {'so': j, 'tok': s[CAST(j + 1 AS INT)]})) AS v
+       |  FROM (SELECT dw.doc_id, dw.word_ord,
+       |          string_split(trim(v.repr), '  ') AS s
+       |        FROM dw JOIN v$n v ON dw.w = v.w)
+       |), pos AS (
+       |  SELECT doc_id, v.tok AS token,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY word_ord, v.so) - 1 AS pos
+       |  FROM sub
+       |), vfreq AS (
+       |  SELECT token, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+       |    SELECT freq, unnest(string_split(trim(repr), '  ')) AS token
+       |    FROM v$n)
+       |  GROUP BY token
+       |), vocab AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1 AS token_id,
+       |    token
+       |  FROM vfreq
+       |)
+       |SELECT p.doc_id, CAST(p.pos AS INT) AS pos, v.token_id
+       |FROM pos p JOIN vocab v USING (token)
+       |ORDER BY doc_id, pos""".stripMargin
   }
 
   /** q105: the defining BPE-encode invariant — applying the learned

@@ -270,12 +270,22 @@ object Corpus {
   def buildVocabulary(
       df: DataFrame,
       textCol: String,
+      minFreq: Long = 1L): DataFrame =
+    vocabularyFromFrequencies(tokenFrequencies(df, textCol), minFreq)
+
+  /** Id assignment half of [[buildVocabulary]], over ANY `(token,
+    * freq)` frame — whitespace tokens, BPE subwords ([[bpeEncode]]
+    * output, the q107 path), n-grams. Same contract: contiguous ids
+    * 0..V-1 in (freq DESC, token) order via the range-partitioned
+    * row-id pass, never a single-partition window. */
+  def vocabularyFromFrequencies(
+      freq: DataFrame,
       minFreq: Long = 1L): DataFrame = {
     require(minFreq >= 1, "minFreq must be >= 1")
-    val freq = tokenFrequencies(df, textCol)
+    val f = freq
       .filter(col("freq") >= minFreq)
       .withColumn("__negfreq", -col("freq"))
-    General.withContiguousRowIds(freq, Seq("__negfreq", "token"), "token_id")
+    General.withContiguousRowIds(f, Seq("__negfreq", "token"), "token_id")
       .select("token_id", "token", "freq")
   }
 
