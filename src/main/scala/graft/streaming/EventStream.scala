@@ -84,34 +84,64 @@ object EventStream {
     * open session; events beyond `gapUs` close it and emit. All time
     * arithmetic is µs-exact, so the emitted sessions match
     * [[graft.operators.Sessionize.sessionize]] boundary-for-boundary.
-    * State is O(active users), not O(events). */
+    * State is O(active users), not O(events).
+    *
+    * On an unbounded production stream a user's LAST session never
+    * closes — no later event arrives to cross the gap — so pass
+    * `idleTimeout` (e.g. "2 hours", sensibly >= the gap): a user idle
+    * that long (PROCESSING time, the operational proxy for the
+    * event-time gap) has their open session closed, emitted exactly
+    * once, and removed from the store — the session a later
+    * out-of-gap event would have closed anyway, just not held hostage
+    * to that event ever arriving. The same WARNING as
+    * [[funnelStream]] applies verbatim: `ProcessingTimeTimeout` keeps
+    * `Trigger.AvailableNow`/`Once` replays scheduling empty
+    * micro-batches until every registered timeout expires, so bounded
+    * replay gates (whose sentinels already close every session) must
+    * leave it None. */
   def sessionizeStream(
       events: Dataset[Event],
-      gapUs: Long): Dataset[Session] = {
+      gapUs: Long,
+      idleTimeout: Option[String] = None): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val us = micros(e.ts)
-            cur match {
-              case Some(st) if us - st.lastUs <= gapUs =>
-                cur = Some(st.copy(lastUs = us, n = st.n + 1, valueSum = st.valueSum + e.value))
-              case Some(st) =>
-                closed += Session(userId,
-                  tsFromMicros(st.startUs), tsFromMicros(st.lastUs), st.n, st.valueSum)
-                cur = Some(SessionState(us, us, 1L, e.value))
-              case None =>
-                cur = Some(SessionState(us, us, 1L, e.value))
+          if (state.hasTimedOut) {
+            // idle expiry closes the open session: emit it once, drop
+            // the key — the store stays O(currently-active users)
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(userId,
+              tsFromMicros(st.startUs), tsFromMicros(st.lastUs), st.n, st.valueSum))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val us = micros(e.ts)
+              cur match {
+                case Some(st) if us - st.lastUs <= gapUs =>
+                  cur = Some(st.copy(lastUs = us, n = st.n + 1, valueSum = st.valueSum + e.value))
+                case Some(st) =>
+                  closed += Session(userId,
+                    tsFromMicros(st.startUs), tsFromMicros(st.lastUs), st.n, st.valueSum)
+                  cur = Some(SessionState(us, us, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(us, us, 1L, e.value))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 

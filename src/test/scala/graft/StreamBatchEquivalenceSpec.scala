@@ -181,4 +181,50 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       .select("user_id", "steps_reached", "t1_us", "tk_us", "delay_us"))
     assert(craftedOut == Set((1L, 3, 10L, 30L, 20L), (2L, 2, 10L, null, null)))
   }
+
+  test("sessionize idleTimeout closes open sessions exactly once and drops the key") {
+    val s = spark
+    import s.implicits._
+    // u1: one open session (2 in-gap events) — only the timeout can
+    // close it. u2: an out-of-gap event closes session 1 the normal
+    // way AND opens session 2, which again only the timeout closes.
+    val ev = table(
+      "event_id bigint, t_us bigint, user_id bigint, event_type string, value double",
+      Seq(row(1L, 1000000L, 1L, "a", 1.0), row(2L, 2000000L, 1L, "b", 2.0),
+        row(3L, 1000000L, 2L, "a", 5.0),
+        row(4L, 10L * gapUs, 2L, "b", 7.0)))
+      .select(col("event_id"), timestamp_micros(col("t_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-idle").toString
+    ev.coalesce(1).write.mode("append").parquet(dir)
+    val schema = implicitly[org.apache.spark.sql.Encoder[EventStream.Event]].schema
+    val stream = s.readStream.schema(schema).parquet(dir).as[EventStream.Event]
+    // Sub-second timeout + manual stop: ProcessingTimeTimeout keeps an
+    // AvailableNow query scheduling empty micro-batches forever (the
+    // funnelStream WARNING), so poll the sink and stop it ourselves.
+    val q = EventStream.sessionizeStream(stream, gapUs,
+        idleTimeout = Some("500 milliseconds")).toDF()
+      .writeStream.format("memory").queryName("sess_idle")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val deadline = System.currentTimeMillis() + 60000L
+    while (s.table("sess_idle").count() < 3 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100L)
+    Thread.sleep(2000L) // grace: a duplicate/resurrected emission would land here
+    q.stop()
+    q.awaitTermination(30000L)
+    val got = s.table("sess_idle").collect().map { r =>
+      (r.getLong(0), unixMicros(r.getTimestamp(1)), unixMicros(r.getTimestamp(2)),
+        r.getLong(3), r.getDouble(4))
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got == Seq(
+      (1L, 1000000L, 2000000L, 2L, 3.0),       // timeout-closed
+      (2L, 1000000L, 1000000L, 1L, 5.0),       // event-closed (gap crossed)
+      (2L, 10L * gapUs, 10L * gapUs, 1L, 7.0)), // timeout-closed re-open
+      got.toString)
+  }
+
+  private def unixMicros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
 }
