@@ -357,6 +357,16 @@ object Similarity {
           lit(") — raise k (more, smaller cells), raise maxCell, or pass " +
             "dropOversize=true to accept recall loss."))).cast("boolean"))))
       .drop("__bn")
+    // A pair sharing several probed cells is scored once per shared
+    // cell and deduped AFTER the threshold filter. Measured dead end
+    // (round 11): scoring each pair only in its minimum common probed
+    // cell — carrying the 6-element probe set per row and filtering on
+    // array_intersect/array_min — was 2.4x SLOWER at sf0.1 (18.4 s vs
+    // 7.8 s, gc_ms 980): ArrayIntersect allocates a hash set per
+    // evaluation, while the duplicate cosines it avoids are fused
+    // allocation-free codegen. The duplicates only cost where probe
+    // sets overlap, and distinct() on the post-threshold survivors is
+    // pair-bounded.
     val pairs = guarded
       .select(explode(col("ds")).as("x"), col("ds"))
       .select(col("x"), explode(col("ds")).as("y"))
