@@ -326,6 +326,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ids.length == 3)
   }
 
+  test("ivf assignProbes: rank-1 equals assign, probe sets ranked, nprobe=k covers all") {
+    import graft.operators.Ivf
+    val model = Ivf.Model(Vector(
+      Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f), Array(0.0f, 0.0f, 1.0f)))
+    // hand-ranked probes: v10 orders cells (0, 1, 2); v11 orders (1, 2, 0)
+    val df = table("vec_id bigint, embedding array<float>", Seq(
+      row(10L, Seq(0.9f, 0.4f, 0.1f)),
+      row(11L, Seq(0.1f, 0.9f, 0.4f))))
+    def probes(np: Int): Map[Long, Seq[Int]] =
+      Ivf.assignProbes(df, "embedding", model, np).collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rs) => id -> rs.map(_.getAs[Int]("cell")).toSeq }
+    val p2 = probes(2)
+    assert(p2(10L) == Seq(0, 1) && p2(11L) == Seq(1, 2), p2.toString)
+    // the first probe IS assign's argmax cell for every vector
+    val argmax = Ivf.assign(df, "embedding", model).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    assert(p2.forall { case (id, cells) => cells.head == argmax(id) })
+    // nprobe = k probes every cell exactly once
+    val p3 = probes(3)
+    assert(p3.values.forall(_.sorted == Seq(0, 1, 2)), p3.toString)
+    intercept[IllegalArgumentException] {
+      Ivf.assignProbes(df, "embedding", model, 4)
+    }
+  }
+
   test("ivf searchBatch: agrees with per-query single search") {
     import graft.operators.Ivf
     val rows = (0 until 20).map { i =>
