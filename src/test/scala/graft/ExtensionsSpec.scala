@@ -628,6 +628,20 @@ class ExtensionsSpec extends AnyFunSuite {
     val viaDecoder = Multimodal.extractFeaturesWith(media, Multimodal.StubDecoder)
     assert(viaDecoder.orderBy("media_id").collect().map(_.toSeq).toSeq ==
       feats.orderBy("media_id").collect().map(_.toSeq).toSeq)
+    // withDHash appends the native DHash64 signature: the empty-payload
+    // degenerate is 0, non-empty payloads get the gradient value the
+    // expression spec pins, NULL payloads a NULL signature
+    val hashed = Multimodal.withDHash(media)
+    assert(hashed.schema.fieldNames.last == "dhash")
+    val byId = hashed.select(col("media_id"), col("dhash")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(byId(1L).exists(_ != 0L)) // real text -> non-trivial gradient bits
+    val e = graft.expressions.DHash64(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.BinaryType, nullable = true))
+    assert(byId(1L).contains(e.eval(org.apache.spark.sql.catalyst.InternalRow(
+      text1.getBytes("UTF-8"))).asInstanceOf[Long]))
   }
 
   test("multimodal: resize planning fits max box, preserves aspect, never upscales") {
