@@ -59,19 +59,29 @@ case class MinHashSig(child: Expression, k: Int)
     nullSafeCodeGen(ctx, ev, arr => {
       val xxh = classOf[XXH64].getName
       val gad = classOf[GenericArrayData].getName
+      // ctx.freshName per instance: with non-nullable children the
+      // nullSafeCodeGen wrapper emits no scoping braces, so fixed
+      // local names would redefine across instances and fail Janino
+      // (silent interpreted fallback) — see VectorExpressions.
+      val sig = ctx.freshName("sig")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val h0 = ctx.freshName("h0")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
       s"""
-         |long[] sig$$ = new long[$k];
-         |java.util.Arrays.fill(sig$$, Long.MAX_VALUE);
-         |int n$$ = $arr.numElements();
-         |for (int i$$ = 0; i$$ < n$$; i$$++) {
-         |  if ($arr.isNullAt(i$$)) continue;
-         |  long h0$$ = $xxh.hashUTF8String($arr.getUTF8String(i$$), 42L);
-         |  for (int j$$ = 0; j$$ < $k; j$$++) {
-         |    long h$$ = $xxh.hashLong(h0$$, (long) (j$$ + 1));
-         |    if (h$$ < sig$$[j$$]) sig$$[j$$] = h$$;
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($arr.isNullAt($i)) continue;
+         |  long $h0 = $xxh.hashUTF8String($arr.getUTF8String($i), 42L);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $h = $xxh.hashLong($h0, (long) ($j + 1));
+         |    if ($h < $sig[$j]) $sig[$j] = $h;
          |  }
          |}
-         |${ev.value} = new $gad(sig$$);
+         |${ev.value} = new $gad($sig);
        """.stripMargin
     })
 
@@ -123,19 +133,27 @@ case class ShingleSet(child: Expression, n: Int)
     nullSafeCodeGen(ctx, ev, toks => {
       val gad = classOf[GenericArrayData].getName
       val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      // freshName: see MinHashSig — fixed names break Janino when two
+      // instances share a scope over non-nullable children.
+      val m = ctx.freshName("m")
+      val sep = ctx.freshName("sep")
+      val seen = ctx.freshName("seen")
+      val win = ctx.freshName("win")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
       s"""
-         |int m$$ = $toks.numElements();
-         |if (m$$ < $n) {
+         |int $m = $toks.numElements();
+         |if ($m < $n) {
          |  ${ev.value} = new $gad(new Object[0]);
          |} else {
-         |  $utf8 sep$$ = $utf8.fromString("_");
-         |  java.util.LinkedHashSet<$utf8> seen$$ = new java.util.LinkedHashSet<$utf8>();
-         |  $utf8[] win$$ = new $utf8[$n];
-         |  for (int i$$ = 0; i$$ <= m$$ - $n; i$$++) {
-         |    for (int j$$ = 0; j$$ < $n; j$$++) win$$[j$$] = $toks.getUTF8String(i$$ + j$$);
-         |    seen$$.add($utf8.concatWs(sep$$, win$$));
+         |  $utf8 $sep = $utf8.fromString("_");
+         |  java.util.LinkedHashSet<$utf8> $seen = new java.util.LinkedHashSet<$utf8>();
+         |  $utf8[] $win = new $utf8[$n];
+         |  for (int $i = 0; $i <= $m - $n; $i++) {
+         |    for (int $j = 0; $j < $n; $j++) $win[$j] = $toks.getUTF8String($i + $j);
+         |    $seen.add($utf8.concatWs($sep, $win));
          |  }
-         |  ${ev.value} = new $gad(seen$$.toArray());
+         |  ${ev.value} = new $gad($seen.toArray());
          |}
        """.stripMargin
     })

@@ -51,23 +51,34 @@ case class CleanAsciiText(child: Expression) extends UnaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
       val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      // ctx.freshName per instance: with non-nullable children the
+      // nullSafeCodeGen wrapper emits no scoping braces, so fixed
+      // local names would redefine across instances and fail Janino
+      // (silent interpreted fallback) — see VectorExpressions.
+      val in = ctx.freshName("in")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val pend = ctx.freshName("pend")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val keep = ctx.freshName("keep")
       s"""
-         |byte[] in$$ = $s.getBytes();
-         |byte[] out$$ = new byte[in$$.length];
-         |int n$$ = 0;
-         |boolean pend$$ = false;
-         |for (int i$$ = 0; i$$ < in$$.length; i$$++) {
-         |  byte b$$ = in$$[i$$];
-         |  boolean keep$$ = (b$$ >= 'a' && b$$ <= 'z') || (b$$ >= '0' && b$$ <= '9');
-         |  if (keep$$) {
-         |    if (pend$$ && n$$ > 0) out$$[n$$++] = ' ';
-         |    pend$$ = false;
-         |    out$$[n$$++] = b$$;
-         |  } else if (b$$ == ' ') {
-         |    pend$$ = true;
+         |byte[] $in = $s.getBytes();
+         |byte[] $out = new byte[$in.length];
+         |int $n = 0;
+         |boolean $pend = false;
+         |for (int $i = 0; $i < $in.length; $i++) {
+         |  byte $b = $in[$i];
+         |  boolean $keep = ($b >= 'a' && $b <= 'z') || ($b >= '0' && $b <= '9');
+         |  if ($keep) {
+         |    if ($pend && $n > 0) $out[$n++] = ' ';
+         |    $pend = false;
+         |    $out[$n++] = $b;
+         |  } else if ($b == ' ') {
+         |    $pend = true;
          |  }
          |}
-         |${ev.value} = $utf8.fromBytes(java.util.Arrays.copyOf(out$$, n$$));
+         |${ev.value} = $utf8.fromBytes(java.util.Arrays.copyOf($out, $n));
        """.stripMargin
     })
 
@@ -186,19 +197,28 @@ case class SimHashFromHashes(child: Expression, width: Int) extends UnaryExpress
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, hs => {
+      // freshName: see CleanAsciiText — fixed names break Janino when
+      // two instances share a scope over non-nullable children.
+      val cnt = ctx.freshName("cnt")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val b2 = ctx.freshName("b2")
+      val sim = ctx.freshName("sim")
       s"""
-         |long[] cnt$$ = new long[$width];
-         |int n$$ = $hs.numElements();
-         |for (int i$$ = 0; i$$ < n$$; i$$++) {
-         |  if ($hs.isNullAt(i$$)) continue;
-         |  long h$$ = $hs.getLong(i$$);
-         |  for (int b$$ = 0; b$$ < $width; b$$++) {
-         |    if (((h$$ >> b$$) & 1L) == 1L) cnt$$[b$$]++; else cnt$$[b$$]--;
+         |long[] $cnt = new long[$width];
+         |int $n = $hs.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($hs.isNullAt($i)) continue;
+         |  long $h = $hs.getLong($i);
+         |  for (int $b = 0; $b < $width; $b++) {
+         |    if ((($h >> $b) & 1L) == 1L) $cnt[$b]++; else $cnt[$b]--;
          |  }
          |}
-         |long sim$$ = 0L;
-         |for (int b$$ = 0; b$$ < $width; b$$++) if (cnt$$[b$$] > 0) sim$$ |= (1L << b$$);
-         |${ev.value} = sim$$;
+         |long $sim = 0L;
+         |for (int $b2 = 0; $b2 < $width; $b2++) if ($cnt[$b2] > 0) $sim |= (1L << $b2);
+         |${ev.value} = $sim;
        """.stripMargin
     })
 

@@ -63,17 +63,25 @@ case class DotProductF32(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // ctx.freshName per instance: with NON-nullable children the
+      // nullSafeCodeGen wrapper emits no scoping braces, so two
+      // instances in one codegen scope would redefine fixed-named
+      // locals and fail Janino — a silent whole-plan fallback to
+      // interpreted evaluation (probe-confirmed round 11).
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
       s"""
-         |int n$$ = $x.numElements();
-         |if (n$$ != $y.numElements()) {
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double dot$$ = 0.0;
-         |  for (int i$$ = 0; i$$ < n$$; i$$++) {
-         |    if ($x.isNullAt(i$$) || $y.isNullAt(i$$)) { ${ev.isNull} = true; break; }
-         |    dot$$ += (double) $x.getFloat(i$$) * (double) $y.getFloat(i$$);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += (double) $x.getFloat($i) * (double) $y.getFloat($i);
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = dot$$;
+         |  if (!${ev.isNull}) ${ev.value} = $dot;
          |}
        """.stripMargin
     })
@@ -115,19 +123,30 @@ case class CosineSimF32(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // freshName: see DotProductF32 — fixed names break Janino when
+      // two instances share a scope over non-nullable children. This
+      // one is load-bearing: Ivf.assign/assignProbes put model.k
+      // instances in ONE projection.
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
-         |int n$$ = $x.numElements();
-         |if (n$$ != $y.numElements()) {
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double dot$$ = 0.0, na$$ = 0.0, nb$$ = 0.0;
-         |  for (int i$$ = 0; i$$ < n$$; i$$++) {
-         |    if ($x.isNullAt(i$$) || $y.isNullAt(i$$)) { ${ev.isNull} = true; break; }
-         |    double xi$$ = (double) $x.getFloat(i$$);
-         |    double yi$$ = (double) $y.getFloat(i$$);
-         |    dot$$ += xi$$ * yi$$; na$$ += xi$$ * xi$$; nb$$ += yi$$ * yi$$;
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = (double) $x.getFloat($i);
+         |    double $yi = (double) $y.getFloat($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = dot$$ / (java.lang.Math.sqrt(na$$) * java.lang.Math.sqrt(nb$$));
+         |  if (!${ev.isNull}) ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
        """.stripMargin
     })
@@ -194,27 +213,36 @@ case class QuantizedDotF32(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, q) => {
+      // freshName: see DotProductF32 — fixed names break Janino when
+      // two instances share a scope over non-nullable children.
+      val n = ctx.freshName("n")
+      val ma = ctx.freshName("ma")
+      val i = ctx.freshName("i")
+      val ax = ctx.freshName("ax")
+      val scale = ctx.freshName("scale")
+      val dot = ctx.freshName("dot")
+      val c = ctx.freshName("c")
       s"""
-         |int n$$ = $x.numElements();
-         |if (n$$ != $q.numElements()) {
+         |int $n = $x.numElements();
+         |if ($n != $q.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double ma$$ = 0.0;
-         |  for (int i$$ = 0; i$$ < n$$; i$$++) {
-         |    if ($x.isNullAt(i$$) || $q.isNullAt(i$$)) { ${ev.isNull} = true; break; }
-         |    double ax$$ = java.lang.Math.abs((double) $x.getFloat(i$$));
-         |    if (ax$$ > ma$$) ma$$ = ax$$;
+         |  double $ma = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $q.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $ax = java.lang.Math.abs((double) $x.getFloat($i));
+         |    if ($ax > $ma) $ma = $ax;
          |  }
          |  if (!${ev.isNull}) {
-         |    double scale$$ = (ma$$ == 0.0) ? 0.0 : 127.0 / ma$$;
-         |    long dot$$ = 0L;
-         |    for (int i$$ = 0; i$$ < n$$; i$$++) {
-         |      long c$$ = java.lang.Math.max(-127L, java.lang.Math.min(127L,
-         |        (long) java.lang.Math.floor((double) $x.getFloat(i$$) * scale$$ + 0.5)));
-         |      dot$$ += c$$ * (long) $q.getInt(i$$);
+         |    double $scale = ($ma == 0.0) ? 0.0 : 127.0 / $ma;
+         |    long $dot = 0L;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      long $c = java.lang.Math.max(-127L, java.lang.Math.min(127L,
+         |        (long) java.lang.Math.floor((double) $x.getFloat($i) * $scale + 0.5)));
+         |      $dot += $c * (long) $q.getInt($i);
          |    }
          |    ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |      new Object[]{java.lang.Long.valueOf(dot$$), java.lang.Double.valueOf(scale$$)});
+         |      new Object[]{java.lang.Long.valueOf($dot), java.lang.Double.valueOf($scale)});
          |  }
          |}
        """.stripMargin

@@ -231,6 +231,58 @@ class GraftExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("every native expression survives duplicate instances over NON-nullable children") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    // With a null guard, nullSafeCodeGen brace-scopes each instance's
+    // locals; with NON-nullable children it emits the body bare, so two
+    // instances of an expression with fixed-named locals redefine them
+    // and Janino rejects the whole generated class (observed round 11:
+    // "Redefinition of local variable n$" for 2x CosineSimF32) — which
+    // at the plan layer is a SILENT fallback to interpreted eval. Every
+    // local-declaring expression must allocate via ctx.freshName; this
+    // projection would fail to compile otherwise (no fallback at this
+    // layer).
+    def exprs = {
+      import graft.expressions._
+      val fArr = BoundReference(0, ArrayType(FloatType, containsNull = false), nullable = false)
+      val iArr = BoundReference(1, ArrayType(IntegerType, containsNull = false), nullable = false)
+      val sArr = BoundReference(2, ArrayType(StringType, containsNull = false), nullable = false)
+      val lArr = BoundReference(3, ArrayType(LongType, containsNull = false), nullable = false)
+      val str = BoundReference(4, StringType, nullable = false)
+      val bin = BoundReference(5, BinaryType, nullable = false)
+      Seq(
+        DotProductF32(fArr, fArr), CosineSimF32(fArr, fArr),
+        QuantizedDotF32(fArr, iArr), MinHashSig(sArr, 4), ShingleSet(sArr, 2),
+        SimHashFromHashes(lArr, 32), CleanAsciiText(str),
+        UnicodeNormalize(str, "NFC"), DHash64(bin))
+    }
+    val both = exprs ++ exprs // two fresh instance sets, one codegen scope
+    val proj = GenerateUnsafeProjection.generate(both)
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f)),
+      ArrayData.toArrayData(Array(1, -2, 3)),
+      new GenericArrayData(Array[Any](
+        UTF8String.fromString("a_b"), UTF8String.fromString("b_c"),
+        UTF8String.fromString("a_b"))),
+      ArrayData.toArrayData(Array(3L, 5L, 0L)),
+      UTF8String.fromString("The  Quick 9"),
+      "abc".getBytes("UTF-8"))
+    val out = proj(row)
+    val k = exprs.length
+    // both instance sets compute identical values (spot-check scalars)
+    assert(out.getDouble(0) == out.getDouble(k))     // dot
+    assert(out.getDouble(1) == out.getDouble(k + 1)) // cosine
+    assert(out.getLong(5) == out.getLong(k + 5))     // simhash
+    assert(out.getLong(8) == out.getLong(k + 8))     // dhash
+    // and they agree with interpreted eval
+    assert(out.getDouble(0) == exprs.head.eval(row).asInstanceOf[Double])
+  }
+
   test("extensions injector wires every builder; registration is idempotent") {
     // the SparkSessionExtensions route (cluster deployments set
     // spark.sql.extensions=graft.expressions.GraftExtensions); here we
