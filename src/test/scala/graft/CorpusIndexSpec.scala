@@ -377,4 +377,30 @@ class CorpusIndexSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.getSeq[String](2)).toSeq
     assert(enc == Seq(Seq("hug", "pug", "hug"), Seq("hug", "pug")), enc.toString)
   }
+
+  test("bpeEncode: segmentation is lossless on random corpora with self-learned merges (generative)") {
+    import graft.operators.Corpus
+    // Defining invariant of BPE segmentation: merges only ever CONCAT
+    // adjacent symbols, so the encoded subwords of a document,
+    // concatenated, must reproduce the document's character stream
+    // exactly — any merge-table ordering bug, boundary slip, or
+    // repr-delimiter corruption breaks it.
+    val rnd = new scala.util.Random(1234)
+    (0 until 3).foreach { trial =>
+      val words = (0 until 40).map(_ =>
+        (0 until (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val docs = words.grouped(5).zipWithIndex
+        .map { case (ws, i) => row(i.toLong, ws.mkString(" ")) }.toSeq
+      val df = table("id bigint, text string", docs)
+      val learned = Corpus.collectMerges(
+        Corpus.bpeMerges(df, "text", numMerges = 1 + rnd.nextInt(6)))
+      Corpus.bpeEncode(df, "text", learned).collect().foreach { r =>
+        val chars = r.getString(1).trim.split(" +").filter(_.nonEmpty).mkString
+        val subs = r.getSeq[String](2)
+        assert(subs.mkString == chars,
+          s"trial $trial doc ${r.getLong(0)}: '$chars' != ${subs.mkString("[", ",", "]")}")
+        assert(subs.forall(_.nonEmpty))
+      }
+    }
+  }
 }

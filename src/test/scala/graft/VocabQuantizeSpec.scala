@@ -147,4 +147,49 @@ class VocabQuantizeSpec extends AnyFunSuite {
     assert(dropped == Seq((10L, 10L, true), (11L, 11L, true), (12L, 12L, true)),
       dropped.toString)
   }
+
+  test("semanticDedup at nprobe=k equals in-JVM brute-force components (generative)") {
+    import graft.operators.{Ivf, Similarity}
+    // nprobe = k probes every cell, so recall is exact BY CONSTRUCTION
+    // regardless of the model — the whole pipeline must equal a plain
+    // all-pairs cosine graph + union-find + min-id retention computed
+    // here with the native expression's own accumulation order.
+    val rnd = new scala.util.Random(77)
+    val dims = 8
+    val base = (0 until 50).map(i =>
+      i.toLong -> Array.fill(dims)(rnd.nextFloat() - 0.5f))
+    // planted exact twins guarantee non-trivial groups at any threshold
+    val vecs = base ++ Seq(1000L -> base(0)._2, 1001L -> base(1)._2,
+      1002L -> base(1)._2)
+    val df = table("vec_id bigint, embedding array<float>",
+      vecs.map { case (id, v) => row(id, v.toSeq) })
+    val model = Ivf.train(df, "vec_id", "embedding", k = 4, iters = 2)
+    val thr = 0.93
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dims) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // union-find over the exact pair graph
+    val parent = scala.collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length
+         if cosine(vecs(i)._2, vecs(j)._2) >= thr) {
+      val (ra, rb) = (find(vecs(i)._1), find(vecs(j)._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = vecs.map { case (id, _) =>
+      val rep = find(id); (id, rep, id == rep)
+    }.sortBy(_._1)
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding", model, thr,
+        nprobe = model.k)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(expected.count(!_._3) >= 3) // the planted twins really grouped
+  }
 }
