@@ -1871,6 +1871,26 @@ object SparkEntry {
       .orderBy("doc_id", "pos")
   }
 
+  // ---------------------------------------------------------------- q108
+  /** Tokenizer-aware sequence packing — the pipeline's end product:
+    * BPE-encode every document (q105's encoder), count its SUBWORDS,
+    * and pack the corpus into 256-subword training sequences via the
+    * distributed prefix sum ([[graft.operators.Corpus
+    * .packSequencesByCount]] — q54's machinery parameterized by the
+    * learned tokenizer's counts instead of whitespace tokens). The
+    * oracle recomputes per-doc subword counts from the end-of-training
+    * vocabulary states and replays the running window, so every
+    * offset and sequence assignment is integer-exact. */
+  private def q108PackBpe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val merges = Corpus.collectMerges(Corpus.bpeMerges(docs, "text", 8))
+    val counted = Corpus.bpeEncode(docs, "text", merges)
+      .select(col("doc_id"), size(col("bpe_tokens")).as("n_subwords"))
+    Corpus.packSequencesByCount(counted, "doc_id", "n_subwords", seqLen = 256L)
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -1979,6 +1999,7 @@ object SparkEntry {
     "q105_bpe_encode" -> (q105BpeEncode _),
     "q106_semantic_dedup" -> (q106SemanticDedup _),
     "q107_bpe_ids" -> (q107BpeIds _),
+    "q108_pack_bpe" -> (q108PackBpe _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3501,6 +3522,7 @@ object SparkEntry {
     "q103_bpe_merges" -> bpeOracle,
     "q105_bpe_encode" -> bpeEncodeOracle,
     "q107_bpe_ids" -> bpeIdsOracle,
+    "q108_pack_bpe" -> bpePackOracle,
     "q106_semantic_dedup" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT vec_id, embedding FROM embeddings
@@ -3776,6 +3798,40 @@ object SparkEntry {
        |SELECT p.doc_id, CAST(p.pos AS INT) AS pos, v.token_id
        |FROM pos p JOIN vocab v USING (token)
        |ORDER BY doc_id, pos""".stripMargin
+  }
+
+  /** q108: per-doc subword counts from the end-of-training vocabulary
+    * states (q107's reconstruction, aggregated), then q54's running
+    * window over doc order with the 256-subword budget. */
+  private val bpePackOracle: String = {
+    val n = 8
+    s"""WITH ${bpeTrainingCte(n)},
+       |docw AS (
+       |  SELECT doc_id, unnest(list_transform(range(len(toks)), i ->
+       |    {'wo': i, 'w': toks[CAST(i + 1 AS INT)]})) AS u
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+       |        FROM documents WHERE text IS NOT NULL)
+       |), dw AS (
+       |  SELECT doc_id, u.w AS w FROM docw WHERE length(u.w) > 0
+       |), cnt AS (
+       |  SELECT dw.doc_id,
+       |    CAST(SUM(len(string_split(trim(v.repr), '  '))) AS BIGINT)
+       |      AS n_subwords
+       |  FROM dw JOIN v$n v ON dw.w = v.w
+       |  GROUP BY dw.doc_id
+       |), base AS (
+       |  SELECT d.doc_id, COALESCE(c.n_subwords, 0) AS n_subwords
+       |  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+       |  LEFT JOIN cnt c USING (doc_id)
+       |)
+       |SELECT doc_id, n_subwords,
+       |  CAST(COALESCE(SUM(n_subwords) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS start_offset,
+       |  CAST(FLOOR(COALESCE(SUM(n_subwords) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+       |    AS BIGINT) AS seq_id
+       |FROM base ORDER BY doc_id""".stripMargin
   }
 
   /** q105: the defining BPE-encode invariant — applying the learned

@@ -168,13 +168,27 @@ object Corpus {
       df: DataFrame,
       idCol: String,
       textCol: String,
+      seqLen: Long): DataFrame =
+    packSequencesByCount(
+      df.select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens")),
+      idCol, "n_tokens", seqLen)
+
+  /** [[packSequences]] over ANY precomputed per-item count — whitespace
+    * tokens, BPE subwords ([[bpeEncode]] + `size`, the q108 path),
+    * bytes. Same shape: the range-partitioned prefix sum assigns each
+    * item its start offset in the concatenated stream and its
+    * `seqLen`-budget training-sequence id, never through a
+    * one-partition window. */
+  def packSequencesByCount(
+      counted: DataFrame,
+      idCol: String,
+      countCol: String,
       seqLen: Long): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val counted = df.select(col(idCol),
-      TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
-    General.withRunningTotal(counted, Seq(idCol), "n_tokens", "start_offset")
+    General.withRunningTotal(counted.select(col(idCol), col(countCol)),
+        Seq(idCol), countCol, "start_offset")
       .withColumn("seq_id", floor(col("start_offset") / seqLen))
-      .select(col(idCol), col("n_tokens"), col("start_offset"), col("seq_id"))
+      .select(col(idCol), col(countCol), col("start_offset"), col("seq_id"))
   }
 
   /** Train/test decontamination report: for each evaluation document,
