@@ -31,6 +31,16 @@ object GraftFunctions {
       s"$name expects a literal string argument, got $other")
   }
 
+  private def stringArrayArg(name: String, e: Expression): Seq[String] = e match {
+    case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(st, _))
+        if st.isInstanceOf[org.apache.spark.sql.types.StringType] =>
+      v.toArray[org.apache.spark.unsafe.types.UTF8String](st)
+        .map(s => if (s == null) null else s.toString).toSeq
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal array<string> argument, got $other")
+  }
+
   /** (name, builder) for every native expression. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot_f32" -> { args => DotProductF32(args(0), args(1)) },
@@ -52,6 +62,11 @@ object GraftFunctions {
       UnicodeNormalize(args(0), stringArg("graft_unicode_normalize", args(1)))
     },
     "graft_dhash64" -> { args => DHash64(args(0)) },
+    "graft_replace_chain" -> { args =>
+      ReplaceChain(args(0),
+        stringArrayArg("graft_replace_chain", args(1)),
+        stringArrayArg("graft_replace_chain", args(2)))
+    },
   )
 
   /** Idempotent per-session registration (temp functions live in the
@@ -133,6 +148,19 @@ object GraftFunctions {
   def dhash64(df: org.apache.spark.sql.DataFrame, payload: Column): Column = {
     ensureRegistered(df.sparkSession)
     call_function("graft_dhash64", payload)
+  }
+
+  /** N sequential literal replaces as one native runtime loop — plan
+    * size constant in the pattern count (native, codegen'd). */
+  def replaceChain(
+      df: org.apache.spark.sql.DataFrame,
+      c: Column,
+      searches: Seq[String],
+      replacements: Seq[String]): Column = {
+    ensureRegistered(df.sparkSession)
+    import org.apache.spark.sql.functions.typedlit
+    call_function("graft_replace_chain", c,
+      typedlit(searches), typedlit(replacements))
   }
 
   /** width-bit SimHash of an array<bigint> of token hashes (native). */

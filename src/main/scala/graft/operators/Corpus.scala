@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.GraftFunctions
 import graft.functions.TextFunctions
 
 /** Corpus-level statistics for training-data pipelines. */
@@ -716,13 +717,52 @@ object Corpus {
   /** Collect a [[bpeMerges]] output frame into the rank-ordered
     * (lhs, rhs) merge table [[bpeEncode]] consumes. Driver-side by
     * design: the merge table is `numMerges` rows — bounded by the
-    * training call, never corpus-sized. */
-  def collectMerges(mergesDf: DataFrame): Seq[(String, String)] =
-    mergesDf.select(col("merge_rank"), col("lhs"), col("rhs"))
+    * training call, never corpus-sized.
+    *
+    * Validated loudly ([[validateMerges]] + rank contiguity): this is
+    * the API boundary a PERSISTED merge table re-enters through
+    * ([[loadMerges]]), and a corrupted artifact — duplicated rows, a
+    * dropped rank, a symbol that picked up a delimiter byte — must
+    * fail here with a named cause, not downstream as silently wrong
+    * tokens. */
+  def collectMerges(mergesDf: DataFrame): Seq[(String, String)] = {
+    val rows = mergesDf.select(col("merge_rank"), col("lhs"), col("rhs"))
       .collect()
       .sortBy(_.getInt(0))
-      .map(r => (r.getString(1), r.getString(2)))
-      .toSeq
+    val ranks = rows.map(_.getInt(0)).toSeq
+    require(ranks == (1 to ranks.size),
+      s"merge ranks must be contiguous 1..n, got ${ranks.take(20).mkString(",")}" +
+        (if (ranks.size > 20) ",..." else "") +
+        " — duplicated or missing ranks mean a corrupted merge table")
+    val pairs = rows.map(r => (r.getString(1), r.getString(2))).toSeq
+    validateMerges(pairs)
+    pairs
+  }
+
+  /** Loud merge-table validation shared by [[collectMerges]] and
+    * [[bpeEncode]]: symbols must be non-null, non-empty, and
+    * delimiter-free (the space-wrapped repr aligns replaces on the
+    * guarantee that symbols never contain spaces), and (lhs, rhs)
+    * pairs must be unique — a trained table never repeats a pair, so
+    * a duplicate means the table was corrupted (e.g. a double-appended
+    * artifact), and by the duplicate's rank its pattern has already
+    * been rewritten away, making the second application a silent
+    * no-op that masks the corruption. */
+  private[graft] def validateMerges(merges: Seq[(String, String)]): Unit = {
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      require(a != null && b != null && a.nonEmpty && b.nonEmpty,
+        s"merge ${i + 1}: symbols must be non-null and non-empty, got ($a, $b)")
+      require(!a.contains(' ') && !b.contains(' '),
+        s"merge ${i + 1} ('$a', '$b'): symbols must not contain spaces " +
+          "(space is the symbol delimiter of the training repr)")
+    }
+    val dups = merges.groupBy(identity).collect {
+      case (p, g) if g.size > 1 => p
+    }
+    require(dups.isEmpty,
+      s"duplicate merge pairs ${dups.take(5).mkString(", ")} — a trained " +
+        "BPE table never repeats a pair; this merge table is corrupted")
+  }
 
   /** BPE ENCODE — apply a learned merge table ([[bpeMerges]] →
     * [[collectMerges]]) to text, closing the learn→apply tokenizer
@@ -736,27 +776,34 @@ object Corpus {
     * frequent) merges take precedence because later merge patterns are
     * built FROM earlier merged symbols.
     *
-    * Scale shape: map-only — zero shuffles, no UDF. The merge table
-    * ships as plan literals (the broadcast-equivalent for a table of
-    * `numMerges` rows), and the whole per-doc rewrite is a chain of
-    * codegen'd built-ins (`transform`/`replace`/`split`). The chain
-    * depth is one `replace` per merge, fine for the `numMerges`
-    * regimes training produces here; a vocabulary-scale merge table
-    * (tens of thousands) would want the replaces batched across
-    * several projections to stay inside codegen method limits. */
+    * Scale shape: map-only — zero shuffles, no UDF, and plan size
+    * CONSTANT in the merge count. The rank-ordered rewrite is ONE
+    * native expression ([[graft.expressions.ReplaceChain]]) looping
+    * over the pattern table at runtime — the table rides the plan's
+    * reference array (shipped once per stage, the broadcast-equivalent
+    * for `numMerges` rows), so a production 32k-merge vocabulary
+    * plans, analyzes, and Janino-compiles exactly like the 8-merge
+    * test table. (The obvious alternative — folding one `replace`
+    * plan node per merge — is value-identical but builds a tree
+    * `numMerges` deep: analyzer recursion and the 64KB codegen method
+    * limit kill it at real vocabulary scale, which is why it is not
+    * the implementation.) Per-step semantics are exactly the `replace`
+    * built-in's (literal, non-overlapping, left-to-right), pinned by
+    * the CorpusIndexSpec equivalence spec and the q105 oracle. */
   def bpeEncode(
       df: DataFrame,
       textCol: String,
       merges: Seq[(String, String)],
       outCol: String = "bpe_tokens"): DataFrame = {
+    validateMerges(merges)
+    val searches = merges.map { case (a, b) => s" $a  $b " }
+    val replacements = merges.map { case (a, b) => s" $a$b " }
     val encodeWord: Column => Column = w => {
       val repr0 = concat(lit(" "),
         array_join(transform(sequence(lit(1), length(w)),
           i => w.substr(i, lit(1))), "  "),
         lit(" "))
-      val reprN = merges.foldLeft(repr0) { case (r, (a, b)) =>
-        replace(r, lit(s" $a  $b "), lit(s" $a$b "))
-      }
+      val reprN = GraftFunctions.replaceChain(df, repr0, searches, replacements)
       split(trim(reprN), "  ")
     }
     df.withColumn(outCol,

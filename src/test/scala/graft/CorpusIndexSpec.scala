@@ -403,4 +403,95 @@ class CorpusIndexSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("collectMerges/bpeEncode: corrupted merge tables fail loudly at the API") {
+    import graft.operators.Corpus
+    val docs = table("id bigint, text string", Seq(row(1L, "ab")))
+    def mergesDf(rows: Seq[org.apache.spark.sql.Row]) =
+      table("merge_rank int, lhs string, rhs string", rows)
+    // non-contiguous ranks (a dropped artifact row)
+    val gap = intercept[IllegalArgumentException](Corpus.collectMerges(
+      mergesDf(Seq(row(1, "a", "b"), row(3, "c", "d")))))
+    assert(gap.getMessage.contains("contiguous"))
+    // duplicated rank (a double-appended artifact)
+    intercept[IllegalArgumentException](Corpus.collectMerges(
+      mergesDf(Seq(row(1, "a", "b"), row(1, "a", "b")))))
+    // duplicate (lhs, rhs) pair under distinct ranks
+    val dup = intercept[IllegalArgumentException](Corpus.collectMerges(
+      mergesDf(Seq(row(1, "a", "b"), row(2, "a", "b")))))
+    assert(dup.getMessage.contains("duplicate"))
+    // bpeEncode validates a caller-supplied table the same way
+    intercept[IllegalArgumentException](
+      Corpus.bpeEncode(docs, "text", Seq(("a", "b"), ("a", "b"))))
+    intercept[IllegalArgumentException](
+      Corpus.bpeEncode(docs, "text", Seq(("a b", "c")))) // delimiter byte
+    intercept[IllegalArgumentException](
+      Corpus.bpeEncode(docs, "text", Seq(("", "c"))))    // empty symbol
+    // and a valid table still collects and encodes
+    val ok = Corpus.collectMerges(mergesDf(Seq(row(1, "a", "b"), row(2, "ab", "c"))))
+    assert(ok == Seq(("a", "b"), ("ab", "c")))
+    assert(Corpus.bpeEncode(docs, "text", ok).head().getSeq[String](2) == Seq("ab"))
+  }
+
+  test("bpeEncode: vocabulary-scale merge table — >=256 trained merges, fold-equivalent, constant plan size") {
+    import graft.operators.Corpus
+    import graft.functions.TextFunctions
+    // Synthetic corpus sized so training yields well past 256 merges:
+    // 60 distinct 12-char words over a 20-letter alphabet share few
+    // pairs, so nearly every word needs its own merge chain (~11 steps
+    // each, ~660 available) — 300 requested merges all succeed.
+    val rnd = new scala.util.Random(42)
+    val words = Seq.fill(60)((0 until 12).map(_ => ('a' + rnd.nextInt(20)).toChar).mkString).distinct
+    val docs = words.grouped(6).zipWithIndex
+      .map { case (ws, i) => row(i.toLong, ws.mkString(" ")) }.toSeq
+    val df = table("id bigint, text string", docs)
+    val merges = Corpus.collectMerges(Corpus.bpeMerges(df, "text", numMerges = 300))
+    assert(merges.size == 300, s"trained only ${merges.size} merges")
+    // The pre-round-12 formulation: one `replace` plan node per merge.
+    // Value-identical by the ReplaceChain contract; kept here as the
+    // reference implementation the native path must match at scale.
+    def foldEncode(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val encodeWord: org.apache.spark.sql.Column => org.apache.spark.sql.Column = w => {
+        val repr0 = concat(lit(" "),
+          array_join(transform(sequence(lit(1), length(w)),
+            i => w.substr(i, lit(1))), "  "),
+          lit(" "))
+        val reprN = merges.foldLeft(repr0) { case (r, (a, b)) =>
+          org.apache.spark.sql.functions.replace(r, lit(s" $a  $b "), lit(s" $a$b "))
+        }
+        split(trim(reprN), "  ")
+      }
+      d.withColumn("bpe_tokens", flatten(transform(
+        filter(TextFunctions.tokens(col("text")), w => length(w) > 0), encodeWord)))
+    }
+    // held-out text exercises partial merges: concatenated word pairs
+    // and fragments the trainer never saw as whole words
+    val held = table("id bigint, text string",
+      words.sliding(2, 7).zipWithIndex.map { case (ws, i) =>
+        row(100L + i, ws.mkString("") + " " + ws.head.take(7))
+      }.toSeq)
+    Seq(df, held).foreach { corpus =>
+      val native = Corpus.bpeEncode(corpus, "text", merges)
+        .orderBy("id").collect().map(_.getSeq[String](2)).toSeq
+      val folded = foldEncode(corpus)
+        .orderBy("id").collect().map(_.getSeq[String](2)).toSeq
+      assert(native == folded, "native ReplaceChain path != per-merge replace fold")
+      // segmentation losslessness at scale
+      native.zip(corpus.orderBy("id").collect().map(_.getString(1))).foreach {
+        case (subs, text) =>
+          assert(subs.mkString == text.split(" +").filter(_.nonEmpty).mkString)
+      }
+    }
+    // THE scale property: plan size is constant in the merge count —
+    // the 300-merge analyzed tree has exactly as many expression nodes
+    // as the 8-merge one (the table lives in a reference array, not in
+    // plan nodes), where the fold path grows by one node per merge.
+    def nodeCount(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.analyzed.expressions.map(_.collect { case e => e }.size).sum
+    val small = nodeCount(Corpus.bpeEncode(df, "text", merges.take(8)))
+    val large = nodeCount(Corpus.bpeEncode(df, "text", merges))
+    assert(large == small,
+      s"plan grew with merge count: $small nodes @8 merges, $large @300")
+    assert(nodeCount(foldEncode(df)) > large + 250, "fold baseline should dwarf it")
+  }
 }

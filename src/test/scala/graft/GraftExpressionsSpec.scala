@@ -231,6 +231,49 @@ class GraftExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ReplaceChain: step semantics == nested replace fold, interpreted==codegen, table validated") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.expressions.ReplaceChain
+    val in = BoundReference(0, StringType, nullable = true)
+    // Reference semantics: the same table applied as k sequential
+    // String.replace steps (literal, non-overlapping, left-to-right —
+    // the builtin `replace` contract ReplaceChain must match).
+    def foldRef(s: String, tbl: Seq[(String, String)]): String =
+      tbl.foldLeft(s) { case (acc, (a, b)) => acc.replace(a, b) }
+    val tbl = Seq(" a  b " -> " ab ", " ab  c " -> " abc ", "x" -> "yy", "yy" -> "z")
+    val e = ReplaceChain(in, tbl.map(_._1), tbl.map(_._2))
+    val inputs = Seq(
+      " a  b  c ",      // cascades: (a,b) enables (ab,c)
+      " c  a  b ",      // (a,b) applies, (ab,c) does not (order matters)
+      "xxx",            // sequential: x->yy then yy->z LEFT TO RIGHT
+      " a  b  a  b ",   // non-overlapping multi-occurrence
+      "")               // empty input passes through
+    inputs.foreach { s =>
+      val got = e.eval(InternalRow(UTF8String.fromString(s)))
+      assert(got.toString == foldRef(s, tbl), s"input '$s'")
+    }
+    assert(e.eval(InternalRow(null)) == null)
+    // empty table = identity
+    val id = ReplaceChain(in, Nil, Nil)
+    assert(id.eval(InternalRow(UTF8String.fromString("abc"))).toString == "abc")
+    // interpreted vs codegen bit-for-bit, two instances one scope
+    val proj = GenerateUnsafeProjection.generate(Seq(e,
+      ReplaceChain(in, tbl.map(_._1), tbl.map(_._2))))
+    inputs.foreach { s =>
+      val out = proj(InternalRow(UTF8String.fromString(s)))
+      assert(out.getUTF8String(0).toString == foldRef(s, tbl), s"codegen '$s'")
+      assert(out.getUTF8String(1).toString == out.getUTF8String(0).toString)
+    }
+    // construction-time validation: ragged table, empty search pattern
+    intercept[IllegalArgumentException](ReplaceChain(in, Seq("a"), Nil))
+    intercept[IllegalArgumentException](ReplaceChain(in, Seq(""), Seq("x")))
+    intercept[IllegalArgumentException](ReplaceChain(in, Seq("a"), Seq(null)))
+  }
+
   test("every native expression survives duplicate instances over NON-nullable children") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
@@ -259,7 +302,8 @@ class GraftExpressionsSpec extends AnyFunSuite {
         DotProductF32(fArr, fArr), CosineSimF32(fArr, fArr),
         QuantizedDotF32(fArr, iArr), MinHashSig(sArr, 4), ShingleSet(sArr, 2),
         SimHashFromHashes(lArr, 32), CleanAsciiText(str),
-        UnicodeNormalize(str, "NFC"), DHash64(bin))
+        UnicodeNormalize(str, "NFC"), DHash64(bin),
+        ReplaceChain(str, Seq("Quick", "The"), Seq("Slow", "A")))
     }
     val both = exprs ++ exprs // two fresh instance sets, one codegen scope
     val proj = GenerateUnsafeProjection.generate(both)
@@ -294,7 +338,8 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(names.toSet == Set("graft_dot_f32", "graft_cosine_f32",
       "graft_minhash_sig", "graft_shingles", "graft_clean_text", "graft_simhash",
       "graft_quantized_dot", "graft_sorted_intersect",
-      "graft_bloom_might_contain", "graft_unicode_normalize", "graft_dhash64"))
+      "graft_bloom_might_contain", "graft_unicode_normalize", "graft_dhash64",
+      "graft_replace_chain"))
     // per-session registration: repeated calls are safe, functions resolve
     GraftFunctions.ensureRegistered(spark)
     GraftFunctions.ensureRegistered(spark)
