@@ -176,13 +176,22 @@ object Bench {
     val errs = results.collect { case (k, _, _, _, Some(m), _, _) => s"\"${esc(k)}\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _, None, _, _) => v }.sum
+    // Host-grant normalizer for cross-round reads: the sum and median
+    // of every query's constant-work calibration probe. A round whose
+    // `total` doubled while `cal_total` doubled with it ran on a
+    // starved host, not a regressed plan — the r10→r11 adjudication,
+    // now mechanical instead of prose.
+    val calSecs = results.map(_._7.calSec).sorted
+    val calTotal = calSecs.sum
+    val calMedian =
+      if (calSecs.isEmpty) 0.0 else calSecs(calSecs.length / 2)
     // Inline the widest absolute spreads (keyed by the unique qNN
     // prefix), adding entries only while the line stays inside the
     // retention window.
     val lineBudget = 1880
     def line(spread: Seq[String]): String = {
       val sp = spread.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"spread_file":"$spreadFile","noisiest":$sp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cal_total":${fmt(calTotal)},"cal_median":${fmt(calMedian)},"queries":$qs,"errors":$errs,"spread_file":"$spreadFile","noisiest":$sp,"sf":"$sfDir"}"""
     }
     val byAbsSpread = results
       .collect { case (k, _, mn, mx, None, _, _) => (k.takeWhile(_ != '_'), mx - mn, mn, mx) }

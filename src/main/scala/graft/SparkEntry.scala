@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -310,9 +310,21 @@ object SparkEntry {
     * j scales element j-1 by 2^j — a power of two, so the arithmetic is
     * exact in float AND double and DuckDB reproduces the corpus
     * bit-for-bit. Shared by the ANN recall-gate queries (q18/q24/q25). */
+  /** Twin-id arithmetic guard (shared by [[twinCorpus]] and q104): a
+    * planted twin lives at id + 1000000*j, which would silently
+    * collide with real ids past 1e6 — and because the oracle replays
+    * the same arithmetic, a collision corrupts BOTH pair sets
+    * identically, so the hash gate could never catch it. Fails loudly
+    * map-side instead (no extra driver pass). */
+  private def guardedTwinId(id: Column, offset: Long): Column =
+    when(id < 0L || id >= 1000000L,
+      raise_error(concat(lit("twin ids assume 0 <= id < 1000000, got "),
+        id.cast("string"))).cast("bigint"))
+      .otherwise(id + lit(offset))
+
   private def twinCorpus(emb: DataFrame, n: Int): DataFrame = {
     def twin(j: Int): DataFrame = emb.select(
-      (col("vec_id") + lit(1000000L * j)).as("vec_id"),
+      guardedTwinId(col("vec_id"), 1000000L * j).as("vec_id"),
       transform(col("embedding"),
         (x, i) => when(i === lit(j - 1), x * lit((1 << j).toFloat)).otherwise(x))
         .as("embedding"))
@@ -1780,7 +1792,7 @@ object SparkEntry {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     val twins = docs.select(
-      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      guardedTwinId(col("doc_id"), 1000000L).as("doc_id"),
       concat(lit(Array[Byte](0)),
         substring(col("payload"), 2, Int.MaxValue)).as("payload"))
     Multimodal.dHashNearDupPairs(docs.unionAll(twins),

@@ -148,8 +148,15 @@ object Ivf {
 
   /** Multi-probe cell assignment: each vector EXPLODED into its
     * `nprobe` nearest cells — [[searchBatch]]'s probe idiom applied to
-    * the corpus side (same (-cos, cell) ranking, ties to the lower
-    * cell id). This is the recall knob for cell-local pair operators
+    * the corpus side. Ranking is (-cos, -cell) ascending: best cosine
+    * first, ties toward the HIGHER cell id, so the FIRST probe is
+    * always [[assign]]'s argmax cell (struct max, ties high) — a
+    * corpus assigned with `assign` and probed with `assignProbes`
+    * agrees on rank 1 even at exact cosine ties. (The QUERY-side
+    * probe ranking in [[search]]/[[searchBatch]] keeps its historical
+    * lower-cell tie-break; query probing never has to agree with a
+    * stored argmax assignment, so the two orders are independent.)
+    * This is the recall knob for cell-local pair operators
     * ([[Similarity.semanticDedup]]): a near-dup pair straddling one
     * argmax boundary still shares a cell at nprobe >= 2 unless BOTH
     * vectors' rankings diverge past nprobe. Map-only over centroid
@@ -163,10 +170,11 @@ object Ivf {
     val scoredCells = array(model.centroids.zipWithIndex.map { case (c, i) =>
       struct(
         (-GraftFunctions.cosineF32(df, col(vecCol), Similarity.vectorLit(c.toSeq))).as("neg"),
-        lit(i).as("cell"))
+        lit(-i).as("negcell"))
     }: _*)
     df.withColumn(cellCol,
-      explode(slice(sort_array(scoredCells), 1, nprobe).getField("cell")))
+      explode(transform(slice(sort_array(scoredCells), 1, nprobe),
+        s => -s.getField("negcell"))))
   }
 
   /** Batch ANN join: for EVERY query vector, the exact cosine top-k

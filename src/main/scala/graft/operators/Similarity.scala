@@ -337,6 +337,11 @@ object Similarity {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold ($threshold) must be in (0, 1]")
     require(nprobe > 0, s"nprobe ($nprobe) must be positive")
+    // Mirrors Dedup.hammingBandedPairs' load-bearing lower bound: with
+    // dropOversize=true and maxCell < 2 the keep filter between(2,
+    // maxCell) is unsatisfiable and every pair silently disappears.
+    require(maxCell >= 2, s"maxCell ($maxCell) must be >= 2 — a pair " +
+      "needs two vectors in a cell")
     val ids = emb.select(col(idCol), col(vecCol))
     // clamp: a model with fewer cells than nprobe just probes them all
     val assigned = Ivf.assignProbes(ids, vecCol, model,

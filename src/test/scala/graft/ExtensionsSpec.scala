@@ -344,6 +344,16 @@ class ExtensionsSpec extends AnyFunSuite {
     val argmax = Ivf.assign(df, "embedding", model).collect()
       .map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
     assert(p2.forall { case (id, cells) => cells.head == argmax(id) })
+    // ... INCLUDING at exact cosine ties: (0.5, 0.5, 0) scores cells 0
+    // and 1 identically; assign breaks ties high (struct max), and
+    // assignProbes' (-cos, -cell) ranking must agree on rank 1.
+    val tied = table("vec_id bigint, embedding array<float>", Seq(
+      row(20L, Seq(0.5f, 0.5f, 0.0f))))
+    val tieAssign = Ivf.assign(tied, "embedding", model).head().getAs[Int]("cell")
+    val tieProbes = Ivf.assignProbes(tied, "embedding", model, 2).collect()
+      .map(_.getAs[Int]("cell")).toSeq
+    assert(tieAssign == 1 && tieProbes == Seq(1, 0),
+      s"tie-break drift: assign=$tieAssign probes=$tieProbes")
     // nprobe = k probes every cell exactly once
     val p3 = probes(3)
     assert(p3.values.forall(_.sorted == Seq(0, 1, 2)), p3.toString)

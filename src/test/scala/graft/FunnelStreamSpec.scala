@@ -66,7 +66,14 @@ class FunnelStreamSpec extends AnyFunSuite {
       val deadline = System.currentTimeMillis() + 60000L
       while (s.table(s"funnel_$name").count() < minRows &&
           System.currentTimeMillis() < deadline) Thread.sleep(100L)
-      Thread.sleep(2000L)
+      // Grace gated on PROGRESS, not wall clock (see
+      // StreamBatchEquivalenceSpec): a spurious late emission can only
+      // arrive with a completed micro-batch, so wait for three more
+      // empty-input batches after the sink filled instead of a fixed
+      // sleep a starved host can outrun.
+      val b0 = q.recentProgress.lastOption.map(_.batchId).getOrElse(-1L)
+      while (q.recentProgress.count(p => p.batchId > b0 && p.numInputRows == 0) < 3 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100L)
       q.stop()
       q.awaitTermination(30000L)
     }

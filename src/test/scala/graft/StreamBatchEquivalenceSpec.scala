@@ -53,7 +53,12 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     val q = EventStream.sessionizeStream(stream, gapUs).toDF()
       .writeStream.format("memory").queryName("sess_eq")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // Bounded wait (no idleTimeout, so AvailableNow self-terminates):
+    // surface a hang as a test FAILURE, never an sbt-test stall.
+    if (!q.awaitTermination(120000L)) {
+      q.stop()
+      fail("sess_eq replay did not terminate within 120s")
+    }
     assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
       "replay must span at least two non-empty micro-batches")
     val streamed = s.table("sess_eq")
@@ -209,7 +214,15 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     val deadline = System.currentTimeMillis() + 60000L
     while (s.table("sess_idle").count() < 3 &&
         System.currentTimeMillis() < deadline) Thread.sleep(100L)
-    Thread.sleep(2000L) // grace: a duplicate/resurrected emission would land here
+    // Grace gated on PROGRESS, not wall clock: a duplicate/resurrected
+    // emission can only arrive with a completed micro-batch, so wait
+    // until three more empty-input batches have run after the sink
+    // filled (each one an opportunity for wrong state to fire again) —
+    // a fixed sleep can be outrun on a starved host where batches
+    // themselves stall, making exact-equality asserts flaky.
+    val b0 = q.recentProgress.lastOption.map(_.batchId).getOrElse(-1L)
+    while (q.recentProgress.count(p => p.batchId > b0 && p.numInputRows == 0) < 3 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100L)
     q.stop()
     q.awaitTermination(30000L)
     val got = s.table("sess_idle").collect().map { r =>
