@@ -1812,11 +1812,24 @@ object SparkEntry {
     * count is value-checked integer-exact. (Precondition shared with
     * q103: the corpus yields all 8 merges — q103's green row pins it;
     * on a dry corpus the oracle's cross joins would truncate where the
-    * engine keeps encoding with the shorter table.) */
+    * engine keeps encoding with the shorter table.)
+    *
+    * The merge table takes the PERSISTENCE path: trained, saved as a
+    * parquet artifact ([[graft.operators.Corpus.saveMerges]]), loaded
+    * back ([[graft.operators.Corpus.loadMerges]]), and only then
+    * applied — so the oracle gate also pins the artifact roundtrip
+    * bit-for-bit: any save/load drift would shift the encoded
+    * frequencies and fail the hash. Temp-dir lifecycle mirrors the
+    * streaming gates (unique per run, deleted before return). */
   private def q105BpeEncode(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Corpus
     val docs = Tables.documents(s, dir)
-    val merges = Corpus.collectMerges(Corpus.bpeMerges(docs, "text", 8))
+    val mergesDf = Corpus.bpeMerges(docs, "text", 8)
+    val artDir = java.nio.file.Files.createTempDirectory("graft-q105-merges").toString
+    val merges = try {
+      Corpus.saveMerges(mergesDf, artDir)
+      Corpus.loadMerges(s, artDir)
+    } finally graft.streaming.StreamGate.deleteRecursively(artDir)
     Corpus.bpeEncode(docs, "text", merges)
       .select(explode(col("bpe_tokens")).as("token"))
       .groupBy("token")

@@ -764,6 +764,66 @@ object Corpus {
         "BPE table never repeats a pair; this merge table is corrupted")
   }
 
+  /** Persist a trained merge table ([[bpeMerges]] output) as plain
+    * parquet under `path` — the externalized-pipeline-state discipline
+    * the reference applies to its config machinery
+    * (`/root/reference/ons_utils/config/config.py:100-136`: pipeline
+    * state lives in files, not in the process). A real pipeline trains
+    * a tokenizer ONCE and loads it for every downstream encode job;
+    * without a save surface each job would re-run the iterative
+    * trainer against the full corpus. Validated through
+    * [[collectMerges]] BEFORE writing, so a broken training frame
+    * never becomes a persisted artifact other jobs trust. */
+  def saveMerges(mergesDf: DataFrame, path: String): Unit = {
+    collectMerges(mergesDf) // validate rank contiguity + pair uniqueness
+    mergesDf.coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveMerges]] artifact back into the rank-ordered merge
+    * table [[bpeEncode]] consumes. Re-validated on the way in
+    * ([[collectMerges]]): a corrupted file — truncated write, doubled
+    * append, hand-edited rows — fails loudly here, not as silently
+    * wrong tokens downstream. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    collectMerges(spark.read.parquet(path))
+
+  /** Persist a [[vocabularyFromFrequencies]] vocabulary as plain
+    * parquet. The vocabulary stays a DISTRIBUTED frame on both sides
+    * of the roundtrip (unlike the driver-sized merge table): a
+    * byte-level 100k-row vocabulary is still tiny, but an unbounded
+    * one must never be forced through the driver just to be saved. */
+  def saveVocabulary(vocabDf: DataFrame, path: String): Unit =
+    vocabDf.select(col("token_id"), col("token"), col("freq"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveVocabulary]] artifact. One bounded validation
+    * aggregate (six scalars to the driver, never the rows): token ids
+    * must be exactly 0..n-1 with distinct tokens — the contiguity
+    * [[vocabularyFromFrequencies]] guarantees and sequence-packing /
+    * id-join consumers assume. */
+  def loadVocabulary(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val vocab = spark.read.parquet(path)
+      .select(col("token_id"), col("token"), col("freq"))
+    val s = vocab.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col("token")).as("n_tok"),
+      count_distinct(col("token_id")).as("n_id"),
+      min(col("token_id")).as("lo"),
+      max(col("token_id")).as("hi"),
+      count(when(col("token").isNull || col("token_id").isNull, 1)).as("nulls"))
+      .head()
+    val (n, nTok, nId) = (s.getLong(0), s.getLong(1), s.getLong(2))
+    require(n > 0, s"vocabulary at $path is empty")
+    require(s.getLong(5) == 0, s"vocabulary at $path has null tokens/ids")
+    require(nTok == n && nId == n && s.getLong(3) == 0L && s.getLong(4) == n - 1,
+      s"vocabulary at $path is corrupted: $n rows, $nTok distinct tokens, " +
+        s"$nId distinct ids spanning [${s.getLong(3)}, ${s.getLong(4)}] — " +
+        "expected distinct tokens with contiguous ids 0..n-1")
+    vocab
+  }
+
   /** BPE ENCODE — apply a learned merge table ([[bpeMerges]] →
     * [[collectMerges]]) to text, closing the learn→apply tokenizer
     * loop: each whitespace token is char-split into the same

@@ -134,6 +134,56 @@ object Ivf {
     Model(centroids)
   }
 
+  /** Persist a trained [[Model]] as plain parquet under `path` — one
+    * (cell, centroid) row per centroid, float components bit-exact in
+    * parquet. The production IVF loop trains once and serves many
+    * assign/search jobs; without a save surface every job re-runs
+    * Lloyd's iterations (the reference externalizes pipeline state to
+    * files the same way, `/root/reference/ons_utils/config/
+    * config.py:100-136`). The model is k rows — driver-bounded by
+    * construction, like the training result itself. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false),
+        nullable = false)))
+    val rows = model.centroids.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq)
+    }
+    spark.createDataFrame(rows.asJava, schema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[save]]d model. Validated loudly: cells must be exactly
+    * 0..k-1 (the array index IS the cell id every assign/probe/search
+    * path keys on) and all centroids must share one dimensionality —
+    * a corrupted artifact fails here, not as silently wrong
+    * assignments. Bit-identical roundtrip: float components survive
+    * parquet exactly, so a loaded model assigns and probes exactly
+    * like the in-JVM one (pinned by spec). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select(col("cell"), col("centroid"))
+      .collect()
+      .sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"IVF model at $path is empty")
+    val cells = rows.map(_.getInt(0)).toSeq
+    require(cells == (0 until rows.length),
+      s"IVF model at $path is corrupted: cells ${cells.take(20).mkString(",")}" +
+        (if (cells.size > 20) ",..." else "") + " are not contiguous 0..k-1")
+    val centroids = rows.map(_.getSeq[Float](1).toArray).toVector
+    val dims = centroids.head.length
+    require(dims > 0 && centroids.forall(_.length == dims),
+      s"IVF model at $path is corrupted: centroid dimensionalities " +
+        s"${centroids.map(_.length).distinct.mkString(",")} are not uniform")
+    Model(centroids)
+  }
+
   /** Map-only cell assignment: argmax-cosine centroid per vector.
     * Ties break toward the higher cell id (struct max), deterministic. */
   def assign(df: DataFrame, vecCol: String, model: Model,

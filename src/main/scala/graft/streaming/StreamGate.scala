@@ -42,8 +42,10 @@ object StreamGate {
     java.nio.file.Files.createTempDirectory(prefix).toString
 
   /** Best-effort recursive delete (replay hygiene must never turn a
-    * green query into a failure — a locked file just stays behind). */
-  private def deleteRecursively(dir: String): Unit =
+    * green query into a failure — a locked file just stays behind).
+    * `private[graft]` so artifact-roundtrip query paths (q105) can
+    * clean their temp save dirs with the same policy. */
+  private[graft] def deleteRecursively(dir: String): Unit =
     try {
       val root = java.nio.file.Paths.get(dir)
       if (java.nio.file.Files.exists(root)) {

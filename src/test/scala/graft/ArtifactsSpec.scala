@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, Ivf}
+import graft.testkit.SparkTestKit._
+
+/** Trained-artifact persistence: BPE merge tables, vocabularies, and
+  * IVF models survive a parquet save/load roundtrip BIT-IDENTICALLY —
+  * the train-once / load-everywhere pipeline shape (the reference
+  * externalizes pipeline state to files the same way,
+  * `/root/reference/ons_utils/config/config.py:100-136`). */
+class ArtifactsSpec extends AnyFunSuite {
+
+  private def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("BPE merges: train -> save -> load encodes bit-identically to the in-JVM table") {
+    val corpus = table("id bigint, text string", Seq(
+      row(1L, "hug pug hug hugs"), row(2L, "hug pug bun")))
+    val mergesDf = Corpus.bpeMerges(corpus, "text", 8)
+    val inJvm = Corpus.collectMerges(mergesDf)
+    val dir = tempDir("graft-merges")
+    Corpus.saveMerges(mergesDf, dir)
+    val loaded = Corpus.loadMerges(spark, dir)
+    assert(loaded == inJvm, s"loaded $loaded != trained $inJvm")
+    val a = Corpus.bpeEncode(corpus, "text", inJvm)
+      .orderBy("id").collect().map(_.getSeq[String](2)).toSeq
+    val b = Corpus.bpeEncode(corpus, "text", loaded)
+      .orderBy("id").collect().map(_.getSeq[String](2)).toSeq
+    assert(a == b)
+  }
+
+  test("BPE merges: a corrupted persisted table fails loudly at load") {
+    val dir = tempDir("graft-merges-bad")
+    // doubled-append corruption: same pair under two ranks
+    table("merge_rank int, lhs string, rhs string, merged string, pair_freq bigint",
+      Seq(row(1, "a", "b", "ab", 5L), row(2, "a", "b", "ab", 5L)))
+      .write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException](Corpus.loadMerges(spark, dir))
+    assert(e.getMessage.contains("duplicate"))
+    // and saveMerges refuses to CREATE such an artifact in the first place
+    intercept[IllegalArgumentException](Corpus.saveMerges(
+      table("merge_rank int, lhs string, rhs string",
+        Seq(row(1, "a", "b"), row(3, "c", "d"))), tempDir("graft-merges-gap")))
+  }
+
+  test("vocabulary: save -> load roundtrips rows; corrupted ids fail loudly") {
+    val vocab = Corpus.vocabularyFromFrequencies(
+      table("token string, freq bigint", Seq(
+        row("the", 10L), row("hug", 7L), row("pug", 7L), row("a", 1L))))
+    val dir = tempDir("graft-vocab")
+    Corpus.saveVocabulary(vocab, dir)
+    val loaded = Corpus.loadVocabulary(spark, dir)
+    assertDfEquality(
+      loaded.orderBy("token_id"), vocab.orderBy("token_id"),
+      ignoreNullable = true)
+    // gapped ids (a dropped row) are rejected by the load validation
+    val bad = tempDir("graft-vocab-bad")
+    vocab.filter(col("token_id") =!= 1L).write.mode("overwrite").parquet(bad)
+    val e = intercept[IllegalArgumentException](Corpus.loadVocabulary(spark, bad))
+    assert(e.getMessage.contains("contiguous"))
+    // duplicated token under two ids
+    val dup = tempDir("graft-vocab-dup")
+    vocab.withColumn("token", lit("same")).write.mode("overwrite").parquet(dup)
+    intercept[IllegalArgumentException](Corpus.loadVocabulary(spark, dup))
+  }
+
+  test("IVF model: train -> save -> load is bit-identical and assigns/probes identically") {
+    val rnd = new scala.util.Random(7)
+    val emb = table("vec_id bigint, embedding array<float>",
+      (0 until 40).map(i =>
+        row(i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f))))
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val dir = tempDir("graft-ivf")
+    Ivf.save(spark, model, dir)
+    val loaded = Ivf.load(spark, dir)
+    assert(loaded.k == model.k)
+    model.centroids.zip(loaded.centroids).zipWithIndex.foreach {
+      case ((a, b), i) =>
+        assert(java.util.Arrays.equals(a, b), s"centroid $i drifted in parquet")
+    }
+    def cells(m: Ivf.Model) = Ivf.assign(emb, "embedding", m).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    assert(cells(loaded) == cells(model))
+    def probes(m: Ivf.Model) = Ivf.assignProbes(emb, "embedding", m, 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("cell"))).toSet
+    assert(probes(loaded) == probes(model))
+  }
+
+  test("IVF model: corrupted persisted models fail loudly at load") {
+    val nonContig = tempDir("graft-ivf-bad1")
+    table("cell int, centroid array<float>", Seq(
+      row(0, Seq(1.0f, 0.0f)), row(2, Seq(0.0f, 1.0f))))
+      .write.mode("overwrite").parquet(nonContig)
+    val e1 = intercept[IllegalArgumentException](Ivf.load(spark, nonContig))
+    assert(e1.getMessage.contains("contiguous"))
+    val ragged = tempDir("graft-ivf-bad2")
+    table("cell int, centroid array<float>", Seq(
+      row(0, Seq(1.0f, 0.0f)), row(1, Seq(0.0f, 1.0f, 0.5f))))
+      .write.mode("overwrite").parquet(ragged)
+    val e2 = intercept[IllegalArgumentException](Ivf.load(spark, ragged))
+    assert(e2.getMessage.contains("uniform"))
+  }
+}
