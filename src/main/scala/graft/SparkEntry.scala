@@ -1916,6 +1916,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q109
+  /** Incremental NEAR-dup ledger ingestion
+    * ([[graft.operators.Dedup.nearDedupAgainstLedger]]) — the
+    * continuous-corpus-building shape q87 covers for EXACT dups: the
+    * src0 shard is ingested against an empty signature ledger, every
+    * other document against the grown ledger, and the union of
+    * survivors comes back. The oracle recomputes the EXACT shingle
+    * Jaccard pair graph within each shard (recursive components +
+    * min-id representative) and the exact cross pair set between
+    * shard 2 and the ledger's kept docs, then replays the retention
+    * rule — so LSH banding recall, component transitivity, the
+    * rep-only contamination rule, and the two-step ledger handoff are
+    * all value-checked row for row. */
+  private def q109NearDupLedger(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val step0 = Dedup.nearDedupAgainstLedger(
+      docs.filter(col("source") === "src0"), "doc_id", "text",
+      Dedup.emptySignatureLedger(s))
+    val step1 = Dedup.nearDedupAgainstLedger(
+      docs.filter(col("source") =!= "src0"), "doc_id", "text", step0.ledger)
+    step0.kept.unionByName(step1.kept)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2025,6 +2050,7 @@ object SparkEntry {
     "q106_semantic_dedup" -> (q106SemanticDedup _),
     "q107_bpe_ids" -> (q107BpeIds _),
     "q108_pack_bpe" -> (q108PackBpe _),
+    "q109_neardup_ledger" -> (q109NearDupLedger _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3548,6 +3574,53 @@ object SparkEntry {
     "q105_bpe_encode" -> bpeEncodeOracle,
     "q107_bpe_ids" -> bpeIdsOracle,
     "q108_pack_bpe" -> bpePackOracle,
+    "q109_neardup_ledger" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, source = 'src0' AS s0,
+        |    string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, s0,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks)-2), i ->
+        |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
+        |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
+        |  FROM tk
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON b.doc_id > a.doc_id AND a.s0 = b.s0
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / NULLIF(CAST(len(a.sh) + len(b.sh)
+        |          - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 0.0) >= 0.5
+        |), sym AS (
+        |  SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT a AS node, a AS r FROM sym
+        |  UNION
+        |  SELECT s2.a, r.r FROM sym s2 JOIN reach r ON s2.b = r.node
+        |), comp AS (
+        |  SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+        |), rep AS (
+        |  SELECT d.doc_id, d.s0 FROM s d LEFT JOIN comp c ON d.doc_id = c.node
+        |  WHERE COALESCE(c.comp, d.doc_id) = d.doc_id
+        |), kept0 AS (
+        |  SELECT doc_id FROM rep WHERE s0
+        |), cont1 AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM s a JOIN s b ON (NOT a.s0) AND b.s0
+        |  JOIN kept0 k ON k.doc_id = b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / NULLIF(CAST(len(a.sh) + len(b.sh)
+        |          - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 0.0) >= 0.5
+        |), keep AS (
+        |  SELECT doc_id FROM kept0
+        |  UNION ALL
+        |  SELECT doc_id FROM rep WHERE NOT s0
+        |    AND doc_id NOT IN (SELECT doc_id FROM cont1)
+        |)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN keep USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q106_semantic_dedup" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT vec_id, embedding FROM embeddings

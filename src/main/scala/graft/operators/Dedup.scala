@@ -269,6 +269,139 @@ object Dedup {
       .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
   }
 
+  /** The signature LEDGER row set for incremental NEAR-dup ingestion
+    * ([[nearDedupAgainstLedger]]): one row per accepted document —
+    * `(id, sig, hsh)`: the MinHash signature its LSH band keys derive
+    * from, and the sorted hashed shingle set exact-Jaccard
+    * verification walks. This is the near-dup analog of
+    * [[incrementalExactDedup]]'s fingerprint column: dedup state is a
+    * compact signature frame, NOT the prior corpus text — ingesting
+    * shard N reads the accumulated signatures (8 bytes per distinct
+    * shingle + numHashes longs per doc), never re-scans 100 TB of
+    * text. Persist the returned ledger per ingestion step (plain
+    * parquet, ideally bucketed by band key) — it is the pipeline's
+    * accumulated state, exactly the train-once/load-everywhere
+    * discipline of [[Corpus.saveMerges]]. */
+  def signatureLedger(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      GraftFunctions.shingles(df,
+        TextFunctions.tokens(col(textCol)), shingleN).as("sh"))
+    sh.select(col("id"),
+      GraftFunctions.minhashSig(df, col("sh"), numHashes).as("sig"),
+      TextFunctions.hashedShingles(col("sh")).as("hsh"))
+  }
+
+  /** An empty [[signatureLedger]] — the seed state of the first
+    * ingestion step. */
+  def emptySignatureLedger(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("sig", ArrayType(LongType, containsNull = false)),
+        StructField("hsh", ArrayType(LongType, containsNull = false)))))
+  }
+
+  /** Result of one [[nearDedupAgainstLedger]] ingestion step: the
+    * surviving shard rows (full payload) and the UPDATED ledger
+    * (input ledger + the survivors' signatures). */
+  final case class NearDupIngest(kept: DataFrame, ledger: DataFrame)
+
+  /** Incremental NEAR-dup ingestion — the MinHash analog of
+    * [[incrementalExactDedup]], and the production shape of continuous
+    * corpus building: ingest a new crawl shard against the accumulated
+    * corpus' signature ledger, keep the genuinely new documents,
+    * return the grown ledger for the next shard.
+    *
+    * Retention (oracle-replayable, pinned by q109): a shard document
+    * survives iff
+    *  1. it is the min-id REPRESENTATIVE of its within-shard near-dup
+    *     component (exact shingle Jaccard >= `threshold` edges over
+    *     LSH-banded candidates, transitively closed — the
+    *     [[minHashNearDupPairs]] -> components -> min-id chain), and
+    *  2. it has NO near-dup (exact Jaccard >= `threshold`) anywhere in
+    *     the ledger.
+    * Retention is per-component by its representative alone: a
+    * component whose min-id rep is ledger-contaminated is dropped
+    * whole (its members are near-dups of a known document's near-dup),
+    * and members are never promoted — the same one-survivor-per-group
+    * rule as the rest of the dedup family, kept deterministic so two
+    * engines replay it identically.
+    *
+    * Scale shape: the shard is signed map-side ONCE into the same
+    * (sig, hsh) currency the ledger stores; within-shard candidates
+    * are bucket-local behind the count-first [[BucketGuard]]; the
+    * ledger-contamination check is [[crossCorpusNearDupPairs]]'
+    * asymmetric join — the accumulated-corpus-sized LEDGER side is
+    * bucket-aggregated (capped at `maxBucket`), the small shard side
+    * probes it on (band, key), so the ledger is only ever read in the
+    * band buckets the shard actually touches (store it bucketed by
+    * band key and the shuffle prunes too); verification walks stored
+    * hashed shingles — the ledger never re-tokenizes text it no
+    * longer carries. Cost tracks colliding pairs, never
+    * |shard| x |ledger|. */
+  def nearDedupAgainstLedger(
+      shard: DataFrame,
+      idCol: String,
+      textCol: String,
+      ledger: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): NearDupIngest = {
+    val rows = numHashes / bands
+    val sigs = signatureLedger(shard, idCol, textCol, shingleN, numHashes)
+    def banded(d: DataFrame): DataFrame = d
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // 1) ledger contamination: ledger side bucket-aggregated (minSize 1
+    // — a singleton ledger bucket still catches a probing shard row)
+    val ledgerBuckets = BucketGuard.bounded(banded(ledger), Seq("band", "key"),
+        minSize = 1, maxBucket, dropOversize = true, oversizeMsg = identity)
+      .groupBy("band", "key").agg(collect_list("id").as("lids"))
+    val contaminated = banded(sigs)
+      .join(ledgerBuckets, Seq("band", "key"))
+      .select(col("id").as("a"), explode(col("lids")).as("b"))
+      .distinct()
+      .join(sigs.select(col("id").as("a"), col("hsh").as("hsh_a")), "a")
+      .join(ledger.select(col("id").as("b"), col("hsh").as("hsh_b")), "b")
+      .filter(TextFunctions.shingleJaccardHashed(shard,
+        col("hsh_a"), col("hsh_b")) >= threshold)
+      .select(col("a").as("id")).distinct()
+    // 2) within-shard components over verified bucket-local pairs
+    val shardBuckets = BucketGuard.bounded(banded(sigs), Seq("band", "key"),
+        minSize = 2, maxBucket, dropOversize = true, oversizeMsg = identity)
+      .groupBy("band", "key").agg(collect_list("id").as("ids"))
+    val withinPairs = shardBuckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .join(sigs.select(col("id").as("a"), col("hsh").as("hsh_a")), "a")
+      .join(sigs.select(col("id").as("b"), col("hsh").as("hsh_b")), "b")
+      .filter(TextFunctions.shingleJaccardHashed(shard,
+        col("hsh_a"), col("hsh_b")) >= threshold)
+      .select(col("a"), col("b"))
+    val labels = Components.connectedComponents(withinPairs, "a", "b")
+    val keptIds = sigs.select(col("id"))
+      .join(labels.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .filter(coalesce(col("comp"), col("id")) === col("id"))
+      .select("id")
+      .join(contaminated, Seq("id"), "left_anti")
+    val keptSigs = sigs.join(keptIds, Seq("id"), "left_semi")
+    NearDupIngest(
+      kept = shard.join(keptIds.withColumnRenamed("id", idCol),
+        Seq(idCol), "left_semi"),
+      ledger = ledger.unionByName(keptSigs))
+  }
+
   /** Text near-duplicate pairs within a doc-id window: exact n-gram
     * shingle Jaccard on (id, id+delta) pairs for delta in 1..window —
     * the text twin of [[Similarity.windowedCosinePairs]], and the

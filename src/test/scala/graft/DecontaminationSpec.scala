@@ -52,4 +52,44 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(rows(1) == ((2L, 1, 1, 0.0, 0.0)))
     assert(rows(2) == ((3L, 4, 4, 0.0, 1.0 / 3.0)))
   }
+
+  test("nearDedupAgainstLedger: two-shard ingestion — within-shard reps, ledger contamination, ledger growth") {
+    import graft.operators.Dedup
+    // shard A: 1 and 2 are exact dups (one component, rep 1); 3 unique
+    val shardA = table("doc_id bigint, text string", Seq(
+      row(1L, "the quick brown fox jumps"),
+      row(2L, "the quick brown fox jumps"),
+      row(3L, "alpha beta gamma delta")))
+    val step0 = Dedup.nearDedupAgainstLedger(shardA, "doc_id", "text",
+      Dedup.emptySignatureLedger(spark))
+    assert(step0.kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    assert(step0.ledger.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    // shard B against the grown ledger:
+    //  10,11 = copies of doc 1's text  -> one component (rep 10),
+    //          rep is ledger-contaminated -> component dropped whole
+    //  12,13 = mutual copies, unseen    -> rep 12 kept, 13 dropped
+    //  14    = doc 2's text             -> contaminated via doc 1 (J=1)
+    //  15    = near-dup of doc 3 (adds one word: shingles 2/3 >= 0.5)
+    //          -> contaminated FUZZILY, dropped
+    //  16    = genuinely new            -> kept
+    val shardB = table("doc_id bigint, text string", Seq(
+      row(10L, "the quick brown fox jumps"),
+      row(11L, "the quick brown fox jumps"),
+      row(12L, "omega psi chi phi upsilon"),
+      row(13L, "omega psi chi phi upsilon"),
+      row(14L, "the quick brown fox jumps"),
+      row(15L, "alpha beta gamma delta epsilon"),
+      row(16L, "one two three four five six")))
+    val step1 = Dedup.nearDedupAgainstLedger(shardB, "doc_id", "text",
+      step0.ledger)
+    assert(step1.kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(12L, 16L))
+    // the returned ledger is cumulative: shard A survivors + shard B survivors
+    assert(step1.ledger.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L, 12L, 16L))
+    // kept frames carry the full shard payload (schema preserved)
+    assert(step1.kept.columns.toSeq == shardB.columns.toSeq)
+  }
 }
