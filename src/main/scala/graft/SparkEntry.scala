@@ -1941,6 +1941,46 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q110
+  /** Semantic decontamination
+    * ([[graft.operators.Similarity.semanticDecontaminate]]) — the
+    * embedding analog of q55's lexical cross-corpus check: eval
+    * vectors with a cosine >= 0.9 neighbor anywhere in train are
+    * flagged. Train = the base embedding corpus; eval = planted
+    * paraphrase twins (dim-0 x2, guaranteed contaminated — q106's twin
+    * recipe, cosine to base >= 0.9) of every vec_id % 3 == 0 vector,
+    * plus REVERSED embeddings (a reversed isotropic vector is just
+    * another random direction — measured max train cosine 0.73/0.78 at
+    * sf0.01/sf0.1, nowhere near 0.9) of every vec_id % 3 == 1 vector
+    * as the clean population. The oracle recomputes the eval
+    * construction and the EXACT full eval x train threshold graph,
+    * then value-checks per-eval hit counts and min qualifying train id
+    * — a cross pair whose probe sets diverge past nprobe, a
+    * boundary-margin miss, or a wrong flag all fail the hash, so the
+    * gate holds the cell-local restriction to full recall. nprobe=6:
+    * same corpus geometry, model size, and threshold as q106's
+    * measured sweep (losses 172/15/2/0 at nprobe=1/2/3/4-5 on the twin
+    * family), carried with the same one-step margin; cross-engine
+    * agreement at both SFs confirmed by this gate. */
+  private def q110SemanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Ivf, Similarity}
+    val emb = Tables.embeddings(s, dir)
+    val evalTwins = emb.filter(col("vec_id") % 3 === 0).select(
+      guardedTwinId(col("vec_id"), 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === lit(0), x * lit(2.0f)).otherwise(x))
+        .as("embedding"))
+    val evalClean = emb.filter(col("vec_id") % 3 === 1).select(
+      guardedTwinId(col("vec_id"), 2000000L).as("vec_id"),
+      reverse(col("embedding")).as("embedding"))
+    val eval = evalTwins.unionByName(evalClean)
+    val model = Ivf.train(emb, "vec_id", "embedding",
+      k = 16, iters = 3, sampleMod = 4)
+    Similarity.semanticDecontaminate(eval, emb, "vec_id", "embedding",
+        model, threshold = 0.9, nprobe = 6)
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2051,6 +2091,7 @@ object SparkEntry {
     "q107_bpe_ids" -> (q107BpeIds _),
     "q108_pack_bpe" -> (q108PackBpe _),
     "q109_neardup_ledger" -> (q109NearDupLedger _),
+    "q110_semantic_decontaminate" -> (q110SemanticDecontaminate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3656,6 +3697,43 @@ object SparkEntry {
         |  COALESCE(cm.comp, c0.vec_id) AS rep_id,
         |  (c0.vec_id = COALESCE(cm.comp, c0.vec_id)) AS kept
         |FROM corpus c0 LEFT JOIN comp cm ON c0.vec_id = cm.node
+        |ORDER BY vec_id""".stripMargin,
+    "q110_semantic_decontaminate" ->
+      """WITH ev AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(list_zip(embedding, range(1, len(embedding)+1)),
+        |      z -> CASE WHEN z[2] = 1
+        |           THEN CAST(z[1] * CAST(2 AS REAL) AS REAL) ELSE z[1] END)
+        |      AS embedding
+        |  FROM embeddings WHERE vec_id % 3 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id, list_reverse(embedding) AS embedding
+        |  FROM embeddings WHERE vec_id % 3 = 1
+        |), en AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM ev
+        |), tn AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), hits AS (
+        |  SELECT e.vec_id AS eid, t.vec_id AS tid
+        |  FROM en e JOIN tn t ON
+        |    list_sum(list_transform(list_zip(e.embedding, t.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |      / (e.nrm * t.nrm) >= 0.9
+        |), agg AS (
+        |  SELECT eid, COUNT(*) AS n_train_hits, MIN(tid) AS min_train_id
+        |  FROM hits GROUP BY eid
+        |)
+        |SELECT ev.vec_id,
+        |  (a.eid IS NOT NULL) AS contaminated,
+        |  COALESCE(a.n_train_hits, 0) AS n_train_hits,
+        |  a.min_train_id
+        |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
     "q104_dhash_neardup" ->
       """WITH m0 AS (

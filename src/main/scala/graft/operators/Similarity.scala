@@ -387,4 +387,85 @@ object Similarity {
         coalesce(col("comp"), col(idCol)).as("rep_id"))
       .withColumn("kept", col(idCol) === col("rep_id"))
   }
+
+  /** Semantic decontamination — the embedding analog of the MinHash
+    * cross-corpus check ([[Dedup.crossCorpusNearDupJoin]], q55): for
+    * every EVAL vector, does a TRAIN vector with cosine >= `threshold`
+    * exist anywhere in the training corpus? Benchmark paraphrases
+    * survive lexical decontamination (different words, same meaning);
+    * this is the gate that catches them.
+    *
+    * Shape ([[semanticDedup]]'s cell machinery applied cross-corpus):
+    * BOTH sides are multi-probe-assigned to their `nprobe` nearest IVF
+    * cells ([[Ivf.assignProbes]]), the train side's cell populations
+    * are capped count-first behind [[BucketGuard]] (a degenerate hot
+    * cell raises loudly — or drops observably with `dropOversize` —
+    * before any pair expansion), and candidates meet in ONE equi-join
+    * on the cell id: the eval side is the small probe side (AQE
+    * broadcasts it), the train side never crosses with eval outside
+    * the cells eval actually probes, and pair work is bounded by
+    * colliding (eval, train) probe rows — never eval x train. A pair
+    * sharing several probed cells is scored once per shared cell and
+    * deduped AFTER the threshold filter (the q106-measured strategy:
+    * duplicate fused-codegen cosines beat per-row probe-set
+    * intersection 2.4x). A qualifying pair is missed only when the two
+    * vectors' probe sets are disjoint — recall is monotone in
+    * `nprobe`, sized by measurement exactly like [[semanticDedup]]
+    * (q110's gate holds the output to the EXACT full cross-corpus
+    * threshold graph, so at the gated scale the restriction is
+    * provably lossless).
+    *
+    * Output: one row per eval id — `contaminated` flag, the exact
+    * count of qualifying train neighbors found, and the minimum
+    * qualifying train id (both integer-exact, so the oracle gate never
+    * rides a float aggregate). Downstream: `filter(!contaminated)` is
+    * the cleaned eval set; the hit columns are the audit trail. */
+  def semanticDecontaminate(
+      eval: DataFrame,
+      train: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Ivf.Model,
+      threshold: Double,
+      nprobe: Int = 2,
+      maxCell: Int = 10000,
+      dropOversize: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    require(nprobe > 0, s"nprobe ($nprobe) must be positive")
+    require(maxCell >= 1, s"maxCell ($maxCell) must be >= 1 — a cross " +
+      "pair needs one train vector in the cell")
+    val np = math.min(nprobe, model.k)
+    val trainP = Ivf.assignProbes(
+      train.select(col(idCol).as("__tid"), col(vecCol).as("__tvec")),
+      "__tvec", model, np, "__cell")
+    // Count-first cap on train cell population (probe rows), so a
+    // degenerate cell fails before the join ever expands it.
+    val trainG = BucketGuard.bounded(trainP, Seq("__cell"),
+      minSize = 1, maxBucket = maxCell, dropOversize = dropOversize,
+      oversizeMsg = n => concat(
+        lit(s"semanticDecontaminate train cell exceeded maxCell=$maxCell " +
+          "(size "), n.cast("string"),
+        lit(") — raise k (more, smaller cells), raise maxCell, or pass " +
+          "dropOversize=true to accept recall loss.")))
+    val evalP = Ivf.assignProbes(
+      eval.select(col(idCol).as("__eid"), col(vecCol).as("__evec")),
+      "__evec", model, np, "__cell")
+    val hits = evalP.join(trainG, Seq("__cell"))
+      .select(col("__eid"), col("__tid"),
+        GraftFunctions.cosineF32(eval, col("__evec"), col("__tvec"))
+          .as("__cos"))
+      .filter(col("__cos") >= threshold)
+      .select(col("__eid"), col("__tid"))
+      .distinct() // a pair may share up to nprobe^2 probed cells
+      .groupBy("__eid")
+      .agg(count(lit(1)).cast("long").as("n_train_hits"),
+        min(col("__tid")).as("min_train_id"))
+    eval.select(col(idCol))
+      .join(hits.withColumnRenamed("__eid", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_train_hits").isNotNull.as("contaminated"),
+        coalesce(col("n_train_hits"), lit(0L)).as("n_train_hits"),
+        col("min_train_id"))
+  }
 }

@@ -192,4 +192,98 @@ class VocabQuantizeSpec extends AnyFunSuite {
     assert(got == expected, s"got $got\nexpected $expected")
     assert(expected.count(!_._3) >= 3) // the planted twins really grouped
   }
+
+  test("semanticDecontaminate: cross hits, straddle miss at nprobe=1, dedup across shared cells") {
+    import graft.operators.{Ivf, Similarity}
+    // hand-computed on the axis-cell model: e101 ~ t1 at cosine .9901
+    // (same cell 0); e102 ~ t3 at .9996 but the pair straddles the
+    // cell boundary (t3 -> cell 0 at .7170 vs .6971, e102 mirrored) so
+    // nprobe=1 misses it BY DESIGN; e103 = (-1, 0) is near nothing.
+    val train = table("vec_id bigint, embedding array<float>", Seq(
+      row(1L, Seq(1.0f, 0.0f)),
+      row(2L, Seq(0.0f, 1.0f)),
+      row(3L, Seq(0.72f, 0.70f))))
+    val eval = table("vec_id bigint, embedding array<float>", Seq(
+      row(101L, Seq(0.99f, 0.14f)),
+      row(102L, Seq(0.70f, 0.72f)),
+      row(103L, Seq(-1.0f, 0.0f))))
+    val model = Ivf.Model(Vector(Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+    def run(np: Int) = Similarity.semanticDecontaminate(eval, train,
+        "vec_id", "embedding", model, threshold = 0.98, nprobe = np)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+    assert(run(1) == Seq(
+      (101L, true, 1L, 1L),
+      (102L, false, 0L, null),
+      (103L, false, 0L, null)), run(1).toString)
+    // nprobe=2: the straddled pair shares BOTH probed cells — it must
+    // be recovered AND counted once (distinct), not once per cell
+    assert(run(2) == Seq(
+      (101L, true, 1L, 1L),
+      (102L, true, 1L, 3L),
+      (103L, false, 0L, null)), run(2).toString)
+  }
+
+  test("semanticDecontaminate: oversize train cell raises loudly; dropOversize loses observably") {
+    import graft.operators.{Ivf, Similarity}
+    val train = table("vec_id bigint, embedding array<float>", Seq(
+      row(1L, Seq(1.0f, 0.0f)),
+      row(2L, Seq(0.99f, 0.14f)),
+      row(3L, Seq(0.96f, 0.28f))))
+    val eval = table("vec_id bigint, embedding array<float>", Seq(
+      row(101L, Seq(1.0f, 0.0f))))
+    val one = Ivf.Model(Vector(Array(1.0f, 0.0f)))
+    val err = intercept[Throwable] {
+      Similarity.semanticDecontaminate(eval, train, "vec_id", "embedding",
+        one, threshold = 0.95, maxCell = 2).collect()
+    }
+    val messages = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("maxCell=2"), messages.take(500))
+    val dropped = Similarity.semanticDecontaminate(eval, train, "vec_id",
+        "embedding", one, threshold = 0.95, maxCell = 2, dropOversize = true)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(dropped == Seq((101L, false)), dropped.toString)
+  }
+
+  test("semanticDecontaminate at nprobe=k equals brute-force cross pairs (generative)") {
+    import graft.operators.{Ivf, Similarity}
+    val rnd = new scala.util.Random(78)
+    val dims = 8
+    val trainVecs = (0 until 40).map(i =>
+      i.toLong -> Array.fill(dims)(rnd.nextFloat() - 0.5f))
+    // eval: exact twins of train 0/1/2 (guaranteed hits) + fresh
+    // random vectors (hits only if the exact graph says so)
+    val evalVecs = Seq(100L -> trainVecs(0)._2, 101L -> trainVecs(1)._2,
+      102L -> trainVecs(2)._2) ++
+      (103 until 120).map(i =>
+        i.toLong -> Array.fill(dims)(rnd.nextFloat() - 0.5f))
+    val train = table("vec_id bigint, embedding array<float>",
+      trainVecs.map { case (id, v) => row(id, v.toSeq) })
+    val eval = table("vec_id bigint, embedding array<float>",
+      evalVecs.map { case (id, v) => row(id, v.toSeq) })
+    val model = Ivf.train(train, "vec_id", "embedding", k = 4, iters = 2)
+    val thr = 0.9
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dims) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = evalVecs.map { case (eid, ev) =>
+      val hits = trainVecs.filter(t => cosine(ev, t._2) >= thr).map(_._1)
+      (eid, hits.nonEmpty, hits.size.toLong,
+        if (hits.isEmpty) null else hits.min)
+    }.sortBy(_._1)
+    val got = Similarity.semanticDecontaminate(eval, train, "vec_id",
+        "embedding", model, thr, nprobe = model.k)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(expected.count(_._2) >= 3) // the planted twins really hit
+  }
 }
