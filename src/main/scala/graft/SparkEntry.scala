@@ -1981,6 +1981,22 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- q111
+  /** Duplicated-span removal
+    * ([[graft.operators.Corpus.removeDuplicatedSpans]]) — Lee et al.'s
+    * cut step at 5-gram granularity over the documents corpus: q64
+    * measures cross-doc duplication, this excises it (at sf0.01: 71
+    * docs lose 2550 of 27165 tokens — boilerplate spans shared across
+    * sources — while unique prose survives untouched). The oracle
+    * recomputes the positional gram table, the distinct-doc
+    * duplication rule, every covered position, and the rebuilt text —
+    * one token cut too many or too few anywhere in the corpus fails
+    * the hash. */
+  private def q111RemoveDupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.removeDuplicatedSpans(Tables.documents(s, dir),
+        "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2092,6 +2108,7 @@ object SparkEntry {
     "q108_pack_bpe" -> (q108PackBpe _),
     "q109_neardup_ledger" -> (q109NearDupLedger _),
     "q110_semantic_decontaminate" -> (q110SemanticDecontaminate _),
+    "q111_remove_dup_spans" -> (q111RemoveDupSpans _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3735,6 +3752,48 @@ object SparkEntry {
         |  a.min_train_id
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
+    "q111_remove_dup_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, COALESCE(string_split_regex(trim(text), ' +'),
+        |    CAST([] AS VARCHAR[])) AS toks
+        |  FROM documents
+        |), pg AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(range(len(toks)-4), i ->
+        |           array_to_string(toks[CAST(i+1 AS INT):CAST(i+5 AS INT)], ' '))
+        |    END AS grams
+        |  FROM tk
+        |), gd AS (
+        |  SELECT DISTINCT doc_id, unnest(grams) AS gram FROM pg
+        |), dup AS (
+        |  SELECT gram FROM gd GROUP BY gram HAVING COUNT(*) >= 2
+        |), pos AS (
+        |  SELECT doc_id, unnest(range(len(grams))) AS i,
+        |    unnest(grams) AS gram
+        |  FROM pg
+        |), st AS (
+        |  SELECT p.doc_id, p.i FROM pos p JOIN dup d ON p.gram = d.gram
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, i + j AS p
+        |  FROM st CROSS JOIN (SELECT unnest(range(5)) AS j)
+        |), tpos AS (
+        |  SELECT doc_id, unnest(range(len(toks))) AS p, unnest(toks) AS tok
+        |  FROM tk
+        |), kept AS (
+        |  SELECT tp.doc_id,
+        |    string_agg(tp.tok, ' ' ORDER BY tp.p) AS cleaned_text,
+        |    COUNT(*) AS n_kept
+        |  FROM tpos tp LEFT JOIN cov c
+        |    ON tp.doc_id = c.doc_id AND tp.p = c.p
+        |  WHERE c.p IS NULL GROUP BY tp.doc_id
+        |)
+        |SELECT tk.doc_id,
+        |  CAST(len(tk.toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(tk.toks) - COALESCE(k.n_kept, 0) AS INTEGER) AS n_removed,
+        |  COALESCE(k.cleaned_text, '') AS cleaned_text
+        |FROM tk LEFT JOIN kept k ON tk.doc_id = k.doc_id
+        |ORDER BY tk.doc_id""".stripMargin,
     "q104_dhash_neardup" ->
       """WITH m0 AS (
         |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx

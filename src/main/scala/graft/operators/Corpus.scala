@@ -382,6 +382,84 @@ object Corpus {
             col("n_grams").cast("double")).as("dup_frac"))
   }
 
+  /** Duplicated-span REMOVAL — the cut step of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (ACL'22), at word-n-gram granularity: every token position
+    * covered by an n-gram that occurs in >= `minDocs` DISTINCT
+    * documents is cut, and the document is rebuilt from the surviving
+    * tokens. [[interDocDuplicationStats]] (q64) is the MEASURE
+    * (per-doc duplicated fraction, a drop/keep gate); this is the
+    * SURGERY — boilerplate headers, license blocks, and navigation
+    * chrome are excised from otherwise-unique pages instead of
+    * sacrificing the whole document, which is exactly what Lee et al.
+    * show matters for LM training data.
+    *
+    * Scale shape: gram duplication is decided on per-doc DISTINCT
+    * occurrences (a span repeated 1000x inside one doc adds one row to
+    * the count shuffle, and intra-doc repetition alone never cuts);
+    * with `hashGrams` every gram crosses the exchange as an 8-byte
+    * `xxhash64` long (q64's trick — a 64-bit collision needs ~2^32
+    * distinct grams and only ever OVER-cuts one span); the dup-gram
+    * count aggregation is map-side combined and vocabulary-bounded;
+    * the duplicated set prunes via left_semi BEFORE rejoining docs;
+    * and the rebuild is map-side per-doc array work — positions,
+    * coverage, and the surviving-token join never leave the row.
+    * The coverage test is O(tokens x duplicated-starts) per document
+    * (bounded by doc length², the same bounded-doc-row assumption as
+    * every per-doc array op in this file); documents are bounded,
+    * corpora are not — the corpus-sized dimensions (gram count
+    * shuffle, semi join) stay hash-partitioned and combine map-side.
+    *
+    * Output: one row per input doc — `n_tokens`, `n_removed`, and the
+    * rebuilt `cleaned_text` (empty string when everything was cut).
+    * NULL text behaves as the empty document (0 tokens, nothing cut). */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Int = 2,
+      hashGrams: Boolean = true): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(minDocs >= 2,
+      s"minDocs ($minDocs) must be >= 2 — 1 would cut every token")
+    val emptyS = array().cast("array<string>")
+    val docs = df.select(col(idCol).as("id"),
+      coalesce(TextFunctions.tokens(col(textCol)), emptyS).as("toks"))
+    // positional grams: start i (0-based) -> the n tokens from i,
+    // space-joined (tokens are whitespace-split, so the join is
+    // collision-free)
+    val withGrams = docs.withColumn("grams",
+      when(size(col("toks")) < n, emptyS)
+        .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))))
+    def gramKey(gram: Column): Column =
+      if (hashGrams) xxhash64(gram) else gram
+    val gramDocs = withGrams
+      .select(col("id"), explode(col("grams")).as("gram"))
+      .select(col("id"), gramKey(col("gram")).as("g")).distinct()
+    val dupGrams = gramDocs.groupBy("g")
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("g")
+    val starts = withGrams
+      .select(col("id"), posexplode(col("grams")).as(Seq("i", "gram")))
+      .select(col("id"), col("i"), gramKey(col("gram")).as("g"))
+      .join(dupGrams, Seq("g"), "left_semi")
+      .groupBy("id").agg(sort_array(collect_list(col("i"))).as("starts"))
+    withGrams.join(starts, Seq("id"), "left")
+      .select(col("id"), col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .withColumn("kept",
+        when(size(col("toks")) === 0, emptyS).otherwise(
+          filter(col("toks"), (_, p) =>
+            !exists(col("starts"), s => p >= s && p < s + n))))
+      .select(col("id").as(idCol),
+        size(col("toks")).as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+  }
+
   /** Inverted-index build with CAPPED posting lists: one row per
     * (token, retained document), keeping each token's top `k` documents
     * by (term frequency desc, id asc) plus the token's full document

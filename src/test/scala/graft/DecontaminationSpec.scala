@@ -92,4 +92,64 @@ class DecontaminationSpec extends AnyFunSuite {
     // kept frames carry the full shard payload (schema preserved)
     assert(step1.kept.columns.toSeq == shardB.columns.toSeq)
   }
+
+  test("removeDuplicatedSpans: cross-doc spans cut, intra-doc repeats immune, overlaps merge") {
+    // n=3 dup grams (>= 2 DISTINCT docs): "a b c" (d1,d2,d4,d5),
+    // "b c d" (d1,d5), "c d e" (d1,d5). d3 repeats its own grams only.
+    val docs = table("doc_id bigint, text string", Seq(
+      row(1L, "a b c d e"),
+      row(2L, "x a b c y"),
+      row(3L, "p q r p q r p q"),
+      row(4L, "a b c"),
+      row(5L, "a b c d e a b c")))
+    val got = Corpus.removeDuplicatedSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 5, 5, ""),                      // starts 0,1,2 cover all
+      (2L, 5, 3, "x y"),                   // interior span cut, ends kept
+      (3L, 8, 0, "p q r p q r p q"),       // intra-doc repeats never cut
+      (4L, 3, 3, ""),                      // whole doc = the dup gram
+      (5L, 8, 8, "")),                     // overlapping spans merge 0-7
+      got.toString)
+    // hashed and literal gram keys agree
+    val lit = Corpus.removeDuplicatedSpans(docs, "doc_id", "text", n = 3,
+        hashGrams = false)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq
+    assert(lit == got)
+  }
+
+  test("removeDuplicatedSpans: minDocs raises the duplication bar") {
+    val docs = table("doc_id bigint, text string", Seq(
+      row(1L, "a b c d e"),
+      row(2L, "x a b c y"),
+      row(3L, "p q r p q r p q"),
+      row(4L, "a b c"),
+      row(5L, "a b c d e a b c")))
+    // minDocs=3: only "a b c" (4 docs) qualifies; the d1/d5-only pairs
+    // "b c d"/"c d e" no longer cut
+    val got = Corpus.removeDuplicatedSpans(docs, "doc_id", "text", n = 3,
+        minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 5, 3, "d e"),
+      (2L, 5, 3, "x y"),
+      (3L, 8, 0, "p q r p q r p q"),
+      (4L, 3, 3, ""),
+      (5L, 8, 6, "d e")),
+      got.toString)
+    // short docs (< n tokens) contribute no grams and are never cut
+    val shorty = table("doc_id bigint, text string", Seq(
+      row(1L, "a b"), row(2L, "a b")))
+    val s = Corpus.removeDuplicatedSpans(shorty, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq
+    assert(s == Seq((1L, 2, 0, "a b"), (2L, 2, 0, "a b")), s.toString)
+  }
 }
