@@ -1997,6 +1997,32 @@ object SparkEntry {
         "doc_id", "text", n = 5)
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- q112
+  /** Naive Bayes classifier gate
+    * ([[graft.operators.Classify]]) — the CCNet/fastText-shaped
+    * learned filter: train a multinomial NB on the corpus' own weak
+    * labels (lang == 'en', 218 vs 282 docs at sf0.01) in one
+    * vocabulary-bounded counting pass, then score every document's
+    * log-odds. The oracle retrains the identical model in SQL —
+    * per-(token, class) counts, class totals, vocabulary size, Laplace
+    * conditionals, prior log-odds — and replays every per-doc weighted
+    * sum; counts and the join are integer-exact, the log-odds ride the
+    * q100-style 6-decimal gate, and `predicted` compares the ROUNDED
+    * value on both sides so the flag can never disagree at a
+    * sub-gate margin. */
+  private def q112NaiveBayesGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Classify
+    val docs = Tables.documents(s, dir)
+      .withColumn("label", col("lang") === "en")
+    val model = Classify.trainNaiveBayes(docs, "text", "label")
+    Classify.scoreNaiveBayes(docs, "doc_id", "text", model)
+      .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .select(col("doc_id"), col("label"),
+        round(col("log_odds"), 6).as("log_odds6"),
+        (round(col("log_odds"), 6) > 0.0).as("predicted"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2109,6 +2135,7 @@ object SparkEntry {
     "q109_neardup_ledger" -> (q109NearDupLedger _),
     "q110_semantic_decontaminate" -> (q110SemanticDecontaminate _),
     "q111_remove_dup_spans" -> (q111RemoveDupSpans _),
+    "q112_naive_bayes_gate" -> (q112NaiveBayesGate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3752,6 +3779,42 @@ object SparkEntry {
         |  a.min_train_id
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
+    "q112_naive_bayes_gate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, (lang = 'en') AS pos,
+        |    unnest(string_split_regex(trim(text), ' +')) AS token
+        |  FROM documents
+        |), cc AS (
+        |  SELECT token,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cneg
+        |  FROM tk GROUP BY token
+        |), scal AS (
+        |  SELECT SUM(cpos) AS totpos, SUM(cneg) AS totneg, COUNT(*) AS v
+        |  FROM cc
+        |), nd AS (
+        |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS npos,
+        |    COUNT(*) AS ntot
+        |  FROM documents
+        |), lp AS (
+        |  SELECT cc.token,
+        |    ln((cc.cpos + 1.0) / (s.totpos + CAST(s.v AS DOUBLE))) AS lppos,
+        |    ln((cc.cneg + 1.0) / (s.totneg + CAST(s.v AS DOUBLE))) AS lpneg
+        |  FROM cc CROSS JOIN scal s
+        |), dtf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token
+        |), sc AS (
+        |  SELECT dtf.doc_id, SUM(dtf.tf * (lp.lppos - lp.lpneg)) AS sd
+        |  FROM dtf JOIN lp USING (token) GROUP BY dtf.doc_id
+        |)
+        |SELECT d.doc_id, (d.lang = 'en') AS label,
+        |  ROUND(ln(CAST(nd.npos AS DOUBLE) / CAST(nd.ntot - nd.npos AS DOUBLE))
+        |    + COALESCE(sc.sd, 0.0), 6) AS log_odds6,
+        |  (ROUND(ln(CAST(nd.npos AS DOUBLE) / CAST(nd.ntot - nd.npos AS DOUBLE))
+        |    + COALESCE(sc.sd, 0.0), 6) > 0) AS predicted
+        |FROM documents d CROSS JOIN nd
+        |LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q111_remove_dup_spans" ->
       """WITH tk AS (
         |  SELECT doc_id, COALESCE(string_split_regex(trim(text), ' +'),

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Classify
+import graft.testkit.SparkTestKit._
+
+/** Multinomial Naive Bayes train/score/persist (SURVEY.md §2.8). */
+class ClassifySpec extends AnyFunSuite {
+
+  // pos: "spam spam ham"; neg: "eggs ham". alpha=1:
+  //   cpos: spam 2, ham 1, eggs 0; cneg: spam 0, ham 1, eggs 1
+  //   totPos 3, totNeg 2, V 3; prior = ln(1/1) = 0
+  private def trained() = {
+    val docs = table("id bigint, text string, label boolean", Seq(
+      row(1L, "spam spam ham", true),
+      row(2L, "eggs ham", false)))
+    Classify.trainNaiveBayes(docs, "text", "label")
+  }
+
+  test("trainNaiveBayes: hand-computed conditionals, prior, floors") {
+    val m = trained()
+    val vocab = m.vocab.orderBy("token").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val eps = 1e-12
+    def close(a: Double, b: Double) = math.abs(a - b) < eps
+    assert(vocab.map(_._1) == Seq("eggs", "ham", "spam"))
+    assert(close(vocab(0)._2, math.log(1.0 / 6.0)) &&
+      close(vocab(0)._3, math.log(2.0 / 5.0)))
+    assert(close(vocab(1)._2, math.log(2.0 / 6.0)) &&
+      close(vocab(1)._3, math.log(2.0 / 5.0)))
+    assert(close(vocab(2)._2, math.log(3.0 / 6.0)) &&
+      close(vocab(2)._3, math.log(1.0 / 5.0)))
+    assert(m.priorLogOdds == 0.0)
+    assert(close(m.floorPos, math.log(1.0 / 6.0)))
+    assert(close(m.floorNeg, math.log(1.0 / 5.0)))
+  }
+
+  test("scoreNaiveBayes: hand-computed log-odds, OOV floor, empty-token prior") {
+    val m = trained()
+    val apply = table("id bigint, text string", Seq(
+      row(10L, "spam eggs"),   // ln(2.5) + ln(5/12) = ln(25/24) > 0
+      row(11L, "eggs eggs"),   // 2 * ln(5/12) < 0
+      row(12L, "zzz"),         // OOV -> floor delta = ln(5/6) < 0
+      row(13L, "")))           // token "" is OOV too -> same floor delta
+    val got = Classify.scoreNaiveBayes(apply, "id", "text", m)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    val eps = 1e-12
+    assert(got.map(_._1) == Seq(10L, 11L, 12L, 13L))
+    assert(math.abs(got(0)._2 - math.log(25.0 / 24.0)) < eps && got(0)._3)
+    assert(math.abs(got(1)._2 - 2.0 * (math.log(1.0 / 6.0) - math.log(2.0 / 5.0))) < eps
+      && !got(1)._3)
+    val floorDelta = math.log(1.0 / 6.0) - math.log(1.0 / 5.0)
+    assert(math.abs(got(2)._2 - floorDelta) < eps && !got(2)._3)
+    assert(math.abs(got(3)._2 - floorDelta) < eps && !got(3)._3)
+  }
+
+  test("trainNaiveBayes rejects a single-class corpus loudly") {
+    val docs = table("id bigint, text string, label boolean", Seq(
+      row(1L, "a b", true), row(2L, "c d", true)))
+    val e = intercept[IllegalArgumentException] {
+      Classify.trainNaiveBayes(docs, "text", "label")
+    }
+    assert(e.getMessage.contains("both classes"))
+  }
+
+  test("save/load roundtrips bit-identically; corrupted meta fails loudly") {
+    val m = trained()
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    Classify.save(m, dir)
+    val spark = m.vocab.sparkSession
+    val loaded = Classify.load(spark, dir)
+    assert(loaded.priorLogOdds == m.priorLogOdds &&
+      loaded.floorPos == m.floorPos && loaded.floorNeg == m.floorNeg)
+    val apply = table("id bigint, text string", Seq(
+      row(10L, "spam eggs"), row(11L, "zzz ham spam")))
+    val a = Classify.scoreNaiveBayes(apply, "id", "text", m)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Classify.scoreNaiveBayes(apply, "id", "text", loaded)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b) // bit-identical, not approximately equal
+    // two meta rows = corrupted artifact
+    spark.range(2).select(lit(0.0).as("prior_log_odds"),
+        lit(0.0).as("floor_pos"), lit(0.0).as("floor_neg"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] {
+      Classify.load(spark, dir)
+    }
+    assert(e.getMessage.contains("corrupted"))
+  }
+}
