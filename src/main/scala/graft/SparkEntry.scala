@@ -2023,6 +2023,30 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q113
+  /** Streaming near-dup ingestion gate
+    * ([[graft.streaming.StreamGate.replayNearDupGate]]): the non-src0
+    * documents arrive as a file stream in multi-file micro-batches and
+    * each micro-batch is decontaminated against the STATIC signature
+    * ledger built from src0 — the ingest-time near-dup firewall, the
+    * fuzzy twin of q70's exact-key exclusion join. The replay's oracle
+    * is the plain batch semantics: every non-src0 doc with NO exact
+    * shingle-Jaccard >= 0.5 neighbor anywhere in src0 (LSH recall, the
+    * verification walk, and micro-batch partition-invariance are all
+    * on the hash — a doc wrongly dropped or leaked in ANY micro-batch
+    * fails). */
+  private def q113StreamNearDupGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ledger = Dedup.signatureLedger(
+      docs.filter(col("source") === "src0"), "doc_id", "text")
+    graft.streaming.StreamGate.replayNearDupGate(
+        docs.filter(col("source") =!= "src0")
+          .select("doc_id", "text", "lang", "source", "n_chars"),
+        "doc_id", "text", ledger)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2136,6 +2160,7 @@ object SparkEntry {
     "q110_semantic_decontaminate" -> (q110SemanticDecontaminate _),
     "q111_remove_dup_spans" -> (q111RemoveDupSpans _),
     "q112_naive_bayes_gate" -> (q112NaiveBayesGate _),
+    "q113_stream_neardup_gate" -> (q113StreamNearDupGate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3779,6 +3804,30 @@ object SparkEntry {
         |  a.min_train_id
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
+    "q113_stream_neardup_gate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source = 'src0' AS s0,
+        |    string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, s0,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks)-2), i ->
+        |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
+        |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
+        |  FROM tk
+        |), cont AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM s a JOIN s b ON (NOT a.s0) AND b.s0
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / NULLIF(CAST(len(a.sh) + len(b.sh)
+        |          - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 0.0) >= 0.5
+        |)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |WHERE d.source <> 'src0'
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY d.doc_id""".stripMargin,
     "q112_naive_bayes_gate" ->
       """WITH tk AS (
         |  SELECT doc_id, (lang = 'en') AS pos,

@@ -308,6 +308,72 @@ object Dedup {
         StructField("hsh", ArrayType(LongType, containsNull = false)))))
   }
 
+  /** (id, band, key) rows of a signature frame — one per LSH band. */
+  private def bandedSigs(d: DataFrame, bands: Int, rows: Int): DataFrame = d
+    .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+    .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Shard ids with at least one verified near-dup (exact
+    * hashed-shingle Jaccard >= `threshold` over LSH-banded candidates)
+    * in the ledger — the asymmetric cross shape shared by
+    * [[nearDedupAgainstLedger]] and [[dropNearDupsOfLedger]]: the
+    * accumulated-corpus-sized LEDGER side is bucket-aggregated (capped
+    * at `maxBucket`, minSize 1 — a singleton ledger bucket still
+    * catches a probing shard row), the small shard side probes it on
+    * (band, key), and verification walks STORED hashed shingles — the
+    * ledger never re-tokenizes text it no longer carries. */
+  private def ledgerContaminatedIds(
+      ref: DataFrame,
+      sigs: DataFrame,
+      ledger: DataFrame,
+      bands: Int,
+      rows: Int,
+      threshold: Double,
+      maxBucket: Int): DataFrame = {
+    val ledgerBuckets = BucketGuard.bounded(
+        bandedSigs(ledger, bands, rows), Seq("band", "key"),
+        minSize = 1, maxBucket, dropOversize = true, oversizeMsg = identity)
+      .groupBy("band", "key").agg(collect_list("id").as("lids"))
+    bandedSigs(sigs, bands, rows)
+      .join(ledgerBuckets, Seq("band", "key"))
+      .select(col("id").as("a"), explode(col("lids")).as("b"))
+      .distinct()
+      .join(sigs.select(col("id").as("a"), col("hsh").as("hsh_a")), "a")
+      .join(ledger.select(col("id").as("b"), col("hsh").as("hsh_b")), "b")
+      .filter(TextFunctions.shingleJaccardHashed(ref,
+        col("hsh_a"), col("hsh_b")) >= threshold)
+      .select(col("a").as("id")).distinct()
+  }
+
+  /** Per-document ledger DECONTAMINATION: the shard rows (full
+    * payload) with NO near-dup anywhere in the ledger — the
+    * contamination half of [[nearDedupAgainstLedger]] on its own, with
+    * no within-shard dedup and no ledger growth. The retention rule is
+    * PER-DOCUMENT INDEPENDENT — each document's verdict depends only
+    * on (document, ledger) — so the result is invariant under any
+    * partitioning of the shard into sub-shards, which is exactly the
+    * property the STREAMING ingestion gate
+    * ([[graft.streaming.StreamGate.replayNearDupGate]]) relies on to
+    * face the batch oracle: filtering micro-batches one at a time
+    * against a static ledger provably equals filtering the whole shard
+    * at once. */
+  def dropNearDupsOfLedger(
+      shard: DataFrame,
+      idCol: String,
+      textCol: String,
+      ledger: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigs = signatureLedger(shard, idCol, textCol, shingleN, numHashes)
+    val contaminated = ledgerContaminatedIds(shard, sigs, ledger,
+      bands, numHashes / bands, threshold, maxBucket)
+    shard.join(contaminated.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+  }
+
   /** Result of one [[nearDedupAgainstLedger]] ingestion step: the
     * surviving shard rows (full payload) and the UPDATED ledger
     * (input ledger + the survivors' signatures). */
@@ -358,23 +424,11 @@ object Dedup {
       maxBucket: Int = 1000): NearDupIngest = {
     val rows = numHashes / bands
     val sigs = signatureLedger(shard, idCol, textCol, shingleN, numHashes)
-    def banded(d: DataFrame): DataFrame = d
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // 1) ledger contamination: ledger side bucket-aggregated (minSize 1
-    // — a singleton ledger bucket still catches a probing shard row)
-    val ledgerBuckets = BucketGuard.bounded(banded(ledger), Seq("band", "key"),
-        minSize = 1, maxBucket, dropOversize = true, oversizeMsg = identity)
-      .groupBy("band", "key").agg(collect_list("id").as("lids"))
-    val contaminated = banded(sigs)
-      .join(ledgerBuckets, Seq("band", "key"))
-      .select(col("id").as("a"), explode(col("lids")).as("b"))
-      .distinct()
-      .join(sigs.select(col("id").as("a"), col("hsh").as("hsh_a")), "a")
-      .join(ledger.select(col("id").as("b"), col("hsh").as("hsh_b")), "b")
-      .filter(TextFunctions.shingleJaccardHashed(shard,
-        col("hsh_a"), col("hsh_b")) >= threshold)
-      .select(col("a").as("id")).distinct()
+    def banded(d: DataFrame): DataFrame = bandedSigs(d, bands, rows)
+    // 1) ledger contamination
+    val contaminated =
+      ledgerContaminatedIds(shard, sigs, ledger, bands, rows,
+        threshold, maxBucket)
     // 2) within-shard components over verified bucket-local pairs
     val shardBuckets = BucketGuard.bounded(banded(sigs), Seq("band", "key"),
         minSize = 2, maxBucket, dropOversize = true, oversizeMsg = identity)

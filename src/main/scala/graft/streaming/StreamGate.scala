@@ -289,4 +289,69 @@ object StreamGate {
       events.select("event_id", "ts", "user_id", "event_type", "value"))
     runToParquet(EventStream.dedupStream(stream, keyCols, watermark = watermark), src)
   }
+
+  /** STREAMING near-dup ingestion gate: a document stream is
+    * micro-batched into shards (`maxFilesPerTrigger` bounds each
+    * trigger's file intake — the continuous-crawl arrival shape) and
+    * every micro-batch is decontaminated against the STATIC signature
+    * ledger with the batch operator
+    * ([[graft.operators.Dedup.dropNearDupsOfLedger]]) inside
+    * `foreachBatch` — the idiomatic bridge for whole-plan batch logic
+    * (LSH banding + bucket join + exact verification) that no
+    * composition of stateless stream transforms can express, because
+    * the per-doc verdict needs a per-doc RE-aggregation over its band
+    * probes. The contamination rule is per-document independent, so
+    * the micro-batch partitioning provably cannot change the answer —
+    * the replay faces the exact batch oracle (q113), not a weaker
+    * "looks similar" check. The ledger is re-planned per micro-batch
+    * (stream-static semantics), matching how an ingestion job would
+    * read a ledger another job grows.
+    *
+    * Scale shape: per batch, the gate is the [[graft.operators.Dedup
+    * .nearDedupAgainstLedger]] asymmetric join — the ledger side
+    * bucket-aggregated and capped, the (micro-batch-sized) shard side
+    * probing — so state NEVER accumulates in the stream (the ledger IS
+    * the state, owned outside the query), and each trigger's cost
+    * tracks its own colliding pairs.
+    * @note one-generation replay contract — see the object doc. */
+  def replayNearDupGate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ledger: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = docs.sparkSession
+    val src = tempDir("graft_docs_src")
+    docs.coalesce(8).write.mode("overwrite").parquet(src)
+    val out = tempDir("graft_stream_out")
+    val ck = tempDir("graft_stream_ck")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    try {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Dedup.dropNearDupsOfLedger(batch, idCol, textCol,
+              ledger, shingleN, numHashes, bands, threshold, maxBucket)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      releaseLastReplay(
+        spark.read.schema(docs.schema).parquet(out).localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, out, ck).foreach(deleteRecursively)
+    }
+  }
 }

@@ -93,6 +93,30 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(step1.kept.columns.toSeq == shardB.columns.toSeq)
   }
 
+  test("replayNearDupGate: stream micro-batches equal batch ledger decontamination") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamGate
+    val known = table("doc_id bigint, text string", Seq(
+      row(1L, "the quick brown fox jumps"),
+      row(2L, "alpha beta gamma delta")))
+    val ledger = Dedup.signatureLedger(known, "doc_id", "text")
+    val shard = table("doc_id bigint, text string", Seq(
+      row(10L, "the quick brown fox jumps"),        // exact copy: dropped
+      row(11L, "alpha beta gamma delta epsilon"),   // J = 2/3: dropped
+      row(12L, "one two three four five"),          // fresh: kept
+      row(13L, "six seven eight nine ten"),         // fresh: kept
+      row(14L, "the quick brown fox jumps today"))) // J = 3/4: dropped
+    // one file per trigger forces a multi-micro-batch replay — the
+    // per-doc-independence claim is exercised, not assumed
+    val got = StreamGate.replayNearDupGate(shard, "doc_id", "text", ledger,
+        filesPerTrigger = 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(12L, 13L), got.toString)
+    val batch = Dedup.dropNearDupsOfLedger(shard, "doc_id", "text", ledger)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(batch == got, s"stream $got != batch $batch")
+  }
+
   test("removeDuplicatedSpans: cross-doc spans cut, intra-doc repeats immune, overlaps merge") {
     // n=3 dup grams (>= 2 DISTINCT docs): "a b c" (d1,d2,d4,d5),
     // "b c d" (d1,d5), "c d e" (d1,d5). d3 repeats its own grams only.
