@@ -2047,6 +2047,42 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q114
+  /** PQ-ADC compressed ANN ([[graft.operators.Pq]]): the corpus (minus
+    * the query row, plus three exact query twins) is product-quantized
+    * to 8 sub-codes per 64-dim vector, ranked by the query's ADC
+    * lookup table, and the top-3 candidates are re-scored with the
+    * exact cosine. The oracle is q18's exact-top-k recall gate: the
+    * true top-3 are the planted twins (cosine 1.0; every non-twin
+    * tops out near 0.7), so the PQ index must surface exactly them —
+    * a twin lost to quantization, a wrong ADC ranking, or a
+    * nondeterministic codebook all fail the hash. Everything is
+    * deterministic by construction (id-hash sample, id-sorted seeds,
+    * decimal partial sums, ties toward the higher cell), so the gate
+    * is stable, not probabilistic. */
+  private def q114PqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(s, dir)
+    val qRow = emb.filter(col("vec_id") === 0L)
+    val query = qRow.head().getSeq[Float](emb.schema.fieldIndex("embedding"))
+    val twins = qRow.select(
+      explode(array(Seq(1000000L, 2000000L, 3000000L).map(o =>
+        guardedTwinId(col("vec_id"), o)): _*)).as("vec_id"),
+      col("embedding"))
+    val corpus = emb.filter(col("vec_id") =!= 0L)
+      .select("vec_id", "embedding").unionByName(twins)
+    val model = Pq.train(corpus, "vec_id", "embedding",
+      m = 8, k = 16, iters = 3, sampleMod = 4)
+    val enc = Pq.encode(corpus, "embedding", model, "pq_code")
+    Pq.searchAdc(enc.select("vec_id", "pq_code"), "vec_id", "pq_code",
+        model, query, topK = 3)
+      .join(corpus, Seq("vec_id"))
+      .select(col("vec_id"),
+        round(graft.expressions.GraftFunctions.cosineF32(emb, col("embedding"),
+          graft.operators.Similarity.vectorLit(query)), 4).as("cosine"))
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2161,6 +2197,7 @@ object SparkEntry {
     "q111_remove_dup_spans" -> (q111RemoveDupSpans _),
     "q112_naive_bayes_gate" -> (q112NaiveBayesGate _),
     "q113_stream_neardup_gate" -> (q113StreamNearDupGate _),
+    "q114_pq_adc_topk" -> (q114PqAdcTopK _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3804,6 +3841,27 @@ object SparkEntry {
         |  a.min_train_id
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
+    "q114_pq_adc_topk" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+        |  UNION ALL
+        |  SELECT unnest([1000000, 2000000, 3000000]) AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id = 0
+        |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qv,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        |  FROM corpus e CROSS JOIN q
+        |)
+        |SELECT vec_id, cosine FROM (
+        |  SELECT vec_id, ROUND(c, 4) AS cosine FROM scored
+        |  ORDER BY c DESC, vec_id LIMIT 3
+        |) ORDER BY vec_id""".stripMargin,
     "q113_stream_neardup_gate" ->
       """WITH tk AS (
         |  SELECT doc_id, source = 'src0' AS s0,
