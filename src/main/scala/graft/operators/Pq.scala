@@ -145,6 +145,57 @@ object Pq {
     } finally sampled.unpersist(blocking = false)
   }
 
+  /** Persist a trained [[Model]] as plain parquet — one
+    * (sub, cell, centroid) row per sub-centroid, the [[Ivf.save]]
+    * artifact discipline: train once, encode/search everywhere. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false),
+        nullable = false)))
+    val rows = for {
+      (book, s) <- model.codebooks.zipWithIndex
+      (c, i) <- book.zipWithIndex
+    } yield org.apache.spark.sql.Row(s, i, c.toSeq)
+    spark.createDataFrame(rows.asJava, schema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[save]]d model. Validated loudly, [[Ivf.load]]-style:
+    * (sub, cell) must tile exactly [0, m) x [0, k) and all centroids
+    * must share one sub-dimensionality — a corrupted artifact fails
+    * here, not as silently wrong codes. Float components roundtrip
+    * parquet bit-exactly, so a loaded model encodes and ranks exactly
+    * like the in-JVM one (pinned by spec). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select(col("sub"), col("cell"), col("centroid"))
+      .collect()
+      .sortBy(r => (r.getInt(0), r.getInt(1)))
+    require(rows.nonEmpty, s"PQ model at $path is empty")
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    require(rows.length == m * k &&
+      rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+        (for (s <- 0 until m; c <- 0 until k) yield (s, c)),
+      s"PQ model at $path is corrupted: (sub, cell) pairs do not tile " +
+        s"[0, $m) x [0, $k)")
+    val books = Vector.tabulate(m)(s => Vector.tabulate(k)(c =>
+      rows(s * k + c).getSeq[Float](2).toArray))
+    val dsub = books.head.head.length
+    require(dsub > 0 && books.forall(_.forall(_.length == dsub)),
+      s"PQ model at $path is corrupted: centroid sub-dimensionalities " +
+        s"are not uniform")
+    Model(books)
+  }
+
   /** ADC (asymmetric distance computation) top-k: the query's m x k
     * sub-dot table is computed ONCE driver-side; each encoded row's
     * approximate dot product is `m` array lookups summed — map-only,

@@ -89,6 +89,49 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(probes(loaded) == probes(model))
   }
 
+  test("PQ model: train -> save -> load is bit-identical and encodes/ranks identically") {
+    import graft.operators.Pq
+    val rnd = new scala.util.Random(9)
+    val emb = table("vec_id bigint, embedding array<float>",
+      (0 until 60).map(i =>
+        row(i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f))))
+    val model = Pq.train(emb, "vec_id", "embedding", m = 4, k = 4, iters = 2)
+    val dir = tempDir("graft-pq")
+    Pq.save(spark, model, dir)
+    val loaded = Pq.load(spark, dir)
+    assert(loaded.m == model.m && loaded.k == model.k &&
+      loaded.dsub == model.dsub)
+    for (s <- 0 until model.m; c <- 0 until model.k)
+      assert(java.util.Arrays.equals(model.codebooks(s)(c),
+        loaded.codebooks(s)(c)), s"sub $s cell $c drifted in parquet")
+    def codes(m: Pq.Model) = Pq.encode(emb, "embedding", m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2).toList).toMap
+    assert(codes(loaded) == codes(model))
+    val q = Seq.fill(8)(rnd.nextFloat())
+    def top(m: Pq.Model) = Pq.searchAdc(
+        Pq.encode(emb, "embedding", m).select("vec_id", "pq_code"),
+        "vec_id", "pq_code", m, q, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(top(loaded) == top(model))
+  }
+
+  test("PQ model: corrupted persisted models fail loudly at load") {
+    import graft.operators.Pq
+    val holes = tempDir("graft-pq-bad1")
+    table("sub int, cell int, centroid array<float>", Seq(
+      row(0, 0, Seq(1.0f, 0.0f)), row(0, 2, Seq(0.0f, 1.0f)),
+      row(1, 0, Seq(1.0f, 1.0f)), row(1, 1, Seq(0.0f, 0.5f))))
+      .write.mode("overwrite").parquet(holes)
+    val e1 = intercept[IllegalArgumentException](Pq.load(spark, holes))
+    assert(e1.getMessage.contains("tile"))
+    val ragged = tempDir("graft-pq-bad2")
+    table("sub int, cell int, centroid array<float>", Seq(
+      row(0, 0, Seq(1.0f, 0.0f)), row(0, 1, Seq(0.0f, 1.0f, 0.7f))))
+      .write.mode("overwrite").parquet(ragged)
+    val e2 = intercept[IllegalArgumentException](Pq.load(spark, ragged))
+    assert(e2.getMessage.contains("uniform"))
+  }
+
   test("IVF model: corrupted persisted models fail loudly at load") {
     val nonContig = tempDir("graft-ivf-bad1")
     table("cell int, centroid array<float>", Seq(
