@@ -2083,6 +2083,44 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- q115
+  /** IVF-PQ composed ANN ([[graft.operators.Pq.searchIvfPq]]): q114's
+    * twin-planted corpus indexed the production way — IVF cell per
+    * vector (q25's model) + PQ codes (q114's codebooks) — and searched
+    * with cell pruning THEN ADC ranking. Same exact-top-3 oracle as
+    * q114/q18: the composition must surface the three planted query
+    * twins through BOTH approximations (a probe set missing the
+    * twins' cell, or codes mis-ranking them inside it, fails the
+    * hash). nprobe=2: the twins share the query's own cell by
+    * construction (identical vectors), so rank-1 suffices
+    * analytically; 2 carries one step of margin for the assign-high /
+    * rank-low tie conventions. */
+  private def q115IvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Ivf, Pq}
+    val emb = Tables.embeddings(s, dir)
+    val qRow = emb.filter(col("vec_id") === 0L)
+    val query = qRow.head().getSeq[Float](emb.schema.fieldIndex("embedding"))
+    val twins = qRow.select(
+      explode(array(Seq(1000000L, 2000000L, 3000000L).map(o =>
+        guardedTwinId(col("vec_id"), o)): _*)).as("vec_id"),
+      col("embedding"))
+    val corpus = emb.filter(col("vec_id") =!= 0L)
+      .select("vec_id", "embedding").unionByName(twins)
+    val ivf = Ivf.train(corpus, "vec_id", "embedding",
+      k = 16, iters = 3, sampleMod = 4)
+    val pq = Pq.train(corpus, "vec_id", "embedding",
+      m = 8, k = 16, iters = 3, sampleMod = 4)
+    val indexed = Pq.encode(Ivf.assign(corpus, "embedding", ivf),
+      "embedding", pq, "pq_code")
+    Pq.searchIvfPq(indexed.select("vec_id", "cell", "pq_code"),
+        "vec_id", "cell", "pq_code", ivf, pq, query, topK = 3, nprobe = 2)
+      .join(corpus, Seq("vec_id"))
+      .select(col("vec_id"),
+        round(graft.expressions.GraftFunctions.cosineF32(emb, col("embedding"),
+          graft.operators.Similarity.vectorLit(query)), 4).as("cosine"))
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2198,6 +2236,7 @@ object SparkEntry {
     "q112_naive_bayes_gate" -> (q112NaiveBayesGate _),
     "q113_stream_neardup_gate" -> (q113StreamNearDupGate _),
     "q114_pq_adc_topk" -> (q114PqAdcTopK _),
+    "q115_ivfpq_topk" -> (q115IvfPqTopK _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3841,6 +3880,27 @@ object SparkEntry {
         |  a.min_train_id
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
+    "q115_ivfpq_topk" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+        |  UNION ALL
+        |  SELECT unnest([1000000, 2000000, 3000000]) AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id = 0
+        |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qv,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        |  FROM corpus e CROSS JOIN q
+        |)
+        |SELECT vec_id, cosine FROM (
+        |  SELECT vec_id, ROUND(c, 4) AS cosine FROM scored
+        |  ORDER BY c DESC, vec_id LIMIT 3
+        |) ORDER BY vec_id""".stripMargin,
     "q114_pq_adc_topk" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0

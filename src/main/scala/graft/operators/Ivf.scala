@@ -38,7 +38,7 @@ object Ivf {
     def k: Int = centroids.length
   }
 
-  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+  private[operators] def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)

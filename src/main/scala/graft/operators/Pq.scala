@@ -227,4 +227,39 @@ object Pq {
       .orderBy(desc("adc_dot"), col(idCol))
       .limit(topK)
   }
+
+  /** IVF-PQ composed search — the production FAISS pairing: the IVF
+    * cell prunes WHICH rows are scored (~(1 - nprobe/k) of the corpus
+    * never read), the PQ codes prune WHAT is read per row (m bytes,
+    * not the float vector). The index frame is the corpus after
+    * [[Ivf.assign]] + [[encode]] — store it partitioned by the cell
+    * column and the probe filter becomes partition pruning, so a
+    * trillion-vector query touches nprobe/k of the files and scans
+    * only codes. Cell ranking is [[Ivf.search]]'s driver-side order
+    * verbatim ((-cos, cell) — a k-element computation); scoring within
+    * the probed cells is [[searchAdc]]. Recall has two knobs, both
+    * monotone: `nprobe` (cell recall) and the codebook resolution
+    * (ranking fidelity) — q115 gates the composition end to end
+    * against the exact top-k. */
+  def searchIvfPq(
+      indexed: DataFrame,
+      idCol: String,
+      cellCol: String,
+      codeCol: String,
+      ivf: Ivf.Model,
+      pq: Model,
+      query: Seq[Float],
+      topK: Int,
+      nprobe: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    require(nprobe > 0 && nprobe <= ivf.k,
+      s"nprobe ($nprobe) must be in [1, ${ivf.k}]")
+    val q = query.toArray
+    val cells = ivf.centroids.zipWithIndex
+      .map { case (c, i) => (Ivf.cosine(q, c), i) }
+      .sortBy { case (cos, i) => (-cos, i) }
+      .take(nprobe).map(_._2)
+    searchAdc(indexed.filter(col(cellCol).isin(cells: _*)),
+      idCol, codeCol, pq, query, topK)
+  }
 }

@@ -70,6 +70,30 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("searchIvfPq: cell pruning bounds the scored set, nprobe recovers it") {
+    import graft.operators.Ivf
+    val ivf = Ivf.Model(Vector(Array(1.0f, 0.0f, 0.0f, 0.0f),
+      Array(0.0f, 1.0f, 0.0f, 0.0f)))
+    val df = table("vec_id bigint, v array<float>", Seq(
+      row(1L, Seq(1.0f, 0.0f, 1.0f, 1.0f)),    // cell 0, ADC 3
+      row(2L, Seq(0.0f, 1.0f, -1.0f, -1.0f)),  // cell 1, ADC -2
+      row(3L, Seq(1.0f, 0.1f, 1.0f, 1.0f))))   // cell 0, ADC 3 (tie, id)
+    val indexed = Pq.encode(Ivf.assign(df, "v", ivf), "v", handModel, "code")
+      .select("vec_id", "cell", "code")
+    val query = Seq(1.0f, 0.0f, 1.0f, 1.0f)
+    def run(np: Int) = Pq.searchIvfPq(indexed, "vec_id", "cell", "code",
+        ivf, handModel, query, topK = 3, nprobe = np)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    // nprobe=1: only cell 0 is read — v2 never scored, by design
+    assert(run(1) == Seq((1L, 3.0), (3L, 3.0)), run(1).toString)
+    // nprobe=2 (= k): every cell probed — equals plain ADC search
+    assert(run(2) == Seq((1L, 3.0), (3L, 3.0), (2L, -2.0)), run(2).toString)
+    val plain = Pq.searchAdc(indexed.select("vec_id", "code"),
+        "vec_id", "code", handModel, query, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(run(2) == plain)
+  }
+
   test("train validates divisibility and byte-code range") {
     val df = table("vec_id bigint, v array<float>",
       Seq(row(1L, Seq(1.0f, 2.0f, 3.0f))))
