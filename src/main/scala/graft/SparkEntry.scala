@@ -2121,6 +2121,39 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- q116
+  /** SCD-2 point-in-time dimension join
+    * ([[graft.operators.AsOfJoin.scdJoin]]): a two-version
+    * slowly-changing customer dimension is derived deterministically
+    * from the customer table (segment flips to 'POST-…' at a per-key
+    * split date spread over 1997-1999), and every order joins the
+    * version valid AT ITS ORDER DATE — the label-leakage firewall of
+    * feature generation. The oracle rebuilds the identical versioned
+    * dimension and interval join in SQL; order dates span 1995-2001 so
+    * both versions (and exact split-boundary dates, which land in v2
+    * by the half-open rule) are exercised, and every (order, segment)
+    * row is value-checked. */
+  private def q116ScdJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val cust = Tables.customer(s, dir)
+    val split = to_timestamp(date_add(lit("1997-01-01").cast("date"),
+      (col("c_custkey") % 1000).cast("int")))
+    val dim = cust.select(col("c_custkey").as("key"),
+        col("c_mktsegment").as("segment"),
+        lit("1995-01-01").cast("timestamp").as("valid_from"),
+        split.as("valid_to"))
+      .unionByName(cust.select(col("c_custkey").as("key"),
+        concat(lit("POST-"), col("c_mktsegment")).as("segment"),
+        split.as("valid_from"),
+        lit("9999-01-01").cast("timestamp").as("valid_to")))
+    val facts = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    AsOfJoin.scdJoin(facts, "o_custkey", "o_orderdate",
+        dim, "key", "valid_from", "valid_to")
+      .select(col("o_orderkey"), col("o_custkey"), col("segment"))
+      .orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2237,6 +2270,7 @@ object SparkEntry {
     "q113_stream_neardup_gate" -> (q113StreamNearDupGate _),
     "q114_pq_adc_topk" -> (q114PqAdcTopK _),
     "q115_ivfpq_topk" -> (q115IvfPqTopK _),
+    "q116_scd_join" -> (q116ScdJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3880,6 +3914,27 @@ object SparkEntry {
         |  a.min_train_id
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
+    "q116_scd_join" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS key, c_mktsegment AS segment,
+        |    TIMESTAMP '1995-01-01' AS valid_from,
+        |    CAST(DATE '1997-01-01'
+        |      + ((c_custkey % 1000) * INTERVAL 1 DAY) AS TIMESTAMP)
+        |      AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'POST-' || c_mktsegment,
+        |    CAST(DATE '1997-01-01'
+        |      + ((c_custkey % 1000) * INTERVAL 1 DAY) AS TIMESTAMP),
+        |    TIMESTAMP '9999-01-01'
+        |  FROM customer
+        |)
+        |SELECT o.o_orderkey, o.o_custkey, d.segment
+        |FROM orders o LEFT JOIN dim d
+        |  ON o.o_custkey = d.key
+        |  AND o.o_orderdate >= d.valid_from
+        |  AND o.o_orderdate < d.valid_to
+        |ORDER BY o.o_orderkey""".stripMargin,
     "q115_ivfpq_topk" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0

@@ -104,4 +104,68 @@ object AsOfJoin {
       .drop("__negt")
       .drop(s"${rightPrefix}__negt")
   }
+
+  /** SCD Type-2 POINT-IN-TIME join: each fact row joins the dimension
+    * VERSION whose validity interval `[validFrom, validTo)` contains
+    * the fact's event time — the label-leakage firewall of feature
+    * generation (a training example must see the dimension as it was
+    * at event time, not as it is today), and the batch twin of
+    * [[graft.streaming.EventStream.enrichStream]]'s latest-version
+    * semantics.
+    *
+    * Plan shape: the equi key carries the hash join (facts shuffle on
+    * the key they already group by; a dimension small enough
+    * broadcasts via AQE — the join is UNHINTED), and the interval
+    * predicate rides the join condition as a post-probe filter — never
+    * a theta join, because versions-per-key is bounded (an SCD
+    * dimension grows by UPDATES, a handful of versions per key),
+    * so probing a key's version list is O(versions), not O(|dim|).
+    *
+    * Correctness guard: with `checkNonOverlap` (default), the
+    * dimension's versions are audited per key — `validFrom <
+    * validTo` and no interval overlapping its predecessor (window lag
+    * per key, dimension-bounded) — and a violation raises loudly
+    * mid-scan. Overlap is the corruption that silently DUPLICATES
+    * facts through this join; the guard makes it fail instead. LEFT
+    * semantics: a fact no version covers keeps nulls (gap visibility),
+    * it never disappears. */
+  def scdJoin(
+      facts: DataFrame,
+      factKey: String,
+      factTime: String,
+      dim: DataFrame,
+      dimKey: String,
+      validFrom: String,
+      validTo: String,
+      checkNonOverlap: Boolean = true): DataFrame = {
+    val audited =
+      if (!checkNonOverlap) dim
+      else {
+        val w = Window.partitionBy(col(dimKey)).orderBy(col(validFrom))
+        dim.withColumn("__prev_to", lag(col(validTo), 1).over(w))
+          .filter(
+            when(col(validFrom) < col(validTo) &&
+                (col("__prev_to").isNull || col("__prev_to") <= col(validFrom)),
+              lit(true))
+            .otherwise(raise_error(concat(
+              lit("scdJoin: dimension versions for key "),
+              col(dimKey).cast("string"),
+              lit(" are empty or overlapping around validFrom "),
+              col(validFrom).cast("string"),
+              lit(" — overlapping SCD intervals silently duplicate facts")))
+              .cast("boolean")))
+          .drop("__prev_to")
+      }
+    val f = facts.alias("f")
+    val d = audited.alias("d")
+    val dimAttrs = audited.columns
+      .filterNot(Set(dimKey, validFrom, validTo)).toSeq
+    f.join(d,
+        col(s"f.$factKey") === col(s"d.$dimKey") &&
+          col(s"f.$factTime") >= col(s"d.$validFrom") &&
+          col(s"f.$factTime") < col(s"d.$validTo"),
+        "left")
+      .select(facts.columns.map(c => col(s"f.$c")) ++
+        dimAttrs.map(c => col(s"d.$c")): _*)
+  }
 }

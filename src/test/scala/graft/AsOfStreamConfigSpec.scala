@@ -31,6 +31,49 @@ class AsOfStreamConfigSpec extends AnyFunSuite {
       Seq(Some(99.0), Some(99.9), None))
   }
 
+  test("scdJoin: version valid at event time, half-open bounds, gap keeps nulls") {
+    val dim = table("key bigint, seg string, f bigint, t bigint", Seq(
+      row(1L, "A", 10L, 20L),
+      row(1L, "B", 20L, 30L)))
+    val facts = table("id bigint, key bigint, ts bigint", Seq(
+      row(100L, 1L, 10L),  // A (from inclusive)
+      row(101L, 1L, 19L),  // A
+      row(102L, 1L, 20L),  // B (to exclusive, from inclusive)
+      row(103L, 1L, 29L),  // B
+      row(104L, 1L, 30L),  // gap -> null
+      row(105L, 1L, 5L),   // before any version -> null
+      row(106L, 2L, 15L))) // unknown key -> null, row KEPT
+    val got = AsOfJoin.scdJoin(facts, "key", "ts", dim, "key", "f", "t")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)).orNull)).toSeq
+    assert(got == Seq((100L, "A"), (101L, "A"), (102L, "B"), (103L, "B"),
+      (104L, null), (105L, null), (106L, null)), got.toString)
+  }
+
+  test("scdJoin: overlapping and empty validity intervals raise loudly") {
+    val facts = table("id bigint, key bigint, ts bigint",
+      Seq(row(100L, 1L, 15L)))
+    val overlap = table("key bigint, seg string, f bigint, t bigint", Seq(
+      row(1L, "A", 10L, 25L),
+      row(1L, "B", 20L, 30L)))
+    val e = intercept[Throwable] {
+      AsOfJoin.scdJoin(facts, "key", "ts", overlap, "key", "f", "t").collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("overlapping"), msgs.take(300))
+    val empty = table("key bigint, seg string, f bigint, t bigint",
+      Seq(row(1L, "A", 20L, 20L)))
+    intercept[Throwable] {
+      AsOfJoin.scdJoin(facts, "key", "ts", empty, "key", "f", "t").collect()
+    }
+    // checkNonOverlap=false: caller owns the audit, join proceeds
+    val dup = AsOfJoin.scdJoin(facts, "key", "ts", overlap, "key", "f", "t",
+        checkNonOverlap = false)
+      .collect()
+    assert(dup.length == 1 && dup(0).getString(3) == "A")
+  }
+
   test("asof backward honors tolerance") {
     val l = table("k string, t timestamp, v bigint",
       Seq(row("a", ts("2024-01-01 10:00:10"), 1L)))
