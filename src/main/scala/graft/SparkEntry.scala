@@ -2154,6 +2154,22 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  // ---------------------------------------------------------------- q117
+  /** Streaming per-window top-k
+    * ([[graft.streaming.EventStream.topUsersPerWindowStream]]): the
+    * events feed replayed through TWO chained stateful aggregations —
+    * per-(window, user) counts, then a bounded top-3 heap per window —
+    * and held to the batch oracle's window row_number formulation:
+    * every window's ranks, user ids, and counts value-check, so a
+    * window lost between the chained operators, a heap mis-ranking, or
+    * a watermark-propagation fault all fail the hash. */
+  private def q117StreamTopUsers(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayTopUsersPerWindow(Tables.events(s, dir),
+        k = 3, "5 minutes", "10 minutes", horizonUs = 3600L * 1000000)
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("rank"), col("user_id"), col("n"))
+      .orderBy("window_start_us", "rank")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2271,6 +2287,7 @@ object SparkEntry {
     "q114_pq_adc_topk" -> (q114PqAdcTopK _),
     "q115_ivfpq_topk" -> (q115IvfPqTopK _),
     "q116_scd_join" -> (q116ScdJoin _),
+    "q117_stream_top_users" -> (q117StreamTopUsers _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3914,6 +3931,23 @@ object SparkEntry {
         |  a.min_train_id
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
+    "q117_stream_top_users" ->
+      """WITH w AS (
+        |  SELECT (epoch_us(date_trunc('microseconds', ts)) // 300000000)
+        |           * 300000000 AS ws,
+        |    user_id
+        |  FROM events
+        |), c AS (
+        |  SELECT ws, user_id, COUNT(*) AS n FROM w GROUP BY ws, user_id
+        |), r AS (
+        |  SELECT ws, user_id, n,
+        |    ROW_NUMBER() OVER (PARTITION BY ws
+        |      ORDER BY n DESC, user_id) AS rnk
+        |  FROM c
+        |)
+        |SELECT ws AS window_start_us, CAST(rnk AS INT) AS rank, user_id, n
+        |FROM r WHERE rnk <= 3
+        |ORDER BY window_start_us, rank""".stripMargin,
     "q116_scd_join" ->
       """WITH dim AS (
         |  SELECT c_custkey AS key, c_mktsegment AS segment,

@@ -52,6 +52,38 @@ object EventStream {
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("value_sum"))
 
+  /** Streaming per-window top-k heavy users — "what's trending NOW"
+    * over an unbounded feed: per tumbling window, the k users with the
+    * most events, exact (not sketched). Two CHAINED stateful
+    * aggregations (Spark's multiple-stateful-operator support, keyed
+    * by `window_time` so the watermark propagates): the first counts
+    * per (window, user) — state one row per active pair inside the
+    * horizon; the second reduces each window to its bounded
+    * [[graft.functions.Aggregators.TopK]] heap — state k rows per open
+    * window, NEVER the user cardinality, which is what makes exact
+    * per-window ranking viable when a window holds millions of
+    * distinct users. Emission on watermark close; ranks are dense and
+    * deterministic (count desc, user id asc — the heap's order). */
+  def topUsersPerWindowStream(
+      events: DataFrame,
+      k: Int,
+      windowDur: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    require(k > 0, "k must be positive")
+    val topk = udaf(new graft.functions.Aggregators.TopK(k),
+      Encoders.product[graft.functions.Aggregators.Scored])
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("window")), windowDur).as("window"))
+      .agg(topk(col("n").cast("double"), col("user_id")).as("__top"))
+      .select(col("window"), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("window"), (col("__r") + 1).as("rank"),
+        col("__e.id").as("user_id"), col("__e.score").cast("long").as("n"))
+  }
+
   /** Streaming exact dedup: drop events whose `keyCols` were already
     * seen within the watermark horizon. Spark's streaming
     * `dropDuplicates` keeps one state row per distinct key; the

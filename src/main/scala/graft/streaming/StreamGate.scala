@@ -290,6 +290,24 @@ object StreamGate {
     runToParquet(EventStream.dedupStream(stream, keyCols, watermark = watermark), src)
   }
 
+  /** Replay through [[EventStream.topUsersPerWindowStream]]: the
+    * global sentinel closes every real window through BOTH chained
+    * aggregations (the sentinel's own window stays open and is never
+    * emitted, so no post-filter is needed — the output carries no
+    * event_type).
+    * @note one-generation replay contract — see the object doc. */
+  def replayTopUsersPerWindow(
+      events: DataFrame,
+      k: Int,
+      windowDur: String,
+      watermark: String,
+      horizonUs: Long): DataFrame = replayLock.synchronized {
+    val (stream, src) = replayStream(withGlobalSentinel(events, horizonUs))
+    runToParquet(
+      EventStream.topUsersPerWindowStream(stream, k, windowDur, watermark),
+      src)
+  }
+
   /** STREAMING near-dup ingestion gate: a document stream is
     * micro-batched into shards (`maxFilesPerTrigger` bounds each
     * trigger's file intake — the continuous-crawl arrival shape) and

@@ -187,6 +187,31 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(craftedOut == Set((1L, 3, 10L, 30L, 20L), (2L, 2, 10L, null, null)))
   }
 
+  test("topUsersPerWindowStream: chained aggs, heap cutoff, count-desc-id-asc ties") {
+    // window [0, 300s): u1 x3 > {u2, u3} x2 (tie -> id asc) ; u4 x1
+    // falls off the k=3 heap. window [300s, 600s): u5 alone.
+    val us = 1000000L
+    val ev = table("event_id bigint, t_us bigint, user_id bigint, event_type string, value double",
+      Seq(
+        row(1L, 10L * us, 1L, "a", 0.0), row(2L, 20L * us, 1L, "a", 0.0),
+        row(3L, 30L * us, 1L, "a", 0.0),
+        row(4L, 40L * us, 2L, "a", 0.0), row(5L, 50L * us, 2L, "a", 0.0),
+        row(6L, 60L * us, 3L, "a", 0.0), row(7L, 70L * us, 3L, "a", 0.0),
+        row(8L, 80L * us, 4L, "a", 0.0),
+        row(9L, 310L * us, 5L, "a", 0.0)))
+      .select(col("event_id"), timestamp_micros(col("t_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val got = StreamGate.replayTopUsersPerWindow(ev, k = 3,
+        "5 minutes", "10 minutes", horizonUs = 3600L * us)
+      .select(unix_micros(col("window.start")).as("ws"),
+        col("rank"), col("user_id"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (0L, 1, 1L, 3L), (0L, 2, 2L, 2L), (0L, 3, 3L, 2L),
+      (300L * us, 1, 5L, 1L)), got.toString)
+  }
+
   test("sessionize idleTimeout closes open sessions exactly once and drops the key") {
     val s = spark
     import s.implicits._
