@@ -2170,6 +2170,26 @@ object SparkEntry {
         col("rank"), col("user_id"), col("n"))
       .orderBy("window_start_us", "rank")
 
+  // ---------------------------------------------------------------- q118
+  /** Event-rate anomaly flags
+    * ([[graft.operators.Events.rateAnomalies]]): per (event_type,
+    * 5-minute window) counts judged against the trailing-6-window
+    * mean + 3 sigma baseline, cold-start-suppressed below 3 observed
+    * predecessors. The oracle recomputes the identical windowed counts
+    * and ROWS-frame trailing stats; counts, window starts, and prior
+    * counts are integer-exact, the baselines ride the 6-decimal gate,
+    * and the flag compares against the ROUNDED threshold on both
+    * sides so it can never disagree at a sub-gate margin. */
+  private def q118RateAnomalies(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.rateAnomalies(Tables.events(s, dir),
+        "ts", "event_type", windowUs = 300L * 1000000,
+        trailing = 6, z = 3.0, minPrior = 3)
+      .select(col("window_start_us"), col("event_type"), col("n"),
+        round(col("base_mean"), 6).as("base_mean6"),
+        round(col("base_sd"), 6).as("base_sd6"),
+        col("n_prior"), col("anomalous"))
+      .orderBy("event_type", "window_start_us")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2288,6 +2308,7 @@ object SparkEntry {
     "q115_ivfpq_topk" -> (q115IvfPqTopK _),
     "q116_scd_join" -> (q116ScdJoin _),
     "q117_stream_top_users" -> (q117StreamTopUsers _),
+    "q118_rate_anomalies" -> (q118RateAnomalies _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3931,6 +3952,27 @@ object SparkEntry {
         |  a.min_train_id
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
+    "q118_rate_anomalies" ->
+      """WITH c AS (
+        |  SELECT (epoch_us(date_trunc('microseconds', ts)) // 300000000)
+        |           * 300000000 AS window_start_us,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT window_start_us, event_type, n,
+        |    AVG(CAST(n AS DOUBLE)) OVER pre AS mu,
+        |    STDDEV_SAMP(CAST(n AS DOUBLE)) OVER pre AS sd,
+        |    COUNT(*) OVER pre AS np
+        |  FROM c
+        |  WINDOW pre AS (PARTITION BY event_type ORDER BY window_start_us
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT window_start_us, event_type, n,
+        |  ROUND(mu, 6) AS base_mean6, ROUND(sd, 6) AS base_sd6,
+        |  CAST(np AS INT) AS n_prior,
+        |  (np >= 3 AND sd IS NOT NULL
+        |    AND CAST(n AS DOUBLE) > ROUND(mu + 3.0 * sd, 6)) AS anomalous
+        |FROM w ORDER BY event_type, window_start_us""".stripMargin,
     "q117_stream_top_users" ->
       """WITH w AS (
         |  SELECT (epoch_us(date_trunc('microseconds', ts)) // 300000000)

@@ -63,6 +63,56 @@ object Events {
     * column the events already hash by (unhinted — AQE broadcasts a
     * small key table); the distinct count shuffles (cohort, offset,
     * key) triples, bounded by keys x active weeks, never raw events. */
+  /** Trailing-baseline rate anomaly detection — the ops-side twin of
+    * the corpus quality gates: per (`typeCol`, fixed event-time
+    * window) counts, each window judged against the mean + `z` x
+    * stddev of its own type's `trailing` PRECEDING observed windows
+    * (current window excluded — an anomaly must not inflate its own
+    * baseline). A window with fewer than `minPrior` observed
+    * predecessors is never flagged (cold-start suppression), and the
+    * threshold comparison uses the 6-decimal-ROUNDED baseline so two
+    * engines computing the same trailing stats in different float
+    * order cannot disagree on the flag at a sub-gate margin.
+    *
+    * Baseline is over OBSERVED windows: a type silent for an hour
+    * contributes no zero-count rows (detecting rate DROPS needs a
+    * gap-filled series — a different operator). Scale shape: one
+    * map-side-combined count aggregation (shuffle bounded by
+    * types x windows), then a per-type ROWS window — sorts within
+    * types only, never a global sort; type cardinality is the
+    * parallelism floor, fine for the bounded type alphabets of real
+    * event logs. */
+  def rateAnomalies(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      windowUs: Long,
+      trailing: Int,
+      z: Double,
+      minPrior: Int = 3): DataFrame = {
+    require(windowUs > 0, "windowUs must be positive")
+    require(trailing >= 1, "trailing must be >= 1")
+    require(minPrior >= 2,
+      s"minPrior ($minPrior) must be >= 2 — stddev of one window is NULL")
+    require(minPrior <= trailing, "minPrior cannot exceed trailing")
+    val counts = events
+      .select((unix_micros(col(tsCol)) -
+          pmod(unix_micros(col(tsCol)), lit(windowUs))).as("window_start_us"),
+        col(typeCol).as("event_type"))
+      .groupBy("window_start_us", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val pre = Window.partitionBy("event_type").orderBy("window_start_us")
+      .rowsBetween(-trailing, -1)
+    counts
+      .withColumn("base_mean", avg(col("n").cast("double")).over(pre))
+      .withColumn("base_sd", stddev_samp(col("n").cast("double")).over(pre))
+      .withColumn("n_prior", count(lit(1)).over(pre).cast("int"))
+      .withColumn("anomalous",
+        col("n_prior") >= minPrior && col("base_sd").isNotNull &&
+          col("n").cast("double") >
+            round(col("base_mean") + lit(z) * col("base_sd"), 6))
+  }
+
   def cohortRetention(
       df: DataFrame,
       keyCol: String,

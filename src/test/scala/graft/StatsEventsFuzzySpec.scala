@@ -264,4 +264,33 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
         if (r.isNullAt(4)) null else r.getLong(4))).toSeq
     assert(got == Seq((1L, 3, 20L), (2L, 2, null), (3L, 2, null)))
   }
+
+  test("rateAnomalies: trailing baseline flags spikes, cold start suppressed") {
+    // type a: window counts 2, 2, 2, 10 at 100µs windows; type b steady 5s.
+    def ev(t: Long, ty: String) = row(t, t, ty)
+    val rows =
+      Seq(10L, 20L, 110L, 120L, 210L, 220L).map(ev(_, "a")) ++
+      (301L to 310L).map(ev(_, "a")) ++
+      Seq(10L, 20L, 30L, 40L, 50L, 110L, 120L, 130L, 140L, 150L,
+        210L, 220L, 230L, 240L, 250L, 310L, 320L, 330L, 340L, 350L)
+        .map(ev(_, "b"))
+    val df = table("event_id bigint, t_us bigint, event_type string", rows)
+      .select(col("event_id"), timestamp_micros(col("t_us")).as("ts"),
+        col("event_type"))
+    val got = Events.rateAnomalies(df, "ts", "event_type",
+        windowUs = 100L, trailing = 6, z = 3.0, minPrior = 3)
+      .orderBy("event_type", "window_start_us").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2),
+        r.getInt(5), r.getBoolean(6))).toSeq
+    assert(got == Seq(
+      ("a", 0L, 2L, 0, false),     // no baseline yet
+      ("a", 100L, 2L, 1, false),   // sd of 1 window is NULL
+      ("a", 200L, 2L, 2, false),   // below minPrior
+      ("a", 300L, 10L, 3, true),   // 10 > 2 + 3*0 — flagged
+      ("b", 0L, 5L, 0, false),
+      ("b", 100L, 5L, 1, false),
+      ("b", 200L, 5L, 2, false),
+      ("b", 300L, 5L, 3, false)),  // 5 > 5 is false — steady stays quiet
+      got.toString)
+  }
 }
