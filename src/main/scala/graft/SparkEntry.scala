@@ -2190,6 +2190,69 @@ object SparkEntry {
         col("n_prior"), col("anomalous"))
       .orderBy("event_type", "window_start_us")
 
+  // ---------------------------------------------------------------- q119
+  /** SCD-2 dimension BUILD ([[graft.operators.AsOfJoin.scdBuild]]):
+    * each customer's order stream read as a change feed (ts = order
+    * date, attr = order priority, same-day conflicts resolved
+    * last-write-wins by order key), no-op re-emissions collapsed, and
+    * the surviving states tiled into half-open validity intervals —
+    * the producer half of q116's consumer join. The oracle replays
+    * conflict dedup, the lag-collapse, and the lead-interval tiling
+    * row for row; every interval bound is integer-exact micros. */
+  private def q119ScdBuild(s: SparkSession, dir: String): DataFrame = {
+    val changes = Tables.orders(s, dir).select(
+      col("o_custkey").as("key"), col("o_orderdate").as("ts"),
+      col("o_orderpriority").as("priority"), col("o_orderkey"))
+    // o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC, so the
+    // NTZ->LTZ cast is instant-preserving and epoch_us-comparable.
+    AsOfJoin.scdBuild(changes, "key", "ts", Seq("priority"),
+        endOfTime = lit("9999-01-01").cast("timestamp_ntz"),
+        tieBreak = Seq("o_orderkey"))
+      .select(col("key"), col("priority"),
+        unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"),
+        unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"))
+      .orderBy("key", "valid_from_us")
+  }
+
+  // ---------------------------------------------------------------- q120
+  /** Triangle counting + local clustering coefficient
+    * ([[graft.operators.Graph.triangleCounts]]): the part
+    * co-purchase graph (parts sharing an order, order-bounded pair
+    * expansion) measured for cohesion per node via degree-ordered
+    * orientation — wedges generated only at each edge's low-rank end,
+    * so hub parts contribute no wedge fan-out. The oracle rebuilds
+    * the canonical edge set and counts the identical id-ordered
+    * triangle set; degrees and counts are integer-exact, the
+    * coefficient rides the 6-decimal gate. */
+  private def q120Triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    graft.operators.Graph.triangleCounts(pairs, "src", "dst")
+      .select(col("node"), col("degree"), col("n_tri"),
+        round(col("cc"), 6).as("cc6"))
+      .orderBy("node")
+  }
+
+  // ---------------------------------------------------------------- q121
+  /** PMI collocation mining
+    * ([[graft.operators.Corpus.pmiCollocations]]): adjacent token
+    * pairs over `documents` scored by
+    * `ln(pair_n · N / (w1_n · w2_n))` against corpus unigram counts,
+    * hapax-pruned at 5 occurrences before the count joins. The oracle
+    * recomputes unigram counts, the corpus total, bigram counts, and
+    * every PMI value; all counts integer-exact, PMI on the 6-decimal
+    * gate. */
+  private def q121PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.operators.Corpus.pmiCollocations(
+      Tables.documents(s, dir), "text", minPairCount = 5L)
+    out.select(col("w1"), col("w2"), col("pair_n"), col("w1_n"), col("w2_n"),
+        round(col("pmi"), 6).as("pmi6"))
+      .orderBy("w1", "w2")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2309,6 +2372,9 @@ object SparkEntry {
     "q116_scd_join" -> (q116ScdJoin _),
     "q117_stream_top_users" -> (q117StreamTopUsers _),
     "q118_rate_anomalies" -> (q118RateAnomalies _),
+    "q119_scd_build" -> (q119ScdBuild _),
+    "q120_triangles" -> (q120Triangles _),
+    "q121_pmi_collocations" -> (q121PmiCollocations _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3952,6 +4018,80 @@ object SparkEntry {
         |  a.min_train_id
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
+    "q121_pmi_collocations" ->
+      """WITH tk AS (
+        |  SELECT string_split_regex(trim(text), ' +') AS toks FROM documents
+        |), uni AS (
+        |  SELECT w, COUNT(*) AS c FROM (
+        |    SELECT UNNEST(toks) AS w FROM tk
+        |  ) GROUP BY w
+        |), tot AS (
+        |  SELECT SUM(c) AS n FROM uni
+        |), bgl AS (
+        |  SELECT UNNEST(list_transform(range(len(toks) - 1), i ->
+        |    {'w1': toks[CAST(i + 1 AS INT)],
+        |     'w2': toks[CAST(i + 2 AS INT)]})) AS bg
+        |  FROM tk WHERE len(toks) >= 2
+        |), p AS (
+        |  SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS pair_n
+        |  FROM bgl GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |)
+        |SELECT p.w1, p.w2, p.pair_n, u1.c AS w1_n, u2.c AS w2_n,
+        |  ROUND(ln(CAST(p.pair_n AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM tot)
+        |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi6
+        |FROM p
+        |JOIN uni u1 ON u1.w = p.w1
+        |JOIN uni u2 ON u2.w = p.w2
+        |ORDER BY w1, w2""".stripMargin,
+    "q120_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), pairs AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |), deg AS (
+        |  SELECT v, COUNT(*) AS degree FROM (
+        |    SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs
+        |  ) GROUP BY v
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e1.b = e2.a
+        |  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), pn AS (
+        |  SELECT node, COUNT(*) AS n_tri FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y AS node FROM tri
+        |    UNION ALL SELECT z AS node FROM tri
+        |  ) GROUP BY node
+        |)
+        |SELECT d.v AS node, d.degree, COALESCE(pn.n_tri, 0) AS n_tri,
+        |  ROUND(CASE WHEN d.degree >= 2
+        |    THEN 2.0 * COALESCE(pn.n_tri, 0) / (d.degree * (d.degree - 1.0))
+        |    ELSE 0.0 END, 6) AS cc6
+        |FROM deg d LEFT JOIN pn ON pn.node = d.v
+        |ORDER BY node""".stripMargin,
+    "q119_scd_build" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS key, o_orderdate AS ts,
+        |    o_orderpriority AS priority,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |      ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders
+        |), d AS (
+        |  SELECT key, ts, priority FROM ch WHERE rn = 1
+        |), m AS (
+        |  SELECT key, ts, priority,
+        |    LAG(priority) OVER (PARTITION BY key ORDER BY ts) AS prev
+        |  FROM d
+        |), k AS (
+        |  SELECT key, ts, priority FROM m WHERE prev IS NULL OR prev <> priority
+        |)
+        |SELECT key, priority, epoch_us(ts) AS valid_from_us,
+        |  COALESCE(epoch_us(LEAD(ts) OVER (PARTITION BY key ORDER BY ts)),
+        |           epoch_us(TIMESTAMP '9999-01-01')) AS valid_to_us
+        |FROM k ORDER BY key, valid_from_us""".stripMargin,
     "q118_rate_anomalies" ->
       """WITH c AS (
         |  SELECT (epoch_us(date_trunc('microseconds', ts)) // 300000000)

@@ -168,4 +168,75 @@ object AsOfJoin {
       .select(facts.columns.map(c => col(s"f.$c")) ++
         dimAttrs.map(c => col(s"d.$c")): _*)
   }
+
+  /** SCD Type-2 dimension BUILD from a change feed — the producer half
+    * of [[scdJoin]]'s consumer: raw change records `(key, ts, attrs…)`
+    * become the versioned dimension `(key, attrs…, validFrom,
+    * validTo)` whose half-open intervals tile each key's timeline from
+    * its first change to `endOfTime`. Together they close the
+    * feature-store loop: CDC feed → `scdBuild` → `scdJoin(facts, …)`.
+    *
+    * Semantics, in order:
+    *   1. Same-timestamp conflicts: among changes sharing `(key, ts)`
+    *      the LAST WRITE WINS — the row ranking highest under
+    *      `tieBreak` ascending survives. With no `tieBreak` given,
+    *      duplicate `(key, ts)` rows are CORRUPTION and raise loudly
+    *      (an arbitrary winner would silently pick a version history).
+    *   2. No-op collapse: a change whose attrs null-safely equal the
+    *      surviving predecessor state opens no version — CDC feeds
+    *      re-emit unchanged rows (heartbeats, full-row triggers) and a
+    *      spurious version per heartbeat would bloat the dimension
+    *      without changing any join result.
+    *   3. Intervals: `validFrom` = the change's ts, `validTo` = the
+    *      key's next (surviving) change ts, `endOfTime` for the
+    *      current version. Adjacent versions touch exactly, so the
+    *      output passes [[scdJoin]]'s non-overlap audit by
+    *      construction.
+    *
+    * Plan shape: ONE hash shuffle on `key` carries all three steps —
+    * the conflict-dedup window sorts `(ts, tieBreak desc)`, whose `ts`
+    * prefix also satisfies the collapse and lead windows, so Catalyst
+    * reuses both the exchange and the sort. Per-key state never leaves
+    * the executor; cost is |changes| log(changes-per-key), exactly the
+    * [[asofBackward]] discipline. Works on timestamp or numeric time
+    * axes (anything `<`-ordered).
+    */
+  def scdBuild(
+      changes: DataFrame,
+      key: String,
+      ts: String,
+      attrs: Seq[String],
+      endOfTime: Column,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(attrs.nonEmpty, "scdBuild needs at least one attribute column")
+    val ordDedup = col(ts) +: tieBreak.map(c => col(c).desc)
+    val wDedup = Window.partitionBy(col(key)).orderBy(ordDedup: _*)
+    // First row of each ts-run under (ts asc, tieBreak desc) = the
+    // max-tieBreak row for that (key, ts) — last write wins without a
+    // second (key, ts)-partitioned exchange.
+    val prevTs = lag(col(ts), 1).over(wDedup)
+    val winners = changes
+      .withColumn("__dup", prevTs.isNotNull && prevTs === col(ts))
+      .filter(
+        if (tieBreak.nonEmpty) !col("__dup")
+        else when(!col("__dup"), lit(true)).otherwise(
+          raise_error(concat(
+            lit("scdBuild: duplicate change rows for key "),
+            col(key).cast("string"), lit(" at ts "),
+            col(ts).cast("string"),
+            lit(" with no tieBreak — an arbitrary winner would silently pick a version history")))
+            .cast("boolean")))
+      .drop("__dup")
+    val state = struct(attrs.map(col): _*)
+    val wKey = Window.partitionBy(col(key)).orderBy(col(ts))
+    val opened = winners
+      .withColumn("__prev_state", lag(state, 1).over(wKey))
+      .filter(col("__prev_state").isNull || !(col("__prev_state") <=> state))
+      .drop("__prev_state")
+    opened
+      .withColumn("__valid_to",
+        coalesce(lead(col(ts), 1).over(wKey), endOfTime))
+      .select((col(key) +: attrs.map(col)) ++ Seq(
+        col(ts).as("valid_from"), col("__valid_to").as("valid_to")): _*)
+  }
 }

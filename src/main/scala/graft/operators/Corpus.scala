@@ -706,6 +706,59 @@ object Corpus {
           .as("avg_logprob"))
   }
 
+  /** Pointwise-mutual-information collocation mining (Church–Hanks):
+    * adjacent token pairs scored by how much more often they co-occur
+    * than their unigram frequencies predict —
+    * `pmi = ln(c(w1,w2) · N / (c(w1) · c(w2)))` with `N` the corpus
+    * token count. High-PMI pairs are the multi-word expressions
+    * ("new york", "machine learning") a tokenizer or phrase-mining
+    * pass wants as units; [[bigramLogProbScore]] consumes the same
+    * bigram table for the opposite purpose (scoring documents, not
+    * pairs).
+    *
+    * `minPairCount` prunes the hapax tail BEFORE the count joins —
+    * PMI is maximal for pairs seen once (it rewards rarity), so
+    * unpruned output is all noise and, at corpus scale, a
+    * bigram-vocabulary-sized result set.
+    *
+    * Scale shape: one hashed (w1, w2) shuffle bounded by the bigram
+    * vocabulary, one token shuffle bounded by the unigram vocabulary,
+    * then two unhinted joins of the PRUNED pair table against the
+    * unigram counts — AQE broadcasts real vocabularies. `N` is the
+    * one driver scalar (a single-row sum, like the BPE argmax). The
+    * unigram table is locally checkpointed (read three times: N and
+    * both endpoint joins); the returned frame reads that checkpoint —
+    * pass it to [[Blocks.release]] (or `consuming`) once fully
+    * consumed, per the [[Graph.pageRank]] contract.
+    * Output: (`w1`, `w2`, `pair_n`, `w1_n`, `w2_n`, `pmi`).
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      minPairCount: Long): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount ($minPairCount) must be >= 1")
+    val toks = TextFunctions.tokens(col(textCol))
+    val docs = df.select(toks.as("__toks"))
+    val unigrams = docs.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // read 3x below: N, w1 join, w2 join
+    val n = unigrams.agg(sum(col("__c"))).first().getLong(0)
+    val pairs = docs.filter(size(col("__toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__toks")) - 2),
+        i => struct(element_at(col("__toks"), i + 1).as("w1"),
+          element_at(col("__toks"), i + 2).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minPairCount)
+    pairs
+      .join(unigrams.select(col("w").as("w1"), col("__c").as("w1_n")), "w1")
+      .join(unigrams.select(col("w").as("w2"), col("__c").as("w2_n")), "w2")
+      .select(col("w1"), col("w2"), col("pair_n"), col("w1_n"), col("w2_n"),
+        log(col("pair_n").cast("double") * lit(n.toDouble) /
+          (col("w1_n").cast("double") * col("w2_n").cast("double")))
+          .as("pmi"))
+  }
+
   /** BPE merge training (Sennrich-style subword vocabulary learning):
     * learn the top-`numMerges` pair merges over the corpus — the
     * primitive that PRODUCES the vocabulary whose application

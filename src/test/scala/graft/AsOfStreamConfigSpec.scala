@@ -74,6 +74,62 @@ class AsOfStreamConfigSpec extends AnyFunSuite {
     assert(dup.length == 1 && dup(0).getString(3) == "A")
   }
 
+  test("scdBuild: last-write-wins conflicts, no-op collapse, interval tiling") {
+    val changes = table("key bigint, ts bigint, seg string, seq bigint", Seq(
+      row(1L, 10L, "A", 1L),
+      row(1L, 10L, "B", 2L),  // same-ts conflict: seq 2 wins -> B@10
+      row(1L, 15L, "B", 3L),  // no-op re-emission: collapsed
+      row(1L, 20L, "C", 4L),  // real change
+      row(1L, 25L, "B", 5L),  // back to an EARLIER value: new version
+      row(2L, 12L, "X", 6L))) // single-version key -> open-ended
+    val got = AsOfJoin.scdBuild(changes, "key", "ts", Seq("seg"),
+        endOfTime = lit(99L), tieBreak = Seq("seq"))
+      .orderBy("key", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "B", 10L, 20L),
+      (1L, "C", 20L, 25L),
+      (1L, "B", 25L, 99L),
+      (2L, "X", 12L, 99L)), got.toString)
+  }
+
+  test("scdBuild: duplicate (key, ts) without tieBreak raises loudly") {
+    val changes = table("key bigint, ts bigint, seg string", Seq(
+      row(1L, 10L, "A"),
+      row(1L, 10L, "B")))
+    val e = intercept[Throwable] {
+      AsOfJoin.scdBuild(changes, "key", "ts", Seq("seg"),
+        endOfTime = lit(99L)).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("tieBreak"), msgs.take(300))
+  }
+
+  test("scdBuild: null attrs compare null-safely; output passes scdJoin's audit") {
+    val changes = table("key bigint, ts bigint, seg string", Seq(
+      row(1L, 10L, null),
+      row(1L, 15L, null),  // null == null: collapsed, not a new version
+      row(1L, 20L, "A")))
+    val dim = AsOfJoin.scdBuild(changes, "key", "ts", Seq("seg"),
+      endOfTime = lit(99L))
+    val vers = dim.orderBy("valid_from").collect()
+      .map(r => (Option(r.getString(1)).orNull, r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(vers == Seq((null, 10L, 20L), ("A", 20L, 99L)), vers.toString)
+    // Adjacent intervals touch exactly -> the default non-overlap audit
+    // in scdJoin accepts the built dimension as-is.
+    val facts = table("id bigint, key bigint, ts bigint", Seq(
+      row(100L, 1L, 12L), row(101L, 1L, 20L), row(102L, 1L, 5L)))
+    val joined = AsOfJoin.scdJoin(facts, "key", "ts",
+        dim, "key", "valid_from", "valid_to")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)).orNull)).toSeq
+    assert(joined == Seq((100L, null), (101L, "A"), (102L, null)),
+      joined.toString)
+  }
+
   test("asof backward honors tolerance") {
     val l = table("k string, t timestamp, v bigint",
       Seq(row("a", ts("2024-01-01 10:00:10"), 1L)))

@@ -310,6 +310,38 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(math.abs(got(2)._3 - math.log(1.0 / 3)) < 1e-12)
   }
 
+  test("pmiCollocations: hand-computed PMI, hapax pruning, independence at zero") {
+    import graft.operators.Corpus
+    // tokens: a b a b a c  -> N=6, c(a)=3, c(b)=2, c(c)=1
+    // bigrams: (a,b)x2, (b,a)x1, (a,c)x1  [per-doc streams]
+    val df = table("id bigint, text string", Seq(
+      row(1L, "a b a b"), row(2L, "a c")))
+    val got = Corpus.pmiCollocations(df, "text", minPairCount = 1L)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)) == Seq(
+      ("a", "b", 2L, 3L, 2L),
+      ("a", "c", 1L, 3L, 1L),
+      ("b", "a", 1L, 2L, 3L)), got.toString)
+    assert(math.abs(got(0)._6 - math.log(2.0 * 6 / (3 * 2))) < 1e-12)
+    assert(math.abs(got(1)._6 - math.log(1.0 * 6 / (3 * 1))) < 1e-12)
+    assert(math.abs(got(2)._6 - math.log(1.0 * 6 / (2 * 3))) < 1e-12)
+    // pruning removes the singletons, keeps (a,b)
+    val pruned = Corpus.pmiCollocations(df, "text", minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pruned == Seq(("a", "b")), pruned.toString)
+    // a pair occurring exactly as often as independence predicts has
+    // pmi 0: corpus "x y" once -> c(x,y)=1, N=2, c(x)=c(y)=1 -> ln(2)..
+    // use two tokens each appearing once: pmi = ln(1*2/(1*1)) = ln 2 —
+    // the rarity reward minPairCount exists to prune.
+    val solo = Corpus.pmiCollocations(
+      table("id bigint, text string", Seq(row(1L, "x y"))), "text", 1L)
+      .collect()
+    assert(solo.length == 1 &&
+      math.abs(solo(0).getDouble(5) - math.log(2.0)) < 1e-12)
+  }
+
   test("bpeMerges: hand-computed merge sequence, frequency weighting, early exhaustion") {
     // words: hug freq 3, pug freq 2. pairs: (h,u)=3, (u,g)=5, (p,u)=2
     // -> merge ug(5); then (h,ug)=3 -> hug; then (p,ug)=2 -> pug; dry.

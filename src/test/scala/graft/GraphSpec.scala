@@ -64,4 +64,59 @@ class GraphSpec extends AnyFunSuite {
       assert(math.abs(got.values.sum - 1.0) < 1e-9)
     }
   }
+
+  test("triangleCounts: hand-computed counts and coefficients on K4 minus an edge") {
+    // nodes 1-2-3-4, all edges except (1,4): triangles {1,2,3}, {2,3,4}
+    val edges = table("a bigint, b bigint", Seq(
+      row(1L, 2L), row(1L, 3L), row(2L, 3L), row(2L, 4L), row(3L, 4L),
+      // noise the canonicalization must absorb: reversed dup + self-loop
+      row(3L, 2L), row(4L, 4L)))
+    val got = Graph.triangleCounts(edges, "a", "b")
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1.0),
+      (2L, 3L, 2L, 2.0 / 3),
+      (3L, 3L, 2L, 2.0 / 3),
+      (4L, 2L, 1L, 1.0)), got.toString)
+  }
+
+  test("triangleCounts: degree-1 nodes get cc 0.0 and still appear") {
+    val edges = table("a bigint, b bigint", Seq(
+      row(1L, 2L), row(2L, 3L), row(1L, 3L), row(3L, 4L)))
+    val got = Graph.triangleCounts(edges, "a", "b")
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 1.0 / 3), (4L, 1L, 0L, 0.0)), got.toString)
+  }
+
+  test("triangleCounts: agrees with driver-side brute force on random graphs") {
+    val rnd = new scala.util.Random(29)
+    (1 to 3).foreach { _ =>
+      val edges = (0 until 60)
+        .map(_ => (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val adj = edges.toSet
+      def conn(x: Long, y: Long) =
+        adj((math.min(x, y), math.max(x, y)))
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val exp = nodes.map { v =>
+        val nb = nodes.filter(u => u != v && conn(u, v))
+        val t = nb.combinations(2).count { case Seq(x, y) => conn(x, y) }
+        v -> ((nb.size.toLong, t.toLong))
+      }.toMap
+      val got = Graph.triangleCounts(
+          table("a bigint, b bigint", edges.map { case (a, b) => row(a, b) }),
+          "a", "b")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got == exp, s"got $got\nexp $exp")
+    }
+  }
 }
