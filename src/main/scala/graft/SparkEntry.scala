@@ -2253,6 +2253,26 @@ object SparkEntry {
       .orderBy("w1", "w2")
   }
 
+  // ---------------------------------------------------------------- q122
+  /** Session Markov transition matrix
+    * ([[graft.operators.Events.transitionMatrix]]): q22's 30-minute
+    * sessions, then the first-order event-type transition table with
+    * `__START__`/`__END__` sentinels — each row of the matrix sums to
+    * 1 across its outgoing states. The oracle replays sessionization,
+    * the per-session lead/row_number stepping, and every count and
+    * row-normalized probability; counts integer-exact, `p` on the
+    * 6-decimal gate. */
+  private def q122TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.sessionize(
+      Tables.events(s, dir).select("user_id", "ts", "event_id", "event_type"),
+      Seq("user_id"), "ts", 30L * 60 * 1000000, tieBreak = Seq("event_id"))
+    Events.transitionMatrix(sess, Seq("user_id", "session_id"),
+        "ts", "event_type", tieBreak = Seq("event_id"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        round(col("p"), 6).as("p6"))
+      .orderBy("from_state", "to_state")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2375,6 +2395,7 @@ object SparkEntry {
     "q119_scd_build" -> (q119ScdBuild _),
     "q120_triangles" -> (q120Triangles _),
     "q121_pmi_collocations" -> (q121PmiCollocations _),
+    "q122_transition_matrix" -> (q122TransitionMatrix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4018,6 +4039,46 @@ object SparkEntry {
         |  a.min_train_id
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
+    "q122_transition_matrix" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+        |    event_type
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g
+        |), st AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER w2 AS nxt,
+        |    row_number() OVER w2 AS rn
+        |  FROM s WINDOW w2 AS (PARTITION BY user_id, session_id
+        |    ORDER BY ts, event_id)
+        |), tr AS (
+        |  SELECT event_type AS from_state, nxt AS to_state
+        |  FROM st WHERE nxt IS NOT NULL
+        |  UNION ALL
+        |  SELECT '__START__' AS from_state, event_type AS to_state
+        |  FROM st WHERE rn = 1
+        |  UNION ALL
+        |  SELECT event_type AS from_state, '__END__' AS to_state
+        |  FROM st WHERE nxt IS NULL
+        |), c AS (
+        |  SELECT from_state, to_state, COUNT(*) AS n FROM tr GROUP BY 1, 2
+        |), t AS (
+        |  SELECT from_state, SUM(n) AS tot FROM c GROUP BY 1
+        |)
+        |SELECT c.from_state, c.to_state, c.n,
+        |  ROUND(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p6
+        |FROM c JOIN t USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin,
     "q121_pmi_collocations" ->
       """WITH tk AS (
         |  SELECT string_split_regex(trim(text), ' +') AS toks FROM documents

@@ -312,4 +312,50 @@ object Events {
         if (stage == stepArr.length) lastT - t1 else null))
     }
   }
+
+  /** First-order Markov transition matrix over event types within
+    * groups (typically `(user, session_id)` from [[Sessionize]]): how
+    * often state A is followed by state B, with the row-normalized
+    * probability `p = n / Σ_B n(A→B)`. Sentinel states `__START__` /
+    * `__END__` bound every group, so entry and exit distributions ride
+    * the same table and each row of the matrix sums to exactly 1 —
+    * the page-flow / behavioral-prior primitive next to [[funnel]]'s
+    * fixed-path conversion.
+    *
+    * Scale shape: ONE hash shuffle on `groupKeys` + per-group sort
+    * carries the `lead`/`row_number` pair; transitions then shuffle
+    * once more bounded by the TYPE-PAIR vocabulary (like
+    * [[Corpus.tokenFrequencies]]), and the per-from totals join is
+    * unhinted — AQE broadcasts real type vocabularies. Group contents
+    * never meet across groups; skew degrades to the hot group's
+    * partition only.
+    *
+    * Output: (`from_state`, `to_state`, `n`, `p`).
+    */
+  def transitionMatrix(
+      df: DataFrame,
+      groupKeys: Seq[String],
+      tsCol: String,
+      typeCol: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(groupKeys.nonEmpty, "transitionMatrix needs group keys")
+    val order = (tsCol +: tieBreak).map(col)
+    val w = Window.partitionBy(groupKeys.map(col): _*).orderBy(order: _*)
+    val stepped = df.select(
+      col(typeCol).cast("string").as("__cur"),
+      lead(col(typeCol).cast("string"), 1).over(w).as("__nxt"),
+      row_number().over(w).as("__rn"))
+    val inner = stepped.filter(col("__nxt").isNotNull)
+      .select(col("__cur").as("from_state"), col("__nxt").as("to_state"))
+    val entries = stepped.filter(col("__rn") === 1)
+      .select(lit("__START__").as("from_state"), col("__cur").as("to_state"))
+    val exits = stepped.filter(col("__nxt").isNull)
+      .select(col("__cur").as("from_state"), lit("__END__").as("to_state"))
+    val counts = inner.unionAll(entries).unionAll(exits)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_state").agg(sum(col("n")).as("__tot"))
+    counts.join(totals, "from_state")
+      .select(col("from_state"), col("to_state"), col("n"),
+        (col("n").cast("double") / col("__tot").cast("double")).as("p"))
+  }
 }

@@ -293,4 +293,42 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
       ("b", 300L, 5L, 3, false)),  // 5 > 5 is false — steady stays quiet
       got.toString)
   }
+
+  test("transitionMatrix: hand-computed counts, sentinels, rows sum to 1") {
+    // group 1: A B A   group 2: A B   (same user, two sessions)
+    val df = table("u bigint, sid bigint, t_us bigint, et string", Seq(
+      row(1L, 1L, 10L, "A"), row(1L, 1L, 20L, "B"), row(1L, 1L, 30L, "A"),
+      row(1L, 2L, 40L, "A"), row(1L, 2L, 50L, "B")))
+    val got = Events.transitionMatrix(df, Seq("u", "sid"), "t_us", "et")
+      .orderBy("from_state", "to_state").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // transitions: A->B x2, B->A x1; starts: ->A x2; ends: A->END, B->END
+    assert(got == Seq(
+      ("A", "B", 2L, 2.0 / 3),
+      ("A", "__END__", 1L, 1.0 / 3),
+      ("B", "A", 1L, 0.5),
+      ("B", "__END__", 1L, 0.5),
+      ("__START__", "A", 2L, 1.0)), got.toString)
+    // every from-state's outgoing probabilities sum to exactly 1
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12)
+    }
+  }
+
+  test("transitionMatrix: tieBreak disambiguates equal timestamps; single-event group") {
+    val df = table("g bigint, t_us bigint, seq bigint, et string", Seq(
+      row(1L, 10L, 2L, "Y"), row(1L, 10L, 1L, "X"), // same ts: X then Y
+      row(2L, 99L, 1L, "Z")))                        // lone event
+    val got = Events.transitionMatrix(df, Seq("g"), "t_us", "et",
+        tieBreak = Seq("seq"))
+      .orderBy("from_state", "to_state").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("X", "Y", 1L),
+      ("Y", "__END__", 1L),
+      ("Z", "__END__", 1L),
+      ("__START__", "X", 1L),
+      ("__START__", "Z", 1L)), got.toString)
+  }
 }
