@@ -2273,6 +2273,35 @@ object SparkEntry {
       .orderBy("from_state", "to_state")
   }
 
+  // ---------------------------------------------------------------- q123
+  /** CDC MERGE apply ([[graft.operators.AsOfJoin.applyChanges]]): the
+    * order feed read as a change stream (status 'F' rows as deletes,
+    * the rest as upserts, last-write-wins by (date, order key)),
+    * time-split into two shards and FOLDED — shard 2 merges into the
+    * snapshot shard 1 produced, never rereading shard 1. Because the
+    * shards are time-split, the fold equals the global argmax the
+    * oracle computes: per key the latest change wins and a winning
+    * delete removes the key. Every surviving (key, priority,
+    * applied_us) is value-checked. */
+  private def q123ApplyChanges(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val base = Tables.orders(s, dir).select(
+      col("o_custkey").as("key"), col("o_orderdate").as("ts"),
+      when(col("o_orderstatus") === "F", lit("delete"))
+        .otherwise(lit("upsert")).as("op"),
+      col("o_orderpriority").as("priority"), col("o_orderkey"))
+    val split = lit("1996-01-01").cast("timestamp_ntz")
+    val s0 = base.filter(lit(false))
+      .select(col("key"), col("priority"), col("ts"))
+    val s1 = AsOfJoin.applyChanges(s0, base.filter(col("ts") < split),
+      "key", "ts", "op", Seq("priority"), tieBreak = Seq("o_orderkey"))
+    val s2 = AsOfJoin.applyChanges(s1, base.filter(col("ts") >= split),
+      "key", "ts", "op", Seq("priority"), tieBreak = Seq("o_orderkey"))
+    s2.select(col("key"), col("priority"),
+        unix_micros(col("ts").cast("timestamp")).as("applied_us"))
+      .orderBy("key")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2396,6 +2425,7 @@ object SparkEntry {
     "q120_triangles" -> (q120Triangles _),
     "q121_pmi_collocations" -> (q121PmiCollocations _),
     "q122_transition_matrix" -> (q122TransitionMatrix _),
+    "q123_apply_changes" -> (q123ApplyChanges _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4039,6 +4069,19 @@ object SparkEntry {
         |  a.min_train_id
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
+    "q123_apply_changes" ->
+      """WITH w AS (
+        |  SELECT o_custkey AS key, o_orderpriority AS priority,
+        |    o_orderdate AS ts,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'upsert' END
+        |      AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders
+        |)
+        |SELECT key, priority, epoch_us(ts) AS applied_us
+        |FROM w WHERE rn = 1 AND op = 'upsert'
+        |ORDER BY key""".stripMargin,
     "q122_transition_matrix" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,

@@ -239,4 +239,80 @@ object AsOfJoin {
       .select((col(key) +: attrs.map(col)) ++ Seq(
         col(ts).as("valid_from"), col("__valid_to").as("valid_to")): _*)
   }
+
+  /** SCD Type-1 state-table maintenance — the CDC MERGE apply: fold a
+    * change shard (`upsert` / `delete` ops) into a keyed snapshot,
+    * latest-wins per key, and return the next snapshot in the SAME
+    * `(key, attrs…, ts)` shape so shard N+1 folds into the result —
+    * the incremental-materialization primitive next to [[scdBuild]]'s
+    * full-history build, and the serving-table analog of the dedup
+    * ledger fold (q87/q109): ingesting shard N reads the compact
+    * snapshot, never shards 1…N-1.
+    *
+    * Winner per key = the row ranking highest under
+    * `(ts, state-beats-nothing, tieBreak)`: a change at the same `ts`
+    * as the standing state row WINS (the state row was produced by an
+    * earlier shard; the change is newer information), and two CHANGES
+    * tied on `(ts, tieBreak)` are corruption and raise loudly —
+    * exactly [[scdBuild]]'s determinism contract. A `delete` winner
+    * removes the key from the snapshot; any other `op` value raises.
+    *
+    * CONTRACT — monotone shards: deletes are applied physically (no
+    * tombstone survives into the snapshot), so a key's changes must
+    * not arrive in an EARLIER shard with a LATER timestamp than a
+    * subsequent shard's (within one shard, any order is fine — the
+    * window sorts it). Time-split shards (the normal CDC shape)
+    * satisfy this by construction.
+    *
+    * Plan shape: one hash shuffle of |state| + |shard| on `key` + a
+    * per-key sort carries winner selection, the ambiguity audit, and
+    * the delete filter; per-key cost is its change count, skew
+    * degrades to the hot key's partition only.
+    */
+  def applyChanges(
+      state: DataFrame,
+      changes: DataFrame,
+      key: String,
+      ts: String,
+      opCol: String,
+      attrs: Seq[String],
+      tieBreak: Seq[String] = Nil,
+      upsertOp: String = "upsert",
+      deleteOp: String = "delete"): DataFrame = {
+    require(attrs.nonEmpty, "applyChanges needs at least one attribute column")
+    val tbTypes = tieBreak.map(c => changes.schema(c).dataType)
+    val chg = changes.select(
+      col(key) +: col(ts) +:
+        when(col(opCol) === upsertOp || col(opCol) === deleteOp, col(opCol))
+          .otherwise(raise_error(concat(
+            lit(s"applyChanges: op must be '$upsertOp' or '$deleteOp', got '"),
+            col(opCol).cast("string"), lit("' for key "),
+            col(key).cast("string"))))
+          .as("__op") +:
+        lit(1).as("__src") +:
+        (attrs.map(col) ++ tieBreak.map(col)): _*)
+    val st = state.select(
+      col(key) +: col(ts) +: lit(upsertOp).as("__op") +: lit(0).as("__src") +:
+        (attrs.map(col) ++
+          tieBreak.zip(tbTypes).map { case (c, t) => lit(null).cast(t).as(c) }): _*)
+    val all = st.unionByName(chg)
+    val ord = (col(ts).desc +: col("__src").desc +: tieBreak.map(col(_).desc))
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+    val rankTuple = struct(col(ts) +: col("__src") +: tieBreak.map(col): _*)
+    val nextTuple = lead(rankTuple, 1).over(w)
+    all
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__next", nextTuple)
+      .filter(col("__rn") === 1)
+      .filter(
+        when(col("__next").isNull || !(col("__next") <=> rankTuple), lit(true))
+          .otherwise(raise_error(concat(
+            lit("applyChanges: two changes for key "),
+            col(key).cast("string"), lit(" tie at ts "),
+            col(ts).cast("string"),
+            lit(" under the given tieBreak — an arbitrary winner would silently pick a state")))
+            .cast("boolean")))
+      .filter(col("__op") === upsertOp)
+      .select(col(key) +: attrs.map(col) :+ col(ts): _*)
+  }
 }

@@ -107,6 +107,60 @@ class AsOfStreamConfigSpec extends AnyFunSuite {
     assert(msgs.contains("tieBreak"), msgs.take(300))
   }
 
+  test("applyChanges: fold across shards — upsert, delete, reinsert, out-of-order within shard") {
+    val s0 = table("key bigint, seg string, ts bigint", Seq.empty)
+    val shard1 = table("key bigint, ts bigint, op string, seg string, seq bigint", Seq(
+      row(1L, 12L, "upsert", "A2", 2L),
+      row(1L, 10L, "upsert", "A1", 1L),  // out-of-order within shard: loses to ts 12
+      row(2L, 11L, "upsert", "B1", 3L),
+      row(3L, 13L, "upsert", "C1", 4L)))
+    val s1 = AsOfJoin.applyChanges(s0, shard1, "key", "ts", "op",
+      Seq("seg"), tieBreak = Seq("seq"))
+    val got1 = s1.orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got1 == Seq((1L, "A2", 12L), (2L, "B1", 11L), (3L, "C1", 13L)),
+      got1.toString)
+    val shard2 = table("key bigint, ts bigint, op string, seg string, seq bigint", Seq(
+      row(1L, 20L, "delete", null, 5L),   // delete key 1
+      row(3L, 21L, "delete", null, 6L),   // delete then reinsert key 3
+      row(3L, 22L, "upsert", "C2", 7L),
+      row(4L, 23L, "upsert", "D1", 8L)))  // brand-new key
+    val s2 = AsOfJoin.applyChanges(s1, shard2, "key", "ts", "op",
+      Seq("seg"), tieBreak = Seq("seq"))
+    val got2 = s2.orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got2 == Seq((2L, "B1", 11L), (3L, "C2", 22L), (4L, "D1", 23L)),
+      got2.toString)
+  }
+
+  test("applyChanges: change beats state at equal ts; tied changes and bad ops raise") {
+    val state = table("key bigint, seg string, ts bigint",
+      Seq(row(1L, "OLD", 10L)))
+    val same = table("key bigint, ts bigint, op string, seg string, seq bigint",
+      Seq(row(1L, 10L, "upsert", "NEW", 1L)))
+    val got = AsOfJoin.applyChanges(state, same, "key", "ts", "op",
+        Seq("seg"), tieBreak = Seq("seq")).collect()
+    assert(got.length == 1 && got(0).getString(1) == "NEW")
+    val tied = table("key bigint, ts bigint, op string, seg string, seq bigint",
+      Seq(row(1L, 10L, "upsert", "X", 1L), row(1L, 10L, "upsert", "Y", 1L)))
+    val e = intercept[Throwable] {
+      AsOfJoin.applyChanges(state, tied, "key", "ts", "op",
+        Seq("seg"), tieBreak = Seq("seq")).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("tieBreak"), msgs.take(300))
+    val badOp = table("key bigint, ts bigint, op string, seg string, seq bigint",
+      Seq(row(1L, 11L, "UPSERT", "X", 1L)))
+    val e2 = intercept[Throwable] {
+      AsOfJoin.applyChanges(state, badOp, "key", "ts", "op",
+        Seq("seg"), tieBreak = Seq("seq")).collect()
+    }
+    val msgs2 = Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs2.contains("op must be"), msgs2.take(300))
+  }
+
   test("scdBuild: null attrs compare null-safely; output passes scdJoin's audit") {
     val changes = table("key bigint, ts bigint, seg string", Seq(
       row(1L, 10L, null),
