@@ -2302,6 +2302,23 @@ object SparkEntry {
       .orderBy("key")
   }
 
+  // ---------------------------------------------------------------- q124
+  /** Z-order layout ([[graft.operators.Layout.zOrder]]): `part`
+    * clustered along the Morton curve of (p_size, trunc(price)) —
+    * integer min-max cells, bit interleave, range partition + in-file
+    * sort, so predicates on EITHER column prune files. The curve
+    * position is pure integer arithmetic end to end, so the oracle
+    * recomputes every bounds/cell/interleave step bit-exactly; the
+    * pruning effect itself is machine-asserted in LayoutSpec. */
+  private def q124ZOrder(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val part = Tables.part(s, dir).select(col("p_partkey"), col("p_size"),
+      col("p_retailprice").cast("long").as("price_l"))
+    Layout.zOrder(part, "p_size", "price_l", numPartitions = 8)
+      .select(col("p_partkey"), col("__z").as("z"))
+      .orderBy("p_partkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2426,6 +2443,7 @@ object SparkEntry {
     "q121_pmi_collocations" -> (q121PmiCollocations _),
     "q122_transition_matrix" -> (q122TransitionMatrix _),
     "q123_apply_changes" -> (q123ApplyChanges _),
+    "q124_zorder" -> (q124ZOrder _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4069,6 +4087,29 @@ object SparkEntry {
         |  a.min_train_id
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
+    "q124_zorder" -> {
+      // the same 16-bit Morton interleave Layout.mortonInterleave
+      // codegens, unrolled as SQL bit arithmetic
+      val zTerms = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH src AS (
+         |  SELECT p_partkey, CAST(p_size AS BIGINT) AS x0,
+         |    CAST(TRUNC(p_retailprice) AS BIGINT) AS y0
+         |  FROM part
+         |), b AS (
+         |  SELECT MIN(x0) AS xmin, MAX(x0) AS xmax,
+         |         MIN(y0) AS ymin, MAX(y0) AS ymax
+         |  FROM src
+         |), n AS (
+         |  SELECT p_partkey,
+         |    ((x0 - xmin) * 65536) // (xmax - xmin + 1) AS x,
+         |    ((y0 - ymin) * 65536) // (ymax - ymin + 1) AS y
+         |  FROM src, b
+         |)
+         |SELECT p_partkey, $zTerms AS z
+         |FROM n ORDER BY p_partkey""".stripMargin
+    },
     "q123_apply_changes" ->
       """WITH w AS (
         |  SELECT o_custkey AS key, o_orderpriority AS priority,

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+import graft.testkit.SparkTestKit._
+
+class LayoutSpec extends AnyFunSuite {
+
+  test("mortonInterleave: hand-computed bit weave; out-of-range raises") {
+    // x=3 (bits 0,1) -> even positions 0,2 = 5; y=1 (bit 0) -> odd
+    // position 1 = 2; together 7. x=0,y=3 -> odd positions 1,3 = 10.
+    val df = table("x bigint, y bigint", Seq(
+      row(3L, 1L), row(0L, 3L), row(5L, 0L), row(65535L, 65535L)))
+    val got = df.select(Layout.mortonInterleave(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // x=5 (bits 0,2) -> positions 0,4 = 17; max/max -> all 32 bits set
+    assert(got == Seq(7L, 10L, 17L, (1L << 32) - 1), got.toString)
+    val e = intercept[Throwable] {
+      table("x bigint, y bigint", Seq(row(65536L, 0L)))
+        .select(Layout.mortonInterleave(col("x"), col("y"))).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("normalize dimensions first"), msgs.take(300))
+  }
+
+  test("minMaxCell: exact integer cells, full range covered, no float rounding") {
+    // span 3 over 4 bits: v=10 -> 0, v=11 -> 5, v=12 -> 10 (16*2/3)
+    val df = table("v bigint", Seq(row(10L), row(11L), row(12L)))
+    val got = df.select(Layout.minMaxCell(col("v"), 10L, 12L, bits = 4))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 5L, 10L), got.toString)
+    // extremes of a power-of-two span map to cell 0 and the last cell
+    val ext = table("v bigint", Seq(row(0L), row(1023L)))
+      .select(Layout.minMaxCell(col("v"), 0L, 1023L, bits = 16))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ext == Seq(0L, 65472L), ext.toString) // 1023*65536/1024
+  }
+
+  test("zOrder: a predicate on either dimension prunes files; lex sort prunes only one") {
+    import graft.testkit.SparkTestKit.spark
+    import spark.implicits._
+    // 64x64 grid, both dims uniform — the honest layout benchmark
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x, y)))
+      .toDF("x", "y")
+    def filesTouched(dir: String, pred: org.apache.spark.sql.Column): Int = {
+      val read = spark.read.parquet(dir).filter(pred)
+      read.select(input_file_name()).distinct().count().toInt
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val lexDir = java.nio.file.Files.createTempDirectory("lex").toString
+    try {
+      Layout.zOrder(grid, "x", "y", numPartitions = 16, bits = 6)
+        .write.mode("overwrite").parquet(zDir)
+      // the naive alternative: files split along y only
+      grid.repartitionByRange(16, col("y")).sortWithinPartitions("y")
+        .write.mode("overwrite").parquet(lexDir)
+      val total = spark.read.parquet(zDir)
+        .select(input_file_name()).distinct().count().toInt
+      assert(total == 16, s"expected 16 z files, got $total")
+      // x-slice: z-order confines it to a minority of files; the
+      // y-sorted layout must read every file
+      val zx = filesTouched(zDir, col("x") === 5)
+      val lx = filesTouched(lexDir, col("x") === 5)
+      assert(zx <= 6, s"z-order x-slice touched $zx of 16 files")
+      assert(lx == 16, s"y-sorted x-slice touched $lx files")
+      // y-slice: both layouts prune (z-order keeps ~the same power)
+      val zy = filesTouched(zDir, col("y") === 5)
+      assert(zy <= 6, s"z-order y-slice touched $zy of 16 files")
+    } finally {
+      graft.streaming.StreamGate.deleteRecursively(zDir)
+      graft.streaming.StreamGate.deleteRecursively(lexDir)
+    }
+  }
+}
