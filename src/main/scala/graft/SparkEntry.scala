@@ -2319,6 +2319,36 @@ object SparkEntry {
       .orderBy("p_partkey")
   }
 
+  // ---------------------------------------------------------------- q125
+  /** Retrieval evaluation ([[graft.operators.Eval.topKAllQueries]] +
+    * [[graft.operators.Eval.retrievalMetrics]]): ground truth = exact
+    * cosine top-10 on the full 64-dim embeddings for every 50th
+    * vector; candidate = the same ranking on a 16-dim prefix — the
+    * dimension-truncation recall experiment, scored per query as
+    * recall@10 / MRR / nDCG@10. Queries ship as one plan literal and
+    * scoring reduces through the bounded-heap aggregator, so there is
+    * no join against the corpus anywhere. The oracle recomputes both
+    * rankings and every metric; counts integer-exact, metrics on the
+    * 6-decimal gate. */
+  private def q125RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Eval
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
+    val truth = Eval.topKAllQueries(emb, "vec_id", "embedding", queries, 10)
+    val pred = Eval.topKAllQueries(
+      emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
+      "vec_id", "embedding",
+      queries.map { case (q, v) => q -> v.take(16) }, 10)
+    Eval.retrievalMetrics(pred, truth, "query_id", "item_id", "rank", 10)
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        round(col("recall"), 6).as("recall6"),
+        round(col("mrr"), 6).as("mrr6"),
+        round(col("ndcg"), 6).as("ndcg6"))
+      .orderBy("query_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2444,6 +2474,7 @@ object SparkEntry {
     "q122_transition_matrix" -> (q122TransitionMatrix _),
     "q123_apply_changes" -> (q123ApplyChanges _),
     "q124_zorder" -> (q124ZOrder _),
+    "q125_retrieval_eval" -> (q125RetrievalEval _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4087,6 +4118,53 @@ object SparkEntry {
         |  a.min_train_id
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
+    "q125_retrieval_eval" -> {
+      // cosine over a DuckDB list expression, parameterized by the
+      // vector expression so the full- and sliced-dim rankings share
+      // one definition
+      def cos(e: String, q: String) =
+        s"""list_sum(list_transform(list_zip($e, $q),
+           |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+           |    / (sqrt(list_sum(list_transform($e,
+           |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           |       * sqrt(list_sum(list_transform($q,
+           |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), truth AS (
+         |  SELECT query_id, item_id, rnk FROM (
+         |    SELECT q.query_id, e.vec_id AS item_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |        ${cos("e.embedding", "q.qv")} DESC, e.vec_id) AS rnk
+         |    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+         |  ) WHERE rnk <= 10
+         |), pred AS (
+         |  SELECT query_id, item_id, rnk FROM (
+         |    SELECT q.query_id, e.vec_id AS item_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |        ${cos("e.embedding[1:16]", "q.qv[1:16]")} DESC, e.vec_id) AS rnk
+         |    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+         |  ) WHERE rnk <= 10
+         |), t AS (
+         |  SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY 1
+         |), h AS (
+         |  SELECT p.query_id, COUNT(*) AS n_hits, MIN(p.rnk) AS minr,
+         |    SUM(1.0 / log2(CAST(p.rnk AS DOUBLE) + 1.0)) AS dcg
+         |  FROM pred p JOIN truth tr
+         |    ON p.query_id = tr.query_id AND p.item_id = tr.item_id
+         |  GROUP BY 1
+         |)
+         |SELECT t.query_id AS query_id, t.n_truth, COALESCE(h.n_hits, 0) AS n_hits,
+         |  ROUND(COALESCE(h.n_hits, 0) / CAST(t.n_truth AS DOUBLE), 6)
+         |    AS recall6,
+         |  ROUND(COALESCE(1.0 / CAST(h.minr AS DOUBLE), 0.0), 6) AS mrr6,
+         |  ROUND(COALESCE(h.dcg / list_sum(list_transform(
+         |    range(1, LEAST(10, CAST(t.n_truth AS INT)) + 1),
+         |    r -> 1.0 / log2(CAST(r AS DOUBLE) + 1.0))), 0.0), 6) AS ndcg6
+         |FROM t LEFT JOIN h ON t.query_id = h.query_id
+         |ORDER BY query_id""".stripMargin
+    },
     "q124_zorder" -> {
       // the same 16-bit Morton interleave Layout.mortonInterleave
       // codegens, unrolled as SQL bit arithmetic
