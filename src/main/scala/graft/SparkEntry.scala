@@ -2349,6 +2349,29 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  // ---------------------------------------------------------------- q126
+  /** Data-quality expectations gate
+    * ([[graft.operators.Quality.check]]): six contracts over lineitem
+    * — range, not-null, accepted-values, a regex, a deliberately
+    * violated discount bound (non-vacuous: real violation counts),
+    * and (orderkey, linenumber) key uniqueness — all row-level rules
+    * in ONE algebraic pass plus one groupBy for the key. The oracle
+    * recomputes every n_checked / n_violations and the strict pass
+    * flag; all integers, hash-exact. */
+  private def q126QualityGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    val li = Tables.lineitem(s, dir)
+    Quality.check(li,
+        Seq(
+          Quality.inRange("l_quantity", 1.0, 50.0),
+          Quality.notNull("l_shipdate"),
+          Quality.acceptedValues("l_returnflag", Seq("A", "N", "R")),
+          Quality.matchesRegex("l_linestatus", "^[OF]$"),
+          Quality.inRange("l_discount", 0.0, 0.05)),
+        uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber")))
+      .orderBy("rule")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2475,6 +2498,7 @@ object SparkEntry {
     "q123_apply_changes" -> (q123ApplyChanges _),
     "q124_zorder" -> (q124ZOrder _),
     "q125_retrieval_eval" -> (q125RetrievalEval _),
+    "q126_quality_gate" -> (q126QualityGate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4118,6 +4142,44 @@ object SparkEntry {
         |  a.min_train_id
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
+    "q126_quality_gate" ->
+      """WITH rl AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+        |    CAST(SUM(CASE WHEN l_shipdate IS NOT NULL
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v_ship,
+        |    CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v_rf,
+        |    CAST(SUM(CASE WHEN regexp_matches(l_linestatus, '^[OF]$')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v_sm,
+        |    CAST(SUM(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.05
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v_disc
+        |  FROM lineitem
+        |), uk AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS v
+        |  FROM (SELECT COUNT(*) AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)
+        |), r AS (
+        |  SELECT 'in_range(l_quantity)' AS rule, 'l_quantity' AS "column",
+        |    n AS n_checked, v_qty AS n_violations FROM rl
+        |  UNION ALL
+        |  SELECT 'not_null(l_shipdate)', 'l_shipdate', n, v_ship FROM rl
+        |  UNION ALL
+        |  SELECT 'accepted_values(l_returnflag)', 'l_returnflag', n, v_rf
+        |  FROM rl
+        |  UNION ALL
+        |  SELECT 'matches_regex(l_linestatus)', 'l_linestatus', n, v_sm FROM rl
+        |  UNION ALL
+        |  SELECT 'in_range(l_discount)', 'l_discount', n, v_disc FROM rl
+        |  UNION ALL
+        |  SELECT 'unique_key(l_orderkey,l_linenumber)',
+        |    'l_orderkey,l_linenumber', n, v FROM uk
+        |)
+        |SELECT rule, "column", n_checked, n_violations,
+        |  CAST(n_violations AS DOUBLE) <= 0.0 AS pass
+        |FROM r ORDER BY rule""".stripMargin,
     "q125_retrieval_eval" -> {
       // cosine over a DuckDB list expression, parameterized by the
       // vector expression so the full- and sliced-dim rankings share

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the contract-checking gate
+  * of an ingestion pipeline (the Great-Expectations / dbt-test shape,
+  * expressed as Spark aggregations): each rule audits one invariant
+  * and the whole suite reports violation counts in as few passes as
+  * the rule mix allows. Next to [[Profile.profile]] (which DESCRIBES a
+  * frame) this JUDGES it: a feed whose null rate, domain, range, or
+  * key uniqueness drifted fails loudly at the gate instead of
+  * corrupting everything downstream.
+  */
+object Quality {
+
+  /** One row-level expectation: `name` labels the report row,
+    * `column` is informational, `predicate` must hold for every row
+    * (NULL predicate results count as violations — an unknown is not
+    * a pass). */
+  final case class Rule(name: String, column: String, predicate: Column)
+
+  def notNull(c: String): Rule =
+    Rule(s"not_null($c)", c, col(c).isNotNull)
+
+  def inRange(c: String, lo: Double, hi: Double): Rule =
+    Rule(s"in_range($c)", c, col(c) >= lo && col(c) <= hi)
+
+  def acceptedValues(c: String, values: Seq[String]): Rule =
+    Rule(s"accepted_values($c)", c, col(c).isin(values: _*))
+
+  def matchesRegex(c: String, re: String): Rule =
+    Rule(s"matches_regex($c)", c, col(c).rlike(re))
+
+  /** Evaluate all row-level rules in ONE algebraic aggregation pass
+    * (each rule is a `sum(violation-indicator)` — partial aggregation
+    * map-side, one scan of the frame regardless of rule count), plus
+    * one `groupBy` pass per `uniqueKeys` entry (uniqueness is not
+    * row-local; its violation count = rows carrying a key that occurs
+    * more than once). Output, one row per rule:
+    * (`rule`, `column`, `n_checked`, `n_violations`, `pass`).
+    *
+    * `pass` compares the violation RATE against `maxViolationRate`
+    * (default 0 — strict): tolerant gates for known-dirty feeds
+    * without letting "a few bad rows" quietly become "half the
+    * shard". */
+  def check(
+      df: DataFrame,
+      rules: Seq[Rule],
+      uniqueKeys: Seq[Seq[String]] = Nil,
+      maxViolationRate: Double = 0.0): DataFrame = {
+    require(rules.nonEmpty || uniqueKeys.nonEmpty, "no expectations given")
+    require(maxViolationRate >= 0.0 && maxViolationRate < 1.0,
+      s"maxViolationRate ($maxViolationRate) must be in [0, 1)")
+    val dupNames = rules.map(_.name).diff(rules.map(_.name).distinct)
+    require(dupNames.isEmpty,
+      s"duplicate rule names: ${dupNames.distinct.mkString(", ")}")
+
+    val rowLevel: Option[DataFrame] = if (rules.isEmpty) None else Some {
+      val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+        case (r, i) =>
+          // NULL predicate -> violation: when(pred, 0) otherwise 1
+          sum(when(r.predicate, 0L).otherwise(1L)).as(s"__v$i")
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val entries = rules.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.name).as("rule"), lit(r.column).as("column"),
+          col("__n").as("n_checked"), col(s"__v$i").as("n_violations"))
+      }
+      one.select(explode(array(entries: _*)).as("__e")).select(col("__e.*"))
+    }
+    val keyLevel: Seq[DataFrame] = uniqueKeys.map { keys =>
+      require(keys.nonEmpty, "empty unique-key column list")
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c")), lit(0L)).as("n_checked"),
+          coalesce(sum(when(col("__c") > 1L, col("__c")).otherwise(0L)),
+            lit(0L)).as("n_violations"))
+        .select(lit(s"unique_key(${keys.mkString(",")})").as("rule"),
+          lit(keys.mkString(",")).as("column"),
+          col("n_checked"), col("n_violations"))
+    }
+    val all = (rowLevel.toSeq ++ keyLevel).reduce(_.unionByName(_))
+    all.withColumn("pass",
+      col("n_violations").cast("double") <=
+        lit(maxViolationRate) * col("n_checked").cast("double"))
+  }
+}

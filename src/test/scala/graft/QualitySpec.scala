@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Quality
+import graft.testkit.SparkTestKit._
+
+class QualitySpec extends AnyFunSuite {
+
+  private def frame() = table("id bigint, v double, s string", Seq(
+    row(1L, 5.0, "AA"),
+    row(2L, 99.0, "bb"),     // out of range, regex fail
+    row(3L, null, null),     // null v (range rule: NULL -> violation)
+    row(1L, 7.0, "CC")))     // duplicate id
+
+  test("check: hand-computed violation counts; NULL predicate counts as violation") {
+    val got = Quality.check(frame(),
+        Seq(
+          Quality.inRange("v", 0.0, 10.0),
+          Quality.notNull("s"),
+          Quality.matchesRegex("s", "^[A-Z]+$"),
+          Quality.acceptedValues("s", Seq("AA", "CC"))),
+        uniqueKeys = Seq(Seq("id")))
+      .orderBy("rule").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSeq
+    assert(got == Seq(
+      // bb fails membership, NULL is a violation too
+      ("accepted_values(s)", 4L, 2L, false),
+      // 99 out of range, NULL v -> unknown -> violation
+      ("in_range(v)", 4L, 2L, false),
+      // bb lowercase, NULL rlike -> violation
+      ("matches_regex(s)", 4L, 2L, false),
+      ("not_null(s)", 4L, 1L, false),
+      // both rows of the duplicated id count as violations
+      ("unique_key(id)", 4L, 2L, false)), got.toString)
+  }
+
+  test("check: strict pass on clean data; tolerance rate flips the verdict") {
+    val clean = table("id bigint, v double", Seq(
+      row(1L, 1.0), row(2L, 2.0), row(3L, 30.0)))
+    val strict = Quality.check(clean,
+        Seq(Quality.inRange("v", 0.0, 10.0), Quality.notNull("v")),
+        uniqueKeys = Seq(Seq("id")))
+      .orderBy("rule").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4))).toSeq
+    assert(strict == Seq(
+      ("in_range(v)", 1L, false),   // the 30.0 row
+      ("not_null(v)", 0L, true),
+      ("unique_key(id)", 0L, true)), strict.toString)
+    // 1 violation in 3 rows passes at a 40% tolerance
+    val tolerant = Quality.check(clean,
+        Seq(Quality.inRange("v", 0.0, 10.0)), maxViolationRate = 0.4)
+      .collect().map(r => r.getBoolean(4)).toSeq
+    assert(tolerant == Seq(true))
+  }
+
+  test("check: duplicate rule names and empty suites fail loudly") {
+    intercept[IllegalArgumentException] {
+      Quality.check(frame(), Seq(
+        Quality.notNull("s"), Quality.notNull("s")))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.check(frame(), Nil)
+    }
+  }
+}
