@@ -2372,6 +2372,48 @@ object SparkEntry {
       .orderBy("rule")
   }
 
+  // ---------------------------------------------------------------- q127
+  /** Equi-width histogram ([[graft.operators.Profile.histogram]]):
+    * order totals into 20 buckets over the data's own [min, max],
+    * zero-filled so every cell appears. Bounds are two driver scalars
+    * the oracle recomputes in SQL; bucket assignment and edges use the
+    * identical double arithmetic on both engines, so counts are
+    * hash-exact and the edges ride the 6-decimal gate. */
+  private def q127Histogram(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val Array(b) = orders.agg(
+      min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .collect()
+    graft.operators.Profile.histogram(orders, "o_totalprice", 20,
+        b.getDouble(0), b.getDouble(1))
+      .select(col("bucket"), round(col("lo"), 6).as("lo6"),
+        round(col("hi"), 6).as("hi6"), col("n"))
+      .orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------- q128
+  /** PSI drift detection ([[graft.operators.Profile.drift]]): order
+    * totals before 1996 as the reference distribution, 1996-onward as
+    * current, bucketed with REFERENCE bounds (out-of-range current
+    * values clamp into edge buckets), eps-floored proportions. The
+    * oracle recomputes bounds, both histograms, and every per-bucket
+    * PSI contribution; counts integer-exact, contributions on the
+    * 6-decimal gate. */
+  private def q128PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val split = lit("1996-01-01").cast("timestamp_ntz")
+    val ref = orders.filter(col("o_orderdate") < split)
+    val cur = orders.filter(col("o_orderdate") >= split)
+    val Array(b) = ref.agg(
+      min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .collect()
+    graft.operators.Profile.drift(ref, cur, "o_totalprice", 20,
+        b.getDouble(0), b.getDouble(1))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(col("psi"), 6).as("psi6"))
+      .orderBy("bucket")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2499,6 +2541,8 @@ object SparkEntry {
     "q124_zorder" -> (q124ZOrder _),
     "q125_retrieval_eval" -> (q125RetrievalEval _),
     "q126_quality_gate" -> (q126QualityGate _),
+    "q127_histogram" -> (q127Histogram _),
+    "q128_psi_drift" -> (q128PsiDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4142,6 +4186,60 @@ object SparkEntry {
         |  a.min_train_id
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
+    "q128_psi_drift" ->
+      """WITH b AS (
+        |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |), rc AS (
+        |  SELECT LEAST(GREATEST(CAST(FLOOR(
+        |      (o_totalprice - lo) * 20.0 / (hi - lo)) AS INT), 0), 19)
+        |      AS bucket,
+        |    COUNT(*) AS n_ref
+        |  FROM orders, b WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY 1
+        |), cc AS (
+        |  SELECT LEAST(GREATEST(CAST(FLOOR(
+        |      (o_totalprice - lo) * 20.0 / (hi - lo)) AS INT), 0), 19)
+        |      AS bucket,
+        |    COUNT(*) AS n_cur
+        |  FROM orders, b WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(UNNEST(range(20)) AS INT) AS bucket
+        |), j AS (
+        |  SELECT g.bucket, COALESCE(rc.n_ref, 0) AS n_ref,
+        |    COALESCE(cc.n_cur, 0) AS n_cur
+        |  FROM g LEFT JOIN rc ON g.bucket = rc.bucket
+        |         LEFT JOIN cc ON g.bucket = cc.bucket
+        |), t AS (
+        |  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+        |    CAST(SUM(n_cur) AS BIGINT) AS tc FROM j
+        |)
+        |SELECT j.bucket, j.n_ref, j.n_cur,
+        |  ROUND((GREATEST(CAST(j.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE), 1e-6)
+        |       - GREATEST(CAST(j.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE), 1e-6))
+        |    * ln(GREATEST(CAST(j.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE), 1e-6)
+        |       / GREATEST(CAST(j.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE), 1e-6)),
+        |    6) AS psi6
+        |FROM j, t ORDER BY j.bucket""".stripMargin,
+    "q127_histogram" ->
+      """WITH b AS (
+        |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+        |), c AS (
+        |  SELECT LEAST(GREATEST(CAST(FLOOR(
+        |      (o_totalprice - lo) * 20.0 / (hi - lo)) AS INT), 0), 19)
+        |      AS bucket,
+        |    COUNT(*) AS n
+        |  FROM orders, b GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(UNNEST(range(20)) AS INT) AS bucket
+        |)
+        |SELECT g.bucket,
+        |  ROUND(lo + g.bucket * (hi - lo) / 20.0, 6) AS lo6,
+        |  ROUND(lo + (g.bucket + 1) * (hi - lo) / 20.0, 6) AS hi6,
+        |  COALESCE(c.n, 0) AS n
+        |FROM g CROSS JOIN b LEFT JOIN c ON g.bucket = c.bucket
+        |ORDER BY g.bucket""".stripMargin,
     "q126_quality_gate" ->
       """WITH rl AS (
         |  SELECT COUNT(*) AS n,

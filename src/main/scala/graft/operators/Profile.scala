@@ -103,4 +103,91 @@ object Profile {
       .select(col("col_name"), col("__e.id").as("value"),
         col("__e.score").cast("long").as("n"))
   }
+
+  /** Equi-width histogram of a numeric column over `[lo, hi]`: bucket
+    * `i` covers `[lo + i·w, lo + (i+1)·w)` with `w = (hi − lo) / bins`
+    * and the TOP bucket closed (a value exactly at `hi` lands in
+    * bucket `bins−1`, not a phantom overflow bucket); values outside
+    * the bounds CLAMP into the edge buckets, so a frame scored against
+    * reference bounds (the [[drift]] use) never drops rows. NULLs are
+    * excluded. Every bucket appears in the output, zero-filled —
+    * downstream distribution math ([[drift]], plotting) needs the
+    * empty cells.
+    *
+    * Scale shape: bucket assignment is map-only arithmetic, the count
+    * shuffle is bins-bounded, and the zero-fill joins a `spark.range
+    * (bins)` frame AQE broadcasts. Bounds come from the caller —
+    * compute them once via [[profile]] (or domain knowledge) rather
+    * than forcing a second scan here.
+    *
+    * Output: (`bucket`, `lo`, `hi`, `n`).
+    */
+  def histogram(
+      df: DataFrame,
+      c: String,
+      bins: Int,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(bins >= 1, s"bins ($bins) must be >= 1")
+    require(hi > lo, s"hi ($hi) must be > lo ($lo)")
+    val v = col(c).cast("double")
+    val raw = floor((v - lit(lo)) * lit(bins.toDouble) / (lit(hi) - lit(lo)))
+      .cast("int")
+    val bucket = least(greatest(raw, lit(0)), lit(bins - 1))
+    val counts = df.filter(v.isNotNull)
+      .select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    df.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * (lit(hi) - lit(lo)) / lit(bins.toDouble))
+          .as("lo"),
+        (lit(lo) + (col("bucket") + 1) * (lit(hi) - lit(lo)) / lit(bins.toDouble))
+          .as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Population Stability Index between a REFERENCE frame and a
+    * CURRENT frame on one numeric column — the standard drift alarm of
+    * model monitoring: bucket both distributions with the SAME
+    * reference-derived bounds ([[histogram]] with clamping, so
+    * out-of-range current values land in edge buckets instead of
+    * vanishing), then
+    * `PSI = Σ_buckets (p_ref − p_cur) · ln(p_ref / p_cur)` with
+    * proportions floored at `eps` so empty cells contribute a large
+    * finite surprise instead of ±∞. Rule of thumb: < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 act.
+    *
+    * Output: one row per bucket (`bucket`, `n_ref`, `n_cur`, `psi`
+    * contribution) — `sum(psi)` is the index; per-bucket rows show
+    * WHERE the distribution moved, which is what an on-call engineer
+    * actually asks. Two bins-bounded aggregations, one broadcast-sized
+    * join; the scans are the only corpus-sized work.
+    */
+  def drift(
+      reference: DataFrame,
+      current: DataFrame,
+      c: String,
+      bins: Int,
+      lo: Double,
+      hi: Double,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0, s"eps ($eps) must be positive")
+    val r = histogram(reference, c, bins, lo, hi)
+      .select(col("bucket"), col("n").as("n_ref"))
+    val u = histogram(current, c, bins, lo, hi)
+      .select(col("bucket"), col("n").as("n_cur"))
+    val joined = r.join(u, "bucket")
+    val tot = joined.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+      .collect()(0)
+    require(tot.getLong(0) > 0 && tot.getLong(1) > 0,
+      "drift needs non-empty reference and current frames")
+    def p(n: Column, t: Long) =
+      greatest(n.cast("double") / lit(t.toDouble), lit(eps))
+    val pr = p(col("n_ref"), tot.getLong(0))
+    val pc = p(col("n_cur"), tot.getLong(1))
+    joined.select(col("bucket"), col("n_ref"), col("n_cur"),
+      ((pr - pc) * log(pr / pc)).as("psi"))
+  }
 }

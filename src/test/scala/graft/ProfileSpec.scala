@@ -43,6 +43,36 @@ class ProfileSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("histogram: hand-computed buckets, clamping, top bucket closed, zero-fill, null skip") {
+    val df = table("v double", Seq(
+      row(0.0), row(2.5), row(5.0), row(9.9), row(10.0), // 10.0 -> top bucket
+      row(-3.0), row(42.0),                              // clamp into edges
+      row(null)))                                        // excluded
+    val got = Profile.histogram(df, "v", bins = 4, lo = 0.0, hi = 10.0)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    // width 2.5: [0,2.5)={0,-3}, [2.5,5)={2.5}, [5,7.5)={5}, [7.5,10]={9.9,10,42}
+    assert(got == Seq(
+      (0, 0.0, 2.5, 2L), (1, 2.5, 5.0, 1L),
+      (2, 5.0, 7.5, 1L), (3, 7.5, 10.0, 3L)), got.toString)
+  }
+
+  test("drift: identical distributions score ~0; a shifted one scores high") {
+    val ref = table("v double",
+      (1 to 50).map(i => row(i.toDouble)) ++ (1 to 50).map(i => row(i.toDouble + 50)))
+    val same = Profile.drift(ref, ref, "v", bins = 10, lo = 1.0, hi = 100.0)
+      .agg(sum(col("psi"))).collect()(0).getDouble(0)
+    assert(math.abs(same) < 1e-12, s"self-PSI $same")
+    // everything moved into the top half
+    val cur = table("v double", (1 to 100).map(i => row(50.0 + i / 2.0)))
+    val psi = Profile.drift(ref, cur, "v", bins = 10, lo = 1.0, hi = 100.0)
+      .agg(sum(col("psi"))).collect()(0).getDouble(0)
+    assert(psi > 0.25, s"shifted PSI $psi should flag")
+    // empty reference cells hit the eps floor, stay finite
+    assert(!psi.isInfinite && !psi.isNaN)
+  }
+
   test("topValues: top-k by count, ties break by value asc, nulls dropped") {
     val top = Profile.topValues(frame, Seq("lang", "score"), k = 2)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
