@@ -2414,6 +2414,127 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  // ---------------------------------------------------------------- q129
+  /** Classifier evaluation ([[graft.operators.Eval.confusionAtThreshold]]
+    * + [[graft.operators.Eval.rocAuc]]): q112's NB gate scored on its
+    * own training corpus, judged as one long-form metric table —
+    * confusion counts at the rounded-log-odds > 0 threshold, the
+    * derived accuracy/precision/recall/F1, and exact Mann-Whitney
+    * ROC-AUC with average ranks over the 6-decimal-rounded scores.
+    * Counts are integers and every derived metric is ONE IEEE division
+    * of exact longs (AUC's rank statistic is pure integer arithmetic),
+    * so the whole frame is hash-exact with no rounding gate. The
+    * oracle retrains the model (q112's chain), recomputes the
+    * confusion cells, and replays the tie-averaged rank sum. */
+  private def q129ClassifierEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Classify, Eval}
+    val docs = Tables.documents(s, dir)
+      .withColumn("label", col("lang") === "en")
+    val model = Classify.trainNaiveBayes(docs, "text", "label")
+    val scored = Classify.scoreNaiveBayes(docs, "doc_id", "text", model)
+      .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .select(col("label"), round(col("log_odds"), 6).as("sc"))
+    val cm = Eval.confusionAtThreshold(scored, "label", "sc", 0.0)
+    val auc = Eval.rocAuc(scored, "label", "sc")
+    def longForm(df: DataFrame, cols: Seq[String]): DataFrame =
+      df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("metric"), col(c).cast("double").as("value"))): _*))
+          .as("kv"))
+        .select(col("kv.metric"), col("kv.value"))
+    longForm(cm, Seq("n", "tp", "fp", "tn", "fn",
+        "accuracy", "precision", "recall", "f1"))
+      .unionByName(longForm(auc, Seq("n_pos", "n_neg", "auc")))
+      .orderBy("metric")
+  }
+
+  // ---------------------------------------------------------------- q130
+  /** Calibration table ([[graft.operators.Eval.calibrationBins]]):
+    * q112's NB scores bucketed into 10 equi-width cells over the
+    * corpus' own rounded-score [min, max] (two driver scalars, the
+    * q127 pattern), each cell reporting observed positive rate vs the
+    * DECIMAL-exact mean claimed score. Counts and `frac_pos` are
+    * integer-exact; `mean_score` divides an exact DECIMAL(38,6) sum
+    * once, so it rides the 6-decimal gate only to absorb the final
+    * double cast. */
+  private def q130Calibration(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Classify, Eval}
+    val docs = Tables.documents(s, dir)
+      .withColumn("label", col("lang") === "en")
+    val model = Classify.trainNaiveBayes(docs, "text", "label")
+    val scored = Classify.scoreNaiveBayes(docs, "doc_id", "text", model)
+      .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .select(col("label"), round(col("log_odds"), 6).as("sc"))
+    val Array(b) = scored.agg(min(col("sc")).as("lo"), max(col("sc")).as("hi"))
+      .collect()
+    Eval.calibrationBins(scored, "label", "sc", 10,
+        b.getDouble(0), b.getDouble(1))
+      .select(col("bucket"), round(col("lo"), 6).as("lo6"),
+        round(col("hi"), 6).as("hi6"), col("n"), col("n_pos"),
+        col("frac_pos"), round(col("mean_score"), 6).as("mean_score6"))
+      .orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------- q131
+  /** Incremental aggregate maintenance
+    * ([[graft.operators.Maintain.summarize]] +
+    * [[graft.operators.Maintain.merge]]): the monthly
+    * (returnflag, linestatus, ship-month) rollup of lineitem kept
+    * current by folding the 1996+ shard's summary into the pre-1996
+    * base summary — the base FACT rows are never rescanned, which is
+    * the entire point at 100 TB. Because every maintained statistic is
+    * algebraic (count / DECIMAL-exact sums / min / max), the fold
+    * provably equals the full recompute the oracle runs; the derived
+    * mean divides the exact sums once. All counts and decimal sums are
+    * integer/decimal-exact; doubles are single-division results — the
+    * whole frame is hash-exact with no rounding gate. */
+  private def q131IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Maintain
+    val spec = Maintain.SummarySpec(
+      sums = Seq("qty_d", "price_d"),
+      mins = Seq("l_discount"), maxs = Seq("l_discount"))
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"), col("l_linestatus"),
+      (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("int").as("ship_month"),
+      col("l_quantity").cast("decimal(18,2)").as("qty_d"),
+      col("l_extendedprice").cast("decimal(18,2)").as("price_d"),
+      col("l_discount"), col("l_shipdate"))
+    val split = lit("1996-01-01").cast("timestamp_ntz")
+    val keys = Seq("l_returnflag", "l_linestatus", "ship_month")
+    val base = Maintain.summarize(li.filter(col("l_shipdate") < split), keys, spec)
+    val delta = Maintain.summarize(li.filter(col("l_shipdate") >= split), keys, spec)
+    Maintain.merge(base, delta, keys, spec)
+      .select(col("l_returnflag"), col("l_linestatus"), col("ship_month"),
+        col("n"),
+        col("qty_d_sum").cast("double").as("sum_qty"),
+        col("price_d_sum").cast("double").as("sum_price"),
+        col("l_discount_min").as("min_disc"),
+        col("l_discount_max").as("max_disc"),
+        (col("qty_d_sum").cast("double") / col("n").cast("double"))
+          .as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus", "ship_month")
+  }
+
+  // ---------------------------------------------------------------- q132
+  /** Multi-touch attribution
+    * ([[graft.operators.Events.attributeConversions]]): every purchase
+    * credited linearly (1/k) across the same user's view/click touches
+    * in the trailing 7 days. Touch and conversion frames are
+    * type-filtered at the scan, meet in one equi join on the user with
+    * the window predicate as a post-probe filter, and the per-purchase
+    * touch count runs conversion-bounded. The oracle replays the join,
+    * the window rule's half-open bounds, and every 1/k split —
+    * timestamps and counts integer-exact, the weight one IEEE division
+    * of exact integers. */
+  private def q132Attribution(s: SparkSession, dir: String): DataFrame = {
+    Events.attributeConversions(
+        Tables.events(s, dir).select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_type", "event_id",
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        lookbackUs = 7L * 24 * 3600 * 1000000, model = "linear")
+      .orderBy("conv_id", "touch_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2543,6 +2664,10 @@ object SparkEntry {
     "q126_quality_gate" -> (q126QualityGate _),
     "q127_histogram" -> (q127Histogram _),
     "q128_psi_drift" -> (q128PsiDrift _),
+    "q129_classifier_eval" -> (q129ClassifierEval _),
+    "q130_calibration" -> (q130Calibration _),
+    "q131_incremental_rollup" -> (q131IncrementalRollup _),
+    "q132_attribution" -> (q132Attribution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4186,6 +4311,175 @@ object SparkEntry {
         |  a.min_train_id
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
+    "q131_incremental_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ship_month,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  MIN(l_discount) AS min_disc,
+        |  MAX(l_discount) AS max_disc,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        |FROM lineitem
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q132_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS touch_ts_us,
+        |    event_type AS touch_type, event_id AS touch_id
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), c AS (
+        |  SELECT user_id, epoch_us(ts) AS conv_ts_us, event_id AS conv_id
+        |  FROM events WHERE event_type = 'purchase'
+        |), j AS (
+        |  SELECT c.user_id, c.conv_id, c.conv_ts_us,
+        |    t.touch_id, t.touch_type, t.touch_ts_us
+        |  FROM c JOIN t ON c.user_id = t.user_id
+        |  WHERE t.touch_ts_us <= c.conv_ts_us
+        |    AND t.touch_ts_us > c.conv_ts_us - 604800000000
+        |)
+        |SELECT user_id, conv_id, conv_ts_us, touch_id, touch_type,
+        |  touch_ts_us,
+        |  1.0 / CAST(COUNT(*) OVER (PARTITION BY conv_id) AS DOUBLE)
+        |    AS weight
+        |FROM j
+        |ORDER BY conv_id, touch_id""".stripMargin,
+    "q129_classifier_eval" ->
+      """WITH tk AS (
+        |  SELECT doc_id, (lang = 'en') AS pos,
+        |    unnest(string_split_regex(trim(text), ' +')) AS token
+        |  FROM documents
+        |), cc AS (
+        |  SELECT token,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cneg
+        |  FROM tk GROUP BY token
+        |), scal AS (
+        |  SELECT SUM(cpos) AS totpos, SUM(cneg) AS totneg, COUNT(*) AS v
+        |  FROM cc
+        |), nd AS (
+        |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS npos,
+        |    COUNT(*) AS ntot
+        |  FROM documents
+        |), lp AS (
+        |  SELECT cc.token,
+        |    ln((cc.cpos + 1.0) / (s.totpos + CAST(s.v AS DOUBLE))) AS lppos,
+        |    ln((cc.cneg + 1.0) / (s.totneg + CAST(s.v AS DOUBLE))) AS lpneg
+        |  FROM cc CROSS JOIN scal s
+        |), dtf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token
+        |), sc AS (
+        |  SELECT dtf.doc_id, SUM(dtf.tf * (lp.lppos - lp.lpneg)) AS sd
+        |  FROM dtf JOIN lp USING (token) GROUP BY dtf.doc_id
+        |), scored AS (
+        |  SELECT (d.lang = 'en') AS label,
+        |    ROUND(ln(CAST(nd.npos AS DOUBLE) / CAST(nd.ntot - nd.npos AS DOUBLE))
+        |      + COALESCE(sc.sd, 0.0), 6) AS s
+        |  FROM documents d CROSS JOIN nd
+        |  LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |), cm AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN label AND s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN NOT label AND s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN NOT label AND NOT (s > 0) THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN label AND NOT (s > 0) THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM scored
+        |), sg AS (
+        |  SELECT s, COUNT(*) AS cn,
+        |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM scored GROUP BY s
+        |), pg AS (
+        |  SELECT cn, np, COALESCE(CAST(SUM(cn) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+        |  FROM sg
+        |), tot AS (
+        |  SELECT CAST(SUM(np) AS BIGINT) AS npos,
+        |    CAST(SUM(cn - np) AS BIGINT) AS nneg,
+        |    CAST(SUM(np * (2 * cb + cn + 1)) AS BIGINT) AS rs2
+        |  FROM pg
+        |)
+        |SELECT metric, value FROM (
+        |  SELECT 'n' AS metric, CAST(n AS DOUBLE) AS value FROM cm
+        |  UNION ALL SELECT 'tp', CAST(tp AS DOUBLE) FROM cm
+        |  UNION ALL SELECT 'fp', CAST(fp AS DOUBLE) FROM cm
+        |  UNION ALL SELECT 'tn', CAST(tn AS DOUBLE) FROM cm
+        |  UNION ALL SELECT 'fn', CAST(fn AS DOUBLE) FROM cm
+        |  UNION ALL SELECT 'accuracy', CASE WHEN n <> 0
+        |    THEN CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) END FROM cm
+        |  UNION ALL SELECT 'precision', CASE WHEN tp + fp <> 0
+        |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END FROM cm
+        |  UNION ALL SELECT 'recall', CASE WHEN tp + fn <> 0
+        |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END FROM cm
+        |  UNION ALL SELECT 'f1', CASE WHEN 2 * tp + fp + fn <> 0
+        |    THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END
+        |    FROM cm
+        |  UNION ALL SELECT 'n_pos', CAST(npos AS DOUBLE) FROM tot
+        |  UNION ALL SELECT 'n_neg', CAST(nneg AS DOUBLE) FROM tot
+        |  UNION ALL SELECT 'auc', CASE WHEN npos > 0 AND nneg > 0
+        |    THEN CAST(rs2 - npos * (npos + 1) AS DOUBLE)
+        |      / CAST(2 * npos * nneg AS DOUBLE) END FROM tot
+        |)
+        |ORDER BY metric""".stripMargin,
+    "q130_calibration" ->
+      """WITH tk AS (
+        |  SELECT doc_id, (lang = 'en') AS pos,
+        |    unnest(string_split_regex(trim(text), ' +')) AS token
+        |  FROM documents
+        |), cc AS (
+        |  SELECT token,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cneg
+        |  FROM tk GROUP BY token
+        |), scal AS (
+        |  SELECT SUM(cpos) AS totpos, SUM(cneg) AS totneg, COUNT(*) AS v
+        |  FROM cc
+        |), nd AS (
+        |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS npos,
+        |    COUNT(*) AS ntot
+        |  FROM documents
+        |), lp AS (
+        |  SELECT cc.token,
+        |    ln((cc.cpos + 1.0) / (s.totpos + CAST(s.v AS DOUBLE))) AS lppos,
+        |    ln((cc.cneg + 1.0) / (s.totneg + CAST(s.v AS DOUBLE))) AS lpneg
+        |  FROM cc CROSS JOIN scal s
+        |), dtf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token
+        |), sc AS (
+        |  SELECT dtf.doc_id, SUM(dtf.tf * (lp.lppos - lp.lpneg)) AS sd
+        |  FROM dtf JOIN lp USING (token) GROUP BY dtf.doc_id
+        |), scored AS (
+        |  SELECT (d.lang = 'en') AS label,
+        |    ROUND(ln(CAST(nd.npos AS DOUBLE) / CAST(nd.ntot - nd.npos AS DOUBLE))
+        |      + COALESCE(sc.sd, 0.0), 6) AS s
+        |  FROM documents d CROSS JOIN nd
+        |  LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |), b AS (
+        |  SELECT MIN(s) AS lo, MAX(s) AS hi FROM scored
+        |), per AS (
+        |  SELECT LEAST(GREATEST(CAST(FLOOR(
+        |      (s - lo) * 10.0 / (hi - lo)) AS INT), 0), 9) AS bucket,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    SUM(CAST(s AS DECIMAL(28,6))) AS ssum
+        |  FROM scored, b GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(UNNEST(range(10)) AS INT) AS bucket
+        |)
+        |SELECT g.bucket,
+        |  ROUND(lo + g.bucket * (hi - lo) / 10.0, 6) AS lo6,
+        |  ROUND(lo + (g.bucket + 1) * (hi - lo) / 10.0, 6) AS hi6,
+        |  COALESCE(per.n, 0) AS n,
+        |  COALESCE(per.n_pos, 0) AS n_pos,
+        |  CASE WHEN per.n > 0
+        |    THEN CAST(per.n_pos AS DOUBLE) / CAST(per.n AS DOUBLE) END
+        |    AS frac_pos,
+        |  CASE WHEN per.n > 0
+        |    THEN ROUND(CAST(per.ssum AS DOUBLE) / CAST(per.n AS DOUBLE), 6) END
+        |    AS mean_score6
+        |FROM g CROSS JOIN b LEFT JOIN per ON g.bucket = per.bucket
+        |ORDER BY g.bucket""".stripMargin,
     "q128_psi_drift" ->
       """WITH b AS (
         |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi

@@ -110,4 +110,145 @@ object Eval {
         coalesce(lit(1.0) / col("__minr").cast("double"), lit(0.0)).as("mrr"),
         coalesce(col("__dcg") / idcg, lit(0.0)).as("ndcg"))
   }
+
+  /** Binary-classifier threshold metrics in ONE algebraic pass: the
+    * confusion counts (tp/fp/tn/fn at `score > threshold`) plus the
+    * standard derived rates. Every derived value is a single IEEE
+    * division of exact integer counts, so the output is deterministic
+    * bit-for-bit — no rounding gate needed. Degenerate denominators
+    * (no predicted positives, a single-class eval set) yield NULL
+    * instead of NaN, so a dashboard reads "undefined", not garbage.
+    *
+    * Output: one row — (n, tp, fp, tn, fn, accuracy, precision,
+    * recall, f1). Scale shape: four conditional sums over one scan,
+    * map-side combined; one row crosses the exchange per partition.
+    */
+  def confusionAtThreshold(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      threshold: Double = 0.0): DataFrame = {
+    val y = col(labelCol).cast("boolean")
+    val p = col(scoreCol).cast("double") > lit(threshold)
+    val cnt = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    val d = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      when(b =!= 0L, a.cast("double") / b.cast("double"))
+    scored.agg(
+        count(lit(1)).as("n"),
+        cnt(y && p).as("tp"), cnt(!y && p).as("fp"),
+        cnt(!y && !p).as("tn"), cnt(y && !p).as("fn"))
+      .select(col("*"),
+        d(col("tp") + col("tn"), col("n")).as("accuracy"),
+        d(col("tp"), col("tp") + col("fp")).as("precision"),
+        d(col("tp"), col("tp") + col("fn")).as("recall"),
+        // 2tp / (2tp + fp + fn) — the tp-weighted harmonic mean, exact
+        // as one division and defined whenever any of the three is
+        // nonzero (precision/recall formulation NaNs on empty slices)
+        d(lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"))
+  }
+
+  /** Exact ROC-AUC as the Mann-Whitney U rank statistic with average
+    * ranks for ties — the threshold-free quality number for a learned
+    * gate ([[Classify]] scores, quality models, dedup scorers).
+    *
+    * Scores are rounded to `roundDigits` BEFORE ranking: ranking raw
+    * doubles would let a 1-ulp cross-engine difference flip the order
+    * of two near-equal scores, whereas identical rounded values tie
+    * and tie-averaging is order-free. With rounded scores the whole
+    * statistic is integer arithmetic — per distinct score `s` with
+    * `n_s` rows (`np_s` positive) and `cb_s` rows strictly below it,
+    * twice the positive rank-sum is `Σ np_s · (2·cb_s + n_s + 1)` —
+    * and `auc = (ranksum2 − npos·(npos+1)) / (2·npos·nneg)` is ONE
+    * division of exact longs. NULL when the eval set is single-class.
+    *
+    * Scale shape: one map-side-combined aggregation onto distinct
+    * scores, then [[General.withRunningTotal]]'s range-partitioned
+    * two-pass prefix sum for `cb_s` — never a single-partition window
+    * — and a final scalar aggregation. The exchange is bounded by
+    * distinct score values, the sort is range-partitioned.
+    *
+    * Output: one row — (n_pos, n_neg, auc).
+    */
+  def rocAuc(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    val y = col(labelCol).cast("boolean")
+    val byScore = scored
+      .select(round(col(scoreCol).cast("double"), roundDigits).as("__sc"), y.as("__y"))
+      .groupBy("__sc")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__np"))
+    val ranked = General.withRunningTotal(byScore, Seq("__sc"), "__n", "__cb")
+    ranked.agg(
+        sum(col("__np")).as("n_pos"),
+        sum(col("__n") - col("__np")).as("n_neg"),
+        sum(col("__np") * (lit(2L) * col("__cb") + col("__n") + lit(1L)))
+          .as("__rs2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          (col("__rs2") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .as("auc"))
+  }
+
+  /** Reliability diagram / calibration table: scores bucketed
+    * equi-width over [lo, hi] (the [[Profile.histogram]] arithmetic —
+    * clamping edge buckets, zero-filled cells), each bucket reporting
+    * how often the positive class actually occurred vs the mean score
+    * claimed. A well-calibrated probability column has
+    * `frac_pos ≈ mean_score` per bucket; a learned gate that is sharp
+    * but miscalibrated shows it here before anyone trusts its
+    * threshold.
+    *
+    * Determinism: scores are rounded to 6 decimals and summed as
+    * DECIMAL(28, 6) — double summation order across partitions is not
+    * deterministic, decimal addition is exact — then divided once for
+    * the mean; `frac_pos` is a single division of counts.
+    *
+    * Output: one row per bucket — (bucket, lo, hi, n, n_pos,
+    * frac_pos, mean_score). Scale shape: one map-only bucket
+    * assignment + one bins-bounded aggregation; the zero-fill join is
+    * a bins-sized broadcast.
+    */
+  def calibrationBins(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(bins >= 1, s"bins ($bins) must be >= 1")
+    require(hi > lo, s"hi ($hi) must be > lo ($lo)")
+    val v = col(scoreCol).cast("double")
+    val raw = floor((v - lit(lo)) * lit(bins.toDouble) / (lit(hi) - lit(lo)))
+      .cast("int")
+    val bucket = least(greatest(raw, lit(0)), lit(bins - 1))
+    val per = scored.filter(v.isNotNull)
+      .select(bucket.as("bucket"),
+        col(labelCol).cast("boolean").as("__y"),
+        round(v, 6).cast("decimal(28,6)").as("__s6"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__s6")).as("__ssum"))
+    scored.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bucket"))
+      .join(per, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * (lit(hi) - lit(lo)) / lit(bins.toDouble))
+          .as("lo"),
+        (lit(lo) + (col("bucket") + 1) * (lit(hi) - lit(lo)) / lit(bins.toDouble))
+          .as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        when(col("n") > 0L,
+          col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"),
+        when(col("n") > 0L,
+          col("__ssum").cast("double") / col("n").cast("double"))
+          .as("mean_score"))
+  }
 }

@@ -358,4 +358,71 @@ object Events {
       .select(col("from_state"), col("to_state"), col("n"),
         (col("n").cast("double") / col("__tot").cast("double")).as("p"))
   }
+
+  /** Multi-touch conversion attribution: every `convType` event is
+    * credited to the `touchTypes` events of the SAME key inside its
+    * lookback window `(conv_ts − lookbackUs, conv_ts]` — the
+    * marketing/growth question "which click earned this purchase"
+    * next to [[funnel]]'s fixed-path view. Two models:
+    * `"linear"` splits the credit evenly (`1/k` over the k qualifying
+    * touches — one IEEE division of exact integers, deterministic),
+    * `"last_touch"` emits ONLY the latest qualifying touch with
+    * weight 1 (ties broken by the id column, so equal timestamps
+    * cannot make the winner partition-dependent). Conversions with no
+    * qualifying touch produce no rows — the unattributed remainder is
+    * the caller's `anti_join`, not a silent zero row.
+    *
+    * Scale shape: touches and conversions are type-filtered BEFORE
+    * the join (predicates reach the scan), meet in ONE equi join on
+    * the key with the window condition as a post-probe filter — never
+    * a theta join, because per-key activity is bounded — and the
+    * per-conversion count/rank runs in a window partitioned by the
+    * conversion event (touch-window-bounded, never corpus-wide).
+    *
+    * Output: (key, conv_id, conv_ts_us, touch_id, touch_type,
+    * touch_ts_us, weight).
+    */
+  def attributeConversions(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      touchTypes: Seq[String],
+      convType: String,
+      lookbackUs: Long,
+      model: String = "linear"): DataFrame = {
+    require(lookbackUs > 0L, s"lookbackUs ($lookbackUs) must be positive")
+    require(touchTypes.nonEmpty, "attributeConversions needs touch types")
+    require(!touchTypes.contains(convType),
+      s"conversion type '$convType' cannot also be a touch type")
+    require(Seq("linear", "last_touch").contains(model),
+      s"unknown attribution model '$model' (linear | last_touch)")
+    val base = df.select(col(keyCol).as("__k"),
+      unix_micros(col(tsCol)).as("__t"), col(typeCol).as("__ty"),
+      col(idCol).as("__id"))
+    val touches = base.filter(col("__ty").isin(touchTypes.map(lit): _*))
+      .select(col("__k"), col("__t").as("touch_ts_us"),
+        col("__ty").as("touch_type"), col("__id").as("touch_id"))
+    val convs = base.filter(col("__ty") === convType)
+      .select(col("__k"), col("__t").as("conv_ts_us"),
+        col("__id").as("conv_id"))
+    val joined = convs.join(touches, Seq("__k"))
+      .filter(col("touch_ts_us") <= col("conv_ts_us") &&
+        col("touch_ts_us") > col("conv_ts_us") - lit(lookbackUs))
+    val w = Window.partitionBy(col("conv_id"))
+    val weighted = model match {
+      case "linear" =>
+        joined.withColumn("weight",
+          lit(1.0) / count(lit(1)).over(w).cast("double"))
+      case "last_touch" =>
+        joined.withColumn("__rk", row_number().over(
+            w.orderBy(col("touch_ts_us").desc, col("touch_id").desc)))
+          .filter(col("__rk") === 1)
+          .drop("__rk").withColumn("weight", lit(1.0))
+    }
+    weighted.select(col("__k").as(keyCol), col("conv_id"),
+      col("conv_ts_us"), col("touch_id"), col("touch_type"),
+      col("touch_ts_us"), col("weight"))
+  }
 }

@@ -73,4 +73,89 @@ class EvalSpec extends AnyFunSuite {
     assert(math.abs(mrr - 1.0) < 1e-12)
     assert(math.abs(ndcg - 1.0) < 1e-12)
   }
+
+  private def scoredTable(rows: Seq[(Boolean, Double)]) =
+    table("label boolean, score double",
+      rows.map { case (y, s) => row(y, s) })
+
+  test("confusionAtThreshold: hand-computed cells; degenerate slices go NULL") {
+    val got = Eval.confusionAtThreshold(
+        scoredTable(Seq((true, 2.0), (true, -1.0), (false, 1.0), (false, -2.0))),
+        "label", "score", 0.0)
+      .collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) == ((4L, 1L, 1L, 1L, 1L)))
+    assert(got.getDouble(5) == 0.5 && got.getDouble(6) == 0.5 &&
+      got.getDouble(7) == 0.5 && got.getDouble(8) == 0.5)
+    // nothing predicted positive -> precision undefined (NULL), f1 still
+    // defined through the 2tp/(2tp+fp+fn) form
+    val none = Eval.confusionAtThreshold(
+        scoredTable(Seq((true, -1.0), (false, -2.0))), "label", "score", 0.0)
+      .collect()(0)
+    assert(none.isNullAt(6))
+    assert(none.getDouble(8) == 0.0)
+  }
+
+  test("rocAuc: tie-averaged hand case, perfect separation, single-class NULL") {
+    // pos {3, 1}, neg {1, 0}: avg ranks 1 / 2.5 / 2.5 / 4 -> auc 7/8
+    val got = Eval.rocAuc(
+        scoredTable(Seq((true, 3.0), (true, 1.0), (false, 1.0), (false, 0.0))),
+        "label", "score")
+      .collect()(0)
+    assert((got.getLong(0), got.getLong(1)) == ((2L, 2L)))
+    assert(got.getDouble(2) == 0.875)
+    val perfect = Eval.rocAuc(
+        scoredTable(Seq((true, 2.0), (true, 1.5), (false, 1.0), (false, 0.5))),
+        "label", "score").collect()(0)
+    assert(perfect.getDouble(2) == 1.0)
+    val anti = Eval.rocAuc(
+        scoredTable(Seq((false, 2.0), (true, 1.0))), "label", "score")
+      .collect()(0)
+    assert(anti.getDouble(2) == 0.0)
+    val single = Eval.rocAuc(
+        scoredTable(Seq((true, 2.0), (true, 1.0))), "label", "score")
+      .collect()(0)
+    assert(single.isNullAt(2))
+  }
+
+  test("rocAuc: agrees with brute-force pair counting on random scored data") {
+    val rnd = new scala.util.Random(11)
+    // coarse scores force plenty of cross-class ties
+    val rows = (0 until 300).map(_ =>
+      (rnd.nextBoolean(), (rnd.nextInt(21) - 10) / 10.0))
+    val got = Eval.rocAuc(scoredTable(rows), "label", "score")
+      .collect()(0).getDouble(2)
+    val pos = rows.filter(_._1).map(_._2)
+    val neg = rows.filterNot(_._1).map(_._2)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val exp = wins / (pos.size.toDouble * neg.size.toDouble)
+    assert(math.abs(got - exp) < 1e-12, s"$got vs $exp")
+  }
+
+  test("calibrationBins: hand-computed cells, clamping, zero-fill, decimal mean") {
+    // bins=2 over [0, 1]: scores 0.1, 0.3 -> bucket 0; 1.4 clamps to 1;
+    // bucket 1 otherwise empty except the clamp; a NULL score is skipped
+    val df = table("label boolean, score double",
+      Seq(row(true, 0.1), row(false, 0.3), row(true, 1.4),
+        row(false, null)))
+    val got = Eval.calibrationBins(df, "label", "score", 2, 0.0, 1.0)
+      .orderBy("bucket").collect()
+    assert(got.length == 2)
+    val b0 = got(0)
+    assert(b0.getLong(3) == 2L && b0.getLong(4) == 1L)
+    assert(b0.getDouble(5) == 0.5)
+    assert(math.abs(b0.getDouble(6) - 0.2) < 1e-12) // (0.1+0.3)/2 exact in decimal
+    val b1 = got(1)
+    assert(b1.getLong(3) == 1L && b1.getLong(4) == 1L)
+    assert(b1.getDouble(5) == 1.0 && b1.getDouble(6) == 1.4)
+    // an empty middle bucket still appears, metrics NULL
+    val sparse = Eval.calibrationBins(
+        table("label boolean, score double", Seq(row(true, 0.05), row(false, 0.95))),
+        "label", "score", 3, 0.0, 1.0)
+      .orderBy("bucket").collect()
+    assert(sparse.length == 3)
+    assert(sparse(1).getLong(3) == 0L && sparse(1).isNullAt(5) &&
+      sparse(1).isNullAt(6))
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Maintain
+import graft.operators.Maintain.SummarySpec
+import graft.testkit.SparkTestKit._
+
+class MaintainSpec extends AnyFunSuite {
+
+  private val spec = SummarySpec(
+    sums = Seq("v"), mins = Seq("v"), maxs = Seq("v"))
+
+  private def facts(rows: Seq[(String, java.math.BigDecimal)]) =
+    table("k string, v decimal(18,2)",
+      rows.map { case (k, v) => row(k, v) })
+
+  private def bd(s: String) = new java.math.BigDecimal(s)
+
+  test("merge: hand-computed fold — overlapping keys combine, new keys appear") {
+    val base = Maintain.summarize(
+      facts(Seq("a" -> bd("1.00"), "a" -> bd("2.50"), "b" -> bd("4.00"))),
+      Seq("k"), spec)
+    val delta = Maintain.summarize(
+      facts(Seq("a" -> bd("-3.00"), "c" -> bd("7.25"))),
+      Seq("k"), spec)
+    val got = Maintain.merge(base, delta, Seq("k"), spec)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString,
+        r.getDecimal(3).toPlainString, r.getDecimal(4).toPlainString))
+      .toSeq
+    assert(got == Seq(
+      ("a", 3L, "0.50", "-3.00", "2.50"),
+      ("b", 1L, "4.00", "4.00", "4.00"),
+      ("c", 1L, "7.25", "7.25", "7.25")), got.toString)
+  }
+
+  test("merge == full recompute on random shard splits (the algebraic contract)") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 200).map { _ =>
+      (s"k${rnd.nextInt(12)}",
+        bd((rnd.nextInt(20001) - 10000).toString).movePointLeft(2))
+    }
+    val (a, b) = rows.splitAt(rnd.nextInt(rows.size))
+    val full = Maintain.summarize(facts(rows), Seq("k"), spec)
+      .orderBy("k").collect()
+    val merged = Maintain.merge(
+        Maintain.summarize(facts(a), Seq("k"), spec),
+        Maintain.summarize(facts(b), Seq("k"), spec), Seq("k"), spec)
+      .orderBy("k").collect()
+    assert(full.length == merged.length)
+    full.zip(merged).foreach { case (f, m) =>
+      assert(f.getString(0) == m.getString(0))
+      assert(f.getLong(1) == m.getLong(1))
+      // decimal types widen differently (sum-once vs sum-of-sums) but
+      // the VALUES must be identical — exact decimal arithmetic
+      (2 to 4).foreach { i =>
+        assert(f.getDecimal(i).compareTo(m.getDecimal(i)) == 0,
+          s"col $i: ${f.getDecimal(i)} vs ${m.getDecimal(i)}")
+      }
+    }
+  }
+
+  test("merge: a missing summary column fails loudly; empty spec rejected") {
+    val base = Maintain.summarize(facts(Seq("a" -> bd("1.00"))), Seq("k"), spec)
+    val bad = base.drop("v_min")
+    val e = intercept[IllegalArgumentException] {
+      Maintain.merge(base, bad, Seq("k"), spec)
+    }
+    assert(e.getMessage.contains("v_min"))
+    intercept[IllegalArgumentException] { SummarySpec() }
+  }
+}

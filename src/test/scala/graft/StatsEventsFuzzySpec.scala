@@ -294,6 +294,55 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
       got.toString)
   }
 
+  test("attributeConversions: linear split, window bounds half-open, orphan conversions dropped") {
+    def ev(rows: Seq[(Long, Long, Long, String)]) =
+      table("u bigint, t_us bigint, eid bigint, et string",
+          rows.map { case (u, t, e, ty) => row(u, t, e, ty) })
+        .select(col("u"), timestamp_micros(col("t_us")).as("ts"),
+          col("eid"), col("et"))
+    val df = ev(Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"),
+      (1L, 30L, 3L, "purchase"),     // both touches qualify -> 1/2 each
+      (1L, 50L, 4L, "purchase"),     // t=30 is a purchase, not a touch;
+                                     //   touches 10, 20 within 50-100
+      (2L, 10L, 5L, "view"),
+      (2L, 200L, 6L, "purchase"),    // touch at 200-100=100 bound: 10 <= 100
+                                     //   fails the strict > -> orphan
+      (3L, 70L, 7L, "view"),
+      (3L, 70L, 8L, "purchase")))    // equal ts: touch_ts <= conv_ts holds
+    val got = Events.attributeConversions(df, "u", "ts", "et", "eid",
+        Seq("view", "click"), "purchase", lookbackUs = 100L)
+      .orderBy("conv_id", "touch_id").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getString(4), r.getDouble(6)))
+      .toSeq
+    assert(got == Seq(
+      (3L, 1L, "view", 0.5), (3L, 2L, "click", 0.5),
+      (4L, 1L, "view", 0.5), (4L, 2L, "click", 0.5),
+      (8L, 7L, "view", 1.0)), got.toString)
+  }
+
+  test("attributeConversions: last_touch picks the latest, ties by id; validation raises") {
+    val df = table("u bigint, t_us bigint, eid bigint, et string", Seq(
+        row(1L, 10L, 1L, "view"), row(1L, 20L, 2L, "view"),
+        row(1L, 20L, 3L, "click"),   // tied with eid 2 — higher id wins
+        row(1L, 30L, 4L, "purchase")))
+      .select(col("u"), timestamp_micros(col("t_us")).as("ts"),
+        col("eid"), col("et"))
+    val got = Events.attributeConversions(df, "u", "ts", "et", "eid",
+        Seq("view", "click"), "purchase", lookbackUs = 100L,
+        model = "last_touch")
+      .collect().map(r => (r.getLong(3), r.getDouble(6))).toSeq
+    assert(got == Seq((3L, 1.0)), got.toString)
+    intercept[IllegalArgumentException] {
+      Events.attributeConversions(df, "u", "ts", "et", "eid",
+        Seq("view", "purchase"), "purchase", 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Events.attributeConversions(df, "u", "ts", "et", "eid",
+        Seq("view"), "purchase", 100L, model = "first_touch")
+    }
+  }
+
   test("transitionMatrix: hand-computed counts, sentinels, rows sum to 1") {
     // group 1: A B A   group 2: A B   (same user, two sessions)
     val df = table("u bigint, sid bigint, t_us bigint, et string", Seq(
