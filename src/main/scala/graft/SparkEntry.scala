@@ -2535,6 +2535,85 @@ object SparkEntry {
       .orderBy("conv_id", "touch_id")
   }
 
+  // ---------------------------------------------------------------- q133
+  /** Streaming incremental rollup
+    * ([[graft.streaming.StreamGate.replayIncrementalRollup]]): the
+    * SAME monthly lineitem summary as q131, maintained by a file
+    * stream folding each micro-batch's summary into a versioned
+    * parquet state table inside `foreachBatch` — and held to q131's
+    * VERBATIM full-recompute oracle, so batch fold and stream fold
+    * are two formulations of one ground truth (the q92/q101/q102
+    * pattern). Micro-batch partitioning provably cannot change the
+    * answer because every maintained statistic merges associatively
+    * and commutatively. */
+  private def q133StreamRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Maintain
+    val spec = Maintain.SummarySpec(
+      sums = Seq("qty_d", "price_d"),
+      mins = Seq("l_discount"), maxs = Seq("l_discount"))
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"), col("l_linestatus"),
+      (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("int").as("ship_month"),
+      col("l_quantity").cast("decimal(18,2)").as("qty_d"),
+      col("l_extendedprice").cast("decimal(18,2)").as("price_d"),
+      col("l_discount"))
+    val keys = Seq("l_returnflag", "l_linestatus", "ship_month")
+    graft.streaming.StreamGate.replayIncrementalRollup(li, keys, spec)
+      .select(col("l_returnflag"), col("l_linestatus"), col("ship_month"),
+        col("n"),
+        col("qty_d_sum").cast("double").as("sum_qty"),
+        col("price_d_sum").cast("double").as("sum_price"),
+        col("l_discount_min").as("min_disc"),
+        col("l_discount_max").as("max_disc"),
+        (col("qty_d_sum").cast("double") / col("n").cast("double"))
+          .as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus", "ship_month")
+  }
+
+  // ---------------------------------------------------------------- q134
+  /** Per-key time-series resampling + forward fill
+    * ([[graft.operators.Events.resampleFfill]]): each user's event
+    * values regularized onto a daily grid between that user's first
+    * and last event — the step's last observed value where the day has
+    * events (ties broken by event id), carried forward across silent
+    * days. The oracle replays the integer floor-division bucketing,
+    * the per-(user, day) argmax, each user's own grid span, and the
+    * IGNORE NULLS forward fill; timestamps and grid steps are
+    * integer-exact, values carried verbatim — hash-exact, no rounding
+    * gate. */
+  private def q134ResampleFfill(s: SparkSession, dir: String): DataFrame = {
+    Events.resampleFfill(
+        Tables.events(s, dir).select("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "value", stepUs = 86400000000L,
+        tieBreak = Seq("event_id"))
+      .orderBy("user_id", "step_start_us")
+  }
+
+  // ---------------------------------------------------------------- q135
+  /** Keyed snapshot diff ([[graft.operators.Maintain.snapshotDiff]]):
+    * two deterministically derived customer snapshots compared into a
+    * change feed — keys only in the next snapshot read `insert`, keys
+    * only in the previous read `delete`, null-safe attribute drift
+    * reads `update`, unchanged keys emit nothing. This is the
+    * change-feed PRODUCER whose rows q123's `applyChanges` consumes
+    * (the roundtrip `applyChanges(prev, diff) == next` is pinned by
+    * spec). The oracle replays the full-outer join, presence rules,
+    * and every prev/next cell — all values verbatim, hash-exact. */
+  private def q135SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Maintain
+    val cust = Tables.customer(s, dir)
+    val prev = cust.filter(col("c_custkey") % 10 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val next = cust.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+    Maintain.snapshotDiff(prev, next, Seq("c_custkey"),
+        Seq("c_mktsegment", "c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2668,6 +2747,9 @@ object SparkEntry {
     "q130_calibration" -> (q130Calibration _),
     "q131_incremental_rollup" -> (q131IncrementalRollup _),
     "q132_attribution" -> (q132Attribution _),
+    "q133_stream_rollup" -> (q133StreamRollup _),
+    "q134_resample_ffill" -> (q134ResampleFfill _),
+    "q135_snapshot_diff" -> (q135SnapshotDiff _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4312,6 +4394,72 @@ object SparkEntry {
         |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
         |ORDER BY vec_id""".stripMargin,
     "q131_incremental_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ship_month,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  MIN(l_discount) AS min_disc,
+        |  MAX(l_discount) AS max_disc,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        |FROM lineitem
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q134_resample_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, value, event_id FROM events
+        |), ob AS (
+        |  SELECT user_id, (t - (t % 86400000000)) // 86400000000 AS s,
+        |    value,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, (t - (t % 86400000000)) // 86400000000
+        |      ORDER BY t DESC, event_id DESC) AS rn
+        |  FROM e WHERE t IS NOT NULL
+        |), obs AS (
+        |  SELECT user_id, s, value FROM ob WHERE rn = 1
+        |), sp AS (
+        |  SELECT user_id, MIN(s) AS lo, MAX(s) AS hi FROM obs GROUP BY user_id
+        |), grid AS (
+        |  SELECT user_id, UNNEST(range(lo, hi + 1)) AS s FROM sp
+        |), j AS (
+        |  SELECT g.user_id, g.s, o.value,
+        |    (o.user_id IS NOT NULL) AS observed
+        |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.s = o.s
+        |)
+        |SELECT user_id, s * 86400000000 AS step_start_us,
+        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value,
+        |  observed
+        |FROM j
+        |ORDER BY user_id, step_start_us""".stripMargin,
+    "q135_snapshot_diff" ->
+      """WITH p AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_custkey % 10 <> 0
+        |), n AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 13 <> 0
+        |), d AS (
+        |  SELECT COALESCE(p.c_custkey, n.c_custkey) AS c_custkey,
+        |    CASE WHEN p.c_custkey IS NULL THEN 'insert'
+        |         WHEN n.c_custkey IS NULL THEN 'delete'
+        |         WHEN p.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+        |           OR p.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |           THEN 'update' END AS change_type,
+        |    p.c_mktsegment AS c_mktsegment_prev,
+        |    n.c_mktsegment AS c_mktsegment_next,
+        |    p.c_acctbal AS c_acctbal_prev,
+        |    n.c_acctbal AS c_acctbal_next
+        |  FROM p FULL OUTER JOIN n ON p.c_custkey = n.c_custkey
+        |)
+        |SELECT * FROM d WHERE change_type IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
+    "q133_stream_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ship_month,
         |  COUNT(*) AS n,

@@ -425,4 +425,74 @@ object Events {
       col("conv_ts_us"), col("touch_id"), col("touch_type"),
       col("touch_ts_us"), col("weight"))
   }
+
+  /** Per-key time-series resampling with forward fill: the irregular
+    * event stream regularized onto a fixed `stepUs` grid — one row per
+    * key per step between that key's first and last observation, the
+    * step's LAST observed value where the step has events
+    * (deterministic under `(ts, tieBreak)` — pass a tie breaker when
+    * timestamps can collide), the previous step's value carried
+    * forward where it has none. The gap-filling feature primitive:
+    * "daily balance per account" from event-sourced postings.
+    *
+    * The grid is each key's OWN [min, max] span — resampling never
+    * invents activity outside a key's life. Gap explosion is the scale
+    * hazard (a key with second-granularity steps spanning years
+    * multiplies into millions of grid rows), so each key's span is
+    * guarded: more than `maxStepsPerKey` grid steps raises loudly
+    * (the BucketGuard discipline) instead of silently exploding the
+    * output.
+    *
+    * Bucket index is pure integer floor-division arithmetic
+    * (`(t − pmod(t, step)) / step` — exact for |t| < 2^53, i.e. every
+    * µs timestamp), portable cross-engine bit-for-bit.
+    *
+    * Plan shape: one (key, step)-bounded aggregation (`max_by` — no
+    * per-key sort), one key-bounded span aggregation with the guard,
+    * a map-side `sequence` explode of the grid, one equi join back to
+    * the observations, and the forward fill as a per-key ROWS window
+    * over grid steps — sorts within keys only, never globally.
+    *
+    * Output: (key, step_start_us, value, observed).
+    */
+  def resampleFfill(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      stepUs: Long,
+      tieBreak: Seq[String] = Nil,
+      maxStepsPerKey: Long = 1000000L): DataFrame = {
+    require(stepUs > 0L, s"stepUs ($stepUs) must be positive")
+    require(maxStepsPerKey >= 1L,
+      s"maxStepsPerKey ($maxStepsPerKey) must be >= 1")
+    val base = df.select(col(keyCol).as("__k") +:
+      unix_micros(col(tsCol)).as("__t") +: col(valueCol).as("__v") +:
+      tieBreak.map(col): _*)
+    val t = col("__t")
+    val step = ((t - pmod(t, lit(stepUs))) / lit(stepUs)).cast("long")
+    val rankStruct = struct(col("__t") +: tieBreak.map(col): _*)
+    val observed = base.filter(t.isNotNull)
+      .groupBy(col("__k"), step.as("__s"))
+      .agg(max_by(col("__v"), rankStruct).as("__v"))
+    val spans = observed.groupBy("__k")
+      .agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))
+      .filter(when(col("__hi") - col("__lo") + 1 > maxStepsPerKey,
+          raise_error(concat(
+            lit(s"resampleFfill: key "), col("__k").cast("string"),
+            lit(s" spans more than $maxStepsPerKey steps ("),
+            (col("__hi") - col("__lo") + 1).cast("string"),
+            lit(") — widen stepUs or raise maxStepsPerKey"))))
+        .otherwise(lit(true)))
+    val grid = spans.select(col("__k"),
+      explode(sequence(col("__lo"), col("__hi"))).as("__s"))
+    val joined = grid.join(
+      observed.withColumn("__obs", lit(true)), Seq("__k", "__s"), "left")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.select(col("__k").as(keyCol),
+      (col("__s") * lit(stepUs)).as("step_start_us"),
+      last(col("__v"), ignoreNulls = true).over(w).as("value"),
+      coalesce(col("__obs"), lit(false)).as("observed"))
+  }
 }

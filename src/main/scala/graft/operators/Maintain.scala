@@ -83,4 +83,74 @@ object Maintain {
         spec.maxs.map(c => max(col(s"${c}_max")).as(s"${c}_max")))
     u.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Keyed snapshot diff — the change-feed PRODUCER whose output
+    * [[AsOfJoin.applyChanges]] consumes: compare two snapshots of a
+    * keyed table and emit one row per difference, `change_type` in
+    * `insert` (key only in `next`), `delete` (key only in `prev`),
+    * `update` (key in both, any compared column differing null-safely).
+    * Unchanged keys emit NOTHING — the diff is the delta, which is the
+    * point: shipping it downstream costs what changed, not the table.
+    * The roundtrip contract `applyChanges(prev, diff) == next` is
+    * pinned by spec — producer and consumer provably compose.
+    *
+    * Plan shape: ONE full-outer hash equi-join on the keys (null-safe
+    * comparisons, so NULL attr values diff correctly) + a map-side
+    * filter; no window, no sort. Both snapshot scans prune to
+    * `keys ++ compareCols`.
+    *
+    * Output: keys (coalesced from both sides), `change_type`, then
+    * `<c>_prev` / `<c>_next` for every compared column.
+    */
+  def snapshotDiff(
+      prev: DataFrame,
+      next: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String],
+      auditUniqueKeys: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs key columns")
+    require(compareCols.nonEmpty, "snapshotDiff needs columns to compare")
+    require(keys.intersect(compareCols).isEmpty,
+      s"keys and compared columns overlap: " +
+        keys.intersect(compareCols).mkString(", "))
+    // A duplicated key would silently MULTIPLY diff rows through the
+    // join, so audit each snapshot per key (an unordered window on the
+    // same keys the join shuffles on — no extra exchange) and raise.
+    def audited(df: DataFrame, side: String): DataFrame =
+      if (!auditUniqueKeys) df
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+        df.withColumn("__kn", count(lit(1)).over(w))
+          // a FILTER, not a dropped column — pruning could silently
+          // eliminate an unused check column, never a predicate
+          .filter(when(col("__kn") > 1, raise_error(concat(
+              lit(s"snapshotDiff: duplicate key in $side snapshot: "),
+              concat_ws(",", keys.map(k => col(k).cast("string")): _*))))
+            .otherwise(lit(true)))
+          .drop("__kn")
+      }
+    // presence markers, not key-null checks: a legitimately NULL key
+    // row must still read as "present on this side" after the join
+    val p = audited(prev.select((keys ++ compareCols).map(col): _*), "prev")
+      .withColumn("__in_p", lit(true)).alias("p")
+    val n = audited(next.select((keys ++ compareCols).map(col): _*), "next")
+      .withColumn("__in_n", lit(true)).alias("n")
+    val joinCond = keys.map(k => col(s"p.$k") <=> col(s"n.$k")).reduce(_ && _)
+    val inPrev = col("p.__in_p").isNotNull
+    val inNext = col("n.__in_n").isNotNull
+    val changed = compareCols
+      .map(c => !(col(s"p.$c") <=> col(s"n.$c"))).reduce(_ || _)
+    val changeType = when(!inPrev, lit("insert"))
+      .when(!inNext, lit("delete"))
+      .when(changed, lit("update"))
+    p.join(n, joinCond, "full_outer")
+      .withColumn("change_type", changeType)
+      .filter(col("change_type").isNotNull)
+      .select(
+        keys.map(k => coalesce(col(s"p.$k"), col(s"n.$k")).as(k)) ++
+          Seq(col("change_type")) ++
+          compareCols.flatMap(c => Seq(
+            col(s"p.$c").as(s"${c}_prev"), col(s"n.$c").as(s"${c}_next"))): _*)
+  }
 }

@@ -372,4 +372,68 @@ object StreamGate {
       Seq(src, out, ck).foreach(deleteRecursively)
     }
   }
+
+  /** Streaming incremental aggregate maintenance: the fact feed
+    * micro-batched into shards (`maxFilesPerTrigger`), each batch
+    * summarized by [[graft.operators.Maintain.summarize]] and FOLDED
+    * into the persisted summary by
+    * [[graft.operators.Maintain.merge]] inside `foreachBatch` — the
+    * q113 bridge again: the summary table IS the state, owned outside
+    * the query as a versioned parquet artifact (each batch reads
+    * version N and writes N+1 — never overwriting what it reads), so
+    * no stream-stateful operator holds key cardinality and a restart
+    * resumes from the last committed version. Because count/sum/min/
+    * max merge associatively AND commutatively
+    * (`MaintainSpec`'s generative contract), the micro-batch
+    * partitioning provably cannot change the final summary — which is
+    * exactly what the replay gate holds it to: q133's oracle is the
+    * batch full recompute (q131's formulation, third pattern of the
+    * q92/q101/q102 family).
+    *
+    * Returns the final summary frame (localCheckpoint'ed off the
+    * deleted temp state). */
+  def replayIncrementalRollup(
+      facts: DataFrame,
+      keys: Seq[String],
+      spec: graft.operators.Maintain.SummarySpec,
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = facts.sparkSession
+    val src = tempDir("graft_facts_src")
+    facts.coalesce(8).write.mode("overwrite").parquet(src)
+    val stateRoot = tempDir("graft_rollup_state")
+    val ck = tempDir("graft_rollup_ck")
+    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    try {
+      val stream = spark.readStream.schema(facts.schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val batchSummary =
+            graft.operators.Maintain.summarize(batch, keys, spec)
+          val merged = Option(current.get()) match {
+            case None => batchSummary
+            case Some(p) => graft.operators.Maintain.merge(
+              spark.read.parquet(p), batchSummary, keys, spec)
+          }
+          val next = s"$stateRoot/v${version.incrementAndGet()}"
+          merged.write.mode("overwrite").parquet(next)
+          current.set(next)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(current.get() != null,
+        "replayIncrementalRollup saw no micro-batches")
+      releaseLastReplay(spark.read.parquet(current.get()).localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, stateRoot, ck).foreach(deleteRecursively)
+    }
+  }
 }

@@ -72,4 +72,58 @@ class MaintainSpec extends AnyFunSuite {
     assert(e.getMessage.contains("v_min"))
     intercept[IllegalArgumentException] { SummarySpec() }
   }
+
+  private def snap(rows: Seq[(Long, String, java.lang.Double)]) =
+    table("id bigint, seg string, bal double",
+      rows.map { case (k, s, v) => row(k, s, v) })
+
+  test("snapshotDiff: insert/delete/update incl. NULL drift; unchanged emit nothing") {
+    val prev = snap(Seq((1L, "A", 5.0), (2L, "B", 6.0), (3L, "C", null),
+      (4L, "D", 8.0)))
+    val next = snap(Seq((1L, "A", 5.0),             // unchanged -> no row
+      (2L, "B", 9.0),                               // update (value)
+      (3L, "C", 7.5),                               // update (NULL -> value)
+      (5L, "E", 1.0)))                              // insert; 4 deleted
+    val got = Maintain.snapshotDiff(prev, next, Seq("id"), Seq("seg", "bal"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "update"), (3L, "update"), (4L, "delete"),
+      (5L, "insert")), got.toString)
+  }
+
+  test("snapshotDiff: duplicate key raises loudly; disjoint key/compare enforced") {
+    val dup = snap(Seq((1L, "A", 1.0), (1L, "A", 2.0)))
+    val ok = snap(Seq((1L, "A", 1.0)))
+    val e = intercept[Exception] {
+      Maintain.snapshotDiff(dup, ok, Seq("id"), Seq("seg", "bal")).collect()
+    }
+    assert(e.getMessage.contains("duplicate key"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Maintain.snapshotDiff(ok, ok, Seq("id"), Seq("id", "bal"))
+    }
+  }
+
+  test("snapshotDiff -> applyChanges roundtrip: applying the diff to prev yields next") {
+    import graft.operators.AsOfJoin
+    val prev = snap((1L to 60L).filter(_ % 4 != 0).map(k =>
+      (k, s"s${k % 5}", java.lang.Double.valueOf(k.toDouble))))
+    val next = snap((1L to 60L).filter(_ % 5 != 0).map(k =>
+      (k, s"s${k % 5}",
+        java.lang.Double.valueOf(if (k % 3 == 0) k + 100.0 else k.toDouble))))
+    val diff = Maintain.snapshotDiff(prev, next, Seq("id"), Seq("seg", "bal"))
+    // diff rows -> a change feed: upsert carries the NEXT values
+    val changes = diff.select(col("id"), lit(1L).as("ts"),
+      when(col("change_type") === "delete", lit("delete"))
+        .otherwise(lit("upsert")).as("op"),
+      col("seg_next").as("seg"), col("bal_next").as("bal"))
+    val state = prev.select(col("id"), col("seg"), col("bal"),
+      lit(0L).as("ts"))
+    val applied = AsOfJoin.applyChanges(state, changes, "id", "ts", "op",
+        Seq("seg", "bal"))
+      .select("id", "seg", "bal").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val expected = next.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(applied == expected)
+  }
 }

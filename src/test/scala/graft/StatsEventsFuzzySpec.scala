@@ -343,6 +343,36 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("resampleFfill: gaps filled per key, last-in-step wins by tie, span guard raises") {
+    def ev(rows: Seq[(Long, Long, Long, Double)]) =
+      table("u bigint, t_us bigint, eid bigint, v double",
+          rows.map { case (u, t, e, v) => row(u, t, e, v) })
+        .select(col("u"), timestamp_micros(col("t_us")).as("ts"),
+          col("eid"), col("v"))
+    // step=10: user 1 observes steps 0 (two events, later eid wins at
+    // equal ts), 3 — steps 1-2 carry step 0's value; user 2 is a
+    // single-step key
+    val df = ev(Seq(
+      (1L, 5L, 1L, 10.0), (1L, 5L, 2L, 20.0),   // equal ts: eid 2 wins
+      (1L, 31L, 3L, 7.0),
+      (2L, 100L, 4L, 1.5)))
+    val got = Events.resampleFfill(df, "u", "ts", "v", stepUs = 10L,
+        tieBreak = Seq("eid"))
+      .orderBy("u", "step_start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 0L, 20.0, true), (1L, 10L, 20.0, false),
+      (1L, 20L, 20.0, false), (1L, 30L, 7.0, true),
+      (2L, 100L, 1.5, true)), got.toString)
+    // a key spanning more steps than allowed fails loudly
+    val e = intercept[Exception] {
+      Events.resampleFfill(ev(Seq((1L, 0L, 1L, 1.0), (1L, 1000L, 2L, 2.0))),
+        "u", "ts", "v", stepUs = 10L, maxStepsPerKey = 50L).collect()
+    }
+    assert(e.getMessage.contains("spans more than 50"), e.getMessage)
+  }
+
   test("transitionMatrix: hand-computed counts, sentinels, rows sum to 1") {
     // group 1: A B A   group 2: A B   (same user, two sessions)
     val df = table("u bigint, sid bigint, t_us bigint, et string", Seq(

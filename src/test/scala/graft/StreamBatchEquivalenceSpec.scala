@@ -212,6 +212,38 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       (300L * us, 1, 5L, 1L)), got.toString)
   }
 
+  test("stream incremental rollup == batch summarize across micro-batch folds") {
+    import graft.operators.Maintain
+    val spec = Maintain.SummarySpec(
+      sums = Seq("v"), mins = Seq("v"), maxs = Seq("v"))
+    val rnd = new scala.util.Random(31)
+    val facts = table("k string, v decimal(18,2)",
+      (0 until 400).map { _ =>
+        row(s"k${rnd.nextInt(9)}",
+          new java.math.BigDecimal(rnd.nextInt(20001) - 10000)
+            .movePointLeft(2))
+      })
+    // filesPerTrigger=1 over the 8-file source -> 8 genuine folds, each
+    // reading state version N and writing N+1
+    val got = StreamGate.replayIncrementalRollup(facts, Seq("k"), spec,
+        filesPerTrigger = 1)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getDecimal(3).toPlainString, r.getDecimal(4).toPlainString)).toSeq
+    val exp = Maintain.summarize(facts, Seq("k"), spec)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString,
+        r.getDecimal(3).toPlainString, r.getDecimal(4).toPlainString)).toSeq
+    assert(got.map(t => (t._1, t._2)) == exp.map(t => (t._1, t._2)))
+    // decimal VALUES identical even though fold-count widens precision
+    got.zip(exp).foreach { case (g, e) =>
+      assert(new java.math.BigDecimal(g._3).compareTo(
+        new java.math.BigDecimal(e._3)) == 0, s"${g._1}: ${g._3} vs ${e._3}")
+      assert(g._4 == e._4 && g._5 == e._5, s"${g._1}")
+    }
+  }
+
   test("sessionize idleTimeout closes open sessions exactly once and drops the key") {
     val s = spark
     import s.implicits._
