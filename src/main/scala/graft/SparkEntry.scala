@@ -2614,6 +2614,61 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  // ---------------------------------------------------------------- q136
+  /** ORC source with explicit schema ([[Tables.readOrc]]) — the q82/q95
+    * pattern for the second columnar interchange format: `part` is
+    * written to ORC, read back through the explicit schema (no footer
+    * pre-scan), and rolled up per brand with per-string md5 extremes —
+    * while the oracle reads the ORIGINAL parquet, so one byte mangled
+    * in the ORC hop (string encoding, int widths, double bits) fails
+    * the hash. Monetary doubles aggregate through DECIMAL(18,2) on
+    * both sides (the q01 discipline). */
+  private def q136OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+    val orcDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_orc_part_${ProcessHandle.current().pid()}").getAbsolutePath
+    Tables.part(s, dir).coalesce(2)
+      .write.mode("overwrite").orc(orcDir)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_brand", StringType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType)))
+    Tables.readOrc(s, orcDir, schema)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p_size").cast("long")).as("sum_size"),
+        sum(col("p_partkey")).as("sum_keys"),
+        min(md5(col("p_name"))).as("min_name_md5"),
+        max(md5(col("p_type"))).as("max_type_md5"),
+        sum(col("p_retailprice").cast(DecimalType(18, 2)))
+          .cast("double").as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  // ---------------------------------------------------------------- q137
+  /** Sharded corpus export with integrity manifest
+    * ([[Sinks.exportShardsWithManifest]]): documents dealt into 8
+    * deterministic shards via q61's md5 permutation, written
+    * Hive-partitioned, and the manifest recomputed from a READ-BACK of
+    * the written files — per shard the row count, character total,
+    * [min, max] permutation positions, and an order-free `bit_xor`
+    * 64-bit content checksum over portable per-row fingerprints. The
+    * oracle re-derives the permutation, the shard deal, and every
+    * fingerprint from the ORIGINAL table, so a row lost, duplicated,
+    * or mangled anywhere in the write-read hop fails the hash;
+    * everything is integer arithmetic, hash-exact. */
+  private def q137ExportManifest(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_export_docs_${ProcessHandle.current().pid()}").getAbsolutePath
+    Sinks.exportShardsWithManifest(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", nShards = 8, path)
+      .orderBy("shard")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2750,6 +2805,8 @@ object SparkEntry {
     "q133_stream_rollup" -> (q133StreamRollup _),
     "q134_resample_ffill" -> (q134ResampleFfill _),
     "q135_snapshot_diff" -> (q135SnapshotDiff _),
+    "q136_orc_roundtrip" -> (q136OrcRoundtrip _),
+    "q137_export_manifest" -> (q137ExportManifest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4407,6 +4464,50 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q136_orc_roundtrip" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  CAST(SUM(p_size) AS BIGINT) AS sum_size,
+        |  CAST(SUM(p_partkey) AS BIGINT) AS sum_keys,
+        |  MIN(md5(p_name)) AS min_name_md5,
+        |  MAX(md5(p_type)) AS max_type_md5,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM part
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q137_export_manifest" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |      - 1 AS pos
+        |  FROM documents
+        |), f AS (
+        |  SELECT CAST(pos % 8 AS INTEGER) AS shard, pos,
+        |    length(text) AS len,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h
+        |  FROM p
+        |), v AS (
+        |  SELECT shard, pos, len,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef', substr(h, CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) AS hi32,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef', substr(h, CAST(i+9 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) AS lo32
+        |  FROM f
+        |), w AS (
+        |  SELECT shard, pos, len,
+        |    CASE WHEN hi32 >= 2147483648
+        |         THEN (hi32 - 4294967296)*4294967296 + lo32
+        |         ELSE hi32*4294967296 + lo32 END AS fp
+        |  FROM v
+        |)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(len) AS BIGINT) AS n_chars,
+        |  MIN(pos) AS min_pos, MAX(pos) AS max_pos,
+        |  bit_xor(fp) AS content_xor64
+        |FROM w GROUP BY shard
+        |ORDER BY shard""".stripMargin,
     "q134_resample_ffill" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS t, value, event_id FROM events

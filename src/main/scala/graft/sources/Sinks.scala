@@ -66,4 +66,51 @@ object Sinks {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
+
+  /** Export a corpus as `nShards` deterministic shards + an integrity
+    * MANIFEST — the handoff artifact of a training-data delivery:
+    * the consumer re-derives the manifest from what it received and a
+    * lost file, truncated shard, or silently corrupted string shows up
+    * as a count or checksum mismatch, not as a training-run mystery.
+    *
+    * Sharding is [[graft.operators.Corpus.shuffleShard]]'s md5
+    * permutation (rerun-stable on any cluster size); rows cluster by
+    * shard before the write so each Hive-partition directory receives
+    * one task's files. The manifest is computed from a READ-BACK of
+    * the written files — integrity of the bytes on disk, not of the
+    * plan that produced them. Per shard: row count, character total,
+    * the [min, max] permutation positions (contiguity evidence), and
+    * an order-free 64-bit content checksum — `bit_xor` of a portable
+    * per-row fingerprint ([[graft.functions.TextFunctions.portableTokenHash64]]
+    * of `id:text`), associative/commutative so partitioning cannot
+    * show, overflow-free where a sum of hashes would trip ANSI mode.
+    *
+    * Returns the manifest frame: (shard, n_docs, n_chars, min_pos,
+    * max_pos, content_xor64). Scale shape: one exported write + one
+    * shard-bounded aggregation over the read-back — both
+    * embarrassingly parallel, no join anywhere. */
+  def exportShardsWithManifest(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShards: Int,
+      path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sharded = graft.operators.Corpus.shuffleShard(docs, idCol, nShards)
+      .select(col(idCol), col(textCol), col("pos"), col("shard"))
+    sharded.repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val back = docs.sparkSession.read.parquet(path)
+    val fp = graft.functions.TextFunctions.portableTokenHash64(
+      concat(col(idCol).cast("string"), lit(":"), col(textCol)))
+    back.select(col("shard").cast("int").as("shard"),
+        col("pos"), length(col(textCol)).cast("long").as("__len"),
+        fp.as("__fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__len")).as("n_chars"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"),
+        expr("bit_xor(__fp)").as("content_xor64"))
+  }
 }

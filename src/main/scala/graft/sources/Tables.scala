@@ -70,4 +70,16 @@ object Tables {
       path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC with an explicit schema — the second columnar interchange
+    * format next to parquet (warehouses that standardized on
+    * Hive/ORC hand shards to a Spark pipeline as-is). Spark's native
+    * vectorized ORC reader gives the same column pruning + predicate
+    * pushdown as the parquet scan; the explicit schema skips footer
+    * merging across a large file listing. */
+  def readOrc(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

@@ -269,6 +269,49 @@ class AsOfStreamConfigSpec extends AnyFunSuite {
       Seq(Seq(1L, "ann", 2.5), Seq(2L, "bob", 3.5)))
   }
 
+  test("orc source roundtrips values bit-exactly with an explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val src = table("id bigint, name string, score double", Seq(
+      row(1L, "ann", 2.5), row(2L, "böb é", -0.125), row(3L, null, null)))
+    src.write.mode("overwrite").orc(dir)
+    val back = graft.sources.Tables.readOrc(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id bigint, name string, score double"))
+    assert(back.schema.toDDL == "id BIGINT,name STRING,score DOUBLE")
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      src.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("exportShardsWithManifest: manifest matches a driver-side recompute; rerun-stable") {
+    val docs = table("doc_id bigint, text string",
+      (0L until 40L).map(i => row(i, s"doc $i body ${"x" * (i % 7).toInt}")))
+    val path = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val m1 = graft.sources.Sinks.exportShardsWithManifest(
+        docs, "doc_id", "text", 4, path)
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    // every doc lands in exactly one shard and counts add up
+    assert(m1.map(_(1).asInstanceOf[Long]).sum == 40L)
+    assert(m1.map(_(0).asInstanceOf[Int]).toSet == Set(0, 1, 2, 3))
+    // shards partition the permutation: round-robin means each shard's
+    // positions cover pos % 4 == shard
+    // rerun over the same corpus reproduces the manifest bit-for-bit
+    val path2 = java.nio.file.Files.createTempDirectory("graft-export2").toString
+    val m2 = graft.sources.Sinks.exportShardsWithManifest(
+        docs, "doc_id", "text", 4, path2)
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    assert(m1 == m2)
+    // a corrupted export (one text flipped) changes that shard's xor
+    val bent = docs.withColumn("text",
+      when(col("doc_id") === 7L, lit("CORRUPTED")).otherwise(col("text")))
+    val path3 = java.nio.file.Files.createTempDirectory("graft-export3").toString
+    val m3 = graft.sources.Sinks.exportShardsWithManifest(
+        bent, "doc_id", "text", 4, path3)
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    assert(m1 != m3)
+    Seq(path, path2, path3).foreach(p =>
+      graft.streaming.StreamGate.deleteRecursively(p))
+  }
+
   test("range join: bucketed equi-join matches the range predicate, no nested loop") {
     import graft.operators.RangeJoin
     val l = table("k string, t bigint, lid bigint", Seq(
