@@ -2669,6 +2669,31 @@ object SparkEntry {
       .orderBy("shard")
   }
 
+  // ---------------------------------------------------------------- q138
+  /** Trigram stupid-backoff LM scoring
+    * ([[graft.operators.Corpus.stupidBackoffScore]]): every document
+    * scored against a reference LM trained on the English slice, with
+    * OOV trigrams planted into every 17th document so ALL FOUR scoring
+    * paths fire non-vacuously (measured at sf0.01: 16791 trigram-hit /
+    * 9362 bigram-backoff / 12 seen-unigram / 90 OOV-floor positions).
+    * The oracle retrains the identical count tables in SQL and replays
+    * every per-position CASE with explicit double arithmetic (DuckDB
+    * decimal literals forced to DOUBLE); counts integer-exact, the
+    * mean log score on the q100-style 6-decimal gate. */
+  private def q138StupidBackoff(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val docs = Tables.documents(s, dir)
+    val cand = docs.select(col("doc_id"),
+      when(col("doc_id") % 17 === 0,
+        concat(col("text"), lit(" qq17 ww17 qq17")))
+        .otherwise(col("text")).as("text"))
+    val ref = docs.filter(col("lang") === "en").select("doc_id", "text")
+    Corpus.stupidBackoffScore(ref, cand, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_scored"),
+        round(col("avg_logscore"), 6).as("avg_logscore6"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2807,6 +2832,7 @@ object SparkEntry {
     "q135_snapshot_diff" -> (q135SnapshotDiff _),
     "q136_orc_roundtrip" -> (q136OrcRoundtrip _),
     "q137_export_manifest" -> (q137ExportManifest _),
+    "q138_stupid_backoff" -> (q138StupidBackoff _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4464,6 +4490,63 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q138_stupid_backoff" ->
+      """WITH cand AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 17 = 0
+        |    THEN text || ' qq17 ww17 qq17' ELSE text END AS text
+        |  FROM documents
+        |), rt AS (
+        |  SELECT string_split_regex(trim(text), ' +') AS tk
+        |  FROM documents WHERE lang = 'en'
+        |), c1 AS (
+        |  SELECT w, COUNT(*) AS c
+        |  FROM (SELECT unnest(tk) AS w FROM rt) GROUP BY w
+        |), r2 AS (
+        |  SELECT tk, unnest(range(len(tk) - 1)) AS i FROM rt WHERE len(tk) >= 2
+        |), c2 AS (
+        |  SELECT tk[CAST(i+1 AS INT)] AS w1, tk[CAST(i+2 AS INT)] AS w,
+        |    COUNT(*) AS c
+        |  FROM r2 GROUP BY 1, 2
+        |), r3 AS (
+        |  SELECT tk, unnest(range(len(tk) - 2)) AS i FROM rt WHERE len(tk) >= 3
+        |), c3 AS (
+        |  SELECT tk[CAST(i+1 AS INT)] AS w2, tk[CAST(i+2 AS INT)] AS w1,
+        |    tk[CAST(i+3 AS INT)] AS w, COUNT(*) AS c
+        |  FROM r3 GROUP BY 1, 2, 3
+        |), nn AS (
+        |  SELECT CAST(SUM(c) AS DOUBLE) AS n FROM c1
+        |), ct AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS tk FROM cand
+        |), p0 AS (
+        |  SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i
+        |  FROM ct WHERE len(tk) >= 3
+        |), pos AS (
+        |  SELECT doc_id, tk[CAST(i+1 AS INT)] AS w2, tk[CAST(i+2 AS INT)] AS w1,
+        |    tk[CAST(i+3 AS INT)] AS w
+        |  FROM p0
+        |), sc AS (
+        |  SELECT pos.doc_id,
+        |    CASE
+        |      WHEN c3.c IS NOT NULL
+        |        THEN ln(CAST(c3.c AS DOUBLE) / CAST(ctx.c AS DOUBLE))
+        |      WHEN b.c IS NOT NULL
+        |        THEN ln(CAST(0.4 AS DOUBLE) * CAST(b.c AS DOUBLE)
+        |          / CAST(u1w1.c AS DOUBLE))
+        |      ELSE ln(CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+        |        * CAST(GREATEST(COALESCE(u1.c, 0), 1) AS DOUBLE) / nn.n)
+        |    END AS lns
+        |  FROM pos
+        |  LEFT JOIN c3 ON pos.w2 = c3.w2 AND pos.w1 = c3.w1 AND pos.w = c3.w
+        |  LEFT JOIN c2 ctx ON pos.w2 = ctx.w1 AND pos.w1 = ctx.w
+        |  LEFT JOIN c2 b ON pos.w1 = b.w1 AND pos.w = b.w
+        |  LEFT JOIN c1 u1w1 ON pos.w1 = u1w1.w
+        |  LEFT JOIN c1 u1 ON pos.w = u1.w
+        |  CROSS JOIN nn
+        |)
+        |SELECT doc_id, COUNT(*) AS n_scored,
+        |  ROUND(AVG(lns), 6) AS avg_logscore6
+        |FROM sc GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q136_orc_roundtrip" ->
       """SELECT p_brand, COUNT(*) AS n_parts,
         |  CAST(SUM(p_size) AS BIGINT) AS sum_size,

@@ -706,6 +706,92 @@ object Corpus {
           .as("avg_logprob"))
   }
 
+  /** Trigram stupid-backoff language-model scoring of a CANDIDATE
+    * corpus against a REFERENCE corpus — the production upgrade of
+    * [[bigramLogProbScore]]'s self-trained bigram: train n-gram counts
+    * on the reference (the high-quality sample: curated wiki, a
+    * vetted crawl slice), score every candidate position with the
+    * highest-order n-gram the reference has evidence for, discounting
+    * each backoff level by `alpha` (Brants et al.'s "stupid backoff" —
+    * the web-scale scheme that skips smoothing arithmetic entirely
+    * because relative frequencies + a constant discount rank documents
+    * just as well at corpus scale):
+    *
+    *   S(w | w2, w1) = c3(w2,w1,w) / c2(w2,w1)               if seen
+    *                 = alpha  · c2(w1,w) / c1(w1)            else if seen
+    *                 = alpha² · max(c1(w), 1) / N            otherwise
+    *
+    * (the unigram floor counts an out-of-vocabulary token as 1 — the
+    * [[graft.operators.Classify]] Laplace-floor discipline, so apply
+    * never fails on unseen text). Training on a SEPARATE reference is
+    * what makes the backoff real: self-scoring would find every
+    * trigram in its own counts and the lower orders would be dead
+    * code. Only candidate positions with a full trigram context are
+    * scored (docs need ≥ 3 tokens); `avg_logscore` is the mean
+    * `ln S` — gibberish that never assembles a reference trigram pays
+    * the alpha²-discounted unigram floor at every position.
+    *
+    * Scale shape: three reference count tables from three map-side
+    * explodes, each ONE hashed shuffle bounded by its n-gram
+    * vocabulary (the trigram table is the honest cost — near
+    * reference-sized on diverse text, exactly as a real LM's is);
+    * scoring left-joins the candidate position stream against the
+    * count tables on keys they are already aggregated by, all
+    * unhinted — AQE broadcasts small references, web-scale ones
+    * degrade to shuffle joins instead of OOM. `N` is one driver
+    * scalar. Backoff is decided per position by NULL-ness of the
+    * joined counts — no second scoring pass.
+    *
+    * Output: (id, `n_scored`, `avg_logscore`). */
+  def stupidBackoffScore(
+      ref: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+    def toksOf(d: DataFrame) =
+      d.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+    def trisOf(d: DataFrame) = toksOf(d).filter(size(col("__toks")) >= 3)
+      .select(col("id"),
+        explode(transform(sequence(lit(0), size(col("__toks")) - 3),
+          i => struct(element_at(col("__toks"), i + 1).as("w2"),
+            element_at(col("__toks"), i + 2).as("w1"),
+            element_at(col("__toks"), i + 3).as("w")))).as("g"))
+      .select(col("id"), col("g.w2").as("w2"), col("g.w1").as("w1"),
+        col("g.w").as("w"))
+    val refToks = toksOf(ref)
+    val c1 = refToks.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__c1"))
+    val c2 = refToks.filter(size(col("__toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__toks")) - 2),
+          i => struct(element_at(col("__toks"), i + 1).as("w1"),
+            element_at(col("__toks"), i + 2).as("w")))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w").as("w"))
+      .groupBy("w1", "w").agg(count(lit(1)).as("__c2"))
+    val c3 = trisOf(ref)
+      .groupBy("w2", "w1", "w").agg(count(lit(1)).as("__c3"))
+    val n = c1.agg(coalesce(sum(col("__c1")), lit(0L))).head().getLong(0)
+    require(n > 0L, "stupidBackoffScore: the reference corpus is empty")
+    val scored = trisOf(df)
+      .join(c3, Seq("w2", "w1", "w"), "left")
+      .join(c2.select(col("w1").as("w2"), col("w").as("w1"),
+        col("__c2").as("__c2ctx")), Seq("w2", "w1"), "left")
+      .join(c2, Seq("w1", "w"), "left")
+      .join(c1.select(col("w").as("w1"), col("__c1").as("__c1w1")),
+        Seq("w1"), "left")
+      .join(c1, Seq("w"), "left")
+    val s = when(col("__c3").isNotNull,
+        col("__c3").cast("double") / col("__c2ctx").cast("double"))
+      .when(col("__c2").isNotNull,
+        lit(alpha) * col("__c2").cast("double") / col("__c1w1").cast("double"))
+      .otherwise(lit(alpha * alpha) *
+        greatest(coalesce(col("__c1"), lit(0L)), lit(1L)).cast("double") /
+        lit(n.toDouble))
+    scored.groupBy("id")
+      .agg(count(lit(1)).as("n_scored"), avg(log(s)).as("avg_logscore"))
+  }
+
   /** Pointwise-mutual-information collocation mining (Church–Hanks):
     * adjacent token pairs scored by how much more often they co-occur
     * than their unigram frequencies predict —

@@ -310,6 +310,39 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(math.abs(got(2)._3 - math.log(1.0 / 3)) < 1e-12)
   }
 
+  test("stupidBackoffScore: all four paths hand-computed, short docs excluded") {
+    import graft.operators.Corpus
+    // reference "a b c a b d": c1 = {a:2, b:2, c:1, d:1}, N=6;
+    // bigrams {(a,b):2, (b,c):1, (c,a):1, (b,d):1};
+    // trigrams {(a,b,c), (b,c,a), (c,a,b), (a,b,d)} all x1
+    val ref = table("id bigint, text string", Seq(row(0L, "a b c a b d")))
+    val cand = table("id bigint, text string", Seq(
+      row(1L, "a b c"),   // trigram hit: 1 / c2(a,b)=2
+      row(2L, "x b c"),   // backoff to bigram: 0.4 * c2(b,c)=1 / c1(b)=2
+      row(3L, "d c b"),   // bigram (c,b) unseen -> unigram: 0.16 * c1(b)=2 / 6
+      row(4L, "b c x"),   // x never seen -> OOV floor: 0.16 * 1 / 6
+      row(5L, "c a b"),   // trigram hit with ctx c2(c,a)=1 -> ln(1) = 0
+      row(6L, "a b")))    // < 3 tokens: excluded
+    val got = Corpus.stupidBackoffScore(ref, cand, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got.map(_._2) == Seq(1L, 1L, 1L, 1L, 1L))
+    assert(math.abs(got(0)._3 - math.log(1.0 / 2)) < 1e-12)
+    assert(math.abs(got(1)._3 - math.log(0.4 * 1.0 / 2)) < 1e-12)
+    assert(math.abs(got(2)._3 - math.log(0.4 * 0.4 * 2.0 / 6)) < 1e-12)
+    assert(math.abs(got(3)._3 - math.log(0.4 * 0.4 * 1.0 / 6)) < 1e-12)
+    assert(got(4)._3 == 0.0)
+    intercept[IllegalArgumentException] {
+      Corpus.stupidBackoffScore(ref, cand, "id", "text", alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.stupidBackoffScore(
+        table("id bigint, text string", Seq.empty[org.apache.spark.sql.Row]),
+        cand, "id", "text")
+    }
+  }
+
   test("pmiCollocations: hand-computed PMI, hapax pruning, independence at zero") {
     import graft.operators.Corpus
     // tokens: a b a b a c  -> N=6, c(a)=3, c(b)=2, c(c)=1
