@@ -2694,6 +2694,44 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q139
+  /** Corpus composition + vocabulary coverage
+    * ([[graft.operators.Corpus.compositionReport]]): the per-(source,
+    * lang) mixture table — docs, chars, tokens, corpus share — plus
+    * each slice's OOV rate against a tokenizer vocabulary built from
+    * the English slice with a scale-invariant frequency floor
+    * (minFreq = ceil(refTokens/1000), so the same rare token falls
+    * out of vocabulary at every SF and the OOV counts stay
+    * non-vacuous). The oracle rebuilds the vocabulary and replays
+    * every per-slice count; counts integer-exact, shares/rates single
+    * IEEE divisions — hash-exact, no rounding gate. */
+  private def q139CorpusComposition(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val docs = Tables.documents(s, dir)
+    val freq = Corpus.tokenFrequencies(docs.filter(col("lang") === "en"), "text")
+    val nRef = freq.agg(coalesce(sum(col("freq")), lit(0L))).head().getLong(0)
+    val minFreq = math.max(1L, (nRef + 999L) / 1000L)
+    val vocab = Corpus.vocabularyFromFrequencies(freq, minFreq)
+    Corpus.compositionReport(docs, Seq("source", "lang"), "text", vocab)
+      .orderBy("source", "lang")
+  }
+
+  // ---------------------------------------------------------------- q140
+  /** k-anonymity audit ([[graft.operators.Quality.kAnonymityAudit]]):
+    * the re-identification-risk profile of customer over the
+    * (segment, nation, account-balance band) quasi-identifier — one
+    * row per equivalence-class size with group/row counts and the
+    * k=10 risk flag. The oracle replays the class aggregation and the
+    * size profile; everything is integer arithmetic, hash-exact. */
+  private def q140KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    val cust = Tables.customer(s, dir).withColumn("bal_band",
+      floor(col("c_acctbal") / 1000.0).cast("long"))
+    Quality.kAnonymityAudit(cust,
+        Seq("c_mktsegment", "c_nationkey", "bal_band"), k = 10L)
+      .orderBy("group_size")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2833,6 +2871,8 @@ object SparkEntry {
     "q136_orc_roundtrip" -> (q136OrcRoundtrip _),
     "q137_export_manifest" -> (q137ExportManifest _),
     "q138_stupid_backoff" -> (q138StupidBackoff _),
+    "q139_corpus_composition" -> (q139CorpusComposition _),
+    "q140_k_anonymity" -> (q140KAnonymity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4490,6 +4530,56 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q139_corpus_composition" ->
+      """WITH rtk AS (
+        |  SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+        |  FROM documents WHERE lang = 'en'
+        |), fr AS (
+        |  SELECT w, COUNT(*) AS c FROM rtk GROUP BY w
+        |), mf AS (
+        |  SELECT GREATEST(1, (CAST(SUM(c) AS BIGINT) + 999) // 1000) AS minf
+        |  FROM fr
+        |), vocab AS (
+        |  SELECT w FROM fr, mf WHERE c >= minf
+        |), dd AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY 1, 2
+        |), tk AS (
+        |  SELECT source, lang,
+        |    unnest(string_split_regex(trim(text), ' +')) AS w
+        |  FROM documents
+        |), ta AS (
+        |  SELECT t.source, t.lang, COUNT(*) AS n_tokens,
+        |    CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS oov_tokens
+        |  FROM tk t LEFT JOIN vocab v ON t.w = v.w GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total FROM ta
+        |)
+        |SELECT d.source, d.lang, d.n_docs, d.n_chars,
+        |  COALESCE(ta.n_tokens, 0) AS n_tokens,
+        |  CAST(COALESCE(ta.n_tokens, 0) AS DOUBLE) / tot.total AS token_share,
+        |  COALESCE(ta.oov_tokens, 0) AS oov_tokens,
+        |  CASE WHEN COALESCE(ta.n_tokens, 0) > 0
+        |    THEN CAST(ta.oov_tokens AS DOUBLE) / CAST(ta.n_tokens AS DOUBLE)
+        |  END AS oov_rate
+        |FROM dd d LEFT JOIN ta ON d.source = ta.source AND d.lang = ta.lang
+        |CROSS JOIN tot
+        |ORDER BY d.source, d.lang""".stripMargin,
+    "q140_k_anonymity" ->
+      """WITH q AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        |  FROM customer
+        |), g AS (
+        |  SELECT COUNT(*) AS sz FROM q
+        |  GROUP BY c_mktsegment, c_nationkey, bal_band
+        |)
+        |SELECT sz AS group_size, COUNT(*) AS n_groups,
+        |  CAST(SUM(sz) AS BIGINT) AS n_rows, sz < 10 AS at_risk
+        |FROM g GROUP BY sz
+        |ORDER BY sz""".stripMargin,
     "q138_stupid_backoff" ->
       """WITH cand AS (
         |  SELECT doc_id, CASE WHEN doc_id % 17 = 0

@@ -792,6 +792,61 @@ object Corpus {
       .agg(count(lit(1)).as("n_scored"), avg(log(s)).as("avg_logscore"))
   }
 
+  /** Corpus composition + vocabulary-coverage report: the mixture
+    * table every training run starts from (The-Pile/Dolma-style "what
+    * is in this corpus, and how much of it") — one row per slice
+    * (source, language, crawl, …) with document/character/token
+    * totals, each slice's share of the corpus, and the slice's
+    * OUT-OF-VOCABULARY token rate against a tokenizer vocabulary
+    * ([[vocabularyFromFrequencies]] output, or any one-column token
+    * frame). The OOV rate is the mixture-weighting signal coverage
+    * arguments are made with: a slice whose tokens the tokenizer
+    * cannot represent is noise at training time no matter how many
+    * bytes it contributes.
+    *
+    * Scale shape: one doc-level aggregation (slice-bounded) + one
+    * token explode left-joined to the vocabulary UNHINTED (AQE
+    * broadcasts real vocabularies) and aggregated map-side-combined to
+    * the same slice keys; the corpus token total is ONE driver scalar
+    * off the slice-level frame (the q86/q91 bounded-scalar pattern —
+    * never a whole-frame window). Shares are single divisions of
+    * exact longs.
+    *
+    * Output: sliceCols ++ (n_docs, n_chars, n_tokens, token_share,
+    * oov_tokens, oov_rate). */
+  def compositionReport(
+      df: DataFrame,
+      sliceCols: Seq[String],
+      textCol: String,
+      vocab: DataFrame,
+      vocabTokenCol: String = "token"): DataFrame = {
+    require(sliceCols.nonEmpty, "compositionReport needs slice columns")
+    val docAgg = df.groupBy(sliceCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+    val v = vocab.select(col(vocabTokenCol).as("__w"))
+      .distinct().withColumn("__in_v", lit(true))
+    val tokAgg = df.select(sliceCols.map(col) :+
+        explode(TextFunctions.tokens(col(textCol))).as("__w"): _*)
+      .join(v, Seq("__w"), "left")
+      .groupBy(sliceCols.map(col): _*)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_v").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+    val total = tokAgg.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .head().getLong(0)
+    require(total > 0L, "compositionReport: the corpus has no tokens")
+    docAgg.join(tokAgg, sliceCols, "left")
+      .select(sliceCols.map(col) ++ Seq(
+        col("n_docs"), col("n_chars"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)).cast("double") /
+          lit(total.toDouble)).as("token_share"),
+        coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0L,
+          col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate")): _*)
+  }
+
   /** Pointwise-mutual-information collocation mining (Church–Hanks):
     * adjacent token pairs scored by how much more often they co-occur
     * than their unigram frequencies predict —

@@ -84,4 +84,42 @@ object Quality {
       col("n_violations").cast("double") <=
         lit(maxViolationRate) * col("n_checked").cast("double"))
   }
+
+  /** k-anonymity audit over a quasi-identifier column set — the
+    * re-identification-risk companion to the PII scrubbing family
+    * ([[graft.functions.TextFunctions]] redaction removes DIRECT
+    * identifiers; this measures whether the remaining quasi-identifier
+    * combinations still single people out): a row is k-anonymous when
+    * at least `k` rows share its full quasi-identifier tuple, so every
+    * equivalence class smaller than `k` is a disclosure risk. Returns
+    * the CLASS-SIZE PROFILE — one row per distinct class size with the
+    * number of classes and rows at that size and the `at_risk` flag —
+    * because "3 classes of size 1" is the actionable reading (which
+    * generalization to coarsen), not a single pass/fail bit.
+    *
+    * Scale shape: one map-side-combined aggregation onto the
+    * quasi-identifier classes (class-bounded exchange), then a second
+    * aggregation onto distinct class SIZES (at most a few hundred
+    * values regardless of table size). NULL quasi-identifier values
+    * form their own class (groupBy semantics) — NULL is a value an
+    * attacker can match on too.
+    *
+    * Output: (group_size, n_groups, n_rows, at_risk), size ascending
+    * risk first. */
+  def kAnonymityAudit(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit needs quasi-identifier columns")
+    require(k >= 2L, s"k ($k) must be >= 2 — k=1 is vacuously satisfied")
+    val missing = quasiCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"quasi-identifier columns not in frame: ${missing.mkString(", ")}")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__sz")).as("n_rows"))
+      .withColumn("at_risk", col("group_size") < k)
+  }
 }

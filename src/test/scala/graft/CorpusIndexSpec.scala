@@ -310,6 +310,24 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(math.abs(got(2)._3 - math.log(1.0 / 3)) < 1e-12)
   }
 
+  test("compositionReport: shares, OOV rates, and counts hand-computed") {
+    import graft.operators.Corpus
+    val docs = table("src string, text string", Seq(
+      row("s1", "a a b"), row("s1", "a zz"),   // s1: 5 tokens, 1 oov (zz)
+      row("s2", "b b")))                        // s2: 2 tokens, 0 oov
+    val vocab = table("token string", Seq(row("a"), row("b")))
+    val got = Corpus.compositionReport(docs, Seq("src"), "text", vocab)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      ("s1", 2L, 9L, 5L, 5.0 / 7, 1L, 0.2),
+      ("s2", 1L, 3L, 2L, 2.0 / 7, 0L, 0.0)), got.toString)
+    intercept[IllegalArgumentException] {
+      Corpus.compositionReport(docs, Nil, "text", vocab)
+    }
+  }
+
   test("stupidBackoffScore: all four paths hand-computed, short docs excluded") {
     import graft.operators.Corpus
     // reference "a b c a b d": c1 = {a:2, b:2, c:1, d:1}, N=6;

@@ -55,6 +55,29 @@ class QualitySpec extends AnyFunSuite {
     assert(tolerant == Seq(true))
   }
 
+  test("kAnonymityAudit: size profile hand-computed; NULL quasi values form a class") {
+    import graft.operators.Quality
+    val df = table("seg string, nat int, x int", Seq(
+      row("A", 1, 0), row("A", 1, 0), row("A", 1, 0),   // class of 3
+      row("A", 2, 0), row("A", 2, 0),                   // class of 2
+      row("B", 1, 0),                                   // singleton
+      row(null, 1, 0), row(null, 1, 0)))                // NULL class of 2
+    val got = Quality.kAnonymityAudit(df, Seq("seg", "nat"), k = 3L)
+      .orderBy("group_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, true),
+      (2L, 2L, 4L, true),
+      (3L, 1L, 3L, false)), got.toString)
+    intercept[IllegalArgumentException] {
+      Quality.kAnonymityAudit(df, Seq("seg"), k = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Quality.kAnonymityAudit(df, Seq("nope"), k = 3L)
+    }
+  }
+
   test("check: duplicate rule names and empty suites fail loudly") {
     intercept[IllegalArgumentException] {
       Quality.check(frame(), Seq(
