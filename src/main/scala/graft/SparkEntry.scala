@@ -2732,6 +2732,47 @@ object SparkEntry {
       .orderBy("group_size")
   }
 
+  // ---------------------------------------------------------------- q141
+  /** Top-k frequent session paths
+    * ([[graft.operators.Events.topPaths]]): q22's 30-minute sessions
+    * rendered as their time-ordered event-type paths (first 5 steps,
+    * event-id tie break) and counted — funnel DISCOVERY next to q92's
+    * fixed-funnel measurement. The oracle replays sessionization, the
+    * ordered-list truncation, the path counts, and the
+    * (count desc, path) top-40 cutoff; all integers and strings,
+    * hash-exact. */
+  private def q141TopPaths(s: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.sessionize(
+      Tables.events(s, dir).select("user_id", "ts", "event_id", "event_type"),
+      Seq("user_id"), "ts", 30L * 60 * 1000000, tieBreak = Seq("event_id"))
+    Events.topPaths(sess, Seq("user_id", "session_id"), "ts", "event_type",
+      k = 40, maxLen = 5, tieBreak = Seq("event_id"))
+  }
+
+  // ---------------------------------------------------------------- q142
+  /** Embedding-space drift monitor
+    * ([[graft.operators.Similarity.embeddingDrift]]): even-id vectors
+    * as the reference, odd-id vectors with dimension 0 scaled ×4 (an
+    * exact power-of-two float scale — no rounding on either engine) as
+    * the drifted current corpus; PSI over cosine-to-reference-centroid
+    * buckets. The oracle recomputes the rounded centroid (q71's
+    * 6-decimal mean gate), every rounded cosine (q17's 4-decimal
+    * gate), the reference-bound buckets, and the PSI tail; counts
+    * integer-exact, psi on the 6-decimal gate. */
+  private def q142EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val ref = emb.filter(col("vec_id") % 2 === 0)
+    val cur = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * lit(4.0f)).otherwise(x))
+          .as("embedding"))
+    Similarity.embeddingDrift(ref, cur, "embedding", bins = 20)
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(col("psi"), 6).as("psi6"))
+      .orderBy("bucket")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2873,6 +2914,8 @@ object SparkEntry {
     "q138_stupid_backoff" -> (q138StupidBackoff _),
     "q139_corpus_composition" -> (q139CorpusComposition _),
     "q140_k_anonymity" -> (q140KAnonymity _),
+    "q141_top_paths" -> (q141TopPaths _),
+    "q142_embedding_drift" -> (q142EmbeddingDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4530,6 +4573,97 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q141_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+        |    event_type
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g
+        |), pth AS (
+        |  SELECT user_id, session_id,
+        |    array_to_string(
+        |      (list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+        |  FROM s GROUP BY user_id, session_id
+        |)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM pth GROUP BY path
+        |ORDER BY n_sessions DESC, path
+        |LIMIT 40""".stripMargin,
+    "q142_embedding_drift" ->
+      """WITH ref AS (
+        |  SELECT embedding FROM embeddings WHERE vec_id % 2 = 0
+        |), cur AS (
+        |  SELECT list_transform(list_zip(embedding, range(len(embedding))),
+        |      z -> CASE WHEN z[2] = 0
+        |        THEN CAST(z[1] * CAST(4.0 AS REAL) AS REAL)
+        |        ELSE z[1] END) AS embedding
+        |  FROM embeddings WHERE vec_id % 2 = 1
+        |), cd AS (
+        |  SELECT dim, CAST(ROUND(AVG(CAST(x AS DOUBLE)), 6) AS REAL) AS m
+        |  FROM (SELECT unnest(embedding) AS x,
+        |          unnest(range(len(embedding))) AS dim FROM ref)
+        |  GROUP BY dim
+        |), cv AS (
+        |  SELECT list(m ORDER BY dim) AS mv,
+        |    sqrt(list_sum(list_transform(list(m ORDER BY dim),
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS mnorm
+        |  FROM cd
+        |), rc AS (
+        |  SELECT ROUND(
+        |    list_sum(list_transform(list_zip(embedding, mv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * mnorm),
+        |    4) AS c
+        |  FROM ref CROSS JOIN cv
+        |), uc AS (
+        |  SELECT ROUND(
+        |    list_sum(list_transform(list_zip(embedding, mv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * mnorm),
+        |    4) AS c
+        |  FROM cur CROSS JOIN cv
+        |), b AS (
+        |  SELECT MIN(c) AS lo, MAX(c) AS hi FROM rc
+        |), rh AS (
+        |  SELECT LEAST(GREATEST(CAST(FLOOR(
+        |      (c - lo) * 20.0 / (hi - lo)) AS INT), 0), 19) AS bucket,
+        |    COUNT(*) AS n_ref
+        |  FROM rc, b GROUP BY 1
+        |), uh AS (
+        |  SELECT LEAST(GREATEST(CAST(FLOOR(
+        |      (c - lo) * 20.0 / (hi - lo)) AS INT), 0), 19) AS bucket,
+        |    COUNT(*) AS n_cur
+        |  FROM uc, b GROUP BY 1
+        |), gg AS (
+        |  SELECT CAST(UNNEST(range(20)) AS INT) AS bucket
+        |), j AS (
+        |  SELECT gg.bucket, COALESCE(rh.n_ref, 0) AS n_ref,
+        |    COALESCE(uh.n_cur, 0) AS n_cur
+        |  FROM gg LEFT JOIN rh ON gg.bucket = rh.bucket
+        |          LEFT JOIN uh ON gg.bucket = uh.bucket
+        |), t AS (
+        |  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+        |    CAST(SUM(n_cur) AS BIGINT) AS tc FROM j
+        |)
+        |SELECT j.bucket, j.n_ref, j.n_cur,
+        |  ROUND((GREATEST(CAST(j.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE), 1e-6)
+        |       - GREATEST(CAST(j.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE), 1e-6))
+        |    * ln(GREATEST(CAST(j.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE), 1e-6)
+        |       / GREATEST(CAST(j.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE), 1e-6)),
+        |    6) AS psi6
+        |FROM j, t ORDER BY j.bucket""".stripMargin,
     "q139_corpus_composition" ->
       """WITH rtk AS (
         |  SELECT unnest(string_split_regex(trim(text), ' +')) AS w

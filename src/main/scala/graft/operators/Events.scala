@@ -426,6 +426,59 @@ object Events {
       col("touch_ts_us"), col("weight"))
   }
 
+  /** Top-k frequent session paths — funnel DISCOVERY next to
+    * [[funnel]]'s fixed-path measurement: each group (typically a
+    * [[Sessionize]] session) is rendered as its time-ordered event-type
+    * path truncated to the first `maxLen` steps, and the `k` most
+    * common paths are returned with their session counts. This is the
+    * "what do users actually do" primitive that tells you WHICH funnel
+    * to measure.
+    *
+    * Determinism: the in-group order is `(ts, tieBreak…)` — pass a tie
+    * breaker when timestamps can collide, exactly the
+    * [[transitionMatrix]] contract. Top-k ties break by path string
+    * ascending.
+    *
+    * Scale shape: ONE hash shuffle onto the group keys collects each
+    * group's (ts, tie, type) structs, sorted and truncated map-side
+    * after the aggregation (per-group cost is the session length —
+    * groups are sessions, bounded by construction; `maxEventsPerGroup`
+    * raises loudly on a group that isn't); path counting is a second
+    * shuffle bounded by the path vocabulary, and the final top-k is
+    * `TakeOrderedAndProject` — per-partition bounded heaps, the path
+    * table is never globally sorted.
+    *
+    * Output: (`path`, `n_sessions`), count desc, path asc, ≤ k rows.
+    */
+  def topPaths(
+      df: DataFrame,
+      groupKeys: Seq[String],
+      tsCol: String,
+      typeCol: String,
+      k: Int,
+      maxLen: Int,
+      tieBreak: Seq[String] = Nil,
+      sep: String = ">",
+      maxEventsPerGroup: Int = 100000): DataFrame = {
+    require(groupKeys.nonEmpty, "topPaths needs group keys")
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(maxLen >= 1, s"maxLen ($maxLen) must be >= 1")
+    val ord = struct((tsCol +: tieBreak).map(col) :+
+      col(typeCol).cast("string").as("__ty"): _*)
+    df.groupBy(groupKeys.map(col): _*)
+      .agg(collect_list(ord).as("__seq"))
+      .select(when(size(col("__seq")) > maxEventsPerGroup,
+          raise_error(concat(
+            lit(s"topPaths: a group exceeds $maxEventsPerGroup events ("),
+            size(col("__seq")).cast("string"),
+            lit(") — sessionize upstream or raise maxEventsPerGroup"))))
+        .otherwise(concat_ws(sep,
+          slice(transform(array_sort(col("__seq")), s => s("__ty")),
+            1, maxLen))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(k)
+  }
+
   /** Per-key time-series resampling with forward fill: the irregular
     * event stream regularized onto a fixed `stepUs` grid — one row per
     * key per step between that key's first and last observation, the

@@ -39,6 +39,51 @@ object Similarity {
       .select(col(keyCol), col("dim"), col("n_vecs"),
         (col("__s") / col("n_vecs")).as("mean"))
 
+  /** Embedding-space drift monitor: PSI between a reference and a
+    * current corpus over each vector's cosine to the REFERENCE
+    * centroid — the embedding analog of [[Profile.drift]]'s scalar
+    * monitor. An embedding model swap, a crawl-source shift, or a
+    * preprocessing regression moves the cosine-to-centroid
+    * distribution long before anyone inspects vectors by hand; this
+    * reduces "did the embedding space move" to the same
+    * bucketed-PSI number the scalar monitors already alarm on.
+    *
+    * Determinism discipline: the centroid's per-dim means are rounded
+    * to 6 decimals (the q71 mean-pool gate) and carried as float32
+    * literals; each cosine is rounded to 4 decimals (the q17 cosine
+    * gate) BEFORE bucketing, so a 1-ulp cross-engine wobble cannot
+    * flip a bucket boundary. Bounds are the reference's own rounded
+    * [min, max].
+    *
+    * Scale shape: ONE (dims-bounded) centroid aggregation collected to
+    * the driver ([[meanPoolBy]]), map-only cosine scoring through the
+    * native codegen expression, and [[Profile.drift]]'s bins-bounded
+    * histogram pair. Nothing joins the corpora.
+    *
+    * Output: [[Profile.drift]]'s (bucket, n_ref, n_cur, psi). */
+  def embeddingDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      vecCol: String,
+      bins: Int,
+      eps: Double = 1e-6): DataFrame = {
+    require(bins >= 1, s"bins ($bins) must be >= 1")
+    val cRows = meanPoolBy(ref.select(lit(0L).as("__ck"), col(vecCol)),
+        "__ck", vecCol)
+      .select(col("dim"), round(col("mean"), 6).as("m")).collect()
+    require(cRows.nonEmpty, "embeddingDrift: reference corpus is empty")
+    val centroid = cRows.sortBy(_.getInt(0)).map(_.getDouble(1).toFloat).toSeq
+    def cosTo(df: DataFrame) = df.select(
+      round(graft.expressions.GraftFunctions.cosineF32(df, col(vecCol),
+        vectorLit(centroid)), 4).as("__cos"))
+    val refCos = cosTo(ref)
+    val curCos = cosTo(cur)
+    val Array(b) = refCos.agg(min(col("__cos")).as("lo"),
+      max(col("__cos")).as("hi")).collect()
+    Profile.drift(refCos, curCos, "__cos", bins,
+      b.getDouble(0), b.getDouble(1), eps)
+  }
+
   /** Exact top-k by cosine similarity against a single query vector.
     *
     * Scale shape: map-only scoring through the native [[graft.expressions.CosineSimF32]]

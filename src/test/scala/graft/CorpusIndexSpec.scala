@@ -274,6 +274,28 @@ class CorpusIndexSpec extends AnyFunSuite {
       ("b", 0, 1L, 10.0), ("b", 1, 1L, 0.0)))
   }
 
+  test("embeddingDrift: identical corpora score zero, a shifted one scores high") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(19)
+    val vecs = (0 until 120).map(_ => Seq.fill(4)(rnd.nextFloat() - 0.3f))
+    def frame(vs: Seq[Seq[Float]]) =
+      table("v array<float>", vs.map(v => row(v)))
+    val same = Similarity.embeddingDrift(frame(vecs), frame(vecs),
+        "v", bins = 8)
+      .collect().map(_.getDouble(3))
+    // identical distributions: every bucket's p_ref == p_cur exactly
+    assert(same.forall(_ == 0.0), same.mkString(","))
+    val flipped = vecs.map(v => v.map(x => -x))
+    val moved = Similarity.embeddingDrift(frame(vecs), frame(flipped),
+        "v", bins = 8)
+      .collect().map(_.getDouble(3)).sum
+    assert(moved > 0.25, s"psi $moved")
+    intercept[IllegalArgumentException] {
+      Similarity.embeddingDrift(
+        frame(Nil).filter(lit(false)), frame(vecs), "v", bins = 8)
+    }
+  }
+
   test("exactCapPerStratum: exact sizes, matches the row_number formulation, nested") {
     import graft.functions.TextFunctions
     val rows = (0L until 10L).map(i => row(i, "big")) ++

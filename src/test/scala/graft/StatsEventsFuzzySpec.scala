@@ -343,6 +343,28 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("topPaths: ordered truncated paths, tie-broken cutoff, oversize guard") {
+    val df = table("u bigint, sid bigint, t_us bigint, eid bigint, et string", Seq(
+      row(1L, 1L, 10L, 1L, "view"), row(1L, 1L, 20L, 2L, "click"),
+      row(1L, 2L, 10L, 3L, "view"), row(1L, 2L, 20L, 4L, "click"),
+      row(2L, 1L, 10L, 5L, "view"), row(2L, 1L, 10L, 6L, "click"), // equal ts:
+                                                                   //  eid orders
+      row(3L, 1L, 1L, 7L, "a"), row(3L, 1L, 2L, 8L, "b"),
+      row(3L, 1L, 3L, 9L, "c"), row(3L, 1L, 4L, 10L, "d")))       // truncated at 3
+    val got = Events.topPaths(df, Seq("u", "sid"), "t_us", "et",
+        k = 2, maxLen = 3, tieBreak = Seq("eid"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "view>click" appears twice (u1 sessions); u2's equal-ts session
+    // also reads view>click via the eid tie -> count 3; u3 truncates
+    // "a>b>c>d" to "a>b>c" (count 1) and falls below k=2's cutoff
+    assert(got == Seq(("view>click", 3L), ("a>b>c", 1L)), got.toString)
+    val e = intercept[Exception] {
+      Events.topPaths(df, Seq("u", "sid"), "t_us", "et",
+        k = 2, maxLen = 3, maxEventsPerGroup = 3).collect()
+    }
+    assert(e.getMessage.contains("exceeds 3"), e.getMessage)
+  }
+
   test("resampleFfill: gaps filled per key, last-in-step wins by tie, span guard raises") {
     def ev(rows: Seq[(Long, Long, Long, Double)]) =
       table("u bigint, t_us bigint, eid bigint, v double",
