@@ -2773,6 +2773,57 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  // ---------------------------------------------------------------- q143
+  /** CSV quarantine ingestion ([[Tables.readCsvWithQuarantine]]):
+    * nation written as a clean CSV shard plus a torn shard with three
+    * malformed lines (int-parse failures and an extra-token row);
+    * PERMISSIVE parsing lands the torn rows' RAW text in the corrupt
+    * column instead of failing the job, and the query reports the
+    * good/quarantined split with value samples. The oracle reads the
+    * ORIGINAL parquet for the good half and hardcodes the planted
+    * torn lines — any row mis-parsed to the wrong side fails the
+    * hash. */
+  private def q143CsvQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val dirPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_csv_quarantine_${ProcessHandle.current().pid()}").getAbsolutePath
+    Tables.nation(s, dir).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(dirPath)
+    import s.implicits._
+    // a torn shard: its own header line (header=true skips the first
+    // line of EVERY file) + three malformed rows
+    Seq("n_nationkey,n_name,n_regionkey",
+        "abc,TORN_A,1", "2,TORN_B,zz", "3,TORN_C,4,EXTRA")
+      .toDF("value").coalesce(1).write.mode("append").text(dirPath)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    // localCheckpoint severs the scan so the quarantine branch may
+    // reference only the corrupt column (Spark disallows that straight
+    // off a raw CSV scan)
+    val raw = Tables.readCsvWithQuarantine(s, dirPath, schema)
+      .localCheckpoint()
+    val g = raw.filter(col("_corrupt_record").isNull)
+      .agg(count(lit(1)).as("n"), min(col("n_name")).as("sample"))
+      .select(lit("good").as("kind"), col("n"), col("sample"))
+    val b = raw.filter(col("_corrupt_record").isNotNull)
+      .agg(count(lit(1)).as("n"), min(col("_corrupt_record")).as("sample"))
+      .select(lit("quarantined").as("kind"), col("n"), col("sample"))
+    g.unionByName(b).orderBy("kind")
+  }
+
+  // ---------------------------------------------------------------- q144
+  /** Sequence-packing efficiency report
+    * ([[graft.operators.Corpus.paddingReport]]): per-document padded
+    * batching vs contiguous packing at seqLen=128 over `documents` —
+    * the single-row justification for the q54/q108 packing operators.
+    * Everything is exact integer ceil arithmetic plus two single
+    * IEEE divisions — hash-exact, no rounding gate. */
+  private def q144PaddingReport(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.paddingReport(
+      Tables.documents(s, dir), "text", seqLen = 128)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2916,6 +2967,8 @@ object SparkEntry {
     "q140_k_anonymity" -> (q140KAnonymity _),
     "q141_top_paths" -> (q141TopPaths _),
     "q142_embedding_drift" -> (q142EmbeddingDrift _),
+    "q143_csv_quarantine" -> (q143CsvQuarantine _),
+    "q144_padding_report" -> (q144PaddingReport _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4573,6 +4626,34 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q143_csv_quarantine" ->
+      """SELECT kind, n, sample FROM (
+        |  SELECT 'good' AS kind, COUNT(*) AS n, MIN(n_name) AS sample
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'quarantined' AS kind, CAST(3 AS BIGINT) AS n,
+        |    '2,TORN_B,zz' AS sample
+        |)
+        |ORDER BY kind""".stripMargin,
+    "q144_padding_report" ->
+      """WITH tk AS (
+        |  SELECT len(string_split_regex(trim(text), ' +')) AS n
+        |  FROM documents
+        |), a AS (
+        |  SELECT COUNT(*) AS nd, CAST(SUM(n) AS BIGINT) AS tot,
+        |    CAST(SUM((n + 127) // 128) AS BIGINT) AS ps
+        |  FROM tk
+        |)
+        |SELECT nd AS n_docs, tot AS total_tokens,
+        |  CAST(128 AS INT) AS seq_len,
+        |  ps AS padded_sequences,
+        |  ps * 128 AS padded_tokens,
+        |  CAST(tot AS DOUBLE) / CAST(ps * 128 AS DOUBLE)
+        |    AS padded_utilization,
+        |  (tot + 127) // 128 AS packed_sequences,
+        |  CAST(tot AS DOUBLE) / CAST(((tot + 127) // 128) * 128 AS DOUBLE)
+        |    AS packed_utilization
+        |FROM a""".stripMargin,
     "q141_top_paths" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,

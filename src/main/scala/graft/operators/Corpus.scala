@@ -847,6 +847,45 @@ object Corpus {
           .as("oov_rate")): _*)
   }
 
+  /** Sequence-packing efficiency report — the NUMBER that justifies
+    * [[packSequences]]/[[packSequencesByCount]]: for a target training
+    * sequence length, compare naive per-document batching (each doc
+    * padded up to a multiple of `seqLen`) against contiguous packing
+    * (docs concatenated, one partial sequence of waste TOTAL). Both
+    * utilizations are exact integer arithmetic; the gap is the GPU
+    * time padding burns. One row out:
+    * (n_docs, total_tokens, seq_len, padded_sequences, padded_tokens,
+    * padded_utilization, packed_sequences, packed_utilization).
+    *
+    * Scale shape: one map-only token count + ONE algebraic
+    * aggregation — ceil arithmetic rides the aggregate as
+    * `(n + seqLen − 1) div seqLen` integer math, so the whole report
+    * is a single map-side-combined pass. */
+  def paddingReport(
+      df: DataFrame,
+      textCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen ($seqLen) must be >= 1")
+    val n = size(TextFunctions.tokens(col(textCol))).cast("long")
+    val perDocSeqs = (n + lit(seqLen.toLong) - 1L) / lit(seqLen.toLong)
+    df.agg(
+        count(lit(1)).as("n_docs"),
+        sum(n).as("total_tokens"),
+        sum(perDocSeqs.cast("long")).as("padded_sequences"))
+      .select(col("n_docs"), col("total_tokens"), lit(seqLen).as("seq_len"),
+        col("padded_sequences"),
+        (col("padded_sequences") * seqLen).as("padded_tokens"),
+        (col("total_tokens").cast("double") /
+          (col("padded_sequences") * seqLen).cast("double"))
+          .as("padded_utilization"),
+        ((col("total_tokens") + seqLen - 1) / seqLen).cast("long")
+          .as("packed_sequences"),
+        (col("total_tokens").cast("double") /
+          (((col("total_tokens") + seqLen - 1) / seqLen).cast("long") * seqLen)
+            .cast("double"))
+          .as("packed_utilization"))
+  }
+
   /** Pointwise-mutual-information collocation mining (Church–Hanks):
     * adjacent token pairs scored by how much more often they co-occur
     * than their unigram frequencies predict —

@@ -71,6 +71,31 @@ object Tables {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** CSV with a QUARANTINE column — production ingestion's malformed-
+    * record handling: rows that fail to parse against the explicit
+    * schema land in `corruptCol` with their RAW line preserved
+    * (PERMISSIVE mode + `columnNameOfCorruptRecord`), instead of
+    * killing the job (FAILFAST) or silently vanishing (DROPMALFORMED).
+    * The caller splits `good = corruptCol IS NULL` for the pipeline
+    * and quarantines the rest for inspection/replay — at 100 TB a
+    * crawl shard ALWAYS has a torn line, and the difference between
+    * "3 quarantined rows in a side table" and "job 47 failed at hour
+    * six" is this option. Note Spark populates the corrupt column on
+    * type-parse failures and extra tokens; a SHORT row null-fills
+    * missing trailing columns by CSV convention. */
+  def readCsvWithQuarantine(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = true,
+      corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .csv(path)
+
   /** ORC with an explicit schema — the second columnar interchange
     * format next to parquet (warehouses that standardized on
     * Hive/ORC hand shards to a Spark pipeline as-is). Spark's native

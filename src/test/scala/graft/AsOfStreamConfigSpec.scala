@@ -269,6 +269,23 @@ class AsOfStreamConfigSpec extends AnyFunSuite {
       Seq(Seq(1L, "ann", 2.5), Seq(2L, "bob", 3.5)))
   }
 
+  test("csv quarantine: malformed rows land raw in the corrupt column, good rows parse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-q")
+    java.nio.file.Files.writeString(dir.resolve("t.csv"),
+      "id,name,score\n1,ann,2\nBAD,bob,3\n2,cat,4,EXTRA\n3,dan,5\n")
+    val df = graft.sources.Tables.readCsvWithQuarantine(spark, dir.toString,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id bigint, name string, score int"))
+      .localCheckpoint()
+    val good = df.filter(col("_corrupt_record").isNull)
+      .select("id", "name").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(good == Seq(Seq(1L, "ann"), Seq(3L, "dan")))
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").orderBy("_corrupt_record")
+      .collect().map(_.getString(0)).toSeq
+    assert(bad == Seq("2,cat,4,EXTRA", "BAD,bob,3"), bad.toString)
+  }
+
   test("orc source roundtrips values bit-exactly with an explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val src = table("id bigint, name string, score double", Seq(

@@ -332,6 +332,22 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(math.abs(got(2)._3 - math.log(1.0 / 3)) < 1e-12)
   }
 
+  test("paddingReport: ceil arithmetic and utilizations hand-computed") {
+    import graft.operators.Corpus
+    // token counts 3, 4, 5 at seqLen 4: padded seqs 1+1+2=4 (16 slots),
+    // packed seqs ceil(12/4)=3 (12 slots, 100% utilization)
+    val df = table("id bigint, text string", Seq(
+      row(1L, "a b c"), row(2L, "a b c d"), row(3L, "a b c d e")))
+    val r = Corpus.paddingReport(df, "text", seqLen = 4).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+      r.getLong(4), r.getLong(6)) == ((3L, 12L, 4, 4L, 16L, 3L)))
+    assert(r.getDouble(5) == 12.0 / 16)
+    assert(r.getDouble(7) == 1.0)
+    intercept[IllegalArgumentException] {
+      Corpus.paddingReport(df, "text", seqLen = 0)
+    }
+  }
+
   test("compositionReport: shares, OOV rates, and counts hand-computed") {
     import graft.operators.Corpus
     val docs = table("src string, text string", Seq(
