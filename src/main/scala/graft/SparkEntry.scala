@@ -2824,6 +2824,68 @@ object SparkEntry {
     graft.operators.Corpus.paddingReport(
       Tables.documents(s, dir), "text", seqLen = 128)
 
+  // ---------------------------------------------------------------- q145
+  /** Vocabulary coverage curve
+    * ([[graft.operators.Corpus.vocabCoverageCurve]]): tokens needed to
+    * cover 25/50/75/90/99/100% of the document token stream — the
+    * tokenizer-sizing report, computed with one prefix-summed
+    * conditional aggregation over the frequency table. The oracle
+    * replays the (freq desc, token) cumulative order and every
+    * threshold count; all integers (thresholds are identical double
+    * products), hash-exact. */
+  private def q145VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    Corpus.vocabCoverageCurve(Tables.documents(s, dir), "text",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
+      .orderBy("target")
+  }
+
+  // ---------------------------------------------------------------- q146
+  /** Referential-integrity audit
+    * ([[graft.operators.Quality.referentialIntegrity]]): two FK
+    * relations checked long-form — lineitem→orders (clean by
+    * construction: 0 orphans proves the join key) and a deliberately
+    * torn orders→customer (every 97th custkey shifted out of range,
+    * plus every 89th nulled — NULL references are counted separately,
+    * NOT as orphans). The oracle replays the distinct-parent left
+    * join and every count; rates are single divisions — hash-exact. */
+  private def q146ReferentialIntegrity(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    val li = Tables.lineitem(s, dir)
+    val orders = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val torn = orders.select(
+      when(col("o_orderkey") % 89 === 0, lit(null))
+        .otherwise(when(col("o_orderkey") % 97 === 0,
+          col("o_custkey") + 1000000000L).otherwise(col("o_custkey")))
+        .as("cust_ref"))
+    Quality.referentialIntegrity(li, Seq("l_orderkey"),
+        orders, Seq("o_orderkey"), "lineitem->orders")
+      .unionByName(Quality.referentialIntegrity(torn, Seq("cust_ref"),
+        cust, Seq("c_custkey"), "orders->customer"))
+      .orderBy("relation")
+  }
+
+  // ---------------------------------------------------------------- q147
+  /** Tukey IQR outlier screen
+    * ([[graft.operators.Stats.iqrOutlierFlags]]): event values flagged
+    * against per-type exact-quartile fences (k=1.5), rolled up per
+    * type — ~90-99 outliers per type at sf0.01, genuinely mixed. The
+    * flag compares 6-decimal-ROUNDED fences on both engines (the q118
+    * discipline), so an interpolation ulp cannot flip a boundary row;
+    * counts integer-exact, fences on the rounding gate. */
+  private def q147IqrOutliers(s: SparkSession, dir: String): DataFrame = {
+    Stats.iqrOutlierFlags(
+        Tables.events(s, dir).select("event_type", "value"),
+        Seq("event_type"), "value", k = 1.5)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("lo_fence")).as("lo_fence"),
+        min(col("hi_fence")).as("hi_fence"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -2969,6 +3031,9 @@ object SparkEntry {
     "q142_embedding_drift" -> (q142EmbeddingDrift _),
     "q143_csv_quarantine" -> (q143CsvQuarantine _),
     "q144_padding_report" -> (q144PaddingReport _),
+    "q145_vocab_coverage" -> (q145VocabCoverage _),
+    "q146_referential_integrity" -> (q146ReferentialIntegrity _),
+    "q147_iqr_outliers" -> (q147IqrOutliers _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4626,6 +4691,88 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q145_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split_regex(trim(text), ' +')) AS token
+        |  FROM documents
+        |), fr AS (
+        |  SELECT token, COUNT(*) AS freq FROM tk GROUP BY token
+        |), tot AS (
+        |  SELECT CAST(SUM(freq) AS BIGINT) AS n FROM fr
+        |), pre AS (
+        |  SELECT freq, COALESCE(CAST(SUM(freq) OVER (
+        |      ORDER BY freq DESC, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |    0) AS cb
+        |  FROM fr
+        |), tg AS (
+        |  SELECT UNNEST(CAST([0.25, 0.5, 0.75, 0.9, 0.99, 1.0] AS DOUBLE[])) AS target
+        |)
+        |SELECT tg.target,
+        |  CAST(SUM(CASE WHEN CAST(pre.cb AS DOUBLE)
+        |    < tg.target * CAST(tot.n AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_size,
+        |  tot.n AS total_tokens
+        |FROM tg CROSS JOIN tot CROSS JOIN pre
+        |GROUP BY tg.target, tot.n
+        |ORDER BY tg.target""".stripMargin,
+    "q146_referential_integrity" ->
+      """WITH torn AS (
+        |  SELECT CASE WHEN o_orderkey % 89 = 0 THEN NULL
+        |              WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000000
+        |              ELSE o_custkey END AS cust_ref
+        |  FROM orders
+        |), r1 AS (
+        |  SELECT 'lineitem->orders' AS relation,
+        |    COUNT(*) AS n_child,
+        |    CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null_keys,
+        |    CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL
+        |      AND o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_orphans,
+        |    CAST(COUNT(DISTINCT CASE WHEN l.l_orderkey IS NOT NULL
+        |      AND o.o_orderkey IS NULL THEN l.l_orderkey END) AS BIGINT)
+        |      AS n_orphan_keys
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |), r2 AS (
+        |  SELECT 'orders->customer' AS relation,
+        |    COUNT(*) AS n_child,
+        |    CAST(SUM(CASE WHEN t.cust_ref IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null_keys,
+        |    CAST(SUM(CASE WHEN t.cust_ref IS NOT NULL
+        |      AND c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_orphans,
+        |    CAST(COUNT(DISTINCT CASE WHEN t.cust_ref IS NOT NULL
+        |      AND c.c_custkey IS NULL THEN t.cust_ref END) AS BIGINT)
+        |      AS n_orphan_keys
+        |  FROM torn t
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON t.cust_ref = c.c_custkey
+        |)
+        |SELECT relation, n_child, n_null_keys, n_orphans, n_orphan_keys,
+        |  CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE) AS orphan_rate
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |ORDER BY relation""".stripMargin,
+    "q147_iqr_outliers" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    ROUND(quantile_cont(value, 0.25)
+        |      - 1.5 * (quantile_cont(value, 0.75)
+        |        - quantile_cont(value, 0.25)), 6) AS lo_fence,
+        |    ROUND(quantile_cont(value, 0.75)
+        |      + 1.5 * (quantile_cont(value, 0.75)
+        |        - quantile_cont(value, 0.25)), 6) AS hi_fence
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  MIN(b.lo_fence) AS lo_fence, MIN(b.hi_fence) AS hi_fence,
+        |  CAST(SUM(CASE WHEN e.value < b.lo_fence OR e.value > b.hi_fence
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
     "q143_csv_quarantine" ->
       """SELECT kind, n, sample FROM (
         |  SELECT 'good' AS kind, COUNT(*) AS n, MIN(n_name) AS sample

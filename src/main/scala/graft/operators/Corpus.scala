@@ -847,6 +847,54 @@ object Corpus {
           .as("oov_rate")): _*)
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing report: for each
+    * coverage target t, the number of top-frequency tokens whose
+    * cumulative corpus frequency reaches t·N ("32k tokens cover 99.2%
+    * of the stream"). This is THE curve a vocabulary size is argued
+    * from — past the knee every extra token buys a vanishing slice of
+    * the stream, and [[vocabularyFromFrequencies]]' `minFreq` /
+    * vocab-size knobs should be read off it rather than guessed.
+    *
+    * A token is needed for target t iff the cumulative frequency of
+    * all STRICTLY MORE FREQUENT tokens (ties broken by token string —
+    * [[vocabularyFromFrequencies]]' exact rank order) is still below
+    * t·N; counting needed tokens per target is then ONE conditional
+    * aggregation over the prefix-summed frequency table — no rank
+    * join, no per-target pass.
+    *
+    * Scale shape: one vocabulary-bounded count shuffle, the
+    * range-partitioned [[General.withRunningTotal]] prefix sum over
+    * the frequency order (never a single-partition window), and one
+    * aggregation emitting all targets at once. `N` is one driver
+    * scalar.
+    *
+    * Output: (target, vocab_size, total_tokens), target ascending. */
+  def vocabCoverageCurve(
+      df: DataFrame,
+      textCol: String,
+      targets: Seq[Double]): DataFrame = {
+    require(targets.nonEmpty, "vocabCoverageCurve needs coverage targets")
+    require(targets.forall(t => t > 0.0 && t <= 1.0),
+      s"targets must lie in (0, 1], got ${targets.mkString(", ")}")
+    val freq = tokenFrequencies(df, textCol)
+      .withColumn("__negfreq", -col("freq"))
+    val n = freq.agg(coalesce(sum(col("freq")), lit(0L))).head().getLong(0)
+    require(n > 0L, "vocabCoverageCurve: the corpus has no tokens")
+    val pre = General.withRunningTotal(freq, Seq("__negfreq", "token"),
+      "freq", "__cum_before")
+    val ordered = targets.sorted
+    val counts = ordered.zipWithIndex.map { case (t, i) =>
+      sum(when(col("__cum_before").cast("double") < lit(t) * lit(n.toDouble),
+        1L).otherwise(0L)).as(s"__v$i")
+    }
+    val one = pre.agg(counts.head, counts.tail: _*)
+    val entries = ordered.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("target"), col(s"__v$i").as("vocab_size"),
+        lit(n).as("total_tokens"))
+    }
+    one.select(explode(array(entries: _*)).as("__e")).select(col("__e.*"))
+  }
+
   /** Sequence-packing efficiency report — the NUMBER that justifies
     * [[packSequences]]/[[packSequencesByCount]]: for a target training
     * sequence length, compare naive per-document batching (each doc

@@ -85,6 +85,61 @@ object Quality {
         lit(maxViolationRate) * col("n_checked").cast("double"))
   }
 
+  /** Referential-integrity audit — the foreign-key contract [[check]]
+    * cannot express with row-local predicates: every child row's key
+    * should resolve in the parent ("no order without its customer").
+    * Returns ONE summary row per call: child rows checked, orphan rows
+    * (child key unmatched in parent), distinct orphan key values, and
+    * the orphan rate — counts, not a boolean, because the fix for
+    * "0.01% orphans" (quarantine them) differs from the fix for "40%
+    * orphans" (the join key is wrong).
+    *
+    * NULL child keys are counted separately (`n_null_keys`) and are
+    * NOT orphans — SQL FK semantics: a NULL reference is "unknown",
+    * not "dangling"; conflating them hides real breakage under benign
+    * optional references.
+    *
+    * Scale shape: parent reduced to DISTINCT keys first (key-bounded),
+    * then ONE left join of the child's key projection, unhinted — AQE
+    * broadcasts real dimension key sets, and a huge parent degrades to
+    * a shuffle join instead of an OOM. Aggregation is algebraic.
+    *
+    * Output: (relation, n_child, n_null_keys, n_orphans,
+    * n_orphan_keys, orphan_rate). */
+  def referentialIntegrity(
+      child: DataFrame,
+      childKeys: Seq[String],
+      parent: DataFrame,
+      parentKeys: Seq[String],
+      relation: String): DataFrame = {
+    require(childKeys.nonEmpty, "referentialIntegrity needs child key columns")
+    require(childKeys.size == parentKeys.size,
+      s"key arity mismatch: ${childKeys.size} child vs ${parentKeys.size} parent")
+    val pk = parent.select(parentKeys.zipWithIndex.map {
+        case (c, i) => col(c).as(s"__pk$i")
+      }: _*).distinct().withColumn("__hit", lit(true))
+    val ck = child.select(childKeys.zipWithIndex.map {
+      case (c, i) => col(c).as(s"__ck$i")
+    }: _*)
+    val anyNull = childKeys.indices.map(i => col(s"__ck$i").isNull)
+      .reduce(_ || _)
+    val joinCond = childKeys.indices.map(i => col(s"__ck$i") === col(s"__pk$i"))
+      .reduce(_ && _)
+    val joined = ck.join(pk, joinCond, "left")
+    val orphan = !anyNull && col("__hit").isNull
+    joined.agg(
+        count(lit(1)).as("n_child"),
+        sum(when(anyNull, 1L).otherwise(0L)).as("n_null_keys"),
+        sum(when(orphan, 1L).otherwise(0L)).as("n_orphans"),
+        count_distinct(when(orphan,
+          struct(childKeys.indices.map(i => col(s"__ck$i")): _*)))
+          .as("n_orphan_keys"))
+      .select(lit(relation).as("relation"), col("n_child"),
+        col("n_null_keys"), col("n_orphans"), col("n_orphan_keys"),
+        (col("n_orphans").cast("double") / col("n_child").cast("double"))
+          .as("orphan_rate"))
+  }
+
   /** k-anonymity audit over a quasi-identifier column set — the
     * re-identification-risk companion to the PII scrubbing family
     * ([[graft.functions.TextFunctions]] redaction removes DIRECT

@@ -73,6 +73,50 @@ object Stats {
     * `approx_percentile` (t-digest, mergeable, no per-group sort);
     * its bounds are engine-specific so the exact form is what the
     * oracle pins. */
+  /** Tukey IQR outlier flags per group: fences at
+    * `[q1 − k·IQR, q3 + k·IQR]` from the group's EXACT quartiles
+    * (linear interpolation, the [[winsorize]] percentile machinery),
+    * each row flagged when its value falls outside. The robust
+    * feature-QA screen: unlike z-scores the fences ignore the
+    * outliers themselves, so one corrupt sensor reading cannot widen
+    * its own acceptance band.
+    *
+    * Fences are ROUNDED to `roundDigits` before comparison (the q118
+    * flag discipline): the flag compares against a value both engines
+    * agree on bit-for-bit, so an interpolation ulp cannot flip a row
+    * at the boundary. NULL values flag NULL (unknown, not outlier).
+    *
+    * Scale shape: exact `percentile` sorts within groups only, the
+    * fences join back on the group keys unhinted (AQE broadcasts the
+    * group-bounded bounds frame), flagging is map-only. For corpora
+    * where per-group sorts hurt, `approx_percentile` is the
+    * documented 100 TB swap — same contract as [[winsorize]].
+    *
+    * Output: input columns + (lo_fence, hi_fence, is_outlier). */
+  def iqrOutlierFlags(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Double = 1.5,
+      roundDigits: Int = 6): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(k >= 0.0, s"k ($k) must be non-negative")
+    TempCols.reserve(df, "iqrOutlierFlags", "__b", "__q1", "__q3")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, array(0.25D, 0.75D))").as("__b"))
+      .select((groupCols.map(col) :+ element_at(col("__b"), 1).as("__q1")
+        :+ element_at(col("__b"), 2).as("__q3")): _*)
+    val iqr = col("__q3") - col("__q1")
+    joinOnGroups(df, bounds, groupCols)
+      .withColumn("lo_fence", round(col("__q1") - lit(k) * iqr, roundDigits))
+      .withColumn("hi_fence", round(col("__q3") + lit(k) * iqr, roundDigits))
+      .withColumn("is_outlier",
+        when(col(valueCol).isNotNull,
+          col(valueCol).cast("double") < col("lo_fence") ||
+            col(valueCol).cast("double") > col("hi_fence")))
+      .drop("__q1", "__q3")
+  }
+
   def winsorize(
       df: DataFrame,
       groupCols: Seq[String],

@@ -332,6 +332,25 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(math.abs(got(2)._3 - math.log(1.0 / 3)) < 1e-12)
   }
 
+  test("vocabCoverageCurve: thresholds hand-computed, tie order pinned") {
+    import graft.operators.Corpus
+    // freqs: a:5, b:3, c:1, d:1 (N=10); order a, b, c, d (ties by token)
+    val df = table("id bigint, text string", Seq(
+      row(1L, "a a a a a b b"), row(2L, "b c d")))
+    val got = Corpus.vocabCoverageCurve(df, "text",
+        Seq(0.5, 0.8, 0.9, 1.0))
+      .orderBy("target").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    // 0.5*10=5: a alone reaches it -> 1; 0.8*10=8: a+b -> 2;
+    // 0.9*10=9: a+b+c -> 3; 1.0: all 4
+    assert(got == Seq(
+      (0.5, 1L, 10L), (0.8, 2L, 10L), (0.9, 3L, 10L), (1.0, 4L, 10L)),
+      got.toString)
+    intercept[IllegalArgumentException] {
+      Corpus.vocabCoverageCurve(df, "text", Seq(0.5, 1.5))
+    }
+  }
+
   test("paddingReport: ceil arithmetic and utilizations hand-computed") {
     import graft.operators.Corpus
     // token counts 3, 4, 5 at seqLen 4: padded seqs 1+1+2=4 (16 slots),

@@ -78,6 +78,26 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("referentialIntegrity: orphans, NULL refs, distinct keys hand-computed") {
+    import graft.operators.Quality
+    val child = table("fk bigint, x int", Seq(
+      row(1L, 0), row(1L, 0), row(2L, 0),    // resolve
+      row(9L, 0), row(9L, 0), row(8L, 0),    // orphans: keys 9 (x2), 8
+      row(null, 0)))                          // NULL ref: counted apart
+    val parent = table("pk bigint", Seq(row(1L), row(2L), row(3L)))
+    val got = Quality.referentialIntegrity(child, Seq("fk"),
+        parent, Seq("pk"), "child->parent")
+      .collect()(0)
+    assert((got.getString(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) ==
+      (("child->parent", 7L, 1L, 3L, 2L)))
+    assert(got.getDouble(5) == 3.0 / 7)
+    intercept[IllegalArgumentException] {
+      Quality.referentialIntegrity(child, Seq("fk", "x"),
+        parent, Seq("pk"), "bad")
+    }
+  }
+
   test("check: duplicate rule names and empty suites fail loudly") {
     intercept[IllegalArgumentException] {
       Quality.check(frame(), Seq(

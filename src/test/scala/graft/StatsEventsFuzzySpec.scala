@@ -343,6 +343,30 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("iqrOutlierFlags: fences hand-computed, NULL stays NULL, k=0 tightens") {
+    // group g: values 1..4 and an outlier 100
+    // q1 = 2 (pos (5-1)*0.25 = 1), q3 = 4 (pos 3), iqr = 2
+    // fences: [2 - 3, 4 + 3] = [-1, 7] -> only 100 flags
+    val df = table("g string, v double", Seq(
+      row("g", 1.0), row("g", 2.0), row("g", 3.0), row("g", 4.0),
+      row("g", 100.0), row("g", null)))
+    val got = Stats.iqrOutlierFlags(df, Seq("g"), "v")
+      .orderBy("v").collect()
+      .map(r => (Option(r.get(1)), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toSeq
+    assert(got.forall(t => t._2 == -1.0 && t._3 == 7.0), got.toString)
+    assert(got.map(_._4) == Seq(None, Some(false), Some(false), Some(false),
+      Some(false), Some(true)), got.toString)
+    // k=0: fences collapse to the quartiles themselves
+    val tight = Stats.iqrOutlierFlags(df, Seq("g"), "v", k = 0.0)
+      .filter(col("v") === 1.0).collect()(0)
+    assert(tight.getDouble(2) == 2.0 && tight.getDouble(3) == 4.0)
+    assert(tight.getBoolean(4))
+    intercept[IllegalArgumentException] {
+      Stats.iqrOutlierFlags(df, Seq("g"), "v", k = -1.0)
+    }
+  }
+
   test("topPaths: ordered truncated paths, tie-broken cutoff, oversize guard") {
     val df = table("u bigint, sid bigint, t_us bigint, eid bigint, et string", Seq(
       row(1L, 1L, 10L, 1L, "view"), row(1L, 1L, 20L, 2L, "click"),
