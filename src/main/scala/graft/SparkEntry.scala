@@ -2427,13 +2427,8 @@ object SparkEntry {
     * oracle retrains the model (q112's chain), recomputes the
     * confusion cells, and replays the tie-averaged rank sum. */
   private def q129ClassifierEval(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{Classify, Eval}
-    val docs = Tables.documents(s, dir)
-      .withColumn("label", col("lang") === "en")
-    val model = Classify.trainNaiveBayes(docs, "text", "label")
-    val scored = Classify.scoreNaiveBayes(docs, "doc_id", "text", model)
-      .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
-      .select(col("label"), round(col("log_odds"), 6).as("sc"))
+    import graft.operators.Eval
+    val scored = nbScored(s, dir)
     val cm = Eval.confusionAtThreshold(scored, "label", "sc", 0.0)
     val auc = Eval.rocAuc(scored, "label", "sc")
     def longForm(df: DataFrame, cols: Seq[String]): DataFrame =
@@ -2457,13 +2452,8 @@ object SparkEntry {
     * once, so it rides the 6-decimal gate only to absorb the final
     * double cast. */
   private def q130Calibration(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{Classify, Eval}
-    val docs = Tables.documents(s, dir)
-      .withColumn("label", col("lang") === "en")
-    val model = Classify.trainNaiveBayes(docs, "text", "label")
-    val scored = Classify.scoreNaiveBayes(docs, "doc_id", "text", model)
-      .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
-      .select(col("label"), round(col("log_odds"), 6).as("sc"))
+    import graft.operators.Eval
+    val scored = nbScored(s, dir)
     val Array(b) = scored.agg(min(col("sc")).as("lo"), max(col("sc")).as("hi"))
       .collect()
     Eval.calibrationBins(scored, "label", "sc", 10,
@@ -2886,6 +2876,43 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  private def nbScored(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Classify
+    val docs = Tables.documents(s, dir)
+      .withColumn("label", col("lang") === "en")
+    val model = Classify.trainNaiveBayes(docs, "text", "label")
+    Classify.scoreNaiveBayes(docs, "doc_id", "text", model)
+      .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .select(col("doc_id"), col("label"), round(col("log_odds"), 6).as("sc"))
+  }
+
+  // ---------------------------------------------------------------- q148
+  /** Precision-recall threshold sweep ([[graft.operators.Eval.prCurve]]):
+    * q112's NB gate traced at seven operating points in ONE algebraic
+    * pass — the threshold chooser next to q129's single-point
+    * confusion. Counts are integers, rates single divisions of exact
+    * longs — hash-exact, no rounding gate. The oracle retrains the
+    * model and replays every threshold's cells. */
+  private def q148PrCurve(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Eval
+    Eval.prCurve(nbScored(s, dir), "label", "sc",
+        Seq(-5.0, -2.0, -1.0, 0.0, 1.0, 2.0, 5.0))
+      .orderBy("threshold")
+  }
+
+  // ---------------------------------------------------------------- q149
+  /** Decile lift table ([[graft.operators.Eval.liftTable]]): q112's NB
+    * scores ranked descending (ties by doc id) through the
+    * range-partitioned contiguous-rank machinery, cut into 10
+    * near-equal buckets, each judged against the global positive rate.
+    * The oracle replays the rank order, the integer DIV bucket cut,
+    * and every rate/lift division — hash-exact. */
+  private def q149LiftTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Eval
+    Eval.liftTable(nbScored(s, dir), "label", "sc", "doc_id", nBuckets = 10)
+      .orderBy("bucket")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3034,6 +3061,8 @@ object SparkEntry {
     "q145_vocab_coverage" -> (q145VocabCoverage _),
     "q146_referential_integrity" -> (q146ReferentialIntegrity _),
     "q147_iqr_outliers" -> (q147IqrOutliers _),
+    "q148_pr_curve" -> (q148PrCurve _),
+    "q149_lift_table" -> (q149LiftTable _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4691,6 +4720,117 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q148_pr_curve" ->
+      """WITH tk AS (
+        |  SELECT doc_id, (lang = 'en') AS pos,
+        |    unnest(string_split_regex(trim(text), ' +')) AS token
+        |  FROM documents
+        |), cc AS (
+        |  SELECT token,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cneg
+        |  FROM tk GROUP BY token
+        |), scal AS (
+        |  SELECT SUM(cpos) AS totpos, SUM(cneg) AS totneg, COUNT(*) AS v
+        |  FROM cc
+        |), nd AS (
+        |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS npos,
+        |    COUNT(*) AS ntot
+        |  FROM documents
+        |), lp AS (
+        |  SELECT cc.token,
+        |    ln((cc.cpos + 1.0) / (s.totpos + CAST(s.v AS DOUBLE))) AS lppos,
+        |    ln((cc.cneg + 1.0) / (s.totneg + CAST(s.v AS DOUBLE))) AS lpneg
+        |  FROM cc CROSS JOIN scal s
+        |), dtf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token
+        |), sc AS (
+        |  SELECT dtf.doc_id, SUM(dtf.tf * (lp.lppos - lp.lpneg)) AS sd
+        |  FROM dtf JOIN lp USING (token) GROUP BY dtf.doc_id
+        |), scored AS (
+        |  SELECT d.doc_id, (d.lang = 'en') AS label,
+        |    ROUND(ln(CAST(nd.npos AS DOUBLE) / CAST(nd.ntot - nd.npos AS DOUBLE))
+        |      + COALESCE(sc.sd, 0.0), 6) AS s
+        |  FROM documents d CROSS JOIN nd
+        |  LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |), tg AS (
+        |  SELECT UNNEST(CAST([-5.0, -2.0, -1.0, 0.0, 1.0, 2.0, 5.0]
+        |    AS DOUBLE[])) AS th
+        |), cm AS (
+        |  SELECT tg.th,
+        |    CAST(SUM(CASE WHEN label AND s > tg.th THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN NOT label AND s > tg.th THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN label AND NOT (s > tg.th) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN NOT label AND NOT (s > tg.th) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM scored CROSS JOIN tg GROUP BY tg.th
+        |)
+        |SELECT th AS threshold, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp <> 0
+        |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+        |  CASE WHEN tp + fn <> 0
+        |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+        |FROM cm
+        |ORDER BY threshold""".stripMargin,
+    "q149_lift_table" ->
+      """WITH tk AS (
+        |  SELECT doc_id, (lang = 'en') AS pos,
+        |    unnest(string_split_regex(trim(text), ' +')) AS token
+        |  FROM documents
+        |), cc AS (
+        |  SELECT token,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cneg
+        |  FROM tk GROUP BY token
+        |), scal AS (
+        |  SELECT SUM(cpos) AS totpos, SUM(cneg) AS totneg, COUNT(*) AS v
+        |  FROM cc
+        |), nd AS (
+        |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS npos,
+        |    COUNT(*) AS ntot
+        |  FROM documents
+        |), lp AS (
+        |  SELECT cc.token,
+        |    ln((cc.cpos + 1.0) / (s.totpos + CAST(s.v AS DOUBLE))) AS lppos,
+        |    ln((cc.cneg + 1.0) / (s.totneg + CAST(s.v AS DOUBLE))) AS lpneg
+        |  FROM cc CROSS JOIN scal s
+        |), dtf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token
+        |), sc AS (
+        |  SELECT dtf.doc_id, SUM(dtf.tf * (lp.lppos - lp.lpneg)) AS sd
+        |  FROM dtf JOIN lp USING (token) GROUP BY dtf.doc_id
+        |), scored AS (
+        |  SELECT d.doc_id, (d.lang = 'en') AS label,
+        |    ROUND(ln(CAST(nd.npos AS DOUBLE) / CAST(nd.ntot - nd.npos AS DOUBLE))
+        |      + COALESCE(sc.sd, 0.0), 6) AS s
+        |  FROM documents d CROSS JOIN nd
+        |  LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |), rk AS (
+        |  SELECT label,
+        |    row_number() OVER (ORDER BY s DESC, doc_id) - 1 AS r
+        |  FROM scored
+        |), tot AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM rk
+        |), bk AS (
+        |  SELECT CAST((r * 10) // tot.n AS INT) AS bucket, label
+        |  FROM rk CROSS JOIN tot
+        |)
+        |SELECT bk.bucket, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN bk.label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CASE WHEN bk.label THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
+        |  CASE WHEN tot.np > 0 THEN
+        |    (CAST(SUM(CASE WHEN bk.label THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE))
+        |    / (CAST(tot.np AS DOUBLE) / CAST(tot.n AS DOUBLE)) END AS lift
+        |FROM bk CROSS JOIN tot
+        |GROUP BY bk.bucket, tot.n, tot.np
+        |ORDER BY bk.bucket""".stripMargin,
     "q145_vocab_coverage" ->
       """WITH tk AS (
         |  SELECT unnest(string_split_regex(trim(text), ' +')) AS token

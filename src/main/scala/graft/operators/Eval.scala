@@ -195,6 +195,104 @@ object Eval {
           .as("auc"))
   }
 
+  /** Precision-recall curve points — [[confusionAtThreshold]] swept
+    * over a threshold list in ONE pass: every threshold's confusion
+    * cells come out of a single algebraic aggregation (one conditional
+    * sum pair per threshold), not a per-threshold scan, so tracing a
+    * 50-point curve costs the same one pass as a single evaluation.
+    * The operating-point chooser for a learned gate: pick the
+    * threshold row whose precision/recall trade matches the
+    * pipeline's tolerance for false keeps vs false drops.
+    *
+    * Scores are compared ROUNDED to `roundDigits` (the [[rocAuc]]
+    * rationale — a cross-engine ulp cannot move a score across a
+    * threshold). Derived rates are single divisions of exact longs,
+    * NULL on degenerate slices.
+    *
+    * Output: one row per threshold — (threshold, tp, fp, fn, tn,
+    * precision, recall), threshold ascending. */
+  def prCurve(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      thresholds: Seq[Double],
+      roundDigits: Int = 6): DataFrame = {
+    require(thresholds.nonEmpty, "prCurve needs thresholds")
+    val y = col(labelCol).cast("boolean")
+    val sc = round(col(scoreCol).cast("double"), roundDigits)
+    val ordered = thresholds.sorted
+    val aggs = ordered.zipWithIndex.flatMap { case (t, i) =>
+      val p = sc > lit(t)
+      Seq(sum(when(y && p, 1L).otherwise(0L)).as(s"__tp$i"),
+        sum(when(!y && p, 1L).otherwise(0L)).as(s"__fp$i"),
+        sum(when(y && !p, 1L).otherwise(0L)).as(s"__fn$i"),
+        sum(when(!y && !p, 1L).otherwise(0L)).as(s"__tn$i"))
+    }
+    val one = scored.agg(aggs.head, aggs.tail: _*)
+    val d = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      when(b =!= 0L, a.cast("double") / b.cast("double"))
+    val entries = ordered.zipWithIndex.map { case (t, i) =>
+      val (tp, fp, fn, tn) =
+        (col(s"__tp$i"), col(s"__fp$i"), col(s"__fn$i"), col(s"__tn$i"))
+      struct(lit(t).as("threshold"), tp.as("tp"), fp.as("fp"),
+        fn.as("fn"), tn.as("tn"),
+        d(tp, tp + fp).as("precision"), d(tp, tp + fn).as("recall"))
+    }
+    one.select(explode(array(entries: _*)).as("__e")).select(col("__e.*"))
+  }
+
+  /** Decile lift table — "how much better than random is the top of
+    * the ranking": rows ranked by score descending (ties by `idCol`
+    * for a deterministic, partition-independent order), cut into
+    * `nBuckets` near-equal buckets, each reporting its positive rate
+    * against the global rate as `lift`. The business-facing view of
+    * ranking quality ([[rocAuc]] is the statistician's) — "the top
+    * decile catches 3.4× its share of positives" is what decides
+    * whether a gate is worth deploying.
+    *
+    * Ranking runs through the range-partitioned
+    * [[General.withContiguousRowIds]] — never a single-partition
+    * window; bucket of rank r is `r·nBuckets / n` (integer arithmetic,
+    * near-equal buckets, first buckets get the remainder rows —
+    * deterministic cross-engine). Counts are exact; rates/lift are
+    * division chains of exact longs gated at 6 decimals by callers
+    * that hash-compare.
+    *
+    * Output: (bucket, n, n_pos, pos_rate, lift), bucket ascending. */
+  def liftTable(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      idCol: String,
+      nBuckets: Int = 10,
+      roundDigits: Int = 6): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets ($nBuckets) must be >= 1")
+    val prep = scored.select(
+      (-round(col(scoreCol).cast("double"), roundDigits)).as("__negsc"),
+      col(idCol).as("__id"),
+      col(labelCol).cast("boolean").as("__y"))
+    val ranked = General.withContiguousRowIds(prep, Seq("__negsc", "__id"),
+      "__rank")
+    val totals = ranked.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("__y"), 1L).otherwise(0L)), lit(0L)).as("np"))
+      .head()
+    val n = totals.getLong(0)
+    val np = totals.getLong(1)
+    require(n > 0L, "liftTable: no rows to rank")
+    // integral DIV, not double division — exact at any corpus size
+    val bucket = expr(s"CAST((__rank * $nBuckets) DIV $n AS INT)")
+    val globalRate = np.toDouble / n.toDouble
+    ranked.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"),
+        (when(lit(np) > 0L,
+          col("n_pos").cast("double") / col("n").cast("double") /
+            lit(globalRate))).as("lift"))
+  }
+
   /** Reliability diagram / calibration table: scores bucketed
     * equi-width over [lo, hi] (the [[Profile.histogram]] arithmetic —
     * clamping edge buckets, zero-filled cells), each bucket reporting

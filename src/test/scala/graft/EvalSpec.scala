@@ -133,6 +133,47 @@ class EvalSpec extends AnyFunSuite {
     assert(math.abs(got - exp) < 1e-12, s"$got vs $exp")
   }
 
+  test("prCurve: one-pass threshold sweep hand-computed; empty slice NULLs") {
+    val scored = scoredTable(Seq(
+      (true, 0.9), (true, 0.4), (false, 0.6), (false, 0.1)))
+    val got = Eval.prCurve(scored, "label", "score", Seq(0.95, 0.0, 0.5))
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSeq
+    assert(got == Seq(
+      (0.0, 2L, 2L, 0L, 0L, Some(0.5), Some(1.0)),
+      (0.5, 1L, 1L, 1L, 1L, Some(0.5), Some(0.5)),
+      (0.95, 0L, 0L, 2L, 2L, None, Some(0.0))), got.toString)
+    intercept[IllegalArgumentException] {
+      Eval.prCurve(scored, "label", "score", Nil)
+    }
+  }
+
+  test("liftTable: rank order, near-equal integer buckets, lift vs global rate") {
+    def idScored(rows: (Long, Boolean, Double)*) =
+      table("id bigint, label boolean, score double",
+        rows.map { case (i, y, s) => row(i, y, s) })
+    // rank desc by (score, then id asc on the 0.8 tie):
+    //   id 1 (0.9 T), id 2 (0.8 T), id 3 (0.8 F), id 4 (0.3 F), id 5 (0.1 F)
+    // nBuckets=2 over n=5: ranks 0-2 -> bucket 0, ranks 3-4 -> bucket 1
+    val got = Eval.liftTable(
+        idScored((4L, false, 0.3), (1L, true, 0.9), (3L, false, 0.8),
+          (2L, true, 0.8), (5L, false, 0.1)),
+        "label", "score", "id", nBuckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    val g = 2.0 / 5
+    assert(got == Seq(
+      (0, 3L, 2L, 2.0 / 3, (2.0 / 3) / g),
+      (1, 2L, 0L, 0.0, 0.0)), got.toString)
+    intercept[IllegalArgumentException] {
+      Eval.liftTable(idScored(), "label", "score", "id")
+    }
+  }
+
   test("calibrationBins: hand-computed cells, clamping, zero-fill, decimal mean") {
     // bins=2 over [0, 1]: scores 0.1, 0.3 -> bucket 0; 1.4 clamps to 1;
     // bucket 1 otherwise empty except the clamp; a NULL score is skipped
