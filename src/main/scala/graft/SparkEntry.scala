@@ -2913,6 +2913,36 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  // ---------------------------------------------------------------- q150
+  /** Cross-source duplication matrix: q14's MinHash-LSH near-dup pair
+    * machinery rolled up by SOURCE pair — "which crawls duplicate each
+    * other" is the mixture-weighting diagnostic (within-source pairs
+    * mean a crawler re-fetching; cross-source pairs mean two feeds
+    * shipping the same content, and deduping one of them changes the
+    * mixture). Matrix keys are order-normalized (lo ≤ hi) so each
+    * unordered source pair lands in one cell; the source lookup joins
+    * the pair frame (pair-bounded) against the id→source projection
+    * unhinted — AQE broadcasts it. The oracle recomputes the EXACT
+    * full Jaccard pair set (q14's full-recall gate) and the identical
+    * rollup; counts integer-exact, hash-exact. */
+  private def q150CrossSourceDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text")
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")),
+        "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")),
+        "id_b")
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("source_lo") =!= col("source_hi"))
+      .orderBy("source_lo", "source_hi")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3063,6 +3093,7 @@ object SparkEntry {
     "q147_iqr_outliers" -> (q147IqrOutliers _),
     "q148_pr_curve" -> (q148PrCurve _),
     "q149_lift_table" -> (q149LiftTable _),
+    "q150_cross_source_dup" -> (q150CrossSourceDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4720,6 +4751,34 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q150_cross_source_dup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), sgl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks)-2), i ->
+        |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
+        |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
+        |  FROM tk
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sgl a JOIN sgl b ON b.doc_id > a.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+        |               AS DOUBLE), 0.0) >= 0.5
+        |), m AS (
+        |  SELECT LEAST(sa.source, sb.source) AS source_lo,
+        |    GREATEST(sa.source, sb.source) AS source_hi
+        |  FROM p
+        |  JOIN documents sa ON p.id_a = sa.doc_id
+        |  JOIN documents sb ON p.id_b = sb.doc_id
+        |)
+        |SELECT source_lo, source_hi, COUNT(*) AS n_pairs,
+        |  source_lo <> source_hi AS cross_source
+        |FROM m GROUP BY source_lo, source_hi
+        |ORDER BY source_lo, source_hi""".stripMargin,
     "q148_pr_curve" ->
       """WITH tk AS (
         |  SELECT doc_id, (lang = 'en') AS pos,
