@@ -131,4 +131,47 @@ object SchemaOps {
     val own = first.fields.map(_.name).toSeq
     own ++ finalSchema.fields.map(_.name).filterNot(own.contains)
   }
+
+  /** One line of a [[schemaDrift]] report. `change` is `added`,
+    * `removed`, `type_changed`, or `nullability_changed`; the type
+    * strings are DDL renderings (empty where the side lacks the
+    * column). */
+  final case class SchemaChange(
+      column: String,
+      change: String,
+      prevType: String,
+      nextType: String)
+
+  /** Schema drift between two snapshots of "the same" table — the
+    * data-contract check a shard-ingesting pipeline runs BEFORE
+    * touching rows: columns added, removed, re-typed, or loosened to
+    * nullable between `prev` and `next`. This is the detection side of
+    * the coercion machinery ([[analyze]] widens what it can at union
+    * time; this REPORTS what changed so a contract owner decides,
+    * rather than the lattice silently absorbing an upstream type
+    * break). Pure driver-side metadata — no job runs.
+    *
+    * Nullability TIGHTENING (nullable → required) is reported as
+    * `nullability_changed` too: a reader compiled against the old
+    * schema still works, but the contract changed and silent
+    * tightening is how optional fields rot into load-bearing ones. */
+  def schemaDrift(prev: StructType, next: StructType): Seq[SchemaChange] = {
+    val p = prev.fields.map(f => f.name -> f).toMap
+    val n = next.fields.map(f => f.name -> f).toMap
+    val removed = prev.fields.filterNot(f => n.contains(f.name)).map(f =>
+      SchemaChange(f.name, "removed", f.dataType.sql, ""))
+    val added = next.fields.filterNot(f => p.contains(f.name)).map(f =>
+      SchemaChange(f.name, "added", "", f.dataType.sql))
+    val common = prev.fields.filter(f => n.contains(f.name))
+    val retyped = common.filter(f => f.dataType != n(f.name).dataType).map(f =>
+      SchemaChange(f.name, "type_changed", f.dataType.sql,
+        n(f.name).dataType.sql))
+    val renulled = common.filter(f =>
+      f.dataType == n(f.name).dataType &&
+        f.nullable != n(f.name).nullable).map(f =>
+      SchemaChange(f.name, "nullability_changed",
+        s"${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}",
+        s"${n(f.name).dataType.sql}${if (n(f.name).nullable) "" else " NOT NULL"}"))
+    (removed ++ added ++ retyped ++ renulled).sortBy(c => (c.column, c.change))
+  }
 }

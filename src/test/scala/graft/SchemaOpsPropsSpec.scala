@@ -39,6 +39,35 @@ class SchemaOpsPropsSpec extends AnyFunSuite {
   private def typeMap(s: StructType): Map[String, DataType] =
     s.fields.map(f => f.name -> f.dataType).toMap
 
+  test("schemaDrift: added/removed/retyped/renulled hand-computed; identity is empty") {
+    import graft.types.SchemaOps.SchemaChange
+    val prev = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("gone", StringType),
+      StructField("widened", IntegerType),
+      StructField("loosened", DoubleType, nullable = false),
+      StructField("same", StringType)))
+    val next = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("widened", LongType),
+      StructField("loosened", DoubleType, nullable = true),
+      StructField("same", StringType),
+      StructField("fresh", DateType)))
+    val got = SchemaOps.schemaDrift(prev, next)
+    assert(got == Seq(
+      SchemaChange("fresh", "added", "", "DATE"),
+      SchemaChange("gone", "removed", "STRING", ""),
+      SchemaChange("loosened", "nullability_changed",
+        "DOUBLE NOT NULL", "DOUBLE"),
+      SchemaChange("widened", "type_changed", "INT", "BIGINT")), got.toString)
+    assert(SchemaOps.schemaDrift(prev, prev).isEmpty)
+    // drift is anti-symmetric on add/remove and symmetric on the rest
+    val back = SchemaOps.schemaDrift(next, prev)
+    assert(back.exists(c => c.column == "fresh" && c.change == "removed"))
+    assert(back.exists(c => c.column == "gone" && c.change == "added"))
+    assert(back.exists(c => c.column == "widened" && c.change == "type_changed"))
+  }
+
   test("largestNumericType is permutation-invariant and a semilattice join") {
     val nums = Gen.nonEmptyListOf(Gen.oneOf(SchemaOps.NumericPrecedence))
     check("commutative", Prop.forAll(nums) { xs =>
