@@ -2943,6 +2943,73 @@ object SparkEntry {
       .orderBy("source_lo", "source_hi")
   }
 
+  // ---------------------------------------------------------------- q151
+  /** Federated multi-format ingest through the reference-core concat
+    * ([[Concat.concat]] over [[Tables.readCsv]]/[[Tables.readOrc]]/
+    * parquet): the same table arriving as parquet (BIGINT keys), a
+    * CSV shard read with INT keys, and an ORC shard MISSING a column —
+    * the schema-harmonizing union widens int→bigint through the
+    * lattice, null-fills the missing column, and tags each row with
+    * its source key. This is the reference's headline operator doing
+    * its production job across three interchange formats. The oracle
+    * replays the three reads (CAST widths and the NULL fill) and the
+    * rollup; all integers, hash-exact. */
+  private def q151FederatedConcat(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val pid = ProcessHandle.current().pid()
+    val csvDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_fed_csv_$pid").getAbsolutePath
+    val orcDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_fed_orc_$pid").getAbsolutePath
+    val base = Tables.nation(s, dir)
+    base.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(csvDir)
+    base.select("n_nationkey", "n_name").coalesce(1)
+      .write.mode("overwrite").orc(orcDir)
+    val fromCsv = Tables.readCsv(s, csvDir, StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))))
+    val fromOrc = Tables.readOrc(s, orcDir, StructType(Seq(
+      StructField("n_nationkey", org.apache.spark.sql.types.LongType),
+      StructField("n_name", StringType))))
+    Concat.concat(Seq(base, fromCsv, fromOrc),
+        keys = Seq("pq", "csv", "orc"), name = "src")
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_nations"),
+        sum(col("n_nationkey")).as("sum_keys"),
+        sum(when(col("n_regionkey").isNull, 1L).otherwise(0L))
+          .as("n_null_region"),
+        min(col("n_name")).as("min_name"))
+      .orderBy("src")
+  }
+
+  // ---------------------------------------------------------------- q152
+  /** Month-over-month growth table: monthly DECIMAL-exact revenue per
+    * market segment with the lag-window percent change — the standard
+    * BI time-series readout, windows sorted within segments only.
+    * Revenue sums ride DECIMAL(18,2) (the q01 discipline) so partition
+    * order cannot show; `mom_pct` divides two exact decimals cast to
+    * double once, gated at 6 decimals only to absorb the final cast. */
+  private def q152MomGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir).join(
+      Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+      col("o_custkey") === col("c_custkey"))
+    val monthly = o.groupBy(col("c_mktsegment"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("int").as("ym"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("__rev"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("ym"))
+    monthly.select(col("c_mktsegment"), col("ym"),
+        col("__rev").cast("double").as("revenue"),
+        lag(col("__rev"), 1).over(w).cast("double").as("__prev"))
+      .withColumn("mom_pct",
+        round((col("revenue") - col("__prev")) / col("__prev") * lit(100.0), 6))
+      .drop("__prev")
+      .orderBy("c_mktsegment", "ym")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3094,6 +3161,8 @@ object SparkEntry {
     "q148_pr_curve" -> (q148PrCurve _),
     "q149_lift_table" -> (q149LiftTable _),
     "q150_cross_source_dup" -> (q150CrossSourceDup _),
+    "q151_federated_concat" -> (q151FederatedConcat _),
+    "q152_mom_growth" -> (q152MomGrowth _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4751,6 +4820,41 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q151_federated_concat" ->
+      """WITH u AS (
+        |  SELECT 'pq' AS src, n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT 'csv' AS src, CAST(n_nationkey AS BIGINT), n_name,
+        |    CAST(n_regionkey AS INT) FROM nation
+        |  UNION ALL
+        |  SELECT 'orc' AS src, n_nationkey, n_name,
+        |    CAST(NULL AS INT) FROM nation
+        |)
+        |SELECT src, COUNT(*) AS n_nations,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys,
+        |  CAST(SUM(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null_region,
+        |  MIN(n_name) AS min_name
+        |FROM u GROUP BY src
+        |ORDER BY src""".stripMargin,
+    "q152_mom_growth" ->
+      """WITH m AS (
+        |  SELECT c.c_mktsegment,
+        |    CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS INT)
+        |      AS ym,
+        |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2
+        |), g AS (
+        |  SELECT c_mktsegment, ym, CAST(rev AS DOUBLE) AS revenue,
+        |    CAST(lag(rev) OVER (PARTITION BY c_mktsegment ORDER BY ym)
+        |      AS DOUBLE) AS prev
+        |  FROM m
+        |)
+        |SELECT c_mktsegment, ym, revenue,
+        |  ROUND((revenue - prev) / prev * 100.0, 6) AS mom_pct
+        |FROM g
+        |ORDER BY c_mktsegment, ym""".stripMargin,
     "q150_cross_source_dup" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
