@@ -3010,6 +3010,24 @@ object SparkEntry {
       .orderBy("c_mktsegment", "ym")
   }
 
+  // ---------------------------------------------------------------- q153
+  /** STREAMING correctness gate, stream-stream LEFT OUTER interval
+    * join ([[graft.streaming.StreamGate.replayLeftOuterIntervalJoin]]):
+    * views joined to same-user purchases within 2 hours, with views
+    * that never converted emitting a NULL right side once their
+    * window expires below the watermark — the null-side emission an
+    * inner join cannot express in-stream. The oracle is the plain
+    * batch LEFT join over the original events, so the stream must
+    * reproduce the match set AND the unmatched set exactly — an
+    * unmatched row that never flushed, or one that emitted twice,
+    * fails the hash. */
+  private def q153StreamLeftOuterJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayLeftOuterIntervalJoin(
+        Tables.events(s, dir), typeA = "view", typeB = "purchase",
+        maxGap = "2 hours", watermark = "4 hours",
+        horizonUs = 8L * 3600 * 1000000)
+      .orderBy(col("user_id"), col("id_a"), col("id_b").asc_nulls_first)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3163,6 +3181,7 @@ object SparkEntry {
     "q150_cross_source_dup" -> (q150CrossSourceDup _),
     "q151_federated_concat" -> (q151FederatedConcat _),
     "q152_mom_growth" -> (q152MomGrowth _),
+    "q153_stream_left_outer_join" -> (q153StreamLeftOuterJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4820,6 +4839,19 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q153_stream_left_outer_join" ->
+      """WITH l AS (
+        |  SELECT event_id AS id_a, user_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'view'
+        |), r AS (
+        |  SELECT event_id AS id_b, user_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT l.user_id, l.id_a, r.id_b,
+        |  r.id_b IS NOT NULL AS matched
+        |FROM l LEFT JOIN r ON l.user_id = r.user_id
+        |  AND r.t >= l.t AND r.t <= l.t + 7200000000
+        |ORDER BY l.user_id, l.id_a, r.id_b NULLS FIRST""".stripMargin,
     "q151_federated_concat" ->
       """WITH u AS (
         |  SELECT 'pq' AS src, n_nationkey, n_name, n_regionkey FROM nation

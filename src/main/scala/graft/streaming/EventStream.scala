@@ -325,6 +325,43 @@ object EventStream {
         col("l.event_id").as("id_a"), col("r.event_id").as("id_b"))
   }
 
+  /** Stream-stream interval join, LEFT OUTER: every match emits like
+    * [[intervalJoinStream]]'s inner join, and a left event whose
+    * window `[l.ts, l.ts + maxGap]` expires below the watermark with
+    * NO match emits once with a NULL right side — the in-stream
+    * "views that never converted" feed, which an inner join can only
+    * express as a second batch reconciliation pass. Same state bound:
+    * watermark + the two-sided time condition expire join state at
+    * `watermark + maxGap`, never the stream.
+    *
+    * The null-side emission is WATERMARK-DRIVEN: an unmatched left row
+    * is only provably unmatched once the watermark passes its window's
+    * end, so a replay must drag BOTH sides' watermarks past the data
+    * (multipleWatermarkPolicy defaults to min — advancing one side
+    * alone advances nothing). [[graft.streaming.StreamGate.replayLeftOuterIntervalJoin]]
+    * routes the global sentinel into both inputs for exactly this
+    * reason, and AvailableNow keeps running flush batches until the
+    * advanced watermark has surfaced every expired row.
+    *
+    * Output: (user_id, left_type, id_a, id_b NULL on no match,
+    * matched). */
+  def leftOuterIntervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      maxGap: String = "2 hours",
+      watermark: String = "4 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+        s"""l.user_id = r.user_id AND
+           |r.ts >= l.ts AND r.ts <= l.ts + interval $maxGap""".stripMargin),
+        "leftOuter")
+      .select(col("l.user_id").as("user_id"),
+        col("l.event_type").as("left_type"),
+        col("l.event_id").as("id_a"), col("r.event_id").as("id_b"),
+        col("r.event_id").isNotNull.as("matched"))
+  }
+
   /** Stream-static enrichment join: attach dimension attributes to
     * each streaming event. Stream-static joins are STATELESS — no
     * watermark, no join state — because the static side is re-planned

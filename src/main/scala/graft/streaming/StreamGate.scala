@@ -247,6 +247,43 @@ object StreamGate {
       maxGap, watermark), src)
   }
 
+  /** Replay through [[EventStream.leftOuterIntervalJoinStream]]: the
+    * left-outer twin of [[replayIntervalJoin]]. Outer (null-side)
+    * rows only emit once the watermark passes the left window's end,
+    * so the global sentinel is routed into BOTH join inputs — the
+    * engine's multiple-watermark policy takes the MIN across inputs,
+    * and a sentinel on one side alone would advance nothing. The
+    * sentinel's own (joined-to-nothing) outer row is filtered by its
+    * type before the sink.
+    * @note one-generation replay contract — see the object doc. */
+  def replayLeftOuterIntervalJoin(
+      events: DataFrame,
+      typeA: String,
+      typeB: String,
+      maxGap: String,
+      watermark: String,
+      horizonUs: Long): DataFrame = replayLock.synchronized {
+    val (stream, src) = replayStream(withGlobalSentinel(
+      events.select("event_id", "ts", "user_id", "event_type", "value"),
+      horizonUs))
+    val joined = EventStream.leftOuterIntervalJoinStream(
+      stream.filter(col("event_type").isin(typeA, "__sentinel")),
+      stream.filter(col("event_type").isin(typeB, "__sentinel")),
+      maxGap, watermark)
+    // The sentinel's own row is dropped AFTER the sink, batch-side
+    // (the replayWindowedCounts pattern): filtering `left_type` inside
+    // the STREAMING plan would be a left-side predicate on a left
+    // outer join, which Catalyst pushes below the join into the left
+    // input — stripping the sentinel before its watermark node, so
+    // the left watermark (and with min-policy the global one) would
+    // stall at the real data and the newest unmatched rows would
+    // never flush. Found the hard way; pinned by the left-outer
+    // stream==batch spec.
+    runToParquet(joined, src)
+      .filter(col("left_type") =!= "__sentinel")
+      .drop("left_type")
+  }
+
   /** Replay through [[EventStream.enrichStream]]: stateless
     * stream-static join, so no sentinel and no watermark — every
     * event emits as soon as its micro-batch runs.

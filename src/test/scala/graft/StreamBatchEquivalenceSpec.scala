@@ -212,6 +212,34 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       (300L * us, 1, 5L, 1L)), got.toString)
   }
 
+  test("stream left-outer interval join == batch left join incl. unmatched flush") {
+    val h = 3600L * 1000000
+    // base offset keeps event times off the epoch: ts=0 equals the
+    // stream's INITIAL watermark and would be dropped as late data —
+    // a test artifact, not a semantics case
+    val b0 = 100L * h
+    def ev(id: Long, tUs: Long, u: Long, ty: String) = (id, b0 + tUs, u, ty, 1.0)
+    val rows = Seq(
+      ev(1L, 0L, 1L, "view"), ev(2L, h / 2, 1L, "purchase"),   // matched
+      ev(3L, h, 1L, "view"),                                   // unmatched
+      ev(4L, 10L * h, 2L, "view"),                             // late unmatched
+      ev(5L, 10L * h + 1L, 2L, "purchase"),                    // matches 4
+      ev(6L, 10L * h + h / 4, 2L, "view"),                     // newest, unmatched
+      ev(7L, 2L * h, 3L, "view"))                              // unmatched
+    val events = table(
+      "event_id bigint, t_us bigint, user_id bigint, event_type string, value double",
+      rows.map { case (a, b, c, d, e) => row(a, b, c, d, e) })
+      .select(col("event_id"), timestamp_micros(col("t_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val got = StreamGate.replayLeftOuterIntervalJoin(events,
+        "view", "purchase", maxGap = "1 hour", watermark = "2 hours",
+        horizonUs = 4L * h)
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sorted
+    assert(got == Seq((1L, 2L), (3L, -1L), (4L, 5L), (6L, -1L), (7L, -1L)),
+      got.toString)
+  }
+
   test("stream incremental rollup == batch summarize across micro-batch folds") {
     import graft.operators.Maintain
     val spec = Maintain.SummarySpec(
