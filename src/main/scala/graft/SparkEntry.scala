@@ -3028,6 +3028,36 @@ object SparkEntry {
         horizonUs = 8L * 3600 * 1000000)
       .orderBy(col("user_id"), col("id_a"), col("id_b").asc_nulls_first)
 
+  // ---------------------------------------------------------------- q154
+  /** Video-style frame-set near-dup
+    * ([[Multimodal.frameNearDupPairs]]): q104's payload corpus + its
+    * first-byte-zeroed twins, but matched on FRAME-SIGNATURE SET
+    * Jaccard — each payload sampled into 8 evenly-spaced 16-byte
+    * frames, each frame dHashed, candidates met in one equi join on
+    * the frame signature. Zeroing byte 0 perturbs ONLY frame 0 (no
+    * other sampled window covers offset 0), so every twin shares all
+    * remaining frames with its original — the trimmed-copy shape
+    * single-image dHash misses. Unlike the LSH families this operator
+    * is EXACT (a qualifying pair must share >= 1 frame signature, so
+    * the signature join has full recall by construction); the oracle
+    * recomputes frames, every per-frame 72-cell signature, distinct
+    * sets, and every Jaccard value — integer-exact counts, one IEEE
+    * division. */
+  private def q154FrameNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"))
+    val twins = docs.select(
+      guardedTwinId(col("media_id"), 1000000L).as("media_id"),
+      concat(lit(Array[Byte](0)),
+        substring(col("payload"), 2, Int.MaxValue)).as("payload"))
+    Multimodal.frameNearDupPairs(docs.unionAll(twins),
+        nFrames = 8, frameBytes = 16, threshold = 0.6,
+        maxFrameBucket = 10000)
+      .orderBy("id_a", "id_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3182,6 +3212,7 @@ object SparkEntry {
     "q151_federated_concat" -> (q151FederatedConcat _),
     "q152_mom_growth" -> (q152MomGrowth _),
     "q153_stream_left_outer_join" -> (q153StreamLeftOuterJoin _),
+    "q154_frame_neardup" -> (q154FrameNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4839,6 +4870,66 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q154_frame_neardup" ->
+      """WITH m0 AS (
+        |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx
+        |  FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, '00' || substr(hex(CAST(text AS BLOB)), 3)
+        |  FROM documents WHERE text IS NOT NULL
+        |), m AS (
+        |  SELECT media_id, hx, length(hx)//2 AS len FROM m0
+        |), fr AS (
+        |  SELECT media_id, GREATEST(len // 8, 1) AS stride, hx FROM m
+        |), fx AS (
+        |  SELECT media_id,
+        |    substr(hx, CAST(i * stride * 2 + 1 AS INT), 32) AS fhx
+        |  FROM (SELECT media_id, stride, hx, unnest(range(8)) AS i FROM fr)
+        |), fl AS (
+        |  SELECT media_id, fhx, length(fhx)//2 AS flen FROM fx
+        |), c AS (
+        |  SELECT media_id,
+        |    list_transform(range(72), g ->
+        |      CASE WHEN flen = 0 THEN 0 ELSE
+        |        (strpos('0123456789ABCDEF',
+        |           substr(fhx, CAST(((g*flen)//72)*2 + 1 AS INT), 1)) - 1) * 16
+        |        + (strpos('0123456789ABCDEF',
+        |           substr(fhx, CAST(((g*flen)//72)*2 + 2 AS INT), 1)) - 1)
+        |      END) AS cell
+        |  FROM fl
+        |), p AS (
+        |  SELECT media_id,
+        |    CAST(list_sum(list_transform(range(32), b ->
+        |      CASE WHEN cell[((b+32)//8)*9 + ((b+32)%8) + 1]
+        |              < cell[((b+32)//8)*9 + ((b+32)%8) + 2]
+        |        THEN 2**CAST(b AS INT) ELSE 0 END)) AS BIGINT) AS hi32,
+        |    CAST(list_sum(list_transform(range(32), b ->
+        |      CASE WHEN cell[(b//8)*9 + (b%8) + 1] < cell[(b//8)*9 + (b%8) + 2]
+        |        THEN 2**CAST(b AS INT) ELSE 0 END)) AS BIGINT) AS lo32
+        |  FROM c
+        |), sg AS (
+        |  SELECT DISTINCT media_id,
+        |    CASE WHEN hi32 >= 2147483648
+        |         THEN (hi32 - 4294967296)*4294967296 + lo32
+        |         ELSE hi32*4294967296 + lo32 END AS sig
+        |  FROM p
+        |), sz AS (
+        |  SELECT media_id, COUNT(*) AS n FROM sg GROUP BY media_id
+        |), sh AS (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b, COUNT(*) AS ns
+        |  FROM sg a JOIN sg b ON a.sig = b.sig AND a.media_id < b.media_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT sh.id_a, sh.id_b, sh.ns AS n_shared,
+        |  za.n AS n_a, zb.n AS n_b,
+        |  CAST(sh.ns AS DOUBLE) / CAST(za.n + zb.n - sh.ns AS DOUBLE)
+        |    AS jaccard
+        |FROM sh
+        |JOIN sz za ON sh.id_a = za.media_id
+        |JOIN sz zb ON sh.id_b = zb.media_id
+        |WHERE CAST(sh.ns AS DOUBLE) / CAST(za.n + zb.n - sh.ns AS DOUBLE)
+        |  >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
     "q153_stream_left_outer_join" ->
       """WITH l AS (
         |  SELECT event_id AS id_a, user_id, epoch_us(ts) AS t

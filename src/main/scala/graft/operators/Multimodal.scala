@@ -168,6 +168,85 @@ object Multimodal {
       dropOversize, label = s"dhash64/$bands-band")
   }
 
+  /** VIDEO-style near-duplicate pairs over FRAME-SIGNATURE SETS: each
+    * payload is sampled into [[sampleFrames]]' evenly-spaced frames,
+    * every frame gets its [[graft.expressions.DHash64]] perceptual
+    * signature, and two media pair when the Jaccard similarity of
+    * their DISTINCT frame-signature sets reaches `threshold` — the
+    * re-encoded/trimmed-copy recipe, where single-image dHash
+    * ([[dHashNearDupPairs]]) fails because no one byte range survives
+    * but most frames still look alike.
+    *
+    * Scale shape: frames and signatures are map-only; candidates meet
+    * in ONE equi join on the frame signature (the inverted-index
+    * shape — cost tracks signature collisions, never media², like the
+    * MinHash band join), with a count-first hot-frame guard: a
+    * signature shared by more than `maxFrameBucket` media (a black
+    * frame, a standard intro card) is counted BEFORE any pair
+    * expansion and fails loudly — or is dropped with `dropOversize`,
+    * trading recall for survival exactly like the LSH family. Set
+    * sizes join back key-bounded; the Jaccard filter is exact integer
+    * arithmetic over shared/distinct counts.
+    *
+    * Output: (id_a, id_b, n_shared, n_a, n_b, jaccard), id_a < id_b.
+    */
+  def frameNearDupPairs(
+      media: DataFrame,
+      nFrames: Int = 8,
+      frameBytes: Int = 16,
+      threshold: Double = 0.6,
+      maxFrameBucket: Int = 1000,
+      dropOversize: Boolean = false,
+      idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    // below ~2 bytes per 9-cell grid row the gradient is flat and every
+    // frame dHashes to 0, collapsing all sets to {0} (pinned by spec)
+    require(nFrames > 0 && frameBytes >= 16,
+      s"frame plan must be positive with frameBytes >= 16 (got $frameBytes): " +
+        "a dHash grid row spanning a single byte has no gradient")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    require(maxFrameBucket >= 2,
+      s"maxFrameBucket ($maxFrameBucket) must be >= 2 — below 2 every " +
+        "shared signature would be dropped and no pair could ever form")
+    val prepared = media.select(col(idCol).as("media_id"),
+      col(payloadCol).as("payload"))
+    val fh = sampleFrames(prepared.filter(col("payload").isNotNull),
+        nFrames, frameBytes)
+      .select(col("media_id"), explode(col("frames")).as("__f"))
+      .select(col("media_id"),
+        graft.expressions.GraftFunctions.dhash64(prepared, col("__f")).as("fh"))
+      .distinct()
+    val sizes = fh.groupBy("media_id").agg(count(lit(1)).as("__sz"))
+    val hot = fh.groupBy("fh").agg(count(lit(1)).as("__n"))
+    val guarded = fh.join(
+      if (dropOversize) hot.filter(col("__n") <= maxFrameBucket).select("fh")
+      else hot.select(col("fh"),
+          when(col("__n") > maxFrameBucket, raise_error(concat(
+            lit(s"frameNearDupPairs: frame signature "),
+            col("fh").cast("string"),
+            lit(s" appears in more than $maxFrameBucket media ("),
+            col("__n").cast("string"),
+            lit(") — drop boilerplate frames upstream or set dropOversize"))))
+            .otherwise(lit(true)).as("__chk"))
+        .filter(col("__chk")).select("fh"),
+      Seq("fh"))
+    val shared = guarded.alias("x").join(guarded.alias("y"),
+        col("x.fh") === col("y.fh") &&
+          col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("media_id").as("id_a"), col("__sz").as("n_a")),
+        "id_a")
+      .join(sizes.select(col("media_id").as("id_b"), col("__sz").as("n_b")),
+        "id_b")
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")
+  }
+
   /** Partition-wise feature extraction with a pluggable codec: one
     * decoder instance per task, payloads processed in iterator order
     * (constant memory — no collect, no per-row decoder setup). Output =

@@ -654,6 +654,44 @@ class ExtensionsSpec extends AnyFunSuite {
       text1.getBytes("UTF-8"))).asInstanceOf[Long]))
   }
 
+  test("multimodal: frame-set near-dup pairs, exact jaccard, hot-frame guard") {
+    // 128-byte payloads, 4 frames x 16 bytes (stride 32): B differs
+    // from A only in byte 0 -> frames 1-3 shared; C is unrelated. Two
+    // geometry traps pinned here: bytes must vary WITHIN a frame (a
+    // constant frame has a flat gradient and dHashes to 0), and a
+    // frame must span >1 byte per 9-cell grid row (an 8-byte frame
+    // maps each row to ONE byte — flat again), so frameBytes >= ~16
+    val a = (0 until 128).map(i => ('A' + (i * 7) % 26).toChar).mkString
+    val b = "z" + a.substring(1)
+    val c = (0 until 128).map(i => ('a' + (i * 11) % 26).toChar).mkString
+    val media = table("media_id bigint, s string", Seq(
+        row(1L, a), row(2L, b), row(3L, c)))
+      .select(col("media_id"), col("s").cast("binary").as("payload"))
+    val got = Multimodal.frameNearDupPairs(media, nFrames = 4,
+        frameBytes = 16, threshold = 0.6, maxFrameBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5))).toSeq
+    // A has 4 distinct frame hashes, B shares 3 -> jaccard 3/5 = 0.6
+    assert(got == Seq((1L, 2L, 3L, 0.6)), got.toString)
+    // three identical payloads: every frame signature sits in 3 media,
+    // tripping a maxFrameBucket=2 guard loudly...
+    val hot = table("media_id bigint, s string",
+        Seq(row(1L, a), row(2L, a), row(3L, a)))
+      .select(col("media_id"), col("s").cast("binary").as("payload"))
+    val e = intercept[Exception] {
+      Multimodal.frameNearDupPairs(hot, 4, 16, 0.6, maxFrameBucket = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("appears in more than 2"), e.getMessage)
+    // ...and dropping oversize signatures drops the pairs, not the job
+    val dropped = Multimodal.frameNearDupPairs(hot, 4, 16, 0.6,
+      maxFrameBucket = 2, dropOversize = true).collect()
+    assert(dropped.isEmpty)
+    intercept[IllegalArgumentException] {
+      Multimodal.frameNearDupPairs(media, 4, 16, 0.6, maxFrameBucket = 1)
+    }
+  }
+
   test("multimodal: resize planning fits max box, preserves aspect, never upscales") {
     val feats = table("media_id bigint, width int, height int", Seq(
       row(1L, 640, 480),   // downscale, bound by width
