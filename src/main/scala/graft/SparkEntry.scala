@@ -3058,6 +3058,79 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- q155
+  /** Truncation-duplicate detection ([[Dedup.truncationDupIds]]):
+    * documents ∪ half-length truncated twins, flagged by the
+    * sorted-adjacency identity (a distinct text is a proper prefix of
+    * another iff it is a prefix of its lexicographic successor) — one
+    * range-partitioned sort instead of the n² `starts_with` scan. The
+    * oracle IS that n² scan (EXISTS over the full corpus), so a single
+    * text the adjacency test misses — including the duplicate-text
+    * trap where an equal copy sits between a text and its extension —
+    * fails the hash. Twins are planted at half length so every base
+    * doc has a guaranteed truncated copy and the flagged set is
+    * non-vacuous (~500 rows at sf0.01). */
+  private def q155TruncationDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val twins = docs.select(
+      guardedTwinId(col("doc_id"), 1000000L).as("doc_id"),
+      col("text").substr(lit(1),
+        greatest(lit(1), floor(col("n_chars") / lit(2)).cast("int"))).as("text"))
+    Dedup.truncationDupIds(
+        docs.select("doc_id", "text").unionAll(twins), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q156
+  /** Skip-gram co-occurrence counts ([[Corpus.skipGramPairs]]) at
+    * window 3 — the word2vec/GloVe training-pair table. The engine
+    * generates pairs map-only (each position against a `slice` of its
+    * own token array); the oracle generates them the independent way,
+    * a positional self-join — same multiset or the hash fails. Every
+    * count is an integer, no rounding gate. */
+  private def q156SkipGrams(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    Corpus.skipGramPairs(Tables.documents(s, dir), "text", window = 3)
+      .orderBy("w_a", "w_b")
+  }
+
+  // ---------------------------------------------------------------- q157
+  /** Blocklist phrase gate ([[graft.operators.Quality.blocklistAudit]]):
+    * documents audited against a 5-term policy mixing single tokens
+    * and two-token phrases, flagged above 4 hits — a genuinely mixed
+    * profile at sf0.01 (321 clean / 179 flagged). The oracle rebuilds
+    * the token and bigram streams with a positional self-join and
+    * replays every count — total hits, distinct terms, and the flag
+    * are all integers/booleans, hash-exact. */
+  private def q157BlocklistGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    Quality.blocklistAudit(Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("slow", "vector", "big table", "slow fast", "the slow"),
+        maxHits = 4L)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q158
+  /** Entropy quality scores ([[TextFunctions.charEntropyBits]] /
+    * [[TextFunctions.tokenEntropyBits]]): per-document Shannon entropy
+    * of the character and token unigram distributions — the
+    * gibberish/low-diversity filter of the Gopher-rule family, fully
+    * map-only (zero shuffles before the output sort). Entropies are
+    * compared ROUNDED at 6 decimals because the per-char/per-token
+    * IEEE fold order differs between engines; the flag compares the
+    * ROUNDED value (the q118 discipline) so it cannot disagree at a
+    * sub-gate margin. Threshold 4.4 bits splits sf0.01 211/289 —
+    * genuinely mixed. */
+  private def q158EntropyScores(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        round(TextFunctions.charEntropyBits(col("text")), 6).as("char_ent6"),
+        round(TextFunctions.tokenEntropyBits(col("text")), 6).as("token_ent6"))
+      .withColumn("low_diversity", col("token_ent6") < 4.4)
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3213,6 +3286,10 @@ object SparkEntry {
     "q152_mom_growth" -> (q152MomGrowth _),
     "q153_stream_left_outer_join" -> (q153StreamLeftOuterJoin _),
     "q154_frame_neardup" -> (q154FrameNearDup _),
+    "q155_truncation_dups" -> (q155TruncationDups _),
+    "q156_skip_grams" -> (q156SkipGrams _),
+    "q157_blocklist_gate" -> (q157BlocklistGate _),
+    "q158_entropy_scores" -> (q158EntropyScores _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4930,6 +5007,90 @@ object SparkEntry {
         |WHERE CAST(sh.ns AS DOUBLE) / CAST(za.n + zb.n - sh.ns AS DOUBLE)
         |  >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+    "q155_truncation_dups" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, GREATEST(1, CAST(floor(n_chars / 2.0) AS INT)))
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT c.doc_id FROM corpus c
+        |WHERE EXISTS (SELECT 1 FROM corpus o
+        |  WHERE length(o.text) > length(c.text)
+        |    AND substr(o.text, 1, CAST(length(c.text) AS INT)) = c.text)
+        |ORDER BY doc_id""".stripMargin,
+    "q156_skip_grams" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, CAST(unnest(range(len(toks))) AS INTEGER) AS pos,
+        |    unnest(toks) AS tok
+        |  FROM tk
+        |), fwd AS (
+        |  SELECT a.tok AS w_a, b.tok AS w_b
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id
+        |    AND b.pos > a.pos AND b.pos <= a.pos + 3
+        |), sym AS (
+        |  SELECT w_a, w_b FROM fwd
+        |  UNION ALL
+        |  SELECT w_b AS w_a, w_a AS w_b FROM fwd
+        |)
+        |SELECT w_a, w_b, COUNT(*) AS n
+        |FROM sym GROUP BY w_a, w_b
+        |ORDER BY w_a, w_b""".stripMargin,
+    "q157_blocklist_gate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, CAST(unnest(range(len(toks))) AS INTEGER) AS pos,
+        |    unnest(toks) AS tok
+        |  FROM tk
+        |), g1 AS (
+        |  SELECT doc_id, tok AS gram FROM t
+        |), g2 AS (
+        |  SELECT a.doc_id, a.tok || ' ' || b.tok AS gram
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), cand AS (
+        |  SELECT * FROM g1 UNION ALL SELECT * FROM g2
+        |), bl(term) AS (
+        |  VALUES ('slow'), ('vector'), ('big table'), ('slow fast'),
+        |    ('the slow')
+        |), h AS (
+        |  SELECT doc_id, COUNT(*) AS n_hits,
+        |    COUNT(DISTINCT gram) AS n_terms
+        |  FROM cand JOIN bl ON cand.gram = bl.term GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  COALESCE(h.n_terms, 0) AS n_terms,
+        |  COALESCE(h.n_hits, 0) > 4 AS flagged
+        |FROM documents d LEFT JOIN h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q158_entropy_scores" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    ROUND(-list_sum(list_transform(
+        |      list_distinct(string_split(text, '')), ch ->
+        |        ((length(text) - length(replace(text, ch, '')))
+        |          / CAST(length(text) AS DOUBLE))
+        |        * log2((length(text) - length(replace(text, ch, '')))
+        |          / CAST(length(text) AS DOUBLE)))), 6) AS char_ent6,
+        |    ROUND(-list_sum(list_transform(
+        |      list_distinct(string_split_regex(trim(text), ' +')), tok ->
+        |        (len(list_filter(string_split_regex(trim(text), ' +'),
+        |           x -> x = tok))
+        |          / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE))
+        |        * log2(len(list_filter(string_split_regex(trim(text), ' +'),
+        |           x -> x = tok))
+        |          / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE))
+        |      )), 6) AS token_ent6
+        |  FROM documents
+        |)
+        |SELECT doc_id, char_ent6, token_ent6,
+        |  token_ent6 < 4.4 AS low_diversity
+        |FROM e ORDER BY doc_id""".stripMargin,
     "q153_stream_left_outer_join" ->
       """WITH l AS (
         |  SELECT event_id AS id_a, user_id, epoch_us(ts) AS t

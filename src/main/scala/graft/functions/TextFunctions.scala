@@ -158,6 +158,47 @@ object TextFunctions {
         .as("top_bigram_frac"))
   }
 
+  /** Shannon entropy (bits) of the CHARACTER unigram distribution of a
+    * string — the gibberish/low-diversity filter next to
+    * [[repetitionMetrics]]: binary junk decoded as text scores high,
+    * single-character runs and trivially repetitive spam score near
+    * zero, natural language sits in a narrow band. Pure per-row
+    * expressions — map-only, no shuffle; per-char counts via the
+    * `length - length(replace)` identity, so cost is
+    * O(distinct_chars * length) per doc, bounded by document length.
+    * The fold adds one IEEE term per DISTINCT char (first-occurrence
+    * order); consumers comparing cross-engine round to 6 decimals —
+    * the term ORDER can differ, the rounded sum cannot. NULL/empty
+    * input scores 0. */
+  def charEntropyBits(c: Column): Column = {
+    val n = length(c).cast("double")
+    val ent = aggregate(array_distinct(split(c, "")),
+      lit(0.0),
+      (acc, ch) => {
+        val cnt = (length(c) - length(replace(c, ch, lit("")))).cast("double")
+        acc - (cnt / n) * log2(cnt / n)
+      })
+    coalesce(when(length(c) === 0, lit(0.0)).otherwise(ent), lit(0.0))
+  }
+
+  /** Shannon entropy (bits) of the TOKEN unigram distribution —
+    * [[charEntropyBits]] at word granularity, the "effective
+    * vocabulary" signal: keyword-stuffed or template-generated docs
+    * have many tokens but few bits. Same map-only shape, cost
+    * O(distinct_tokens * n_tokens) per doc. NULL/empty input scores
+    * 0; the same 6-decimal rounding discipline applies cross-engine. */
+  def tokenEntropyBits(c: Column): Column = {
+    val t = tokens(c)
+    val n = size(t).cast("double")
+    val ent = aggregate(array_distinct(t),
+      lit(0.0),
+      (acc, tok) => {
+        val cnt = size(filter(t, x => x === tok)).cast("double")
+        acc - (cnt / n) * log2(cnt / n)
+      })
+    coalesce(when(size(t) === 0, lit(0.0)).otherwise(ent), lit(0.0))
+  }
+
   /** 32-bit per-token hash reproducible across engines: the first 8 hex
     * chars of md5, parsed to a long. Slower than xxhash64 (md5 + string
     * slicing) but bit-identical in any engine with md5 — DuckDB

@@ -987,6 +987,41 @@ object Corpus {
           .as("pmi"))
   }
 
+  /** Skip-gram co-occurrence counts (the word2vec/GloVe training-pair
+    * table): for every token position, each token within the following
+    * `window` positions co-occurs with it, and counts are SYMMETRIC —
+    * n(a,b) = n(b,a) = the number of ordered position pairs within the
+    * window — which is the (center, context) multiset word2vec trains
+    * on and the co-occurrence matrix GloVe factorizes.
+    * [[pmiCollocations]] is the window=1 adjacency special case of the
+    * same table (directed there, association-scored); this produces
+    * the raw symmetric counts at arbitrary window radius.
+    *
+    * Scale shape: pair generation is MAP-ONLY — each position pairs
+    * with a `slice` of its own token array (never a positional
+    * self-join, whose per-document cost the optimizer can't see), so
+    * the only shuffle is the final count, map-side combined and
+    * bounded by distinct co-occurring pairs (≤ vocabulary²), not by
+    * corpus size. Window radius multiplies map-side rows by ≤ window,
+    * linear in corpus length.
+    *
+    * Returns (`w_a`, `w_b`, `n`) with both orientations present. */
+  def skipGramPairs(
+      df: DataFrame,
+      textCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window ($window) must be >= 1")
+    val fwd = df.select(TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(posexplode(col("__toks")).as(Seq("__pos", "__center")),
+        col("__toks"))
+      .select(col("__center").as("w_a"),
+        explode(slice(col("__toks"), col("__pos") + lit(2), lit(window)))
+          .as("w_b"))
+    fwd.unionAll(fwd.select(col("w_b").as("w_a"), col("w_a").as("w_b")))
+      .groupBy("w_a", "w_b")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** BPE merge training (Sennrich-style subword vocabulary learning):
     * learn the top-`numMerges` pair merges over the corpus — the
     * primitive that PRODUCES the vocabulary whose application

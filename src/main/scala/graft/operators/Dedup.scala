@@ -812,4 +812,49 @@ object Dedup {
       .select(idCol)
     docs.join(winners, Seq(idCol), "left_semi")
   }
+
+  /** Truncation-duplicate detection: every document whose text is a
+    * PROPER character-level prefix of some OTHER document's text — the
+    * truncated-copy shape (paywall cuts, feed snippets, mid-transfer
+    * drops) that exact-hash dedup misses because the bytes differ and
+    * MinHash misses when the cut removes enough shingles.
+    *
+    * The naive predicate is all-pairs (`starts_with(b, a)` over n²).
+    * This uses the sorted-adjacency identity instead: among DISTINCT
+    * strings in lexicographic order, `t` is a proper prefix of some
+    * other string IFF `t` is a prefix of its IMMEDIATE successor —
+    * every string extending `t` sorts into the contiguous block that
+    * begins right after `t`, so if any extension exists, the very next
+    * string is one. One range-partitioned sort replaces the n² scan.
+    *
+    * The distinct-first step is load-bearing, not a cleanup: with
+    * duplicate texts in the frame, a copy of `t` can sit between `t`
+    * and its extension in sort order and the adjacency test on raw
+    * rows would miss the first copy. Distinct texts are ranked (the
+    * [[General.withContiguousRowIds]] two-pass machinery — never a
+    * single-partition window), successor pairs meet in a rank→rank+1
+    * equi self-join, and flagged texts map back to ALL carrying doc
+    * ids through one semi join.
+    *
+    * Scale shape: distinct is a hash shuffle bounded by distinct
+    * texts; the sort is range-partitioned; the successor join is an
+    * equi join of two same-size sides; the id recovery is a semi join
+    * on text. Nothing is quadratic anywhere.
+    *
+    * Returns the flagged ids — one column `idCol`, each id whose text
+    * is a proper prefix of another document's text. */
+  def truncationDupIds(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val texts = df.select(col(textCol).as("__text")).distinct()
+    val ranked = General.withContiguousRowIds(texts, Seq("__text"), "__rank")
+    val succ = ranked.select((col("__rank") - 1).as("__rank"),
+      col("__text").as("__succ"))
+    val flagged = ranked.join(succ, Seq("__rank"))
+      .filter(col("__succ").startsWith(col("__text")) &&
+        length(col("__succ")) > length(col("__text")))
+      .select(col("__text").as(textCol))
+    df.join(flagged, Seq(textCol), "left_semi").select(col(idCol))
+  }
 }

@@ -85,6 +85,68 @@ object Quality {
         lit(maxViolationRate) * col("n_checked").cast("double"))
   }
 
+  /** Blocklist phrase gate — the content-filter stage of a corpus
+    * pipeline (NSFW/toxicity/keyword policies, CCNet-style "bad word"
+    * lists): every document audited against a term list of single
+    * tokens AND space-joined multi-token phrases, matched at TOKEN
+    * granularity — "ass" must not hit "class", which is why this is a
+    * token-stream join and not a substring scan. Returns one row per
+    * input document: total hit count (every occurrence), distinct
+    * matched terms, and the over-threshold flag — counts, not just a
+    * boolean, because a policy that drops at 1 hit and a policy that
+    * down-weights at 5 read the same audit.
+    *
+    * Scale shape: candidate n-grams are built MAP-ONLY per document
+    * (one `transform` over positions per distinct phrase width in the
+    * term list — a width the list doesn't use is never generated);
+    * the term list is an explicit `broadcast` (it is small by nature —
+    * policies are human-curated), so the corpus never shuffles to
+    * match; the per-doc rollup is one map-side-combined aggregation
+    * on doc id; clean docs re-enter through a left join so the audit
+    * covers every document, not just the dirty ones.
+    *
+    * Terms must be non-empty, single-space-joined, and duplicate-free
+    * — a corrupted policy file fails here, not as wrong counts. */
+  def blocklistAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      maxHits: Long = 0L): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    require(maxHits >= 0L, s"maxHits ($maxHits) must be >= 0")
+    terms.foreach { t =>
+      require(t.trim == t && t.nonEmpty && !t.contains("  "),
+        s"blocklist term '$t' must be non-empty, trimmed, single-spaced")
+    }
+    require(terms.distinct.size == terms.size,
+      s"duplicate blocklist terms: ${terms.diff(terms.distinct).mkString(", ")}")
+    import graft.functions.TextFunctions
+    val spark = df.sparkSession
+    import spark.implicits._
+    val termDf = terms.toDF("__gram")
+    val toks = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val widths = terms.map(_.split(" ").length).distinct.sorted
+    val cand = widths.map { w =>
+      toks.filter(size(col("__toks")) >= w)
+        .select(col(idCol),
+          explode(transform(sequence(lit(0), size(col("__toks")) - w),
+            i => array_join(slice(col("__toks"), i + 1, lit(w)), " ")))
+            .as("__gram"))
+    }.reduce(_ unionAll _)
+    val hits = cand.join(broadcast(termDf), Seq("__gram"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("__gram")).as("n_terms"))
+    df.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        (coalesce(col("n_hits"), lit(0L)) > maxHits).as("flagged"))
+  }
+
   /** Referential-integrity audit — the foreign-key contract [[check]]
     * cannot express with row-local predicates: every child row's key
     * should resolve in the parent ("no order without its customer").

@@ -450,6 +450,39 @@ class CorpusIndexSpec extends AnyFunSuite {
       math.abs(solo(0).getDouble(5) - math.log(2.0)) < 1e-12)
   }
 
+  test("skipGramPairs: hand-computed window pairs, symmetry, repeated tokens") {
+    import graft.operators.Corpus
+    // "a b a", window 2: forward (a,b), (a,a) [pos0->pos2], (b,a);
+    // symmetric emission doubles each unordered pair's directed counts:
+    // n(a,b)=n(b,a)=2, n(a,a)=2.
+    val got = Corpus.skipGramPairs(
+        table("id bigint, text string", Seq(row(1L, "a b a"))), "text", 2)
+      .orderBy("w_a", "w_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", "a", 2L), ("a", "b", 2L), ("b", "a", 2L)),
+      got.toString)
+    // window 1 degenerates to symmetric adjacency; a 4-token doc has 3
+    // adjacent pairs, each counted in both directions. Window larger
+    // than the doc just caps at the tail (slice never overruns).
+    val adj = Corpus.skipGramPairs(
+        table("id bigint, text string", Seq(row(1L, "w x y z"))), "text", 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(adj.sortBy(t => (t._1, t._2)) == Seq(
+      ("w", "x", 1L), ("x", "w", 1L), ("x", "y", 1L),
+      ("y", "x", 1L), ("y", "z", 1L), ("z", "y", 1L)), adj.toString)
+    val wide = Corpus.skipGramPairs(
+        table("id bigint, text string", Seq(row(1L, "w x"))), "text", 99)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(wide.sortBy(t => (t._1, t._2)) ==
+      Seq(("w", "x", 1L), ("x", "w", 1L)), wide.toString)
+    // symmetry holds pairwise across a multi-doc corpus
+    val sym = Corpus.skipGramPairs(
+        table("id bigint, text string",
+          Seq(row(1L, "p q r p"), row(2L, "q p p"))), "text", 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    sym.foreach { case ((a, b), n) => assert(sym((b, a)) == n, s"($a,$b)") }
+  }
+
   test("bpeMerges: hand-computed merge sequence, frequency weighting, early exhaustion") {
     // words: hug freq 3, pug freq 2. pairs: (h,u)=3, (u,g)=5, (p,u)=2
     // -> merge ug(5); then (h,ug)=3 -> hug; then (p,ug)=2 -> pug; dry.

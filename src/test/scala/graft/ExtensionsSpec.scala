@@ -29,6 +29,46 @@ class ExtensionsSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L, 5L))
   }
 
+  test("entropy bits: uniform/degenerate/empty/null hand-computed") {
+    val d = table("doc_id bigint, text string", Seq(
+      row(1L, "w x y z"),   // 4 uniform tokens -> exactly 2 bits
+      row(2L, "w w w w"),   // degenerate -> 0 bits
+      row(3L, "a a b b"),   // tokens: 1 bit; chars a2 b2 sp3 over 7
+      row(4L, ""),          // empty -> 0, no NaN
+      row(5L, null)))       // null -> 0
+    val got = d.select(col("doc_id"),
+        TextFunctions.tokenEntropyBits(col("text")).as("te"),
+        TextFunctions.charEntropyBits(col("text")).as("ce"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got(0)._2 == 2.0 && got(1)._2 == 0.0, got.toString)
+    assert(got(3) == ((4L, 0.0, 0.0)) && got(4) == ((5L, 0.0, 0.0)),
+      got.toString)
+    assert(math.abs(got(2)._2 - 1.0) < 1e-12, got(2).toString)
+    def h(ps: Seq[Double]) = -ps.map(p => p * math.log(p) / math.log(2)).sum
+    assert(math.abs(got(2)._3 - h(Seq(2.0 / 7, 2.0 / 7, 3.0 / 7))) < 1e-9,
+      got(2).toString)
+  }
+
+  test("truncationDupIds: proper prefixes flagged; duplicate-text trap; chain") {
+    // 1/2 share a text that is extended by 3 — in RAW sort order the
+    // equal copy sits between the text and its extension, which is
+    // exactly the adjacency trap the distinct-first step exists for:
+    // both copies must flag. 3/4 are equal with no extension (exact
+    // dups, not truncation dups). 5 heads a prefix CHAIN
+    // ("alp" < "alpha beta" < "alpha beta gamma").
+    val d = table("doc_id bigint, text string", Seq(
+      row(1L, "alpha beta"),
+      row(2L, "alpha beta"),
+      row(3L, "alpha beta gamma"),
+      row(4L, "alpha beta gamma"),
+      row(5L, "alp"),
+      row(6L, "zzz unrelated")))
+    val got = Dedup.truncationDupIds(d, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 5L), got.toString)
+  }
+
   test("incremental dedup: unseen-in-ledger AND first-in-shard survive") {
     // ledger holds the fingerprint of doc 1's text (normalized); the
     // incoming shard carries: a ledger dup (4 normalizes to 1), an

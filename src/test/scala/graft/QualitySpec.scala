@@ -98,6 +98,41 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("blocklistAudit: token granularity, overlapping phrases, flag boundary") {
+    import graft.testkit.SparkTestKit.{row, table}
+    val docs = table("doc_id bigint, text string", Seq(
+      row(1L, "class token stream"),        // 'ass' is a substring, NOT a token
+      row(2L, "big big table end"),         // phrase matches once, 'big' twice
+      row(3L, "slow slow slow"),            // overlapping bigram: 2 phrase hits
+      row(4L, "perfectly clean words")))
+    val got = Quality.blocklistAudit(docs, "doc_id", "text",
+        terms = Seq("ass", "big", "big table", "slow slow"), maxHits = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, false),
+      (2L, 3L, 2L, true),   // big x2 + 'big table' x1 = 3 > 2
+      (3L, 2L, 1L, false),  // overlapping 'slow slow' x2; 2 > 2 is false
+      (4L, 0L, 0L, false)), got.toString)
+    // boundary: exactly maxHits hits is NOT flagged (strict >)
+    val atBound = Quality.blocklistAudit(docs, "doc_id", "text",
+        terms = Seq("big"), maxHits = 2L)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 2L)
+      .collect()(0)
+    assert(atBound.getLong(1) == 2L && !atBound.getBoolean(3))
+    // policy validation fails loudly
+    intercept[IllegalArgumentException] {
+      Quality.blocklistAudit(docs, "doc_id", "text", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Quality.blocklistAudit(docs, "doc_id", "text", Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.blocklistAudit(docs, "doc_id", "text", Seq("bad  spacing"))
+    }
+  }
+
   test("check: duplicate rule names and empty suites fail loudly") {
     intercept[IllegalArgumentException] {
       Quality.check(frame(), Seq(
