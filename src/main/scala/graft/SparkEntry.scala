@@ -3131,6 +3131,29 @@ object SparkEntry {
       .withColumn("low_diversity", col("token_ent6") < 4.4)
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- q159
+  /** Exact all-pairs TF-IDF cosine with prefix filtering
+    * ([[graft.operators.Apss.allPairsCosine]], Bayardo et al. WWW'07):
+    * documents ∪ one-token-appended twins (a twin keeps every base
+    * trigram and adds exactly one, so each pair's cosine is high but
+    * not 1), all pairs with trigram-TF-IDF cosine >= 0.8. The engine
+    * prunes through the suffix-index theorem; the oracle is the FULL
+    * inverted-index n² formulation — tf, df, ln-idf, norms, and every
+    * shared-gram dot replayed — so one pair lost to a wrong prefix
+    * bound fails the hash. Cosines compared ROUNDED at 6 (membership
+    * decided on the rounded value on both sides); 600 pairs at
+    * sf0.01, min cos 0.818. */
+  private def q159ApssPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Apss
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val twins = docs.select(
+      guardedTwinId(col("doc_id"), 1000000L).as("doc_id"),
+      concat(col("text"), lit(" graftzz")).as("text"))
+    Apss.allPairsCosine(docs.unionAll(twins), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3290,6 +3313,7 @@ object SparkEntry {
     "q156_skip_grams" -> (q156SkipGrams _),
     "q157_blocklist_gate" -> (q157BlocklistGate _),
     "q158_entropy_scores" -> (q158EntropyScores _),
+    "q159_apss_pairs" -> (q159ApssPairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5091,6 +5115,43 @@ object SparkEntry {
         |SELECT doc_id, char_ent6, token_ent6,
         |  token_ent6 < 4.4 AS low_diversity
         |FROM e ORDER BY doc_id""".stripMargin,
+    "q159_apss_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftzz' FROM documents
+        |), tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |  FROM corpus
+        |), g AS (
+        |  SELECT doc_id,
+        |    array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ')
+        |      AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks)-2)) AS i
+        |        FROM tk WHERE len(toks) >= 3)
+        |), tf AS (
+        |  SELECT doc_id, gram, COUNT(*) AS tf FROM g GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT gram, COUNT(*) AS df FROM tf GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM corpus
+        |), w AS (
+        |  SELECT doc_id, tf.gram AS gram,
+        |    tf * ln((SELECT n FROM nn) / df) AS w
+        |  FROM tf JOIN dfq USING (gram)
+        |), nrm AS (
+        |  SELECT doc_id, sqrt(SUM(w*w)) AS norm FROM w GROUP BY 1
+        |), nw AS (
+        |  SELECT w.doc_id, gram, w / norm AS nw
+        |  FROM w JOIN nrm USING (doc_id) WHERE norm > 0
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    ROUND(SUM(a.nw * b.nw), 6) AS cos6
+        |  FROM nw a JOIN nw b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, cos6 FROM p WHERE cos6 >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "q153_stream_left_outer_join" ->
       """WITH l AS (
         |  SELECT event_id AS id_a, user_id, epoch_us(ts) AS t
