@@ -3154,6 +3154,36 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- q160
+  /** Embargoed temporal split ([[Events.temporalSplit]]): events cut
+    * at 2024-01-22 with a 2-day embargo band that belongs to neither
+    * side, rolled up per (split, event_type) with event and distinct-
+    * user counts. The oracle replays the same µs comparisons — all
+    * integers, hash-exact; all three bands are non-empty at every SF
+    * by the data's 30-day span. */
+  private def q160TemporalSplit(s: SparkSession, dir: String): DataFrame =
+    Events.temporalSplit(Tables.events(s, dir), "ts",
+        cutoffUs = 1705881600000000L, embargoUs = 2L * 86400 * 1000000)
+      .groupBy("split", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("split", "event_type")
+
+  // ---------------------------------------------------------------- q161
+  /** Contrastive training pairs ([[graft.operators.Corpus
+    * .contrastivePairs]]): q14's verified near-dup pairs as positives,
+    * an md5-derangement as negatives, accidental positives excluded
+    * exactly via LSH's full recall. The oracle recomputes the exact
+    * Jaccard pair graph (q14's full-recall gate), the md5 permutation,
+    * the shifted-rank pairing, and the exclusion — ids and labels all
+    * integers, hash-exact. */
+  private def q161ContrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    Corpus.contrastivePairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3314,6 +3344,8 @@ object SparkEntry {
     "q157_blocklist_gate" -> (q157BlocklistGate _),
     "q158_entropy_scores" -> (q158EntropyScores _),
     "q159_apss_pairs" -> (q159ApssPairs _),
+    "q160_temporal_split" -> (q160TemporalSplit _),
+    "q161_contrastive_pairs" -> (q161ContrastivePairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5151,6 +5183,59 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |)
         |SELECT id_a, id_b, cos6 FROM p WHERE cos6 >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q160_temporal_split" ->
+      """WITH s AS (
+        |  SELECT CASE
+        |      WHEN epoch_us(ts) < 1705881600000000 - 172800000000
+        |        THEN 'train'
+        |      WHEN epoch_us(ts) < 1705881600000000 THEN 'embargo'
+        |      ELSE 'test' END AS split,
+        |    event_type, user_id
+        |  FROM events
+        |)
+        |SELECT split, event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM s GROUP BY split, event_type
+        |ORDER BY split, event_type""".stripMargin,
+    "q161_contrastive_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks)-2), i ->
+        |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
+        |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
+        |  FROM tk
+        |), pos AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+        |               AS DOUBLE), 0.0) >= 0.5
+        |), r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+        |      doc_id) - 1 AS r
+        |  FROM documents
+        |), nn AS (
+        |  SELECT COUNT(*) AS n FROM documents
+        |), negraw AS (
+        |  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
+        |    GREATEST(a.doc_id, b.doc_id) AS id_b
+        |  FROM r a JOIN r b
+        |    ON b.r = (a.r + (SELECT n // 2 FROM nn)) % (SELECT n FROM nn)
+        |  WHERE a.doc_id <> b.doc_id
+        |), neg AS (
+        |  SELECT nr.id_a, nr.id_b FROM negraw nr
+        |  LEFT JOIN pos ON nr.id_a = pos.id_a AND nr.id_b = pos.id_b
+        |  WHERE pos.id_a IS NULL
+        |)
+        |SELECT id_a, id_b, 1 AS label FROM pos
+        |UNION ALL
+        |SELECT id_a, id_b, 0 AS label FROM neg
         |ORDER BY id_a, id_b""".stripMargin,
     "q153_stream_left_outer_join" ->
       """WITH l AS (

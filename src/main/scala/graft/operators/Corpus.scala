@@ -1022,6 +1022,59 @@ object Corpus {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Contrastive training-pair generation — the labeled-pair table an
+    * embedding/reranker model trains on: POSITIVES are the corpus'
+    * verified near-duplicate pairs (MinHash-LSH candidates, exact
+    * shingle-Jaccard >= `threshold` — [[Dedup.minHashNearDupPairs]]'s
+    * full-recall machinery), NEGATIVES a deterministic derangement —
+    * each document paired with the one `n/2` positions away in the
+    * md5-permuted order (the q61 shuffle permutation), which is
+    * rerun-stable, uniform-ish, and replayable by an oracle, unlike
+    * `rand()`. Candidate negatives that happen to qualify as positives
+    * are removed by an anti join against the verified pair set —
+    * LSH's pigeonhole full recall at the threshold is what makes that
+    * exclusion EXACT, so a label-0 row is provably below threshold.
+    *
+    * Scale shape: positives ride the existing banded-LSH path;
+    * negatives are one contiguous-rank pass
+    * ([[General.withContiguousRowIds]] over the md5 key — never a
+    * single-partition window), one rank→shifted-rank equi self-join,
+    * and one anti join bounded by the negative set. Nothing touches
+    * document text beyond the signature pass.
+    *
+    * Returns (`id_a`, `id_b`, `label`) with id_a < id_b; label 1 for
+    * verified near-dups, 0 for derangement pairs. */
+  def contrastivePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    val pos = Dedup.minHashNearDupPairs(df, idCol, textCol,
+        shingleN, numHashes, bands, threshold)
+      .select(col("id_a"), col("id_b"))
+    val ranked = General.withContiguousRowIds(
+        df.select(col(idCol).as("__id"))
+          .withColumn("__key", md5(col("__id").cast("string"))),
+        Seq("__key", "__id"), "__r")
+      .select(col("__id"), col("__r"))
+    val n = df.count() // ONE driver scalar: corpus size
+    val shift = n / 2
+    val negRaw = ranked
+      .select(col("__id").as("__na"), ((col("__r") + shift) % n).as("__r2"))
+      .join(ranked.select(col("__id").as("__nb"), col("__r").as("__r2")),
+        "__r2")
+      .filter(col("__na") =!= col("__nb"))
+      .select(least(col("__na"), col("__nb")).as("id_a"),
+        greatest(col("__na"), col("__nb")).as("id_b"))
+      .distinct()
+    val neg = negRaw.join(pos, Seq("id_a", "id_b"), "left_anti")
+    pos.withColumn("label", lit(1))
+      .unionAll(neg.withColumn("label", lit(0)))
+  }
+
   /** BPE merge training (Sennrich-style subword vocabulary learning):
     * learn the top-`numMerges` pair merges over the corpus — the
     * primitive that PRODUCES the vocabulary whose application

@@ -548,4 +548,33 @@ object Events {
       last(col("__v"), ignoreNulls = true).over(w).as("value"),
       coalesce(col("__obs"), lit(false)).as("observed"))
   }
+
+  /** Embargoed temporal split — the time-series leakage firewall
+    * (the purged-split discipline of de Prado's financial-ML k-fold,
+    * collapsed to one cut): rows strictly before `cutoff - embargo`
+    * train, rows at/after `cutoff` test, and the embargo band between
+    * them belongs to NEITHER — features computed near the boundary
+    * (rolling windows, trailing aggregates) otherwise leak label-side
+    * information across the cut. A plain `ts < cutoff` split embargoes
+    * nothing and silently overstates eval quality.
+    *
+    * Map-only: one comparison chain per row, no shuffle — composable
+    * in front of any trainer/filter. Rows with NULL timestamps get a
+    * NULL split (unknown is not trainable), never a silent bucket.
+    *
+    * Returns the frame plus a `split` column
+    * ('train' | 'embargo' | 'test' | NULL). */
+  def temporalSplit(
+      df: DataFrame,
+      tsCol: String,
+      cutoffUs: Long,
+      embargoUs: Long): DataFrame = {
+    require(embargoUs >= 0L, s"embargoUs ($embargoUs) must be >= 0")
+    val us = unix_micros(col(tsCol))
+    df.withColumn("split",
+      when(us.isNull, lit(null).cast("string"))
+        .when(us < cutoffUs - embargoUs, "train")
+        .when(us < cutoffUs, "embargo")
+        .otherwise("test"))
+  }
 }

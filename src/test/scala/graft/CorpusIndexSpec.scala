@@ -483,6 +483,38 @@ class CorpusIndexSpec extends AnyFunSuite {
     sym.foreach { case ((a, b), n) => assert(sym((b, a)) == n, s"($a,$b)") }
   }
 
+  test("contrastivePairs: positives verified, derangement negatives below threshold") {
+    import graft.operators.Corpus
+    val texts = Map(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta", // exact dup of 1
+      3L -> "one two three four five six seven",
+      4L -> "red orange yellow green blue indigo",
+      5L -> "cat dog bird fish mouse horse cow",
+      6L -> "north south east west up down")
+    val df = table("doc_id bigint, text string",
+      texts.toSeq.sortBy(_._1).map { case (id, t) => row(id, t) })
+    val got = Corpus.contrastivePairs(df, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val pos = got.filter(_._3 == 1).map(t => (t._1, t._2)).toSet
+    val neg = got.filter(_._3 == 0).map(t => (t._1, t._2)).toSet
+    assert(pos == Set((1L, 2L)), pos.toString)
+    // n=6 even, shift=3: the derangement yields exactly 3 unordered
+    // pairs (minus any that verified positive)
+    assert(neg.size == 3 - neg.count(pos.contains), got.toString)
+    assert(neg.intersect(pos).isEmpty)
+    assert(got.forall(t => t._1 < t._2), got.toString)
+    // every negative is genuinely below threshold on exact Jaccard
+    def sh(s: String): Set[String] =
+      s.split(" ").sliding(3).map(_.mkString("_")).toSet
+    neg.foreach { case (a, b) =>
+      val (sa, sb) = (sh(texts(a)), sh(texts(b)))
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(j < 0.5, s"($a,$b) j=$j")
+    }
+  }
+
   test("bpeMerges: hand-computed merge sequence, frequency weighting, early exhaustion") {
     // words: hug freq 3, pug freq 2. pairs: (h,u)=3, (u,g)=5, (p,u)=2
     // -> merge ug(5); then (h,ug)=3 -> hug; then (p,ug)=2 -> pug; dry.

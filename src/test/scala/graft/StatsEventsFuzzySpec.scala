@@ -265,6 +265,28 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     assert(got == Seq((1L, 3, 20L), (2L, 2, null), (3L, 2, null)))
   }
 
+  test("temporalSplit: band boundaries half-open, NULL ts gets NULL split") {
+    // cutoff 100, embargo 20: train < 80, embargo [80, 100), test >= 100
+    val df = table("event_id bigint, t_us bigint", Seq(
+        row(1L, 79L), row(2L, 80L), row(3L, 99L), row(4L, 100L),
+        row(5L, 150L)))
+      .select(col("event_id"), timestamp_micros(col("t_us")).as("ts"))
+      .unionByName(table("event_id bigint, t_us bigint", Seq(row(6L, 0L)))
+        .select(col("event_id"),
+          timestamp_micros(col("t_us")).as("ts"))
+        .withColumn("ts", when(col("event_id") === 6L,
+          lit(null).cast("timestamp")).otherwise(col("ts"))))
+    val got = Events.temporalSplit(df, "ts", cutoffUs = 100L, embargoUs = 20L)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getString(2)))
+      .toSeq
+    assert(got == Seq((1L, "train"), (2L, "embargo"), (3L, "embargo"),
+      (4L, "test"), (5L, "test"), (6L, null)), got.toString)
+    intercept[IllegalArgumentException] {
+      Events.temporalSplit(df, "ts", 100L, -1L)
+    }
+  }
+
   test("rateAnomalies: trailing baseline flags spikes, cold start suppressed") {
     // type a: window counts 2, 2, 2, 10 at 100µs windows; type b steady 5s.
     def ev(t: Long, ty: String) = row(t, t, ty)
