@@ -3184,6 +3184,28 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- q162
+  /** Audio-style silence trimming ([[Multimodal.trimSilence]]):
+    * document payloads ∪ twins padded with 48 leading + 48 trailing
+    * 0x20 bytes (3 dead frames each side at frameBytes=16), trimmed
+    * at frame granularity. The oracle recomputes every frame's
+    * silent/active flag from the hex dump in SQL and re-derives the
+    * bounds and the trimmed bytes' md5 — a frame boundary off by one
+    * byte anywhere fails the hash. Base rows prove the no-op path
+    * (nothing trimmed); twins prove both edges trim while interior
+    * spaces survive. */
+  private def q162TrimSilence(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val base = docs.select(col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"))
+    val pad = " " * 48
+    val twins = docs.select(
+      guardedTwinId(col("doc_id"), 1000000L).as("media_id"),
+      concat(lit(pad), col("text"), lit(pad)).cast("binary").as("payload"))
+    Multimodal.trimSilence(base.unionAll(twins), frameBytes = 16)
+      .orderBy("media_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3346,6 +3368,7 @@ object SparkEntry {
     "q159_apss_pairs" -> (q159ApssPairs _),
     "q160_temporal_split" -> (q160TemporalSplit _),
     "q161_contrastive_pairs" -> (q161ContrastivePairs _),
+    "q162_trim_silence" -> (q162TrimSilence _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5237,6 +5260,40 @@ object SparkEntry {
         |UNION ALL
         |SELECT id_a, id_b, 0 AS label FROM neg
         |ORDER BY id_a, id_b""".stripMargin,
+    "q162_trim_silence" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text AS s FROM documents
+        |  WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    repeat(' ', 48) || text || repeat(' ', 48)
+        |  FROM documents WHERE text IS NOT NULL
+        |), h AS (
+        |  SELECT media_id, upper(hex(CAST(s AS BLOB))) AS hx FROM m
+        |), f AS (
+        |  SELECT media_id, hx,
+        |    CAST(ceil((length(hx) / 2) / 16.0) AS BIGINT) AS nf
+        |  FROM h
+        |), g AS (
+        |  SELECT media_id, hx, nf,
+        |    list_transform(range(nf), i -> NOT regexp_matches(
+        |      substr(hx, CAST(i * 32 + 1 AS INT), 32), '^(20)*$')) AS flags
+        |  FROM f
+        |), b AS (
+        |  SELECT media_id, hx, nf,
+        |    list_position(flags, true) AS fa,
+        |    nf - list_position(list_reverse(flags), true) + 1 AS la
+        |  FROM g
+        |)
+        |SELECT media_id, nf AS n_frames,
+        |  CASE WHEN fa = 0 THEN NULL ELSE CAST(fa - 1 AS BIGINT) END
+        |    AS first_frame,
+        |  CASE WHEN fa = 0 THEN NULL ELSE CAST(la - 1 AS BIGINT) END
+        |    AS last_frame,
+        |  md5(CASE WHEN fa = 0 THEN ''
+        |       ELSE substr(hx, CAST((fa - 1) * 32 + 1 AS INT),
+        |         CAST((la - fa + 1) * 32 AS INT)) END) AS trimmed_md5
+        |FROM b ORDER BY media_id""".stripMargin,
     "q153_stream_left_outer_join" ->
       """WITH l AS (
         |  SELECT event_id AS id_a, user_id, epoch_us(ts) AS t

@@ -813,6 +813,58 @@ object Dedup {
     docs.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** A banding plan chosen by [[lshPlan]]: `bands` × `rows` hash
+    * layout, the S-curve's effective threshold `(1/bands)^(1/rows)`,
+    * and the minimized error area. */
+  final case class LshPlan(
+      bands: Int, rows: Int, curveThreshold: Double, errorArea: Double)
+
+  /** LSH banding auto-tuner: pick (bands, rows) with bands·rows =
+    * `numHashes` minimizing the total error mass of the banding
+    * S-curve `P(s) = 1 - (1 - s^rows)^bands` against the ideal step at
+    * `threshold` — `∫₀ᵗ P(s) ds` (false-positive mass, pairs below
+    * threshold that still collide) plus `∫ᵗ¹ (1 − P(s)) ds`
+    * (false-negative mass, qualifying pairs that never collide). The
+    * curve integrates numerically (midpoint rule, 4096 steps —
+    * deterministic double arithmetic, no randomness), driver-side pure
+    * math: call it ONCE when configuring [[minHashNearDupPairs]] /
+    * [[crossCorpusNearDupPairs]] instead of hand-picking bands.
+    * Exhaustive over the divisors of numHashes — at most a few dozen
+    * candidates for any practical signature width.
+    *
+    * Note the recall asymmetry knob this deliberately does NOT hide:
+    * dedup pipelines that verify candidates exactly (all of this
+    * file's pair operators) only pay for false POSITIVES in compute
+    * but pay for false NEGATIVES in recall — callers wanting
+    * guaranteed-recall-leaning plans should pass a `threshold` a
+    * little below their verify threshold, which slides the optimum
+    * toward more bands / fewer rows. */
+  def lshPlan(numHashes: Int, threshold: Double): LshPlan = {
+    require(numHashes >= 1, s"numHashes ($numHashes) must be >= 1")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold ($threshold) must be in (0, 1)")
+    val steps = 4096
+    def errorArea(b: Int, r: Int): Double = {
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < threshold) fp += p else fn += 1.0 - p
+        i += 1
+      }
+      (fp + fn) / steps
+    }
+    val candidates = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map { r =>
+        val b = numHashes / r
+        LshPlan(b, r, math.pow(1.0 / b, 1.0 / r), errorArea(b, r))
+      }
+    candidates.minBy(p => (p.errorArea, p.rows))
+  }
+
   /** Truncation-duplicate detection: every document whose text is a
     * PROPER character-level prefix of some OTHER document's text — the
     * truncated-copy shape (paywall cuts, feed snippets, mid-transfer

@@ -101,6 +101,61 @@ object Multimodal {
       len.as("n_bytes"))
   }
 
+  /** Audio-style silence trimming at frame granularity — the
+    * lead-in/lead-out removal stage of an audio ingestion pipeline
+    * (and the crop-to-content stage of scanned images), expressed over
+    * opaque binary payloads: the payload splits into consecutive
+    * `frameBytes`-byte frames (last frame partial), a frame is SILENT
+    * iff every byte equals `silentByte` (the container's deterministic
+    * stand-in for an energy threshold — a real deployment swaps the
+    * per-frame predicate for its codec's RMS, exactly like
+    * [[Decoder]]), and leading/trailing silent frames are trimmed
+    * while interior silence is kept (a pause is content; only the
+    * edges are dead air).
+    *
+    * Everything is map-only codegen'd expressions over the hex
+    * rendering of the payload — one row in, one row out, no shuffle,
+    * no UDF; cost O(n_frames + payload bytes) per row. A payload that
+    * is entirely silent (or empty) reports NULL frame bounds and an
+    * empty trim — never a negative-length slice.
+    *
+    * Returns (`media_id`, `n_frames`, `first_frame`, `last_frame`,
+    * `trimmed_md5`) — frame indices 0-based inclusive, md5 over the
+    * trimmed payload's hex so the gate covers the exact surviving
+    * bytes. */
+  def trimSilence(
+      media: DataFrame,
+      frameBytes: Int,
+      silentByte: Int = 0x20): DataFrame = {
+    require(frameBytes >= 1, s"frameBytes ($frameBytes) must be >= 1")
+    require(silentByte >= 0 && silentByte <= 255,
+      s"silentByte ($silentByte) must be a byte")
+    val hexSilent = f"$silentByte%02X"
+    val fb = frameBytes
+    val hexs = upper(hex(col("payload")))
+    val len = octet_length(col("payload"))
+    val nf = ceil(len.cast("double") / fb).cast("int")
+    // sequence(0, -1) would DESCEND — an empty payload needs an
+    // explicitly empty frame list, not frames [0, -1]
+    // flags = ACTIVE per frame (a frame with any non-silent byte)
+    val flags = when(nf <= 0, array().cast("array<boolean>"))
+      .otherwise(transform(sequence(lit(0), nf - 1),
+        i => !hexs.substr(i * (2 * fb) + 1, lit(2 * fb))
+          .rlike(s"^($hexSilent)*$$")))
+    val faPos = array_position(flags, true) // 1-based, 0 when absent
+    val laPos = nf - array_position(reverse(flags), true) + 1
+    media.select(
+      col("media_id"),
+      nf.cast("long").as("n_frames"),
+      when(faPos === 0, lit(null)).otherwise(faPos - 1).as("first_frame"),
+      when(faPos === 0, lit(null)).otherwise(laPos.cast("long") - 1)
+        .as("last_frame"),
+      md5(when(faPos === 0, lit(""))
+        .otherwise(hexs.substr((faPos.cast("int") - 1) * (2 * fb) + 1,
+          (laPos.cast("int") - faPos.cast("int") + 1) * (2 * fb))))
+        .as("trimmed_md5"))
+  }
+
   /** Resize planning: target dimensions that fit (maxW, maxH)
     * preserving aspect ratio, never upscaling — the real Spark-side
     * arithmetic of a resize stage, over the feature frame

@@ -29,6 +29,63 @@ class ExtensionsSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L, 5L))
   }
 
+  test("trimSilence: edges trimmed, interior silence kept, degenerate payloads") {
+    def hx(s: String) = s.getBytes("UTF-8").map(b => f"$b%02X").mkString
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val media = table("media_id bigint, s string", Seq(
+        row(1L, "....ab.d...."), // trim both edges, KEEP interior dots
+        row(2L, "abcd"),         // nothing to trim
+        row(3L, "........"),     // all silent -> NULL bounds, empty trim
+        row(4L, ""),             // empty -> 0 frames, NULL bounds
+        row(5L, "....ab"),       // partial active tail frame
+        row(6L, "ab....")))      // trailing full + partial silent frames
+      .select(col("media_id"), col("s").cast("binary").as("payload"))
+    val got = Multimodal.trimSilence(media, frameBytes = 4, silentByte = '.')
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 1L, md5s(hx("ab.d"))),
+      (2L, 1L, 0L, 0L, md5s(hx("abcd"))),
+      (3L, 2L, null, null, md5s("")),
+      (4L, 0L, null, null, md5s("")),
+      (5L, 2L, 1L, 1L, md5s(hx("ab"))),
+      (6L, 2L, 0L, 0L, md5s(hx("ab..")))), got.toString)
+    intercept[IllegalArgumentException] {
+      Multimodal.trimSilence(media, frameBytes = 0)
+    }
+  }
+
+  test("lshPlan: q14's banding is its own optimum; threshold slides rows; validation") {
+    // 64 hashes at t=0.5: (16 bands, 4 rows) has curve threshold
+    // (1/16)^(1/4) = 0.5 EXACTLY — the planner must find it (and q14's
+    // hand-picked 16x4 is therefore the planner's own answer).
+    val p = Dedup.lshPlan(64, 0.5)
+    assert((p.bands, p.rows) == ((16, 4)), p.toString)
+    assert(math.abs(p.curveThreshold - 0.5) < 1e-12)
+    // higher thresholds need steeper curves: rows monotonically
+    // non-decreasing in t for fixed hash budget
+    val rows = Seq(0.2, 0.4, 0.6, 0.8, 0.95).map(Dedup.lshPlan(64, _).rows)
+    assert(rows == rows.sorted, rows.toString)
+    // the chosen plan beats (or ties) every other divisor split
+    val best = Dedup.lshPlan(128, 0.7)
+    (1 to 128).filter(128 % _ == 0).foreach { r =>
+      val b = 128 / r
+      var fp = 0.0; var fn = 0.0
+      (0 until 4096).foreach { i =>
+        val s = (i + 0.5) / 4096
+        val pr = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < 0.7) fp += pr else fn += 1.0 - pr
+      }
+      assert(best.errorArea <= (fp + fn) / 4096 + 1e-15, s"r=$r")
+    }
+    intercept[IllegalArgumentException] { Dedup.lshPlan(0, 0.5) }
+    intercept[IllegalArgumentException] { Dedup.lshPlan(64, 1.0) }
+  }
+
   test("entropy bits: uniform/degenerate/empty/null hand-computed") {
     val d = table("doc_id bigint, text string", Seq(
       row(1L, "w x y z"),   // 4 uniform tokens -> exactly 2 bits
