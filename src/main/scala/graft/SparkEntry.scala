@@ -3206,6 +3206,48 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  // ---------------------------------------------------------------- q163
+  /** Deterministic MLM masking ([[graft.operators.Corpus.maskTokens]])
+    * at exactly 2/16 = 12.5%: every (doc, position) decision is the
+    * portable md5 residue, so the oracle replays each one with hex-
+    * digit arithmetic and rebuilds every corrupted text verbatim —
+    * one flipped mask anywhere fails the hash. Counts integer-exact. */
+  private def q163MaskTokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    Corpus.maskTokens(Tables.documents(s, dir), "doc_id", "text",
+        num = 2, den = 16)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q164
+  /** Reciprocal rank fusion ([[graft.operators.Eval
+    * .reciprocalRankFusion]]): a lexical list (integer term-frequency
+    * over three query terms — exact scores, ties by id) fused with a
+    * dense list (cosine to vec 0's embedding, rounded at 4 per the
+    * q17 cosineF32 gate BEFORE ranking so a ulp cannot swap ranks),
+    * k0=60, top 50. The oracle replays both rankings with row_number,
+    * every 1/(k0+r) contribution, the 6-decimal rounded fusion, and
+    * the (fused6 desc, id) cutoff. */
+  private def q164RankFusion(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Eval
+    import graft.expressions.GraftFunctions
+    val terms = Seq("window", "merge", "stream")
+    val toks = TextFunctions.tokens(col("text"))
+    val lex = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(toks, x => x.isin(terms: _*))).cast("double").as("score"))
+      .filter(col("score") > 0)
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter(col("vec_id") === 0L).head()
+      .getSeq[Float](emb.schema.fieldIndex("embedding"))
+    val sem = emb.select(col("vec_id").as("doc_id"),
+      round(GraftFunctions.cosineF32(emb, col("embedding"),
+        Similarity.vectorLit(qv)), 4).as("score"))
+    Eval.reciprocalRankFusion(Seq(lex, sem), "doc_id", "score",
+        k0 = 60, topK = 50)
+      .orderBy(col("fused6").desc, col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3369,6 +3411,8 @@ object SparkEntry {
     "q160_temporal_split" -> (q160TemporalSplit _),
     "q161_contrastive_pairs" -> (q161ContrastivePairs _),
     "q162_trim_silence" -> (q162TrimSilence _),
+    "q163_mask_tokens" -> (q163MaskTokens _),
+    "q164_rank_fusion" -> (q164RankFusion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5294,6 +5338,63 @@ object SparkEntry {
         |       ELSE substr(hx, CAST((fa - 1) * 32 + 1 AS INT),
         |         CAST((la - fa + 1) * 32 AS INT)) END) AS trimmed_md5
         |FROM b ORDER BY media_id""".stripMargin,
+    "q163_mask_tokens" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(range(len(toks)), i ->
+        |      CAST(list_sum(list_transform(range(8), j ->
+        |        (strpos('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR) || '_'
+        |             || CAST(i AS VARCHAR)), CAST(j+1 AS INT), 1)) - 1)
+        |          * 16**(7-j))) AS BIGINT) % 16 < 2) AS mk
+        |  FROM tk
+        |)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(range(len(toks)), i ->
+        |    CASE WHEN mk[CAST(i+1 AS INT)] THEN '<mask>'
+        |         ELSE toks[CAST(i+1 AS INT)] END), ' ') AS masked_text,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(mk, x -> x)) AS BIGINT) AS n_masked
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q164_rank_fusion" ->
+      """WITH lex AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+        |      x -> x IN ('window', 'merge', 'stream'))) AS DOUBLE) AS s
+        |  FROM documents
+        |), lexr AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY s DESC, doc_id) AS r
+        |  FROM lex WHERE s > 0
+        |), q AS (
+        |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        |), sem AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qv,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS s
+        |  FROM embeddings e CROSS JOIN q
+        |), semr AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY s DESC, doc_id) AS r
+        |  FROM sem
+        |), u AS (
+        |  SELECT doc_id, 1.0 / (60 + r) AS c FROM lexr
+        |  UNION ALL
+        |  SELECT doc_id, 1.0 / (60 + r) AS c FROM semr
+        |), f AS (
+        |  SELECT doc_id, ROUND(SUM(c), 6) AS fused6,
+        |    COUNT(*) AS n_lists
+        |  FROM u GROUP BY doc_id
+        |)
+        |SELECT doc_id, fused6, n_lists FROM f
+        |ORDER BY fused6 DESC, doc_id LIMIT 50""".stripMargin,
     "q153_stream_left_outer_join" ->
       """WITH l AS (
         |  SELECT event_id AS id_a, user_id, epoch_us(ts) AS t

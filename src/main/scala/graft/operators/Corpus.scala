@@ -1022,6 +1022,50 @@ object Corpus {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Deterministic token masking — the corruption half of
+    * MLM/denoising training-data generation (BERT's 15%, T5 span
+    * corruption at span length 1): token position p of document d is
+    * replaced by `maskToken` iff the portable md5 hash of `"d_p"` has
+    * residue mod `den` below `num` — so the realized rate is exactly
+    * num/den, the SAME positions mask on any engine, any partitioning,
+    * any rerun (the property `rand()` masking lacks, and the one that
+    * makes training corpora and their ablations reproducible), and
+    * raising the rate only ADDS masked positions (num/den ⊂
+    * num'/den for num' > num — nested corruption levels from one
+    * corpus).
+    *
+    * Map-only: one per-token expression chain, no shuffle. Returns the
+    * id, the corrupted text, and per-doc token/masked counts (the
+    * audit a data loader checks before training).
+    *
+    * A real span-corruption variant masks runs; at span length 1 this
+    * IS the i.i.d. masking scheme — runs compose by masking position
+    * p..p+k when p hashes under rate, which stays deterministic. */
+  def maskTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      num: Int,
+      den: Int,
+      maskToken: String = "<mask>"): DataFrame = {
+    require(den >= 1, s"den ($den) must be >= 1")
+    require(num >= 0 && num <= den, s"num ($num) must be in [0, $den]")
+    require(maskToken.nonEmpty && !maskToken.contains(" "),
+      s"maskToken '$maskToken' must be a single non-empty token")
+    val toks = TextFunctions.tokens(col(textCol))
+    def masked(i: Column): Column =
+      conv(substring(md5(concat_ws("_",
+        col(idCol).cast("string"), i.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % den < num
+    df.select(col(idCol),
+      array_join(transform(toks,
+        (t, i) => when(masked(i), lit(maskToken)).otherwise(t)), " ")
+        .as("masked_text"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(transform(toks, (_, i) => masked(i)), x => x))
+        .cast("long").as("n_masked"))
+  }
+
   /** Contrastive training-pair generation — the labeled-pair table an
     * embedding/reranker model trains on: POSITIVES are the corpus'
     * verified near-duplicate pairs (MinHash-LSH candidates, exact

@@ -349,4 +349,58 @@ object Eval {
           col("__ssum").cast("double") / col("n").cast("double"))
           .as("mean_score"))
   }
+
+  /** Reciprocal rank fusion (Cormack/Clarke/Buettcher SIGIR'09) — the
+    * standard production way to combine heterogeneous retrieval
+    * rankings (BM25 + dense cosine, multiple query rewrites) without
+    * calibrating their incomparable score scales: each list
+    * contributes `1 / (k0 + rank)` for every item it ranks, missing
+    * items contribute nothing, and items are returned by descending
+    * fused score. Ranks are 1-based over (score DESC, id ASC) — the id
+    * tie-break makes equal scores (integer tf ties are the norm in
+    * lexical lists) rank identically on every engine and every rerun.
+    *
+    * Score discipline: ranks are decided on the scores AS GIVEN, so
+    * callers feeding float scores should pre-round them (the q129
+    * rocAuc discipline) — a 1-ulp cross-engine wobble between two
+    * nearly-tied scores would otherwise swap ranks and move
+    * 1/(k0+r) mass. The fused sum itself is ≤ `rankings.size` IEEE
+    * terms and is returned ROUNDED at 6 decimals; the top-k cutoff
+    * orders by the rounded value with id tie-break.
+    *
+    * Scale shape: each list ranks through the range-partitioned
+    * contiguous-id machinery ([[General.withContiguousRowIds]] — never
+    * a single-partition window), fusion is one union + one
+    * map-side-combined sum per id, and the cutoff is
+    * TakeOrderedAndProject. NULL scores are excluded (an unscored item
+    * is absent, not rank-last).
+    *
+    * Returns (`idCol`, `fused6`, `n_lists`) — topK rows. */
+  def reciprocalRankFusion(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      scoreCol: String,
+      k0: Int,
+      topK: Int): DataFrame = {
+    require(rankings.size >= 2,
+      s"need >= 2 rankings to fuse, got ${rankings.size}")
+    require(k0 >= 1, s"k0 ($k0) must be >= 1")
+    require(topK >= 1, s"topK ($topK) must be >= 1")
+    val contribs = rankings.map { r =>
+      val ranked = General.withContiguousRowIds(
+        r.select(col(idCol), col(scoreCol).cast("double").as("__s"))
+          .filter(col("__s").isNotNull)
+          .withColumn("__neg", lit(0.0) - col("__s")),
+        Seq("__neg", idCol), "__r0")
+      ranked.select(col(idCol),
+        (lit(1.0) / (lit(k0.toDouble) + col("__r0").cast("double") + 1.0))
+          .as("__c"))
+    }
+    contribs.reduce(_ unionAll _)
+      .groupBy(idCol)
+      .agg(round(sum(col("__c")), 6).as("fused6"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("fused6").desc, col(idCol))
+      .limit(topK)
+  }
 }

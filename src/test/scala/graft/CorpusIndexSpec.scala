@@ -483,6 +483,52 @@ class CorpusIndexSpec extends AnyFunSuite {
     sym.foreach { case ((a, b), n) => assert(sym((b, a)) == n, s"($a,$b)") }
   }
 
+  test("maskTokens: Scala-replica agreement, nesting, rate extremes, validation") {
+    import graft.operators.Corpus
+    def hv(id: Long, pos: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${id}_$pos".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(h.take(8), 16)
+    }
+    val texts = Seq(
+      5L -> "the quick brown fox jumps over the lazy dog again today",
+      6L -> "one two three four five six seven eight nine ten")
+    val df = table("doc_id bigint, text string",
+      texts.map { case (id, t) => row(id, t) })
+    val got = Corpus.maskTokens(df, "doc_id", "text", num = 4, den = 16)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val exp = texts.map { case (id, t) =>
+      val toks = t.split(" ")
+      val m = toks.zipWithIndex.map { case (tok, i) =>
+        if (hv(id, i) % 16 < 4) "<mask>" else tok
+      }
+      (id, m.mkString(" "), toks.length.toLong,
+        m.count(_ == "<mask>").toLong)
+    }
+    assert(got.toSeq == exp, s"$got vs $exp")
+    assert(exp.map(_._4).sum > 0, "rate 4/16 must mask something here")
+    // nesting: positions masked at 1/16 are a subset of those at 4/16
+    def maskedPos(num: Int) =
+      Corpus.maskTokens(df, "doc_id", "text", num, 16).collect()
+        .map(r => r.getLong(0) -> r.getString(1).split(" ").zipWithIndex
+          .filter(_._1 == "<mask>").map(_._2).toSet).toMap
+    val low = maskedPos(1); val high = maskedPos(4)
+    low.foreach { case (id, ps) => assert(ps.subsetOf(high(id)), s"doc $id") }
+    // extremes
+    val none = Corpus.maskTokens(df, "doc_id", "text", 0, 16).collect()
+    assert(none.forall(_.getLong(3) == 0L))
+    val all = Corpus.maskTokens(df, "doc_id", "text", 16, 16).collect()
+    assert(all.forall(r => r.getLong(3) == r.getLong(2)))
+    intercept[IllegalArgumentException] {
+      Corpus.maskTokens(df, "doc_id", "text", 17, 16)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.maskTokens(df, "doc_id", "text", 1, 16, maskToken = "two words")
+    }
+  }
+
   test("contrastivePairs: positives verified, derangement negatives below threshold") {
     import graft.operators.Corpus
     val texts = Map(

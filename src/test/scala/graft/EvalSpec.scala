@@ -199,4 +199,35 @@ class EvalSpec extends AnyFunSuite {
     assert(sparse(1).getLong(3) == 0L && sparse(1).isNullAt(5) &&
       sparse(1).isNullAt(6))
   }
+
+  test("reciprocalRankFusion: hand-computed fusion, ties by id, NULL excluded") {
+    val a = table("id bigint, s double", Seq(
+      row(1L, 3.0), row(2L, 2.0), row(3L, 1.0)))
+    val b = table("id bigint, s double", Seq(
+      row(2L, 9.0), row(3L, 8.0), row(4L, 7.0)))
+    // k0=1: id1 1/2; id2 1/3+1/2; id3 1/4+1/3; id4 1/4
+    val got = Eval.reciprocalRankFusion(Seq(a, b), "id", "s", k0 = 1, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, 0.833333, 2L), (3L, 0.583333, 2L),
+      (1L, 0.5, 1L)), got.toString)
+    // equal scores rank by id: 5 before 6 in BOTH lists
+    val t1 = table("id bigint, s double", Seq(row(6L, 1.0), row(5L, 1.0)))
+    val t2 = table("id bigint, s double", Seq(row(5L, 1.0), row(6L, 1.0)))
+    val tied = Eval.reciprocalRankFusion(Seq(t1, t2), "id", "s", 1, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(tied == Seq((5L, 1.0), (6L, 0.666667)), tied.toString)
+    // NULL scores are absent, not rank-last
+    val withNull = table("id bigint, s double", Seq(
+      row(7L, 2.0), row(8L, null)))
+    val nn = Eval.reciprocalRankFusion(
+        Seq(withNull, withNull.filter(col("id") === 7L)), "id", "s", 1, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(nn == Seq(7L), nn.toString)
+    intercept[IllegalArgumentException] {
+      Eval.reciprocalRankFusion(Seq(a), "id", "s", 1, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Eval.reciprocalRankFusion(Seq(a, b), "id", "s", 0, 3)
+    }
+  }
 }
