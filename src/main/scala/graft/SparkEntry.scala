@@ -3248,6 +3248,39 @@ object SparkEntry {
       .orderBy(col("fused6").desc, col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q165
+  /** Per-slice ROC-AUC ([[graft.operators.Eval.rocAucByGroup]]):
+    * q112's NB gate evaluated per SOURCE — the slice view that catches
+    * a model failing one crawl while the pooled q129 number looks
+    * fine. Every source is a 25-doc mixed-label slice at sf0.01, so
+    * all 20 AUCs are live; the oracle retrains the model and replays
+    * each slice's tie-averaged rank sum — counts integer-exact, AUC
+    * ONE IEEE division of exact longs, hash-exact with no rounding
+    * gate. */
+  private def q165AucBySource(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Eval
+    val scored = nbScored(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+    Eval.rocAucByGroup(scored, Seq("source"), "label", "sc")
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- q166
+  /** Dedup savings report ([[Dedup.dedupSavingsReport]]): q46's
+    * near-dup cluster graph rolled up by cluster size with char
+    * weights and the min-id-retention removable mass — the
+    * run-the-dedup-or-not readout. The oracle reuses the exact-Jaccard
+    * recursive-CTE component ground truth (q46/q63/q74's) and replays
+    * both rollups — all integers, hash-exact; size-1 rows reconcile
+    * the report against the full corpus. */
+  private def q166DedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    Dedup.dedupSavingsReport(docs, "doc_id", "n_chars", pairs)
+      .orderBy("cluster_size")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3413,6 +3446,8 @@ object SparkEntry {
     "q162_trim_silence" -> (q162TrimSilence _),
     "q163_mask_tokens" -> (q163MaskTokens _),
     "q164_rank_fusion" -> (q164RankFusion _),
+    "q165_auc_by_source" -> (q165AucBySource _),
+    "q166_dedup_savings" -> (q166DedupSavings _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4080,6 +4115,7 @@ object SparkEntry {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q46_dedup_clusters" -> dedupClustersOracle,
+    "q166_dedup_savings" -> dedupSavingsOracle,
     "q47_bloom_pruned_join" ->
       """SELECT p_brand, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -5395,6 +5431,60 @@ object SparkEntry {
         |)
         |SELECT doc_id, fused6, n_lists FROM f
         |ORDER BY fused6 DESC, doc_id LIMIT 50""".stripMargin,
+    "q165_auc_by_source" ->
+      """WITH tk AS (
+        |  SELECT doc_id, (lang = 'en') AS pos,
+        |    unnest(string_split_regex(trim(text), ' +')) AS token
+        |  FROM documents
+        |), cc AS (
+        |  SELECT token,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cneg
+        |  FROM tk GROUP BY token
+        |), scal AS (
+        |  SELECT SUM(cpos) AS totpos, SUM(cneg) AS totneg, COUNT(*) AS v
+        |  FROM cc
+        |), nd AS (
+        |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS npos,
+        |    COUNT(*) AS ntot
+        |  FROM documents
+        |), lp AS (
+        |  SELECT cc.token,
+        |    ln((cc.cpos + 1.0) / (s.totpos + CAST(s.v AS DOUBLE))) AS lppos,
+        |    ln((cc.cneg + 1.0) / (s.totneg + CAST(s.v AS DOUBLE))) AS lpneg
+        |  FROM cc CROSS JOIN scal s
+        |), dtf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token
+        |), sc AS (
+        |  SELECT dtf.doc_id, SUM(dtf.tf * (lp.lppos - lp.lpneg)) AS sd
+        |  FROM dtf JOIN lp USING (token) GROUP BY dtf.doc_id
+        |), scored AS (
+        |  SELECT d.source, (d.lang = 'en') AS label,
+        |    ROUND(ln(CAST(nd.npos AS DOUBLE) / CAST(nd.ntot - nd.npos AS DOUBLE))
+        |      + COALESCE(sc.sd, 0.0), 6) AS s
+        |  FROM documents d CROSS JOIN nd
+        |  LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |), sg AS (
+        |  SELECT source, s, COUNT(*) AS cn,
+        |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM scored GROUP BY source, s
+        |), pg AS (
+        |  SELECT source, cn, np,
+        |    COALESCE(CAST(SUM(cn) OVER (PARTITION BY source ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS cb
+        |  FROM sg
+        |), tot AS (
+        |  SELECT source, CAST(SUM(np) AS BIGINT) AS npos,
+        |    CAST(SUM(cn - np) AS BIGINT) AS nneg,
+        |    CAST(SUM(np * (2 * cb + cn + 1)) AS BIGINT) AS rs2
+        |  FROM pg GROUP BY source
+        |)
+        |SELECT source, npos AS n_pos, nneg AS n_neg,
+        |  CASE WHEN npos > 0 AND nneg > 0
+        |    THEN CAST(rs2 - npos * (npos + 1) AS DOUBLE)
+        |      / CAST(2 * npos * nneg AS DOUBLE) END AS auc
+        |FROM tot ORDER BY source""".stripMargin,
     "q153_stream_left_outer_join" ->
       """WITH l AS (
         |  SELECT event_id AS id_a, user_id, epoch_us(ts) AS t
@@ -6749,6 +6839,25 @@ object SparkEntry {
     """
       |SELECT node AS doc_id, MIN(r) AS comp FROM reach
       |GROUP BY node ORDER BY doc_id""".stripMargin
+
+  /** q166: the component ground truth rolled up by cluster size with
+    * char weights and min-id-retention removable mass. */
+  private val dedupSavingsOracle: String = componentsOracleCte +
+    """, comp AS (
+      |  SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+      |), lab AS (
+      |  SELECT d.doc_id, d.n_chars AS w, COALESCE(c.comp, d.doc_id) AS comp
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+      |), pc AS (
+      |  SELECT comp, COUNT(*) AS sz, CAST(SUM(w) AS BIGINT) AS tw,
+      |    CAST(MIN_BY(w, doc_id) AS BIGINT) AS repw
+      |  FROM lab GROUP BY comp
+      |)
+      |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+      |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+      |  CAST(SUM(tw) AS BIGINT) AS total_weight,
+      |  CAST(SUM(tw - repw) AS BIGINT) AS removable_weight
+      |FROM pc GROUP BY sz ORDER BY sz""".stripMargin
 
   /** q74: the q46/q63 component ground truth extended with token
     * counts and the per-cluster argmax retention (row_number over

@@ -813,6 +813,49 @@ object Dedup {
     docs.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Dedup savings report — the "what would dedup buy us" readout that
+    * justifies (or kills) running the removal at all: near-dup pair
+    * graph → connected components → one row per CLUSTER SIZE with the
+    * cluster count, member count, total weight (chars/tokens/bytes),
+    * and the weight REMOVABLE under min-id retention (everything but
+    * each cluster's representative — the q13/q106 retention rule, so
+    * the number is exactly what [[exactDedup]]-style removal would
+    * reclaim). Size-profiled rather than pooled because "3 clusters of
+    * 40k copies" (template spam — cheap, huge win) and "40k pairs"
+    * (crawl noise — expensive, small win) demand different decisions.
+    * Docs in no pair appear as size-1 clusters with 0 removable, so
+    * the report totals reconcile against the corpus.
+    *
+    * Scale shape: components over the SPARSE pair graph only
+    * ([[Components.connectedComponents]]'s checkpoint discipline); the
+    * doc→label join is docs against the pair-node set (AQE broadcasts
+    * it); both rollups are algebraic, bounded by clusters then by
+    * distinct sizes. */
+  def dedupSavingsReport(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: String,
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val labels = Components.connectedComponents(pairs, idA, idB)
+    val labeled = docs
+      .select(col(idCol), col(weightCol).cast("long").as("__w"))
+      .join(labels.select(col("node").as(idCol), col("comp")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("__w"),
+        coalesce(col("comp"), col(idCol)).as("__comp"))
+    val perCluster = labeled.groupBy("__comp")
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(col("__w")).as("__tw"),
+        min_by(col("__w"), col(idCol)).as("__repw"))
+    perCluster.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("__tw")).as("total_weight"),
+        sum(col("__tw") - col("__repw")).as("removable_weight"))
+  }
+
   /** A banding plan chosen by [[lshPlan]]: `bands` × `rows` hash
     * layout, the S-curve's effective threshold `(1/bands)^(1/rows)`,
     * and the minimized error area. */

@@ -350,6 +350,56 @@ object Eval {
           .as("mean_score"))
   }
 
+  /** Per-slice ROC-AUC — [[rocAuc]] computed independently for every
+    * group (language, source, time bucket): the slice-based evaluation
+    * that catches a model scoring 0.95 AUC overall while failing one
+    * crawl source completely, which the pooled number hides by
+    * construction. Same exact Mann-Whitney statistic with average
+    * ranks, same rounded-before-ranking discipline (scores rounded at
+    * `roundDigits` so a cross-engine ulp cannot swap an order — the
+    * whole rank statistic is then integer arithmetic), NULL AUC for
+    * single-class slices.
+    *
+    * Scale shape: distinct (group, score) aggregation first (bounded
+    * by groups × distinct scores), then the cumulative rank base via a
+    * group-partitioned ROWS window — sorts within slices only, never a
+    * global sort, which is what makes per-slice evaluation viable when
+    * one slice is a million rows. The final per-group rollup is
+    * algebraic.
+    *
+    * Output: one row per group — (groupCols..., n_pos, n_neg, auc). */
+  def rocAucByGroup(
+      scored: DataFrame,
+      groupCols: Seq[String],
+      labelCol: String,
+      scoreCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val y = col(labelCol).cast("boolean")
+    val byScore = scored
+      .select(groupCols.map(col) ++ Seq(
+        round(col(scoreCol).cast("double"), roundDigits).as("__sc"),
+        y.as("__y")): _*)
+      .groupBy(groupCols.map(col) :+ col("__sc"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__np"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("__sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byScore.withColumn("__cb",
+      coalesce(sum(col("__n")).over(w), lit(0L)))
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("__np")).as("n_pos"),
+        sum(col("__n") - col("__np")).as("n_neg"),
+        sum(col("__np") * (lit(2L) * col("__cb") + col("__n") + lit(1L)))
+          .as("__rs2"))
+      .select(groupCols.map(col) ++ Seq(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          (col("__rs2") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .as("auc")): _*)
+  }
+
   /** Reciprocal rank fusion (Cormack/Clarke/Buettcher SIGIR'09) — the
     * standard production way to combine heterogeneous retrieval
     * rankings (BM25 + dense cosine, multiple query rewrites) without

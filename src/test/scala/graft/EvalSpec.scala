@@ -200,6 +200,43 @@ class EvalSpec extends AnyFunSuite {
       sparse(1).isNullAt(6))
   }
 
+  test("rocAucByGroup: per-group equals filtered rocAuc; single-class NULL") {
+    // group a: perfect separation (AUC 1); group b: anti-ranked (0);
+    // group c: ties across classes (0.5 by average ranks); group d:
+    // single-class (NULL)
+    val d = table("g string, label boolean, s double", Seq(
+      row("a", true, 0.9), row("a", true, 0.8), row("a", false, 0.1),
+      row("b", true, 0.1), row("b", false, 0.9),
+      row("c", true, 0.5), row("c", false, 0.5),
+      row("d", true, 0.7), row("d", true, 0.3)))
+    val got = Eval.rocAucByGroup(d, Seq("g"), "label", "s")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    assert(got == Seq(("a", 2L, 1L, 1.0), ("b", 1L, 1L, 0.0),
+      ("c", 1L, 1L, 0.5), ("d", 2L, 0L, null)), got.toString)
+    // generative agreement: grouped == ungrouped-per-filtered-slice
+    val mixed = table("g string, label boolean, s double",
+      (0 until 120).map { i =>
+        val g = s"g${i % 3}"
+        val lbl = (i * 7 % 5) < 2
+        val sc = ((i * 31 % 17).toDouble / 17) + (if (lbl) 0.1 else 0.0)
+        row(g, lbl, sc)
+      })
+    val grouped = Eval.rocAucByGroup(mixed, Seq("g"), "label", "s")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    Seq("g0", "g1", "g2").foreach { g =>
+      val solo = Eval.rocAuc(mixed.filter(col("g") === g), "label", "s")
+        .collect()(0)
+      assert(grouped(g) ==
+        ((solo.getLong(0), solo.getLong(1), solo.getDouble(2))), g)
+    }
+    intercept[IllegalArgumentException] {
+      Eval.rocAucByGroup(d, Nil, "label", "s")
+    }
+  }
+
   test("reciprocalRankFusion: hand-computed fusion, ties by id, NULL excluded") {
     val a = table("id bigint, s double", Seq(
       row(1L, 3.0), row(2L, 2.0), row(3L, 1.0)))

@@ -29,6 +29,26 @@ class ExtensionsSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L, 5L))
   }
 
+  test("dedupSavingsReport: size profile, min-id retention, singleton reconcile") {
+    val d = table("doc_id bigint, w bigint", Seq(
+      row(1L, 10L), row(2L, 20L), row(3L, 30L),
+      row(4L, 5L), row(5L, 7L), row(6L, 100L)))
+    val pairs = table("id_a bigint, id_b bigint", Seq(
+      row(1L, 2L), row(2L, 3L), row(4L, 5L)))
+    val got = Dedup.dedupSavingsReport(d, "doc_id", "w", pairs)
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // {1,2,3}: total 60, rep w(1)=10 -> 50 removable; {4,5}: 12, rep 5
+    // -> 7; {6}: singleton, 0 removable
+    assert(got == Seq(
+      (1L, 1L, 1L, 100L, 0L),
+      (2L, 1L, 2L, 12L, 7L),
+      (3L, 1L, 3L, 60L, 50L)), got.toString)
+    // totals reconcile against the corpus
+    assert(got.map(_._3).sum == 6L && got.map(_._4).sum == 172L)
+  }
+
   test("trimSilence: edges trimmed, interior silence kept, degenerate payloads") {
     def hx(s: String) = s.getBytes("UTF-8").map(b => f"$b%02X").mkString
     def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
