@@ -3281,6 +3281,30 @@ object SparkEntry {
       .orderBy("cluster_size")
   }
 
+  // ---------------------------------------------------------------- q167
+  /** Nearest as-of join ([[AsOfJoin.asofNearest]]): each view event
+    * matched to the |Δt|-closest purchase by the same user within 2
+    * hours, past or future, ties backward — pandas
+    * `merge_asof(direction='nearest')`, completing the as-of surface
+    * q21 opened. The oracle ranks every in-tolerance candidate by
+    * (|Δ|, backward-first) per view and keeps rank 1 — the engine's
+    * two-pass backward/forward pick must agree row for row; unmatched
+    * views stay with nulls. Timestamps/deltas integer µs, hash-exact. */
+  private def q167AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+    AsOfJoin.asofNearest(views, purch, Seq("user_id"), "ts", "pts",
+        Seq("pid"), toleranceUs = Some(2L * 3600 * 1000000))
+      .select(col("event_id"), col("user_id"),
+        col("asof_pid").as("purchase_id"),
+        (unix_micros(col("asof_pts")) - unix_micros(col("ts")))
+          .as("delta_us"))
+      .orderBy("event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3448,6 +3472,7 @@ object SparkEntry {
     "q164_rank_fusion" -> (q164RankFusion _),
     "q165_auc_by_source" -> (q165AucBySource _),
     "q166_dedup_savings" -> (q166DedupSavings _),
+    "q167_asof_nearest" -> (q167AsofNearest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5485,6 +5510,25 @@ object SparkEntry {
         |    THEN CAST(rs2 - npos * (npos + 1) AS DOUBLE)
         |      / CAST(2 * npos * nneg AS DOUBLE) END AS auc
         |FROM tot ORDER BY source""".stripMargin,
+    "q167_asof_nearest" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT event_id AS pid, user_id, epoch_us(ts) AS pt FROM events
+        |  WHERE event_type = 'purchase'
+        |), cand AS (
+        |  SELECT v.event_id, p.pid, p.pt - v.t AS delta,
+        |    row_number() OVER (PARTITION BY v.event_id
+        |      ORDER BY abs(p.pt - v.t),
+        |        CASE WHEN p.pt <= v.t THEN 0 ELSE 1 END) AS rn
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |    AND abs(p.pt - v.t) <= 7200000000
+        |)
+        |SELECT v.event_id, v.user_id, c.pid AS purchase_id,
+        |  c.delta AS delta_us
+        |FROM v LEFT JOIN cand c ON v.event_id = c.event_id AND c.rn = 1
+        |ORDER BY v.event_id""".stripMargin,
     "q153_stream_left_outer_join" ->
       """WITH l AS (
         |  SELECT event_id AS id_a, user_id, epoch_us(ts) AS t

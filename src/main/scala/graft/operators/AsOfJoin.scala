@@ -105,6 +105,49 @@ object AsOfJoin {
       .drop(s"${rightPrefix}__negt")
   }
 
+  /** Nearest as-of: for each left row, the right row minimizing
+    * |right.time − left.time| on equal keys — pandas
+    * `merge_asof(direction='nearest')`, completing the
+    * backward/forward/nearest surface. Ties between an equally-distant
+    * past and future match go BACKWARD (the pandas convention, and the
+    * causality-preserving default). `toleranceUs` bounds the distance
+    * on BOTH sides.
+    *
+    * Composed as [[asofBackward]] then [[asofForward]] chained on the
+    * same left frame — each pass preserves left cardinality (left
+    * semantics), so no synthetic row id is needed to zip the two
+    * candidates — followed by a map-only per-row pick. Cost is exactly
+    * two as-of passes (two key shuffles); the pick adds nothing. */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      rightPrefix: String = "asof_",
+      toleranceUs: Option[Long] = None): DataFrame = {
+    val b = asofBackward(left, right, keys, leftTime, rightTime,
+      rightValues, "__gb_", toleranceUs)
+    val bf = asofForward(b, right, keys, leftTime, rightTime,
+      rightValues, "__gf_", toleranceUs)
+    def micros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    val lt = micros(col(leftTime), left.schema(leftTime).dataType)
+    val rdt = right.schema(rightTime).dataType
+    val bt = micros(col(s"__gb_$rightTime"), rdt)
+    val ft = micros(col(s"__gf_$rightTime"), rdt)
+    val useB = col(s"__gb_$rightTime").isNotNull &&
+      (col(s"__gf_$rightTime").isNull || (lt - bt) <= (ft - lt))
+    val outRight = (rightTime +: rightValues).map(c =>
+      when(useB, col(s"__gb_$c")).otherwise(col(s"__gf_$c"))
+        .as(s"$rightPrefix$c"))
+    bf.select(left.columns.toSeq.map(col) ++ outRight: _*)
+  }
+
   /** SCD Type-2 POINT-IN-TIME join: each fact row joins the dimension
     * VERSION whose validity interval `[validFrom, validTo)` contains
     * the fact's event time — the label-leakage firewall of feature

@@ -208,6 +208,36 @@ class AsOfStreamConfigSpec extends AnyFunSuite {
     assert(out.getAs[Long]("asof_q") == 8L)
   }
 
+  test("asof nearest: closest either side, ties backward, tolerance both sides") {
+    val l = table("k string, t timestamp, v bigint", Seq(
+      row("a", ts("2024-01-01 10:00:10"), 1L),   // back 8s away, fwd 5s away
+      row("a", ts("2024-01-01 10:01:40"), 2L),   // back 85s, fwd 100s
+      row("b", ts("2024-01-01 10:00:10"), 3L)))  // tie: 2s back vs 2s fwd
+    val r = table("k string, t timestamp, q bigint", Seq(
+      row("a", ts("2024-01-01 10:00:02"), 7L),
+      row("a", ts("2024-01-01 10:00:15"), 8L),
+      row("a", ts("2024-01-01 10:03:20"), 9L),
+      row("b", ts("2024-01-01 10:00:08"), 20L),
+      row("b", ts("2024-01-01 10:00:12"), 21L)))
+    val out = AsOfJoin.asofNearest(l, r, Seq("k"), "t", "t", Seq("q"))
+      .orderBy("v").collect()
+    assert(out(0).getAs[Long]("asof_q") == 8L)  // 5s fwd beats 8s back
+    assert(out(1).getAs[Long]("asof_q") == 8L)  // 85s back beats 100s fwd
+    assert(out(2).getAs[Long]("asof_q") == 20L) // equal distance -> backward
+    // tolerance voids BOTH sides: row 2's nearest is 85s back
+    val tol = AsOfJoin.asofNearest(l, r, Seq("k"), "t", "t", Seq("q"),
+        toleranceUs = Some(60L * 1000000))
+      .orderBy("v").collect()
+    assert(tol(0).getAs[Long]("asof_q") == 8L)
+    assert(tol(1).isNullAt(tol(1).fieldIndex("asof_q")))
+    // unmatched key keeps left row with nulls
+    val lonely = table("k string, t timestamp, v bigint",
+      Seq(row("z", ts("2024-01-01 10:00:00"), 9L)))
+    val lr = AsOfJoin.asofNearest(lonely, r, Seq("k"), "t", "t", Seq("q"))
+      .collect()
+    assert(lr.length == 1 && lr(0).isNullAt(lr(0).fieldIndex("asof_q")))
+  }
+
   test("sessionize: gap splits sessions per key, ids are 1-based") {
     val df = table("u bigint, t timestamp, v double", Seq(
       row(1L, ts("2024-01-01 10:00:00"), 1.0),
