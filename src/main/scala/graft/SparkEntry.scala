@@ -3305,6 +3305,51 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- q168
+  /** Language-ID confusion audit: q16's n-gram-marker [[TextFunctions
+    * .langId]] heuristic judged against the gold `lang` labels — one
+    * row per (gold, predicted) cell with the within-gold share, the
+    * eval readout that tells a pipeline owner whether the cheap
+    * heuristic is good enough to route on. Counts integer-exact,
+    * share one IEEE division; the totals join is unhinted (AQE
+    * broadcasts the 5-row total set). */
+  private def q168LangIdAudit(s: SparkSession, dir: String): DataFrame = {
+    val labeled = Tables.documents(s, dir)
+      .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+    val cells = labeled.groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+    val totals = labeled.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    cells.join(totals, Seq("lang"))
+      .select(col("lang"), col("predicted"), col("n"), col("n_lang"),
+        (col("n").cast("double") / col("n_lang").cast("double")).as("share"))
+      .orderBy("lang", "predicted")
+  }
+
+  // ---------------------------------------------------------------- q169
+  /** Streaming drift monitor ([[graft.streaming.StreamGate
+    * .replayStreamingDrift]]): q128's PSI with the monitored slice
+    * arriving as a FILE STREAM — per-micro-batch histograms folded
+    * into a versioned bins-bounded state table (counts merge by sum,
+    * associative + commutative, so micro-batch partitioning provably
+    * cannot change the answer), final PSI from the accumulated
+    * histogram. Held to q128's VERBATIM oracle — batch drift and
+    * stream-maintained drift are two formulations of one ground truth
+    * (the q131/q133 pattern). */
+  private def q169StreamDrift(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val split = lit("1996-01-01").cast("timestamp_ntz")
+    val ref = orders.filter(col("o_orderdate") < split)
+    val cur = orders.filter(col("o_orderdate") >= split)
+    val Array(b) = ref.agg(
+      min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .collect()
+    graft.streaming.StreamGate.replayStreamingDrift(ref, cur,
+        "o_totalprice", 20, b.getDouble(0), b.getDouble(1))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(col("psi"), 6).as("psi6"))
+      .orderBy("bucket")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3473,7 +3518,48 @@ object SparkEntry {
     "q165_auc_by_source" -> (q165AucBySource _),
     "q166_dedup_savings" -> (q166DedupSavings _),
     "q167_asof_nearest" -> (q167AsofNearest _),
+    "q168_langid_audit" -> (q168LangIdAudit _),
+    "q169_stream_drift" -> (q169StreamDrift _),
   )
+
+  /** Shared by q128 (batch drift) and q169 (stream-maintained
+    * histogram) - two formulations, one ground truth. */
+  private val psiDriftOracle: String =
+    """WITH b AS (
+      |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      |), rc AS (
+      |  SELECT LEAST(GREATEST(CAST(FLOOR(
+      |      (o_totalprice - lo) * 20.0 / (hi - lo)) AS INT), 0), 19)
+      |      AS bucket,
+      |    COUNT(*) AS n_ref
+      |  FROM orders, b WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      |  GROUP BY 1
+      |), cc AS (
+      |  SELECT LEAST(GREATEST(CAST(FLOOR(
+      |      (o_totalprice - lo) * 20.0 / (hi - lo)) AS INT), 0), 19)
+      |      AS bucket,
+      |    COUNT(*) AS n_cur
+      |  FROM orders, b WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  GROUP BY 1
+      |), g AS (
+      |  SELECT CAST(UNNEST(range(20)) AS INT) AS bucket
+      |), j AS (
+      |  SELECT g.bucket, COALESCE(rc.n_ref, 0) AS n_ref,
+      |    COALESCE(cc.n_cur, 0) AS n_cur
+      |  FROM g LEFT JOIN rc ON g.bucket = rc.bucket
+      |         LEFT JOIN cc ON g.bucket = cc.bucket
+      |), t AS (
+      |  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+      |    CAST(SUM(n_cur) AS BIGINT) AS tc FROM j
+      |)
+      |SELECT j.bucket, j.n_ref, j.n_cur,
+      |  ROUND((GREATEST(CAST(j.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE), 1e-6)
+      |       - GREATEST(CAST(j.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE), 1e-6))
+      |    * ln(GREATEST(CAST(j.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE), 1e-6)
+      |       / GREATEST(CAST(j.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE), 1e-6)),
+      |    6) AS psi6
+      |FROM j, t ORDER BY j.bucket""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_sum_agg" ->
@@ -5529,6 +5615,34 @@ object SparkEntry {
         |  c.delta AS delta_us
         |FROM v LEFT JOIN cand c ON v.event_id = c.event_id AND c.rn = 1
         |ORDER BY v.event_id""".stripMargin,
+    "q168_langid_audit" ->
+      """WITH t AS (
+        |  SELECT lang, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT lang,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('el','los','las','y'))) AS s_es
+        |  FROM t
+        |), g AS (
+        |  SELECT lang, CASE
+        |    WHEN s_en = greatest(s_en, s_fr, s_de, s_es) AND s_en > 0 THEN 'en'
+        |    WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) AND s_fr > 0 THEN 'fr'
+        |    WHEN s_de = greatest(s_en, s_fr, s_de, s_es) AND s_de > 0 THEN 'de'
+        |    WHEN s_es = greatest(s_en, s_fr, s_de, s_es) AND s_es > 0 THEN 'es'
+        |    ELSE 'und' END AS predicted
+        |  FROM s
+        |), cells AS (
+        |  SELECT lang, predicted, COUNT(*) AS n FROM g GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT lang, COUNT(*) AS n_lang FROM g GROUP BY 1
+        |)
+        |SELECT c.lang, c.predicted, c.n, t.n_lang,
+        |  CAST(c.n AS DOUBLE) / CAST(t.n_lang AS DOUBLE) AS share
+        |FROM cells c JOIN tot t USING (lang)
+        |ORDER BY lang, predicted""".stripMargin,
     "q153_stream_left_outer_join" ->
       """WITH l AS (
         |  SELECT event_id AS id_a, user_id, epoch_us(ts) AS t
@@ -6289,42 +6403,8 @@ object SparkEntry {
         |    AS mean_score6
         |FROM g CROSS JOIN b LEFT JOIN per ON g.bucket = per.bucket
         |ORDER BY g.bucket""".stripMargin,
-    "q128_psi_drift" ->
-      """WITH b AS (
-        |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
-        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
-        |), rc AS (
-        |  SELECT LEAST(GREATEST(CAST(FLOOR(
-        |      (o_totalprice - lo) * 20.0 / (hi - lo)) AS INT), 0), 19)
-        |      AS bucket,
-        |    COUNT(*) AS n_ref
-        |  FROM orders, b WHERE o_orderdate < TIMESTAMP '1996-01-01'
-        |  GROUP BY 1
-        |), cc AS (
-        |  SELECT LEAST(GREATEST(CAST(FLOOR(
-        |      (o_totalprice - lo) * 20.0 / (hi - lo)) AS INT), 0), 19)
-        |      AS bucket,
-        |    COUNT(*) AS n_cur
-        |  FROM orders, b WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-        |  GROUP BY 1
-        |), g AS (
-        |  SELECT CAST(UNNEST(range(20)) AS INT) AS bucket
-        |), j AS (
-        |  SELECT g.bucket, COALESCE(rc.n_ref, 0) AS n_ref,
-        |    COALESCE(cc.n_cur, 0) AS n_cur
-        |  FROM g LEFT JOIN rc ON g.bucket = rc.bucket
-        |         LEFT JOIN cc ON g.bucket = cc.bucket
-        |), t AS (
-        |  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
-        |    CAST(SUM(n_cur) AS BIGINT) AS tc FROM j
-        |)
-        |SELECT j.bucket, j.n_ref, j.n_cur,
-        |  ROUND((GREATEST(CAST(j.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE), 1e-6)
-        |       - GREATEST(CAST(j.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE), 1e-6))
-        |    * ln(GREATEST(CAST(j.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE), 1e-6)
-        |       / GREATEST(CAST(j.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE), 1e-6)),
-        |    6) AS psi6
-        |FROM j, t ORDER BY j.bucket""".stripMargin,
+    "q128_psi_drift" -> psiDriftOracle,
+    "q169_stream_drift" -> psiDriftOracle,
     "q127_histogram" ->
       """WITH b AS (
         |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders

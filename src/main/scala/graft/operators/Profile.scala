@@ -178,10 +178,20 @@ object Profile {
       .select(col("bucket"), col("n").as("n_ref"))
     val u = histogram(current, c, bins, lo, hi)
       .select(col("bucket"), col("n").as("n_cur"))
-    val joined = r.join(u, "bucket")
+    psiFromCounts(r.join(u, "bucket"), eps)
+  }
+
+  /** The PSI arithmetic over pre-joined per-bucket counts (`bucket`,
+    * `n_ref`, `n_cur`) — the shared back half of [[drift]] and the
+    * stream-maintained variant
+    * ([[graft.streaming.StreamGate.replayStreamingDrift]]), extracted
+    * so both formulations provably share one definition. */
+  private[graft] def psiFromCounts(joined: DataFrame, eps: Double): DataFrame = {
+    require(eps > 0, s"eps ($eps) must be positive")
     val tot = joined.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
       .collect()(0)
-    require(tot.getLong(0) > 0 && tot.getLong(1) > 0,
+    require(!tot.isNullAt(0) && !tot.isNullAt(1) &&
+      tot.getLong(0) > 0 && tot.getLong(1) > 0,
       "drift needs non-empty reference and current frames")
     def p(n: Column, t: Long) =
       greatest(n.cast("double") / lit(t.toDouble), lit(eps))

@@ -473,4 +473,78 @@ object StreamGate {
       Seq(src, stateRoot, ck).foreach(deleteRecursively)
     }
   }
+
+  /** Streaming drift monitor — [[graft.operators.Profile.drift]]'s PSI
+    * kept current by a FILE STREAM of the monitored slice: each
+    * micro-batch is bucketed with the REFERENCE-derived bounds
+    * ([[graft.operators.Profile.histogram]]'s clamping arithmetic,
+    * verbatim) and its bucket counts fold into a versioned parquet
+    * histogram state table (the q133 bridge — per-bucket counts merge
+    * by SUM, associative AND commutative, so micro-batch partitioning
+    * provably cannot change the accumulated histogram); the final PSI
+    * is [[graft.operators.Profile.psiFromCounts]] over the accumulated
+    * counts against the batch-computed reference histogram — the SAME
+    * arithmetic the batch operator runs, so the replay gate can hold
+    * this to q128's verbatim oracle (batch fold and stream fold, two
+    * formulations of one ground truth).
+    *
+    * State is bins-bounded (never key- or corpus-cardinality), owned
+    * outside the query as version N → N+1 artifacts — a restart
+    * resumes from the last committed version.
+    *
+    * Returns the per-bucket (`bucket`, `n_ref`, `n_cur`, `psi`) frame
+    * (localCheckpoint'ed off the deleted temp state). */
+  def replayStreamingDrift(
+      reference: DataFrame,
+      current: DataFrame,
+      c: String,
+      bins: Int,
+      lo: Double,
+      hi: Double,
+      eps: Double = 1e-6,
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = current.sparkSession
+    val src = tempDir("graft_drift_src")
+    current.coalesce(8).write.mode("overwrite").parquet(src)
+    val stateRoot = tempDir("graft_drift_state")
+    val ck = tempDir("graft_drift_ck")
+    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    try {
+      val stream = spark.readStream.schema(current.schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bh = graft.operators.Profile.histogram(batch, c, bins, lo, hi)
+            .select(col("bucket"), col("n"))
+          val merged = Option(state.get()) match {
+            case None => bh
+            case Some(p) => spark.read.parquet(p).unionByName(bh)
+              .groupBy("bucket").agg(sum(col("n")).as("n"))
+          }
+          val next = s"$stateRoot/v${version.incrementAndGet()}"
+          merged.write.mode("overwrite").parquet(next)
+          state.set(next)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(state.get() != null, "replayStreamingDrift saw no micro-batches")
+      val refH = graft.operators.Profile.histogram(reference, c, bins, lo, hi)
+        .select(col("bucket"), col("n").as("n_ref"))
+      val curH = spark.read.parquet(state.get())
+        .select(col("bucket"), col("n").as("n_cur"))
+      releaseLastReplay(
+        graft.operators.Profile.psiFromCounts(refH.join(curH, "bucket"), eps)
+          .localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, stateRoot, ck).foreach(deleteRecursively)
+    }
+  }
 }

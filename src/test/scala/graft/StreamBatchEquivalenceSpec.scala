@@ -272,6 +272,33 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("stream drift PSI == batch drift across micro-batch histogram folds") {
+    import graft.operators.Profile
+    val ev = events
+    val midUs = ev.agg(
+      (((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
+        .cast("long")).as("m")).head().getLong(0)
+    val ref = ev.filter(unix_micros(col("ts")) <= midUs)
+    val cur = ev.filter(unix_micros(col("ts")) > midUs)
+    val b = ref.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .head()
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    // filesPerTrigger=1 over the coalesce(8) source -> up to 8 genuine
+    // folds, each reading histogram state version N and writing N+1;
+    // per-bucket counts merge by SUM, so the accumulated histogram —
+    // and therefore every psi contribution, computed by the SHARED
+    // Profile.psiFromCounts arithmetic over identical longs — must be
+    // bit-identical to the batch formulation
+    val streamed = StreamGate.replayStreamingDrift(ref, cur, "value",
+        bins = 12, lo = lo, hi = hi, filesPerTrigger = 1)
+      .collect().map(_.toSeq).toSet
+    val batch = Profile.drift(ref, cur, "value", 12, lo, hi)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    assert(streamed.size == 12, "PSI frame must carry the full bucket grid")
+  }
+
   test("sessionize idleTimeout closes open sessions exactly once and drops the key") {
     val s = spark
     import s.implicits._
