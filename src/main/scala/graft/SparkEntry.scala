@@ -3350,6 +3350,79 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  // ---------------------------------------------------------------- q170
+  /** Skew planning report ([[graft.operators.Skew.skewPlanReport]]):
+    * the measurement that decides whether a salted join/agg (or AQE's
+    * skew split) is worth its replication cost BEFORE the shuffle
+    * runs — per-key loads, hot keys above 4x the mean, and the salt
+    * factor targeting 2x the mean per task. The generated events
+    * table is deliberately uniform, so the query plants a hot-user
+    * burst first (users ≡ 0 mod 37 replicated 20x via a map-side
+    * explode); the report must flag EXACTLY those five users.
+    * Integer-exact end to end — the mean key load is one floored
+    * driver scalar, hotness and the salt ceiling are long/DIV
+    * arithmetic, so the oracle match is hash-exact with no IEEE
+    * division anywhere. */
+  private def q170SkewPlan(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"))
+    val burst = ev.filter(col("user_id") % 37 === 0)
+      .withColumn("__k", explode(sequence(lit(1), lit(19)))).drop("__k")
+    graft.operators.Skew.skewPlanReport(ev.unionByName(burst),
+        Seq("user_id"), hotFactor = 4, targetFactor = 2)
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- q171
+  /** Boilerplate line removal
+    * ([[graft.operators.Corpus.removeBoilerplateLines]]) — the CCNet
+    * line-granularity cleaning recipe, over documents given the line
+    * structure the generated corpus lacks: each doc becomes
+    * header(source) \n "ok" \n body \n footer, where the per-source
+    * header is shared by that source's docs, the footer by the whole
+    * corpus, "ok" is under minLineChars (the short-line exemption must
+    * keep it), and the body line is unique per doc (no 3 docs share a
+    * text). With minDocs=3 the header and footer classes are removed
+    * from every doc and both guards are exercised; the oracle
+    * recomputes the candidate-line table, the distinct-doc rule, and
+    * every rebuilt text — one line dropped or kept wrongly anywhere
+    * fails the hash. */
+  private def q171BoilerplateLines(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("subscribe to "), col("source"), lit(" newsletter today")),
+          lit("ok"),
+          col("text"),
+          lit("all rights reserved worldwide")).as("text"))
+    graft.operators.Corpus.removeBoilerplateLines(docs, "doc_id", "text",
+        minDocs = 3, minLineChars = 5)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q172
+  /** Token-budget corpus selection
+    * ([[graft.operators.Corpus.tokenBudgetSelect]]) — the data budget
+    * allocator: per crawl source, rank docs by lexical-diversity score
+    * (distinct-token ratio, ties by id) and keep the best prefix
+    * fitting a 600-token budget. The cumulative count is the
+    * range-partitioned two-pass prefix sum — never a per-source
+    * single-task window — and the oracle replays the ranking and every
+    * inclusive cumulative sum with a SQL window; one mis-ranked or
+    * mis-summed doc anywhere fails the hash. */
+  private def q172TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        (size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double")).as("score"),
+        size(toks).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    graft.operators.Corpus.tokenBudgetSelect(base, "doc_id", "source",
+        "score", "n_tokens", budgetTokens = 600L)
+      .orderBy("source", "doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3520,6 +3593,9 @@ object SparkEntry {
     "q167_asof_nearest" -> (q167AsofNearest _),
     "q168_langid_audit" -> (q168LangIdAudit _),
     "q169_stream_drift" -> (q169StreamDrift _),
+    "q170_skew_plan" -> (q170SkewPlan _),
+    "q171_boilerplate_lines" -> (q171BoilerplateLines _),
+    "q172_token_budget" -> (q172TokenBudget _),
   )
 
   /** Shared by q128 (batch drift) and q169 (stream-maintained
@@ -5643,6 +5719,81 @@ object SparkEntry {
         |  CAST(c.n AS DOUBLE) / CAST(t.n_lang AS DOUBLE) AS share
         |FROM cells c JOIN tot t USING (lang)
         |ORDER BY lang, predicted""".stripMargin,
+    "q170_skew_plan" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id FROM events
+        |  UNION ALL
+        |  SELECT e.event_id, e.user_id
+        |  FROM events e CROSS JOIN (SELECT UNNEST(range(19)) AS k)
+        |  WHERE e.user_id % 37 = 0
+        |), k AS (
+        |  SELECT user_id, COUNT(*) AS n FROM ev GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS nk FROM k
+        |), m AS (
+        |  SELECT GREATEST(CAST(1 AS BIGINT), total // nk) AS mean_n FROM t
+        |)
+        |SELECT k.user_id, k.n, m.mean_n,
+        |  CAST((k.n + 2 * m.mean_n - 1) // (2 * m.mean_n) AS INTEGER)
+        |    AS salt_factor
+        |FROM k CROSS JOIN m
+        |WHERE k.n > 4 * m.mean_n
+        |ORDER BY user_id""".stripMargin,
+    "q171_boilerplate_lines" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'subscribe to ' || source || ' newsletter today' || chr(10) ||
+        |    'ok' || chr(10) || text || chr(10) ||
+        |    'all rights reserved worldwide' AS text
+        |  FROM documents WHERE text IS NOT NULL
+        |), ln AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM d
+        |), cand AS (
+        |  SELECT DISTINCT doc_id, trim(line) AS t
+        |  FROM (SELECT doc_id, UNNEST(lines) AS line FROM ln)
+        |  WHERE length(trim(line)) >= 5
+        |), boiler AS (
+        |  SELECT t FROM cand GROUP BY t HAVING COUNT(*) >= 3
+        |), pos AS (
+        |  SELECT doc_id, UNNEST(range(len(lines))) AS p,
+        |    UNNEST(lines) AS line
+        |  FROM ln
+        |), kept AS (
+        |  SELECT p.doc_id,
+        |    string_agg(p.line, chr(10) ORDER BY p.p) AS cleaned_text,
+        |    COUNT(*) AS n_kept
+        |  FROM pos p LEFT JOIN boiler b ON trim(p.line) = b.t
+        |  WHERE length(trim(p.line)) < 5 OR b.t IS NULL
+        |  GROUP BY p.doc_id
+        |)
+        |SELECT ln.doc_id,
+        |  CAST(len(ln.lines) AS INTEGER) AS n_lines,
+        |  CAST(len(ln.lines) - COALESCE(k.n_kept, 0) AS INTEGER) AS n_removed,
+        |  COALESCE(k.cleaned_text, '') AS cleaned_text
+        |FROM ln LEFT JOIN kept k ON ln.doc_id = k.doc_id
+        |ORDER BY ln.doc_id""".stripMargin,
+    "q172_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) /
+        |      CAST(len(toks) AS DOUBLE) AS score,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM t WHERE len(toks) > 0
+        |), c AS (
+        |  SELECT source, doc_id, score, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM b
+        |)
+        |SELECT source, doc_id, score, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 600
+        |ORDER BY source, doc_id""".stripMargin,
     "q153_stream_left_outer_join" ->
       """WITH l AS (
         |  SELECT event_id AS id_a, user_id, epoch_us(ts) AS t

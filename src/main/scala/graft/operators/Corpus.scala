@@ -460,6 +460,140 @@ object Corpus {
         array_join(col("kept"), " ").as("cleaned_text"))
   }
 
+  /** Boilerplate LINE removal — the line-granularity companion to
+    * [[removeDuplicatedSpans]] and the recipe CCNet (Wenzek et al.,
+    * LREC'20) actually runs on web text: a line (navigation chrome,
+    * cookie banner, license header) that appears verbatim in >=
+    * `minDocs` DISTINCT documents is dropped from every document, and
+    * each document is rebuilt from its surviving lines in order.
+    * Word-n-gram spans catch re-flowed prose; line dedup catches the
+    * template chrome that IS line-structured — the two are run
+    * together in production cleaning stacks.
+    *
+    * Duplication is decided on per-doc-DISTINCT line occurrences, so
+    * a line repeated inside ONE document never qualifies by itself
+    * (intra-doc repetition is [[TextFunctions]] repetition-metric
+    * territory, not boilerplate). Lines shorter than `minLineChars`
+    * after trimming are exempt from removal — CCNet's guard against
+    * deleting every blank/short connector line and gutting paragraph
+    * structure. Line identity is the TRIMMED line (leading/trailing
+    * whitespace is rendering noise), but documents are rebuilt from
+    * their ORIGINAL lines, order preserved.
+    *
+    * Scale shape (exactly [[removeDuplicatedSpans]]'s): lines cross
+    * the exchange once as per-doc-distinct rows into one map-side-
+    * combined, line-vocabulary-bounded count; the boilerplate set
+    * prunes via `left_semi` BEFORE rejoining documents; the rebuild is
+    * map-side per-doc array work. With `hashLines` the exchange
+    * carries 8-byte `xxhash64` longs instead of line text (a 64-bit
+    * collision needs ~2^32 distinct lines and only ever OVER-removes
+    * one line class).
+    *
+    * Output: one row per input doc — `n_lines`, `n_removed`, and the
+    * rebuilt `cleaned_text` (lines re-joined with `\n`; empty string
+    * when everything was boilerplate). NULL text = the empty document. */
+  def removeBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 2,
+      minLineChars: Int = 5,
+      hashLines: Boolean = true): DataFrame = {
+    require(minDocs >= 2,
+      s"minDocs ($minDocs) must be >= 2 — 1 would drop every line")
+    require(minLineChars >= 1,
+      s"minLineChars ($minLineChars) must be >= 1")
+    val emptyS = array().cast("array<string>")
+    val docs = df.select(col(idCol).as("id"),
+      coalesce(split(col(textCol), "\n"), emptyS).as("lines"))
+    def lineKey(line: Column): Column =
+      if (hashLines) xxhash64(line) else line
+    // candidate = trimmed, long enough to ever be removable
+    val candLines = docs
+      .select(col("id"), explode(col("lines")).as("line"))
+      .select(col("id"), trim(col("line")).as("t"))
+      .filter(length(col("t")) >= minLineChars)
+      .select(col("id"), lineKey(col("t")).as("g")).distinct()
+    val boiler = candLines.groupBy("g")
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("g")
+    val removedKeys = candLines
+      .join(boiler, Seq("g"), "left_semi")
+      .groupBy("id").agg(collect_set(col("g")).as("rm"))
+    docs.join(removedKeys, Seq("id"), "left")
+      .select(col("id"), col("lines"),
+        coalesce(col("rm"),
+          array().cast(if (hashLines) "array<bigint>" else "array<string>"))
+          .as("rm"))
+      .withColumn("kept",
+        filter(col("lines"), l =>
+          length(trim(l)) < minLineChars ||
+            !array_contains(col("rm"), lineKey(trim(l)))))
+      .select(col("id").as(idCol),
+        size(col("lines")).as("n_lines"),
+        (size(col("lines")) - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), "\n").as("cleaned_text"))
+  }
+
+  /** Token-budget corpus selection — the DATA BUDGET ALLOCATOR of
+    * mixture building: within each group (crawl source, language,
+    * domain), rank documents by quality and keep the best-ranked
+    * PREFIX whose cumulative token count fits `budgetTokens` — "give
+    * me the best 2B tokens of each source" as one deterministic
+    * operator. Composes with [[compositionReport]] (which argues the
+    * per-source budgets) and the sampling family (which takes RATES —
+    * this takes an absolute token budget, the unit training actually
+    * plans in).
+    *
+    * Selection is the PREFIX rule, stated deliberately: documents are
+    * ranked by (`scoreCol` desc, id asc — a total order, so the
+    * ranking is reproducible), and a document is kept iff its
+    * INCLUSIVE cumulative token count in that order is <= the budget.
+    * A document too large for the remaining budget therefore ends the
+    * group's selection (its tokens still occupy the prefix) — the
+    * greedy skip-and-continue alternative is an inherently sequential
+    * scan that cannot be stated engine-independently, and its "fill
+    * the last 2%" gain is noise at real budgets.
+    *
+    * Scale shape: the ranking + cumulative count is
+    * [[General.withRunningTotal]]'s range-partitioned two-pass prefix
+    * sum over (group, -score, id) — NEVER a
+    * `Window.partitionBy(group)` running sum, which funnels each
+    * group (a whole crawl source!) through one task. Group start
+    * offsets come back out of the global prefix with one
+    * group-bounded aggregation + join (unhinted — AQE broadcasts the
+    * tiny per-group offset table), and the budget test is a map-side
+    * filter. Rows with NULL score or NULL token count are dropped
+    * (they cannot be ranked), not sorted to an arbitrary end.
+    *
+    * Output: the SELECTED rows — group, id, `score`, `n_tokens`,
+    * `cum_tokens` (inclusive within the group's ranking). */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: String,
+      tokenCountCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens ($budgetTokens) must be >= 1")
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        col(scoreCol).cast("double").as("score"),
+        col(tokenCountCol).cast("long").as("n_tokens"))
+      .filter(col("score").isNotNull && col("n_tokens").isNotNull)
+      .withColumn("__neg", -col("score"))
+    val rt = General.withRunningTotal(base, Seq("grp", "__neg", "id"),
+      "n_tokens", "__rt")
+    // the global exclusive prefix is nondecreasing in sort order, so
+    // each group's start offset is its min — one group-bounded agg
+    val offs = rt.groupBy("grp").agg(min(col("__rt")).as("__g0"))
+    rt.join(offs, Seq("grp"))
+      .withColumn("cum_tokens", col("__rt") - col("__g0") + col("n_tokens"))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("grp").as(groupCol), col("id").as(idCol),
+        col("score"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Inverted-index build with CAPPED posting lists: one row per
     * (token, retained document), keeping each token's top `k` documents
     * by (term frequency desc, id asc) plus the token's full document

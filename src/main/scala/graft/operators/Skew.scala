@@ -69,4 +69,54 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(merge(col("__partial")).as(outCol))
   }
+
+  /** Skew PLANNING report — the measurement that decides whether
+    * [[saltedJoin]]/[[saltedAgg]] (or AQE's skew-join split) is worth
+    * its replication cost BEFORE a 100 TB shuffle runs: per-key row
+    * counts, the keys whose count exceeds `hotFactor` x the mean
+    * key load, and for each hot key the salt factor that would bring
+    * its worst task back down to `targetFactor` x the mean. This is
+    * the number an engineer argues a partitioning change with — "key
+    * 7012 carries 31x the mean and wants ~16 salts" — derived from
+    * ONE map-side-combined count shuffle over the frame.
+    *
+    * Arithmetic is integer-exact end to end: the mean key load is ONE
+    * driver scalar (`floor(total / n_keys)`, floored at 1 so a
+    * degenerate all-empty-group frame cannot divide by zero), hotness
+    * is `n > hotFactor * mean` on longs, and the salt recommendation
+    * is the ceiling division `ceil(n / (targetFactor * mean))` spelled
+    * `(n + d - 1) DIV d` — no IEEE division anywhere, so the report is
+    * bit-reproducible on any engine. (Deliberately scalar-based
+    * rather than `n * n_keys > hotFactor * total` cross-multiplied
+    * form: at petabyte scale `n * n_keys` overflows a long while
+    * `total / n_keys` cannot.)
+    *
+    * Output: one row per HOT key — key columns, `n`, `mean_n` (the
+    * same scalar on every row, kept as a column so the report is
+    * self-describing), `salt_factor`. Empty when the distribution is
+    * within `hotFactor` of uniform — "no action needed" is an empty
+    * report, not an error. NULL key values group as one key, exactly
+    * as the shuffle they model would. */
+  def skewPlanReport(
+      df: DataFrame,
+      keys: Seq[String],
+      hotFactor: Int = 4,
+      targetFactor: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "at least one key column is required")
+    require(hotFactor >= 1, s"hotFactor ($hotFactor) must be >= 1")
+    require(targetFactor >= 1, s"targetFactor ($targetFactor) must be >= 1")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    // ONE bounded driver read: two longs, never the key rows
+    val t = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("nk"))
+      .head()
+    require(!t.isNullAt(0) && t.getLong(0) > 0,
+      "skewPlanReport needs a non-empty frame")
+    val mean = math.max(1L, t.getLong(0) / t.getLong(1))
+    val denom = targetFactor.toLong * mean
+    counts
+      .filter(col("n") > lit(hotFactor.toLong * mean))
+      .withColumn("mean_n", lit(mean))
+      .withColumn("salt_factor",
+        expr(s"CAST((n + ${denom - 1}) DIV $denom AS INT)"))
+  }
 }

@@ -745,4 +745,62 @@ class CorpusIndexSpec extends AnyFunSuite {
       s"plan grew with merge count: $small nodes @8 merges, $large @300")
     assert(nodeCount(foldEncode(df)) > large + 250, "fold baseline should dwarf it")
   }
+
+  test("removeBoilerplateLines: cross-doc lines cut, short/intra-doc/unique kept") {
+    val docs = table("id bigint, text string", Seq(
+      row(1L, "hello world\nnav bar\nunique one\nok"),
+      row(2L, "nav bar\nunique two\nok"),
+      row(3L, "nav bar\nnav bar\nsolo text"),
+      row(4L, "rep line\nrep line\nend text"),   // intra-doc only: kept
+      row(5L, "  nav bar  \nx"),                 // trimmed match; "x" short
+      row(6L, null.asInstanceOf[String])))
+    val out = Corpus.removeBoilerplateLines(docs, "id", "text",
+        minDocs = 2, minLineChars = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out(0) == ((1L, 4, 1, "hello world\nunique one\nok")))
+    assert(out(1) == ((2L, 3, 1, "unique two\nok")))
+    // doc3: BOTH copies of the cross-doc boilerplate line go
+    assert(out(2) == ((3L, 3, 2, "solo text")))
+    // doc4: "rep line" repeats only intra-doc -> distinct-doc count 1, kept
+    assert(out(3) == ((4L, 3, 0, "rep line\nrep line\nend text")))
+    // doc5: line identity is the TRIMMED line; rebuild keeps originals
+    assert(out(4) == ((5L, 2, 1, "x")))
+    // NULL text = the empty document
+    assert(out(5) == ((6L, 0, 0, "")))
+    // hashed and plain-text line keys agree
+    val plain = Corpus.removeBoilerplateLines(docs, "id", "text",
+        minDocs = 2, minLineChars = 3, hashLines = false)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(plain.toSeq == out.toSeq)
+    // validation: minDocs=1 would drop every line
+    assert(intercept[IllegalArgumentException] {
+      Corpus.removeBoilerplateLines(docs, "id", "text", minDocs = 1)
+    }.getMessage.contains(">= 2"))
+  }
+
+  test("tokenBudgetSelect: prefix rule, tie order, NULL scores dropped") {
+    val docs = table("id bigint, grp string, score double, n_tokens bigint", Seq(
+      // g1 ranking (score desc, id asc): 1 (cum 5), 2 (cum 9), 4 (cum 19), 3 (cum 22)
+      row(1L, "g1", 0.9, 5L),
+      row(2L, "g1", 0.9, 4L),   // score tie with doc 1 -> id breaks it
+      row(3L, "g1", 0.5, 3L),
+      row(4L, "g1", 0.8, 10L),
+      // g2: doc 5 exactly fills the budget; doc 6 is one over
+      row(5L, "g2", 1.0, 10L),
+      row(6L, "g2", 0.9, 1L),
+      row(7L, "g2", null.asInstanceOf[java.lang.Double], 2L))) // unrankable
+    val out = Corpus.tokenBudgetSelect(docs, "id", "grp", "score",
+        "n_tokens", budgetTokens = 10L)
+      .orderBy("grp", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // PREFIX rule: doc 4 overflows the g1 budget and BLOCKS doc 3 even
+    // though doc 3 alone would fit — the deliberate, stated semantics
+    assert(out.toSeq == Seq(
+      ("g1", 1L, 5L, 5L), ("g1", 2L, 4L, 9L), ("g2", 5L, 10L, 10L)))
+    assert(intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetSelect(docs, "id", "grp", "score", "n_tokens", 0L)
+    }.getMessage.contains("budgetTokens"))
+  }
 }

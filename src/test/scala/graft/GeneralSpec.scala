@@ -211,6 +211,34 @@ class GeneralSpec extends AnyFunSuite {
     assert(viaSalt == direct)
   }
 
+  test("skewPlanReport: hand-computed hot keys, salt ceiling, empty when uniform") {
+    import graft.operators.Skew
+    // "hot" x 20, "k1".."k10" x 2 -> total 40, 11 keys, mean = floor(40/11) = 3;
+    // hot iff n > 4*3 = 12 -> only "hot"; salt = ceil(20 / (2*3)) = 4
+    val rows = (1 to 20).map(_ => row("hot")) ++
+      (1 to 10).flatMap(i => Seq(row(s"k$i"), row(s"k$i")))
+    val df = table("k string", rows)
+    val out = Skew.skewPlanReport(df, Seq("k"), hotFactor = 4, targetFactor = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq(("hot", 20L, 3L, 4)))
+    // uniform distribution -> empty report, not an error
+    val uniform = table("k string", ('a' to 'e').map(c => row(c.toString)))
+    assert(Skew.skewPlanReport(uniform, Seq("k")).isEmpty)
+    // NULL keys group as ONE key, exactly as the modeled shuffle would
+    val withNull = table("k string",
+      (1 to 30).map(_ => row(null.asInstanceOf[String])) ++
+        ('a' to 'j').map(c => row(c.toString)))
+    // total 40, 11 keys, mean 3; null-key n=30 > 12 -> hot, salt ceil(30/6)=5
+    val hotNull = Skew.skewPlanReport(withNull, Seq("k")).collect()
+    assert(hotNull.length == 1 && hotNull(0).isNullAt(0) &&
+      hotNull(0).getLong(1) == 30L && hotNull(0).getInt(3) == 5)
+    // empty frame fails loudly
+    val err = intercept[IllegalArgumentException] {
+      Skew.skewPlanReport(df.filter(lit(false)), Seq("k"))
+    }
+    assert(err.getMessage.contains("non-empty"))
+  }
+
   test("partitioned parquet write: reads back with partition pruning") {
     import graft.sources.Sinks
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/t"
