@@ -57,6 +57,9 @@ object GraftFunctions {
     },
     "graft_quantized_dot" -> { args => QuantizedDotF32(args(0), args(1)) },
     "graft_sorted_intersect" -> { args => SortedIntersectCount(args(0), args(1)) },
+    "graft_sparse_dot" -> { args =>
+      SparseDotSorted(args(0), args(1), args(2), args(3))
+    },
     "graft_bloom_might_contain" -> { args => BloomMightContain(args(0), args(1)) },
     "graft_unicode_normalize" -> { args =>
       UnicodeNormalize(args(0), stringArg("graft_unicode_normalize", args(1)))
@@ -121,6 +124,14 @@ object GraftFunctions {
   def sortedIntersect(df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Column = {
     ensureRegistered(df.sparkSession)
     call_function("graft_sorted_intersect", a, b)
+  }
+
+  /** Merge-walk sparse dot product over two (sorted-ascending key
+    * array, index-aligned value array) vectors (native). */
+  def sparseDot(df: org.apache.spark.sql.DataFrame,
+      keysA: Column, valsA: Column, keysB: Column, valsB: Column): Column = {
+    ensureRegistered(df.sparkSession)
+    call_function("graft_sparse_dot", keysA, valsA, keysB, valsB)
   }
 
   /** Bloom-filter membership probe over a serialized sketch (native;

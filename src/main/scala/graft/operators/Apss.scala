@@ -53,9 +53,19 @@ object Apss {
     * raises loudly, or with `dropOversize` is excluded from CANDIDATE
     * GENERATION only (observable recall loss on pairs sharing nothing
     * else; verification always uses complete vectors, so surviving
-    * pairs' cosines stay exact). Verification is candidate-bounded:
-    * one equi join chain expanding each pair by its shared features,
-    * one map-side-combined sum per pair.
+    * pairs' cosines stay exact). Verification is candidate-bounded
+    * and SHUFFLE-FREE past the two pair-to-vector joins: each
+    * document's complete vector is carried once as (sorted xxhash64
+    * key array, aligned weight array) and each candidate pair's
+    * cosine is one codegen'd merge walk
+    * ([[graft.expressions.SparseDotSorted]]) — the relational
+    * alternative (pair ⋈ features-of-a ⋈ features-of-b + per-pair
+    * sum) expands every candidate by ALL of one side's features and
+    * was measured ~60% of the query's wall clock. Hashed feature keys
+    * carry [[graft.expressions.SortedIntersectCount]]'s documented
+    * 2^-64-per-pair collision trade; candidate GENERATION keeps exact
+    * gram strings, so a collision could only perturb one verified
+    * cosine, never lose a candidate.
     *
     * Weights: tf × ln(N/df), L2-normalized per doc. Zero-norm docs
     * (every gram in every doc) cannot pair and are excluded. Docs
@@ -130,15 +140,24 @@ object Apss {
       .select(col("i.__id").as("__ida"), col("f.__id").as("__idb"))
       .distinct()
 
-    val va = nw.select(col("__id").as("__ida"), col("__gram"),
-      col("__nw").as("__wa"))
-    val vb = nw.select(col("__id").as("__idb"), col("__gram"),
-      col("__nw").as("__wb"))
-    cand.join(va, Seq("__ida"))
-      .join(vb, Seq("__idb", "__gram"))
-      .groupBy("__ida", "__idb")
-      .agg(round(sum(col("__wa") * col("__wb")), 6).as("cos6"))
+    val vecs = nw
+      .select(col("__id"), xxhash64(col("__gram")).as("__h"), col("__nw"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__h"), col("__nw"))))
+        .as("__p"))
+      .select(col("__id"),
+        transform(col("__p"), p => p.getField("__h")).as("__keys"),
+        transform(col("__p"), p => p.getField("__nw")).as("__vals"))
+    val withVecs = cand
+      .join(vecs.select(col("__id").as("__ida"), col("__keys").as("__ka"),
+        col("__vals").as("__va")), Seq("__ida"))
+      .join(vecs.select(col("__id").as("__idb"), col("__keys").as("__kb"),
+        col("__vals").as("__vb")), Seq("__idb"))
+    withVecs
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        round(graft.expressions.GraftFunctions.sparseDot(df,
+          col("__ka"), col("__va"), col("__kb"), col("__vb")), 6)
+          .as("cos6"))
       .filter(col("cos6") >= threshold)
-      .select(col("__ida").as("id_a"), col("__idb").as("id_b"), col("cos6"))
   }
 }

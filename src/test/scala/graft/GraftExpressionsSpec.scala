@@ -298,12 +298,14 @@ class GraftExpressionsSpec extends AnyFunSuite {
       val lArr = BoundReference(3, ArrayType(LongType, containsNull = false), nullable = false)
       val str = BoundReference(4, StringType, nullable = false)
       val bin = BoundReference(5, BinaryType, nullable = false)
+      val dArr = BoundReference(6, ArrayType(DoubleType, containsNull = false), nullable = false)
       Seq(
         DotProductF32(fArr, fArr), CosineSimF32(fArr, fArr),
         QuantizedDotF32(fArr, iArr), MinHashSig(sArr, 4), ShingleSet(sArr, 2),
         SimHashFromHashes(lArr, 32), CleanAsciiText(str),
         UnicodeNormalize(str, "NFC"), DHash64(bin),
-        ReplaceChain(str, Seq("Quick", "The"), Seq("Slow", "A")))
+        ReplaceChain(str, Seq("Quick", "The"), Seq("Slow", "A")),
+        SparseDotSorted(lArr, dArr, lArr, dArr))
     }
     val both = exprs ++ exprs // two fresh instance sets, one codegen scope
     val proj = GenerateUnsafeProjection.generate(both)
@@ -315,7 +317,8 @@ class GraftExpressionsSpec extends AnyFunSuite {
         UTF8String.fromString("a_b"))),
       ArrayData.toArrayData(Array(3L, 5L, 0L)),
       UTF8String.fromString("The  Quick 9"),
-      "abc".getBytes("UTF-8"))
+      "abc".getBytes("UTF-8"),
+      ArrayData.toArrayData(Array(0.5, -1.5, 2.0)))
     val out = proj(row)
     val k = exprs.length
     // both instance sets compute identical values (spot-check scalars)
@@ -325,6 +328,43 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(out.getLong(8) == out.getLong(k + 8))     // dhash
     // and they agree with interpreted eval
     assert(out.getDouble(0) == exprs.head.eval(row).asInstanceOf[Double])
+  }
+
+  test("SparseDotSorted: hand-computed merge dot, disjoint, nulls, misalignment") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types._
+    import graft.expressions.SparseDotSorted
+    val ka = BoundReference(0, ArrayType(LongType), nullable = true)
+    val va = BoundReference(1, ArrayType(DoubleType), nullable = true)
+    val kb = BoundReference(2, ArrayType(LongType), nullable = true)
+    val vb = BoundReference(3, ArrayType(DoubleType), nullable = true)
+    val e = SparseDotSorted(ka, va, kb, vb)
+    def arr(xs: Any*): ArrayData = new GenericArrayData(xs.toArray[Any])
+    def rowOf(a: ArrayData, b: ArrayData, c: ArrayData, d: ArrayData) =
+      InternalRow(a, b, c, d)
+    // shared keys 3 and 9: 2.0*5.0 + 0.5*(-2.0) = 9.0
+    val r = rowOf(arr(1L, 3L, 9L), arr(7.0, 2.0, 0.5),
+      arr(3L, 8L, 9L), arr(5.0, 1.0, -2.0))
+    assert(e.eval(r) == 9.0)
+    // disjoint -> 0.0 (a real zero, not null)
+    assert(e.eval(rowOf(arr(1L), arr(1.0), arr(2L), arr(1.0))) == 0.0)
+    // empty side -> 0.0
+    assert(e.eval(rowOf(arr(), arr(), arr(1L), arr(1.0))) == 0.0)
+    // null input -> null; a VISITED null element -> null (one past the
+    // shorter side is never visited — SortedIntersectCount's contract)
+    assert(e.eval(rowOf(null, arr(1.0), arr(1L), arr(1.0))) == null)
+    assert(e.eval(rowOf(arr(null, 1L), arr(1.0, 1.0), arr(1L), arr(1.0))) == null)
+    // misaligned keys/values fail loudly, never truncate the walk
+    val mis = intercept[IllegalArgumentException] {
+      e.eval(rowOf(arr(1L, 2L), arr(1.0), arr(1L), arr(1.0)))
+    }
+    assert(mis.getMessage.contains("index-aligned"))
+    // interpreted == codegen on the hand-computed row
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    assert(proj(r).getDouble(0) == 9.0)
   }
 
   test("extensions injector wires every builder; registration is idempotent") {
@@ -337,7 +377,7 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(names.distinct.size == names.size)
     assert(names.toSet == Set("graft_dot_f32", "graft_cosine_f32",
       "graft_minhash_sig", "graft_shingles", "graft_clean_text", "graft_simhash",
-      "graft_quantized_dot", "graft_sorted_intersect",
+      "graft_quantized_dot", "graft_sorted_intersect", "graft_sparse_dot",
       "graft_bloom_might_contain", "graft_unicode_normalize", "graft_dhash64",
       "graft_replace_chain"))
     // per-session registration: repeated calls are safe, functions resolve
