@@ -809,6 +809,50 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("frameNearDupPairs: prefix-filter candidates lose nothing vs brute force") {
+    // The PPJoin prefix filter is a pruning THEOREM, not a heuristic —
+    // pin it generatively: mutated copies (high Jaccard), shared
+    // boilerplate segments (hot signatures that must fall out of
+    // prefixes without losing the real pairs), and unrelated payloads.
+    val rnd = new scala.util.Random(77)
+    val boiler = (0 until 64).map(i => ('A' + (i * 5) % 26).toChar).mkString
+    val bases = (0 until 15).map { k =>
+      val body = (0 until 96).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+      boiler + body // every media shares the boilerplate head frames
+    }
+    val rows = bases.zipWithIndex.flatMap { case (s, k) =>
+      val mutAt = 64 + rnd.nextInt(96)
+      val mutated = s.substring(0, mutAt) + "#" + s.substring(mutAt + 1)
+      Seq(row(k.toLong, s), row(100L + k, mutated))
+    }
+    val media = table("media_id bigint, s string", rows)
+      .select(col("media_id"), col("s").cast("binary").as("payload"))
+    val got = Multimodal.frameNearDupPairs(media, nFrames = 6,
+        frameBytes = 16, threshold = 0.5, maxFrameBucket = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val sets = Multimodal.sampleFrames(media, 6, 16)
+      .select(col("media_id"), explode(col("frames")).as("f"))
+      .select(col("media_id"),
+        graft.expressions.GraftFunctions.dhash64(media, col("f")).as("fh"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(_.getLong(1)).toSet
+      }
+    val ids = sets.keys.toSeq.sorted
+    val exp = (for {
+      a <- ids; b <- ids if a < b
+      sh = (sets(a) intersect sets(b)).size
+      j = sh.toDouble / (sets(a).size + sets(b).size - sh)
+      if j >= 0.5
+    } yield ((a, b), (sh.toLong, sets(a).size.toLong, sets(b).size.toLong, j)))
+      .toMap
+    assert(got == exp,
+      s"missing: ${(exp.keySet -- got.keySet).take(5)}; " +
+        s"extra: ${(got.keySet -- exp.keySet).take(5)}")
+    assert(exp.size >= 15, s"only ${exp.size} qualifying pairs — vacuous")
+  }
+
   test("multimodal: resize planning fits max box, preserves aspect, never upscales") {
     val feats = table("media_id bigint, width int, height int", Seq(
       row(1L, 640, 480),   // downscale, bound by width
