@@ -3423,6 +3423,37 @@ object SparkEntry {
       .orderBy("source", "doc_id")
   }
 
+  // ---------------------------------------------------------------- q173
+  /** Streaming semantic decontamination gate
+    * ([[graft.streaming.StreamGate.replaySemanticGate]]): q110's eval
+    * corpus arriving as a FILE STREAM, each micro-batch flagged
+    * against the static train embeddings + the once-trained IVF model
+    * inside foreachBatch. Per-eval-row independence makes micro-batch
+    * partitioning provably irrelevant, so this replay is held to
+    * q110's VERBATIM oracle (the literal same SQL string) — the
+    * q128/q169 pattern: batch and stream are two formulations of one
+    * ground truth. Closes the decontamination matrix: lexical batch
+    * (q55) / lexical stream (q113) / semantic batch (q110) / semantic
+    * stream (this). */
+  private def q173StreamSemanticGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ivf
+    val emb = Tables.embeddings(s, dir)
+    val evalTwins = emb.filter(col("vec_id") % 3 === 0).select(
+      guardedTwinId(col("vec_id"), 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === lit(0), x * lit(2.0f)).otherwise(x))
+        .as("embedding"))
+    val evalClean = emb.filter(col("vec_id") % 3 === 1).select(
+      guardedTwinId(col("vec_id"), 2000000L).as("vec_id"),
+      reverse(col("embedding")).as("embedding"))
+    val eval = evalTwins.unionByName(evalClean)
+    val model = Ivf.train(emb, "vec_id", "embedding",
+      k = 16, iters = 3, sampleMod = 4)
+    graft.streaming.StreamGate.replaySemanticGate(eval, emb,
+        "vec_id", "embedding", model, threshold = 0.9, nprobe = 6)
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3596,7 +3627,49 @@ object SparkEntry {
     "q170_skew_plan" -> (q170SkewPlan _),
     "q171_boilerplate_lines" -> (q171BoilerplateLines _),
     "q172_token_budget" -> (q172TokenBudget _),
+    "q173_stream_semantic_gate" -> (q173StreamSemanticGate _),
   )
+
+  /** Shared by q110 (batch semantic decontamination) and q173 (the
+    * stream-gated replay) — two formulations, one ground truth: the
+    * EXACT full eval x train threshold graph. */
+  private val semanticDecontOracle: String =
+    """WITH ev AS (
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(list_zip(embedding, range(1, len(embedding)+1)),
+      |      z -> CASE WHEN z[2] = 1
+      |           THEN CAST(z[1] * CAST(2 AS REAL) AS REAL) ELSE z[1] END)
+      |      AS embedding
+      |  FROM embeddings WHERE vec_id % 3 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 2000000 AS vec_id, list_reverse(embedding) AS embedding
+      |  FROM embeddings WHERE vec_id % 3 = 1
+      |), en AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM ev
+      |), tn AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |), hits AS (
+      |  SELECT e.vec_id AS eid, t.vec_id AS tid
+      |  FROM en e JOIN tn t ON
+      |    list_sum(list_transform(list_zip(e.embedding, t.embedding),
+      |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+      |      / (e.nrm * t.nrm) >= 0.9
+      |), agg AS (
+      |  SELECT eid, COUNT(*) AS n_train_hits, MIN(tid) AS min_train_id
+      |  FROM hits GROUP BY eid
+      |)
+      |SELECT ev.vec_id,
+      |  (a.eid IS NOT NULL) AS contaminated,
+      |  COALESCE(a.n_train_hits, 0) AS n_train_hits,
+      |  a.min_train_id
+      |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
+      |ORDER BY vec_id""".stripMargin
 
   /** Shared by q128 (batch drift) and q169 (stream-maintained
     * histogram) - two formulations, one ground truth. */
@@ -5242,43 +5315,8 @@ object SparkEntry {
         |  (c0.vec_id = COALESCE(cm.comp, c0.vec_id)) AS kept
         |FROM corpus c0 LEFT JOIN comp cm ON c0.vec_id = cm.node
         |ORDER BY vec_id""".stripMargin,
-    "q110_semantic_decontaminate" ->
-      """WITH ev AS (
-        |  SELECT vec_id + 1000000 AS vec_id,
-        |    list_transform(list_zip(embedding, range(1, len(embedding)+1)),
-        |      z -> CASE WHEN z[2] = 1
-        |           THEN CAST(z[1] * CAST(2 AS REAL) AS REAL) ELSE z[1] END)
-        |      AS embedding
-        |  FROM embeddings WHERE vec_id % 3 = 0
-        |  UNION ALL
-        |  SELECT vec_id + 2000000 AS vec_id, list_reverse(embedding) AS embedding
-        |  FROM embeddings WHERE vec_id % 3 = 1
-        |), en AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM ev
-        |), tn AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings
-        |), hits AS (
-        |  SELECT e.vec_id AS eid, t.vec_id AS tid
-        |  FROM en e JOIN tn t ON
-        |    list_sum(list_transform(list_zip(e.embedding, t.embedding),
-        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-        |      / (e.nrm * t.nrm) >= 0.9
-        |), agg AS (
-        |  SELECT eid, COUNT(*) AS n_train_hits, MIN(tid) AS min_train_id
-        |  FROM hits GROUP BY eid
-        |)
-        |SELECT ev.vec_id,
-        |  (a.eid IS NOT NULL) AS contaminated,
-        |  COALESCE(a.n_train_hits, 0) AS n_train_hits,
-        |  a.min_train_id
-        |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
-        |ORDER BY vec_id""".stripMargin,
+    "q110_semantic_decontaminate" -> semanticDecontOracle,
+    "q173_stream_semantic_gate" -> semanticDecontOracle,
     "q131_incremental_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ship_month,

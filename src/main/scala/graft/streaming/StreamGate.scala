@@ -547,4 +547,62 @@ object StreamGate {
       Seq(src, stateRoot, ck).foreach(deleteRecursively)
     }
   }
+
+  /** Streaming semantic decontamination gate —
+    * [[graft.operators.Similarity.semanticDecontaminate]] with the
+    * EVAL side arriving as a file stream: each micro-batch is flagged
+    * against the STATIC train corpus and the IVF model trained ONCE
+    * outside the query, inside `foreachBatch` (the q113 bridge —
+    * whole-plan batch logic no stateless stream transform chain can
+    * express). This closes the decontamination matrix: lexical batch
+    * (q55), lexical stream (q113), semantic batch (q110), semantic
+    * stream (this). Partition-invariance is per-row independence: an
+    * eval vector's flag depends only on itself, the train corpus, and
+    * the model — never on other eval rows — so the micro-batch split
+    * provably cannot change any flag and the replay gate can hold the
+    * stream to q110's VERBATIM oracle. Stream state never
+    * accumulates: the train corpus + trained model ARE the state,
+    * owned outside the query ([[graft.operators.Ivf.save]]/`load` is
+    * the production artifact path).
+    *
+    * Returns the flagged eval frame (localCheckpoint'ed off the
+    * deleted temp output). */
+  def replaySemanticGate(
+      eval: DataFrame,
+      train: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: graft.operators.Ivf.Model,
+      threshold: Double,
+      nprobe: Int = 2,
+      maxCell: Int = 10000,
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = eval.sparkSession
+    val src = tempDir("graft_eval_src")
+    eval.coalesce(8).write.mode("overwrite").parquet(src)
+    val out = tempDir("graft_semgate_out")
+    val ck = tempDir("graft_semgate_ck")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    try {
+      val stream = spark.readStream.schema(eval.schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Similarity.semanticDecontaminate(batch, train,
+              idCol, vecCol, model, threshold, nprobe, maxCell)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      releaseLastReplay(spark.read.parquet(out).localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, out, ck).foreach(deleteRecursively)
+    }
+  }
 }

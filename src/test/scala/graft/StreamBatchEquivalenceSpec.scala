@@ -299,6 +299,31 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(streamed.size == 12, "PSI frame must carry the full bucket grid")
   }
 
+  test("stream semantic gate == batch semanticDecontaminate across micro-batches") {
+    import graft.operators.{Ivf, Similarity}
+    // 8 train directions on the unit circle (spacing ~0.785 rad); eval
+    // = 8 near-copies (offset 0.001 rad, cosine ~0.9999995 -> flagged)
+    // + 8 far rotations (offset 0.3 rad, cosine ~0.955 -> clean)
+    def vec(ang: Double) = Seq(math.cos(ang).toFloat, math.sin(ang).toFloat)
+    val train = table("vec_id bigint, v array<float>",
+      (0L until 8L).map(i => row(i, vec(i * math.Pi / 4))))
+    val eval = table("vec_id bigint, v array<float>",
+      (0L until 8L).map(i => row(100L + i, vec(i * math.Pi / 4 + 0.001))) ++
+        (0L until 8L).map(i => row(200L + i, vec(i * math.Pi / 4 + 0.3))))
+    val model = Ivf.train(train, "vec_id", "v", k = 2, iters = 3, sampleMod = 1)
+    // nprobe = k: cell restriction is provably exhaustive, so the ONLY
+    // claim under test is stream fold == batch, per-row independence
+    val streamed = StreamGate.replaySemanticGate(eval, train, "vec_id", "v",
+        model, threshold = 0.999, nprobe = 2, filesPerTrigger = 1)
+      .collect().map(_.toSeq).toSet
+    val batch = Similarity.semanticDecontaminate(eval, train, "vec_id", "v",
+        model, threshold = 0.999, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    assert(streamed.count(_(1) == true) == 8 && streamed.count(_(1) == false) == 8)
+  }
+
   test("sessionize idleTimeout closes open sessions exactly once and drops the key") {
     val s = spark
     import s.implicits._
