@@ -3454,6 +3454,29 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- q174
+  /** Compaction plan ([[graft.operators.Layout.compactionPlan]]): the
+    * nightly small-file maintenance decision over a synthetic manifest
+    * — one "file" per document sized by its character count, plus
+    * 100x-sized big files for every doc_id ≡ 0 mod 97 (which must come
+    * back with bin NULL: rewriting an already-large file is pure write
+    * amplification). Sorted-fill packing: (bytes desc, path) order,
+    * exclusive running-total offset, bin = offset DIV target — the
+    * oracle replays the sort, the window prefix sum, and every DIV;
+    * one misplaced file anywhere fails the hash. */
+  private def q174CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val manifest = docs
+      .select(col("doc_id").cast("string").as("path"),
+        col("n_chars").as("bytes"))
+      .unionByName(docs.filter(col("doc_id") % 97 === 0)
+        .select(concat(lit("big/"), col("doc_id")).as("path"),
+          (col("n_chars") * 100L).as("bytes")))
+    graft.operators.Layout.compactionPlan(manifest, "path", "bytes",
+        targetBytes = 10000L, skipAtOrAbove = 5000L)
+      .orderBy("path")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3628,6 +3651,7 @@ object SparkEntry {
     "q171_boilerplate_lines" -> (q171BoilerplateLines _),
     "q172_token_budget" -> (q172TokenBudget _),
     "q173_stream_semantic_gate" -> (q173StreamSemanticGate _),
+    "q174_compaction_plan" -> (q174CompactionPlan _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -5810,6 +5834,25 @@ object SparkEntry {
         |  COALESCE(k.cleaned_text, '') AS cleaned_text
         |FROM ln LEFT JOIN kept k ON ln.doc_id = k.doc_id
         |ORDER BY ln.doc_id""".stripMargin,
+    "q174_compaction_plan" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS path, n_chars AS bytes
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'big/' || CAST(doc_id AS VARCHAR), n_chars * 100
+        |  FROM documents WHERE doc_id % 97 = 0
+        |), small AS (
+        |  SELECT path, bytes,
+        |    COALESCE(CAST(SUM(bytes) OVER (ORDER BY bytes DESC, path
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS rt
+        |  FROM m WHERE bytes < 5000
+        |)
+        |SELECT m.path, m.bytes,
+        |  CASE WHEN m.bytes >= 5000 THEN NULL
+        |       ELSE s.rt // 10000 END AS bin
+        |FROM m LEFT JOIN small s ON m.path = s.path
+        |ORDER BY m.path""".stripMargin,
     "q172_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -102,4 +102,64 @@ object Layout {
       .repartitionByRange(numPartitions, col(zCol))
       .sortWithinPartitions(zCol)
   }
+
+  /** Small-file compaction planner — the table-maintenance decision a
+    * 100 TB lakehouse runs nightly (Delta `OPTIMIZE` / Iceberg
+    * `rewrite_data_files` bin packing): given a file manifest
+    * (`pathCol`, `bytesCol`), assign every small file to a merge bin
+    * targeting `targetBytes` of input per rewritten file, and leave
+    * already-large files (`bytes >= skipAtOrAbove`) alone (`bin`
+    * NULL) — rewriting a file that is already target-sized is pure
+    * write amplification.
+    *
+    * Packing is the SORTED-FILL rule, stated deliberately: files sort
+    * by (bytes desc, path — a total order), each file's EXCLUSIVE
+    * running byte total is its offset in the packing space, and its
+    * bin is `offset DIV targetBytes`. First-fit-decreasing packs a
+    * couple percent tighter but is inherently sequential (every
+    * placement depends on all previous bins' fill); sorted-fill is
+    * one range-partitioned sort + the
+    * [[General.withRunningTotal]] two-pass prefix sum — deterministic,
+    * engine-independent, and scales to a million-file manifest where
+    * a driver-side FFD loop would not. Size-descending order puts the
+    * few large files in early bins and sweeps the long tail of tiny
+    * files together — every bin's input lands within one file of the
+    * target.
+    *
+    * The manifest is validated loudly (one bounded aggregate): a null
+    * path, null byte count, or negative byte count means a corrupt
+    * listing and fails with a named cause, never a silently skewed
+    * plan.
+    *
+    * Output: one row per manifest file — `path`, `bytes`, `bin`
+    * (NULL = leave in place). Downstream: `groupBy(bin)` +
+    * `collect_list(path)` is the per-rewrite-task work list. */
+  def compactionPlan(
+      manifest: DataFrame,
+      pathCol: String,
+      bytesCol: String,
+      targetBytes: Long,
+      skipAtOrAbove: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes ($targetBytes) must be >= 1")
+    require(skipAtOrAbove >= 1 && skipAtOrAbove <= targetBytes,
+      s"skipAtOrAbove ($skipAtOrAbove) must be in [1, targetBytes] — " +
+        "above targetBytes the plan would merge files it also calls large")
+    val m = manifest.select(col(pathCol).as("path"),
+      col(bytesCol).cast("long").as("bytes"))
+    val bad = m.filter(col("path").isNull || col("bytes").isNull ||
+      col("bytes") < 0).count()
+    require(bad == 0,
+      s"compactionPlan: $bad manifest rows have a null path, null size, " +
+        "or negative size — corrupt file listing")
+    val small = m.filter(col("bytes") < skipAtOrAbove)
+      .withColumn("__neg", -col("bytes"))
+    val binned = General.withRunningTotal(small, Seq("__neg", "path"),
+        "bytes", "__rt")
+      .select(col("path"), col("bytes"),
+        expr(s"CAST(__rt DIV $targetBytes AS BIGINT)").as("bin"))
+    m.filter(col("bytes") >= skipAtOrAbove)
+      .select(col("path"), col("bytes"),
+        lit(null).cast("bigint").as("bin"))
+      .unionByName(binned)
+  }
 }

@@ -74,4 +74,42 @@ class LayoutSpec extends AnyFunSuite {
       graft.streaming.StreamGate.deleteRecursively(lexDir)
     }
   }
+
+  test("compactionPlan: sorted-fill bins hand-computed, large files skipped") {
+    // target 100, skip >= 80. Sorted (bytes desc, path):
+    //   f70(70) rt=0   bin 0
+    //   f60(60) rt=70  bin 0
+    //   f50(50) rt=130 bin 1
+    //   f40(40) rt=180 bin 1
+    //   a10(10) rt=220 bin 2   (ties on bytes break by path: a10 < b10)
+    //   b10(10) rt=230 bin 2
+    // f90 and f80 are >= skip -> bin NULL
+    val manifest = table("path string, bytes bigint", Seq(
+      row("f90", 90L), row("f80", 80L), row("f70", 70L), row("f60", 60L),
+      row("f50", 50L), row("f40", 40L), row("a10", 10L), row("b10", 10L)))
+    val got = Layout.compactionPlan(manifest, "path", "bytes",
+        targetBytes = 100L, skipAtOrAbove = 80L)
+      .orderBy("path").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(got == Seq(
+      ("a10", 10L, Some(2L)), ("b10", 10L, Some(2L)),
+      ("f40", 40L, Some(1L)), ("f50", 50L, Some(1L)),
+      ("f60", 60L, Some(0L)), ("f70", 70L, Some(0L)),
+      ("f80", 80L, None), ("f90", 90L, None)))
+    // corrupt manifests fail loudly, never plan silently
+    val nullRow = table("path string, bytes bigint",
+      Seq(row("x", 1L), row(null.asInstanceOf[String], 2L)))
+    assert(intercept[IllegalArgumentException] {
+      Layout.compactionPlan(nullRow, "path", "bytes", 100L, 80L)
+    }.getMessage.contains("corrupt"))
+    val negRow = table("path string, bytes bigint", Seq(row("x", -1L)))
+    assert(intercept[IllegalArgumentException] {
+      Layout.compactionPlan(negRow, "path", "bytes", 100L, 80L)
+    }.getMessage.contains("corrupt"))
+    // parameter validation: skip above target is self-contradictory
+    assert(intercept[IllegalArgumentException] {
+      Layout.compactionPlan(manifest, "path", "bytes", 100L, 200L)
+    }.getMessage.contains("skipAtOrAbove"))
+  }
 }
