@@ -3477,6 +3477,34 @@ object SparkEntry {
       .orderBy("path")
   }
 
+  // ---------------------------------------------------------------- q175
+  /** Cohen's kappa ([[graft.operators.Eval.cohenKappa]]) between the
+    * gold `lang` labels and the q16/q168 langId heuristic — the
+    * chance-corrected agreement number that tells an annotation
+    * pipeline whether the cheap labeler beats the class balance, not
+    * just matches it. Exact-integer numerator/denominator
+    * (`(n·a − P) / (n² − P)` with P = Σ marginal products, carried as
+    * DECIMAL(38,0)), one IEEE division, 6-decimal rounded on both
+    * engines. */
+  private def q175CohenKappa(s: SparkSession, dir: String): DataFrame = {
+    val labeled = Tables.documents(s, dir)
+      .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+    graft.operators.Eval.cohenKappa(labeled, "lang", "predicted")
+  }
+
+  // ---------------------------------------------------------------- q176
+  /** Training-shard manifest ([[graft.operators.Corpus
+    * .shardManifest]]): q61's deterministic md5-permuted round-robin
+    * shards rolled up to per-shard doc/token counts plus exclusive
+    * GLOBAL token offsets — the resume table a training scheduler
+    * reads. The oracle recomputes the permutation (its own md5 +
+    * row_number), the shard deal, both rollups, and the offset window
+    * — integer-exact end to end. */
+  private def q176ShardManifest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.shardManifest(
+        Tables.documents(s, dir), "doc_id", "text", nShards = 8)
+      .orderBy("shard")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3652,6 +3680,8 @@ object SparkEntry {
     "q172_token_budget" -> (q172TokenBudget _),
     "q173_stream_semantic_gate" -> (q173StreamSemanticGate _),
     "q174_compaction_plan" -> (q174CompactionPlan _),
+    "q175_cohen_kappa" -> (q175CohenKappa _),
+    "q176_shard_manifest" -> (q176ShardManifest _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -5834,6 +5864,60 @@ object SparkEntry {
         |  COALESCE(k.cleaned_text, '') AS cleaned_text
         |FROM ln LEFT JOIN kept k ON ln.doc_id = k.doc_id
         |ORDER BY ln.doc_id""".stripMargin,
+    "q175_cohen_kappa" ->
+      """WITH t AS (
+        |  SELECT lang, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT lang,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('el','los','las','y'))) AS s_es
+        |  FROM t
+        |), g AS (
+        |  SELECT lang, CASE
+        |    WHEN s_en = greatest(s_en, s_fr, s_de, s_es) AND s_en > 0 THEN 'en'
+        |    WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) AND s_fr > 0 THEN 'fr'
+        |    WHEN s_de = greatest(s_en, s_fr, s_de, s_es) AND s_de > 0 THEN 'de'
+        |    WHEN s_es = greatest(s_en, s_fr, s_de, s_es) AND s_es > 0 THEN 'es'
+        |    ELSE 'und' END AS predicted
+        |  FROM s WHERE lang IS NOT NULL
+        |), c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) FILTER (WHERE lang = predicted) AS BIGINT) AS agree
+        |  FROM g
+        |), rm AS (SELECT lang AS k, COUNT(*) AS ra FROM g GROUP BY 1),
+        |cm AS (SELECT predicted AS k, COUNT(*) AS cb FROM g GROUP BY 1),
+        |pe AS (
+        |  SELECT COALESCE(CAST(SUM(rm.ra * cm.cb) AS HUGEINT), 0) AS p
+        |  FROM rm JOIN cm USING (k)
+        |)
+        |SELECT c.n, c.agree AS n_agree,
+        |  ROUND(CAST(c.n * c.agree - pe.p AS DOUBLE) /
+        |        CAST(c.n * c.n - pe.p AS DOUBLE), 6) AS kappa6
+        |FROM c, pe""".stripMargin,
+    "q176_shard_manifest" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |      - 1 AS pos
+        |  FROM documents
+        |), d AS (
+        |  SELECT CAST(pos % 8 AS INTEGER) AS shard,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+        |      AS n_toks
+        |  FROM p
+        |), r AS (
+        |  SELECT shard, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT shard, n_docs, n_tokens,
+        |  COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY shard
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS BIGINT), 0) AS token_offset
+        |FROM r ORDER BY shard""".stripMargin,
     "q174_compaction_plan" ->
       """WITH m AS (
         |  SELECT CAST(doc_id AS VARCHAR) AS path, n_chars AS bytes

@@ -41,6 +41,15 @@ object GraftFunctions {
       s"$name expects a literal array<string> argument, got $other")
   }
 
+  private def floatArrayArg(name: String, e: Expression): Seq[Float] = e match {
+    case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _)) =>
+      v.toFloatArray().toSeq
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal array<float> argument, got $other")
+  }
+
   /** (name, builder) for every native expression. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot_f32" -> { args => DotProductF32(args(0), args(1)) },
@@ -56,6 +65,10 @@ object GraftFunctions {
       SimHashFromHashes(args(0), intArg("graft_simhash", args(1)))
     },
     "graft_quantized_dot" -> { args => QuantizedDotF32(args(0), args(1)) },
+    "graft_pq_encode" -> { args =>
+      PqEncode(args(0), floatArrayArg("graft_pq_encode", args(1)),
+        intArg("graft_pq_encode", args(2)), intArg("graft_pq_encode", args(3)))
+    },
     "graft_sorted_intersect" -> { args => SortedIntersectCount(args(0), args(1)) },
     "graft_sparse_dot" -> { args =>
       SparseDotSorted(args(0), args(1), args(2), args(3))
@@ -124,6 +137,20 @@ object GraftFunctions {
   def sortedIntersect(df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Column = {
     ensureRegistered(df.sparkSession)
     call_function("graft_sorted_intersect", a, b)
+  }
+
+  /** All m PQ sub-centroid assignments of a float vector in one
+    * runtime loop over the flattened row-major m x k x dsub codebook
+    * (native; plan size constant in the codebook size). */
+  def pqEncode(df: org.apache.spark.sql.DataFrame, vec: Column,
+      codebooks: Seq[Seq[Array[Float]]]): Column = {
+    ensureRegistered(df.sparkSession)
+    val m = codebooks.length
+    require(m > 0 && codebooks.forall(_.length == codebooks.head.length),
+      "codebooks must be a non-empty rectangular m x k table")
+    val k = codebooks.head.length
+    val flat = codebooks.flatten.flatten.toArray
+    call_function("graft_pq_encode", vec, lit(flat), lit(m), lit(k))
   }
 
   /** Merge-walk sparse dot product over two (sorted-ascending key

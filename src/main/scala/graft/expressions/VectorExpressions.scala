@@ -252,3 +252,156 @@ case class QuantizedDotF32(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): QuantizedDotF32 =
     copy(left = newLeft, right = newRight)
 }
+
+/** All `m` PQ sub-centroid assignments of a float vector as ONE
+  * expression node — a runtime loop over a pinned flat codebook
+  * instead of `m x k` inlined dot-product plan nodes.
+  *
+  * Why this exists: the composed-builtins PQ encode —
+  * `array_max(array(struct(dot(slice(v,...), centroid_literal) - ...`
+  * per (subspace, cell) — is correct but inlines one scored struct
+  * per sub-centroid into the projection: at the m=8, k=16 test
+  * geometry that is 128 dot-product subtrees, whose generated
+  * `doConsume` method exceeds Janino's 64 KB limit and silently
+  * drops the WHOLE stage out of codegen (observed in q114/q115's
+  * plans: `WholeStageCodegenExec ... Code grows beyond 64 KB`); a
+  * production m=16, k=256 codebook would be 4096 subtrees and not
+  * even analyze cheaply. Here the codebook rides the plan's
+  * reference array ([[graft.expressions.ReplaceChain]]'s discipline —
+  * shipped once per stage with the task binary) and both eval paths
+  * run the same three nested loops, so plan size, codegen size, and
+  * analysis cost are CONSTANT in `m·k·dsub`.
+  *
+  * Semantics replicate the composed formulation bit-for-bit: per
+  * subspace, score every cell by `dot(sub-vector, centroid) −
+  * ‖centroid‖²/2` (the L2-argmin surrogate; dot accumulated in
+  * doubles over float products, ascending dimension — exactly
+  * [[DotProductF32]]'s fold), ties toward the HIGHER cell id (the
+  * `array_max` struct convention, reproduced by scanning cells
+  * ascending with `>=`). A vector of the wrong length or with a null
+  * element yields null.
+  *
+  * `flat` is the row-major `m x k x dsub` codebook; it rides the case
+  * class so tree equality and canonicalization see it. */
+case class PqEncode(
+    child: Expression,
+    flat: Seq[Float],
+    m: Int,
+    k: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(m > 0 && k > 0, s"$prettyName: m ($m) and k ($k) must be positive")
+  require(flat.nonEmpty && flat.length % (m * k) == 0,
+    s"$prettyName: flat codebook length ${flat.length} is not m*k*dsub " +
+      s"for m=$m, k=$k")
+
+  def dsub: Int = flat.length / (m * k)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // nullable even over a non-null child: a wrong-length vector yields
+  // null — without this override nullSafeCodeGen would emit no isNull
+  // local for non-nullable children and the assignment would not compile
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  @transient private lazy val cb: Array[Float] = flat.toArray
+  // ‖centroid‖²/2 per (sub, cell), accumulated in the SAME ascending
+  // double-over-float fold as Pq.normSq — bit-identical surrogate
+  @transient private lazy val halfNorms: Array[Double] = {
+    val hn = new Array[Double](m * k)
+    var sc = 0
+    while (sc < m * k) {
+      var acc = 0.0
+      var j = 0
+      while (j < dsub) {
+        val x = cb(sc * dsub + j).toDouble
+        acc += x * x
+        j += 1
+      }
+      hn(sc) = acc / 2.0
+      sc += 1
+    }
+    hn
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = dsub
+    if (v.numElements() != m * d) return null
+    var i = 0
+    while (i < m * d) { if (v.isNullAt(i)) return null; i += 1 }
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = Double.NegativeInfinity
+      var bestC = 0
+      var c = 0
+      while (c < k) {
+        var dot = 0.0
+        var j = 0
+        while (j < d) {
+          dot += v.getFloat(s * d + j).toDouble *
+            cb((s * k + c) * d + j).toDouble
+          j += 1
+        }
+        val score = dot - halfNorms(s * k + c)
+        if (score >= best) { best = score; bestC = c }
+        c += 1
+      }
+      codes(s) = bestC
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "float[]")
+    val hnRef = ctx.addReferenceObj("pqHalfNorms", halfNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, in => {
+      val d = dsub
+      val codes = ctx.freshName("codes")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val score = ctx.freshName("score")
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      s"""
+         |if ($in.numElements() != ${m * d}) { ${ev.isNull} = true; }
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < ${m * d}; $i++) {
+         |    if ($in.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  int[] $codes = new int[$m];
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    double $best = Double.NEGATIVE_INFINITY;
+         |    int $bestC = 0;
+         |    for (int $c = 0; $c < $k; $c++) {
+         |      double $dot = 0.0;
+         |      for (int $j = 0; $j < $d; $j++) {
+         |        $dot += (double) $in.getFloat($s * $d + $j)
+         |          * (double) $cbRef[($s * $k + $c) * $d + $j];
+         |      }
+         |      double $score = $dot - $hnRef[$s * $k + $c];
+         |      if ($score >= $best) { $best = $score; $bestC = $c; }
+         |    }
+         |    $codes[$s] = $bestC;
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}

@@ -741,6 +741,42 @@ object Corpus {
       .drop("__skey")
   }
 
+  /** Training-shard manifest with GLOBAL token offsets — the resume
+    * table a training scheduler reads: [[shuffleShard]]'s
+    * deterministic shards rolled up to (docs, tokens) per shard, plus
+    * each shard's exclusive global token offset, so "resume from token
+    * 4.2B" maps to a (shard, position-within-shard) without scanning
+    * data. The offsets are also the contract a packing stage
+    * ([[packSequencesByCount]]) and a data-budget stage
+    * ([[tokenBudgetSelect]]) schedule against.
+    *
+    * Scale shape: the shard assignment is [[shuffleShard]]'s
+    * range-partitioned machinery; the rollup is one
+    * map-side-combined aggregation onto `nShards` rows; offsets over
+    * that shard-bounded frame go through
+    * [[General.withRunningTotal]] — even at 8 rows, the
+    * no-single-partition-window discipline is cheaper than defending
+    * an exception to it.
+    *
+    * Output: (`shard`, `n_docs`, `n_tokens`, `token_offset`), one row
+    * per non-empty shard. */
+  def shardManifest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShards: Int): DataFrame = {
+    val sharded = shuffleShard(
+      df.select(col(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("__nt")),
+      idCol, nShards)
+    val perShard = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+    General.withRunningTotal(perShard, Seq("shard"), "n_tokens",
+        "token_offset")
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("token_offset"))
+  }
+
   /** HYBRID retrieval: a cheap lexical recall stage over the full
     * corpus, then an exact dense (cosine) re-rank over only the
     * surviving candidates — the two-stage shape retrieval-augmented

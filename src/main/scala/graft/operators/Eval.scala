@@ -453,4 +453,66 @@ object Eval {
       .orderBy(col("fused6").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two
+    * categorical labelings (two annotators, a heuristic vs gold
+    * labels, two model generations): `kappa = (p_o − p_e) / (1 − p_e)`
+    * where `p_o` is observed agreement and `p_e` the agreement two
+    * INDEPENDENT labelers with the same marginals would reach by
+    * chance — the label-quality number an annotation pipeline reports
+    * instead of raw accuracy, which a skewed class balance inflates
+    * for free.
+    *
+    * Arithmetic is exact until ONE division: with `n` rows, `a`
+    * agreements, and `P = Σ_k rowMarginal_k · colMarginal_k`,
+    * `kappa = (n·a − P) / (n² − P)` — numerator and denominator are
+    * exact integers (carried as DECIMAL(38,0), since `n²` overflows a
+    * long at petabyte row counts), so the only IEEE operation is the
+    * final division, rounded to 6 decimals on both engines. Rows where
+    * either label is NULL are excluded (unlabeled, not a category).
+    * Degenerate corpus where `p_e = 1` (both labelers constant):
+    * kappa is NULL — agreement beyond chance is undefined, not zero.
+    *
+    * Scale shape: one map-side-combined count onto (a, b) cells —
+    * bounded by the label-vocabulary square, never the corpus — then
+    * marginals and the `P` join over that tiny cell table; three
+    * bounded driver scalars, one output row.
+    *
+    * Output: (`n`, `n_agree`, `kappa6`). */
+  def cohenKappa(
+      df: DataFrame,
+      colA: String,
+      colB: String): DataFrame = {
+    val spark = df.sparkSession
+    val cells = df
+      .select(col(colA).cast("string").as("a"), col(colB).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val rowM = cells.groupBy("a").agg(sum(col("c")).as("ra"))
+    val colM = cells.groupBy("b").agg(sum(col("c")).as("cb"))
+    val t = cells.agg(
+        coalesce(sum(col("c")), lit(0L)).as("n"),
+        coalesce(sum(when(col("a") === col("b"), col("c"))
+          .otherwise(lit(0L))), lit(0L)).as("agree"))
+      .head()
+    val (n, agree) = (t.getLong(0), t.getLong(1))
+    require(n > 0, "cohenKappa needs at least one doubly-labeled row")
+    val peRow = rowM.join(colM, col("a") === col("b"))
+      .agg(coalesce(sum(col("ra").cast("decimal(38,0)") *
+        col("cb").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
+      .head()
+    val p = BigDecimal(peRow.getDecimal(0))
+    val nB = BigDecimal(n)
+    val num = nB * BigDecimal(agree) - p
+    val den = nB * nB - p
+    // HALF_UP == round-half-away-from-zero == DuckDB's ROUND convention
+    // (kappa can be negative, where JVM math.round would diverge)
+    val kappa6: java.lang.Double =
+      if (den == BigDecimal(0)) null
+      else BigDecimal(num.toDouble / den.toDouble)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    Seq((n, agree, Option(kappa6).map(_.doubleValue)))
+      .toDF("n", "n_agree", "kappa6")
+  }
 }

@@ -53,27 +53,25 @@ object Pq {
     s
   }
 
-  /** Nearest sub-centroid id for subspace `s` of `vec` — argmax of the
-    * dot-minus-half-norm surrogate (== L2 argmin), ties toward the
-    * higher cell id (struct max, the [[Ivf.assign]] convention). */
-  private def subCode(df: DataFrame, vec: Column, model: Model,
-      s: Int): Column = {
-    val sv = slice(vec, s * model.dsub + 1, model.dsub)
-    val scored = array(model.codebooks(s).zipWithIndex.map { case (c, i) =>
-      struct(
-        (GraftFunctions.dotF32(df, sv, Similarity.vectorLit(c.toSeq))
-          - lit(normSq(c) / 2.0)).as("score"),
-        lit(i).as("cell"))
-    }: _*)
-    array_max(scored).getField("cell")
-  }
+  /** All m nearest sub-centroid ids of `vec` — ONE native expression
+    * ([[graft.expressions.PqEncode]]) looping the flattened codebook
+    * at runtime: argmax of the dot-minus-half-norm surrogate (== L2
+    * argmin) per subspace, ties toward the higher cell id (the
+    * [[Ivf.assign]] struct-max convention, bit-identically
+    * reproduced). The composed-builtins alternative — one scored
+    * struct subtree per (sub, cell) — inlined m·k dot products into
+    * the projection and blew Janino's 64 KB method limit at the test
+    * geometry already (whole-stage codegen silently disabled); the
+    * native loop keeps plan and codegen size constant in the codebook
+    * dimensions. */
+  private def allCodes(df: DataFrame, vec: Column, model: Model): Column =
+    GraftFunctions.pqEncode(df, vec, model.codebooks)
 
   /** Map-only PQ encode: `codeCol` = the vector's `m` sub-centroid
     * ids, ordered by subspace. */
   def encode(df: DataFrame, vecCol: String, model: Model,
       codeCol: String = "pq_code"): DataFrame =
-    df.withColumn(codeCol,
-      array((0 until model.m).map(s => subCode(df, col(vecCol), model, s)): _*))
+    df.withColumn(codeCol, allCodes(df, col(vecCol), model))
 
   /** Train an m x k PQ codebook set. Vector length must be divisible
     * by `m`; `k` must fit a byte-code deployment (<= 256). Sampling,
@@ -118,9 +116,10 @@ object Pq {
         val model = Model(codebooks)
         // one exploded pass covers all m subspaces: (sub, cell, dim)
         // decimal partials, map-side combined, m*k*dsub rows total
+        val codes = allCodes(sampled, col(vecCol), model)
         val subRows = sampled.select(explode(array((0 until m).map(s =>
             struct(lit(s).as("sub"),
-              subCode(sampled, col(vecCol), model, s).as("cell"),
+              element_at(codes, s + 1).as("cell"),
               slice(col(vecCol), s * dsub + 1, dsub).as("sv"))): _*)).as("e"))
           .select(col("e.sub").as("__sub"), col("e.cell").as("__cell"),
             posexplode(col("e.sv")).as(Seq("__d", "__x")))

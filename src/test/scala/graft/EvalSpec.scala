@@ -267,4 +267,30 @@ class EvalSpec extends AnyFunSuite {
       Eval.reciprocalRankFusion(Seq(a, b), "id", "s", 0, 3)
     }
   }
+
+  test("cohenKappa: hand-computed, NULL labels excluded, degenerate NULL, perfect 1") {
+    // cells: (a,a)x4 (b,b)x3 (a,b)x2 (b,a)x1 -> n=10, agree=7,
+    // rowM a=6 b=4, colM a=5 b=5, P=6*5+4*5=50
+    // kappa = (10*7 - 50)/(100 - 50) = 0.4
+    val rows = Seq.fill(4)(row("a", "a")) ++ Seq.fill(3)(row("b", "b")) ++
+      Seq.fill(2)(row("a", "b")) ++ Seq(row("b", "a")) ++
+      Seq(row(null.asInstanceOf[String], "a"), row("a", null.asInstanceOf[String]))
+    val df = table("x string, y string", rows)
+    val out = Eval.cohenKappa(df, "x", "y").head()
+    assert(out.getLong(0) == 10L)   // NULL-labeled rows excluded
+    assert(out.getLong(1) == 7L)
+    assert(out.getDouble(2) == 0.4)
+    // perfect agreement with >1 category -> exactly 1
+    val perfect = table("x string, y string",
+      Seq(row("a", "a"), row("b", "b"), row("c", "c")))
+    assert(Eval.cohenKappa(perfect, "x", "y").head().getDouble(2) == 1.0)
+    // both labelers constant: p_e = 1, kappa undefined -> NULL, not 0
+    val constant = table("x string, y string",
+      Seq(row("a", "a"), row("a", "a")))
+    assert(Eval.cohenKappa(constant, "x", "y").head().isNullAt(2))
+    // empty (or all-unlabeled) fails loudly
+    intercept[IllegalArgumentException] {
+      Eval.cohenKappa(df.filter(lit(false)), "x", "y")
+    }
+  }
 }

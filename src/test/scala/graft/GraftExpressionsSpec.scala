@@ -305,7 +305,8 @@ class GraftExpressionsSpec extends AnyFunSuite {
         SimHashFromHashes(lArr, 32), CleanAsciiText(str),
         UnicodeNormalize(str, "NFC"), DHash64(bin),
         ReplaceChain(str, Seq("Quick", "The"), Seq("Slow", "A")),
-        SparseDotSorted(lArr, dArr, lArr, dArr))
+        SparseDotSorted(lArr, dArr, lArr, dArr),
+        PqEncode(fArr, Seq(1f, 0f, 0f, 0f, 1f, 1f), m = 1, k = 2))
     }
     val both = exprs ++ exprs // two fresh instance sets, one codegen scope
     val proj = GenerateUnsafeProjection.generate(both)
@@ -378,8 +379,8 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(names.toSet == Set("graft_dot_f32", "graft_cosine_f32",
       "graft_minhash_sig", "graft_shingles", "graft_clean_text", "graft_simhash",
       "graft_quantized_dot", "graft_sorted_intersect", "graft_sparse_dot",
-      "graft_bloom_might_contain", "graft_unicode_normalize", "graft_dhash64",
-      "graft_replace_chain"))
+      "graft_pq_encode", "graft_bloom_might_contain",
+      "graft_unicode_normalize", "graft_dhash64", "graft_replace_chain"))
     // per-session registration: repeated calls are safe, functions resolve
     GraftFunctions.ensureRegistered(spark)
     GraftFunctions.ensureRegistered(spark)

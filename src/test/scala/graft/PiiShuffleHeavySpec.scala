@@ -54,6 +54,26 @@ class PiiShuffleHeavySpec extends AnyFunSuite {
     assert(out.sortBy(_._1).map(_._2).toSeq != (0L until 100L))
   }
 
+  test("shardManifest: rollups match shuffleShard ground truth, offsets exclusive") {
+    val docs = table("id bigint, text string",
+      (0L until 30L).map(i => row(i, ("w " * (i + 1).toInt).trim)))
+    val manifest = Corpus.shardManifest(docs, "id", "text", nShards = 4)
+      .orderBy("shard").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // ground truth from the q61-pinned primitive + a driver rollup
+    val truth = Corpus.shuffleShard(docs, "id", 4)
+      .select("id", "shard").collect()
+      .map(r => (r.getInt(1), r.getLong(0) + 1)) // doc i has i+1 tokens
+      .groupBy(_._1).map { case (s, g) => (s, g.size.toLong, g.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    assert(manifest.map(t => (t._1, t._2, t._3)).toSeq == truth)
+    // offsets = exclusive prefix of n_tokens in shard order; total = corpus
+    manifest.foldLeft(0L) { case (acc, (_, _, nt, off)) =>
+      assert(off == acc); acc + nt
+    }
+    assert(manifest.map(_._3).sum == (1L to 30L).sum)
+  }
+
   // ------------------------------------------------------- Misra-Gries
 
   test("MisraGries guarantee: every item above n/(k+1) survives reduce+merge") {

@@ -26,6 +26,48 @@ class PqSpec extends AnyFunSuite {
       got.toString)
   }
 
+  test("native encode agrees with a brute-force replica; degenerate inputs null") {
+    // the native PqEncode loop vs an independent Scala argmax over the
+    // same surrogate (dot - ||c||^2/2, double-over-float fold, ties to
+    // the higher cell) — one disagreement on 200 random vectors fails
+    val rnd = new scala.util.Random(19)
+    val m = 4; val k = 8; val d = 4
+    val model = Pq.Model(Vector.fill(m)(Vector.fill(k)(
+      Array.fill(d)(rnd.nextFloat() * 2 - 1))))
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.fill(m * d)(rnd.nextFloat() * 2 - 1)))
+    val df = table("vec_id bigint, v array<float>",
+      vecs.map { case (i, v) => row(i, v) })
+    val got = Pq.encode(df, "v", model, "code")
+      .orderBy("vec_id").collect()
+      .map(r => r.getSeq[Int](2).toList).toSeq
+    val exp = vecs.map { case (_, v) =>
+      (0 until m).map { s =>
+        var best = Double.NegativeInfinity; var bestC = 0
+        for (c <- 0 until k) {
+          var dot = 0.0
+          for (j <- 0 until d)
+            dot += v(s * d + j).toDouble * model.codebooks(s)(c)(j).toDouble
+          var nsq = 0.0
+          for (j <- 0 until d) {
+            val x = model.codebooks(s)(c)(j).toDouble; nsq += x * x
+          }
+          val score = dot - nsq / 2.0
+          if (score >= best) { best = score; bestC = c }
+        }
+        bestC
+      }.toList
+    }
+    assert(got == exp)
+    // wrong-length vector and null element yield NULL codes, loudly typed
+    val degenerate = table("vec_id bigint, v array<float>", Seq(
+      row(1L, Seq(1.0f, 2.0f)),                 // wrong length
+      row(2L, null.asInstanceOf[Seq[Float]])))  // null vector
+    val nulls = Pq.encode(degenerate, "v", model, "code")
+      .orderBy("vec_id").collect()
+    assert(nulls.forall(_.isNullAt(2)))
+  }
+
   test("searchAdc: hand-computed lookup sums, deterministic tie order") {
     val enc = table("vec_id bigint, code array<int>", Seq(
       row(1L, Seq(0, 0)),   // 1 + 2 = 3
