@@ -3505,6 +3505,44 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", nShards = 8)
       .orderBy("shard")
 
+  // ---------------------------------------------------------------- q177
+  /** Join explosion audit ([[graft.operators.Skew
+    * .joinExplosionAudit]]): the pre-flight diagnostic for the OTHER
+    * way a 100 TB join dies — a many-to-many key whose per-key row
+    * product multiplies out. Audits the accidental self-join of
+    * documents on `lang` (5 values, so every language contributes
+    * count² rows): per-key counts both sides, exact projected output
+    * cardinality, share of total — integers and one IEEE division,
+    * computed WITHOUT running the join being modeled. */
+  private def q177JoinExplosion(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Skew.joinExplosionAudit(docs, docs, Seq("lang"), topN = 5)
+      .orderBy(col("out_rows").desc, col("lang"))
+  }
+
+  // ---------------------------------------------------------------- q178
+  /** Label-error screen ([[graft.operators.Classify
+    * .labelErrorScreen]]) — confident-learning over planted label
+    * noise: gold = (lang = 'en'), flipped for every doc_id ≡ 0 mod 23
+    * (the noise), folds = doc_id % 2, and every doc scored by the NB
+    * model trained on the OTHER fold (with the noisy labels — the
+    * realistic setting). Confident disagreements (|log_odds6| >= 2,
+    * rounded before both tests) are the re-annotation queue; the
+    * oracle retrains both fold models in SQL — including the
+    * unseen-token Laplace floors q112's same-corpus oracle never
+    * needed — and replays every score and flag. */
+  private def q178LabelErrors(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val gold = size(filter(toks, t => t === "fast")) >
+      size(filter(toks, t => t === "slow"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+      (gold =!= (col("doc_id") % 23 === 0)).as("noisy_label"),
+      (col("doc_id") % 2).cast("int").as("fold"))
+    graft.operators.Classify.labelErrorScreen(docs, "doc_id", "text",
+        "noisy_label", "fold", margin = 2.0)
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3682,6 +3720,8 @@ object SparkEntry {
     "q174_compaction_plan" -> (q174CompactionPlan _),
     "q175_cohen_kappa" -> (q175CohenKappa _),
     "q176_shard_manifest" -> (q176ShardManifest _),
+    "q177_join_explosion" -> (q177JoinExplosion _),
+    "q178_label_errors" -> (q178LabelErrors _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -5864,6 +5904,118 @@ object SparkEntry {
         |  COALESCE(k.cleaned_text, '') AS cleaned_text
         |FROM ln LEFT JOIN kept k ON ln.doc_id = k.doc_id
         |ORDER BY ln.doc_id""".stripMargin,
+    "q177_join_explosion" ->
+      """WITH lc AS (
+        |  SELECT lang, COUNT(*) AS n_left FROM documents GROUP BY 1
+        |), rc AS (
+        |  SELECT lang, COUNT(*) AS n_right FROM documents GROUP BY 1
+        |), pk AS (
+        |  SELECT lc.lang, lc.n_left, rc.n_right,
+        |    lc.n_left * rc.n_right AS out_rows
+        |  FROM lc JOIN rc USING (lang)
+        |), t AS (
+        |  SELECT CAST(SUM(out_rows) AS BIGINT) AS total FROM pk
+        |)
+        |SELECT pk.lang, pk.n_left, pk.n_right,
+        |  CAST(pk.out_rows AS BIGINT) AS out_rows,
+        |  ROUND(CAST(pk.out_rows AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+        |    AS share6
+        |FROM pk CROSS JOIN t
+        |ORDER BY out_rows DESC, lang LIMIT 5""".stripMargin,
+    "q178_label_errors" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    ((len(list_filter(string_split_regex(trim(text), ' +'),
+        |        x -> x = 'fast')) >
+        |      len(list_filter(string_split_regex(trim(text), ' +'),
+        |        x -> x = 'slow'))) != (doc_id % 23 = 0)) AS label,
+        |    CAST(doc_id % 2 AS INTEGER) AS fold
+        |  FROM documents
+        |), tk1 AS (
+        |  SELECT doc_id, label AS pos,
+        |    unnest(string_split_regex(trim(text), ' +')) AS token
+        |  FROM base WHERE fold = 1
+        |), cc1 AS (
+        |  SELECT token,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cneg
+        |  FROM tk1 GROUP BY token
+        |), s1 AS (
+        |  SELECT SUM(cpos) AS totpos, SUM(cneg) AS totneg, COUNT(*) AS v
+        |  FROM cc1
+        |), n1 AS (
+        |  SELECT SUM(CASE WHEN label THEN 1 ELSE 0 END) AS npos,
+        |    COUNT(*) AS ntot
+        |  FROM base WHERE fold = 1
+        |), lp1 AS (
+        |  SELECT cc1.token,
+        |    ln((cc1.cpos + 1.0) / (s.totpos + CAST(s.v AS DOUBLE))) AS lppos,
+        |    ln((cc1.cneg + 1.0) / (s.totneg + CAST(s.v AS DOUBLE))) AS lpneg
+        |  FROM cc1 CROSS JOIN s1 s
+        |), dtf0 AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf
+        |  FROM (SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), ' +')) AS token
+        |    FROM base WHERE fold = 0)
+        |  GROUP BY doc_id, token
+        |), sc0 AS (
+        |  SELECT dtf0.doc_id,
+        |    (SELECT ln(CAST(npos AS DOUBLE) / CAST(ntot - npos AS DOUBLE))
+        |       FROM n1) +
+        |    SUM(dtf0.tf * (
+        |      COALESCE(lp1.lppos,
+        |        (SELECT ln(1.0 / (totpos + CAST(v AS DOUBLE))) FROM s1)) -
+        |      COALESCE(lp1.lpneg,
+        |        (SELECT ln(1.0 / (totneg + CAST(v AS DOUBLE))) FROM s1))))
+        |      AS lo
+        |  FROM dtf0 LEFT JOIN lp1 USING (token) GROUP BY dtf0.doc_id
+        |), tk0 AS (
+        |  SELECT doc_id, label AS pos,
+        |    unnest(string_split_regex(trim(text), ' +')) AS token
+        |  FROM base WHERE fold = 0
+        |), cc0 AS (
+        |  SELECT token,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cneg
+        |  FROM tk0 GROUP BY token
+        |), s0 AS (
+        |  SELECT SUM(cpos) AS totpos, SUM(cneg) AS totneg, COUNT(*) AS v
+        |  FROM cc0
+        |), n0 AS (
+        |  SELECT SUM(CASE WHEN label THEN 1 ELSE 0 END) AS npos,
+        |    COUNT(*) AS ntot
+        |  FROM base WHERE fold = 0
+        |), lp0 AS (
+        |  SELECT cc0.token,
+        |    ln((cc0.cpos + 1.0) / (s.totpos + CAST(s.v AS DOUBLE))) AS lppos,
+        |    ln((cc0.cneg + 1.0) / (s.totneg + CAST(s.v AS DOUBLE))) AS lpneg
+        |  FROM cc0 CROSS JOIN s0 s
+        |), dtf1 AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf
+        |  FROM (SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), ' +')) AS token
+        |    FROM base WHERE fold = 1)
+        |  GROUP BY doc_id, token
+        |), sc1 AS (
+        |  SELECT dtf1.doc_id,
+        |    (SELECT ln(CAST(npos AS DOUBLE) / CAST(ntot - npos AS DOUBLE))
+        |       FROM n0) +
+        |    SUM(dtf1.tf * (
+        |      COALESCE(lp0.lppos,
+        |        (SELECT ln(1.0 / (totpos + CAST(v AS DOUBLE))) FROM s0)) -
+        |      COALESCE(lp0.lpneg,
+        |        (SELECT ln(1.0 / (totneg + CAST(v AS DOUBLE))) FROM s0))))
+        |      AS lo
+        |  FROM dtf1 LEFT JOIN lp0 USING (token) GROUP BY dtf1.doc_id
+        |), sc AS (
+        |  SELECT * FROM sc0 UNION ALL SELECT * FROM sc1
+        |)
+        |SELECT b.doc_id, b.label, b.fold,
+        |  ROUND(sc.lo, 6) AS log_odds6,
+        |  (((ROUND(sc.lo, 6) > 0) != b.label)
+        |    AND abs(ROUND(sc.lo, 6)) >= 2.0) AS mislabel_flag
+        |FROM base b JOIN sc ON b.doc_id = sc.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "q175_cohen_kappa" ->
       """WITH t AS (
         |  SELECT lang, string_split_regex(trim(text), ' +') AS toks

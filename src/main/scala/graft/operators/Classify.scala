@@ -138,4 +138,66 @@ object Classify {
     NbModel(vocab, meta(0).getDouble(0), meta(0).getDouble(1),
       meta(0).getDouble(2))
   }
+
+  /** Label-error screen — the confident-learning recipe (Northcutt et
+    * al., "Confident Learning", JAIR'21, reduced to its actionable
+    * core) over noisy binary labels: split the corpus into folds,
+    * score every document with a model trained WITHOUT its fold
+    * (out-of-fold prediction — a model that memorized a wrong label
+    * would otherwise agree with it), and flag documents where the
+    * model CONFIDENTLY disagrees with the recorded label
+    * (`predicted != label` and `|log_odds| >= margin`). Flagged rows
+    * are the re-annotation queue: on corpora with planted label flips
+    * the flags concentrate on the flips, which is exactly the q178
+    * oracle construction.
+    *
+    * The caller supplies `foldCol` (e.g. `id % 2`, or a portable-hash
+    * residue) so fold assignment is explicit, deterministic, and
+    * engine-replayable — never an RNG inside the operator. Folds are
+    * bounded (2..16, checked loudly): training runs once per fold
+    * over the fold's complement, so the corpus is scanned `k` times —
+    * the price of out-of-fold scoring, linear in the bounded fold
+    * count, each pass [[trainNaiveBayes]]'s one-shuffle shape. Noisy
+    * labels train the models too — the realistic setting; confident
+    * disagreement survives its own noise because NB averages over the
+    * class, not the row.
+    *
+    * `log_odds` is rounded to 6 BEFORE both the sign test and the
+    * margin test ([[graft.operators.Eval.rocAuc]]'s discipline), so a
+    * cross-engine ulp cannot flip a flag.
+    *
+    * Output: one row per input doc — id, `label`, `fold`,
+    * `log_odds6`, `mislabel_flag`. */
+  def labelErrorScreen(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      foldCol: String,
+      margin: Double,
+      alpha: Double = 1.0): DataFrame = {
+    require(margin >= 0.0, s"margin ($margin) must be >= 0")
+    val folds = df.select(col(foldCol)).distinct().collect().map(_.get(0))
+    require(!folds.contains(null),
+      "labelErrorScreen: NULL fold values — assign every row a fold")
+    require(folds.length >= 2 && folds.length <= 16,
+      s"labelErrorScreen: ${folds.length} folds — need 2..16 (1 fold has " +
+        "no out-of-fold complement; more than 16 re-scans the corpus " +
+        "once per fold)")
+    val scored = folds.map { f =>
+      val model = trainNaiveBayes(
+        df.filter(col(foldCol) =!= lit(f)), textCol, labelCol, alpha)
+      val slice = df.filter(col(foldCol) === lit(f))
+      scoreNaiveBayes(slice, idCol, textCol, model)
+        .join(slice.select(col(idCol),
+          col(labelCol).cast("boolean").as("label"),
+          col(foldCol).as("fold")), Seq(idCol))
+    }.reduce(_.unionByName(_))
+    scored
+      .select(col(idCol), col("label"), col("fold"),
+        round(col("log_odds"), 6).as("log_odds6"))
+      .withColumn("mislabel_flag",
+        ((col("log_odds6") > 0.0) =!= col("label")) &&
+          abs(col("log_odds6")) >= margin)
+  }
 }

@@ -119,4 +119,46 @@ object Skew {
       .withColumn("salt_factor",
         expr(s"CAST((n + ${denom - 1}) DIV $denom AS INT)"))
   }
+
+  /** Join EXPLOSION audit — [[skewPlanReport]]'s sibling for the other
+    * way a 100 TB join dies: not one hot key on one side, but a
+    * many-to-many key whose per-key row product multiplies out (the
+    * accidental join on a low-cardinality or non-key column). For each
+    * join key present on BOTH sides, reports both per-key counts, the
+    * exact output cardinality `n_left · n_right` the join would
+    * produce for that key, and its share of the total projected
+    * output — the numbers that turn "the join hangs" into "key
+    * lang='en' alone would emit 2.1e10 rows, 41% of the output".
+    *
+    * Cost is two map-side-combined counts (each bounded by its side's
+    * key cardinality) and one key-bounded join — the audit never runs
+    * the joined plan it models. Products and their total are computed
+    * on longs under ANSI mode, so a product that would overflow fails
+    * loudly rather than reporting a wrapped estimate. The share is the
+    * single IEEE division, rounded to 6.
+    *
+    * Output: the `topN` keys by (`out_rows` desc, keys...) — key
+    * columns, `n_left`, `n_right`, `out_rows`, `share6`. */
+  def joinExplosionAudit(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      topN: Int): DataFrame = {
+    require(keys.nonEmpty, "at least one join key column is required")
+    require(topN >= 1, s"topN ($topN) must be >= 1")
+    val lc = left.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_right"))
+    val perKey = lc.join(rc, keys)
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+    // ONE bounded driver scalar: total projected output rows
+    val total = perKey.agg(coalesce(sum(col("out_rows")), lit(0L)))
+      .head().getLong(0)
+    require(total > 0,
+      "joinExplosionAudit: no join key value appears on both sides")
+    perKey
+      .withColumn("share6",
+        round(col("out_rows").cast("double") / lit(total.toDouble), 6))
+      .orderBy(col("out_rows").desc +: keys.map(col): _*)
+      .limit(topN)
+  }
 }

@@ -90,4 +90,38 @@ class ClassifySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("corrupted"))
   }
+
+  test("labelErrorScreen: planted flip flagged, honest labels not, fold validation") {
+    // 20 cleanly separable docs ("up up up" TRUE / "down down down"
+    // FALSE) + ONE label flip (id 0). Out-of-fold NB must confidently
+    // disagree with exactly the flip.
+    val rows = (0L until 20L).map { i =>
+      val pos = i % 2 == 0
+      val text = if (pos) "up up up market rally" else "down down down market crash"
+      val label = if (i == 0L) !pos else pos  // plant one flip at id 0
+      row(i, text, label, (i % 2).toInt)      // folds split pos/neg...
+    }
+    // folds must mix classes: use i < 10 as fold instead
+    val df = table("id bigint, text string, lbl boolean, f int",
+        rows.map { r => r })
+      .withColumn("f", (col("id") % 4 < 2).cast("int"))
+    val out = Classify.labelErrorScreen(df, "id", "text", "lbl", "f",
+        margin = 1.0)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4))).toMap
+    assert(out(0L), "the planted flip must be flagged")
+    assert(out.count(_._2) == 1, s"only the flip should be flagged: " +
+      out.filter(_._2).keys.toSeq.sorted.mkString(","))
+    // every doc comes back exactly once
+    assert(out.size == 20)
+    // fold validation: single fold and NULL folds rejected loudly
+    assert(intercept[IllegalArgumentException] {
+      Classify.labelErrorScreen(df.withColumn("f", lit(1)),
+        "id", "text", "lbl", "f", 1.0)
+    }.getMessage.contains("folds"))
+    assert(intercept[IllegalArgumentException] {
+      Classify.labelErrorScreen(
+        df.withColumn("f", when(col("id") === 3L, lit(null)).otherwise(col("f"))),
+        "id", "text", "lbl", "f", 1.0)
+    }.getMessage.contains("NULL fold"))
+  }
 }

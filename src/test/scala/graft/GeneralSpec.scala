@@ -239,6 +239,33 @@ class GeneralSpec extends AnyFunSuite {
     assert(err.getMessage.contains("non-empty"))
   }
 
+  test("joinExplosionAudit: hand-computed products, topN cutoff, disjoint fails") {
+    import graft.operators.Skew
+    val left = table("k string", Seq(
+      row("a"), row("a"), row("a"),            // a x3
+      row("b"), row("b"),                      // b x2
+      row("c"),                                // c x1
+      row("only_left")))
+    val right = table("k string", Seq(
+      row("a"), row("a"),                      // a x2
+      row("b"), row("b"), row("b"),            // b x3
+      row("c"),                                // c x1
+      row("only_right")))
+    // products: a=6, b=6, c=1; total 13; one-sided keys absent
+    val out = Skew.joinExplosionAudit(left, right, Seq("k"), topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // tie on out_rows=6 breaks by key: a before b; c cut by topN
+    assert(out.toSeq == Seq(
+      ("a", 3L, 2L, 6L, math.round(6.0 / 13.0 * 1e6) / 1e6),
+      ("b", 2L, 3L, 6L, math.round(6.0 / 13.0 * 1e6) / 1e6)))
+    // no key on both sides -> loud, not an empty report
+    assert(intercept[IllegalArgumentException] {
+      Skew.joinExplosionAudit(left.filter(col("k") === "only_left"),
+        right.filter(col("k") === "only_right"), Seq("k"), 5)
+    }.getMessage.contains("both sides"))
+  }
+
   test("partitioned parquet write: reads back with partition pruning") {
     import graft.sources.Sinks
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/t"
