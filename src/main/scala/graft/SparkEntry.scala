@@ -3543,6 +3543,43 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q179
+  /** Median/MAD robust outlier screen ([[Stats.robustOutlierFlags]]):
+    * q147's IQR fence upgraded to the modified z-score (Iglewicz &
+    * Hoaglin, k=3.5) — both center and spread are medians, so the
+    * fences survive heavy contamination. Rolled up per event type
+    * like q147: counts integer-exact, fences rounded at 6 on both
+    * engines, flags decided against the rounded fences. */
+  private def q179RobustOutliers(s: SparkSession, dir: String): DataFrame =
+    Stats.robustOutlierFlags(
+        Tables.events(s, dir).select(col("event_type"), col("value")),
+        Seq("event_type"), "value", k = 3.5)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("lo_fence")).as("lo_fence"),
+        min(col("hi_fence")).as("hi_fence"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------- q180
+  /** Categorical PSI drift ([[Profile.categoricalDrift]]): the
+    * order-priority MIX of orders before vs after the q128 time
+    * split — numeric drift (q128/q169) and categorical drift share
+    * the psiFromCounts arithmetic, so this is the same alarm pointed
+    * at a label/source/format mix. Counts integer-exact; psi rounded
+    * at 6. */
+  private def q180CategoricalDrift(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val split = lit("1996-01-01").cast("timestamp_ntz")
+    Profile.categoricalDrift(
+        orders.filter(col("o_orderdate") < split),
+        orders.filter(col("o_orderdate") >= split),
+        "o_orderpriority")
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        round(col("psi"), 6).as("psi6"))
+      .orderBy("category")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3722,6 +3759,8 @@ object SparkEntry {
     "q176_shard_manifest" -> (q176ShardManifest _),
     "q177_join_explosion" -> (q177JoinExplosion _),
     "q178_label_errors" -> (q178LabelErrors _),
+    "q179_robust_outliers" -> (q179RobustOutliers _),
+    "q180_categorical_drift" -> (q180CategoricalDrift _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -5904,6 +5943,52 @@ object SparkEntry {
         |  COALESCE(k.cleaned_text, '') AS cleaned_text
         |FROM ln LEFT JOIN kept k ON ln.doc_id = k.doc_id
         |ORDER BY ln.doc_id""".stripMargin,
+    "q179_robust_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type
+        |), mad AS (
+        |  SELECT e.event_type,
+        |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type
+        |), b AS (
+        |  SELECT med.event_type,
+        |    ROUND(med.med - 3.5 / 0.6745 * mad.mad, 6) AS lo_fence,
+        |    ROUND(med.med + 3.5 / 0.6745 * mad.mad, 6) AS hi_fence
+        |  FROM med JOIN mad USING (event_type)
+        |)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  MIN(b.lo_fence) AS lo_fence, MIN(b.hi_fence) AS hi_fence,
+        |  CAST(SUM(CASE WHEN e.value < b.lo_fence OR e.value > b.hi_fence
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
+    "q180_categorical_drift" ->
+      """WITH rc AS (
+        |  SELECT o_orderpriority AS category, COUNT(*) AS n_ref
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY 1
+        |), cc AS (
+        |  SELECT o_orderpriority AS category, COUNT(*) AS n_cur
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  GROUP BY 1
+        |), j AS (
+        |  SELECT COALESCE(rc.category, cc.category) AS category,
+        |    COALESCE(rc.n_ref, 0) AS n_ref, COALESCE(cc.n_cur, 0) AS n_cur
+        |  FROM rc FULL OUTER JOIN cc ON rc.category = cc.category
+        |), t AS (
+        |  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+        |    CAST(SUM(n_cur) AS BIGINT) AS tc FROM j
+        |)
+        |SELECT j.category, j.n_ref, j.n_cur,
+        |  ROUND((GREATEST(CAST(j.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE), 1e-6)
+        |       - GREATEST(CAST(j.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE), 1e-6))
+        |    * ln(GREATEST(CAST(j.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE), 1e-6)
+        |       / GREATEST(CAST(j.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE), 1e-6)),
+        |    6) AS psi6
+        |FROM j CROSS JOIN t ORDER BY j.category""".stripMargin,
     "q177_join_explosion" ->
       """WITH lc AS (
         |  SELECT lang, COUNT(*) AS n_left FROM documents GROUP BY 1

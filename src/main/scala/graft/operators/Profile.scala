@@ -200,4 +200,42 @@ object Profile {
     joined.select(col("bucket"), col("n_ref"), col("n_cur"),
       ((pr - pc) * log(pr / pc)).as("psi"))
   }
+
+  /** PSI drift over a CATEGORICAL column — [[drift]] without the
+    * binning: the reference and current category frequency tables are
+    * full-outer joined (a category present on only one side
+    * contributes its eps-floored surprise instead of silently
+    * vanishing — new categories appearing IS the drift signal a
+    * label/source/format mix monitor exists to catch) and each
+    * category's contribution comes from the shared
+    * [[psiFromCounts]] arithmetic, so numeric and categorical drift
+    * are provably one definition. NULL categories group as one
+    * category, exactly as the modeled pipeline would route them.
+    *
+    * Two map-side-combined counts bounded by the category
+    * vocabulary, one vocabulary-bounded join, two bounded driver
+    * scalars.
+    *
+    * Output: one row per category in either frame — (`category`,
+    * `n_ref`, `n_cur`, `psi`); `sum(psi)` is the index. */
+  def categoricalDrift(
+      reference: DataFrame,
+      current: DataFrame,
+      c: String,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0, s"eps ($eps) must be positive")
+    def counts(df: DataFrame, key: String, out: String) =
+      df.groupBy(col(c).cast("string").as(key))
+        .agg(count(lit(1)).as(out))
+    // null-SAFE join key: a plain full-outer equi join would emit the
+    // NULL category twice (one unmatched row per side) instead of
+    // grouping it as one category
+    val joined = counts(reference, "__bref", "n_ref")
+      .join(counts(current, "__bcur", "n_cur"),
+        col("__bref") <=> col("__bcur"), "full_outer")
+      .select(coalesce(col("__bref"), col("__bcur")).as("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    psiFromCounts(joined, eps).withColumnRenamed("bucket", "category")
+  }
 }

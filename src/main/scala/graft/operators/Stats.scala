@@ -137,4 +137,50 @@ object Stats {
           least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
+
+  /** Median/MAD robust outlier flags — [[iqrOutlierFlags]]' heavier
+    * sibling for LONG-TAILED quality signals: the IQR fence assumes
+    * the bulk is roughly symmetric, while the modified z-score
+    * (Iglewicz & Hoaglin's `0.6745·(x − median)/MAD > k`, k=3.5 the
+    * published default) survives up to 50% contamination because both
+    * the center and the spread estimate are medians. Flagging is
+    * expressed as FENCES (`|x − med| > k·MAD/0.6745`, bounds rounded
+    * to `roundDigits` — the [[iqrOutlierFlags]] discipline, so a
+    * cross-engine quantile ulp cannot flip a flag at the boundary).
+    * An all-but-constant group (MAD = 0) collapses both fences onto
+    * the median, flagging every value off it — the correct limit of
+    * `|z| → ∞`, documented rather than special-cased.
+    *
+    * Two grouped `percentile` aggregations (the second over the
+    * median-joined deviations) + one group-bounded join each — groups
+    * never sort through a single partition.
+    *
+    * Output: input columns + `lo_fence`, `hi_fence`, `is_outlier`
+    * (NULL for NULL values). */
+  def robustOutlierFlags(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Double = 3.5,
+      roundDigits: Int = 6): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(k > 0.0, s"k ($k) must be positive")
+    TempCols.reserve(df, "robustOutlierFlags", "__med", "__mad")
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, 0.5D)").as("__med"))
+    val withMed = joinOnGroups(df, med, groupCols)
+    val mad = withMed
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile(abs(cast($valueCol as double) - __med), 0.5D)")
+        .as("__mad"))
+    val spread = lit(k / 0.6745) * col("__mad")
+    joinOnGroups(withMed, mad, groupCols)
+      .withColumn("lo_fence", round(col("__med") - spread, roundDigits))
+      .withColumn("hi_fence", round(col("__med") + spread, roundDigits))
+      .withColumn("is_outlier",
+        when(col(valueCol).isNotNull,
+          col(valueCol).cast("double") < col("lo_fence") ||
+            col(valueCol).cast("double") > col("hi_fence")))
+      .drop("__med", "__mad")
+  }
 }

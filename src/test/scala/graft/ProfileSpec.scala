@@ -73,6 +73,34 @@ class ProfileSpec extends AnyFunSuite {
     assert(!psi.isInfinite && !psi.isNaN)
   }
 
+  test("categoricalDrift: self-drift ~0, vanished/new categories eps-floored, NULL groups") {
+    val ref = table("c string",
+      Seq.fill(60)(row("a")) ++ Seq.fill(30)(row("b")) ++ Seq.fill(10)(row("c")))
+    val same = Profile.categoricalDrift(ref, ref, "c")
+      .agg(sum(col("psi"))).head().getDouble(0)
+    assert(math.abs(same) < 1e-12, s"self-PSI $same")
+    // category c vanished, category d appeared: both sides must emit a
+    // row with an eps-floored (large, finite) surprise — vanishing IS
+    // the signal
+    val cur = table("c string",
+      Seq.fill(60)(row("a")) ++ Seq.fill(30)(row("b")) ++ Seq.fill(10)(row("d")))
+    val out = Profile.categoricalDrift(ref, cur, "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set("a", "b", "c", "d"))
+    assert(out("c")._1 == 10L && out("c")._2 == 0L)
+    assert(out("d")._1 == 0L && out("d")._2 == 10L)
+    assert(out("c")._3 > 0.5 && !out("c")._3.isInfinite)
+    assert(out("d")._3 > 0.5 && !out("d")._3.isInfinite)
+    assert(math.abs(out("a")._3) < 1e-12 && math.abs(out("b")._3) < 1e-12)
+    // NULL categories group as one category
+    val withNull = table("c string",
+      Seq.fill(5)(row(null.asInstanceOf[String])) ++ Seq.fill(5)(row("a")))
+    val nullRow = Profile.categoricalDrift(withNull, withNull, "c")
+      .filter(col("category").isNull).collect()
+    assert(nullRow.length == 1 && nullRow(0).getLong(1) == 5L)
+  }
+
   test("topValues: top-k by count, ties break by value asc, nulls dropped") {
     val top = Profile.topValues(frame, Seq("lang", "score"), k = 2)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))

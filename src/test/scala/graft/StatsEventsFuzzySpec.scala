@@ -389,6 +389,43 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("robustOutlierFlags: hand-computed MAD fences, contamination, MAD=0 limit") {
+    // g: 1..5 and outlier 100. median of (1,2,3,4,5,100) = 3.5
+    // deviations (2.5, 1.5, 0.5, 0.5, 1.5, 96.5) -> MAD = 1.5
+    // fences: 3.5 -+ 3.5/0.6745*1.5 = [-4.283172, 11.283172] (6dp)
+    val df = table("g string, v double", Seq(
+      row("g", 1.0), row("g", 2.0), row("g", 3.0), row("g", 4.0),
+      row("g", 5.0), row("g", 100.0), row("g", null)))
+    val got = Stats.robustOutlierFlags(df, Seq("g"), "v")
+      .orderBy("v").collect()
+      .map(r => (Option(r.get(1)), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toSeq
+    val loExp = math.rint((3.5 - 3.5 / 0.6745 * 1.5) * 1e6) / 1e6
+    val hiExp = math.rint((3.5 + 3.5 / 0.6745 * 1.5) * 1e6) / 1e6
+    assert(got.forall(t => t._2 == loExp && t._3 == hiExp), got.toString)
+    assert(got.map(_._4) == Seq(None, Some(false), Some(false), Some(false),
+      Some(false), Some(false), Some(true)), got.toString)
+    // the IQR fence on the same data ALSO flags 100 — but under 40%
+    // contamination the MAD fence holds where the IQR one collapses:
+    // (1, 2, 3, 100, 101): med 3, MAD 2 -> 100/101 flagged
+    val contaminated = table("g string, v double", Seq(
+      row("g", 1.0), row("g", 2.0), row("g", 3.0),
+      row("g", 100.0), row("g", 101.0)))
+    val f = Stats.robustOutlierFlags(contaminated, Seq("g"), "v")
+      .orderBy("v").collect().map(_.getBoolean(4)).toSeq
+    assert(f == Seq(false, false, false, true, true), f.toString)
+    // MAD = 0 (constant majority): fences collapse onto the median —
+    // everything off it flags, the |z| -> infinity limit
+    val constant = table("g string, v double", Seq(
+      row("g", 7.0), row("g", 7.0), row("g", 7.0), row("g", 9.0)))
+    val cf = Stats.robustOutlierFlags(constant, Seq("g"), "v")
+      .orderBy("v").collect().map(_.getBoolean(4)).toSeq
+    assert(cf == Seq(false, false, false, true), cf.toString)
+    intercept[IllegalArgumentException] {
+      Stats.robustOutlierFlags(df, Seq("g"), "v", k = 0.0)
+    }
+  }
+
   test("topPaths: ordered truncated paths, tie-broken cutoff, oversize guard") {
     val df = table("u bigint, sid bigint, t_us bigint, eid bigint, et string", Seq(
       row(1L, 1L, 10L, 1L, "view"), row(1L, 1L, 20L, 2L, "click"),
