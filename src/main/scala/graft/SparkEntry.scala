@@ -3580,6 +3580,34 @@ object SparkEntry {
       .orderBy("category")
   }
 
+  // ---------------------------------------------------------------- q181
+  /** Split-conformal anomaly gate ([[graft.operators.Eval
+    * .conformalThreshold]]): per event type, the calibration half
+    * (before the time split) yields the ⌈(n+1)·0.9⌉-th smallest value
+    * as a distribution-free threshold, and the later half is flagged
+    * against it — guaranteed <= 10% false-alarm rate on exchangeable
+    * data, no z-score assumption. The threshold is an EXACT order
+    * statistic (a stored double both engines reproduce bit-for-bit),
+    * so the rollup — n_cal, k, threshold, n_test, n_flagged — is
+    * hash-exact with no rounding anywhere. */
+  private def q181Conformal(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L // 2024-01-16T00:00Z, mid-span
+    val cal = ev.filter(unix_micros(col("ts")) < splitUs)
+    val test = ev.filter(unix_micros(col("ts")) >= splitUs)
+    val thr = graft.operators.Eval.conformalThreshold(
+      cal, Seq("event_type"), "value", alpha = 0.1)
+    val flagged = test.join(thr, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("value") > col("threshold"), 1L).otherwise(0L))
+          .as("n_flagged"))
+    thr.join(flagged, Seq("event_type"))
+      .select(col("event_type"), col("n_cal"), col("k_rank"),
+        col("threshold"), col("n_test"), col("n_flagged"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3761,6 +3789,7 @@ object SparkEntry {
     "q178_label_errors" -> (q178LabelErrors _),
     "q179_robust_outliers" -> (q179RobustOutliers _),
     "q180_categorical_drift" -> (q180CategoricalDrift _),
+    "q181_conformal_gate" -> (q181Conformal _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -5943,6 +5972,33 @@ object SparkEntry {
         |  COALESCE(k.cleaned_text, '') AS cleaned_text
         |FROM ln LEFT JOIN kept k ON ln.doc_id = k.doc_id
         |ORDER BY ln.doc_id""".stripMargin,
+    "q181_conformal_gate" ->
+      """WITH cal AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value)
+        |      AS rn
+        |  FROM events
+        |  WHERE epoch_us(ts) < 1705363200000000 AND value IS NOT NULL
+        |), sz AS (
+        |  SELECT event_type, COUNT(*) AS n_cal,
+        |    CAST(CEIL((COUNT(*) + 1) * 0.9) AS BIGINT) AS k_rank
+        |  FROM cal GROUP BY event_type
+        |), thr AS (
+        |  SELECT sz.event_type, sz.n_cal, sz.k_rank, cal.value AS threshold
+        |  FROM sz LEFT JOIN cal
+        |    ON sz.event_type = cal.event_type AND cal.rn = sz.k_rank
+        |), fl AS (
+        |  SELECT e.event_type, COUNT(*) AS n_test,
+        |    CAST(SUM(CASE WHEN e.value > t.threshold THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_flagged
+        |  FROM events e JOIN thr t USING (event_type)
+        |  WHERE epoch_us(e.ts) >= 1705363200000000
+        |  GROUP BY e.event_type
+        |)
+        |SELECT t.event_type, t.n_cal, t.k_rank, t.threshold,
+        |  f.n_test, f.n_flagged
+        |FROM thr t JOIN fl f USING (event_type)
+        |ORDER BY t.event_type""".stripMargin,
     "q179_robust_outliers" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med

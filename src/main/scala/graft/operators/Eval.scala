@@ -454,6 +454,51 @@ object Eval {
       .limit(topK)
   }
 
+  /** Split-conformal threshold per group — the distribution-free
+    * calibrated alarm (Vovk et al.; Angelopoulos & Bates' tutorial
+    * formulation): given a CALIBRATION frame of nonconformity scores,
+    * the per-group threshold is the `⌈(n+1)(1−α)⌉`-th smallest
+    * calibration score, and flagging future scores above it
+    * guarantees a false-alarm rate <= α on exchangeable data — no
+    * distributional assumption, which is why it is the modern
+    * replacement for hand-tuned z-score cutoffs on quality/anomaly
+    * monitors. When the rank exceeds n (too little calibration data
+    * for the requested α) the threshold is NULL: the honest "cannot
+    * promise this α yet" answer, never a guess.
+    *
+    * The k-th order statistic is EXACT (a calibration score that
+    * actually occurred — well-defined under ties because the k-th
+    * VALUE of a multiset does not depend on tie order), via a
+    * group-partitioned row_number — sorts within groups only, never
+    * one global partition. Output is one row per group:
+    * (groups..., `n_cal`, `k_rank`, `threshold`). */
+  def conformalThreshold(
+      calibration: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      alpha: Double): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha ($alpha) must be in (0, 1)")
+    val ranked = calibration
+      .filter(col(scoreCol).isNotNull)
+      .select(groupCols.map(col) :+ col(scoreCol).cast("double").as("__s"): _*)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*).orderBy(col("__s"))))
+    val sizes = ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_cal"))
+      .withColumn("k_rank",
+        ceil((col("n_cal") + 1) * lit(1.0 - alpha)).cast("long"))
+    // LEFT join on (group, rank = k): a group whose k exceeds n keeps
+    // its row with a NULL threshold instead of silently disappearing
+    val cond = groupCols.map(c => col(s"s.$c") <=> col(s"r.$c"))
+      .reduce(_ && _) && col("r.__rn") === col("s.k_rank")
+    sizes.as("s").join(ranked.as("r"), cond, "left")
+      .select(groupCols.map(c => col(s"s.$c").as(c)) ++
+        Seq(col("s.n_cal"), col("s.k_rank"),
+          col("r.__s").as("threshold")): _*)
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two
     * categorical labelings (two annotators, a heuristic vs gold
     * labels, two model generations): `kappa = (p_o − p_e) / (1 − p_e)`

@@ -268,6 +268,33 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("conformalThreshold: exact order statistic, small-n NULL, ties, NULL scores") {
+    // g1: 9 scores 1..9, alpha=0.1 -> k = ceil(10*0.9) = 9 -> threshold 9
+    // g2: 3 scores, k = ceil(4*0.9) = 4 > n -> NULL threshold (cannot
+    //     promise alpha=0.1 from 3 calibration points)
+    // g3: ties — scores (1,2,2,2,5,6,7,8,9), k=9 -> 9; and at alpha=0.5
+    //     k = ceil(10*0.5) = 5 -> the 5th smallest = 5 regardless of
+    //     tie permutation
+    val cal = table("g string, s double",
+      (1 to 9).map(i => row("g1", i.toDouble)) ++
+        (1 to 3).map(i => row("g2", i.toDouble)) ++
+        Seq(1.0, 2.0, 2.0, 2.0, 5.0, 6.0, 7.0, 8.0, 9.0).map(row("g3", _)) ++
+        Seq(row("g1", null)))  // NULL scores dropped, not rank 0
+    val out = Eval.conformalThreshold(cal, Seq("g"), "s", alpha = 0.1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out("g1") == ((9L, 9L, Some(9.0))))
+    assert(out("g2") == ((3L, 4L, None)))
+    assert(out("g3") == ((9L, 9L, Some(9.0))))
+    val mid = Eval.conformalThreshold(cal, Seq("g"), "s", alpha = 0.5)
+      .filter(col("g") === "g3").head()
+    assert(mid.getLong(2) == 5L && mid.getDouble(3) == 5.0)
+    intercept[IllegalArgumentException] {
+      Eval.conformalThreshold(cal, Seq("g"), "s", alpha = 0.0)
+    }
+  }
+
   test("cohenKappa: hand-computed, NULL labels excluded, degenerate NULL, perfect 1") {
     // cells: (a,a)x4 (b,b)x3 (a,b)x2 (b,a)x1 -> n=10, agree=7,
     // rowM a=6 b=4, colM a=5 b=5, P=6*5+4*5=50
