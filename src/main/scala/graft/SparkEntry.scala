@@ -3608,6 +3608,47 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q182
+  /** Multiclass NB language router ([[graft.operators.Classify
+    * .trainMultinomialNB]]/[[graft.operators.Classify
+    * .scoreMultinomialNB]]): train on even doc_ids with the gold
+    * `lang` labels, score the held-out odd docs, and report the
+    * one-vs-rest per-class confusion + F1 — the k-way upgrade of the
+    * q112 binary gate. Scores round at 6 before the argmax, ties
+    * break to the lexicographically smallest class; tp/fp/fn are
+    * integers and each F1 is one rounded division, so the rollup is
+    * hash-exact. The oracle retrains the model in SQL — the dense
+    * (token x class) smoothed grid, priors, unseen floors — and
+    * replays every score, argmax, and cell. */
+  private def q182MulticlassNb(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Classify
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test = docs.filter(col("doc_id") % 2 === 1)
+    val model = Classify.trainMultinomialNB(train, "text", "lang")
+    val pred = Classify.scoreMultinomialNB(test, "doc_id", "text", model)
+      .join(test.select(col("doc_id"), col("lang").as("gold")), "doc_id")
+    val cells = pred.groupBy("gold", "predicted").agg(count(lit(1)).as("n"))
+    val byGold = cells.groupBy(col("gold").as("cls"))
+      .agg(sum(col("n")).as("n_gold"),
+        sum(when(col("predicted") === col("gold"), col("n"))
+          .otherwise(lit(0L))).as("tp"))
+    val byPred = cells.groupBy(col("predicted").as("cls"))
+      .agg(sum(col("n")).as("n_pred"))
+    byGold.join(byPred, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("n_gold"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .withColumn("f16",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2.0) * col("tp") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 6)))
+      .orderBy("cls")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3790,6 +3831,7 @@ object SparkEntry {
     "q179_robust_outliers" -> (q179RobustOutliers _),
     "q180_categorical_drift" -> (q180CategoricalDrift _),
     "q181_conformal_gate" -> (q181Conformal _),
+    "q182_multiclass_nb" -> (q182MulticlassNb _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -5972,6 +6014,92 @@ object SparkEntry {
         |  COALESCE(k.cleaned_text, '') AS cleaned_text
         |FROM ln LEFT JOIN kept k ON ln.doc_id = k.doc_id
         |ORDER BY ln.doc_id""".stripMargin,
+    "q182_multiclass_nb" ->
+      """WITH train AS (
+        |  SELECT doc_id, text, lang AS cls FROM documents
+        |  WHERE doc_id % 2 = 0
+        |), test AS (
+        |  SELECT doc_id, text, lang AS gold FROM documents
+        |  WHERE doc_id % 2 = 1
+        |), tc AS (
+        |  SELECT cls, unnest(string_split_regex(trim(text), ' +')) AS token
+        |  FROM train
+        |), cnt AS (
+        |  SELECT token, cls, COUNT(*) AS cnt FROM tc GROUP BY 1, 2
+        |), vsz AS (
+        |  SELECT COUNT(DISTINCT token) AS v FROM cnt
+        |), ctot AS (
+        |  SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tot FROM cnt GROUP BY 1
+        |), grid AS (
+        |  SELECT t.token, c.cls, c.tot
+        |  FROM (SELECT DISTINCT token FROM cnt) t CROSS JOIN ctot c
+        |), lp AS (
+        |  SELECT g.token, g.cls,
+        |    ln((COALESCE(cnt.cnt, 0) + 1.0) /
+        |       (g.tot + CAST(vsz.v AS DOUBLE))) AS lp
+        |  FROM grid g CROSS JOIN vsz
+        |  LEFT JOIN cnt ON g.token = cnt.token AND g.cls = cnt.cls
+        |), cls AS (
+        |  SELECT ct.cls,
+        |    ln(CAST(dc.n_docs AS DOUBLE) /
+        |       (SELECT COUNT(*) FROM train)) AS log_prior,
+        |    ln(1.0 / (ct.tot + CAST(vsz.v AS DOUBLE))) AS flr
+        |  FROM ctot ct CROSS JOIN vsz
+        |  JOIN (SELECT cls, COUNT(*) AS n_docs FROM train GROUP BY 1) dc
+        |    USING (cls)
+        |), dtf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf
+        |  FROM (SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), ' +')) AS token
+        |    FROM test)
+        |  GROUP BY 1, 2
+        |), seen AS (
+        |  SELECT dtf.doc_id, lp.cls, SUM(dtf.tf * lp.lp) AS s
+        |  FROM dtf JOIN lp USING (token) GROUP BY 1, 2
+        |), nu AS (
+        |  SELECT dtf.doc_id, CAST(SUM(dtf.tf) AS BIGINT) AS nu
+        |  FROM dtf
+        |  WHERE dtf.token NOT IN (SELECT DISTINCT token FROM cnt)
+        |  GROUP BY 1
+        |), pc AS (
+        |  SELECT t.doc_id, c.cls,
+        |    ROUND(c.log_prior + COALESCE(seen.s, 0.0)
+        |      + COALESCE(nu.nu, 0) * c.flr, 6) AS score6
+        |  FROM test t CROSS JOIN cls c
+        |  LEFT JOIN seen ON t.doc_id = seen.doc_id AND c.cls = seen.cls
+        |  LEFT JOIN nu ON t.doc_id = nu.doc_id
+        |), pred AS (
+        |  SELECT doc_id, cls AS predicted FROM (
+        |    SELECT doc_id, cls,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score6 DESC, cls) AS rn
+        |    FROM pc) WHERE rn = 1
+        |), cells AS (
+        |  SELECT t.gold, p.predicted, COUNT(*) AS n
+        |  FROM test t JOIN pred p USING (doc_id) GROUP BY 1, 2
+        |), bg AS (
+        |  SELECT gold AS cls, CAST(SUM(n) AS BIGINT) AS n_gold,
+        |    CAST(SUM(CASE WHEN predicted = gold THEN n ELSE 0 END)
+        |      AS BIGINT) AS tp
+        |  FROM cells GROUP BY 1
+        |), bp AS (
+        |  SELECT predicted AS cls, CAST(SUM(n) AS BIGINT) AS n_pred
+        |  FROM cells GROUP BY 1
+        |)
+        |SELECT COALESCE(bg.cls, bp.cls) AS cls,
+        |  COALESCE(bg.tp, 0) AS tp,
+        |  COALESCE(bp.n_pred, 0) - COALESCE(bg.tp, 0) AS fp,
+        |  COALESCE(bg.n_gold, 0) - COALESCE(bg.tp, 0) AS fn,
+        |  CASE WHEN 2 * COALESCE(bg.tp, 0) + (COALESCE(bp.n_pred, 0)
+        |         - COALESCE(bg.tp, 0)) + (COALESCE(bg.n_gold, 0)
+        |         - COALESCE(bg.tp, 0)) > 0
+        |    THEN ROUND(2.0 * COALESCE(bg.tp, 0) /
+        |      CAST(2 * COALESCE(bg.tp, 0) + (COALESCE(bp.n_pred, 0)
+        |        - COALESCE(bg.tp, 0)) + (COALESCE(bg.n_gold, 0)
+        |        - COALESCE(bg.tp, 0)) AS DOUBLE), 6)
+        |  END AS f16
+        |FROM bg FULL OUTER JOIN bp ON bg.cls = bp.cls
+        |ORDER BY cls""".stripMargin,
     "q181_conformal_gate" ->
       """WITH cal AS (
         |  SELECT event_type, value,

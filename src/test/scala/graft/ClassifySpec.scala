@@ -91,6 +91,41 @@ class ClassifySpec extends AnyFunSuite {
     assert(e.getMessage.contains("corrupted"))
   }
 
+  test("multiclass NB: separable classes recovered, floors, tie rule, validation") {
+    val train = table("id bigint, text string, cls string", Seq(
+      row(1L, "red red apple", "fruit"), row(2L, "green apple pie", "fruit"),
+      row(3L, "steel blue truck", "vehicle"), row(4L, "red truck wheel", "vehicle"),
+      row(5L, "daisy petal bloom", "flower"), row(6L, "rose petal red", "flower")))
+    val model = Classify.trainMultinomialNB(train, "text", "cls")
+    // vocab grid is DENSE: every (token, class) row exists
+    val vocabRows = model.vocab.count()
+    val vTokens = model.vocab.select("token").distinct().count()
+    assert(vocabRows == vTokens * 3, s"$vocabRows rows for $vTokens tokens")
+    val test = table("id bigint, text string", Seq(
+      row(10L, "apple pie"),            // fruit tokens only
+      row(11L, "truck wheel steel"),    // vehicle tokens only
+      row(12L, "petal bloom"),          // flower tokens only
+      row(13L, "zzz qqq"),              // all unseen -> prior+floor argmax
+      row(14L, "")))                    // empty -> prior-only argmax
+    val got = Classify.scoreMultinomialNB(test, "id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(10L) == "fruit" && got(11L) == "vehicle" && got(12L) == "flower")
+    // uniform priors + equal class token totals -> scores tie on both
+    // degenerate docs; the tie must break to the SMALLEST class name
+    assert(got(13L) == "flower" && got(14L) == "flower")
+    // validation: single class and NULL labels rejected loudly
+    assert(intercept[IllegalArgumentException] {
+      Classify.trainMultinomialNB(train.filter(col("cls") === "fruit"),
+        "text", "cls")
+    }.getMessage.contains("classes"))
+    assert(intercept[IllegalArgumentException] {
+      Classify.trainMultinomialNB(
+        train.withColumn("cls",
+          when(col("id") === 1L, lit(null)).otherwise(col("cls"))),
+        "text", "cls")
+    }.getMessage.contains("NULL label"))
+  }
+
   test("labelErrorScreen: planted flip flagged, honest labels not, fold validation") {
     // 20 cleanly separable docs ("up up up" TRUE / "down down down"
     // FALSE) + ONE label flip (id 0). Out-of-fold NB must confidently
