@@ -3649,6 +3649,28 @@ object SparkEntry {
       .orderBy("cls")
   }
 
+  // ---------------------------------------------------------------- q183
+  /** Streaming categorical drift ([[graft.streaming.StreamGate
+    * .replayCategoricalDrift]]): q180's order-priority mix with the
+    * monitored slice arriving as a FILE STREAM — per-micro-batch
+    * category counts fold into a versioned vocabulary-bounded state
+    * table (counts merge by SUM, so the micro-batch split provably
+    * cannot change the accumulated frequency table), final PSI via the
+    * shared categoricalDriftFromCounts arithmetic. Held to q180's
+    * VERBATIM oracle — the q128/q169 pattern at category granularity,
+    * completing the drift matrix. */
+  private def q183StreamCatDrift(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val split = lit("1996-01-01").cast("timestamp_ntz")
+    graft.streaming.StreamGate.replayCategoricalDrift(
+        orders.filter(col("o_orderdate") < split),
+        orders.filter(col("o_orderdate") >= split),
+        "o_orderpriority")
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        round(col("psi"), 6).as("psi6"))
+      .orderBy("category")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3832,6 +3854,7 @@ object SparkEntry {
     "q180_categorical_drift" -> (q180CategoricalDrift _),
     "q181_conformal_gate" -> (q181Conformal _),
     "q182_multiclass_nb" -> (q182MulticlassNb _),
+    "q183_stream_cat_drift" -> (q183StreamCatDrift _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -3874,6 +3897,34 @@ object SparkEntry {
       |  a.min_train_id
       |FROM ev LEFT JOIN agg a ON ev.vec_id = a.eid
       |ORDER BY vec_id""".stripMargin
+
+  /** Shared by q180 (batch categorical drift) and q183 (the
+    * stream-maintained frequency fold) — two formulations, one ground
+    * truth: the q169 pattern at category granularity. */
+  private val categoricalDriftOracle: String =
+    """WITH rc AS (
+      |  SELECT o_orderpriority AS category, COUNT(*) AS n_ref
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      |  GROUP BY 1
+      |), cc AS (
+      |  SELECT o_orderpriority AS category, COUNT(*) AS n_cur
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  GROUP BY 1
+      |), j AS (
+      |  SELECT COALESCE(rc.category, cc.category) AS category,
+      |    COALESCE(rc.n_ref, 0) AS n_ref, COALESCE(cc.n_cur, 0) AS n_cur
+      |  FROM rc FULL OUTER JOIN cc ON rc.category = cc.category
+      |), t AS (
+      |  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+      |    CAST(SUM(n_cur) AS BIGINT) AS tc FROM j
+      |)
+      |SELECT j.category, j.n_ref, j.n_cur,
+      |  ROUND((GREATEST(CAST(j.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE), 1e-6)
+      |       - GREATEST(CAST(j.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE), 1e-6))
+      |    * ln(GREATEST(CAST(j.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE), 1e-6)
+      |       / GREATEST(CAST(j.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE), 1e-6)),
+      |    6) AS psi6
+      |FROM j CROSS JOIN t ORDER BY j.category""".stripMargin
 
   /** Shared by q128 (batch drift) and q169 (stream-maintained
     * histogram) - two formulations, one ground truth. */
@@ -6149,30 +6200,8 @@ object SparkEntry {
         |FROM events e JOIN b USING (event_type)
         |GROUP BY e.event_type
         |ORDER BY e.event_type""".stripMargin,
-    "q180_categorical_drift" ->
-      """WITH rc AS (
-        |  SELECT o_orderpriority AS category, COUNT(*) AS n_ref
-        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
-        |  GROUP BY 1
-        |), cc AS (
-        |  SELECT o_orderpriority AS category, COUNT(*) AS n_cur
-        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-        |  GROUP BY 1
-        |), j AS (
-        |  SELECT COALESCE(rc.category, cc.category) AS category,
-        |    COALESCE(rc.n_ref, 0) AS n_ref, COALESCE(cc.n_cur, 0) AS n_cur
-        |  FROM rc FULL OUTER JOIN cc ON rc.category = cc.category
-        |), t AS (
-        |  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
-        |    CAST(SUM(n_cur) AS BIGINT) AS tc FROM j
-        |)
-        |SELECT j.category, j.n_ref, j.n_cur,
-        |  ROUND((GREATEST(CAST(j.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE), 1e-6)
-        |       - GREATEST(CAST(j.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE), 1e-6))
-        |    * ln(GREATEST(CAST(j.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE), 1e-6)
-        |       / GREATEST(CAST(j.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE), 1e-6)),
-        |    6) AS psi6
-        |FROM j CROSS JOIN t ORDER BY j.category""".stripMargin,
+    "q180_categorical_drift" -> categoricalDriftOracle,
+    "q183_stream_cat_drift" -> categoricalDriftOracle,
     "q177_join_explosion" ->
       """WITH lc AS (
         |  SELECT lang, COUNT(*) AS n_left FROM documents GROUP BY 1

@@ -227,11 +227,26 @@ object Profile {
     def counts(df: DataFrame, key: String, out: String) =
       df.groupBy(col(c).cast("string").as(key))
         .agg(count(lit(1)).as(out))
-    // null-SAFE join key: a plain full-outer equi join would emit the
-    // NULL category twice (one unmatched row per side) instead of
-    // grouping it as one category
-    val joined = counts(reference, "__bref", "n_ref")
-      .join(counts(current, "__bcur", "n_cur"),
+    categoricalDriftFromCounts(counts(reference, "category", "n_ref"),
+      counts(current, "category", "n_cur"), eps)
+  }
+
+  /** The categorical-PSI back half over PRE-AGGREGATED per-category
+    * counts (`category`, `n_ref`) x (`category`, `n_cur`) — the shared
+    * machinery of [[categoricalDrift]] and the stream-maintained
+    * variant ([[graft.streaming.StreamGate.replayCategoricalDrift]],
+    * whose accumulated state table IS a counts frame), so both
+    * formulations provably share one definition. The join key is
+    * null-SAFE: a plain full-outer equi join would emit the NULL
+    * category twice (one unmatched row per side) instead of grouping
+    * it as one category. */
+  private[graft] def categoricalDriftFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame,
+      eps: Double): DataFrame = {
+    val joined = refCounts
+      .withColumnRenamed("category", "__bref")
+      .join(curCounts.withColumnRenamed("category", "__bcur"),
         col("__bref") <=> col("__bcur"), "full_outer")
       .select(coalesce(col("__bref"), col("__bcur")).as("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),

@@ -548,6 +548,77 @@ object StreamGate {
     }
   }
 
+  /** Streaming CATEGORICAL drift monitor —
+    * [[graft.operators.Profile.categoricalDrift]]'s PSI kept current
+    * by a file stream of the monitored slice, completing the drift
+    * matrix (numeric batch q128 / numeric stream q169 / categorical
+    * batch q180 / categorical stream): each micro-batch's per-category
+    * counts fold into a versioned parquet state table (counts merge by
+    * SUM — associative and commutative, so micro-batch partitioning
+    * provably cannot change the accumulated frequency table; NULL
+    * categories carry through the fold as the NULL key), and the final
+    * per-category PSI is
+    * [[graft.operators.Profile.categoricalDriftFromCounts]] over the
+    * accumulated counts vs the batch-computed reference — the SAME
+    * arithmetic the batch operator runs, so the replay gate holds this
+    * to q180's verbatim oracle. State is category-vocabulary-bounded,
+    * owned outside the query as version N → N+1 artifacts.
+    *
+    * Returns the (`category`, `n_ref`, `n_cur`, `psi`) frame
+    * (localCheckpoint'ed off the deleted temp state). */
+  def replayCategoricalDrift(
+      reference: DataFrame,
+      current: DataFrame,
+      c: String,
+      eps: Double = 1e-6,
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = current.sparkSession
+    val src = tempDir("graft_catdrift_src")
+    current.coalesce(8).write.mode("overwrite").parquet(src)
+    val stateRoot = tempDir("graft_catdrift_state")
+    val ck = tempDir("graft_catdrift_ck")
+    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    try {
+      val stream = spark.readStream.schema(current.schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bh = batch.groupBy(col(c).cast("string").as("category"))
+            .agg(count(lit(1)).as("n"))
+          val merged = Option(state.get()) match {
+            case None => bh
+            case Some(p) => spark.read.parquet(p).unionByName(bh)
+              .groupBy("category").agg(sum(col("n")).as("n"))
+          }
+          val next = s"$stateRoot/v${version.incrementAndGet()}"
+          merged.write.mode("overwrite").parquet(next)
+          state.set(next)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(state.get() != null,
+        "replayCategoricalDrift saw no micro-batches")
+      val refC = reference
+        .groupBy(col(c).cast("string").as("category"))
+        .agg(count(lit(1)).as("n_ref"))
+      val curC = spark.read.parquet(state.get())
+        .select(col("category"), col("n").as("n_cur"))
+      releaseLastReplay(
+        graft.operators.Profile.categoricalDriftFromCounts(refC, curC, eps)
+          .localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, stateRoot, ck).foreach(deleteRecursively)
+    }
+  }
+
   /** Streaming semantic decontamination gate —
     * [[graft.operators.Similarity.semanticDecontaminate]] with the
     * EVAL side arriving as a file stream: each micro-batch is flagged

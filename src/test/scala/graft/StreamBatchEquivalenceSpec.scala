@@ -299,6 +299,28 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(streamed.size == 12, "PSI frame must carry the full bucket grid")
   }
 
+  test("stream categorical drift == batch categoricalDrift across frequency folds") {
+    import graft.operators.Profile
+    val ev = events
+    val midUs = ev.agg(
+      (((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
+        .cast("long")).as("m")).head().getLong(0)
+    val ref = ev.filter(unix_micros(col("ts")) <= midUs)
+    val cur = ev.filter(unix_micros(col("ts")) > midUs)
+    // filesPerTrigger=1 over the coalesce(8) source -> multiple genuine
+    // state folds; category counts merge by SUM, so the accumulated
+    // frequency table — and every psi through the shared
+    // categoricalDriftFromCounts arithmetic — must be bit-identical
+    val streamed = StreamGate.replayCategoricalDrift(ref, cur, "event_type",
+        filesPerTrigger = 1)
+      .collect().map(_.toSeq).toSet
+    val batch = Profile.categoricalDrift(ref, cur, "event_type")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    assert(streamed.size == 5, "all five event types must appear")
+  }
+
   test("stream semantic gate == batch semanticDecontaminate across micro-batches") {
     import graft.operators.{Ivf, Similarity}
     // 8 train directions on the unit circle (spacing ~0.785 rad); eval
