@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Deep (but bounded) Column trees — e.g. the tests' 300-level
+  // per-merge replace fold kept as the reference implementation the
+  // constant-depth ReplaceChain must match — recurse through Spark's
+  // column-node conversion; worker threads need more than the 1 MB
+  // default before the JIT shrinks those frames.
+  "-Xss16m",
 )

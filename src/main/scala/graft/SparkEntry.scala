@@ -6160,7 +6160,7 @@ object SparkEntry {
         |  WHERE epoch_us(ts) < 1705363200000000 AND value IS NOT NULL
         |), sz AS (
         |  SELECT event_type, COUNT(*) AS n_cal,
-        |    CAST(CEIL((COUNT(*) + 1) * 0.9) AS BIGINT) AS k_rank
+        |    CAST(CEIL((COUNT(*) + 1) * 0.9 - 1e-9) AS BIGINT) AS k_rank
         |  FROM cal GROUP BY event_type
         |), thr AS (
         |  SELECT sz.event_type, sz.n_cal, sz.k_rank, cal.value AS threshold

@@ -42,7 +42,12 @@ object Apss {
     * prefix provably under t — a boundary wobble can only index one
     * feature too MANY (harmless), never one too few (a lost pair).
     *
-    * Scale shape: gram tf is one corpus-length count shuffle; df,
+    * Scale shape: gram tf is one corpus-length count shuffle,
+    * materialized once (localCheckpoint) with the corpus size N riding
+    * the same scan as an `observe()` metric — construction runs ONE
+    * job over the corpus, and every downstream branch reads the
+    * checkpointed tf instead of re-tokenizing (checkpoint blocks
+    * follow the [[graft.operators.Blocks]] release discipline); df,
     * max-weight, and the global feature ranking are vocabulary-bounded
     * ([[General.withContiguousRowIds]] for the ranking — never a
     * single-partition window); the per-document cumulative bound is a
@@ -87,16 +92,28 @@ object Apss {
         "index join of everything)")
     require(maxPosting >= 1, s"maxPosting ($maxPosting) must be >= 1")
 
+    val nObs = org.apache.spark.sql.Observation()
     val toks = df.select(col(idCol).as("__id"),
-      TextFunctions.tokens(col(textCol)).as("__toks"))
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .observe(nObs, count(lit(1)).as("__n"))
     val grams = toks.filter(size(col("__toks")) >= n)
       .select(col("__id"),
         explode(transform(sequence(lit(0), size(col("__toks")) - n),
           i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
           .as("__gram"))
-    val tf = grams.groupBy("__id", "__gram").agg(count(lit(1)).as("__tf"))
+    // The corpus size N (a driver scalar needed at plan-construction
+    // time for the IDF literal) rides the SAME job that materializes
+    // the tf table, via an Observation on the pre-filter token
+    // projection — N counts ALL docs, including gram-less ones, which
+    // is the oracle's COUNT(*) semantics. One scan of the corpus thus
+    // yields both N and tf, and the checkpointed tf is what every
+    // downstream branch (df, weights, vectors) reads — replacing the
+    // separate eager df.count() full scan this used to pay.
+    val tf = grams
+      .groupBy("__id", "__gram").agg(count(lit(1)).as("__tf"))
+      .localCheckpoint()
+    val nDocs = nObs.get.get("__n").map(_.asInstanceOf[Long]).getOrElse(0L)
     val dfreq = tf.groupBy("__gram").agg(count(lit(1)).as("__df"))
-    val nDocs = df.count() // ONE driver scalar: the corpus size N
 
     val w = tf.join(dfreq, "__gram") // vocab-bounded, AQE broadcasts
       .select(col("__id"), col("__gram"),

@@ -190,6 +190,20 @@ object Classify {
     // BroadcastNestedLoopJoin, and an actual crossJoin is one — both
     // trip the PlanShapeSpec no-nested-loop gate for no benefit)
     val ctRows = classTotals.collect() // k rows: ONE bounded driver read
+    // A class whose every training doc tokenizes to zero tokens has no
+    // tokCounts rows, so it would silently vanish from classTotals (and
+    // hence from the grid and the class table) — the class could never
+    // be predicted and its prior mass would disappear. Fail loudly
+    // instead, matching the NULL-label / k>=2 checks above.
+    if (ctRows.length != k) {
+      val present = ctRows.map(_.getString(0)).toSet
+      val missing = classCounts.select(col("cls")).collect()
+        .map(_.getString(0)).filterNot(present).sorted
+      throw new IllegalArgumentException(
+        s"trainMultinomialNB: class(es) ${missing.mkString(", ")} have no " +
+          "tokens in any training document — every class needs at least " +
+          "one tokenizable doc")
+    }
     val gridLit = explode(array(ctRows.map(r =>
       struct(lit(r.getString(0)).as("cls"),
         lit(r.getLong(1)).as("tot"))): _*))
@@ -299,7 +313,12 @@ object Classify {
       margin: Double,
       alpha: Double = 1.0): DataFrame = {
     require(margin >= 0.0, s"margin ($margin) must be >= 0")
-    val folds = df.select(col(foldCol)).distinct().collect().map(_.get(0))
+    // limit(17) bounds the driver read BEFORE the 2..16 validation: an
+    // accidentally high-cardinality fold column (say, the id column)
+    // must trip the require below, not materialize its whole distinct
+    // set on the driver first.
+    val folds =
+      df.select(col(foldCol)).distinct().limit(17).collect().map(_.get(0))
     require(!folds.contains(null),
       "labelErrorScreen: NULL fold values — assign every row a fold")
     require(folds.length >= 2 && folds.length <= 16,

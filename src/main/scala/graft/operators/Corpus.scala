@@ -1315,26 +1315,105 @@ object Corpus {
     * merge, symbol-aligned by construction (symbols never contain
     * spaces, so a wrapped pair cannot match mid-symbol).
     *
-    * Scale shape ([[Graph.pageRank]]'s checkpoint discipline): the
-    * WORD VOCABULARY — one map-side-combined count over a single
-    * corpus scan, vocabulary-bounded like [[buildVocabulary]] — is the
-    * only frame the loop touches; each iteration is one pair-count
-    * aggregation over it (bounded by distinct adjacent pairs), ONE
-    * argmax row to the driver via TakeOrderedAndProject, and a
-    * map-only replace, checkpointed so iteration k+1 never re-executes
-    * k's plan and superseded blocks are released as the loop advances.
-    * The corpus itself is scanned exactly once, regardless of
-    * `numMerges`. */
+    * Scale shape — two tiers behind one exact recurrence (the
+    * production shape of real tokenizer trainers: the corpus-scale
+    * work is ONE distributed word-frequency aggregation; the iterative
+    * loop runs over the vocabulary-bounded word table):
+    *
+    *  - DRIVER TIER (word vocabulary ≤ `maxDriverWords`): the word
+    *    table collects to the driver — the same bounded-model-table
+    *    discipline as IVF codebooks and NB class grids — and all
+    *    `numMerges` iterations run in memory against an indexed
+    *    pair-count structure (argmax via an ordered set, per-merge
+    *    work proportional to the words actually containing the pair).
+    *    A 32k-merge vocabulary trains in ONE Spark job plus
+    *    milliseconds-per-merge driver time. Tie-breaks compare raw
+    *    UTF-8 bytes — exactly Spark's and DuckDB's string order — so
+    *    the sequence is engine-identical. The bound is checked
+    *    count-first (collect is `limit(maxDriverWords + 1)`): an
+    *    over-bound corpus never materializes on the driver, it falls
+    *    through to the distributed tier.
+    *  - DISTRIBUTED TIER: each PASS is one pair-count aggregation over
+    *    the checkpointed word-repr frame (bounded by distinct adjacent
+    *    pairs) with a top-M collect, one triple-count aggregation
+    *    restricted to those M pairs (count-guarded), and a map-only
+    *    CHAIN of replaces, checkpointed so the next pass never
+    *    re-executes this one's plan ([[Graph.pageRank]]'s checkpoint
+    *    discipline) and superseded blocks are released as the loop
+    *    advances. The corpus itself is scanned exactly once,
+    *    regardless of `numMerges`.
+    *
+    * Batched passes (distributed tier, `batchK` > 1): one pass applies
+    * up to `batchK` merges from a single pair-count table, PROVABLY
+    * reproducing the sequential merge sequence, by simulating the
+    * recurrence on the driver over the collected counts and stopping
+    * the moment exactness can no longer be certified:
+    *
+    *  - The simulation state starts as the exact top-M pair counts.
+    *    Merging (a, b) changes the table in exactly three ways:
+    *    (x, a) / (b, y) lose one occurrence per consumed site, and
+    *    (x, merged) / (merged, y) appear there — with multiplicities
+    *    equal to the triple counts (x, a, b) / (a, b, y), PROVIDED the
+    *    merge has no overlap chains (`lhs != rhs`, zero (a,b,a) and
+    *    (b,a,b) triples — greedy left-to-right then consumes every
+    *    occurrence) and its sites don't touch an earlier member's
+    *    sites. Site-disjointness is certified symbolically: a member's
+    *    INTERACTION SET is {lhs, rhs} ∪ its left/right neighbor
+    *    symbols; members whose sets are pairwise disjoint have all
+    *    occurrence sites ≥ 2 symbols apart, so every decrement and
+    *    creation above is exact.
+    *  - The next sequential merge is then the state's (cnt desc, lhs,
+    *    rhs) argmax (UTF-8 byte order), valid while it outranks
+    *    anything NOT in state: uncollected pairs only ever lose count,
+    *    so the argmax stands while its count beats the collect CUTOFF
+    *    (the M-th count) — or ties it with a key lexicographically
+    *    before the M-th key, since uncollected ties sort after it.
+    *  - A member that cannot be simulated (shares interaction symbols,
+    *    overlap chains, a merged string colliding with an existing
+    *    symbol's — which would conflate pair identities — or a pair
+    *    born inside the batch, whose own neighbor structure was never
+    *    collected) is still a PROVEN choice: it applies as the LAST
+    *    member, and the next pass recounts ground truth.
+    *
+    * `batchK` = 1 is exactly the classic one-merge-per-job recurrence
+    * (and skips the triple job); any `batchK` and either tier yield
+    * the identical merge table — the equivalence, engineered-conflict,
+    * and tier-equivalence specs pin this. */
   def bpeMerges(
       df: DataFrame,
       textCol: String,
-      numMerges: Int): DataFrame = {
+      numMerges: Int,
+      batchK: Int = 16,
+      maxDriverWords: Int = 1000000): DataFrame =
+    bpeMergesWithPasses(df, textCol, numMerges, batchK, maxDriverWords)._1
+
+  /** [[bpeMerges]] plus the number of pair-count passes the loop ran
+    * (1 for the driver tier) — exposed for the batching specs'
+    * measured-iterations assertions. */
+  private[graft] def bpeMergesWithPasses(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      batchK: Int,
+      maxDriverWords: Int = 1000000): (DataFrame, Int) = {
     require(numMerges >= 1, s"numMerges ($numMerges) must be >= 1")
+    require(batchK >= 1, s"batchK ($batchK) must be >= 1")
+    require(maxDriverWords >= 0, s"maxDriverWords ($maxDriverWords) must be >= 0")
     val spark = df.sparkSession
     val words = df
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
+    // Driver tier: count-first bounded collect of the word table
+    val wordRows =
+      if (maxDriverWords == 0) Array.empty[org.apache.spark.sql.Row]
+      else words.limit(maxDriverWords + 1).collect()
+    if (maxDriverWords > 0 && wordRows.length <= maxDriverWords) {
+      val table = wordRows.map(r => (r.getString(0), r.getLong(1)))
+      return (spark.createDataFrame(driverTrainBpe(table, numMerges))
+        .toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq"), 1)
+    }
+    // Distributed tier
     // " c1  c2  ...  cn " — each char wrapped in its own spaces
     var vocab = words
       .select(col("freq"),
@@ -1344,9 +1423,15 @@ object Corpus {
           lit(" ")).as("repr"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var priorMerged = Set.empty[String] // merged symbols of ALL prior passes
     var rank = 1
+    var passes = 0
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
+      val want = math.min(batchK, numMerges - rank + 1)
+      // collect comfortably past the batch so members' neighbors are
+      // usually in view (anything outside is ≤ cutoff)
+      val m = math.max(4 * want, want + 64)
       val syms = split(trim(col("repr")), "  ")
       val top = vocab
         .filter(size(syms) >= 2) // sequence(1, 0) would run DESCENDING
@@ -1357,22 +1442,251 @@ object Corpus {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
+        .limit(m).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      passes += 1
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((rank, a, b, a + b, cnt))
+        val cutoff = if (top.length < m) 0L else top.last._3
+        val rMkey = if (top.length < m) None else Some((top.last._1, top.last._2))
+        // triple counts restricted to the collected pairs (skipped for
+        // sequential passes; count-guarded — an overflow just disables
+        // simulation, every member past the first becomes terminal)
+        val maxT = 200000
+        val tri =
+          if (want == 1) Array.empty[(String, String, String, Long)]
+          else {
+            val keys = top.map { case (a, b, _) => a + " " + b }.toSeq
+            vocab.filter(size(syms) >= 3)
+              .select(col("freq"),
+                explode(transform(sequence(lit(1), size(syms) - 2),
+                  i => struct(element_at(syms, i).as("a"),
+                    element_at(syms, i + 1).as("b"),
+                    element_at(syms, i + 2).as("c")))).as("t"))
+              .filter(concat_ws(" ", col("t.a"), col("t.b")).isin(keys: _*) ||
+                concat_ws(" ", col("t.b"), col("t.c")).isin(keys: _*))
+              .groupBy(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+              .agg(sum(col("freq")).as("cnt"))
+              .limit(maxT + 1).collect()
+              .map(r => (r.getString(0), r.getString(1), r.getString(2),
+                r.getLong(3)))
+          }
+        val triplesComplete = want > 1 && tri.length <= maxT
+        val accepted = simulateBpeBatch(top, tri, triplesComplete,
+          cutoff, rMkey, priorMerged, want)
+        // one map pass: the replace CHAIN applies the batch in order
         val next = vocab.withColumn("repr",
-            replace(col("repr"), lit(s" $a  $b "), lit(s" $a$b ")))
+            accepted.foldLeft(col("repr")) { case (c, (a, b, _)) =>
+              replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+            })
           .localCheckpoint()
         Blocks.release(vocab)
         vocab = next
-        rank += 1
+        accepted.foreach { case (a, b, cnt) =>
+          merges += ((rank, a, b, a + b, cnt))
+          priorMerged += (a + b)
+          rank += 1
+        }
+        if (accepted.isEmpty) exhausted = true // defensive: cannot progress
       }
     }
     Blocks.release(vocab)
-    spark.createDataFrame(merges.result())
-      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq")
+    (spark.createDataFrame(merges.result())
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq"), passes)
+  }
+
+  /** Spark/DuckDB string order: unsigned byte-wise UTF-8 comparison.
+    * JVM `String.compareTo` is UTF-16 code-unit order, which disagrees
+    * beyond the BMP — the driver tier must tie-break exactly like the
+    * engines replaying the recurrence. */
+  private def utf8Compare(x: String, y: String): Int = {
+    val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(xb.length, yb.length)
+    while (i < n) {
+      val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    xb.length - yb.length
+  }
+
+  /** (cnt desc, lhs, rhs) with UTF-8 byte string order — the merge
+    * argmax's total order, shared by both tiers. */
+  private val pairOrder = new java.util.Comparator[(Long, String, String)] {
+    def compare(p: (Long, String, String), q: (Long, String, String)): Int = {
+      if (p._1 != q._1) java.lang.Long.compare(q._1, p._1)
+      else {
+        val c = utf8Compare(p._2, q._2)
+        if (c != 0) c else utf8Compare(p._3, q._3)
+      }
+    }
+  }
+
+  /** The in-memory BPE trainer (driver tier of [[bpeMerges]]): the
+    * identical recurrence over a collected word-frequency table, with
+    * the indexed incremental structure real tokenizer trainers use —
+    * a pair→count map kept consistent with an ordered argmax set, and
+    * a pair→words inverted index so each merge touches only the words
+    * that contain it. */
+  private def driverTrainBpe(
+      table: Array[(String, Long)],
+      numMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val nW = table.length
+    val syms = new Array[mutable.ArrayBuffer[String]](nW)
+    val freq = new Array[Long](nW)
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    val queue = new java.util.TreeSet[(Long, String, String)](pairOrder)
+    def adjust(p: (String, String), delta: Long): Unit = {
+      val old = pairCnt.getOrElse(p, 0L)
+      if (old > 0) queue.remove((old, p._1, p._2))
+      val nu = old + delta
+      if (nu > 0) { pairCnt(p) = nu; queue.add((nu, p._1, p._2)) }
+      else pairCnt.remove(p)
+    }
+    var wi = 0
+    while (wi < nW) {
+      val (w, f) = table(wi)
+      freq(wi) = f
+      val sb = mutable.ArrayBuffer.empty[String]
+      var ci = 0
+      while (ci < w.length) { sb += w.substring(ci, ci + 1); ci += 1 }
+      syms(wi) = sb
+      var i = 0
+      while (i + 1 < sb.length) {
+        val p = (sb(i), sb(i + 1))
+        adjust(p, f)
+        pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+        i += 1
+      }
+      wi += 1
+    }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    while (rank <= numMerges && !queue.isEmpty) {
+      val (cnt, a, b) = queue.first()
+      val merged = a + b
+      out += ((rank, a, b, merged, cnt))
+      val affected = pairWords.get((a, b)).map(_.toArray).getOrElse(Array.empty)
+      affected.foreach { w =>
+        val s = syms(w)
+        val f = freq(w)
+        def pairSet(xs: mutable.ArrayBuffer[String]) = {
+          val ps = mutable.Set.empty[(String, String)]
+          var i = 0
+          while (i + 1 < xs.length) { ps += ((xs(i), xs(i + 1))); i += 1 }
+          ps
+        }
+        val oldPairs = pairSet(s)
+        var i = 0
+        while (i + 1 < s.length) { adjust((s(i), s(i + 1)), -f); i += 1 }
+        val ns = mutable.ArrayBuffer.empty[String]
+        i = 0
+        while (i < s.length) { // greedy left-to-right, skip past a merge
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+            ns += merged; i += 2
+          } else { ns += s(i); i += 1 }
+        }
+        i = 0
+        while (i + 1 < ns.length) { adjust((ns(i), ns(i + 1)), f); i += 1 }
+        val newPairs = pairSet(ns)
+        oldPairs.diff(newPairs)
+          .foreach(p => pairWords.get(p).foreach(_.remove(w)))
+        newPairs.diff(oldPairs)
+          .foreach(p => pairWords.getOrElseUpdate(p, mutable.Set.empty) += w)
+        syms(w) = ns
+      }
+      pairWords.remove((a, b))
+      rank += 1
+    }
+    out.result()
+  }
+
+  /** Driver-side exact simulation of up to `want` sequential merges
+    * over one collected pair/triple count snapshot (the distributed
+    * tier's batching engine — see [[bpeMerges]]' scaladoc for the
+    * soundness argument). Returns the accepted members in merge
+    * order; always at least one when `top` is non-empty. */
+  private def simulateBpeBatch(
+      top: Array[(String, String, Long)],
+      tri: Array[(String, String, String, Long)],
+      triplesComplete: Boolean,
+      cutoff: Long,
+      rMkey: Option[(String, String)],
+      priorMerged: Set[String],
+      want: Int): Seq[(String, String, Long)] = {
+    import scala.collection.mutable
+    val state = mutable.HashMap.empty[(String, String), Long]
+    top.foreach { case (a, b, c) => state((a, b)) = c }
+    val origKeys = top.map(t => (t._1, t._2)).toSet
+    val leftT = mutable.HashMap // (a,b) -> [(x, cnt3(x,a,b))]
+      .empty[(String, String), mutable.ArrayBuffer[(String, Long)]]
+    val rightT = mutable.HashMap // (a,b) -> [(y, cnt3(a,b,y))]
+      .empty[(String, String), mutable.ArrayBuffer[(String, Long)]]
+    val tripleCnt = mutable.HashMap.empty[(String, String, String), Long]
+    if (triplesComplete) tri.foreach { case (x, y, z, c) =>
+      tripleCnt((x, y, z)) = c
+      if (origKeys((y, z)))
+        leftT.getOrElseUpdate((y, z), mutable.ArrayBuffer.empty) += ((x, c))
+      if (origKeys((x, y)))
+        rightT.getOrElseUpdate((x, y), mutable.ArrayBuffer.empty) += ((z, c))
+    }
+    def pairLt(p: (String, String), q: (String, String)): Boolean = {
+      val c = utf8Compare(p._1, q._1)
+      c < 0 || (c == 0 && utf8Compare(p._2, q._2) < 0)
+    }
+    val accepted = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var tset = Set.empty[String] // union of simulated members' interaction sets
+    var freshSyms = Set.empty[String]
+    var go = true
+    while (go && accepted.length < want && state.nonEmpty) {
+      // exact argmax over state by (cnt desc, lhs, rhs)
+      val ((a, b), cnt) = state.reduceLeft { (p, q) =>
+        if (p._2 != q._2) { if (p._2 > q._2) p else q }
+        else if (pairLt(p._1, q._1)) p else q
+      }
+      // the argmax must also outrank every UNCOLLECTED pair: those only
+      // ever lose count (≤ cutoff), and at a tie sort after the M-th
+      // collected key
+      val okCut = cnt > cutoff ||
+        (cnt == cutoff && rMkey.forall(k => pairLt((a, b), k)))
+      if (!okCut || cnt <= 0) go = false
+      else {
+        accepted += ((a, b, cnt))
+        val merged = a + b
+        val ln = leftT.getOrElse((a, b), mutable.ArrayBuffer.empty)
+        val rn = rightT.getOrElse((a, b), mutable.ArrayBuffer.empty)
+        val eSet = Set(a, b) ++ ln.iterator.map(_._1) ++ rn.iterator.map(_._1)
+        val canSim = triplesComplete && origKeys((a, b)) &&
+          a != b &&
+          tripleCnt.getOrElse((a, b, a), 0L) == 0L &&
+          tripleCnt.getOrElse((b, a, b), 0L) == 0L &&
+          !priorMerged.contains(merged) && !freshSyms.contains(merged) &&
+          eSet.intersect(tset).isEmpty
+        if (!canSim) go = false // terminal member: proven choice, ends batch
+        else {
+          state.remove((a, b))
+          ln.foreach { case (x, c3) =>
+            state.get((x, a)).foreach { c =>
+              if (c - c3 > 0) state((x, a)) = c - c3 else state.remove((x, a))
+            }
+            if (c3 > 0) state((x, merged)) = state.getOrElse((x, merged), 0L) + c3
+          }
+          rn.foreach { case (y, c3) =>
+            state.get((b, y)).foreach { c =>
+              if (c - c3 > 0) state((b, y)) = c - c3 else state.remove((b, y))
+            }
+            if (c3 > 0) state((merged, y)) = state.getOrElse((merged, y), 0L) + c3
+          }
+          tset ++= eSet
+          freshSyms += merged
+        }
+      }
+    }
+    accepted.toSeq
   }
 
   /** Collect a [[bpeMerges]] output frame into the rank-ordered

@@ -487,8 +487,13 @@ object Eval {
           .partitionBy(groupCols.map(col): _*).orderBy(col("__s"))))
     val sizes = ranked.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_cal"))
+      // (n+1)(1-alpha) in double arithmetic can land a few ulps ABOVE
+      // a mathematically exact integer (e.g. 10 * 0.9), making ceil
+      // overshoot by a full rank — needlessly conservative or NULL.
+      // The 1e-9 backoff absorbs ulp error without ever crossing a
+      // true non-integer boundary (ranks are spaced >= 1 apart).
       .withColumn("k_rank",
-        ceil((col("n_cal") + 1) * lit(1.0 - alpha)).cast("long"))
+        ceil((col("n_cal") + 1) * lit(1.0 - alpha) - lit(1e-9)).cast("long"))
     // LEFT join on (group, rank = k): a group whose k exceeds n keeps
     // its row with a NULL threshold instead of silently disappearing
     val cond = groupCols.map(c => col(s"s.$c") <=> col(s"r.$c"))

@@ -660,16 +660,24 @@ object StreamGate {
       val stream = spark.readStream.schema(eval.schema)
         .option("maxFilesPerTrigger", filesPerTrigger)
         .parquet(src)
+      val sawBatch = new java.util.concurrent.atomic.AtomicBoolean(false)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           graft.operators.Similarity.semanticDecontaminate(batch, train,
               idCol, vecCol, model, threshold, nprobe, maxCell)
             .write.mode("append").parquet(out)
+          sawBatch.set(true)
         }
         .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // Same guard as replayCategoricalDrift: an empty eval source fires
+      // zero micro-batches, so nothing is written under `out` and the
+      // read below would die with an obscure schema-inference error
+      // instead of naming the cause.
+      require(sawBatch.get(),
+        "replaySemanticGate saw no micro-batches — empty eval source")
       releaseLastReplay(spark.read.parquet(out).localCheckpoint())
     } finally {
       spark.conf.set(key, prev)

@@ -124,6 +124,20 @@ class ClassifySpec extends AnyFunSuite {
           when(col("id") === 1L, lit(null)).otherwise(col("cls"))),
         "text", "cls")
     }.getMessage.contains("NULL label"))
+    // a class whose every doc tokenizes to zero tokens (NULL text —
+    // the whitespace tokenizer maps even "" to one empty token, but
+    // explode drops NULL arrays) must fail loudly, not silently vanish
+    // from the model (it would otherwise drop out of classTotals ->
+    // never predictable, prior mass gone)
+    val withEmpty = train.unionByName(table(
+      "id bigint, text string, cls string",
+      Seq(row(7L, null.asInstanceOf[String], "ghost"),
+        row(8L, null.asInstanceOf[String], "ghost"))))
+    val ge = intercept[IllegalArgumentException] {
+      Classify.trainMultinomialNB(withEmpty, "text", "cls")
+    }
+    assert(ge.getMessage.contains("ghost") &&
+      ge.getMessage.contains("no tokens"), ge.getMessage)
   }
 
   test("labelErrorScreen: planted flip flagged, honest labels not, fold validation") {
@@ -158,5 +172,11 @@ class ClassifySpec extends AnyFunSuite {
         df.withColumn("f", when(col("id") === 3L, lit(null)).otherwise(col("f"))),
         "id", "text", "lbl", "f", 1.0)
     }.getMessage.contains("NULL fold"))
+    // an accidentally high-cardinality fold column (here: the id
+    // column, 20 distinct) trips the 2..16 bound — and does so off a
+    // limit(17)-bounded driver read, never the full distinct set
+    assert(intercept[IllegalArgumentException] {
+      Classify.labelErrorScreen(df, "id", "text", "lbl", "id", 1.0)
+    }.getMessage.contains("folds"))
   }
 }

@@ -746,6 +746,107 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(nodeCount(foldEncode(df)) > large + 250, "fold baseline should dwarf it")
   }
 
+  test("bpeMerges batching: engineered conflict corpora where naive batching would diverge") {
+    import graft.operators.Corpus
+    // maxDriverWords = 0 forces the DISTRIBUTED tier — the batching
+    // guards under test here live in its pass simulation
+    def seqOf(d: org.apache.spark.sql.DataFrame, n: Int, k: Int) =
+      Corpus.bpeMerges(d, "text", n, batchK = k, maxDriverWords = 0)
+        .orderBy("merge_rank")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    // NEW-PAIR OVERTAKE: "xab" x100 + "cd" x99. Original counts
+    // (a,b)=100, (x,a)=100, (c,d)=99; merge 1 = (a,b) (lex). Applying
+    // it CREATES (x,ab)=100, so sequential merge 2 is (x,ab) — NOT
+    // (c,d), which a naive take-top-k batch (symbol-disjointness
+    // alone) would have applied in the same pass. The count-gap guard
+    // must push (c,d) out of the first batch.
+    val overtake = table("id bigint, text string", Seq(
+      row(1L, Seq.fill(100)("xab").mkString(" ")),
+      row(2L, Seq.fill(99)("cd").mkString(" "))))
+    val exp1 = seqOf(overtake, 4, 1)
+    assert(exp1.map(t => (t._2, t._3)).take(3) ==
+      Seq(("a", "b"), ("x", "ab"), ("c", "d")), exp1.toString)
+    (2 to 8).foreach { k =>
+      assert(seqOf(overtake, 4, k) == exp1, s"batchK=$k diverged")
+    }
+    // and the driver tier reproduces the same sequence
+    val drv = Corpus.bpeMerges(overtake, "text", 4).orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(drv == exp1, s"driver tier diverged: $drv")
+    // OVERLAPPING CANDIDATES: top pairs share a symbol ((t,h) then
+    // (th,e) after the merge) — symbol-disjointness must serialize.
+    val chain = table("id bigint, text string", Seq(
+      row(1L, Seq.fill(50)("the").mkString(" ")),
+      row(2L, Seq.fill(30)("qz").mkString(" "))))
+    val exp2 = seqOf(chain, 3, 1)
+    (2 to 8).foreach { k =>
+      assert(seqOf(chain, 3, k) == exp2, s"batchK=$k diverged")
+    }
+    // SELF-ADJACENT MERGE: (a,a)'s new-pair bound is its own count,
+    // so nothing may batch after it ("aaaa" overlap chains recount).
+    val selfadj = table("id bigint, text string", Seq(
+      row(1L, Seq.fill(40)("aaaa").mkString(" ")),
+      row(2L, Seq.fill(39)("bc").mkString(" "))))
+    val exp3 = seqOf(selfadj, 4, 1)
+    (2 to 8).foreach { k =>
+      assert(seqOf(selfadj, 4, k) == exp3, s"batchK=$k diverged")
+    }
+  }
+
+  test("bpeMerges batching: random-corpus equivalence and measured pass reduction") {
+    import graft.operators.Corpus
+    // generative equivalence: batched and sequential merge tables are
+    // identical on random corpora (Zipf-ish repetition mix)
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      val base = Seq.fill(12)((0 until (2 + rnd.nextInt(5)))
+        .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+      val words = base.flatMap(w => Seq.fill(1 + rnd.nextInt(9))(w))
+      val docs = rnd.shuffle(words).grouped(8).zipWithIndex
+        .map { case (ws, i) => row(i.toLong, ws.mkString(" ")) }.toSeq
+      val df = table("id bigint, text string", docs)
+      val n = 10 + rnd.nextInt(10)
+      val sequential = Corpus
+        .bpeMerges(df, "text", n, batchK = 1, maxDriverWords = 0)
+        .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+      val batched = Corpus
+        .bpeMerges(df, "text", n, batchK = 8, maxDriverWords = 0)
+        .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+      val driver = Corpus.bpeMerges(df, "text", n) // driver tier
+        .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+      assert(batched == sequential, s"trial $trial: batched != sequential")
+      assert(driver == sequential, s"trial $trial: driver tier != sequential")
+    }
+    // measured pass reduction on the 300-merge training corpus of the
+    // vocabulary-scale encode spec: sequential is one pass per merge
+    // (+1 exhaustion probe at most); batching must land well under
+    // half that — the q103-family scale fix this spec pins.
+    val words = {
+      val r = new scala.util.Random(42)
+      Seq.fill(60)((0 until 12).map(_ => ('a' + r.nextInt(20)).toChar).mkString).distinct
+    }
+    val df = table("id bigint, text string",
+      words.grouped(6).zipWithIndex
+        .map { case (ws, i) => row(i.toLong, ws.mkString(" ")) }.toSeq)
+    val (batchedDf, passes) =
+      Corpus.bpeMergesWithPasses(df, "text", 300, batchK = 16,
+        maxDriverWords = 0)
+    val batched = batchedDf.orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    val sequential = Corpus.bpeMerges(df, "text", 300) // driver tier
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    assert(batched == sequential, "300-merge batched != driver sequential")
+    assert(batched.size == 300)
+    assert(passes < 150, s"expected a >2x pass reduction, got $passes passes")
+    info(s"300 merges in $passes batched passes (sequential = ~300)")
+    // the driver tier trains the same table in ONE pass (one Spark job)
+    val (drvDf, drvPasses) =
+      Corpus.bpeMergesWithPasses(df, "text", 300, batchK = 16)
+    assert(drvPasses == 1)
+    assert(drvDf.orderBy("merge_rank").collect().map(_.toSeq).toSeq == batched)
+  }
+
   test("removeBoilerplateLines: cross-doc lines cut, short/intra-doc/unique kept") {
     val docs = table("id bigint, text string", Seq(
       row(1L, "hello world\nnav bar\nunique one\nok"),

@@ -293,6 +293,15 @@ class EvalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Eval.conformalThreshold(cal, Seq("g"), "s", alpha = 0.0)
     }
+    // double-ceil overshoot guard: (149+1)*(1-0.18) is mathematically
+    // exactly 123, but the double product lands at 123.00000000000001 —
+    // a naive ceil yields rank 124 (one order statistic too
+    // conservative); the 1e-9 backoff keeps the exact rank 123
+    val big = table("g string, s double",
+      (1 to 149).map(i => row("gx", i.toDouble)))
+    val bx = Eval.conformalThreshold(big, Seq("g"), "s", alpha = 0.18).head()
+    assert(bx.getLong(2) == 123L, s"k_rank ${bx.getLong(2)} != 123")
+    assert(bx.getDouble(3) == 123.0)
   }
 
   test("cohenKappa: hand-computed, NULL labels excluded, degenerate NULL, perfect 1") {

@@ -335,15 +335,26 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     val model = Ivf.train(train, "vec_id", "v", k = 2, iters = 3, sampleMod = 1)
     // nprobe = k: cell restriction is provably exhaustive, so the ONLY
     // claim under test is stream fold == batch, per-row independence
-    val streamed = StreamGate.replaySemanticGate(eval, train, "vec_id", "v",
-        model, threshold = 0.999, nprobe = 2, filesPerTrigger = 1)
-      .collect().map(_.toSeq).toSet
+    val streamedDf = StreamGate.replaySemanticGate(eval, train, "vec_id", "v",
+      model, threshold = 0.999, nprobe = 2, filesPerTrigger = 1)
+    val streamedCols = streamedDf.columns.toSeq
+    val streamed = streamedDf.collect().map(_.toSeq).toSet
     val batch = Similarity.semanticDecontaminate(eval, train, "vec_id", "v",
         model, threshold = 0.999, nprobe = 2)
       .collect().map(_.toSeq).toSet
     assert(streamed == batch,
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
     assert(streamed.count(_(1) == true) == 8 && streamed.count(_(1) == false) == 8)
+    // an empty eval frame must come back as an empty result with the
+    // gate's schema — never an obscure schema-inference crash on the
+    // output read (the schema-only parquet file the source write
+    // leaves behind still fires one empty micro-batch; the
+    // saw-no-micro-batches guard inside the gate covers a genuinely
+    // file-less source)
+    val empty = StreamGate.replaySemanticGate(eval.filter(lit(false)),
+      train, "vec_id", "v", model, threshold = 0.999, nprobe = 2)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == streamedCols, empty.columns.mkString(","))
   }
 
   test("sessionize idleTimeout closes open sessions exactly once and drops the key") {
