@@ -3671,6 +3671,36 @@ object SparkEntry {
       .orderBy("category")
   }
 
+  // ---------------------------------------------------------------- q184
+  /** Retrieval evaluation, JOINED formulation ([[graft.operators.Eval
+    * .topKAllQueriesJoined]] + [[graft.operators.Eval
+    * .retrievalMetrics]]): exactly q125's experiment — exact cosine
+    * top-10 ground truth vs a 16-dim-prefix ranking for every 50th
+    * vector — but the query set stays a DATAFRAME end to end (zero
+    * driver collect): corpus rows hash into blocks, queries replicate
+    * across them, scoring meets on an equi-join and reduces through
+    * the same bounded-heap aggregator. Held to q125's VERBATIM oracle
+    * — the scale path must hash-match the plan-literal path. */
+  private def q184RetrievalEvalJoined(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Eval
+    val emb = Tables.embeddings(s, dir)
+    val qdf = emb.filter(col("vec_id") % 50 === 0)
+    val truth = Eval.topKAllQueriesJoined(emb, "vec_id", "embedding",
+      qdf, "vec_id", "embedding", 10)
+    val emb16 = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val qdf16 = qdf.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val pred = Eval.topKAllQueriesJoined(emb16, "vec_id", "embedding",
+      qdf16, "vec_id", "embedding", 10)
+    Eval.retrievalMetrics(pred, truth, "query_id", "item_id", "rank", 10)
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        round(col("recall"), 6).as("recall6"),
+        round(col("mrr"), 6).as("mrr6"),
+        round(col("ndcg"), 6).as("ndcg6"))
+      .orderBy("query_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3855,6 +3885,7 @@ object SparkEntry {
     "q181_conformal_gate" -> (q181Conformal _),
     "q182_multiclass_nb" -> (q182MulticlassNb _),
     "q183_stream_cat_drift" -> (q183StreamCatDrift _),
+    "q184_retrieval_eval_joined" -> (q184RetrievalEvalJoined _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -3964,6 +3995,56 @@ object SparkEntry {
       |       / GREATEST(CAST(j.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE), 1e-6)),
       |    6) AS psi6
       |FROM j, t ORDER BY j.bucket""".stripMargin
+
+  /** q125's oracle — shared verbatim by q184 (the joined formulation
+    * of the same exact ground truth must hash-match the literal one). */
+  private val q125OracleSql: String = {
+    // cosine over a DuckDB list expression, parameterized by the
+    // vector expression so the full- and sliced-dim rankings share
+    // one definition
+    def cos(e: String, q: String) =
+      s"""list_sum(list_transform(list_zip($e, $q),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform($e,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform($q,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id % 50 = 0
+       |), truth AS (
+       |  SELECT query_id, item_id, rnk FROM (
+       |    SELECT q.query_id, e.vec_id AS item_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${cos("e.embedding", "q.qv")} DESC, e.vec_id) AS rnk
+       |    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+       |  ) WHERE rnk <= 10
+       |), pred AS (
+       |  SELECT query_id, item_id, rnk FROM (
+       |    SELECT q.query_id, e.vec_id AS item_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${cos("e.embedding[1:16]", "q.qv[1:16]")} DESC, e.vec_id) AS rnk
+       |    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+       |  ) WHERE rnk <= 10
+       |), t AS (
+       |  SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY 1
+       |), h AS (
+       |  SELECT p.query_id, COUNT(*) AS n_hits, MIN(p.rnk) AS minr,
+       |    SUM(1.0 / log2(CAST(p.rnk AS DOUBLE) + 1.0)) AS dcg
+       |  FROM pred p JOIN truth tr
+       |    ON p.query_id = tr.query_id AND p.item_id = tr.item_id
+       |  GROUP BY 1
+       |)
+       |SELECT t.query_id AS query_id, t.n_truth, COALESCE(h.n_hits, 0) AS n_hits,
+       |  ROUND(COALESCE(h.n_hits, 0) / CAST(t.n_truth AS DOUBLE), 6)
+       |    AS recall6,
+       |  ROUND(COALESCE(1.0 / CAST(h.minr AS DOUBLE), 0.0), 6) AS mrr6,
+       |  ROUND(COALESCE(h.dcg / list_sum(list_transform(
+       |    range(1, LEAST(10, CAST(t.n_truth AS INT)) + 1),
+       |    r -> 1.0 / log2(CAST(r AS DOUBLE) + 1.0))), 0.0), 6) AS ndcg6
+       |FROM t LEFT JOIN h ON t.query_id = h.query_id
+       |ORDER BY query_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_sum_agg" ->
@@ -7227,53 +7308,10 @@ object SparkEntry {
         |SELECT rule, "column", n_checked, n_violations,
         |  CAST(n_violations AS DOUBLE) <= 0.0 AS pass
         |FROM r ORDER BY rule""".stripMargin,
-    "q125_retrieval_eval" -> {
-      // cosine over a DuckDB list expression, parameterized by the
-      // vector expression so the full- and sliced-dim rankings share
-      // one definition
-      def cos(e: String, q: String) =
-        s"""list_sum(list_transform(list_zip($e, $q),
-           |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-           |    / (sqrt(list_sum(list_transform($e,
-           |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           |       * sqrt(list_sum(list_transform($q,
-           |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
-      s"""WITH q AS (
-         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-         |  WHERE vec_id % 50 = 0
-         |), truth AS (
-         |  SELECT query_id, item_id, rnk FROM (
-         |    SELECT q.query_id, e.vec_id AS item_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-         |        ${cos("e.embedding", "q.qv")} DESC, e.vec_id) AS rnk
-         |    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
-         |  ) WHERE rnk <= 10
-         |), pred AS (
-         |  SELECT query_id, item_id, rnk FROM (
-         |    SELECT q.query_id, e.vec_id AS item_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-         |        ${cos("e.embedding[1:16]", "q.qv[1:16]")} DESC, e.vec_id) AS rnk
-         |    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
-         |  ) WHERE rnk <= 10
-         |), t AS (
-         |  SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY 1
-         |), h AS (
-         |  SELECT p.query_id, COUNT(*) AS n_hits, MIN(p.rnk) AS minr,
-         |    SUM(1.0 / log2(CAST(p.rnk AS DOUBLE) + 1.0)) AS dcg
-         |  FROM pred p JOIN truth tr
-         |    ON p.query_id = tr.query_id AND p.item_id = tr.item_id
-         |  GROUP BY 1
-         |)
-         |SELECT t.query_id AS query_id, t.n_truth, COALESCE(h.n_hits, 0) AS n_hits,
-         |  ROUND(COALESCE(h.n_hits, 0) / CAST(t.n_truth AS DOUBLE), 6)
-         |    AS recall6,
-         |  ROUND(COALESCE(1.0 / CAST(h.minr AS DOUBLE), 0.0), 6) AS mrr6,
-         |  ROUND(COALESCE(h.dcg / list_sum(list_transform(
-         |    range(1, LEAST(10, CAST(t.n_truth AS INT)) + 1),
-         |    r -> 1.0 / log2(CAST(r AS DOUBLE) + 1.0))), 0.0), 6) AS ndcg6
-         |FROM t LEFT JOIN h ON t.query_id = h.query_id
-         |ORDER BY query_id""".stripMargin
-    },
+    "q125_retrieval_eval" -> q125OracleSql,
+    // the joined formulation is held to the SAME ground truth — the
+    // two-formulations-one-oracle pattern (q110/q173)
+    "q184_retrieval_eval_joined" -> q125OracleSql,
     "q124_zorder" -> {
       // the same 16-bit Morton interleave Layout.mortonInterleave
       // codegens, unrolled as SQL bit arithmetic

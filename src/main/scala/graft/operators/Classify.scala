@@ -114,12 +114,12 @@ object Classify {
     * scalar row — the [[Ivf.save]] artifact discipline, so the gate
     * trains once and every ingestion job loads it. */
   def save(model: NbModel, path: String): Unit = {
-    model.vocab.select("token", "lp_pos", "lp_neg")
+    ArtifactFormat.stamp(model.vocab.select("token", "lp_pos", "lp_neg"))
       .write.mode("overwrite").parquet(s"$path/vocab")
-    model.vocab.sparkSession.range(1).select(
+    ArtifactFormat.stamp(model.vocab.sparkSession.range(1).select(
         lit(model.priorLogOdds).as("prior_log_odds"),
         lit(model.floorPos).as("floor_pos"),
-        lit(model.floorNeg).as("floor_neg"))
+        lit(model.floorNeg).as("floor_neg")))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -129,11 +129,13 @@ object Classify {
     * exactly one row and the vocab frame must carry the three model
     * columns. */
   def load(spark: SparkSession, path: String): NbModel = {
-    val meta = spark.read.parquet(s"$path/meta")
+    val meta = ArtifactFormat.checked(
+        spark.read.parquet(s"$path/meta"), "NB model meta", s"$path/meta")
       .select("prior_log_odds", "floor_pos", "floor_neg").collect()
     require(meta.length == 1,
       s"NB model at $path is corrupted: ${meta.length} meta rows, expected 1")
-    val vocab = spark.read.parquet(s"$path/vocab")
+    val vocab = ArtifactFormat.checked(
+        spark.read.parquet(s"$path/vocab"), "NB model vocab", s"$path/vocab")
       .select("token", "lp_pos", "lp_neg")
     NbModel(vocab, meta(0).getDouble(0), meta(0).getDouble(1),
       meta(0).getDouble(2))

@@ -1751,17 +1751,20 @@ object Corpus {
     * never becomes a persisted artifact other jobs trust. */
   def saveMerges(mergesDf: DataFrame, path: String): Unit = {
     collectMerges(mergesDf) // validate rank contiguity + pair uniqueness
-    mergesDf.coalesce(1).write.mode("overwrite").parquet(path)
+    ArtifactFormat.stamp(mergesDf)
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** Load a [[saveMerges]] artifact back into the rank-ordered merge
     * table [[bpeEncode]] consumes. Re-validated on the way in
-    * ([[collectMerges]]): a corrupted file — truncated write, doubled
-    * append, hand-edited rows — fails loudly here, not as silently
+    * ([[ArtifactFormat.checked]] + [[collectMerges]]): a corrupted
+    * file — truncated write, doubled append, hand-edited rows, a
+    * different format version — fails loudly here, not as silently
     * wrong tokens downstream. */
   def loadMerges(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[(String, String)] =
-    collectMerges(spark.read.parquet(path))
+    collectMerges(ArtifactFormat.checked(
+      spark.read.parquet(path), "merge table", path))
 
   /** Persist a [[vocabularyFromFrequencies]] vocabulary as plain
     * parquet. The vocabulary stays a DISTRIBUTED frame on both sides
@@ -1769,7 +1772,8 @@ object Corpus {
     * byte-level 100k-row vocabulary is still tiny, but an unbounded
     * one must never be forced through the driver just to be saved. */
   def saveVocabulary(vocabDf: DataFrame, path: String): Unit =
-    vocabDf.select(col("token_id"), col("token"), col("freq"))
+    ArtifactFormat.stamp(
+      vocabDf.select(col("token_id"), col("token"), col("freq")))
       .write.mode("overwrite").parquet(path)
 
   /** Load a [[saveVocabulary]] artifact. One bounded validation
@@ -1779,7 +1783,8 @@ object Corpus {
     * id-join consumers assume. */
   def loadVocabulary(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val vocab = spark.read.parquet(path)
+    val vocab = ArtifactFormat.checked(
+        spark.read.parquet(path), "vocabulary", path)
       .select(col("token_id"), col("token"), col("freq"))
     val s = vocab.agg(
       count(lit(1)).as("n"),

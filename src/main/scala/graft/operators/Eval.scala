@@ -38,9 +38,20 @@ object Eval {
       vecCol: String,
       queries: Seq[(Long, Seq[Float])],
       k: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      maxQueries: Int = 1024): DataFrame = {
     require(queries.nonEmpty, "topKAllQueries needs at least one query")
     require(k >= 1, s"k ($k) must be >= 1")
+    require(maxQueries >= 1, s"maxQueries ($maxQueries) must be >= 1")
+    // the query set is a PLAN LITERAL — a driver-bounded eval sample,
+    // not a data-sized input; past the bound the plan itself becomes
+    // the memory hazard, so fail loudly and point at the joined
+    // formulation (the BucketGuard discipline)
+    require(queries.size <= maxQueries,
+      s"topKAllQueries: ${queries.size} queries exceed maxQueries=" +
+        s"$maxQueries — the query set ships as one plan literal; for " +
+        "larger sets use topKAllQueriesJoined (queries as a DataFrame, " +
+        "blocked equi-join) or raise maxQueries deliberately")
     val qlit = array(queries.map { case (qid, v) =>
       struct(lit(qid).as("query_id"), Similarity.vectorLit(v).as("qv"))
     }: _*)
@@ -56,6 +67,57 @@ object Eval {
     val top = Aggregators.topKPerGroup(scored, Seq("query_id"),
       "score", "item_id", k)
     // rank over the k surviving rows per query — |Q|·k rows total
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("item_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("item_id"), col("rank"), col("score"))
+  }
+
+  /** [[topKAllQueries]] for query sets too large for a plan literal:
+    * queries arrive as a DATAFRAME and meet the corpus on an explicit
+    * BLOCKED equi-join — every corpus row hashes into one of `blocks`
+    * buckets, every query replicates into all of them, so the exact
+    * all-pairs scoring is an equi-join a hash join executes (never a
+    * nested-loop broadcast, which a direct non-equi join would plan),
+    * and the per-partition stream feeds the same map-side bounded-heap
+    * aggregator — the shuffle after scoring still carries
+    * O(partitions · |Q| · k) heap entries, never the |corpus| · |Q|
+    * score stream. Identical output contract and tie rule as
+    * [[topKAllQueries]] (the agreement spec pins it).
+    *
+    * `blocks` sizes the corpus-side hash buckets (queries replicate
+    * `blocks`×): more blocks = finer partitions of the corpus side
+    * (parallelism for the scoring scan), at |Q|·blocks replicated
+    * query rows — both linear, nothing quadratic outside the scoring
+    * itself, which is the operator's exact-ground-truth contract. */
+  def topKAllQueriesJoined(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      excludeSelf: Boolean = true,
+      blocks: Int = 32): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(blocks >= 1, s"blocks ($blocks) must be >= 1")
+    val c = corpus
+      .select(col(idCol).cast("long").as("item_id"), col(vecCol).as("__cv"))
+      .withColumn("__blk", pmod(xxhash64(col("item_id")), lit(blocks.toLong)))
+    val q = queries
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        col(queryVecCol).as("__qv"))
+      .select(col("query_id"), col("__qv"),
+        explode(sequence(lit(0L), lit(blocks.toLong - 1))).as("__blk"))
+    val joined = c.join(q, Seq("__blk"))
+    val kept =
+      if (excludeSelf) joined.filter(col("item_id") =!= col("query_id"))
+      else joined
+    val scored = kept.select(col("query_id"), col("item_id"),
+      GraftFunctions.cosineF32(corpus, col("__cv"), col("__qv")).as("score"))
+    val top = Aggregators.topKPerGroup(scored, Seq("query_id"),
+      "score", "item_id", k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("item_id"))
     top.withColumn("rank", row_number().over(w))

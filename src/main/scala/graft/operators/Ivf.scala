@@ -155,7 +155,7 @@ object Ivf {
     val rows = model.centroids.zipWithIndex.map { case (c, i) =>
       org.apache.spark.sql.Row(i, c.toSeq)
     }
-    spark.createDataFrame(rows.asJava, schema)
+    ArtifactFormat.stamp(spark.createDataFrame(rows.asJava, schema))
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
@@ -167,7 +167,8 @@ object Ivf {
     * parquet exactly, so a loaded model assigns and probes exactly
     * like the in-JVM one (pinned by spec). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
-    val rows = spark.read.parquet(path)
+    val rows = ArtifactFormat.checked(
+        spark.read.parquet(path), "IVF model", path)
       .select(col("cell"), col("centroid"))
       .collect()
       .sortBy(_.getInt(0))

@@ -163,7 +163,7 @@ object Pq {
       (book, s) <- model.codebooks.zipWithIndex
       (c, i) <- book.zipWithIndex
     } yield org.apache.spark.sql.Row(s, i, c.toSeq)
-    spark.createDataFrame(rows.asJava, schema)
+    ArtifactFormat.stamp(spark.createDataFrame(rows.asJava, schema))
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
@@ -174,7 +174,8 @@ object Pq {
     * parquet bit-exactly, so a loaded model encodes and ranks exactly
     * like the in-JVM one (pinned by spec). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
-    val rows = spark.read.parquet(path)
+    val rows = ArtifactFormat.checked(
+        spark.read.parquet(path), "PQ model", path)
       .select(col("sub"), col("cell"), col("centroid"))
       .collect()
       .sortBy(r => (r.getInt(0), r.getInt(1)))

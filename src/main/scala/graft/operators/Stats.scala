@@ -23,6 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Grouped percentile aggregation shared by the quantile family:
+    * `exact = true` (the default, and what every oracle pins) is
+    * Spark's `percentile` — linear-interpolated, sorts within each
+    * group; `exact = false` swaps in `approx_percentile` (mergeable
+    * t-digest-style sketch, no per-group sort, rank error bounded by
+    * `n / accuracy`) — the 100 TB path, now a flag instead of a
+    * comment, mirroring [[Profile.profile]]'s `exactDistinct`. The
+    * approx result is cast to double (the sketch returns the input
+    * type) so downstream fence/clip arithmetic is identical. */
+  private def groupPercentiles(
+      valueExpr: String,
+      fracs: Seq[Double],
+      exact: Boolean,
+      accuracy: Int): org.apache.spark.sql.Column = {
+    val arr = fracs.map(f => s"${f}D").mkString(", ")
+    if (exact) expr(s"percentile($valueExpr, array($arr))")
+    else expr(
+      s"transform(approx_percentile($valueExpr, array($arr), $accuracy), " +
+        "x -> cast(x as double))")
+  }
+
   /** Null-safe group join: attach `stats`' non-group columns to every
     * `df` row whose group matches, NULL group = NULL group included. */
   private def joinOnGroups(
@@ -66,13 +87,15 @@ object Stats {
     * otherwise fabricate the lo bound for a missing measurement);
     * NULL groups clip within their own stratum.
     *
-    * Exact `percentile` sorts within each group — the oracle-checkable
-    * formulation (and why dyadic fractions like 0.0625/0.9375 over
-    * integer values reproduce bit-for-bit across engines: every
-    * interpolated bound is exactly representable). At 100 TB swap in
-    * `approx_percentile` (t-digest, mergeable, no per-group sort);
-    * its bounds are engine-specific so the exact form is what the
-    * oracle pins. */
+    * Exact `percentile` (the default) sorts within each group — the
+    * oracle-checkable formulation (and why dyadic fractions like
+    * 0.0625/0.9375 over integer values reproduce bit-for-bit across
+    * engines: every interpolated bound is exactly representable).
+    * `exact = false` swaps in `approx_percentile` (mergeable sketch,
+    * no per-group sort, rank error <= n/`approxAccuracy`) — the
+    * 100 TB path as a first-class flag; its bounds are
+    * engine-specific, so the exact form remains what the oracle
+    * pins. */
   /** Tukey IQR outlier flags per group: fences at
     * `[q1 − k·IQR, q3 + k·IQR]` from the group's EXACT quartiles
     * (linear interpolation, the [[winsorize]] percentile machinery),
@@ -89,8 +112,8 @@ object Stats {
     * Scale shape: exact `percentile` sorts within groups only, the
     * fences join back on the group keys unhinted (AQE broadcasts the
     * group-bounded bounds frame), flagging is map-only. For corpora
-    * where per-group sorts hurt, `approx_percentile` is the
-    * documented 100 TB swap — same contract as [[winsorize]].
+    * where per-group sorts hurt, `exact = false` swaps in
+    * `approx_percentile` — same flag contract as [[winsorize]].
     *
     * Output: input columns + (lo_fence, hi_fence, is_outlier). */
   def iqrOutlierFlags(
@@ -98,12 +121,16 @@ object Stats {
       groupCols: Seq[String],
       valueCol: String,
       k: Double = 1.5,
-      roundDigits: Int = 6): DataFrame = {
+      roundDigits: Int = 6,
+      exact: Boolean = true,
+      approxAccuracy: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     require(k >= 0.0, s"k ($k) must be non-negative")
+    require(approxAccuracy >= 1, s"approxAccuracy ($approxAccuracy) must be >= 1")
     TempCols.reserve(df, "iqrOutlierFlags", "__b", "__q1", "__q3")
     val bounds = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, array(0.25D, 0.75D))").as("__b"))
+      .agg(groupPercentiles(valueCol, Seq(0.25, 0.75),
+        exact, approxAccuracy).as("__b"))
       .select((groupCols.map(col) :+ element_at(col("__b"), 1).as("__q1")
         :+ element_at(col("__b"), 2).as("__q3")): _*)
     val iqr = col("__q3") - col("__q1")
@@ -123,12 +150,16 @@ object Stats {
       valueCol: String,
       outCol: String,
       lo: Double = 0.0625,
-      hi: Double = 0.9375): DataFrame = {
+      hi: Double = 0.9375,
+      exact: Boolean = true,
+      approxAccuracy: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     require(0 <= lo && lo < hi && hi <= 1, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    require(approxAccuracy >= 1, s"approxAccuracy ($approxAccuracy) must be >= 1")
     TempCols.reserve(df, "winsorize", "__b", "__lo", "__hi")
     val bounds = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, array(${lo}D, ${hi}D))").as("__b"))
+      .agg(groupPercentiles(valueCol, Seq(lo, hi),
+        exact, approxAccuracy).as("__b"))
       .select((groupCols.map(col) :+ element_at(col("__b"), 1).as("__lo")
         :+ element_at(col("__b"), 2).as("__hi")): _*)
     joinOnGroups(df, bounds, groupCols)
@@ -162,17 +193,22 @@ object Stats {
       groupCols: Seq[String],
       valueCol: String,
       k: Double = 3.5,
-      roundDigits: Int = 6): DataFrame = {
+      roundDigits: Int = 6,
+      exact: Boolean = true,
+      approxAccuracy: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     require(k > 0.0, s"k ($k) must be positive")
+    require(approxAccuracy >= 1, s"approxAccuracy ($approxAccuracy) must be >= 1")
     TempCols.reserve(df, "robustOutlierFlags", "__med", "__mad")
     val med = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, 0.5D)").as("__med"))
+      .agg(element_at(groupPercentiles(valueCol, Seq(0.5),
+        exact, approxAccuracy), 1).as("__med"))
     val withMed = joinOnGroups(df, med, groupCols)
     val mad = withMed
       .groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile(abs(cast($valueCol as double) - __med), 0.5D)")
-        .as("__mad"))
+      .agg(element_at(groupPercentiles(
+        s"abs(cast($valueCol as double) - __med)", Seq(0.5),
+        exact, approxAccuracy), 1).as("__mad"))
     val spread = lit(k / 0.6745) * col("__mad")
     joinOnGroups(withMed, mad, groupCols)
       .withColumn("lo_fence", round(col("__med") - spread, roundDigits))

@@ -34,9 +34,11 @@ class ArtifactsSpec extends AnyFunSuite {
 
   test("BPE merges: a corrupted persisted table fails loudly at load") {
     val dir = tempDir("graft-merges-bad")
-    // doubled-append corruption: same pair under two ranks
+    // doubled-append corruption: same pair under two ranks (stamped —
+    // the row corruption is what this test pins, not the version gate)
     table("merge_rank int, lhs string, rhs string, merged string, pair_freq bigint",
       Seq(row(1, "a", "b", "ab", 5L), row(2, "a", "b", "ab", 5L)))
+      .withColumn("format_version", lit(1))
       .write.mode("overwrite").parquet(dir)
     val e = intercept[IllegalArgumentException](Corpus.loadMerges(spark, dir))
     assert(e.getMessage.contains("duplicate"))
@@ -58,13 +60,55 @@ class ArtifactsSpec extends AnyFunSuite {
       ignoreNullable = true)
     // gapped ids (a dropped row) are rejected by the load validation
     val bad = tempDir("graft-vocab-bad")
-    vocab.filter(col("token_id") =!= 1L).write.mode("overwrite").parquet(bad)
+    vocab.filter(col("token_id") =!= 1L)
+      .withColumn("format_version", lit(1))
+      .write.mode("overwrite").parquet(bad)
     val e = intercept[IllegalArgumentException](Corpus.loadVocabulary(spark, bad))
     assert(e.getMessage.contains("contiguous"))
     // duplicated token under two ids
     val dup = tempDir("graft-vocab-dup")
-    vocab.withColumn("token", lit("same")).write.mode("overwrite").parquet(dup)
+    vocab.withColumn("token", lit("same"))
+      .withColumn("format_version", lit(1))
+      .write.mode("overwrite").parquet(dup)
     intercept[IllegalArgumentException](Corpus.loadVocabulary(spark, dup))
+  }
+
+  test("artifact format versioning: wrong or missing versions are rejected by every loader") {
+    import graft.operators.{ArtifactFormat, Classify, Pq}
+    assert(ArtifactFormat.Version == 1)
+    // wrong version: a future build's artifact must not be mis-read
+    val future = tempDir("graft-merges-future")
+    table("merge_rank int, lhs string, rhs string, merged string, pair_freq bigint",
+      Seq(row(1, "a", "b", "ab", 5L)))
+      .withColumn("format_version", lit(99))
+      .write.mode("overwrite").parquet(future)
+    val e1 = intercept[IllegalArgumentException](Corpus.loadMerges(spark, future))
+    assert(e1.getMessage.contains("format_version 99"), e1.getMessage)
+    // missing version: a pre-versioning artifact names its cause
+    val old = tempDir("graft-ivf-old")
+    table("cell int, centroid array<float>",
+      Seq(row(0, Seq(1.0f, 0.0f)), row(1, Seq(0.0f, 1.0f))))
+      .write.mode("overwrite").parquet(old)
+    val e2 = intercept[IllegalArgumentException](Ivf.load(spark, old))
+    assert(e2.getMessage.contains("no format_version"), e2.getMessage)
+    // every save stamps: a fresh roundtrip works for all five families
+    val corpus = table("id bigint, text string", Seq(row(1L, "hug pug hug")))
+    val md = tempDir("graft-ver-merges")
+    Corpus.saveMerges(Corpus.bpeMerges(corpus, "text", 2), md)
+    assert(Corpus.loadMerges(spark, md).size == 2)
+    val pqBad = tempDir("graft-pq-future")
+    table("sub int, cell int, centroid array<float>",
+      Seq(row(0, 0, Seq(1.0f))))
+      .withColumn("format_version", lit(2))
+      .write.mode("overwrite").parquet(pqBad)
+    assert(intercept[IllegalArgumentException](Pq.load(spark, pqBad))
+      .getMessage.contains("format_version 2"))
+    val nbOld = tempDir("graft-nb-old")
+    spark.range(1).select(lit(0.0).as("prior_log_odds"),
+        lit(0.0).as("floor_pos"), lit(0.0).as("floor_neg"))
+      .write.mode("overwrite").parquet(s"$nbOld/meta")
+    assert(intercept[IllegalArgumentException](Classify.load(spark, nbOld))
+      .getMessage.contains("no format_version"))
   }
 
   test("IVF model: train -> save -> load is bit-identical and assigns/probes identically") {
@@ -121,12 +165,14 @@ class ArtifactsSpec extends AnyFunSuite {
     table("sub int, cell int, centroid array<float>", Seq(
       row(0, 0, Seq(1.0f, 0.0f)), row(0, 2, Seq(0.0f, 1.0f)),
       row(1, 0, Seq(1.0f, 1.0f)), row(1, 1, Seq(0.0f, 0.5f))))
+      .withColumn("format_version", lit(1))
       .write.mode("overwrite").parquet(holes)
     val e1 = intercept[IllegalArgumentException](Pq.load(spark, holes))
     assert(e1.getMessage.contains("tile"))
     val ragged = tempDir("graft-pq-bad2")
     table("sub int, cell int, centroid array<float>", Seq(
       row(0, 0, Seq(1.0f, 0.0f)), row(0, 1, Seq(0.0f, 1.0f, 0.7f))))
+      .withColumn("format_version", lit(1))
       .write.mode("overwrite").parquet(ragged)
     val e2 = intercept[IllegalArgumentException](Pq.load(spark, ragged))
     assert(e2.getMessage.contains("uniform"))
@@ -136,12 +182,14 @@ class ArtifactsSpec extends AnyFunSuite {
     val nonContig = tempDir("graft-ivf-bad1")
     table("cell int, centroid array<float>", Seq(
       row(0, Seq(1.0f, 0.0f)), row(2, Seq(0.0f, 1.0f))))
+      .withColumn("format_version", lit(1))
       .write.mode("overwrite").parquet(nonContig)
     val e1 = intercept[IllegalArgumentException](Ivf.load(spark, nonContig))
     assert(e1.getMessage.contains("contiguous"))
     val ragged = tempDir("graft-ivf-bad2")
     table("cell int, centroid array<float>", Seq(
       row(0, Seq(1.0f, 0.0f)), row(1, Seq(0.0f, 1.0f, 0.5f))))
+      .withColumn("format_version", lit(1))
       .write.mode("overwrite").parquet(ragged)
     val e2 = intercept[IllegalArgumentException](Ivf.load(spark, ragged))
     assert(e2.getMessage.contains("uniform"))

@@ -81,9 +81,11 @@ class ClassifySpec extends AnyFunSuite {
     val b = Classify.scoreNaiveBayes(apply, "id", "text", loaded)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(a == b) // bit-identical, not approximately equal
-    // two meta rows = corrupted artifact
+    // two meta rows = corrupted artifact (stamped — row corruption is
+    // what this test pins, not the version gate)
     spark.range(2).select(lit(0.0).as("prior_log_odds"),
-        lit(0.0).as("floor_pos"), lit(0.0).as("floor_neg"))
+        lit(0.0).as("floor_pos"), lit(0.0).as("floor_neg"),
+        lit(1).as("format_version"))
       .write.mode("overwrite").parquet(s"$dir/meta")
     val e = intercept[IllegalArgumentException] {
       Classify.load(spark, dir)

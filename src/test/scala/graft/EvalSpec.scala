@@ -29,6 +29,38 @@ class EvalSpec extends AnyFunSuite {
       val gotIds = (1 to 5).map(r => got((qid, r)))
       assert(gotIds == exp, s"query $qid: $gotIds vs $exp")
     }
+    // the query set is a plan literal: oversize must fail loudly and
+    // name the joined alternative, never build a giant plan
+    val over = intercept[IllegalArgumentException] {
+      Eval.topKAllQueries(df, "vec_id", "embedding", queries, 5,
+        maxQueries = 2)
+    }
+    assert(over.getMessage.contains("topKAllQueriesJoined"), over.getMessage)
+  }
+
+  test("topKAllQueriesJoined: agrees with the literal variant on q125's geometry") {
+    // the q125 shape scaled down: every 5th corpus vector is a query
+    val rnd = new scala.util.Random(19)
+    val corpus = (0L until 60L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    val df = vecTable(corpus)
+    val queries = corpus.filter(_._1 % 5 == 0)
+    val qdf = vecTable(queries)
+    val lit = Eval.topKAllQueries(df, "vec_id", "embedding", queries, 7)
+      .collect().map(_.toSeq).toSet
+    Seq(1, 4, 32).foreach { blocks =>
+      val joined = Eval.topKAllQueriesJoined(df, "vec_id", "embedding",
+          qdf, "vec_id", "embedding", 7, blocks = blocks)
+        .collect().map(_.toSeq).toSet
+      assert(joined == lit, s"blocks=$blocks: " +
+        s"joined-only ${(joined -- lit).take(3)}, lit-only ${(lit -- joined).take(3)}")
+    }
+    // excludeSelf=false keeps the self row at rank 1
+    val selfIn = Eval.topKAllQueriesJoined(df, "vec_id", "embedding",
+        qdf, "vec_id", "embedding", 3, excludeSelf = false)
+      .filter(col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(selfIn.forall { case (q, i) => q == i }, selfIn.toString)
   }
 
   test("retrievalMetrics: hand-computed recall/MRR/nDCG, zero-hit query kept") {

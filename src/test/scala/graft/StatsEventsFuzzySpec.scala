@@ -426,6 +426,56 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("quantile family: approx flag agrees with exact within the sketch's rank error") {
+    // Uniform integers 1..4000 across 2 groups: rank error n/accuracy
+    // translates directly into VALUE error (values spaced 1 apart), so
+    // the agreement bound is checkable. n = 2000 per group, accuracy
+    // 10000 -> rank error <= 0.2, allow slack of a few values.
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 2000).flatMap { i =>
+      Seq(row("a", i.toDouble), row("b", (i * 2).toDouble))
+    }
+    val df = table("g string, v double", rnd.shuffle(rows))
+    val tol = 4.0 // values per unit rank, x2 group spacing, + slack
+    // winsorize bounds: compare the clipped outputs value-by-value
+    val ex = Stats.winsorize(df, Seq("g"), "v", "w", lo = 0.1, hi = 0.9)
+      .orderBy("g", "v").collect().map(_.getDouble(2))
+    val ap = Stats.winsorize(df, Seq("g"), "v", "w", lo = 0.1, hi = 0.9,
+        exact = false)
+      .orderBy("g", "v").collect().map(_.getDouble(2))
+    assert(ex.zip(ap).forall { case (e, a) => math.abs(e - a) <= tol },
+      s"max winsorize gap ${ex.zip(ap).map(t => math.abs(t._1 - t._2)).max}")
+    // IQR fences
+    val exF = Stats.iqrOutlierFlags(df, Seq("g"), "v")
+      .select("g", "lo_fence", "hi_fence").distinct()
+      .orderBy("g").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val apF = Stats.iqrOutlierFlags(df, Seq("g"), "v", exact = false)
+      .select("g", "lo_fence", "hi_fence").distinct()
+      .orderBy("g").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    exF.zip(apF).foreach { case ((el, eh), (al, ah)) =>
+      // fences scale rank error by (1 + k): k=1.5 -> 2.5x, plus slack
+      assert(math.abs(el - al) <= 3 * tol && math.abs(eh - ah) <= 3 * tol,
+        s"fences exact ($el,$eh) vs approx ($al,$ah)")
+    }
+    // MAD fences
+    val exM = Stats.robustOutlierFlags(df, Seq("g"), "v")
+      .select("g", "lo_fence", "hi_fence").distinct()
+      .orderBy("g").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val apM = Stats.robustOutlierFlags(df, Seq("g"), "v", exact = false)
+      .select("g", "lo_fence", "hi_fence").distinct()
+      .orderBy("g").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    exM.zip(apM).foreach { case ((el, eh), (al, ah)) =>
+      // median error compounds through the MAD pass and the k/0.6745
+      // amplification (~5.2x at k=3.5): generous but still tight
+      // enough to catch a wrong-percentile or wrong-cast bug
+      assert(math.abs(el - al) <= 8 * tol && math.abs(eh - ah) <= 8 * tol,
+        s"MAD fences exact ($el,$eh) vs approx ($al,$ah)")
+    }
+    intercept[IllegalArgumentException] {
+      Stats.winsorize(df, Seq("g"), "v", "w", exact = false, approxAccuracy = 0)
+    }
+  }
+
   test("topPaths: ordered truncated paths, tie-broken cutoff, oversize guard") {
     val df = table("u bigint, sid bigint, t_us bigint, eid bigint, et string", Seq(
       row(1L, 1L, 10L, 1L, "view"), row(1L, 1L, 20L, 2L, "click"),
