@@ -120,6 +120,39 @@ object StreamGate {
     * generation tracking is only sound when replays never overlap. */
   private val replayLock = new Object
 
+  /** Late-data observability: micro-batch count and rows silently
+    * dropped past the watermark, harvested from a finished query's
+    * progress events. A stateful operator drops a late row WITHOUT any
+    * error once the state it would touch has been evicted (while the
+    * state is still live, late rows merge — pinned by the late-data
+    * spec) — so on a production stream a nonzero count is the alarm
+    * for a misconfigured watermark or out-of-order source files, and
+    * on a replay gate it means the single-batch/ordered-replay
+    * assumption broke and the batch-equivalence claim is void. */
+  final case class ReplayObservability(
+      microBatches: Long, droppedLateRows: Long)
+
+  /** Extract [[ReplayObservability]] from a completed query — sums
+    * `numRowsDroppedByWatermark` across every state operator of every
+    * retained progress event. */
+  def observabilityOf(
+      q: org.apache.spark.sql.streaming.StreamingQuery): ReplayObservability = {
+    val ps = q.recentProgress
+    ReplayObservability(
+      microBatches = ps.length.toLong,
+      droppedLateRows =
+        ps.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum)
+  }
+
+  @volatile private var lastObs: Option[ReplayObservability] = None
+
+  /** [[ReplayObservability]] of the most recent replay gate run on
+    * this JVM (the gates publish it just before returning; replays are
+    * serialized on the replay lock, so the value is unambiguous). A
+    * production caller checks `droppedLateRows == 0` after a replay
+    * the same way it would alarm on the live query's progress. */
+  def lastReplayObservability: Option[ReplayObservability] = lastObs
+
   private def releaseLastReplay(next: DataFrame): DataFrame = {
     lastReplay.foreach { df =>
       df.queryExecution.analyzed match {
@@ -149,6 +182,7 @@ object StreamGate {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
       releaseLastReplay(
         spark.read.schema(df.schema).parquet(out).localCheckpoint())
     } finally {
@@ -402,6 +436,7 @@ object StreamGate {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
       releaseLastReplay(
         spark.read.schema(docs.schema).parquet(out).localCheckpoint())
     } finally {
@@ -465,6 +500,7 @@ object StreamGate {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
       require(current.get() != null,
         "replayIncrementalRollup saw no micro-batches")
       releaseLastReplay(spark.read.parquet(current.get()).localCheckpoint())
@@ -534,6 +570,7 @@ object StreamGate {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
       require(state.get() != null, "replayStreamingDrift saw no micro-batches")
       val refH = graft.operators.Profile.histogram(reference, c, bins, lo, hi)
         .select(col("bucket"), col("n").as("n_ref"))
@@ -603,6 +640,7 @@ object StreamGate {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
       require(state.get() != null,
         "replayCategoricalDrift saw no micro-batches")
       val refC = reference
@@ -672,6 +710,7 @@ object StreamGate {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
       // Same guard as replayCategoricalDrift: an empty eval source fires
       // zero micro-batches, so nothing is written under `out` and the
       // read below would die with an obscure schema-inference error

@@ -81,6 +81,59 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("late-data observability: planted late rows surface in the dropped-late metric") {
+    val s = spark
+    // Three ordered micro-batches: batch 0 (t=0..2h) seeds windows and
+    // the watermark; batch 1 (one fresh row) runs with the advanced
+    // watermark, EVICTING and emitting every old window; batch 2's
+    // t=1min row then targets an already-emitted window — the
+    // aggregation drops it SILENTLY (the earlier-batch cases merge
+    // late rows into still-live state, which is why the metric — not
+    // the output — is the only place a production run sees the loss).
+    val base = 1700000000000000L
+    def ev(id: Long, offsetMin: Long) = row(id,
+      new java.sql.Timestamp(base / 1000 + offsetMin * 60000), id, "e", 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    def listFiles() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSet
+    def writeBatch(rows: Seq[org.apache.spark.sql.Row], mtimeBumpMs: Long): Unit = {
+      val before = listFiles()
+      table("event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+        rows).coalesce(1).write.mode("append").parquet(dir)
+      // the file source orders batches by modification time: stage the
+      // bumps so the three batches replay in plant order (same-ms
+      // writes would tie)
+      (listFiles() -- before).foreach { f =>
+        f.setLastModified(f.lastModified() + mtimeBumpMs)
+      }
+    }
+    writeBatch((0L until 5L).map(i => ev(i, i * 30)), 0L)     // 0..2h
+    writeBatch(Seq(ev(50L, 150)), 600000L)                    // fresh row
+    writeBatch(Seq(ev(100L, 1)), 1200000L)                    // LATE row
+    val schema = table(
+      "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+      Seq.empty).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStream.windowedCounts(stream, "5 minutes", "5 minutes",
+        "10 minutes")
+      .writeStream.format("memory").queryName("late_obs")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(120000L)) { q.stop(); fail("late_obs hung") }
+    val obs = StreamGate.observabilityOf(q)
+    assert(obs.microBatches >= 3, obs.toString)
+    assert(obs.droppedLateRows >= 1,
+      s"the planted late row must be counted: $obs")
+    // and a well-configured gate replay reports ZERO late drops — the
+    // production health check, published after every replay
+    StreamGate.replayWindowedCounts(events,
+      "5 minutes", "5 minutes", "10 minutes", horizonUs = 3600L * 1000000)
+      .count()
+    val gateObs = StreamGate.lastReplayObservability
+    assert(gateObs.exists(o => o.droppedLateRows == 0 && o.microBatches >= 1),
+      gateObs.toString)
+  }
+
   test("stream windowed counts == batch windowed rollup (watermark-flushed)") {
     val streamed = StreamGate.replayWindowedCounts(events,
         "5 minutes", "5 minutes", "10 minutes", horizonUs = 3600L * 1000000)
