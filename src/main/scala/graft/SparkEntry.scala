@@ -3701,6 +3701,70 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  // ---------------------------------------------------------------- q185
+  /** Shot-boundary detection ([[Multimodal.shotBoundaries]]): each
+    * document builds a two-shot synthetic video — 4 repeats of its
+    * first 72 payload bytes then 4 of the next 72 — so the 8 sampled
+    * frames are shot-aligned (stride 72 = the chunk size): frames 0-3
+    * are identical within shot A, 4-7 within shot B, and the only
+    * candidate cut is at frame 4, found iff the chunks' dHashes
+    * differ by more than the Hamming threshold (72-byte frames give
+    * every 9x8 grid cell its own byte, so distinct text chunks differ
+    * by ~30 bits where identical frames differ by 0). The oracle
+    * rebuilds the payload in hex, recomputes every per-frame 72-cell
+    * dHash (the q154 recipe), and replays the LAG/XOR/popcount rule —
+    * integer-exact throughout. */
+  private def q185ShotBoundaries(s: SparkSession, dir: String): DataFrame = {
+    val bin = col("text").cast("binary")
+    val chunkA = substring(bin, 1, 72)
+    val chunkB = substring(bin, 73, 72)
+    val media = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && octet_length(bin) >= 144)
+      .select(col("doc_id").as("media_id"),
+        concat((Seq.fill(4)(chunkA) ++ Seq.fill(4)(chunkB)): _*)
+          .as("payload"))
+    Multimodal.shotBoundaries(media, nFrames = 8, frameBytes = 72,
+        maxHamming = 8)
+      .select(col("media_id"), col("n_frames"), col("n_boundaries"),
+        array_join(transform(col("boundary_frames"),
+          i => i.cast("string")), ",").as("boundary_frames"))
+      .orderBy("media_id")
+  }
+
+  // ---------------------------------------------------------------- q186
+  /** Zipf rank-frequency fit ([[graft.operators.Corpus.zipfFit]]):
+    * least-squares slope/intercept/r² of ln(freq) on ln(rank) over the
+    * top-500 tokens — the corpus-composition diagnostic (natural text
+    * sits near slope −1; template or synthetic text bends away). Rank
+    * order is (freq desc, token) on both engines; regression sums
+    * accumulate per-term-rounded DECIMALs so fold order cannot move
+    * them, and the closed form rounds HALF_UP at 6 — hash-exact. */
+  private def q186ZipfFit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.zipfFit(
+      Tables.documents(s, dir), "text", topN = 500)
+
+  // ---------------------------------------------------------------- q187
+  /** Quantile feature binning ([[graft.operators.Stats
+    * .quantileBucketize]]): events.value into per-event-type quartile
+    * buckets (exact interpolated cutpoints, rounded at 6 before the
+    * strictly-below comparison so an interpolation ulp cannot move a
+    * row), rolled up to per-(type, bucket) count and min/max. The
+    * oracle recomputes the cutpoint array and replays the
+    * 1 + Σ(value > cut) rule — near-equal bucket populations with
+    * deterministic tie placement, which NTILE's arbitrary row-order
+    * splitting cannot promise. */
+  private def q187QuantileBuckets(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+    graft.operators.Stats.quantileBucketize(
+        ev.select(col("event_type"), col("value")),
+        Seq("event_type"), "value", buckets = 4, outCol = "bucket")
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("min6"),
+        round(max(col("value")), 6).as("max6"))
+      .orderBy("event_type", "bucket")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3886,6 +3950,9 @@ object SparkEntry {
     "q182_multiclass_nb" -> (q182MulticlassNb _),
     "q183_stream_cat_drift" -> (q183StreamCatDrift _),
     "q184_retrieval_eval_joined" -> (q184RetrievalEvalJoined _),
+    "q185_shot_boundaries" -> (q185ShotBoundaries _),
+    "q186_zipf_fit" -> (q186ZipfFit _),
+    "q187_quantile_buckets" -> (q187QuantileBuckets _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7312,6 +7379,111 @@ object SparkEntry {
     // the joined formulation is held to the SAME ground truth — the
     // two-formulations-one-oracle pattern (q110/q173)
     "q184_retrieval_eval_joined" -> q125OracleSql,
+    "q185_shot_boundaries" ->
+      """WITH m0 AS (
+        |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(hex(CAST(text AS BLOB)))//2 >= 144
+        |), m AS (
+        |  SELECT media_id,
+        |    repeat(substr(hx, 1, 144), 4) || repeat(substr(hx, 145, 144), 4)
+        |      AS hx2
+        |  FROM m0
+        |), fx AS (
+        |  SELECT media_id, i, substr(hx2, CAST(i * 144 + 1 AS INT), 144) AS fhx
+        |  FROM (SELECT media_id, hx2, unnest(range(8)) AS i FROM m)
+        |), fl AS (
+        |  SELECT media_id, i, fhx, length(fhx)//2 AS flen FROM fx
+        |), c AS (
+        |  SELECT media_id, i,
+        |    list_transform(range(72), g ->
+        |      CASE WHEN flen = 0 THEN 0 ELSE
+        |        (strpos('0123456789ABCDEF',
+        |           substr(fhx, CAST(((g*flen)//72)*2 + 1 AS INT), 1)) - 1) * 16
+        |        + (strpos('0123456789ABCDEF',
+        |           substr(fhx, CAST(((g*flen)//72)*2 + 2 AS INT), 1)) - 1)
+        |      END) AS cell
+        |  FROM fl
+        |), p AS (
+        |  SELECT media_id, i,
+        |    CAST(list_sum(list_transform(range(32), b ->
+        |      CASE WHEN cell[((b+32)//8)*9 + ((b+32)%8) + 1]
+        |              < cell[((b+32)//8)*9 + ((b+32)%8) + 2]
+        |        THEN 2**CAST(b AS INT) ELSE 0 END)) AS BIGINT) AS hi32,
+        |    CAST(list_sum(list_transform(range(32), b ->
+        |      CASE WHEN cell[(b//8)*9 + (b%8) + 1] < cell[(b//8)*9 + (b%8) + 2]
+        |        THEN 2**CAST(b AS INT) ELSE 0 END)) AS BIGINT) AS lo32
+        |  FROM c
+        |), sg AS (
+        |  SELECT media_id, i,
+        |    CASE WHEN hi32 >= 2147483648
+        |         THEN (hi32 - 4294967296)*4294967296 + lo32
+        |         ELSE hi32*4294967296 + lo32 END AS sig
+        |  FROM p
+        |), d AS (
+        |  SELECT media_id, i, sig,
+        |    lag(sig) OVER (PARTITION BY media_id ORDER BY i) AS prev
+        |  FROM sg
+        |), k AS (
+        |  SELECT media_id, i,
+        |    CASE WHEN prev IS NOT NULL AND bit_count(xor(sig, prev)) > 8
+        |      THEN 1 ELSE 0 END AS is_cut
+        |  FROM d
+        |)
+        |SELECT media_id, COUNT(*) AS n_frames,
+        |  CAST(SUM(is_cut) AS BIGINT) AS n_boundaries,
+        |  COALESCE(array_to_string(
+        |    list(i ORDER BY i) FILTER (WHERE is_cut = 1), ','), '')
+        |    AS boundary_frames
+        |FROM k GROUP BY media_id
+        |ORDER BY media_id""".stripMargin,
+    "q186_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), ' +')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1
+        |), rk AS (
+        |  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token)
+        |      AS DOUBLE)) AS x,
+        |    ln(CAST(freq AS DOUBLE)) AS y
+        |  FROM tf
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY freq DESC, token) <= 500
+        |), s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(x*y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(ROUND(x*x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ROUND(y*y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        |  FROM rk
+        |)
+        |SELECT n AS n_ranked,
+        |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope6,
+        |  ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+        |    AS intercept6,
+        |  ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2_6
+        |FROM s""".stripMargin,
+    "q187_quantile_buckets" ->
+      """WITH src AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL
+        |), cuts AS (
+        |  SELECT event_type,
+        |    list_transform(quantile_cont(value, [0.25, 0.5, 0.75]),
+        |      c -> ROUND(c, 6)) AS cuts
+        |  FROM src GROUP BY 1
+        |), b AS (
+        |  SELECT s.event_type,
+        |    1 + CAST(list_sum(list_transform(c.cuts,
+        |      x -> CASE WHEN s.value > x THEN 1 ELSE 0 END)) AS INT) AS bucket,
+        |    s.value
+        |  FROM src s JOIN cuts c USING (event_type)
+        |)
+        |SELECT event_type, bucket, COUNT(*) AS n,
+        |  ROUND(MIN(value), 6) AS min6, ROUND(MAX(value), 6) AS max6
+        |FROM b GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q124_zorder" -> {
       // the same 16-bit Morton interleave Layout.mortonInterleave
       // codegens, unrolled as SQL bit arithmetic

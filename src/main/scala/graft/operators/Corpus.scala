@@ -1017,6 +1017,65 @@ object Corpus {
           .as("oov_rate")): _*)
   }
 
+  /** Zipf rank-frequency fit over the corpus vocabulary — the
+    * classic sanity diagnostic for scraped text (natural language sits
+    * near slope −1 in log-log rank-frequency space; machine-generated
+    * or template-heavy corpora bend away from it, and a drifting slope
+    * between crawl snapshots is a composition alarm): least-squares of
+    * `ln(freq)` on `ln(rank)` over the top-`topN` tokens, rank by
+    * (freq desc, token) — the deterministic tie order both engines
+    * share.
+    *
+    * Scale shape: the frequency table is one map-side-combined count
+    * (vocabulary-bounded); ranking rides
+    * [[General.withContiguousRowIds]] (range-partitioned, never one
+    * global window partition); the regression reduces to SIX driver
+    * scalars through one aggregation, with per-term products rounded
+    * then summed as DECIMAL so the result is independent of fold
+    * order. Output is one row: (`n_ranked`, `slope6`, `intercept6`,
+    * `r2_6`). */
+  def zipfFit(
+      df: DataFrame,
+      textCol: String,
+      topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"topN ($topN) must be >= 2 — a line needs two points")
+    val ranked = General.withContiguousRowIds(
+        tokenFrequencies(df, textCol)
+          .select(col("token"), (lit(0L) - col("freq")).as("__negf"), col("freq")),
+        Seq("__negf", "token"), "__r")
+      .filter(col("__r") < topN)
+      .select((col("__r") + 1).cast("double").as("__rank"),
+        col("freq").cast("double").as("__freq"))
+    // per-term doubles round at 12 and accumulate through DECIMAL so
+    // the regression sums are fold-order-exact on both engines; the
+    // closed form then runs on bounded driver scalars
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+    val x = log(col("__rank"))
+    val y = log(col("__freq"))
+    val s = ranked.agg(
+      count(lit(1)).as("n"),
+      dsum(x).as("sx"), dsum(y).as("sy"),
+      dsum(x * y).as("sxy"), dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+      .head()
+    val (n, sx, sy, sxy, sxx, syy) = (s.getLong(0).toDouble, s.getDouble(1),
+      s.getDouble(2), s.getDouble(3), s.getDouble(4), s.getDouble(5))
+    require(n >= 2, s"zipfFit: only ${n.toLong} distinct tokens — need >= 2")
+    val spark = df.sparkSession
+    val covN = n * sxy - sx * sy
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    val slope = covN / varX
+    val intercept = (sy - slope * sx) / n
+    val r2 = if (varY == 0.0) Double.NaN else covN * covN / (varX * varY)
+    import spark.implicits._
+    // HALF_UP at 6 — the engine-portable rounding every oracle uses
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n.toLong, r6(slope), r6(intercept), r6(r2)))
+      .toDF("n_ranked", "slope6", "intercept6", "r2_6")
+  }
+
   /** Vocabulary coverage curve — the tokenizer-sizing report: for each
     * coverage target t, the number of top-frequency tokens whose
     * cumulative corpus frequency reaches t·N ("32k tokens cover 99.2%

@@ -338,6 +338,58 @@ object Multimodal {
       .select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")
   }
 
+  /** Shot-boundary detection over a video-style payload: the payload
+    * samples into [[sampleFrames]]' evenly-spaced frames IN ORDER,
+    * every frame gets its [[graft.expressions.DHash64]] perceptual
+    * signature, and a boundary falls between consecutive frames whose
+    * signature Hamming distance exceeds `maxHamming` — the standard
+    * cut-detection recipe (adjacent frames of one shot are visually
+    * near-identical; a cut is a signature jump), expressed over opaque
+    * binary so the decode stays pluggable like the rest of this
+    * module.
+    *
+    * Scale shape: frames and signatures are map-only codegen'd
+    * expressions; the consecutive-frame comparison is a LAG window
+    * partitioned by media (nFrames rows per partition key — never a
+    * global sort); the rollup is one media-keyed aggregation. One row
+    * per media: (`media_id`, `n_frames`, `n_boundaries`,
+    * `boundary_frames` — the 0-based indexes of each boundary's FIRST
+    * frame-after-cut, ascending, empty when the payload is one shot).
+    * NULL payloads produce no row (no frames, no shots). */
+  def shotBoundaries(
+      media: DataFrame,
+      nFrames: Int = 8,
+      frameBytes: Int = 16,
+      maxHamming: Int = 8,
+      idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    require(nFrames >= 2, s"nFrames ($nFrames) must be >= 2 — one frame has no cuts")
+    require(frameBytes >= 16,
+      s"frameBytes ($frameBytes) must be >= 16 (a dHash grid row " +
+        "spanning a single byte has no gradient)")
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming ($maxHamming) must be in [0, 64)")
+    val prepared = media.select(col(idCol).as("media_id"),
+      col(payloadCol).as("payload"))
+    val sigs = sampleFrames(prepared.filter(col("payload").isNotNull),
+        nFrames, frameBytes)
+      .select(col("media_id"), posexplode(col("frames")).as(Seq("__i", "__f")))
+      .select(col("media_id"), col("__i"),
+        graft.expressions.GraftFunctions.dhash64(prepared, col("__f")).as("__sig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("__i")
+    sigs
+      .withColumn("__prev", lag(col("__sig"), 1).over(w))
+      .withColumn("__cut",
+        col("__prev").isNotNull &&
+          bit_count(col("__sig").bitwiseXOR(col("__prev"))) > maxHamming)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("__cut"), 1L).otherwise(0L)).as("n_boundaries"),
+        sort_array(collect_list(when(col("__cut"), col("__i"))))
+          .as("boundary_frames"))
+  }
+
   /** Partition-wise feature extraction with a pluggable codec: one
     * decoder instance per task, payloads processed in iterator order
     * (constant memory — no collect, no per-row decoder setup). Output =

@@ -169,6 +169,56 @@ object Stats {
       .drop("__lo", "__hi")
   }
 
+  /** Per-group quantile bucketing — the feature-binning transform
+    * (equal-frequency discretization of a continuous quality signal
+    * before it feeds a mixture weight, a stratified sample, or a
+    * monotone-model feature): each row gets the 1-based bucket of its
+    * value among the group's `buckets` exact-percentile cutpoints
+    * (`i/buckets` for i in 1..buckets-1, linear interpolation).
+    * Bucket = 1 + (number of cutpoints strictly below the value), so
+    * a value exactly ON a cutpoint lands in the LOWER bucket — a
+    * deterministic closed rule (unlike NTILE's row-count splitting,
+    * which breaks ties by arbitrary row order). Cutpoints are ROUNDED
+    * to `roundDigits` before comparison ([[iqrOutlierFlags]]'
+    * discipline) so a cross-engine interpolation ulp cannot move a
+    * row across a boundary. NULL values get a NULL bucket; NULL
+    * groups bucket within their own stratum.
+    *
+    * Scale shape: one grouped percentile aggregation (group-bounded
+    * output), the null-safe group join back (AQE broadcasts it), and
+    * a map-only fold over the (buckets−1)-element cutpoint array.
+    * `exact = false` swaps in `approx_percentile` cutpoints — the
+    * [[winsorize]] flag contract.
+    *
+    * Output: input columns + `outCol` (int bucket 1..buckets). */
+  def quantileBucketize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      buckets: Int,
+      outCol: String,
+      roundDigits: Int = 6,
+      exact: Boolean = true,
+      approxAccuracy: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(buckets >= 2, s"buckets ($buckets) must be >= 2")
+    require(approxAccuracy >= 1, s"approxAccuracy ($approxAccuracy) must be >= 1")
+    TempCols.reserve(df, "quantileBucketize", "__cuts")
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    val cuts = df.groupBy(groupCols.map(col): _*)
+      .agg(transform(
+        groupPercentiles(valueCol, fracs, exact, approxAccuracy),
+        c => round(c, roundDigits)).as("__cuts"))
+    joinOnGroups(df, cuts, groupCols)
+      .withColumn(outCol,
+        when(col(valueCol).isNotNull,
+          (lit(1) + aggregate(col("__cuts"), lit(0),
+            (acc, c) => acc +
+              when(col(valueCol).cast("double") > c, 1).otherwise(0)))
+            .cast("int")))
+      .drop("__cuts")
+  }
+
   /** Median/MAD robust outlier flags — [[iqrOutlierFlags]]' heavier
     * sibling for LONG-TAILED quality signals: the IQR fence assumes
     * the bulk is roughly symmetric, while the modified z-score

@@ -847,6 +847,33 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(drvDf.orderBy("merge_rank").collect().map(_.toSeq).toSeq == batched)
   }
 
+  test("zipfFit: exact power law recovers slope -1 with r2 1; validation") {
+    import graft.operators.Corpus
+    // freq_i = 24/i for ranks 1..4 is an EXACT power law: slope -1,
+    // intercept ln 24, r2 = 1 (up to the 1e-12 per-term rounding)
+    val words = Seq.fill(24)("aa") ++ Seq.fill(12)("bb") ++
+      Seq.fill(8)("cc") ++ Seq.fill(6)("dd")
+    val df = table("id bigint, text string",
+      words.grouped(10).zipWithIndex
+        .map { case (ws, i) => row(i.toLong, ws.mkString(" ")) }.toSeq)
+    val got = Corpus.zipfFit(df, "text", topN = 10).head()
+    assert(got.getLong(0) == 4L)
+    assert(got.getDouble(1) == -1.0, s"slope ${got.getDouble(1)}")
+    assert(math.abs(got.getDouble(2) - 3.178054) < 1e-9,
+      s"intercept ${got.getDouble(2)}")
+    assert(got.getDouble(3) == 1.0, s"r2 ${got.getDouble(3)}")
+    // topN truncates the tail: with topN=2 only aa/bb rank
+    assert(Corpus.zipfFit(df, "text", topN = 2).head().getLong(0) == 2L)
+    intercept[IllegalArgumentException] {
+      Corpus.zipfFit(df, "text", topN = 1)
+    }
+    // a single-token corpus cannot fit a line
+    intercept[IllegalArgumentException] {
+      Corpus.zipfFit(table("id bigint, text string",
+        Seq(row(1L, "solo solo"))), "text", 5)
+    }
+  }
+
   test("removeBoilerplateLines: cross-doc lines cut, short/intra-doc/unique kept") {
     val docs = table("id bigint, text string", Seq(
       row(1L, "hello world\nnav bar\nunique one\nok"),

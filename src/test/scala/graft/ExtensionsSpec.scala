@@ -809,6 +809,46 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("shotBoundaries: cuts at content switches, one-shot payloads, degenerate inputs") {
+    // chunk-aligned two-shot payload: 4 repeats of A then 4 of B with
+    // nFrames=8, frameBytes=72, stride = 576/8 = 72 -> frames 0-3 = A,
+    // 4-7 = B: exactly one cut at frame 4 (72-byte frames give every
+    // dHash grid cell its own byte, so distinct chunks differ widely)
+    val a = (0 until 72).map(i => ('A' + (i * 7) % 26).toChar).mkString
+    val b = (0 until 72).map(i => ('z' - (i * 5) % 26).toChar).mkString
+    val twoShot = a * 4 + b * 4
+    val oneShot = a * 8
+    val media = table("media_id bigint, s string", Seq(
+        row(1L, twoShot), row(2L, oneShot), row(3L, null)))
+      .select(col("media_id"), col("s").cast("binary").as("payload"))
+    val got = Multimodal.shotBoundaries(media, nFrames = 8, frameBytes = 72,
+        maxHamming = 8)
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3))).toSeq
+    assert(got == Seq(
+      (1L, 8L, 1L, Seq(4)),          // one cut, at the first B frame
+      (2L, 8L, 0L, Seq.empty)),      // constant content: no cuts
+      got.toString)                   // NULL payload: no row
+    // three-shot: cuts at both switches
+    val threeShot = table("media_id bigint, s string",
+        Seq(row(9L, a * 4 + b * 2 + a * 2)))
+      .select(col("media_id"), col("s").cast("binary").as("payload"))
+    val cuts3 = Multimodal.shotBoundaries(threeShot, 8, 72, 8)
+      .head().getSeq[Int](3)
+    assert(cuts3 == Seq(4, 6), cuts3.toString)
+    intercept[IllegalArgumentException] {
+      Multimodal.shotBoundaries(media, nFrames = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.shotBoundaries(media, nFrames = 8, frameBytes = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.shotBoundaries(media, nFrames = 8, frameBytes = 16,
+        maxHamming = 64)
+    }
+  }
+
   test("frameNearDupPairs: prefix-filter candidates lose nothing vs brute force") {
     // The PPJoin prefix filter is a pruning THEOREM, not a heuristic —
     // pin it generatively: mutated copies (high Jaccard), shared

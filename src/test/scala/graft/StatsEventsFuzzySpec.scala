@@ -476,6 +476,35 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("quantileBucketize: hand-computed quartiles, cutpoint ties land low, NULLs") {
+    // nine values (1,2,3,4,4.5,5,6,7,8): interpolated quartile
+    // cutpoints land exactly on 3 / 4.5 / 6 -> the strictly-below rule
+    // puts each ON-cutpoint value in the LOWER bucket (3 -> bucket 1,
+    // 4.5 -> 2, 6 -> 3)
+    val df = table("g string, v double",
+      (1 to 8).map(i => row("g", i.toDouble)) ++
+        Seq(row("g", 4.5), row("g", null)))
+    val got = Stats.quantileBucketize(df, Seq("g"), "v", 4, "b")
+      .orderBy(col("v").asc_nulls_last).collect()
+      .map(r => (Option(r.get(1)), if (r.isNullAt(2)) None else Some(r.getInt(2))))
+      .toSeq
+    assert(got.map(_._2) == Seq(Some(1), Some(1), Some(1), Some(2), Some(2),
+      Some(3), Some(3), Some(4), Some(4), None), got.toString)
+    // approx flag agrees on well-separated data
+    val big = table("g string, v double",
+      (1 to 1000).map(i => row("g", i.toDouble)))
+    val ex = Stats.quantileBucketize(big, Seq("g"), "v", 4, "b")
+      .groupBy("b").count().orderBy("b").collect().map(_.getLong(1)).toSeq
+    val ap = Stats.quantileBucketize(big, Seq("g"), "v", 4, "b",
+        exact = false)
+      .groupBy("b").count().orderBy("b").collect().map(_.getLong(1)).toSeq
+    assert(ex.zip(ap).forall { case (e, a) => math.abs(e - a) <= 2 },
+      s"$ex vs $ap")
+    intercept[IllegalArgumentException] {
+      Stats.quantileBucketize(df, Seq("g"), "v", 1, "b")
+    }
+  }
+
   test("topPaths: ordered truncated paths, tie-broken cutoff, oversize guard") {
     val df = table("u bigint, sid bigint, t_us bigint, eid bigint, et string", Seq(
       row(1L, 1L, 10L, 1L, "view"), row(1L, 1L, 20L, 2L, "click"),
