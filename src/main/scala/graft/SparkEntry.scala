@@ -3765,6 +3765,51 @@ object SparkEntry {
       .orderBy("event_type", "bucket")
   }
 
+  // ---------------------------------------------------------------- q188
+  /** Temperature-scaled mixture weights ([[graft.operators.Corpus
+    * .mixtureWeights]]): per-source token counts over documents at
+    * τ = 0.7 — the multilingual data-recipe rebalance (tail sources
+    * upsampled toward, head sources below, their natural share), with
+    * the oversampling factor each source would effectively train at.
+    * p^τ terms round at 12 and normalize through one DECIMAL sum, so
+    * every reported number is a deterministic function of the exact
+    * integer token counts; the oracle replays the identical
+    * arithmetic. */
+  private def q188MixtureWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.mixtureWeights(
+        Tables.documents(s, dir), "source", "text", temperature = 0.7)
+      .orderBy("source")
+
+  // ---------------------------------------------------------------- q189
+  /** Hard-negative mining ([[graft.operators.Eval
+    * .topKAllQueriesJoined]]): for every 25th embedding (the anchor
+    * set, kept as a DATAFRAME end to end), the top-scoring neighbors
+    * that are NOT near-duplicates (cosine < 0.99) — the contrastive
+    * training recipe where the informative negative is the closest
+    * non-copy. The blocked equi-join scores all pairs exactly, the
+    * bounded heap keeps top-5 per anchor, and the near-dup filter +
+    * re-rank run over the |anchors|·5 survivors. Scores round at 6
+    * before the near-dup cut AND the final rank, so the oracle's
+    * window replay is hash-exact. */
+  private def q189HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Eval
+    val emb = Tables.embeddings(s, dir)
+    val anchors = emb.filter(col("vec_id") % 25 === 0)
+    val top = Eval.topKAllQueriesJoined(emb, "vec_id", "embedding",
+      anchors, "vec_id", "embedding", k = 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score6").desc, col("item_id"))
+    top
+      .withColumn("score6", round(col("score"), 6))
+      .filter(col("score6") < 0.99) // drop near-copies: not informative
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= 3)
+      .select(col("query_id").as("anchor_id"),
+        col("item_id").as("negative_id"), col("neg_rank"), col("score6"))
+      .orderBy("anchor_id", "neg_rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -3953,6 +3998,8 @@ object SparkEntry {
     "q185_shot_boundaries" -> (q185ShotBoundaries _),
     "q186_zipf_fit" -> (q186ZipfFit _),
     "q187_quantile_buckets" -> (q187QuantileBuckets _),
+    "q188_mixture_weights" -> (q188MixtureWeights _),
+    "q189_hard_negatives" -> (q189HardNegatives _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7379,6 +7426,56 @@ object SparkEntry {
     // the joined formulation is held to the SAME ground truth — the
     // two-formulations-one-oracle pattern (q110/q173)
     "q184_retrieval_eval_joined" -> q125OracleSql,
+    "q188_mixture_weights" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(COALESCE(len(string_split_regex(trim(text), ' +')), 0))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot FROM c
+        |), p AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / tot AS p,
+        |    CAST(ROUND(pow(CAST(n_tokens AS DOUBLE) / tot, 0.7), 12)
+        |      AS DECIMAL(38,12)) AS pt
+        |  FROM c, t
+        |), s AS (
+        |  SELECT CAST(SUM(pt) AS DOUBLE) AS pts FROM p
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(p, 6) AS p6,
+        |  ROUND(CAST(pt AS DOUBLE) / pts, 6) AS w6,
+        |  ROUND((CAST(pt AS DOUBLE) / pts) / p, 6) AS oversample6
+        |FROM p, s ORDER BY source""".stripMargin,
+    "q189_hard_negatives" -> {
+      val cos =
+        """list_sum(list_transform(list_zip(e.embedding, q.qv),
+          |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+          |      / (sqrt(list_sum(list_transform(e.embedding,
+          |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          |         * sqrt(list_sum(list_transform(q.qv,
+          |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id AS anchor_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 25 = 0
+         |), top5 AS (
+         |  SELECT anchor_id, item_id, score6 FROM (
+         |    SELECT q.anchor_id, e.vec_id AS item_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.anchor_id ORDER BY
+         |        $cos DESC, e.vec_id) AS rnk,
+         |      ROUND($cos, 6) AS score6
+         |    FROM embeddings e JOIN q ON e.vec_id <> q.anchor_id
+         |  ) WHERE rnk <= 5
+         |)
+         |SELECT anchor_id, item_id AS negative_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |    ORDER BY score6 DESC, item_id) AS INT) AS neg_rank,
+         |  score6
+         |FROM top5 WHERE score6 < 0.99
+         |QUALIFY neg_rank <= 3
+         |ORDER BY anchor_id, neg_rank""".stripMargin
+    },
     "q185_shot_boundaries" ->
       """WITH m0 AS (
         |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx

@@ -1017,6 +1017,59 @@ object Corpus {
           .as("oov_rate")): _*)
   }
 
+  /** Temperature-scaled mixture weights per source — the data-recipe
+    * step that turns raw per-source token counts into sampling weights
+    * (the multilingual/multi-source rebalancing recipe: `w_i ∝ p_i^τ`
+    * with temperature τ < 1 upsampling the tail sources, τ = 1 the
+    * natural distribution, τ → 0 uniform). Reports, per source: doc
+    * and token counts, the natural share `p`, the temperature weight
+    * `w`, and the oversampling factor `w / p` (how many epochs of a
+    * source a `w`-proportional sampler effectively takes relative to
+    * one natural pass — the number to check against an
+    * acceptable-repetition bound before training).
+    *
+    * Scale shape: ONE map-side-combined aggregation onto the source
+    * key (source-bounded output; token counts via
+    * [[graft.functions.TextFunctions.tokenCount]] never explode the
+    * stream), then arithmetic over the tiny source table — `p^τ`
+    * terms round at 12 and normalize through a DECIMAL sum so the
+    * result is fold-order-exact. NULL sources form their own stratum.
+    * Output: (source, n_docs, n_tokens, p6, w6, oversample6). */
+  def mixtureWeights(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      temperature: Double): DataFrame = {
+    require(temperature > 0.0 && temperature <= 1.0,
+      s"temperature ($temperature) must be in (0, 1] — above 1 would " +
+        "upsample the HEAD, which is never the recipe")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(TextFunctions.tokenCount(col(textCol)), lit(0)))
+          .as("n_tokens"))
+      .localCheckpoint() // the one corpus scan; totals below reuse it
+    // two bounded driver scalars over the SOURCE-BOUNDED count table
+    // ([[compositionReport]]'s normalization pattern — never a
+    // single-partition window)
+    val total = counts.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .head().getLong(0)
+    require(total > 0L, "mixtureWeights: the corpus has no tokens")
+    val withPt = counts
+      .withColumn("__p", col("n_tokens").cast("double") / lit(total.toDouble))
+      .withColumn("__pt",
+        round(pow(col("__p"), lit(temperature)), 12).cast("decimal(38,12)"))
+    // the exact DECIMAL sum converts to double ONCE; the division then
+    // runs in double on both engines (decimal/decimal result scales
+    // are engine-specific, double division is IEEE on both)
+    val ptSum = withPt.agg(sum(col("__pt"))).head().getDecimal(0).doubleValue()
+    withPt
+      .withColumn("__w", col("__pt").cast("double") / lit(ptSum))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("__p"), 6).as("p6"),
+        round(col("__w"), 6).as("w6"),
+        round(col("__w") / col("__p"), 6).as("oversample6"))
+  }
+
   /** Zipf rank-frequency fit over the corpus vocabulary — the
     * classic sanity diagnostic for scraped text (natural language sits
     * near slope −1 in log-log rank-frequency space; machine-generated

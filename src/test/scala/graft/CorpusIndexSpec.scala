@@ -847,6 +847,36 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(drvDf.orderBy("merge_rank").collect().map(_.toSeq).toSeq == batched)
   }
 
+  test("mixtureWeights: tau=1 is natural share, small tau upsamples the tail") {
+    import graft.operators.Corpus
+    // head source 90 tokens, tail 10: p = (0.9, 0.1)
+    val df = table("src string, text string", Seq(
+      row("head", Seq.fill(90)("w").mkString(" ")),
+      row("tail", Seq.fill(10)("w").mkString(" "))))
+    val natural = Corpus.mixtureWeights(df, "src", "text", temperature = 1.0)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(natural == Seq(("head", 90L, 0.9, 0.9, 1.0),
+      ("tail", 10L, 0.1, 0.1, 1.0)), natural.toString)
+    // tau = 0.5: w ∝ sqrt(p) -> tail share rises from 0.1 to 0.25,
+    // oversampling 2.5x; head drops to 0.75
+    val half = Corpus.mixtureWeights(df, "src", "text", temperature = 0.5)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(half == Seq(("head", 0.75, 0.833333), ("tail", 0.25, 2.5)),
+      half.toString)
+    // weights always sum to 1 (up to the 6dp rounding)
+    assert(math.abs(half.map(_._2).sum - 1.0) < 2e-6)
+    intercept[IllegalArgumentException] {
+      Corpus.mixtureWeights(df, "src", "text", temperature = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.mixtureWeights(df.withColumn("text", lit(null).cast("string")),
+        "src", "text", 0.7)
+    }
+  }
+
   test("zipfFit: exact power law recovers slope -1 with r2 1; validation") {
     import graft.operators.Corpus
     // freq_i = 24/i for ranks 1..4 is an EXACT power law: slope -1,
