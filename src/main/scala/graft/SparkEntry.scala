@@ -3810,6 +3810,39 @@ object SparkEntry {
       .orderBy("anchor_id", "neg_rank")
   }
 
+  // ---------------------------------------------------------------- q190
+  /** Incremental distinct-users rollup ([[graft.operators.Maintain
+    * .distinctSummarize]]/`distinctMerge`/`distinctEstimate`): events
+    * split at the q160 time boundary into two shards, each summarized
+    * to one HLL sketch per event type, merged sketch-wise, and
+    * estimated — the distinct-count maintenance the algebraic rollup
+    * family cannot express (counts don't merge; register-exact
+    * sketches do). The gate is the q18 recall-gate pattern: the
+    * estimate must land within ±2% of the EXACT distinct count
+    * (computed independently), so the oracle — which cannot replay
+    * Spark's sketch — pins n, the exact count, and a literal-true
+    * `est_ok`; a drifting estimate flips the flag and fails the
+    * hash. */
+  private def q190DistinctRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Maintain
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L // the q181 mid-span boundary
+    val a = ev.filter(unix_micros(col("ts")) < splitUs)
+    val b = ev.filter(unix_micros(col("ts")) >= splitUs)
+    val merged = Maintain.distinctMerge(
+      Maintain.distinctSummarize(a, Seq("event_type"), "user_id"),
+      Maintain.distinctSummarize(b, Seq("event_type"), "user_id"),
+      Seq("event_type"), "user_id")
+    val est = Maintain.distinctEstimate(merged, "user_id")
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("n_exact"),
+        (abs(col("user_id_distinct") - col("n_exact")).cast("double") <=
+          lit(0.02) * col("n_exact").cast("double")).as("est_ok"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4000,6 +4033,7 @@ object SparkEntry {
     "q187_quantile_buckets" -> (q187QuantileBuckets _),
     "q188_mixture_weights" -> (q188MixtureWeights _),
     "q189_hard_negatives" -> (q189HardNegatives _),
+    "q190_distinct_rollup" -> (q190DistinctRollup _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7426,6 +7460,12 @@ object SparkEntry {
     // the joined formulation is held to the SAME ground truth — the
     // two-formulations-one-oracle pattern (q110/q173)
     "q184_retrieval_eval_joined" -> q125OracleSql,
+    "q190_distinct_rollup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_exact,
+        |  TRUE AS est_ok
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q188_mixture_weights" ->
       """WITH c AS (
         |  SELECT source, COUNT(*) AS n_docs,

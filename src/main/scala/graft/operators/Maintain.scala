@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * exactly (pinned generatively by spec) and a summary can fold in
   * shards in any order. Derived values (mean = sum/count) are computed
   * at read time from the maintained columns — storing them would break
-  * mergeability. Holistic statistics (median, distinct) need sketches
-  * ([[Profile.profile]]'s HLL path) and are deliberately out of scope
-  * here.
+  * mergeability. Holistic statistics need sketches: distinct counts
+  * are maintained through the [[distinctSummarize]] /
+  * [[distinctMerge]] HLL family (register-exact merges); medians
+  * remain out of scope (use [[Profile.profile]] /
+  * [[Stats]]' approx-percentile flag at read time).
   *
   * Determinism: counts/mins/maxes are order-free by nature; SUM over
   * doubles is NOT (addition order varies with partitioning) — callers
@@ -83,6 +85,68 @@ object Maintain {
         spec.maxs.map(c => max(col(s"${c}_max")).as(s"${c}_max")))
     u.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Aggregate a fact batch into a mergeable DISTINCT-COUNT summary:
+    * one HLL sketch (Apache DataSketches, Spark's `hll_sketch_agg`)
+    * per key over `valueCol`, plus the exact row count. This closes
+    * the holistic gap the algebraic [[SummarySpec]] family
+    * deliberately scopes out: distinct counts don't merge as numbers,
+    * but their SKETCHES do — register-wise max is associative,
+    * commutative, and idempotent, so
+    * `sketch(a ∪ b) == union(sketch(a), sketch(b))` holds
+    * REGISTER-EXACT (not just approximately; the merge==recompute
+    * spec pins estimates bit-identical), shard order can never show,
+    * and re-folding a batch twice cannot inflate the estimate. The
+    * summary row is `4 + 2^lgConfigK` bytes per key — at lgK=12, 4 KB
+    * per key regardless of value cardinality, which is what makes a
+    * per-key distinct-users rollup over 100 TB of events foldable.
+    * Estimates carry the standard HLL error (~1.04/√2^lgK ≈ 1.6% at
+    * lgK=12); the q190 gate holds them to ±2% of exact. */
+  def distinctSummarize(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      lgConfigK: Int = 12): DataFrame = {
+    require(keys.nonEmpty, "distinctSummarize needs grouping keys")
+    require(lgConfigK >= 4 && lgConfigK <= 21,
+      s"lgConfigK ($lgConfigK) must be in [4, 21] (the DataSketches bound)")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        hll_sketch_agg(col(valueCol), lit(lgConfigK))
+          .as(s"${valueCol}_hll"))
+  }
+
+  /** Fold a batch distinct summary into the base: union + one keyed
+    * `hll_union_agg` — the exchange is bounded by the union of key
+    * sets and each group reduces to one merged sketch; the fact rows
+    * behind `base` are never rescanned ([[merge]]'s discipline for the
+    * sketch column). */
+  def distinctMerge(
+      base: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "distinctMerge needs grouping keys")
+    val hllCol = s"${valueCol}_hll"
+    Seq("base" -> base, "delta" -> delta).foreach { case (name, df) =>
+      val missing = (keys ++ Seq("n", hllCol)).filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"$name distinct summary is missing columns: ${missing.mkString(", ")}")
+    }
+    val ordered = (keys ++ Seq("n", hllCol)).map(col)
+    base.select(ordered: _*).unionByName(delta.select(ordered: _*))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).cast("long").as("n"),
+        hll_union_agg(col(hllCol), lit(false)).as(hllCol))
+  }
+
+  /** Read a distinct summary: replace the sketch column with its
+    * estimate (`<valueCol>_distinct`, rounded to a long). */
+  def distinctEstimate(summary: DataFrame, valueCol: String): DataFrame =
+    summary
+      .withColumn(s"${valueCol}_distinct",
+        hll_sketch_estimate(col(s"${valueCol}_hll")).cast("long"))
+      .drop(s"${valueCol}_hll")
 
   /** Keyed snapshot diff — the change-feed PRODUCER whose output
     * [[AsOfJoin.applyChanges]] consumes: compare two snapshots of a

@@ -63,6 +63,50 @@ class MaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("distinct rollup: sketch merge == recompute register-exact, order-free, within error") {
+    // 3 keys x overlapping value ranges, split into random shards: the
+    // merged-sketch estimate must equal the recomputed one EXACTLY
+    // (register-wise max is associative/commutative/idempotent), in
+    // either merge order, and land within the HLL error of exact
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 5000).map { _ =>
+      (s"k${rnd.nextInt(3)}", rnd.nextInt(1500).toLong)
+    }
+    val df = table("k string, u bigint", rows.map { case (k, u) => row(k, u) })
+    val (ra, rb) = rows.splitAt(1 + rnd.nextInt(rows.size - 1))
+    val a = table("k string, u bigint", ra.map { case (k, u) => row(k, u) })
+    val b = table("k string, u bigint", rb.map { case (k, u) => row(k, u) })
+    def est(s: org.apache.spark.sql.DataFrame) =
+      Maintain.distinctEstimate(s, "u").orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = est(Maintain.distinctSummarize(df, Seq("k"), "u"))
+    val ab = est(Maintain.distinctMerge(
+      Maintain.distinctSummarize(a, Seq("k"), "u"),
+      Maintain.distinctSummarize(b, Seq("k"), "u"), Seq("k"), "u"))
+    val ba = est(Maintain.distinctMerge(
+      Maintain.distinctSummarize(b, Seq("k"), "u"),
+      Maintain.distinctSummarize(a, Seq("k"), "u"), Seq("k"), "u"))
+    assert(ab == full, s"merged $ab != recomputed $full")
+    assert(ba == full, "merge order showed through the sketch")
+    // estimates within ~2% of exact (lgK=12 standard error ~1.6%)
+    val exact = df.groupBy("k").agg(count_distinct(col("u")).as("d"))
+      .orderBy("k").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (k, _, d) =>
+      assert(math.abs(d - exact(k)) <= math.max(2L, (0.02 * exact(k)).toLong),
+        s"$k: estimate $d vs exact ${exact(k)}")
+    }
+    // missing sketch column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Maintain.distinctMerge(
+        Maintain.distinctSummarize(a, Seq("k"), "u").drop("u_hll"),
+        Maintain.distinctSummarize(b, Seq("k"), "u"), Seq("k"), "u")
+    }
+    assert(e.getMessage.contains("u_hll"))
+    intercept[IllegalArgumentException] {
+      Maintain.distinctSummarize(df, Seq("k"), "u", lgConfigK = 2)
+    }
+  }
+
   test("merge: a missing summary column fails loudly; empty spec rejected") {
     val base = Maintain.summarize(facts(Seq("a" -> bd("1.00"))), Seq("k"), spec)
     val bad = base.drop("v_min")
