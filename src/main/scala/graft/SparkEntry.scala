@@ -3843,6 +3843,63 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q191
+  /** Streaming distinct-users rollup ([[graft.streaming.StreamGate
+    * .replayDistinctRollup]]): q190's HLL maintenance with the fact
+    * feed as a file stream — per-micro-batch sketches fold into a
+    * versioned binary-column parquet state; register-wise max is
+    * associative, commutative, and idempotent, so the micro-batch
+    * split provably cannot change the final registers and the stream
+    * holds to q190's VERBATIM gate (estimate within ±2% of exact,
+    * exact counts recomputed batch-side). Completes the maintenance
+    * matrix: algebraic batch q131 / algebraic stream q133 / distinct
+    * batch q190 / distinct stream. */
+  private def q191StreamDistinctRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val est = graft.streaming.StreamGate.replayDistinctRollup(
+      ev.select("event_id", "ts", "user_id", "event_type", "value"),
+      Seq("event_type"), "user_id")
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("n_exact"),
+        (abs(col("user_id_distinct") - col("n_exact")).cast("double") <=
+          lit(0.02) * col("n_exact").cast("double")).as("est_ok"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- q192
+  /** Spearman rank correlation ([[graft.operators.Eval.spearmanRho]])
+    * between two document-quality signals — character count vs
+    * whitespace token count: the scorer-agreement number, ranks by
+    * (score, id) so ties break identically on both engines, Σd²
+    * through DECIMAL, one rounded division. The oracle replays both
+    * rank assignments and the closed form. */
+  private def q192SpearmanRho(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        col("n_chars").cast("double").as("score_a"),
+        TextFunctions.tokenCount(col("text")).cast("double").as("score_b"))
+    graft.operators.Eval.spearmanRho(docs, "doc_id", "score_a", "score_b")
+  }
+
+  // ---------------------------------------------------------------- q193
+  /** Wilson pass-rate intervals ([[graft.operators.Quality
+    * .passRateCI]]): per-source rate of documents passing a minimum
+    * length gate, with the finite-sample interval the naive ±z·se
+    * misstates at extreme rates — the per-slice QA report. All
+    * arithmetic is a map-only closed form over exact group counts,
+    * rounded at 6; the oracle replays it with the identical z·z
+    * expression (never a 3.8416 literal, whose double differs in the
+    * last ulp). */
+  private def q193PassRateCI(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.passRateCI(
+        Tables.documents(s, dir)
+          .withColumn("pass", col("n_chars") >= 100),
+        Seq("source"), "pass")
+      .orderBy("source")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4034,6 +4091,9 @@ object SparkEntry {
     "q188_mixture_weights" -> (q188MixtureWeights _),
     "q189_hard_negatives" -> (q189HardNegatives _),
     "q190_distinct_rollup" -> (q190DistinctRollup _),
+    "q191_stream_distinct_rollup" -> (q191StreamDistinctRollup _),
+    "q192_spearman_rho" -> (q192SpearmanRho _),
+    "q193_pass_rate_ci" -> (q193PassRateCI _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7466,6 +7526,56 @@ object SparkEntry {
         |  TRUE AS est_ok
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // the stream fold is held to the identical gate (register-exact
+    // sketch merges make stream == batch provable)
+    "q191_stream_distinct_rollup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_exact,
+        |  TRUE AS est_ok
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q192_spearman_rho" ->
+      """WITH b AS (
+        |  SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS a,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS bb
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL
+        |), r AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY a, id) - 1 AS ra,
+        |         ROW_NUMBER() OVER (ORDER BY bb, id) - 1 AS rb
+        |  FROM b
+        |), s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM((ra - rb) * (ra - rb)) AS DOUBLE) AS sum_d2
+        |  FROM r
+        |)
+        |SELECT n, sum_d2,
+        |  ROUND(1.0 - 6.0 * sum_d2 /
+        |    (CAST(n AS DOUBLE) *
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), 6) AS rho6
+        |FROM s""".stripMargin,
+    "q193_pass_rate_ci" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    COUNT(CASE WHEN n_chars IS NOT NULL THEN 1 END) AS n,
+        |    CAST(COUNT(CASE WHEN n_chars >= 100 THEN 1 END) AS BIGINT)
+        |      AS n_pass
+        |  FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, n, n_pass,
+        |    CAST(n_pass AS DOUBLE) / n AS p,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM g
+        |)
+        |SELECT source, n, n_pass,
+        |  ROUND(p, 6) AS rate6,
+        |  ROUND(((p + 1.96*1.96/(2.0*nd))
+        |    - 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
+        |    / (1.0 + 1.96*1.96/nd), 6) AS lo6,
+        |  ROUND(((p + 1.96*1.96/(2.0*nd))
+        |    + 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
+        |    / (1.0 + 1.96*1.96/nd), 6) AS hi6
+        |FROM w ORDER BY source""".stripMargin,
     "q188_mixture_weights" ->
       """WITH c AS (
         |  SELECT source, COUNT(*) AS n_docs,

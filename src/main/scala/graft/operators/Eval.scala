@@ -627,4 +627,60 @@ object Eval {
     Seq((n, agree, Option(kappa6).map(_.doubleValue)))
       .toDF("n", "n_agree", "kappa6")
   }
+
+  /** Spearman rank correlation between two per-item scores — the
+    * scorer-agreement number (does the cheap quality heuristic rank
+    * documents like the expensive one? does the new embedding model
+    * order retrieval candidates like the old?): `ρ = 1 − 6·Σd² /
+    * (n(n²−1))` over the two rank assignments, with ranks by
+    * (score asc, id) — a DETERMINISTIC total order instead of
+    * average-ranks-under-ties, so the statistic is an exact function
+    * of the data both engines reproduce (ties are broken identically,
+    * never averaged differently). Rows where either score is NULL are
+    * excluded (no rank, not rank-last).
+    *
+    * Arithmetic is exact until one division: Σd² accumulates as
+    * DECIMAL(38,0) (at petabyte row counts n³-scale sums overflow a
+    * long), the denominator likewise, and ρ is one rounded division.
+    * Fewer than 2 ranked rows → NULL ρ (no order to correlate).
+    *
+    * Scale shape: two range-partitioned rank assignments
+    * ([[General.withContiguousRowIds]] — never a single-partition
+    * window), one id-keyed join, one aggregation to three driver
+    * scalars. Output: one row (`n`, `sum_d2`, `rho6`). */
+  def spearmanRho(
+      df: DataFrame,
+      idCol: String,
+      scoreColA: String,
+      scoreColB: String): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("__id"),
+        col(scoreColA).cast("double").as("__a"),
+        col(scoreColB).cast("double").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val ra = General.withContiguousRowIds(
+      base.select("__id", "__a"), Seq("__a", "__id"), "__ra")
+    val rb = General.withContiguousRowIds(
+      base.select("__id", "__b"), Seq("__b", "__id"), "__rb")
+    val s = ra.select("__id", "__ra").join(rb.select("__id", "__rb"), "__id")
+      .agg(count(lit(1)).as("n"),
+        sum(((col("__ra") - col("__rb")) * (col("__ra") - col("__rb")))
+          .cast("decimal(38,0)")).as("sd"))
+      .head()
+    val n = s.getLong(0)
+    val sd = Option(s.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    import spark.implicits._
+    val rho: Option[Double] =
+      if (n < 2) None
+      else {
+        val denom = BigDecimal(n) * (BigDecimal(n) * BigDecimal(n) - 1)
+        // the one IEEE step, identical on both engines: exact integer
+        // numerator/denominator each convert to double once, divide,
+        // round HALF_UP (away from zero — DuckDB ROUND's rule) at 6
+        val raw = 1.0 - 6.0 * sd.toDouble / denom.toDouble
+        Some(BigDecimal(raw)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    Seq((n, sd.toDouble, rho)).toDF("n", "sum_d2", "rho6")
+  }
 }

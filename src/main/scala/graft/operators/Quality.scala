@@ -239,4 +239,42 @@ object Quality {
         sum(col("__sz")).as("n_rows"))
       .withColumn("at_risk", col("group_size") < k)
   }
+
+  /** Wilson score interval on a per-group pass rate — the honest way
+    * to report a quality gate's rate from a finite sample ("93% of
+    * this source passes, but it's 93% OF FIFTEEN DOCS"): for each
+    * group, the boolean flag's success count, rate, and the Wilson
+    * interval `(p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)` —
+    * unlike the naive normal interval it never leaves [0, 1] and
+    * stays calibrated at extreme rates and small n, which is exactly
+    * the regime per-source QA slices live in. NULL flags are EXCLUDED
+    * (an unevaluated row is not a failure); a group with only NULL
+    * flags keeps its row with n = 0 and NULL rate/bounds.
+    *
+    * One map-side-combined aggregation (group-bounded output) + a
+    * map-only closed form; bounds round at 6 (engine-portable).
+    * Output: (groups..., `n`, `n_pass`, `rate6`, `lo6`, `hi6`). */
+  def passRateCI(
+      df: DataFrame,
+      groupCols: Seq[String],
+      flagCol: String,
+      z: Double = 1.96): DataFrame = {
+    require(groupCols.nonEmpty, "passRateCI needs group columns")
+    require(z > 0.0, s"z ($z) must be positive")
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(count(col(flagCol)).as("n"), // count() skips NULL flags
+        sum(when(col(flagCol) === true, 1L).otherwise(0L)).as("n_pass"))
+    val nD = col("n").cast("double")
+    val p = col("n_pass").cast("double") / nD
+    val z2 = lit(z * z)
+    val center = p + z2 / (lit(2.0) * nD)
+    val spread = lit(z) *
+      sqrt(p * (lit(1.0) - p) / nD + z2 / (lit(4.0) * nD * nD))
+    val denom = lit(1.0) + z2 / nD
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n"), col("n_pass"),
+      when(col("n") > 0, round(p, 6)).as("rate6"),
+      when(col("n") > 0, round((center - spread) / denom, 6)).as("lo6"),
+      when(col("n") > 0, round((center + spread) / denom, 6)).as("hi6")): _*)
+  }
 }

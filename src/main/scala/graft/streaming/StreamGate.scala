@@ -510,6 +510,69 @@ object StreamGate {
     }
   }
 
+  /** Streaming distinct-count maintenance — [[graft.operators
+    * .Maintain.distinctSummarize]]'s HLL rollup with the fact feed as
+    * a FILE STREAM: each micro-batch summarizes to per-key sketches
+    * and [[graft.operators.Maintain.distinctMerge]] folds them into a
+    * versioned parquet state table (the sketch column is BINARY in
+    * parquet, the q133 version-N → N+1 bridge). Register-wise max is
+    * associative, commutative, AND idempotent, so the micro-batch
+    * partitioning provably cannot change the final registers — the
+    * stream's estimates equal the batch full-recompute's
+    * REGISTER-EXACT, which is what lets q191 hold this replay to
+    * q190's verbatim gate. State is keys-bounded (~4 KB per key),
+    * never value-cardinality.
+    *
+    * Returns the final estimated frame (keys, `n`,
+    * `<valueCol>_distinct`), localCheckpoint'ed off the deleted temp
+    * state. */
+  def replayDistinctRollup(
+      facts: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = facts.sparkSession
+    val src = tempDir("graft_dfacts_src")
+    facts.coalesce(8).write.mode("overwrite").parquet(src)
+    val stateRoot = tempDir("graft_distinct_state")
+    val ck = tempDir("graft_distinct_ck")
+    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    try {
+      val stream = spark.readStream.schema(facts.schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val batchSummary = graft.operators.Maintain
+            .distinctSummarize(batch, keys, valueCol)
+          val merged = Option(current.get()) match {
+            case None => batchSummary
+            case Some(p) => graft.operators.Maintain.distinctMerge(
+              spark.read.parquet(p), batchSummary, keys, valueCol)
+          }
+          val next = s"$stateRoot/v${version.incrementAndGet()}"
+          merged.write.mode("overwrite").parquet(next)
+          current.set(next)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
+      require(current.get() != null,
+        "replayDistinctRollup saw no micro-batches")
+      releaseLastReplay(graft.operators.Maintain.distinctEstimate(
+        spark.read.parquet(current.get()), valueCol).localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, stateRoot, ck).foreach(deleteRecursively)
+    }
+  }
+
   /** Streaming drift monitor — [[graft.operators.Profile.drift]]'s PSI
     * kept current by a FILE STREAM of the monitored slice: each
     * micro-batch is bucketed with the REFERENCE-derived bounds

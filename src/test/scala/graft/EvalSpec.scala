@@ -336,6 +336,35 @@ class EvalSpec extends AnyFunSuite {
     assert(bx.getDouble(3) == 123.0)
   }
 
+  test("spearmanRho: perfect/reversed/hand-computed, NULL scores excluded, tiny n") {
+    def t(rows: Seq[(Long, java.lang.Double, java.lang.Double)]) =
+      table("id bigint, a double, b double",
+        rows.map { case (i, a, b) => row(i, a, b) })
+    // identical order -> 1; exactly reversed -> -1
+    val up = t((1L to 5L).map(i => (i, Double.box(i.toDouble),
+      Double.box(i * 10.0))))
+    assert(Eval.spearmanRho(up, "id", "a", "b").head().getDouble(2) == 1.0)
+    val down = t((1L to 5L).map(i => (i, Double.box(i.toDouble),
+      Double.box(-i.toDouble))))
+    assert(Eval.spearmanRho(down, "id", "a", "b").head().getDouble(2) == -1.0)
+    // hand case: ranks a = (0,1,2,3), b-order swaps the middle two ->
+    // d = (0,1,1,0), sum_d2 = 2, rho = 1 - 12/60 = 0.8; a NULL row
+    // is excluded entirely
+    val hand = t(Seq(
+      (1L, Double.box(1.0), Double.box(1.0)),
+      (2L, Double.box(2.0), Double.box(3.0)),
+      (3L, Double.box(3.0), Double.box(2.0)),
+      (4L, Double.box(4.0), Double.box(4.0)),
+      (5L, Double.box(9.0), null)))
+    val h = Eval.spearmanRho(hand, "id", "a", "b").head()
+    assert(h.getLong(0) == 4 && h.getDouble(1) == 2.0 && h.getDouble(2) == 0.8,
+      h.toString)
+    // fewer than two ranked rows: NULL rho, not a crash or a fake 1
+    val one = Eval.spearmanRho(t(Seq((1L, Double.box(1.0), Double.box(2.0)))),
+      "id", "a", "b").head()
+    assert(one.getLong(0) == 1 && one.isNullAt(2))
+  }
+
   test("cohenKappa: hand-computed, NULL labels excluded, degenerate NULL, perfect 1") {
     // cells: (a,a)x4 (b,b)x3 (a,b)x2 (b,a)x1 -> n=10, agree=7,
     // rowM a=6 b=4, colM a=5 b=5, P=6*5+4*5=50

@@ -142,4 +142,35 @@ class QualitySpec extends AnyFunSuite {
       Quality.check(frame(), Nil)
     }
   }
+
+  test("passRateCI: textbook Wilson bounds, boundary rates, NULL flags excluded") {
+    import org.apache.spark.sql.functions._
+    def flags(g: String, passes: Int, fails: Int, nulls: Int = 0) =
+      Seq.fill(passes)(row(g, true)) ++ Seq.fill(fails)(row(g, false)) ++
+        Seq.fill(nulls)(row(g, null.asInstanceOf[java.lang.Boolean]))
+    val df = table("g string, f boolean",
+      flags("a", 9, 1) ++ flags("b", 10, 0) ++ flags("c", 0, 10) ++
+        flags("d", 2, 2, nulls = 3) ++ flags("e", 0, 0, nulls = 2))
+    val got = Quality.passRateCI(df, Seq("g"), "f")
+      .orderBy("g").collect()
+    val m = got.map(r => r.getString(0) -> r).toMap
+    // 9/10 at z=1.96: the classic Wilson example
+    assert(m("a").getLong(1) == 10 && m("a").getLong(2) == 9)
+    assert(m("a").getDouble(3) == 0.9)
+    assert(m("a").getDouble(4) == 0.595844 && m("a").getDouble(5) == 0.982124)
+    // all-pass pins hi to exactly 1, all-fail pins lo to exactly 0
+    assert(m("b").getDouble(5) == 1.0 && m("b").getDouble(4) == 0.72246)
+    assert(m("c").getDouble(4) == 0.0 && m("c").getDouble(5) == 0.27754)
+    // NULL flags are excluded from n, not failures
+    assert(m("d").getLong(1) == 4 && m("d").getLong(2) == 2)
+    assert(m("d").getDouble(4) == 0.150036 && m("d").getDouble(5) == 0.849964)
+    // a group with only NULL flags keeps its row, NULL stats
+    assert(m("e").getLong(1) == 0 && m("e").isNullAt(3) && m("e").isNullAt(4))
+    intercept[IllegalArgumentException] {
+      Quality.passRateCI(df, Nil, "f")
+    }
+    intercept[IllegalArgumentException] {
+      Quality.passRateCI(df, Seq("g"), "f", z = 0.0)
+    }
+  }
 }
