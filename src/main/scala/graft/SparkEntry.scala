@@ -3900,6 +3900,69 @@ object SparkEntry {
         Seq("source"), "pass")
       .orderBy("source")
 
+  // ---------------------------------------------------------------- q194
+  /** Incremental connected components ([[graft.operators.Components
+    * .incrementalComponents]]): q46's near-dup pair graph split into
+    * an "already clustered" half and a "new batch" half by pair-id
+    * parity; the old half labels via the full iterative CC, the new
+    * half FOLDS IN through the contracted-graph formulation — old
+    * components become their min-id representatives, only the
+    * batch-bounded contracted graph iterates, one join remaps. Held
+    * to q46's VERBATIM oracle: the incremental labels must equal the
+    * full recompute's exactly, merges and chain extensions included. */
+  private def q194IncrementalComponents(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Components
+    val pairs = Dedup.minHashNearDupPairs(Tables.documents(s, dir),
+        "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
+        threshold = 0.5)
+      .select("id_a", "id_b")
+      .localCheckpoint() // one detection run feeds both halves
+    val old = pairs.filter((col("id_a") + col("id_b")) % 2 === 0)
+    val fresh = pairs.filter((col("id_a") + col("id_b")) % 2 =!= 0)
+    val prev = Components.connectedComponents(old, "id_a", "id_b")
+    Components.incrementalComponents(prev, fresh, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("comp"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q195
+  /** Budget-capped temperature allocation ([[graft.operators.Corpus
+    * .tokenBudgetAllocation]]): a 1.5×-corpus token budget split
+    * across sources at τ = 0.7 with a 2-epoch repetition cap — exact
+    * waterfilling, where the capped set is a provable prefix in
+    * cap-to-weight order. Weights and caps are exact decimals, so
+    * every prefix sum is fold-order-free and the oracle's window
+    * replay reproduces the level, the capped prefix, and every
+    * allocation to the same doubles. */
+  private def q195BudgetAllocation(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir)
+    val total = docs
+      .agg(sum(coalesce(TextFunctions.tokenCount(col("text")), lit(0))))
+      .head().getLong(0)
+    graft.operators.Corpus.tokenBudgetAllocation(docs, "source", "text",
+        budgetTokens = (1.5 * total).toLong, temperature = 0.7,
+        maxEpochs = 2.0)
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- q196
+  /** Exact two-sample KS drift ([[graft.operators.Profile
+    * .ksStatistic]]): the maximum empirical-CDF gap between event
+    * values before and after the q181 time split — the binning-free
+    * companion to the PSI monitors (no bucket choice to argue about;
+    * sensitive to shift, spread, and shape alike). Cumulatives ride
+    * the range-partitioned prefix-sum machinery, every ratio is an
+    * integer division both engines compute identically, and the max
+    * rounds at 6 — hash-exact. */
+  private def q196KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.operators.Profile.ksStatistic(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs), "value")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4094,6 +4157,9 @@ object SparkEntry {
     "q191_stream_distinct_rollup" -> (q191StreamDistinctRollup _),
     "q192_spearman_rho" -> (q192SpearmanRho _),
     "q193_pass_rate_ci" -> (q193PassRateCI _),
+    "q194_incremental_components" -> (q194IncrementalComponents _),
+    "q195_budget_allocation" -> (q195BudgetAllocation _),
+    "q196_ks_drift" -> (q196KsDrift _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -4919,6 +4985,7 @@ object SparkEntry {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q46_dedup_clusters" -> dedupClustersOracle,
+    "q194_incremental_components" -> dedupClustersOracle,
     "q166_dedup_savings" -> dedupSavingsOracle,
     "q47_bloom_pruned_join" ->
       """SELECT p_brand, COUNT(*) AS n_rows,
@@ -7576,6 +7643,93 @@ object SparkEntry {
         |    + 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
         |    / (1.0 + 1.96*1.96/nd), 6) AS hi6
         |FROM w ORDER BY source""".stripMargin,
+    "q195_budget_allocation" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    CAST(SUM(COALESCE(len(string_split_regex(trim(text), ' +')), 0))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot,
+        |    CAST(TRUNC(1.5 * CAST(SUM(n_tokens) AS DOUBLE))
+        |      AS DECIMAL(38,12)) AS b
+        |  FROM c
+        |), p AS (
+        |  SELECT source, n_tokens,
+        |    CAST(ROUND(pow(CAST(n_tokens AS DOUBLE) / tot, 0.7), 12)
+        |      AS DECIMAL(38,12)) AS pt,
+        |    CAST(2.0 AS DECIMAL(38,12)) * n_tokens AS cap
+        |  FROM c, t
+        |), r AS (
+        |  SELECT source, n_tokens, pt, cap,
+        |    CASE WHEN pt = 0 THEN 0.0
+        |         ELSE CAST(cap AS DOUBLE) / CAST(pt AS DOUBLE) END AS rr
+        |  FROM p
+        |), w AS (
+        |  SELECT source, n_tokens, pt, cap, rr,
+        |    SUM(pt) OVER ord AS pti,
+        |    SUM(cap) OVER ord AS capi
+        |  FROM r WINDOW ord AS (ORDER BY rr, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), w2 AS (
+        |  SELECT w.*, t.b,
+        |    MAX(pti) OVER () AS ptt
+        |  FROM w, t
+        |), w3 AS (
+        |  SELECT *,
+        |    CASE WHEN rr * CAST(ptt - (pti - pt) AS DOUBLE)
+        |           <= CAST(b - (capi - cap) AS DOUBLE)
+        |      THEN 1 ELSE 0 END AS cnd
+        |  FROM w2
+        |), w4 AS (
+        |  SELECT *,
+        |    MIN(cnd) OVER (ORDER BY rr, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |  FROM w3
+        |), lam AS (
+        |  SELECT CAST(b - (capi - cap) AS DOUBLE)
+        |      / CAST(ptt - (pti - pt) AS DOUBLE) AS lambda
+        |  FROM w4 WHERE cp = 0 ORDER BY rr, source LIMIT 1
+        |)
+        |SELECT source, n_tokens,
+        |  ROUND(CAST(pt AS DOUBLE) / CAST(ptt AS DOUBLE), 6) AS w6,
+        |  ROUND(CASE WHEN cp = 1 THEN CAST(cap AS DOUBLE)
+        |    ELSE (SELECT lambda FROM lam) * CAST(pt AS DOUBLE) END, 6)
+        |    AS alloc6,
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |    ELSE ROUND((CASE WHEN cp = 1 THEN CAST(cap AS DOUBLE)
+        |      ELSE (SELECT lambda FROM lam) * CAST(pt AS DOUBLE) END)
+        |      / CAST(n_tokens AS DOUBLE), 6) END AS epochs6,
+        |  cp = 1 AS capped
+        |FROM w4 ORDER BY source""".stripMargin,
+    "q196_ks_drift" ->
+      """WITH a AS (
+        |  SELECT value AS v, COUNT(*) AS ca FROM events
+        |  WHERE epoch_us(ts) < 1705363200000000 AND value IS NOT NULL
+        |  GROUP BY 1
+        |), bb AS (
+        |  SELECT value AS v, COUNT(*) AS cb FROM events
+        |  WHERE epoch_us(ts) >= 1705363200000000 AND value IS NOT NULL
+        |  GROUP BY 1
+        |), m AS (
+        |  SELECT COALESCE(a.v, bb.v) AS v, COALESCE(ca, 0) AS ca,
+        |    COALESCE(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN bb ON a.v = bb.v
+        |), t AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM m
+        |), c AS (
+        |  SELECT
+        |    SUM(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    SUM(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM m
+        |)
+        |SELECT t.na AS n_ref, t.nb AS n_cur,
+        |  ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / CAST(t.na AS DOUBLE)
+        |    - CAST(cumb AS DOUBLE) / CAST(t.nb AS DOUBLE))), 6) AS ks6
+        |FROM c, t GROUP BY t.na, t.nb""".stripMargin,
     "q188_mixture_weights" ->
       """WITH c AS (
         |  SELECT source, COUNT(*) AS n_docs,
@@ -8186,6 +8340,7 @@ object SparkEntry {
     """
       |SELECT node AS doc_id, MIN(r) AS comp FROM reach
       |GROUP BY node ORDER BY doc_id""".stripMargin
+  // q194 (incremental fold) is held to the identical labeling
 
   /** q166: the component ground truth rolled up by cluster size with
     * char weights and min-id-retention removable mass. */

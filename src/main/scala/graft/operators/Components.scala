@@ -133,6 +133,75 @@ object Components {
       maxIters: Int = 25)(use: DataFrame => T): T =
     Blocks.consuming(connectedComponents(edges, srcCol, dstCol, maxIters))(use)
 
+  /** INCREMENTAL connected components — fold a batch of NEW edges into
+    * an existing min-id labeling without rescanning the historical
+    * edge set (the [[Dedup.incrementalExactDedup]] / q109 ledger
+    * discipline applied to graph state): contracting each existing
+    * component to its representative (= its min-id label) preserves
+    * connectivity, so the only graph that needs iterating is the
+    * CONTRACTED one — new-edge endpoints mapped through the label
+    * table (unknown nodes represent themselves), self-loops dropped —
+    * which is bounded by the BATCH size, never the accumulated graph.
+    * Because every representative is the min id of its class, the min
+    * label of a merged set of representatives is the global min id of
+    * the merged component — the incremental labels provably equal a
+    * full recompute's (q194 holds this to q46's verbatim oracle; the
+    * merge==recompute spec covers component-merging, chain-extending,
+    * new-component, and no-op batches).
+    *
+    * `prevLabels` must be a valid min-id labeling ((node, comp), comp
+    * = min member id — [[connectedComponents]]' output contract). The
+    * cheap half of that contract (comp <= node) is audited loudly
+    * inside the remap scan the fold pays anyway; a labeling that
+    * violates the deeper half (same component, different labels) is
+    * corrupted state no local check can see — regenerate it.
+    *
+    * Scale shape: two hash joins map endpoints to representatives
+    * (label table keyed by node — prunable, broadcast when the batch
+    * side is small), the iterative CC runs on the batch-bounded
+    * contracted graph, and ONE label-table join remaps merged
+    * components. Output: (node, comp) for every previously labeled
+    * node plus every new-edge endpoint. */
+  def incrementalComponents(
+      prevLabels: DataFrame,
+      newEdges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val labels = prevLabels.select(col("node"), col("comp"))
+      // contract audit folded into the scan the remap pays anyway
+      .filter(when(col("comp") > col("node"), raise_error(concat(
+          lit("incrementalComponents: prevLabels is not a min-id "),
+          lit("labeling: node "), col("node").cast("string"),
+          lit(" carries comp "), col("comp").cast("string"))))
+        .otherwise(lit(true)))
+    val e = newEdges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    val mapped = e
+      .join(labels.select(col("node").as("__s"), col("comp").as("__ra")),
+        Seq("__s"), "left")
+      .join(labels.select(col("node").as("__d"), col("comp").as("__rb")),
+        Seq("__d"), "left")
+      .select(coalesce(col("__ra"), col("__s")).as("ra"),
+        coalesce(col("__rb"), col("__d")).as("rb"))
+    // merges among representatives: batch-bounded CC (an empty
+    // contracted graph — no cross-component edges — is fine)
+    val merged = connectedComponents(
+      mapped.filter(col("ra") =!= col("rb")), "ra", "rb", maxIters)
+    val updatedOld = labels
+      .join(merged.select(col("node").as("comp"), col("comp").as("__nc")),
+        Seq("comp"), "left")
+      .select(col("node"), coalesce(col("__nc"), col("comp")).as("comp"))
+    val newNodes = e.select(col("__s").as("node"))
+      .unionByName(e.select(col("__d").as("node")))
+      .distinct()
+      .join(labels.select("node"), Seq("node"), "left_anti")
+    val updatedNew = newNodes
+      .join(merged.select(col("node"), col("comp").as("__nc")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__nc"), col("node")).as("comp"))
+    updatedOld.unionByName(updatedNew)
+  }
+
   /** Alternating star-contraction connected components (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14, the
     * alternating algorithm): the drop-in for graphs whose DIAMETER, not

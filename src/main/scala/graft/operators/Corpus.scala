@@ -1070,6 +1070,91 @@ object Corpus {
         round(col("__w") / col("__p"), 6).as("oversample6"))
   }
 
+  /** Budget-capped temperature allocation — the full data-recipe
+    * solver [[mixtureWeights]] feeds: split a token BUDGET across
+    * sources proportionally to temperature weights `w ∝ p^τ`, but
+    * never give a source more than `maxEpochs` passes over its own
+    * tokens. This is exact WATERFILLING: allocation
+    * `A_i = min(C_i, λ·w_i)` with the level λ chosen so ΣA = budget
+    * (caps `C_i = maxEpochs · n_tokens_i`). The capped set is a
+    * provable PREFIX of sources ordered by `r_i = C_i / w_i`: capping
+    * a below-water source only RAISES the level (algebra in the spec),
+    * so the per-source rule `r_k · W_rest ≤ B_rest` — prefix sums
+    * only — decides cappedness, and both engines replay the identical
+    * sequential arithmetic. When the budget exceeds every cap the
+    * allocation is the caps and the leftover is honestly unassigned
+    * (epochs report the truth; nothing silently over-samples).
+    *
+    * Scale shape: ONE corpus scan (the [[mixtureWeights]] count
+    * aggregation), then the source-bounded table collects to the
+    * driver (the bounded-model-table discipline) where the sort +
+    * prefix scan run in exact sequential order. Output: (source,
+    * n_tokens, w6 normalized weight, alloc6 tokens, epochs6, capped).
+    */
+  def tokenBudgetAllocation(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      budgetTokens: Long,
+      temperature: Double = 1.0,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetTokens > 0L, s"budgetTokens ($budgetTokens) must be positive")
+    require(temperature > 0.0 && temperature <= 1.0,
+      s"temperature ($temperature) must be in (0, 1]")
+    require(maxEpochs > 0.0, s"maxEpochs ($maxEpochs) must be positive")
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(coalesce(TextFunctions.tokenCount(col(textCol)), lit(0)))
+        .as("n_tokens"))
+    val total = counts.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .head().getLong(0)
+    require(total > 0L, "tokenBudgetAllocation: the corpus has no tokens")
+    // source-bounded driver table; weights and caps are EXACT decimals
+    // so every prefix sum is fold-order-free — the only doubles are
+    // the per-row ratios and comparisons, computed identically by the
+    // oracle's window replay
+    val rows = counts.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val prepared = rows.map { case (src, nTok) =>
+      val p = nTok.toDouble / total.toDouble
+      val pt = BigDecimal(math.pow(p, temperature))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val cap = BigDecimal(maxEpochs) * BigDecimal(nTok) // exact
+      val r = if (pt.signum == 0) 0.0 else cap.toDouble / pt.toDouble
+      (src, nTok, pt, cap, r)
+    }.sortBy { case (src, _, _, _, r) =>
+      (r, src) // (r asc, source) — the engines' shared total order
+    }
+    val b = BigDecimal(budgetTokens)
+    val ptPrefix = prepared.scanLeft(BigDecimal(0))(_ + _._3)
+    val ptTotal = ptPrefix.last
+    val capPrefix = prepared.scanLeft(BigDecimal(0))(_ + _._4)
+    val cond = prepared.zipWithIndex.map { case ((_, _, _, _, r), i) =>
+      r * (ptTotal - ptPrefix(i)).toDouble <= (b - capPrefix(i)).toDouble
+    }
+    // the level lemma makes cond a prefix; take the prefix LENGTH (a
+    // running AND, exactly what the oracle's window replay computes)
+    // so a wobble can never split flag and level apart
+    val firstFalse = cond.indexWhere(!_)
+    val nCapped = if (firstFalse < 0) prepared.length else firstFalse
+    val lambda =
+      if (nCapped == prepared.length) 0.0 // all capped: level unused
+      else (b - capPrefix(nCapped)).toDouble /
+        (ptTotal - ptPrefix(nCapped)).toDouble
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = prepared.zipWithIndex.map {
+      case ((src, nTok, pt, cap, _), i) =>
+        val isCapped = i < nCapped
+        val alloc = if (isCapped) cap.toDouble else lambda * pt.toDouble
+        (src, nTok, r6(pt.toDouble / ptTotal.toDouble), r6(alloc),
+          if (nTok == 0L) 0.0 else r6(alloc / nTok.toDouble), isCapped)
+    }
+    import spark.implicits._
+    out.toSeq
+      .toDF("source", "n_tokens", "w6", "alloc6", "epochs6", "capped")
+  }
+
   /** Zipf rank-frequency fit over the corpus vocabulary — the
     * classic sanity diagnostic for scraped text (natural language sits
     * near slope −1 in log-log rank-frequency space; machine-generated

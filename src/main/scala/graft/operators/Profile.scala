@@ -253,4 +253,52 @@ object Profile {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     psiFromCounts(joined, eps).withColumnRenamed("bucket", "category")
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the
+    * binning-free drift number [[drift]]'s PSI cannot be: the maximum
+    * gap between the two samples' empirical CDFs,
+    * `D = sup_v |F_ref(v) − F_cur(v)|`, sensitive to ANY
+    * distributional change (shift, spread, shape) with no bucket
+    * choice to argue about. Computed EXACTLY over the distinct-value
+    * grid: per distinct value, each side's count; cumulative counts
+    * via TWO range-partitioned prefix sums
+    * ([[General.withRunningTotal]] — the whole point is that a global
+    * `sum().over(orderBy)` window would funnel the value grid through
+    * one partition, and at 100 TB the distinct-value grid is itself
+    * large); D evaluates AFTER each value's ties (the
+    * inclusive-cumulative convention, well-defined under ties). Every
+    * per-row quantity is an integer ratio — both engines compute
+    * identical doubles — so the max and its 6dp rounding are
+    * hash-exact. NULLs are excluded (no position on the value line).
+    *
+    * Output: one row (`n_ref`, `n_cur`, `ks6`). */
+  def ksStatistic(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String): DataFrame = {
+    val spark = ref.sparkSession
+    def side(df: DataFrame, out: String) = df
+      .select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as(out))
+    val m = side(ref, "ca").join(side(cur, "cb"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val t = m.agg(coalesce(sum(col("ca")), lit(0L)),
+      coalesce(sum(col("cb")), lit(0L))).head()
+    val (na, nb) = (t.getLong(0), t.getLong(1))
+    require(na > 0L && nb > 0L,
+      s"ksStatistic: both samples need non-null values (got $na ref, $nb cur)")
+    val cum = General.withRunningTotal(
+      General.withRunningTotal(m, Seq("v"), "ca", "__pa"),
+      Seq("v"), "cb", "__pb")
+    val d = cum.agg(max(abs(
+        (col("__pa") + col("ca")).cast("double") / lit(na.toDouble) -
+          (col("__pb") + col("cb")).cast("double") / lit(nb.toDouble))))
+      .head().getDouble(0)
+    import spark.implicits._
+    Seq((na, nb, BigDecimal(d)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_ref", "n_cur", "ks6")
+  }
 }

@@ -877,6 +877,57 @@ class CorpusIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetAllocation: waterfilling caps the prefix, fills the rest, conserves budget") {
+    import graft.operators.Corpus
+    // sources: tiny 10 tokens, small 30, big 60 (total 100); τ=1 so
+    // w = p exactly; budget 150, maxEpochs 2.
+    //   caps C = (20, 60, 120); r = C/p = 200 for every source — tie
+    //   broken by name. All-same-r means either all cap (ΣC=200 > 150)
+    //   or none: cond for first (a=big after name sort? names chosen
+    //   to pin order) ... pick distinct epochs instead: maxEpochs
+    //   differs per call, so use sizes that separate r.
+    val df = table("src string, text string", Seq(
+      row("tiny", Seq.fill(10)("w").mkString(" ")),
+      row("small", Seq.fill(30)("w").mkString(" ")),
+      row("big", Seq.fill(60)("w").mkString(" "))))
+    // τ=0.5: pt = sqrt(p) -> tiny is upweighted most, so its cap
+    // binds first: r = 2*n / sqrt(n/100) — increasing in n, so the
+    // capped prefix is (tiny, small, big) order by r ascending...
+    // r(10)=63.2, r(30)=109.5, r(60)=154.9; budget 150:
+    //   cond(tiny): 63.2*(sum pt) <= 150? sum pt = .316+.548+.775=1.639
+    //     63.2*1.639=103.6 <= 150 -> capped (alloc 20)
+    //   cond(small): 109.5*(1.639-.316)=144.9 <= 150-20=130? NO ->
+    //     uncapped. lambda = 130/1.323 = 98.26
+    //   alloc(small)=53.8, alloc(big)=76.1; total = 20+53.8+76.1 ~ 150
+    val got = Corpus.tokenBudgetAllocation(df, "src", "text",
+        budgetTokens = 150, temperature = 0.5, maxEpochs = 2.0)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toSeq
+    val m = got.map(t => t._1 -> t).toMap
+    assert(m("tiny")._5 && m("tiny")._3 == 20.0 && m("tiny")._4 == 2.0,
+      got.toString)
+    assert(!m("small")._5 && !m("big")._5, got.toString)
+    // budget conservation (within the 6dp rounding of each term)
+    val totalAlloc = got.map(_._3).sum
+    assert(math.abs(totalAlloc - 150.0) < 1e-3, totalAlloc.toString)
+    // epochs never exceed the cap
+    assert(got.forall(_._4 <= 2.0 + 1e-9), got.toString)
+    // a budget beyond every cap allocates exactly the caps (2 epochs
+    // each) and leaves the remainder honestly unassigned
+    val rich = Corpus.tokenBudgetAllocation(df, "src", "text",
+        budgetTokens = 10000, temperature = 0.5, maxEpochs = 2.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(rich.forall { case (_, n, alloc, ep, capped) =>
+      capped && alloc == 2.0 * n && ep == 2.0
+    }, rich.toString)
+    intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetAllocation(df, "src", "text", 0L)
+    }
+  }
+
   test("zipfFit: exact power law recovers slope -1 with r2 1; validation") {
     import graft.operators.Corpus
     // freq_i = 24/i for ranks 1..4 is an EXACT power law: slope -1,

@@ -521,6 +521,51 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalComponents: fold == recompute across merge/chain/new/no-op batches") {
+    import graft.operators.Components
+    def cc(edges: Seq[(Long, Long)]) = Components.connectedComponents(
+      table("a bigint, b bigint", edges.map { case (a, b) => row(a, b) }),
+      "a", "b")
+    def fold(prev: org.apache.spark.sql.DataFrame, edges: Seq[(Long, Long)]) =
+      Components.incrementalComponents(prev,
+        table("a bigint, b bigint", edges.map { case (a, b) => row(a, b) }),
+        "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val old = Seq((1L, 2L), (3L, 4L), (10L, 11L))
+    val prev = cc(old)
+    // MERGE: a new edge joins components {1,2} and {3,4} -> all label 1
+    assert(fold(prev, Seq((2L, 3L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // CHAIN-EXTEND + NEW COMPONENT + NO-OP intra-component edge
+    assert(fold(prev, Seq((4L, 5L), (20L, 21L), (10L, 11L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 3L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a lower-id NEW node becomes the merged component's label
+    assert(fold(prev, Seq((0L, 4L))) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L,
+        10L -> 10L, 11L -> 10L))
+    // generative: random old/new splits agree with the full recompute
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      val all = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+      val (o, n) = all.partition(_ => rnd.nextBoolean())
+      if (o.nonEmpty && n.nonEmpty) {
+        val full = cc(all).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(fold(cc(o), n) == full, "incremental fold != full recompute")
+      }
+    }
+    // a non-min-id labeling is rejected loudly
+    val badLabels = table("node bigint, comp bigint", Seq(row(1L, 5L)))
+    val e = intercept[Exception] {
+      Components.incrementalComponents(badLabels,
+        table("a bigint, b bigint", Seq(row(1L, 2L))), "a", "b").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString
+    assert(msgs.contains("min-id"), msgs.take(300))
+  }
+
   test("star-contraction components: long chains converge in O(log^2) rounds") {
     import graft.operators.Components
     // chain of diameter 100 with PERMUTED ids (37 is coprime to 101, so

@@ -110,4 +110,32 @@ class ProfileSpec extends AnyFunSuite {
     // score: 10 x2 and 7 x2 tie at 2 -> "10" < "7" lexicographically
     assert(top("score") == Seq(("10", 2L), ("7", 2L)))
   }
+
+  test("ksStatistic: hand-computed CDF gap, identical samples, ties, shifted samples") {
+    import graft.operators.Profile
+    def vals(xs: Double*) = table("v double", xs.map(row(_)))
+    // ref = {1,2,3,4}, cur = {3,4,5,6}: CDFs cross maximally at v=2
+    // (F_ref = 0.5, F_cur = 0) and v=4 (1.0 vs 0.5) -> D = 0.5
+    val d1 = Profile.ksStatistic(vals(1, 2, 3, 4), vals(3, 4, 5, 6), "v")
+      .head()
+    assert(d1.getLong(0) == 4 && d1.getLong(1) == 4 &&
+      d1.getDouble(2) == 0.5, d1.toString)
+    // identical samples: D = 0 (the self-drift sanity bound)
+    assert(Profile.ksStatistic(vals(1, 2, 2, 9), vals(1, 2, 2, 9), "v")
+      .head().getDouble(2) == 0.0)
+    // ties evaluate AFTER the tied mass: ref {1,1,1,2} vs cur {1,2,2,2}
+    // -> at v=1: |0.75-0.25| = 0.5
+    assert(Profile.ksStatistic(vals(1, 1, 1, 2), vals(1, 2, 2, 2), "v")
+      .head().getDouble(2) == 0.5)
+    // disjoint supports: D = 1
+    assert(Profile.ksStatistic(vals(1, 2), vals(10, 11), "v")
+      .head().getDouble(2) == 1.0)
+    // NULLs are excluded; an all-NULL side fails loudly
+    val withNull = table("v double", Seq(row(1.0), row(null)))
+    assert(Profile.ksStatistic(withNull, vals(1.0), "v")
+      .head().getLong(0) == 1)
+    intercept[IllegalArgumentException] {
+      Profile.ksStatistic(table("v double", Seq(row(null))), vals(1.0), "v")
+    }
+  }
 }
