@@ -3963,6 +3963,35 @@ object SparkEntry {
       ev.filter(unix_micros(col("ts")) >= splitUs), "value")
   }
 
+  // ---------------------------------------------------------------- q197
+  /** Layout pruning report ([[graft.operators.Layout.pruningReport]]):
+    * `part` sliced into 100-row files under TWO write orders — the
+    * natural key order and the q124 Morton curve on
+    * (p_size, trunc(price)) — with three p_size range probes counted
+    * against each file's min/max footer stats. The report is the
+    * before/after argument for the z-order rewrite: under the linear
+    * layout every file spans the whole p_size domain (100% scanned);
+    * under the curve the probes prune. The oracle recomputes the
+    * bounds/cells/interleave bit-exactly (q124's arithmetic), both
+    * file assignments, every file's min/max, and every probe count. */
+  private def q197PruningReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val part = Tables.part(s, dir).select(col("p_partkey"), col("p_size"),
+      col("p_retailprice").cast("long").as("price_l"))
+    val probes = Seq((1.0, 5.0), (20.0, 25.0), (40.0, 50.0))
+    val linear = Layout.pruningReport(part, Seq("p_partkey"), "p_size",
+        rowsPerFile = 100, probes)
+      .withColumn("layout", lit("linear"))
+    val z = Layout.zOrder(part, "p_size", "price_l", numPartitions = 8)
+    val zorder = Layout.pruningReport(z, Seq("__z", "p_partkey"), "p_size",
+        rowsPerFile = 100, probes)
+      .withColumn("layout", lit("zorder"))
+    linear.unionByName(zorder)
+      .select(col("layout"), col("probe_lo"), col("probe_hi"),
+        col("n_files"), col("files_scanned"), col("rows_scanned"))
+      .orderBy("layout", "probe_lo")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4160,6 +4189,7 @@ object SparkEntry {
     "q194_incremental_components" -> (q194IncrementalComponents _),
     "q195_budget_allocation" -> (q195BudgetAllocation _),
     "q196_ks_drift" -> (q196KsDrift _),
+    "q197_pruning_report" -> (q197PruningReport _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7643,6 +7673,54 @@ object SparkEntry {
         |    + 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
         |    / (1.0 + 1.96*1.96/nd), 6) AS hi6
         |FROM w ORDER BY source""".stripMargin,
+    "q197_pruning_report" -> {
+      val zTerms = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH src AS (
+         |  SELECT p_partkey, p_size, CAST(p_size AS BIGINT) AS x0,
+         |    CAST(TRUNC(p_retailprice) AS BIGINT) AS y0
+         |  FROM part
+         |), b AS (
+         |  SELECT MIN(x0) AS xmin, MAX(x0) AS xmax,
+         |         MIN(y0) AS ymin, MAX(y0) AS ymax
+         |  FROM src
+         |), n AS (
+         |  SELECT p_partkey, p_size,
+         |    ((x0 - xmin) * 65536) // (xmax - xmin + 1) AS x,
+         |    ((y0 - ymin) * 65536) // (ymax - ymin + 1) AS y
+         |  FROM src, b
+         |), zt AS (
+         |  SELECT p_partkey, p_size, $zTerms AS z FROM n
+         |), lin AS (
+         |  SELECT p_size,
+         |    (ROW_NUMBER() OVER (ORDER BY p_partkey) - 1) // 100 AS fid
+         |  FROM src
+         |), zo AS (
+         |  SELECT p_size,
+         |    (ROW_NUMBER() OVER (ORDER BY z, p_partkey) - 1) // 100 AS fid
+         |  FROM zt
+         |), files AS (
+         |  SELECT 'linear' AS layout, fid,
+         |    MIN(CAST(p_size AS DOUBLE)) AS mn,
+         |    MAX(CAST(p_size AS DOUBLE)) AS mx, COUNT(*) AS cnt
+         |  FROM lin GROUP BY fid
+         |  UNION ALL
+         |  SELECT 'zorder', fid, MIN(CAST(p_size AS DOUBLE)),
+         |    MAX(CAST(p_size AS DOUBLE)), COUNT(*)
+         |  FROM zo GROUP BY fid
+         |), probes(lo, hi) AS (
+         |  VALUES (1.0, 5.0), (20.0, 25.0), (40.0, 50.0)
+         |)
+         |SELECT layout, lo AS probe_lo, hi AS probe_hi,
+         |  COUNT(*) AS n_files,
+         |  CAST(SUM(CASE WHEN mn <= hi AND mx >= lo THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS files_scanned,
+         |  CAST(SUM(CASE WHEN mn <= hi AND mx >= lo THEN cnt ELSE 0 END)
+         |    AS BIGINT) AS rows_scanned
+         |FROM files, probes GROUP BY layout, lo, hi
+         |ORDER BY layout, probe_lo""".stripMargin
+    },
     "q195_budget_allocation" ->
       """WITH c AS (
         |  SELECT source,

@@ -103,6 +103,62 @@ object Layout {
       .sortWithinPartitions(zCol)
   }
 
+  /** Min-max file-skipping effectiveness report — the number that
+    * justifies (or rejects) a layout change BEFORE rewriting 100 TB:
+    * slice the table into `rowsPerFile`-row files in the proposed
+    * `orderCols` order (the write order a sorted rewrite would
+    * produce), record each file's min/max of the predicate column —
+    * exactly the footer statistics parquet keeps and every lakehouse
+    * skipping implementation consults — and for each probe range
+    * count the files (and their rows, the scan-cost upper bound) whose
+    * [min, max] intersects it. Run it once per candidate layout and
+    * the files_scanned column IS the argument ("the z-order rewrite
+    * turns a 100%-scan predicate into 12%").
+    *
+    * Rows with a NULL predicate value count toward file sizes but
+    * never widen the pruning bounds (a real reader tracks null counts
+    * separately; a file of only NULLs here reports NULL bounds and is
+    * skipped by every range probe).
+    *
+    * Scale shape: file ids ride [[General.withContiguousRowIds]]
+    * (range-partitioned — never a single-partition window), per-file
+    * stats are one file-bounded aggregation, and probes expand
+    * map-side from a bounded literal array. Output: one row per probe
+    * — (`probe_lo`, `probe_hi`, `n_files`, `files_scanned`,
+    * `rows_scanned`). */
+  def pruningReport(
+      df: DataFrame,
+      orderCols: Seq[String],
+      predCol: String,
+      rowsPerFile: Long,
+      probes: Seq[(Double, Double)]): DataFrame = {
+    require(orderCols.nonEmpty, "pruningReport needs layout order columns")
+    require(rowsPerFile >= 1, s"rowsPerFile ($rowsPerFile) must be >= 1")
+    require(probes.nonEmpty, "pruningReport needs at least one probe range")
+    probes.foreach { case (lo, hi) =>
+      require(lo <= hi, s"probe [$lo, $hi] is inverted")
+    }
+    val cols = (orderCols :+ predCol).distinct
+    val files = General.withContiguousRowIds(
+        df.select(cols.map(col): _*), orderCols, "__rid")
+      .withColumn("__fid", (col("__rid") / rowsPerFile).cast("long"))
+      .groupBy("__fid")
+      .agg(min(col(predCol).cast("double")).as("__mn"),
+        max(col(predCol).cast("double")).as("__mx"),
+        count(lit(1)).as("__cnt"))
+    val probeLit = explode(array(probes.map { case (lo, hi) =>
+      struct(lit(lo).as("lo"), lit(hi).as("hi"))
+    }: _*))
+    val hit = col("__mn") <= col("probe_hi") && col("__mx") >= col("probe_lo")
+    files.select(col("__mn"), col("__mx"), col("__cnt"), probeLit.as("__p"))
+      .select(col("__p.lo").as("probe_lo"), col("__p.hi").as("probe_hi"),
+        col("__mn"), col("__mx"), col("__cnt"))
+      .groupBy("probe_lo", "probe_hi")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(hit, 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(hit, col("__cnt")).otherwise(0L)).as("rows_scanned"))
+  }
+
   /** Small-file compaction planner — the table-maintenance decision a
     * 100 TB lakehouse runs nightly (Delta `OPTIMIZE` / Iceberg
     * `rewrite_data_files` bin packing): given a file manifest

@@ -112,4 +112,34 @@ class LayoutSpec extends AnyFunSuite {
       Layout.compactionPlan(manifest, "path", "bytes", 100L, 200L)
     }.getMessage.contains("skipAtOrAbove"))
   }
+
+  test("pruningReport: sorted layout prunes, shuffled layout scans everything, NULL bounds") {
+    // 40 rows, pred = id, 10-row files. Sorted by id: file bounds are
+    // [0,9][10,19][20,29][30,39] -> probe [12,17] scans exactly file 1.
+    // "Shuffled" order (id*17 mod 40 is a permutation) interleaves the
+    // domain so every file's range covers the probe -> all 4 scanned.
+    val df = table("id bigint, shuf bigint",
+      (0L until 40L).map(i => row(i, (i * 17) % 40)))
+    val probes = Seq((12.0, 17.0))
+    val sorted = Layout.pruningReport(df, Seq("id"), "id", 10, probes).head()
+    assert(sorted.getLong(2) == 4 && sorted.getLong(3) == 1 &&
+      sorted.getLong(4) == 10, sorted.toString)
+    val shuffled = Layout.pruningReport(df, Seq("shuf"), "id", 10, probes).head()
+    assert(shuffled.getLong(3) == 4 && shuffled.getLong(4) == 40,
+      shuffled.toString)
+    // an all-NULL-pred file reports NULL bounds and never matches a
+    // range probe; its rows still count toward nothing scanned
+    val withNull = table("id bigint, v double",
+      (0L until 10L).map(i => row(i, if (i < 5) null else i.toDouble)))
+    val nr = Layout.pruningReport(withNull, Seq("id"), "v", 5,
+      Seq((0.0, 100.0))).head()
+    assert(nr.getLong(2) == 2 && nr.getLong(3) == 1 && nr.getLong(4) == 5,
+      nr.toString)
+    intercept[IllegalArgumentException] {
+      Layout.pruningReport(df, Seq("id"), "id", 10, Seq((5.0, 1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.pruningReport(df, Seq("id"), "id", 0, probes)
+    }
+  }
 }
