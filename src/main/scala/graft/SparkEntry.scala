@@ -3992,6 +3992,24 @@ object SparkEntry {
       .orderBy("layout", "probe_lo")
   }
 
+  // ---------------------------------------------------------------- q198
+  /** Streaming exact-KS drift ([[graft.streaming.StreamGate
+    * .replayKsDrift]]): q196's statistic with the monitored slice
+    * arriving as a file stream — per-micro-batch distinct-value
+    * counts fold by SUM into versioned parquet state (the accumulated
+    * empirical CDF is provably split-invariant), final gap via the
+    * SHARED ksFromCounts arithmetic. Held to q196's VERBATIM oracle —
+    * extends the drift matrix to KS: PSI batch/stream (q128/q169),
+    * categorical batch/stream (q180/q183), KS batch/stream
+    * (q196/this). */
+  private def q198StreamKsDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.streaming.StreamGate.replayKsDrift(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs), "value")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4190,6 +4208,7 @@ object SparkEntry {
     "q195_budget_allocation" -> (q195BudgetAllocation _),
     "q196_ks_drift" -> (q196KsDrift _),
     "q197_pruning_report" -> (q197PruningReport _),
+    "q198_stream_ks_drift" -> (q198StreamKsDrift _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -4349,6 +4368,37 @@ object SparkEntry {
        |FROM t LEFT JOIN h ON t.query_id = h.query_id
        |ORDER BY query_id""".stripMargin
   }
+
+  /** q196's oracle — shared verbatim by q198 (the streaming fold must
+    * hash-match the batch statistic). */
+  private val ksDriftOracle: String =
+    """WITH a AS (
+      |  SELECT value AS v, COUNT(*) AS ca FROM events
+      |  WHERE epoch_us(ts) < 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1
+      |), bb AS (
+      |  SELECT value AS v, COUNT(*) AS cb FROM events
+      |  WHERE epoch_us(ts) >= 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1
+      |), m AS (
+      |  SELECT COALESCE(a.v, bb.v) AS v, COALESCE(ca, 0) AS ca,
+      |    COALESCE(cb, 0) AS cb
+      |  FROM a FULL OUTER JOIN bb ON a.v = bb.v
+      |), t AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb FROM m
+      |), c AS (
+      |  SELECT
+      |    SUM(ca) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      |  FROM m
+      |)
+      |SELECT t.na AS n_ref, t.nb AS n_cur,
+      |  ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / CAST(t.na AS DOUBLE)
+      |    - CAST(cumb AS DOUBLE) / CAST(t.nb AS DOUBLE))), 6) AS ks6
+      |FROM c, t GROUP BY t.na, t.nb""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_sum_agg" ->
@@ -7780,34 +7830,10 @@ object SparkEntry {
         |      / CAST(n_tokens AS DOUBLE), 6) END AS epochs6,
         |  cp = 1 AS capped
         |FROM w4 ORDER BY source""".stripMargin,
-    "q196_ks_drift" ->
-      """WITH a AS (
-        |  SELECT value AS v, COUNT(*) AS ca FROM events
-        |  WHERE epoch_us(ts) < 1705363200000000 AND value IS NOT NULL
-        |  GROUP BY 1
-        |), bb AS (
-        |  SELECT value AS v, COUNT(*) AS cb FROM events
-        |  WHERE epoch_us(ts) >= 1705363200000000 AND value IS NOT NULL
-        |  GROUP BY 1
-        |), m AS (
-        |  SELECT COALESCE(a.v, bb.v) AS v, COALESCE(ca, 0) AS ca,
-        |    COALESCE(cb, 0) AS cb
-        |  FROM a FULL OUTER JOIN bb ON a.v = bb.v
-        |), t AS (
-        |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
-        |    CAST(SUM(cb) AS BIGINT) AS nb FROM m
-        |), c AS (
-        |  SELECT
-        |    SUM(ca) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
-        |    SUM(cb) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
-        |  FROM m
-        |)
-        |SELECT t.na AS n_ref, t.nb AS n_cur,
-        |  ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / CAST(t.na AS DOUBLE)
-        |    - CAST(cumb AS DOUBLE) / CAST(t.nb AS DOUBLE))), 6) AS ks6
-        |FROM c, t GROUP BY t.na, t.nb""".stripMargin,
+    "q196_ks_drift" -> ksDriftOracle,
+    // the stream fold is held to the identical statistic (sum-merged
+    // value counts make the accumulated CDF split-invariant)
+    "q198_stream_ks_drift" -> ksDriftOracle,
     "q188_mixture_weights" ->
       """WITH c AS (
         |  SELECT source, COUNT(*) AS n_docs,

@@ -275,13 +275,27 @@ object Profile {
   def ksStatistic(
       ref: DataFrame,
       cur: DataFrame,
-      valueCol: String): DataFrame = {
-    val spark = ref.sparkSession
-    def side(df: DataFrame, out: String) = df
-      .select(col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
-      .groupBy("v").agg(count(lit(1)).as(out))
-    val m = side(ref, "ca").join(side(cur, "cb"), Seq("v"), "full_outer")
+      valueCol: String): DataFrame =
+    ksFromCounts(ksSideCounts(ref, valueCol, "ca"),
+      ksSideCounts(cur, valueCol, "cb"))
+
+  /** One side's distinct-value count table (`v`, `out`) — the foldable
+    * state the streaming KS gate accumulates (counts merge by SUM, so
+    * micro-batch partitioning provably cannot change the CDF). */
+  private[graft] def ksSideCounts(
+      df: DataFrame, valueCol: String, out: String): DataFrame = df
+    .select(col(valueCol).cast("double").as("v"))
+    .filter(col("v").isNotNull)
+    .groupBy("v").agg(count(lit(1)).as(out))
+
+  /** [[ksStatistic]]'s arithmetic over two prepared count tables
+    * (`(v, ca)` / `(v, cb)`) — shared verbatim by the batch operator
+    * and the streaming replay gate, the psiFromCounts discipline. */
+  private[graft] def ksFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val spark = refCounts.sparkSession
+    val m = refCounts.join(curCounts, Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
     val t = m.agg(coalesce(sum(col("ca")), lit(0L)),

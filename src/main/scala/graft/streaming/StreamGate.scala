@@ -573,6 +573,66 @@ object StreamGate {
     }
   }
 
+  /** Streaming exact-KS drift — [[graft.operators.Profile
+    * .ksStatistic]] with the monitored slice as a FILE STREAM: each
+    * micro-batch's distinct-value counts fold into a versioned
+    * parquet state table (counts merge by SUM — the q133 bridge — so
+    * the micro-batch split provably cannot change the accumulated
+    * empirical CDF), and the final statistic runs [[graft.operators
+    * .Profile.ksFromCounts]] against the batch-computed reference
+    * counts — the SAME arithmetic as the batch operator, which is
+    * what lets q198 hold this replay to q196's verbatim oracle.
+    * State is distinct-value-bounded. Returns the one-row
+    * (`n_ref`, `n_cur`, `ks6`) frame. */
+  def replayKsDrift(
+      reference: DataFrame,
+      monitored: DataFrame,
+      valueCol: String,
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = reference.sparkSession
+    val src = tempDir("graft_ks_src")
+    monitored.select(col(valueCol)).coalesce(8)
+      .write.mode("overwrite").parquet(src)
+    val stateRoot = tempDir("graft_ks_state")
+    val ck = tempDir("graft_ks_ck")
+    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    try {
+      val stream = spark.readStream
+        .schema(monitored.select(col(valueCol)).schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bh = graft.operators.Profile.ksSideCounts(batch, valueCol, "cb")
+          val merged = Option(state.get()) match {
+            case None => bh
+            case Some(p) => spark.read.parquet(p).unionByName(bh)
+              .groupBy("v").agg(sum(col("cb")).as("cb"))
+          }
+          val next = s"$stateRoot/v${version.incrementAndGet()}"
+          merged.write.mode("overwrite").parquet(next)
+          state.set(next)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
+      require(state.get() != null, "replayKsDrift saw no micro-batches")
+      releaseLastReplay(graft.operators.Profile.ksFromCounts(
+          graft.operators.Profile.ksSideCounts(reference, valueCol, "ca"),
+          spark.read.parquet(state.get()))
+        .localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, stateRoot, ck).foreach(deleteRecursively)
+    }
+  }
+
   /** Streaming drift monitor — [[graft.operators.Profile.drift]]'s PSI
     * kept current by a FILE STREAM of the monitored slice: each
     * micro-batch is bucketed with the REFERENCE-derived bounds

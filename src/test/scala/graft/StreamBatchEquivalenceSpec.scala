@@ -134,6 +134,20 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       gateObs.toString)
   }
 
+  test("stream KS drift == batch ksStatistic across micro-batches") {
+    import graft.operators.Profile
+    val ev = events
+    val midUs = 1705363200000000L
+    val ref = ev.filter(unix_micros(col("ts")) < midUs)
+    val cur = ev.filter(unix_micros(col("ts")) >= midUs)
+    val streamed = StreamGate.replayKsDrift(ref, cur, "value",
+      filesPerTrigger = 1).head()
+    val batch = Profile.ksStatistic(ref, cur, "value").head()
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+    assert(streamed.getDouble(2) >= 0.0 && streamed.getLong(0) > 0)
+  }
+
   test("stream windowed counts == batch windowed rollup (watermark-flushed)") {
     val streamed = StreamGate.replayWindowedCounts(events,
         "5 minutes", "5 minutes", "10 minutes", horizonUs = 3600L * 1000000)
