@@ -4010,6 +4010,33 @@ object SparkEntry {
       ev.filter(unix_micros(col("ts")) >= splitUs), "value")
   }
 
+  // ---------------------------------------------------------------- q199
+  /** A/B experiment readout ([[graft.operators.Experiment
+    * .assignArms]] + [[graft.operators.Experiment.abReport]]): users
+    * hash deterministically into control/treat_a/treat_b
+    * (50/25/25, salted, md5-portable — reruns and engines can never
+    * reshuffle arms), outcome = did the user ever purchase, readout =
+    * per-arm conversion with Wilson intervals and the pooled
+    * two-proportion z against control. The oracle replays the hash,
+    * the exact integer cut points, and every interval and z — a null
+    * experiment by construction, so z hovers near 0 and
+    * `significant` stays false unless the assignment itself is
+    * broken. */
+  private def q199AbExperiment(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Experiment
+    // outcome: a HEAVY purchaser (>= 14 purchase events) — roughly the
+    // per-user median, so rates sit mid-range and the z test has
+    // variance to work with (every user has >= 1 purchase, which would
+    // make has-any-purchase a vacuous all-ones outcome)
+    val users = Tables.events(s, dir).groupBy("user_id")
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= 14L).as("converted"))
+    val assigned = Experiment.assignArms(users, "user_id", salt = "exp1",
+      arms = Seq(("control", 0.5), ("treat_a", 0.25), ("treat_b", 0.25)))
+    Experiment.abReport(assigned, "arm", "converted", controlArm = "control")
+      .orderBy("arm")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4209,6 +4236,7 @@ object SparkEntry {
     "q196_ks_drift" -> (q196KsDrift _),
     "q197_pruning_report" -> (q197PruningReport _),
     "q198_stream_ks_drift" -> (q198StreamKsDrift _),
+    "q199_ab_experiment" -> (q199AbExperiment _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7723,6 +7751,62 @@ object SparkEntry {
         |    + 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
         |    / (1.0 + 1.96*1.96/nd), 6) AS hi6
         |FROM w ORDER BY source""".stripMargin,
+    "q199_ab_experiment" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |      AS converted
+        |  FROM events GROUP BY user_id
+        |), h AS (
+        |  SELECT converted,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
+        |           CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) AS hv
+        |  FROM u
+        |), a AS (
+        |  SELECT converted,
+        |    CASE WHEN hv < 2147483648 THEN 'control'
+        |         WHEN hv < 3221225472 THEN 'treat_a'
+        |         ELSE 'treat_b' END AS arm
+        |  FROM h
+        |), g AS (
+        |  SELECT arm, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pass
+        |  FROM a GROUP BY arm
+        |), ctl AS (
+        |  SELECT CAST(n AS DOUBLE) AS nc, CAST(n_pass AS DOUBLE) AS kc
+        |  FROM g WHERE arm = 'control'
+        |), w AS (
+        |  SELECT arm, n, n_pass,
+        |    CAST(n_pass AS DOUBLE) / n AS p, CAST(n AS DOUBLE) AS nd,
+        |    ctl.nc, ctl.kc
+        |  FROM g, ctl
+        |), zc AS (
+        |  SELECT *,
+        |    (CAST(n_pass AS DOUBLE) + kc) / (nd + nc) AS pool
+        |  FROM w
+        |)
+        |SELECT arm, n, n_pass,
+        |  ROUND(p, 6) AS rate6,
+        |  ROUND(((p + 1.96*1.96/(2.0*nd))
+        |    - 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
+        |    / (1.0 + 1.96*1.96/nd), 6) AS lo6,
+        |  ROUND(((p + 1.96*1.96/(2.0*nd))
+        |    + 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
+        |    / (1.0 + 1.96*1.96/nd), 6) AS hi6,
+        |  CASE WHEN arm = 'control' THEN NULL
+        |    WHEN sqrt(pool*(1.0-pool)*(1.0/nd + 1.0/nc)) > 0
+        |    THEN ROUND((p - kc/nc)
+        |      / sqrt(pool*(1.0-pool)*(1.0/nd + 1.0/nc)), 6)
+        |    ELSE NULL END AS z6,
+        |  CASE WHEN arm = 'control' THEN NULL
+        |    ELSE ABS(ROUND((p - kc/nc)
+        |      / sqrt(pool*(1.0-pool)*(1.0/nd + 1.0/nc)), 6)) >= 1.96 END
+        |    AS significant
+        |FROM zc ORDER BY arm""".stripMargin,
     "q197_pruning_report" -> {
       val zTerms = (0 until 16).map(i =>
         s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")

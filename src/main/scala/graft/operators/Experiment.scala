@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experimentation primitives — deterministic arm assignment and the
+  * per-arm readout with honest uncertainty: the A/B machinery every
+  * data pipeline eventually grows (did the new quality filter change
+  * downstream conversion? did the re-ranker move engagement?), built
+  * on the same portable-hash discipline as the sampling family so an
+  * assignment is a pure, engine-reproducible function of (salt, key) —
+  * re-running the pipeline, or running it on a different engine, can
+  * never reshuffle users between arms. No reference counterpart —
+  * LLM-pipeline extensions.
+  */
+object Experiment {
+
+  /** Deterministic hash assignment of each row's key into weighted
+    * arms: `u = portable_hash32(salt:key) / 2^32` is uniform on [0,1)
+    * and the arm is the first whose cumulative weight exceeds u —
+    * per-key stable under reruns and engine changes (md5-derived, the
+    * [[General.mixtureSample]] hash), salted so INDEPENDENT
+    * experiments on the same population decorrelate (same key, new
+    * salt, fresh coin). Weights are normalized internally; cumulative
+    * thresholds are exact integer longs (floor of the cumulative
+    * fraction × 2^32, last arm pinned to 2^32) so every hash value
+    * lands in exactly one arm. Arm ORDER matters to the cut points —
+    * pass a Seq, not a Map. NULL keys get a NULL arm (no identity, no
+    * experiment). */
+  def assignArms(
+      df: DataFrame,
+      keyCol: String,
+      salt: String,
+      arms: Seq[(String, Double)],
+      outCol: String = "arm"): DataFrame = {
+    require(arms.size >= 2, s"need >= 2 arms, got ${arms.size}")
+    require(arms.map(_._1).distinct.size == arms.size,
+      s"duplicate arm names in ${arms.map(_._1).mkString(", ")}")
+    require(arms.forall(_._2 > 0.0), "every arm weight must be positive")
+    val total = arms.map(_._2).sum
+    val cuts = arms.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c * 4294967296.0).toLong)
+      .dropRight(1) :+ 4294967296L // last arm closes the space exactly
+    val u = graft.functions.TextFunctions.portableTokenHash32(
+      concat(lit(salt), lit(":"), col(keyCol).cast("string")))
+    val armExpr = arms.map(_._1).zip(cuts).foldRight(
+        lit(null).cast("string"): Column) { case ((name, cut), e) =>
+      when(u < cut, lit(name)).otherwise(e)
+    }
+    df.withColumn(outCol, when(col(keyCol).isNotNull, armExpr))
+  }
+
+  /** Per-arm experiment readout over a boolean outcome: each arm's
+    * conversion count, rate, and Wilson interval
+    * ([[Quality.passRateCI]]'s calibrated-at-small-n bounds), plus the
+    * two-proportion z statistic against the CONTROL arm — the pooled
+    * form `z = (p_a − p_c) / √(p̂(1−p̂)(1/n_a + 1/n_c))`, rounded at 6
+    * so the decision is engine-exact, with `significant` at the
+    * two-sided `z` threshold. The control row carries NULL z (no
+    * self-comparison); a degenerate pool (p̂ of 0 or 1 — no variance)
+    * reports NULL z, never a division blow-up. NULL outcomes are
+    * excluded per [[Quality.passRateCI]]'s rule.
+    *
+    * Scale shape: one arm-bounded aggregation; the control's two
+    * scalars come off that same tiny table ([[Corpus
+    * .compositionReport]]'s pattern), and the z arithmetic is
+    * map-only over arm-count rows. Output: (arm, n, n_pass, rate6,
+    * lo6, hi6, z6, significant). */
+  def abReport(
+      df: DataFrame,
+      armCol: String,
+      flagCol: String,
+      controlArm: String,
+      z: Double = 1.96): DataFrame = {
+    val ci = Quality.passRateCI(df, Seq(armCol), flagCol, z)
+      .withColumnRenamed(armCol, "arm")
+    val ctl = ci.filter(col("arm") === controlArm)
+      .select("n", "n_pass").collect()
+    require(ctl.length == 1,
+      s"abReport: control arm '$controlArm' matched ${ctl.length} rows")
+    val (nc, kc) = (ctl(0).getLong(0), ctl(0).getLong(1))
+    require(nc > 0L, s"abReport: control arm '$controlArm' has no outcomes")
+    val na = col("n").cast("double")
+    val pa = col("n_pass").cast("double") / na
+    val pc = lit(kc.toDouble / nc.toDouble)
+    val pool = (col("n_pass") + lit(kc)).cast("double") / (na + lit(nc.toDouble))
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / na + lit(1.0 / nc.toDouble)))
+    val zStat = when(col("arm") === controlArm || col("n") === 0, lit(null))
+      .otherwise(when(se > 0.0, round((pa - pc) / se, 6)))
+    ci.withColumn("z6", zStat)
+      .withColumn("significant",
+        when(col("z6").isNotNull, abs(col("z6")) >= z))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Experiment
+import graft.testkit.SparkTestKit._
+
+class ExperimentSpec extends AnyFunSuite {
+
+  test("assignArms: deterministic, salt-sensitive, weight-proportional, NULL keys") {
+    val users = table("id bigint", (0L until 2000L).map(row(_)))
+    val arms = Seq(("control", 0.5), ("treat", 0.5))
+    def assign(salt: String) =
+      Experiment.assignArms(users, "id", salt, arms)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a1 = assign("s1")
+    // rerun-stable: the exact same assignment every time
+    assert(assign("s1") == a1)
+    // a new salt is a fresh coin: a meaningful fraction moves arms
+    val a2 = assign("s2")
+    val moved = a1.count { case (k, v) => a2(k) != v }
+    assert(moved > 600 && moved < 1400, s"moved $moved of 2000")
+    // weights hold within binomial noise (p=0.5, n=2000, sd~22)
+    val nControl = a1.values.count(_ == "control")
+    assert(math.abs(nControl - 1000) < 120, s"control got $nControl")
+    // every key lands in exactly one arm; skewed weights skew counts
+    val skew = Experiment.assignArms(users, "id", "s1",
+        Seq(("a", 0.9), ("b", 0.1)))
+      .groupBy("arm").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(skew.values.sum == 2000 && skew("a") > 1650, skew.toString)
+    // NULL key -> NULL arm
+    val n = Experiment.assignArms(
+      table("id bigint", Seq(row(null.asInstanceOf[java.lang.Long]))),
+      "id", "s1", arms).head()
+    assert(n.isNullAt(1))
+    intercept[IllegalArgumentException] {
+      Experiment.assignArms(users, "id", "s1", Seq(("only", 1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      Experiment.assignArms(users, "id", "s1",
+        Seq(("a", 0.5), ("a", 0.5)))
+    }
+  }
+
+  test("abReport: hand-computed z against control, control NULL z, degenerate pool") {
+    // control 50/100, treat 60/100: pool = 0.55,
+    // se = sqrt(.55*.45*(2/100)) = 0.070356..., z = 0.1/se = 1.421338
+    def armRows(arm: String, pass: Int, fail: Int) =
+      Seq.fill(pass)(row(arm, true)) ++ Seq.fill(fail)(row(arm, false))
+    val df = table("arm string, f boolean",
+      armRows("control", 50, 50) ++ armRows("treat", 60, 40))
+    val got = Experiment.abReport(df, "arm", "f", "control")
+      .orderBy("arm").collect()
+    val ctl = got(0); val trt = got(1)
+    assert(ctl.isNullAt(6) && ctl.isNullAt(7)) // no self-comparison
+    assert(trt.getDouble(6) == 1.421338, trt.toString)
+    assert(!trt.getBoolean(7))
+    // a clearly separated treatment IS significant
+    val strong = table("arm string, f boolean",
+      armRows("control", 30, 70) ++ armRows("treat", 70, 30))
+    val sg = Experiment.abReport(strong, "arm", "f", "control")
+      .filter(col("arm") === "treat").head()
+    assert(sg.getBoolean(7), sg.toString)
+    // degenerate pool (everyone converts everywhere): NULL z, no crash
+    val flat = table("arm string, f boolean",
+      armRows("control", 10, 0) ++ armRows("treat", 10, 0))
+    assert(Experiment.abReport(flat, "arm", "f", "control")
+      .filter(col("arm") === "treat").head().isNullAt(6))
+    intercept[IllegalArgumentException] {
+      Experiment.abReport(df, "arm", "f", "nope")
+    }
+  }
+}
