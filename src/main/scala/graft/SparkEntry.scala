@@ -4037,6 +4037,21 @@ object SparkEntry {
       .orderBy("arm")
   }
 
+  // ---------------------------------------------------------------- q200
+  /** Dedup-savings threshold sweep ([[Dedup.savingsByThreshold]]):
+    * the q46 pair graph re-clustered at Jaccard 0.5 / 0.96 / 0.98 off
+    * ONE detection pass — per threshold, how many docs sit in
+    * duplicate clusters and how many a min-id retention would remove.
+    * The report that picks the dedup knob before a 100 TB run commits
+    * to it. The oracle recomputes the exact n² pair graph and a full
+    * recursive-CTE clustering at EVERY threshold, so both the pair
+    * recall and each re-clustering are value-checked. */
+  private def q200SavingsSweep(s: SparkSession, dir: String): DataFrame =
+    Dedup.savingsByThreshold(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16,
+        thresholds = Seq(0.5, 0.96, 0.98))
+      .orderBy("threshold")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4237,6 +4252,7 @@ object SparkEntry {
     "q197_pruning_report" -> (q197PruningReport _),
     "q198_stream_ks_drift" -> (q198StreamKsDrift _),
     "q199_ab_experiment" -> (q199AbExperiment _),
+    "q200_savings_sweep" -> (q200SavingsSweep _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7751,6 +7767,50 @@ object SparkEntry {
         |    + 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
         |    / (1.0 + 1.96*1.96/nd), 6) AS hi6
         |FROM w ORDER BY source""".stripMargin,
+    "q200_savings_sweep" -> {
+      def block(tag: String, t: String) =
+        s""", e_$tag AS (
+           |  SELECT id_a, id_b FROM p WHERE j >= $t
+           |), sym_$tag AS (
+           |  SELECT id_a AS a, id_b AS b FROM e_$tag
+           |  UNION SELECT id_b, id_a FROM e_$tag
+           |), reach_$tag AS (
+           |  SELECT a AS node, a AS r FROM sym_$tag
+           |  UNION
+           |  SELECT s2.a, r.r FROM sym_$tag s2 JOIN reach_$tag r
+           |    ON s2.b = r.node
+           |), cc_$tag AS (
+           |  SELECT node, MIN(r) AS comp FROM reach_$tag GROUP BY node
+           |), st_$tag AS (
+           |  SELECT CAST($t AS DOUBLE) AS threshold,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs_in_pairs,
+           |    CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_clusters,
+           |    CAST(COUNT(*) - COUNT(DISTINCT comp) AS BIGINT)
+           |      AS removable_docs
+           |  FROM cc_$tag
+           |)""".stripMargin
+      s"""WITH RECURSIVE tk AS (
+         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_distinct(list_transform(range(len(toks)-2), i ->
+         |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
+         |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
+         |  FROM tk
+         |), p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+         |               AS DOUBLE), 0.0) AS j
+         |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+         |)${block("05", "0.5")}${block("07", "0.96")}${block("09", "0.98")}
+         |SELECT * FROM st_05
+         |UNION ALL SELECT * FROM st_07
+         |UNION ALL SELECT * FROM st_09
+         |ORDER BY threshold""".stripMargin
+    },
     "q199_ab_experiment" ->
       """WITH u AS (
         |  SELECT user_id,
