@@ -4052,6 +4052,19 @@ object SparkEntry {
         thresholds = Seq(0.5, 0.96, 0.98))
       .orderBy("threshold")
 
+  // ---------------------------------------------------------------- q201
+  /** Embedding health report ([[graft.operators.Similarity
+    * .embeddingHealthReport]]): norms, zero-vector count, and the
+    * anisotropy proxy (mean cosine to the table centroid — the
+    * representation-collapse signature) over the embeddings table.
+    * Centroid sums, norm sums, and the cosine mean all accumulate as
+    * rounded DECIMALs, so the report is partitioning-independent and
+    * the oracle replays every number: per-dim centroid, each norm,
+    * each cosine, and the three means. */
+  private def q201EmbeddingHealth(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.embeddingHealthReport(
+      Tables.embeddings(s, dir), "vec_id", "embedding")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4253,6 +4266,7 @@ object SparkEntry {
     "q198_stream_ks_drift" -> (q198StreamKsDrift _),
     "q199_ab_experiment" -> (q199AbExperiment _),
     "q200_savings_sweep" -> (q200SavingsSweep _),
+    "q201_embedding_health" -> (q201EmbeddingHealth _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7767,6 +7781,46 @@ object SparkEntry {
         |    + 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
         |    / (1.0 + 1.96*1.96/nd), 6) AS hi6
         |FROM w ORDER BY source""".stripMargin,
+    "q201_embedding_health" ->
+      """WITH v AS (
+        |  SELECT embedding AS v FROM embeddings WHERE embedding IS NOT NULL
+        |), nn AS (
+        |  SELECT COUNT(*) AS n FROM v
+        |), cdim AS (
+        |  SELECT i AS d,
+        |    CAST(CAST(SUM(CAST(ROUND(CAST(v[CAST(i+1 AS INT)] AS DOUBLE), 12)
+        |        AS DECIMAL(38,12))) AS DOUBLE) / (SELECT n FROM nn)
+        |      AS REAL) AS cx
+        |  FROM v, (SELECT unnest(range(64)) AS i)
+        |  GROUP BY i
+        |), cen AS (
+        |  SELECT list(cx ORDER BY d) AS c FROM cdim
+        |), scored AS (
+        |  SELECT
+        |    sqrt(list_sum(list_transform(v,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    list_sum(list_transform(list_zip(v, cen.c),
+        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(v,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(cen.c,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cs
+        |  FROM v, cen
+        |)
+        |SELECT (SELECT n FROM nn) AS n, 64 AS dims,
+        |  CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_norm,
+        |  ROUND(CAST(SUM(CAST(ROUND(nrm, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |    / (SELECT n FROM nn), 6) AS mean_norm6,
+        |  MIN(ROUND(nrm, 6)) AS min_norm6,
+        |  MAX(ROUND(nrm, 6)) AS max_norm6,
+        |  ROUND(CAST(SUM(CASE WHEN nrm > 0
+        |      THEN CAST(ROUND(cs, 12) AS DECIMAL(38,12))
+        |      ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+        |    / ((SELECT n FROM nn)
+        |       - SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END)), 6)
+        |    AS mean_cos_centroid6
+        |FROM scored""".stripMargin,
     "q200_savings_sweep" -> {
       def block(tag: String, t: String) =
         s""", e_$tag AS (

@@ -513,4 +513,79 @@ object Similarity {
         coalesce(col("n_train_hits"), lit(0L)).as("n_train_hits"),
         col("min_train_id"))
   }
+
+  /** Embedding-table health report — the QA pass before an embedding
+    * column feeds dedup/ANN/eval: per-table norms (a collapsing or
+    * exploding encoder shows up as drifting norm statistics),
+    * zero-norm counts (unsearchable vectors), and the ANISOTROPY
+    * proxy — mean cosine to the table centroid, which for a healthy
+    * spread sits near 0 and for the degenerate "all embeddings in one
+    * cone" failure approaches 1 (the well-documented representation-
+    * collapse signature). Dimensionality must be uniform (checked
+    * loudly — a ragged table upstream is a bug, not a statistic).
+    *
+    * Determinism: per-dimension centroid sums, norm sums, and the
+    * cosine mean all accumulate as rounded DECIMALs, so every
+    * reported number is independent of partitioning and fold order;
+    * outputs round at 6. Scale shape: one posexplode aggregation
+    * bounded by dims for the centroid, then ONE map-only pass scoring
+    * each vector against the centroid literal + a scalar aggregation
+    * — no joins, no windows.
+    *
+    * Output: one row — (`n`, `dims`, `n_zero_norm`, `mean_norm6`,
+    * `min_norm6`, `max_norm6`, `mean_cos_centroid6`). */
+  def embeddingHealthReport(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val vecs = df.select(col(vecCol).as("__v")).filter(col("__v").isNotNull)
+    val dimStats = vecs.agg(
+      count(lit(1)).as("n"),
+      min(size(col("__v"))).as("dmin"),
+      max(size(col("__v"))).as("dmax")).head()
+    val n = dimStats.getLong(0)
+    require(n > 0L, "embeddingHealthReport: no non-null vectors")
+    val dims = dimStats.getInt(1)
+    require(dims == dimStats.getInt(2) && dims > 0,
+      s"embeddingHealthReport: ragged dimensionalities " +
+        s"[${dimStats.getInt(1)}, ${dimStats.getInt(2)}] — fix upstream")
+    // per-dimension centroid: dims-bounded aggregation, DECIMAL-exact
+    val centroid = vecs
+      .select(posexplode(col("__v")).as(Seq("__d", "__x")))
+      .groupBy("__d")
+      .agg(sum(round(col("__x").cast("double"), 12)
+        .cast("decimal(38,12)")).as("__s"))
+      .orderBy("__d").collect()
+      .map(r => (r.getDecimal(1).doubleValue() / n).toFloat)
+    val cLit = vectorLit(centroid.toSeq)
+    // a perfectly cancelling table has a ZERO centroid — no direction
+    // to measure concentration against; report 0, the isotropic limit
+    val centroidIsZero = centroid.forall(_ == 0.0f)
+    val norm = sqrt(aggregate(col("__v"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val scored = vecs
+      .withColumn("__norm", norm)
+      .withColumn("__cos",
+        if (centroidIsZero) lit(0.0)
+        else graft.expressions.GraftFunctions.cosineF32(df, col("__v"), cLit))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+    val s = scored.agg(
+      sum(when(col("__norm") === 0.0, 1L).otherwise(0L)).as("zeros"),
+      dsum(col("__norm")).as("nsum"),
+      min(round(col("__norm"), 6)).as("nmin"),
+      max(round(col("__norm"), 6)).as("nmax"),
+      dsum(when(col("__norm") > 0.0, col("__cos")).otherwise(lit(0.0)))
+        .as("csum")).head()
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nonZero = n - s.getLong(0)
+    import spark.implicits._
+    Seq((n, dims, s.getLong(0),
+      r6(s.getDouble(1) / n), s.getDouble(2), s.getDouble(3),
+      if (nonZero == 0L) 0.0 else r6(s.getDouble(4) / nonZero)))
+      .toDF("n", "dims", "n_zero_norm", "mean_norm6", "min_norm6",
+        "max_norm6", "mean_cos_centroid6")
+  }
 }

@@ -521,6 +521,48 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingHealthReport: norms, zero vectors, anisotropy extremes, ragged rejection") {
+    // unit vectors spread over the circle: mean cosine to the (near-
+    // zero) centroid is ~0 — the healthy isotropic reading
+    def circle(k: Int) = table("id bigint, v array<float>",
+      (0 until k).map { i =>
+        val a = 2 * math.Pi * i / k
+        row(i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+      })
+    val healthy = Similarity.embeddingHealthReport(circle(8), "id", "v").head()
+    assert(healthy.getLong(0) == 8 && healthy.getInt(1) == 2 &&
+      healthy.getLong(2) == 0)
+    assert(healthy.getDouble(3) == 1.0) // unit norms exactly
+    // the full circle cancels to a ZERO centroid: the isotropic limit
+    // reports 0 instead of a NULL cosine blow-up
+    assert(healthy.getDouble(6) == 0.0, healthy.toString)
+    // a slightly asymmetric spread has a real (small) centroid: the
+    // cosine path itself runs, and the mean stays far from collapse
+    val spread = table("id bigint, v array<float>",
+      Seq(0.0, 0.5, 1.2, 2.2, 3.3, 4.5).zipWithIndex.map { case (a, i) =>
+        row(i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+      })
+    val sp = Similarity.embeddingHealthReport(spread, "id", "v").head()
+    assert(math.abs(sp.getDouble(6)) < 0.5 && sp.getDouble(6) != 0.0,
+      sp.toString)
+    // collapsed representation: every vector identical -> mean cosine 1
+    val collapsed = table("id bigint, v array<float>",
+      (0 until 6).map(i => row(i.toLong, Seq(3.0f, 4.0f))))
+    val c = Similarity.embeddingHealthReport(collapsed, "id", "v").head()
+    assert(c.getDouble(3) == 5.0 && c.getDouble(6) == 1.0, c.toString)
+    // zero vectors are counted and excluded from the cosine mean
+    val withZero = table("id bigint, v array<float>", Seq(
+      row(1L, Seq(1.0f, 0.0f)), row(2L, Seq(0.0f, 0.0f))))
+    val z = Similarity.embeddingHealthReport(withZero, "id", "v").head()
+    assert(z.getLong(2) == 1, z.toString)
+    // ragged dimensionalities fail loudly
+    val ragged = table("id bigint, v array<float>", Seq(
+      row(1L, Seq(1.0f)), row(2L, Seq(1.0f, 2.0f))))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.embeddingHealthReport(ragged, "id", "v")
+    }.getMessage.contains("ragged"))
+  }
+
   test("incrementalComponents: fold == recompute across merge/chain/new/no-op batches") {
     import graft.operators.Components
     def cc(edges: Seq[(Long, Long)]) = Components.connectedComponents(
