@@ -4065,6 +4065,30 @@ object SparkEntry {
     graft.operators.Similarity.embeddingHealthReport(
       Tables.embeddings(s, dir), "vec_id", "embedding")
 
+  // ---------------------------------------------------------------- q202
+  /** Per-group rank normalization ([[graft.operators.Stats
+    * .rankNormalize]]): document lengths to within-language
+    * percentile ranks — the cross-group-comparable rescaling a global
+    * selection policy needs — rolled up per language: count, the SUM
+    * of the percentiles in exact integer micros (mid-rank percentiles
+    * of a full group always sum to exactly n/2, so
+    * `sum_pct_micros = 500000·n` is a built-in self-check — and the
+    * exact integer sidesteps the mean's 0.5000005-style rounding tie,
+    * where Spark's string-based and DuckDB's binary-based ROUND
+    * legitimately disagree), and min/max. Ranks tie-break on doc_id,
+    * making every percentile engine-exact. */
+  private def q202RankNormalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+    graft.operators.Stats.rankNormalize(docs, Seq("lang"), "n_chars",
+        "doc_id", "pct")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("pct") * lit(1000000.0)).cast("long"))
+          .as("sum_pct_micros"),
+        min(col("pct")).as("min_pct"), max(col("pct")).as("max_pct"))
+      .orderBy("lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4267,6 +4291,7 @@ object SparkEntry {
     "q199_ab_experiment" -> (q199AbExperiment _),
     "q200_savings_sweep" -> (q200SavingsSweep _),
     "q201_embedding_health" -> (q201EmbeddingHealth _),
+    "q202_rank_normalize" -> (q202RankNormalize _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7781,6 +7806,20 @@ object SparkEntry {
         |    + 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
         |    / (1.0 + 1.96*1.96/nd), 6) AS hi6
         |FROM w ORDER BY source""".stripMargin,
+    "q202_rank_normalize" ->
+      """WITH r AS (
+        |  SELECT lang,
+        |    ROUND((CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY n_chars, doc_id) AS DOUBLE) - 0.5)
+        |      / CAST(COUNT(*) OVER (PARTITION BY lang) AS DOUBLE), 6)
+        |      AS pct
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |)
+        |SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(pct * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS sum_pct_micros,
+        |  MIN(pct) AS min_pct, MAX(pct) AS max_pct
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "q201_embedding_health" ->
       """WITH v AS (
         |  SELECT embedding AS v FROM embeddings WHERE embedding IS NOT NULL

@@ -219,6 +219,50 @@ object Stats {
       .drop("__cuts")
   }
 
+  /** Per-group rank normalization — the distribution-free rescaling
+    * that makes scores COMPARABLE ACROSS GROUPS before a global
+    * policy consumes them ("mix by quality percentile within each
+    * language", where raw quality scales differ by language): each
+    * row's value maps to its percentile rank `(rank − 0.5) / n`
+    * within the group — the standard mid-rank convention, uniform on
+    * (0, 1) whatever the input distribution. Ranks order by
+    * (value, id): a DETERMINISTIC total order, so ties resolve
+    * identically on every engine and rerun ([[graft.operators.Eval
+    * .spearmanRho]]'s discipline) rather than averaging. NULL values
+    * get a NULL rank.
+    *
+    * Scale shape: one GROUP-PARTITIONED row_number window (sorts
+    * within groups only — groups are the parallelism unit; for a
+    * single giant group use the range-partitioned id machinery
+    * directly) + one group-bounded count join. Output: input columns
+    * + `outCol` (double in (0, 1), rounded at `roundDigits`). */
+  def rankNormalize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      idCol: String,
+      outCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    TempCols.reserve(df, "rankNormalize", "__rk", "__n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol), col(idCol))
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .withColumn("__rk", row_number().over(w))
+    val normalized = joinOnGroups(ranked, counts, groupCols)
+      .withColumn(outCol,
+        round((col("__rk").cast("double") - lit(0.5)) /
+          col("__n").cast("double"), roundDigits))
+      .drop("__rk", "__n")
+    val nulls = df.filter(col(valueCol).isNull)
+      .withColumn(outCol, lit(null).cast("double"))
+    normalized.unionByName(nulls)
+  }
+
   /** Median/MAD robust outlier flags — [[iqrOutlierFlags]]' heavier
     * sibling for LONG-TAILED quality signals: the IQR fence assumes
     * the bulk is roughly symmetric, while the modified z-score

@@ -505,6 +505,25 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("rankNormalize: mid-rank percentiles, deterministic ties, NULLs, per-group") {
+    // group g: values (10, 20, 20, 40) with ids 1..4 -> ranks 1..4
+    // (the tie at 20 breaks by id), pct = (r - .5)/4
+    val df = table("id bigint, g string, v double", Seq(
+      row(1L, "g", 10.0), row(2L, "g", 20.0), row(3L, "g", 20.0),
+      row(4L, "g", 40.0), row(5L, "h", 7.0), row(6L, "h", null)))
+    val got = Stats.rankNormalize(df, Seq("g"), "v", "id", "pct")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == Seq(1L -> Some(0.125), 2L -> Some(0.375),
+      3L -> Some(0.625), 4L -> Some(0.875),
+      5L -> Some(0.5),            // a 1-row group sits at its midpoint
+      6L -> None), got.toString)  // NULL value -> NULL pct, row kept
+    intercept[IllegalArgumentException] {
+      Stats.rankNormalize(df, Nil, "v", "id", "pct")
+    }
+  }
+
   test("topPaths: ordered truncated paths, tie-broken cutoff, oversize guard") {
     val df = table("u bigint, sid bigint, t_us bigint, eid bigint, et string", Seq(
       row(1L, 1L, 10L, 1L, "view"), row(1L, 1L, 20L, 2L, "click"),
