@@ -4089,6 +4089,38 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q203
+  /** Schema-evolution compatibility check ([[graft.types.SchemaOps
+    * .compatibility]]): can files written under last year's schema
+    * (a real projection of the lineitem parquet — BIGINT keys, an
+    * INT linenumber, DOUBLE quantities, a VARCHAR flag, an extra
+    * discount column) feed a reader contract that widens the
+    * linenumber, requires a column the writer lacks, asks for an
+    * incompatible narrow read, and declares an optional column the
+    * writer never had? One verdict row per column, decided by the
+    * SAME numeric lattice `concat` unions under. Pure driver-side
+    * metadata; the oracle is the expected verdict table, so any
+    * lattice or rule drift flips a row. */
+  private def q203SchemaCompat(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val writer = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_discount")
+      .schema
+    val reader = StructType(Seq(
+      StructField("l_orderkey", LongType, nullable = true),     // ok
+      StructField("l_linenumber", LongType, nullable = true),   // int widens
+      StructField("l_quantity", IntegerType, nullable = true),  // NARROWING
+      StructField("l_returnflag", BooleanType, nullable = true), // type clash
+      StructField("l_comment", StringType, nullable = true),    // null-fill
+      StructField("l_shipmode", StringType, nullable = false))) // required
+    val rows = graft.types.SchemaOps.compatibility(reader, writer)
+      .map(v => (v.column, v.readerType, v.writerType, v.verdict))
+    import s.implicits._
+    rows.toDF("column", "reader_type", "writer_type", "verdict")
+      .orderBy("column")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4292,6 +4324,7 @@ object SparkEntry {
     "q200_savings_sweep" -> (q200SavingsSweep _),
     "q201_embedding_health" -> (q201EmbeddingHealth _),
     "q202_rank_normalize" -> (q202RankNormalize _),
+    "q203_schema_compat" -> (q203SchemaCompat _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7806,6 +7839,17 @@ object SparkEntry {
         |    + 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
         |    / (1.0 + 1.96*1.96/nd), 6) AS hi6
         |FROM w ORDER BY source""".stripMargin,
+    "q203_schema_compat" ->
+      """SELECT * FROM (VALUES
+        |  ('l_comment', 'STRING', '', 'ok_null_fill'),
+        |  ('l_discount', '', 'DOUBLE', 'ignored_extra'),
+        |  ('l_linenumber', 'BIGINT', 'INT', 'ok_widen'),
+        |  ('l_orderkey', 'BIGINT', 'BIGINT', 'ok'),
+        |  ('l_quantity', 'INT', 'DOUBLE', 'incompatible_type'),
+        |  ('l_returnflag', 'BOOLEAN', 'STRING', 'incompatible_type'),
+        |  ('l_shipmode', 'STRING', '', 'missing_required')
+        |) AS t("column", reader_type, writer_type, verdict)
+        |ORDER BY "column"""".stripMargin,
     "q202_rank_normalize" ->
       """WITH r AS (
         |  SELECT lang,

@@ -174,4 +174,56 @@ object SchemaOps {
         s"${n(f.name).dataType.sql}${if (n(f.name).nullable) "" else " NOT NULL"}"))
     (removed ++ added ++ retyped ++ renulled).sortBy(c => (c.column, c.change))
   }
+
+  /** One reader-column compatibility verdict. */
+  final case class CompatVerdict(
+      column: String, readerType: String, writerType: String, verdict: String)
+
+  /** Can data written under `writer` be READ under `reader`? The
+    * schema-evolution question every long-lived dataset eventually
+    * asks ("we changed the pipeline's output schema — can last year's
+    * files still feed this job?"), answered per reader column with
+    * the SAME coercion lattice [[analyze]] unions under, so "what
+    * concat would harmonize" and "what an old file can supply" are
+    * one rule:
+    *
+    *  - `ok`            — identical type;
+    *  - `ok_widen`      — the writer's lattice-numeric type widens to
+    *                      the reader's (int data read as long);
+    *  - `ok_null_fill`  — the column is absent from the writer and
+    *                      the reader declares it nullable (reads as
+    *                      NULL — `concat`'s missing-column rule);
+    *  - `missing_required` — absent AND the reader requires it;
+    *  - `incompatible_type` — present with a type the lattice cannot
+    *                      widen (including a NARROWING ask: long data
+    *                      into an int reader is data loss, never
+    *                      silent).
+    *
+    * Writer-only columns report `ignored_extra` (projection drops
+    * them — informational, never an error). Pure driver-side
+    * metadata; rows sorted by column for determinism. */
+  def compatibility(reader: StructType, writer: StructType): Seq[CompatVerdict] = {
+    val w = writer.fields.map(f => f.name -> f).toMap
+    val readerRows = reader.fields.map { rf =>
+      w.get(rf.name) match {
+        case None =>
+          CompatVerdict(rf.name, rf.dataType.sql, "",
+            if (rf.nullable) "ok_null_fill" else "missing_required")
+        case Some(wf) if wf.dataType == rf.dataType =>
+          CompatVerdict(rf.name, rf.dataType.sql, wf.dataType.sql, "ok")
+        case Some(wf)
+            if numericSet.contains(rf.dataType) &&
+              numericSet.contains(wf.dataType) &&
+              largestNumericType(Seq(rf.dataType, wf.dataType)) == rf.dataType =>
+          CompatVerdict(rf.name, rf.dataType.sql, wf.dataType.sql, "ok_widen")
+        case Some(wf) =>
+          CompatVerdict(rf.name, rf.dataType.sql, wf.dataType.sql,
+            "incompatible_type")
+      }
+    }
+    val rNames = reader.fields.map(_.name).toSet
+    val extras = writer.fields.filterNot(f => rNames.contains(f.name)).map(f =>
+      CompatVerdict(f.name, "", f.dataType.sql, "ignored_extra"))
+    (readerRows ++ extras).sortBy(_.column)
+  }
 }

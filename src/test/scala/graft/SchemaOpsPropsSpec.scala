@@ -119,4 +119,34 @@ class SchemaOpsPropsSpec extends AnyFunSuite {
       typeMap(SchemaOps.analyze(Seq(first, first)).finalSchema) == typeMap(first)
     })
   }
+
+  test("compatibility: lattice-consistent widening, never a silent narrow") {
+    val lattice = SchemaOps.NumericPrecedence
+    // exhaustive over lattice pairs: widening verdicts agree with the
+    // lattice's widest-type rule; the reverse direction NEVER passes
+    for (r <- lattice; w <- lattice) {
+      val v = SchemaOps.compatibility(
+        StructType(Seq(StructField("c", r))),
+        StructType(Seq(StructField("c", w)))).head.verdict
+      val expected =
+        if (r == w) "ok"
+        else if (SchemaOps.largestNumericType(Seq(r, w)) == r) "ok_widen"
+        else "incompatible_type"
+      assert(v == expected, s"$w -> $r gave $v, expected $expected")
+    }
+    // missing columns split on reader nullability; extras are noted
+    val got = SchemaOps.compatibility(
+      StructType(Seq(
+        StructField("opt", StringType, nullable = true),
+        StructField("req", StringType, nullable = false))),
+      StructType(Seq(StructField("extra", LongType))))
+    assert(got.map(v => v.column -> v.verdict) == Seq(
+      "extra" -> "ignored_extra", "opt" -> "ok_null_fill",
+      "req" -> "missing_required"), got.toString)
+    // non-lattice decimals stay strict: only decimal(10,0) widens
+    val dec = SchemaOps.compatibility(
+      StructType(Seq(StructField("c", DecimalType(12, 2)))),
+      StructType(Seq(StructField("c", IntegerType)))).head
+    assert(dec.verdict == "incompatible_type", dec.toString)
+  }
 }
