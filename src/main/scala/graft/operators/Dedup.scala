@@ -987,14 +987,20 @@ object Dedup {
     val pairs = minHashNearDupPairs(df, idCol, textCol, shingleN,
         numHashes, bands, threshold = thresholds.head)
       .localCheckpoint() // ONE detection pass feeds every threshold
-    val rows = thresholds.map { t =>
-      val sub = pairs.filter(col("jaccard") >= t)
-      val stats = Components.connectedComponents(sub, "id_a", "id_b")
-        .agg(count(lit(1)).as("n"), count_distinct(col("comp")).as("c"))
-        .head()
-      val (n, c) = (stats.getLong(0), stats.getLong(1))
-      (t, n, c, n - c)
-    }
+    // loan-pattern CC per threshold + an explicit release of the
+    // detection checkpoint: everything is consumed inside this call,
+    // so no block survives into the returned driver-literal report
+    val rows =
+      try thresholds.map { t =>
+        val sub = pairs.filter(col("jaccard") >= t)
+        val stats = Components.withConnectedComponents(sub, "id_a", "id_b") {
+          labels => labels
+            .agg(count(lit(1)).as("n"), count_distinct(col("comp")).as("c"))
+            .head()
+        }
+        val (n, c) = (stats.getLong(0), stats.getLong(1))
+        (t, n, c, n - c)
+      } finally Blocks.release(pairs)
     import spark.implicits._
     rows.toDF("threshold", "n_docs_in_pairs", "n_clusters", "removable_docs")
   }
