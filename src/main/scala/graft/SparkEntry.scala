@@ -4121,6 +4121,42 @@ object SparkEntry {
       .orderBy("column")
   }
 
+  // ---------------------------------------------------------------- q204
+  /** Tokenizer fertility by language ([[graft.operators.Corpus
+    * .bpeMerges]] driver tier + [[graft.operators.Corpus.bpeEncode]]):
+    * train the 8-merge table on the corpus, encode every document
+    * through the constant-plan ReplaceChain, and report per language
+    * the numbers a tokenizer review reads — subword tokens per word
+    * and characters per subword token (fertility: a language the
+    * vocabulary underserves fragments into many short tokens, which
+    * is exactly the multilingual-vocab sizing argument). The oracle
+    * replays the full training recurrence (the q103 unrolled CTE),
+    * re-derives every word's final segmentation, and recomputes every
+    * count and ratio. */
+  private def q204TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir)
+    val merges = Corpus.collectMerges(Corpus.bpeMerges(docs, "text", 8))
+    val words = filter(TextFunctions.tokens(col("text")),
+      w => length(w) > 0)
+    Corpus.bpeEncode(docs, "text", merges)
+      .select(col("lang"),
+        size(words).cast("long").as("__nw"),
+        size(col("bpe_tokens")).cast("long").as("__nb"),
+        aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long"))
+          .as("__nc"))
+      .groupBy("lang")
+      .agg(sum(col("__nw")).as("n_words"),
+        sum(col("__nb")).as("n_bpe_tokens"),
+        sum(col("__nc")).as("n_chars"),
+        round(sum(col("__nb")).cast("double") / sum(col("__nw")), 6)
+          .as("tokens_per_word6"),
+        round(sum(col("__nc")).cast("double") / sum(col("__nb")), 6)
+          .as("chars_per_token6"))
+      .orderBy("lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4325,6 +4361,7 @@ object SparkEntry {
     "q201_embedding_health" -> (q201EmbeddingHealth _),
     "q202_rank_normalize" -> (q202RankNormalize _),
     "q203_schema_compat" -> (q203SchemaCompat _),
+    "q204_tokenizer_fertility" -> (q204TokenizerFertility _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7839,6 +7876,26 @@ object SparkEntry {
         |    + 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
         |    / (1.0 + 1.96*1.96/nd), 6) AS hi6
         |FROM w ORDER BY source""".stripMargin,
+    "q204_tokenizer_fertility" ->
+      s"""WITH ${bpeTrainingCte(8)},
+         |dt AS (
+         |  SELECT lang, unnest(string_split_regex(trim(text), ' +')) AS w
+         |  FROM documents
+         |), j AS (
+         |  SELECT d.lang,
+         |    len(string_split(trim(v.repr), '  ')) AS bpe_n,
+         |    length(d.w) AS chars
+         |  FROM (SELECT * FROM dt WHERE length(w) > 0) d
+         |  JOIN v8 v ON d.w = v.w
+         |)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(bpe_n) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(chars) AS BIGINT) AS n_chars,
+         |  ROUND(CAST(SUM(bpe_n) AS DOUBLE) / COUNT(*), 6)
+         |    AS tokens_per_word6,
+         |  ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(bpe_n), 6)
+         |    AS chars_per_token6
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "q203_schema_compat" ->
       """SELECT * FROM (VALUES
         |  ('l_comment', 'STRING', '', 'ok_null_fill'),
