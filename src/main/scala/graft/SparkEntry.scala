@@ -4157,6 +4157,27 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q205
+  /** Streaming experiment monitor ([[graft.streaming.StreamGate
+    * .replayAbMonitor]]): q199's experiment with the per-user
+    * outcomes arriving as a file stream — per-arm counts fold by SUM
+    * into versioned state and the final readout runs the SHARED
+    * Wilson + pooled-z arithmetic, so the live dashboard provably
+    * equals the batch readout. Held to q199's VERBATIM oracle —
+    * closes experimentation batch/stream, alongside the maintenance
+    * and drift matrices. */
+  private def q205StreamAbMonitor(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Experiment
+    val users = Tables.events(s, dir).groupBy("user_id")
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= 14L).as("converted"))
+    val assigned = Experiment.assignArms(users, "user_id", salt = "exp1",
+      arms = Seq(("control", 0.5), ("treat_a", 0.25), ("treat_b", 0.25)))
+    graft.streaming.StreamGate.replayAbMonitor(assigned, "arm",
+        "converted", controlArm = "control")
+      .orderBy("arm")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4362,6 +4383,7 @@ object SparkEntry {
     "q202_rank_normalize" -> (q202RankNormalize _),
     "q203_schema_compat" -> (q203SchemaCompat _),
     "q204_tokenizer_fertility" -> (q204TokenizerFertility _),
+    "q205_stream_ab_monitor" -> (q205StreamAbMonitor _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -4521,6 +4543,65 @@ object SparkEntry {
        |FROM t LEFT JOIN h ON t.query_id = h.query_id
        |ORDER BY query_id""".stripMargin
   }
+
+  /** q199's oracle — shared verbatim by q205 (the streaming
+    * experiment monitor must hash-match the batch readout). */
+  private val abExperimentOracle: String =
+    """WITH u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |      AS converted
+        |  FROM events GROUP BY user_id
+        |), h AS (
+        |  SELECT converted,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
+        |           CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) AS hv
+        |  FROM u
+        |), a AS (
+        |  SELECT converted,
+        |    CASE WHEN hv < 2147483648 THEN 'control'
+        |         WHEN hv < 3221225472 THEN 'treat_a'
+        |         ELSE 'treat_b' END AS arm
+        |  FROM h
+        |), g AS (
+        |  SELECT arm, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pass
+        |  FROM a GROUP BY arm
+        |), ctl AS (
+        |  SELECT CAST(n AS DOUBLE) AS nc, CAST(n_pass AS DOUBLE) AS kc
+        |  FROM g WHERE arm = 'control'
+        |), w AS (
+        |  SELECT arm, n, n_pass,
+        |    CAST(n_pass AS DOUBLE) / n AS p, CAST(n AS DOUBLE) AS nd,
+        |    ctl.nc, ctl.kc
+        |  FROM g, ctl
+        |), zc AS (
+        |  SELECT *,
+        |    (CAST(n_pass AS DOUBLE) + kc) / (nd + nc) AS pool
+        |  FROM w
+        |)
+        |SELECT arm, n, n_pass,
+        |  ROUND(p, 6) AS rate6,
+        |  ROUND(((p + 1.96*1.96/(2.0*nd))
+        |    - 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
+        |    / (1.0 + 1.96*1.96/nd), 6) AS lo6,
+        |  ROUND(((p + 1.96*1.96/(2.0*nd))
+        |    + 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
+        |    / (1.0 + 1.96*1.96/nd), 6) AS hi6,
+        |  CASE WHEN arm = 'control' THEN NULL
+        |    WHEN sqrt(pool*(1.0-pool)*(1.0/nd + 1.0/nc)) > 0
+        |    THEN ROUND((p - kc/nc)
+        |      / sqrt(pool*(1.0-pool)*(1.0/nd + 1.0/nc)), 6)
+        |    ELSE NULL END AS z6,
+        |  CASE WHEN arm = 'control' THEN NULL
+        |    ELSE ABS(ROUND((p - kc/nc)
+        |      / sqrt(pool*(1.0-pool)*(1.0/nd + 1.0/nc)), 6)) >= 1.96 END
+        |    AS significant
+        |FROM zc ORDER BY arm""".stripMargin
 
   /** q196's oracle — shared verbatim by q198 (the streaming fold must
     * hash-match the batch statistic). */
@@ -8005,62 +8086,11 @@ object SparkEntry {
          |UNION ALL SELECT * FROM st_09
          |ORDER BY threshold""".stripMargin
     },
-    "q199_ab_experiment" ->
-      """WITH u AS (
-        |  SELECT user_id,
-        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
-        |      AS converted
-        |  FROM events GROUP BY user_id
-        |), h AS (
-        |  SELECT converted,
-        |    CAST(list_sum(list_transform(range(8), i ->
-        |      (strpos('0123456789abcdef',
-        |         substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
-        |           CAST(i+1 AS INT), 1)) - 1)
-        |        * 16**(7-i))) AS BIGINT) AS hv
-        |  FROM u
-        |), a AS (
-        |  SELECT converted,
-        |    CASE WHEN hv < 2147483648 THEN 'control'
-        |         WHEN hv < 3221225472 THEN 'treat_a'
-        |         ELSE 'treat_b' END AS arm
-        |  FROM h
-        |), g AS (
-        |  SELECT arm, COUNT(*) AS n,
-        |    CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_pass
-        |  FROM a GROUP BY arm
-        |), ctl AS (
-        |  SELECT CAST(n AS DOUBLE) AS nc, CAST(n_pass AS DOUBLE) AS kc
-        |  FROM g WHERE arm = 'control'
-        |), w AS (
-        |  SELECT arm, n, n_pass,
-        |    CAST(n_pass AS DOUBLE) / n AS p, CAST(n AS DOUBLE) AS nd,
-        |    ctl.nc, ctl.kc
-        |  FROM g, ctl
-        |), zc AS (
-        |  SELECT *,
-        |    (CAST(n_pass AS DOUBLE) + kc) / (nd + nc) AS pool
-        |  FROM w
-        |)
-        |SELECT arm, n, n_pass,
-        |  ROUND(p, 6) AS rate6,
-        |  ROUND(((p + 1.96*1.96/(2.0*nd))
-        |    - 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
-        |    / (1.0 + 1.96*1.96/nd), 6) AS lo6,
-        |  ROUND(((p + 1.96*1.96/(2.0*nd))
-        |    + 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
-        |    / (1.0 + 1.96*1.96/nd), 6) AS hi6,
-        |  CASE WHEN arm = 'control' THEN NULL
-        |    WHEN sqrt(pool*(1.0-pool)*(1.0/nd + 1.0/nc)) > 0
-        |    THEN ROUND((p - kc/nc)
-        |      / sqrt(pool*(1.0-pool)*(1.0/nd + 1.0/nc)), 6)
-        |    ELSE NULL END AS z6,
-        |  CASE WHEN arm = 'control' THEN NULL
-        |    ELSE ABS(ROUND((p - kc/nc)
-        |      / sqrt(pool*(1.0-pool)*(1.0/nd + 1.0/nc)), 6)) >= 1.96 END
-        |    AS significant
-        |FROM zc ORDER BY arm""".stripMargin,
+    "q199_ab_experiment" -> abExperimentOracle,
+    // the streaming fold is held to the identical readout (per-arm
+    // counts merge by SUM, so the monitored rates are split-invariant)
+    "q205_stream_ab_monitor" -> abExperimentOracle,
+
     "q197_pruning_report" -> {
       val zTerms = (0 until 16).map(i =>
         s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")

@@ -71,9 +71,21 @@ object Experiment {
       armCol: String,
       flagCol: String,
       controlArm: String,
-      z: Double = 1.96): DataFrame = {
-    val ci = Quality.passRateCI(df, Seq(armCol), flagCol, z)
-      .withColumnRenamed(armCol, "arm")
+      z: Double = 1.96): DataFrame =
+    abReportFromCI(
+      Quality.passRateCI(df, Seq(armCol), flagCol, z)
+        .withColumnRenamed(armCol, "arm"),
+      controlArm, z)
+
+  /** [[abReport]]'s readout arithmetic over a prepared per-arm CI
+    * table (`arm`, `n`, `n_pass`, `rate6`, `lo6`, `hi6`) — shared
+    * verbatim by the batch operator and the streaming monitor (the
+    * ksFromCounts discipline: per-arm counts fold by SUM, so a
+    * micro-batched experiment readout provably equals the batch one). */
+  private[graft] def abReportFromCI(
+      ci: DataFrame,
+      controlArm: String,
+      z: Double): DataFrame = {
     val ctl = ci.filter(col("arm") === controlArm)
       .select("n", "n_pass").collect()
     require(ctl.length == 1,

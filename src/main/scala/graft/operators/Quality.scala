@@ -264,6 +264,16 @@ object Quality {
     val agg = df.groupBy(groupCols.map(col): _*)
       .agg(count(col(flagCol)).as("n"), // count() skips NULL flags
         sum(when(col(flagCol) === true, 1L).otherwise(0L)).as("n_pass"))
+    passRateCIFromCounts(agg, groupCols, z)
+  }
+
+  /** [[passRateCI]]'s interval arithmetic over a prepared count table
+    * (`groups..., n, n_pass`) — shared verbatim by the batch operator
+    * and streaming monitors whose per-group counts fold by SUM. */
+  private[graft] def passRateCIFromCounts(
+      agg: DataFrame,
+      groupCols: Seq[String],
+      z: Double): DataFrame = {
     val nD = col("n").cast("double")
     val p = col("n_pass").cast("double") / nD
     val z2 = lit(z * z)

@@ -633,6 +633,76 @@ object StreamGate {
     }
   }
 
+  /** Streaming experiment monitor — [[graft.operators.Experiment
+    * .abReport]] with the OUTCOME feed as a file stream: each
+    * micro-batch's per-arm (n, n_pass) counts fold by SUM into
+    * versioned parquet state (split-invariant, the q133 bridge), and
+    * the final readout runs the SHARED Wilson + pooled-z arithmetic —
+    * the live dashboard a running experiment is actually watched on,
+    * provably equal to the batch readout over the same outcomes
+    * (q205 is held to q199's verbatim oracle). Rows must arrive
+    * already assigned (`armCol`) with a boolean outcome; NULL
+    * outcomes are excluded per the batch rule, AT THE BATCH where
+    * they arrive. State is arms-bounded. */
+  def replayAbMonitor(
+      outcomes: DataFrame,
+      armCol: String,
+      flagCol: String,
+      controlArm: String,
+      zThreshold: Double = 1.96,
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = outcomes.sparkSession
+    val src = tempDir("graft_ab_src")
+    outcomes.select(col(armCol).as("arm"), col(flagCol).as("flag"))
+      .coalesce(8).write.mode("overwrite").parquet(src)
+    val stateRoot = tempDir("graft_ab_state")
+    val ck = tempDir("graft_ab_ck")
+    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("arm",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("flag",
+          org.apache.spark.sql.types.BooleanType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bh = batch.groupBy("arm")
+            .agg(count(col("flag")).as("n"),
+              sum(when(col("flag") === true, 1L).otherwise(0L)).as("n_pass"))
+          val merged = Option(state.get()) match {
+            case None => bh
+            case Some(p) => spark.read.parquet(p).unionByName(bh)
+              .groupBy("arm")
+              .agg(sum(col("n")).cast("long").as("n"),
+                sum(col("n_pass")).cast("long").as("n_pass"))
+          }
+          val next = s"$stateRoot/v${version.incrementAndGet()}"
+          merged.write.mode("overwrite").parquet(next)
+          state.set(next)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
+      require(state.get() != null, "replayAbMonitor saw no micro-batches")
+      val ci = graft.operators.Quality.passRateCIFromCounts(
+        spark.read.parquet(state.get()), Seq("arm"), zThreshold)
+      releaseLastReplay(graft.operators.Experiment
+        .abReportFromCI(ci, controlArm, zThreshold).localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, stateRoot, ck).foreach(deleteRecursively)
+    }
+  }
+
   /** Streaming drift monitor — [[graft.operators.Profile.drift]]'s PSI
     * kept current by a FILE STREAM of the monitored slice: each
     * micro-batch is bucketed with the REFERENCE-derived bounds
