@@ -4178,6 +4178,26 @@ object SparkEntry {
       .orderBy("arm")
   }
 
+  // ---------------------------------------------------------------- q206
+  /** Streaming incremental components ([[graft.streaming.StreamGate
+    * .replayIncrementalComponents]]): the q46 near-dup pair graph
+    * arriving as an EDGE stream, folded label-table-to-label-table
+    * through the contracted-graph formulation — each micro-batch
+    * iterates only its own contracted graph, never the accumulated
+    * history, and the fold theorem makes the final labels equal the
+    * full recompute whatever the split. Held to q46's VERBATIM
+    * oracle; completes incremental clustering batch (q194) / stream
+    * (this). */
+  private def q206StreamComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashNearDupPairs(Tables.documents(s, dir),
+      "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
+      threshold = 0.5)
+    graft.streaming.StreamGate.replayIncrementalComponents(
+        pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("comp"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4384,6 +4404,7 @@ object SparkEntry {
     "q203_schema_compat" -> (q203SchemaCompat _),
     "q204_tokenizer_fertility" -> (q204TokenizerFertility _),
     "q205_stream_ab_monitor" -> (q205StreamAbMonitor _),
+    "q206_stream_components" -> (q206StreamComponents _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -5300,6 +5321,7 @@ object SparkEntry {
         |ORDER BY l_returnflag""".stripMargin,
     "q46_dedup_clusters" -> dedupClustersOracle,
     "q194_incremental_components" -> dedupClustersOracle,
+    "q206_stream_components" -> dedupClustersOracle,
     "q166_dedup_savings" -> dedupSavingsOracle,
     "q47_bloom_pruned_join" ->
       """SELECT p_brand, COUNT(*) AS n_rows,
