@@ -4799,12 +4799,16 @@ object SparkEntry {
         |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
         |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
         |  FROM tk
+        |), ex AS (
+        |  SELECT doc_id, len(sh) AS m, unnest(sh) AS g FROM s
         |), p AS (
+        |  -- inverted-index candidates (exact for j >= 0.5 > 0);
+        |  -- see componentsOracleCte
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-        |               AS DOUBLE), 0.0) AS j
-        |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+        |    CAST(COUNT(*) AS DOUBLE)
+        |      / NULLIF(CAST(a.m + b.m - COUNT(*) AS DOUBLE), 0.0) AS j
+        |  FROM ex a JOIN ex b ON a.g = b.g AND b.doc_id > a.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.m, b.m
         |)
         |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM p
         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
@@ -5358,12 +5362,16 @@ object SparkEntry {
         |      toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
         |        || '_' || toks[CAST(i+3 AS INT)])) AS sh
         |  FROM f
+        |), ex AS (
+        |  SELECT doc_id, len(sh) AS m, unnest(sh) AS g FROM s
         |), p AS (
+        |  -- inverted-index candidates (exact for j >= 0.5 > 0);
+        |  -- see componentsOracleCte
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-        |               AS DOUBLE), 0.0) AS j
-        |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+        |    CAST(COUNT(*) AS DOUBLE)
+        |      / NULLIF(CAST(a.m + b.m - COUNT(*) AS DOUBLE), 0.0) AS j
+        |  FROM ex a JOIN ex b ON a.g = b.g AND b.doc_id > a.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.m, b.m
         |), e AS (SELECT id_a, id_b FROM p WHERE j >= 0.5
         |), sym AS (
         |  SELECT id_a AS a, id_b AS b FROM e
@@ -5497,12 +5505,16 @@ object SparkEntry {
         |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
         |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
         |  FROM tk
+        |), ex AS (
+        |  SELECT doc_id, len(sh) AS m, unnest(sh) AS g FROM s
         |), p AS (
+        |  -- inverted-index candidates (exact for j >= 0.5 > 0);
+        |  -- see componentsOracleCte
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / NULLIF(CAST(len(a.sh) + len(b.sh)
-        |          - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 0.0) AS j
-        |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+        |    CAST(COUNT(*) AS DOUBLE)
+        |      / NULLIF(CAST(a.m + b.m - COUNT(*) AS DOUBLE), 0.0) AS j
+        |  FROM ex a JOIN ex b ON a.g = b.g AND b.doc_id > a.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.m, b.m
         |), e AS (
         |  SELECT id_a, id_b FROM p WHERE j >= 0.5
         |), sym AS (
@@ -6191,12 +6203,17 @@ object SparkEntry {
         |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
         |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
         |  FROM tk
+        |), ex AS (
+        |  SELECT doc_id, s0, len(sh) AS m, unnest(sh) AS g FROM s
         |), p AS (
+        |  -- inverted-index candidates (exact for j >= 0.5 > 0);
+        |  -- see componentsOracleCte
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM s a JOIN s b ON b.doc_id > a.doc_id AND a.s0 = b.s0
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / NULLIF(CAST(len(a.sh) + len(b.sh)
-        |          - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 0.0) >= 0.5
+        |  FROM ex a JOIN ex b
+        |    ON a.g = b.g AND b.doc_id > a.doc_id AND a.s0 = b.s0
+        |  GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        |  HAVING CAST(COUNT(*) AS DOUBLE)
+        |      / NULLIF(CAST(a.m + b.m - COUNT(*) AS DOUBLE), 0.0) >= 0.5
         |), sym AS (
         |  SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
         |), reach AS (
@@ -6211,12 +6228,13 @@ object SparkEntry {
         |), kept0 AS (
         |  SELECT doc_id FROM rep WHERE s0
         |), cont1 AS (
-        |  SELECT DISTINCT a.doc_id
-        |  FROM s a JOIN s b ON (NOT a.s0) AND b.s0
-        |  JOIN kept0 k ON k.doc_id = b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / NULLIF(CAST(len(a.sh) + len(b.sh)
-        |          - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 0.0) >= 0.5
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT a.doc_id
+        |    FROM ex a JOIN ex b ON a.g = b.g AND (NOT a.s0) AND b.s0
+        |    JOIN kept0 k ON k.doc_id = b.doc_id
+        |    GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        |    HAVING CAST(COUNT(*) AS DOUBLE)
+        |        / NULLIF(CAST(a.m + b.m - COUNT(*) AS DOUBLE), 0.0) >= 0.5)
         |), keep AS (
         |  SELECT doc_id FROM kept0
         |  UNION ALL
@@ -6484,12 +6502,16 @@ object SparkEntry {
         |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
         |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
         |  FROM tk
+        |), ex AS (
+        |  SELECT doc_id, len(sh) AS m, unnest(sh) AS g FROM s
         |), pos AS (
+        |  -- inverted-index candidates (exact for j >= 0.5 > 0);
+        |  -- see componentsOracleCte
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM s a JOIN s b ON b.doc_id > a.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-        |               AS DOUBLE), 0.0) >= 0.5
+        |  FROM ex a JOIN ex b ON a.g = b.g AND b.doc_id > a.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        |  HAVING CAST(COUNT(*) AS DOUBLE)
+        |      / NULLIF(CAST(a.m + b.m - COUNT(*) AS DOUBLE), 0.0) >= 0.5
         |), r AS (
         |  SELECT doc_id,
         |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
@@ -7160,12 +7182,16 @@ object SparkEntry {
         |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
         |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
         |  FROM tk
+        |), ex AS (
+        |  SELECT doc_id, len(sh) AS m, unnest(sh) AS g FROM sgl
         |), p AS (
+        |  -- inverted-index candidates (exact for j >= 0.5 > 0);
+        |  -- see componentsOracleCte
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sgl a JOIN sgl b ON b.doc_id > a.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-        |               AS DOUBLE), 0.0) >= 0.5
+        |  FROM ex a JOIN ex b ON a.g = b.g AND b.doc_id > a.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        |  HAVING CAST(COUNT(*) AS DOUBLE)
+        |      / NULLIF(CAST(a.m + b.m - COUNT(*) AS DOUBLE), 0.0) >= 0.5
         |), m AS (
         |  SELECT LEAST(sa.source, sb.source) AS source_lo,
         |    GREATEST(sa.source, sb.source) AS source_hi
@@ -8096,12 +8122,16 @@ object SparkEntry {
          |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
          |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
          |  FROM tk
+         |), ex AS (
+         |  SELECT doc_id, len(sh) AS m, unnest(sh) AS g FROM s
          |), p AS (
+         |  -- inverted-index candidates (exact: zero-overlap pairs have
+         |  -- j = 0, below every swept threshold); see componentsOracleCte
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-         |               AS DOUBLE), 0.0) AS j
-         |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+         |    CAST(COUNT(*) AS DOUBLE)
+         |      / NULLIF(CAST(a.m + b.m - COUNT(*) AS DOUBLE), 0.0) AS j
+         |  FROM ex a JOIN ex b ON a.g = b.g AND b.doc_id > a.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.m, b.m
          |)${block("05", "0.5")}${block("07", "0.96")}${block("09", "0.98")}
          |SELECT * FROM st_05
          |UNION ALL SELECT * FROM st_07
@@ -8813,12 +8843,18 @@ object SparkEntry {
       |           toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
       |             || '_' || toks[CAST(i+3 AS INT)])) END AS sh
       |  FROM tk
+      |), ex AS (
+      |  SELECT doc_id, len(sh) AS m, unnest(sh) AS g FROM s
       |), p AS (
+      |  -- inverted-index candidates: a pair sharing NO shingle has j = 0
+      |  -- and can never reach a positive threshold, so grouping the
+      |  -- shingle-equality self-join counts |A∩B| exactly over every pair
+      |  -- that could match; |A∪B| = |A| + |B| - |A∩B| (sh is distinct)
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |      / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-      |               AS DOUBLE), 0.0) AS j
-      |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+      |    CAST(COUNT(*) AS DOUBLE)
+      |      / NULLIF(CAST(a.m + b.m - COUNT(*) AS DOUBLE), 0.0) AS j
+      |  FROM ex a JOIN ex b ON a.g = b.g AND b.doc_id > a.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.m, b.m
       |), e AS (
       |  SELECT id_a, id_b FROM p WHERE j >= 0.5
       |), sym AS (

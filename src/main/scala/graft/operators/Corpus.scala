@@ -1062,12 +1062,20 @@ object Corpus {
     // runs in double on both engines (decimal/decimal result scales
     // are engine-specific, double division is IEEE on both)
     val ptSum = withPt.agg(sum(col("__pt"))).head().getDecimal(0).doubleValue()
-    withPt
+    val result = withPt
       .withColumn("__w", col("__pt").cast("double") / lit(ptSum))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("__p"), 6).as("p6"),
         round(col("__w"), 6).as("w6"),
         round(col("__w") / col("__p"), 6).as("oversample6"))
+    // the output is source-bounded: materialize it locally so the
+    // checkpoint blocks release NOW (deterministically), not whenever
+    // the driver GCs the handle — the climbing-block-count discipline
+    val rows = result.collect()
+    val schema = result.schema
+    Blocks.release(counts)
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Budget-capped temperature allocation — the full data-recipe
@@ -1103,18 +1111,17 @@ object Corpus {
       s"temperature ($temperature) must be in (0, 1]")
     require(maxEpochs > 0.0, s"maxEpochs ($maxEpochs) must be positive")
     val spark = df.sparkSession
-    val counts = df.groupBy(col(sourceCol).as("source"))
+    // ONE corpus scan: the source-bounded count table collects to the
+    // driver (bounded-model-table discipline) and the total derives
+    // from the collected longs — exact integer arithmetic either way,
+    // so folding it driver-side cannot move a digit
+    val rows = df.groupBy(col(sourceCol).as("source"))
       .agg(sum(coalesce(TextFunctions.tokenCount(col(textCol)), lit(0)))
         .as("n_tokens"))
-    val total = counts.agg(coalesce(sum(col("n_tokens")), lit(0L)))
-      .head().getLong(0)
-    require(total > 0L, "tokenBudgetAllocation: the corpus has no tokens")
-    // source-bounded driver table; weights and caps are EXACT decimals
-    // so every prefix sum is fold-order-free — the only doubles are
-    // the per-row ratios and comparisons, computed identically by the
-    // oracle's window replay
-    val rows = counts.collect()
+      .collect()
       .map(r => (r.getString(0), r.getLong(1)))
+    val total = rows.map(_._2).sum
+    require(total > 0L, "tokenBudgetAllocation: the corpus has no tokens")
     val prepared = rows.map { case (src, nTok) =>
       val p = nTok.toDouble / total.toDouble
       val pt = BigDecimal(math.pow(p, temperature))
@@ -1749,8 +1756,17 @@ object Corpus {
       val (w, f) = table(wi)
       freq(wi) = f
       val sb = mutable.ArrayBuffer.empty[String]
+      // Split by Unicode CODE POINTS, not UTF-16 code units: the
+      // distributed tier and bpeEncode segment via Spark length/substr
+      // (code-point semantics), so supplementary-plane characters must
+      // be single symbols here too or the tiers' alphabets diverge
+      // (and lone surrogates would corrupt utf8Compare's byte order).
       var ci = 0
-      while (ci < w.length) { sb += w.substring(ci, ci + 1); ci += 1 }
+      while (ci < w.length) {
+        val n = Character.charCount(w.codePointAt(ci))
+        sb += w.substring(ci, ci + n)
+        ci += n
+      }
       syms(wi) = sb
       var i = 0
       while (i + 1 < sb.length) {

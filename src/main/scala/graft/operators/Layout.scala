@@ -125,7 +125,17 @@ object Layout {
     * stats are one file-bounded aggregation, and probes expand
     * map-side from a bounded literal array. Output: one row per probe
     * — (`probe_lo`, `probe_hi`, `n_files`, `files_scanned`,
-    * `rows_scanned`). */
+    * `rows_scanned`).
+    *
+    * Reproducibility contract: `orderCols` must be a TOTAL order
+    * (no duplicate keys) — [[General.withContiguousRowIds]]' stated
+    * determinism condition. With ties, which rows share a file (hence
+    * `files_scanned`/`rows_scanned`) could differ across runs and
+    * engines, so a coarse layout column must carry a unique tie-break
+    * column appended (q197 appends `p_partkey`). Checked LOUDLY with
+    * one extra aggregation — a decision report that silently varies
+    * run-to-run is worse than one extra pass over a table you are
+    * already reading twice. */
   def pruningReport(
       df: DataFrame,
       orderCols: Seq[String],
@@ -138,6 +148,12 @@ object Layout {
     probes.foreach { case (lo, hi) =>
       require(lo <= hi, s"probe [$lo, $hi] is inverted")
     }
+    val dupKeys = df.groupBy(orderCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"pruningReport orderCols (${orderCols.mkString(", ")}) contain " +
+        "duplicate keys: file membership would be non-deterministic. " +
+        "Append a unique tie-break column (e.g. the table's id).")
     val cols = (orderCols :+ predCol).distinct
     val files = General.withContiguousRowIds(
         df.select(cols.map(col): _*), orderCols, "__rid")

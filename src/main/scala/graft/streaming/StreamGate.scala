@@ -132,17 +132,71 @@ object StreamGate {
   final case class ReplayObservability(
       microBatches: Long, droppedLateRows: Long)
 
-  /** Extract [[ReplayObservability]] from a completed query — sums
-    * `numRowsDroppedByWatermark` across every state operator of every
-    * retained progress event. */
-  def observabilityOf(
-      q: org.apache.spark.sql.streaming.StreamingQuery): ReplayObservability = {
-    val ps = q.recentProgress
-    ReplayObservability(
-      microBatches = ps.length.toLong,
-      droppedLateRows =
-        ps.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum)
+  /** Unbounded per-run progress accumulation. `recentProgress` retains
+    * only the last `spark.sql.streaming.numRecentProgressUpdates`
+    * events (default 100), so a replay with more micro-batches would
+    * silently undercount both counters — this listener instead folds
+    * every progress event into a per-run total as it arrives. One
+    * instance serves every session (registered once per session by the
+    * gates, before their query starts). */
+  private object ProgressLedger
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private final class Acc {
+      var batches = 0L; var dropped = 0L; var terminated = false
+    }
+    private val accs =
+      scala.collection.mutable.HashMap.empty[java.util.UUID, Acc]
+    private val sessions = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    def ensure(spark: SparkSession): Unit =
+      if (sessions.add(spark)) spark.streams.addListener(this)
+    override def onQueryStarted(e: QueryStartedEvent): Unit = synchronized {
+      accs(e.runId) = new Acc
+    }
+    override def onQueryProgress(e: QueryProgressEvent): Unit = synchronized {
+      val a = accs.getOrElseUpdate(e.progress.runId, new Acc)
+      a.batches += 1
+      a.dropped += e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      synchronized {
+        accs.get(e.runId).foreach(_.terminated = true)
+        notifyAll()
+      }
+    /** Listener-bus delivery is asynchronous: totals are complete only
+      * once the run's terminated event lands, so wait (bounded) for it,
+      * then drain. None = the run was never registered (its session's
+      * first gate had not installed the ledger before this query). */
+    def drain(runId: java.util.UUID, timeoutMs: Long): Option[(Long, Long)] =
+      synchronized {
+        val deadline = System.nanoTime + timeoutMs * 1000000L
+        while (accs.get(runId).exists(!_.terminated) &&
+            System.nanoTime < deadline) {
+          wait(math.max(1L,
+            math.min(50L, (deadline - System.nanoTime) / 1000000L)))
+        }
+        accs.remove(runId).map(a => (a.batches, a.dropped))
+      }
   }
+
+  /** Extract [[ReplayObservability]] from a completed query. Reads the
+    * [[ProgressLedger]]'s accumulated totals (exact for any number of
+    * micro-batches); for a query whose session never installed the
+    * ledger it falls back to `recentProgress`, which is bounded by
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100)
+    * retained events — a >100-micro-batch run undercounts there. */
+  def observabilityOf(
+      q: org.apache.spark.sql.streaming.StreamingQuery): ReplayObservability =
+    ProgressLedger.drain(q.runId, timeoutMs = 30000) match {
+      case Some((batches, dropped)) => ReplayObservability(batches, dropped)
+      case None =>
+        val ps = q.recentProgress
+        ReplayObservability(
+          microBatches = ps.length.toLong,
+          droppedLateRows =
+            ps.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum)
+    }
 
   @volatile private var lastObs: Option[ReplayObservability] = None
 
@@ -174,6 +228,7 @@ object StreamGate {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val q = df.writeStream.format("parquet")
         .option("path", out)
@@ -422,6 +477,7 @@ object StreamGate {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", filesPerTrigger)
@@ -479,6 +535,7 @@ object StreamGate {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream.schema(facts.schema)
         .option("maxFilesPerTrigger", filesPerTrigger)
@@ -541,6 +598,7 @@ object StreamGate {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream.schema(facts.schema)
         .option("maxFilesPerTrigger", filesPerTrigger)
@@ -600,6 +658,7 @@ object StreamGate {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream
         .schema(monitored.select(col(valueCol)).schema)
@@ -662,6 +721,7 @@ object StreamGate {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("arm",
@@ -731,6 +791,7 @@ object StreamGate {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("a",
@@ -815,6 +876,7 @@ object StreamGate {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream.schema(current.schema)
         .option("maxFilesPerTrigger", filesPerTrigger)
@@ -885,6 +947,7 @@ object StreamGate {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream.schema(current.schema)
         .option("maxFilesPerTrigger", filesPerTrigger)
@@ -960,6 +1023,7 @@ object StreamGate {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream.schema(eval.schema)
         .option("maxFilesPerTrigger", filesPerTrigger)

@@ -847,6 +847,43 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(drvDf.orderBy("merge_rank").collect().map(_.toSeq).toSeq == batched)
   }
 
+  test("bpeMerges tier equivalence on supplementary-plane text (non-BMP)") {
+    import graft.operators.Corpus
+    // Emoji / supplementary-plane code points are TWO UTF-16 code
+    // units but ONE Spark substr character: the driver tier must split
+    // by code points or its initial alphabet (lone surrogates) can
+    // never align with the distributed tier / bpeEncode segmentation.
+    val sun = new String(Character.toChars(0x1F31E)) // 🌞
+    val moon = new String(Character.toChars(0x1F31D)) // 🌝
+    val dbl = new String(Character.toChars(0x1D54F)) // 𝕏 (math bold X)
+    val df = table("id bigint, text string", Seq(
+      row(1L, Seq.fill(20)(s"$sun${moon}a").mkString(" ")),
+      row(2L, Seq.fill(15)(s"$dbl$sun").mkString(" ")),
+      row(3L, Seq.fill(9)(s"ab$moon").mkString(" "))))
+    def tbl(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    val dist = tbl(Corpus.bpeMerges(df, "text", 5, batchK = 1,
+      maxDriverWords = 0))
+    val driver = tbl(Corpus.bpeMerges(df, "text", 5)) // driver tier
+    assert(driver == dist,
+      s"non-BMP tier divergence:\n driver=$driver\n dist=$dist")
+    // first merge must pair WHOLE code points, never a lone surrogate
+    val (lhs, rhs) = (driver.head(1).toString, driver.head(2).toString)
+    Seq(lhs, rhs).foreach { s =>
+      assert(!s.exists(c => Character.isSurrogate(c) &&
+          (s.length == 1 || !Character.isSurrogatePair(s(0), s(1)))),
+        s"lone surrogate symbol in merge: ${s.map(_.toInt)}")
+    }
+    // and the trained table round-trips through bpeEncode losslessly
+    val enc = Corpus.bpeEncode(df, "text",
+      Corpus.bpeMerges(df, "text", 5).orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    import org.apache.spark.sql.functions._
+    val joined = enc.select(concat_ws("", col("bpe_tokens")).as("glued"),
+        regexp_replace(col("text"), " +", "").as("orig"))
+    assert(joined.filter(col("glued") =!= col("orig")).count() == 0)
+  }
+
   test("mixtureWeights: tau=1 is natural share, small tau upsamples the tail") {
     import graft.operators.Corpus
     // head source 90 tokens, tail 10: p = (0.9, 0.1)

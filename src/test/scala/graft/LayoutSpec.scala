@@ -141,5 +141,17 @@ class LayoutSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Layout.pruningReport(df, Seq("id"), "id", 0, probes)
     }
+    // reproducibility contract: duplicate layout keys (a coarse order
+    // column) make file membership run-dependent — refused loudly,
+    // pointing the caller at a tie-break column
+    val coarse = table("grp bigint, id bigint",
+      (0L until 40L).map(i => row(i % 4, i)))
+    val err = intercept[IllegalArgumentException] {
+      Layout.pruningReport(coarse, Seq("grp"), "id", 10, probes)
+    }
+    assert(err.getMessage.contains("tie-break"), err.getMessage)
+    // the same coarse column WITH a tie-break appended is fine
+    assert(Layout.pruningReport(coarse, Seq("grp", "id"), "id", 10, probes)
+      .head().getLong(2) == 4)
   }
 }

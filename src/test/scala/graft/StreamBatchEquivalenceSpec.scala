@@ -134,6 +134,30 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       gateObs.toString)
   }
 
+  test("observability outlives recentProgress retention (listener-accumulated)") {
+    val s = spark
+    // recentProgress keeps only the last numRecentProgressUpdates
+    // events; shrink the retention to 2 and replay MORE micro-batches
+    // than that — the ledger-accumulated count must still be exact
+    // where a recentProgress sum would have been capped at 2.
+    val key = "spark.sql.streaming.numRecentProgressUpdates"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "2")
+    try {
+      val facts = s.range(0, 64)
+        .select((col("id") % 4).as("k"), col("id").as("v"))
+        .repartition(8) // coalesce(8) in the gate → 8 files → 8 batches
+      val est = StreamGate.replayDistinctRollup(facts, Seq("k"), "v",
+        filesPerTrigger = 1)
+      assert(est.count() == 4)
+      val obs = StreamGate.lastReplayObservability
+      assert(obs.exists(_.microBatches > 2),
+        s"retention-capped count leaked through: $obs")
+      assert(obs.exists(_.microBatches >= 8), obs.toString)
+      assert(obs.exists(_.droppedLateRows == 0), obs.toString)
+    } finally s.conf.set(key, prev)
+  }
+
   test("stream KS drift == batch ksStatistic across micro-batches") {
     import graft.operators.Profile
     val ev = events
