@@ -4198,6 +4198,89 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q207
+  /** Deterministic stratified exact-k sampling ([[graft.operators
+    * .Experiment.stratifiedSample]]): the 10 smallest-hash docs per
+    * language — selection a pure function of (salt, doc_id) through
+    * the portable md5 hash, so the oracle replays the identical rank
+    * in SQL. ONE bounded-heap pass per stratum; the rank window runs
+    * over the ≤ strata×k survivors only. */
+  private def q207StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Experiment.stratifiedSample(
+        Tables.documents(s, dir), Seq("lang"), "doc_id", k = 10,
+        salt = "eval1")
+      .orderBy("lang", "doc_id")
+
+  // ---------------------------------------------------------------- q208
+  /** PII-pattern scan ([[graft.operators.Quality.piiScan]]): per-doc
+    * non-overlapping match counts of email/URL/IPv4/phone patterns.
+    * The corpus text is synthetic tokens, so each doc is seeded with a
+    * deterministic PII tail by doc_id class — the SAME seeding runs in
+    * the oracle, and both engines then count with the identical
+    * RE2-subset regexes (codegen'd `regexp_count`, no UDF). */
+  private def q208PiiScan(s: SparkSession, dir: String): DataFrame = {
+    val tail = when(pmod(col("doc_id"), lit(4)) === 0,
+        lit(" reach user0@example.com or admin@data.org"))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        lit(" see https://example.com/a_b and http://x.io/p"))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        lit(" host 10.0.0.1 peer 192.168.1.255"))
+      .otherwise(lit(" call 555-123-4567"))
+    val seeded = Tables.documents(s, dir)
+      .select(col("doc_id"), concat(col("text"), tail).as("text"))
+    graft.operators.Quality.piiScan(seeded, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q209
+  /** Sequence-length budget frontier ([[graft.operators.Corpus
+    * .seqLenFrontier]]): the truncation-vs-padding sweep over four
+    * candidate budgets in ONE corpus pass (budgets expand map-side
+    * from a literal array) — pure integer arithmetic end to end, so
+    * the oracle is a cross-joined CASE rollup. */
+  private def q209SeqLenFrontier(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.seqLenFrontier(
+      Tables.documents(s, dir), "text", Seq(64, 128, 256, 512))
+
+  // ---------------------------------------------------------------- q210
+  /** k-core decomposition ([[graft.operators.Graph.kCore]]) of the
+    * q46 near-dup pair graph at k=2: peel degree-<2 nodes to fixpoint,
+    * report survivors with their in-core degree — the
+    * structurally-entangled duplicate families (incidental pairwise
+    * matches peel away; mutually-similar triples and larger survive).
+    * Peeling is confluent, so the oracle's unrolled batch peel over
+    * the exact-Jaccard edge set lands on the identical core. */
+  private def q210KCore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashNearDupPairs(Tables.documents(s, dir),
+      "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
+      threshold = 0.5)
+    graft.operators.Graph.kCore(pairs, "id_a", "id_b", k = 2)
+      .select(col("node").as("doc_id"), col("core_degree"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q211
+  /** Streaming shot-boundary detection ([[graft.streaming.StreamGate
+    * .replayShotBoundaries]]): q185's two-shot synthetic videos
+    * arriving as a file stream, each micro-batch pushed through the
+    * batch operator verbatim — cut detection is per-media-row
+    * independent, so the split provably cannot change any verdict and
+    * the replay is held to q185's VERBATIM oracle (the
+    * two-formulations-one-ground-truth pattern). */
+  private def q211StreamShotBoundaries(s: SparkSession, dir: String): DataFrame = {
+    val bin = col("text").cast("binary")
+    val chunkA = substring(bin, 1, 72)
+    val chunkB = substring(bin, 73, 72)
+    val media = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && octet_length(bin) >= 144)
+      .select(col("doc_id").as("media_id"),
+        concat((Seq.fill(4)(chunkA) ++ Seq.fill(4)(chunkB)): _*)
+          .as("payload"))
+    graft.streaming.StreamGate.replayShotBoundaries(media,
+        nFrames = 8, frameBytes = 72, maxHamming = 8)
+      .orderBy("media_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4405,6 +4488,11 @@ object SparkEntry {
     "q204_tokenizer_fertility" -> (q204TokenizerFertility _),
     "q205_stream_ab_monitor" -> (q205StreamAbMonitor _),
     "q206_stream_components" -> (q206StreamComponents _),
+    "q207_stratified_sample" -> (q207StratifiedSample _),
+    "q208_pii_scan" -> (q208PiiScan _),
+    "q209_seqlen_frontier" -> (q209SeqLenFrontier _),
+    "q210_kcore" -> (q210KCore _),
+    "q211_stream_shot_boundaries" -> (q211StreamShotBoundaries _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -5326,6 +5414,70 @@ object SparkEntry {
     "q46_dedup_clusters" -> dedupClustersOracle,
     "q194_incremental_components" -> dedupClustersOracle,
     "q206_stream_components" -> dedupClustersOracle,
+    "q207_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5('eval1:' || CAST(doc_id AS VARCHAR)),
+        |           CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) AS hv
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+        |  FROM h
+        |)
+        |SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank
+        |FROM r WHERE rk <= 10 ORDER BY lang, doc_id""".stripMargin,
+    "q208_pii_scan" ->
+      """WITH seeded AS (
+        |  SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN ' reach user0@example.com or admin@data.org'
+        |    WHEN 1 THEN ' see https://example.com/a_b and http://x.io/p'
+        |    WHEN 2 THEN ' host 10.0.0.1 peer 192.168.1.255'
+        |    ELSE ' call 555-123-4567' END AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      AS email_hits,
+        |    CAST(len(regexp_extract_all(t,
+        |      'https?://[A-Za-z0-9./_%-]+')) AS BIGINT) AS url_hits,
+        |    CAST(len(regexp_extract_all(t,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+        |      AS ipv4_hits,
+        |    CAST(len(regexp_extract_all(t,
+        |      '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS phone_hits
+        |  FROM seeded
+        |)
+        |SELECT doc_id, email_hits, url_hits, ipv4_hits, phone_hits,
+        |  email_hits + url_hits + ipv4_hits + phone_hits AS pii_total,
+        |  (email_hits + url_hits + ipv4_hits + phone_hits) > 0 AS has_pii
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q209_seqlen_frontier" ->
+      """WITH t AS (
+        |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+        |    AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT CAST(unnest([64, 128, 256, 512]) AS BIGINT) AS budget
+        |)
+        |SELECT budget, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n > budget THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_truncated,
+        |  CAST(SUM(n) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(LEAST(n, budget)) AS BIGINT) AS tokens_kept,
+        |  CAST(SUM(GREATEST(n - budget, 0)) AS BIGINT) AS trunc_loss_tokens,
+        |  CAST(SUM(budget - LEAST(n, budget)) AS BIGINT) AS pad_waste_tokens,
+        |  CAST((SUM(LEAST(n, budget)) + budget - 1) // budget AS BIGINT)
+        |    AS packed_seqs
+        |FROM t CROSS JOIN b GROUP BY budget ORDER BY budget""".stripMargin,
+    "q210_kcore" -> kCoreOracle,
+    // the streaming replay is held to the batch operator's verbatim
+    // ground truth (cut detection is per-media-row independent)
+    "q211_stream_shot_boundaries" -> shotBoundariesOracle,
     "q166_dedup_savings" -> dedupSavingsOracle,
     "q47_bloom_pruned_join" ->
       """SELECT p_brand, COUNT(*) AS n_rows,
@@ -8304,64 +8456,7 @@ object SparkEntry {
          |QUALIFY neg_rank <= 3
          |ORDER BY anchor_id, neg_rank""".stripMargin
     },
-    "q185_shot_boundaries" ->
-      """WITH m0 AS (
-        |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx
-        |  FROM documents
-        |  WHERE text IS NOT NULL AND length(hex(CAST(text AS BLOB)))//2 >= 144
-        |), m AS (
-        |  SELECT media_id,
-        |    repeat(substr(hx, 1, 144), 4) || repeat(substr(hx, 145, 144), 4)
-        |      AS hx2
-        |  FROM m0
-        |), fx AS (
-        |  SELECT media_id, i, substr(hx2, CAST(i * 144 + 1 AS INT), 144) AS fhx
-        |  FROM (SELECT media_id, hx2, unnest(range(8)) AS i FROM m)
-        |), fl AS (
-        |  SELECT media_id, i, fhx, length(fhx)//2 AS flen FROM fx
-        |), c AS (
-        |  SELECT media_id, i,
-        |    list_transform(range(72), g ->
-        |      CASE WHEN flen = 0 THEN 0 ELSE
-        |        (strpos('0123456789ABCDEF',
-        |           substr(fhx, CAST(((g*flen)//72)*2 + 1 AS INT), 1)) - 1) * 16
-        |        + (strpos('0123456789ABCDEF',
-        |           substr(fhx, CAST(((g*flen)//72)*2 + 2 AS INT), 1)) - 1)
-        |      END) AS cell
-        |  FROM fl
-        |), p AS (
-        |  SELECT media_id, i,
-        |    CAST(list_sum(list_transform(range(32), b ->
-        |      CASE WHEN cell[((b+32)//8)*9 + ((b+32)%8) + 1]
-        |              < cell[((b+32)//8)*9 + ((b+32)%8) + 2]
-        |        THEN 2**CAST(b AS INT) ELSE 0 END)) AS BIGINT) AS hi32,
-        |    CAST(list_sum(list_transform(range(32), b ->
-        |      CASE WHEN cell[(b//8)*9 + (b%8) + 1] < cell[(b//8)*9 + (b%8) + 2]
-        |        THEN 2**CAST(b AS INT) ELSE 0 END)) AS BIGINT) AS lo32
-        |  FROM c
-        |), sg AS (
-        |  SELECT media_id, i,
-        |    CASE WHEN hi32 >= 2147483648
-        |         THEN (hi32 - 4294967296)*4294967296 + lo32
-        |         ELSE hi32*4294967296 + lo32 END AS sig
-        |  FROM p
-        |), d AS (
-        |  SELECT media_id, i, sig,
-        |    lag(sig) OVER (PARTITION BY media_id ORDER BY i) AS prev
-        |  FROM sg
-        |), k AS (
-        |  SELECT media_id, i,
-        |    CASE WHEN prev IS NOT NULL AND bit_count(xor(sig, prev)) > 8
-        |      THEN 1 ELSE 0 END AS is_cut
-        |  FROM d
-        |)
-        |SELECT media_id, COUNT(*) AS n_frames,
-        |  CAST(SUM(is_cut) AS BIGINT) AS n_boundaries,
-        |  COALESCE(array_to_string(
-        |    list(i ORDER BY i) FILTER (WHERE is_cut = 1), ','), '')
-        |    AS boundary_frames
-        |FROM k GROUP BY media_id
-        |ORDER BY media_id""".stripMargin,
+    "q185_shot_boundaries" -> shotBoundariesOracle,
     "q186_zipf_fit" ->
       """WITH tok AS (
         |  SELECT unnest(string_split_regex(trim(text), ' +')) AS token
@@ -8866,11 +8961,102 @@ object SparkEntry {
       |  SELECT s2.a, r.r FROM sym s2 JOIN reach r ON s2.b = r.node
       |)""".stripMargin
 
+  /** ONE shot-boundary ground truth: rebuilds the two-shot payload
+    * in hex, recomputes every per-frame 72-cell dHash, and replays
+    * the LAG/XOR/popcount rule — shared VERBATIM by the batch
+    * operator (q185) and the streaming replay (q211), the
+    * two-formulations-one-ground-truth pattern. */
+  private val shotBoundariesOracle: String =
+      """WITH m0 AS (
+        |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(hex(CAST(text AS BLOB)))//2 >= 144
+        |), m AS (
+        |  SELECT media_id,
+        |    repeat(substr(hx, 1, 144), 4) || repeat(substr(hx, 145, 144), 4)
+        |      AS hx2
+        |  FROM m0
+        |), fx AS (
+        |  SELECT media_id, i, substr(hx2, CAST(i * 144 + 1 AS INT), 144) AS fhx
+        |  FROM (SELECT media_id, hx2, unnest(range(8)) AS i FROM m)
+        |), fl AS (
+        |  SELECT media_id, i, fhx, length(fhx)//2 AS flen FROM fx
+        |), c AS (
+        |  SELECT media_id, i,
+        |    list_transform(range(72), g ->
+        |      CASE WHEN flen = 0 THEN 0 ELSE
+        |        (strpos('0123456789ABCDEF',
+        |           substr(fhx, CAST(((g*flen)//72)*2 + 1 AS INT), 1)) - 1) * 16
+        |        + (strpos('0123456789ABCDEF',
+        |           substr(fhx, CAST(((g*flen)//72)*2 + 2 AS INT), 1)) - 1)
+        |      END) AS cell
+        |  FROM fl
+        |), p AS (
+        |  SELECT media_id, i,
+        |    CAST(list_sum(list_transform(range(32), b ->
+        |      CASE WHEN cell[((b+32)//8)*9 + ((b+32)%8) + 1]
+        |              < cell[((b+32)//8)*9 + ((b+32)%8) + 2]
+        |        THEN 2**CAST(b AS INT) ELSE 0 END)) AS BIGINT) AS hi32,
+        |    CAST(list_sum(list_transform(range(32), b ->
+        |      CASE WHEN cell[(b//8)*9 + (b%8) + 1] < cell[(b//8)*9 + (b%8) + 2]
+        |        THEN 2**CAST(b AS INT) ELSE 0 END)) AS BIGINT) AS lo32
+        |  FROM c
+        |), sg AS (
+        |  SELECT media_id, i,
+        |    CASE WHEN hi32 >= 2147483648
+        |         THEN (hi32 - 4294967296)*4294967296 + lo32
+        |         ELSE hi32*4294967296 + lo32 END AS sig
+        |  FROM p
+        |), d AS (
+        |  SELECT media_id, i, sig,
+        |    lag(sig) OVER (PARTITION BY media_id ORDER BY i) AS prev
+        |  FROM sg
+        |), k AS (
+        |  SELECT media_id, i,
+        |    CASE WHEN prev IS NOT NULL AND bit_count(xor(sig, prev)) > 8
+        |      THEN 1 ELSE 0 END AS is_cut
+        |  FROM d
+        |)
+        |SELECT media_id, COUNT(*) AS n_frames,
+        |  CAST(SUM(is_cut) AS BIGINT) AS n_boundaries,
+        |  COALESCE(array_to_string(
+        |    list(i ORDER BY i) FILTER (WHERE is_cut = 1), ','), '')
+        |    AS boundary_frames
+        |FROM k GROUP BY media_id
+        |ORDER BY media_id""".stripMargin
+
   private val dedupClustersOracle: String = componentsOracleCte +
     """
       |SELECT node AS doc_id, MIN(r) AS comp FROM reach
       |GROUP BY node ORDER BY doc_id""".stripMargin
   // q194 (incremental fold) is held to the identical labeling
+
+  /** q210: batch peel over the SAME exact-Jaccard edge set — k=2 core
+    * via 4 unrolled peel rounds (peeling is confluent and this graph's
+    * fixpoint lands in round 1; extra rounds are idempotent, and the
+    * engine side fails loudly long before 64 rounds if a future corpus
+    * peels deeper than the unroll). Final degrees recount over the
+    * surviving node set. */
+  private val kCoreOracle: String = {
+    val rounds = 4
+    val levels = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT s2.a AS v, COUNT(*) AS d
+         |  FROM sym s2 JOIN a${i - 1} x ON s2.a = x.v
+         |               JOIN a${i - 1} y ON s2.b = y.v
+         |  GROUP BY s2.a
+         |), a$i AS (
+         |  SELECT v FROM d$i WHERE d >= 2
+         |)""".stripMargin
+    }.mkString(",\n")
+    componentsOracleCte +
+      s""", a0 AS (SELECT DISTINCT a AS v FROM sym),
+         |$levels
+         |SELECT s2.a AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+         |FROM sym s2 JOIN a$rounds x ON s2.a = x.v
+         |             JOIN a$rounds y ON s2.b = y.v
+         |GROUP BY s2.a ORDER BY doc_id""".stripMargin
+  }
 
   /** q166: the component ground truth rolled up by cluster size with
     * char weights and min-id-retention removable mass. */

@@ -1162,6 +1162,56 @@ object Corpus {
       .toDF("source", "n_tokens", "w6", "alloc6", "epochs6", "capped")
   }
 
+  /** Sequence-length budget frontier — the report that picks
+    * `max_seq_len` BEFORE tokenizing 100 TB: for each candidate token
+    * budget `L`, what one pass over the corpus implies about the
+    * truncation/padding trade — documents over budget
+    * (`n_truncated`), tokens lost to truncation
+    * (`trunc_loss_tokens` = Σ max(n−L, 0)), padding wasted if every
+    * document rides its own padded sequence (`pad_waste_tokens` =
+    * Σ (L − min(n, L)) — the no-packing cost), and the sequence count
+    * a contiguous stream packer (the q54/q108 discipline) would emit
+    * (`packed_seqs` = ⌈Σ min(n, L) / L⌉). Sweeping budgets turns "pick
+    * 512 or 1024?" from folklore into arithmetic: the L where
+    * truncation loss stops falling while padding waste keeps rising is
+    * the frontier knee.
+    *
+    * Scale shape: ONE corpus pass computes each document's token
+    * count; the budget sweep expands MAP-SIDE from a bounded literal
+    * array (the [[Layout.pruningReport]] probe pattern — never one
+    * scan per budget), and the rollup is a budget-keyed algebraic
+    * aggregation over pure longs — integer-exact on any engine, no
+    * rounding anywhere. Output: one row per budget — (`budget`,
+    * `n_docs`, `n_truncated`, `tokens_total`, `tokens_kept`,
+    * `trunc_loss_tokens`, `pad_waste_tokens`, `packed_seqs`). */
+  def seqLenFrontier(
+      df: DataFrame,
+      textCol: String,
+      budgets: Seq[Int]): DataFrame = {
+    require(budgets.nonEmpty, "seqLenFrontier needs candidate budgets")
+    require(budgets.forall(_ >= 1), s"budgets must be >= 1: $budgets")
+    require(budgets.distinct.size == budgets.size,
+      s"duplicate budgets: $budgets")
+    val n = coalesce(
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long"),
+      lit(0L))
+    val kept = least(col("__n"), col("budget"))
+    df.select(n.as("__n"),
+        explode(array(budgets.map(b => lit(b.toLong)): _*)).as("budget"))
+      .groupBy("budget")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__n") > col("budget"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(col("__n")).as("tokens_total"),
+        sum(kept).as("tokens_kept"),
+        sum(greatest(col("__n") - col("budget"), lit(0L)))
+          .as("trunc_loss_tokens"),
+        sum(col("budget") - kept).as("pad_waste_tokens"))
+      .withColumn("packed_seqs", // ceil without doubles: exact longs
+        expr("(tokens_kept + budget - 1) div budget"))
+      .orderBy("budget")
+  }
+
   /** Zipf rank-frequency fit over the corpus vocabulary — the
     * classic sanity diagnostic for scraped text (natural language sits
     * near slope −1 in log-log rank-frequency space; machine-generated

@@ -50,6 +50,52 @@ object Experiment {
     df.withColumn(outCol, when(col(keyCol).isNotNull, armExpr))
   }
 
+  /** Deterministic stratified EXACT-k sampling: within each stratum,
+    * keep the `k` rows with the smallest portable hash of (salt, id) —
+    * ties broken by id — and report each survivor's 1-based
+    * `sample_rank`. The eval-set/debug-slice primitive a training
+    * pipeline needs from day one (a fixed per-language eval sample, a
+    * per-source audit slice): selection is a pure function of
+    * (salt, id), so reruns, engine changes, and UNRELATED row churn
+    * cannot reshuffle the sample — a new row displaces exactly the
+    * largest-hash survivor of its own stratum and nothing else
+    * (bounded churn, the property uniform `TABLESAMPLE` lacks). A
+    * stratum with fewer than `k` rows keeps all of them.
+    *
+    * Scale shape: ONE pass through a k-bounded heap per stratum
+    * ([[graft.functions.Aggregators.topKPerGroup]]) — no full sort, no
+    * per-stratum window over the raw data (a skewed stratum would
+    * single-task it); the rank window runs over the already-k-bounded
+    * survivor table (≤ strata × k rows). NULL ids are excluded loudly
+    * (no identity, no stable sample membership).
+    *
+    * Output: strata cols + (`idCol`, `sample_rank`). */
+  def stratifiedSample(
+      df: DataFrame,
+      strata: Seq[String],
+      idCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    require(strata.nonEmpty, "stratifiedSample needs stratum columns")
+    require(k >= 1, s"k ($k) must be >= 1")
+    val nullIds = df.filter(col(idCol).isNull).limit(1).count()
+    require(nullIds == 0L,
+      s"stratifiedSample: NULL $idCol rows have no stable sample identity")
+    val h = graft.functions.TextFunctions.portableTokenHash32(
+      concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    // smallest-hash-first through the (score DESC, id ASC) heap:
+    // negate — the hash is < 2^32, exact in a double
+    val picked = graft.functions.Aggregators.topKPerGroup(
+      df.withColumn("__h", -h.cast("double")),
+      strata, "__h", idCol, k)
+    picked
+      .withColumn("sample_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(strata.map(col): _*)
+          .orderBy(col("__h").desc, col(idCol))).cast("long"))
+      .drop("__h")
+  }
+
   /** Per-arm experiment readout over a boolean outcome: each arm's
     * conversion count, rate, and Wilson interval
     * ([[Quality.passRateCI]]'s calibrated-at-small-n bounds), plus the

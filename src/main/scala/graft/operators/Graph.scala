@@ -147,4 +147,79 @@ object Graph {
             (col("degree") * (col("degree") - lit(1.0))))
           .otherwise(lit(0.0)).as("cc"))
   }
+
+  /** k-core decomposition (fixed k): iteratively peel every node whose
+    * degree among SURVIVING nodes is below `k` until none remains —
+    * the standard dense-subgraph extractor (the k-core is the unique
+    * maximal subgraph of minimum degree ≥ k). On a near-dup graph it
+    * separates structurally-entangled duplicate families (mutually
+    * similar triples and larger — candidates for whole-group removal)
+    * from incidental pairwise matches, which triangle counts see only
+    * locally; on a citation/link graph it is the classic influence
+    * core.
+    *
+    * Peeling is confluent — the removal ORDER cannot change the final
+    * core (removing a <k node never raises another node's degree) —
+    * so the per-round batch peel here, a recursive SQL replay, and a
+    * sequential textbook peel all land on the identical node set:
+    * that invariance is what makes the operator oracle-checkable.
+    *
+    * Scale shape: each round is one map-side-combined degree count +
+    * one semi-join of edges against surviving nodes, checkpointed so
+    * round r+1 reads round r's blocks instead of replaying the
+    * pipeline (the [[pageRank]]/[[Components]] discipline; superseded
+    * checkpoints released as the loop advances). Rounds are bounded by
+    * `maxRounds` with a LOUD failure — a pathological path graph peels
+    * O(diameter) rounds, and silently returning a half-peeled "core"
+    * would be a wrong answer, not a slow one.
+    *
+    * Input edges may be directed/duplicated/self-looped (canonicalized
+    * like [[triangleCounts]]). Output: `(node, core_degree)` — the
+    * surviving nodes with their degree INSIDE the core; empty when no
+    * k-core exists. The frame reads its own checkpoint: release via
+    * [[Blocks.release]] once consumed. */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(maxRounds >= 1, s"maxRounds ($maxRounds) must be >= 1")
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done) {
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("__d"))
+      val dead = deg.filter(col("__d") < k).select("v").localCheckpoint()
+      if (dead.isEmpty) done = true
+      else {
+        round += 1
+        require(round <= maxRounds,
+          s"kCore did not converge in $maxRounds rounds (k=$k) — raise " +
+            "maxRounds; a long peel chain means O(diameter) rounds")
+        val next = e
+          .join(dead.select(col("v").as("a")), Seq("a"), "left_anti")
+          .join(dead.select(col("v").as("b")), Seq("b"), "left_anti")
+          .select("a", "b")
+          .localCheckpoint() // eager: materialized before old blocks go
+        Blocks.release(e)
+        e = next
+      }
+      Blocks.release(dead)
+    }
+    val core = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+      .localCheckpoint()
+    Blocks.release(e)
+    core
+  }
 }

@@ -147,6 +147,59 @@ object Quality {
         (coalesce(col("n_hits"), lit(0L)) > maxHits).as("flagged"))
   }
 
+  /** Default PII pattern set for [[piiScan]]: (category, regex). Kept
+    * deliberately in the common Java-regex/RE2 subset (character
+    * classes, bounded repetition, `\b`/`\d` — no lookaround, no
+    * backreferences) so the identical pattern string runs on Spark,
+    * DuckDB/RE2, and any downstream policy engine with the same
+    * leftmost non-overlapping match semantics. */
+  val defaultPiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "url" -> "https?://[A-Za-z0-9./_%-]+",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b")
+
+  /** PII-pattern scan — the pre-training privacy screen every corpus
+    * pipeline runs before anything else sees the text: per document,
+    * the number of non-overlapping matches of each pattern category
+    * (emails, URLs, IPv4 literals, phone-shaped digit runs by
+    * default), the total, and a `has_pii` flag for the filter
+    * downstream. Counting (not just flagging) matters operationally: a
+    * doc with 400 emails is a scraped directory to drop, a doc with
+    * one is a signature to redact.
+    *
+    * Scale shape: pure per-row `regexp_count` — codegen'd, no shuffle,
+    * no UDF; the whole scan fuses into the read stage. Category names
+    * must be distinct, non-empty, and column-safe (they become output
+    * columns `<name>_hits`). Patterns are compiled eagerly so a bad
+    * regex fails at plan time, not per-task at run time.
+    *
+    * Output: (`idCol`, `<cat>_hits`..., `pii_total`, `has_pii`). */
+  def piiScan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[(String, String)] = defaultPiiPatterns): DataFrame = {
+    require(patterns.nonEmpty, "piiScan needs at least one pattern")
+    require(patterns.map(_._1).distinct.size == patterns.size,
+      s"duplicate pattern categories: ${patterns.map(_._1).mkString(", ")}")
+    patterns.foreach { case (cat, re) =>
+      require(cat.nonEmpty && cat.matches("[A-Za-z0-9_]+"),
+        s"category '$cat' must be a column-safe identifier")
+      java.util.regex.Pattern.compile(re) // fail at plan time, loudly
+    }
+    val hitCols = patterns.map { case (cat, re) =>
+      coalesce(regexp_count(col(textCol), lit(re)), lit(0))
+        .cast("long").as(s"${cat}_hits")
+    }
+    val totalExpr = patterns.map { case (cat, _) =>
+      col(s"${cat}_hits")
+    }.reduce(_ + _)
+    df.select((col(idCol) +: hitCols): _*)
+      .withColumn("pii_total", totalExpr)
+      .withColumn("has_pii", col("pii_total") > 0L)
+  }
+
   /** Referential-integrity audit — the foreign-key contract [[check]]
     * cannot express with row-local predicates: every child row's key
     * should resolve in the parent ("no order without its customer").

@@ -501,6 +501,74 @@ object StreamGate {
     }
   }
 
+  /** Streaming shot-boundary detection: the media table (id, binary
+    * payload) arriving as a FILE stream — the ingest-time shape of a
+    * video pipeline, where cut detection runs as assets land, not as a
+    * nightly batch — each micro-batch pushed through the BATCH
+    * [[graft.operators.Multimodal.shotBoundaries]] operator verbatim.
+    * Cut detection is per-media-row independent (all of a payload's
+    * sampled frames live in its own row; the lag/XOR/popcount rule
+    * never crosses media ids), so the micro-batch split provably
+    * cannot change any verdict and the replay faces the exact batch
+    * oracle (q185) — the two-formulations-one-ground-truth pattern.
+    * State never accumulates: the query is stateless by construction.
+    *
+    * Output schema matches the batch operator with
+    * `boundary_frames` serialized to a comma-joined string (parquet
+    * sink friendliness + the oracle's comparison form).
+    * @note one-generation replay contract — see the object doc. */
+  def replayShotBoundaries(
+      media: DataFrame,
+      nFrames: Int = 8,
+      frameBytes: Int = 16,
+      maxHamming: Int = 8,
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = media.sparkSession
+    val src = tempDir("graft_media_src")
+    media.coalesce(8).write.mode("overwrite").parquet(src)
+    val out = tempDir("graft_stream_out")
+    val ck = tempDir("graft_stream_ck")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_frames",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_boundaries",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("boundary_frames",
+        org.apache.spark.sql.types.StringType)))
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
+    try {
+      val stream = spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Multimodal
+            .shotBoundaries(batch, nFrames, frameBytes, maxHamming)
+            .select(col("media_id").cast("long"),
+              col("n_frames").cast("long"),
+              col("n_boundaries").cast("long"),
+              array_join(transform(col("boundary_frames"),
+                i => i.cast("string")), ",").as("boundary_frames"))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
+      releaseLastReplay(
+        spark.read.schema(outSchema).parquet(out).localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, out, ck).foreach(deleteRecursively)
+    }
+  }
+
   /** Streaming incremental aggregate maintenance: the fact feed
     * micro-batched into shards (`maxFilesPerTrigger`), each batch
     * summarized by [[graft.operators.Maintain.summarize]] and FOLDED

@@ -72,4 +72,54 @@ class ExperimentSpec extends AnyFunSuite {
       Experiment.abReport(df, "arm", "f", "nope")
     }
   }
+
+  test("stratifiedSample: exact k per stratum, deterministic, rank order") {
+    val df = table("lang string, id bigint",
+      (0L until 60L).map(i => row(if (i < 40) "en" else "fr", i)))
+    val s1 = Experiment.stratifiedSample(df, Seq("lang"), "id", 5, "s1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(s1.count(_._1 == "en") == 5 && s1.count(_._1 == "fr") == 5)
+    assert(s1.filter(_._1 == "en").map(_._3).sorted.toSeq == Seq(1L, 2, 3, 4, 5))
+    // rerun = identical sample (pure function of salt and id)
+    val s2 = Experiment.stratifiedSample(df, Seq("lang"), "id", 5, "s1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(s1.toSet == s2.toSet)
+    // a different salt draws a genuinely different sample
+    val s3 = Experiment.stratifiedSample(df, Seq("lang"), "id", 5, "s2")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s3 != s1.map(t => (t._1, t._2)).toSet)
+    // sample == the k smallest portable hashes, rank = that hash order
+    def hash(salt: String, id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$salt:$id".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+    val expEn = (0L until 40L).map(i => (hash("s1", i), i)).sorted.take(5)
+    assert(s1.filter(_._1 == "en").sortBy(_._3).map(_._2).toSeq ==
+      expEn.map(_._2), "rank order must follow the hash order")
+  }
+
+  test("stratifiedSample: short stratum keeps all; unrelated churn is bounded") {
+    val df = table("lang string, id bigint",
+      (0L until 23L).map(i => row(if (i < 20) "en" else "fr", i)))
+    val got = Experiment.stratifiedSample(df, Seq("lang"), "id", 5, "x")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.count(_._1 == "fr") == 3) // fewer than k: keep all
+    // adding one row changes AT MOST one survivor in its own stratum
+    // and nothing in the other stratum
+    val grown = table("lang string, id bigint",
+      (0L until 23L).map(i => row(if (i < 20) "en" else "fr", i)) :+
+        row("en", 99L))
+    val got2 = Experiment.stratifiedSample(grown, Seq("lang"), "id", 5, "x")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got2.filter(_._1 == "fr").toSet == got.filter(_._1 == "fr").toSet)
+    val enDiff = got.filter(_._1 == "en").toSet
+      .diff(got2.filter(_._1 == "en").toSet)
+    assert(enDiff.size <= 1, s"unbounded churn: $enDiff")
+    intercept[IllegalArgumentException] {
+      Experiment.stratifiedSample(
+        table("lang string, id bigint", Seq(row("en", null))),
+        Seq("lang"), "id", 5, "x")
+    }
+  }
 }

@@ -119,4 +119,73 @@ class GraphSpec extends AnyFunSuite {
       assert(got == exp, s"got $got\nexp $exp")
     }
   }
+
+  // ---- kCore -------------------------------------------------------
+
+  /** Textbook sequential peel in plain Scala: remove ANY node below k,
+    * one at a time, until none remains — confluence means order cannot
+    * matter, so this is a valid reference for the batch peel. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    var alive = und.flatMap { case (a, b) => Seq(a, b) }.toSet
+    def deg(v: Long) = und.count { case (a, b) =>
+      (a == v && alive(b)) || (b == v && alive(a))
+    }
+    var changed = true
+    while (changed) {
+      alive.find(v => deg(v) < k) match {
+        case Some(v) => alive -= v
+        case None => changed = false
+      }
+    }
+    alive.map(v => v -> deg(v)).toMap
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    Graph.kCore(table("a bigint, b bigint", edges.map(e => row(e._1, e._2))),
+        "a", "b", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: clique survives, pendant chain peels, k=2 hand case") {
+    // triangle 1-2-3 plus a chain 3-4-5: at k=2 the chain peels away
+    // over TWO rounds (5 first, then 4 — a genuinely multi-round peel)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val core = runKCore(edges, 2)
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), core.toString)
+    // k=3: the triangle's in-core degree is only 2 — everything peels
+    assert(runKCore(edges, 3).isEmpty)
+  }
+
+  test("kCore: duplicated, reversed, and self-loop edges canonicalize") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 3L))
+    assert(runKCore(edges, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: agrees with the sequential reference on random graphs") {
+    val rnd = new scala.util.Random(11)
+    (0 until 4).foreach { trial =>
+      val n = 12 + rnd.nextInt(8)
+      val edges = Seq.fill(25 + rnd.nextInt(20))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val k = 2 + rnd.nextInt(2)
+      val exp = refKCore(edges, k).map { case (v, d) => v -> d.toLong }
+      val got = runKCore(edges, k)
+      assert(got == exp, s"trial $trial k=$k:\n got $got\n exp $exp")
+    }
+  }
+
+  test("kCore: a long path needs O(diameter) rounds — maxRounds fails loudly") {
+    // path 0-1-...-9 at k=2 peels one node from each end per round and
+    // ends EMPTY; with maxRounds=2 the engine must refuse, not return
+    // a half-peeled set
+    val path = (0L until 9L).map(i => (i, i + 1))
+    assert(runKCore(path, 2).isEmpty)
+    val err = intercept[IllegalArgumentException] {
+      Graph.kCore(table("a bigint, b bigint", path.map(e => row(e._1, e._2))),
+        "a", "b", k = 2, maxRounds = 2).collect()
+    }
+    assert(err.getMessage.contains("converge"), err.getMessage)
+  }
 }

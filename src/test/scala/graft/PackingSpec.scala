@@ -57,4 +57,38 @@ class PackingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((10L, 1L)))
   }
+
+  test("seqLenFrontier: hand-computed budgets and the conservation identities") {
+    // docs with 3, 5, and 10 tokens
+    val df = table("id bigint, text string", Seq(
+      row(1L, "a b c"),
+      row(2L, "a b c d e"),
+      row(3L, (1 to 10).map(i => s"t$i").mkString(" "))))
+    val got = Corpus.seqLenFrontier(df, "text", Seq(4, 8))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // L=4: kept = 3+4+4 = 11, trunc loss = 0+1+6 = 7, pad = 1+0+0 = 1,
+    // packed = ceil(11/4) = 3; two docs over budget
+    assert(got(4L) == Seq(3L, 2L, 18L, 11L, 7L, 1L, 3L), got(4L).toString)
+    // L=8: kept = 3+5+8 = 16, trunc = 2, pad = 5+3+0 = 8, packed = 2
+    assert(got(8L) == Seq(3L, 1L, 18L, 16L, 2L, 8L, 2L), got(8L).toString)
+    // identities hold on arbitrary corpora: kept + trunc == total;
+    // pad == budget*n_docs - kept
+    val rnd = new scala.util.Random(3)
+    val big = table("id bigint, text string",
+      (0L until 50L).map(i =>
+        row(i, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" "))))
+    Corpus.seqLenFrontier(big, "text", Seq(7, 16, 33)).collect().foreach { r =>
+      val Seq(b, n, _, total, kept, trunc, pad, seqs) =
+        r.toSeq.map(_.asInstanceOf[Long])
+      assert(kept + trunc == total, r.toString)
+      assert(pad == b * n - kept, r.toString)
+      assert(seqs == (kept + b - 1) / b, r.toString)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.seqLenFrontier(df, "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.seqLenFrontier(df, "text", Seq(8, 8))
+    }
+  }
 }

@@ -173,4 +173,42 @@ class QualitySpec extends AnyFunSuite {
       Quality.passRateCI(df, Seq("g"), "f", z = 0.0)
     }
   }
+
+  test("piiScan: counts non-overlapping matches per category; flags and totals") {
+    val df = table("id bigint, t string", Seq(
+      row(1L, "contact a@b.io or c.d+x@e-f.org today"),
+      row(2L, "fetch https://x.io/a and http://y.z/b_c now"),
+      row(3L, "hosts 10.0.0.1 192.168.1.255 but not 1.2.3"),
+      row(4L, "call 555-123-4567; not 55-123-4567 or 5551234567"),
+      row(5L, "perfectly clean text with no patterns at all")))
+    val got = Quality.piiScan(df, "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6))).toMap
+    assert(got(1L) == ((2L, 0L, 0L, 0L, 2L, true)), got(1L).toString)
+    assert(got(2L) == ((0L, 2L, 0L, 0L, 2L, true)), got(2L).toString)
+    assert(got(3L) == ((0L, 0L, 2L, 0L, 2L, true)), got(3L).toString)
+    assert(got(4L) == ((0L, 0L, 0L, 1L, 1L, true)), got(4L).toString)
+    assert(got(5L) == ((0L, 0L, 0L, 0L, 0L, false)), got(5L).toString)
+    // a doc with MANY hits counts them all (directory-page detection)
+    val many = table("id bigint, t string", Seq(
+      row(9L, (1 to 40).map(i => s"u$i@ex.com").mkString(" "))))
+    assert(Quality.piiScan(many, "id", "t").head().getLong(1) == 40L)
+    // custom patterns ride the same machinery
+    val custom = Quality.piiScan(df, "id", "t",
+      Seq("digits" -> "\\d+"))
+      .filter(org.apache.spark.sql.functions.col("id") === 3L).head()
+    assert(custom.getLong(1) == 11L, custom.toString) // 8 + 3 digit runs
+    // a bad regex fails at PLAN time, loudly
+    intercept[java.util.regex.PatternSyntaxException] {
+      Quality.piiScan(df, "id", "t", Seq("bad" -> "(unclosed"))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.piiScan(df, "id", "t",
+        Seq("a" -> "x", "a" -> "y")) // duplicate category
+    }
+    intercept[IllegalArgumentException] {
+      Quality.piiScan(df, "id", "t", Seq("not a col name" -> "x"))
+    }
+  }
 }

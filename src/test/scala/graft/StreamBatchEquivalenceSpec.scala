@@ -158,6 +158,37 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     } finally s.conf.set(key, prev)
   }
 
+  test("stream shot boundaries == batch shotBoundaries across micro-batches") {
+    import graft.operators.Multimodal
+    import graft.streaming.StreamGate
+    // two-shot payloads (4 frames of A then 4 of B) plus a one-shot
+    // control; 20 media rows so filesPerTrigger=1 over the gate's
+    // 8-file coalesce forces a genuinely multi-batch replay
+    val media = table("media_id bigint, payload binary",
+      (0L until 20L).map { i =>
+        val a = Array.fill(16)((i + 1).toByte)
+        val b = if (i % 3 == 0) a // one-shot: identical halves
+          else Array.tabulate(16)(j => (i * 7 + j * 13 + 1).toByte)
+        row(i, (Seq.fill(4)(a) ++ Seq.fill(4)(b)).flatten.toArray)
+      }).repartition(8) // the gate's coalesce(8) cannot GROW partitions
+    val batch = Multimodal.shotBoundaries(media, nFrames = 8,
+        frameBytes = 16, maxHamming = 8)
+      .select(col("media_id"), col("n_frames"), col("n_boundaries"),
+        array_join(transform(col("boundary_frames"),
+          i => i.cast("string")), ",").as("bf"))
+      .collect().map(_.toSeq).toSet
+    val streamed = StreamGate.replayShotBoundaries(media, nFrames = 8,
+        frameBytes = 16, maxHamming = 8, filesPerTrigger = 1)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+    val obs = StreamGate.lastReplayObservability
+    assert(obs.exists(o => o.microBatches >= 8 && o.droppedLateRows == 0),
+      obs.toString)
+  }
+
   test("stream KS drift == batch ksStatistic across micro-batches") {
     import graft.operators.Profile
     val ev = events
