@@ -4281,6 +4281,23 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  // ---------------------------------------------------------------- q212
+  /** Deterministic weighted source interleave ([[graft.operators
+    * .Corpus.interleaveBySource]]): the 20 sources stride-scheduled
+    * with weights 1..20 (src0 lightest, src19 heaviest) — the operator
+    * that turns a mixture recipe into an actual training ORDER. The
+    * position is a pure function of (weights, source, id): the oracle
+    * replays the identical `rank / weight` virtual-finish-time doubles
+    * and the identical (key, source, id) tie order in SQL windows. */
+  private def q212SourceInterleave(s: SparkSession, dir: String): DataFrame = {
+    val weights = (0 until 20).map(i => (s"src$i", (i + 1).toDouble))
+    graft.operators.Corpus.interleaveBySource(
+        Tables.documents(s, dir).select("doc_id", "source"),
+        "source", "doc_id", weights)
+      .select(col("doc_id"), col("source"), col("train_pos"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4493,6 +4510,7 @@ object SparkEntry {
     "q209_seqlen_frontier" -> (q209SeqLenFrontier _),
     "q210_kcore" -> (q210KCore _),
     "q211_stream_shot_boundaries" -> (q211StreamShotBoundaries _),
+    "q212_source_interleave" -> (q212SourceInterleave _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -5478,6 +5496,18 @@ object SparkEntry {
     // the streaming replay is held to the batch operator's verbatim
     // ground truth (cut detection is per-media-row independent)
     "q211_stream_shot_boundaries" -> shotBoundariesOracle,
+    "q212_source_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS DOUBLE)
+        |      / CAST(CAST(substr(source, 4) AS INT) + 1 AS DOUBLE) AS k
+        |  FROM documents
+        |)
+        |SELECT doc_id, source,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY k, source, doc_id) - 1 AS BIGINT)
+        |    AS train_pos
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q166_dedup_savings" -> dedupSavingsOracle,
     "q47_bloom_pruned_join" ->
       """SELECT p_brand, COUNT(*) AS n_rows,

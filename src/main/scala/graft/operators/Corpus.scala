@@ -1162,6 +1162,60 @@ object Corpus {
       .toDF("source", "n_tokens", "w6", "alloc6", "epochs6", "capped")
   }
 
+  /** Deterministic weighted source interleave — the operator that
+    * turns a data recipe ([[mixtureWeights]] /
+    * [[tokenBudgetAllocation]]) into an actual TRAINING ORDER: assign
+    * every document a global position such that, at any prefix of the
+    * stream, each source has appeared in proportion to its weight.
+    * This is STRIDE SCHEDULING: source `s`'s `r`-th document (1-based
+    * rank in `idCol` order) gets virtual finish time `r / w_s`, and
+    * the stream is the ascending finish-time order (ties by
+    * (source, id) — a total order). Proportionality is the classic
+    * stride guarantee (each source's occupancy error in any prefix is
+    * bounded by a constant), determinism is by construction: the
+    * position is a pure function of (weights, source, id) — rerunning,
+    * resharding, or changing engines can never reorder the curriculum.
+    * Weights need no normalization (scaling all finish times by a
+    * constant preserves the order) — they are used RAW so the oracle
+    * replays bit-identical doubles.
+    *
+    * Scale shape: per-source ranks ride [[General
+    * .withContiguousRowIdsPerGroup]]'s global range-partitioned sort
+    * (a dominant source cannot single-task a window partition), the
+    * global position is a second range-partitioned id pass — two
+    * sorts, zero group-partitioned windows, weights validated loudly
+    * against the actual source set (an unweighted source would
+    * silently sort to the front as 1/0). Output: input columns +
+    * `train_pos` (0-based). The frame reads sort checkpoints —
+    * [[Blocks.release]] once consumed. */
+  def interleaveBySource(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      outCol: String = "train_pos"): DataFrame = {
+    require(weights.nonEmpty, "interleaveBySource needs source weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate sources in weights: ${weights.map(_._1).mkString(", ")}")
+    require(weights.forall(_._2 > 0.0), "every source weight must be positive")
+    val unweighted = df.select(col(sourceCol).cast("string").as("__s"))
+      .filter(col("__s").isNull || !col("__s").isin(weights.map(_._1): _*))
+      .limit(1).collect()
+    require(unweighted.isEmpty,
+      s"interleaveBySource: source '${unweighted.headOption.map(_.get(0))
+        .orNull}' has no weight — weights must cover every source")
+    val wExpr = weights.foldRight(lit(null).cast("double"): Column) {
+      case ((s, w), e) => when(col(sourceCol) === s, lit(w)).otherwise(e)
+    }
+    val ranked = General.withContiguousRowIdsPerGroup(
+      df, Seq(sourceCol), Seq(idCol), "__srk")
+    val keyed = ranked.withColumn("__key",
+      (col("__srk") + 1L).cast("double") / wExpr)
+    val positioned = General.withContiguousRowIds(
+      keyed, Seq("__key", sourceCol, idCol), outCol)
+    positioned.select(df.columns.toSeq.map(col) :+ col(outCol): _*)
+  }
+
   /** Sequence-length budget frontier — the report that picks
     * `max_seq_len` BEFORE tokenizing 100 TB: for each candidate token
     * budget `L`, what one pass over the corpus implies about the

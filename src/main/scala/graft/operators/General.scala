@@ -111,6 +111,41 @@ object General {
     df.sparkSession.createDataFrame(withIds, schema)
   }
 
+  /** PER-GROUP contiguous 0-based row ids in `orderCols` order — the
+    * giant-group replacement for `row_number().over(Window
+    * .partitionBy(groups).orderBy(...))`: a group-partitioned window
+    * sorts each group inside ONE task, so a skewed group (one language
+    * holding 80% of a corpus) single-threads the whole rank. This
+    * instead runs ONE global range-partitioned sort over
+    * (groups ++ orderCols) through [[withContiguousRowIds]] — every
+    * group's rows land globally contiguous — and recovers each row's
+    * within-group rank as `global_id − min(global_id) of its group`:
+    * a group-bounded min aggregation + one null-safe group join, never
+    * a per-group sort. Parallelism follows data size, not group
+    * cardinality or skew.
+    *
+    * Deterministic when (groups ++ orderCols) is a total order — the
+    * [[withContiguousRowIds]] condition. The returned frame reads the
+    * sort checkpoint ([[Blocks.release]] once consumed). */
+  def withContiguousRowIdsPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      outCol: String = "group_row_id"): DataFrame = {
+    require(groupCols.nonEmpty, "group columns are required")
+    require(orderCols.nonEmpty, "a within-group sort order is required")
+    val ids = withContiguousRowIds(df, groupCols ++ orderCols, "__gid")
+    val mins = ids.groupBy(groupCols.map(col): _*)
+      .agg(min(col("__gid")).as("__gmin"))
+    val l = ids.alias("__gl")
+    val r = mins.alias("__gr")
+    val cond = groupCols.map(c => col(s"__gl.$c") <=> col(s"__gr.$c"))
+      .reduce(_ && _)
+    l.join(r, cond)
+      .select(df.columns.toSeq.map(c => col(s"__gl.$c")) :+
+        (col("__gl.__gid") - col("__gr.__gmin")).as(outCol): _*)
+  }
+
   /** Distributed prefix sum: each row gets the running total of
     * `valueCol` over all rows STRICTLY BEFORE it in `sortCols` order
     * (exclusive prefix — the row's own start offset). The scale story

@@ -231,28 +231,44 @@ object Stats {
     * .spearmanRho]]'s discipline) rather than averaging. NULL values
     * get a NULL rank.
     *
-    * Scale shape: one GROUP-PARTITIONED row_number window (sorts
-    * within groups only — groups are the parallelism unit; for a
-    * single giant group use the range-partitioned id machinery
-    * directly) + one group-bounded count join. Output: input columns
-    * + `outCol` (double in (0, 1), rounded at `roundDigits`). */
+    * Scale shape (`largeGroups = false`, the default): one
+    * GROUP-PARTITIONED row_number window (sorts within groups only —
+    * groups are the parallelism unit) + one group-bounded count join.
+    * With `largeGroups = true` the rank instead rides
+    * [[General.withContiguousRowIdsPerGroup]]'s global range-
+    * partitioned sort — the path for a SKEWED group set (one language
+    * holding most of a corpus would single-task its window partition);
+    * both paths produce the IDENTICAL output (same (value, id) total
+    * order — pinned by the equivalence spec), the flag only moves the
+    * physical plan, the [[Profile]] `exactDistinct` one-flag-two-modes
+    * pattern. Output: input columns + `outCol` (double in (0, 1),
+    * rounded at `roundDigits`). */
   def rankNormalize(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
       idCol: String,
       outCol: String,
-      roundDigits: Int = 6): DataFrame = {
+      roundDigits: Int = 6,
+      largeGroups: Boolean = false): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     TempCols.reserve(df, "rankNormalize", "__rk", "__n")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*)
-      .orderBy(col(valueCol), col(idCol))
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
-    val ranked = df.filter(col(valueCol).isNotNull)
-      .withColumn("__rk", row_number().over(w))
+    val ranked =
+      if (largeGroups)
+        General.withContiguousRowIdsPerGroup(
+            df.filter(col(valueCol).isNotNull), groupCols,
+            Seq(valueCol, idCol), "__rk")
+          .withColumn("__rk", (col("__rk") + 1L).cast("int"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)
+          .orderBy(col(valueCol), col(idCol))
+        df.filter(col(valueCol).isNotNull)
+          .withColumn("__rk", row_number().over(w))
+      }
     val normalized = joinOnGroups(ranked, counts, groupCols)
       .withColumn(outCol,
         round((col("__rk").cast("double") - lit(0.5)) /

@@ -403,6 +403,33 @@ class GeneralSpec extends AnyFunSuite {
     assert(out.map(_._2).toSeq == (0L until 40L))
   }
 
+  test("withContiguousRowIdsPerGroup: equals the per-group window on skewed groups") {
+    // one dominant group (80%) + two small ones + a NULL group —
+    // the skew case the group-partitioned window single-tasks
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 100L).map { i =>
+      val g: Any = if (i % 10 == 9) null
+        else if (i % 10 == 8) "small"
+        else "big"
+      row(g, rnd.nextInt(20).toLong, i)
+    }
+    val df = table("g string, v bigint, id bigint", rows).repartition(7)
+    val got = General.withContiguousRowIdsPerGroup(
+        df, Seq("g"), Seq("v", "id"), "rk")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(2), r.getLong(3)))
+    // reference: the window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v", "id")
+    val exp = df.withColumn("rk", (row_number().over(w) - 1).cast("long"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(2), r.getLong(3)))
+    assert(got.sortBy(_._2).toSeq == exp.sortBy(_._2).toSeq)
+    // ranks are contiguous 0..n_g-1 within every group (incl. NULL)
+    got.groupBy(_._1).foreach { case (g, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length),
+        s"group $g ranks not contiguous")
+    }
+  }
+
   test("cosine similarity of identical vectors is 1") {
     val df = table("a array<float>, b array<float>",
       Seq(row(Seq(1.0f, 2.0f, 2.0f), Seq(1.0f, 2.0f, 2.0f))))

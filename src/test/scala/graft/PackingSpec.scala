@@ -58,6 +58,47 @@ class PackingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, 1L)))
   }
 
+  test("interleaveBySource: stride order, proportional prefixes, determinism") {
+    // 2:1 weights — source a's finish times r/2, b's r/1: the merged
+    // order is a,a,b,a,a,b,... (ties a before b by source tie-break:
+    // a's rank-2k time k equals b's rank-k time k)
+    val df = table("src string, id bigint",
+      (0L until 12L).map(i => row("a", i)) ++
+        (12L until 18L).map(i => row("b", i))).repartition(5)
+    val got = Corpus.interleaveBySource(df, "src", "id",
+        Seq("a" -> 2.0, "b" -> 1.0))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).sorted.toSeq == (0L until 18L)) // a permutation
+    val order = got.sortBy(_._3).map(_._1).mkString
+    assert(order == "aab" * 6, order)
+    // within-source id order is preserved (curriculum stability)
+    Seq("a", "b").foreach { s =>
+      val ids = got.filter(_._1 == s).sortBy(_._3).map(_._2)
+      assert(ids.sorted.toSeq == ids.toSeq, s"source $s reordered: $ids")
+    }
+    // determinism: rerun is identical
+    val again = Corpus.interleaveBySource(df, "src", "id",
+        Seq("a" -> 2.0, "b" -> 1.0))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == again.toSet)
+    // stride proportionality: every prefix holds each source's count
+    // within 1 of rank-share
+    val seq = got.sortBy(_._3).map(_._1)
+    (1 to seq.length).foreach { m =>
+      val na = seq.take(m).count(_ == "a")
+      assert(math.abs(na - m * 2.0 / 3) <= 1.0, s"prefix $m: $na a's")
+    }
+    // weights must cover every source, loudly
+    val err = intercept[IllegalArgumentException] {
+      Corpus.interleaveBySource(df, "src", "id", Seq("a" -> 2.0)).collect()
+    }
+    assert(err.getMessage.contains("no weight"), err.getMessage)
+    intercept[IllegalArgumentException] {
+      Corpus.interleaveBySource(df, "src", "id",
+        Seq("a" -> 2.0, "b" -> 0.0))
+    }
+  }
+
   test("seqLenFrontier: hand-computed budgets and the conservation identities") {
     // docs with 3, 5, and 10 tokens
     val df = table("id bigint, text string", Seq(

@@ -524,6 +524,24 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("rankNormalize largeGroups path == window path (one-flag-two-modes)") {
+    // skewed groups + value ties + NULLs: the exact shapes where the
+    // two physical plans could diverge if the total orders differed
+    val rnd = new scala.util.Random(17)
+    val df = table("id bigint, g string, v double",
+      (0L until 120L).map { i =>
+        val g = if (i % 8 == 0) "small" else "big" // 7:1 skew
+        val v: Any = if (i % 17 == 0) null else rnd.nextInt(10).toDouble
+        row(i, g, v)
+      }).repartition(9)
+    def run(large: Boolean) =
+      Stats.rankNormalize(df, Seq("g"), "v", "id", "pct",
+          largeGroups = large)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sortBy(_._1).toSeq
+    assert(run(large = true) == run(large = false))
+  }
+
   test("topPaths: ordered truncated paths, tie-broken cutoff, oversize guard") {
     val df = table("u bigint, sid bigint, t_us bigint, eid bigint, et string", Seq(
       row(1L, 1L, 10L, 1L, "view"), row(1L, 1L, 20L, 2L, "click"),
