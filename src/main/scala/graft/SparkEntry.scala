@@ -4298,6 +4298,72 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q213
+  /** Order-independent table fingerprint ([[graft.operators.Quality
+    * .tableFingerprint]]): the cross-engine checksum validating a copy
+    * without a sort — row md5-hash sum as DECIMAL(38,0) over the
+    * portable-cast columns of `orders`, shown next to the fingerprint
+    * of the SAME table with one value perturbed (the detection the
+    * operator exists for). The oracle replays the identical canonical
+    * string, 64-bit hash, and commutative sum. */
+  private def q213TableFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val orders = Tables.orders(s, dir).select(cols.map(col): _*)
+    val perturbed = orders.withColumn("o_orderstatus",
+      when(col("o_orderkey") === 7L, lit("X"))
+        .otherwise(col("o_orderstatus")))
+    Quality.tableFingerprint(orders, cols)
+      .withColumn("variant", lit("original"))
+      .unionByName(Quality.tableFingerprint(perturbed, cols)
+        .withColumn("variant", lit("perturbed")))
+      // as STRING for the gate: a DECIMAL(38,0) survives parquet exactly
+      // but DuckDB->pandas narrows it to float64, faking a mismatch
+      .select(col("variant"), col("n_rows"),
+        col("fingerprint").cast("string").as("fingerprint"))
+      .orderBy("variant")
+  }
+
+  // ---------------------------------------------------------------- q214
+  /** Streaming PII monitor ([[graft.streaming.StreamGate
+    * .replayPiiMonitor]]): q208's seeded documents as a file stream,
+    * each micro-batch through the batch scanner and reduced to one
+    * summary row; the readout SUMS per-batch rows — split-invariant by
+    * commutativity, held to the batch scan's aggregated oracle. */
+  private def q214StreamPiiMonitor(s: SparkSession, dir: String): DataFrame = {
+    val tail = when(pmod(col("doc_id"), lit(4)) === 0,
+        lit(" reach user0@example.com or admin@data.org"))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        lit(" see https://example.com/a_b and http://x.io/p"))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        lit(" host 10.0.0.1 peer 192.168.1.255"))
+      .otherwise(lit(" call 555-123-4567"))
+    val seeded = Tables.documents(s, dir)
+      .select(col("doc_id"), concat(col("text"), tail).as("text"))
+    graft.streaming.StreamGate.replayPiiMonitor(seeded, "doc_id", "text")
+  }
+
+  // ---------------------------------------------------------------- q215
+  /** Functional-dependency audit ([[graft.operators.Quality
+    * .functionalDependencyAudit]]): a dependency that HOLDS
+    * (doc_id → lang — unique lhs) next to one that FAILS
+    * (lang → source — every language spans many sources), because the
+    * two readings a user needs are "clean" and "how broken". One
+    * two-level aggregation per audit, no join, no window. */
+  private def q215FdAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    val docs = Tables.documents(s, dir)
+    Quality.functionalDependencyAudit(docs, Seq("doc_id"), Seq("lang"))
+      .withColumn("dependency", lit("doc_id->lang"))
+      .unionByName(
+        Quality.functionalDependencyAudit(docs, Seq("lang"), Seq("source"))
+          .withColumn("dependency", lit("lang->source")))
+      .select(col("dependency"), col("n_groups"), col("n_violating_groups"),
+        col("n_violating_rows"), col("max_rhs_variants"))
+      .orderBy("dependency")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4511,6 +4577,9 @@ object SparkEntry {
     "q210_kcore" -> (q210KCore _),
     "q211_stream_shot_boundaries" -> (q211StreamShotBoundaries _),
     "q212_source_interleave" -> (q212SourceInterleave _),
+    "q213_table_fingerprint" -> (q213TableFingerprint _),
+    "q214_stream_pii_monitor" -> (q214StreamPiiMonitor _),
+    "q215_fd_audit" -> (q215FdAudit _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -5508,6 +5577,110 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (ORDER BY k, source, doc_id) - 1 AS BIGINT)
         |    AS train_pos
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q213_table_fingerprint" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |  FROM orders
+        |), v AS (
+        |  SELECT 'original' AS variant, o_orderkey, o_custkey,
+        |    o_orderstatus, o_orderpriority FROM src
+        |  UNION ALL
+        |  SELECT 'perturbed', o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey = 7 THEN 'X' ELSE o_orderstatus END,
+        |    o_orderpriority FROM src
+        |), canon AS (
+        |  SELECT variant,
+        |    md5(COALESCE(CAST(o_orderkey AS VARCHAR), chr(2)) || chr(1) ||
+        |        COALESCE(CAST(o_custkey AS VARCHAR), chr(2)) || chr(1) ||
+        |        COALESCE(o_orderstatus, chr(2)) || chr(1) ||
+        |        COALESCE(o_orderpriority, chr(2))) AS h
+        |  FROM v
+        |), halves AS (
+        |  SELECT variant,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(h, CAST(i+1 AS INT), 1)) - 1) * 16**(7-i)))
+        |      AS BIGINT) AS hi,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(h, CAST(i+9 AS INT), 1)) - 1) * 16**(7-i)))
+        |      AS BIGINT) AS lo
+        |  FROM canon
+        |), sig AS (
+        |  SELECT variant,
+        |    CASE WHEN hi >= 2147483648
+        |         THEN (hi - 4294967296)*4294967296 + lo
+        |         ELSE hi*4294967296 + lo END AS s
+        |  FROM halves
+        |)
+        |SELECT variant, COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(s AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS VARCHAR) AS fingerprint
+        |FROM sig GROUP BY variant ORDER BY variant""".stripMargin,
+    // the streaming monitor is held to the batch scanner's aggregated
+    // ground truth (every statistic is a SUM — split-invariant)
+    "q214_stream_pii_monitor" ->
+      """WITH seeded AS (
+        |  SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN ' reach user0@example.com or admin@data.org'
+        |    WHEN 1 THEN ' see https://example.com/a_b and http://x.io/p'
+        |    WHEN 2 THEN ' host 10.0.0.1 peer 192.168.1.255'
+        |    ELSE ' call 555-123-4567' END AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      AS email_hits,
+        |    CAST(len(regexp_extract_all(t,
+        |      'https?://[A-Za-z0-9./_%-]+')) AS BIGINT) AS url_hits,
+        |    CAST(len(regexp_extract_all(t,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+        |      AS ipv4_hits,
+        |    CAST(len(regexp_extract_all(t,
+        |      '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS phone_hits
+        |  FROM seeded
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(email_hits) AS BIGINT) AS email_hits,
+        |  CAST(SUM(url_hits) AS BIGINT) AS url_hits,
+        |  CAST(SUM(ipv4_hits) AS BIGINT) AS ipv4_hits,
+        |  CAST(SUM(phone_hits) AS BIGINT) AS phone_hits,
+        |  CAST(SUM(email_hits + url_hits + ipv4_hits + phone_hits)
+        |    AS BIGINT) AS pii_total,
+        |  CAST(SUM(CASE WHEN email_hits + url_hits + ipv4_hits
+        |    + phone_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM c""".stripMargin,
+    "q215_fd_audit" ->
+      """WITH p1 AS (
+        |  SELECT doc_id, COUNT(*) AS variants, SUM(c) AS n FROM (
+        |    SELECT doc_id, lang, COUNT(*) AS c FROM documents
+        |    GROUP BY 1, 2) GROUP BY 1
+        |), r1 AS (
+        |  SELECT 'doc_id->lang' AS dependency,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating_groups,
+        |    CAST(COALESCE(SUM(CASE WHEN variants > 1 THEN n END), 0)
+        |      AS BIGINT) AS n_violating_rows,
+        |    CAST(COALESCE(MAX(variants), 0) AS BIGINT) AS max_rhs_variants
+        |  FROM p1
+        |), p2 AS (
+        |  SELECT lang, COUNT(*) AS variants, SUM(c) AS n FROM (
+        |    SELECT lang, source, COUNT(*) AS c FROM documents
+        |    GROUP BY 1, 2) GROUP BY 1
+        |), r2 AS (
+        |  SELECT 'lang->source' AS dependency,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating_groups,
+        |    CAST(COALESCE(SUM(CASE WHEN variants > 1 THEN n END), 0)
+        |      AS BIGINT) AS n_violating_rows,
+        |    CAST(COALESCE(MAX(variants), 0) AS BIGINT) AS max_rhs_variants
+        |  FROM p2
+        |)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |ORDER BY dependency""".stripMargin,
     "q166_dedup_savings" -> dedupSavingsOracle,
     "q47_bloom_pruned_join" ->
       """SELECT p_brand, COUNT(*) AS n_rows,

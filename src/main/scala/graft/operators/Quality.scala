@@ -200,6 +200,93 @@ object Quality {
       .withColumn("has_pii", col("pii_total") > 0L)
   }
 
+  /** Order-independent table fingerprint — the cross-engine checksum
+    * that validates a 100 TB copy/migration/backfill WITHOUT sorting:
+    * each row canonicalizes to a delimited string (NULL marked
+    * distinctly from the empty string, so `(NULL, "x")` and
+    * `("", "x")` differ), hashes through the portable 64-bit md5 hash,
+    * and the fingerprint is the plain SUM of row hashes as
+    * DECIMAL(38,0) — commutative, so partition order, shuffle order,
+    * and engine choice cannot move it, and any single-row change
+    * almost surely does (the sum is not collision-proof against an
+    * adversary; it is a pipeline-integrity check, not a MAC).
+    *
+    * Column cast caveat, stated loudly: canonicalization is
+    * `CAST(col AS STRING)`, which is only engine-portable for
+    * integers, strings, booleans, and dates — float/double/timestamp
+    * renderings differ across engines, so fingerprint those through an
+    * explicit decimal/epoch canonicalization FIRST. This is checked:
+    * non-portable column types are refused at plan time.
+    *
+    * Scale shape: one map-side-combined aggregation, no sort, no
+    * shuffle beyond the single-row final combine. Output: one row —
+    * (`n_rows`, `fingerprint` DECIMAL(38,0)). */
+  def tableFingerprint(
+      df: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(cols.nonEmpty, "tableFingerprint needs columns")
+    cols.foreach { c =>
+      val t = df.schema(c).dataType
+      require(Seq[DataType](ByteType, ShortType, IntegerType, LongType,
+          StringType, BooleanType, DateType).contains(t) ||
+          t.isInstanceOf[DecimalType],
+        s"tableFingerprint: column '$c' is $t — CAST TO STRING is not " +
+          "engine-portable for this type; canonicalize it explicitly " +
+          "(decimal for floats, epoch integer for timestamps) first")
+    }
+    // \u0001 separates fields (so ("ab","c") and ("a","bc") differ);
+    // \u0002 marks NULL (distinct from the empty string); both render
+    // as one identical UTF-8 byte on either engine
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    df.select(graft.functions.TextFunctions.portableTokenHash64(canon)
+        .as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("__h").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("fingerprint"))
+  }
+
+  /** Functional-dependency audit — the "one key, one fact" contract
+    * ([[referentialIntegrity]]'s intra-table sibling): does
+    * `lhs → rhs` hold, i.e. does every distinct `lhs` tuple map to
+    * exactly one `rhs` tuple? Violations are the classic silent
+    * corruption of merged/backfilled dimensions (one customer id, two
+    * nations) that row-local [[check]] rules cannot see. Returns ONE
+    * summary row — lhs groups, violating groups, violating rows, and
+    * the worst group's distinct-rhs count — because the fix for "3
+    * groups disagree" (patch them) differs from "40% disagree" (the
+    * dependency is simply false).
+    *
+    * NULL semantics, stated: NULL lhs tuples form their own group
+    * (audited like any other); distinct-rhs counting treats NULL as a
+    * value (`(1, NULL)` and `(1, 'x')` is a violation).
+    *
+    * Scale shape: ONE map-side-combined aggregation on lhs (distinct
+    * rhs per group via a two-level group-by), then a group-bounded
+    * rollup — no join, no window. Output: (`n_groups`,
+    * `n_violating_groups`, `n_violating_rows`, `max_rhs_variants`). */
+  def functionalDependencyAudit(
+      df: DataFrame,
+      lhs: Seq[String],
+      rhs: Seq[String]): DataFrame = {
+    require(lhs.nonEmpty && rhs.nonEmpty,
+      "functionalDependencyAudit needs lhs and rhs columns")
+    require(lhs.intersect(rhs).isEmpty,
+      s"lhs and rhs overlap: ${lhs.intersect(rhs).mkString(", ")}")
+    val perPair = df.groupBy((lhs ++ rhs).map(col): _*)
+      .agg(count(lit(1)).as("__rows"))
+    val perGroup = perPair.groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("__variants"), sum(col("__rows")).as("__n"))
+    perGroup.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("__variants") > 1, 1L).otherwise(0L))
+        .as("n_violating_groups"),
+      coalesce(sum(when(col("__variants") > 1, col("__n"))), lit(0L))
+        .as("n_violating_rows"),
+      coalesce(max(col("__variants")), lit(0L)).as("max_rhs_variants"))
+  }
+
   /** Referential-integrity audit — the foreign-key contract [[check]]
     * cannot express with row-local predicates: every child row's key
     * should resolve in the parent ("no order without its customer").

@@ -569,6 +569,70 @@ object StreamGate {
     }
   }
 
+  /** Streaming PII monitor: the document feed micro-batched, each
+    * batch scanned by the BATCH [[graft.operators.Quality.piiScan]]
+    * and reduced to ONE per-batch summary row (per-category hit
+    * totals + flagged-doc count) appended to the result log; the
+    * final readout SUMS the per-batch rows. Every statistic is a plain
+    * SUM over per-document counts, so the micro-batch split provably
+    * cannot change the totals — the monitor is held to the batch
+    * operator's aggregated oracle (q214 vs q208's seeding). This is
+    * the ingest-time privacy dashboard: per-batch rows double as the
+    * alarm feed (a batch whose `n_flagged` spikes is a scraped
+    * directory landing), the final row as the corpus answer.
+    *
+    * Output: one row — (`n_docs`, per-category `<cat>_hits`...,
+    * `pii_total`, `n_flagged`).
+    * @note one-generation replay contract — see the object doc. */
+  def replayPiiMonitor(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[(String, String)] =
+        graft.operators.Quality.defaultPiiPatterns,
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = docs.sparkSession
+    val src = tempDir("graft_pii_src")
+    docs.coalesce(8).write.mode("overwrite").parquet(src)
+    val out = tempDir("graft_stream_out")
+    val ck = tempDir("graft_stream_ck")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
+    val catCols = patterns.map { case (cat, _) => s"${cat}_hits" }
+    try {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Quality.piiScan(batch, idCol, textCol, patterns)
+            .agg(count(lit(1)).as("n_docs"),
+              catCols.map(c => sum(col(c)).as(c)) ++ Seq(
+                sum(col("pii_total")).as("pii_total"),
+                sum(when(col("has_pii"), 1L).otherwise(0L))
+                  .as("n_flagged")): _*)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
+      val perBatch = spark.read.parquet(out)
+      releaseLastReplay(perBatch
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+          catCols.map(c => coalesce(sum(col(c)), lit(0L)).as(c)) ++ Seq(
+            coalesce(sum(col("pii_total")), lit(0L)).as("pii_total"),
+            coalesce(sum(col("n_flagged")), lit(0L)).as("n_flagged")): _*)
+        .localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, out, ck).foreach(deleteRecursively)
+    }
+  }
+
   /** Streaming incremental aggregate maintenance: the fact feed
     * micro-batched into shards (`maxFilesPerTrigger`), each batch
     * summarized by [[graft.operators.Maintain.summarize]] and FOLDED

@@ -211,4 +211,69 @@ class QualitySpec extends AnyFunSuite {
       Quality.piiScan(df, "id", "t", Seq("not a col name" -> "x"))
     }
   }
+
+  test("tableFingerprint: order-independent, change-sensitive, NULL-distinct") {
+    val df = table("k bigint, s string", Seq(
+      row(1L, "ab"), row(2L, "cd"), row(3L, null)))
+    def fp(d: org.apache.spark.sql.DataFrame) = {
+      val r = Quality.tableFingerprint(d, Seq("k", "s")).head()
+      (r.getLong(0), r.getDecimal(1).toBigInteger)
+    }
+    val base = fp(df)
+    assert(base._1 == 3L)
+    // shuffle/partitioning invariance: the sum is commutative
+    assert(fp(df.repartition(5)) == base)
+    assert(fp(df.orderBy(org.apache.spark.sql.functions.col("s").desc)) == base)
+    // any single-value change moves the fingerprint
+    assert(fp(table("k bigint, s string", Seq(
+      row(1L, "ab"), row(2L, "ce"), row(3L, null)))) != base)
+    // NULL is not the empty string
+    assert(fp(table("k bigint, s string", Seq(
+      row(1L, "ab"), row(2L, "cd"), row(3L, "")))) != base)
+    // field boundaries are framed: ("ab","c") != ("a","bc")
+    val t1 = table("a string, b string", Seq(row("ab", "c")))
+    val t2 = table("a string, b string", Seq(row("a", "bc")))
+    assert(Quality.tableFingerprint(t1, Seq("a", "b")).head().getDecimal(1) !=
+      Quality.tableFingerprint(t2, Seq("a", "b")).head().getDecimal(1))
+    // the JVM reference hash: one row, hand-composed canonical string
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("1\u0001ab".getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+    val expected = new java.math.BigInteger(md, 16).longValue()
+    val one = Quality.tableFingerprint(
+      table("k bigint, s string", Seq(row(1L, "ab"))), Seq("k", "s")).head()
+    assert(one.getDecimal(1).toBigInteger ==
+      java.math.BigInteger.valueOf(expected), one.toString)
+    // non-portable types are refused at plan time
+    val err = intercept[IllegalArgumentException] {
+      Quality.tableFingerprint(
+        table("k bigint, x double", Seq(row(1L, 0.5))), Seq("k", "x"))
+    }
+    assert(err.getMessage.contains("not"), err.getMessage)
+  }
+
+  test("functionalDependencyAudit: held and violated dependencies, NULL groups") {
+    val df = table("k bigint, g string, x string", Seq(
+      row(1L, "a", "p"), row(2L, "a", "p"),   // a -> p (held, 2 rows)
+      row(3L, "b", "p"), row(4L, "b", "q"),   // b -> {p, q} (violated)
+      row(5L, "b", "q"),
+      row(6L, null, "p"), row(7L, null, null))) // NULL group, NULL variant
+    val r = Quality.functionalDependencyAudit(df, Seq("g"), Seq("x")).head()
+    // groups: a, b, NULL = 3; violators: b (2 variants), NULL (p + NULL)
+    assert(r.getLong(0) == 3L, r.toString)
+    assert(r.getLong(1) == 2L, r.toString)
+    assert(r.getLong(2) == 5L, r.toString) // rows 3,4,5 + 6,7
+    assert(r.getLong(3) == 2L, r.toString)
+    // a dependency that HOLDS reports zero violators
+    val held = Quality.functionalDependencyAudit(df, Seq("k"), Seq("g", "x"))
+      .head()
+    assert(held.getLong(0) == 7L && held.getLong(1) == 0L &&
+      held.getLong(2) == 0L && held.getLong(3) == 1L, held.toString)
+    intercept[IllegalArgumentException] {
+      Quality.functionalDependencyAudit(df, Seq("g"), Seq("g", "x"))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.functionalDependencyAudit(df, Nil, Seq("x"))
+    }
+  }
 }

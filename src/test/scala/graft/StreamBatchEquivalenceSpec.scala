@@ -189,6 +189,34 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       obs.toString)
   }
 
+  test("stream PII monitor == batch piiScan totals across micro-batches") {
+    import graft.operators.Quality
+    import graft.streaming.StreamGate
+    val docs = table("id bigint, t string",
+      (0L until 24L).map { i =>
+        val t = i % 4 match {
+          case 0 => s"doc $i mail u$i@ex.com"
+          case 1 => s"doc $i at https://ex.io/p$i"
+          case 2 => s"doc $i host 10.0.0.$i"
+          case _ => s"doc $i clean"
+        }
+        row(i, t)
+      }).repartition(8)
+    val batch = Quality.piiScan(docs, "id", "t")
+      .agg(count(lit(1)), sum(col("email_hits")), sum(col("url_hits")),
+        sum(col("ipv4_hits")), sum(col("phone_hits")),
+        sum(col("pii_total")),
+        sum(when(col("has_pii"), 1L).otherwise(0L)))
+      .head().toSeq
+    val streamed = StreamGate.replayPiiMonitor(docs, "id", "t",
+      filesPerTrigger = 1).head().toSeq
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.head.asInstanceOf[Long] == 24L)
+    val obs = StreamGate.lastReplayObservability
+    assert(obs.exists(o => o.microBatches >= 8 && o.droppedLateRows == 0),
+      obs.toString)
+  }
+
   test("stream KS drift == batch ksStatistic across micro-batches") {
     import graft.operators.Profile
     val ev = events
