@@ -4364,6 +4364,40 @@ object SparkEntry {
       .orderBy("dependency")
   }
 
+  // ---------------------------------------------------------------- q216
+  /** Incremental fingerprint maintenance ([[graft.operators.Quality
+    * .tableFingerprintDelta]]): after a one-row UPDATE (old version
+    * deleted, new version inserted), the stored fingerprint advances
+    * by ONE pass over the delta — and must land exactly on the full
+    * recompute of the updated table. Both paths are emitted and
+    * compared; the oracle replays the same hash sums and the same
+    * add/subtract fold. The 100 TB point: integrity checking joins
+    * the algebraic-merge family — history never rescanned. */
+  private def q216FingerprintDelta(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val orders = Tables.orders(s, dir).select(cols.map(col): _*)
+    val oldRow = orders.filter(col("o_orderkey") === 7L)
+    val newRow = oldRow.withColumn("o_orderstatus", lit("X"))
+    val newTable = orders.withColumn("o_orderstatus",
+      when(col("o_orderkey") === 7L, lit("X"))
+        .otherwise(col("o_orderstatus")))
+    val parts = Quality.tableFingerprint(orders, cols)
+      .select(lit("base").as("part"), col("fingerprint").as("v"))
+      .unionByName(Quality.tableFingerprintDelta(newRow, oldRow, cols)
+        .select(lit("delta").as("part"), col("delta").as("v")))
+      .unionByName(Quality.tableFingerprint(newTable, cols)
+        .select(lit("recomputed").as("part"), col("fingerprint").as("v")))
+    parts.agg(
+        sum(when(col("part").isin("base", "delta"), col("v")))
+          .cast("decimal(38,0)").cast("string").as("incremental_fp"),
+        sum(when(col("part") === "recomputed", col("v")))
+          .cast("decimal(38,0)").cast("string").as("recomputed_fp"))
+      .withColumn("consistent",
+        col("incremental_fp") === col("recomputed_fp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4580,6 +4614,7 @@ object SparkEntry {
     "q213_table_fingerprint" -> (q213TableFingerprint _),
     "q214_stream_pii_monitor" -> (q214StreamPiiMonitor _),
     "q215_fd_audit" -> (q215FdAudit _),
+    "q216_fingerprint_delta" -> (q216FingerprintDelta _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -5651,6 +5686,63 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN email_hits + url_hits + ipv4_hits
         |    + phone_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM c""".stripMargin,
+    "q216_fingerprint_delta" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |  FROM orders
+        |), v AS (
+        |  SELECT 'base' AS part, o_orderkey, o_custkey, o_orderstatus,
+        |    o_orderpriority FROM src
+        |  UNION ALL
+        |  SELECT 'recomputed', o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey = 7 THEN 'X' ELSE o_orderstatus END,
+        |    o_orderpriority FROM src
+        |  UNION ALL
+        |  SELECT 'ins', o_orderkey, o_custkey, 'X', o_orderpriority
+        |  FROM src WHERE o_orderkey = 7
+        |  UNION ALL
+        |  SELECT 'del', o_orderkey, o_custkey, o_orderstatus,
+        |    o_orderpriority FROM src WHERE o_orderkey = 7
+        |), canon AS (
+        |  SELECT part,
+        |    md5(COALESCE(CAST(o_orderkey AS VARCHAR), chr(2)) || chr(1) ||
+        |        COALESCE(CAST(o_custkey AS VARCHAR), chr(2)) || chr(1) ||
+        |        COALESCE(o_orderstatus, chr(2)) || chr(1) ||
+        |        COALESCE(o_orderpriority, chr(2))) AS h
+        |  FROM v
+        |), halves AS (
+        |  SELECT part,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(h, CAST(i+1 AS INT), 1)) - 1) * 16**(7-i)))
+        |      AS BIGINT) AS hi,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(h, CAST(i+9 AS INT), 1)) - 1) * 16**(7-i)))
+        |      AS BIGINT) AS lo
+        |  FROM canon
+        |), sig AS (
+        |  SELECT part,
+        |    CASE WHEN hi >= 2147483648
+        |         THEN (hi - 4294967296)*4294967296 + lo
+        |         ELSE hi*4294967296 + lo END AS s
+        |  FROM halves
+        |), agg AS (
+        |  SELECT part, SUM(CAST(s AS DECIMAL(38,0))) AS f
+        |  FROM sig GROUP BY part
+        |), pv AS (
+        |  SELECT
+        |    (SELECT f FROM agg WHERE part = 'base')
+        |      + (SELECT f FROM agg WHERE part = 'ins')
+        |      - (SELECT f FROM agg WHERE part = 'del') AS inc,
+        |    (SELECT f FROM agg WHERE part = 'recomputed') AS rec
+        |)
+        |SELECT
+        |  CAST(CAST(inc AS DECIMAL(38,0)) AS VARCHAR) AS incremental_fp,
+        |  CAST(CAST(rec AS DECIMAL(38,0)) AS VARCHAR) AS recomputed_fp,
+        |  CAST(inc AS DECIMAL(38,0)) = CAST(rec AS DECIMAL(38,0))
+        |    AS consistent
+        |FROM pv""".stripMargin,
     "q215_fd_audit" ->
       """WITH p1 AS (
         |  SELECT doc_id, COUNT(*) AS variants, SUM(c) AS n FROM (

@@ -247,6 +247,35 @@ object Quality {
           lit(0).cast("decimal(38,0)")).as("fingerprint"))
   }
 
+  /** Incremental [[tableFingerprint]] maintenance — the point of a
+    * COMMUTATIVE checksum: after a CDC batch, the new fingerprint is
+    * `fp_old + Σhash(inserted) − Σhash(deleted)` — an update costs one
+    * pass over the DELTA, never a rescan of the 100 TB base (the
+    * [[Maintain]] algebraic-merge discipline applied to integrity
+    * checking; an UPDATE is its old row in `deleted` plus its new row
+    * in `inserted`). Returns one row — (`n_inserted`, `n_deleted`,
+    * `delta` DECIMAL(38,0)) — to fold into the stored fingerprint.
+    * Same column-portability contract as [[tableFingerprint]]. */
+  def tableFingerprintDelta(
+      inserted: DataFrame,
+      deleted: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val ins = tableFingerprint(inserted, cols)
+      .select(col("n_rows").as("n_inserted"),
+        col("fingerprint").as("__fi"))
+    val del = tableFingerprint(deleted, cols)
+      .select(col("n_rows").as("n_deleted"),
+        col("fingerprint").as("__fd"))
+    // two one-row frames: union-and-fold, never a joined plan shape
+    ins.select(col("n_inserted"), lit(0L).as("n_deleted"),
+        col("__fi").as("__f"))
+      .unionByName(del.select(lit(0L).as("n_inserted"),
+        col("n_deleted"), (-col("__fd")).as("__f")))
+      .agg(sum(col("n_inserted")).as("n_inserted"),
+        sum(col("n_deleted")).as("n_deleted"),
+        sum(col("__f")).cast("decimal(38,0)").as("delta"))
+  }
+
   /** Functional-dependency audit — the "one key, one fact" contract
     * ([[referentialIntegrity]]'s intra-table sibling): does
     * `lhs → rhs` hold, i.e. does every distinct `lhs` tuple map to

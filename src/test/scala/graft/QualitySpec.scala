@@ -252,6 +252,29 @@ class QualitySpec extends AnyFunSuite {
     assert(err.getMessage.contains("not"), err.getMessage)
   }
 
+  test("tableFingerprintDelta: fp(base) + delta == fp(after CDC), randomized") {
+    val rnd = new scala.util.Random(23)
+    (0 until 3).foreach { trial =>
+      val base = (0L until 30L).map(i => (i, s"v${rnd.nextInt(9)}"))
+      val delIds = rnd.shuffle(base.map(_._1)).take(5).toSet
+      val inserted = (100L until 104L).map(i => (i, s"n$i")) ++
+        delIds.take(2).map(i => (i, "updated")) // updates: del old, ins new
+      val after = base.filterNot(r => delIds(r._1)) ++ inserted
+      def df(rows: Seq[(Long, String)]) =
+        table("k bigint, s string", rows.map(r => row(r._1, r._2)))
+      def fp(d: org.apache.spark.sql.DataFrame) =
+        Quality.tableFingerprint(d, Seq("k", "s")).head()
+          .getDecimal(1).toBigInteger
+      val delta = Quality.tableFingerprintDelta(
+          df(inserted), df(base.filter(r => delIds(r._1))), Seq("k", "s"))
+        .head()
+      assert(delta.getLong(0) == inserted.size.toLong)
+      assert(delta.getLong(1) == 5L)
+      assert(fp(df(base)).add(delta.getDecimal(2).toBigInteger) ==
+        fp(df(after)), s"trial $trial: incremental != recompute")
+    }
+  }
+
   test("functionalDependencyAudit: held and violated dependencies, NULL groups") {
     val df = table("k bigint, g string, x string", Seq(
       row(1L, "a", "p"), row(2L, "a", "p"),   // a -> p (held, 2 rows)
