@@ -4398,6 +4398,40 @@ object SparkEntry {
         col("incremental_fp") === col("recomputed_fp"))
   }
 
+  // ---------------------------------------------------------------- q217
+  /** Deterministic Poisson-bootstrap CI ([[graft.operators.Stats
+    * .bootstrapMeanCI]]): the at-scale bootstrap — each row enters
+    * replicate b with weight ~ Poisson(1) decided by INTEGER cutoffs
+    * on the portable hash of (salt, b, id), so the whole resampling
+    * distribution is a pure engine-stable function of the inputs and
+    * the oracle replays every weight, every replicate mean, and the
+    * interpolated percentile pair exactly. */
+  private def q217BootstrapCI(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.bootstrapMeanCI(
+      Tables.events(s, dir), "value", "event_id",
+      nBoot = 100, alpha = 0.05, salt = "boot1")
+
+  // ---------------------------------------------------------------- q218
+  /** Benjamini–Hochberg FDR control ([[graft.operators.Eval
+    * .benjaminiHochberg]]): 500 hypotheses with hash-uniform p-values
+    * and a planted signal block (every 25th p divided by 1000) at
+    * FDR level 0.1 — the step-up rule must reject (essentially) the
+    * planted block and almost nothing else. Every p is a pure
+    * engine-stable double (integer hash / 2^32, then one division),
+    * so ranks, thresholds, and the reject set replay exactly. */
+  private def q218BhFdr(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val h = TextFunctions.portableTokenHash32(
+      concat(lit("bh:"), col("doc_id").cast("string")))
+    val u = h.cast("double") / lit(4294967296.0)
+    val p = when(pmod(col("doc_id"), lit(25)) === 0, u / lit(1000.0))
+      .otherwise(u)
+    val hyp = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("p", p)
+    graft.operators.Eval.benjaminiHochberg(hyp, "doc_id", "p", q = 0.1)
+      .orderBy("p_rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4615,6 +4649,8 @@ object SparkEntry {
     "q214_stream_pii_monitor" -> (q214StreamPiiMonitor _),
     "q215_fd_audit" -> (q215FdAudit _),
     "q216_fingerprint_delta" -> (q216FingerprintDelta _),
+    "q217_bootstrap_ci" -> (q217BootstrapCI _),
+    "q218_bh_fdr" -> (q218BhFdr _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -5686,6 +5722,73 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN email_hits + url_hits + ipv4_hits
         |    + phone_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM c""".stripMargin,
+    "q218_bh_fdr" ->
+      """WITH hyp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 25 = 0 THEN u / 1000.0 ELSE u END AS p
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(list_sum(list_transform(range(8), i ->
+        |        (strpos('0123456789abcdef',
+        |           substr(md5('bh:' || CAST(doc_id AS VARCHAR)),
+        |             CAST(i+1 AS INT), 1)) - 1)
+        |          * 16**(7-i))) AS BIGINT) / 4294967296.0 AS u
+        |    FROM documents)
+        |), mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM hyp
+        |), r AS (
+        |  SELECT doc_id, p,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY p, doc_id) AS BIGINT)
+        |      AS p_rank
+        |  FROM hyp
+        |), f AS (
+        |  SELECT doc_id, p, p_rank,
+        |    p <= (0.1 * CAST(p_rank AS DOUBLE)) / (SELECT m FROM mm) AS fl
+        |  FROM r
+        |), c AS (
+        |  SELECT COALESCE(MAX(CASE WHEN fl THEN p_rank END), 0) AS cut
+        |  FROM f
+        |)
+        |SELECT doc_id, p, p_rank, p_rank <= (SELECT cut FROM c) AS rejected
+        |FROM f ORDER BY p_rank""".stripMargin,
+    "q217_bootstrap_ci" ->
+      """WITH ev AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS id, CAST(value AS DOUBLE) AS x
+        |  FROM events WHERE value IS NOT NULL
+        |), bs AS (SELECT unnest(range(100)) AS bi
+        |), hw AS (
+        |  SELECT bi, x,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5('boot1:' || CAST(bi AS VARCHAR) || ':' || id),
+        |           CAST(i+1 AS INT), 1)) - 1) * 16**(7-i))) AS BIGINT) AS h
+        |  FROM ev CROSS JOIN bs
+        |), w AS (
+        |  SELECT bi, x,
+        |    CASE WHEN h < 1580030168 THEN 0
+        |         WHEN h < 3160060337 THEN 1
+        |         WHEN h < 3950075421 THEN 2
+        |         WHEN h < 4213413783 THEN 3
+        |         WHEN h < 4279248373 THEN 4
+        |         WHEN h < 4292415291 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM hw
+        |), m AS (
+        |  SELECT bi,
+        |    CAST(SUM(CAST(ROUND(w * x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+        |      / CAST(SUM(w) AS DOUBLE) AS mm
+        |  FROM w GROUP BY bi HAVING SUM(w) > 0
+        |), base AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+        |      / COUNT(*) AS mean
+        |  FROM ev
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_boot,
+        |  ROUND(mean, 6) AS mean6,
+        |  ROUND((SELECT quantile_cont(mm, 0.025) FROM m), 6) AS lo6,
+        |  ROUND((SELECT quantile_cont(mm, 0.975) FROM m), 6) AS hi6
+        |FROM base""".stripMargin,
     "q216_fingerprint_delta" ->
       """WITH src AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority

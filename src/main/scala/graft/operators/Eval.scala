@@ -683,4 +683,46 @@ object Eval {
       }
     Seq((n, sd.toDouble, rho)).toDF("n", "sum_d2", "rho6")
   }
+
+  /** Benjamini–Hochberg FDR control — the multiple-comparison step an
+    * experimentation/eval pipeline needs the moment it tests MANY
+    * hypotheses at once (50 metrics × arms, 500 per-slice drift
+    * checks): naive per-test alpha floods the readout with false
+    * discoveries. The step-up rule: sort p ascending, find the LARGEST
+    * rank i with `p_(i) ≤ q·i/m`, reject hypotheses 1..i. Ranks order
+    * by (p, id) — deterministic ties — and the threshold arithmetic is
+    * the identical `(q·i)/m` double expression on both engines, so the
+    * reject set is engine-exact without any rounding emit.
+    *
+    * Scale shape: the global p-sort rides [[General
+    * .withContiguousRowIds]] (range-partitioned, never one sorted
+    * window partition), the step-up cutoff is ONE driver scalar
+    * (max flagged rank), and the final flag is a map-only comparison.
+    * NULL p rejected loudly (an unknown p-value is a pipeline bug, not
+    * a non-discovery). Output: input id + (`p`, `p_rank` 1-based,
+    * `rejected`). The frame reads a sort checkpoint —
+    * [[graft.operators.Blocks.release]] once consumed. */
+  def benjaminiHochberg(
+      df: DataFrame,
+      idCol: String,
+      pCol: String,
+      q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"FDR level q ($q) must be in (0, 1)")
+    val bad = df.filter(col(pCol).isNull ||
+        col(pCol) < 0.0 || col(pCol) > 1.0).limit(1).collect()
+    require(bad.isEmpty,
+      s"benjaminiHochberg: NULL or out-of-[0,1] p-value in '$pCol' " +
+        s"(e.g. ${bad.headOption.map(_.toString).orNull})")
+    val base = df.select(col(idCol), col(pCol).cast("double").as("p"))
+    val m = base.count()
+    require(m > 0, "benjaminiHochberg: no hypotheses")
+    val ranked = General.withContiguousRowIds(base, Seq("p", idCol), "__r0")
+      .withColumn("p_rank", (col("__r0") + 1L))
+      .drop("__r0")
+      .withColumn("__flag",
+        col("p") <= (lit(q) * col("p_rank").cast("double")) / lit(m.toDouble))
+    val cRow = ranked.agg(max(when(col("__flag"), col("p_rank")))).head()
+    val cutoff = if (cRow.isNullAt(0)) 0L else cRow.getLong(0)
+    ranked.withColumn("rejected", col("p_rank") <= cutoff).drop("__flag")
+  }
 }

@@ -219,6 +219,93 @@ object Stats {
       .drop("__cuts")
   }
 
+  /** Poisson(1) CDF as INTEGER cutoffs on the 32-bit portable hash:
+    * `w = k` iff `hash < floor(CDF_k · 2^32)` first holds at k — so the
+    * bootstrap weight is decided by exact integer comparisons that any
+    * engine replays bit-identically (no float CDF in the hot path).
+    * Tail capped at 6 (P(X>6) ≈ 8e-5 — immaterial to a CI). */
+  private[graft] val poissonCuts: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L,
+    4213413783L, 4279248373L, 4292415291L)
+
+  /** Deterministic bootstrap confidence interval for a mean — the
+    * POISSON bootstrap, the at-scale variant of resampling: instead of
+    * drawing n rows with replacement per replicate (which needs global
+    * coordination), each row enters replicate `b` with weight
+    * `w ~ Poisson(1)` decided by the portable hash of (salt, b, id) —
+    * for large n the replicate is a with-replacement resample in
+    * distribution, and the whole procedure is a pure function of
+    * (salt, id): reruns and engines agree on every replicate.
+    *
+    * Per-replicate means accumulate per-term-rounded DECIMAL sums (the
+    * [[graft.operators.Corpus.zipfFit]] discipline — fold-order-free),
+    * the point estimate is the plain mean, and the interval is the
+    * exact interpolated (alpha/2, 1−alpha/2) percentile pair over the
+    * `nBoot` replicate means. NULL values are excluded (no value, no
+    * resample weight).
+    *
+    * Scale shape: the row×replicate expansion is MAP-SIDE
+    * (`explode(sequence)`, no join, no shuffle of the raw corpus); the
+    * shuffle carries `nBoot` partial sums per map task (map-side
+    * combine), and the percentile runs over the nBoot-bounded means
+    * table. Cost is `nBoot`× one scan's worth of map work — bounded
+    * and stated, not hidden. Output: one row — (`n`, `n_boot`,
+    * `mean6`, `lo6`, `hi6`). */
+  def bootstrapMeanCI(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String,
+      nBoot: Int = 100,
+      alpha: Double = 0.05,
+      salt: String = "boot"): DataFrame = {
+    require(nBoot >= 10, s"nBoot ($nBoot) must be >= 10 for a usable CI")
+    require(alpha > 0.0 && alpha < 0.5, s"alpha ($alpha) must be in (0, 0.5)")
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__x"),
+        col(idCol).cast("string").as("__id"))
+    val h = graft.functions.TextFunctions.portableTokenHash32(
+      concat(lit(salt), lit(":"), col("__b").cast("string"),
+        lit(":"), col("__id")))
+    val w = poissonCuts.zipWithIndex
+      .foldRight(lit(6): org.apache.spark.sql.Column) {
+      case ((cut, k), e) => when(h < cut, lit(k)).otherwise(e)
+    }
+    val means = rows
+      .select(col("__x"), col("__id"),
+        explode(sequence(lit(0), lit(nBoot - 1))).as("__b"))
+      .withColumn("__w", w)
+      .groupBy("__b")
+      .agg(sum(col("__w")).as("__cnt"),
+        sum(round(col("__w") * col("__x"), 9).cast("decimal(38,9)"))
+          .as("__s"))
+      .filter(col("__cnt") > 0)
+      .select((col("__s").cast("double") / col("__cnt").cast("double"))
+        .as("__m"))
+    val base = rows.agg(count(lit(1)).as("n"),
+      (sum(round(col("__x"), 9).cast("decimal(38,9)")).cast("double") /
+        count(lit(1))).as("__mean"))
+    val lo = alpha / 2.0
+    val hi = 1.0 - alpha / 2.0
+    val ci = means.agg(
+      expr(s"percentile(__m, ${lo}D)").as("__lo"),
+      expr(s"percentile(__m, ${hi}D)").as("__hi"),
+      count(lit(1)).as("n_boot"))
+    // fold the two one-row frames without a join: label + union + agg
+    val labeled = base.select(lit("b").as("p"), col("n").cast("double").as("a"),
+        col("__mean").as("m"), lit(null).cast("double").as("l"),
+        lit(null).cast("double").as("h2"), lit(null).cast("double").as("nb"))
+      .unionByName(ci.select(lit("c").as("p"),
+        lit(null).cast("double").as("a"), lit(null).cast("double").as("m"),
+        col("__lo").as("l"), col("__hi").as("h2"),
+        col("n_boot").cast("double").as("nb")))
+    labeled.agg(
+      max(col("a")).cast("long").as("n"),
+      max(col("nb")).cast("long").as("n_boot"),
+      round(max(col("m")), 6).as("mean6"),
+      round(max(col("l")), 6).as("lo6"),
+      round(max(col("h2")), 6).as("hi6"))
+  }
+
   /** Per-group rank normalization — the distribution-free rescaling
     * that makes scores COMPARABLE ACROSS GROUPS before a global
     * policy consumes them ("mix by quality percentile within each

@@ -390,4 +390,52 @@ class EvalSpec extends AnyFunSuite {
       Eval.cohenKappa(df.filter(lit(false)), "x", "y")
     }
   }
+
+  test("benjaminiHochberg: textbook step-up, step-up monotonicity, guards") {
+    // hand-worked step-up (m=10, q=0.25): thresholds q*i/m =
+    // .025 .05 .075 .1 .125 .15 .175 .2 .225 .25; the LARGEST i with
+    // p_(i) <= q*i/m is 5 (.042 <= .125; every later p exceeds its
+    // threshold), so ranks 1..5 reject — including .039/.041/.042,
+    // which only pass via the step-up (naive per-test q/m = .025
+    // would keep p1 alone)
+    val ps = Seq(0.001, 0.008, 0.039, 0.041, 0.042, 0.260, 0.270,
+      0.280, 0.300, 0.900)
+    val df = table("id bigint, p double",
+      ps.zipWithIndex.map { case (p, i) => row(i.toLong, p) })
+    val got = Eval.benjaminiHochberg(df, "id", "p", q = 0.25)
+      .orderBy("p_rank").collect()
+      .map(r => (r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(_._1).toSeq == ps)
+    assert(got.count(_._3) == 5, got.mkString(","))
+    assert(got.take(5).forall(_._3) && got.drop(5).forall(!_._3))
+    // contiguity invariant on random inputs: the reject set is always
+    // a PREFIX of the p-ranking (never a gap)
+    val rnd = new scala.util.Random(41)
+    (0 until 3).foreach { trial =>
+      val rdf = table("id bigint, p double",
+        (0L until 60L).map(i => row(i,
+          if (i % 10 == 0) rnd.nextDouble() / 500 else rnd.nextDouble())))
+      val flags = Eval.benjaminiHochberg(rdf, "id", "p", q = 0.1)
+        .orderBy("p_rank").collect().map(_.getBoolean(3))
+      val k = flags.count(identity)
+      assert(flags.take(k).forall(identity) && flags.drop(k).forall(!_),
+        s"trial $trial: reject set not a prefix")
+    }
+    // nothing significant -> nothing rejected (cutoff 0, no crash)
+    val none = table("id bigint, p double",
+      (0L until 20L).map(i => row(i, 0.9 + i * 0.004)))
+    assert(Eval.benjaminiHochberg(none, "id", "p", q = 0.05)
+      .filter(col("rejected")).count() == 0)
+    intercept[IllegalArgumentException] {
+      Eval.benjaminiHochberg(df, "id", "p", q = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Eval.benjaminiHochberg(
+        table("id bigint, p double", Seq(row(1L, 1.7))), "id", "p", 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Eval.benjaminiHochberg(
+        table("id bigint, p double", Seq(row(1L, null))), "id", "p", 0.1)
+    }
+  }
 }

@@ -524,6 +524,38 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrapMeanCI: deterministic, brackets the mean, Poisson weights sane") {
+    val rnd = new scala.util.Random(31)
+    val df = table("id bigint, v double",
+      (0L until 800L).map(i => row(i, 10.0 + rnd.nextGaussian())))
+    val r1 = Stats.bootstrapMeanCI(df, "v", "id", nBoot = 60,
+      salt = "s1").head()
+    val (n, nb, m, lo, hi) = (r1.getLong(0), r1.getLong(1),
+      r1.getDouble(2), r1.getDouble(3), r1.getDouble(4))
+    assert(n == 800L && nb == 60L)
+    assert(lo < m && m < hi, r1.toString)
+    // the CI of an 800-sample N(10, 1) mean is tight around 10
+    assert(lo > 9.5 && hi < 10.5, r1.toString)
+    // width ~ 2*1.96/sqrt(800) ~ 0.14: sane, not degenerate
+    assert(hi - lo > 0.02 && hi - lo < 0.5, r1.toString)
+    // deterministic: rerun identical; new salt draws a different CI
+    assert(Stats.bootstrapMeanCI(df, "v", "id", nBoot = 60,
+      salt = "s1").head().toSeq == r1.toSeq)
+    assert(Stats.bootstrapMeanCI(df, "v", "id", nBoot = 60,
+      salt = "s2").head().getDouble(3) != lo)
+    // NULL values excluded from n and the resample
+    val withNulls = table("id bigint, v double",
+      (0L until 50L).map(i => row(i, if (i % 5 == 0) null else 1.0)))
+    assert(Stats.bootstrapMeanCI(withNulls, "v", "id").head()
+      .getLong(0) == 40L)
+    intercept[IllegalArgumentException] {
+      Stats.bootstrapMeanCI(df, "v", "id", nBoot = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Stats.bootstrapMeanCI(df, "v", "id", alpha = 0.8)
+    }
+  }
+
   test("rankNormalize largeGroups path == window path (one-flag-two-modes)") {
     // skewed groups + value ties + NULLs: the exact shapes where the
     // two physical plans could diverge if the total orders differed
