@@ -4432,6 +4432,23 @@ object SparkEntry {
       .orderBy("p_rank")
   }
 
+  // ---------------------------------------------------------------- q219
+  /** Streaming fingerprint monitor ([[graft.streaming.StreamGate
+    * .replayFingerprintMonitor]]): the orders feed micro-batched, each
+    * batch's (count, hash-sum) row appended, readout = the SUM — the
+    * q216 delta algebra, so the streamed fingerprint provably equals
+    * the batch fingerprint of the whole feed. Held to the batch
+    * computation's oracle; closes the fingerprint matrix batch (q213)
+    * / incremental (q216) / stream (this). */
+  private def q219StreamFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    graft.streaming.StreamGate.replayFingerprintMonitor(
+        Tables.orders(s, dir).select(cols.map(col): _*), cols)
+      .select(col("n_rows"),
+        col("fingerprint").cast("string").as("fingerprint"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4651,6 +4668,7 @@ object SparkEntry {
     "q216_fingerprint_delta" -> (q216FingerprintDelta _),
     "q217_bootstrap_ci" -> (q217BootstrapCI _),
     "q218_bh_fdr" -> (q218BhFdr _),
+    "q219_stream_fingerprint" -> (q219StreamFingerprint _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -5722,6 +5740,37 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN email_hits + url_hits + ipv4_hits
         |    + phone_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM c""".stripMargin,
+    // the streaming monitor is held to the batch fingerprint of the
+    // whole feed (per-batch hash sums fold by SUM — split-invariant)
+    "q219_stream_fingerprint" ->
+      """WITH canon AS (
+        |  SELECT
+        |    md5(COALESCE(CAST(o_orderkey AS VARCHAR), chr(2)) || chr(1) ||
+        |        COALESCE(CAST(o_custkey AS VARCHAR), chr(2)) || chr(1) ||
+        |        COALESCE(o_orderstatus, chr(2)) || chr(1) ||
+        |        COALESCE(o_orderpriority, chr(2))) AS h
+        |  FROM orders
+        |), halves AS (
+        |  SELECT
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(h, CAST(i+1 AS INT), 1)) - 1) * 16**(7-i)))
+        |      AS BIGINT) AS hi,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(h, CAST(i+9 AS INT), 1)) - 1) * 16**(7-i)))
+        |      AS BIGINT) AS lo
+        |  FROM canon
+        |), sig AS (
+        |  SELECT CASE WHEN hi >= 2147483648
+        |         THEN (hi - 4294967296)*4294967296 + lo
+        |         ELSE hi*4294967296 + lo END AS s
+        |  FROM halves
+        |)
+        |SELECT COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(s AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS VARCHAR) AS fingerprint
+        |FROM sig""".stripMargin,
     "q218_bh_fdr" ->
       """WITH hyp AS (
         |  SELECT doc_id,

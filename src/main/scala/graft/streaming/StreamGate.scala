@@ -633,6 +633,57 @@ object StreamGate {
     }
   }
 
+  /** Streaming fingerprint monitor — integrity at INGEST: each
+    * micro-batch's [[graft.operators.Quality.tableFingerprint]] row
+    * (count + hash sum) appends to the result log, and the final
+    * readout SUMS the per-batch rows — exactly the
+    * [[graft.operators.Quality.tableFingerprintDelta]] algebra, so the
+    * streamed fingerprint provably equals the batch fingerprint of
+    * the whole feed whatever the split (commutative sum). Closes the
+    * fingerprint matrix: batch (q213) / incremental CDC (q216) /
+    * stream (this). Per-batch rows double as the audit trail (which
+    * shard changed the checksum). Output: one row —
+    * (`n_rows`, `fingerprint` DECIMAL(38,0)).
+    * @note one-generation replay contract — see the object doc. */
+  def replayFingerprintMonitor(
+      df: DataFrame,
+      cols: Seq[String],
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = df.sparkSession
+    val src = tempDir("graft_fp_src")
+    df.coalesce(8).write.mode("overwrite").parquet(src)
+    val out = tempDir("graft_stream_out")
+    val ck = tempDir("graft_stream_ck")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
+    try {
+      val stream = spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Quality.tableFingerprint(batch, cols)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
+      releaseLastReplay(spark.read.parquet(out)
+        .agg(coalesce(sum(col("n_rows")), lit(0L)).as("n_rows"),
+          coalesce(sum(col("fingerprint")),
+            lit(0).cast("decimal(38,0)")).cast("decimal(38,0)")
+            .as("fingerprint"))
+        .localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, out, ck).foreach(deleteRecursively)
+    }
+  }
+
   /** Streaming incremental aggregate maintenance: the fact feed
     * micro-batched into shards (`maxFilesPerTrigger`), each batch
     * summarized by [[graft.operators.Maintain.summarize]] and FOLDED

@@ -217,6 +217,23 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       obs.toString)
   }
 
+  test("stream fingerprint == batch tableFingerprint across micro-batches") {
+    import graft.operators.Quality
+    import graft.streaming.StreamGate
+    val df = table("k bigint, s string",
+      (0L until 40L).map(i => row(i, s"v${i % 7}"))).repartition(8)
+    val batch = Quality.tableFingerprint(df, Seq("k", "s")).head()
+    val streamed = StreamGate.replayFingerprintMonitor(df, Seq("k", "s"),
+      filesPerTrigger = 1).head()
+    assert(streamed.getLong(0) == batch.getLong(0))
+    assert(streamed.getDecimal(1).toBigInteger ==
+      batch.getDecimal(1).toBigInteger,
+      s"stream ${streamed.getDecimal(1)} vs batch ${batch.getDecimal(1)}")
+    val obs = StreamGate.lastReplayObservability
+    assert(obs.exists(o => o.microBatches >= 8 && o.droppedLateRows == 0),
+      obs.toString)
+  }
+
   test("stream KS drift == batch ksStatistic across micro-batches") {
     import graft.operators.Profile
     val ev = events
