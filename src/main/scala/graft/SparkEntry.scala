@@ -2135,10 +2135,22 @@ object SparkEntry {
     * row is value-checked. */
   private def q116ScdJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.AsOfJoin
+    val facts = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    AsOfJoin.scdJoin(facts, "o_custkey", "o_orderdate",
+        scdCustomerDim(s, dir), "key", "valid_from", "valid_to")
+      .select(col("o_orderkey"), col("o_custkey"), col("segment"))
+      .orderBy("o_orderkey")
+  }
+
+  /** The two-version customer dimension shared by q116 (batch join)
+    * and q224 (streaming enrichment): segment flips to 'POST-…' at a
+    * per-key split date spread over 1997-1999. */
+  private def scdCustomerDim(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
     val split = to_timestamp(date_add(lit("1997-01-01").cast("date"),
       (col("c_custkey") % 1000).cast("int")))
-    val dim = cust.select(col("c_custkey").as("key"),
+    cust.select(col("c_custkey").as("key"),
         col("c_mktsegment").as("segment"),
         lit("1995-01-01").cast("timestamp").as("valid_from"),
         split.as("valid_to"))
@@ -2146,12 +2158,6 @@ object SparkEntry {
         concat(lit("POST-"), col("c_mktsegment")).as("segment"),
         split.as("valid_from"),
         lit("9999-01-01").cast("timestamp").as("valid_to")))
-    val facts = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    AsOfJoin.scdJoin(facts, "o_custkey", "o_orderdate",
-        dim, "key", "valid_from", "valid_to")
-      .select(col("o_orderkey"), col("o_custkey"), col("segment"))
-      .orderBy("o_orderkey")
   }
 
   // ---------------------------------------------------------------- q117
@@ -4449,6 +4455,80 @@ object SparkEntry {
         col("fingerprint").cast("string").as("fingerprint"))
   }
 
+  // ---------------------------------------------------------------- q220
+  /** Per-group deterministic Poisson-bootstrap CI ([[graft.operators
+    * .Stats.bootstrapMeanCIByGroup]]): one mean CI per event type —
+    * the continuous-outcome twin of q199's per-arm Wilson readout.
+    * The oracle replays every weight, every per-group replicate mean,
+    * and each group's interpolated percentile pair exactly (the q217
+    * CTE, GROUP BY event type). */
+  private def q220BootstrapCIByGroup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.bootstrapMeanCIByGroup(
+      Tables.events(s, dir), "event_type", "value", "event_id",
+      nBoot = 100, alpha = 0.05, salt = "boot2")
+
+  /** The probability sweep shared by the q221/q222/q223 quantile
+    * maintenance matrix. */
+  private val quantilePs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  // ---------------------------------------------------------------- q221
+  /** Exact discrete quantiles ([[graft.operators.Profile
+    * .exactQuantiles]]): the batch corner of the quantile maintenance
+    * matrix — each p's answer is the input double covering rank
+    * ⌈p·n⌉ VERBATIM (no interpolation arithmetic to disagree on);
+    * the oracle replays the rank rule over the same value grid. */
+  private def q221ExactQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.exactQuantiles(
+      Tables.events(s, dir), "value", quantilePs)
+
+  // ---------------------------------------------------------------- q222
+  /** Incremental quantile maintenance ([[graft.operators.Profile
+    * .foldValueCounts]] + [[graft.operators.Profile
+    * .exactQuantilesFromCounts]]): the value-count ECDF state built
+    * from the pre-split events, kept current by folding the
+    * post-split shard's counts — the base fact rows are never
+    * rescanned, and because counts merge by SUM the folded readout is
+    * held to q221's VERBATIM full-recompute oracle (the q131/q133
+    * pattern). */
+  private def q222IncrementalQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profile
+    val ev = Tables.events(s, dir)
+    val base = Profile.ksSideCounts(
+      ev.filter(col("event_id") % 10 < 8), "value", "cnt")
+    val delta = Profile.ksSideCounts(
+      ev.filter(col("event_id") % 10 >= 8), "value", "cnt")
+    Profile.exactQuantilesFromCounts(
+      Profile.foldValueCounts(base, delta), quantilePs)
+  }
+
+  // ---------------------------------------------------------------- q223
+  /** Streaming quantile monitor ([[graft.streaming.StreamGate
+    * .replayQuantileMonitor]]): the events value feed micro-batched,
+    * each batch's distinct-value counts folded by SUM into versioned
+    * parquet ECDF state, readout = the SHARED discrete-rank
+    * arithmetic — held to q221's verbatim oracle, closing the
+    * quantile matrix batch/incremental/stream. */
+  private def q223StreamQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayQuantileMonitor(
+      Tables.events(s, dir), "value", quantilePs)
+
+  // ---------------------------------------------------------------- q224
+  /** Streaming SCD-2 enrichment ([[graft.streaming.StreamGate
+    * .replayScdEnrichment]]): q116's order facts arriving as a file
+    * stream, each micro-batch point-in-time joined against the SAME
+    * static two-version customer dimension by the batch operator
+    * verbatim — enrichment is per-fact-row independent, so the replay
+    * is held to q116's verbatim oracle (the q113/q211 argument). */
+  private def q224StreamScdEnrichment(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    graft.streaming.StreamGate.replayScdEnrichment(
+        facts, "o_custkey", "o_orderdate",
+        scdCustomerDim(s, dir), "key", "valid_from", "valid_to")
+      .select(col("o_orderkey"), col("o_custkey"), col("segment"))
+      .orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4669,6 +4749,11 @@ object SparkEntry {
     "q217_bootstrap_ci" -> (q217BootstrapCI _),
     "q218_bh_fdr" -> (q218BhFdr _),
     "q219_stream_fingerprint" -> (q219StreamFingerprint _),
+    "q220_bootstrap_ci_by_group" -> (q220BootstrapCIByGroup _),
+    "q221_exact_quantiles" -> (q221ExactQuantiles _),
+    "q222_incremental_quantiles" -> (q222IncrementalQuantiles _),
+    "q223_stream_quantiles" -> (q223StreamQuantiles _),
+    "q224_stream_scd_enrichment" -> (q224StreamScdEnrichment _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -5636,7 +5721,7 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
         |    AS n
-        |  FROM documents
+        |  FROM documents WHERE text IS NOT NULL
         |), b AS (
         |  SELECT CAST(unnest([64, 128, 256, 512]) AS BIGINT) AS budget
         |)
@@ -5838,6 +5923,54 @@ object SparkEntry {
         |  ROUND((SELECT quantile_cont(mm, 0.025) FROM m), 6) AS lo6,
         |  ROUND((SELECT quantile_cont(mm, 0.975) FROM m), 6) AS hi6
         |FROM base""".stripMargin,
+    "q220_bootstrap_ci_by_group" ->
+      """WITH ev AS (
+        |  SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+        |    CAST(value AS DOUBLE) AS x
+        |  FROM events WHERE value IS NOT NULL
+        |), bs AS (SELECT unnest(range(100)) AS bi
+        |), hw AS (
+        |  SELECT g, bi, x,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5('boot2:' || CAST(bi AS VARCHAR) || ':' || id),
+        |           CAST(i+1 AS INT), 1)) - 1) * 16**(7-i))) AS BIGINT) AS h
+        |  FROM ev CROSS JOIN bs
+        |), w AS (
+        |  SELECT g, bi, x,
+        |    CASE WHEN h < 1580030168 THEN 0
+        |         WHEN h < 3160060337 THEN 1
+        |         WHEN h < 3950075421 THEN 2
+        |         WHEN h < 4213413783 THEN 3
+        |         WHEN h < 4279248373 THEN 4
+        |         WHEN h < 4292415291 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM hw
+        |), m AS (
+        |  SELECT g, bi,
+        |    CAST(SUM(CAST(ROUND(w * x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+        |      / CAST(SUM(w) AS DOUBLE) AS mm
+        |  FROM w GROUP BY g, bi HAVING SUM(w) > 0
+        |), ci AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_boot,
+        |    quantile_cont(mm, 0.025) AS qlo, quantile_cont(mm, 0.975) AS qhi
+        |  FROM m GROUP BY g
+        |), base AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+        |      / COUNT(*) AS mean
+        |  FROM ev GROUP BY g
+        |)
+        |SELECT base.g AS event_type, n, n_boot,
+        |  ROUND(mean, 6) AS mean6,
+        |  ROUND(qlo, 6) AS lo6, ROUND(qhi, 6) AS hi6
+        |FROM base JOIN ci ON base.g = ci.g
+        |ORDER BY event_type""".stripMargin,
+    "q221_exact_quantiles" -> exactQuantilesOracle,
+    // held to the batch recompute: the count state folds by SUM, so
+    // the incremental and streamed ECDFs are provably the same grid
+    "q222_incremental_quantiles" -> exactQuantilesOracle,
+    "q223_stream_quantiles" -> exactQuantilesOracle,
     "q216_fingerprint_delta" ->
       """WITH src AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
@@ -9139,27 +9272,10 @@ object SparkEntry {
         |SELECT ws AS window_start_us, CAST(rnk AS INT) AS rank, user_id, n
         |FROM r WHERE rnk <= 3
         |ORDER BY window_start_us, rank""".stripMargin,
-    "q116_scd_join" ->
-      """WITH dim AS (
-        |  SELECT c_custkey AS key, c_mktsegment AS segment,
-        |    TIMESTAMP '1995-01-01' AS valid_from,
-        |    CAST(DATE '1997-01-01'
-        |      + ((c_custkey % 1000) * INTERVAL 1 DAY) AS TIMESTAMP)
-        |      AS valid_to
-        |  FROM customer
-        |  UNION ALL
-        |  SELECT c_custkey, 'POST-' || c_mktsegment,
-        |    CAST(DATE '1997-01-01'
-        |      + ((c_custkey % 1000) * INTERVAL 1 DAY) AS TIMESTAMP),
-        |    TIMESTAMP '9999-01-01'
-        |  FROM customer
-        |)
-        |SELECT o.o_orderkey, o.o_custkey, d.segment
-        |FROM orders o LEFT JOIN dim d
-        |  ON o.o_custkey = d.key
-        |  AND o.o_orderdate >= d.valid_from
-        |  AND o.o_orderdate < d.valid_to
-        |ORDER BY o.o_orderkey""".stripMargin,
+    "q116_scd_join" -> scdJoinOracle,
+    // the streamed enrichment is held to the batch join's verbatim
+    // ground truth (enrichment is per-fact-row independent)
+    "q224_stream_scd_enrichment" -> scdJoinOracle,
     "q115_ivfpq_topk" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
@@ -9413,6 +9529,54 @@ object SparkEntry {
     * the LAG/XOR/popcount rule — shared VERBATIM by the batch
     * operator (q185) and the streaming replay (q211), the
     * two-formulations-one-ground-truth pattern. */
+  /** Shared by q116 (the batch point-in-time join) and q224 (the
+    * streaming enrichment) — two formulations, one ground truth:
+    * enrichment is per-fact-row independent, so the micro-batch
+    * split provably cannot change any (order, segment) row. */
+  private val scdJoinOracle: String =
+    """WITH dim AS (
+      |  SELECT c_custkey AS key, c_mktsegment AS segment,
+      |    TIMESTAMP '1995-01-01' AS valid_from,
+      |    CAST(DATE '1997-01-01'
+      |      + ((c_custkey % 1000) * INTERVAL 1 DAY) AS TIMESTAMP)
+      |      AS valid_to
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'POST-' || c_mktsegment,
+      |    CAST(DATE '1997-01-01'
+      |      + ((c_custkey % 1000) * INTERVAL 1 DAY) AS TIMESTAMP),
+      |    TIMESTAMP '9999-01-01'
+      |  FROM customer
+      |)
+      |SELECT o.o_orderkey, o.o_custkey, d.segment
+      |FROM orders o LEFT JOIN dim d
+      |  ON o.o_custkey = d.key
+      |  AND o.o_orderdate >= d.valid_from
+      |  AND o.o_orderdate < d.valid_to
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** Shared by q221 (batch), q222 (incremental fold), and q223 (the
+    * streaming monitor) — three formulations, one ground truth: the
+    * discrete rank-⌈p·n⌉ quantile over the full events value grid.
+    * Counts fold by SUM, so the split/stream variants provably equal
+    * this full recompute (the q131/q133 argument). Probabilities are
+    * cast to DOUBLE before the rank multiply so both engines run the
+    * identical IEEE product. */
+  private val exactQuantilesOracle: String =
+    """WITH c AS (
+      |  SELECT CAST(value AS DOUBLE) AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events WHERE value IS NOT NULL GROUP BY v
+      |), cum AS (
+      |  SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM c
+      |), n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c
+      |), ps AS (
+      |  SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS p
+      |)
+      |SELECT ps.p AS p, n.n AS n, MIN(cum.v) AS q
+      |FROM ps CROSS JOIN n CROSS JOIN cum
+      |WHERE cum.cum >= GREATEST(CAST(CEIL(ps.p * n.n) AS BIGINT), 1)
+      |GROUP BY ps.p, n.n ORDER BY p""".stripMargin
+
   private val shotBoundariesOracle: String =
       """WITH m0 AS (
         |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx

@@ -1195,6 +1195,7 @@ object Corpus {
       weights: Seq[(String, Double)],
       outCol: String = "train_pos"): DataFrame = {
     require(weights.nonEmpty, "interleaveBySource needs source weights")
+    TempCols.reserve(df, "interleaveBySource", "__srk", "__key")
     require(weights.map(_._1).distinct.size == weights.size,
       s"duplicate sources in weights: ${weights.map(_._1).mkString(", ")}")
     require(weights.forall(_._2 > 0.0), "every source weight must be positive")
@@ -1246,11 +1247,16 @@ object Corpus {
     require(budgets.forall(_ >= 1), s"budgets must be >= 1: $budgets")
     require(budgets.distinct.size == budgets.size,
       s"duplicate budgets: $budgets")
-    val n = coalesce(
-      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long"),
-      lit(0L))
+    // NULL text is EXCLUDED, not coalesced to n=0: a no-text row would
+    // otherwise contribute `budget` to pad_waste_tokens per budget —
+    // an arbitrary charge for a row a tokenizer would never emit — and
+    // the oracle's NULL arithmetic (SUM drops NULL terms) would
+    // silently diverge from a coalesce-to-0 seeding
+    val n = graft.functions.TextFunctions.tokenCount(col(textCol))
+      .cast("long")
     val kept = least(col("__n"), col("budget"))
-    df.select(n.as("__n"),
+    df.filter(col(textCol).isNotNull)
+      .select(n.as("__n"),
         explode(array(budgets.map(b => lit(b.toLong)): _*)).as("budget"))
       .groupBy("budget")
       .agg(count(lit(1)).as("n_docs"),

@@ -159,10 +159,11 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16,
+      bands: Int = 0,
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
-    val rows = numHashes / bands
+    val b = resolveBands(bands, numHashes, threshold)
+    val rows = numHashes / b
     // Deliberately NOT cached: the only branch that needs the expensive
     // k-hash signature is the banding one (the verify-join sides below
     // select just (id, sh), so Catalyst's column pruning drops the `sig`
@@ -179,7 +180,7 @@ object Dedup {
       .withColumn("sig", GraftFunctions.minhashSig(df, col("sh"), numHashes))
 
     val banded = docs
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), explode(lshBandKeys(col("sig"), b, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
     // Count-first skew guard (shared [[BucketGuard]]): oversize buckets
@@ -234,17 +235,18 @@ object Dedup {
       rightTextCol: String,
       shingleN: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16,
+      bands: Int = 0,
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
-    val rows = numHashes / bands
+    val b = resolveBands(bands, numHashes, threshold)
+    val rows = numHashes / b
     def signed(df: DataFrame, id: String, text: String): DataFrame =
       df.select(col(id).as("id"),
         GraftFunctions.shingles(df,
           TextFunctions.tokens(col(text)), shingleN).as("sh"))
         .withColumn("sig", GraftFunctions.minhashSig(df, col("sh"), numHashes))
     def banded(d: DataFrame): DataFrame = d
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), explode(lshBandKeys(col("sig"), b, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val l = signed(left, leftIdCol, leftTextCol)
     val r = signed(right, rightIdCol, rightTextCol)
@@ -364,12 +366,13 @@ object Dedup {
       ledger: DataFrame,
       shingleN: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16,
+      bands: Int = 0,
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
+    val b = resolveBands(bands, numHashes, threshold)
     val sigs = signatureLedger(shard, idCol, textCol, shingleN, numHashes)
     val contaminated = ledgerContaminatedIds(shard, sigs, ledger,
-      bands, numHashes / bands, threshold, maxBucket)
+      b, numHashes / b, threshold, maxBucket)
     shard.join(contaminated.withColumnRenamed("id", idCol),
       Seq(idCol), "left_anti")
   }
@@ -419,15 +422,16 @@ object Dedup {
       ledger: DataFrame,
       shingleN: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16,
+      bands: Int = 0,
       threshold: Double = 0.5,
       maxBucket: Int = 1000): NearDupIngest = {
-    val rows = numHashes / bands
+    val b = resolveBands(bands, numHashes, threshold)
+    val rows = numHashes / b
     val sigs = signatureLedger(shard, idCol, textCol, shingleN, numHashes)
-    def banded(d: DataFrame): DataFrame = bandedSigs(d, bands, rows)
+    def banded(d: DataFrame): DataFrame = bandedSigs(d, b, rows)
     // 1) ledger contamination
     val contaminated =
-      ledgerContaminatedIds(shard, sigs, ledger, bands, rows,
+      ledgerContaminatedIds(shard, sigs, ledger, b, rows,
         threshold, maxBucket)
     // 2) within-shard components over verified bucket-local pairs
     val shardBuckets = BucketGuard.bounded(banded(sigs), Seq("band", "key"),
@@ -906,6 +910,21 @@ object Dedup {
         LshPlan(b, r, math.pow(1.0 / b, 1.0 / r), errorArea(b, r))
       }
     candidates.minBy(p => (p.errorArea, p.rows))
+  }
+
+  /** Banding resolution shared by the MinHash pair/ledger operators:
+    * `bands = 0` — their default — auto-tunes via [[lshPlan]], so a
+    * caller who states only (numHashes, threshold) gets the
+    * minimum-error S-curve layout instead of a folklore constant (at
+    * the historical defaults 64/0.5 the optimum IS the old hand-picked
+    * 16×4, so defaulted callers see identical plans); an explicit
+    * band count is kept verbatim, divisibility checked as before. */
+  private def resolveBands(bands: Int, numHashes: Int, threshold: Double): Int = {
+    require(bands >= 0, s"bands ($bands) must be >= 0 (0 = auto-tune)")
+    val b = if (bands == 0) lshPlan(numHashes, threshold).bands else bands
+    require(b >= 1 && numHashes % b == 0,
+      s"bands ($b) must divide numHashes ($numHashes)")
+    b
   }
 
   /** Truncation-duplicate detection: every document whose text is a

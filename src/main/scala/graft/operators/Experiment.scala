@@ -78,6 +78,7 @@ object Experiment {
       salt: String): DataFrame = {
     require(strata.nonEmpty, "stratifiedSample needs stratum columns")
     require(k >= 1, s"k ($k) must be >= 1")
+    TempCols.reserve(df, "stratifiedSample", "__h")
     val nullIds = df.filter(col(idCol).isNull).limit(1).count()
     require(nullIds == 0L,
       s"stratifiedSample: NULL $idCol rows have no stable sample identity")

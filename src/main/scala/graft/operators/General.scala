@@ -134,6 +134,7 @@ object General {
       outCol: String = "group_row_id"): DataFrame = {
     require(groupCols.nonEmpty, "group columns are required")
     require(orderCols.nonEmpty, "a within-group sort order is required")
+    TempCols.reserve(df, "withContiguousRowIdsPerGroup", "__gid", "__gmin")
     val ids = withContiguousRowIds(df, groupCols ++ orderCols, "__gid")
     val mins = ids.groupBy(groupCols.map(col): _*)
       .agg(min(col("__gid")).as("__gmin"))

@@ -315,4 +315,64 @@ object Profile {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
       .toDF("n_ref", "n_cur", "ks6")
   }
+
+  /** Exact quantiles off the SAME distinct-value count state the KS
+    * family folds ([[ksSideCounts]] — counts merge by SUM, so the
+    * maintained ECDF is provably split- and order-invariant): for
+    * each probability `p`, the DISCRETE quantile — the value covering
+    * 1-based rank `max(⌈p·n⌉, 1)` in value order. Discrete, not
+    * interpolated, ON PURPOSE: the answer is one of the input doubles
+    * VERBATIM, so there is no interpolation arithmetic two engines
+    * could disagree on by an ulp (the cross-engine rounding trap the
+    * round-at-6 gates elsewhere exist to cage) — and the oracle
+    * replays the rank rule in four lines of integer SQL. `⌈p·n⌉`
+    * itself is one IEEE multiply + ceil of exact inputs — identical
+    * on every engine.
+    *
+    * Scale shape: one scalar count, then ONE range-partitioned prefix
+    * sum over the value grid ([[General.withRunningTotal]] — the
+    * ksFromCounts discipline; never a global one-partition window),
+    * then a bounded-literal probe sweep (the pruningReport pattern):
+    * each grid row tests |ps| rank targets map-side and a
+    * map-side-combined MIN per target picks the covering value.
+    * Output: one row per p — (`p`, `n`, `q`), ordered by p. */
+  def exactQuantilesFromCounts(counts: DataFrame, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "exactQuantilesFromCounts needs probabilities")
+    require(ps.forall(p => p > 0.0 && p <= 1.0),
+      s"probabilities must be in (0, 1]: $ps")
+    require(ps.distinct.size == ps.size, s"duplicate probabilities: $ps")
+    val m = counts.select(col("v").cast("double").as("v"),
+      col("cnt").cast("long").as("cnt"))
+    val n = m.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    require(n > 0L, "exactQuantilesFromCounts: empty count state")
+    // 1-based target rank per p; driver-side java.lang.Math.ceil is
+    // the identical IEEE op the oracle's CEIL(p * n) runs
+    val targets = ps.map(p => (p, math.max(math.ceil(p * n.toDouble).toLong, 1L)))
+    val cum = General.withRunningTotal(m, Seq("v"), "cnt", "__pre")
+    cum.select(col("v"), (col("__pre") + col("cnt")).as("__cum"),
+        explode(array(targets.map { case (p, t) =>
+          struct(lit(p).as("p"), lit(t).as("t")) }: _*)).as("__pt"))
+      .filter(col("__cum") >= col("__pt.t"))
+      .groupBy(col("__pt.p").as("p"))
+      .agg(min(col("v")).as("q"))
+      .select(col("p"), lit(n).as("n"), col("q"))
+      .orderBy("p")
+  }
+
+  /** Batch [[exactQuantilesFromCounts]]: fold the value counts from
+    * the raw frame first (NULLs excluded — no position on the value
+    * line). */
+  def exactQuantiles(
+      df: DataFrame, valueCol: String, ps: Seq[Double]): DataFrame =
+    exactQuantilesFromCounts(ksSideCounts(df, valueCol, "cnt"), ps)
+
+  /** The (v, cnt) state fold — the q131 incremental-maintenance
+    * algebra specialized to the value-count table: union + ONE
+    * grid-bounded re-aggregation; the fact rows behind `base` are
+    * never rescanned. Counts merge by SUM (associative AND
+    * commutative), which is exactly why the batch, incremental, and
+    * streaming quantile readouts are three formulations of one ground
+    * truth. */
+  def foldValueCounts(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy("v").agg(sum(col("cnt")).as("cnt"))
 }

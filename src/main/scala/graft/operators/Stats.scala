@@ -244,14 +244,204 @@ object Stats {
     * `nBoot` replicate means. NULL values are excluded (no value, no
     * resample weight).
     *
-    * Scale shape: the row×replicate expansion is MAP-SIDE
-    * (`explode(sequence)`, no join, no shuffle of the raw corpus); the
-    * shuffle carries `nBoot` partial sums per map task (map-side
-    * combine), and the percentile runs over the nBoot-bounded means
-    * table. Cost is `nBoot`× one scan's worth of map work — bounded
-    * and stated, not hidden. Output: one row — (`n`, `n_boot`,
-    * `mean6`, `lo6`, `hi6`). */
+    * Scale shape: ONE corpus scan folds every row's `nBoot` weights in
+    * a tight per-partition JVM loop ([[bootPartials]]) — no
+    * row×replicate materialization at all (the explode shape pushed
+    * n×nBoot rows through the whole row pipeline; kept as
+    * [[bootstrapMeanCIExplode]] only as the equivalence-spec
+    * reference). The shuffle carries `partitions × (nBoot+1)` partial
+    * rows, the percentile runs over the nBoot-bounded means table, and
+    * every partial is an EXACT decimal — addition is
+    * order-independent, so the fold shape and the explode shape are
+    * bit-identical by construction, not by luck. Output: one row —
+    * (`n`, `n_boot`, `mean6`, `lo6`, `hi6`). */
   def bootstrapMeanCI(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String,
+      nBoot: Int = 100,
+      alpha: Double = 0.05,
+      salt: String = "boot"): DataFrame = {
+    require(nBoot >= 10, s"nBoot ($nBoot) must be >= 10 for a usable CI")
+    require(alpha > 0.0 && alpha < 0.5, s"alpha ($alpha) must be in (0, 0.5)")
+    val agg = bootPartials(df, None, valueCol, idCol, nBoot, salt)
+    val means = agg.filter(col("__b") >= 0 && col("__cnt") > 0)
+      .select((col("__s").cast("double") / col("__cnt").cast("double"))
+        .as("__m"))
+    val base = agg.filter(col("__b") === -1)
+      .select(col("__cnt").as("n"),
+        (col("__s").cast("double") / col("__cnt").cast("double"))
+          .as("__mean"))
+    val lo = alpha / 2.0
+    val hi = 1.0 - alpha / 2.0
+    val ci = means.agg(
+      expr(s"percentile(__m, ${lo}D)").as("__lo"),
+      expr(s"percentile(__m, ${hi}D)").as("__hi"),
+      count(lit(1)).as("n_boot"))
+    // fold the two one-row frames without a join: label + union + agg
+    // (unlike the explode shape, base is EMPTY — not a zero row — for
+    // an empty input, hence the coalesce on the counters)
+    val labeled = base.select(lit("b").as("p"), col("n").cast("double").as("a"),
+        col("__mean").as("m"), lit(null).cast("double").as("l"),
+        lit(null).cast("double").as("h2"), lit(null).cast("double").as("nb"))
+      .unionByName(ci.select(lit("c").as("p"),
+        lit(null).cast("double").as("a"), lit(null).cast("double").as("m"),
+        col("__lo").as("l"), col("__hi").as("h2"),
+        col("n_boot").cast("double").as("nb")))
+    labeled.agg(
+      coalesce(max(col("a")), lit(0.0)).cast("long").as("n"),
+      coalesce(max(col("nb")), lit(0.0)).cast("long").as("n_boot"),
+      round(max(col("m")), 6).as("mean6"),
+      round(max(col("l")), 6).as("lo6"),
+      round(max(col("h2")), 6).as("hi6"))
+  }
+
+  /** Per-group [[bootstrapMeanCI]] — the continuous-outcome twin of
+    * the per-arm Wilson readout ([[graft.operators.Experiment
+    * .abReport]]): one deterministic Poisson-bootstrap mean CI per
+    * value of `groupCol`. Weights are the SAME pure function of
+    * (salt, b, id) as the ungrouped form — grouping only partitions
+    * rows, so a group's CI equals what ungrouped [[bootstrapMeanCI]]
+    * would produce on that group filtered out (pinned by the
+    * per-group equivalence spec).
+    *
+    * Scale shape: the identical one-scan fold ([[bootPartials]]),
+    * keyed by the group — the shuffle carries
+    * `partitions × groups × (nBoot+1)` exact-decimal partials, the
+    * percentile runs per group over the (groups × nBoot)-bounded
+    * means table, and the base-stats join is bounded by the group
+    * count. Output: one row per group, `groupCol` read back as STRING
+    * — (`groupCol`, `n`, `n_boot`, `mean6`, `lo6`, `hi6`), ordered by
+    * group. */
+  def bootstrapMeanCIByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      nBoot: Int = 100,
+      alpha: Double = 0.05,
+      salt: String = "boot"): DataFrame = {
+    require(nBoot >= 10, s"nBoot ($nBoot) must be >= 10 for a usable CI")
+    require(alpha > 0.0 && alpha < 0.5, s"alpha ($alpha) must be in (0, 0.5)")
+    val agg = bootPartials(df, Some(groupCol), valueCol, idCol, nBoot, salt)
+    val lo = alpha / 2.0
+    val hi = 1.0 - alpha / 2.0
+    val means = agg.filter(col("__b") >= 0 && col("__cnt") > 0)
+      .select(col("__g"),
+        (col("__s").cast("double") / col("__cnt").cast("double"))
+          .as("__m"))
+    val ci = means.groupBy("__g").agg(
+      expr(s"percentile(__m, ${lo}D)").as("__lo"),
+      expr(s"percentile(__m, ${hi}D)").as("__hi"),
+      count(lit(1)).as("n_boot"))
+    val base = agg.filter(col("__b") === -1)
+      .select(col("__g"), col("__cnt").as("n"),
+        (col("__s").cast("double") / col("__cnt").cast("double"))
+          .as("__mean"))
+    // group-bounded join of two tiny frames; null-safe so a NULL
+    // group is its own stratum (the file-header contract)
+    base.alias("__bb")
+      .join(ci.alias("__cc"), col("__bb.__g") <=> col("__cc.__g"))
+      .select(col("__bb.__g").as(groupCol), col("n"), col("n_boot"),
+        round(col("__mean"), 6).as("mean6"),
+        round(col("__lo"), 6).as("lo6"),
+        round(col("__hi"), 6).as("hi6"))
+      .orderBy(groupCol)
+  }
+
+  /** The shared one-scan fold under both bootstrap CIs: per input
+    * partition, per group (the ungrouped form uses one constant
+    * group), fold every non-NULL row into `nBoot` Poisson-weighted
+    * replicate partials plus the base (n, Σ) pair, then recombine the
+    * bounded partial rows with an exact decimal SUM. Every per-term
+    * value replicates the SQL semantics the oracle replays —
+    * `cast(round(w·x, 9) as decimal(38,9))` via the identical
+    * two-step (`BigDecimal.valueOf(v).setScale(9, HALF_UP)
+    * .doubleValue`, then back through `valueOf(...).setScale(9,
+    * HALF_UP)` — Spark's own Round-then-Cast arithmetic) — and
+    * decimal addition is exact and commutative, so partition layout,
+    * fold order, and the explode-vs-fold shape can never move the
+    * result by an ulp. Returns `(__g, __b, __s decimal(38,9) summed,
+    * __cnt)` with `__b = -1` carrying the base pair; a replicate a
+    * partition never touched (all weights 0) is simply absent — the
+    * explode shape's `cnt > 0` filter, expressed by omission. */
+  private def bootPartials(
+      df: DataFrame,
+      groupCol: Option[String],
+      valueCol: String,
+      idCol: String,
+      nBoot: Int,
+      salt: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(
+        groupCol.map(g => col(g).cast("string")).getOrElse(lit("")).as("__g"),
+        col(valueCol).cast("double").as("__x"),
+        col(idCol).cast("string").as("__id"))
+      .as[(String, Double, String)]
+    val nb = nBoot
+    val cuts = poissonCuts.toArray
+    val saltPrefix = salt + ":"
+    val partials = rows.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      // "<salt>:<b>:" rendered once per replicate, not once per row
+      val bBytes =
+        Array.tabulate(nb)(b => (saltPrefix + b + ":").getBytes(utf8))
+      class GroupAcc {
+        val sums = Array.fill(nb)(java.math.BigDecimal.ZERO)
+        val cnts = new Array[Long](nb)
+        var baseSum = java.math.BigDecimal.ZERO
+        var baseN = 0L
+      }
+      def round9(v: Double): java.math.BigDecimal = {
+        val d = java.math.BigDecimal.valueOf(v)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        java.math.BigDecimal.valueOf(d)
+          .setScale(9, java.math.RoundingMode.HALF_UP)
+      }
+      val accs = scala.collection.mutable.HashMap.empty[String, GroupAcc]
+      it.foreach { case (g, x, id) =>
+        val a = accs.getOrElseUpdate(g, new GroupAcc)
+        a.baseN += 1
+        a.baseSum = a.baseSum.add(round9(x))
+        val idBytes = id.getBytes(utf8)
+        var b = 0
+        while (b < nb) {
+          md.update(bBytes(b))
+          md.update(idBytes)
+          val dg = md.digest() // first 8 md5 hex chars = first 4 bytes
+          val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+            ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+          var w = 0
+          while (w < cuts.length && h >= cuts(w)) w += 1
+          if (w > 0) {
+            a.cnts(b) += w
+            a.sums(b) = a.sums(b).add(round9(w.toDouble * x))
+          }
+          b += 1
+        }
+      }
+      accs.iterator.flatMap { case (g, a) =>
+        Iterator.range(0, nb).filter(a.cnts(_) > 0)
+          .map(b => (g, b, a.sums(b).toPlainString, a.cnts(b))) ++
+          Iterator((g, -1, a.baseSum.toPlainString, a.baseN))
+      }
+    }.toDF("__g", "__b", "__s", "__c")
+    partials
+      .groupBy("__g", "__b")
+      .agg(sum(col("__s").cast("decimal(38,9)")).as("__s"),
+        sum(col("__c")).as("__cnt"))
+  }
+
+  /** The n×nBoot explode shape [[bootstrapMeanCI]] replaced — retained
+    * UNREGISTERED, solely as the independent reference the
+    * fold-vs-explode equivalence spec checks the one-scan fold
+    * against (two implementations sharing only [[poissonCuts]] and
+    * the hash definition must agree bit-for-bit). Never call this on
+    * real data: it materializes every (row, replicate) pair. */
+  private[graft] def bootstrapMeanCIExplode(
       df: DataFrame,
       valueCol: String,
       idCol: String,
@@ -345,10 +535,13 @@ object Stats {
       .agg(count(lit(1)).as("__n"))
     val ranked =
       if (largeGroups)
+        // stays long: this path exists FOR groups too big for a window
+        // partition, which may also exceed Int.MaxValue rows — a cast
+        // to int would silently wrap the rank (non-ANSI) exactly there
         General.withContiguousRowIdsPerGroup(
             df.filter(col(valueCol).isNotNull), groupCols,
             Seq(valueCol, idCol), "__rk")
-          .withColumn("__rk", (col("__rk") + 1L).cast("int"))
+          .withColumn("__rk", col("__rk") + 1L)
       else {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(groupCols.map(col): _*)

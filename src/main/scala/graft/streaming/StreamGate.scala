@@ -147,8 +147,20 @@ object StreamGate {
     }
     private val accs =
       scala.collection.mutable.HashMap.empty[java.util.UUID, Acc]
-    private val sessions = java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    /** Terminated runs are RETAINED (readable any number of times, so a
+      * second observability read never degrades to the capped
+      * `recentProgress` fallback) up to this many; past it the
+      * oldest-terminated entries are evicted — a session whose user
+      * queries the gates never read cannot grow the map without bound. */
+    private[streaming] val MaxTerminatedRetained = 256
+    private val terminatedOrder =
+      scala.collection.mutable.Queue.empty[java.util.UUID]
+    /** Weak keys: a ledger registration must not pin a SparkSession —
+      * when a session is collected its listener bus (and this
+      * registration) goes with it, so no explicit unregister exists. */
+    private val sessions = java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
     def ensure(spark: SparkSession): Unit =
       if (sessions.add(spark)) spark.streams.addListener(this)
     override def onQueryStarted(e: QueryStartedEvent): Unit = synchronized {
@@ -161,14 +173,23 @@ object StreamGate {
     }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
       synchronized {
-        accs.get(e.runId).foreach(_.terminated = true)
+        accs.get(e.runId).foreach { a =>
+          if (!a.terminated) { a.terminated = true; terminatedOrder += e.runId }
+        }
+        while (terminatedOrder.size > MaxTerminatedRetained)
+          accs.remove(terminatedOrder.dequeue())
         notifyAll()
       }
     /** Listener-bus delivery is asynchronous: totals are complete only
       * once the run's terminated event lands, so wait (bounded) for it,
-      * then drain. None = the run was never registered (its session's
-      * first gate had not installed the ledger before this query). */
-    def drain(runId: java.util.UUID, timeoutMs: Long): Option[(Long, Long)] =
+      * then PEEK — the entry stays readable until the retention cap
+      * evicts it, so repeated reads of the same finished run return the
+      * same exact totals (a read on a still-running run returns the
+      * live partials accumulated so far — still never the capped
+      * fallback). None = the run was never registered (its session's
+      * first gate had not installed the ledger before this query), or
+      * it aged past the retention cap. */
+    def peek(runId: java.util.UUID, timeoutMs: Long): Option[(Long, Long)] =
       synchronized {
         val deadline = System.nanoTime + timeoutMs * 1000000L
         while (accs.get(runId).exists(!_.terminated) &&
@@ -176,19 +197,22 @@ object StreamGate {
           wait(math.max(1L,
             math.min(50L, (deadline - System.nanoTime) / 1000000L)))
         }
-        accs.remove(runId).map(a => (a.batches, a.dropped))
+        accs.get(runId).map(a => (a.batches, a.dropped))
       }
   }
 
   /** Extract [[ReplayObservability]] from a completed query. Reads the
     * [[ProgressLedger]]'s accumulated totals (exact for any number of
-    * micro-batches); for a query whose session never installed the
-    * ledger it falls back to `recentProgress`, which is bounded by
+    * micro-batches), NON-destructively: a second call for the same
+    * finished run returns the identical totals for as long as the
+    * ledger's retention cap keeps the entry. Only a query whose
+    * session never installed the ledger (or whose entry aged past the
+    * cap) falls back to `recentProgress`, which is bounded by
     * `spark.sql.streaming.numRecentProgressUpdates` (default 100)
     * retained events — a >100-micro-batch run undercounts there. */
   def observabilityOf(
       q: org.apache.spark.sql.streaming.StreamingQuery): ReplayObservability =
-    ProgressLedger.drain(q.runId, timeoutMs = 30000) match {
+    ProgressLedger.peek(q.runId, timeoutMs = 30000) match {
       case Some((batches, dropped)) => ReplayObservability(batches, dropped)
       case None =>
         val ps = q.recentProgress
@@ -465,7 +489,7 @@ object StreamGate {
       ledger: DataFrame,
       shingleN: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16,
+      bands: Int = 0, // 0 = auto-tune (Dedup.lshPlan) per the batch default
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
       filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
@@ -872,6 +896,126 @@ object StreamGate {
     } finally {
       spark.conf.set(key, prev)
       Seq(src, stateRoot, ck).foreach(deleteRecursively)
+    }
+  }
+
+  /** Streaming exact quantiles — [[graft.operators.Profile
+    * .exactQuantilesFromCounts]] with the monitored column as a FILE
+    * STREAM: each micro-batch's distinct-value counts fold by SUM
+    * into a versioned parquet state table (the replayKsDrift state —
+    * one maintained ECDF serves the whole quantile/KS family), and
+    * the final readout runs the SHARED discrete-rank arithmetic over
+    * the accumulated grid. Counts merge associatively and
+    * commutatively, so the micro-batch split provably cannot move any
+    * quantile — the stream readout is held to the batch operator's
+    * verbatim oracle. State is distinct-value-bounded. Returns the
+    * (`p`, `n`, `q`) frame, one row per probability. */
+  def replayQuantileMonitor(
+      monitored: DataFrame,
+      valueCol: String,
+      ps: Seq[Double],
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = monitored.sparkSession
+    val src = tempDir("graft_qtl_src")
+    monitored.select(col(valueCol)).coalesce(8)
+      .write.mode("overwrite").parquet(src)
+    val stateRoot = tempDir("graft_qtl_state")
+    val ck = tempDir("graft_qtl_ck")
+    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
+    try {
+      val stream = spark.readStream
+        .schema(monitored.select(col(valueCol)).schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bh = graft.operators.Profile.ksSideCounts(batch, valueCol, "cnt")
+          val merged = Option(state.get()) match {
+            case None => bh
+            case Some(p) => graft.operators.Profile
+              .foldValueCounts(spark.read.parquet(p), bh)
+          }
+          val next = s"$stateRoot/v${version.incrementAndGet()}"
+          merged.write.mode("overwrite").parquet(next)
+          state.set(next)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
+      require(state.get() != null, "replayQuantileMonitor saw no micro-batches")
+      releaseLastReplay(graft.operators.Profile.exactQuantilesFromCounts(
+          spark.read.parquet(state.get()), ps)
+        .localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, stateRoot, ck).foreach(deleteRecursively)
+    }
+  }
+
+  /** Streaming SCD-2 enrichment — the FACT feed as a file stream,
+    * each micro-batch point-in-time joined against the STATIC
+    * slowly-changing dimension by the BATCH [[graft.operators
+    * .AsOfJoin.scdJoin]] verbatim, results appended: the ingest-time
+    * shape of feature generation, where every arriving fact picks up
+    * the dimension version valid at its own timestamp (the
+    * label-leakage firewall) as it lands. Enrichment is PER-FACT-ROW
+    * independent — the joined output of a fact row is a pure function
+    * of (that row, the static dim) — so the micro-batch split
+    * provably cannot change any row and the replay is held to the
+    * batch operator's verbatim oracle (q224 vs q116's — the
+    * q113/q211 argument). The dimension overlap audit runs per batch
+    * (`checkNonOverlap` semantics unchanged); a production monitor
+    * would cache the dim snapshot, the replay keeps its lineage
+    * visible instead.
+    * @note one-generation replay contract — see the object doc. */
+  def replayScdEnrichment(
+      facts: DataFrame,
+      factKey: String,
+      factTime: String,
+      dim: DataFrame,
+      dimKey: String,
+      validFrom: String,
+      validTo: String,
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = facts.sparkSession
+    val src = tempDir("graft_scd_src")
+    facts.coalesce(8).write.mode("overwrite").parquet(src)
+    val out = tempDir("graft_scd_out")
+    val ck = tempDir("graft_scd_ck")
+    // the enriched schema, read off the batch plan without executing it
+    val outSchema = graft.operators.AsOfJoin.scdJoin(
+      facts.limit(0), factKey, factTime, dim, dimKey, validFrom, validTo).schema
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
+    try {
+      val stream = spark.readStream.schema(facts.schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.AsOfJoin.scdJoin(batch, factKey, factTime,
+              dim, dimKey, validFrom, validTo)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
+      releaseLastReplay(
+        spark.read.schema(outSchema).parquet(out).localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, out, ck).foreach(deleteRecursively)
     }
   }
 

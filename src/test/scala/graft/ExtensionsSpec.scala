@@ -104,6 +104,37 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] { Dedup.lshPlan(0, 0.5) }
     intercept[IllegalArgumentException] { Dedup.lshPlan(64, 1.0) }
+    // a non-default threshold picks a DIFFERENT plan with strictly
+    // lower error than the t=0.5 default layout would have there
+    val p9 = Dedup.lshPlan(64, 0.9)
+    assert((p9.bands, p9.rows) != ((16, 4)), p9.toString)
+    var fp16 = 0.0; var fn16 = 0.0
+    (0 until 4096).foreach { i =>
+      val s = (i + 0.5) / 4096
+      val pr = 1.0 - math.pow(1.0 - math.pow(s, 4.0), 16.0)
+      if (s < 0.9) fp16 += pr else fn16 += 1.0 - pr
+    }
+    assert(p9.errorArea < (fp16 + fn16) / 4096, p9.toString)
+  }
+
+  test("minHash banding defaults to the lshPlan optimum (bands=0 sentinel)") {
+    val df = table("doc_id bigint, text string", Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different text with no shared shingles at all"),
+      (4L, "another unrelated document about spark catalyst planning"))
+      .map(t => row(t._1, t._2)))
+    // at (64 hashes, t=0.5) the optimum IS 16x4, so the defaulted call
+    // must equal the historical explicit layout exactly
+    val auto = Dedup.minHashNearDupPairs(df, "doc_id", "text").collect()
+    val explicit = Dedup.minHashNearDupPairs(df, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5).collect()
+    assert(auto.toSeq == explicit.toSeq)
+    assert(auto.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // an explicit non-divisor band count still fails loudly
+    intercept[IllegalArgumentException] {
+      Dedup.minHashNearDupPairs(df, "doc_id", "text", bands = 7)
+    }
   }
 
   test("entropy bits: uniform/degenerate/empty/null hand-computed") {

@@ -556,6 +556,47 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrapMeanCI: one-scan fold == explode reference, bit-for-bit") {
+    // values with many decimal digits + negatives + a skewed partition
+    // layout: the exact shapes where a float fold would drift and an
+    // exact-decimal fold must not
+    val rnd = new scala.util.Random(47)
+    val df = table("id bigint, v double",
+      (0L until 500L).map(i =>
+        row(i, (rnd.nextGaussian() * 1e3 + 1.0 / (i + 3)) *
+          (if (i % 7 == 0) -1 else 1))))
+      .repartition(11)
+    val fold = Stats.bootstrapMeanCI(df, "v", "id", nBoot = 40,
+      alpha = 0.1, salt = "eq").head().toSeq
+    val explode = Stats.bootstrapMeanCIExplode(df, "v", "id", nBoot = 40,
+      alpha = 0.1, salt = "eq").head().toSeq
+    assert(fold == explode, s"fold=$fold explode=$explode")
+    // and the fold is partition-layout-invariant (exact partials)
+    assert(Stats.bootstrapMeanCI(df.repartition(2), "v", "id", nBoot = 40,
+      alpha = 0.1, salt = "eq").head().toSeq == fold)
+  }
+
+  test("bootstrapMeanCIByGroup == ungrouped bootstrapMeanCI per filtered group") {
+    val rnd = new scala.util.Random(53)
+    val df = table("id bigint, g string, v double",
+      (0L until 300L).map(i =>
+        row(i, s"g${i % 3}", rnd.nextDouble() * 100.0 - 20.0)))
+    val grouped = Stats.bootstrapMeanCIByGroup(df, "g", "v", "id",
+      nBoot = 30, salt = "pg").collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("g0", "g1", "g2"))
+    grouped.foreach { r =>
+      val solo = Stats.bootstrapMeanCI(df.filter(col("g") === r.getString(0)),
+        "v", "id", nBoot = 30, salt = "pg").head()
+      assert(r.toSeq.drop(1) == solo.toSeq, s"group ${r.getString(0)}")
+    }
+    // NULL group is its own stratum (string-cast NULL stays NULL)
+    val withNullGroup = table("id bigint, g string, v double",
+      Seq(row(1L, null, 5.0), row(2L, "a", 7.0), row(3L, "a", 9.0)))
+    val g2 = Stats.bootstrapMeanCIByGroup(withNullGroup, "g", "v", "id",
+      nBoot = 30, salt = "pg").collect()
+    assert(g2.length == 2 && g2.exists(_.isNullAt(0)), g2.mkString("; "))
+  }
+
   test("rankNormalize largeGroups path == window path (one-flag-two-modes)") {
     // skewed groups + value ties + NULLs: the exact shapes where the
     // two physical plans could diverge if the total orders differed

@@ -248,6 +248,55 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(streamed.getDouble(2) >= 0.0 && streamed.getLong(0) > 0)
   }
 
+  test("stream quantile monitor == batch exactQuantiles across count folds") {
+    import graft.operators.Profile
+    val ps = Seq(0.25, 0.5, 0.9)
+    // repartition(8) + filesPerTrigger=1: 8 genuine versioned-state
+    // handoffs, not a single-batch degenerate replay (the sf0.001
+    // source is one parquet partition, which coalesce cannot widen)
+    val streamed = StreamGate.replayQuantileMonitor(events.repartition(8),
+      "value", ps, filesPerTrigger = 1).collect().map(_.toSeq)
+    val batch = Profile.exactQuantiles(events, "value", ps)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+    assert(graft.streaming.StreamGate.lastReplayObservability
+      .exists(_.microBatches > 1))
+    // and the incremental fold is the same ground truth
+    val a = Profile.ksSideCounts(
+      events.filter(col("event_id") % 2 === 0), "value", "cnt")
+    val b = Profile.ksSideCounts(
+      events.filter(col("event_id") % 2 === 1), "value", "cnt")
+    val folded = Profile.exactQuantilesFromCounts(
+      Profile.foldValueCounts(a, b), ps).collect().map(_.toSeq)
+    assert(folded.toSeq == batch.toSeq)
+  }
+
+  test("stream SCD-2 enrichment == batch scdJoin across micro-batches") {
+    import graft.operators.AsOfJoin
+    // two-version dimension over user ids; facts = the events feed
+    val users = events.select(col("user_id").as("key")).distinct()
+    val dim = users
+      .select(col("key"), lit("v1").as("tier"),
+        lit("2024-01-01").cast("timestamp").as("valid_from"),
+        lit("2024-01-16").cast("timestamp").as("valid_to"))
+      .unionByName(users.select(col("key"), lit("v2").as("tier"),
+        lit("2024-01-16").cast("timestamp").as("valid_from"),
+        lit("9999-01-01").cast("timestamp").as("valid_to")))
+    val facts = events.select("event_id", "user_id", "ts")
+    val streamed = StreamGate.replayScdEnrichment(facts.repartition(8),
+        "user_id", "ts", dim, "key", "valid_from", "valid_to",
+        filesPerTrigger = 1)
+      .select("event_id", "tier").collect().map(_.toSeq).toSet
+    val batch = AsOfJoin.scdJoin(facts, "user_id", "ts",
+        dim, "key", "valid_from", "valid_to")
+      .select("event_id", "tier").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.map(_(1)).contains("v2"))
+    assert(graft.streaming.StreamGate.lastReplayObservability
+      .exists(_.microBatches > 1))
+  }
+
   test("stream windowed counts == batch windowed rollup (watermark-flushed)") {
     val streamed = StreamGate.replayWindowedCounts(events,
         "5 minutes", "5 minutes", "10 minutes", horizonUs = 3600L * 1000000)
