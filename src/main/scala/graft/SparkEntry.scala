@@ -4529,6 +4529,33 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  // ---------------------------------------------------------------- q225
+  /** Streaming bootstrap-CI monitor ([[graft.streaming.StreamGate
+    * .replayBootstrapMonitor]]): q217's outcome feed micro-batched,
+    * each batch's per-replicate (Σ, count) partials folded by exact
+    * decimal SUM into versioned state, readout = the SHARED
+    * percentile arithmetic — held to q217's verbatim oracle, closing
+    * the CI matrix whole-corpus (q217) / per-group (q220) / stream
+    * (this). */
+  private def q225StreamBootstrapCI(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayBootstrapMonitor(
+      Tables.events(s, dir), "value", "event_id",
+      nBoot = 100, alpha = 0.05, salt = "boot1")
+
+  // ---------------------------------------------------------------- q226
+  /** Categorical association audit ([[graft.operators.Profile
+    * .categoricalAssociation]]): is event type independent of the
+    * user-id bucket? Chi-square over the FULL 5×7 grid (structural
+    * zeros included), Cramér's V, and mutual information — counts
+    * integer-exact, expected masses single IEEE expressions, per-cell
+    * terms 12dp-rounded decimal sums (the zipfFit discipline), the
+    * readout on the 6dp gate. */
+  private def q226CategoricalAssociation(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.categoricalAssociation(
+      Tables.events(s, dir).select(col("event_type"),
+        (col("user_id") % 7).cast("string").as("user_bucket")),
+      "event_type", "user_bucket")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4754,6 +4781,8 @@ object SparkEntry {
     "q222_incremental_quantiles" -> (q222IncrementalQuantiles _),
     "q223_stream_quantiles" -> (q223StreamQuantiles _),
     "q224_stream_scd_enrichment" -> (q224StreamScdEnrichment _),
+    "q225_stream_bootstrap_ci" -> (q225StreamBootstrapCI _),
+    "q226_categorical_association" -> (q226CategoricalAssociation _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -5884,45 +5913,10 @@ object SparkEntry {
         |)
         |SELECT doc_id, p, p_rank, p_rank <= (SELECT cut FROM c) AS rejected
         |FROM f ORDER BY p_rank""".stripMargin,
-    "q217_bootstrap_ci" ->
-      """WITH ev AS (
-        |  SELECT CAST(event_id AS VARCHAR) AS id, CAST(value AS DOUBLE) AS x
-        |  FROM events WHERE value IS NOT NULL
-        |), bs AS (SELECT unnest(range(100)) AS bi
-        |), hw AS (
-        |  SELECT bi, x,
-        |    CAST(list_sum(list_transform(range(8), i ->
-        |      (strpos('0123456789abcdef',
-        |         substr(md5('boot1:' || CAST(bi AS VARCHAR) || ':' || id),
-        |           CAST(i+1 AS INT), 1)) - 1) * 16**(7-i))) AS BIGINT) AS h
-        |  FROM ev CROSS JOIN bs
-        |), w AS (
-        |  SELECT bi, x,
-        |    CASE WHEN h < 1580030168 THEN 0
-        |         WHEN h < 3160060337 THEN 1
-        |         WHEN h < 3950075421 THEN 2
-        |         WHEN h < 4213413783 THEN 3
-        |         WHEN h < 4279248373 THEN 4
-        |         WHEN h < 4292415291 THEN 5
-        |         ELSE 6 END AS w
-        |  FROM hw
-        |), m AS (
-        |  SELECT bi,
-        |    CAST(SUM(CAST(ROUND(w * x, 9) AS DECIMAL(38,9))) AS DOUBLE)
-        |      / CAST(SUM(w) AS DOUBLE) AS mm
-        |  FROM w GROUP BY bi HAVING SUM(w) > 0
-        |), base AS (
-        |  SELECT COUNT(*) AS n,
-        |    CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(38,9))) AS DOUBLE)
-        |      / COUNT(*) AS mean
-        |  FROM ev
-        |)
-        |SELECT CAST(n AS BIGINT) AS n,
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_boot,
-        |  ROUND(mean, 6) AS mean6,
-        |  ROUND((SELECT quantile_cont(mm, 0.025) FROM m), 6) AS lo6,
-        |  ROUND((SELECT quantile_cont(mm, 0.975) FROM m), 6) AS hi6
-        |FROM base""".stripMargin,
+    "q217_bootstrap_ci" -> bootstrapCIOracle,
+    // the streamed monitor is held to the batch CI's verbatim ground
+    // truth (bootstrap partials merge by exact decimal SUM)
+    "q225_stream_bootstrap_ci" -> bootstrapCIOracle,
     "q220_bootstrap_ci_by_group" ->
       """WITH ev AS (
         |  SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
@@ -5966,6 +5960,43 @@ object SparkEntry {
         |  ROUND(qlo, 6) AS lo6, ROUND(qhi, 6) AS hi6
         |FROM base JOIN ci ON base.g = ci.g
         |ORDER BY event_type""".stripMargin,
+    "q226_categorical_association" ->
+      """WITH t AS (
+        |  SELECT event_type AS a, CAST(user_id % 7 AS VARCHAR) AS b
+        |  FROM events
+        |), j AS (
+        |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY a, b
+        |), ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS na FROM j GROUP BY a),
+        |rb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS nb FROM j GROUP BY b),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM j),
+        |grid AS (
+        |  SELECT COALESCE(j.c, 0) AS o, ra.na, rb.nb,
+        |    CAST(ra.na AS DOUBLE) * CAST(rb.nb AS DOUBLE)
+        |      / CAST(nn.n AS DOUBLE) AS e,
+        |    nn.n AS n
+        |  FROM ra CROSS JOIN rb CROSS JOIN nn
+        |  LEFT JOIN j ON ra.a IS NOT DISTINCT FROM j.a
+        |    AND rb.b IS NOT DISTINCT FROM j.b
+        |), s AS (
+        |  SELECT MAX(n) AS n,
+        |    CAST(SUM(CAST(ROUND(
+        |      (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 12)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
+        |    CAST(SUM(CAST(ROUND(CASE WHEN o > 0
+        |      THEN (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * ln(CAST(o AS DOUBLE) / e)
+        |      ELSE 0.0 END, 12) AS DECIMAL(38,12))) AS DOUBLE) AS mi
+        |  FROM grid
+        |), d AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ra) AS r,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rb) AS c2
+        |)
+        |SELECT s.n AS n, (d.r - 1) * (d.c2 - 1) AS dof,
+        |  ROUND(chi2, 6) AS chi2_6,
+        |  ROUND(SQRT(chi2 / (CAST(s.n AS DOUBLE)
+        |    * CAST(LEAST(d.r, d.c2) - 1 AS DOUBLE))), 6) AS cramers_v6,
+        |  ROUND(mi, 6) AS mi6
+        |FROM s CROSS JOIN d""".stripMargin,
     "q221_exact_quantiles" -> exactQuantilesOracle,
     // held to the batch recompute: the count state folds by SUM, so
     // the incremental and streamed ECDFs are provably the same grid
@@ -9529,6 +9560,51 @@ object SparkEntry {
     * the LAG/XOR/popcount rule — shared VERBATIM by the batch
     * operator (q185) and the streaming replay (q211), the
     * two-formulations-one-ground-truth pattern. */
+  /** Shared by q217 (the batch Poisson bootstrap CI) and q225 (the
+    * streaming monitor) — two formulations, one ground truth: each
+    * row's replicate weights are a pure function of (salt, b, id) and
+    * the per-replicate partials merge by exact decimal SUM, so the
+    * micro-batch split provably cannot move any replicate mean. */
+  private val bootstrapCIOracle: String =
+    """WITH ev AS (
+      |  SELECT CAST(event_id AS VARCHAR) AS id, CAST(value AS DOUBLE) AS x
+      |  FROM events WHERE value IS NOT NULL
+      |), bs AS (SELECT unnest(range(100)) AS bi
+      |), hw AS (
+      |  SELECT bi, x,
+      |    CAST(list_sum(list_transform(range(8), i ->
+      |      (strpos('0123456789abcdef',
+      |         substr(md5('boot1:' || CAST(bi AS VARCHAR) || ':' || id),
+      |           CAST(i+1 AS INT), 1)) - 1) * 16**(7-i))) AS BIGINT) AS h
+      |  FROM ev CROSS JOIN bs
+      |), w AS (
+      |  SELECT bi, x,
+      |    CASE WHEN h < 1580030168 THEN 0
+      |         WHEN h < 3160060337 THEN 1
+      |         WHEN h < 3950075421 THEN 2
+      |         WHEN h < 4213413783 THEN 3
+      |         WHEN h < 4279248373 THEN 4
+      |         WHEN h < 4292415291 THEN 5
+      |         ELSE 6 END AS w
+      |  FROM hw
+      |), m AS (
+      |  SELECT bi,
+      |    CAST(SUM(CAST(ROUND(w * x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+      |      / CAST(SUM(w) AS DOUBLE) AS mm
+      |  FROM w GROUP BY bi HAVING SUM(w) > 0
+      |), base AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+      |      / COUNT(*) AS mean
+      |  FROM ev
+      |)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_boot,
+      |  ROUND(mean, 6) AS mean6,
+      |  ROUND((SELECT quantile_cont(mm, 0.025) FROM m), 6) AS lo6,
+      |  ROUND((SELECT quantile_cont(mm, 0.975) FROM m), 6) AS hi6
+      |FROM base""".stripMargin
+
   /** Shared by q116 (the batch point-in-time join) and q224 (the
     * streaming enrichment) — two formulations, one ground truth:
     * enrichment is per-fact-row independent, so the micro-batch

@@ -366,6 +366,84 @@ object Profile {
       df: DataFrame, valueCol: String, ps: Seq[Double]): DataFrame =
     exactQuantilesFromCounts(ksSideCounts(df, valueCol, "cnt"), ps)
 
+  /** Categorical association audit over two columns — the
+    * composition-dependence readout a mixture pipeline needs before
+    * trusting a marginal report ("is language independent of source?
+    * is quality tier independent of crawl snapshot?"): the chi-square
+    * independence statistic over the FULL r×c contingency grid
+    * (structural zero cells included — an observed-cells-only sum
+    * understates X² by exactly the missing cells' expected mass),
+    * Cramér's V (the [0,1]-normalized effect size X²/(n·min(r−1,c−1))
+    * under a square root — comparable across table shapes), and the
+    * mutual information in nats (Σ p_ab·ln(p_ab/(p_a·p_b)), zero
+    * cells contributing their correct limit 0). NULL is its own
+    * category on both axes (the window-PARTITION BY convention
+    * elsewhere) — null-safe joins throughout.
+    *
+    * Scale shape: ONE corpus pass builds the joint contingency table,
+    * checkpointed (cells-bounded — categories × categories, not
+    * rows); marginals, the full grid (a cells-bounded cross join —
+    * the one cross join in this file, and it is |A|×|B| by
+    * construction), and both statistics never rescan facts. Per-cell
+    * terms round at 12 and accumulate through DECIMAL (the zipfFit
+    * discipline — fold-order-exact on any engine), the readout rides
+    * the 6dp gate. Degenerate axes are well-defined, not special-
+    * cased: a constant column gives dof 0, X² 0, MI 0, and NULL V
+    * (0/0). Output: one row — (`n`, `dof`, `chi2_6`, `cramers_v6`,
+    * `mi6`). */
+  def categoricalAssociation(
+      df: DataFrame, colA: String, colB: String): DataFrame = {
+    require(colA != colB,
+      s"categoricalAssociation needs two distinct columns (got $colA twice)")
+    val spark = df.sparkSession
+    // ONE corpus pass: the joint table, checkpointed so the marginal /
+    // grid / term passes below are cells-bounded, never fact rescans
+    val joint = df.select(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    try {
+      val ra = joint.groupBy("__a").agg(sum(col("__c")).as("__na"))
+      val rb = joint.groupBy("__b").agg(sum(col("__c")).as("__nb"))
+      val dims = joint.agg(coalesce(sum(col("__c")), lit(0L)).as("n"),
+        countDistinct(struct(col("__a"))).as("r"),
+        countDistinct(struct(col("__b"))).as("c")).head()
+      val (n, r, c) = (dims.getLong(0), dims.getLong(1), dims.getLong(2))
+      require(n > 0L, "categoricalAssociation: empty input")
+      // explicit aliases: ra/rb derive from joint, so their __a/__b
+      // attributes share expression ids with joint's — an unqualified
+      // condition would self-reference
+      val grid = ra.alias("__ra")
+        .crossJoin(rb.alias("__rb")) // cells-bounded BY CONSTRUCTION
+        .join(joint.alias("__j"),
+          col("__ra.__a") <=> col("__j.__a") &&
+            col("__rb.__b") <=> col("__j.__b"),
+          "left_outer")
+        .select(coalesce(col("__j.__c"), lit(0L)).cast("double").as("o"),
+          (col("__na").cast("double") * col("__nb").cast("double") /
+            lit(n.toDouble)).as("e"))
+      def dsum(t: org.apache.spark.sql.Column) =
+        sum(round(t, 12).cast("decimal(38,12)")).cast("double")
+      val o = col("o")
+      val e = col("e")
+      val s = grid.agg(
+        dsum((o - e) * (o - e) / e).as("chi2"),
+        dsum(when(o > 0.0,
+            (o / lit(n.toDouble)) * log(o / e))
+          .otherwise(lit(0.0))).as("mi")).head()
+      val (chi2, mi) = (s.getDouble(0), s.getDouble(1))
+      val minDim = math.min(r, c) - 1L
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val v =
+        if (minDim <= 0L) None // a constant axis: V is 0/0, reported NULL
+        else Some(r6(math.sqrt(chi2 / (n.toDouble * minDim.toDouble))))
+      import spark.implicits._
+      Seq((n, (r - 1L) * (c - 1L), r6(chi2), v, r6(mi)))
+        .toDF("n", "dof", "chi2_6", "cramers_v6", "mi6")
+    } finally Blocks.release(joint)
+  }
+
   /** The (v, cnt) state fold — the q131 incremental-maintenance
     * algebra specialized to the value-count table: union + ONE
     * grid-bounded re-aggregation; the fact rows behind `base` are

@@ -264,7 +264,18 @@ object Stats {
       salt: String = "boot"): DataFrame = {
     require(nBoot >= 10, s"nBoot ($nBoot) must be >= 10 for a usable CI")
     require(alpha > 0.0 && alpha < 0.5, s"alpha ($alpha) must be in (0, 0.5)")
-    val agg = bootPartials(df, None, valueCol, idCol, nBoot, salt)
+    ciFromBootPartials(
+      bootPartials(df, None, valueCol, idCol, nBoot, salt), alpha)
+  }
+
+  /** The one-row CI readout over an accumulated (ungrouped)
+    * [[bootPartials]] state frame — shared VERBATIM by
+    * [[bootstrapMeanCI]] and the streaming monitor ([[graft.streaming
+    * .StreamGate.replayBootstrapMonitor]]): partials merge by exact
+    * decimal/long SUM, so whoever accumulated the state (one scan, a
+    * delta fold, or a file stream) reads the identical CI off it. */
+  private[graft] def ciFromBootPartials(
+      agg: DataFrame, alpha: Double): DataFrame = {
     val means = agg.filter(col("__b") >= 0 && col("__cnt") > 0)
       .select((col("__s").cast("double") / col("__cnt").cast("double"))
         .as("__m"))
@@ -295,6 +306,23 @@ object Stats {
       round(max(col("l")), 6).as("lo6"),
       round(max(col("h2")), 6).as("hi6"))
   }
+
+  /** One micro-batch's (or delta shard's) bootstrap partial state —
+    * `(__b, __s decimal(38,9), __cnt)`, `__b = -1` the base pair —
+    * and the SUM-fold that merges it into accumulated state: the
+    * incremental/streaming face of [[bootPartials]]. Exposed so a
+    * foreachBatch monitor can maintain the CI state without ever
+    * rescanning earlier batches; decimal sums are exact, so the
+    * accumulated state is provably split-invariant. */
+  private[graft] def bootPartialsOf(
+      df: DataFrame, valueCol: String, idCol: String,
+      nBoot: Int, salt: String): DataFrame =
+    bootPartials(df, None, valueCol, idCol, nBoot, salt)
+
+  private[graft] def foldBootPartials(
+      base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy("__g", "__b")
+      .agg(sum(col("__s")).as("__s"), sum(col("__cnt")).as("__cnt"))
 
   /** Per-group [[bootstrapMeanCI]] — the continuous-outcome twin of
     * the per-arm Wilson readout ([[graft.operators.Experiment

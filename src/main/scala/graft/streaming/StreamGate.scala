@@ -959,6 +959,76 @@ object StreamGate {
     }
   }
 
+  /** Streaming bootstrap-CI monitor — [[graft.operators.Stats
+    * .bootstrapMeanCI]] with the outcome feed as a FILE STREAM: each
+    * micro-batch folds its rows' `nBoot` Poisson replicate weights
+    * into per-replicate (Σ, count) partials (the batch operator's own
+    * one-scan fold), which merge by exact decimal/long SUM into a
+    * versioned parquet state table — (nBoot+1)-row state, never a
+    * rescan of earlier batches — and the final readout runs the
+    * SHARED percentile arithmetic. Because each row's replicate
+    * weights are a pure function of (salt, b, id) and the partials
+    * are exact decimals, the micro-batch split provably cannot move
+    * any replicate mean: the live CI equals the batch CI of the same
+    * feed, and q225 is held to q217's verbatim oracle — closing the
+    * CI matrix whole-corpus (q217) / per-group (q220) / stream
+    * (this). Returns the one-row (`n`, `n_boot`, `mean6`, `lo6`,
+    * `hi6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayBootstrapMonitor(
+      outcomes: DataFrame,
+      valueCol: String,
+      idCol: String,
+      nBoot: Int = 100,
+      alpha: Double = 0.05,
+      salt: String = "boot",
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = outcomes.sparkSession
+    val src = tempDir("graft_boot_src")
+    outcomes.select(col(valueCol), col(idCol)).coalesce(8)
+      .write.mode("overwrite").parquet(src)
+    val stateRoot = tempDir("graft_boot_state")
+    val ck = tempDir("graft_boot_ck")
+    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
+    try {
+      val stream = spark.readStream
+        .schema(outcomes.select(col(valueCol), col(idCol)).schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bh = graft.operators.Stats.bootPartialsOf(
+            batch, valueCol, idCol, nBoot, salt)
+          val merged = Option(state.get()) match {
+            case None => bh
+            case Some(p) => graft.operators.Stats
+              .foldBootPartials(spark.read.parquet(p), bh)
+          }
+          val next = s"$stateRoot/v${version.incrementAndGet()}"
+          merged.write.mode("overwrite").parquet(next)
+          state.set(next)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
+      require(state.get() != null,
+        "replayBootstrapMonitor saw no micro-batches")
+      releaseLastReplay(graft.operators.Stats.ciFromBootPartials(
+          spark.read.parquet(state.get()), alpha)
+        .localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, stateRoot, ck).foreach(deleteRecursively)
+    }
+  }
+
   /** Streaming SCD-2 enrichment — the FACT feed as a file stream,
     * each micro-batch point-in-time joined against the STATIC
     * slowly-changing dimension by the BATCH [[graft.operators

@@ -138,4 +138,65 @@ class ProfileSpec extends AnyFunSuite {
       Profile.ksStatistic(table("v double", Seq(row(null))), vals(1.0), "v")
     }
   }
+
+  test("exactQuantiles: hand-computed discrete ranks, duplicates, NULLs, validation") {
+    // values {1,2,2,3,10}: n=5; p=0.2 -> rank 1 -> 1; p=0.5 -> rank 3
+    // -> 2 (the duplicate mass); p=0.6 -> rank 3 -> 2; p=0.61 -> rank
+    // 4 -> 3; p=1.0 -> rank 5 -> 10
+    val df = table("v double", Seq(1.0, 2.0, 2.0, 3.0, 10.0).map(row(_)))
+    val got = Profile.exactQuantiles(df, "v", Seq(0.2, 0.5, 0.6, 0.61, 1.0))
+      .collect().map(r => (r.getDouble(0), r.getDouble(2))).toMap
+    assert(got == Map(0.2 -> 1.0, 0.5 -> 2.0, 0.6 -> 2.0,
+      0.61 -> 3.0, 1.0 -> 10.0), got.toString)
+    // NULLs carry no rank; n excludes them
+    val withNulls = table("v double", Seq(row(5.0), row(null), row(7.0)))
+    val r2 = Profile.exactQuantiles(withNulls, "v", Seq(0.5)).head()
+    assert(r2.getLong(1) == 2L && r2.getDouble(2) == 5.0, r2.toString)
+    intercept[IllegalArgumentException] {
+      Profile.exactQuantiles(df, "v", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.exactQuantiles(df, "v", Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.exactQuantiles(df, "v", Seq(0.5, 0.5))
+    }
+    intercept[IllegalArgumentException] { // all-NULL: empty count state
+      Profile.exactQuantiles(table("v double", Seq(row(null))), "v", Seq(0.5))
+    }
+  }
+
+  test("categoricalAssociation: dependence, independence, NULL category, degenerate axis") {
+    // perfect dependence over 2x2 with 4 rows each pairing: chi2 = n,
+    // V = 1, MI = ln 2
+    val dep = table("a string, b string",
+      Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q")).map(t => row(t._1, t._2)))
+    val d = Profile.categoricalAssociation(dep, "a", "b").head()
+    assert(d.getLong(0) == 4L && d.getLong(1) == 1L, d.toString)
+    assert(d.getDouble(2) == 4.0 && d.getDouble(3) == 1.0, d.toString)
+    assert(math.abs(d.getDouble(4) - math.log(2.0)) < 1e-6, d.toString)
+    // exact independence (balanced 2x2): chi2 = 0, MI = 0, V = 0
+    val ind = table("a string, b string",
+      Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).map(t => row(t._1, t._2)))
+    val i = Profile.categoricalAssociation(ind, "a", "b").head()
+    assert(i.getDouble(2) == 0.0 && i.getDouble(3) == 0.0 &&
+      i.getDouble(4) == 0.0, i.toString)
+    // NULL is its own category: a (null, p) row widens the grid
+    val withNull = table("a string, b string",
+      Seq(row("x", "p"), row(null, "p"), row("y", "q")))
+    val nres = Profile.categoricalAssociation(withNull, "a", "b").head()
+    assert(nres.getLong(0) == 3L && nres.getLong(1) == 2L, nres.toString)
+    // a constant axis: dof 0, chi2 0, MI 0, V NULL (0/0, not a crash)
+    val const = table("a string, b string",
+      Seq(row("x", "p"), row("y", "p")))
+    val c = Profile.categoricalAssociation(const, "a", "b").head()
+    assert(c.getLong(1) == 0L && c.getDouble(2) == 0.0 &&
+      c.isNullAt(3) && c.getDouble(4) == 0.0, c.toString)
+    intercept[IllegalArgumentException] {
+      Profile.categoricalAssociation(dep, "a", "a")
+    }
+    intercept[IllegalArgumentException] {
+      Profile.categoricalAssociation(dep.limit(0), "a", "b")
+    }
+  }
 }

@@ -272,6 +272,19 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(folded.toSeq == batch.toSeq)
   }
 
+  test("stream bootstrap CI == batch bootstrapMeanCI across partial folds") {
+    val streamed = StreamGate.replayBootstrapMonitor(
+      events.repartition(8), "value", "event_id",
+      nBoot = 40, alpha = 0.1, salt = "sb", filesPerTrigger = 1).head()
+    val batch = graft.operators.Stats.bootstrapMeanCI(
+      events, "value", "event_id",
+      nBoot = 40, alpha = 0.1, salt = "sb").head()
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+    assert(graft.streaming.StreamGate.lastReplayObservability
+      .exists(_.microBatches > 1))
+  }
+
   test("stream SCD-2 enrichment == batch scdJoin across micro-batches") {
     import graft.operators.AsOfJoin
     // two-version dimension over user ids; facts = the events feed
