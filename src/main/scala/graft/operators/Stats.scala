@@ -264,8 +264,14 @@ object Stats {
       salt: String = "boot"): DataFrame = {
     require(nBoot >= 10, s"nBoot ($nBoot) must be >= 10 for a usable CI")
     require(alpha > 0.0 && alpha < 0.5, s"alpha ($alpha) must be in (0, 0.5)")
+    // eager checkpoint of the (nBoot+1)-row aggregated state: the
+    // readout reads it from THREE branches (means, base, percentile),
+    // and a MapPartitions lambda defeats exchange reuse — without this
+    // the corpus fold would run once per branch. The returned frame
+    // reads the checkpoint ([[Blocks.release]] once consumed).
     ciFromBootPartials(
-      bootPartials(df, None, valueCol, idCol, nBoot, salt), alpha)
+      bootPartials(df, None, valueCol, idCol, nBoot, salt)
+        .localCheckpoint(), alpha)
   }
 
   /** The one-row CI readout over an accumulated (ungrouped)
@@ -351,7 +357,10 @@ object Stats {
       salt: String = "boot"): DataFrame = {
     require(nBoot >= 10, s"nBoot ($nBoot) must be >= 10 for a usable CI")
     require(alpha > 0.0 && alpha < 0.5, s"alpha ($alpha) must be in (0, 0.5)")
+    // eager checkpoint — same three-branch reuse as the ungrouped CI
+    // (groups×(nBoot+1) rows); [[Blocks.release]] once consumed
     val agg = bootPartials(df, Some(groupCol), valueCol, idCol, nBoot, salt)
+      .localCheckpoint()
     val lo = alpha / 2.0
     val hi = 1.0 - alpha / 2.0
     val means = agg.filter(col("__b") >= 0 && col("__cnt") > 0)
@@ -408,10 +417,20 @@ object Stats {
         col(valueCol).cast("double").as("__x"),
         col(idCol).cast("string").as("__id"))
       .as[(String, Double, String)]
+    // The fold is nBoot× heavier than the scan (nBoot md5s per row),
+    // so its parallelism must follow CORES, not file splits: a test-SF
+    // input is one parquet split and would single-task the whole fold.
+    // Widening costs one exchange of the 3-column projection — far
+    // less than the fold it parallelizes — and is a NO-OP at scale,
+    // where the scan already carries more splits than cores.
+    val target = spark.sparkContext.defaultParallelism
+    val balanced =
+      if (rows.rdd.getNumPartitions < target) rows.repartition(target)
+      else rows
     val nb = nBoot
     val cuts = poissonCuts.toArray
     val saltPrefix = salt + ":"
-    val partials = rows.mapPartitions { it =>
+    val partials = balanced.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val utf8 = java.nio.charset.StandardCharsets.UTF_8
       // "<salt>:<b>:" rendered once per replicate, not once per row
