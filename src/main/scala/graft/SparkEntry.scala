@@ -4556,6 +4556,21 @@ object SparkEntry {
         (col("user_id") % 7).cast("string").as("user_bucket")),
       "event_type", "user_bucket")
 
+  // ---------------------------------------------------------------- q227
+  /** Token-mass sequence-length quantiles ([[graft.operators.Profile
+    * .weightedExactQuantiles]]): each document's token count weighted
+    * by ITSELF, so q(0.9) answers "the length below which 90% of the
+    * corpus's TOKENS sit" — the number that prices a max_seq_len
+    * choice (q209's frontier priced the sweep; this reads the knee's
+    * percentile directly). The oracle replays the weighted rank rule
+    * over the same length grid. */
+  private def q227TokenMassQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.weightedExactQuantiles(
+      Tables.documents(s, dir).select(
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tokens")),
+      "n_tokens", "n_tokens", quantilePs)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4783,6 +4798,7 @@ object SparkEntry {
     "q224_stream_scd_enrichment" -> (q224StreamScdEnrichment _),
     "q225_stream_bootstrap_ci" -> (q225StreamBootstrapCI _),
     "q226_categorical_association" -> (q226CategoricalAssociation _),
+    "q227_token_mass_quantiles" -> (q227TokenMassQuantiles _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -5997,6 +6013,24 @@ object SparkEntry {
         |    * CAST(LEAST(d.r, d.c2) - 1 AS DOUBLE))), 6) AS cramers_v6,
         |  ROUND(mi, 6) AS mi6
         |FROM s CROSS JOIN d""".stripMargin,
+    "q227_token_mass_quantiles" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+        |    AS tok
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT CAST(tok AS DOUBLE) AS v, CAST(SUM(tok) AS BIGINT) AS cnt
+        |  FROM d WHERE tok <> 0 GROUP BY tok
+        |), cum AS (
+        |  SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM c
+        |), n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c
+        |), ps AS (
+        |  SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS p
+        |)
+        |SELECT ps.p AS p, n.n AS n, MIN(cum.v) AS q
+        |FROM ps CROSS JOIN n CROSS JOIN cum
+        |WHERE cum.cum >= GREATEST(CAST(CEIL(ps.p * n.n) AS BIGINT), 1)
+        |GROUP BY ps.p, n.n ORDER BY p""".stripMargin,
     "q221_exact_quantiles" -> exactQuantilesOracle,
     // held to the batch recompute: the count state folds by SUM, so
     // the incremental and streamed ECDFs are provably the same grid

@@ -366,6 +366,33 @@ object Profile {
       df: DataFrame, valueCol: String, ps: Seq[Double]): DataFrame =
     exactQuantilesFromCounts(ksSideCounts(df, valueCol, "cnt"), ps)
 
+  /** WEIGHT-MASS quantiles off the same machinery: each row carries
+    * `weightCol` units of mass, and the answer at `p` is the value
+    * covering weighted rank ⌈p·W⌉ (W = total mass) — "the sequence
+    * length below which 90% of the TOKENS sit", the number that
+    * actually prices a `max_seq_len` choice, versus the per-document
+    * quantile that lets a million short docs outvote the token mass.
+    * Weights must be non-negative integers (exactness of the folded
+    * ECDF): a negative weight fails LOUDLY at scan time, zero/NULL
+    * weights carry no mass and drop. Same scale shape as
+    * [[exactQuantiles]] — the count state is just seeded with weight
+    * sums, and still folds by SUM for the incremental/streaming
+    * variants. */
+  def weightedExactQuantiles(
+      df: DataFrame, valueCol: String, weightCol: String,
+      ps: Seq[Double]): DataFrame = {
+    val w = col(weightCol).cast("long")
+    val counts = df
+      .filter(col(valueCol).isNotNull && w.isNotNull && w =!= 0L)
+      .select(col(valueCol).cast("double").as("v"),
+        when(w > 0L, w).otherwise(raise_error(concat(
+          lit("weightedExactQuantiles: negative weight "),
+          w.cast("string"), lit(" for value "),
+          col(valueCol).cast("string")))).as("cnt"))
+      .groupBy("v").agg(sum(col("cnt")).as("cnt"))
+    exactQuantilesFromCounts(counts, ps)
+  }
+
   /** Categorical association audit over two columns — the
     * composition-dependence readout a mixture pipeline needs before
     * trusting a marginal report ("is language independent of source?

@@ -166,6 +166,29 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedExactQuantiles: mass ranks, zero/NULL drop, negative weight loud") {
+    // values 1 (mass 1), 2 (mass 8), 10 (mass 1): W=10; p=0.1 -> rank
+    // 1 -> 1; p=0.11 -> rank 2 -> 2; p=0.9 -> rank 9 -> 2; p=0.91 ->
+    // rank 10 -> 10
+    val df = table("v double, w bigint", Seq(
+      row(1.0, 1L), row(2.0, 5L), row(2.0, 3L), row(10.0, 1L),
+      row(3.0, 0L),          // zero mass: dropped
+      row(4.0, null),        // NULL mass: dropped
+      row(null, 7L)))        // NULL value: dropped
+    val got = Profile.weightedExactQuantiles(df, "v", "w",
+        Seq(0.1, 0.11, 0.9, 0.91))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0.1, 10L, 1.0), (0.11, 10L, 2.0),
+      (0.9, 10L, 2.0), (0.91, 10L, 10.0)), got.mkString("; "))
+    val neg = table("v double, w bigint", Seq(row(1.0, -2L)))
+    val e = intercept[Throwable] {
+      Profile.weightedExactQuantiles(neg, "v", "w", Seq(0.5)).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("negative weight"), msgs.take(300))
+  }
+
   test("categoricalAssociation: dependence, independence, NULL category, degenerate axis") {
     // perfect dependence over 2x2 with 4 rows each pairing: chi2 = n,
     // V = 1, MI = ln 2
