@@ -4571,6 +4571,17 @@ object SparkEntry {
           .cast("long").as("n_tokens")),
       "n_tokens", "n_tokens", quantilePs)
 
+  // ---------------------------------------------------------------- q228
+  /** Per-group exact quantiles ([[graft.operators.Profile
+    * .exactQuantilesByGroup]]): per-event-type value percentiles off
+    * one global range-partitioned prefix sum (no group window over
+    * the row-sized value grid — a skewed group cannot single-task
+    * it); rank targets computed in the plan, answers verbatim input
+    * doubles. The oracle replays the per-group weighted rank rule. */
+  private def q228QuantilesByGroup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.exactQuantilesByGroup(
+      Tables.events(s, dir), "event_type", "value", quantilePs)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4799,6 +4810,7 @@ object SparkEntry {
     "q225_stream_bootstrap_ci" -> (q225StreamBootstrapCI _),
     "q226_categorical_association" -> (q226CategoricalAssociation _),
     "q227_token_mass_quantiles" -> (q227TokenMassQuantiles _),
+    "q228_quantiles_by_group" -> (q228QuantilesByGroup _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6031,6 +6043,24 @@ object SparkEntry {
         |FROM ps CROSS JOIN n CROSS JOIN cum
         |WHERE cum.cum >= GREATEST(CAST(CEIL(ps.p * n.n) AS BIGINT), 1)
         |GROUP BY ps.p, n.n ORDER BY p""".stripMargin,
+    "q228_quantiles_by_group" ->
+      """WITH c AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY g, v
+        |), cum AS (
+        |  SELECT g, v,
+        |    SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY g) AS w
+        |  FROM c
+        |), ps AS (
+        |  SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS p
+        |)
+        |SELECT cum.g AS event_type, ps.p AS p,
+        |  CAST(MAX(cum.w) AS BIGINT) AS n, MIN(cum.v) AS q
+        |FROM ps CROSS JOIN cum
+        |WHERE cum.cum >= GREATEST(CAST(CEIL(ps.p * cum.w) AS BIGINT), 1)
+        |GROUP BY cum.g, ps.p ORDER BY event_type, p""".stripMargin,
     "q221_exact_quantiles" -> exactQuantilesOracle,
     // held to the batch recompute: the count state folds by SUM, so
     // the incremental and streamed ECDFs are provably the same grid

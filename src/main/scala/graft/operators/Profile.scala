@@ -366,6 +366,52 @@ object Profile {
       df: DataFrame, valueCol: String, ps: Seq[Double]): DataFrame =
     exactQuantilesFromCounts(ksSideCounts(df, valueCol, "cnt"), ps)
 
+  /** PER-GROUP exact discrete quantiles — [[exactQuantiles]] keyed by
+    * a group ("the p90 document length per language") WITHOUT a
+    * group-partitioned window over the value grid: for a continuous
+    * column the distinct-value grid is row-sized, so one skewed group
+    * would single-task its window partition. Instead the grid rides
+    * ONE global range-partitioned prefix sum over (group, value) and
+    * each row's per-group cumulative mass is recovered as
+    * `global_prefix − group_offset + cnt` (the
+    * withContiguousRowIdsPerGroup trick applied to running totals —
+    * the offset is a group-bounded MIN join). Rank targets
+    * `max(⌈p·W_g⌉, 1)` are computed IN the plan (per-group totals are
+    * columns, never driver scalars — group cardinality stays
+    * unbounded), and the covering value is a map-side-combined MIN
+    * per (group, p). Discrete, verbatim-input answers — the
+    * [[exactQuantilesFromCounts]] no-interpolation contract. NULL is
+    * its own group. Output: (`groupCol`, `p`, `n`, `q`) ordered by
+    * (group, p), group read back as STRING. */
+  def exactQuantilesByGroup(
+      df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "exactQuantilesByGroup needs probabilities")
+    require(ps.forall(p => p > 0.0 && p <= 1.0),
+      s"probabilities must be in (0, 1]: $ps")
+    require(ps.distinct.size == ps.size, s"duplicate probabilities: $ps")
+    val counts = df.select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("__g", "v").agg(count(lit(1)).as("cnt"))
+    val pre = General.withRunningTotal(counts, Seq("__g", "v"), "cnt", "__pre")
+    val offs = pre.groupBy("__g")
+      .agg(min(col("__pre")).as("__off"), sum(col("cnt")).as("__w"))
+    val cum = pre.alias("__l")
+      .join(offs.alias("__r"), col("__l.__g") <=> col("__r.__g"))
+      .select(col("__l.__g").as("__g"), col("v"),
+        (col("__pre") - col("__off") + col("cnt")).as("__cum"),
+        col("__w"))
+    cum.select(col("__g"), col("v"), col("__cum"), col("__w"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .filter(col("__cum") >=
+        greatest(ceil(col("p") * col("__w").cast("double")), lit(1L)))
+      .groupBy(col("__g"), col("p"))
+      .agg(max(col("__w")).as("n"), min(col("v")).as("q"))
+      .select(col("__g").as(groupCol), col("p"), col("n"), col("q"))
+      .orderBy(groupCol, "p")
+  }
+
   /** WEIGHT-MASS quantiles off the same machinery: each row carries
     * `weightCol` units of mass, and the answer at `p` is the value
     * covering weighted rank ⌈p·W⌉ (W = total mass) — "the sequence

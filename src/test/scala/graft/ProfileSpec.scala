@@ -166,6 +166,31 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantilesByGroup == ungrouped per filtered group; NULL group; skew") {
+    val rnd = new scala.util.Random(61)
+    // skewed: g0 holds 80% of rows — the shape the global-prefix path
+    // exists for — plus a NULL group
+    val df = table("g string, v double",
+      (0 until 500).map(i => row(
+        if (i % 10 < 8) "g0" else if (i % 10 == 8) "g1" else null,
+        rnd.nextInt(40).toDouble)))
+    val ps = Seq(0.25, 0.5, 0.9, 1.0)
+    val grouped = Profile.exactQuantilesByGroup(df, "g", "v", ps).collect()
+    assert(grouped.length == 3 * ps.length)
+    Seq(Some("g0"), Some("g1"), None).foreach { g =>
+      val part = df.filter(g.map(col("g") === _).getOrElse(col("g").isNull))
+      val solo = Profile.exactQuantiles(part, "v", ps)
+        .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+      val mine = grouped
+        .filter(r => if (g.isEmpty) r.isNullAt(0) else !r.isNullAt(0) && r.getString(0) == g.get)
+        .map(r => (r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      assert(mine.toSeq == solo.toSeq, s"group $g: ${mine.toSeq} vs ${solo.toSeq}")
+    }
+    intercept[IllegalArgumentException] {
+      Profile.exactQuantilesByGroup(df, "g", "v", Seq(1.5))
+    }
+  }
+
   test("weightedExactQuantiles: mass ranks, zero/NULL drop, negative weight loud") {
     // values 1 (mass 1), 2 (mass 8), 10 (mass 1): W=10; p=0.1 -> rank
     // 1 -> 1; p=0.11 -> rank 2 -> 2; p=0.9 -> rank 9 -> 2; p=0.91 ->
