@@ -4582,6 +4582,53 @@ object SparkEntry {
     graft.operators.Profile.exactQuantilesByGroup(
       Tables.events(s, dir), "event_type", "value", quantilePs)
 
+  // ---------------------------------------------------------------- q229
+  /** Fellegi–Sunter record linkage ([[graft.operators.Linkage
+    * .fellegiSunterScores]]): the customer table linked against a
+    * derived twin (ids offset, every 5th segment perturbed) through a
+    * modulus blocking key — each candidate pair scores the classic
+    * log-likelihood ratio over (segment, nation, name) m/u weights,
+    * and `is_match` thresholds the ROUNDED score. The oracle replays
+    * the blocking join, every agreement, and the identical
+    * ln((1−m)/(1−u)) weight arithmetic. True pairs clear the
+    * threshold even with a perturbed segment (name+nation carry
+    * them); the best random pair cannot reach it. */
+  private def q229FellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Linkage
+    val cust = Tables.customer(s, dir)
+    val leftR = cust.select(col("c_custkey").as("cid"),
+      col("c_mktsegment"), col("c_nationkey"), col("c_name"))
+    val rightR = cust.select((col("c_custkey") + 5000000L).as("cid"),
+      when(col("c_custkey") % 5 === 0, lit("XX"))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+      col("c_nationkey"), col("c_name"))
+    val cands = leftR.select(col("cid").as("id_a"),
+        (col("cid") % 200).as("__blk"))
+      .join(rightR.select(col("cid").as("id_b"),
+        ((col("cid") - 5000000L) % 200).as("__blk")), Seq("__blk"))
+      .select("id_a", "id_b")
+    Linkage.fellegiSunterScores(cands, "id_a", "id_b",
+        leftR, "cid", rightR, "cid",
+        Seq(Linkage.FsField("c_mktsegment", 0.9, 0.2),
+          Linkage.FsField("c_nationkey", 0.95, 0.04),
+          Linkage.FsField("c_name", 0.99, 0.001)),
+        matchThreshold = 5.0)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------- q230
+  /** Exact Gini concentration ([[graft.operators.Stats.giniIndex]])
+    * of token mass across documents — the "is the corpus secretly a
+    * few giants?" audit; rank sums per-term-exact DECIMAL over the
+    * range-partitioned (mass, id) order, one division on the 6dp
+    * gate. */
+  private def q230GiniTokenMass(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.giniIndex(
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tokens")),
+      "n_tokens", "doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4811,6 +4858,8 @@ object SparkEntry {
     "q226_categorical_association" -> (q226CategoricalAssociation _),
     "q227_token_mass_quantiles" -> (q227TokenMassQuantiles _),
     "q228_quantiles_by_group" -> (q228QuantilesByGroup _),
+    "q229_fellegi_sunter" -> (q229FellegiSunter _),
+    "q230_gini_token_mass" -> (q230GiniTokenMass _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6061,6 +6110,57 @@ object SparkEntry {
         |FROM ps CROSS JOIN cum
         |WHERE cum.cum >= GREATEST(CAST(CEIL(ps.p * cum.w) AS BIGINT), 1)
         |GROUP BY cum.g, ps.p ORDER BY event_type, p""".stripMargin,
+    "q229_fellegi_sunter" ->
+      """WITH l AS (
+        |  SELECT c_custkey AS cid, c_mktsegment, c_nationkey, c_name
+        |  FROM customer
+        |), r AS (
+        |  SELECT c_custkey + 5000000 AS cid,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'XX' ELSE c_mktsegment END
+        |      AS c_mktsegment,
+        |    c_nationkey, c_name
+        |  FROM customer
+        |), cand AS (
+        |  SELECT l.cid AS id_a, r.cid AS id_b,
+        |    l.c_mktsegment AS sa, r.c_mktsegment AS sb,
+        |    CAST(l.c_nationkey AS VARCHAR) AS na,
+        |    CAST(r.c_nationkey AS VARCHAR) AS nb,
+        |    l.c_name AS pa, r.c_name AS pb
+        |  FROM l JOIN r ON l.cid % 200 = (r.cid - 5000000) % 200
+        |), scored AS (
+        |  SELECT id_a, id_b,
+        |    CAST((CASE WHEN sa = sb THEN 1 ELSE 0 END)
+        |       + (CASE WHEN na = nb THEN 1 ELSE 0 END)
+        |       + (CASE WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |    ROUND((CASE WHEN sa = sb THEN ln(0.9 / 0.2)
+        |             ELSE ln((1 - 0.9) / (1 - 0.2)) END)
+        |        + (CASE WHEN na = nb THEN ln(0.95 / 0.04)
+        |             ELSE ln((1 - 0.95) / (1 - 0.04)) END)
+        |        + (CASE WHEN pa = pb THEN ln(0.99 / 0.001)
+        |             ELSE ln((1 - 0.99) / (1 - 0.001)) END), 6) AS score6
+        |  FROM cand
+        |)
+        |SELECT id_a, id_b, n_agree, score6, score6 >= 5.0 AS is_match
+        |FROM scored ORDER BY id_a, id_b""".stripMargin,
+    "q230_gini_token_mass" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+        |    AS x, doc_id
+        |  FROM documents WHERE text IS NOT NULL
+        |), r AS (
+        |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, CAST(doc_id AS VARCHAR))
+        |    AS i
+        |  FROM d
+        |), s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS t,
+        |    SUM(CAST(i AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s2
+        |  FROM r
+        |)
+        |SELECT n, CAST(t AS BIGINT) AS total,
+        |  ROUND(CAST(2 * s2 - (n + 1) * t AS DOUBLE)
+        |    / CAST(n * t AS DOUBLE), 6) AS gini6
+        |FROM s""".stripMargin,
     "q221_exact_quantiles" -> exactQuantilesOracle,
     // held to the batch recompute: the count state folds by SUM, so
     // the incremental and streamed ECDFs are provably the same grid

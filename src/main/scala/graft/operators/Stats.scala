@@ -543,6 +543,59 @@ object Stats {
       round(max(col("h2")), 6).as("hi6"))
   }
 
+  /** Exact Gini concentration index over non-negative INTEGER masses
+    * (token counts, byte sizes, event counts) — the one-number
+    * concentration audit of a corpus recipe: G near 0 = mass spread
+    * evenly across documents/sources, G near 1 = a handful dominate
+    * (the "is the corpus secretly one domain?" alarm that a mean
+    * can't raise). Uses the rank identity
+    * `G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)` over ascending-mass
+    * 1-based ranks — ties ordered by (mass, id) for determinism,
+    * though the identity's value is provably tie-order-invariant
+    * (swapping equal masses cannot change Σ i·x_i).
+    *
+    * Scale shape: ranks ride [[General.withContiguousRowIds]]'s
+    * range-partitioned sort (never one global window partition); both
+    * sums are per-term-exact DECIMAL(38,0) products (a long
+    * rank×mass product would overflow near 10^19 — exactly the
+    * 100 TB regime), so the two scalars are integer-exact on any
+    * engine and the readout is ONE double division on the 6dp gate.
+    * Negative masses fail loudly at scan time; NULL masses are
+    * excluded. Output: one row — (`n`, `total`, `gini6`). */
+  def giniIndex(
+      df: DataFrame, valueCol: String, idCol: String): DataFrame = {
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(
+        when(col(valueCol) >= 0, col(valueCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("giniIndex: negative mass "),
+            col(valueCol).cast("string"), lit(" for id "),
+            col(idCol).cast("string")))).as("__x"),
+        col(idCol).cast("string").as("__id"))
+    val ranked = General.withContiguousRowIds(vals, Seq("__x", "__id"), "__i")
+    val row = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast("decimal(38,0)")).as("t"),
+      sum((col("__i").cast("decimal(38,0)") + lit(1)) *
+        col("__x").cast("decimal(38,0)")).as("s")).head()
+    Blocks.release(ranked)
+    val n = row.getLong(0)
+    require(n > 0L, "giniIndex: no non-null masses")
+    val t = row.getDecimal(1)
+    val s = row.getDecimal(2)
+    require(t.signum > 0, "giniIndex: total mass is zero — G is 0/0")
+    val two = java.math.BigDecimal.valueOf(2L)
+    val numer = s.multiply(two)
+      .subtract(t.multiply(java.math.BigDecimal.valueOf(n + 1L)))
+    val denom = t.multiply(java.math.BigDecimal.valueOf(n))
+    val g = numer.doubleValue() / denom.doubleValue()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, t.longValueExact(), BigDecimal(g)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n", "total", "gini6")
+  }
+
   /** Per-group rank normalization — the distribution-free rescaling
     * that makes scores COMPARABLE ACROSS GROUPS before a global
     * policy consumes them ("mix by quality percentile within each

@@ -556,6 +556,31 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("giniIndex: uniform 0, single-holder (n-1)/n, NULL skip, loud negatives") {
+    val uniform = table("id bigint, x bigint",
+      (1L to 10L).map(i => row(i, 7L)))
+    val u = Stats.giniIndex(uniform, "x", "id").head()
+    assert(u.getLong(0) == 10L && u.getLong(1) == 70L &&
+      u.getDouble(2) == 0.0, u.toString)
+    // one holder of all mass among n=5: G = (n-1)/n = 0.8
+    val single = table("id bigint, x bigint",
+      Seq(row(1L, 0L), row(2L, 0L), row(3L, 0L), row(4L, 0L), row(5L, 100L)))
+    assert(Stats.giniIndex(single, "x", "id").head().getDouble(2) == 0.8)
+    // NULL mass rows are excluded from n and the sums
+    val withNull = table("id bigint, x bigint",
+      Seq(row(1L, 3L), row(2L, null), row(3L, 3L)))
+    assert(Stats.giniIndex(withNull, "x", "id").head().getLong(0) == 2L)
+    val neg = table("id bigint, x bigint", Seq(row(1L, -1L)))
+    val e = intercept[Throwable] { Stats.giniIndex(neg, "x", "id").collect() }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("negative mass"), msgs.take(300))
+    intercept[IllegalArgumentException] { // zero total mass: G undefined
+      Stats.giniIndex(table("id bigint, x bigint", Seq(row(1L, 0L))),
+        "x", "id")
+    }
+  }
+
   test("bootstrapMeanCI: one-scan fold == explode reference, bit-for-bit") {
     // values with many decimal digits + negatives + a skewed partition
     // layout: the exact shapes where a float fold would drift and an
