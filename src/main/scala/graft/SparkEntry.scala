@@ -4595,6 +4595,21 @@ object SparkEntry {
     * them); the best random pair cannot reach it. */
   private def q229FellegiSunter(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Linkage
+    val (leftR, rightR, cands) = fsLinkageFixture(s, dir)
+    Linkage.fellegiSunterScores(cands, "id_a", "id_b",
+        leftR, "cid", rightR, "cid",
+        Seq(Linkage.FsField("c_mktsegment", 0.9, 0.2),
+          Linkage.FsField("c_nationkey", 0.95, 0.04),
+          Linkage.FsField("c_name", 0.99, 0.001)),
+        matchThreshold = 5.0)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The linkage fixture shared by q229/q231: the customer table, a
+    * derived twin (ids offset by 5e6, every 5th segment perturbed),
+    * and modulus-block candidate pairs. */
+  private def fsLinkageFixture(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val cust = Tables.customer(s, dir)
     val leftR = cust.select(col("c_custkey").as("cid"),
       col("c_mktsegment"), col("c_nationkey"), col("c_name"))
@@ -4607,13 +4622,24 @@ object SparkEntry {
       .join(rightR.select(col("cid").as("id_b"),
         ((col("cid") - 5000000L) % 200).as("__blk")), Seq("__blk"))
       .select("id_a", "id_b")
-    Linkage.fellegiSunterScores(cands, "id_a", "id_b",
-        leftR, "cid", rightR, "cid",
-        Seq(Linkage.FsField("c_mktsegment", 0.9, 0.2),
-          Linkage.FsField("c_nationkey", 0.95, 0.04),
-          Linkage.FsField("c_name", 0.99, 0.001)),
-        matchThreshold = 5.0)
-      .orderBy("id_a", "id_b")
+    (leftR, rightR, cands)
+  }
+
+  // ---------------------------------------------------------------- q231
+  /** Blocking-quality report ([[graft.operators.Linkage
+    * .blockingReport]]): q229's modulus blocking judged on the known
+    * truth (each customer ↔ its offset twin) — reduction ratio over
+    * the quadratic space plus pairs completeness; the modulus block
+    * always co-locates the twin, so completeness must be exactly 1.
+    * The oracle replays both distinct counts, the truth join, and
+    * the two divisions. */
+  private def q231BlockingReport(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val nc = cust.count()
+    val (_, _, cands) = fsLinkageFixture(s, dir)
+    val truth = cust.select(col("c_custkey").as("id_a"),
+      (col("c_custkey") + 5000000L).as("id_b"))
+    graft.operators.Linkage.blockingReport(cands, truth, nc, nc)
   }
 
   // ---------------------------------------------------------------- q230
@@ -4860,6 +4886,7 @@ object SparkEntry {
     "q228_quantiles_by_group" -> (q228QuantilesByGroup _),
     "q229_fellegi_sunter" -> (q229FellegiSunter _),
     "q230_gini_token_mass" -> (q230GiniTokenMass _),
+    "q231_blocking_report" -> (q231BlockingReport _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6142,6 +6169,26 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, n_agree, score6, score6 >= 5.0 AS is_match
         |FROM scored ORDER BY id_a, id_b""".stripMargin,
+    "q231_blocking_report" ->
+      """WITH cand AS (
+        |  SELECT DISTINCT l.c_custkey AS id_a, r.c_custkey + 5000000 AS id_b
+        |  FROM customer l JOIN customer r
+        |    ON l.c_custkey % 200 = r.c_custkey % 200
+        |), truth AS (
+        |  SELECT c_custkey AS id_a, c_custkey + 5000000 AS id_b FROM customer
+        |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer)
+        |SELECT nn.n AS n_left, nn.n AS n_right,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+        |     JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_found,
+        |  ROUND(1.0 - CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)
+        |    / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)), 6) AS reduction6,
+        |  ROUND(CAST((SELECT COUNT(*) FROM truth t
+        |      JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b) AS DOUBLE)
+        |    / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 6)
+        |    AS completeness6
+        |FROM nn""".stripMargin,
     "q230_gini_token_mass" ->
       """WITH d AS (
         |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)

@@ -93,4 +93,162 @@ object Linkage {
         round(terms.reduce(_ + _), 6).as("score6"))
       .withColumn("is_match", col("score6") >= lit(matchThreshold))
   }
+
+  /** Estimated Fellegi–Sunter parameters: the match proportion `p`
+    * and per-field (m, u) ready to feed [[fellegiSunterScores]]. */
+  final case class FsEstimate(p: Double, fields: Seq[FsField])
+
+  /** EM estimation of the m/u weights from UNLABELED candidate pairs
+    * — how the FS parameters are obtained in practice (Winkler's
+    * classic application of EM to the latent match indicator): each
+    * candidate pair reduces to its binary agreement pattern
+    * γ ∈ {0,1}^k, the 2^k pattern COUNTS are the complete sufficient
+    * statistics, and EM iterates driver-side on that bounded table —
+    * E-step: P(match | γ) under the current (p, m, u); M-step:
+    * count-weighted re-estimates. Deterministic by construction:
+    * fixed iteration count, fixed double-precision init, no
+    * randomness — reruns agree bit-for-bit (spec-pinned), which is
+    * why this is safely spec-covered rather than oracle-replayed (EM
+    * in SQL would be a recursion nobody audits). A field NULL on
+    * either side counts as DISAGREEMENT here (estimation wants a
+    * complete binary pattern; the conservative fold) — stated, and
+    * different from the scorer's no-evidence rule. Estimates are
+    * clamped to [1e-6, 1−1e-6] so a degenerate corpus cannot emit a
+    * boundary probability [[FsField]] would reject.
+    *
+    * Scale shape: one pattern-count aggregation over the candidates
+    * (two id-keyed joins + a bitmask groupBy, output ≤ 2^k rows,
+    * k ≤ 16 enforced), then pure driver arithmetic on the collected
+    * pattern table. */
+  def estimateFsParams(
+      candidates: DataFrame,
+      idACol: String,
+      idBCol: String,
+      left: DataFrame,
+      leftIdCol: String,
+      right: DataFrame,
+      rightIdCol: String,
+      fieldNames: Seq[String],
+      iters: Int = 25,
+      initP: Double = 0.1,
+      initM: Double = 0.9,
+      initU: Double = 0.1): FsEstimate = {
+    require(fieldNames.nonEmpty, "estimateFsParams needs comparison fields")
+    require(fieldNames.distinct.size == fieldNames.size,
+      s"duplicate comparison fields: ${fieldNames.mkString(", ")}")
+    require(fieldNames.size <= 16,
+      s"${fieldNames.size} fields would mean 2^${fieldNames.size} patterns — cap is 16")
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    val k = fieldNames.size
+    val l = left.select((leftIdCol +: fieldNames).distinct.map(col): _*)
+      .alias("__fl")
+    val r = right.select((rightIdCol +: fieldNames).distinct.map(col): _*)
+      .alias("__fr")
+    val mask = fieldNames.zipWithIndex.map { case (f, i) =>
+      val a = col(s"__fl.$f").cast("string")
+      val b = col(s"__fr.$f").cast("string")
+      when(a.isNotNull && b.isNotNull && a === b, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val patterns = candidates
+      .select(col(idACol).as("id_a"), col(idBCol).as("id_b"))
+      .join(l, col("id_a") === col(s"__fl.$leftIdCol"))
+      .join(r, col("id_b") === col(s"__fr.$rightIdCol"))
+      .groupBy(mask.as("__pat")).agg(count(lit(1)).as("__c"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    require(patterns.nonEmpty, "estimateFsParams: no candidate pairs")
+    val total = patterns.map(_._2).sum.toDouble
+    def clamp(x: Double) = math.min(1.0 - 1e-6, math.max(1e-6, x))
+    var p = initP
+    var m = Array.fill(k)(initM)
+    var u = Array.fill(k)(initU)
+    var it = 0
+    while (it < iters) {
+      var sw = 0.0
+      val swG = new Array[Double](k)
+      val snG = new Array[Double](k)
+      var sn = 0.0
+      patterns.foreach { case (pat, c) =>
+        var pm = p
+        var pu = 1.0 - p
+        var i = 0
+        while (i < k) {
+          val g = ((pat >> i) & 1L) == 1L
+          pm *= (if (g) m(i) else 1.0 - m(i))
+          pu *= (if (g) u(i) else 1.0 - u(i))
+          i += 1
+        }
+        val w = pm / (pm + pu)
+        sw += c * w
+        sn += c * (1.0 - w)
+        i = 0
+        while (i < k) {
+          if (((pat >> i) & 1L) == 1L) {
+            swG(i) += c * w
+            snG(i) += c * (1.0 - w)
+          }
+          i += 1
+        }
+      }
+      p = clamp(sw / total)
+      m = Array.tabulate(k)(i => clamp(swG(i) / math.max(sw, 1e-300)))
+      u = Array.tabulate(k)(i => clamp(snG(i) / math.max(sn, 1e-300)))
+      it += 1
+    }
+    FsEstimate(p, fieldNames.zipWithIndex.map { case (f, i) =>
+      // a non-discriminating field (m <= u after EM) cannot build an
+      // FsField — surface it loudly with the estimates in the message
+      require(m(i) > u(i),
+        s"estimateFsParams: field '$f' converged to m=${m(i)} <= u=${u(i)} " +
+          "— it does not discriminate matches on these candidates")
+      FsField(f, m(i), u(i))
+    })
+  }
+
+  /** Blocking-quality report — the two numbers that judge a blocking
+    * scheme BEFORE anyone scores pairs: the reduction ratio
+    * (1 − |candidates| / (|L|·|R|): how much of the quadratic
+    * comparison space the blocks pruned) and pairs completeness
+    * (|candidates ∩ truth| / |truth|: the recall the pruning kept),
+    * on a labeled truth sample. Candidates and truth are
+    * DISTINCT-counted (a pair emitted by two blocks is one
+    * comparison saved is one comparison). All counts integer-exact;
+    * the two ratios are single divisions on the 6dp gate.
+    *
+    * Scale shape: two distinct-aggregations plus one pair-keyed join
+    * bounded by the truth sample; |L| and |R| are passed in (the
+    * caller already knows its table sizes — recounting 100 TB to
+    * label a report is not this operator's job). Output: one row —
+    * (`n_left`, `n_right`, `n_candidates`, `n_truth`, `n_found`,
+    * `reduction6`, `completeness6`). */
+  def blockingReport(
+      candidates: DataFrame,
+      truePairs: DataFrame,
+      nLeft: Long,
+      nRight: Long): DataFrame = {
+    require(nLeft > 0L && nRight > 0L,
+      s"record counts must be positive (got $nLeft, $nRight)")
+    val spark = candidates.sparkSession
+    val cand = candidates.select(col("id_a"), col("id_b")).distinct()
+      .localCheckpoint()
+    try {
+      val truth = truePairs.select(col("id_a"), col("id_b")).distinct()
+        .localCheckpoint()
+      try {
+        val nCand = cand.count()
+        val nTruth = truth.count()
+        val nFound = truth.join(cand, Seq("id_a", "id_b")).count()
+        def r6(v: Double) = BigDecimal(v)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val reduction =
+          1.0 - nCand.toDouble / (nLeft.toDouble * nRight.toDouble)
+        val completeness =
+          if (nTruth == 0L) None else Some(r6(nFound.toDouble / nTruth.toDouble))
+        import spark.implicits._
+        Seq((nLeft, nRight, nCand, nTruth, nFound, r6(reduction), completeness))
+          .toDF("n_left", "n_right", "n_candidates", "n_truth", "n_found",
+            "reduction6", "completeness6")
+      } finally Blocks.release(truth)
+    } finally Blocks.release(cand)
+  }
 }

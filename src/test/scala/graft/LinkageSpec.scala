@@ -40,6 +40,59 @@ class LinkageSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 30L, 1L, r6(wName), true)), got(2).toString)
   }
 
+  test("estimateFsParams: EM recovers planted m/u structure, deterministic") {
+    // 300 candidates: 30 true twins (name always agrees, seg agrees
+    // 90%), 270 non-matches (name never agrees, seg agrees ~20% via
+    // the shared g(i%5) bucket)
+    val left = table("lid bigint, seg string, name string",
+      (1 to 300).map(i => row(i.toLong, s"g${i % 5}", s"n$i")))
+    val right = table("rid bigint, seg string, name string",
+      (1 to 300).map(i => row(i.toLong,
+        if (i % 10 == 0) "zz" else s"g${i % 5}", s"n$i")))
+    val cands = table("id_a bigint, id_b bigint",
+      (1 to 30).map(i => row(i.toLong, i.toLong)) ++
+        (1 to 270).map(i => row(i.toLong, ((i * 7) % 300 + 1).toLong))
+          .filterNot(r => r.getLong(0) == r.getLong(1)))
+    val est = Linkage.estimateFsParams(cands, "id_a", "id_b",
+      left, "lid", right, "rid", Seq("seg", "name"), iters = 40)
+    assert(est.p > 0.05 && est.p < 0.2, est.toString)
+    val seg = est.fields.find(_.name == "seg").get
+    val name = est.fields.find(_.name == "name").get
+    assert(seg.m > 0.6 && seg.u > 0.1 && seg.u < 0.35, est.toString)
+    // the latent class EM finds is slightly wider than the planted one
+    // (a few seg-agreeing non-matches join it), so m_name lands high
+    // but not at 1 — the structure, not the exact constants, is pinned
+    assert(name.m > 0.7 && name.u < 0.05, est.toString)
+    assert(name.agreeWeight > seg.agreeWeight, est.toString)
+    // deterministic: a rerun is bit-identical
+    val est2 = Linkage.estimateFsParams(cands, "id_a", "id_b",
+      left, "lid", right, "rid", Seq("seg", "name"), iters = 40)
+    assert(est == est2)
+    intercept[IllegalArgumentException] {
+      Linkage.estimateFsParams(cands, "id_a", "id_b", left, "lid",
+        right, "rid", (1 to 17).map(i => s"f$i"), iters = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Linkage.estimateFsParams(cands.limit(0), "id_a", "id_b", left, "lid",
+        right, "rid", Seq("seg"), iters = 5)
+    }
+  }
+
+  test("blockingReport: hand counts, dup candidates collapse, empty truth NULL") {
+    val cands = table("id_a bigint, id_b bigint", Seq(
+      row(1L, 10L), row(1L, 10L), row(2L, 20L), row(3L, 30L)))
+    val truth = table("id_a bigint, id_b bigint", Seq(
+      row(1L, 10L), row(4L, 40L)))
+    val r1 = Linkage.blockingReport(cands, truth, 5L, 5L).head()
+    assert(r1.toSeq == Seq(5L, 5L, 3L, 2L, 1L, r6(1.0 - 3.0 / 25.0), 0.5),
+      r1.toString)
+    val r2 = Linkage.blockingReport(cands, truth.limit(0), 5L, 5L).head()
+    assert(r2.getLong(3) == 0L && r2.isNullAt(6), r2.toString)
+    intercept[IllegalArgumentException] {
+      Linkage.blockingReport(cands, truth, 0L, 5L)
+    }
+  }
+
   test("fellegiSunterScores: loud validation") {
     val df = table("lid bigint, seg string", Seq(row(1L, "A")))
     val cands = table("id_a bigint, id_b bigint", Seq(row(1L, 1L)))
