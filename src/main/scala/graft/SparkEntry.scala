@@ -4655,6 +4655,18 @@ object SparkEntry {
           .cast("long").as("n_tokens")),
       "n_tokens", "doc_id")
 
+  // ---------------------------------------------------------------- q232
+  /** Streaming association monitor ([[graft.streaming.StreamGate
+    * .replayAssociationMonitor]]): q226's (event type, user bucket)
+    * feed micro-batched, joint counts folded by SUM into versioned
+    * contingency state, readout = the shared chi-square/V/MI
+    * arithmetic — held to q226's verbatim oracle. */
+  private def q232StreamAssociation(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayAssociationMonitor(
+      Tables.events(s, dir).select(col("event_type"),
+        (col("user_id") % 7).cast("string").as("user_bucket")),
+      "event_type", "user_bucket")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4887,6 +4899,7 @@ object SparkEntry {
     "q229_fellegi_sunter" -> (q229FellegiSunter _),
     "q230_gini_token_mass" -> (q230GiniTokenMass _),
     "q231_blocking_report" -> (q231BlockingReport _),
+    "q232_stream_association" -> (q232StreamAssociation _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6064,43 +6077,10 @@ object SparkEntry {
         |  ROUND(qlo, 6) AS lo6, ROUND(qhi, 6) AS hi6
         |FROM base JOIN ci ON base.g = ci.g
         |ORDER BY event_type""".stripMargin,
-    "q226_categorical_association" ->
-      """WITH t AS (
-        |  SELECT event_type AS a, CAST(user_id % 7 AS VARCHAR) AS b
-        |  FROM events
-        |), j AS (
-        |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY a, b
-        |), ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS na FROM j GROUP BY a),
-        |rb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS nb FROM j GROUP BY b),
-        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM j),
-        |grid AS (
-        |  SELECT COALESCE(j.c, 0) AS o, ra.na, rb.nb,
-        |    CAST(ra.na AS DOUBLE) * CAST(rb.nb AS DOUBLE)
-        |      / CAST(nn.n AS DOUBLE) AS e,
-        |    nn.n AS n
-        |  FROM ra CROSS JOIN rb CROSS JOIN nn
-        |  LEFT JOIN j ON ra.a IS NOT DISTINCT FROM j.a
-        |    AND rb.b IS NOT DISTINCT FROM j.b
-        |), s AS (
-        |  SELECT MAX(n) AS n,
-        |    CAST(SUM(CAST(ROUND(
-        |      (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 12)
-        |      AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
-        |    CAST(SUM(CAST(ROUND(CASE WHEN o > 0
-        |      THEN (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * ln(CAST(o AS DOUBLE) / e)
-        |      ELSE 0.0 END, 12) AS DECIMAL(38,12))) AS DOUBLE) AS mi
-        |  FROM grid
-        |), d AS (
-        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ra) AS r,
-        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rb) AS c2
-        |)
-        |SELECT s.n AS n, (d.r - 1) * (d.c2 - 1) AS dof,
-        |  ROUND(chi2, 6) AS chi2_6,
-        |  ROUND(SQRT(chi2 / (CAST(s.n AS DOUBLE)
-        |    * CAST(LEAST(d.r, d.c2) - 1 AS DOUBLE))), 6) AS cramers_v6,
-        |  ROUND(mi, 6) AS mi6
-        |FROM s CROSS JOIN d""".stripMargin,
+    "q226_categorical_association" -> associationOracle,
+    // the streamed monitor is held to the batch audit's verbatim
+    // ground truth (joint counts fold by SUM)
+    "q232_stream_association" -> associationOracle,
     "q227_token_mass_quantiles" ->
       """WITH d AS (
         |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
@@ -9771,6 +9751,47 @@ object SparkEntry {
     * the LAG/XOR/popcount rule — shared VERBATIM by the batch
     * operator (q185) and the streaming replay (q211), the
     * two-formulations-one-ground-truth pattern. */
+  /** Shared by q226 (the batch categorical-association audit) and
+    * q232 (the streaming monitor) — two formulations, one ground
+    * truth: joint contingency counts fold by SUM. */
+  private val associationOracle: String =
+    """WITH t AS (
+      |  SELECT event_type AS a, CAST(user_id % 7 AS VARCHAR) AS b
+      |  FROM events
+      |), j AS (
+      |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY a, b
+      |), ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS na FROM j GROUP BY a),
+      |rb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS nb FROM j GROUP BY b),
+      |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM j),
+      |grid AS (
+      |  SELECT COALESCE(j.c, 0) AS o, ra.na, rb.nb,
+      |    CAST(ra.na AS DOUBLE) * CAST(rb.nb AS DOUBLE)
+      |      / CAST(nn.n AS DOUBLE) AS e,
+      |    nn.n AS n
+      |  FROM ra CROSS JOIN rb CROSS JOIN nn
+      |  LEFT JOIN j ON ra.a IS NOT DISTINCT FROM j.a
+      |    AND rb.b IS NOT DISTINCT FROM j.b
+      |), s AS (
+      |  SELECT MAX(n) AS n,
+      |    CAST(SUM(CAST(ROUND(
+      |      (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 12)
+      |      AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
+      |    CAST(SUM(CAST(ROUND(CASE WHEN o > 0
+      |      THEN (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * ln(CAST(o AS DOUBLE) / e)
+      |      ELSE 0.0 END, 12) AS DECIMAL(38,12))) AS DOUBLE) AS mi
+      |  FROM grid
+      |), d AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ra) AS r,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rb) AS c2
+      |)
+      |SELECT s.n AS n, (d.r - 1) * (d.c2 - 1) AS dof,
+      |  ROUND(chi2, 6) AS chi2_6,
+      |  ROUND(SQRT(chi2 / (CAST(s.n AS DOUBLE)
+      |    * CAST(LEAST(d.r, d.c2) - 1 AS DOUBLE))), 6) AS cramers_v6,
+      |  ROUND(mi, 6) AS mi6
+      |FROM s CROSS JOIN d""".stripMargin
+
   /** Shared by q217 (the batch Poisson bootstrap CI) and q225 (the
     * streaming monitor) — two formulations, one ground truth: each
     * row's replicate weights are a pure function of (salt, b, id) and

@@ -468,13 +468,26 @@ object Profile {
       df: DataFrame, colA: String, colB: String): DataFrame = {
     require(colA != colB,
       s"categoricalAssociation needs two distinct columns (got $colA twice)")
-    val spark = df.sparkSession
-    // ONE corpus pass: the joint table, checkpointed so the marginal /
-    // grid / term passes below are cells-bounded, never fact rescans
-    val joint = df.select(col(colA).cast("string").as("__a"),
-        col(colB).cast("string").as("__b"))
-      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
+    // ONE corpus pass: the joint table; everything downstream is
+    // cells-bounded, never a fact rescan
+    associationFromJoint(
+      df.select(col(colA).cast("string").as("__a"),
+          col(colB).cast("string").as("__b"))
+        .groupBy("__a", "__b").agg(count(lit(1)).as("__c")))
+  }
+
+  /** [[categoricalAssociation]]'s readout over a prepared joint count
+    * table `(__a, __b, __c)` — shared VERBATIM by the batch operator
+    * and the streaming monitor ([[graft.streaming.StreamGate
+    * .replayAssociationMonitor]]), the ksFromCounts discipline: joint
+    * counts fold by SUM, so whoever accumulated the table reads the
+    * identical statistics off it. Checkpoints the (cells-bounded)
+    * input so the marginal/grid/term passes never recompute it, and
+    * releases the blocks before returning (the result is a literal
+    * one-row frame). */
+  private[graft] def associationFromJoint(jointCounts: DataFrame): DataFrame = {
+    val spark = jointCounts.sparkSession
+    val joint = jointCounts.localCheckpoint()
     try {
       val ra = joint.groupBy("__a").agg(sum(col("__c")).as("__na"))
       val rb = joint.groupBy("__b").agg(sum(col("__c")).as("__nb"))
@@ -516,6 +529,24 @@ object Profile {
         .toDF("n", "dof", "chi2_6", "cramers_v6", "mi6")
     } finally Blocks.release(joint)
   }
+
+  /** One batch's joint count table for the association family —
+    * `(__a, __b, __c)`, NULL its own category on both axes. */
+  private[graft] def jointCountsOf(
+      df: DataFrame, colA: String, colB: String): DataFrame =
+    df.select(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+
+  /** The joint-count state fold: union + one cells-bounded re-
+    * aggregation; NULL categories group as themselves (groupBy
+    * semantics), counts merge by SUM — associative and commutative,
+    * so the batch, incremental, and streaming association readouts
+    * are formulations of one ground truth. */
+  private[graft] def foldJointCounts(
+      base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy("__a", "__b")
+      .agg(sum(col("__c")).as("__c"))
 
   /** The (v, cnt) state fold — the q131 incremental-maintenance
     * algebra specialized to the value-count table: union + ONE

@@ -959,6 +959,68 @@ object StreamGate {
     }
   }
 
+  /** Streaming categorical-association monitor — [[graft.operators
+    * .Profile.categoricalAssociation]] with the row feed as a FILE
+    * STREAM: each micro-batch's joint (a, b) counts fold by SUM into
+    * a versioned parquet contingency state (cells-bounded), and the
+    * final chi-square / Cramér's V / MI readout runs the SHARED
+    * arithmetic over the accumulated table — the ingest-time
+    * composition-dependence dashboard ("is language drifting away
+    * from independent-of-source as the crawl lands?"), provably equal
+    * to the batch audit of the same feed (q232 is held to q226's
+    * verbatim oracle). Returns the one-row
+    * (`n`, `dof`, `chi2_6`, `cramers_v6`, `mi6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayAssociationMonitor(
+      rows: DataFrame,
+      colA: String,
+      colB: String,
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = rows.sparkSession
+    val src = tempDir("graft_assoc_src")
+    rows.select(col(colA), col(colB)).coalesce(8)
+      .write.mode("overwrite").parquet(src)
+    val stateRoot = tempDir("graft_assoc_state")
+    val ck = tempDir("graft_assoc_ck")
+    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
+    try {
+      val stream = spark.readStream
+        .schema(rows.select(col(colA), col(colB)).schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bh = graft.operators.Profile.jointCountsOf(batch, colA, colB)
+          val merged = Option(state.get()) match {
+            case None => bh
+            case Some(p) => graft.operators.Profile
+              .foldJointCounts(spark.read.parquet(p), bh)
+          }
+          val next = s"$stateRoot/v${version.incrementAndGet()}"
+          merged.write.mode("overwrite").parquet(next)
+          state.set(next)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
+      require(state.get() != null,
+        "replayAssociationMonitor saw no micro-batches")
+      releaseLastReplay(graft.operators.Profile.associationFromJoint(
+          spark.read.parquet(state.get()))
+        .localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, stateRoot, ck).foreach(deleteRecursively)
+    }
+  }
+
   /** Streaming bootstrap-CI monitor — [[graft.operators.Stats
     * .bootstrapMeanCI]] with the outcome feed as a FILE STREAM: each
     * micro-batch folds its rows' `nBoot` Poisson replicate weights

@@ -272,6 +272,19 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(folded.toSeq == batch.toSeq)
   }
 
+  test("stream association == batch categoricalAssociation across count folds") {
+    import graft.operators.Profile
+    val rows = events.select(col("event_type"),
+      (col("user_id") % 3).cast("string").as("b"))
+    val streamed = StreamGate.replayAssociationMonitor(
+      rows.repartition(8), "event_type", "b", filesPerTrigger = 1).head()
+    val batch = Profile.categoricalAssociation(rows, "event_type", "b").head()
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+    assert(graft.streaming.StreamGate.lastReplayObservability
+      .exists(_.microBatches > 1))
+  }
+
   test("stream bootstrap CI == batch bootstrapMeanCI across partial folds") {
     val streamed = StreamGate.replayBootstrapMonitor(
       events.repartition(8), "value", "event_id",
