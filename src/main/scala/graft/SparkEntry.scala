@@ -4667,6 +4667,30 @@ object SparkEntry {
         (col("user_id") % 7).cast("string").as("user_bucket")),
       "event_type", "user_bucket")
 
+  // ---------------------------------------------------------------- q233
+  /** End-to-end entity resolution ([[graft.operators.Linkage
+    * .resolveEntities]]): q229's accepted FS matches become edges,
+    * transitive closure labels entities (min reachable id), and every
+    * unmatched record is its own singleton — the full
+    * block→score→threshold→cluster pipeline in one query. The oracle
+    * replays the FS scoring CTE, the recursive reachability, and the
+    * singleton fill. */
+  private def q233EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Linkage
+    val (leftR, rightR, cands) = fsLinkageFixture(s, dir)
+    val matches = Linkage.fellegiSunterScores(cands, "id_a", "id_b",
+        leftR, "cid", rightR, "cid",
+        Seq(Linkage.FsField("c_mktsegment", 0.9, 0.2),
+          Linkage.FsField("c_nationkey", 0.95, 0.04),
+          Linkage.FsField("c_name", 0.99, 0.001)),
+        matchThreshold = 5.0)
+      .filter(col("is_match"))
+    val records = leftR.select(col("cid"))
+      .unionByName(rightR.select(col("cid")))
+    Linkage.resolveEntities(records, "cid", matches)
+      .orderBy("record_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4900,6 +4924,7 @@ object SparkEntry {
     "q230_gini_token_mass" -> (q230GiniTokenMass _),
     "q231_blocking_report" -> (q231BlockingReport _),
     "q232_stream_association" -> (q232StreamAssociation _),
+    "q233_entity_resolution" -> (q233EntityResolution _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6149,6 +6174,50 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, n_agree, score6, score6 >= 5.0 AS is_match
         |FROM scored ORDER BY id_a, id_b""".stripMargin,
+    "q233_entity_resolution" ->
+      """WITH RECURSIVE l AS (
+        |  SELECT c_custkey AS cid, c_mktsegment, c_nationkey, c_name
+        |  FROM customer
+        |), r AS (
+        |  SELECT c_custkey + 5000000 AS cid,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'XX' ELSE c_mktsegment END
+        |      AS c_mktsegment,
+        |    c_nationkey, c_name
+        |  FROM customer
+        |), cand AS (
+        |  SELECT l.cid AS id_a, r.cid AS id_b,
+        |    l.c_mktsegment AS sa, r.c_mktsegment AS sb,
+        |    CAST(l.c_nationkey AS VARCHAR) AS na,
+        |    CAST(r.c_nationkey AS VARCHAR) AS nb,
+        |    l.c_name AS pa, r.c_name AS pb
+        |  FROM l JOIN r ON l.cid % 200 = (r.cid - 5000000) % 200
+        |), scored AS (
+        |  SELECT id_a, id_b,
+        |    ROUND((CASE WHEN sa = sb THEN ln(0.9 / 0.2)
+        |             ELSE ln((1 - 0.9) / (1 - 0.2)) END)
+        |        + (CASE WHEN na = nb THEN ln(0.95 / 0.04)
+        |             ELSE ln((1 - 0.95) / (1 - 0.04)) END)
+        |        + (CASE WHEN pa = pb THEN ln(0.99 / 0.001)
+        |             ELSE ln((1 - 0.99) / (1 - 0.001)) END), 6) AS score6
+        |  FROM cand
+        |), e AS (
+        |  SELECT id_a, id_b FROM scored WHERE score6 >= 5.0
+        |), sym AS (
+        |  SELECT id_a AS a, id_b AS b FROM e
+        |  UNION SELECT id_b, id_a FROM e
+        |), reach AS (
+        |  SELECT a AS node, a AS rr FROM sym
+        |  UNION
+        |  SELECT s2.a, rch.rr FROM sym s2 JOIN reach rch ON s2.b = rch.node
+        |), lab AS (
+        |  SELECT node, MIN(rr) AS comp FROM reach GROUP BY node
+        |), recs AS (
+        |  SELECT cid FROM l UNION ALL SELECT cid FROM r
+        |)
+        |SELECT recs.cid AS record_id,
+        |  COALESCE(lab.comp, recs.cid) AS entity_id
+        |FROM recs LEFT JOIN lab ON recs.cid = lab.node
+        |ORDER BY record_id""".stripMargin,
     "q231_blocking_report" ->
       """WITH cand AS (
         |  SELECT DISTINCT l.c_custkey AS id_a, r.c_custkey + 5000000 AS id_b

@@ -205,6 +205,38 @@ object Linkage {
     })
   }
 
+  /** End-to-end entity resolution — the composition the linkage
+    * family exists for: accepted match pairs (the `is_match` output
+    * of [[fellegiSunterScores]], or any pair frame) become edges,
+    * transitive closure groups them into entities
+    * ([[Components.connectedComponents]] — min-reachable-id labels,
+    * deterministic), and every record absent from any match keeps
+    * itself as a singleton entity. Transitive closure is the honest
+    * semantic of pairwise matching (if A≈B and B≈C the three ARE one
+    * entity under the match relation) — and also its known hazard
+    * (chains merge unlike records through intermediaries), which is
+    * why the match threshold, not this operator, is the knob.
+    *
+    * Scale shape: the CC iteration is edges-bounded (match pairs,
+    * not records), the singleton fill is one left join from the
+    * record ids onto the component labels. Output:
+    * (`record_id`, `entity_id`), entity = the minimum record id in
+    * the entity. */
+  def resolveEntities(
+      records: DataFrame,
+      idCol: String,
+      matchedPairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b"): DataFrame = {
+    val labels = Components.connectedComponents(
+      matchedPairs.select(col(idACol), col(idBCol)), idACol, idBCol)
+      .withColumnRenamed("node", "record_id")
+    records.select(col(idCol).as("record_id"))
+      .join(labels, Seq("record_id"), "left_outer")
+      .select(col("record_id"),
+        coalesce(col("comp"), col("record_id")).as("entity_id"))
+  }
+
   /** Blocking-quality report — the two numbers that judge a blocking
     * scheme BEFORE anyone scores pairs: the reduction ratio
     * (1 − |candidates| / (|L|·|R|): how much of the quadratic

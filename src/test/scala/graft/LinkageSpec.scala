@@ -93,6 +93,18 @@ class LinkageSpec extends AnyFunSuite {
     }
   }
 
+  test("resolveEntities: transitive chains merge, singletons keep their id") {
+    val records = table("rid bigint", (1L to 7L).map(row(_)))
+    // chain 1-2, 2-3 (one entity via transitivity), pair 5-6;
+    // 4 and 7 never matched
+    val pairs = table("id_a bigint, id_b bigint", Seq(
+      row(1L, 2L), row(2L, 3L), row(5L, 6L)))
+    val got = Linkage.resolveEntities(records, "rid", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L), got.mkString("; "))
+  }
+
   test("fellegiSunterScores: loud validation") {
     val df = table("lid bigint, seg string", Seq(row(1L, "A")))
     val cands = table("id_a bigint, id_b bigint", Seq(row(1L, 1L)))
