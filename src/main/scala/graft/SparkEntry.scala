@@ -4691,6 +4691,19 @@ object SparkEntry {
       .orderBy("record_id")
   }
 
+  // ---------------------------------------------------------------- q234
+  /** Per-source Gini concentration ([[graft.operators.Stats
+    * .giniIndexByGroup]]): token-mass concentration WITHIN each
+    * source — the drill-down under q230's corpus-wide number; ranks
+    * ride the range-partitioned per-group id machinery, sums are
+    * exact decimals, the readout one in-plan division per group. */
+  private def q234GiniBySource(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.giniIndexByGroup(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tokens")),
+      "source", "n_tokens", "doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4925,6 +4938,7 @@ object SparkEntry {
     "q231_blocking_report" -> (q231BlockingReport _),
     "q232_stream_association" -> (q232StreamAssociation _),
     "q233_entity_resolution" -> (q233EntityResolution _),
+    "q234_gini_by_source" -> (q234GiniBySource _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6238,6 +6252,27 @@ object SparkEntry {
         |    / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 6)
         |    AS completeness6
         |FROM nn""".stripMargin,
+    "q234_gini_by_source" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS x,
+        |    doc_id
+        |  FROM documents WHERE text IS NOT NULL
+        |), r AS (
+        |  SELECT source, x,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY x, CAST(doc_id AS VARCHAR)) AS i
+        |  FROM d
+        |), s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS t,
+        |    SUM(CAST(i AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s2
+        |  FROM r GROUP BY source
+        |)
+        |SELECT source, n, CAST(t AS BIGINT) AS total,
+        |  ROUND(CAST(2 * s2 - (n + 1) * t AS DOUBLE)
+        |    / CAST(n * t AS DOUBLE), 6) AS gini6
+        |FROM s ORDER BY source""".stripMargin,
     "q230_gini_token_mass" ->
       """WITH d AS (
         |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)

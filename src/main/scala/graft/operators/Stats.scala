@@ -596,6 +596,56 @@ object Stats {
       .toDF("n", "total", "gini6")
   }
 
+  /** Per-group [[giniIndex]] — concentration per source/language
+    * ("which SOURCE is internally a few giants?"), the drill-down the
+    * corpus-wide number cannot give. Ranks ride [[General
+    * .withContiguousRowIdsPerGroup]]'s global range-partitioned sort
+    * (a dominant source cannot single-task a window partition), the
+    * two decimal sums are per-group map-side-combined aggregates, and
+    * the Gini arithmetic runs IN the plan over exact decimal columns
+    * (group cardinality stays unbounded — no driver scalars): the
+    * numerator/denominator are exact integers cast to double once,
+    * one division on the 6dp gate. Negative masses fail loudly
+    * (shared with the ungrouped form); a zero-total group reports
+    * NULL gini (0/0 — the degenerate-axis convention), documented
+    * rather than special-cased. Output: one row per group —
+    * (`groupCol` as STRING, `n`, `total`, `gini6`), ordered by
+    * group. */
+  def giniIndexByGroup(
+      df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        when(col(valueCol) >= 0, col(valueCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("giniIndexByGroup: negative mass "),
+            col(valueCol).cast("string"), lit(" for id "),
+            col(idCol).cast("string")))).as("__x"),
+        col(idCol).cast("string").as("__id"))
+    val ranked = General.withContiguousRowIdsPerGroup(
+      vals, Seq("__g"), Seq("__x", "__id"), "__i")
+    val out = ranked.groupBy("__g").agg(
+        count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,0)")).as("__t"),
+        sum((col("__i").cast("decimal(38,0)") + lit(1)) *
+          col("__x").cast("decimal(38,0)")).as("__s"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("__t").cast("long").as("total"),
+        // the zero-total guard is load-bearing under ANSI mode:
+        // unguarded, the 0/0 group would be a DIVIDE_BY_ZERO error,
+        // not a NULL
+        when(col("__t") > 0, round(
+            (lit(2) * col("__s") - (col("n") + lit(1)) * col("__t"))
+              .cast("double") /
+              (col("n") * col("__t")).cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("gini6"))
+      .orderBy(groupCol)
+    // the frame reads the rank pass's sort checkpoint —
+    // [[Blocks.release]] once consumed (the withContiguousRowIds
+    // contract)
+    out
+  }
+
   /** Per-group rank normalization — the distribution-free rescaling
     * that makes scores COMPARABLE ACROSS GROUPS before a global
     * policy consumes them ("mix by quality percentile within each

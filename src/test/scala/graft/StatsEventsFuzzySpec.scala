@@ -581,6 +581,23 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("giniIndexByGroup == ungrouped giniIndex per filtered group; zero-mass NULL") {
+    val df = table("g string, id bigint, x bigint",
+      (1L to 60L).map(i => row(s"g${i % 3}", i, (i * i) % 17)) ++
+        Seq(row("gz", 100L, 0L))) // a zero-total group
+    val grouped = Stats.giniIndexByGroup(df, "g", "x", "id").collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("g0", "g1", "g2", "gz"))
+    grouped.filter(_.getString(0) != "gz").foreach { r =>
+      val solo = Stats.giniIndex(df.filter(col("g") === r.getString(0)),
+        "x", "id").head()
+      assert(r.toSeq.drop(1) == solo.toSeq, s"group ${r.getString(0)}")
+    }
+    // zero-mass group: NULL gini (0/0), not a crash — the documented
+    // per-group divergence from the ungrouped loud failure
+    val gz = grouped.find(_.getString(0) == "gz").get
+    assert(gz.getLong(2) == 0L && gz.isNullAt(3), gz.toString)
+  }
+
   test("bootstrapMeanCI: one-scan fold == explode reference, bit-for-bit") {
     // values with many decimal digits + negatives + a skewed partition
     // layout: the exact shapes where a float fold would drift and an
