@@ -71,10 +71,14 @@ object Linkage {
       .alias("__fl")
     val r = right.select((rightIdCol +: fields.map(_.name)).distinct.map(col): _*)
       .alias("__fr")
+    // fully qualified join keys: a record frame whose id or field is
+    // itself named id_a/id_b (this codebase's own pair convention, so
+    // a natural re-linking shape) must not make the keys ambiguous
     val joined = candidates
       .select(col(idACol).as("id_a"), col(idBCol).as("id_b"))
-      .join(l, col("id_a") === col(s"__fl.$leftIdCol"))
-      .join(r, col("id_b") === col(s"__fr.$rightIdCol"))
+      .alias("__fc")
+      .join(l, col("__fc.id_a") === col(s"__fl.$leftIdCol"))
+      .join(r, col("__fc.id_b") === col(s"__fr.$rightIdCol"))
     def lf(f: FsField): Column = col(s"__fl.${f.name}").cast("string")
     def rf(f: FsField): Column = col(s"__fr.${f.name}").cast("string")
     val agreeFlags = fields.map(f =>
@@ -88,7 +92,7 @@ object Linkage {
     val nAgree = agreeFlags
       .map(a => when(coalesce(a, lit(false)), 1L).otherwise(0L))
       .reduce(_ + _)
-    joined.select(col("id_a"), col("id_b"),
+    joined.select(col("__fc.id_a").as("id_a"), col("__fc.id_b").as("id_b"),
         nAgree.as("n_agree"),
         round(terms.reduce(_ + _), 6).as("score6"))
       .withColumn("is_match", col("score6") >= lit(matchThreshold))
@@ -152,8 +156,9 @@ object Linkage {
     }.reduce(_ + _)
     val patterns = candidates
       .select(col(idACol).as("id_a"), col(idBCol).as("id_b"))
-      .join(l, col("id_a") === col(s"__fl.$leftIdCol"))
-      .join(r, col("id_b") === col(s"__fr.$rightIdCol"))
+      .alias("__fc") // qualified keys — same hazard as the scorer's
+      .join(l, col("__fc.id_a") === col(s"__fl.$leftIdCol"))
+      .join(r, col("__fc.id_b") === col(s"__fr.$rightIdCol"))
       .groupBy(mask.as("__pat")).agg(count(lit(1)).as("__c"))
       .collect().map(row => (row.getLong(0), row.getLong(1)))
     require(patterns.nonEmpty, "estimateFsParams: no candidate pairs")
@@ -227,9 +232,15 @@ object Linkage {
       idCol: String,
       matchedPairs: DataFrame,
       idACol: String = "id_a",
-      idBCol: String = "id_b"): DataFrame = {
+      idBCol: String = "id_b",
+      maxIters: Int = 25): DataFrame = {
+    // maxIters is surfaced, not swallowed: a legitimately long match
+    // chain (the documented chain-merge shape) needs diameter+1 label
+    // iterations, and the CC bound fails loudly — the caller must
+    // have the knob the error message tells them to turn
     val labels = Components.connectedComponents(
-      matchedPairs.select(col(idACol), col(idBCol)), idACol, idBCol)
+      matchedPairs.select(col(idACol), col(idBCol)), idACol, idBCol,
+      maxIters)
       .withColumnRenamed("node", "record_id")
     records.select(col(idCol).as("record_id"))
       .join(labels, Seq("record_id"), "left_outer")
@@ -257,14 +268,18 @@ object Linkage {
       candidates: DataFrame,
       truePairs: DataFrame,
       nLeft: Long,
-      nRight: Long): DataFrame = {
+      nRight: Long,
+      idACol: String = "id_a",
+      idBCol: String = "id_b"): DataFrame = {
     require(nLeft > 0L && nRight > 0L,
       s"record counts must be positive (got $nLeft, $nRight)")
     val spark = candidates.sparkSession
-    val cand = candidates.select(col("id_a"), col("id_b")).distinct()
+    val cand = candidates
+      .select(col(idACol).as("id_a"), col(idBCol).as("id_b")).distinct()
       .localCheckpoint()
     try {
-      val truth = truePairs.select(col("id_a"), col("id_b")).distinct()
+      val truth = truePairs
+        .select(col(idACol).as("id_a"), col(idBCol).as("id_b")).distinct()
         .localCheckpoint()
       try {
         val nCand = cand.count()

@@ -343,12 +343,17 @@ object Profile {
     require(ps.distinct.size == ps.size, s"duplicate probabilities: $ps")
     val m = counts.select(col("v").cast("double").as("v"),
       col("cnt").cast("long").as("cnt"))
-    val n = m.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    // the prefix pass FIRST: withRunningTotal checkpoints the sorted
+    // grid, so the scalar n is one cheap agg over the checkpoint
+    // (max inclusive cumulative = total mass) instead of a second
+    // full run of the counts lineage — one scan, as documented
+    val cum = General.withRunningTotal(m, Seq("v"), "cnt", "__pre")
+    val n = cum.agg(coalesce(max(col("__pre") + col("cnt")), lit(0L)))
+      .head().getLong(0)
     require(n > 0L, "exactQuantilesFromCounts: empty count state")
     // 1-based target rank per p; driver-side java.lang.Math.ceil is
     // the identical IEEE op the oracle's CEIL(p * n) runs
     val targets = ps.map(p => (p, math.max(math.ceil(p * n.toDouble).toLong, 1L)))
-    val cum = General.withRunningTotal(m, Seq("v"), "cnt", "__pre")
     cum.select(col("v"), (col("__pre") + col("cnt")).as("__cum"),
         explode(array(targets.map { case (p, t) =>
           struct(lit(p).as("p"), lit(t).as("t")) }: _*)).as("__pt"))

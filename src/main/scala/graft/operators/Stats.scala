@@ -411,12 +411,16 @@ object Stats {
       salt: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Option/String nullability is deliberate: a NULL id or a value
+    // whose double-cast is NULL (possible even after the isNotNull
+    // filter, e.g. a non-numeric string column) must reproduce the
+    // explode shape's arithmetic, not NPE in the tuple encoder
     val rows = df.filter(col(valueCol).isNotNull)
       .select(
         groupCol.map(g => col(g).cast("string")).getOrElse(lit("")).as("__g"),
         col(valueCol).cast("double").as("__x"),
         col(idCol).cast("string").as("__id"))
-      .as[(String, Double, String)]
+      .as[(String, Option[Double], String)]
     // The fold is nBoot× heavier than the scan (nBoot md5s per row),
     // so its parallelism must follow CORES, not file splits: a test-SF
     // input is one parquet split and would single-task the whole fold.
@@ -449,23 +453,34 @@ object Stats {
           .setScale(9, java.math.RoundingMode.HALF_UP)
       }
       val accs = scala.collection.mutable.HashMap.empty[String, GroupAcc]
-      it.foreach { case (g, x, id) =>
+      it.foreach { case (g, xOpt, id) =>
         val a = accs.getOrElseUpdate(g, new GroupAcc)
         a.baseN += 1
-        a.baseSum = a.baseSum.add(round9(x))
-        val idBytes = id.getBytes(utf8)
+        xOpt.foreach(x => a.baseSum = a.baseSum.add(round9(x)))
+        // NULL id: the explode shape's hash is NULL, every `h < cut`
+        // is NULL, and the when-chain falls through to weight 6 —
+        // reproduced here, not NPE'd on
+        val idBytes = if (id == null) null else id.getBytes(utf8)
         var b = 0
         while (b < nb) {
-          md.update(bBytes(b))
-          md.update(idBytes)
-          val dg = md.digest() // first 8 md5 hex chars = first 4 bytes
-          val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
-            ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
-          var w = 0
-          while (w < cuts.length && h >= cuts(w)) w += 1
+          val w =
+            if (idBytes == null) 6
+            else {
+              md.update(bBytes(b))
+              md.update(idBytes)
+              val dg = md.digest() // first 8 md5 hex chars = first 4 bytes
+              val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+                ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+              var k = 0
+              while (k < cuts.length && h >= cuts(k)) k += 1
+              k
+            }
           if (w > 0) {
             a.cnts(b) += w
-            a.sums(b) = a.sums(b).add(round9(w.toDouble * x))
+            // a NULL-cast value contributes its weight to the count
+            // but nothing to the sum — exactly what sum-over-NULL
+            // does in the explode shape
+            xOpt.foreach(x => a.sums(b) = a.sums(b).add(round9(w.toDouble * x)))
           }
           b += 1
         }

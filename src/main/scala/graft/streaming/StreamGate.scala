@@ -899,6 +899,68 @@ object StreamGate {
     }
   }
 
+  /** Shared skeleton of the versioned fold-state monitors (quantile /
+    * association / bootstrap-CI): write the projected feed as a file
+    * source, stream it micro-batched, reduce each batch with `seed`,
+    * merge into the prior state with `fold` (state version N → N+1 as
+    * parquet artifacts — the q133 discipline: the state is owned
+    * OUTSIDE the query, no stream-stateful operator holds it), then
+    * run `readout` over the final state. Correctness burden on the
+    * caller: `fold` must be associative and commutative over `seed`
+    * outputs (every monitor built on this proves it by being held to
+    * its batch twin's verbatim oracle).
+    * @note one-generation replay contract — see the object doc. */
+  private def replayFoldState(
+      source: DataFrame,
+      sourceCols: Seq[String],
+      tag: String,
+      filesPerTrigger: Int)(
+      seed: DataFrame => DataFrame,
+      fold: (DataFrame, DataFrame) => DataFrame,
+      readout: DataFrame => DataFrame): DataFrame = replayLock.synchronized {
+    val spark = source.sparkSession
+    val src = tempDir(s"graft_${tag}_src")
+    val projected = source.select(sourceCols.map(col): _*)
+    projected.coalesce(8).write.mode("overwrite").parquet(src)
+    val stateRoot = tempDir(s"graft_${tag}_state")
+    val ck = tempDir(s"graft_${tag}_ck")
+    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
+    try {
+      val stream = spark.readStream
+        .schema(projected.schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bh = seed(batch)
+          val merged = Option(state.get()) match {
+            case None => bh
+            case Some(p) => fold(spark.read.parquet(p), bh)
+          }
+          val next = s"$stateRoot/v${version.incrementAndGet()}"
+          merged.write.mode("overwrite").parquet(next)
+          state.set(next)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
+      require(state.get() != null,
+        s"fold-state monitor '$tag' saw no micro-batches")
+      releaseLastReplay(readout(spark.read.parquet(state.get()))
+        .localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, stateRoot, ck).foreach(deleteRecursively)
+    }
+  }
+
   /** Streaming exact quantiles — [[graft.operators.Profile
     * .exactQuantilesFromCounts]] with the monitored column as a FILE
     * STREAM: each micro-batch's distinct-value counts fold by SUM
@@ -914,50 +976,11 @@ object StreamGate {
       monitored: DataFrame,
       valueCol: String,
       ps: Seq[Double],
-      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
-    val spark = monitored.sparkSession
-    val src = tempDir("graft_qtl_src")
-    monitored.select(col(valueCol)).coalesce(8)
-      .write.mode("overwrite").parquet(src)
-    val stateRoot = tempDir("graft_qtl_state")
-    val ck = tempDir("graft_qtl_ck")
-    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
-    val version = new java.util.concurrent.atomic.AtomicInteger(0)
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
-    ProgressLedger.ensure(spark) // before start: the ledger must see every event
-    try {
-      val stream = spark.readStream
-        .schema(monitored.select(col(valueCol)).schema)
-        .option("maxFilesPerTrigger", filesPerTrigger)
-        .parquet(src)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val bh = graft.operators.Profile.ksSideCounts(batch, valueCol, "cnt")
-          val merged = Option(state.get()) match {
-            case None => bh
-            case Some(p) => graft.operators.Profile
-              .foldValueCounts(spark.read.parquet(p), bh)
-          }
-          val next = s"$stateRoot/v${version.incrementAndGet()}"
-          merged.write.mode("overwrite").parquet(next)
-          state.set(next)
-        }
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      lastObs = Some(observabilityOf(q))
-      require(state.get() != null, "replayQuantileMonitor saw no micro-batches")
-      releaseLastReplay(graft.operators.Profile.exactQuantilesFromCounts(
-          spark.read.parquet(state.get()), ps)
-        .localCheckpoint())
-    } finally {
-      spark.conf.set(key, prev)
-      Seq(src, stateRoot, ck).foreach(deleteRecursively)
-    }
-  }
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(valueCol), "qtl", filesPerTrigger)(
+      batch => graft.operators.Profile.ksSideCounts(batch, valueCol, "cnt"),
+      graft.operators.Profile.foldValueCounts,
+      state => graft.operators.Profile.exactQuantilesFromCounts(state, ps))
 
   /** Streaming categorical-association monitor — [[graft.operators
     * .Profile.categoricalAssociation]] with the row feed as a FILE
@@ -975,51 +998,11 @@ object StreamGate {
       rows: DataFrame,
       colA: String,
       colB: String,
-      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
-    val spark = rows.sparkSession
-    val src = tempDir("graft_assoc_src")
-    rows.select(col(colA), col(colB)).coalesce(8)
-      .write.mode("overwrite").parquet(src)
-    val stateRoot = tempDir("graft_assoc_state")
-    val ck = tempDir("graft_assoc_ck")
-    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
-    val version = new java.util.concurrent.atomic.AtomicInteger(0)
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
-    ProgressLedger.ensure(spark) // before start: the ledger must see every event
-    try {
-      val stream = spark.readStream
-        .schema(rows.select(col(colA), col(colB)).schema)
-        .option("maxFilesPerTrigger", filesPerTrigger)
-        .parquet(src)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val bh = graft.operators.Profile.jointCountsOf(batch, colA, colB)
-          val merged = Option(state.get()) match {
-            case None => bh
-            case Some(p) => graft.operators.Profile
-              .foldJointCounts(spark.read.parquet(p), bh)
-          }
-          val next = s"$stateRoot/v${version.incrementAndGet()}"
-          merged.write.mode("overwrite").parquet(next)
-          state.set(next)
-        }
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      lastObs = Some(observabilityOf(q))
-      require(state.get() != null,
-        "replayAssociationMonitor saw no micro-batches")
-      releaseLastReplay(graft.operators.Profile.associationFromJoint(
-          spark.read.parquet(state.get()))
-        .localCheckpoint())
-    } finally {
-      spark.conf.set(key, prev)
-      Seq(src, stateRoot, ck).foreach(deleteRecursively)
-    }
-  }
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(rows, Seq(colA, colB), "assoc", filesPerTrigger)(
+      batch => graft.operators.Profile.jointCountsOf(batch, colA, colB),
+      graft.operators.Profile.foldJointCounts,
+      state => graft.operators.Profile.associationFromJoint(state))
 
   /** Streaming bootstrap-CI monitor — [[graft.operators.Stats
     * .bootstrapMeanCI]] with the outcome feed as a FILE STREAM: each
@@ -1044,52 +1027,12 @@ object StreamGate {
       nBoot: Int = 100,
       alpha: Double = 0.05,
       salt: String = "boot",
-      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
-    val spark = outcomes.sparkSession
-    val src = tempDir("graft_boot_src")
-    outcomes.select(col(valueCol), col(idCol)).coalesce(8)
-      .write.mode("overwrite").parquet(src)
-    val stateRoot = tempDir("graft_boot_state")
-    val ck = tempDir("graft_boot_ck")
-    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
-    val version = new java.util.concurrent.atomic.AtomicInteger(0)
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
-    ProgressLedger.ensure(spark) // before start: the ledger must see every event
-    try {
-      val stream = spark.readStream
-        .schema(outcomes.select(col(valueCol), col(idCol)).schema)
-        .option("maxFilesPerTrigger", filesPerTrigger)
-        .parquet(src)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val bh = graft.operators.Stats.bootPartialsOf(
-            batch, valueCol, idCol, nBoot, salt)
-          val merged = Option(state.get()) match {
-            case None => bh
-            case Some(p) => graft.operators.Stats
-              .foldBootPartials(spark.read.parquet(p), bh)
-          }
-          val next = s"$stateRoot/v${version.incrementAndGet()}"
-          merged.write.mode("overwrite").parquet(next)
-          state.set(next)
-        }
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      lastObs = Some(observabilityOf(q))
-      require(state.get() != null,
-        "replayBootstrapMonitor saw no micro-batches")
-      releaseLastReplay(graft.operators.Stats.ciFromBootPartials(
-          spark.read.parquet(state.get()), alpha)
-        .localCheckpoint())
-    } finally {
-      spark.conf.set(key, prev)
-      Seq(src, stateRoot, ck).foreach(deleteRecursively)
-    }
-  }
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(outcomes, Seq(valueCol, idCol), "boot", filesPerTrigger)(
+      batch => graft.operators.Stats.bootPartialsOf(
+        batch, valueCol, idCol, nBoot, salt),
+      graft.operators.Stats.foldBootPartials,
+      state => graft.operators.Stats.ciFromBootPartials(state, alpha))
 
   /** Streaming SCD-2 enrichment — the FACT feed as a file stream,
     * each micro-batch point-in-time joined against the STATIC

@@ -616,6 +616,16 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     // and the fold is partition-layout-invariant (exact partials)
     assert(Stats.bootstrapMeanCI(df.repartition(2), "v", "id", nBoot = 40,
       alpha = 0.1, salt = "eq").head().toSeq == fold)
+    // NULL ids: the explode shape's NULL hash falls through the
+    // when-chain to weight 6 — the fold must reproduce that, not NPE
+    val withNullIds = table("id string, v double",
+      (0 until 40).map(i =>
+        row(if (i % 4 == 0) null else s"k$i", 3.0 + i * 0.25)))
+    val fNull = Stats.bootstrapMeanCI(withNullIds, "v", "id", nBoot = 20,
+      salt = "nid").head().toSeq
+    val eNull = Stats.bootstrapMeanCIExplode(withNullIds, "v", "id",
+      nBoot = 20, salt = "nid").head().toSeq
+    assert(fNull == eNull, s"fold=$fNull explode=$eNull")
   }
 
   test("bootstrapMeanCIByGroup == ungrouped bootstrapMeanCI per filtered group") {
