@@ -853,51 +853,14 @@ object StreamGate {
       reference: DataFrame,
       monitored: DataFrame,
       valueCol: String,
-      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
-    val spark = reference.sparkSession
-    val src = tempDir("graft_ks_src")
-    monitored.select(col(valueCol)).coalesce(8)
-      .write.mode("overwrite").parquet(src)
-    val stateRoot = tempDir("graft_ks_state")
-    val ck = tempDir("graft_ks_ck")
-    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
-    val version = new java.util.concurrent.atomic.AtomicInteger(0)
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
-    ProgressLedger.ensure(spark) // before start: the ledger must see every event
-    try {
-      val stream = spark.readStream
-        .schema(monitored.select(col(valueCol)).schema)
-        .option("maxFilesPerTrigger", filesPerTrigger)
-        .parquet(src)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val bh = graft.operators.Profile.ksSideCounts(batch, valueCol, "cb")
-          val merged = Option(state.get()) match {
-            case None => bh
-            case Some(p) => spark.read.parquet(p).unionByName(bh)
-              .groupBy("v").agg(sum(col("cb")).as("cb"))
-          }
-          val next = s"$stateRoot/v${version.incrementAndGet()}"
-          merged.write.mode("overwrite").parquet(next)
-          state.set(next)
-        }
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      lastObs = Some(observabilityOf(q))
-      require(state.get() != null, "replayKsDrift saw no micro-batches")
-      releaseLastReplay(graft.operators.Profile.ksFromCounts(
-          graft.operators.Profile.ksSideCounts(reference, valueCol, "ca"),
-          spark.read.parquet(state.get()))
-        .localCheckpoint())
-    } finally {
-      spark.conf.set(key, prev)
-      Seq(src, stateRoot, ck).foreach(deleteRecursively)
-    }
-  }
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(valueCol), "ks", filesPerTrigger)(
+      batch => graft.operators.Profile.ksSideCounts(batch, valueCol, "cb"),
+      (base, delta) => base.unionByName(delta)
+        .groupBy("v").agg(sum(col("cb")).as("cb")),
+      state => graft.operators.Profile.ksFromCounts(
+        graft.operators.Profile.ksSideCounts(reference, valueCol, "ca"),
+        state))
 
   /** Shared skeleton of the versioned fold-state monitors (quantile /
     * association / bootstrap-CI): write the projected feed as a file
