@@ -4704,6 +4704,33 @@ object SparkEntry {
           .cast("long").as("n_tokens")),
       "source", "n_tokens", "doc_id")
 
+  // ---------------------------------------------------------------- q235
+  /** Incremental entity resolution ([[graft.operators.Linkage
+    * .resolveEntitiesIncremental]]): q233's match pairs split into a
+    * base shard (clustered once) and a delta shard folded through the
+    * contracted-graph incremental CC — the accumulated match graph is
+    * never re-clustered, and min-id labeling makes the fold provably
+    * equal to the full recompute, so q235 is held to q233's VERBATIM
+    * oracle (the q194/q131 argument applied to entities). */
+  private def q235IncrementalEntities(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Components, Linkage}
+    val (leftR, rightR, cands) = fsLinkageFixture(s, dir)
+    val matches = Linkage.fellegiSunterScores(cands, "id_a", "id_b",
+        leftR, "cid", rightR, "cid",
+        Seq(Linkage.FsField("c_mktsegment", 0.9, 0.2),
+          Linkage.FsField("c_nationkey", 0.95, 0.04),
+          Linkage.FsField("c_name", 0.99, 0.001)),
+        matchThreshold = 5.0)
+      .filter(col("is_match")).select("id_a", "id_b")
+    val prev = Components.connectedComponents(
+      matches.filter(col("id_a") % 2 === 0), "id_a", "id_b")
+    val records = leftR.select(col("cid"))
+      .unionByName(rightR.select(col("cid")))
+    Linkage.resolveEntitiesIncremental(records, "cid", prev,
+        matches.filter(col("id_a") % 2 =!= 0))
+      .orderBy("record_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4939,6 +4966,7 @@ object SparkEntry {
     "q232_stream_association" -> (q232StreamAssociation _),
     "q233_entity_resolution" -> (q233EntityResolution _),
     "q234_gini_by_source" -> (q234GiniBySource _),
+    "q235_incremental_entities" -> (q235IncrementalEntities _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6188,50 +6216,10 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, n_agree, score6, score6 >= 5.0 AS is_match
         |FROM scored ORDER BY id_a, id_b""".stripMargin,
-    "q233_entity_resolution" ->
-      """WITH RECURSIVE l AS (
-        |  SELECT c_custkey AS cid, c_mktsegment, c_nationkey, c_name
-        |  FROM customer
-        |), r AS (
-        |  SELECT c_custkey + 5000000 AS cid,
-        |    CASE WHEN c_custkey % 5 = 0 THEN 'XX' ELSE c_mktsegment END
-        |      AS c_mktsegment,
-        |    c_nationkey, c_name
-        |  FROM customer
-        |), cand AS (
-        |  SELECT l.cid AS id_a, r.cid AS id_b,
-        |    l.c_mktsegment AS sa, r.c_mktsegment AS sb,
-        |    CAST(l.c_nationkey AS VARCHAR) AS na,
-        |    CAST(r.c_nationkey AS VARCHAR) AS nb,
-        |    l.c_name AS pa, r.c_name AS pb
-        |  FROM l JOIN r ON l.cid % 200 = (r.cid - 5000000) % 200
-        |), scored AS (
-        |  SELECT id_a, id_b,
-        |    ROUND((CASE WHEN sa = sb THEN ln(0.9 / 0.2)
-        |             ELSE ln((1 - 0.9) / (1 - 0.2)) END)
-        |        + (CASE WHEN na = nb THEN ln(0.95 / 0.04)
-        |             ELSE ln((1 - 0.95) / (1 - 0.04)) END)
-        |        + (CASE WHEN pa = pb THEN ln(0.99 / 0.001)
-        |             ELSE ln((1 - 0.99) / (1 - 0.001)) END), 6) AS score6
-        |  FROM cand
-        |), e AS (
-        |  SELECT id_a, id_b FROM scored WHERE score6 >= 5.0
-        |), sym AS (
-        |  SELECT id_a AS a, id_b AS b FROM e
-        |  UNION SELECT id_b, id_a FROM e
-        |), reach AS (
-        |  SELECT a AS node, a AS rr FROM sym
-        |  UNION
-        |  SELECT s2.a, rch.rr FROM sym s2 JOIN reach rch ON s2.b = rch.node
-        |), lab AS (
-        |  SELECT node, MIN(rr) AS comp FROM reach GROUP BY node
-        |), recs AS (
-        |  SELECT cid FROM l UNION ALL SELECT cid FROM r
-        |)
-        |SELECT recs.cid AS record_id,
-        |  COALESCE(lab.comp, recs.cid) AS entity_id
-        |FROM recs LEFT JOIN lab ON recs.cid = lab.node
-        |ORDER BY record_id""".stripMargin,
+    "q233_entity_resolution" -> entityResolutionOracle,
+    // the incremental fold is held to the batch clustering's verbatim
+    // ground truth (min-id labels merge exactly — the q194 argument)
+    "q235_incremental_entities" -> entityResolutionOracle,
     "q231_blocking_report" ->
       """WITH cand AS (
         |  SELECT DISTINCT l.c_custkey AS id_a, r.c_custkey + 5000000 AS id_b
@@ -9855,6 +9843,56 @@ object SparkEntry {
     * the LAG/XOR/popcount rule — shared VERBATIM by the batch
     * operator (q185) and the streaming replay (q211), the
     * two-formulations-one-ground-truth pattern. */
+  /** Shared by q233 (batch entity resolution) and q235 (the
+    * incremental fold) — two formulations, one ground truth:
+    * min-id component labels merge exactly, so folding a delta
+    * shard through the contracted graph provably equals
+    * re-clustering the whole match graph. */
+  private val entityResolutionOracle: String =
+    """WITH RECURSIVE l AS (
+      |  SELECT c_custkey AS cid, c_mktsegment, c_nationkey, c_name
+      |  FROM customer
+      |), r AS (
+      |  SELECT c_custkey + 5000000 AS cid,
+      |    CASE WHEN c_custkey % 5 = 0 THEN 'XX' ELSE c_mktsegment END
+      |      AS c_mktsegment,
+      |    c_nationkey, c_name
+      |  FROM customer
+      |), cand AS (
+      |  SELECT l.cid AS id_a, r.cid AS id_b,
+      |    l.c_mktsegment AS sa, r.c_mktsegment AS sb,
+      |    CAST(l.c_nationkey AS VARCHAR) AS na,
+      |    CAST(r.c_nationkey AS VARCHAR) AS nb,
+      |    l.c_name AS pa, r.c_name AS pb
+      |  FROM l JOIN r ON l.cid % 200 = (r.cid - 5000000) % 200
+      |), scored AS (
+      |  SELECT id_a, id_b,
+      |    ROUND((CASE WHEN sa = sb THEN ln(0.9 / 0.2)
+      |             ELSE ln((1 - 0.9) / (1 - 0.2)) END)
+      |        + (CASE WHEN na = nb THEN ln(0.95 / 0.04)
+      |             ELSE ln((1 - 0.95) / (1 - 0.04)) END)
+      |        + (CASE WHEN pa = pb THEN ln(0.99 / 0.001)
+      |             ELSE ln((1 - 0.99) / (1 - 0.001)) END), 6) AS score6
+      |  FROM cand
+      |), e AS (
+      |  SELECT id_a, id_b FROM scored WHERE score6 >= 5.0
+      |), sym AS (
+      |  SELECT id_a AS a, id_b AS b FROM e
+      |  UNION SELECT id_b, id_a FROM e
+      |), reach AS (
+      |  SELECT a AS node, a AS rr FROM sym
+      |  UNION
+      |  SELECT s2.a, rch.rr FROM sym s2 JOIN reach rch ON s2.b = rch.node
+      |), lab AS (
+      |  SELECT node, MIN(rr) AS comp FROM reach GROUP BY node
+      |), recs AS (
+      |  SELECT cid FROM l UNION ALL SELECT cid FROM r
+      |)
+      |SELECT recs.cid AS record_id,
+      |  COALESCE(lab.comp, recs.cid) AS entity_id
+      |FROM recs LEFT JOIN lab ON recs.cid = lab.node
+      |ORDER BY record_id""".stripMargin
+
   /** Shared by q226 (the batch categorical-association audit) and
     * q232 (the streaming monitor) — two formulations, one ground
     * truth: joint contingency counts fold by SUM. */

@@ -248,6 +248,34 @@ object Linkage {
         coalesce(col("comp"), col("record_id")).as("entity_id"))
   }
 
+  /** Incremental [[resolveEntities]] — the ledger shape of entity
+    * resolution: yesterday's entity labels plus TODAY'S new match
+    * pairs, without re-clustering the accumulated match graph
+    * ([[Components.incrementalComponents]] — new edges contract onto
+    * the prior labels, the CC iteration runs batch-bounded on the
+    * contracted graph, and min-id labeling makes the fold provably
+    * equal to the full recompute, the q194 argument). Records never
+    * matched stay singleton entities, exactly as in the batch form —
+    * so the incremental output is held to the SAME oracle. */
+  def resolveEntitiesIncremental(
+      records: DataFrame,
+      idCol: String,
+      prevLabels: DataFrame,
+      newMatchedPairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIters: Int = 25): DataFrame = {
+    val labels = Components.incrementalComponents(
+      prevLabels,
+      newMatchedPairs.select(col(idACol), col(idBCol)),
+      idACol, idBCol, maxIters)
+      .withColumnRenamed("node", "record_id")
+    records.select(col(idCol).as("record_id"))
+      .join(labels, Seq("record_id"), "left_outer")
+      .select(col("record_id"),
+        coalesce(col("comp"), col("record_id")).as("entity_id"))
+  }
+
   /** Blocking-quality report — the two numbers that judge a blocking
     * scheme BEFORE anyone scores pairs: the reduction ratio
     * (1 − |candidates| / (|L|·|R|): how much of the quadratic

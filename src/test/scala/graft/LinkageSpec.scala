@@ -105,6 +105,25 @@ class LinkageSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L), got.mkString("; "))
   }
 
+  test("resolveEntitiesIncremental == batch resolveEntities incl. cross-shard merges") {
+    import graft.operators.Components
+    val records = table("rid bigint", (1L to 9L).map(row(_)))
+    // base shard clusters {1,2} and {5,6}; the delta bridges 2-3 AND
+    // merges the two prior entities via 6-1 — the cross-component
+    // contraction the incremental path exists for
+    val base = table("id_a bigint, id_b bigint", Seq(row(1L, 2L), row(5L, 6L)))
+    val delta = table("id_a bigint, id_b bigint", Seq(row(2L, 3L), row(6L, 1L)))
+    val all = base.unionByName(delta)
+    val batch = Linkage.resolveEntities(records, "rid", all)
+      .collect().map(_.toSeq).toSet
+    val prev = Components.connectedComponents(base, "id_a", "id_b")
+    val incr = Linkage.resolveEntitiesIncremental(records, "rid", prev, delta)
+      .collect().map(_.toSeq).toSet
+    assert(incr == batch, s"incr $incr != batch $batch")
+    // {1,2,3,5,6} one entity labeled 1; 4,7,8,9 singletons
+    assert(batch.contains(Seq(6L, 1L)) && batch.contains(Seq(4L, 4L)))
+  }
+
   test("fellegiSunterScores: loud validation") {
     val df = table("lid bigint, seg string", Seq(row(1L, "A")))
     val cands = table("id_a bigint, id_b bigint", Seq(row(1L, 1L)))
