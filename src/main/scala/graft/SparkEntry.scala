@@ -4731,6 +4731,114 @@ object SparkEntry {
       .orderBy("record_id")
   }
 
+  // ---------------------------------------------------------------- q236
+  /** Fellegi–Sunter THREE-BAND decisions ([[graft.operators.Linkage
+    * .fellegiSunterDecisions]] + [[graft.operators.Linkage
+    * .fsThresholds]]): q229's scored pairs banded match / review /
+    * non-match, with BOTH cutoffs derived from the (m, u) estimates
+    * and the target error budgets (false-match ≤ 0.0011, false-non-
+    * match ≤ 0.0015) by the FS optimality construction — the
+    * canonical completion of the linkage family. On these fields the
+    * budgets derive upper = 1.863353 and lower = −3.516029, so the
+    * segment+nation-agree/name-disagree pattern (weight 0.067490)
+    * lands in the populated clerical band. The oracle replays the
+    * scores AND the band CASE against those two derived literals —
+    * a drifted threshold derivation hash-fails. */
+  private def q236FsDecisions(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Linkage
+    val (leftR, rightR, cands) = fsLinkageFixture(s, dir)
+    val fields = Seq(Linkage.FsField("c_mktsegment", 0.9, 0.2),
+      Linkage.FsField("c_nationkey", 0.95, 0.04),
+      Linkage.FsField("c_name", 0.99, 0.001))
+    val th = Linkage.fsThresholds(
+      Linkage.FsEstimate(0.005, fields), muErr = 0.0011, lambdaErr = 0.0015)
+    Linkage.fellegiSunterDecisions(cands, "id_a", "id_b",
+        leftR, "cid", rightR, "cid", fields, th.upper, th.lower)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------- q237
+  /** Gini off the maintained value-count state ([[graft.operators
+    * .Stats.giniFromCounts]]): q230's concentration number re-read
+    * from the SUM-foldable ECDF grid via the rank-sum identity
+    * `2Σi·xᵢ = Σ_v v·cnt·(2·prefix + cnt + 1)` — no per-row ranks at
+    * all, grid-bounded prefix work. Held to q230's VERBATIM rank-path
+    * oracle: the counts path and the rank path must agree to the
+    * hash. */
+  private def q237GiniFromCounts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.giniFromCounts(
+      graft.operators.Profile.ksSideCounts(docTokenMasses(s, dir),
+        "n_tokens", "cnt"))
+
+  /** The (doc_id, n_tokens) mass frame shared by the q237–q239 Gini
+    * maintenance matrix — q230's token masses verbatim. */
+  private def docTokenMasses(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long").as("n_tokens"))
+
+  // ---------------------------------------------------------------- q238
+  /** Incremental Gini maintenance ([[graft.operators.Profile
+    * .foldValueCounts]] + [[graft.operators.Stats.giniFromCounts]]):
+    * the mass-count ECDF built from the pre-split shard, kept current
+    * by folding the post-split shard's counts — base facts never
+    * rescanned, and because counts merge by SUM and the rank identity
+    * is tie-order-invariant the folded readout is held to q230's
+    * VERBATIM full-recompute oracle (the q222 pattern, closing the
+    * maintenance matrix's last open family). */
+  private def q238IncrementalGini(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Profile, Stats}
+    val masses = docTokenMasses(s, dir)
+    val base = Profile.ksSideCounts(
+      masses.filter(col("doc_id") % 10 < 8), "n_tokens", "cnt")
+    val delta = Profile.ksSideCounts(
+      masses.filter(col("doc_id") % 10 >= 8), "n_tokens", "cnt")
+    Stats.giniFromCounts(Profile.foldValueCounts(base, delta))
+  }
+
+  // ---------------------------------------------------------------- q239
+  /** Streaming Gini monitor ([[graft.streaming.StreamGate
+    * .replayGiniMonitor]]): the token-mass feed micro-batched, each
+    * batch's distinct-mass counts folded by SUM into versioned
+    * parquet ECDF state (the q223 quantile state's twin), readout =
+    * the shared rank-sum identity — held to q230's verbatim oracle,
+    * completing Gini batch / incremental / stream. */
+  private def q239StreamGini(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayGiniMonitor(
+      docTokenMasses(s, dir).select(col("n_tokens")), "n_tokens")
+
+  // ---------------------------------------------------------------- q240
+  /** Per-language token-mass-weighted length quantiles ([[graft
+    * .operators.Profile.weightedExactQuantilesByGroup]]): "the p90
+    * document length PER LANGUAGE, weighted by token mass" — q227's
+    * mass semantics composed with q228's one-global-prefix-sum
+    * machinery; per-group rank targets in-plan, answers verbatim
+    * input lengths. The oracle replays the per-group weighted rank
+    * rule over the same (lang, length) grid. */
+  private def q240WeightedQuantilesByGroup(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.weightedExactQuantilesByGroup(
+      Tables.documents(s, dir).select(col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tokens")),
+      "lang", "n_tokens", "n_tokens", quantilePs)
+
+  // ---------------------------------------------------------------- q241
+  /** Per-snapshot categorical association ([[graft.operators.Profile
+    * .categoricalAssociationByGroup]]): q226's (event type ⊥ user
+    * bucket?) audit drilled into each event-id snapshot slice —
+    * chi-square / Cramér's V / MI as in-plan columns over per-group
+    * joint tables (group cardinality unbounded, never a driver loop).
+    * The oracle replays the full per-group r×c grid including
+    * structural zeros. */
+  private def q241AssociationByGroup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.categoricalAssociationByGroup(
+      Tables.events(s, dir).select(
+        (col("event_id") % 3).cast("string").as("snapshot"),
+        col("event_type"),
+        (col("user_id") % 7).cast("string").as("user_bucket")),
+      "snapshot", "event_type", "user_bucket")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -4967,6 +5075,12 @@ object SparkEntry {
     "q233_entity_resolution" -> (q233EntityResolution _),
     "q234_gini_by_source" -> (q234GiniBySource _),
     "q235_incremental_entities" -> (q235IncrementalEntities _),
+    "q236_fs_decisions" -> (q236FsDecisions _),
+    "q237_gini_from_counts" -> (q237GiniFromCounts _),
+    "q238_incremental_gini" -> (q238IncrementalGini _),
+    "q239_stream_gini" -> (q239StreamGini _),
+    "q240_weighted_quantiles_by_group" -> (q240WeightedQuantilesByGroup _),
+    "q241_association_by_group" -> (q241AssociationByGroup _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6202,15 +6316,24 @@ object SparkEntry {
         |    l.c_name AS pa, r.c_name AS pb
         |  FROM l JOIN r ON l.cid % 200 = (r.cid - 5000000) % 200
         |), scored AS (
+        |  -- NULL on either side = no evidence (0 weight), matching the
+        |  -- operator contract — the fixture is non-null by construction,
+        |  -- but the oracle must not diverge on the NULL path
         |  SELECT id_a, id_b,
-        |    CAST((CASE WHEN sa = sb THEN 1 ELSE 0 END)
-        |       + (CASE WHEN na = nb THEN 1 ELSE 0 END)
-        |       + (CASE WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
-        |    ROUND((CASE WHEN sa = sb THEN ln(0.9 / 0.2)
+        |    CAST((CASE WHEN sa IS NULL OR sb IS NULL THEN 0
+        |            WHEN sa = sb THEN 1 ELSE 0 END)
+        |       + (CASE WHEN na IS NULL OR nb IS NULL THEN 0
+        |            WHEN na = nb THEN 1 ELSE 0 END)
+        |       + (CASE WHEN pa IS NULL OR pb IS NULL THEN 0
+        |            WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |    ROUND((CASE WHEN sa IS NULL OR sb IS NULL THEN 0
+        |             WHEN sa = sb THEN ln(0.9 / 0.2)
         |             ELSE ln((1 - 0.9) / (1 - 0.2)) END)
-        |        + (CASE WHEN na = nb THEN ln(0.95 / 0.04)
+        |        + (CASE WHEN na IS NULL OR nb IS NULL THEN 0
+        |             WHEN na = nb THEN ln(0.95 / 0.04)
         |             ELSE ln((1 - 0.95) / (1 - 0.04)) END)
-        |        + (CASE WHEN pa = pb THEN ln(0.99 / 0.001)
+        |        + (CASE WHEN pa IS NULL OR pb IS NULL THEN 0
+        |             WHEN pa = pb THEN ln(0.99 / 0.001)
         |             ELSE ln((1 - 0.99) / (1 - 0.001)) END), 6) AS score6
         |  FROM cand
         |)
@@ -6261,25 +6384,122 @@ object SparkEntry {
         |  ROUND(CAST(2 * s2 - (n + 1) * t AS DOUBLE)
         |    / CAST(n * t AS DOUBLE), 6) AS gini6
         |FROM s ORDER BY source""".stripMargin,
-    "q230_gini_token_mass" ->
-      """WITH d AS (
-        |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
-        |    AS x, doc_id
-        |  FROM documents WHERE text IS NOT NULL
+    "q230_gini_token_mass" -> giniTokenMassOracle,
+    // the counts-path readout, the incremental fold, and the streamed
+    // monitor are all held to the batch rank-path's verbatim ground
+    // truth (counts fold by SUM; the rank identity is tie-order-
+    // invariant)
+    "q237_gini_from_counts" -> giniTokenMassOracle,
+    "q238_incremental_gini" -> giniTokenMassOracle,
+    "q239_stream_gini" -> giniTokenMassOracle,
+    "q236_fs_decisions" ->
+      """WITH l AS (
+        |  SELECT c_custkey AS cid, c_mktsegment, c_nationkey, c_name
+        |  FROM customer
         |), r AS (
-        |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, CAST(doc_id AS VARCHAR))
-        |    AS i
-        |  FROM d
-        |), s AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |    SUM(CAST(x AS DECIMAL(38,0))) AS t,
-        |    SUM(CAST(i AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s2
-        |  FROM r
+        |  SELECT c_custkey + 5000000 AS cid,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'XX' ELSE c_mktsegment END
+        |      AS c_mktsegment,
+        |    c_nationkey, c_name
+        |  FROM customer
+        |), cand AS (
+        |  SELECT l.cid AS id_a, r.cid AS id_b,
+        |    l.c_mktsegment AS sa, r.c_mktsegment AS sb,
+        |    CAST(l.c_nationkey AS VARCHAR) AS na,
+        |    CAST(r.c_nationkey AS VARCHAR) AS nb,
+        |    l.c_name AS pa, r.c_name AS pb
+        |  FROM l JOIN r ON l.cid % 200 = (r.cid - 5000000) % 200
+        |), scored AS (
+        |  SELECT id_a, id_b,
+        |    CAST((CASE WHEN sa IS NULL OR sb IS NULL THEN 0
+        |            WHEN sa = sb THEN 1 ELSE 0 END)
+        |       + (CASE WHEN na IS NULL OR nb IS NULL THEN 0
+        |            WHEN na = nb THEN 1 ELSE 0 END)
+        |       + (CASE WHEN pa IS NULL OR pb IS NULL THEN 0
+        |            WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |    ROUND((CASE WHEN sa IS NULL OR sb IS NULL THEN 0
+        |             WHEN sa = sb THEN ln(0.9 / 0.2)
+        |             ELSE ln((1 - 0.9) / (1 - 0.2)) END)
+        |        + (CASE WHEN na IS NULL OR nb IS NULL THEN 0
+        |             WHEN na = nb THEN ln(0.95 / 0.04)
+        |             ELSE ln((1 - 0.95) / (1 - 0.04)) END)
+        |        + (CASE WHEN pa IS NULL OR pb IS NULL THEN 0
+        |             WHEN pa = pb THEN ln(0.99 / 0.001)
+        |             ELSE ln((1 - 0.99) / (1 - 0.001)) END), 6) AS score6
+        |  FROM cand
         |)
-        |SELECT n, CAST(t AS BIGINT) AS total,
-        |  ROUND(CAST(2 * s2 - (n + 1) * t AS DOUBLE)
-        |    / CAST(n * t AS DOUBLE), 6) AS gini6
-        |FROM s""".stripMargin,
+        |SELECT id_a, id_b, n_agree, score6,
+        |  CASE WHEN score6 >= 1.863353 THEN 'match'
+        |       WHEN score6 <= -3.516029 THEN 'non_match'
+        |       ELSE 'review' END AS decision
+        |FROM scored ORDER BY id_a, id_b""".stripMargin,
+    "q240_weighted_quantiles_by_group" ->
+      """WITH d AS (
+        |  SELECT lang AS g,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS tok
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT g, CAST(tok AS DOUBLE) AS v, CAST(SUM(tok) AS BIGINT) AS cnt
+        |  FROM d WHERE tok <> 0 GROUP BY g, tok
+        |), cum AS (
+        |  SELECT g, v,
+        |    SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY g) AS w
+        |  FROM c
+        |), ps AS (
+        |  SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS p
+        |)
+        |SELECT cum.g AS lang, ps.p AS p,
+        |  CAST(MAX(cum.w) AS BIGINT) AS n, MIN(cum.v) AS q
+        |FROM ps CROSS JOIN cum
+        |WHERE cum.cum >= GREATEST(CAST(CEIL(ps.p * cum.w) AS BIGINT), 1)
+        |GROUP BY cum.g, ps.p ORDER BY lang, p""".stripMargin,
+    "q241_association_by_group" ->
+      """WITH t AS (
+        |  SELECT CAST(event_id % 3 AS VARCHAR) AS g, event_type AS a,
+        |    CAST(user_id % 7 AS VARCHAR) AS b
+        |  FROM events
+        |), j AS (
+        |  SELECT g, a, b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY g, a, b
+        |), ra AS (SELECT g, a, CAST(SUM(c) AS BIGINT) AS na
+        |  FROM j GROUP BY g, a),
+        |rb AS (SELECT g, b, CAST(SUM(c) AS BIGINT) AS nb
+        |  FROM j GROUP BY g, b),
+        |nn AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM j GROUP BY g),
+        |rc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS r FROM ra GROUP BY g),
+        |cc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM rb GROUP BY g),
+        |grid AS (
+        |  SELECT ra.g AS g, COALESCE(j.c, 0) AS o,
+        |    CAST(ra.na AS DOUBLE) * CAST(rb.nb AS DOUBLE)
+        |      / CAST(nn.n AS DOUBLE) AS e,
+        |    nn.n AS n
+        |  FROM ra JOIN rb ON ra.g IS NOT DISTINCT FROM rb.g
+        |  JOIN nn ON ra.g IS NOT DISTINCT FROM nn.g
+        |  LEFT JOIN j ON ra.g IS NOT DISTINCT FROM j.g
+        |    AND ra.a IS NOT DISTINCT FROM j.a
+        |    AND rb.b IS NOT DISTINCT FROM j.b
+        |), s AS (
+        |  SELECT g, MAX(n) AS n,
+        |    CAST(SUM(CAST(ROUND(
+        |      (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 12)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
+        |    CAST(SUM(CAST(ROUND(CASE WHEN o > 0
+        |      THEN (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * ln(CAST(o AS DOUBLE) / e)
+        |      ELSE 0.0 END, 12) AS DECIMAL(38,12))) AS DOUBLE) AS mi
+        |  FROM grid GROUP BY g
+        |)
+        |SELECT s.g AS snapshot, s.n AS n, (rc.r - 1) * (cc.c2 - 1) AS dof,
+        |  ROUND(chi2, 6) AS chi2_6,
+        |  CASE WHEN LEAST(rc.r, cc.c2) > 1
+        |    THEN ROUND(SQRT(chi2 / (CAST(s.n AS DOUBLE)
+        |      * CAST(LEAST(rc.r, cc.c2) - 1 AS DOUBLE))), 6)
+        |    ELSE NULL END AS cramers_v6,
+        |  ROUND(mi, 6) AS mi6
+        |FROM s JOIN rc ON s.g IS NOT DISTINCT FROM rc.g
+        |JOIN cc ON s.g IS NOT DISTINCT FROM cc.g
+        |ORDER BY snapshot""".stripMargin,
     "q221_exact_quantiles" -> exactQuantilesOracle,
     // held to the batch recompute: the count state folds by SUM, so
     // the incremental and streamed ECDFs are provably the same grid
@@ -9866,12 +10086,18 @@ object SparkEntry {
       |    l.c_name AS pa, r.c_name AS pb
       |  FROM l JOIN r ON l.cid % 200 = (r.cid - 5000000) % 200
       |), scored AS (
+      |  -- NULL on either side = no evidence (0 weight), matching the
+      |  -- operator contract — the fixture is non-null by construction,
+      |  -- but the oracle must not diverge on the NULL path
       |  SELECT id_a, id_b,
-      |    ROUND((CASE WHEN sa = sb THEN ln(0.9 / 0.2)
+      |    ROUND((CASE WHEN sa IS NULL OR sb IS NULL THEN 0
+      |             WHEN sa = sb THEN ln(0.9 / 0.2)
       |             ELSE ln((1 - 0.9) / (1 - 0.2)) END)
-      |        + (CASE WHEN na = nb THEN ln(0.95 / 0.04)
+      |        + (CASE WHEN na IS NULL OR nb IS NULL THEN 0
+      |             WHEN na = nb THEN ln(0.95 / 0.04)
       |             ELSE ln((1 - 0.95) / (1 - 0.04)) END)
-      |        + (CASE WHEN pa = pb THEN ln(0.99 / 0.001)
+      |        + (CASE WHEN pa IS NULL OR pb IS NULL THEN 0
+      |             WHEN pa = pb THEN ln(0.99 / 0.001)
       |             ELSE ln((1 - 0.99) / (1 - 0.001)) END), 6) AS score6
       |  FROM cand
       |), e AS (
@@ -9892,6 +10118,31 @@ object SparkEntry {
       |  COALESCE(lab.comp, recs.cid) AS entity_id
       |FROM recs LEFT JOIN lab ON recs.cid = lab.node
       |ORDER BY record_id""".stripMargin
+
+  /** Shared by q230 (the batch rank-path Gini), q237 (the counts-path
+    * readout), q238 (the incremental fold), and q239 (the streaming
+    * monitor) — four formulations, one ground truth: the value-count
+    * ECDF folds by SUM and the rank identity is tie-order-invariant,
+    * so every path reads the identical G. */
+  private val giniTokenMassOracle: String =
+    """WITH d AS (
+      |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+      |    AS x, doc_id
+      |  FROM documents WHERE text IS NOT NULL
+      |), r AS (
+      |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, CAST(doc_id AS VARCHAR))
+      |    AS i
+      |  FROM d
+      |), s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(38,0))) AS t,
+      |    SUM(CAST(i AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s2
+      |  FROM r
+      |)
+      |SELECT n, CAST(t AS BIGINT) AS total,
+      |  ROUND(CAST(2 * s2 - (n + 1) * t AS DOUBLE)
+      |    / CAST(n * t AS DOUBLE), 6) AS gini6
+      |FROM s""".stripMargin
 
   /** Shared by q226 (the batch categorical-association audit) and
     * q232 (the streaming monitor) — two formulations, one ground

@@ -152,6 +152,11 @@ object Dedup {
     * e.g. empty docs — not useful dup candidates), and the drop is
     * COUNT-FIRST ([[BucketGuard]]): decided on the per-key cardinality
     * before collect_list materializes anything.
+    *
+    * `bands = 0` (the default) auto-tunes the band layout from
+    * (numHashes, threshold); a defaulted layout may therefore change
+    * when those knobs change — see the compatibility note on
+    * `resolveBands`; pass `bands` explicitly to freeze it.
     */
   def minHashNearDupPairs(
       df: DataFrame,
@@ -225,7 +230,8 @@ object Dedup {
     * at `maxBucket` ids — the stopword-shingle skew guard), and the
     * bucket join's small probe side is the eval suite, which AQE
     * broadcasts at runtime. Cost tracks colliding pairs, never
-    * |train| x |test|. */
+    * |train| x |test|. Defaulted `bands = 0` auto-tunes the layout —
+    * see the compatibility note on `resolveBands`. */
   def crossCorpusNearDupPairs(
       left: DataFrame,
       leftIdCol: String,
@@ -358,7 +364,8 @@ object Dedup {
     * ([[graft.streaming.StreamGate.replayNearDupGate]]) relies on to
     * face the batch oracle: filtering micro-batches one at a time
     * against a static ledger provably equals filtering the whole shard
-    * at once. */
+    * at once. Defaulted `bands = 0` auto-tunes the layout — see the
+    * compatibility note on `resolveBands`. */
   def dropNearDupsOfLedger(
       shard: DataFrame,
       idCol: String,
@@ -414,7 +421,8 @@ object Dedup {
     * band key and the shuffle prunes too); verification walks stored
     * hashed shingles — the ledger never re-tokenizes text it no
     * longer carries. Cost tracks colliding pairs, never
-    * |shard| x |ledger|. */
+    * |shard| x |ledger|. Defaulted `bands = 0` auto-tunes the layout —
+    * see the compatibility note on `resolveBands`. */
   def nearDedupAgainstLedger(
       shard: DataFrame,
       idCol: String,
@@ -919,6 +927,18 @@ object Dedup {
     * the historical defaults 64/0.5 the optimum IS the old hand-picked
     * 16×4, so defaulted callers see identical plans); an explicit
     * band count is kept verbatim, divisibility checked as before. */
+  /** Resolve the effective band count for the minhash family's
+    * `bands = 0` auto-tune sentinel (the round-15 default).
+    *
+    * COMPATIBILITY NOTE for defaulted callers: auto-tuning picks the
+    * band layout FROM (numHashes, threshold), so a caller who relied
+    * on the old fixed default (16 bands) while passing a NON-default
+    * numHashes or threshold gets a different banding — and therefore
+    * a different (strictly recall-tuned) candidate-pair set — than
+    * before the sentinel became the default. Only the 64/0.5 shipped
+    * combination is guaranteed plan-identical across that change;
+    * callers who need a frozen layout should pass `bands`
+    * explicitly. */
   private def resolveBands(bands: Int, numHashes: Int, threshold: Double): Int = {
     require(bands >= 0, s"bands ($bands) must be >= 0 (0 = auto-tune)")
     val b = if (bands == 0) lshPlan(numHashes, threshold).bands else bands

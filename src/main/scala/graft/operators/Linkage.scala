@@ -59,7 +59,59 @@ object Linkage {
       right: DataFrame,
       rightIdCol: String,
       fields: Seq[FsField],
-      matchThreshold: Double): DataFrame = {
+      matchThreshold: Double): DataFrame =
+    scorePairs(candidates, idACol, idBCol, left, leftIdCol,
+        right, rightIdCol, fields)
+      .withColumn("is_match", col("score6") >= lit(matchThreshold))
+
+  /** The canonical Fellegi–Sunter THREE-BAND decision rule over the
+    * same scores: `match` at or above `upperThreshold`, `non_match`
+    * at or below `lowerThreshold`, `review` (the clerical band — the
+    * pairs a human adjudicates) in between. Two thresholds, not one,
+    * is the actual 1969 framework: the upper cutoff caps the false-
+    * MATCH rate, the lower caps the false-NON-MATCH rate, and the
+    * review band absorbs the ambiguous middle — derive both from the
+    * EM estimate with [[fsThresholds]]. Band comparisons run on the
+    * ROUNDED `score6` against thresholds the caller should also have
+    * rounded ([[fsThresholds]] does) — the iqrOutlierFlags boundary
+    * discipline, so a sub-gate margin cannot flip a band between
+    * engines. Same scale shape as [[fellegiSunterScores]]. Output:
+    * (`id_a`, `id_b`, `n_agree`, `score6`, `decision`). */
+  def fellegiSunterDecisions(
+      candidates: DataFrame,
+      idACol: String,
+      idBCol: String,
+      left: DataFrame,
+      leftIdCol: String,
+      right: DataFrame,
+      rightIdCol: String,
+      fields: Seq[FsField],
+      upperThreshold: Double,
+      lowerThreshold: Double): DataFrame = {
+    require(upperThreshold > lowerThreshold,
+      s"upperThreshold ($upperThreshold) must exceed lowerThreshold " +
+        s"($lowerThreshold) — equal or inverted bands leave no review zone " +
+        "semantics to apply")
+    scorePairs(candidates, idACol, idBCol, left, leftIdCol,
+        right, rightIdCol, fields)
+      .withColumn("decision",
+        when(col("score6") >= lit(upperThreshold), lit("match"))
+          .when(col("score6") <= lit(lowerThreshold), lit("non_match"))
+          .otherwise(lit("review")))
+  }
+
+  /** Shared scoring core of [[fellegiSunterScores]] /
+    * [[fellegiSunterDecisions]] — candidates joined to both record
+    * frames, one map-only weight-sum projection. */
+  private def scorePairs(
+      candidates: DataFrame,
+      idACol: String,
+      idBCol: String,
+      left: DataFrame,
+      leftIdCol: String,
+      right: DataFrame,
+      rightIdCol: String,
+      fields: Seq[FsField]): DataFrame = {
     require(fields.nonEmpty, "fellegiSunterScores needs comparison fields")
     require(fields.map(_.name).distinct.size == fields.size,
       s"duplicate comparison fields: ${fields.map(_.name).mkString(", ")}")
@@ -95,7 +147,88 @@ object Linkage {
     joined.select(col("__fc.id_a").as("id_a"), col("__fc.id_b").as("id_b"),
         nAgree.as("n_agree"),
         round(terms.reduce(_ + _), 6).as("score6"))
-      .withColumn("is_match", col("score6") >= lit(matchThreshold))
+  }
+
+  /** The two decision cutoffs for [[fellegiSunterDecisions]], both on
+    * the 6dp gate: `upper` (score ≥ upper ⇒ match) and `lower`
+    * (score ≤ lower ⇒ non-match). */
+  final case class FsThresholds(upper: Double, lower: Double)
+
+  /** Derive the three-band thresholds from an [[FsEstimate]] and the
+    * two target error rates — the Fellegi–Sunter optimality
+    * construction itself: under conditional independence every
+    * agreement pattern γ has an exact likelihood under match
+    * (`Π mᵢ^γᵢ(1−mᵢ)^(1−γᵢ)`) and non-match, so ordering the
+    * (≤ 2^k, k ≤ 16 enforced) patterns by their log-likelihood-ratio
+    * weight and admitting from the TOP while the admitted patterns'
+    * total NON-MATCH probability stays within `muErr` (the false-match
+    * budget) yields the upper cutoff; admitting from the BOTTOM while
+    * the total MATCH probability stays within `lambdaErr` (the
+    * false-non-match budget) yields the lower one. FS proved this
+    * band assignment optimal: it minimizes the review region among
+    * all rules meeting both error targets. Patterns whose weights
+    * collide on the 6dp gate are admitted or excluded TOGETHER (a
+    * threshold on the rounded score cannot split them), and the
+    * returned cutoffs are the admitted boundary weights rounded at 6
+    * — the exact values [[fellegiSunterDecisions]]'s rounded-score
+    * comparisons need. Pure driver arithmetic, fully deterministic.
+    * Fails loudly when a budget is so tight not even the extreme
+    * pattern fits, or so loose the two bands would overlap. The match
+    * proportion `p` plays no role here (the budgets are CONDITIONAL
+    * error rates); it rides along in the estimate for the caller's
+    * prior. */
+  def fsThresholds(
+      estimate: FsEstimate,
+      muErr: Double,
+      lambdaErr: Double): FsThresholds = {
+    require(muErr > 0.0 && muErr < 1.0,
+      s"muErr ($muErr) must be strictly inside (0, 1)")
+    require(lambdaErr > 0.0 && lambdaErr < 1.0,
+      s"lambdaErr ($lambdaErr) must be strictly inside (0, 1)")
+    val k = estimate.fields.size
+    require(k >= 1 && k <= 16,
+      s"$k fields would mean 2^$k patterns — cap is 16")
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // every pattern's (rounded weight, P(γ|M), P(γ|U)), grouped by the
+    // gate-rounded weight: gate collisions must band together
+    val byWeight = (0 until (1 << k)).map { pat =>
+      var w = 0.0; var pm = 1.0; var pu = 1.0
+      var i = 0
+      while (i < k) {
+        val f = estimate.fields(i)
+        if (((pat >> i) & 1) == 1) {
+          w += f.agreeWeight; pm *= f.m; pu *= f.u
+        } else {
+          w += f.disagreeWeight; pm *= 1.0 - f.m; pu *= 1.0 - f.u
+        }
+        i += 1
+      }
+      (r6(w), pm, pu)
+    }.groupBy(_._1).toSeq
+      .map { case (w6, g) => (w6, g.map(_._2).sum, g.map(_._3).sum) }
+      .sortBy(_._1)
+    // upper: admit groups from the TOP while cumulative u-mass fits
+    val desc = byWeight.reverse
+    val admitTop = desc.scanLeft(0.0)(_ + _._3).tail.zip(desc)
+      .takeWhile { case (cumU, _) => cumU <= muErr }.map(_._2)
+    require(admitTop.nonEmpty,
+      s"muErr ($muErr) is tighter than even the strongest agreement " +
+        s"pattern's non-match probability (${desc.head._3}) — no score can " +
+        "be auto-matched under this budget")
+    // lower: admit groups from the BOTTOM while cumulative m-mass fits
+    val admitBottom = byWeight.scanLeft(0.0)(_ + _._2).tail.zip(byWeight)
+      .takeWhile { case (cumM, _) => cumM <= lambdaErr }.map(_._2)
+    require(admitBottom.nonEmpty,
+      s"lambdaErr ($lambdaErr) is tighter than even the weakest pattern's " +
+        s"match probability (${byWeight.head._2}) — no score can be " +
+        "auto-rejected under this budget")
+    val upper = admitTop.last._1
+    val lower = admitBottom.last._1
+    require(upper > lower,
+      s"error budgets too loose: the match band (≥ $upper) and non-match " +
+        s"band (≤ $lower) overlap — tighten muErr/lambdaErr")
+    FsThresholds(upper, lower)
   }
 
   /** Estimated Fellegi–Sunter parameters: the match proportion `p`
@@ -136,7 +269,32 @@ object Linkage {
       iters: Int = 25,
       initP: Double = 0.1,
       initM: Double = 0.9,
-      initU: Double = 0.1): FsEstimate = {
+      initU: Double = 0.1): FsEstimate =
+    estimateFsParamsTraced(candidates, idACol, idBCol, left, leftIdCol,
+      right, rightIdCol, fieldNames, iters, initP, initM, initU)._1
+
+  /** [[estimateFsParams]] plus its CONVERGENCE TRACE — the
+    * per-iteration observed-data log-likelihood
+    * `Σ_γ c_γ · ln(p·P(γ|M) + (1−p)·P(γ|U))` evaluated after each
+    * M-step, as a small DataFrame (`iter`, `log_lik`): EM guarantees
+    * this series is non-decreasing (spec-pinned), so a user can SEE a
+    * run that is still climbing at `iters` — and raise the knob —
+    * instead of trusting the fixed default blindly. The trace is
+    * iters-bounded driver data (a `toDF` of ≤ `iters` rows); the
+    * estimation arithmetic is [[estimateFsParams]]'s verbatim. */
+  def estimateFsParamsTraced(
+      candidates: DataFrame,
+      idACol: String,
+      idBCol: String,
+      left: DataFrame,
+      leftIdCol: String,
+      right: DataFrame,
+      rightIdCol: String,
+      fieldNames: Seq[String],
+      iters: Int = 25,
+      initP: Double = 0.1,
+      initM: Double = 0.9,
+      initU: Double = 0.1): (FsEstimate, DataFrame) = {
     require(fieldNames.nonEmpty, "estimateFsParams needs comparison fields")
     require(fieldNames.distinct.size == fieldNames.size,
       s"duplicate comparison fields: ${fieldNames.mkString(", ")}")
@@ -167,6 +325,26 @@ object Linkage {
     var p = initP
     var m = Array.fill(k)(initM)
     var u = Array.fill(k)(initU)
+    // observed-data log-likelihood under the CURRENT (p, m, u) — the
+    // quantity EM provably never decreases, evaluated on the same
+    // bounded pattern table the E-step walks
+    def logLik(): Double = {
+      var ll = 0.0
+      patterns.foreach { case (pat, c) =>
+        var pm = p
+        var pu = 1.0 - p
+        var i = 0
+        while (i < k) {
+          val g = ((pat >> i) & 1L) == 1L
+          pm *= (if (g) m(i) else 1.0 - m(i))
+          pu *= (if (g) u(i) else 1.0 - u(i))
+          i += 1
+        }
+        ll += c * math.log(pm + pu)
+      }
+      ll
+    }
+    val trace = new scala.collection.mutable.ArrayBuffer[(Int, Double)](iters)
     var it = 0
     while (it < iters) {
       var sw = 0.0
@@ -199,8 +377,9 @@ object Linkage {
       m = Array.tabulate(k)(i => clamp(swG(i) / math.max(sw, 1e-300)))
       u = Array.tabulate(k)(i => clamp(snG(i) / math.max(sn, 1e-300)))
       it += 1
+      trace += ((it, logLik()))
     }
-    FsEstimate(p, fieldNames.zipWithIndex.map { case (f, i) =>
+    val estimate = FsEstimate(p, fieldNames.zipWithIndex.map { case (f, i) =>
       // a non-discriminating field (m <= u after EM) cannot build an
       // FsField — surface it loudly with the estimates in the message
       require(m(i) > u(i),
@@ -208,6 +387,9 @@ object Linkage {
           "— it does not discriminate matches on these candidates")
       FsField(f, m(i), u(i))
     })
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    (estimate, trace.toSeq.toDF("iter", "log_lik"))
   }
 
   /** End-to-end entity resolution — the composition the linkage

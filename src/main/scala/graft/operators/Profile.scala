@@ -390,15 +390,51 @@ object Profile {
     * (group, p), group read back as STRING. */
   def exactQuantilesByGroup(
       df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[Double]): DataFrame = {
+      ps: Seq[Double]): DataFrame =
+    groupQuantilesFromCounts(
+      df.select(col(groupCol).cast("string").as("__g"),
+          col(valueCol).cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy("__g", "v").agg(count(lit(1)).as("cnt")),
+      groupCol, ps)
+
+  /** PER-GROUP WEIGHT-MASS quantiles — the composite of
+    * [[weightedExactQuantiles]]'s mass semantics and
+    * [[exactQuantilesByGroup]]'s skew-proof machinery ("the p90 doc
+    * length PER LANGUAGE, weighted by token mass" — the per-slice
+    * number that prices a per-language max_seq_len choice): each
+    * row carries `weightCol` units of mass, the per-group count state
+    * is seeded with weight SUMS, and the answer at (g, p) is the
+    * value covering weighted rank ⌈p·W_g⌉ within the group. The
+    * weight contract is [[weightedExactQuantiles]]'s verbatim —
+    * non-negative integers loudly enforced, zero/NULL mass drops —
+    * and the readout is ONE global range-partitioned prefix sum over
+    * the (group, value) grid, rank targets in-plan, group cardinality
+    * unbounded. Output: (`groupCol`, `p`, `n`, `q`) ordered by
+    * (group, p) — `n` the group's total MASS. */
+  def weightedExactQuantilesByGroup(
+      df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, ps: Seq[Double]): DataFrame =
+    groupQuantilesFromCounts(
+      df.filter(col(valueCol).isNotNull &&
+          col(weightCol).isNotNull && col(weightCol) =!= 0)
+        .select(col(groupCol).cast("string").as("__g"),
+          col(valueCol).cast("double").as("v"),
+          integerMass("weightedExactQuantilesByGroup", df, weightCol,
+            valueCol).as("cnt"))
+        .groupBy("__g", "v").agg(sum(col("cnt")).as("cnt")),
+      groupCol, ps)
+
+  /** The shared per-group discrete-rank readout over a prepared
+    * `(__g, v, cnt)` count state — [[exactQuantilesByGroup]] verbatim,
+    * factored so the weighted variant reuses the one global
+    * range-partitioned prefix sum + in-plan rank targets. */
+  private def groupQuantilesFromCounts(
+      counts: DataFrame, groupCol: String, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty, "exactQuantilesByGroup needs probabilities")
     require(ps.forall(p => p > 0.0 && p <= 1.0),
       s"probabilities must be in (0, 1]: $ps")
     require(ps.distinct.size == ps.size, s"duplicate probabilities: $ps")
-    val counts = df.select(col(groupCol).cast("string").as("__g"),
-        col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
-      .groupBy("__g", "v").agg(count(lit(1)).as("cnt"))
     val pre = General.withRunningTotal(counts, Seq("__g", "v"), "cnt", "__pre")
     val offs = pre.groupBy("__g")
       .agg(min(col("__pre")).as("__off"), sum(col("cnt")).as("__w"))
@@ -424,24 +460,52 @@ object Profile {
     * actually prices a `max_seq_len` choice, versus the per-document
     * quantile that lets a million short docs outvote the token mass.
     * Weights must be non-negative integers (exactness of the folded
-    * ECDF): a negative weight fails LOUDLY at scan time, zero/NULL
-    * weights carry no mass and drop. Same scale shape as
-    * [[exactQuantiles]] — the count state is just seeded with weight
-    * sums, and still folds by SUM for the incremental/streaming
-    * variants. */
+    * ECDF): a negative OR fractional weight fails LOUDLY at scan time
+    * (a fractional-typed weight column is validated value-by-value —
+    * never silently truncated), zero/NULL weights carry no mass and
+    * drop. Same scale shape as [[exactQuantiles]] — the count state
+    * is just seeded with weight sums, and still folds by SUM for the
+    * incremental/streaming variants. */
   def weightedExactQuantiles(
       df: DataFrame, valueCol: String, weightCol: String,
       ps: Seq[Double]): DataFrame = {
-    val w = col(weightCol).cast("long")
     val counts = df
-      .filter(col(valueCol).isNotNull && w.isNotNull && w =!= 0L)
+      .filter(col(valueCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) =!= 0)
       .select(col(valueCol).cast("double").as("v"),
-        when(w > 0L, w).otherwise(raise_error(concat(
-          lit("weightedExactQuantiles: negative weight "),
-          w.cast("string"), lit(" for value "),
-          col(valueCol).cast("string")))).as("cnt"))
+        integerMass("weightedExactQuantiles", df, weightCol, valueCol)
+          .as("cnt"))
       .groupBy("v").agg(sum(col("cnt")).as("cnt"))
     exactQuantilesFromCounts(counts, ps)
+  }
+
+  /** The weight contract of the weighted-quantile family as one
+    * validated long column: non-negative, and INTEGRAL — an
+    * integral-typed weight column only needs the sign guard (its type
+    * proves integrality), while a fractional/decimal one is checked
+    * value-by-value (`w === floor(w)`) so a 2.7 fails loudly instead
+    * of silently truncating to 2 and quietly shifting every mass rank
+    * above it. */
+  private def integerMass(
+      op: String, df: DataFrame, weightCol: String,
+      valueCol: String): Column = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralType = df.schema(weightCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val w = col(weightCol)
+    val guarded =
+      if (integralType)
+        when(w >= 0, w).otherwise(raise_error(concat(
+          lit(s"$op: negative weight "), w.cast("string"),
+          lit(" for value "), col(valueCol).cast("string"))))
+      else
+        when(w >= 0 && w === floor(w), w).otherwise(raise_error(concat(
+          lit(s"$op: weight must be a non-negative integer, got "),
+          w.cast("string"), lit(" for value "),
+          col(valueCol).cast("string"))))
+    guarded.cast("long")
   }
 
   /** Categorical association audit over two columns — the
@@ -494,25 +558,12 @@ object Profile {
     val spark = jointCounts.sparkSession
     val joint = jointCounts.localCheckpoint()
     try {
-      val ra = joint.groupBy("__a").agg(sum(col("__c")).as("__na"))
-      val rb = joint.groupBy("__b").agg(sum(col("__c")).as("__nb"))
       val dims = joint.agg(coalesce(sum(col("__c")), lit(0L)).as("n"),
         countDistinct(struct(col("__a"))).as("r"),
         countDistinct(struct(col("__b"))).as("c")).head()
       val (n, r, c) = (dims.getLong(0), dims.getLong(1), dims.getLong(2))
       require(n > 0L, "categoricalAssociation: empty input")
-      // explicit aliases: ra/rb derive from joint, so their __a/__b
-      // attributes share expression ids with joint's — an unqualified
-      // condition would self-reference
-      val grid = ra.alias("__ra")
-        .crossJoin(rb.alias("__rb")) // cells-bounded BY CONSTRUCTION
-        .join(joint.alias("__j"),
-          col("__ra.__a") <=> col("__j.__a") &&
-            col("__rb.__b") <=> col("__j.__b"),
-          "left_outer")
-        .select(coalesce(col("__j.__c"), lit(0L)).cast("double").as("o"),
-          (col("__na").cast("double") * col("__nb").cast("double") /
-            lit(n.toDouble)).as("e"))
+      val grid = associationGrid(joint, n)
       def dsum(t: org.apache.spark.sql.Column) =
         sum(round(t, 12).cast("decimal(38,12)")).cast("double")
       val o = col("o")
@@ -533,6 +584,109 @@ object Profile {
       Seq((n, (r - 1L) * (c - 1L), r6(chi2), v, r6(mi)))
         .toDF("n", "dof", "chi2_6", "cramers_v6", "mi6")
     } finally Blocks.release(joint)
+  }
+
+  /** The full r×c observed/expected grid behind
+    * [[associationFromJoint]] — marginals from the joint, the ONE
+    * cells-bounded cross join, structural zeros filled by the outer
+    * join. Factored private[graft] so the plan-shape spec can PIN the
+    * cells-bounded claim (the cross join's two inputs must be the
+    * marginal AGGREGATES, never a fact scan): the public operator's
+    * returned frame is a literal and escapes the returned-plan
+    * audit. */
+  private[graft] def associationGrid(joint: DataFrame, n: Long): DataFrame = {
+    // explicit aliases: ra/rb derive from joint, so their __a/__b
+    // attributes share expression ids with joint's — an unqualified
+    // condition would self-reference
+    val ra = joint.groupBy("__a").agg(sum(col("__c")).as("__na"))
+    val rb = joint.groupBy("__b").agg(sum(col("__c")).as("__nb"))
+    ra.alias("__ra")
+      .crossJoin(rb.alias("__rb")) // cells-bounded BY CONSTRUCTION
+      .join(joint.alias("__j"),
+        col("__ra.__a") <=> col("__j.__a") &&
+          col("__rb.__b") <=> col("__j.__b"),
+        "left_outer")
+      .select(coalesce(col("__j.__c"), lit(0L)).cast("double").as("o"),
+        (col("__na").cast("double") * col("__nb").cast("double") /
+          lit(n.toDouble)).as("e"))
+  }
+
+  /** PER-GROUP categorical association — [[categoricalAssociation]]
+    * keyed by a slice column ("is language ⊥ source WITHIN each crawl
+    * snapshot?"), the drill-down under the corpus-wide number, with
+    * chi-square / Cramér's V / MI as IN-PLAN columns over per-group
+    * joint tables — group cardinality stays unbounded, never a driver
+    * loop over the one-row operator. Arithmetic is the batch
+    * operator's verbatim per group: full r_g×c_g grid including
+    * structural zeros (the per-group marginal join plays the cross
+    * join's role, group-bounded by the equi-key), per-cell terms
+    * 12dp-rounded decimal sums, readouts on the 6dp gate, a
+    * constant-axis group reporting NULL V (0/0) — pinned by the
+    * grouped == filtered-ungrouped equivalence spec. NULL is its own
+    * category on both axes AND its own group.
+    *
+    * Scale shape: ONE corpus pass builds the per-group joint state
+    * (cells-bounded: Σ_g r_g·c_g rows), checkpointed; marginals,
+    * dims, the grid, and both statistics are joins/aggregations over
+    * that bounded state keyed on (group[, category]) — facts are
+    * never rescanned. The returned frame reads the joint checkpoint
+    * ([[Blocks.release]] once consumed). Output: one row per group —
+    * (`groupCol` as STRING, `n`, `dof`, `chi2_6`, `cramers_v6`,
+    * `mi6`), ordered by group. */
+  def categoricalAssociationByGroup(
+      df: DataFrame, groupCol: String, colA: String,
+      colB: String): DataFrame = {
+    require(colA != colB,
+      s"categoricalAssociationByGroup needs two distinct columns (got $colA twice)")
+    require(groupCol != colA && groupCol != colB,
+      s"the group column ($groupCol) must differ from both axes")
+    val joint = df.select(col(groupCol).cast("string").as("__g"),
+        col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .groupBy("__g", "__a", "__b").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val ra = joint.groupBy("__g", "__a").agg(sum(col("__c")).as("__na"))
+    val rb = joint.groupBy("__g", "__b").agg(sum(col("__c")).as("__nb"))
+    val dims = joint.groupBy("__g").agg(sum(col("__c")).as("__n"),
+      countDistinct(struct(col("__a"))).as("__r"),
+      countDistinct(struct(col("__b"))).as("__cc"))
+    // qualified everywhere: ra/rb/dims all derive from joint, so bare
+    // __g would self-reference (the associationGrid hazard, plus a
+    // group key)
+    val grid = ra.alias("__ra")
+      .join(rb.alias("__rb"), col("__ra.__g") <=> col("__rb.__g"))
+      .join(joint.alias("__j"),
+        col("__ra.__g") <=> col("__j.__g") &&
+          col("__ra.__a") <=> col("__j.__a") &&
+          col("__rb.__b") <=> col("__j.__b"),
+        "left_outer")
+      .join(dims.alias("__d"), col("__ra.__g") <=> col("__d.__g"))
+      .select(col("__ra.__g").as("__g"),
+        col("__n"), col("__r"), col("__cc"),
+        coalesce(col("__j.__c"), lit(0L)).cast("double").as("o"),
+        (col("__na").cast("double") * col("__nb").cast("double") /
+          col("__n").cast("double")).as("e"))
+    def dsum(t: Column) =
+      sum(round(t, 12).cast("decimal(38,12)")).cast("double")
+    val o = col("o")
+    val e = col("e")
+    grid.groupBy("__g").agg(
+        max(col("__n")).as("n"), max(col("__r")).as("__r"),
+        max(col("__cc")).as("__cc"),
+        dsum((o - e) * (o - e) / e).as("__chi2"),
+        dsum(when(o > 0.0, (o / col("__n").cast("double")) * log(o / e))
+          .otherwise(lit(0.0))).as("__mi"))
+      .select(col("__g").as(groupCol), col("n"),
+        ((col("__r") - 1L) * (col("__cc") - 1L)).as("dof"),
+        round(col("__chi2"), 6).as("chi2_6"),
+        // the constant-axis guard is load-bearing under ANSI mode:
+        // unguarded, the 0/0 group would be a DIVIDE_BY_ZERO error
+        when(least(col("__r"), col("__cc")) > 1L,
+            round(sqrt(col("__chi2") / (col("n").cast("double") *
+              (least(col("__r"), col("__cc")) - 1L).cast("double"))), 6))
+          .otherwise(lit(null).cast("double")).as("cramers_v6"),
+        round(col("__mi"), 6).as("mi6"))
+      .orderBy(groupCol)
   }
 
   /** One batch's joint count table for the association family —

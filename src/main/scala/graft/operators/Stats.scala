@@ -579,20 +579,8 @@ object Stats {
     * excluded. Output: one row — (`n`, `total`, `gini6`). */
   def giniIndex(
       df: DataFrame, valueCol: String, idCol: String): DataFrame = {
-    val vals = df.filter(col(valueCol).isNotNull)
-      .select(
-        when(col(valueCol) >= 0, col(valueCol).cast("long"))
-          .otherwise(raise_error(concat(
-            lit("giniIndex: negative mass "),
-            col(valueCol).cast("string"), lit(" for id "),
-            col(idCol).cast("string")))).as("__x"),
-        col(idCol).cast("string").as("__id"))
-    val ranked = General.withContiguousRowIds(vals, Seq("__x", "__id"), "__i")
-    val row = ranked.agg(
-      count(lit(1)).as("n"),
-      sum(col("__x").cast("decimal(38,0)")).as("t"),
-      sum((col("__i").cast("decimal(38,0)") + lit(1)) *
-        col("__x").cast("decimal(38,0)")).as("s")).head()
+    val ranked = giniRankedMasses(df, valueCol, idCol)
+    val row = giniSumsPlan(ranked).head()
     Blocks.release(ranked)
     val n = row.getLong(0)
     require(n > 0L, "giniIndex: no non-null masses")
@@ -605,6 +593,97 @@ object Stats {
     val denom = t.multiply(java.math.BigDecimal.valueOf(n))
     val g = numer.doubleValue() / denom.doubleValue()
     val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, t.longValueExact(), BigDecimal(g)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n", "total", "gini6")
+  }
+
+  /** [[giniIndex]]'s guarded (mass, id) projection + range-partitioned
+    * contiguous ranks — factored so the eager aggregate's plan is
+    * spec-PINNABLE, not just comment-audited (the returned one-row
+    * frame of the public operator is a literal and escapes the
+    * returned-plan audit). */
+  private[graft] def giniRankedMasses(
+      df: DataFrame, valueCol: String, idCol: String): DataFrame = {
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(
+        when(col(valueCol) >= 0, col(valueCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("giniIndex: negative mass "),
+            col(valueCol).cast("string"), lit(" for id "),
+            col(idCol).cast("string")))).as("__x"),
+        col(idCol).cast("string").as("__id"))
+    General.withContiguousRowIds(vals, Seq("__x", "__id"), "__i")
+  }
+
+  /** The UNEXECUTED one-row (n, t, s) aggregate [[giniIndex]] reads —
+    * exposed for the plan-shape spec (no Window, no cartesian — the
+    * ranks already rode the range-partitioned sort). */
+  private[graft] def giniSumsPlan(ranked: DataFrame): DataFrame =
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast("decimal(38,0)")).as("t"),
+      sum((col("__i").cast("decimal(38,0)") + lit(1)) *
+        col("__x").cast("decimal(38,0)")).as("s"))
+
+  /** [[giniIndex]] off the SUM-foldable (v, cnt) value-count state the
+    * quantile/KS family already maintains ([[graft.operators.Profile
+    * .ksSideCounts]] / [[graft.operators.Profile.foldValueCounts]]) —
+    * closing the maintenance matrix's last open family: Gini
+    * batch / incremental / stream off ONE state table. The rank
+    * identity only needs rank SUMS, and under the (mass, id) tie-
+    * order-invariance the `cnt` rows at mass `v` occupy ranks
+    * `prefix+1 .. prefix+cnt` exactly, so
+    * `2·Σ i·xᵢ = Σ_v v·cnt·(2·prefix + cnt + 1)` — every term an
+    * exact DECIMAL(38,0) product off the grid's running total, no
+    * per-row ranks at all. Provably equal to [[giniIndex]] of the
+    * rows behind the counts (pinned by holding the counts-path
+    * queries to the rank-path oracle verbatim).
+    *
+    * Scale shape: ONE range-partitioned prefix sum over the
+    * distinct-mass grid ([[General.withRunningTotal]] — grid-bounded,
+    * usually orders of magnitude below row count), one scalar
+    * aggregate. Masses must be non-negative integers (the exact-ECDF
+    * contract): negative or fractional grid values and non-positive
+    * counts fail LOUDLY at scan time. Output: (`n`, `total`,
+    * `gini6`) — [[giniIndex]]'s schema verbatim. */
+  def giniFromCounts(counts: DataFrame): DataFrame = {
+    val m = counts.select(col("v").cast("double").as("v"),
+      col("cnt").cast("long").as("cnt"))
+    val guarded = m.select(
+      when(col("v") >= 0.0 && col("v") === floor(col("v")), col("v"))
+        .otherwise(raise_error(concat(
+          lit("giniFromCounts: mass must be a non-negative integer, got "),
+          col("v").cast("string")))).as("v"),
+      when(col("cnt") > 0L, col("cnt"))
+        .otherwise(raise_error(concat(
+          lit("giniFromCounts: non-positive count "),
+          col("cnt").cast("string"), lit(" for mass "),
+          col("v").cast("string")))).as("cnt"))
+    val cum = General.withRunningTotal(guarded, Seq("v"), "cnt", "__pre")
+    val vDec = col("v").cast("long").cast("decimal(38,0)")
+    val cDec = col("cnt").cast("decimal(38,0)")
+    val row = cum.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("n"),
+      sum(vDec * cDec).as("t"),
+      // 2·Σ i·x, whole in exact decimal: Σ v·cnt·(2·pre + cnt + 1)
+      sum(vDec * cDec *
+        (lit(2).cast("decimal(38,0)") * col("__pre").cast("decimal(38,0)") +
+          cDec + lit(1).cast("decimal(38,0)"))).as("s2")).head()
+    Blocks.release(cum)
+    val n = row.getLong(0)
+    require(n > 0L, "giniFromCounts: empty count state")
+    val t = row.getDecimal(1)
+    val s2 = row.getDecimal(2)
+    require(t.signum > 0, "giniFromCounts: total mass is zero — G is 0/0")
+    // numer = 2s − (n+1)t = s2 − (n+1)t  (s2 IS 2s, never halved: the
+    // division by two would leave exact integers)
+    val numer = s2.subtract(
+      t.multiply(java.math.BigDecimal.valueOf(n + 1L)))
+    val denom = t.multiply(java.math.BigDecimal.valueOf(n))
+    val g = numer.doubleValue() / denom.doubleValue()
+    val spark = counts.sparkSession
     import spark.implicits._
     Seq((n, t.longValueExact(), BigDecimal(g)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))

@@ -155,6 +155,18 @@ object StreamGate {
     private[streaming] val MaxTerminatedRetained = 256
     private val terminatedOrder =
       scala.collection.mutable.Queue.empty[java.util.UUID]
+    /** Started-but-never-terminated runs are bounded too: a crashed or
+      * abandoned query never delivers its terminated event, so without
+      * this cap its entry would sit in `accs` forever in a long-lived
+      * session. Once more than this many starts have accumulated, the
+      * OLDEST still-unterminated entries are evicted in insertion
+      * order (a terminated entry's retention is [[MaxTerminatedRetained]]'s
+      * job). The cap only bites a session juggling >256 concurrently
+      * live queries — there the evicted run's later read degrades to
+      * the documented `recentProgress` fallback instead of leaking. */
+    private[streaming] val MaxUnterminatedRetained = 256
+    private val startedOrder =
+      scala.collection.mutable.Queue.empty[java.util.UUID]
     /** Weak keys: a ledger registration must not pin a SparkSession —
       * when a session is collected its listener bus (and this
       * registration) goes with it, so no explicit unregister exists. */
@@ -165,6 +177,13 @@ object StreamGate {
       if (sessions.add(spark)) spark.streams.addListener(this)
     override def onQueryStarted(e: QueryStartedEvent): Unit = synchronized {
       accs(e.runId) = new Acc
+      startedOrder += e.runId
+      while (startedOrder.size > MaxUnterminatedRetained) {
+        val old = startedOrder.dequeue()
+        // evict only if still unterminated — terminated entries are
+        // retained/evicted by terminatedOrder's own cap
+        accs.get(old).filter(!_.terminated).foreach(_ => accs.remove(old))
+      }
     }
     override def onQueryProgress(e: QueryProgressEvent): Unit = synchronized {
       val a = accs.getOrElseUpdate(e.progress.runId, new Acc)
@@ -944,6 +963,29 @@ object StreamGate {
       batch => graft.operators.Profile.ksSideCounts(batch, valueCol, "cnt"),
       graft.operators.Profile.foldValueCounts,
       state => graft.operators.Profile.exactQuantilesFromCounts(state, ps))
+
+  /** Streaming Gini-concentration monitor — [[graft.operators.Stats
+    * .giniFromCounts]] with the mass column as a FILE STREAM: each
+    * micro-batch's distinct-mass counts fold by SUM into the SAME
+    * versioned parquet ECDF state the quantile/KS monitors maintain
+    * (one state table serves the whole value-distribution family),
+    * and the final readout runs the shared rank-sum identity over the
+    * accumulated grid — the ingest-time "is the corpus becoming a few
+    * giants?" dashboard. Counts merge associatively and commutatively
+    * and the rank identity is tie-order-invariant, so the micro-batch
+    * split provably cannot move G — the stream readout is held to the
+    * batch rank-path operator's verbatim oracle. State is
+    * distinct-mass-bounded. Returns the one-row (`n`, `total`,
+    * `gini6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayGiniMonitor(
+      monitored: DataFrame,
+      valueCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(valueCol), "gini", filesPerTrigger)(
+      batch => graft.operators.Profile.ksSideCounts(batch, valueCol, "cnt"),
+      graft.operators.Profile.foldValueCounts,
+      state => graft.operators.Stats.giniFromCounts(state))
 
   /** Streaming categorical-association monitor — [[graft.operators
     * .Profile.categoricalAssociation]] with the row feed as a FILE

@@ -124,6 +124,104 @@ class LinkageSpec extends AnyFunSuite {
     assert(batch.contains(Seq(6L, 1L)) && batch.contains(Seq(4L, 4L)))
   }
 
+  test("fsThresholds: derives the q236 cutoffs; tighter budgets move bands monotonically; loud failures") {
+    import graft.operators.Linkage.{FsEstimate, FsThresholds}
+    val q229Fields = Seq(FsField("c_mktsegment", 0.9, 0.2),
+      FsField("c_nationkey", 0.95, 0.04), FsField("c_name", 0.99, 0.001))
+    val est = FsEstimate(0.005, q229Fields)
+    // the q236 derivation, pinned to the oracle's literal CASE bounds
+    val th = Linkage.fsThresholds(est, muErr = 0.0011, lambdaErr = 0.0015)
+    assert(th == FsThresholds(1.863353, -3.516029), th.toString)
+    // monotone on the 6dp gate: a tighter false-match budget can only
+    // RAISE the upper cutoff; a tighter false-non-match budget can only
+    // LOWER the lower one
+    val tightMu = Linkage.fsThresholds(est, muErr = 0.00005, lambdaErr = 0.0015)
+    assert(tightMu.upper == 7.985846 && tightMu.upper > th.upper,
+      tightMu.toString)
+    assert(tightMu.lower == th.lower)
+    val tightLambda = Linkage.fsThresholds(est, muErr = 0.0011,
+      lambdaErr = 0.0004)
+    assert(tightLambda.lower == -9.638522 && tightLambda.lower < th.lower,
+      tightLambda.toString)
+    // budgets tighter than the extreme patterns: loud, named failure
+    assert(intercept[IllegalArgumentException] {
+      Linkage.fsThresholds(est, muErr = 1e-9, lambdaErr = 0.0015)
+    }.getMessage.contains("auto-matched"))
+    assert(intercept[IllegalArgumentException] {
+      Linkage.fsThresholds(est, muErr = 0.0011, lambdaErr = 1e-9)
+    }.getMessage.contains("auto-rejected"))
+    // budgets so loose the bands overlap: loud
+    assert(intercept[IllegalArgumentException] {
+      Linkage.fsThresholds(est, muErr = 0.5, lambdaErr = 0.5)
+    }.getMessage.contains("overlap"))
+    intercept[IllegalArgumentException] {
+      Linkage.fsThresholds(est, muErr = 0.0, lambdaErr = 0.5)
+    }
+  }
+
+  test("fellegiSunterDecisions: three bands on hand pairs, boundary inclusive, loud inverted thresholds") {
+    val left = table("lid bigint, seg string, name string", Seq(
+      row(1L, "A", "alice"), row(2L, "B", "bob"), row(3L, "C", "carol")))
+    val right = table("rid bigint, seg string, name string", Seq(
+      row(10L, "A", "alice"),    // both agree: strong match
+      row(20L, "B", "robert"),   // seg only: middle
+      row(30L, "X", "caroline"))) // neither: strong non-match
+    val cands = table("id_a bigint, id_b bigint", Seq(
+      row(1L, 10L), row(2L, 20L), row(3L, 30L)))
+    val wSeg = math.log(0.9 / 0.2)
+    val wSegNo = math.log((1.0 - 0.9) / (1.0 - 0.2))
+    val wName = math.log(0.99 / 0.001)
+    val wNameNo = math.log((1.0 - 0.99) / (1.0 - 0.001))
+    val mid = r6(wSeg + wNameNo)
+    // boundary discipline: upper set EXACTLY at the middle pair's
+    // rounded score bands it as a match (>= is inclusive)
+    val inclusive = Linkage.fellegiSunterDecisions(cands, "id_a", "id_b",
+        left, "lid", right, "rid", fields,
+        upperThreshold = mid, lowerThreshold = r6(wSegNo + wNameNo))
+      .collect().map(r => (r.getLong(0), r.getString(4))).sortBy(_._1)
+    assert(inclusive.toSeq == Seq((1L, "match"), (2L, "match"),
+      (3L, "non_match")), inclusive.mkString("; "))
+    // a review band strictly between the cutoffs
+    val banded = Linkage.fellegiSunterDecisions(cands, "id_a", "id_b",
+        left, "lid", right, "rid", fields,
+        upperThreshold = r6(wSeg + wName), lowerThreshold = r6(wSegNo + wNameNo))
+      .collect().map(r => (r.getLong(0), r.getString(4))).sortBy(_._1)
+    assert(banded.toSeq == Seq((1L, "match"), (2L, "review"),
+      (3L, "non_match")), banded.mkString("; "))
+    intercept[IllegalArgumentException] {
+      Linkage.fellegiSunterDecisions(cands, "id_a", "id_b",
+        left, "lid", right, "rid", fields,
+        upperThreshold = 1.0, lowerThreshold = 1.0)
+    }
+  }
+
+  test("estimateFsParamsTraced: log-likelihood monotone non-decreasing; estimate == untraced") {
+    val left = table("lid bigint, seg string, name string",
+      (1 to 200).map(i => row(i.toLong, s"g${i % 4}", s"n$i")))
+    val right = table("rid bigint, seg string, name string",
+      (1 to 200).map(i => row(i.toLong,
+        if (i % 10 == 0) "zz" else s"g${i % 4}", s"n$i")))
+    val cands = table("id_a bigint, id_b bigint",
+      (1 to 25).map(i => row(i.toLong, i.toLong)) ++
+        (1 to 150).map(i => row(i.toLong, ((i * 11) % 200 + 1).toLong))
+          .filterNot(r => r.getLong(0) == r.getLong(1)))
+    val (est, trace) = Linkage.estimateFsParamsTraced(cands, "id_a", "id_b",
+      left, "lid", right, "rid", Seq("seg", "name"), iters = 30)
+    val rows = trace.collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(rows.length == 30 && rows.map(_._1).toSeq == (1 to 30))
+    rows.sliding(2).foreach { case Array((i1, l1), (i2, l2)) =>
+      assert(l2 >= l1 - 1e-9,
+        s"log-likelihood decreased at iter $i2: $l1 -> $l2")
+    case _ => ()
+    }
+    // the last steps have converged: the tail is flat at 1e-9
+    assert(math.abs(rows.last._2 - rows(rows.length - 2)._2) < 1e-6,
+      rows.takeRight(3).mkString("; "))
+    val untraced = Linkage.estimateFsParams(cands, "id_a", "id_b",
+      left, "lid", right, "rid", Seq("seg", "name"), iters = 30)
+    assert(est == untraced)
+  }
+
   test("fellegiSunterScores: loud validation") {
     val df = table("lid bigint, seg string", Seq(row(1L, "A")))
     val cands = table("id_a bigint, id_b bigint", Seq(row(1L, 1L)))

@@ -21,6 +21,14 @@ import graft.testkit.SparkTestKit._
   * loop that the static plan lacks). The streaming replay queries run
   * their stream during construction and return a plain parquet-scan
   * aggregate — they participate like any other query.
+  *
+  * COVERAGE BOUNDARY: the registry audit below inspects each query's
+  * RETURNED frame. Operators that evaluate eagerly inside and return a
+  * literal frame (the association family's grid, the Gini scalar
+  * aggregate, every `Seq(...).toDF` readout) have internal plans this
+  * audit never sees — those internals are pinned DIRECTLY by the
+  * "eager operator internals" test at the bottom, via the operators'
+  * private[graft] plan hooks.
   */
 class PlanShapeSpec extends AnyFunSuite {
 
@@ -78,5 +86,38 @@ class PlanShapeSpec extends AnyFunSuite {
     // global window (guards against the matcher rotting silently)
     assert(hasSinglePartitionWindow(plans("q04_window_sum")),
       "detector no longer recognizes q04's known single-partition window")
+  }
+
+  test("eager operator internals stay bounded: association grid, gini rank aggregate") {
+    import graft.operators.{Profile, Stats}
+    import graft.testkit.SparkTestKit.{row, table}
+    // the association grid's one nested-loop join must sit BETWEEN the
+    // two cells-bounded marginal aggregates — never against the joint
+    // fact input directly (the cells-bounded-by-construction claim)
+    val joint = table("__a string, __b string, __c bigint", Seq(
+      row("x", "p", 3L), row("x", "q", 2L), row("y", "p", 5L)))
+    val gridPlan = Profile.associationGrid(joint, 10L)
+      .queryExecution.executedPlan.toString
+    val nestedLoops = gridPlan.linesIterator.count(l =>
+      l.contains("CartesianProduct") || l.contains("BroadcastNestedLoopJoin"))
+    assert(nestedLoops == 1, s"expected exactly one bounded cross join:\n" +
+      gridPlan.take(2000))
+    val aggregates = gridPlan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggregates >= 4, // two marginal aggs, partial + final each
+      s"cross join inputs are not marginal aggregates:\n${gridPlan.take(2000)}")
+    // the gini scalar aggregate: ranks already rode the range-
+    // partitioned contiguous-id sort, so the readout plan must contain
+    // no Window and no nested-loop join at all
+    val masses = table("id bigint, x bigint",
+      (1L to 50L).map(i => row(i, i % 7)))
+    val ranked = Stats.giniRankedMasses(masses, "x", "id")
+    val aggPlan = Stats.giniSumsPlan(ranked)
+      .queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Window ") &&
+      !aggPlan.contains("CartesianProduct") &&
+      !aggPlan.contains("BroadcastNestedLoopJoin"), aggPlan.take(2000))
+    // the hooks stay executable, not plan-only shells
+    assert(Stats.giniSumsPlan(ranked).head().getLong(0) == 50L)
+    graft.operators.Blocks.release(ranked)
   }
 }

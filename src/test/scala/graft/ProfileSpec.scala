@@ -214,6 +214,85 @@ class ProfileSpec extends AnyFunSuite {
     assert(msgs.contains("negative weight"), msgs.take(300))
   }
 
+  test("weightedExactQuantiles: fractional weight fails loudly, integral-valued double passes") {
+    // ADVICE r15: a double weight column must not silently truncate —
+    // 2.7 is a loud error, not mass 2
+    val frac = table("v double, w double", Seq(row(1.0, 2.7)))
+    val e = intercept[Throwable] {
+      Profile.weightedExactQuantiles(frac, "v", "w", Seq(0.5)).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("non-negative integer"), msgs.take(300))
+    // integral-VALUED doubles carry their exact mass
+    val ok = table("v double, w double", Seq(row(1.0, 2.0), row(5.0, 8.0)))
+    val got = Profile.weightedExactQuantiles(ok, "v", "w", Seq(0.2, 0.21))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0.2, 10L, 1.0), (0.21, 10L, 5.0)),
+      got.mkString("; "))
+  }
+
+  test("weightedExactQuantilesByGroup == weightedExactQuantiles per filtered group; skew; NULL group") {
+    val rnd = new scala.util.Random(67)
+    val df = table("g string, v double, w bigint",
+      (0 until 400).map(i => row(
+        if (i % 10 < 8) "g0" else if (i % 10 == 8) "g1" else null,
+        rnd.nextInt(30).toDouble, (rnd.nextInt(5) + 1).toLong)) ++
+        Seq(row("g1", 3.0, 0L), row("g1", 4.0, null))) // zero/NULL mass drop
+    val ps = Seq(0.25, 0.5, 0.9, 1.0)
+    val grouped = Profile.weightedExactQuantilesByGroup(
+      df, "g", "v", "w", ps).collect()
+    assert(grouped.length == 3 * ps.length)
+    Seq(Some("g0"), Some("g1"), None).foreach { g =>
+      val part = df.filter(g.map(col("g") === _).getOrElse(col("g").isNull))
+      val solo = Profile.weightedExactQuantiles(part, "v", "w", ps)
+        .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+      val mine = grouped
+        .filter(r => if (g.isEmpty) r.isNullAt(0)
+          else !r.isNullAt(0) && r.getString(0) == g.get)
+        .map(r => (r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      assert(mine.toSeq == solo.toSeq, s"group $g: ${mine.toSeq} vs ${solo.toSeq}")
+    }
+    val neg = table("g string, v double, w bigint", Seq(row("g0", 1.0, -2L)))
+    val e = intercept[Throwable] {
+      Profile.weightedExactQuantilesByGroup(neg, "g", "v", "w", Seq(0.5))
+        .collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("negative weight"), msgs.take(300))
+  }
+
+  test("categoricalAssociationByGroup == ungrouped per filtered group; NULL group; degenerate group") {
+    val rnd = new scala.util.Random(71)
+    val df = table("g string, a string, b string",
+      (0 until 300).map(i => row(
+        if (i % 7 == 0) null else s"g${i % 3}",
+        s"a${rnd.nextInt(4)}", s"b${rnd.nextInt(3)}")) ++
+        // a constant-axis group: dof 0, V NULL — must not crash the plan
+        Seq(row("gc", "onlyA", "b0"), row("gc", "onlyA", "b1")))
+    val grouped = Profile.categoricalAssociationByGroup(df, "g", "a", "b")
+      .collect()
+    assert(grouped.length == 5, grouped.mkString("; ")) // g0 g1 g2 gc NULL
+    Seq(Some("g0"), Some("g1"), Some("g2"), None).foreach { g =>
+      val part = df.filter(g.map(col("g") === _).getOrElse(col("g").isNull))
+      val solo = Profile.categoricalAssociation(part, "a", "b").head()
+      val mine = grouped.find(r =>
+        if (g.isEmpty) r.isNullAt(0)
+        else !r.isNullAt(0) && r.getString(0) == g.get).get
+      assert(mine.toSeq.drop(1) == solo.toSeq, s"group $g: $mine vs $solo")
+    }
+    val gc = grouped.find(r => !r.isNullAt(0) && r.getString(0) == "gc").get
+    assert(gc.getLong(2) == 0L && gc.getDouble(3) == 0.0 && gc.isNullAt(4),
+      gc.toString)
+    intercept[IllegalArgumentException] {
+      Profile.categoricalAssociationByGroup(df, "g", "a", "a")
+    }
+    intercept[IllegalArgumentException] {
+      Profile.categoricalAssociationByGroup(df, "g", "g", "b")
+    }
+  }
+
   test("categoricalAssociation: dependence, independence, NULL category, degenerate axis") {
     // perfect dependence over 2x2 with 4 rows each pairing: chi2 = n,
     // V = 1, MI = ln 2

@@ -598,6 +598,45 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     assert(gz.getLong(2) == 0L && gz.isNullAt(3), gz.toString)
   }
 
+  test("giniFromCounts == giniIndex on random masses; fold == full recompute; loud guards") {
+    import graft.operators.Profile
+    // random masses with heavy ties (mod 13) — the grid path must agree
+    // with the rank path exactly (tie-order-invariance of the identity)
+    val df = table("id bigint, x bigint",
+      (1L to 400L).map(i => row(i, (i * 31) % 13)))
+    val rank = Stats.giniIndex(df, "x", "id").head()
+    val counts = Profile.ksSideCounts(df, "x", "cnt")
+    val fromCounts = Stats.giniFromCounts(counts).head()
+    assert(fromCounts.toSeq == rank.toSeq,
+      s"counts path $fromCounts != rank path $rank")
+    // the incremental fold (base + delta counts) reads the same G
+    val base = Profile.ksSideCounts(df.filter(col("id") % 10 < 8), "x", "cnt")
+    val delta = Profile.ksSideCounts(df.filter(col("id") % 10 >= 8), "x", "cnt")
+    val folded = Stats.giniFromCounts(
+      Profile.foldValueCounts(base, delta)).head()
+    assert(folded.toSeq == rank.toSeq, s"fold $folded != batch $rank")
+    // loud guards: fractional mass, negative mass, non-positive count,
+    // zero total, empty state
+    def loud(v: Any, cnt: Any, needle: String): Unit = {
+      val e = intercept[Throwable] {
+        Stats.giniFromCounts(table("v double, cnt bigint",
+          Seq(row(v, cnt)))).collect()
+      }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains(needle), s"$v/$cnt: ${msgs.take(300)}")
+    }
+    loud(1.5, 2L, "non-negative integer")
+    loud(-1.0, 2L, "non-negative integer")
+    loud(1.0, 0L, "non-positive count")
+    intercept[IllegalArgumentException] {
+      Stats.giniFromCounts(table("v double, cnt bigint", Seq(row(0.0, 3L))))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.giniFromCounts(table("v double, cnt bigint", Seq.empty))
+    }
+  }
+
   test("bootstrapMeanCI: one-scan fold == explode reference, bit-for-bit") {
     // values with many decimal digits + negatives + a skewed partition
     // layout: the exact shapes where a float fold would drift and an
