@@ -4839,6 +4839,46 @@ object SparkEntry {
         (col("user_id") % 7).cast("string").as("user_bucket")),
       "snapshot", "event_type", "user_bucket")
 
+  // ---------------------------------------------------------------- q242
+  /** Incremental association maintenance ([[graft.operators.Profile
+    * .foldJointCounts]] + [[graft.operators.Profile
+    * .associationFromJoint]]): q226's joint contingency state built
+    * from the pre-split events, kept current by folding the
+    * post-split shard's cells — base facts never rescanned, counts
+    * merge by SUM, so the folded readout is held to q226's VERBATIM
+    * full-recompute oracle. Closes the association matrix
+    * batch (q226) / incremental (this) / stream (q232) — every
+    * maintained family now has all three forms. */
+  private def q242IncrementalAssociation(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profile
+    val ev = Tables.events(s, dir)
+    def slice(pred: Column): DataFrame = ev.filter(pred)
+      .select(col("event_type"),
+        (col("user_id") % 7).cast("string").as("user_bucket"))
+    val base = Profile.jointCountsOf(
+      slice(col("event_id") % 10 < 8), "event_type", "user_bucket")
+    val delta = Profile.jointCountsOf(
+      slice(col("event_id") % 10 >= 8), "event_type", "user_bucket")
+    Profile.associationFromJoint(Profile.foldJointCounts(base, delta))
+  }
+
+  // ---------------------------------------------------------------- q243
+  /** Exact Kendall tau-b ([[graft.operators.Eval.kendallTauB]]): rank
+    * agreement between a document's token count and its character
+    * count — two length measures of one corpus, the scorer-agreement
+    * readout pair-counted WITHOUT pair enumeration (dense joint grid
+    * + two grid-bounded window passes; tie-corrected denominator).
+    * The oracle replays C/D from the cell-pair formulation (cells²,
+    * fine at oracle scale) and the identical tie algebra. */
+  private def q243KendallTau(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.kendallTauB(
+      Tables.documents(s, dir).select(
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tokens"),
+        col("n_chars")),
+      "n_tokens", "n_chars")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -5081,6 +5121,8 @@ object SparkEntry {
     "q239_stream_gini" -> (q239StreamGini _),
     "q240_weighted_quantiles_by_group" -> (q240WeightedQuantilesByGroup _),
     "q241_association_by_group" -> (q241AssociationByGroup _),
+    "q242_incremental_association" -> (q242IncrementalAssociation _),
+    "q243_kendall_tau" -> (q243KendallTau _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6259,9 +6301,46 @@ object SparkEntry {
         |FROM base JOIN ci ON base.g = ci.g
         |ORDER BY event_type""".stripMargin,
     "q226_categorical_association" -> associationOracle,
-    // the streamed monitor is held to the batch audit's verbatim
-    // ground truth (joint counts fold by SUM)
+    // the streamed monitor and the incremental fold are held to the
+    // batch audit's verbatim ground truth (joint counts fold by SUM)
     "q232_stream_association" -> associationOracle,
+    "q242_incremental_association" -> associationOracle,
+    "q243_kendall_tau" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+        |    AS a, CAST(n_chars AS BIGINT) AS b
+        |  FROM documents WHERE text IS NOT NULL
+        |), j AS (
+        |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY a, b
+        |), cd AS (
+        |  SELECT
+        |    COALESCE(SUM(CASE WHEN j2.b > j1.b
+        |      THEN CAST(j1.n AS DECIMAL(38,0)) * j2.n ELSE 0 END), 0) AS c,
+        |    COALESCE(SUM(CASE WHEN j2.b < j1.b
+        |      THEN CAST(j1.n AS DECIMAL(38,0)) * j2.n ELSE 0 END), 0) AS dd
+        |  FROM j j1 JOIN j j2 ON j1.a < j2.a
+        |), m AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n FROM j
+        |), ta AS (
+        |  SELECT SUM(CAST(na AS DECIMAL(38,0)) * (na - 1)) AS ta2
+        |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS na FROM j GROUP BY a)
+        |), tb AS (
+        |  SELECT SUM(CAST(nb AS DECIMAL(38,0)) * (nb - 1)) AS tb2
+        |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS nb FROM j GROUP BY b)
+        |)
+        |SELECT m.n AS n,
+        |  CAST(cd.c AS BIGINT) AS n_concordant,
+        |  CAST(cd.dd AS BIGINT) AS n_discordant,
+        |  CASE WHEN CAST(m.n AS DECIMAL(38,0)) * (m.n - 1) = ta.ta2
+        |         OR CAST(m.n AS DECIMAL(38,0)) * (m.n - 1) = tb.tb2
+        |    THEN NULL
+        |    ELSE ROUND(CAST(2 * (cd.c - cd.dd) AS DOUBLE)
+        |      / SQRT(CAST(CAST(m.n AS DECIMAL(38,0)) * (m.n - 1) - ta.ta2
+        |               AS DOUBLE)
+        |           * CAST(CAST(m.n AS DECIMAL(38,0)) * (m.n - 1) - tb.tb2
+        |               AS DOUBLE)), 6)
+        |    END AS tau_b6
+        |FROM m CROSS JOIN cd CROSS JOIN ta CROSS JOIN tb""".stripMargin,
     "q227_token_mass_quantiles" ->
       """WITH d AS (
         |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)

@@ -684,6 +684,117 @@ object Eval {
     Seq((n, sd.toDouble, rho)).toDF("n", "sum_d2", "rho6")
   }
 
+  /** Exact Kendall tau-b rank correlation between two ORDINAL columns
+    * — [[spearmanRho]]'s companion agreement number, built from pair
+    * concordance instead of rank displacement (robust to a few large
+    * rank jumps, the statistic linkage/quality literature quotes):
+    * over all row pairs, `τ_b = (C − D) / √((T−t_a)(T−t_b))` with C/D
+    * the concordant/discordant pair counts and t_a/t_b the marginal
+    * tie masses — the tie-corrected form, the only honest one on
+    * discrete scores where ties dominate.
+    *
+    * The pair counts are computed WITHOUT pair enumeration: rows
+    * reduce to the (a, b) joint grid (one corpus pass), the grid is
+    * densified (the association family's by-construction-bounded
+    * cross join), and the discordant mass reads off TWO grid-bounded
+    * window passes — a prefix over a within each b (mass at a' < a),
+    * then a suffix over b within each a (Σ over b' > b), giving each
+    * cell its dominated mass `U = Σ_{a'<a, b'>b} n'` so `D = Σ n·U`.
+    * C then follows from exact tie algebra
+    * (`C = T − t_a − (t_b − t_ab) − D` over DOUBLED counts — no /2
+    * ever divides an odd integer). Every count is DECIMAL(38,0)-exact;
+    * the readout is one double division on the 6dp gate, with the
+    * identical `2(C−D)/√((T2−ta2)(T2−tb2))` expression on both
+    * engines.
+    *
+    * CONTRACT: the axes must be ordinal/discrete — the dense grid is
+    * |A|×|B| cells and a count-first guard fails LOUDLY past
+    * `maxCells` (bucketize continuous doubles first, e.g.
+    * [[graft.operators.Stats.quantileBucketize]] — rank agreement of
+    * CONTINUOUS scores is [[spearmanRho]]'s job). Window partitions
+    * are grid-axis-bounded (one b-value's |A| cells), never
+    * corpus-sized. Rows NULL on either side are excluded. A constant
+    * axis reports NULL tau (0/0 — the Cramér's V convention). Output:
+    * one row — (`n`, `n_concordant`, `n_discordant`, `tau_b6`). */
+  def kendallTauB(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      maxCells: Long = 4000000L): DataFrame = {
+    require(colA != colB,
+      s"kendallTauB needs two distinct columns (got $colA twice)")
+    require(maxCells >= 1L, s"maxCells ($maxCells) must be positive")
+    val spark = df.sparkSession
+    val joint = df.select(col(colA).cast("double").as("__a"),
+        col(colB).cast("double").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    try {
+      val dims = joint.agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n"),
+        countDistinct(col("__a")).as("da"),
+        countDistinct(col("__b")).as("db"),
+        sum(col("__n").cast("decimal(38,0)") *
+          (col("__n") - lit(1L)).cast("decimal(38,0)")).as("tab2")).head()
+      val n = dims.getLong(0)
+      require(n >= 2L, s"kendallTauB: fewer than 2 complete (a, b) rows ($n)")
+      val (da, db) = (dims.getLong(1), dims.getLong(2))
+      // count-first: the guard reads cardinalities, never materializes
+      // an oversize grid
+      require(da * db <= maxCells,
+        s"kendallTauB: dense grid would be $da x $db = ${da * db} cells " +
+          s"(cap $maxCells) — the axes are not ordinal-bounded; bucketize " +
+          "continuous scores first or use spearmanRho")
+      val tab2 = BigDecimal(dims.getDecimal(3))
+      val ra = joint.groupBy("__a").agg(sum(col("__n")).as("__na"))
+      val rb = joint.groupBy("__b").agg(sum(col("__n")).as("__nb"))
+      def tieMass2(m: DataFrame, c: String): BigDecimal = BigDecimal(
+        m.agg(sum(col(c).cast("decimal(38,0)") *
+          (col(c) - lit(1L)).cast("decimal(38,0)"))).head().getDecimal(0))
+      val ta2 = tieMass2(ra, "__na")
+      val tb2 = tieMass2(rb, "__nb")
+      // densified grid (qualified aliases — ra/rb derive from joint)
+      val grid = ra.alias("__ra")
+        .crossJoin(rb.alias("__rb")) // cells-bounded BY CONSTRUCTION
+        .join(joint.alias("__j"),
+          col("__ra.__a") <=> col("__j.__a") &&
+            col("__rb.__b") <=> col("__j.__b"),
+          "left_outer")
+        .select(col("__ra.__a").as("__a"), col("__rb.__b").as("__b"),
+          coalesce(col("__j.__n"), lit(0L)).as("__c"))
+      val wA = Window.partitionBy("__b").orderBy("__a")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wB = Window.partitionBy("__a").orderBy(col("__b").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val d2Row = grid
+        .withColumn("__pa", coalesce(sum(col("__c")).over(wA), lit(0L)))
+        .withColumn("__u", coalesce(
+          sum(col("__pa").cast("decimal(38,0)")).over(wB),
+          lit(0L).cast("decimal(38,0)")))
+        .agg(sum(col("__c").cast("decimal(38,0)") * col("__u"))).head()
+      val dMass = Option(d2Row.getDecimal(0))
+        .map(BigDecimal(_)).getOrElse(BigDecimal(0))
+      val t2 = BigDecimal(n) * BigDecimal(n - 1L)
+      // doubled-count tie algebra: C2 = T2 − ta2 − (tb2 − tab2) − D2
+      val d2 = dMass * 2
+      val c2 = t2 - ta2 - (tb2 - tab2) - d2
+      val tau: Option[Double] =
+        if (t2 == ta2 || t2 == tb2) None // a constant axis: τ is 0/0
+        else {
+          // the one IEEE step, identical on both engines: exact decimal
+          // numerator/denominator factors each convert to double once
+          val raw = (c2 - d2).toDouble /
+            math.sqrt((t2 - ta2).toDouble * (t2 - tb2).toDouble)
+          Some(BigDecimal(raw)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      import spark.implicits._
+      Seq((n, (c2 / 2).toLongExact, dMass.toLongExact, tau))
+        .toDF("n", "n_concordant", "n_discordant", "tau_b6")
+    } finally Blocks.release(joint)
+  }
+
   /** Benjamini–Hochberg FDR control — the multiple-comparison step an
     * experimentation/eval pipeline needs the moment it tests MANY
     * hypotheses at once (50 metrics × arms, 500 per-slice drift

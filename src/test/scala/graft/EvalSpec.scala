@@ -365,6 +365,60 @@ class EvalSpec extends AnyFunSuite {
     assert(one.getLong(0) == 1 && one.isNullAt(2))
   }
 
+  test("kendallTauB: agrees with brute-force pair counting on random tied data") {
+    val rnd = new scala.util.Random(83)
+    // heavy ties on both axes — the regime tau-b's denominator exists for
+    val data = (0 until 300).map(_ => (rnd.nextInt(8).toLong, rnd.nextInt(5).toLong))
+    val df = table("a bigint, b bigint", data.map(t => row(t._1, t._2)))
+    val got = Eval.kendallTauB(df, "a", "b").head()
+    // O(n²) reference
+    var c = 0L; var d = 0L; var ta = 0L; var tb = 0L
+    for (i <- data.indices; j <- (i + 1) until data.length) {
+      val ((a1, b1), (a2, b2)) = (data(i), data(j))
+      // t_a / t_b are INDEPENDENT tie masses (a both-tied pair counts
+      // in each) — the tau-b denominator's definition
+      if (a1 == a2) ta += 1
+      if (b1 == b2) tb += 1
+      if (a1 != a2 && b1 != b2) {
+        if ((a1 < a2) == (b1 < b2)) c += 1 else d += 1
+      }
+    }
+    val t = data.length.toLong * (data.length - 1) / 2
+    val expTau = BigDecimal((c - d).toDouble /
+        math.sqrt((t - ta).toDouble * (t - tb).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == data.length.toLong, got.toString)
+    assert(got.getLong(1) == c && got.getLong(2) == d, got.toString)
+    assert(math.abs(got.getDouble(3) - expTau) < 2e-6, s"$got vs $expTau")
+  }
+
+  test("kendallTauB: perfect/reversed/constant-axis, NULL drop, grid guard") {
+    // strictly increasing pairs, no ties: tau = 1; reversed: -1
+    val up = table("a bigint, b bigint", (1L to 20L).map(i => row(i, i * 3)))
+    assert(Eval.kendallTauB(up, "a", "b").head().getDouble(3) == 1.0)
+    val down = table("a bigint, b bigint", (1L to 20L).map(i => row(i, -i)))
+    assert(Eval.kendallTauB(down, "a", "b").head().getDouble(3) == -1.0)
+    // NULL on either side: the row carries no pair at all
+    val withNull = table("a bigint, b bigint",
+      Seq(row(1L, 1L), row(2L, 2L), row(null, 9L), row(3L, null)))
+    assert(Eval.kendallTauB(withNull, "a", "b").head().getLong(0) == 2L)
+    // constant axis: tau is 0/0, reported NULL (the Cramér's V rule)
+    val const = table("a bigint, b bigint", Seq(row(1L, 5L), row(1L, 7L)))
+    assert(Eval.kendallTauB(const, "a", "b").head().isNullAt(3))
+    // count-first grid guard: loud, names the cardinalities
+    val wide = table("a bigint, b bigint",
+      (1L to 40L).map(i => row(i, i % 7)))
+    assert(intercept[IllegalArgumentException] {
+      Eval.kendallTauB(wide, "a", "b", maxCells = 100L)
+    }.getMessage.contains("cells"))
+    intercept[IllegalArgumentException] { // fewer than 2 rows
+      Eval.kendallTauB(table("a bigint, b bigint", Seq(row(1L, 1L))), "a", "b")
+    }
+    intercept[IllegalArgumentException] {
+      Eval.kendallTauB(up, "a", "a")
+    }
+  }
+
   test("cohenKappa: hand-computed, NULL labels excluded, degenerate NULL, perfect 1") {
     // cells: (a,a)x4 (b,b)x3 (a,b)x2 (b,a)x1 -> n=10, agree=7,
     // rowM a=6 b=4, colM a=5 b=5, P=6*5+4*5=50
