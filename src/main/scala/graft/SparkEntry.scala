@@ -4879,6 +4879,39 @@ object SparkEntry {
         col("n_chars")),
       "n_tokens", "n_chars")
 
+  // ---------------------------------------------------------------- q244
+  /** Incremental per-group quantile maintenance ([[graft.operators
+    * .Profile.foldGroupValueCounts]] + the shared per-group readout):
+    * q228's per-event-type ECDF state built from the pre-split
+    * events, kept current by folding the post-split shard's (group,
+    * value) cells — base facts never rescanned, counts merge by SUM
+    * per cell, so the folded readout is held to q228's VERBATIM
+    * full-recompute oracle (the q222 pattern, group-keyed). */
+  private def q244IncrementalGroupQuantiles(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profile
+    val ev = Tables.events(s, dir)
+    val base = Profile.groupSideCounts(
+      ev.filter(col("event_id") % 10 < 8), "event_type", "value")
+    val delta = Profile.groupSideCounts(
+      ev.filter(col("event_id") % 10 >= 8), "event_type", "value")
+    Profile.groupQuantilesFromCounts(
+      Profile.foldGroupValueCounts(base, delta), "event_type", quantilePs)
+  }
+
+  // ---------------------------------------------------------------- q245
+  /** Streaming per-group quantile monitor ([[graft.streaming
+    * .StreamGate.replayGroupQuantileMonitor]]): the (event type,
+    * value) feed micro-batched, per-group counts folded by SUM into
+    * versioned parquet state, readout = the shared global-prefix-sum
+    * rank arithmetic — held to q228's verbatim oracle, closing the
+    * per-group quantile matrix batch/incremental/stream. */
+  private def q245StreamGroupQuantiles(
+      s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayGroupQuantileMonitor(
+      Tables.events(s, dir).select(col("event_type"), col("value")),
+      "event_type", "value", quantilePs)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -5123,6 +5156,8 @@ object SparkEntry {
     "q241_association_by_group" -> (q241AssociationByGroup _),
     "q242_incremental_association" -> (q242IncrementalAssociation _),
     "q243_kendall_tau" -> (q243KendallTau _),
+    "q244_incremental_group_quantiles" -> (q244IncrementalGroupQuantiles _),
+    "q245_stream_group_quantiles" -> (q245StreamGroupQuantiles _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6359,24 +6394,12 @@ object SparkEntry {
         |FROM ps CROSS JOIN n CROSS JOIN cum
         |WHERE cum.cum >= GREATEST(CAST(CEIL(ps.p * n.n) AS BIGINT), 1)
         |GROUP BY ps.p, n.n ORDER BY p""".stripMargin,
-    "q228_quantiles_by_group" ->
-      """WITH c AS (
-        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
-        |    CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM events WHERE value IS NOT NULL GROUP BY g, v
-        |), cum AS (
-        |  SELECT g, v,
-        |    SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
-        |    SUM(cnt) OVER (PARTITION BY g) AS w
-        |  FROM c
-        |), ps AS (
-        |  SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS p
-        |)
-        |SELECT cum.g AS event_type, ps.p AS p,
-        |  CAST(MAX(cum.w) AS BIGINT) AS n, MIN(cum.v) AS q
-        |FROM ps CROSS JOIN cum
-        |WHERE cum.cum >= GREATEST(CAST(CEIL(ps.p * cum.w) AS BIGINT), 1)
-        |GROUP BY cum.g, ps.p ORDER BY event_type, p""".stripMargin,
+    "q228_quantiles_by_group" -> groupQuantilesOracle,
+    // the incremental fold and the streamed monitor are held to the
+    // batch recompute's verbatim ground truth ((group, value) cells
+    // fold by SUM — the q222/q223 argument, group-keyed)
+    "q244_incremental_group_quantiles" -> groupQuantilesOracle,
+    "q245_stream_group_quantiles" -> groupQuantilesOracle,
     "q229_fellegi_sunter" ->
       """WITH l AS (
         |  SELECT c_custkey AS cid, c_mktsegment, c_nationkey, c_name
@@ -10197,6 +10220,30 @@ object SparkEntry {
       |  COALESCE(lab.comp, recs.cid) AS entity_id
       |FROM recs LEFT JOIN lab ON recs.cid = lab.node
       |ORDER BY record_id""".stripMargin
+
+  /** Shared by q228 (the batch per-group quantiles), q244 (the
+    * incremental fold), and q245 (the streaming monitor) — three
+    * formulations, one ground truth: the per-group discrete
+    * rank-⌈p·W_g⌉ quantile over the (group, value) grid, whose cells
+    * fold by SUM. */
+  private val groupQuantilesOracle: String =
+    """WITH c AS (
+      |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events WHERE value IS NOT NULL GROUP BY g, v
+      |), cum AS (
+      |  SELECT g, v,
+      |    SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY g) AS w
+      |  FROM c
+      |), ps AS (
+      |  SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS p
+      |)
+      |SELECT cum.g AS event_type, ps.p AS p,
+      |  CAST(MAX(cum.w) AS BIGINT) AS n, MIN(cum.v) AS q
+      |FROM ps CROSS JOIN cum
+      |WHERE cum.cum >= GREATEST(CAST(CEIL(ps.p * cum.w) AS BIGINT), 1)
+      |GROUP BY cum.g, ps.p ORDER BY event_type, p""".stripMargin
 
   /** Shared by q230 (the batch rank-path Gini), q237 (the counts-path
     * readout), q238 (the incremental fold), and q239 (the streaming

@@ -391,12 +391,29 @@ object Profile {
   def exactQuantilesByGroup(
       df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double]): DataFrame =
-    groupQuantilesFromCounts(
-      df.select(col(groupCol).cast("string").as("__g"),
-          col(valueCol).cast("double").as("v"))
-        .filter(col("v").isNotNull)
-        .groupBy("__g", "v").agg(count(lit(1)).as("cnt")),
+    groupQuantilesFromCounts(groupSideCounts(df, groupCol, valueCol),
       groupCol, ps)
+
+  /** One batch's per-group value-count state `(__g, v, cnt)` — the
+    * [[ksSideCounts]] shape keyed by group, NULL group and NULL-safe
+    * grouping included; the seed the per-group quantile maintenance
+    * matrix folds. */
+  private[graft] def groupSideCounts(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("__g", "v").agg(count(lit(1)).as("cnt"))
+
+  /** The per-group count-state fold — [[foldValueCounts]] keyed by
+    * group: union + one grid-bounded re-aggregation, counts merge by
+    * SUM (associative and commutative), so the per-group batch,
+    * incremental, and streaming quantile readouts are three
+    * formulations of one ground truth — exactly the corpus-wide
+    * argument, group-keyed. */
+  def foldGroupValueCounts(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy("__g", "v")
+      .agg(sum(col("cnt")).as("cnt"))
 
   /** PER-GROUP WEIGHT-MASS quantiles — the composite of
     * [[weightedExactQuantiles]]'s mass semantics and
@@ -427,9 +444,10 @@ object Profile {
 
   /** The shared per-group discrete-rank readout over a prepared
     * `(__g, v, cnt)` count state — [[exactQuantilesByGroup]] verbatim,
-    * factored so the weighted variant reuses the one global
-    * range-partitioned prefix sum + in-plan rank targets. */
-  private def groupQuantilesFromCounts(
+    * factored so the weighted variant and the incremental/streaming
+    * maintenance paths reuse the one global range-partitioned prefix
+    * sum + in-plan rank targets. */
+  private[graft] def groupQuantilesFromCounts(
       counts: DataFrame, groupCol: String, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty, "exactQuantilesByGroup needs probabilities")
     require(ps.forall(p => p > 0.0 && p <= 1.0),

@@ -964,6 +964,32 @@ object StreamGate {
       graft.operators.Profile.foldValueCounts,
       state => graft.operators.Profile.exactQuantilesFromCounts(state, ps))
 
+  /** Streaming PER-GROUP quantile monitor — [[graft.operators.Profile
+    * .exactQuantilesByGroup]] with the (group, value) feed as a FILE
+    * STREAM: each micro-batch's per-group distinct-value counts fold
+    * by SUM into versioned parquet state (the corpus-wide quantile
+    * state's group-keyed twin), and the final readout runs the SHARED
+    * global-prefix-sum discrete-rank arithmetic over the accumulated
+    * per-group grid — per-language/type percentiles that stay current
+    * as the crawl lands. Counts merge associatively and commutatively
+    * per (group, value) cell, so the micro-batch split provably
+    * cannot move any group's quantile — held to the batch operator's
+    * verbatim oracle. Returns the (`groupCol`, `p`, `n`, `q`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayGroupQuantileMonitor(
+      monitored: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double],
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(groupCol, valueCol), "gqtl",
+        filesPerTrigger)(
+      batch => graft.operators.Profile.groupSideCounts(
+        batch, groupCol, valueCol),
+      graft.operators.Profile.foldGroupValueCounts,
+      state => graft.operators.Profile.groupQuantilesFromCounts(
+        state, groupCol, ps))
+
   /** Streaming Gini-concentration monitor — [[graft.operators.Stats
     * .giniFromCounts]] with the mass column as a FILE STREAM: each
     * micro-batch's distinct-mass counts fold by SUM into the SAME

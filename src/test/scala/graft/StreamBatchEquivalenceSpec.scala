@@ -272,6 +272,44 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(folded.toSeq == batch.toSeq)
   }
 
+  test("stream per-group quantile monitor == batch exactQuantilesByGroup across folds") {
+    import graft.operators.Profile
+    val ps = Seq(0.25, 0.5, 0.9)
+    val rows = events.select(col("event_type"), col("value"))
+    val streamed = StreamGate.replayGroupQuantileMonitor(
+        rows.repartition(8), "event_type", "value", ps, filesPerTrigger = 1)
+      .collect().map(_.toSeq)
+    val batch = Profile.exactQuantilesByGroup(
+      events, "event_type", "value", ps).collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+    assert(graft.streaming.StreamGate.lastReplayObservability
+      .exists(_.microBatches > 1))
+    // and the incremental fold is the same ground truth
+    val a = Profile.groupSideCounts(
+      events.filter(col("event_id") % 2 === 0), "event_type", "value")
+    val b = Profile.groupSideCounts(
+      events.filter(col("event_id") % 2 === 1), "event_type", "value")
+    val folded = Profile.groupQuantilesFromCounts(
+        Profile.foldGroupValueCounts(a, b), "event_type", ps)
+      .collect().map(_.toSeq)
+    assert(folded.toSeq == batch.toSeq)
+  }
+
+  test("stream gini monitor == batch giniIndex across count folds") {
+    import graft.operators.Stats
+    // non-negative integer masses off the value column
+    val masses = events.select((abs(col("value")) * 100).cast("long")
+      .as("mass"), col("event_id"))
+    val streamed = StreamGate.replayGiniMonitor(
+      masses.select("mass").repartition(8), "mass", filesPerTrigger = 1).head()
+    val batch = Stats.giniIndex(masses, "mass", "event_id").head()
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+    assert(graft.streaming.StreamGate.lastReplayObservability
+      .exists(_.microBatches > 1))
+  }
+
   test("stream association == batch categoricalAssociation across count folds") {
     import graft.operators.Profile
     val rows = events.select(col("event_type"),
