@@ -741,9 +741,10 @@ object Eval {
       require(n >= 2L, s"kendallTauB: fewer than 2 complete (a, b) rows ($n)")
       val (da, db) = (dims.getLong(1), dims.getLong(2))
       // count-first: the guard reads cardinalities, never materializes
-      // an oversize grid
-      require(da * db <= maxCells,
-        s"kendallTauB: dense grid would be $da x $db = ${da * db} cells " +
+      // an oversize grid (BigInt product — two ~1e10-distinct axes
+      // would overflow the long product and silently PASS a long guard)
+      require(BigInt(da) * BigInt(db) <= BigInt(maxCells),
+        s"kendallTauB: dense grid would be $da x $db = ${BigInt(da) * BigInt(db)} cells " +
           s"(cap $maxCells) — the axes are not ordinal-bounded; bucketize " +
           "continuous scores first or use spearmanRho")
       val tab2 = BigDecimal(dims.getDecimal(3))
