@@ -4912,6 +4912,44 @@ object SparkEntry {
       Tables.events(s, dir).select(col("event_type"), col("value")),
       "event_type", "value", quantilePs)
 
+  // ---------------------------------------------------------------- q246
+  /** FUZZY-agreement Fellegi–Sunter ([[graft.operators.Linkage
+    * .fellegiSunterScores]] with a sub-1.0 `simThreshold` +
+    * [[graft.expressions.JaroWinklerSim]]): the q229 fixture with the
+    * perturbation made a TYPO (segment + 'X') instead of a
+    * replacement — the segment field compares Jaro–Winkler ≥ 0.9, so
+    * the typo'd segment (JW ~0.978) still AGREES and true pairs keep
+    * all three fields' evidence, the comparison-level pattern real
+    * linkage runs on names. Fixture sims sit < 0.62 or > 0.97 — no
+    * value within 0.28 of the threshold, so the cross-engine
+    * boundary is safe by construction. The oracle replays the
+    * blocking join and the identical `jaro_winkler_similarity(sa,
+    * sb) >= 0.9` predicate (DuckDB's builtin — the kernel is
+    * bit-parity with it, spec-pinned on the textbook vectors). */
+  private def q246FsFuzzy(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Linkage
+    val cust = Tables.customer(s, dir)
+    val leftR = cust.select(col("c_custkey").as("cid"),
+      col("c_mktsegment"), col("c_nationkey"), col("c_name"))
+    val rightR = cust.select((col("c_custkey") + 5000000L).as("cid"),
+      when(col("c_custkey") % 5 === 0,
+          concat(col("c_mktsegment"), lit("X")))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+      col("c_nationkey"), col("c_name"))
+    val cands = leftR.select(col("cid").as("id_a"),
+        (col("cid") % 200).as("__blk"))
+      .join(rightR.select(col("cid").as("id_b"),
+        ((col("cid") - 5000000L) % 200).as("__blk")), Seq("__blk"))
+      .select("id_a", "id_b")
+    Linkage.fellegiSunterScores(cands, "id_a", "id_b",
+        leftR, "cid", rightR, "cid",
+        Seq(Linkage.FsField("c_mktsegment", 0.9, 0.2, simThreshold = 0.9),
+          Linkage.FsField("c_nationkey", 0.95, 0.04),
+          Linkage.FsField("c_name", 0.99, 0.001)),
+        matchThreshold = 5.0)
+      .orderBy("id_a", "id_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -5158,6 +5196,7 @@ object SparkEntry {
     "q243_kendall_tau" -> (q243KendallTau _),
     "q244_incremental_group_quantiles" -> (q244IncrementalGroupQuantiles _),
     "q245_stream_group_quantiles" -> (q245StreamGroupQuantiles _),
+    "q246_fs_fuzzy" -> (q246FsFuzzy _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6534,6 +6573,49 @@ object SparkEntry {
         |  CASE WHEN score6 >= 1.863353 THEN 'match'
         |       WHEN score6 <= -3.516029 THEN 'non_match'
         |       ELSE 'review' END AS decision
+        |FROM scored ORDER BY id_a, id_b""".stripMargin,
+    "q246_fs_fuzzy" ->
+      """WITH l AS (
+        |  SELECT c_custkey AS cid, c_mktsegment, c_nationkey, c_name
+        |  FROM customer
+        |), r AS (
+        |  SELECT c_custkey + 5000000 AS cid,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || 'X'
+        |         ELSE c_mktsegment END AS c_mktsegment,
+        |    c_nationkey, c_name
+        |  FROM customer
+        |), cand AS (
+        |  SELECT l.cid AS id_a, r.cid AS id_b,
+        |    l.c_mktsegment AS sa, r.c_mktsegment AS sb,
+        |    CAST(l.c_nationkey AS VARCHAR) AS na,
+        |    CAST(r.c_nationkey AS VARCHAR) AS nb,
+        |    l.c_name AS pa, r.c_name AS pb
+        |  FROM l JOIN r ON l.cid % 200 = (r.cid - 5000000) % 200
+        |), scored AS (
+        |  -- segment agreement is FUZZY: Jaro-Winkler >= 0.9 (the
+        |  -- engine's kernel is bit-parity with this builtin; fixture
+        |  -- sims are all < 0.62 or > 0.97, so the boundary is safe)
+        |  SELECT id_a, id_b,
+        |    CAST((CASE WHEN sa IS NULL OR sb IS NULL THEN 0
+        |            WHEN jaro_winkler_similarity(sa, sb) >= 0.9 THEN 1
+        |            ELSE 0 END)
+        |       + (CASE WHEN na IS NULL OR nb IS NULL THEN 0
+        |            WHEN na = nb THEN 1 ELSE 0 END)
+        |       + (CASE WHEN pa IS NULL OR pb IS NULL THEN 0
+        |            WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |    ROUND((CASE WHEN sa IS NULL OR sb IS NULL THEN 0
+        |             WHEN jaro_winkler_similarity(sa, sb) >= 0.9
+        |               THEN ln(0.9 / 0.2)
+        |             ELSE ln((1 - 0.9) / (1 - 0.2)) END)
+        |        + (CASE WHEN na IS NULL OR nb IS NULL THEN 0
+        |             WHEN na = nb THEN ln(0.95 / 0.04)
+        |             ELSE ln((1 - 0.95) / (1 - 0.04)) END)
+        |        + (CASE WHEN pa IS NULL OR pb IS NULL THEN 0
+        |             WHEN pa = pb THEN ln(0.99 / 0.001)
+        |             ELSE ln((1 - 0.99) / (1 - 0.001)) END), 6) AS score6
+        |  FROM cand
+        |)
+        |SELECT id_a, id_b, n_agree, score6, score6 >= 5.0 AS is_match
         |FROM scored ORDER BY id_a, id_b""".stripMargin,
     "q240_weighted_quantiles_by_group" ->
       """WITH d AS (

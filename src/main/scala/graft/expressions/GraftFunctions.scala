@@ -78,6 +78,7 @@ object GraftFunctions {
       UnicodeNormalize(args(0), stringArg("graft_unicode_normalize", args(1)))
     },
     "graft_dhash64" -> { args => DHash64(args(0)) },
+    "graft_jaro_winkler" -> { args => JaroWinklerSim(args(0), args(1)) },
     "graft_replace_chain" -> { args =>
       ReplaceChain(args(0),
         stringArrayArg("graft_replace_chain", args(1)),
@@ -137,6 +138,13 @@ object GraftFunctions {
   def sortedIntersect(df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Column = {
     ensureRegistered(df.sparkSession)
     call_function("graft_sorted_intersect", a, b)
+  }
+
+  /** Jaro–Winkler similarity of two string columns in [0, 1] (native,
+    * codegen'd; DuckDB-parity semantics — see the expression doc). */
+  def jaroWinkler(df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Column = {
+    ensureRegistered(df.sparkSession)
+    call_function("graft_jaro_winkler", a, b)
   }
 
   /** All m PQ sub-centroid assignments of a float vector in one

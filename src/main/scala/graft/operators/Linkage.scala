@@ -23,13 +23,29 @@ object Linkage {
     * P(agree | match), `u` = P(agree | non-match). `0 < u < m < 1`
     * is required loudly: a field with `m <= u` carries no linkage
     * evidence (its weights invert) and a boundary probability makes a
-    * log weight infinite. */
-  final case class FsField(name: String, m: Double, u: Double) {
+    * log weight infinite.
+    *
+    * `simThreshold` selects the AGREEMENT PREDICATE: `1.0` (the
+    * default) is exact null-safe value equality; anything below is
+    * FUZZY agreement — Jaro–Winkler similarity ≥ the threshold
+    * ([[graft.expressions.JaroWinklerSim]], the linkage community's
+    * standard typo-tolerant comparator), so a one-keystroke name typo
+    * (JW ~0.97) still counts as agreement instead of destroying the
+    * field's evidence. The NULL rule is predicate-independent: NULL
+    * on either side is no evidence either way. Note the fuzzy
+    * predicate follows the kernel's either-side-empty → 0 rule, so
+    * two EMPTY strings fuzzy-DISAGREE below threshold 1 (exact
+    * equality is the predicate that treats them as equal). */
+  final case class FsField(
+      name: String, m: Double, u: Double, simThreshold: Double = 1.0) {
     require(m > 0.0 && m < 1.0 && u > 0.0 && u < 1.0,
       s"field '$name': m ($m) and u ($u) must be strictly inside (0, 1)")
     require(m > u,
       s"field '$name': m ($m) must exceed u ($u) — otherwise agreement " +
         "is evidence AGAINST a match and the weights invert")
+    require(simThreshold > 0.0 && simThreshold <= 1.0,
+      s"field '$name': simThreshold ($simThreshold) must be in (0, 1] — " +
+        "1.0 means exact equality, below it Jaro-Winkler fuzzy agreement")
     def agreeWeight: Double = math.log(m / u)
     def disagreeWeight: Double = math.log((1.0 - m) / (1.0 - u))
   }
@@ -133,9 +149,17 @@ object Linkage {
       .join(r, col("__fc.id_b") === col(s"__fr.$rightIdCol"))
     def lf(f: FsField): Column = col(s"__fl.${f.name}").cast("string")
     def rf(f: FsField): Column = col(s"__fr.${f.name}").cast("string")
-    val agreeFlags = fields.map(f =>
+    val agreeFlags = fields.map { f =>
+      // exact fields compare null-safe equality; fuzzy fields compare
+      // Jaro-Winkler against the field's threshold (codegen'd native
+      // expression) — the NULL-is-no-evidence wrapper is shared
+      val agrees =
+        if (f.simThreshold >= 1.0) lf(f) === rf(f)
+        else graft.expressions.GraftFunctions
+          .jaroWinkler(candidates, lf(f), rf(f)) >= lit(f.simThreshold)
       when(lf(f).isNull || rf(f).isNull, lit(null).cast("boolean"))
-        .otherwise(lf(f) === rf(f)))
+        .otherwise(agrees)
+    }
     val terms = fields.zip(agreeFlags).map { case (f, a) =>
       when(a.isNull, lit(0.0))
         .when(a, lit(f.agreeWeight))

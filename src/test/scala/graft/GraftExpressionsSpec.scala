@@ -133,6 +133,42 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(filtered == 1L)
   }
 
+  test("JaroWinklerSim: textbook vectors at DuckDB-parity doubles, nulls, codegen+interpreted") {
+    // the exact doubles DuckDB's jaro_winkler_similarity returns for
+    // these (verified against the oracle engine) — bit-parity is the
+    // contract the q246 fuzzy-agreement oracle stands on
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.96111111111111114),
+      ("DIXON", "DICKSONX", 0.81333333333333324),
+      ("JELLYFISH", "SMELLYFISH", 0.89629629629629637),
+      ("DWAYNE", "DUANE", 0.84000000000000008),
+      ("CRANE", "CRATE", 0.90666666666666673),
+      ("abcdefgh", "abzzzzzz", 0.5),            // jaro <= 0.7: NO boost
+      ("abcdefghij", "abcdzzzzzz", 0.59999999999999998),
+      ("abcd", "acbd", 0.92499999999999993),    // transposition + boost
+      ("ab", "ba", 0.0),                        // window 0: no matches
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),                            // DuckDB's either-empty rule
+      ("x", "", 0.0))
+    val df = table("a string, b string",
+      cases.map { case (a, b, _) => row(a, b) })
+    val got = df.select(
+        GraftFunctions.jaroWinkler(df, col("a"), col("b")).as("s"))
+      .collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b, exp), g) =>
+      assert(g == exp, s"JW($a, $b): got $g, oracle-parity $exp")
+    }
+    // interpreted path (filter) agrees with the projected codegen path
+    val n = df.filter(
+      GraftFunctions.jaroWinkler(df, col("a"), col("b")) >= 0.9).count()
+    assert(n == cases.count(_._3 >= 0.9), n.toString)
+    // NULL in -> NULL out
+    val withNull = table("a string, b string", Seq(row(null, "x"), row("x", null)))
+    assert(withNull.select(GraftFunctions.jaroWinkler(withNull, col("a"), col("b")))
+      .collect().forall(_.isNullAt(0)))
+  }
+
   test("BloomMightContain: interpreted eval matches the sketch; null key -> null") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
@@ -306,7 +342,8 @@ class GraftExpressionsSpec extends AnyFunSuite {
         UnicodeNormalize(str, "NFC"), DHash64(bin),
         ReplaceChain(str, Seq("Quick", "The"), Seq("Slow", "A")),
         SparseDotSorted(lArr, dArr, lArr, dArr),
-        PqEncode(fArr, Seq(1f, 0f, 0f, 0f, 1f, 1f), m = 1, k = 2))
+        PqEncode(fArr, Seq(1f, 0f, 0f, 0f, 1f, 1f), m = 1, k = 2),
+        JaroWinklerSim(str, str))
     }
     val both = exprs ++ exprs // two fresh instance sets, one codegen scope
     val proj = GenerateUnsafeProjection.generate(both)
@@ -380,7 +417,8 @@ class GraftExpressionsSpec extends AnyFunSuite {
       "graft_minhash_sig", "graft_shingles", "graft_clean_text", "graft_simhash",
       "graft_quantized_dot", "graft_sorted_intersect", "graft_sparse_dot",
       "graft_pq_encode", "graft_bloom_might_contain",
-      "graft_unicode_normalize", "graft_dhash64", "graft_replace_chain"))
+      "graft_unicode_normalize", "graft_dhash64", "graft_replace_chain",
+      "graft_jaro_winkler"))
     // per-session registration: repeated calls are safe, functions resolve
     GraftFunctions.ensureRegistered(spark)
     GraftFunctions.ensureRegistered(spark)

@@ -222,6 +222,45 @@ class LinkageSpec extends AnyFunSuite {
     assert(est == untraced)
   }
 
+  test("fellegiSunterScores: fuzzy agreement rescues typos, threshold validated") {
+    // 'BUILDING' vs 'BUILDINGX': JW ~0.978 — fuzzy-agrees at 0.9 where
+    // exact equality disagrees; 'MACHINERY' vs 'BUILDING': ~0.49 —
+    // disagrees under both predicates
+    val left = table("lid bigint, seg string, name string", Seq(
+      row(1L, "BUILDING", "alice"), row(2L, "MACHINERY", "bob"),
+      row(3L, null, "carol")))
+    val right = table("rid bigint, seg string, name string", Seq(
+      row(10L, "BUILDINGX", "alice"), row(20L, "BUILDING", "bob"),
+      row(30L, "HOUSEHOLD", "carol")))
+    val cands = table("id_a bigint, id_b bigint", Seq(
+      row(1L, 10L), row(2L, 20L), row(3L, 30L)))
+    val fuzzyFields = Seq(FsField("seg", 0.9, 0.2, simThreshold = 0.9),
+      FsField("name", 0.99, 0.001))
+    val got = Linkage.fellegiSunterScores(cands, "id_a", "id_b",
+        left, "lid", right, "rid", fuzzyFields, matchThreshold = 5.0)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val wSeg = math.log(0.9 / 0.2)
+    val wSegNo = math.log((1.0 - 0.9) / (1.0 - 0.2))
+    val wName = math.log(0.99 / 0.001)
+    // typo'd segment still agrees: full two-field evidence
+    assert(got(0) == ((1L, 2L, r6(wSeg + wName))), got(0).toString)
+    // cross-segment: fuzzy disagrees like exact
+    assert(got(1) == ((2L, 1L, r6(wSegNo + wName))), got(1).toString)
+    // NULL stays no-evidence under the fuzzy predicate too
+    assert(got(2) == ((3L, 1L, r6(wName))), got(2).toString)
+    // exact-threshold fields are unchanged by the new parameter: the
+    // same pairs under simThreshold = 1.0 lose the typo'd agreement
+    val exact = Linkage.fellegiSunterScores(cands, "id_a", "id_b",
+        left, "lid", right, "rid",
+        Seq(FsField("seg", 0.9, 0.2), FsField("name", 0.99, 0.001)),
+        matchThreshold = 5.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1)
+    assert(exact(0) == ((1L, r6(wSegNo + wName))), exact(0).toString)
+    intercept[IllegalArgumentException] { FsField("seg", 0.9, 0.2, 0.0) }
+    intercept[IllegalArgumentException] { FsField("seg", 0.9, 0.2, 1.1) }
+  }
+
   test("fellegiSunterScores: loud validation") {
     val df = table("lid bigint, seg string", Seq(row(1L, "A")))
     val cands = table("id_a bigint, id_b bigint", Seq(row(1L, 1L)))
