@@ -4950,6 +4950,57 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- q247
+  /** Per-source Gini off the maintained per-group count state
+    * ([[graft.operators.Stats.giniByGroupFromCounts]]): q234's
+    * per-source concentration re-read from the SUM-foldable
+    * (source, mass) grid via group-local rank sums — held to q234's
+    * VERBATIM rank-path oracle (the q237 argument, group-keyed). */
+  private def q247GroupGiniFromCounts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.giniByGroupFromCounts(
+      graft.operators.Profile.groupSideCounts(
+        sourceTokenMasses(s, dir), "source", "n_tokens"),
+      "source")
+
+  /** The (source, n_tokens) mass frame shared by the q247–q249
+    * per-group Gini maintenance matrix — q234's inputs verbatim. */
+  private def sourceTokenMasses(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("source"),
+      graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long").as("n_tokens"))
+
+  // ---------------------------------------------------------------- q248
+  /** Incremental per-source Gini ([[graft.operators.Profile
+    * .foldGroupValueCounts]] + [[graft.operators.Stats
+    * .giniByGroupFromCounts]]): the per-group mass grid built from
+    * the pre-split documents, kept current by folding the post-split
+    * shard's cells — held to q234's verbatim oracle. */
+  private def q248IncrementalGroupGini(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Profile, Stats}
+    val docs = Tables.documents(s, dir)
+    def masses(pred: Column): DataFrame = docs.filter(pred)
+      .select(col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tokens"))
+    val base = Profile.groupSideCounts(
+      masses(col("doc_id") % 10 < 8), "source", "n_tokens")
+    val delta = Profile.groupSideCounts(
+      masses(col("doc_id") % 10 >= 8), "source", "n_tokens")
+    Stats.giniByGroupFromCounts(
+      Profile.foldGroupValueCounts(base, delta), "source")
+  }
+
+  // ---------------------------------------------------------------- q249
+  /** Streaming per-source Gini monitor ([[graft.streaming.StreamGate
+    * .replayGroupGiniMonitor]]): the (source, mass) feed
+    * micro-batched, per-group counts folded by SUM into versioned
+    * state, readout = the group-local rank-sum identity — held to
+    * q234's verbatim oracle, closing per-group Gini batch /
+    * incremental / stream. */
+  private def q249StreamGroupGini(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayGroupGiniMonitor(
+      sourceTokenMasses(s, dir), "source", "n_tokens")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -5197,6 +5248,9 @@ object SparkEntry {
     "q244_incremental_group_quantiles" -> (q244IncrementalGroupQuantiles _),
     "q245_stream_group_quantiles" -> (q245StreamGroupQuantiles _),
     "q246_fs_fuzzy" -> (q246FsFuzzy _),
+    "q247_group_gini_from_counts" -> (q247GroupGiniFromCounts _),
+    "q248_incremental_group_gini" -> (q248IncrementalGroupGini _),
+    "q249_stream_group_gini" -> (q249StreamGroupGini _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6504,27 +6558,12 @@ object SparkEntry {
         |    / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 6)
         |    AS completeness6
         |FROM nn""".stripMargin,
-    "q234_gini_by_source" ->
-      """WITH d AS (
-        |  SELECT source,
-        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS x,
-        |    doc_id
-        |  FROM documents WHERE text IS NOT NULL
-        |), r AS (
-        |  SELECT source, x,
-        |    ROW_NUMBER() OVER (PARTITION BY source
-        |      ORDER BY x, CAST(doc_id AS VARCHAR)) AS i
-        |  FROM d
-        |), s AS (
-        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-        |    SUM(CAST(x AS DECIMAL(38,0))) AS t,
-        |    SUM(CAST(i AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s2
-        |  FROM r GROUP BY source
-        |)
-        |SELECT source, n, CAST(t AS BIGINT) AS total,
-        |  ROUND(CAST(2 * s2 - (n + 1) * t AS DOUBLE)
-        |    / CAST(n * t AS DOUBLE), 6) AS gini6
-        |FROM s ORDER BY source""".stripMargin,
+    "q234_gini_by_source" -> giniBySourceOracle,
+    // the per-group counts path, fold, and streamed monitor are held
+    // to the per-group rank path's verbatim ground truth
+    "q247_group_gini_from_counts" -> giniBySourceOracle,
+    "q248_incremental_group_gini" -> giniBySourceOracle,
+    "q249_stream_group_gini" -> giniBySourceOracle,
     "q230_gini_token_mass" -> giniTokenMassOracle,
     // the counts-path readout, the incremental fold, and the streamed
     // monitor are all held to the batch rank-path's verbatim ground
@@ -10326,6 +10365,33 @@ object SparkEntry {
       |FROM ps CROSS JOIN cum
       |WHERE cum.cum >= GREATEST(CAST(CEIL(ps.p * cum.w) AS BIGINT), 1)
       |GROUP BY cum.g, ps.p ORDER BY event_type, p""".stripMargin
+
+  /** Shared by q234 (the batch per-source rank-path Gini), q247 (the
+    * per-group counts-path readout), q248 (the incremental fold), and
+    * q249 (the streaming monitor) — four formulations, one ground
+    * truth: per-group cells fold by SUM and the rank identity is
+    * tie-order-invariant within each group. */
+  private val giniBySourceOracle: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS x,
+      |    doc_id
+      |  FROM documents WHERE text IS NOT NULL
+      |), r AS (
+      |  SELECT source, x,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY x, CAST(doc_id AS VARCHAR)) AS i
+      |  FROM d
+      |), s AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(38,0))) AS t,
+      |    SUM(CAST(i AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s2
+      |  FROM r GROUP BY source
+      |)
+      |SELECT source, n, CAST(t AS BIGINT) AS total,
+      |  ROUND(CAST(2 * s2 - (n + 1) * t AS DOUBLE)
+      |    / CAST(n * t AS DOUBLE), 6) AS gini6
+      |FROM s ORDER BY source""".stripMargin
 
   /** Shared by q230 (the batch rank-path Gini), q237 (the counts-path
     * readout), q238 (the incremental fold), and q239 (the streaming

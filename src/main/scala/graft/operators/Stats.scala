@@ -740,6 +740,63 @@ object Stats {
     out
   }
 
+  /** Per-group [[giniFromCounts]] — per-source/language concentration
+    * off the SUM-foldable per-group value-count state
+    * (`(__g, v, cnt)` — [[graft.operators.Profile.groupSideCounts]] /
+    * [[graft.operators.Profile.foldGroupValueCounts]]), completing
+    * per-group Gini's maintenance matrix the way the corpus-wide
+    * counts path did: per-group rank sums read off ONE global
+    * range-partitioned prefix over the (group, mass) grid, each
+    * cell's GROUP-LOCAL prefix recovered as `global_prefix −
+    * group_offset` (the exactQuantilesByGroup trick), so
+    * `2Σᵢ i·xᵢ = Σ_v v·cnt·(2·local_prefix + cnt + 1)` per group —
+    * exact DECIMAL(38,0) products, Gini arithmetic IN the plan
+    * (group cardinality unbounded, no driver scalars). Fractional or
+    * negative masses and non-positive counts fail LOUDLY; a
+    * zero-total group reports NULL gini (0/0 — [[giniIndexByGroup]]'s
+    * convention, and the ANSI guard is load-bearing). Output:
+    * (`groupCol` as STRING, `n`, `total`, `gini6`) ordered by group —
+    * [[giniIndexByGroup]]'s schema verbatim, which is what lets the
+    * counts path, the incremental fold, and the streamed monitor all
+    * face the rank path's oracle. */
+  def giniByGroupFromCounts(
+      counts: DataFrame, groupCol: String): DataFrame = {
+    val guarded = counts.select(col("__g"),
+      when(col("v").cast("double") >= 0.0 &&
+          col("v").cast("double") === floor(col("v").cast("double")),
+          col("v").cast("double"))
+        .otherwise(raise_error(concat(
+          lit("giniByGroupFromCounts: mass must be a non-negative integer, got "),
+          col("v").cast("string")))).as("v"),
+      when(col("cnt").cast("long") > 0L, col("cnt").cast("long"))
+        .otherwise(raise_error(concat(
+          lit("giniByGroupFromCounts: non-positive count "),
+          col("cnt").cast("string"), lit(" for mass "),
+          col("v").cast("string")))).as("cnt"))
+    val pre = General.withRunningTotal(guarded, Seq("__g", "v"), "cnt", "__pre")
+    val offs = pre.groupBy("__g").agg(min(col("__pre")).as("__off"))
+    val vDec = col("v").cast("long").cast("decimal(38,0)")
+    val cDec = col("cnt").cast("decimal(38,0)")
+    val localPre = (col("__pre") - col("__off")).cast("decimal(38,0)")
+    pre.alias("__l")
+      .join(offs.alias("__r"), col("__l.__g") <=> col("__r.__g"))
+      .select(col("__l.__g").as("__g"), col("v"), col("cnt"),
+        col("__pre"), col("__off"))
+      .groupBy("__g").agg(
+        sum(col("cnt")).as("n"),
+        sum(vDec * cDec).as("__t"),
+        sum(vDec * cDec * (lit(2).cast("decimal(38,0)") * localPre +
+          cDec + lit(1).cast("decimal(38,0)"))).as("__s2"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("__t").cast("long").as("total"),
+        // zero-total group: 0/0 is NULL, not an ANSI DIVIDE_BY_ZERO
+        when(col("__t") > 0, round(
+            (col("__s2") - (col("n") + lit(1)) * col("__t")).cast("double") /
+              (col("n") * col("__t")).cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("gini6"))
+      .orderBy(groupCol)
+  }
+
   /** Per-group rank normalization — the distribution-free rescaling
     * that makes scores COMPARABLE ACROSS GROUPS before a global
     * policy consumes them ("mix by quality percentile within each

@@ -990,6 +990,30 @@ object StreamGate {
       state => graft.operators.Profile.groupQuantilesFromCounts(
         state, groupCol, ps))
 
+  /** Streaming PER-GROUP Gini monitor — [[graft.operators.Stats
+    * .giniIndexByGroup]] with the (group, mass) feed as a FILE
+    * STREAM: per-group distinct-mass counts fold by SUM into the same
+    * versioned state shape the per-group quantile monitor maintains,
+    * and the readout runs the per-group rank-sum identity over the
+    * accumulated grid — "which source is BECOMING a few giants?" as
+    * the crawl lands. Counts merge per (group, mass) cell and the
+    * identity is tie-order-invariant per group, so the split provably
+    * cannot move any group's G — held to the batch rank-path
+    * operator's verbatim oracle. Returns the (`groupCol`, `n`,
+    * `total`, `gini6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayGroupGiniMonitor(
+      monitored: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(groupCol, valueCol), "ggini",
+        filesPerTrigger)(
+      batch => graft.operators.Profile.groupSideCounts(
+        batch, groupCol, valueCol),
+      graft.operators.Profile.foldGroupValueCounts,
+      state => graft.operators.Stats.giniByGroupFromCounts(state, groupCol))
+
   /** Streaming Gini-concentration monitor — [[graft.operators.Stats
     * .giniFromCounts]] with the mass column as a FILE STREAM: each
     * micro-batch's distinct-mass counts fold by SUM into the SAME

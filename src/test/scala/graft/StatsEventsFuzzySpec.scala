@@ -637,6 +637,33 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("giniByGroupFromCounts == giniIndexByGroup; fold == batch; zero-total NULL") {
+    import graft.operators.Profile
+    val df = table("g string, id bigint, x bigint",
+      (1L to 90L).map(i => row(s"g${i % 3}", i, (i * i) % 17)) ++
+        Seq(row("gz", 100L, 0L), row(null, 101L, 5L))) // zero-total + NULL group
+    val rank = Stats.giniIndexByGroup(df, "g", "x", "id")
+      .collect().map(_.toSeq)
+    val counts = Profile.groupSideCounts(df, "g", "x")
+    val fromCounts = Stats.giniByGroupFromCounts(counts, "g")
+      .collect().map(_.toSeq)
+    assert(fromCounts.toSeq == rank.toSeq,
+      s"counts ${fromCounts.toSeq} != rank ${rank.toSeq}")
+    val base = Profile.groupSideCounts(df.filter(col("id") % 2 === 0), "g", "x")
+    val delta = Profile.groupSideCounts(df.filter(col("id") % 2 === 1), "g", "x")
+    val folded = Stats.giniByGroupFromCounts(
+      Profile.foldGroupValueCounts(base, delta), "g").collect().map(_.toSeq)
+    assert(folded.toSeq == rank.toSeq)
+    // loud guards ride the shared expressions
+    val e = intercept[Throwable] {
+      Stats.giniByGroupFromCounts(table("__g string, v double, cnt bigint",
+        Seq(row("a", 1.5, 2L))), "g").collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("non-negative integer"), msgs.take(300))
+  }
+
   test("bootstrapMeanCI: one-scan fold == explode reference, bit-for-bit") {
     // values with many decimal digits + negatives + a skewed partition
     // layout: the exact shapes where a float fold would drift and an

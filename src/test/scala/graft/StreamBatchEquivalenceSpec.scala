@@ -310,6 +310,22 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       .exists(_.microBatches > 1))
   }
 
+  test("stream per-group gini monitor == batch giniIndexByGroup across folds") {
+    import graft.operators.Stats
+    val masses = events.select(col("event_type"),
+      (abs(col("value")) * 100).cast("long").as("mass"), col("event_id"))
+    val streamed = StreamGate.replayGroupGiniMonitor(
+        masses.select("event_type", "mass").repartition(8),
+        "event_type", "mass", filesPerTrigger = 1)
+      .collect().map(_.toSeq)
+    val batch = Stats.giniIndexByGroup(masses, "event_type", "mass", "event_id")
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+    assert(graft.streaming.StreamGate.lastReplayObservability
+      .exists(_.microBatches > 1))
+  }
+
   test("stream association == batch categoricalAssociation across count folds") {
     import graft.operators.Profile
     val rows = events.select(col("event_type"),
