@@ -12,25 +12,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * boolean scratch arrays, which generated inline code could not
   * allocate more cheaply).
   *
-  * Semantics are pinned to the STANDARD Winkler form so the DuckDB
-  * oracle's `jaro_winkler_similarity` replays it bit-for-bit
-  * (empirically verified on the fixture alphabet): match window
+  * Semantics are pinned to the STANDARD Winkler form, computed over
+  * UTF-8 BYTES — exactly what the DuckDB oracle's
+  * `jaro_winkler_similarity` runs, so a threshold compare replays
+  * bit-for-bit on BOTH engines for any input (empirically verified on
+  * ASCII textbook vectors AND accented names — café/cafe scores the
+  * byte-wise 0.848333…, not the per-character 0.883…): match window
   * `max(|a|,|b|)/2 − 1`, transpositions = half the out-of-order
   * matches, prefix bonus `ℓ·0.1·(1−jaro)` with `ℓ` capped at 4 and
   * applied only when `jaro > 0.7`, and EITHER side empty → 0 (DuckDB's
   * rule, including both-empty — callers wanting ""≡"" use exact
-  * equality instead). Comparison is per UTF-16 code unit — identical
-  * to byte-wise for the ASCII identifiers linkage compares; documented
-  * divergence for non-BMP text.
+  * equality instead). Byte semantics mean a multi-byte character
+  * counts as that many symbols — stated, shared with the oracle, and
+  * allocation-free (the kernel walks the UTF8String's bytes directly;
+  * no String decode on the per-candidate-pair hot path).
   */
 object JaroWinklerKernel {
-  def sim(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
-    val la = a.length
-    val lb = b.length
+  def sim(a: UTF8String, b: UTF8String): Double = {
+    val la = a.numBytes()
+    val lb = b.numBytes()
     if (la == 0 || lb == 0) return 0.0
-    if (a == b) return 1.0
+    if (a.equals(b)) return 1.0
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
     val ma = new Array[Boolean](la)
     val mb = new Array[Boolean](lb)
@@ -42,7 +44,7 @@ object JaroWinklerKernel {
       var j = lo
       var found = false
       while (j < hi && !found) {
-        if (!mb(j) && b.charAt(j) == a.charAt(i)) {
+        if (!mb(j) && b.getByte(j) == a.getByte(i)) {
           ma(i) = true; mb(j) = true; m += 1; found = true
         }
         j += 1
@@ -56,7 +58,7 @@ object JaroWinklerKernel {
     while (i < la) {
       if (ma(i)) {
         while (!mb(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a.getByte(i) != b.getByte(k)) t += 1
         k += 1
       }
       i += 1
@@ -69,7 +71,7 @@ object JaroWinklerKernel {
     if (jaro <= 0.7) return jaro
     var l = 0
     val maxL = math.min(4, math.min(la, lb))
-    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    while (l < maxL && a.getByte(l) == b.getByte(l)) l += 1
     jaro + l * 0.1 * (1.0 - jaro)
   }
 }

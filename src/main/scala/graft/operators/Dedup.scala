@@ -926,9 +926,7 @@ object Dedup {
     * minimum-error S-curve layout instead of a folklore constant (at
     * the historical defaults 64/0.5 the optimum IS the old hand-picked
     * 16×4, so defaulted callers see identical plans); an explicit
-    * band count is kept verbatim, divisibility checked as before. */
-  /** Resolve the effective band count for the minhash family's
-    * `bands = 0` auto-tune sentinel (the round-15 default).
+    * band count is kept verbatim, divisibility checked as before.
     *
     * COMPATIBILITY NOTE for defaulted callers: auto-tuning picks the
     * band layout FROM (numHashes, threshold), so a caller who relied

@@ -301,11 +301,16 @@ object Linkage {
     * per-iteration observed-data log-likelihood
     * `Σ_γ c_γ · ln(p·P(γ|M) + (1−p)·P(γ|U))` evaluated after each
     * M-step, as a small DataFrame (`iter`, `log_lik`): EM guarantees
-    * this series is non-decreasing (spec-pinned), so a user can SEE a
-    * run that is still climbing at `iters` — and raise the knob —
-    * instead of trusting the fixed default blindly. The trace is
-    * iters-bounded driver data (a `toDF` of ≤ `iters` rows); the
-    * estimation arithmetic is [[estimateFsParams]]'s verbatim. */
+    * this series is non-decreasing while the boundary clamp is
+    * inactive — the generic position, spec-pinned on a well-separated
+    * corpus — so a user can SEE a run that is still climbing at
+    * `iters` (raise the knob) or a trace that DIPS (the [1e-6, 1−1e-6]
+    * clamp is binding: a parameter was pulled off the M-step maximizer
+    * because some field agrees on essentially all or none of the
+    * candidates — the monotonicity proof does not cover that corpus,
+    * and the dip is the diagnostic). The trace is iters-bounded driver
+    * data (a `toDF` of ≤ `iters` rows); the estimation arithmetic is
+    * [[estimateFsParams]]'s verbatim. */
   def estimateFsParamsTraced(
       candidates: DataFrame,
       idACol: String,

@@ -584,20 +584,50 @@ object Stats {
     Blocks.release(ranked)
     val n = row.getLong(0)
     require(n > 0L, "giniIndex: no non-null masses")
-    val t = row.getDecimal(1)
-    val s = row.getDecimal(2)
-    require(t.signum > 0, "giniIndex: total mass is zero — G is 0/0")
-    val two = java.math.BigDecimal.valueOf(2L)
-    val numer = s.multiply(two)
-      .subtract(t.multiply(java.math.BigDecimal.valueOf(n + 1L)))
+    giniScalarReadout(df.sparkSession, n, row.getDecimal(1),
+      row.getDecimal(2).multiply(java.math.BigDecimal.valueOf(2L)),
+      "giniIndex")
+  }
+
+  /** The ONE scalar Gini readout every ungrouped path runs —
+    * `(2Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)` over exact decimals, one double
+    * division on the 6dp gate; shared so the rank path and the counts
+    * path cannot drift (a rounding or guard change lands once). Takes
+    * the DOUBLED rank sum (the counts path computes it natively;
+    * halving would be the only fraction in an all-integer pipeline). */
+  private def giniScalarReadout(
+      spark: org.apache.spark.sql.SparkSession, n: Long,
+      t: java.math.BigDecimal, twoS: java.math.BigDecimal,
+      op: String): DataFrame = {
+    require(t.signum > 0, s"$op: total mass is zero — G is 0/0")
+    val numer = twoS.subtract(
+      t.multiply(java.math.BigDecimal.valueOf(n + 1L)))
     val denom = t.multiply(java.math.BigDecimal.valueOf(n))
     val g = numer.doubleValue() / denom.doubleValue()
-    val spark = df.sparkSession
     import spark.implicits._
     Seq((n, t.longValueExact(), BigDecimal(g)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
       .toDF("n", "total", "gini6")
   }
+
+  /** The loud (mass, count) validation both count-state Gini paths
+    * share: masses non-negative integers, counts strictly positive —
+    * one place to relax the contract if decimal masses ever arrive.
+    * Returned as the two guarded COLUMNS so the grouped path can ride
+    * its group key alongside. */
+  private def guardedMassCols(
+      op: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = (
+    when(col("v").cast("double") >= 0.0 &&
+        col("v").cast("double") === floor(col("v").cast("double")),
+        col("v").cast("double"))
+      .otherwise(raise_error(concat(
+        lit(s"$op: mass must be a non-negative integer, got "),
+        col("v").cast("string")))).as("v"),
+    when(col("cnt").cast("long") > 0L, col("cnt").cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"$op: non-positive count "),
+        col("cnt").cast("string"), lit(" for mass "),
+        col("v").cast("string")))).as("cnt"))
 
   /** [[giniIndex]]'s guarded (mass, id) projection + range-partitioned
     * contiguous ranks — factored so the eager aggregate's plan is
@@ -649,45 +679,24 @@ object Stats {
     * counts fail LOUDLY at scan time. Output: (`n`, `total`,
     * `gini6`) — [[giniIndex]]'s schema verbatim. */
   def giniFromCounts(counts: DataFrame): DataFrame = {
-    val m = counts.select(col("v").cast("double").as("v"),
-      col("cnt").cast("long").as("cnt"))
-    val guarded = m.select(
-      when(col("v") >= 0.0 && col("v") === floor(col("v")), col("v"))
-        .otherwise(raise_error(concat(
-          lit("giniFromCounts: mass must be a non-negative integer, got "),
-          col("v").cast("string")))).as("v"),
-      when(col("cnt") > 0L, col("cnt"))
-        .otherwise(raise_error(concat(
-          lit("giniFromCounts: non-positive count "),
-          col("cnt").cast("string"), lit(" for mass "),
-          col("v").cast("string")))).as("cnt"))
+    val (gv, gc) = guardedMassCols("giniFromCounts")
+    val guarded = counts.select(gv, gc)
     val cum = General.withRunningTotal(guarded, Seq("v"), "cnt", "__pre")
     val vDec = col("v").cast("long").cast("decimal(38,0)")
     val cDec = col("cnt").cast("decimal(38,0)")
     val row = cum.agg(
       coalesce(sum(col("cnt")), lit(0L)).as("n"),
       sum(vDec * cDec).as("t"),
-      // 2·Σ i·x, whole in exact decimal: Σ v·cnt·(2·pre + cnt + 1)
+      // 2·Σ i·x, whole in exact decimal: Σ v·cnt·(2·pre + cnt + 1) —
+      // never halved, so the pipeline stays all-integer
       sum(vDec * cDec *
         (lit(2).cast("decimal(38,0)") * col("__pre").cast("decimal(38,0)") +
           cDec + lit(1).cast("decimal(38,0)"))).as("s2")).head()
     Blocks.release(cum)
     val n = row.getLong(0)
     require(n > 0L, "giniFromCounts: empty count state")
-    val t = row.getDecimal(1)
-    val s2 = row.getDecimal(2)
-    require(t.signum > 0, "giniFromCounts: total mass is zero — G is 0/0")
-    // numer = 2s − (n+1)t = s2 − (n+1)t  (s2 IS 2s, never halved: the
-    // division by two would leave exact integers)
-    val numer = s2.subtract(
-      t.multiply(java.math.BigDecimal.valueOf(n + 1L)))
-    val denom = t.multiply(java.math.BigDecimal.valueOf(n))
-    val g = numer.doubleValue() / denom.doubleValue()
-    val spark = counts.sparkSession
-    import spark.implicits._
-    Seq((n, t.longValueExact(), BigDecimal(g)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-      .toDF("n", "total", "gini6")
+    giniScalarReadout(counts.sparkSession, n, row.getDecimal(1),
+      row.getDecimal(2), "giniFromCounts")
   }
 
   /** Per-group [[giniIndex]] — concentration per source/language
@@ -761,18 +770,9 @@ object Stats {
     * face the rank path's oracle. */
   def giniByGroupFromCounts(
       counts: DataFrame, groupCol: String): DataFrame = {
-    val guarded = counts.select(col("__g"),
-      when(col("v").cast("double") >= 0.0 &&
-          col("v").cast("double") === floor(col("v").cast("double")),
-          col("v").cast("double"))
-        .otherwise(raise_error(concat(
-          lit("giniByGroupFromCounts: mass must be a non-negative integer, got "),
-          col("v").cast("string")))).as("v"),
-      when(col("cnt").cast("long") > 0L, col("cnt").cast("long"))
-        .otherwise(raise_error(concat(
-          lit("giniByGroupFromCounts: non-positive count "),
-          col("cnt").cast("string"), lit(" for mass "),
-          col("v").cast("string")))).as("cnt"))
+    // the shared guard validates (v, cnt); the group key rides along
+    val (gv, gc) = guardedMassCols("giniByGroupFromCounts")
+    val guarded = counts.select(col("__g"), gv, gc)
     val pre = General.withRunningTotal(guarded, Seq("__g", "v"), "cnt", "__pre")
     val offs = pre.groupBy("__g").agg(min(col("__pre")).as("__off"))
     val vDec = col("v").cast("long").cast("decimal(38,0)")

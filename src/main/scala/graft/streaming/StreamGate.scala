@@ -158,12 +158,16 @@ object StreamGate {
     /** Started-but-never-terminated runs are bounded too: a crashed or
       * abandoned query never delivers its terminated event, so without
       * this cap its entry would sit in `accs` forever in a long-lived
-      * session. Once more than this many starts have accumulated, the
-      * OLDEST still-unterminated entries are evicted in insertion
-      * order (a terminated entry's retention is [[MaxTerminatedRetained]]'s
-      * job). The cap only bites a session juggling >256 concurrently
-      * live queries — there the evicted run's later read degrades to
-      * the documented `recentProgress` fallback instead of leaking. */
+      * session. When more than this many LIVE runs accumulate
+      * (terminated entries are purged from the start queue before the
+      * threshold is read — their retention is
+      * [[MaxTerminatedRetained]]'s job), the oldest live entries are
+      * evicted in insertion order. The cap therefore only bites a
+      * session juggling >256 concurrently live queries — there the
+      * evicted run's later reads degrade to the documented
+      * `recentProgress` fallback (eviction is permanent: progress
+      * events never re-create an entry, so a partial count can never
+      * masquerade as an exact one). */
     private[streaming] val MaxUnterminatedRetained = 256
     private val startedOrder =
       scala.collection.mutable.Queue.empty[java.util.UUID]
@@ -178,17 +182,28 @@ object StreamGate {
     override def onQueryStarted(e: QueryStartedEvent): Unit = synchronized {
       accs(e.runId) = new Acc
       startedOrder += e.runId
-      while (startedOrder.size > MaxUnterminatedRetained) {
-        val old = startedOrder.dequeue()
-        // evict only if still unterminated — terminated entries are
-        // retained/evicted by terminatedOrder's own cap
-        accs.get(old).filter(!_.terminated).foreach(_ => accs.remove(old))
+      if (startedOrder.size > MaxUnterminatedRetained) {
+        // the queue holds every start; entries that have since
+        // terminated (or were already evicted) are governed by
+        // terminatedOrder's cap — purge them from the queue FIRST so
+        // the threshold counts only genuinely-live runs, then evict
+        // the oldest live entries past the cap
+        startedOrder.filterInPlace(id => accs.get(id).exists(!_.terminated))
+        while (startedOrder.size > MaxUnterminatedRetained)
+          accs.remove(startedOrder.dequeue())
       }
     }
     override def onQueryProgress(e: QueryProgressEvent): Unit = synchronized {
-      val a = accs.getOrElseUpdate(e.progress.runId, new Acc)
-      a.batches += 1
-      a.dropped += e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      // update REGISTERED runs only — never create: a run started
+      // before the ledger was installed falls back to recentProgress
+      // (the documented peek-None path), and a run EVICTED by the
+      // unterminated cap must not resurrect as a zeroed accumulator
+      // whose undercounted totals would read as exact
+      accs.get(e.progress.runId).foreach { a =>
+        a.batches += 1
+        a.dropped +=
+          e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      }
     }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
       synchronized {

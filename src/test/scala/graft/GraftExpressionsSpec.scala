@@ -150,7 +150,12 @@ class GraftExpressionsSpec extends AnyFunSuite {
       ("abc", "abc", 1.0),
       ("", "abc", 0.0),
       ("", "", 0.0),                            // DuckDB's either-empty rule
-      ("x", "", 0.0))
+      ("x", "", 0.0),
+      // non-ASCII: the kernel is BYTE-wise like the oracle engine —
+      // 'é' is two symbols, so café/cafe is the byte score 0.848…,
+      // not the per-character 0.883…
+      ("café", "cafe", 0.8483333333333334),
+      ("müller", "muller", 0.8642857142857143))
     val df = table("a string, b string",
       cases.map { case (a, b, _) => row(a, b) })
     val got = df.select(
