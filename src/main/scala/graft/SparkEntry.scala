@@ -5001,6 +5001,63 @@ object SparkEntry {
     graft.streaming.StreamGate.replayGroupGiniMonitor(
       sourceTokenMasses(s, dir), "source", "n_tokens")
 
+  // ---------------------------------------------------------------- q250
+  /** Incremental bootstrap-CI maintenance ([[graft.operators.Stats
+    * .foldBootPartials]] + the shared percentile readout): q217's
+    * per-replicate (Σ, count) partials built from the pre-split
+    * events, kept current by folding the post-split shard's partials
+    * — exact decimal sums per replicate, base facts never rescanned,
+    * held to q217's VERBATIM full-recompute oracle (each row's
+    * replicate weights are a pure function of (salt, b, id), so the
+    * split cannot move any replicate mean). */
+  private def q250IncrementalBootstrapCI(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    val ev = Tables.events(s, dir)
+    val base = Stats.bootPartialsOf(
+      ev.filter(col("event_id") % 10 < 8), "value", "event_id", 100, "boot1")
+    val delta = Stats.bootPartialsOf(
+      ev.filter(col("event_id") % 10 >= 8), "value", "event_id", 100, "boot1")
+    // checkpoint: the readout's three branches must read the folded
+    // state, not re-run the two corpus folds per branch (the
+    // bootstrapMeanCI argument)
+    Stats.ciFromBootPartials(
+      Stats.foldBootPartials(base, delta).localCheckpoint(), 0.05)
+  }
+
+  // ---------------------------------------------------------------- q251
+  /** Incremental PER-GROUP bootstrap CI — q220's grouped partials
+    * folded across a base/delta split (per-(group, replicate)
+    * exact-decimal cells), held to q220's VERBATIM oracle. */
+  private def q251IncrementalGroupCI(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    val ev = Tables.events(s, dir)
+    val base = Stats.groupBootPartialsOf(
+      ev.filter(col("event_id") % 10 < 8), "event_type", "value",
+      "event_id", 100, "boot2")
+    val delta = Stats.groupBootPartialsOf(
+      ev.filter(col("event_id") % 10 >= 8), "event_type", "value",
+      "event_id", 100, "boot2")
+    Stats.groupCiFromBootPartials(
+      Stats.foldBootPartials(base, delta).localCheckpoint(),
+      "event_type", 0.05)
+  }
+
+  // ---------------------------------------------------------------- q252
+  /** Streaming per-group bootstrap-CI monitor ([[graft.streaming
+    * .StreamGate.replayGroupBootstrapMonitor]]): q220's (event type,
+    * value, id) feed micro-batched, per-(group, replicate) partials
+    * folded by exact decimal SUM into versioned state, readout = the
+    * shared per-group percentile arithmetic — held to q220's verbatim
+    * oracle, closing the CI matrix's last cell: whole-corpus AND
+    * per-group now each have batch / incremental / stream. */
+  private def q252StreamGroupCI(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayGroupBootstrapMonitor(
+      Tables.events(s, dir).select(col("event_type"), col("value"),
+        col("event_id")),
+      "event_type", "value", "event_id",
+      nBoot = 100, alpha = 0.05, salt = "boot2")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -5251,6 +5308,9 @@ object SparkEntry {
     "q247_group_gini_from_counts" -> (q247GroupGiniFromCounts _),
     "q248_incremental_group_gini" -> (q248IncrementalGroupGini _),
     "q249_stream_group_gini" -> (q249StreamGroupGini _),
+    "q250_incremental_bootstrap_ci" -> (q250IncrementalBootstrapCI _),
+    "q251_incremental_group_ci" -> (q251IncrementalGroupCI _),
+    "q252_stream_group_ci" -> (q252StreamGroupCI _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6385,49 +6445,13 @@ object SparkEntry {
     // the streamed monitor is held to the batch CI's verbatim ground
     // truth (bootstrap partials merge by exact decimal SUM)
     "q225_stream_bootstrap_ci" -> bootstrapCIOracle,
-    "q220_bootstrap_ci_by_group" ->
-      """WITH ev AS (
-        |  SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
-        |    CAST(value AS DOUBLE) AS x
-        |  FROM events WHERE value IS NOT NULL
-        |), bs AS (SELECT unnest(range(100)) AS bi
-        |), hw AS (
-        |  SELECT g, bi, x,
-        |    CAST(list_sum(list_transform(range(8), i ->
-        |      (strpos('0123456789abcdef',
-        |         substr(md5('boot2:' || CAST(bi AS VARCHAR) || ':' || id),
-        |           CAST(i+1 AS INT), 1)) - 1) * 16**(7-i))) AS BIGINT) AS h
-        |  FROM ev CROSS JOIN bs
-        |), w AS (
-        |  SELECT g, bi, x,
-        |    CASE WHEN h < 1580030168 THEN 0
-        |         WHEN h < 3160060337 THEN 1
-        |         WHEN h < 3950075421 THEN 2
-        |         WHEN h < 4213413783 THEN 3
-        |         WHEN h < 4279248373 THEN 4
-        |         WHEN h < 4292415291 THEN 5
-        |         ELSE 6 END AS w
-        |  FROM hw
-        |), m AS (
-        |  SELECT g, bi,
-        |    CAST(SUM(CAST(ROUND(w * x, 9) AS DECIMAL(38,9))) AS DOUBLE)
-        |      / CAST(SUM(w) AS DOUBLE) AS mm
-        |  FROM w GROUP BY g, bi HAVING SUM(w) > 0
-        |), ci AS (
-        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_boot,
-        |    quantile_cont(mm, 0.025) AS qlo, quantile_cont(mm, 0.975) AS qhi
-        |  FROM m GROUP BY g
-        |), base AS (
-        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(38,9))) AS DOUBLE)
-        |      / COUNT(*) AS mean
-        |  FROM ev GROUP BY g
-        |)
-        |SELECT base.g AS event_type, n, n_boot,
-        |  ROUND(mean, 6) AS mean6,
-        |  ROUND(qlo, 6) AS lo6, ROUND(qhi, 6) AS hi6
-        |FROM base JOIN ci ON base.g = ci.g
-        |ORDER BY event_type""".stripMargin,
+    "q250_incremental_bootstrap_ci" -> bootstrapCIOracle,
+    // the grouped incremental fold and streamed monitor are held to
+    // the batch grouped CI's verbatim ground truth (per-(group,
+    // replicate) partials merge by exact decimal SUM)
+    "q220_bootstrap_ci_by_group" -> groupBootstrapOracle,
+    "q251_incremental_group_ci" -> groupBootstrapOracle,
+    "q252_stream_group_ci" -> groupBootstrapOracle,
     "q226_categorical_association" -> associationOracle,
     // the streamed monitor and the incremental fold are held to the
     // batch audit's verbatim ground truth (joint counts fold by SUM)
@@ -10365,6 +10389,55 @@ object SparkEntry {
       |FROM ps CROSS JOIN cum
       |WHERE cum.cum >= GREATEST(CAST(CEIL(ps.p * cum.w) AS BIGINT), 1)
       |GROUP BY cum.g, ps.p ORDER BY event_type, p""".stripMargin
+
+  /** Shared by q220 (the batch per-group bootstrap CI), q251 (the
+    * incremental fold), and q252 (the streaming monitor) — three
+    * formulations, one ground truth: per-(group, replicate) partials
+    * merge by exact decimal SUM and each row's weights are a pure
+    * function of (salt, b, id). */
+  private val groupBootstrapOracle: String =
+    """WITH ev AS (
+      |  SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+      |    CAST(value AS DOUBLE) AS x
+      |  FROM events WHERE value IS NOT NULL
+      |), bs AS (SELECT unnest(range(100)) AS bi
+      |), hw AS (
+      |  SELECT g, bi, x,
+      |    CAST(list_sum(list_transform(range(8), i ->
+      |      (strpos('0123456789abcdef',
+      |         substr(md5('boot2:' || CAST(bi AS VARCHAR) || ':' || id),
+      |           CAST(i+1 AS INT), 1)) - 1) * 16**(7-i))) AS BIGINT) AS h
+      |  FROM ev CROSS JOIN bs
+      |), w AS (
+      |  SELECT g, bi, x,
+      |    CASE WHEN h < 1580030168 THEN 0
+      |         WHEN h < 3160060337 THEN 1
+      |         WHEN h < 3950075421 THEN 2
+      |         WHEN h < 4213413783 THEN 3
+      |         WHEN h < 4279248373 THEN 4
+      |         WHEN h < 4292415291 THEN 5
+      |         ELSE 6 END AS w
+      |  FROM hw
+      |), m AS (
+      |  SELECT g, bi,
+      |    CAST(SUM(CAST(ROUND(w * x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+      |      / CAST(SUM(w) AS DOUBLE) AS mm
+      |  FROM w GROUP BY g, bi HAVING SUM(w) > 0
+      |), ci AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_boot,
+      |    quantile_cont(mm, 0.025) AS qlo, quantile_cont(mm, 0.975) AS qhi
+      |  FROM m GROUP BY g
+      |), base AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+      |      / COUNT(*) AS mean
+      |  FROM ev GROUP BY g
+      |)
+      |SELECT base.g AS event_type, n, n_boot,
+      |  ROUND(mean, 6) AS mean6,
+      |  ROUND(qlo, 6) AS lo6, ROUND(qhi, 6) AS hi6
+      |FROM base JOIN ci ON base.g = ci.g
+      |ORDER BY event_type""".stripMargin
 
   /** Shared by q234 (the batch per-source rank-path Gini), q247 (the
     * per-group counts-path readout), q248 (the incremental fold), and

@@ -359,8 +359,20 @@ object Stats {
     require(alpha > 0.0 && alpha < 0.5, s"alpha ($alpha) must be in (0, 0.5)")
     // eager checkpoint — same three-branch reuse as the ungrouped CI
     // (groups×(nBoot+1) rows); [[Blocks.release]] once consumed
-    val agg = bootPartials(df, Some(groupCol), valueCol, idCol, nBoot, salt)
-      .localCheckpoint()
+    groupCiFromBootPartials(
+      bootPartials(df, Some(groupCol), valueCol, idCol, nBoot, salt)
+        .localCheckpoint(), groupCol, alpha)
+  }
+
+  /** The per-group CI readout over accumulated GROUPED
+    * [[bootPartials]] state — [[ciFromBootPartials]]'s argument
+    * group-keyed, shared verbatim by [[bootstrapMeanCIByGroup]], the
+    * incremental fold, and the streaming monitor: grouped partials
+    * merge by exact decimal/long SUM per (group, replicate) cell, so
+    * whoever accumulated the state reads the identical per-group CI
+    * off it. */
+  private[graft] def groupCiFromBootPartials(
+      agg: DataFrame, groupCol: String, alpha: Double): DataFrame = {
     val lo = alpha / 2.0
     val hi = 1.0 - alpha / 2.0
     val means = agg.filter(col("__b") >= 0 && col("__cnt") > 0)
@@ -385,6 +397,14 @@ object Stats {
         round(col("__hi"), 6).as("hi6"))
       .orderBy(groupCol)
   }
+
+  /** One shard's GROUPED bootstrap partial state — [[bootPartialsOf]]
+    * keyed by a group column; folds with [[foldBootPartials]] (whose
+    * key is already (`__g`, `__b`)). */
+  private[graft] def groupBootPartialsOf(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      nBoot: Int, salt: String): DataFrame =
+    bootPartials(df, Some(groupCol), valueCol, idCol, nBoot, salt)
 
   /** The shared one-scan fold under both bootstrap CIs: per input
     * partition, per group (the ungrouped form uses one constant

@@ -1104,6 +1104,36 @@ object StreamGate {
       graft.operators.Stats.foldBootPartials,
       state => graft.operators.Stats.ciFromBootPartials(state, alpha))
 
+  /** Streaming PER-GROUP bootstrap-CI monitor — [[graft.operators
+    * .Stats.bootstrapMeanCIByGroup]] with the (group, outcome, id)
+    * feed as a FILE STREAM: each micro-batch folds into per-(group,
+    * replicate) exact-decimal partials that merge by SUM into
+    * versioned state (groups × (nBoot+1) rows — never a rescan), and
+    * the readout runs the SHARED per-group percentile arithmetic —
+    * one live mean CI per segment as the data lands. Weights are a
+    * pure function of (salt, b, id) and the partials are exact, so
+    * the split provably cannot move any group's CI — held to the
+    * batch operator's verbatim oracle, closing the CI matrix's last
+    * cell (per-group stream). Returns the (`groupCol`, `n`,
+    * `n_boot`, `mean6`, `lo6`, `hi6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayGroupBootstrapMonitor(
+      outcomes: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      nBoot: Int = 100,
+      alpha: Double = 0.05,
+      salt: String = "boot",
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(outcomes, Seq(groupCol, valueCol, idCol), "gboot",
+        filesPerTrigger)(
+      batch => graft.operators.Stats.groupBootPartialsOf(
+        batch, groupCol, valueCol, idCol, nBoot, salt),
+      graft.operators.Stats.foldBootPartials,
+      state => graft.operators.Stats.groupCiFromBootPartials(
+        state, groupCol, alpha))
+
   /** Streaming SCD-2 enrichment — the FACT feed as a file stream,
     * each micro-batch point-in-time joined against the STATIC
     * slowly-changing dimension by the BATCH [[graft.operators

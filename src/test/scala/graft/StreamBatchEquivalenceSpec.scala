@@ -352,6 +352,45 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       .exists(_.microBatches > 1))
   }
 
+  test("stream per-group bootstrap CI == batch bootstrapMeanCIByGroup across partial folds") {
+    import graft.operators.Stats
+    val streamed = StreamGate.replayGroupBootstrapMonitor(
+        events.select(col("event_type"), col("value"), col("event_id"))
+          .repartition(8),
+        "event_type", "value", "event_id",
+        nBoot = 40, alpha = 0.1, salt = "gsb", filesPerTrigger = 1)
+      .collect().map(_.toSeq)
+    val batch = Stats.bootstrapMeanCIByGroup(events, "event_type", "value",
+        "event_id", nBoot = 40, alpha = 0.1, salt = "gsb")
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+    assert(graft.streaming.StreamGate.lastReplayObservability
+      .exists(_.microBatches > 1))
+    // and the incremental folds (grouped AND ungrouped) are the same
+    // ground truth
+    val gb = Stats.groupBootPartialsOf(
+      events.filter(col("event_id") % 2 === 0), "event_type", "value",
+      "event_id", 40, "gsb")
+    val gd = Stats.groupBootPartialsOf(
+      events.filter(col("event_id") % 2 === 1), "event_type", "value",
+      "event_id", 40, "gsb")
+    val gFolded = Stats.groupCiFromBootPartials(
+        Stats.foldBootPartials(gb, gd).localCheckpoint(),
+        "event_type", 0.1)
+      .collect().map(_.toSeq)
+    assert(gFolded.toSeq == batch.toSeq)
+    val ub = Stats.bootPartialsOf(
+      events.filter(col("event_id") % 2 === 0), "value", "event_id", 40, "usb")
+    val ud = Stats.bootPartialsOf(
+      events.filter(col("event_id") % 2 === 1), "value", "event_id", 40, "usb")
+    val uFolded = Stats.ciFromBootPartials(
+      Stats.foldBootPartials(ub, ud).localCheckpoint(), 0.1).head().toSeq
+    val uBatch = Stats.bootstrapMeanCI(events, "value", "event_id",
+      nBoot = 40, alpha = 0.1, salt = "usb").head().toSeq
+    assert(uFolded == uBatch, s"fold $uFolded != batch $uBatch")
+  }
+
   test("stream SCD-2 enrichment == batch scdJoin across micro-batches") {
     import graft.operators.AsOfJoin
     // two-version dimension over user ids; facts = the events feed
