@@ -5058,7 +5058,206 @@ object SparkEntry {
       "event_type", "value", "event_id",
       nBoot = 100, alpha = 0.05, salt = "boot2")
 
+  /** The multi-rater annotation fixture shared by q253–q255: five
+    * raters label every document's language; rater r corrupts its
+    * label on the rows where an integer hash lands below the rater's
+    * noise budget ((r+1)·8 of 100 — rater r4 is the 40%-noise outlier
+    * the report must flag), and a corrupted label is a 16-way junk
+    * category derived from a second hash, so wrong raters rarely
+    * agree with each other. Every decision is integer arithmetic on a
+    * portable hash — both engines derive the identical panel. */
+  private def annotationRatings(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val r = col("rater_i")
+    val key = concat(r.cast("string"), lit(":"), col("doc_id").cast("string"))
+    val noisy = pmod(TextFunctions.portableTokenHash32(
+      concat(lit("ann:"), key)), lit(100L)) < (r + 1) * 8
+    val junk = concat(lit("z"),
+      substring(md5(concat(lit("annx:"), key)), 1, 1))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0), lit(4))).as("rater_i"))
+      .select(col("doc_id"),
+        concat(lit("r"), r.cast("string")).as("rater"),
+        when(noisy, junk).otherwise(col("lang")).as("label"))
+  }
+
+  // ---------------------------------------------------------------- q253
+  /** Fleiss' kappa ([[graft.operators.Annotate.fleissKappa]]): the
+    * five-rater panel's chance-corrected agreement — exact integer
+    * sufficient statistics (Σ n_ik², Σ c_k² as DECIMAL(38,0)), one
+    * double division on the 6dp gate; the oracle replays the cell
+    * counts and the identical closed form. */
+  private def q253FleissKappa(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Annotate.fleissKappa(
+      annotationRatings(s, dir), "doc_id", "rater", "label")
+
+  // ---------------------------------------------------------------- q254
+  /** Majority-vote label consolidation ([[graft.operators.Annotate
+    * .consolidateLabels]]): the panel's ratings become one consensus
+    * label per document with deterministic ties (most votes, then
+    * lexicographically smallest) and a confidence — the
+    * ratings-to-training-labels step. Oracle replays the argmin and
+    * the division. */
+  private def q254ConsolidateLabels(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Annotate.consolidateLabels(
+        annotationRatings(s, dir), "doc_id", "rater", "label")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q255
+  /** Per-annotator agreement report ([[graft.operators.Annotate
+    * .annotatorReport]]): each rater's agreement with the consensus
+    * under a Wilson interval, flagged when even the interval's upper
+    * bound sits below 0.75 — the noisy-rater alarm (the fixture's r4
+    * labels 40% junk and must flag). Oracle replays consolidation,
+    * the join, and the identical Wilson arithmetic (z·z as an
+    * expression, never a 3.8416 literal). */
+  private def q255AnnotatorReport(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Annotate.annotatorReport(
+      annotationRatings(s, dir), "doc_id", "rater", "label",
+      flagBelow = 0.75)
+
+  // ---------------------------------------------------------------- q256
+  /** Krippendorff's alpha ([[graft.operators.Annotate
+    * .krippendorffAlpha]]): the same panel under VARYING participation
+    * — each (rater, doc) assignment exists only where a second hash
+    * admits it (~60%), the real crowd-labeling shape Fleiss refuses
+    * loudly; items with one rating drop, and the per-item
+    * 1/(n_i−1) fractions scale through lcm(1..4) = 12 into exact
+    * integers. Oracle replays the participation filter, both
+    * disagreement sums, and the one division. */
+  private def q256KrippendorffAlpha(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val participates = pmod(TextFunctions.portableTokenHash32(
+      concat(lit("kr:"), substring(col("rater"), 2, 10), lit(":"),
+        col("doc_id").cast("string"))), lit(5L)) < 3L
+    graft.operators.Annotate.krippendorffAlpha(
+      annotationRatings(s, dir).filter(participates),
+      "doc_id", "rater", "label")
+  }
+
+  /** The pairwise-preference fixture shared by q257–q259: consecutive
+    * event pairs (even id vs id+1) become judged comparisons between
+    * their event TYPES — the higher `value` wins; same-type,
+    * equal-value, and NULL-value pairs drop. ~N/2 deterministic
+    * comparisons over a 5-model tournament, derivable identically on
+    * both engines. */
+  private def preferencePairs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.as("a").join(ev.as("b"),
+        col("b.event_id") === col("a.event_id") + 1L)
+      .filter(pmod(col("a.event_id"), lit(2L)) === 0L &&
+        col("a.value").isNotNull && col("b.value").isNotNull &&
+        col("a.event_type") =!= col("b.event_type") &&
+        col("a.value") =!= col("b.value"))
+      .select(
+        when(col("a.value") > col("b.value"), col("a.event_type"))
+          .otherwise(col("b.event_type")).as("winner"),
+        when(col("a.value") > col("b.value"), col("b.event_type"))
+          .otherwise(col("a.event_type")).as("loser"))
+  }
+
+  // ---------------------------------------------------------------- q257
+  /** Pairwise win matrix ([[graft.operators.Preference
+    * .pairwiseWinMatrix]]): the tournament's canonical pair table —
+    * per unordered model pair, comparisons, wins, and the Wilson
+    * interval on P(a beats b). Oracle replays the canonicalization,
+    * counts, and the identical interval arithmetic. */
+  private def q257PairwiseWins(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preference.pairwiseWinMatrix(
+      preferencePairs(s, dir), "winner", "loser")
+
+  // ---------------------------------------------------------------- q258
+  /** Bradley–Terry ratings ([[graft.operators.Preference
+    * .bradleyTerry]]): 25 MM iterations over the 5-model win matrix —
+    * deterministic driver arithmetic in a FIXED operation order, so
+    * the oracle replays the identical IEEE doubles via a recursive
+    * list-state CTE (unnormalized iteration — the update is
+    * homogeneous of degree 1 — normalized once at readout; `list_
+    * reduce` is the same left fold as the JVM loop). Ranks compare on
+    * the ROUNDED rating so a sub-gate margin cannot reorder
+    * engines. */
+  private def q258BradleyTerry(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preference.bradleyTerry(
+      preferencePairs(s, dir), "winner", "loser")
+
+  // ---------------------------------------------------------------- q259
+  /** Intransitivity audit ([[graft.operators.Preference
+    * .intransitivityAudit]]): the majority tournament's 3-cycle count
+    * — every cycle is a model triple no scalar leaderboard can order.
+    * Oracle replays the majority edges and both triple joins. */
+  private def q259Intransitivity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preference.intransitivityAudit(
+      preferencePairs(s, dir), "winner", "loser")
+
+  // ---------------------------------------------------------------- q260
+  /** Herfindahl–Hirschman index ([[graft.operators.Stats.hhiIndex]]):
+    * token-mass concentration across documents — q230's input, the
+    * quadratic-weighted companion to its Gini. Exact integer
+    * Σx/Σx² as DECIMAL(38,0), two divisions on the 6dp gate; no
+    * ranks, no sort — one aggregation. */
+  private def q260HhiTokenMass(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.hhiIndex(docTokenMasses(s, dir), "n_tokens")
+
+  // ---------------------------------------------------------------- q261
+  /** Per-source HHI ([[graft.operators.Stats.hhiIndexByGroup]]): the
+    * concentration drill-down per source, whole readout in-plan
+    * (group cardinality unbounded). Held to its own per-group replay
+    * of q260's arithmetic. */
+  private def q261HhiBySource(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.hhiIndexByGroup(
+      sourceTokenMasses(s, dir), "source", "n_tokens")
+
+  // ---------------------------------------------------------------- q262
+  /** Theil T index ([[graft.operators.Stats.theilIndex]]): the
+    * entropy-based concentration number over the same token masses —
+    * per-term 12dp-rounded decimal sums (the q226 discipline) make
+    * term order irrelevant and the log replayable; normalized by
+    * ln(n) into [0, 1]. */
+  private def q262TheilTokenMass(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.theilIndex(docTokenMasses(s, dir), "n_tokens")
+
+  // ---------------------------------------------------------------- q263
+  /** HHI off the maintained count state ([[graft.operators.Stats
+    * .hhiFromCounts]]): every HHI sufficient statistic is a SUM over
+    * the (v, cnt) ECDF the quantile/KS/Gini families maintain —
+    * counts path held to q260's VERBATIM direct oracle (the q237
+    * pattern). */
+  private def q263HhiFromCounts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.hhiFromCounts(
+      graft.operators.Profile.ksSideCounts(
+        docTokenMasses(s, dir), "n_tokens", "cnt"))
+
+  // ---------------------------------------------------------------- q264
+  /** Incremental HHI maintenance ([[graft.operators.Profile
+    * .foldValueCounts]] + [[graft.operators.Stats.hhiFromCounts]]):
+    * the mass grid built from the pre-split shard, kept current by
+    * folding the post-split shard's counts — base facts never
+    * rescanned, held to q260's VERBATIM oracle (the q238 pattern). */
+  private def q264IncrementalHhi(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Profile, Stats}
+    val masses = docTokenMasses(s, dir)
+    val base = Profile.ksSideCounts(
+      masses.filter(pmod(col("doc_id"), lit(10L)) < 8L), "n_tokens", "cnt")
+    val delta = Profile.ksSideCounts(
+      masses.filter(pmod(col("doc_id"), lit(10L)) >= 8L), "n_tokens", "cnt")
+    Stats.hhiFromCounts(Profile.foldValueCounts(base, delta))
+  }
+
+  // ---------------------------------------------------------------- q265
+  /** Streaming HHI monitor ([[graft.streaming.StreamGate
+    * .replayHhiMonitor]]): the mass feed micro-batched into the SAME
+    * versioned value-count state, readout = [[graft.operators.Stats
+    * .hhiFromCounts]] — held to q260's verbatim oracle (the q239
+    * pattern); one maintained grid now serves quantiles, KS, Gini,
+    * and HHI. */
+  private def q265StreamHhi(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayHhiMonitor(
+      docTokenMasses(s, dir).select(col("n_tokens")), "n_tokens")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_sum_agg" -> (q01SumAgg _),
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
     "q03_catalog" -> (q03Catalog _),
@@ -5311,6 +5510,19 @@ object SparkEntry {
     "q250_incremental_bootstrap_ci" -> (q250IncrementalBootstrapCI _),
     "q251_incremental_group_ci" -> (q251IncrementalGroupCI _),
     "q252_stream_group_ci" -> (q252StreamGroupCI _),
+    "q253_fleiss_kappa" -> (q253FleissKappa _),
+    "q254_consolidate_labels" -> (q254ConsolidateLabels _),
+    "q255_annotator_report" -> (q255AnnotatorReport _),
+    "q256_krippendorff_alpha" -> (q256KrippendorffAlpha _),
+    "q257_pairwise_wins" -> (q257PairwiseWins _),
+    "q258_bradley_terry" -> (q258BradleyTerry _),
+    "q259_intransitivity" -> (q259Intransitivity _),
+    "q260_hhi_token_mass" -> (q260HhiTokenMass _),
+    "q261_hhi_by_source" -> (q261HhiBySource _),
+    "q262_theil_token_mass" -> (q262TheilTokenMass _),
+    "q263_hhi_from_counts" -> (q263HhiFromCounts _),
+    "q264_incremental_hhi" -> (q264IncrementalHhi _),
+    "q265_stream_hhi" -> (q265StreamHhi _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6596,6 +6808,249 @@ object SparkEntry {
     "q237_gini_from_counts" -> giniTokenMassOracle,
     "q238_incremental_gini" -> giniTokenMassOracle,
     "q239_stream_gini" -> giniTokenMassOracle,
+    "q253_fleiss_kappa" ->
+      s"""WITH $annotationRatingsCte,
+         |cells AS (
+         |  SELECT it, l, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM ratings GROUP BY it, l
+         |), per AS (
+         |  SELECT it, CAST(SUM(c) AS BIGINT) AS ni,
+         |    SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS a
+         |  FROM cells GROUP BY it
+         |), top AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS nitems,
+         |    CAST(MAX(ni) AS BIGINT) AS n, SUM(a) AS aa
+         |  FROM per
+         |), marg AS (
+         |  SELECT l, CAST(SUM(c) AS BIGINT) AS ck FROM cells GROUP BY l
+         |), bb AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         |    SUM(CAST(ck AS DECIMAL(38,0)) * CAST(ck AS DECIMAL(38,0))) AS b
+         |  FROM marg
+         |)
+         |SELECT nitems AS n_items, n AS n_raters, v AS n_labels,
+         |  ROUND(
+         |    CAST((aa - nitems*n) * (nitems*n) - b*(n-1) AS DOUBLE)
+         |    / CAST((n-1) * (CAST(nitems*n AS DECIMAL(38,0))*(nitems*n) - b)
+         |        AS DOUBLE), 6) AS kappa6
+         |FROM top, bb""".stripMargin,
+    "q254_consolidate_labels" ->
+      s"""WITH $annotationCellsCte
+         |SELECT it AS doc_id, l AS consensus_label, nr AS n_ratings,
+         |  c AS n_consensus,
+         |  ROUND(CAST(c AS DOUBLE) / CAST(nr AS DOUBLE), 6) AS confidence6
+         |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q255_annotator_report" ->
+      s"""WITH $annotationCellsCte,
+         |j AS (
+         |  SELECT r.rater,
+         |    CASE WHEN r.l = cons.l THEN 1 ELSE 0 END AS ok
+         |  FROM ratings r
+         |  JOIN (SELECT it, l FROM w WHERE rn = 1) cons USING (it)
+         |), g AS (
+         |  SELECT rater, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(ok) AS BIGINT) AS n_pass
+         |  FROM j GROUP BY rater
+         |)
+         |SELECT rater, n, n_pass, rate6, lo6, hi6,
+         |  hi6 < 0.75 AS flagged
+         |FROM (${wilsonSql("rater")})
+         |ORDER BY rater""".stripMargin,
+    "q256_krippendorff_alpha" ->
+      s"""WITH $annotationRatingsCte,
+         |part AS (
+         |  SELECT * FROM ratings
+         |  WHERE ${hash32Sql(
+             "'kr:' || substr(rater, 2, 10) || ':' || it")} % 5 < 3
+         |), cells AS (
+         |  SELECT it, l, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM part GROUP BY it, l
+         |), per AS (
+         |  SELECT it, CAST(SUM(c) AS BIGINT) AS ni,
+         |    SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS sq
+         |  FROM cells GROUP BY it HAVING SUM(c) >= 2
+         |), s AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         |    CAST(SUM(ni) AS BIGINT) AS n_tot,
+         |    SUM(CAST(12 // (ni - 1) AS DECIMAL(38,0)) *
+         |      (CAST(ni AS DECIMAL(38,0)) * ni - sq)) AS ds
+         |  FROM per
+         |), pc AS (
+         |  SELECT l, CAST(SUM(c) AS BIGINT) AS ck
+         |  FROM cells JOIN per USING (it) GROUP BY l
+         |), cc AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         |    SUM(CAST(ck AS DECIMAL(38,0)) * CAST(ck AS DECIMAL(38,0))) AS sq
+         |  FROM pc
+         |)
+         |SELECT n_items, n_tot AS n_ratings, v AS n_labels,
+         |  ROUND(1.0 - CAST(ds * (n_tot - 1) AS DOUBLE)
+         |    / CAST(12 * (CAST(n_tot AS DECIMAL(38,0)) * n_tot - cc.sq)
+         |        AS DOUBLE), 6) AS alpha6
+         |FROM s, cc""".stripMargin,
+    "q257_pairwise_wins" ->
+      s"""WITH $preferencePairsCte,
+         |c AS (
+         |  SELECT LEAST(winner, loser) AS model_a,
+         |    GREATEST(winner, loser) AS model_b,
+         |    CASE WHEN winner < loser THEN 1 ELSE 0 END AS aw
+         |  FROM prefs
+         |), g AS (
+         |  SELECT model_a, model_b, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(aw) AS BIGINT) AS n_pass
+         |  FROM c GROUP BY model_a, model_b
+         |)
+         |SELECT * FROM (${wilsonSql("model_a, model_b")})
+         |ORDER BY model_a, model_b""".stripMargin,
+    "q258_bradley_terry" ->
+      s"""WITH RECURSIVE $preferencePairsCte,
+         |dir AS (
+         |  SELECT winner AS w, loser AS l, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM prefs GROUP BY winner, loser
+         |), models AS (
+         |  SELECT m, CAST(ROW_NUMBER() OVER (ORDER BY m) - 1 AS BIGINT) AS i
+         |  FROM (SELECT DISTINCT m FROM
+         |    (SELECT w AS m FROM dir UNION ALL SELECT l FROM dir))
+         |), kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM models
+         |), wmat AS (
+         |  SELECT mw.i AS i, ml.i AS j, dir.c AS c
+         |  FROM dir JOIN models mw ON mw.m = dir.w
+         |  JOIN models ml ON ml.m = dir.l
+         |), wins AS (SELECT i, CAST(SUM(c) AS BIGINT) AS wi FROM wmat GROUP BY i
+         |), nmat AS (
+         |  SELECT i, j, CAST(SUM(c) AS BIGINT) AS n
+         |  FROM (SELECT i, j, c FROM wmat
+         |    UNION ALL SELECT j AS i, i AS j, c FROM wmat)
+         |  GROUP BY i, j
+         |), nls AS (
+         |  SELECT i, list(struct_pack(j := j, n := n) ORDER BY j) AS nl
+         |  FROM nmat GROUP BY i
+         |), state AS (
+         |  SELECT 0 AS it,
+         |    (SELECT list(CAST(1 AS DOUBLE) / kk.k ORDER BY m.i)
+         |     FROM models m, kk) AS p
+         |  UNION ALL
+         |  SELECT it + 1,
+         |    -- a lambda cannot capture the correlated recursive row, so
+         |    -- the iteration vector joins into the subquery as a column
+         |    (SELECT list(
+         |        CAST(w.wi AS DOUBLE) / list_reduce(
+         |          list_transform(nn.nl, x ->
+         |            CAST(x.n AS DOUBLE) /
+         |              (q.pp[CAST(nn.i AS INT) + 1] +
+         |               q.pp[CAST(x.j AS INT) + 1])),
+         |          (a, b) -> a + b)
+         |      ORDER BY nn.i)
+         |     FROM nls nn JOIN wins w ON w.i = nn.i
+         |     CROSS JOIN (SELECT s.p AS pp) q)
+         |  FROM state s WHERE s.it < 25
+         |), fin AS (SELECT p FROM state WHERE it = 25
+         |), tot AS (SELECT list_reduce(p, (a, b) -> a + b) AS t FROM fin
+         |), rated AS (
+         |  SELECT m.m AS model, w.wi AS n_wins,
+         |    (SELECT CAST(SUM(n) AS BIGINT) FROM nmat WHERE nmat.i = m.i)
+         |      AS n_comparisons,
+         |    ROUND(fin.p[CAST(m.i AS INT) + 1] / tot.t, 6) AS rating6
+         |  FROM models m JOIN wins w ON w.i = m.i, fin, tot
+         |)
+         |SELECT model, n_wins, n_comparisons, rating6,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY rating6 DESC, model)
+         |    AS INTEGER) AS rnk
+         |FROM rated ORDER BY rnk""".stripMargin,
+    "q259_intransitivity" ->
+      s"""WITH $preferencePairsCte,
+         |cpair AS (
+         |  SELECT LEAST(winner, loser) AS a, GREATEST(winner, loser) AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN winner < loser THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS wa
+         |  FROM prefs GROUP BY 1, 2
+         |), mods AS (
+         |  SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS nm
+         |  FROM (SELECT a AS m FROM cpair UNION ALL SELECT b FROM cpair)
+         |), pr AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+         |    CAST(SUM(CASE WHEN wa*2 = n THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ntied
+         |  FROM cpair
+         |), e AS (
+         |  SELECT CASE WHEN wa*2 > n THEN a ELSE b END AS src,
+         |    CASE WHEN wa*2 > n THEN b ELSE a END AS dst
+         |  FROM cpair WHERE wa*2 <> n
+         |), ecnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ne FROM e
+         |), und AS (
+         |  SELECT src AS x, dst AS y FROM e
+         |  UNION ALL SELECT dst, src FROM e
+         |), closed AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS nc
+         |  FROM und e1 JOIN und e2 ON e1.y = e2.x
+         |  JOIN und e3 ON e2.y = e3.x AND e3.y = e1.x
+         |  WHERE e1.x < e1.y AND e1.y < e2.y
+         |), cyc AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS ncy
+         |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+         |  JOIN e e3 ON e2.dst = e3.src AND e3.dst = e1.src
+         |  WHERE e1.src < e1.dst AND e1.src < e2.dst
+         |)
+         |SELECT nm AS n_models, np AS n_pairs, ne AS n_edges,
+         |  ntied AS n_tied_pairs, nc AS n_closed_triples, ncy AS n_cycles,
+         |  CASE WHEN nc > 0
+         |    THEN ROUND(CAST(ncy AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+         |  END AS cycle_rate6
+         |FROM mods, pr, ecnt, closed, cyc""".stripMargin,
+    "q260_hhi_token_mass" -> hhiTokenMassOracle,
+    // the counts path, the incremental fold, and the streamed monitor
+    // are held to the direct computation's verbatim ground truth
+    // (every HHI sufficient statistic is a SUM over the count state)
+    "q263_hhi_from_counts" -> hhiTokenMassOracle,
+    "q264_incremental_hhi" -> hhiTokenMassOracle,
+    "q265_stream_hhi" -> hhiTokenMassOracle,
+    "q261_hhi_by_source" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS x
+        |  FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS t,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s2
+        |  FROM d GROUP BY source
+        |)
+        |SELECT source, n, CAST(t AS BIGINT) AS total,
+        |  CASE WHEN t > 0 THEN
+        |    ROUND(CAST(s2 AS DOUBLE) / CAST(t*t AS DOUBLE), 6)
+        |  END AS hhi6,
+        |  CASE WHEN t > 0 AND n > 1 THEN
+        |    ROUND(CAST(n*s2 - t*t AS DOUBLE)
+        |      / (CAST(t*t AS DOUBLE) * CAST(n-1 AS DOUBLE)), 6)
+        |  END AS hhi_norm6
+        |FROM g ORDER BY source""".stripMargin,
+    "q262_theil_token_mass" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+        |    AS x
+        |  FROM documents WHERE text IS NOT NULL
+        |), s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS t
+        |  FROM d
+        |), terms AS (
+        |  SELECT CASE WHEN x > 0 THEN
+        |      (CAST(x AS DOUBLE) / CAST(t AS DOUBLE)) *
+        |        ln(CAST(n AS DOUBLE) *
+        |          (CAST(x AS DOUBLE) / CAST(t AS DOUBLE)))
+        |    ELSE 0.0 END AS term
+        |  FROM d, s
+        |), th AS (
+        |  SELECT CAST(SUM(CAST(ROUND(term, 12) AS DECIMAL(38,12)))
+        |    AS DOUBLE) AS theil
+        |  FROM terms
+        |)
+        |SELECT s.n, CAST(s.t AS BIGINT) AS total,
+        |  ROUND(theil, 6) AS theil6,
+        |  CASE WHEN s.n > 1 THEN ROUND(theil / ln(CAST(s.n AS DOUBLE)), 6)
+        |  END AS theil_norm6
+        |FROM s, th""".stripMargin,
     "q236_fs_decisions" ->
       """WITH l AS (
         |  SELECT c_custkey AS cid, c_mktsegment, c_nationkey, c_name
@@ -10471,6 +10926,102 @@ object SparkEntry {
     * monitor) — four formulations, one ground truth: the value-count
     * ECDF folds by SUM and the rank identity is tie-order-invariant,
     * so every path reads the identical G. */
+  /** The md5-based portable 32-bit hash as DuckDB SQL — the
+    * [[graft.functions.TextFunctions.portableTokenHash32]] idiom over
+    * an arbitrary VARCHAR expression. */
+  private def hash32Sql(expr: String): String =
+    s"""CAST(list_sum(list_transform(range(8), i ->
+       |      (strpos('0123456789abcdef',
+       |         substr(md5($expr),
+       |           CAST(i+1 AS INT), 1)) - 1) * 16**(7-i))) AS BIGINT)""".stripMargin
+
+  /** The q253–q256 annotation panel as a CTE (`ratings(it, rater, l)`)
+    * — five raters, integer-hash noise budgets, junk-category
+    * corruption; [[annotationRatings]]'s derivation verbatim. */
+  private val annotationRatingsCte: String =
+    s"""ratings AS (
+       |  SELECT CAST(d.doc_id AS VARCHAR) AS it,
+       |    'r' || CAST(g.r AS VARCHAR) AS rater,
+       |    CASE WHEN ${hash32Sql(
+             "'ann:' || CAST(g.r AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")}
+       |        % 100 < (g.r + 1) * 8
+       |      THEN 'z' || substr(md5('annx:' || CAST(g.r AS VARCHAR) ||
+       |        ':' || CAST(d.doc_id AS VARCHAR)), 1, 1)
+       |      ELSE d.lang END AS l
+       |  FROM documents d CROSS JOIN (SELECT unnest(range(5)) AS r) g
+       |)""".stripMargin
+
+  /** The (item, label) cell counts + per-item consensus the
+    * consolidation/report oracles share. */
+  private val annotationCellsCte: String =
+    s"""$annotationRatingsCte,
+       |cells AS (
+       |  SELECT it, l, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM ratings GROUP BY it, l
+       |), w AS (
+       |  SELECT it, l, c,
+       |    ROW_NUMBER() OVER (PARTITION BY it ORDER BY c DESC, l) AS rn,
+       |    CAST(SUM(c) OVER (PARTITION BY it) AS BIGINT) AS nr
+       |  FROM cells
+       |)""".stripMargin
+
+  /** The q257–q259 preference tournament as a CTE
+    * (`prefs(winner, loser)`) — [[preferencePairs]]' derivation
+    * verbatim. */
+  private val preferencePairsCte: String =
+    """prefs AS (
+      |  SELECT
+      |    CASE WHEN a.value > b.value THEN a.event_type
+      |      ELSE b.event_type END AS winner,
+      |    CASE WHEN a.value > b.value THEN b.event_type
+      |      ELSE a.event_type END AS loser
+      |  FROM events a JOIN events b ON b.event_id = a.event_id + 1
+      |  WHERE a.event_id % 2 = 0
+      |    AND a.value IS NOT NULL AND b.value IS NOT NULL
+      |    AND a.event_type <> b.event_type AND a.value <> b.value
+      |)""".stripMargin
+
+  /** The Wilson-interval SELECT tail shared by the q255/q257 oracles —
+    * [[graft.operators.Quality.passRateCIFromCounts]]'s arithmetic
+    * with z·z as an expression (the q193 discipline); expects a
+    * relation `g(keys..., n, n_pass)`. */
+  private def wilsonSql(keys: String): String =
+    s"""SELECT $keys, n, n_pass,
+       |  ROUND(p, 6) AS rate6,
+       |  ROUND(((p + 1.96*1.96/(2.0*nd))
+       |    - 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
+       |    / (1.0 + 1.96*1.96/nd), 6) AS lo6,
+       |  ROUND(((p + 1.96*1.96/(2.0*nd))
+       |    + 1.96 * sqrt(p*(1.0-p)/nd + 1.96*1.96/(4.0*nd*nd)))
+       |    / (1.0 + 1.96*1.96/nd), 6) AS hi6
+       |FROM (SELECT $keys, n, n_pass,
+       |        CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+       |        CAST(n AS DOUBLE) AS nd
+       |      FROM g)""".stripMargin
+
+  /** Shared by q260 (the direct HHI), q263 (the counts path), q264
+    * (the incremental fold), and q265 (the streaming monitor) — four
+    * formulations, one ground truth: every HHI sufficient statistic
+    * is a SUM over the value-count state. */
+  private val hhiTokenMassOracle: String =
+    """WITH d AS (
+      |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+      |    AS x
+      |  FROM documents WHERE text IS NOT NULL
+      |), s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(38,0))) AS t,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s2
+      |  FROM d
+      |)
+      |SELECT n, CAST(t AS BIGINT) AS total,
+      |  ROUND(CAST(s2 AS DOUBLE) / CAST(t*t AS DOUBLE), 6) AS hhi6,
+      |  CASE WHEN n > 1 THEN
+      |    ROUND(CAST(n*s2 - t*t AS DOUBLE)
+      |      / CAST(t*t*CAST(n-1 AS DECIMAL(38,0)) AS DOUBLE), 6)
+      |  END AS hhi_norm6
+      |FROM s""".stripMargin
+
   private val giniTokenMassOracle: String =
     """WITH d AS (
       |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)

@@ -930,4 +930,185 @@ object Stats {
             col(valueCol).cast("double") > col("hi_fence")))
       .drop("__med", "__mad")
   }
+
+  // ------------------------------------------------------------------
+  // Concentration siblings: Herfindahl–Hirschman and Theil — the two
+  // standard companions to the Gini family (HHI weights the LARGEST
+  // holders quadratically, Theil decomposes additively), sharing the
+  // gini contract: non-negative integer masses, NULLs excluded,
+  // negatives and fractions loud.
+  // ------------------------------------------------------------------
+
+  /** The shared loud mass projection: non-negative INTEGER masses as
+    * long, NULLs dropped, negatives/fractions loud by `op` name. */
+  private def guardedMasses(
+      df: DataFrame, valueCol: String, op: String): DataFrame =
+    df.filter(col(valueCol).isNotNull).select(
+      when(col(valueCol).cast("double") >= 0.0 &&
+          col(valueCol).cast("double") ===
+            floor(col(valueCol).cast("double")),
+          col(valueCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"$op: mass must be a non-negative integer, got "),
+          col(valueCol).cast("string")))).as("__x"))
+
+  /** Herfindahl–Hirschman concentration index — `Σ s_i²` over holder
+    * shares `s_i = x_i/Σx`: the concentration number that weights the
+    * BIGGEST holders quadratically (one source owning half the corpus
+    * contributes 0.25 on its own), where Gini reads the whole
+    * inequality curve. Also emits the size-corrected
+    * `HHI* = (HHI − 1/n)/(1 − 1/n)` (0 = perfectly even, 1 =
+    * single-holder, comparable ACROSS corpora of different holder
+    * counts; NULL when n = 1, where evenness is vacuous).
+    *
+    * Arithmetic is exact until ONE division each:
+    * `HHI = Σx²/(Σx)²` and `HHI* = (n·Σx² − (Σx)²)/((Σx)²·(n−1))` —
+    * every term an integer carried as DECIMAL(38,0) (squared
+    * 100 TB-regime token masses overflow a long), so both engines
+    * compute identical integers and each readout is one double
+    * division on the 6-decimal gate. Zero total mass is loud (0/0).
+    *
+    * Scale shape: ONE map-side-combined aggregation to three driver
+    * scalars — no sort, no ranks (the advantage over Gini at scale).
+    * Output: one row — (`n`, `total`, `hhi6`, `hhi_norm6`). */
+  def hhiIndex(df: DataFrame, valueCol: String): DataFrame = {
+    val row = guardedMasses(df, valueCol, "hhiIndex").agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast("decimal(38,0)")).as("t"),
+      sum(col("__x").cast("decimal(38,0)") *
+        col("__x").cast("decimal(38,0)")).as("s2")).head()
+    val n = row.getLong(0)
+    require(n > 0L, "hhiIndex: no non-null masses")
+    hhiScalarReadout(df.sparkSession, n,
+      BigDecimal(row.getDecimal(1)), BigDecimal(row.getDecimal(2)),
+      "hhiIndex")
+  }
+
+  /** The ONE scalar HHI readout the direct and counts paths share —
+    * exact-integer numerators/denominators, one double division each,
+    * 6-decimal gate. */
+  private def hhiScalarReadout(
+      spark: org.apache.spark.sql.SparkSession, n: Long,
+      t: BigDecimal, s2: BigDecimal, op: String): DataFrame = {
+    require(t > BigDecimal(0), s"$op: total mass is zero — HHI is 0/0")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hhi = r6(s2.toDouble / (t * t).toDouble)
+    val norm: Option[Double] =
+      if (n == 1L) None
+      else Some(r6((BigDecimal(n) * s2 - t * t).toDouble /
+        (t * t * BigDecimal(n - 1L)).toDouble))
+    import spark.implicits._
+    Seq((n, t.toLongExact, hhi, norm))
+      .toDF("n", "total", "hhi6", "hhi_norm6")
+  }
+
+  /** [[hhiIndex]] off the SUM-foldable (v, cnt) value-count state the
+    * quantile/KS/Gini families maintain: `n = Σcnt`, `Σx = Σ v·cnt`,
+    * `Σx² = Σ v²·cnt` — every sufficient statistic folds by SUM, so
+    * the incremental and streaming formulations provably equal the
+    * direct one (pinned by holding them to the direct oracle
+    * verbatim). Same loud (v, cnt) contract as [[giniFromCounts]].
+    * Output: [[hhiIndex]]'s schema verbatim. */
+  def hhiFromCounts(counts: DataFrame): DataFrame = {
+    val (gv, gc) = guardedMassCols("hhiFromCounts")
+    val vDec = col("v").cast("long").cast("decimal(38,0)")
+    val cDec = col("cnt").cast("decimal(38,0)")
+    val row = counts.select(gv, gc).agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("n"),
+      sum(vDec * cDec).as("t"),
+      sum(vDec * vDec * cDec).as("s2")).head()
+    val n = row.getLong(0)
+    require(n > 0L, "hhiFromCounts: empty count state")
+    hhiScalarReadout(counts.sparkSession, n,
+      BigDecimal(row.getDecimal(1)), BigDecimal(row.getDecimal(2)),
+      "hhiFromCounts")
+  }
+
+  /** Per-group [[hhiIndex]] — concentration within each
+    * source/language, the drill-down under the corpus-wide number.
+    * The whole readout runs IN the plan over exact decimal columns
+    * (group cardinality unbounded, no driver scalars): one
+    * map-side-combined per-group aggregation, two in-plan divisions
+    * on the 6-decimal gate. A zero-total group reports NULL hhi (0/0
+    * — the [[giniIndexByGroup]] convention); a single-holder group
+    * reports NULL hhi_norm. Output: one row per group —
+    * (`groupCol` as STRING, `n`, `total`, `hhi6`, `hhi_norm6`),
+    * ordered by group. */
+  def hhiIndexByGroup(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val masses = df.filter(col(valueCol).isNotNull).select(
+      col(groupCol).cast("string").as("__g"),
+      when(col(valueCol).cast("double") >= 0.0 &&
+          col(valueCol).cast("double") ===
+            floor(col(valueCol).cast("double")),
+          col(valueCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit("hhiIndexByGroup: mass must be a non-negative integer, got "),
+          col(valueCol).cast("string")))).as("__x"))
+    val xDec = col("__x").cast("decimal(38,0)")
+    masses.groupBy("__g").agg(
+        count(lit(1)).as("n"),
+        sum(xDec).as("__t"),
+        sum(xDec * xDec).as("__s2"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("__t").cast("long").as("total"),
+        when(col("__t") > 0,
+            round(col("__s2").cast("double") /
+              (col("__t") * col("__t")).cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("hhi6"),
+        when(col("__t") > 0 && col("n") > 1L,
+            round((col("n").cast("decimal(38,0)") * col("__s2") -
+                col("__t") * col("__t")).cast("double") /
+              ((col("__t") * col("__t")).cast("double") *
+                (col("n") - 1L).cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("hhi_norm6"))
+      .orderBy(groupCol)
+  }
+
+  /** Theil T concentration index — `Σ (x_i/M)·ln(n·x_i/M)` over
+    * holder masses: the entropy-based concentration number whose
+    * claim to fame is exact ADDITIVE decomposition (corpus Theil =
+    * between-source Theil + mass-weighted within-source Theils —
+    * the audit trail Gini cannot give). 0 = perfectly even, ln(n) =
+    * single-holder; the normalized `theil_norm6 = T/ln(n)` lands in
+    * [0, 1]. Zero-mass holders count in `n` and contribute 0 (the
+    * `s·ln(s) → 0` limit), documented rather than special-cased.
+    *
+    * Per-term arithmetic is IEEE (a log), so terms are 12dp-rounded
+    * into an exact DECIMAL(38,12) SUM — the [[graft.operators.Profile
+    * .categoricalAssociation]] discipline: term order provably cannot
+    * move the sum, and both engines replay the identical per-term
+    * doubles. Readout rounds at 6. Zero total mass is loud; n = 1
+    * reports NULL theil_norm (ln(1) = 0).
+    *
+    * Scale shape: one scalar pre-aggregation for (n, M), one
+    * broadcast-joined map-only term pass, one map-side-combined SUM.
+    * Output: one row — (`n`, `total`, `theil6`, `theil_norm6`). */
+  def theilIndex(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val masses = guardedMasses(df, valueCol, "theilIndex")
+    val top = masses.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("__x").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("t")).head()
+    val n = top.getLong(0)
+    require(n > 0L, "theilIndex: no non-null masses")
+    val t = BigDecimal(top.getDecimal(1))
+    require(t > BigDecimal(0), "theilIndex: total mass is zero — T is 0/0")
+    val m = t.toDouble
+    val share = col("__x").cast("double") / lit(m)
+    val term = when(col("__x") > 0L,
+        share * log(lit(n.toDouble) * share))
+      .otherwise(lit(0.0))
+    val theil = masses.agg(
+      sum(round(term, 12).cast("decimal(38,12)")).cast("double"))
+      .head().getDouble(0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val norm: Option[Double] =
+      if (n == 1L) None else Some(r6(theil / math.log(n.toDouble)))
+    import spark.implicits._
+    Seq((n, t.toLongExact, r6(theil), norm))
+      .toDF("n", "total", "theil6", "theil_norm6")
+  }
 }

@@ -1052,6 +1052,26 @@ object StreamGate {
       graft.operators.Profile.foldValueCounts,
       state => graft.operators.Stats.giniFromCounts(state))
 
+  /** Streaming HHI concentration monitor — [[graft.operators.Stats
+    * .hhiIndex]] with the mass feed as a FILE STREAM: each
+    * micro-batch's distinct-mass counts fold by SUM into the SAME
+    * versioned value-count ECDF state the quantile/KS/Gini monitors
+    * maintain, and the readout runs [[graft.operators.Stats
+    * .hhiFromCounts]] — every HHI sufficient statistic
+    * (Σcnt, Σv·cnt, Σv²·cnt) is a SUM over that state, so the split
+    * provably cannot move the index. One maintained grid serves the
+    * whole quantile/KS/Gini/HHI family. Returns the one-row
+    * (`n`, `total`, `hhi6`, `hhi_norm6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayHhiMonitor(
+      monitored: DataFrame,
+      valueCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(valueCol), "hhi", filesPerTrigger)(
+      batch => graft.operators.Profile.ksSideCounts(batch, valueCol, "cnt"),
+      graft.operators.Profile.foldValueCounts,
+      state => graft.operators.Stats.hhiFromCounts(state))
+
   /** Streaming categorical-association monitor — [[graft.operators
     * .Profile.categoricalAssociation]] with the row feed as a FILE
     * STREAM: each micro-batch's joint (a, b) counts fold by SUM into

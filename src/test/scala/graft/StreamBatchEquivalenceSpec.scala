@@ -310,6 +310,19 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       .exists(_.microBatches > 1))
   }
 
+  test("stream hhi monitor == batch hhiIndex across count folds") {
+    import graft.operators.Stats
+    val masses = events.select((abs(col("value")) * 100).cast("long")
+      .as("mass"))
+    val streamed = StreamGate.replayHhiMonitor(
+      masses.repartition(8), "mass", filesPerTrigger = 1).head()
+    val batch = Stats.hhiIndex(masses, "mass").head()
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+    assert(graft.streaming.StreamGate.lastReplayObservability
+      .exists(_.microBatches > 1))
+  }
+
   test("stream per-group gini monitor == batch giniIndexByGroup across folds") {
     import graft.operators.Stats
     val masses = events.select(col("event_type"),
