@@ -5256,6 +5256,128 @@ object SparkEntry {
     graft.streaming.StreamGate.replayHhiMonitor(
       docTokenMasses(s, dir).select(col("n_tokens")), "n_tokens")
 
+  /** The (snapshot, type, bucket) frame q241's per-group association
+    * audits — shared by the q266/q267 maintenance twins. */
+  private def snapshotAssociationRows(
+      s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      (col("event_id") % 3).cast("string").as("snapshot"),
+      col("event_type"),
+      (col("user_id") % 7).cast("string").as("user_bucket"))
+
+  // ---------------------------------------------------------------- q266
+  /** Incremental PER-GROUP association maintenance ([[graft.operators
+    * .Profile.foldGroupJointCounts]] + the shared per-group readout):
+    * q241's group-keyed joint state built from the pre-split events,
+    * kept current by folding the post-split shard's cells — group-
+    * keyed counts merge by SUM, held to q241's VERBATIM oracle. */
+  private def q266IncrementalGroupAssociation(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profile
+    def slice(pred: Column): DataFrame = Profile.groupJointCountsOf(
+      Tables.events(s, dir).filter(pred)
+        .select((col("event_id") % 3).cast("string").as("snapshot"),
+          col("event_type"),
+          (col("user_id") % 7).cast("string").as("user_bucket")),
+      "snapshot", "event_type", "user_bucket")
+    Profile.associationByGroupFromJoint(
+      Profile.foldGroupJointCounts(
+          slice(col("event_id") % 10 < 8),
+          slice(col("event_id") % 10 >= 8))
+        .localCheckpoint(),
+      "snapshot")
+  }
+
+  // ---------------------------------------------------------------- q267
+  /** Streaming per-group association monitor ([[graft.streaming
+    * .StreamGate.replayGroupAssociationMonitor]]): q241's row feed
+    * micro-batched, group-keyed joint counts folded by SUM into
+    * versioned state, readout = the shared per-group chi²/V/MI
+    * arithmetic — held to q241's verbatim oracle, closing the
+    * association matrix's per-group column (corpus AND per-group now
+    * each have batch / incremental / stream). */
+  private def q267StreamGroupAssociation(
+      s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayGroupAssociationMonitor(
+      snapshotAssociationRows(s, dir),
+      "snapshot", "event_type", "user_bucket")
+
+  // ---------------------------------------------------------------- q268
+  /** Per-source Theil T ([[graft.operators.Stats.theilIndexByGroup]]):
+    * within-source token-mass concentration, whole readout in-plan
+    * (group cardinality unbounded) — the drill-down whose
+    * mass-weighted sum is exactly q269's "within" half. */
+  private def q268TheilBySource(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.theilIndexByGroup(
+      sourceTokenMasses(s, dir), "source", "n_tokens")
+
+  // ---------------------------------------------------------------- q269
+  /** Theil decomposition ([[graft.operators.Stats
+    * .theilDecomposition]]): corpus token-mass concentration split
+    * into between-source and mass-weighted within-source parts — the
+    * additive audit trail Gini cannot give ("a few giant SOURCES, or
+    * giants WITHIN each source?"). The oracle independently replays
+    * all three sums; the decomposition identity is spec-pinned. */
+  private def q269TheilDecomposition(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.theilDecomposition(
+      sourceTokenMasses(s, dir), "source", "n_tokens")
+
+  // ---------------------------------------------------------------- q270
+  /** Theil off the maintained count state ([[graft.operators.Stats
+    * .theilFromCounts]]): an integer multiple of a 12dp-rounded
+    * decimal term is exact, so the counts readout provably equals the
+    * per-row one — held to q262's VERBATIM oracle (the q237/q263
+    * pattern). */
+  private def q270TheilFromCounts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.theilFromCounts(
+      graft.operators.Profile.ksSideCounts(
+        docTokenMasses(s, dir), "n_tokens", "cnt"))
+
+  // ---------------------------------------------------------------- q271
+  /** Incremental Theil maintenance: the mass grid folded across the
+    * pre/post split, readout = [[graft.operators.Stats
+    * .theilFromCounts]] — held to q262's verbatim oracle. */
+  private def q271IncrementalTheil(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Profile, Stats}
+    val masses = docTokenMasses(s, dir)
+    val base = Profile.ksSideCounts(
+      masses.filter(pmod(col("doc_id"), lit(10L)) < 8L), "n_tokens", "cnt")
+    val delta = Profile.ksSideCounts(
+      masses.filter(pmod(col("doc_id"), lit(10L)) >= 8L), "n_tokens", "cnt")
+    Stats.theilFromCounts(Profile.foldValueCounts(base, delta))
+  }
+
+  // ---------------------------------------------------------------- q272
+  /** Streaming Theil monitor ([[graft.streaming.StreamGate
+    * .replayTheilMonitor]]): the mass feed micro-batched into the
+    * shared versioned value-count state — held to q262's verbatim
+    * oracle; the one maintained grid now serves quantiles, KS, Gini,
+    * HHI, and Theil. */
+  private def q272StreamTheil(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayTheilMonitor(
+      docTokenMasses(s, dir).select(col("n_tokens")), "n_tokens")
+
+  // ---------------------------------------------------------------- q273
+  /** Brier score + expected calibration error ([[graft.operators.Eval
+    * .brierEce]]): a hash-uniform score column with labels drawn at
+    * (approximately) the claimed rate — every score and label a pure
+    * integer-hash function both engines derive identically; Brier and
+    * the 10-bin ECE ride 12dp-rounded decimal term sums onto the 6dp
+    * gate. */
+  private def q273BrierEce(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val su = TextFunctions.portableTokenHash32(
+      concat(lit("cal:"), col("doc_id").cast("string")))
+      .cast("double") / lit(4294967296.0)
+    val label = pmod(TextFunctions.portableTokenHash32(
+      concat(lit("lab:"), col("doc_id").cast("string"))), lit(1000L))
+      .cast("double") < floor(su * lit(1000.0))
+    graft.operators.Eval.brierEce(
+      Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("s", su).withColumn("label", label),
+      "label", "s", bins = 10, lo = 0.0, hi = 1.0)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q01_sum_agg" -> (q01SumAgg _),
@@ -5523,6 +5645,14 @@ object SparkEntry {
     "q263_hhi_from_counts" -> (q263HhiFromCounts _),
     "q264_incremental_hhi" -> (q264IncrementalHhi _),
     "q265_stream_hhi" -> (q265StreamHhi _),
+    "q266_incremental_group_association" -> (q266IncrementalGroupAssociation _),
+    "q267_stream_group_association" -> (q267StreamGroupAssociation _),
+    "q268_theil_by_source" -> (q268TheilBySource _),
+    "q269_theil_decomposition" -> (q269TheilDecomposition _),
+    "q270_theil_from_counts" -> (q270TheilFromCounts _),
+    "q271_incremental_theil" -> (q271IncrementalTheil _),
+    "q272_stream_theil" -> (q272StreamTheil _),
+    "q273_brier_ece" -> (q273BrierEce _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7025,32 +7155,117 @@ object SparkEntry {
         |      / (CAST(t*t AS DOUBLE) * CAST(n-1 AS DOUBLE)), 6)
         |  END AS hhi_norm6
         |FROM g ORDER BY source""".stripMargin,
-    "q262_theil_token_mass" ->
+    // the counts path, the incremental fold, and the streamed monitor
+    // are held to the direct Theil's verbatim ground truth (an integer
+    // multiple of a 12dp-rounded decimal term is exact)
+    "q270_theil_from_counts" -> theilTokenMassOracle,
+    "q271_incremental_theil" -> theilTokenMassOracle,
+    "q272_stream_theil" -> theilTokenMassOracle,
+    "q268_theil_by_source" ->
       """WITH d AS (
-        |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
-        |    AS x
+        |  SELECT source,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS x
         |  FROM documents WHERE text IS NOT NULL
-        |), s AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |), g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
         |    SUM(CAST(x AS DECIMAL(38,0))) AS t
-        |  FROM d
-        |), terms AS (
-        |  SELECT CASE WHEN x > 0 THEN
+        |  FROM d GROUP BY source
+        |), th AS (
+        |  SELECT d.source,
+        |    CAST(SUM(CAST(ROUND(CASE WHEN x > 0 THEN
+        |        (CAST(x AS DOUBLE) / CAST(t AS DOUBLE)) *
+        |          ln(CAST(n AS DOUBLE) *
+        |            (CAST(x AS DOUBLE) / CAST(t AS DOUBLE)))
+        |      ELSE 0.0 END, 12) AS DECIMAL(38,12))) AS DOUBLE) AS theil
+        |  FROM d JOIN g ON g.source = d.source
+        |  GROUP BY d.source
+        |)
+        |SELECT g.source, g.n, CAST(g.t AS BIGINT) AS total,
+        |  CASE WHEN g.t > 0 THEN ROUND(th.theil, 6) END AS theil6,
+        |  CASE WHEN g.t > 0 AND g.n > 1 THEN
+        |    ROUND(th.theil / ln(CAST(g.n AS DOUBLE)), 6)
+        |  END AS theil_norm6
+        |FROM g JOIN th ON th.source = g.source
+        |ORDER BY g.source""".stripMargin,
+    "q269_theil_decomposition" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS x
+        |  FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS tg
+        |  FROM d GROUP BY source
+        |), tops AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS gs,
+        |    CAST(SUM(ng) AS BIGINT) AS n, SUM(tg) AS t
+        |  FROM g
+        |), tot AS (
+        |  SELECT CAST(SUM(CAST(ROUND(CASE WHEN x > 0 THEN
         |      (CAST(x AS DOUBLE) / CAST(t AS DOUBLE)) *
         |        ln(CAST(n AS DOUBLE) *
         |          (CAST(x AS DOUBLE) / CAST(t AS DOUBLE)))
-        |    ELSE 0.0 END AS term
-        |  FROM d, s
-        |), th AS (
-        |  SELECT CAST(SUM(CAST(ROUND(term, 12) AS DECIMAL(38,12)))
-        |    AS DOUBLE) AS theil
-        |  FROM terms
+        |    ELSE 0.0 END, 12) AS DECIMAL(38,12))) AS DOUBLE) AS theil
+        |  FROM d, tops
+        |), btw AS (
+        |  SELECT CAST(SUM(CAST(ROUND(CASE WHEN tg > 0 THEN
+        |      (CAST(tg AS DOUBLE) / CAST(t AS DOUBLE)) *
+        |        ln((CAST(tg AS DOUBLE) / CAST(t AS DOUBLE)) *
+        |          CAST(n AS DOUBLE) / CAST(ng AS DOUBLE))
+        |    ELSE 0.0 END, 12) AS DECIMAL(38,12))) AS DOUBLE) AS between
+        |  FROM g, tops
+        |), win AS (
+        |  SELECT CAST(SUM(CAST(ROUND(CASE WHEN x > 0 THEN
+        |      (CAST(x AS DOUBLE) / CAST(t AS DOUBLE)) *
+        |        ln(CAST(ng AS DOUBLE) * CAST(x AS DOUBLE)
+        |          / CAST(tg AS DOUBLE))
+        |    ELSE 0.0 END, 12) AS DECIMAL(38,12))) AS DOUBLE) AS within
+        |  FROM d JOIN g ON g.source = d.source, tops
         |)
-        |SELECT s.n, CAST(s.t AS BIGINT) AS total,
-        |  ROUND(theil, 6) AS theil6,
-        |  CASE WHEN s.n > 1 THEN ROUND(theil / ln(CAST(s.n AS DOUBLE)), 6)
-        |  END AS theil_norm6
-        |FROM s, th""".stripMargin,
+        |SELECT tops.n, tops.gs AS n_groups, CAST(tops.t AS BIGINT) AS total,
+        |  ROUND(tot.theil, 6) AS theil6,
+        |  ROUND(btw.between, 6) AS between6,
+        |  ROUND(win.within, 6) AS within6
+        |FROM tops, tot, btw, win""".stripMargin,
+    "q273_brier_ece" ->
+      s"""WITH sc AS (
+         |  SELECT ${hash32Sql(
+             "'cal:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0 AS s,
+         |    CASE WHEN CAST(${hash32Sql(
+             "'lab:' || CAST(doc_id AS VARCHAR)")} % 1000 AS DOUBLE)
+         |        < floor((${hash32Sql(
+             "'cal:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0) * 1000.0)
+         |      THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents
+         |), b AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(ROUND((s - y) * (s - y), 12)
+         |      AS DECIMAL(38,12))) AS DOUBLE) AS bsum
+         |  FROM sc
+         |), binned AS (
+         |  SELECT LEAST(GREATEST(
+         |      CAST(FLOOR((s - 0.0) * 10.0 / (1.0 - 0.0)) AS INT), 0), 9)
+         |      AS bucket,
+         |    y, CAST(ROUND(s, 6) AS DECIMAL(28,6)) AS s6
+         |  FROM sc
+         |), per AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nb,
+         |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS npos,
+         |    SUM(s6) AS ssum
+         |  FROM binned GROUP BY bucket
+         |), ece AS (
+         |  SELECT CAST(SUM(CAST(ROUND(
+         |      (CAST(nb AS DOUBLE) / CAST(b.n AS DOUBLE)) *
+         |        abs(CAST(npos AS DOUBLE) / CAST(nb AS DOUBLE)
+         |          - CAST(ssum AS DOUBLE) / CAST(nb AS DOUBLE)), 12)
+         |      AS DECIMAL(38,12))) AS DOUBLE) AS e
+         |  FROM per, b
+         |)
+         |SELECT b.n, ROUND(bsum / CAST(b.n AS DOUBLE), 6) AS brier6,
+         |  ROUND(e, 6) AS ece6
+         |FROM b, ece""".stripMargin,
+    "q262_theil_token_mass" -> theilTokenMassOracle,
     "q236_fs_decisions" ->
       """WITH l AS (
         |  SELECT c_custkey AS cid, c_mktsegment, c_nationkey, c_name
@@ -7156,52 +7371,12 @@ object SparkEntry {
         |FROM ps CROSS JOIN cum
         |WHERE cum.cum >= GREATEST(CAST(CEIL(ps.p * cum.w) AS BIGINT), 1)
         |GROUP BY cum.g, ps.p ORDER BY lang, p""".stripMargin,
-    "q241_association_by_group" ->
-      """WITH t AS (
-        |  SELECT CAST(event_id % 3 AS VARCHAR) AS g, event_type AS a,
-        |    CAST(user_id % 7 AS VARCHAR) AS b
-        |  FROM events
-        |), j AS (
-        |  SELECT g, a, b, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM t GROUP BY g, a, b
-        |), ra AS (SELECT g, a, CAST(SUM(c) AS BIGINT) AS na
-        |  FROM j GROUP BY g, a),
-        |rb AS (SELECT g, b, CAST(SUM(c) AS BIGINT) AS nb
-        |  FROM j GROUP BY g, b),
-        |nn AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM j GROUP BY g),
-        |rc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS r FROM ra GROUP BY g),
-        |cc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM rb GROUP BY g),
-        |grid AS (
-        |  SELECT ra.g AS g, COALESCE(j.c, 0) AS o,
-        |    CAST(ra.na AS DOUBLE) * CAST(rb.nb AS DOUBLE)
-        |      / CAST(nn.n AS DOUBLE) AS e,
-        |    nn.n AS n
-        |  FROM ra JOIN rb ON ra.g IS NOT DISTINCT FROM rb.g
-        |  JOIN nn ON ra.g IS NOT DISTINCT FROM nn.g
-        |  LEFT JOIN j ON ra.g IS NOT DISTINCT FROM j.g
-        |    AND ra.a IS NOT DISTINCT FROM j.a
-        |    AND rb.b IS NOT DISTINCT FROM j.b
-        |), s AS (
-        |  SELECT g, MAX(n) AS n,
-        |    CAST(SUM(CAST(ROUND(
-        |      (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 12)
-        |      AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
-        |    CAST(SUM(CAST(ROUND(CASE WHEN o > 0
-        |      THEN (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * ln(CAST(o AS DOUBLE) / e)
-        |      ELSE 0.0 END, 12) AS DECIMAL(38,12))) AS DOUBLE) AS mi
-        |  FROM grid GROUP BY g
-        |)
-        |SELECT s.g AS snapshot, s.n AS n, (rc.r - 1) * (cc.c2 - 1) AS dof,
-        |  ROUND(chi2, 6) AS chi2_6,
-        |  CASE WHEN LEAST(rc.r, cc.c2) > 1
-        |    THEN ROUND(SQRT(chi2 / (CAST(s.n AS DOUBLE)
-        |      * CAST(LEAST(rc.r, cc.c2) - 1 AS DOUBLE))), 6)
-        |    ELSE NULL END AS cramers_v6,
-        |  ROUND(mi, 6) AS mi6
-        |FROM s JOIN rc ON s.g IS NOT DISTINCT FROM rc.g
-        |JOIN cc ON s.g IS NOT DISTINCT FROM cc.g
-        |ORDER BY snapshot""".stripMargin,
+    "q241_association_by_group" -> groupAssociationOracle,
+    // the per-group incremental fold and streamed monitor are held to
+    // the per-group batch audit's verbatim ground truth (group-keyed
+    // joint counts fold by SUM)
+    "q266_incremental_group_association" -> groupAssociationOracle,
+    "q267_stream_group_association" -> groupAssociationOracle,
     "q221_exact_quantiles" -> exactQuantilesOracle,
     // held to the batch recompute: the count state folds by SUM, so
     // the incremental and streamed ECDFs are provably the same grid
@@ -11003,6 +11178,38 @@ object SparkEntry {
     * (the incremental fold), and q265 (the streaming monitor) — four
     * formulations, one ground truth: every HHI sufficient statistic
     * is a SUM over the value-count state. */
+  /** Shared by q262 (the direct Theil), q270 (the counts path), q271
+    * (the incremental fold), and q272 (the streaming monitor) — four
+    * formulations, one ground truth: an integer multiple of a
+    * 12dp-rounded decimal term is exact, so the count-state readout
+    * provably equals the per-row one. */
+  private val theilTokenMassOracle: String =
+    """WITH d AS (
+        |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+        |    AS x
+        |  FROM documents WHERE text IS NOT NULL
+        |), s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS t
+        |  FROM d
+        |), terms AS (
+        |  SELECT CASE WHEN x > 0 THEN
+        |      (CAST(x AS DOUBLE) / CAST(t AS DOUBLE)) *
+        |        ln(CAST(n AS DOUBLE) *
+        |          (CAST(x AS DOUBLE) / CAST(t AS DOUBLE)))
+        |    ELSE 0.0 END AS term
+        |  FROM d, s
+        |), th AS (
+        |  SELECT CAST(SUM(CAST(ROUND(term, 12) AS DECIMAL(38,12)))
+        |    AS DOUBLE) AS theil
+        |  FROM terms
+        |)
+        |SELECT s.n, CAST(s.t AS BIGINT) AS total,
+        |  ROUND(theil, 6) AS theil6,
+        |  CASE WHEN s.n > 1 THEN ROUND(theil / ln(CAST(s.n AS DOUBLE)), 6)
+        |  END AS theil_norm6
+        |FROM s, th""".stripMargin
+
   private val hhiTokenMassOracle: String =
     """WITH d AS (
       |  SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
@@ -11021,6 +11228,57 @@ object SparkEntry {
       |      / CAST(t*t*CAST(n-1 AS DECIMAL(38,0)) AS DOUBLE), 6)
       |  END AS hhi_norm6
       |FROM s""".stripMargin
+
+  /** Shared by q241 (the batch per-group association audit), q266
+    * (the incremental fold), and q267 (the streaming monitor) — three
+    * formulations, one ground truth: group-keyed joint counts fold by
+    * SUM. */
+  private val groupAssociationOracle: String =
+    """WITH t AS (
+        |  SELECT CAST(event_id % 3 AS VARCHAR) AS g, event_type AS a,
+        |    CAST(user_id % 7 AS VARCHAR) AS b
+        |  FROM events
+        |), j AS (
+        |  SELECT g, a, b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY g, a, b
+        |), ra AS (SELECT g, a, CAST(SUM(c) AS BIGINT) AS na
+        |  FROM j GROUP BY g, a),
+        |rb AS (SELECT g, b, CAST(SUM(c) AS BIGINT) AS nb
+        |  FROM j GROUP BY g, b),
+        |nn AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM j GROUP BY g),
+        |rc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS r FROM ra GROUP BY g),
+        |cc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM rb GROUP BY g),
+        |grid AS (
+        |  SELECT ra.g AS g, COALESCE(j.c, 0) AS o,
+        |    CAST(ra.na AS DOUBLE) * CAST(rb.nb AS DOUBLE)
+        |      / CAST(nn.n AS DOUBLE) AS e,
+        |    nn.n AS n
+        |  FROM ra JOIN rb ON ra.g IS NOT DISTINCT FROM rb.g
+        |  JOIN nn ON ra.g IS NOT DISTINCT FROM nn.g
+        |  LEFT JOIN j ON ra.g IS NOT DISTINCT FROM j.g
+        |    AND ra.a IS NOT DISTINCT FROM j.a
+        |    AND rb.b IS NOT DISTINCT FROM j.b
+        |), s AS (
+        |  SELECT g, MAX(n) AS n,
+        |    CAST(SUM(CAST(ROUND(
+        |      (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 12)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
+        |    CAST(SUM(CAST(ROUND(CASE WHEN o > 0
+        |      THEN (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * ln(CAST(o AS DOUBLE) / e)
+        |      ELSE 0.0 END, 12) AS DECIMAL(38,12))) AS DOUBLE) AS mi
+        |  FROM grid GROUP BY g
+        |)
+        |SELECT s.g AS snapshot, s.n AS n, (rc.r - 1) * (cc.c2 - 1) AS dof,
+        |  ROUND(chi2, 6) AS chi2_6,
+        |  CASE WHEN LEAST(rc.r, cc.c2) > 1
+        |    THEN ROUND(SQRT(chi2 / (CAST(s.n AS DOUBLE)
+        |      * CAST(LEAST(rc.r, cc.c2) - 1 AS DOUBLE))), 6)
+        |    ELSE NULL END AS cramers_v6,
+        |  ROUND(mi, 6) AS mi6
+        |FROM s JOIN rc ON s.g IS NOT DISTINCT FROM rc.g
+        |JOIN cc ON s.g IS NOT DISTINCT FROM cc.g
+        |ORDER BY snapshot""".stripMargin
 
   private val giniTokenMassOracle: String =
     """WITH d AS (

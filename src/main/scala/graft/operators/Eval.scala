@@ -412,6 +412,58 @@ object Eval {
           .as("mean_score"))
   }
 
+  /** Brier score + expected calibration error — the two scalar
+    * calibration numbers over a scored binary corpus: Brier is the
+    * mean squared error of the probability itself
+    * (`mean((s − y)²)` — strictly proper, so a model cannot improve
+    * it by hedging), ECE is the bucket-weighted gap between claimed
+    * confidence and realized frequency
+    * (`Σ_b (n_b/n)·|frac_pos_b − mean_score_b|` over
+    * [[calibrationBins]]'s buckets — the one-number summary of the
+    * reliability diagram). NULL scores are excluded (unscored, not
+    * wrong); scores outside [lo, hi] clamp into the edge buckets
+    * (the calibrationBins rule) but enter Brier verbatim.
+    *
+    * Cross-engine determinism: Brier terms and per-bucket gap terms
+    * are IEEE doubles summed through 12dp-rounded DECIMAL(38,12)
+    * partials (term order provably irrelevant); the bucket means
+    * divide the bins' EXACT decimal score sums (scores 6dp-rounded
+    * into DECIMAL(28,6) before summing — [[calibrationBins]]'s own
+    * exactness trick). Readout on the 6dp gate.
+    *
+    * Scale shape: one map-side-combined bins-bounded aggregation
+    * (shared with the reliability diagram), one map-only Brier pass.
+    * Output: one row — (`n`, `brier6`, `ece6`). */
+  def brierEce(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int = 10,
+      lo: Double = 0.0,
+      hi: Double = 1.0): DataFrame = {
+    val spark = scored.sparkSession
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+    val s = col(scoreCol).cast("double")
+    val y = when(col(labelCol).cast("boolean"), lit(1.0)).otherwise(lit(0.0))
+    val brierRow = scored.filter(s.isNotNull).agg(
+      count(lit(1)).as("n"),
+      dsum((s - y) * (s - y)).as("b")).head()
+    val n = brierRow.getLong(0)
+    require(n > 0L, "brierEce: no non-null scores")
+    val brier = brierRow.getDouble(1) / n.toDouble
+    val perBin = calibrationBins(scored, labelCol, scoreCol, bins, lo, hi)
+      .filter(col("n") > 0L)
+    val ece = perBin.agg(dsum(
+        (col("n").cast("double") / lit(n.toDouble)) *
+          abs(col("frac_pos") - col("mean_score"))))
+      .head().getDouble(0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    Seq((n, r6(brier), r6(ece))).toDF("n", "brier6", "ece6")
+  }
+
   /** Per-slice ROC-AUC — [[rocAuc]] computed independently for every
     * group (language, source, time bucket): the slice-based evaluation
     * that catches a model scoring 0.95 AUC overall while failing one

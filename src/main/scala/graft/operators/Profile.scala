@@ -653,16 +653,43 @@ object Profile {
     * `mi6`), ordered by group. */
   def categoricalAssociationByGroup(
       df: DataFrame, groupCol: String, colA: String,
+      colB: String): DataFrame =
+    associationByGroupFromJoint(
+      groupJointCountsOf(df, groupCol, colA, colB).localCheckpoint(),
+      groupCol)
+
+  /** One batch's GROUP-KEYED joint count table —
+    * `(__g, __a, __b, __c)`, [[jointCountsOf]] with the group riding
+    * along; folds with [[foldGroupJointCounts]]. */
+  private[graft] def groupJointCountsOf(
+      df: DataFrame, groupCol: String, colA: String,
       colB: String): DataFrame = {
     require(colA != colB,
       s"categoricalAssociationByGroup needs two distinct columns (got $colA twice)")
     require(groupCol != colA && groupCol != colB,
       s"the group column ($groupCol) must differ from both axes")
-    val joint = df.select(col(groupCol).cast("string").as("__g"),
+    df.select(col(groupCol).cast("string").as("__g"),
         col(colA).cast("string").as("__a"),
         col(colB).cast("string").as("__b"))
       .groupBy("__g", "__a", "__b").agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
+  }
+
+  /** The group-keyed joint-state fold — [[foldJointCounts]] with the
+    * group in the key: union + one cells-bounded re-aggregation,
+    * counts merge by SUM, so the per-group batch, incremental, and
+    * streaming association readouts are formulations of one ground
+    * truth. */
+  private[graft] def foldGroupJointCounts(
+      base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy("__g", "__a", "__b")
+      .agg(sum(col("__c")).as("__c"))
+
+  /** [[categoricalAssociationByGroup]]'s readout over accumulated
+    * `(__g, __a, __b, __c)` state — shared verbatim by the batch
+    * operator, the incremental fold, and the streaming monitor (the
+    * caller owns checkpointing). */
+  private[graft] def associationByGroupFromJoint(
+      joint: DataFrame, groupCol: String): DataFrame = {
     val ra = joint.groupBy("__g", "__a").agg(sum(col("__c")).as("__na"))
     val rb = joint.groupBy("__g", "__b").agg(sum(col("__c")).as("__nb"))
     val dims = joint.groupBy("__g").agg(sum(col("__c")).as("__n"),

@@ -1111,4 +1111,171 @@ object Stats {
     Seq((n, t.toLongExact, r6(theil), norm))
       .toDF("n", "total", "theil6", "theil_norm6")
   }
+
+  /** Per-group [[theilIndex]] — within-source concentration, the
+    * drill-down whose mass-weighted sum is exactly the "within" half
+    * of [[theilDecomposition]]. The whole readout runs IN the plan
+    * (group cardinality unbounded): one group-bounded (n, M)
+    * aggregation, one equi join back (AQE broadcasts the group
+    * table), the 12dp-rounded decimal term sum per group. A
+    * zero-total group reports NULL theil (the x > 0 branch guards the
+    * share division — ANSI DIVIDE_BY_ZERO is load-bearing here);
+    * a single-holder group reports NULL theil_norm (ln(1) = 0).
+    * Output: one row per group — (`groupCol` as STRING, `n`, `total`,
+    * `theil6`, `theil_norm6`), ordered by group. */
+  def theilIndexByGroup(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val masses = guardedGroupMasses(df, groupCol, valueCol,
+      "theilIndexByGroup")
+    val totals = masses.groupBy("__g").agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast("decimal(38,0)")).as("__t"))
+    val share = col("__x").cast("double") / col("__t").cast("double")
+    val term = when(col("__x") > 0L,
+        share * log(col("__n").cast("double") * share))
+      .otherwise(lit(0.0))
+    masses.join(totals, Seq("__g"))
+      .groupBy("__g").agg(
+        max(col("__n")).as("n"), max(col("__t")).as("__t"),
+        sum(round(term, 12).cast("decimal(38,12)")).cast("double")
+          .as("__theil"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("__t").cast("long").as("total"),
+        when(col("__t") > 0, round(col("__theil"), 6))
+          .otherwise(lit(null).cast("double")).as("theil6"),
+        when(col("__t") > 0 && col("n") > 1L,
+            round(col("__theil") / log(col("n").cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("theil_norm6"))
+      .orderBy(groupCol)
+  }
+
+  /** The shared loud per-group mass projection. */
+  private def guardedGroupMasses(
+      df: DataFrame, groupCol: String, valueCol: String,
+      op: String): DataFrame =
+    df.filter(col(valueCol).isNotNull).select(
+      col(groupCol).cast("string").as("__g"),
+      when(col(valueCol).cast("double") >= 0.0 &&
+          col(valueCol).cast("double") ===
+            floor(col(valueCol).cast("double")),
+          col(valueCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"$op: mass must be a non-negative integer, got "),
+          col(valueCol).cast("string")))).as("__x"))
+
+  /** Theil's additive decomposition — the reason Theil exists: corpus
+    * concentration splits EXACTLY into between-group and
+    * mass-weighted within-group parts,
+    * `T = Σ_g s_g·ln(s_g·n/n_g) + Σ_g s_g·T_g` with `s_g = M_g/M` —
+    * the audit trail ("is the corpus concentrated because a few
+    * SOURCES dominate, or because docs WITHIN each source do?") that
+    * Gini provably cannot give. Zero-mass groups contribute 0 to both
+    * parts (the s·ln(s) limit); per-term 12dp-rounded decimal sums
+    * everywhere (the identity is exact in real arithmetic; the three
+    * emitted numbers each carry one rounding layer, so
+    * between6 + within6 matches theil6 to ~1e-5, pinned by spec).
+    *
+    * Scale shape: one group-bounded (n_g, M_g) aggregation; the
+    * between part is a map-only pass over THAT table; the within part
+    * joins masses back to it once and runs one more
+    * map-side-combined sum. Output: one row — (`n`, `n_groups`,
+    * `total`, `theil6`, `between6`, `within6`). */
+  def theilDecomposition(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val masses = guardedGroupMasses(df, groupCol, valueCol,
+      "theilDecomposition").localCheckpoint()
+    try {
+      val groups = masses.groupBy("__g").agg(
+          count(lit(1)).as("__ng"),
+          sum(col("__x").cast("decimal(38,0)")).as("__tg"))
+        .localCheckpoint()
+      try {
+        val top = groups.agg(count(lit(1)).as("gs"),
+          coalesce(sum(col("__ng")), lit(0L)).as("n"),
+          coalesce(sum(col("__tg")), lit(0).cast("decimal(38,0)"))
+            .as("t")).head()
+        val (nGroups, n) = (top.getLong(0), top.getLong(1))
+        require(n > 0L, "theilDecomposition: no non-null masses")
+        val t = BigDecimal(top.getDecimal(2))
+        require(t > BigDecimal(0),
+          "theilDecomposition: total mass is zero — T is 0/0")
+        val m = t.toDouble
+        def dsum(c: org.apache.spark.sql.Column) =
+          sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+        // total: the theilIndex term pass over the checkpointed masses
+        val shareAll = col("__x").cast("double") / lit(m)
+        val theil = masses.agg(dsum(when(col("__x") > 0L,
+            shareAll * log(lit(n.toDouble) * shareAll))
+          .otherwise(lit(0.0)))).head().getDouble(0)
+        // between: s_g · ln(s_g · n / n_g) over the group table
+        val sg = col("__tg").cast("double") / lit(m)
+        val between = groups.agg(dsum(when(col("__tg") > 0,
+            sg * log(sg * lit(n.toDouble) / col("__ng").cast("double")))
+          .otherwise(lit(0.0)))).head().getDouble(0)
+        // within: s_g · T_g — the per-group term pass weighted in one go:
+        // Σ_g s_g Σ_i (x/M_g)·ln(n_g·x/M_g) = Σ_i (x/M)·ln(n_g·x/M_g)
+        val withinTerm = when(col("__x") > 0L,
+            (col("__x").cast("double") / lit(m)) *
+              log(col("__ng").cast("double") *
+                col("__x").cast("double") / col("__tg").cast("double")))
+          .otherwise(lit(0.0))
+        val within = masses.join(groups, Seq("__g"))
+          .agg(dsum(withinTerm)).head().getDouble(0)
+        def r6(x: Double) = BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        import spark.implicits._
+        Seq((n, nGroups, t.toLongExact, r6(theil), r6(between), r6(within)))
+          .toDF("n", "n_groups", "total", "theil6", "between6", "within6")
+      } finally Blocks.release(groups)
+    } finally Blocks.release(masses)
+  }
+
+  /** [[theilIndex]] off the SUM-foldable (v, cnt) value-count state:
+    * every row at mass `v` contributes the IDENTICAL 12dp-rounded
+    * term, so `Σ_rows round(term, 12) = Σ_v cnt·round(term_v, 12)`
+    * EXACTLY (an integer multiple of a decimal is exact) — the counts
+    * path, the incremental fold, and the streaming monitor are held
+    * to the direct oracle verbatim, closing Theil's maintenance
+    * matrix on the same grid as quantiles/KS/Gini/HHI. Same loud
+    * (v, cnt) contract as [[giniFromCounts]]. Output: [[theilIndex]]'s
+    * schema verbatim. */
+  def theilFromCounts(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    val (gv, gc) = guardedMassCols("theilFromCounts")
+    val guarded = counts.select(gv, gc).localCheckpoint()
+    try {
+      val top = guarded.agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("n"),
+        coalesce(sum(col("v").cast("long").cast("decimal(38,0)") *
+            col("cnt").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("t")).head()
+      val n = top.getLong(0)
+      require(n > 0L, "theilFromCounts: empty count state")
+      val t = BigDecimal(top.getDecimal(1))
+      require(t > BigDecimal(0),
+        "theilFromCounts: total mass is zero — T is 0/0")
+      val m = t.toDouble
+      val share = col("v").cast("double") / lit(m)
+      val term = when(col("v") > 0.0,
+          share * log(lit(n.toDouble) * share))
+        .otherwise(lit(0.0))
+      // precision budget: (23,0) × (14,12) → (38,12) — EXACT. A
+      // (38,0) × (38,12) product would blow Spark's 38-digit cap and
+      // silently reduce the scale, re-rounding every term to ~6dp
+      // (observed: 3e-6 drift vs the per-row sum). |term| < 100 by
+      // construction (≤ max(ln n, 1/e)), cnt < 1e23 at any scale.
+      val theil = guarded.agg(
+          sum(col("cnt").cast("decimal(23,0)") *
+            round(term, 12).cast("decimal(14,12)")).cast("double"))
+        .head().getDouble(0)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val norm: Option[Double] =
+        if (n == 1L) None else Some(r6(theil / math.log(n.toDouble)))
+      import spark.implicits._
+      Seq((n, t.toLongExact, r6(theil), norm))
+        .toDF("n", "total", "theil6", "theil_norm6")
+    } finally Blocks.release(guarded)
+  }
 }

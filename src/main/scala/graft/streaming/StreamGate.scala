@@ -1094,6 +1094,49 @@ object StreamGate {
       graft.operators.Profile.foldJointCounts,
       state => graft.operators.Profile.associationFromJoint(state))
 
+  /** Streaming Theil concentration monitor — [[graft.operators.Stats
+    * .theilIndex]] with the mass feed as a FILE STREAM over the SAME
+    * versioned value-count state as the quantile/KS/Gini/HHI
+    * monitors; readout = [[graft.operators.Stats.theilFromCounts]]
+    * (an integer multiple of a 12dp-rounded decimal term is exact, so
+    * the counts readout provably equals the per-row one). Returns the
+    * one-row (`n`, `total`, `theil6`, `theil_norm6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayTheilMonitor(
+      monitored: DataFrame,
+      valueCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(valueCol), "theil", filesPerTrigger)(
+      batch => graft.operators.Profile.ksSideCounts(batch, valueCol, "cnt"),
+      graft.operators.Profile.foldValueCounts,
+      state => graft.operators.Stats.theilFromCounts(state))
+
+  /** Streaming PER-GROUP association monitor — [[graft.operators
+    * .Profile.categoricalAssociationByGroup]] with the row feed as a
+    * FILE STREAM: each micro-batch's (group, a, b) joint counts fold
+    * by SUM into cells-bounded versioned state, and the readout runs
+    * the SHARED per-group chi-square / Cramér's V / MI arithmetic —
+    * the drill-down dashboard ("is language⊥source WITHIN each crawl
+    * snapshot, live?"), provably equal to the batch audit of the same
+    * feed. Closes the association matrix's per-group column: corpus
+    * AND per-group each have batch / incremental / stream. Returns
+    * the per-group (`groupCol`, `n`, `dof`, `chi2_6`, `cramers_v6`,
+    * `mi6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayGroupAssociationMonitor(
+      rows: DataFrame,
+      groupCol: String,
+      colA: String,
+      colB: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(rows, Seq(groupCol, colA, colB), "gassoc",
+        filesPerTrigger)(
+      batch => graft.operators.Profile.groupJointCountsOf(
+        batch, groupCol, colA, colB),
+      graft.operators.Profile.foldGroupJointCounts,
+      state => graft.operators.Profile.associationByGroupFromJoint(
+        state.localCheckpoint(), groupCol))
+
   /** Streaming bootstrap-CI monitor — [[graft.operators.Stats
     * .bootstrapMeanCI]] with the outcome feed as a FILE STREAM: each
     * micro-batch folds its rows' `nBoot` Poisson replicate weights

@@ -69,6 +69,50 @@ class ConcentrationSpec extends AnyFunSuite {
     assert(o.getDouble(2) == 0.0 && o.isNullAt(3))
   }
 
+  test("theilIndexByGroup == filtered ungrouped; zero-mass group NULL") {
+    val df = masses(Seq(3L, 3L, 9L, 1L, 2L, 7L))
+    val grouped = Stats.theilIndexByGroup(df, "g", "x").collect()
+    Seq("g0", "g1").zipWithIndex.foreach { case (g, i) =>
+      val solo = Stats.theilIndex(df.filter(col("g") === g), "x").head()
+      assert(grouped(i).toSeq.drop(1) == solo.toSeq, g)
+    }
+    val zeroes = table("g string, x bigint",
+      Seq(row("z", 0L), row("z", 0L), row("w", 4L)))
+    val gz = Stats.theilIndexByGroup(zeroes, "g", "x").collect()
+    assert(gz(1).getString(0) == "z" && gz(1).isNullAt(3) &&
+      gz(1).isNullAt(4))
+  }
+
+  test("theilFromCounts == theilIndex, and the fold preserves it") {
+    val df = masses(Seq(3L, 3L, 9L, 1L, 0L, 7L, 100L, 2L))
+    val direct = Stats.theilIndex(df, "x").head().toSeq
+    val counts = Profile.ksSideCounts(df, "x", "cnt")
+    assert(Stats.theilFromCounts(counts).head().toSeq == direct)
+    val a = Profile.ksSideCounts(df.filter(col("g") === "g0"), "x", "cnt")
+    val b = Profile.ksSideCounts(df.filter(col("g") === "g1"), "x", "cnt")
+    assert(Stats.theilFromCounts(Profile.foldValueCounts(a, b))
+      .head().toSeq == direct)
+  }
+
+  test("theilDecomposition: between + within recovers the total") {
+    val df = masses(Seq(30L, 1L, 9L, 1L, 2L, 70L, 5L, 5L))
+    val d = Stats.theilDecomposition(df, "g", "x").head()
+    val total = Stats.theilIndex(df, "x").head()
+    assert(d.getLong(0) == total.getLong(0))
+    assert(d.getLong(2) == total.getLong(1))
+    assert(d.getDouble(3) == total.getDouble(2), "total replays theilIndex")
+    // the identity is exact in real arithmetic; the three emitted
+    // numbers each carry one rounding layer
+    assert(math.abs(d.getDouble(3) - (d.getDouble(4) + d.getDouble(5)))
+      < 1e-5, d.toSeq.toString)
+    // one group per holder: within 0, between = total
+    val solo = table("g string, x bigint",
+      Seq(row("a", 9L), row("b", 1L), row("c", 4L)))
+    val ds = Stats.theilDecomposition(solo, "g", "x").head()
+    assert(ds.getDouble(5) == 0.0)
+    assert(ds.getDouble(4) == ds.getDouble(3))
+  }
+
   test("loud guards: negative, fractional, and zero-total masses") {
     val neg = masses(Seq(3L, -1L))
     val e1 = intercept[Exception] {

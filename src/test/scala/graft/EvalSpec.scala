@@ -492,4 +492,32 @@ class EvalSpec extends AnyFunSuite {
         table("id bigint, p double", Seq(row(1L, null))), "id", "p", 0.1)
     }
   }
+
+  test("brierEce: perfect, hedged, and confidently-wrong closed forms") {
+    import graft.operators.Eval
+    val perfect = table("label boolean, s double", Seq(
+      row(true, 1.0), row(false, 0.0), row(true, 1.0)))
+    val p = Eval.brierEce(perfect, "label", "s").head()
+    assert(p.toSeq == Seq(3L, 0.0, 0.0))
+    // constant 0.5 on a balanced corpus: Brier 0.25, perfectly
+    // calibrated (bucket 5 claims 0.5 and realizes 0.5)
+    val hedged = table("label boolean, s double", Seq(
+      row(true, 0.5), row(false, 0.5), row(true, 0.5), row(false, 0.5)))
+    val h = Eval.brierEce(hedged, "label", "s").head()
+    assert(h.toSeq == Seq(4L, 0.25, 0.0))
+    // confidently wrong: claims 0.9, realizes 0
+    val wrong = table("label boolean, s double", Seq(
+      row(false, 0.9), row(false, 0.9)))
+    val w = Eval.brierEce(wrong, "label", "s").head()
+    assert(w.toSeq == Seq(2L, 0.81, 0.9))
+    // NULL scores excluded; empty is loud
+    val withNull = table("label boolean, s double", Seq(
+      row(true, 1.0), row(false, null)))
+    assert(Eval.brierEce(withNull, "label", "s").head().getLong(0) == 1L)
+    intercept[IllegalArgumentException] {
+      Eval.brierEce(
+        table("label boolean, s double", Seq(row(true, null))),
+        "label", "s").head()
+    }
+  }
 }

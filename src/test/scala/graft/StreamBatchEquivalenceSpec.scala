@@ -323,6 +323,38 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       .exists(_.microBatches > 1))
   }
 
+  test("stream theil monitor == batch theilIndex across count folds") {
+    import graft.operators.Stats
+    val masses = events.select((abs(col("value")) * 100).cast("long")
+      .as("mass"))
+    val streamed = StreamGate.replayTheilMonitor(
+      masses.repartition(8), "mass", filesPerTrigger = 1).head()
+    val batch = Stats.theilIndex(masses, "mass").head()
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+    assert(graft.streaming.StreamGate.lastReplayObservability
+      .exists(_.microBatches > 1))
+  }
+
+  test("stream per-group association == batch categoricalAssociationByGroup") {
+    import graft.operators.Profile
+    val rows = events.select(
+      (col("event_id") % 2).cast("string").as("half"),
+      col("event_type"),
+      (col("user_id") % 5).cast("string").as("bucket"))
+    val streamed = StreamGate.replayGroupAssociationMonitor(
+        rows.repartition(8), "half", "event_type", "bucket",
+        filesPerTrigger = 1)
+      .collect().map(_.toSeq)
+    val batch = Profile.categoricalAssociationByGroup(
+        rows, "half", "event_type", "bucket")
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+    assert(graft.streaming.StreamGate.lastReplayObservability
+      .exists(_.microBatches > 1))
+  }
+
   test("stream per-group gini monitor == batch giniIndexByGroup across folds") {
     import graft.operators.Stats
     val masses = events.select(col("event_type"),
