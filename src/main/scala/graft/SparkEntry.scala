@@ -5378,6 +5378,79 @@ object SparkEntry {
       "label", "s", bins = 10, lo = 0.0, hi = 1.0)
   }
 
+  // ---------------------------------------------------------------- q274
+  /** Per-source HHI off the maintained per-group count state
+    * ([[graft.operators.Stats.hhiByGroupFromCounts]]) — held to
+    * q261's VERBATIM oracle (the q247 pattern on the HHI readout). */
+  private def q274GroupHhiFromCounts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.hhiByGroupFromCounts(
+      graft.operators.Profile.groupSideCounts(
+        sourceTokenMasses(s, dir), "source", "n_tokens"),
+      "source")
+
+  // ---------------------------------------------------------------- q275
+  /** Incremental per-source HHI: the per-group mass grid folded
+    * across the pre/post split — held to q261's verbatim oracle. */
+  private def q275IncrementalGroupHhi(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Profile, Stats}
+    val masses = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long").as("n_tokens"))
+    def slice(pred: Column): DataFrame = Profile.groupSideCounts(
+      masses.filter(pred), "source", "n_tokens")
+    Stats.hhiByGroupFromCounts(
+      Profile.foldGroupValueCounts(
+        slice(pmod(col("doc_id"), lit(10L)) < 8L),
+        slice(pmod(col("doc_id"), lit(10L)) >= 8L)),
+      "source")
+  }
+
+  // ---------------------------------------------------------------- q276
+  /** Streaming per-source HHI monitor ([[graft.streaming.StreamGate
+    * .replayGroupHhiMonitor]]) — held to q261's verbatim oracle;
+    * the per-group grid now serves quantiles, Gini, and HHI. */
+  private def q276StreamGroupHhi(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayGroupHhiMonitor(
+      sourceTokenMasses(s, dir), "source", "n_tokens")
+
+  // ---------------------------------------------------------------- q277
+  /** Per-source Theil off the maintained per-group count state
+    * ([[graft.operators.Stats.theilByGroupFromCounts]]) — held to
+    * q268's VERBATIM oracle. */
+  private def q277GroupTheilFromCounts(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.theilByGroupFromCounts(
+      graft.operators.Profile.groupSideCounts(
+        sourceTokenMasses(s, dir), "source", "n_tokens"),
+      "source")
+
+  // ---------------------------------------------------------------- q278
+  /** Incremental per-source Theil: the per-group grid folded across
+    * the pre/post split — held to q268's verbatim oracle. */
+  private def q278IncrementalGroupTheil(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Profile, Stats}
+    val masses = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long").as("n_tokens"))
+    def slice(pred: Column): DataFrame = Profile.groupSideCounts(
+      masses.filter(pred), "source", "n_tokens")
+    Stats.theilByGroupFromCounts(
+      Profile.foldGroupValueCounts(
+        slice(pmod(col("doc_id"), lit(10L)) < 8L),
+        slice(pmod(col("doc_id"), lit(10L)) >= 8L)),
+      "source")
+  }
+
+  // ---------------------------------------------------------------- q279
+  /** Streaming per-source Theil monitor ([[graft.streaming.StreamGate
+    * .replayGroupTheilMonitor]]) — held to q268's verbatim oracle;
+    * closes the concentration matrix completely: Gini/HHI/Theil ×
+    * corpus/per-group × batch/counts/incremental/stream. */
+  private def q279StreamGroupTheil(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayGroupTheilMonitor(
+      sourceTokenMasses(s, dir), "source", "n_tokens")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q01_sum_agg" -> (q01SumAgg _),
@@ -5653,6 +5726,12 @@ object SparkEntry {
     "q271_incremental_theil" -> (q271IncrementalTheil _),
     "q272_stream_theil" -> (q272StreamTheil _),
     "q273_brier_ece" -> (q273BrierEce _),
+    "q274_group_hhi_from_counts" -> (q274GroupHhiFromCounts _),
+    "q275_incremental_group_hhi" -> (q275IncrementalGroupHhi _),
+    "q276_stream_group_hhi" -> (q276StreamGroupHhi _),
+    "q277_group_theil_from_counts" -> (q277GroupTheilFromCounts _),
+    "q278_incremental_group_theil" -> (q278IncrementalGroupTheil _),
+    "q279_stream_group_theil" -> (q279StreamGroupTheil _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7129,64 +7208,28 @@ object SparkEntry {
          |  END AS cycle_rate6
          |FROM mods, pr, ecnt, closed, cyc""".stripMargin,
     "q260_hhi_token_mass" -> hhiTokenMassOracle,
+    // the per-group counts path, fold, and streamed monitor are held
+    // to the per-group direct computation's verbatim ground truth
+    "q274_group_hhi_from_counts" -> hhiBySourceOracle,
+    "q275_incremental_group_hhi" -> hhiBySourceOracle,
+    "q276_stream_group_hhi" -> hhiBySourceOracle,
+    "q277_group_theil_from_counts" -> theilBySourceOracle,
+    "q278_incremental_group_theil" -> theilBySourceOracle,
+    "q279_stream_group_theil" -> theilBySourceOracle,
     // the counts path, the incremental fold, and the streamed monitor
     // are held to the direct computation's verbatim ground truth
     // (every HHI sufficient statistic is a SUM over the count state)
     "q263_hhi_from_counts" -> hhiTokenMassOracle,
     "q264_incremental_hhi" -> hhiTokenMassOracle,
     "q265_stream_hhi" -> hhiTokenMassOracle,
-    "q261_hhi_by_source" ->
-      """WITH d AS (
-        |  SELECT source,
-        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS x
-        |  FROM documents WHERE text IS NOT NULL
-        |), g AS (
-        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-        |    SUM(CAST(x AS DECIMAL(38,0))) AS t,
-        |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s2
-        |  FROM d GROUP BY source
-        |)
-        |SELECT source, n, CAST(t AS BIGINT) AS total,
-        |  CASE WHEN t > 0 THEN
-        |    ROUND(CAST(s2 AS DOUBLE) / CAST(t*t AS DOUBLE), 6)
-        |  END AS hhi6,
-        |  CASE WHEN t > 0 AND n > 1 THEN
-        |    ROUND(CAST(n*s2 - t*t AS DOUBLE)
-        |      / (CAST(t*t AS DOUBLE) * CAST(n-1 AS DOUBLE)), 6)
-        |  END AS hhi_norm6
-        |FROM g ORDER BY source""".stripMargin,
+    "q261_hhi_by_source" -> hhiBySourceOracle,
     // the counts path, the incremental fold, and the streamed monitor
     // are held to the direct Theil's verbatim ground truth (an integer
     // multiple of a 12dp-rounded decimal term is exact)
     "q270_theil_from_counts" -> theilTokenMassOracle,
     "q271_incremental_theil" -> theilTokenMassOracle,
     "q272_stream_theil" -> theilTokenMassOracle,
-    "q268_theil_by_source" ->
-      """WITH d AS (
-        |  SELECT source,
-        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS x
-        |  FROM documents WHERE text IS NOT NULL
-        |), g AS (
-        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-        |    SUM(CAST(x AS DECIMAL(38,0))) AS t
-        |  FROM d GROUP BY source
-        |), th AS (
-        |  SELECT d.source,
-        |    CAST(SUM(CAST(ROUND(CASE WHEN x > 0 THEN
-        |        (CAST(x AS DOUBLE) / CAST(t AS DOUBLE)) *
-        |          ln(CAST(n AS DOUBLE) *
-        |            (CAST(x AS DOUBLE) / CAST(t AS DOUBLE)))
-        |      ELSE 0.0 END, 12) AS DECIMAL(38,12))) AS DOUBLE) AS theil
-        |  FROM d JOIN g ON g.source = d.source
-        |  GROUP BY d.source
-        |)
-        |SELECT g.source, g.n, CAST(g.t AS BIGINT) AS total,
-        |  CASE WHEN g.t > 0 THEN ROUND(th.theil, 6) END AS theil6,
-        |  CASE WHEN g.t > 0 AND g.n > 1 THEN
-        |    ROUND(th.theil / ln(CAST(g.n AS DOUBLE)), 6)
-        |  END AS theil_norm6
-        |FROM g JOIN th ON th.source = g.source
-        |ORDER BY g.source""".stripMargin,
+    "q268_theil_by_source" -> theilBySourceOracle,
     "q269_theil_decomposition" ->
       """WITH d AS (
         |  SELECT source,
@@ -11209,6 +11252,60 @@ object SparkEntry {
         |  CASE WHEN s.n > 1 THEN ROUND(theil / ln(CAST(s.n AS DOUBLE)), 6)
         |  END AS theil_norm6
         |FROM s, th""".stripMargin
+
+  /** Shared by q261 (the direct per-source HHI), q274 (the counts
+    * path), q275 (the incremental fold), and q276 (the streaming
+    * monitor). */
+  private val hhiBySourceOracle: String =
+    """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS x
+        |  FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS t,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s2
+        |  FROM d GROUP BY source
+        |)
+        |SELECT source, n, CAST(t AS BIGINT) AS total,
+        |  CASE WHEN t > 0 THEN
+        |    ROUND(CAST(s2 AS DOUBLE) / CAST(t*t AS DOUBLE), 6)
+        |  END AS hhi6,
+        |  CASE WHEN t > 0 AND n > 1 THEN
+        |    ROUND(CAST(n*s2 - t*t AS DOUBLE)
+        |      / (CAST(t*t AS DOUBLE) * CAST(n-1 AS DOUBLE)), 6)
+        |  END AS hhi_norm6
+        |FROM g ORDER BY source""".stripMargin
+
+  /** Shared by q268 (the direct per-source Theil), q277 (the counts
+    * path), q278 (the incremental fold), and q279 (the streaming
+    * monitor). */
+  private val theilBySourceOracle: String =
+    """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS x
+        |  FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS t
+        |  FROM d GROUP BY source
+        |), th AS (
+        |  SELECT d.source,
+        |    CAST(SUM(CAST(ROUND(CASE WHEN x > 0 THEN
+        |        (CAST(x AS DOUBLE) / CAST(t AS DOUBLE)) *
+        |          ln(CAST(n AS DOUBLE) *
+        |            (CAST(x AS DOUBLE) / CAST(t AS DOUBLE)))
+        |      ELSE 0.0 END, 12) AS DECIMAL(38,12))) AS DOUBLE) AS theil
+        |  FROM d JOIN g ON g.source = d.source
+        |  GROUP BY d.source
+        |)
+        |SELECT g.source, g.n, CAST(g.t AS BIGINT) AS total,
+        |  CASE WHEN g.t > 0 THEN ROUND(th.theil, 6) END AS theil6,
+        |  CASE WHEN g.t > 0 AND g.n > 1 THEN
+        |    ROUND(th.theil / ln(CAST(g.n AS DOUBLE)), 6)
+        |  END AS theil_norm6
+        |FROM g JOIN th ON th.source = g.source
+        |ORDER BY g.source""".stripMargin
 
   private val hhiTokenMassOracle: String =
     """WITH d AS (

@@ -1037,21 +1037,24 @@ object Stats {
     * ordered by group. */
   def hhiIndexByGroup(
       df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val masses = df.filter(col(valueCol).isNotNull).select(
-      col(groupCol).cast("string").as("__g"),
-      when(col(valueCol).cast("double") >= 0.0 &&
-          col(valueCol).cast("double") ===
-            floor(col(valueCol).cast("double")),
-          col(valueCol).cast("long"))
-        .otherwise(raise_error(concat(
-          lit("hhiIndexByGroup: mass must be a non-negative integer, got "),
-          col(valueCol).cast("string")))).as("__x"))
+    val masses = guardedGroupMasses(df, groupCol, valueCol,
+      "hhiIndexByGroup")
     val xDec = col("__x").cast("decimal(38,0)")
-    masses.groupBy("__g").agg(
+    hhiGroupReadout(
+      masses.groupBy("__g").agg(
         count(lit(1)).as("n"),
         sum(xDec).as("__t"),
-        sum(xDec * xDec).as("__s2"))
-      .select(col("__g").as(groupCol), col("n"),
+        sum(xDec * xDec).as("__s2")),
+      groupCol)
+  }
+
+  /** The per-group HHI readout over a `(__g, n, __t, __s2)` aggregate
+    * — shared verbatim by [[hhiIndexByGroup]] and
+    * [[hhiByGroupFromCounts]], so the direct path and the maintained
+    * state face one arithmetic. */
+  private def hhiGroupReadout(
+      agg: DataFrame, groupCol: String): DataFrame =
+    agg.select(col("__g").as(groupCol), col("n"),
         col("__t").cast("long").as("total"),
         when(col("__t") > 0,
             round(col("__s2").cast("double") /
@@ -1064,6 +1067,26 @@ object Stats {
                 (col("n") - 1L).cast("double")), 6))
           .otherwise(lit(null).cast("double")).as("hhi_norm6"))
       .orderBy(groupCol)
+
+  /** Per-group [[hhiFromCounts]] — [[hhiIndexByGroup]] off the
+    * SUM-foldable `(__g, v, cnt)` state the per-group quantile/Gini
+    * families maintain ([[graft.operators.Profile.groupSideCounts]] /
+    * [[graft.operators.Profile.foldGroupValueCounts]]): every
+    * per-group sufficient statistic is a SUM over the grid, the
+    * readout is [[hhiIndexByGroup]]'s verbatim. Same loud (v, cnt)
+    * contract as [[giniByGroupFromCounts]]. */
+  def hhiByGroupFromCounts(
+      counts: DataFrame, groupCol: String): DataFrame = {
+    val (gv, gc) = guardedMassCols("hhiByGroupFromCounts")
+    val guarded = counts.select(col("__g"), gv, gc)
+    val vDec = col("v").cast("long").cast("decimal(38,0)")
+    val cDec = col("cnt").cast("decimal(38,0)")
+    hhiGroupReadout(
+      guarded.groupBy("__g").agg(
+        sum(col("cnt")).as("n"),
+        sum(vDec * cDec).as("__t"),
+        sum(vDec * vDec * cDec).as("__s2")),
+      groupCol)
   }
 
   /** Theil T concentration index — `Σ (x_i/M)·ln(n·x_i/M)` over
@@ -1134,12 +1157,21 @@ object Stats {
     val term = when(col("__x") > 0L,
         share * log(col("__n").cast("double") * share))
       .otherwise(lit(0.0))
-    masses.join(totals, Seq("__g"))
-      .groupBy("__g").agg(
-        max(col("__n")).as("n"), max(col("__t")).as("__t"),
-        sum(round(term, 12).cast("decimal(38,12)")).cast("double")
-          .as("__theil"))
-      .select(col("__g").as(groupCol), col("n"),
+    theilGroupReadout(
+      masses.join(totals, Seq("__g"))
+        .groupBy("__g").agg(
+          max(col("__n")).as("n"), max(col("__t")).as("__t"),
+          sum(round(term, 12).cast("decimal(38,12)")).cast("double")
+            .as("__theil")),
+      groupCol)
+  }
+
+  /** The per-group Theil readout over a `(__g, n, __t, __theil)`
+    * aggregate — shared verbatim by [[theilIndexByGroup]] and
+    * [[theilByGroupFromCounts]]. */
+  private def theilGroupReadout(
+      agg: DataFrame, groupCol: String): DataFrame =
+    agg.select(col("__g").as(groupCol), col("n"),
         col("__t").cast("long").as("total"),
         when(col("__t") > 0, round(col("__theil"), 6))
           .otherwise(lit(null).cast("double")).as("theil6"),
@@ -1147,6 +1179,34 @@ object Stats {
             round(col("__theil") / log(col("n").cast("double")), 6))
           .otherwise(lit(null).cast("double")).as("theil_norm6"))
       .orderBy(groupCol)
+
+  /** Per-group [[theilFromCounts]] — [[theilIndexByGroup]] off the
+    * SUM-foldable `(__g, v, cnt)` state: per-group totals are SUMs
+    * over the grid, each distinct mass contributes
+    * `cnt · round(term, 12)` (exact — an integer multiple of a
+    * decimal), and the readout is [[theilIndexByGroup]]'s verbatim.
+    * The (23,0)×(14,12) precision budget is load-bearing — see
+    * [[theilFromCounts]]. */
+  def theilByGroupFromCounts(
+      counts: DataFrame, groupCol: String): DataFrame = {
+    val (gv, gc) = guardedMassCols("theilByGroupFromCounts")
+    val guarded = counts.select(col("__g"), gv, gc)
+    val totals = guarded.groupBy("__g").agg(
+      sum(col("cnt")).as("__n"),
+      sum(col("v").cast("long").cast("decimal(38,0)") *
+        col("cnt").cast("decimal(38,0)")).as("__t"))
+    val share = col("v").cast("double") / col("__t").cast("double")
+    val term = when(col("v") > 0.0,
+        share * log(col("__n").cast("double") * share))
+      .otherwise(lit(0.0))
+    theilGroupReadout(
+      guarded.join(totals, Seq("__g"))
+        .groupBy("__g").agg(
+          max(col("__n")).as("n"), max(col("__t")).as("__t"),
+          sum(col("cnt").cast("decimal(23,0)") *
+            round(term, 12).cast("decimal(14,12)")).cast("double")
+            .as("__theil")),
+      groupCol)
   }
 
   /** The shared loud per-group mass projection. */

@@ -1094,6 +1094,45 @@ object StreamGate {
       graft.operators.Profile.foldJointCounts,
       state => graft.operators.Profile.associationFromJoint(state))
 
+  /** Streaming PER-GROUP HHI monitor — [[graft.operators.Stats
+    * .hhiIndexByGroup]] off the SAME versioned per-group value-count
+    * state as the group quantile/Gini monitors; readout =
+    * [[graft.operators.Stats.hhiByGroupFromCounts]] (every per-group
+    * sufficient statistic is a SUM over the grid). Returns the
+    * per-group (`groupCol`, `n`, `total`, `hhi6`, `hhi_norm6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayGroupHhiMonitor(
+      monitored: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(groupCol, valueCol), "ghhi",
+        filesPerTrigger)(
+      batch => graft.operators.Profile.groupSideCounts(
+        batch, groupCol, valueCol),
+      graft.operators.Profile.foldGroupValueCounts,
+      state => graft.operators.Stats.hhiByGroupFromCounts(state, groupCol))
+
+  /** Streaming PER-GROUP Theil monitor — [[graft.operators.Stats
+    * .theilIndexByGroup]] off the shared per-group grid; readout =
+    * [[graft.operators.Stats.theilByGroupFromCounts]] (an integer
+    * multiple of a 12dp-rounded decimal term is exact). Returns the
+    * per-group (`groupCol`, `n`, `total`, `theil6`, `theil_norm6`)
+    * frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayGroupTheilMonitor(
+      monitored: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(groupCol, valueCol), "gtheil",
+        filesPerTrigger)(
+      batch => graft.operators.Profile.groupSideCounts(
+        batch, groupCol, valueCol),
+      graft.operators.Profile.foldGroupValueCounts,
+      state => graft.operators.Stats.theilByGroupFromCounts(
+        state, groupCol))
+
   /** Streaming Theil concentration monitor — [[graft.operators.Stats
     * .theilIndex]] with the mass feed as a FILE STREAM over the SAME
     * versioned value-count state as the quantile/KS/Gini/HHI

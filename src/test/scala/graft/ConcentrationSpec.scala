@@ -113,6 +113,22 @@ class ConcentrationSpec extends AnyFunSuite {
     assert(ds.getDouble(4) == ds.getDouble(3))
   }
 
+  test("per-group counts paths == direct per-group, and folds preserve them") {
+    val df = masses(Seq(3L, 3L, 9L, 1L, 2L, 7L, 0L, 100L))
+    val gc = Profile.groupSideCounts(df, "g", "x")
+    assert(Stats.hhiByGroupFromCounts(gc, "g").collect().map(_.toSeq).toSeq ==
+      Stats.hhiIndexByGroup(df, "g", "x").collect().map(_.toSeq).toSeq)
+    assert(Stats.theilByGroupFromCounts(gc, "g").collect().map(_.toSeq).toSeq ==
+      Stats.theilIndexByGroup(df, "g", "x").collect().map(_.toSeq).toSeq)
+    val a = Profile.groupSideCounts(df.filter(col("x") < 5L), "g", "x")
+    val b = Profile.groupSideCounts(df.filter(col("x") >= 5L), "g", "x")
+    val folded = Profile.foldGroupValueCounts(a, b)
+    assert(Stats.hhiByGroupFromCounts(folded, "g").collect().map(_.toSeq).toSeq ==
+      Stats.hhiIndexByGroup(df, "g", "x").collect().map(_.toSeq).toSeq)
+    assert(Stats.theilByGroupFromCounts(folded, "g").collect().map(_.toSeq).toSeq ==
+      Stats.theilIndexByGroup(df, "g", "x").collect().map(_.toSeq).toSeq)
+  }
+
   test("loud guards: negative, fractional, and zero-total masses") {
     val neg = masses(Seq(3L, -1L))
     val e1 = intercept[Exception] {

@@ -355,6 +355,24 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       .exists(_.microBatches > 1))
   }
 
+  test("stream per-group hhi and theil monitors == batch across folds") {
+    import graft.operators.Stats
+    val masses = events.select(col("event_type"),
+      (abs(col("value")) * 100).cast("long").as("mass"))
+    val sh = StreamGate.replayGroupHhiMonitor(
+        masses.repartition(8), "event_type", "mass", filesPerTrigger = 1)
+      .collect().map(_.toSeq)
+    assert(sh.toSeq == Stats.hhiIndexByGroup(masses, "event_type", "mass")
+      .collect().map(_.toSeq).toSeq)
+    val st = StreamGate.replayGroupTheilMonitor(
+        masses.repartition(8), "event_type", "mass", filesPerTrigger = 1)
+      .collect().map(_.toSeq)
+    assert(st.toSeq == Stats.theilIndexByGroup(masses, "event_type", "mass")
+      .collect().map(_.toSeq).toSeq)
+    assert(graft.streaming.StreamGate.lastReplayObservability
+      .exists(_.microBatches > 1))
+  }
+
   test("stream per-group gini monitor == batch giniIndexByGroup across folds") {
     import graft.operators.Stats
     val masses = events.select(col("event_type"),
