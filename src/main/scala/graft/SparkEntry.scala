@@ -5126,15 +5126,10 @@ object SparkEntry {
     * 1/(n_i−1) fractions scale through lcm(1..4) = 12 into exact
     * integers. Oracle replays the participation filter, both
     * disagreement sums, and the one division. */
-  private def q256KrippendorffAlpha(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
-    val participates = pmod(TextFunctions.portableTokenHash32(
-      concat(lit("kr:"), substring(col("rater"), 2, 10), lit(":"),
-        col("doc_id").cast("string"))), lit(5L)) < 3L
+  private def q256KrippendorffAlpha(s: SparkSession, dir: String): DataFrame =
     graft.operators.Annotate.krippendorffAlpha(
-      annotationRatings(s, dir).filter(participates),
+      annotationRatings(s, dir).filter(krParticipates),
       "doc_id", "rater", "label")
-  }
 
   /** The pairwise-preference fixture shared by q257–q259: consecutive
     * event pairs (even id vs id+1) become judged comparisons between
@@ -5142,7 +5137,14 @@ object SparkEntry {
     * equal-value, and NULL-value pairs drop. ~N/2 deterministic
     * comparisons over a 5-model tournament, derivable identically on
     * both engines. */
-  private def preferencePairs(s: SparkSession, dir: String): DataFrame = {
+  private def preferencePairs(s: SparkSession, dir: String): DataFrame =
+    preferencePairsSlice(s, dir, lit(true))
+
+  /** [[preferencePairs]] restricted to a predicate over the
+    * left-event alias (`a.*`) — the q284 shard carver (judged pairs
+    * land in disjoint shards by their anchoring event id). */
+  private def preferencePairsSlice(
+      s: SparkSession, dir: String, pred: Column): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("event_type"), col("value"))
     ev.as("a").join(ev.as("b"),
@@ -5150,7 +5152,7 @@ object SparkEntry {
       .filter(pmod(col("a.event_id"), lit(2L)) === 0L &&
         col("a.value").isNotNull && col("b.value").isNotNull &&
         col("a.event_type") =!= col("b.event_type") &&
-        col("a.value") =!= col("b.value"))
+        col("a.value") =!= col("b.value") && pred)
       .select(
         when(col("a.value") > col("b.value"), col("a.event_type"))
           .otherwise(col("b.event_type")).as("winner"),
@@ -5364,7 +5366,15 @@ object SparkEntry {
     * integer-hash function both engines derive identically; Brier and
     * the 10-bin ECE ride 12dp-rounded decimal term sums onto the 6dp
     * gate. */
-  private def q273BrierEce(s: SparkSession, dir: String): DataFrame = {
+  private def q273BrierEce(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.brierEce(
+      brierScoredDocs(s, dir), "label", "s", bins = 10, lo = 0.0, hi = 1.0)
+
+  /** The q273/q286/q287 scored corpus: hash-uniform scores with
+    * labels drawn at (approximately) the claimed rate — every score
+    * and label a pure integer-hash function both engines derive
+    * identically. */
+  private def brierScoredDocs(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     val su = TextFunctions.portableTokenHash32(
       concat(lit("cal:"), col("doc_id").cast("string")))
@@ -5372,10 +5382,8 @@ object SparkEntry {
     val label = pmod(TextFunctions.portableTokenHash32(
       concat(lit("lab:"), col("doc_id").cast("string"))), lit(1000L))
       .cast("double") < floor(su * lit(1000.0))
-    graft.operators.Eval.brierEce(
-      Tables.documents(s, dir).select(col("doc_id"))
-        .withColumn("s", su).withColumn("label", label),
-      "label", "s", bins = 10, lo = 0.0, hi = 1.0)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("s", su).withColumn("label", label)
   }
 
   // ---------------------------------------------------------------- q274
@@ -5450,6 +5458,124 @@ object SparkEntry {
   private def q279StreamGroupTheil(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamGate.replayGroupTheilMonitor(
       sourceTokenMasses(s, dir), "source", "n_tokens")
+
+  // ---------------------------------------------------------------- q280
+  /** Incremental Fleiss-kappa maintenance ([[graft.operators.Annotate
+    * .foldAnnotationCells]] + the shared cell readout): the (item,
+    * label) cell state built from raters r0–r2's assignments, kept
+    * current by folding r3–r4's — ratings never rescanned, held to
+    * q253's VERBATIM full-panel oracle (cells merge by SUM and kappa
+    * is a function of the cells alone). */
+  private def q280IncrementalFleiss(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Annotate
+    val r = annotationRatings(s, dir)
+    def cells(pred: Column): DataFrame = Annotate.annotationCellsOf(
+      r.filter(pred), "doc_id", "rater", "label", "q280")
+    Annotate.fleissKappaFromCells(
+      Annotate.foldAnnotationCells(
+          cells(col("rater") < "r3"), cells(col("rater") >= "r3"))
+        .localCheckpoint())
+  }
+
+  // ---------------------------------------------------------------- q281
+  /** Streaming inter-rater agreement monitor ([[graft.streaming
+    * .StreamGate.replayFleissMonitor]]): the ratings feed
+    * micro-batched, cells folded by SUM, kappa read off the completed
+    * panel — held to q253's verbatim oracle. */
+  private def q281StreamFleiss(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayFleissMonitor(
+      annotationRatings(s, dir), "doc_id", "rater", "label")
+
+  /** The q256/q282/q283 varying-participation predicate. */
+  private def krParticipates: Column = {
+    import graft.functions.TextFunctions
+    pmod(TextFunctions.portableTokenHash32(
+      concat(lit("kr:"), substring(col("rater"), 2, 10), lit(":"),
+        col("doc_id").cast("string"))), lit(5L)) < 3L
+  }
+
+  // ---------------------------------------------------------------- q282
+  /** Incremental Krippendorff-alpha maintenance: q256's
+    * varying-participation cell state folded across a doc-parity
+    * split — held to q256's VERBATIM oracle (the same cell table
+    * serves kappa and alpha). */
+  private def q282IncrementalAlpha(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Annotate
+    val r = annotationRatings(s, dir).filter(krParticipates)
+    def cells(pred: Column): DataFrame = Annotate.annotationCellsOf(
+      r.filter(pred), "doc_id", "rater", "label", "q282")
+    Annotate.krippendorffAlphaFromCells(
+      Annotate.foldAnnotationCells(
+          cells(pmod(col("doc_id"), lit(2L)) === 0L),
+          cells(pmod(col("doc_id"), lit(2L)) === 1L))
+        .localCheckpoint())
+  }
+
+  // ---------------------------------------------------------------- q283
+  /** Streaming Krippendorff-alpha monitor ([[graft.streaming
+    * .StreamGate.replayAlphaMonitor]]): the participation-filtered
+    * feed micro-batched — alpha tolerates varying participation, so
+    * the live readout is meaningful mid-panel; held to q256's
+    * verbatim oracle. */
+  private def q283StreamAlpha(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayAlphaMonitor(
+      annotationRatings(s, dir).filter(krParticipates),
+      "doc_id", "rater", "label")
+
+  // ---------------------------------------------------------------- q284
+  /** Incremental Bradley–Terry maintenance ([[graft.operators
+    * .Preference.foldWinCounts]] + the shared MM readout): the
+    * directed win counts built from the tournament's first 80% of
+    * judged pairs, kept current by folding the rest — the BT
+    * likelihood depends on the comparisons only through these counts,
+    * so the folded fit is held to q258's VERBATIM oracle. */
+  private def q284IncrementalBt(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Preference
+    def counts(pred: Column): DataFrame = Preference.winCountsOf(
+      preferencePairsSlice(s, dir, pred), "winner", "loser", "q284")
+    Preference.bradleyTerryFromCounts(
+      Preference.foldWinCounts(
+          counts(pmod(col("a.event_id"), lit(20L)) < 16L),
+          counts(pmod(col("a.event_id"), lit(20L)) >= 16L))
+        .localCheckpoint())
+  }
+
+  // ---------------------------------------------------------------- q285
+  /** Streaming Bradley–Terry leaderboard ([[graft.streaming
+    * .StreamGate.replayLeaderboardMonitor]]): the comparison feed
+    * micro-batched, win counts folded by SUM, the deterministic MM
+    * re-fit off the accumulated state — held to q258's verbatim
+    * oracle. */
+  private def q285StreamBt(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayLeaderboardMonitor(
+      preferencePairs(s, dir), "winner", "loser")
+
+  // ---------------------------------------------------------------- q286
+  /** Incremental calibration maintenance ([[graft.operators.Eval
+    * .foldCalibState]] + the shared Brier/ECE readout): the
+    * per-bucket exact-decimal state built from even doc ids, folded
+    * with the odd — held to q273's VERBATIM oracle. */
+  private def q286IncrementalCalibration(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Eval
+    val scored = brierScoredDocs(s, dir)
+    def state(pred: Column): DataFrame = Eval.calibStateOf(
+      scored.filter(pred), "label", "s")
+    Eval.brierEceFromState(
+      Eval.foldCalibState(
+          state(pmod(col("doc_id"), lit(2L)) === 0L),
+          state(pmod(col("doc_id"), lit(2L)) === 1L))
+        .localCheckpoint())
+  }
+
+  // ---------------------------------------------------------------- q287
+  /** Streaming calibration monitor ([[graft.streaming.StreamGate
+    * .replayCalibrationMonitor]]): the scored feed micro-batched into
+    * bins-bounded versioned state — the live confidence-honesty
+    * dashboard, held to q273's verbatim oracle. */
+  private def q287StreamCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayCalibrationMonitor(
+      brierScoredDocs(s, dir).select(col("label"), col("s")), "label", "s")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
@@ -5732,6 +5858,14 @@ object SparkEntry {
     "q277_group_theil_from_counts" -> (q277GroupTheilFromCounts _),
     "q278_incremental_group_theil" -> (q278IncrementalGroupTheil _),
     "q279_stream_group_theil" -> (q279StreamGroupTheil _),
+    "q280_incremental_fleiss" -> (q280IncrementalFleiss _),
+    "q281_stream_fleiss" -> (q281StreamFleiss _),
+    "q282_incremental_alpha" -> (q282IncrementalAlpha _),
+    "q283_stream_alpha" -> (q283StreamAlpha _),
+    "q284_incremental_bt" -> (q284IncrementalBt _),
+    "q285_stream_bt" -> (q285StreamBt _),
+    "q286_incremental_calibration" -> (q286IncrementalCalibration _),
+    "q287_stream_calibration" -> (q287StreamCalibration _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7017,32 +7151,11 @@ object SparkEntry {
     "q237_gini_from_counts" -> giniTokenMassOracle,
     "q238_incremental_gini" -> giniTokenMassOracle,
     "q239_stream_gini" -> giniTokenMassOracle,
-    "q253_fleiss_kappa" ->
-      s"""WITH $annotationRatingsCte,
-         |cells AS (
-         |  SELECT it, l, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM ratings GROUP BY it, l
-         |), per AS (
-         |  SELECT it, CAST(SUM(c) AS BIGINT) AS ni,
-         |    SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS a
-         |  FROM cells GROUP BY it
-         |), top AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS nitems,
-         |    CAST(MAX(ni) AS BIGINT) AS n, SUM(a) AS aa
-         |  FROM per
-         |), marg AS (
-         |  SELECT l, CAST(SUM(c) AS BIGINT) AS ck FROM cells GROUP BY l
-         |), bb AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
-         |    SUM(CAST(ck AS DECIMAL(38,0)) * CAST(ck AS DECIMAL(38,0))) AS b
-         |  FROM marg
-         |)
-         |SELECT nitems AS n_items, n AS n_raters, v AS n_labels,
-         |  ROUND(
-         |    CAST((aa - nitems*n) * (nitems*n) - b*(n-1) AS DOUBLE)
-         |    / CAST((n-1) * (CAST(nitems*n AS DECIMAL(38,0))*(nitems*n) - b)
-         |        AS DOUBLE), 6) AS kappa6
-         |FROM top, bb""".stripMargin,
+    "q253_fleiss_kappa" -> fleissPanelOracle,
+    // the incremental cell folds and streamed monitors are held to
+    // the batch panel audits' verbatim ground truth
+    "q280_incremental_fleiss" -> fleissPanelOracle,
+    "q281_stream_fleiss" -> fleissPanelOracle,
     "q254_consolidate_labels" ->
       s"""WITH $annotationCellsCte
          |SELECT it AS doc_id, l AS consensus_label, nr AS n_ratings,
@@ -7065,38 +7178,9 @@ object SparkEntry {
          |  hi6 < 0.75 AS flagged
          |FROM (${wilsonSql("rater")})
          |ORDER BY rater""".stripMargin,
-    "q256_krippendorff_alpha" ->
-      s"""WITH $annotationRatingsCte,
-         |part AS (
-         |  SELECT * FROM ratings
-         |  WHERE ${hash32Sql(
-             "'kr:' || substr(rater, 2, 10) || ':' || it")} % 5 < 3
-         |), cells AS (
-         |  SELECT it, l, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM part GROUP BY it, l
-         |), per AS (
-         |  SELECT it, CAST(SUM(c) AS BIGINT) AS ni,
-         |    SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS sq
-         |  FROM cells GROUP BY it HAVING SUM(c) >= 2
-         |), s AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
-         |    CAST(SUM(ni) AS BIGINT) AS n_tot,
-         |    SUM(CAST(12 // (ni - 1) AS DECIMAL(38,0)) *
-         |      (CAST(ni AS DECIMAL(38,0)) * ni - sq)) AS ds
-         |  FROM per
-         |), pc AS (
-         |  SELECT l, CAST(SUM(c) AS BIGINT) AS ck
-         |  FROM cells JOIN per USING (it) GROUP BY l
-         |), cc AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
-         |    SUM(CAST(ck AS DECIMAL(38,0)) * CAST(ck AS DECIMAL(38,0))) AS sq
-         |  FROM pc
-         |)
-         |SELECT n_items, n_tot AS n_ratings, v AS n_labels,
-         |  ROUND(1.0 - CAST(ds * (n_tot - 1) AS DOUBLE)
-         |    / CAST(12 * (CAST(n_tot AS DECIMAL(38,0)) * n_tot - cc.sq)
-         |        AS DOUBLE), 6) AS alpha6
-         |FROM s, cc""".stripMargin,
+    "q256_krippendorff_alpha" -> alphaPanelOracle,
+    "q282_incremental_alpha" -> alphaPanelOracle,
+    "q283_stream_alpha" -> alphaPanelOracle,
     "q257_pairwise_wins" ->
       s"""WITH $preferencePairsCte,
          |c AS (
@@ -7111,61 +7195,11 @@ object SparkEntry {
          |)
          |SELECT * FROM (${wilsonSql("model_a, model_b")})
          |ORDER BY model_a, model_b""".stripMargin,
-    "q258_bradley_terry" ->
-      s"""WITH RECURSIVE $preferencePairsCte,
-         |dir AS (
-         |  SELECT winner AS w, loser AS l, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM prefs GROUP BY winner, loser
-         |), models AS (
-         |  SELECT m, CAST(ROW_NUMBER() OVER (ORDER BY m) - 1 AS BIGINT) AS i
-         |  FROM (SELECT DISTINCT m FROM
-         |    (SELECT w AS m FROM dir UNION ALL SELECT l FROM dir))
-         |), kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM models
-         |), wmat AS (
-         |  SELECT mw.i AS i, ml.i AS j, dir.c AS c
-         |  FROM dir JOIN models mw ON mw.m = dir.w
-         |  JOIN models ml ON ml.m = dir.l
-         |), wins AS (SELECT i, CAST(SUM(c) AS BIGINT) AS wi FROM wmat GROUP BY i
-         |), nmat AS (
-         |  SELECT i, j, CAST(SUM(c) AS BIGINT) AS n
-         |  FROM (SELECT i, j, c FROM wmat
-         |    UNION ALL SELECT j AS i, i AS j, c FROM wmat)
-         |  GROUP BY i, j
-         |), nls AS (
-         |  SELECT i, list(struct_pack(j := j, n := n) ORDER BY j) AS nl
-         |  FROM nmat GROUP BY i
-         |), state AS (
-         |  SELECT 0 AS it,
-         |    (SELECT list(CAST(1 AS DOUBLE) / kk.k ORDER BY m.i)
-         |     FROM models m, kk) AS p
-         |  UNION ALL
-         |  SELECT it + 1,
-         |    -- a lambda cannot capture the correlated recursive row, so
-         |    -- the iteration vector joins into the subquery as a column
-         |    (SELECT list(
-         |        CAST(w.wi AS DOUBLE) / list_reduce(
-         |          list_transform(nn.nl, x ->
-         |            CAST(x.n AS DOUBLE) /
-         |              (q.pp[CAST(nn.i AS INT) + 1] +
-         |               q.pp[CAST(x.j AS INT) + 1])),
-         |          (a, b) -> a + b)
-         |      ORDER BY nn.i)
-         |     FROM nls nn JOIN wins w ON w.i = nn.i
-         |     CROSS JOIN (SELECT s.p AS pp) q)
-         |  FROM state s WHERE s.it < 25
-         |), fin AS (SELECT p FROM state WHERE it = 25
-         |), tot AS (SELECT list_reduce(p, (a, b) -> a + b) AS t FROM fin
-         |), rated AS (
-         |  SELECT m.m AS model, w.wi AS n_wins,
-         |    (SELECT CAST(SUM(n) AS BIGINT) FROM nmat WHERE nmat.i = m.i)
-         |      AS n_comparisons,
-         |    ROUND(fin.p[CAST(m.i AS INT) + 1] / tot.t, 6) AS rating6
-         |  FROM models m JOIN wins w ON w.i = m.i, fin, tot
-         |)
-         |SELECT model, n_wins, n_comparisons, rating6,
-         |  CAST(ROW_NUMBER() OVER (ORDER BY rating6 DESC, model)
-         |    AS INTEGER) AS rnk
-         |FROM rated ORDER BY rnk""".stripMargin,
+    "q258_bradley_terry" -> bradleyTerryOracle,
+    // the win-count fold and streamed leaderboard are held to the
+    // batch fit's verbatim ground truth
+    "q284_incremental_bt" -> bradleyTerryOracle,
+    "q285_stream_bt" -> bradleyTerryOracle,
     "q259_intransitivity" ->
       s"""WITH $preferencePairsCte,
          |cpair AS (
@@ -7270,44 +7304,9 @@ object SparkEntry {
         |  ROUND(btw.between, 6) AS between6,
         |  ROUND(win.within, 6) AS within6
         |FROM tops, tot, btw, win""".stripMargin,
-    "q273_brier_ece" ->
-      s"""WITH sc AS (
-         |  SELECT ${hash32Sql(
-             "'cal:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0 AS s,
-         |    CASE WHEN CAST(${hash32Sql(
-             "'lab:' || CAST(doc_id AS VARCHAR)")} % 1000 AS DOUBLE)
-         |        < floor((${hash32Sql(
-             "'cal:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0) * 1000.0)
-         |      THEN 1.0 ELSE 0.0 END AS y
-         |  FROM documents
-         |), b AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         |    CAST(SUM(CAST(ROUND((s - y) * (s - y), 12)
-         |      AS DECIMAL(38,12))) AS DOUBLE) AS bsum
-         |  FROM sc
-         |), binned AS (
-         |  SELECT LEAST(GREATEST(
-         |      CAST(FLOOR((s - 0.0) * 10.0 / (1.0 - 0.0)) AS INT), 0), 9)
-         |      AS bucket,
-         |    y, CAST(ROUND(s, 6) AS DECIMAL(28,6)) AS s6
-         |  FROM sc
-         |), per AS (
-         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nb,
-         |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS npos,
-         |    SUM(s6) AS ssum
-         |  FROM binned GROUP BY bucket
-         |), ece AS (
-         |  SELECT CAST(SUM(CAST(ROUND(
-         |      (CAST(nb AS DOUBLE) / CAST(b.n AS DOUBLE)) *
-         |        abs(CAST(npos AS DOUBLE) / CAST(nb AS DOUBLE)
-         |          - CAST(ssum AS DOUBLE) / CAST(nb AS DOUBLE)), 12)
-         |      AS DECIMAL(38,12))) AS DOUBLE) AS e
-         |  FROM per, b
-         |)
-         |SELECT b.n, ROUND(bsum / CAST(b.n AS DOUBLE), 6) AS brier6,
-         |  ROUND(e, 6) AS ece6
-         |FROM b, ece""".stripMargin,
+    "q273_brier_ece" -> brierEceOracle,
+    "q286_incremental_calibration" -> brierEceOracle,
+    "q287_stream_calibration" -> brierEceOracle,
     "q262_theil_token_mass" -> theilTokenMassOracle,
     "q236_fs_decisions" ->
       """WITH l AS (
@@ -11306,6 +11305,175 @@ object SparkEntry {
         |  END AS theil_norm6
         |FROM g JOIN th ON th.source = g.source
         |ORDER BY g.source""".stripMargin
+
+  /** Shared by q253 (the batch Fleiss kappa), q280 (the incremental
+    * cell fold), and q281 (the streaming monitor) — three
+    * formulations, one ground truth: (item, label) cells fold by SUM
+    * and kappa is a function of the cells alone. */
+  private val fleissPanelOracle: String =
+    s"""WITH $annotationRatingsCte,
+         |cells AS (
+         |  SELECT it, l, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM ratings GROUP BY it, l
+         |), per AS (
+         |  SELECT it, CAST(SUM(c) AS BIGINT) AS ni,
+         |    SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS a
+         |  FROM cells GROUP BY it
+         |), top AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS nitems,
+         |    CAST(MAX(ni) AS BIGINT) AS n, SUM(a) AS aa
+         |  FROM per
+         |), marg AS (
+         |  SELECT l, CAST(SUM(c) AS BIGINT) AS ck FROM cells GROUP BY l
+         |), bb AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         |    SUM(CAST(ck AS DECIMAL(38,0)) * CAST(ck AS DECIMAL(38,0))) AS b
+         |  FROM marg
+         |)
+         |SELECT nitems AS n_items, n AS n_raters, v AS n_labels,
+         |  ROUND(
+         |    CAST((aa - nitems*n) * (nitems*n) - b*(n-1) AS DOUBLE)
+         |    / CAST((n-1) * (CAST(nitems*n AS DECIMAL(38,0))*(nitems*n) - b)
+         |        AS DOUBLE), 6) AS kappa6
+         |FROM top, bb""".stripMargin
+
+  /** Shared by q256 (the batch Krippendorff alpha), q282 (the
+    * incremental cell fold), and q283 (the streaming monitor) — the
+    * same maintained cell table serves kappa and alpha. */
+  private val alphaPanelOracle: String =
+    s"""WITH $annotationRatingsCte,
+         |part AS (
+         |  SELECT * FROM ratings
+         |  WHERE ${hash32Sql(
+             "'kr:' || substr(rater, 2, 10) || ':' || it")} % 5 < 3
+         |), cells AS (
+         |  SELECT it, l, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM part GROUP BY it, l
+         |), per AS (
+         |  SELECT it, CAST(SUM(c) AS BIGINT) AS ni,
+         |    SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS sq
+         |  FROM cells GROUP BY it HAVING SUM(c) >= 2
+         |), s AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         |    CAST(SUM(ni) AS BIGINT) AS n_tot,
+         |    SUM(CAST(12 // (ni - 1) AS DECIMAL(38,0)) *
+         |      (CAST(ni AS DECIMAL(38,0)) * ni - sq)) AS ds
+         |  FROM per
+         |), pc AS (
+         |  SELECT l, CAST(SUM(c) AS BIGINT) AS ck
+         |  FROM cells JOIN per USING (it) GROUP BY l
+         |), cc AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         |    SUM(CAST(ck AS DECIMAL(38,0)) * CAST(ck AS DECIMAL(38,0))) AS sq
+         |  FROM pc
+         |)
+         |SELECT n_items, n_tot AS n_ratings, v AS n_labels,
+         |  ROUND(1.0 - CAST(ds * (n_tot - 1) AS DOUBLE)
+         |    / CAST(12 * (CAST(n_tot AS DECIMAL(38,0)) * n_tot - cc.sq)
+         |        AS DOUBLE), 6) AS alpha6
+         |FROM s, cc""".stripMargin
+
+  /** Shared by q258 (the batch Bradley–Terry fit), q284 (the
+    * incremental win-count fold), and q285 (the streaming
+    * leaderboard) — the BT likelihood depends on the comparisons only
+    * through the directed win counts, which fold by SUM. */
+  private val bradleyTerryOracle: String =
+    s"""WITH RECURSIVE $preferencePairsCte,
+         |dir AS (
+         |  SELECT winner AS w, loser AS l, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM prefs GROUP BY winner, loser
+         |), models AS (
+         |  SELECT m, CAST(ROW_NUMBER() OVER (ORDER BY m) - 1 AS BIGINT) AS i
+         |  FROM (SELECT DISTINCT m FROM
+         |    (SELECT w AS m FROM dir UNION ALL SELECT l FROM dir))
+         |), kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM models
+         |), wmat AS (
+         |  SELECT mw.i AS i, ml.i AS j, dir.c AS c
+         |  FROM dir JOIN models mw ON mw.m = dir.w
+         |  JOIN models ml ON ml.m = dir.l
+         |), wins AS (SELECT i, CAST(SUM(c) AS BIGINT) AS wi FROM wmat GROUP BY i
+         |), nmat AS (
+         |  SELECT i, j, CAST(SUM(c) AS BIGINT) AS n
+         |  FROM (SELECT i, j, c FROM wmat
+         |    UNION ALL SELECT j AS i, i AS j, c FROM wmat)
+         |  GROUP BY i, j
+         |), nls AS (
+         |  SELECT i, list(struct_pack(j := j, n := n) ORDER BY j) AS nl
+         |  FROM nmat GROUP BY i
+         |), state AS (
+         |  SELECT 0 AS it,
+         |    (SELECT list(CAST(1 AS DOUBLE) / kk.k ORDER BY m.i)
+         |     FROM models m, kk) AS p
+         |  UNION ALL
+         |  SELECT it + 1,
+         |    -- a lambda cannot capture the correlated recursive row, so
+         |    -- the iteration vector joins into the subquery as a column
+         |    (SELECT list(
+         |        CAST(w.wi AS DOUBLE) / list_reduce(
+         |          list_transform(nn.nl, x ->
+         |            CAST(x.n AS DOUBLE) /
+         |              (q.pp[CAST(nn.i AS INT) + 1] +
+         |               q.pp[CAST(x.j AS INT) + 1])),
+         |          (a, b) -> a + b)
+         |      ORDER BY nn.i)
+         |     FROM nls nn JOIN wins w ON w.i = nn.i
+         |     CROSS JOIN (SELECT s.p AS pp) q)
+         |  FROM state s WHERE s.it < 25
+         |), fin AS (SELECT p FROM state WHERE it = 25
+         |), tot AS (SELECT list_reduce(p, (a, b) -> a + b) AS t FROM fin
+         |), rated AS (
+         |  SELECT m.m AS model, w.wi AS n_wins,
+         |    (SELECT CAST(SUM(n) AS BIGINT) FROM nmat WHERE nmat.i = m.i)
+         |      AS n_comparisons,
+         |    ROUND(fin.p[CAST(m.i AS INT) + 1] / tot.t, 6) AS rating6
+         |  FROM models m JOIN wins w ON w.i = m.i, fin, tot
+         |)
+         |SELECT model, n_wins, n_comparisons, rating6,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY rating6 DESC, model)
+         |    AS INTEGER) AS rnk
+         |FROM rated ORDER BY rnk""".stripMargin
+
+  /** Shared by q273 (the batch Brier/ECE audit), q286 (the
+    * incremental state fold), and q287 (the streaming monitor) — the
+    * per-bucket exact-decimal state folds by SUM. */
+  private val brierEceOracle: String =
+    s"""WITH sc AS (
+         |  SELECT ${hash32Sql(
+             "'cal:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0 AS s,
+         |    CASE WHEN CAST(${hash32Sql(
+             "'lab:' || CAST(doc_id AS VARCHAR)")} % 1000 AS DOUBLE)
+         |        < floor((${hash32Sql(
+             "'cal:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0) * 1000.0)
+         |      THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents
+         |), b AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(ROUND((s - y) * (s - y), 12)
+         |      AS DECIMAL(38,12))) AS DOUBLE) AS bsum
+         |  FROM sc
+         |), binned AS (
+         |  SELECT LEAST(GREATEST(
+         |      CAST(FLOOR((s - 0.0) * 10.0 / (1.0 - 0.0)) AS INT), 0), 9)
+         |      AS bucket,
+         |    y, CAST(ROUND(s, 6) AS DECIMAL(28,6)) AS s6
+         |  FROM sc
+         |), per AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nb,
+         |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS npos,
+         |    SUM(s6) AS ssum
+         |  FROM binned GROUP BY bucket
+         |), ece AS (
+         |  SELECT CAST(SUM(CAST(ROUND(
+         |      (CAST(nb AS DOUBLE) / CAST(b.n AS DOUBLE)) *
+         |        abs(CAST(npos AS DOUBLE) / CAST(nb AS DOUBLE)
+         |          - CAST(ssum AS DOUBLE) / CAST(nb AS DOUBLE)), 12)
+         |      AS DECIMAL(38,12))) AS DOUBLE) AS e
+         |  FROM per, b
+         |)
+         |SELECT b.n, ROUND(bsum / CAST(b.n AS DOUBLE), 6) AS brier6,
+         |  ROUND(e, 6) AS ece6
+         |FROM b, ece""".stripMargin
 
   private val hhiTokenMassOracle: String =
     """WITH d AS (

@@ -73,11 +73,37 @@ object Annotate {
     * (`n_items`, `n_raters`, `n_labels`, `kappa6`). */
   def fleissKappa(
       df: DataFrame, itemCol: String, raterCol: String,
-      labelCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val cells = ratings(df, itemCol, raterCol, labelCol, "fleissKappa")
+      labelCol: String): DataFrame =
+    fleissKappaFromCells(
+      annotationCellsOf(df, itemCol, raterCol, labelCol, "fleissKappa")
+        .localCheckpoint())
+
+  /** One shard's (item, label) rating-cell state — `(__it, __l, __c)`
+    * — the SUM-foldable sufficient statistics of the whole agreement
+    * family (kappa, alpha, consolidation all read off it). The
+    * duplicate-(item, rater) guard runs WITHIN the shard; a fold
+    * trusts shard disjointness, the ledger contract every maintained
+    * family shares. */
+  private[graft] def annotationCellsOf(
+      df: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String, op: String): DataFrame =
+    ratings(df, itemCol, raterCol, labelCol, op)
       .groupBy("__it", "__l").agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
+
+  /** The cell-state fold: union + one cells-bounded re-aggregation;
+    * counts merge by SUM, so the batch, incremental, and streaming
+    * agreement readouts are formulations of one ground truth. */
+  private[graft] def foldAnnotationCells(
+      base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy("__it", "__l")
+      .agg(sum(col("__c")).as("__c"))
+
+  /** [[fleissKappa]]'s readout over accumulated `(__it, __l, __c)`
+    * state — shared verbatim by the batch operator, the incremental
+    * fold, and the streaming monitor (the caller owns
+    * checkpointing). */
+  private[graft] def fleissKappaFromCells(cells: DataFrame): DataFrame = {
+    val spark = cells.sparkSession
     try {
       val per = cells.groupBy("__it").agg(
         sum(col("__c")).as("__ni"),
@@ -141,14 +167,21 @@ object Annotate {
     * row — (`n_items`, `n_ratings`, `n_labels`, `alpha6`). */
   def krippendorffAlpha(
       df: DataFrame, itemCol: String, raterCol: String,
-      labelCol: String): DataFrame = {
-    val spark = df.sparkSession
+      labelCol: String): DataFrame =
     // checkpoint the CELLS (items × labels — the duplicate-guard pass
     // over the raw assignments runs once); the per-item rollup is a
     // cells-bounded re-aggregation wherever it recurs
-    val cells = ratings(df, itemCol, raterCol, labelCol, "krippendorffAlpha")
-      .groupBy("__it", "__l").agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
+    krippendorffAlphaFromCells(
+      annotationCellsOf(df, itemCol, raterCol, labelCol,
+        "krippendorffAlpha").localCheckpoint())
+
+  /** [[krippendorffAlpha]]'s readout over accumulated
+    * `(__it, __l, __c)` state — the SAME state [[fleissKappaFromCells]]
+    * reads, so one maintained cell table serves the whole agreement
+    * family. */
+  private[graft] def krippendorffAlphaFromCells(
+      cells: DataFrame): DataFrame = {
+    val spark = cells.sparkSession
     val per = cells.groupBy("__it").agg(
         sum(col("__c")).as("__ni"),
         sum(col("__c").cast("decimal(38,0)") *

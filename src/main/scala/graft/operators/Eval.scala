@@ -440,23 +440,70 @@ object Eval {
       scoreCol: String,
       bins: Int = 10,
       lo: Double = 0.0,
+      hi: Double = 1.0): DataFrame =
+    brierEceFromState(
+      calibStateOf(scored, labelCol, scoreCol, bins, lo, hi)
+        .localCheckpoint())
+
+  /** One shard's calibration state — per occupied bucket the count,
+    * positive count, exact DECIMAL(28,6) sum of 6dp-rounded scores
+    * (the [[calibrationBins]] trick), and the exact DECIMAL(38,12)
+    * sum of 12dp-rounded Brier terms. Every column folds by SUM
+    * keyed on the bucket, and decimal addition is associative, so
+    * the incremental and streaming readouts provably equal the batch
+    * one. Schema: (`bucket`, `n`, `n_pos`, `__ssum`, `__bsum`). */
+  private[graft] def calibStateOf(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int = 10,
+      lo: Double = 0.0,
       hi: Double = 1.0): DataFrame = {
-    val spark = scored.sparkSession
+    require(bins >= 1, s"bins ($bins) must be >= 1")
+    require(hi > lo, s"hi ($hi) must be > lo ($lo)")
+    val v = col(scoreCol).cast("double")
+    val raw = floor((v - lit(lo)) * lit(bins.toDouble) / (lit(hi) - lit(lo)))
+      .cast("int")
+    val bucket = least(greatest(raw, lit(0)), lit(bins - 1))
+    val y = when(col(labelCol).cast("boolean"), lit(1.0)).otherwise(lit(0.0))
+    scored.filter(v.isNotNull)
+      .select(bucket.as("bucket"),
+        (y === 1.0).as("__y"),
+        round(v, 6).cast("decimal(28,6)").as("__s6"),
+        round((v - y) * (v - y), 12).cast("decimal(38,12)").as("__b12"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__s6")).as("__ssum"),
+        sum(col("__b12")).as("__bsum"))
+  }
+
+  /** The calibration-state fold: union + one bins-bounded
+    * re-aggregation, everything merges by SUM. */
+  private[graft] def foldCalibState(
+      base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy("bucket")
+      .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+        sum(col("__ssum")).as("__ssum"), sum(col("__bsum")).as("__bsum"))
+
+  /** [[brierEce]]'s readout over accumulated calibration state —
+    * shared verbatim by the batch operator, the incremental fold,
+    * and the streaming monitor. */
+  private[graft] def brierEceFromState(state: DataFrame): DataFrame = {
+    val spark = state.sparkSession
     def dsum(c: org.apache.spark.sql.Column) =
       sum(round(c, 12).cast("decimal(38,12)")).cast("double")
-    val s = col(scoreCol).cast("double")
-    val y = when(col(labelCol).cast("boolean"), lit(1.0)).otherwise(lit(0.0))
-    val brierRow = scored.filter(s.isNotNull).agg(
-      count(lit(1)).as("n"),
-      dsum((s - y) * (s - y)).as("b")).head()
-    val n = brierRow.getLong(0)
+    val top = state.agg(
+      coalesce(sum(col("n")), lit(0L)).as("n"),
+      coalesce(sum(col("__bsum")), lit(0).cast("decimal(38,12)"))
+        .as("b")).head()
+    val n = top.getLong(0)
     require(n > 0L, "brierEce: no non-null scores")
-    val brier = brierRow.getDouble(1) / n.toDouble
-    val perBin = calibrationBins(scored, labelCol, scoreCol, bins, lo, hi)
-      .filter(col("n") > 0L)
-    val ece = perBin.agg(dsum(
+    val brier = top.getDecimal(1).doubleValue() / n.toDouble
+    val ece = state.filter(col("n") > 0L).agg(dsum(
         (col("n").cast("double") / lit(n.toDouble)) *
-          abs(col("frac_pos") - col("mean_score"))))
+          abs(col("n_pos").cast("double") / col("n").cast("double") -
+            col("__ssum").cast("double") / col("n").cast("double"))))
       .head().getDouble(0)
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

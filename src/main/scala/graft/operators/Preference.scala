@@ -91,13 +91,39 @@ object Preference {
     * reorder engines. */
   def bradleyTerry(
       df: DataFrame, winnerCol: String, loserCol: String,
-      iters: Int = 25, maxModels: Int = 4096): DataFrame = {
+      iters: Int = 25, maxModels: Int = 4096): DataFrame =
+    bradleyTerryFromCounts(
+      winCountsOf(df, winnerCol, loserCol, "bradleyTerry")
+        .localCheckpoint(),
+      iters, maxModels)
+
+  /** One shard's directed win-count state — `(__w, __l, __c)`, the
+    * SUM-foldable sufficient statistics of the whole preference
+    * family (the BT likelihood depends on the comparisons only
+    * through these counts). Self-comparisons fail loudly within the
+    * shard. */
+  private[graft] def winCountsOf(
+      df: DataFrame, winnerCol: String, loserCol: String,
+      op: String): DataFrame =
+    comparisons(df, winnerCol, loserCol, op)
+      .groupBy(col("__w"), col("__l")).agg(count(lit(1)).as("__c"))
+
+  /** The win-count fold: union + one pair-bounded re-aggregation;
+    * counts merge by SUM, so the batch, incremental, and streaming
+    * leaderboards are formulations of one ground truth. */
+  private[graft] def foldWinCounts(
+      base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy("__w", "__l")
+      .agg(sum(col("__c")).as("__c"))
+
+  /** [[bradleyTerry]]'s MM readout over accumulated `(__w, __l, __c)`
+    * state — shared verbatim by the batch operator, the incremental
+    * fold, and the streaming monitor. */
+  private[graft] def bradleyTerryFromCounts(
+      c: DataFrame, iters: Int = 25, maxModels: Int = 4096): DataFrame = {
     require(iters >= 1 && iters <= 10000,
       s"bradleyTerry: iters ($iters) must be in [1, 10000]")
-    val spark = df.sparkSession
-    val c = comparisons(df, winnerCol, loserCol, "bradleyTerry")
-      .groupBy(col("__w"), col("__l")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
+    val spark = c.sparkSession
     try {
       val k = c.select(explode(array(col("__w"), col("__l"))).as("m"))
         .distinct().count()

@@ -1094,6 +1094,98 @@ object StreamGate {
       graft.operators.Profile.foldJointCounts,
       state => graft.operators.Profile.associationFromJoint(state))
 
+  /** Streaming inter-rater agreement monitor — [[graft.operators
+    * .Annotate.fleissKappa]] with the ratings feed as a FILE STREAM:
+    * each micro-batch's (item, label) cells fold by SUM into
+    * versioned state, readout = the shared exact-integer kappa
+    * arithmetic once the full panel has landed (Fleiss' constant-
+    * panel precondition applies to the ACCUMULATED state — the
+    * AvailableNow replay reads out at the end, when it holds).
+    * Returns the one-row (`n_items`, `n_raters`, `n_labels`,
+    * `kappa6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayFleissMonitor(
+      ratings: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(ratings, Seq(itemCol, raterCol, labelCol), "fleiss",
+        filesPerTrigger)(
+      batch => graft.operators.Annotate.annotationCellsOf(
+        batch, itemCol, raterCol, labelCol, "replayFleissMonitor"),
+      graft.operators.Annotate.foldAnnotationCells,
+      state => graft.operators.Annotate.fleissKappaFromCells(
+        state.localCheckpoint()))
+
+  /** Streaming Krippendorff-alpha monitor — the SAME maintained
+    * (item, label) cell state as [[replayFleissMonitor]], read out
+    * through [[graft.operators.Annotate.krippendorffAlphaFromCells]]
+    * — and because alpha TOLERATES varying participation, its
+    * readout is meaningful at any point of the feed, not only at
+    * panel completion. Returns the one-row (`n_items`, `n_ratings`,
+    * `n_labels`, `alpha6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayAlphaMonitor(
+      ratings: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(ratings, Seq(itemCol, raterCol, labelCol), "alpha",
+        filesPerTrigger)(
+      batch => graft.operators.Annotate.annotationCellsOf(
+        batch, itemCol, raterCol, labelCol, "replayAlphaMonitor"),
+      graft.operators.Annotate.foldAnnotationCells,
+      state => graft.operators.Annotate.krippendorffAlphaFromCells(
+        state.localCheckpoint()))
+
+  /** Streaming Bradley–Terry leaderboard — [[graft.operators
+    * .Preference.bradleyTerry]] with the comparison feed as a FILE
+    * STREAM: directed win counts fold by SUM into pair-bounded
+    * versioned state (the BT likelihood depends on the data only
+    * through them), readout = the shared deterministic MM — the live
+    * arena leaderboard, provably equal to the batch fit of the same
+    * feed. Returns the (`model`, `n_wins`, `n_comparisons`,
+    * `rating6`, `rnk`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayLeaderboardMonitor(
+      comparisons: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iters: Int = 25,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(comparisons, Seq(winnerCol, loserCol), "btlead",
+        filesPerTrigger)(
+      batch => graft.operators.Preference.winCountsOf(
+        batch, winnerCol, loserCol, "replayLeaderboardMonitor"),
+      graft.operators.Preference.foldWinCounts,
+      state => graft.operators.Preference.bradleyTerryFromCounts(
+        state.localCheckpoint(), iters))
+
+  /** Streaming calibration monitor — [[graft.operators.Eval
+    * .brierEce]] with the scored feed as a FILE STREAM: per-bucket
+    * (n, n_pos, exact score sum, exact Brier-term sum) fold by SUM
+    * into bins-bounded versioned state, readout = the shared
+    * Brier/ECE arithmetic — the live "is the model's confidence still
+    * honest?" dashboard, provably equal to the batch audit. Returns
+    * the one-row (`n`, `brier6`, `ece6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayCalibrationMonitor(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int = 10,
+      lo: Double = 0.0,
+      hi: Double = 1.0,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(scored, Seq(labelCol, scoreCol), "calib",
+        filesPerTrigger)(
+      batch => graft.operators.Eval.calibStateOf(
+        batch, labelCol, scoreCol, bins, lo, hi),
+      graft.operators.Eval.foldCalibState,
+      state => graft.operators.Eval.brierEceFromState(state))
+
   /** Streaming PER-GROUP HHI monitor — [[graft.operators.Stats
     * .hhiIndexByGroup]] off the SAME versioned per-group value-count
     * state as the group quantile/Gini monitors; readout =

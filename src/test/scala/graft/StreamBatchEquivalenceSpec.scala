@@ -373,6 +373,93 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       .exists(_.microBatches > 1))
   }
 
+  test("stream agreement monitors == batch kappa/alpha across cell folds") {
+    import graft.operators.Annotate
+    // a complete 5-rater panel derived from events: one rating per
+    // (item, rater) by construction
+    val ratings = events.select(
+      (col("event_id") % 200L).as("item"),
+      concat(lit("r"), (col("event_id") / 200L).cast("int").cast("string"))
+        .as("rater"),
+      col("event_type").as("label"))
+    val sf = StreamGate.replayFleissMonitor(
+      ratings.repartition(8), "item", "rater", "label",
+      filesPerTrigger = 1).head()
+    val bf = Annotate.fleissKappa(ratings, "item", "rater", "label").head()
+    assert(sf.toSeq == bf.toSeq, s"stream ${sf.toSeq} != batch ${bf.toSeq}")
+    // varying participation for alpha
+    val partial = ratings.filter(col("item") % 7L =!= 0L ||
+      col("rater") < "r3")
+    val sa = StreamGate.replayAlphaMonitor(
+      partial.repartition(8), "item", "rater", "label",
+      filesPerTrigger = 1).head()
+    val ba = Annotate.krippendorffAlpha(
+      partial, "item", "rater", "label").head()
+    assert(sa.toSeq == ba.toSeq, s"stream ${sa.toSeq} != batch ${ba.toSeq}")
+    // and the incremental fold is the same ground truth
+    def cells(pred: org.apache.spark.sql.Column) =
+      Annotate.annotationCellsOf(ratings.filter(pred),
+        "item", "rater", "label", "spec")
+    val folded = Annotate.fleissKappaFromCells(
+      Annotate.foldAnnotationCells(
+          cells(col("rater") < "r2"), cells(col("rater") >= "r2"))
+        .localCheckpoint()).head()
+    assert(folded.toSeq == bf.toSeq)
+    assert(graft.streaming.StreamGate.lastReplayObservability
+      .exists(_.microBatches > 1))
+  }
+
+  test("stream BT leaderboard == batch bradleyTerry across win-count folds") {
+    import graft.operators.Preference
+    val ev = events.select(col("event_id"), col("event_type"), col("value"))
+    val comps = ev.as("a").join(ev.as("b"),
+        col("b.event_id") === col("a.event_id") + 1L)
+      .filter(col("a.event_id") % 2 === 0 &&
+        col("a.value").isNotNull && col("b.value").isNotNull &&
+        col("a.event_type") =!= col("b.event_type") &&
+        col("a.value") =!= col("b.value"))
+      .select(
+        when(col("a.value") > col("b.value"), col("a.event_type"))
+          .otherwise(col("b.event_type")).as("w"),
+        when(col("a.value") > col("b.value"), col("b.event_type"))
+          .otherwise(col("a.event_type")).as("l"))
+    val streamed = StreamGate.replayLeaderboardMonitor(
+        comps.repartition(8), "w", "l", filesPerTrigger = 1)
+      .collect().map(_.toSeq)
+    val batch = Preference.bradleyTerry(comps, "w", "l")
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+    val folded = Preference.bradleyTerryFromCounts(
+        Preference.foldWinCounts(
+          Preference.winCountsOf(
+            comps.filter(col("w") < col("l")), "w", "l", "spec"),
+          Preference.winCountsOf(
+            comps.filter(col("w") >= col("l")), "w", "l", "spec"))
+        .localCheckpoint())
+      .collect().map(_.toSeq)
+    assert(folded.toSeq == batch.toSeq)
+  }
+
+  test("stream calibration monitor == batch brierEce across state folds") {
+    import graft.operators.Eval
+    val scored = events.select(
+      (pmod(col("event_id"), lit(997L)).cast("double") / 997.0).as("s"),
+      (col("value") > 0).as("label"))
+    val streamed = StreamGate.replayCalibrationMonitor(
+      scored.repartition(8), "label", "s", filesPerTrigger = 1).head()
+    val batch = Eval.brierEce(scored, "label", "s").head()
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+    val folded = Eval.brierEceFromState(
+      Eval.foldCalibState(
+          Eval.calibStateOf(scored.filter(col("s") < 0.5), "label", "s"),
+          Eval.calibStateOf(scored.filter(col("s") >= 0.5), "label", "s"))
+        .localCheckpoint()).head()
+    assert(folded.toSeq == batch.toSeq)
+    assert(graft.streaming.StreamGate.lastReplayObservability
+      .exists(_.microBatches > 1))
+  }
+
   test("stream per-group gini monitor == batch giniIndexByGroup across folds") {
     import graft.operators.Stats
     val masses = events.select(col("event_type"),
