@@ -182,14 +182,14 @@ object Preference {
           BigDecimal(rating)
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
-      import spark.implicits._
-      val base = out.toDF("model", "n_wins", "n_comparisons", "rating6")
       // rank on the ROUNDED rating (ties broken by model name) so a
-      // sub-gate margin cannot reorder engines; k rows — the window
-      // is model-bounded, not data-bounded
-      base.withColumn("rnk",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("rating6").desc, col("model"))))
+      // sub-gate margin cannot reorder engines; the models already
+      // live on the driver, so the rank is plain driver arithmetic —
+      // no window in the plan at all
+      val ranked = out.sortBy(r => (-r._4, r._1)).zipWithIndex
+        .map { case ((m, w, nc, r6), i) => (m, w, nc, r6, i + 1) }
+      import spark.implicits._
+      ranked.toDF("model", "n_wins", "n_comparisons", "rating6", "rnk")
         .orderBy("rnk")
     } finally Blocks.release(c)
   }
