@@ -5577,6 +5577,92 @@ object SparkEntry {
     graft.streaming.StreamGate.replayCalibrationMonitor(
       brierScoredDocs(s, dir).select(col("label"), col("s")), "label", "s")
 
+  // ---------------------------------------------------------------- q288
+  /** Incremental label-consolidation maintenance ([[graft.operators
+    * .Annotate.foldAnnotationCells]] + the shared argmin readout):
+    * the consensus training-label table kept current by folding new
+    * raters' cells — held to q254's VERBATIM oracle (the consensus is
+    * a function of the cells alone; the same maintained table serves
+    * kappa, alpha, and consolidation). */
+  private def q288IncrementalConsensus(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Annotate
+    val r = annotationRatings(s, dir)
+    def cells(pred: Column): DataFrame = Annotate.annotationCellsOf(
+      r.filter(pred), "doc_id", "rater", "label", "q288")
+    Annotate.consolidateLabelsFromCells(
+        Annotate.foldAnnotationCells(
+          cells(col("rater") < "r3"), cells(col("rater") >= "r3")),
+        "doc_id")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q289
+  /** Streaming label-consolidation monitor ([[graft.streaming
+    * .StreamGate.replayConsensusMonitor]]): the ratings feed
+    * micro-batched, the consensus table read off the accumulated
+    * cells — held to q254's verbatim oracle. */
+  private def q289StreamConsensus(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayConsensusMonitor(
+        annotationRatings(s, dir), "doc_id", "rater", "label")
+      .orderBy("doc_id")
+
+  /** q290–q292's sliced scored corpus: [[brierScoredDocs]] keyed by
+    * the document's source. */
+  private def brierScoredDocsBySource(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val su = TextFunctions.portableTokenHash32(
+      concat(lit("cal:"), col("doc_id").cast("string")))
+      .cast("double") / lit(4294967296.0)
+    val label = pmod(TextFunctions.portableTokenHash32(
+      concat(lit("lab:"), col("doc_id").cast("string"))), lit(1000L))
+      .cast("double") < floor(su * lit(1000.0))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .withColumn("s", su).withColumn("label", label)
+  }
+
+  // ---------------------------------------------------------------- q290
+  /** Per-source calibration audit ([[graft.operators.Eval
+    * .brierEceByGroup]]): Brier + ECE per source, whole readout
+    * in-plan (group cardinality unbounded) — the per-slice evaluation
+    * that catches a model calibrated overall while confidently wrong
+    * on one slice. */
+  private def q290CalibrationBySource(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.brierEceByGroup(
+      brierScoredDocsBySource(s, dir), "source", "label", "s")
+
+  // ---------------------------------------------------------------- q291
+  /** Incremental per-group calibration maintenance: the group-keyed
+    * exact-decimal state folded across a doc-parity split — held to
+    * q290's VERBATIM oracle. */
+  private def q291IncrementalGroupCalibration(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Eval
+    val scored = brierScoredDocsBySource(s, dir)
+    def state(pred: Column): DataFrame = Eval.groupCalibStateOf(
+      scored.filter(pred), "source", "label", "s")
+    Eval.brierEceByGroupFromState(
+      Eval.foldGroupCalibState(
+          state(pmod(col("doc_id"), lit(2L)) === 0L),
+          state(pmod(col("doc_id"), lit(2L)) === 1L))
+        .localCheckpoint(),
+      "source")
+  }
+
+  // ---------------------------------------------------------------- q292
+  /** Streaming per-group calibration monitor ([[graft.streaming
+    * .StreamGate.replayGroupCalibrationMonitor]]): the sliced scored
+    * feed micro-batched into group-keyed bins-bounded state — held to
+    * q290's verbatim oracle. */
+  private def q292StreamGroupCalibration(
+      s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayGroupCalibrationMonitor(
+      brierScoredDocsBySource(s, dir)
+        .select(col("source"), col("label"), col("s")),
+      "source", "label", "s")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q01_sum_agg" -> (q01SumAgg _),
@@ -5866,6 +5952,11 @@ object SparkEntry {
     "q285_stream_bt" -> (q285StreamBt _),
     "q286_incremental_calibration" -> (q286IncrementalCalibration _),
     "q287_stream_calibration" -> (q287StreamCalibration _),
+    "q288_incremental_consensus" -> (q288IncrementalConsensus _),
+    "q289_stream_consensus" -> (q289StreamConsensus _),
+    "q290_calibration_by_source" -> (q290CalibrationBySource _),
+    "q291_incremental_group_calibration" -> (q291IncrementalGroupCalibration _),
+    "q292_stream_group_calibration" -> (q292StreamGroupCalibration _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7156,12 +7247,11 @@ object SparkEntry {
     // the batch panel audits' verbatim ground truth
     "q280_incremental_fleiss" -> fleissPanelOracle,
     "q281_stream_fleiss" -> fleissPanelOracle,
-    "q254_consolidate_labels" ->
-      s"""WITH $annotationCellsCte
-         |SELECT it AS doc_id, l AS consensus_label, nr AS n_ratings,
-         |  c AS n_consensus,
-         |  ROUND(CAST(c AS DOUBLE) / CAST(nr AS DOUBLE), 6) AS confidence6
-         |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q254_consolidate_labels" -> consolidationOracle,
+    // the incremental cell fold and streamed monitor are held to the
+    // batch consolidation's verbatim ground truth
+    "q288_incremental_consensus" -> consolidationOracle,
+    "q289_stream_consensus" -> consolidationOracle,
     "q255_annotator_report" ->
       s"""WITH $annotationCellsCte,
          |j AS (
@@ -7304,6 +7394,11 @@ object SparkEntry {
         |  ROUND(btw.between, 6) AS between6,
         |  ROUND(win.within, 6) AS within6
         |FROM tops, tot, btw, win""".stripMargin,
+    "q290_calibration_by_source" -> groupCalibrationOracle,
+    // the group-keyed state fold and streamed monitor are held to the
+    // batch per-slice audit's verbatim ground truth
+    "q291_incremental_group_calibration" -> groupCalibrationOracle,
+    "q292_stream_group_calibration" -> groupCalibrationOracle,
     "q273_brier_ece" -> brierEceOracle,
     "q286_incremental_calibration" -> brierEceOracle,
     "q287_stream_calibration" -> brierEceOracle,
@@ -11474,6 +11569,62 @@ object SparkEntry {
          |SELECT b.n, ROUND(bsum / CAST(b.n AS DOUBLE), 6) AS brier6,
          |  ROUND(e, 6) AS ece6
          |FROM b, ece""".stripMargin
+
+  /** Shared by q254 (the batch consolidation), q288 (the incremental
+    * cell fold), and q289 (the streaming monitor) — the consensus is
+    * a function of the (item, label) cells alone. */
+  private val consolidationOracle: String =
+    s"""WITH $annotationCellsCte
+         |SELECT it AS doc_id, l AS consensus_label, nr AS n_ratings,
+         |  c AS n_consensus,
+         |  ROUND(CAST(c AS DOUBLE) / CAST(nr AS DOUBLE), 6) AS confidence6
+         |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Shared by q290 (the batch per-source calibration audit), q291
+    * (the incremental group-state fold), and q292 (the streaming
+    * monitor). */
+  private val groupCalibrationOracle: String =
+    s"""WITH sc AS (
+       |  SELECT source, ${hash32Sql(
+           "'cal:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0 AS s,
+       |    CASE WHEN CAST(${hash32Sql(
+           "'lab:' || CAST(doc_id AS VARCHAR)")} % 1000 AS DOUBLE)
+       |        < floor((${hash32Sql(
+           "'cal:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0) * 1000.0)
+       |      THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents
+       |), binned AS (
+       |  SELECT source, LEAST(GREATEST(
+       |      CAST(FLOOR((s - 0.0) * 10.0 / (1.0 - 0.0)) AS INT), 0), 9)
+       |      AS bucket,
+       |    y, CAST(ROUND(s, 6) AS DECIMAL(28,6)) AS s6,
+       |    CAST(ROUND((s - y) * (s - y), 12) AS DECIMAL(38,12)) AS b12
+       |  FROM sc
+       |), st AS (
+       |  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS npos,
+       |    SUM(s6) AS ssum, SUM(b12) AS bsum
+       |  FROM binned GROUP BY source, bucket
+       |), tot AS (
+       |  SELECT source, CAST(SUM(n) AS BIGINT) AS ntot, SUM(bsum) AS btot
+       |  FROM st GROUP BY source
+       |), e AS (
+       |  SELECT st.source,
+       |    CAST(SUM(CAST(ROUND(
+       |      (CAST(st.n AS DOUBLE) / CAST(tot.ntot AS DOUBLE)) *
+       |        abs(CAST(st.npos AS DOUBLE) / CAST(st.n AS DOUBLE)
+       |          - CAST(st.ssum AS DOUBLE) / CAST(st.n AS DOUBLE)), 12)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS ece
+       |  FROM st JOIN tot ON tot.source = st.source
+       |  GROUP BY st.source
+       |)
+       |SELECT tot.source, tot.ntot AS n,
+       |  ROUND(CAST(tot.btot AS DOUBLE) / CAST(tot.ntot AS DOUBLE), 6)
+       |    AS brier6,
+       |  ROUND(e.ece, 6) AS ece6
+       |FROM tot JOIN e ON e.source = tot.source
+       |ORDER BY tot.source""".stripMargin
 
   private val hhiTokenMassOracle: String =
     """WITH d AS (

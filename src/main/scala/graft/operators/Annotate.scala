@@ -247,8 +247,19 @@ object Annotate {
   def consolidateLabels(
       df: DataFrame, itemCol: String, raterCol: String,
       labelCol: String): DataFrame =
-    ratings(df, itemCol, raterCol, labelCol, "consolidateLabels")
-      .groupBy("__it", "__l").agg(count(lit(1)).as("__c"))
+    consolidateLabelsFromCells(
+      annotationCellsOf(df, itemCol, raterCol, labelCol,
+        "consolidateLabels"),
+      itemCol)
+
+  /** [[consolidateLabels]]' readout over accumulated
+    * `(__it, __l, __c)` state — the THIRD reader of the one
+    * maintained cell table (kappa, alpha, consensus): as annotations
+    * land, the training-label table stays current without rescanning
+    * a single rating. */
+  private[graft] def consolidateLabelsFromCells(
+      cells: DataFrame, itemCol: String): DataFrame =
+    cells
       .groupBy("__it").agg(
         min(struct((-col("__c")).as("__neg"), col("__l"))).as("__w"),
         sum(col("__c")).as("n_ratings"))

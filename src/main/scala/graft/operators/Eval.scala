@@ -486,6 +486,89 @@ object Eval {
       .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
         sum(col("__ssum")).as("__ssum"), sum(col("__bsum")).as("__bsum"))
 
+  /** Per-group [[brierEce]] — calibration PER SLICE (language, source,
+    * time bucket): the per-slice evaluation that catches a model
+    * calibrated overall while confidently wrong on one language (the
+    * [[rocAucByGroup]] argument applied to calibration). The whole
+    * readout runs IN the plan over group-keyed state (group
+    * cardinality unbounded, no driver scalars). Output: one row per
+    * group — (`groupCol` as STRING, `n`, `brier6`, `ece6`), ordered
+    * by group. */
+  def brierEceByGroup(
+      scored: DataFrame,
+      groupCol: String,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int = 10,
+      lo: Double = 0.0,
+      hi: Double = 1.0): DataFrame =
+    brierEceByGroupFromState(
+      groupCalibStateOf(scored, groupCol, labelCol, scoreCol, bins, lo, hi)
+        .localCheckpoint(),
+      groupCol)
+
+  /** One shard's GROUP-KEYED calibration state — [[calibStateOf]]
+    * with the group riding in the key; folds with
+    * [[foldGroupCalibState]]. */
+  private[graft] def groupCalibStateOf(
+      scored: DataFrame,
+      groupCol: String,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int = 10,
+      lo: Double = 0.0,
+      hi: Double = 1.0): DataFrame = {
+    require(bins >= 1, s"bins ($bins) must be >= 1")
+    require(hi > lo, s"hi ($hi) must be > lo ($lo)")
+    val v = col(scoreCol).cast("double")
+    val raw = floor((v - lit(lo)) * lit(bins.toDouble) / (lit(hi) - lit(lo)))
+      .cast("int")
+    val bucket = least(greatest(raw, lit(0)), lit(bins - 1))
+    val y = when(col(labelCol).cast("boolean"), lit(1.0)).otherwise(lit(0.0))
+    scored.filter(v.isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        bucket.as("bucket"),
+        (y === 1.0).as("__y"),
+        round(v, 6).cast("decimal(28,6)").as("__s6"),
+        round((v - y) * (v - y), 12).cast("decimal(38,12)").as("__b12"))
+      .groupBy("__g", "bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__s6")).as("__ssum"),
+        sum(col("__b12")).as("__bsum"))
+  }
+
+  /** The group-keyed calibration-state fold. */
+  private[graft] def foldGroupCalibState(
+      base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy("__g", "bucket")
+      .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+        sum(col("__ssum")).as("__ssum"), sum(col("__bsum")).as("__bsum"))
+
+  /** [[brierEceByGroup]]'s readout over accumulated group-keyed
+    * state — shared verbatim by the batch operator, the incremental
+    * fold, and the streaming monitor. */
+  private[graft] def brierEceByGroupFromState(
+      state: DataFrame, groupCol: String): DataFrame = {
+    val totals = state.groupBy("__g").agg(
+      sum(col("n")).as("__ntot"),
+      sum(col("__bsum")).as("__btot"))
+    val gap = (col("n").cast("double") / col("__ntot").cast("double")) *
+      abs(col("n_pos").cast("double") / col("n").cast("double") -
+        col("__ssum").cast("double") / col("n").cast("double"))
+    state.join(totals, Seq("__g"))
+      .groupBy("__g").agg(
+        max(col("__ntot")).as("n"),
+        max(col("__btot")).as("__btot"),
+        sum(round(gap, 12).cast("decimal(38,12)")).cast("double")
+          .as("__ece"))
+      .select(col("__g").as(groupCol), col("n"),
+        round(col("__btot").cast("double") / col("n").cast("double"), 6)
+          .as("brier6"),
+        round(col("__ece"), 6).as("ece6"))
+      .orderBy(groupCol)
+  }
+
   /** [[brierEce]]'s readout over accumulated calibration state —
     * shared verbatim by the batch operator, the incremental fold,
     * and the streaming monitor. */

@@ -1140,6 +1140,51 @@ object StreamGate {
       state => graft.operators.Annotate.krippendorffAlphaFromCells(
         state.localCheckpoint()))
 
+  /** Streaming label-consolidation monitor — [[graft.operators
+    * .Annotate.consolidateLabels]] over the SAME maintained (item,
+    * label) cell state as the agreement monitors: as annotations
+    * land, the consensus training-label table stays current without
+    * rescanning a single rating (ties stay deterministic — the
+    * argmin reads the accumulated cells). Returns the per-item
+    * (`itemCol`, `consensus_label`, `n_ratings`, `n_consensus`,
+    * `confidence6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayConsensusMonitor(
+      ratings: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(ratings, Seq(itemCol, raterCol, labelCol), "consensus",
+        filesPerTrigger)(
+      batch => graft.operators.Annotate.annotationCellsOf(
+        batch, itemCol, raterCol, labelCol, "replayConsensusMonitor"),
+      graft.operators.Annotate.foldAnnotationCells,
+      state => graft.operators.Annotate.consolidateLabelsFromCells(
+        state, itemCol))
+
+  /** Streaming PER-GROUP calibration monitor — [[graft.operators.Eval
+    * .brierEceByGroup]] with the scored feed as a FILE STREAM over
+    * group-keyed bins-bounded state: the live per-slice
+    * confidence-honesty dashboard.
+    * @note one-generation replay contract — see the object doc. */
+  def replayGroupCalibrationMonitor(
+      scored: DataFrame,
+      groupCol: String,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int = 10,
+      lo: Double = 0.0,
+      hi: Double = 1.0,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(scored, Seq(groupCol, labelCol, scoreCol), "gcalib",
+        filesPerTrigger)(
+      batch => graft.operators.Eval.groupCalibStateOf(
+        batch, groupCol, labelCol, scoreCol, bins, lo, hi),
+      graft.operators.Eval.foldGroupCalibState,
+      state => graft.operators.Eval.brierEceByGroupFromState(
+        state.localCheckpoint(), groupCol))
+
   /** Streaming Bradley–Terry leaderboard — [[graft.operators
     * .Preference.bradleyTerry]] with the comparison feed as a FILE
     * STREAM: directed win counts fold by SUM into pair-bounded

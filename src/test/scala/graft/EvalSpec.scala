@@ -520,4 +520,18 @@ class EvalSpec extends AnyFunSuite {
         "label", "s").head()
     }
   }
+
+  test("brierEceByGroup == filtered ungrouped brierEce per group") {
+    import graft.operators.Eval
+    val scored = table("g string, label boolean, s double",
+      (0 until 40).map(i => row(if (i % 2 == 0) "a" else "b",
+        i % 3 == 0, (i % 10) / 10.0)))
+    val grouped = Eval.brierEceByGroup(scored, "g", "label", "s").collect()
+    Seq("a", "b").zipWithIndex.foreach { case (g, i) =>
+      val solo = Eval.brierEce(
+        scored.filter(col("g") === g), "label", "s").head()
+      assert(grouped(i).getString(0) == g)
+      assert(grouped(i).toSeq.drop(1) == solo.toSeq, g)
+    }
+  }
 }

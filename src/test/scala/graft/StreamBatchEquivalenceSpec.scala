@@ -460,6 +460,33 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       .exists(_.microBatches > 1))
   }
 
+  test("stream consensus and per-group calibration == their batch twins") {
+    import graft.operators.{Annotate, Eval}
+    val ratings = events.select(
+      (col("event_id") % 200L).as("item"),
+      concat(lit("r"), (col("event_id") / 200L).cast("int").cast("string"))
+        .as("rater"),
+      col("event_type").as("label"))
+    val sc = StreamGate.replayConsensusMonitor(
+        ratings.repartition(8), "item", "rater", "label",
+        filesPerTrigger = 1)
+      .orderBy("item").collect().map(_.toSeq)
+    val bc = Annotate.consolidateLabels(ratings, "item", "rater", "label")
+      .orderBy("item").collect().map(_.toSeq)
+    assert(sc.toSeq == bc.toSeq)
+    val scored = events.select(col("event_type").as("g"),
+      (pmod(col("event_id"), lit(997L)).cast("double") / 997.0).as("s"),
+      (col("value") > 0).as("label"))
+    val sg = StreamGate.replayGroupCalibrationMonitor(
+        scored.repartition(8), "g", "label", "s", filesPerTrigger = 1)
+      .collect().map(_.toSeq)
+    val bg = Eval.brierEceByGroup(scored, "g", "label", "s")
+      .collect().map(_.toSeq)
+    assert(sg.toSeq == bg.toSeq)
+    assert(graft.streaming.StreamGate.lastReplayObservability
+      .exists(_.microBatches > 1))
+  }
+
   test("stream per-group gini monitor == batch giniIndexByGroup across folds") {
     import graft.operators.Stats
     val masses = events.select(col("event_type"),
