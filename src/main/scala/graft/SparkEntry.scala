@@ -5663,6 +5663,99 @@ object SparkEntry {
         .select(col("source"), col("label"), col("s")),
       "source", "label", "s")
 
+  // ---------------------------------------------------------------- q293
+  /** Weighted Cohen's kappa ([[graft.operators.Eval.weightedKappa]]):
+    * two raters score documents on an ordinal 0–4 quality scale —
+    * rater B is rater A hash-shifted by {−1, 0, +1} and clipped, so
+    * near-misses dominate and the linear/quadratic weightings must
+    * disagree with the unweighted view. Every level is integer hash
+    * arithmetic both engines derive identically; the oracle replays
+    * cells, marginals, and both weighted sums. */
+  private def q293WeightedKappa(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val a = pmod(TextFunctions.portableTokenHash32(
+      concat(lit("wa:"), col("doc_id").cast("string"))), lit(5L))
+    val shift = pmod(TextFunctions.portableTokenHash32(
+      concat(lit("wb:"), col("doc_id").cast("string"))), lit(3L)) - 1L
+    val b = least(greatest(a + shift, lit(0L)), lit(4L))
+    graft.operators.Eval.weightedKappa(
+      Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("score_a", a).withColumn("score_b", b),
+      "score_a", "score_b")
+  }
+
+  // ---------------------------------------------------------------- q294
+  /** Kendall's W ([[graft.operators.Eval.kendallW]]): five raters
+    * score every document as a shared hash-derived base quality (×10)
+    * plus rater-specific ±10 noise — strong but imperfect
+    * concordance; per-rater ranks ride the skew-proof global sort and
+    * the oracle replays every rank, rank sum, and the exact-integer
+    * closed form. */
+  private def q294KendallW(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val base = pmod(TextFunctions.portableTokenHash32(
+      concat(lit("kwb:"), col("doc_id").cast("string"))), lit(100L))
+    val noise = pmod(TextFunctions.portableTokenHash32(
+      concat(lit("kwn:"), col("rater_i").cast("string"), lit(":"),
+        col("doc_id").cast("string"))), lit(21L)) - 10L
+    graft.operators.Eval.kendallW(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(sequence(lit(0), lit(4)))
+          .as("rater_i"))
+        .select(col("doc_id"),
+          concat(lit("r"), col("rater_i").cast("string")).as("rater"),
+          (base * 10L + noise).as("score")),
+      "doc_id", "rater", "score")
+  }
+
+  // ---------------------------------------------------------------- q295
+  /** Vocabulary richness ([[graft.operators.Corpus.vocabRichness]]):
+    * Chao1 + Good–Turing unseen mass over the corpus vocabulary — the
+    * saturation readout that says whether more crawl still buys new
+    * types. Oracle replays the frequency table, the type counts, and
+    * both closed forms. */
+  private def q295VocabRichness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.vocabRichness(Tables.documents(s, dir), "text")
+
+  // ---------------------------------------------------------------- q296
+  /** Incremental vocabulary-richness maintenance ([[graft.operators
+    * .Corpus.foldTokenFrequencies]]): the frequency table built from
+    * even doc ids, folded with the odd — held to q295's VERBATIM
+    * oracle (token counts merge by SUM). */
+  private def q296IncrementalVocab(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val docs = Tables.documents(s, dir)
+    Corpus.vocabRichnessFromFrequencies(
+      Corpus.foldTokenFrequencies(
+        Corpus.tokenFrequencies(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), "text"),
+        Corpus.tokenFrequencies(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), "text")))
+  }
+
+  // ---------------------------------------------------------------- q297
+  /** Streaming vocabulary-saturation monitor ([[graft.streaming
+    * .StreamGate.replayVocabRichnessMonitor]]): the document feed
+    * micro-batched into vocabulary-bounded versioned state — held to
+    * q295's verbatim oracle. */
+  private def q297StreamVocab(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayVocabRichnessMonitor(
+      Tables.documents(s, dir).select(col("text")), "text")
+
+  // ---------------------------------------------------------------- q298
+  /** Rank-biased overlap ([[graft.operators.Eval.rankBiasedOverlap]]):
+    * do the corpus' two length measures (token count vs character
+    * count) agree about the TOP of the ranking? Depth 50, persistence
+    * 0.9; the oracle replays both rank assignments, the prefix
+    * intersection counts, and the 12dp-rounded depth terms. */
+  private def q298Rbo(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.rankBiasedOverlap(
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tokens"),
+        col("n_chars")),
+      "doc_id", "n_tokens", "n_chars", depth = 50, p = 0.9)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q01_sum_agg" -> (q01SumAgg _),
@@ -5957,6 +6050,12 @@ object SparkEntry {
     "q290_calibration_by_source" -> (q290CalibrationBySource _),
     "q291_incremental_group_calibration" -> (q291IncrementalGroupCalibration _),
     "q292_stream_group_calibration" -> (q292StreamGroupCalibration _),
+    "q293_weighted_kappa" -> (q293WeightedKappa _),
+    "q294_kendall_w" -> (q294KendallW _),
+    "q295_vocab_richness" -> (q295VocabRichness _),
+    "q296_incremental_vocab" -> (q296IncrementalVocab _),
+    "q297_stream_vocab" -> (q297StreamVocab _),
+    "q298_rbo" -> (q298Rbo _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7399,6 +7498,119 @@ object SparkEntry {
     // batch per-slice audit's verbatim ground truth
     "q291_incremental_group_calibration" -> groupCalibrationOracle,
     "q292_stream_group_calibration" -> groupCalibrationOracle,
+    "q293_weighted_kappa" ->
+      s"""WITH sc AS (
+         |  SELECT ${hash32Sql("'wa:' || CAST(doc_id AS VARCHAR)")} % 5
+         |      AS a0,
+         |    ${hash32Sql("'wb:' || CAST(doc_id AS VARCHAR)")} % 3 - 1
+         |      AS sh
+         |  FROM documents
+         |), lv AS (
+         |  SELECT a0 AS a, LEAST(GREATEST(a0 + sh, 0), 4) AS b FROM sc
+         |), cells AS (
+         |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM lv GROUP BY a, b
+         |), n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+         |), nl AS (
+         |  SELECT CAST(COUNT(DISTINCT l) AS BIGINT) AS v
+         |  FROM (SELECT a AS l FROM cells UNION ALL SELECT b FROM cells)
+         |), o AS (
+         |  SELECT
+         |    SUM(CAST(abs(a - b) AS DECIMAL(38,0)) * c) AS ol,
+         |    SUM(CAST((a - b) * (a - b) AS DECIMAL(38,0)) * c) AS oq
+         |  FROM cells
+         |), ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra
+         |  FROM cells GROUP BY a
+         |), cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb
+         |  FROM cells GROUP BY b
+         |), e AS (
+         |  SELECT
+         |    SUM(CAST(abs(ra.a - cb.b) AS DECIMAL(38,0)) *
+         |      CAST(ra.ra AS DECIMAL(38,0)) * cb.cb) AS el,
+         |    SUM(CAST((ra.a - cb.b) * (ra.a - cb.b) AS DECIMAL(38,0)) *
+         |      CAST(ra.ra AS DECIMAL(38,0)) * cb.cb) AS eq
+         |  FROM ra CROSS JOIN cb
+         |)
+         |SELECT n.n, nl.v AS n_levels,
+         |  ROUND(1.0 - CAST(n.n * o.ol AS DOUBLE) / CAST(e.el AS DOUBLE), 6)
+         |    AS kappa_linear6,
+         |  ROUND(1.0 - CAST(n.n * o.oq AS DOUBLE) / CAST(e.eq AS DOUBLE), 6)
+         |    AS kappa_quadratic6
+         |FROM n, nl, o, e""".stripMargin,
+    "q294_kendall_w" ->
+      s"""WITH sc AS (
+         |  SELECT CAST(d.doc_id AS VARCHAR) AS it,
+         |    'r' || CAST(g.r AS VARCHAR) AS rt,
+         |    CAST((${hash32Sql("'kwb:' || CAST(d.doc_id AS VARCHAR)")} % 100)
+         |        * 10 +
+         |      (${hash32Sql(
+             "'kwn:' || CAST(g.r AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")} % 21 - 10)
+         |      AS DOUBLE) AS s
+         |  FROM documents d CROSS JOIN (SELECT unnest(range(5)) AS r) g
+         |), rk AS (
+         |  SELECT it,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY rt ORDER BY s, it)
+         |      AS BIGINT) AS rnk
+         |  FROM sc
+         |), ri AS (
+         |  SELECT it, CAST(SUM(rnk) AS BIGINT) AS r FROM rk GROUP BY it
+         |), dims AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(r AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))
+         |      AS s2
+         |  FROM ri
+         |)
+         |SELECT n AS n_items, CAST(5 AS BIGINT) AS n_raters,
+         |  ROUND(
+         |    CAST(12 * s2 - 3 * 25 * CAST(n AS DECIMAL(38,0)) *
+         |        (n + 1) * (n + 1) AS DOUBLE)
+         |    / CAST(25 * CAST(n AS DECIMAL(38,0)) * (n * n - 1)
+         |        AS DOUBLE), 6) AS w6
+         |FROM dims""".stripMargin,
+    "q295_vocab_richness" -> vocabRichnessOracle,
+    // the frequency fold and streamed monitor are held to the batch
+    // estimate's verbatim ground truth (token counts merge by SUM)
+    "q296_incremental_vocab" -> vocabRichnessOracle,
+    "q297_stream_vocab" -> vocabRichnessOracle,
+    "q298_rbo" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+        |      AS ta,
+        |    n_chars
+        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+        |), r AS (
+        |  SELECT id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY -CAST(ta AS DOUBLE), id)
+        |      AS BIGINT) AS ra,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY -CAST(n_chars AS DOUBLE), id)
+        |      AS BIGINT) AS rb
+        |  FROM d
+        |), m AS (SELECT GREATEST(ra, rb) AS mm FROM r
+        |), cnt AS (
+        |  SELECT mm, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM m WHERE mm <= 50 GROUP BY mm
+        |), depths AS (SELECT unnest(range(1, 51)) AS dd
+        |), xd AS (
+        |  SELECT dd, CAST(COALESCE(
+        |    (SELECT SUM(c) FROM cnt WHERE mm <= dd), 0) AS BIGINT) AS x
+        |  FROM depths
+        |), terms AS (
+        |  SELECT dd, x, CAST(ROUND(
+        |      power(CAST(0.9 AS DOUBLE), CAST(dd - 1 AS DOUBLE)) *
+        |        CAST(x AS DOUBLE) / CAST(dd AS DOUBLE), 12)
+        |    AS DECIMAL(38,12)) AS t
+        |  FROM xd
+        |), agg AS (
+        |  SELECT CAST(SUM(t) AS DOUBLE) AS acc,
+        |    CAST(MAX(CASE WHEN dd = 50 THEN x END) AS BIGINT) AS xk
+        |  FROM terms
+        |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+        |SELECT nn.n, 50 AS depth, CAST(0.9 AS DOUBLE) AS p,
+        |  agg.xk AS overlap_at_k,
+        |  ROUND((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * acc, 6)
+        |    AS rbo6
+        |FROM nn, agg""".stripMargin,
     "q273_brier_ece" -> brierEceOracle,
     "q286_incremental_calibration" -> brierEceOracle,
     "q287_stream_calibration" -> brierEceOracle,
@@ -11625,6 +11837,35 @@ object SparkEntry {
        |  ROUND(e.ece, 6) AS ece6
        |FROM tot JOIN e ON e.source = tot.source
        |ORDER BY tot.source""".stripMargin
+
+  /** Shared by q295 (the batch vocabulary-richness estimate), q296
+    * (the incremental frequency fold), and q297 (the streaming
+    * monitor). */
+  private val vocabRichnessOracle: String =
+    """WITH tf AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split_regex(trim(text), ' +'))
+      |          AS token
+      |        FROM documents)
+      |  GROUP BY token
+      |), a AS (
+      |  SELECT CAST(SUM(freq) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS s,
+      |    CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS f1,
+      |    CAST(SUM(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS f2
+      |  FROM tf
+      |)
+      |SELECT n AS n_tokens, s AS vocab, f1, f2,
+      |  ROUND(CASE WHEN f2 > 0
+      |      THEN CAST(s AS DOUBLE) +
+      |        CAST(f1 * f1 AS DOUBLE) / CAST(2 * f2 AS DOUBLE)
+      |      ELSE CAST(s AS DOUBLE) +
+      |        CAST(f1 * (f1 - 1) AS DOUBLE) / 2.0 END, 6) AS chao1_6,
+      |  ROUND(CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      |    AS unseen_mass6
+      |FROM a""".stripMargin
 
   private val hhiTokenMassOracle: String =
     """WITH d AS (

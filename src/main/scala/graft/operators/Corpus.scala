@@ -19,6 +19,57 @@ object Corpus {
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
 
+  /** Vocabulary-richness estimate — Chao1 + Good–Turing unseen mass
+    * over the corpus' token frequencies: "how many distinct tokens
+    * does the POPULATION hold, and what fraction of the next crawl's
+    * token mass will be unseen types?" — the vocabulary-saturation
+    * readout that says whether more data still buys new vocabulary.
+    * `Chao1 = S + f1²/(2·f2)` (the bias-corrected `S + f1(f1−1)/2`
+    * when no token occurs exactly twice), `P_unseen = f1/N` — S the
+    * observed vocabulary, f1/f2 the singleton/doubleton type counts,
+    * N total tokens. All integers until one division each (6dp gate).
+    *
+    * Scale shape: the [[tokenFrequencies]] vocabulary-bounded count
+    * pass, then ONE aggregation over the frequency table. Output: one
+    * row — (`n_tokens`, `vocab`, `f1`, `f2`, `chao1_6`,
+    * `unseen_mass6`). */
+  def vocabRichness(df: DataFrame, textCol: String): DataFrame =
+    vocabRichnessFromFrequencies(tokenFrequencies(df, textCol))
+
+  /** [[vocabRichness]]' readout over an accumulated (token, freq)
+    * table — token counts fold by SUM ([[foldTokenFrequencies]]), so
+    * the incremental and streaming estimates provably equal the batch
+    * one: the saturation dashboard stays current as the crawl lands
+    * without rescanning a shard. */
+  def vocabRichnessFromFrequencies(freq: DataFrame): DataFrame = {
+    val spark = freq.sparkSession
+    val row = freq.agg(
+      coalesce(sum(col("freq")), lit(0L)).as("n"),
+      count(lit(1)).as("s"),
+      sum(when(col("freq") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("freq") === 2L, 1L).otherwise(0L)).as("f2")).head()
+    val (n, s, f1, f2) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    require(n > 0L, "vocabRichness: the corpus has no tokens")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val chao1 =
+      if (f2 > 0L) s.toDouble +
+        (BigDecimal(f1) * BigDecimal(f1)).toDouble /
+          (BigDecimal(2L) * BigDecimal(f2)).toDouble
+      else s.toDouble +
+        (BigDecimal(f1) * BigDecimal(f1 - 1L)).toDouble / 2.0
+    val unseen = f1.toDouble / n.toDouble
+    import spark.implicits._
+    Seq((n, s, f1, f2, r6(chao1), r6(unseen)))
+      .toDF("n_tokens", "vocab", "f1", "f2", "chao1_6", "unseen_mass6")
+  }
+
+  /** The (token, freq) state fold: union + one vocabulary-bounded
+    * re-aggregation; counts merge by SUM. */
+  def foldTokenFrequencies(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy("token").agg(sum(col("freq")).as("freq"))
+
   /** Document-frequency table: in how many documents each distinct
     * token appears. `array_distinct` before the explode keeps the
     * shuffle per-document-distinct — a token repeated 1000x in one doc

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -808,6 +808,210 @@ object Eval {
     import spark.implicits._
     Seq((n, agree, Option(kappa6).map(_.doubleValue)))
       .toDF("n", "n_agree", "kappa6")
+  }
+
+  /** Weighted Cohen's kappa — [[cohenKappa]] for ORDINAL labels
+    * (quality scores 0–4, Likert scales, star ratings), where
+    * disagreeing by one level is NOT the same mistake as disagreeing
+    * by four: cell (i, j) is penalized by `|i − j|` (linear) and
+    * `(i − j)²` (quadratic — the RLHF community's default for scored
+    * preference labels), and
+    * `κ_w = 1 − Σ w·O / Σ w·E`. Both weightings emit from ONE pass.
+    * Levels must be non-negative integers (loud otherwise); rows
+    * with a NULL on either side are excluded.
+    *
+    * Arithmetic is exact until one division per weighting: levels are
+    * integers, so `Σ w·O` (observed) and `n·Σ w·E = Σ_ij w_ij·r_i·c_j`
+    * (chance, over the level-bounded marginal grid) are exact
+    * DECIMAL(38,0) integers and
+    * `κ_w = 1 − n·ΣwO / Σ w·r·c` is one rounded division. A corpus
+    * where chance weighted disagreement is zero (both raters constant
+    * at one level) reports NULL (0/0).
+    *
+    * Scale shape: one map-side-combined count onto (a, b) cells —
+    * level-vocabulary-bounded — then marginal joins over that tiny
+    * table. Output: one row —
+    * (`n`, `n_levels`, `kappa_linear6`, `kappa_quadratic6`). */
+  def weightedKappa(
+      df: DataFrame, colA: String, colB: String): DataFrame = {
+    val spark = df.sparkSession
+    def lvl(c: String, side: String) =
+      when(col(c).cast("double") >= 0.0 &&
+          col(c).cast("double") === floor(col(c).cast("double")),
+          col(c).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"weightedKappa: $side level must be a non-negative " +
+            "integer, got "), col(c).cast("string")))).as(side)
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(lvl(colA, "a"), lvl(colB, "b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    try {
+      def wLin(x: Column, y: Column) =
+        abs(x - y).cast("decimal(38,0)")
+      def wQuad(x: Column, y: Column) =
+        ((x - y) * (x - y)).cast("decimal(38,0)")
+      val top = cells.agg(
+        coalesce(sum(col("c")), lit(0L)).as("n"),
+        sum(wLin(col("a"), col("b")) * col("c").cast("decimal(38,0)"))
+          .as("ol"),
+        sum(wQuad(col("a"), col("b")) * col("c").cast("decimal(38,0)"))
+          .as("oq")).head()
+      val n = top.getLong(0)
+      require(n > 0L, "weightedKappa: no doubly-labeled rows")
+      val nLevels = cells
+        .select(explode(array(col("a"), col("b"))).as("l"))
+        .distinct().count()
+      val ra = cells.groupBy("a").agg(sum(col("c")).as("ra"))
+      val cb = cells.groupBy("b").agg(sum(col("c")).as("cb"))
+      val e = ra.crossJoin(cb).agg(
+        sum(wLin(col("a"), col("b")) * col("ra").cast("decimal(38,0)") *
+          col("cb").cast("decimal(38,0)")).as("el"),
+        sum(wQuad(col("a"), col("b")) * col("ra").cast("decimal(38,0)") *
+          col("cb").cast("decimal(38,0)")).as("eq")).head()
+      def k6(o: java.math.BigDecimal, ex: java.math.BigDecimal)
+          : Option[Double] = {
+        val num = BigDecimal(n) * BigDecimal(o)
+        val den = BigDecimal(ex)
+        if (den == BigDecimal(0)) None
+        else Some(BigDecimal(1.0 - num.toDouble / den.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      import spark.implicits._
+      Seq((n, nLevels,
+          k6(top.getDecimal(1), e.getDecimal(0)),
+          k6(top.getDecimal(2), e.getDecimal(1))))
+        .toDF("n", "n_levels", "kappa_linear6", "kappa_quadratic6")
+    } finally Blocks.release(cells)
+  }
+
+  /** Kendall's W (coefficient of concordance) — agreement among m
+    * raters who each SCORE every item (the multi-rater ordinal
+    * companion to [[graft.operators.Annotate.fleissKappa]]'s nominal
+    * panel): each rater's scores become ranks by (score, item) — a
+    * deterministic total order, the [[spearmanRho]] tie discipline,
+    * so every rater's ranks are an exact permutation and the no-tie
+    * formula `W = (12·ΣR_i² − 3m²n(n+1)²) / (m²n(n²−1))` applies
+    * exactly: all integers, one rounded division. W = 1 is perfect
+    * concordance, W ≈ 0 is no agreement beyond chance. Requires a
+    * COMPLETE panel (every rater scores every item) — loud otherwise;
+    * duplicate (item, rater) assignments loud; NULL scores excluded
+    * (which then trips the completeness check by construction).
+    *
+    * Scale shape: per-rater ranks ride [[General
+    * .withContiguousRowIdsPerGroup]]'s global range-partitioned sort
+    * (ONE rater's corpus-sized ranking cannot single-task a window
+    * partition), then one item-keyed rank-sum aggregation to two
+    * driver scalars. Output: one row — (`n_items`, `n_raters`,
+    * `w6`). */
+  def kendallW(
+      df: DataFrame, itemCol: String, raterCol: String,
+      scoreCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(
+        col(itemCol).cast("string").as("__it"),
+        col(raterCol).cast("string").as("__r"),
+        col(scoreCol).cast("double").as("__s"))
+      .filter(col("__it").isNotNull && col("__r").isNotNull &&
+        col("__s").isNotNull)
+    val guarded = base.groupBy("__it", "__r")
+      .agg(count(lit(1)).as("__c"), first(col("__s")).as("__s"))
+      .select(col("__it"), col("__r"),
+        when(col("__c") === 1L, col("__s"))
+          .otherwise(raise_error(concat(
+            lit("kendallW: rater "), col("__r"),
+            lit(" scored item "), col("__it"),
+            lit(" "), col("__c").cast("string"),
+            lit(" times — one score per (item, rater)")))).as("__s"))
+    val ranked = General.withContiguousRowIdsPerGroup(
+        guarded, Seq("__r"), Seq("__s", "__it"), "__rk")
+      .withColumn("__rk", col("__rk") + 1L)
+      .localCheckpoint()
+    try {
+      val dims = ranked.agg(
+        countDistinct(col("__it")).as("n"),
+        countDistinct(col("__r")).as("m"),
+        count(lit(1)).as("tot")).head()
+      val (n, m, tot) = (dims.getLong(0), dims.getLong(1), dims.getLong(2))
+      require(n >= 2L && m >= 2L,
+        s"kendallW: needs >= 2 items and >= 2 raters (got $n, $m)")
+      require(tot == n * m,
+        s"kendallW: incomplete panel — $tot scores for $n items x $m " +
+          "raters; every rater must score every item")
+      val s2 = BigDecimal(ranked
+        .groupBy("__it").agg(sum(col("__rk")).as("__ri"))
+        .agg(sum(col("__ri").cast("decimal(38,0)") *
+          col("__ri").cast("decimal(38,0)"))).head().getDecimal(0))
+      val mB = BigDecimal(m); val nB = BigDecimal(n)
+      val num = BigDecimal(12) * s2 -
+        BigDecimal(3) * mB * mB * nB * (nB + 1) * (nB + 1)
+      val den = mB * mB * nB * (nB * nB - 1)
+      val w6 = BigDecimal(num.toDouble / den.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import spark.implicits._
+      Seq((n, m, w6)).toDF("n_items", "n_raters", "w6")
+    } finally Blocks.release(ranked)
+  }
+
+  /** Rank-biased overlap at bounded depth — how much two rankers
+    * agree AT THE TOP (retrieval candidates, leaderboards, quality
+    * orderings), where Spearman/Kendall over the full corpus drown
+    * the head in the tail: `RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·X_d/d`
+    * with `X_d` the size of the two top-d prefixes' intersection and
+    * `p` the persistence (expected depth examined ≈ 1/(1−p)). Ranks
+    * order by (score DESC, id) — deterministic ties, both engines
+    * replay them. Rows with either score NULL are excluded.
+    *
+    * Cross-engine determinism: the k depth terms are 12dp-rounded
+    * decimals (order-free sum; a libm `pow` ulp cannot survive the
+    * rounding). Scale shape: two range-partitioned rank assignments,
+    * one id-keyed join, ONE k-bounded count aggregation (X_d is the
+    * running count of items whose WORSE rank clears d — no per-depth
+    * passes); the k-row readout is driver arithmetic. Output: one
+    * row — (`n`, `depth`, `p`, `overlap_at_k`, `rbo6`). */
+  def rankBiasedOverlap(
+      df: DataFrame, idCol: String, scoreColA: String, scoreColB: String,
+      depth: Int = 50, p: Double = 0.9): DataFrame = {
+    require(depth >= 1 && depth <= 100000,
+      s"rankBiasedOverlap: depth ($depth) must be in [1, 100000]")
+    require(p > 0.0 && p < 1.0,
+      s"rankBiasedOverlap: p ($p) must be in (0, 1)")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast("string").as("__id"),
+        col(scoreColA).cast("double").as("__a"),
+        col(scoreColB).cast("double").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val ra = General.withContiguousRowIds(
+      base.select(col("__id"), (-col("__a")).as("__na")),
+      Seq("__na", "__id"), "__ra")
+    val rb = General.withContiguousRowIds(
+      base.select(col("__id"), (-col("__b")).as("__nb")),
+      Seq("__nb", "__id"), "__rb")
+    val worse = ra.join(rb, Seq("__id"))
+      .select(greatest(col("__ra") + 1L, col("__rb") + 1L).as("__m"))
+    val nTotal = base.count()
+    require(nTotal > 0L, "rankBiasedOverlap: no doubly-scored rows")
+    // X_d = #items with max(rankA, rankB) <= d: k-bounded counts, the
+    // cumulative readout is driver arithmetic over <= k rows
+    val counts = worse.filter(col("__m") <= depth.toLong)
+      .groupBy("__m").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    var x = 0L
+    var acc = BigDecimal(0)
+    var d = 1
+    while (d <= depth) {
+      x += counts.getOrElse(d.toLong, 0L)
+      val term = math.pow(p, (d - 1).toDouble) * x.toDouble / d.toDouble
+      acc += BigDecimal(term)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      d += 1
+    }
+    val rbo6 = BigDecimal((1.0 - p) * acc.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    Seq((nTotal, depth, p, x, rbo6))
+      .toDF("n", "depth", "p", "overlap_at_k", "rbo6")
   }
 
   /** Spearman rank correlation between two per-item scores — the

@@ -1140,6 +1140,24 @@ object StreamGate {
       state => graft.operators.Annotate.krippendorffAlphaFromCells(
         state.localCheckpoint()))
 
+  /** Streaming vocabulary-saturation monitor — [[graft.operators
+    * .Corpus.vocabRichness]] with the document feed as a FILE STREAM:
+    * each micro-batch's token frequencies fold by SUM into
+    * vocabulary-bounded versioned state, readout = the shared
+    * Chao1/Good–Turing arithmetic — the live "is more crawl still
+    * buying new vocabulary?" dashboard. Returns the one-row
+    * (`n_tokens`, `vocab`, `f1`, `f2`, `chao1_6`, `unseen_mass6`)
+    * frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayVocabRichnessMonitor(
+      docs: DataFrame,
+      textCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(docs, Seq(textCol), "vocabrich", filesPerTrigger)(
+      batch => graft.operators.Corpus.tokenFrequencies(batch, textCol),
+      graft.operators.Corpus.foldTokenFrequencies,
+      state => graft.operators.Corpus.vocabRichnessFromFrequencies(state))
+
   /** Streaming label-consolidation monitor — [[graft.operators
     * .Annotate.consolidateLabels]] over the SAME maintained (item,
     * label) cell state as the agreement monitors: as annotations
