@@ -4833,10 +4833,7 @@ object SparkEntry {
     * structural zeros. */
   private def q241AssociationByGroup(s: SparkSession, dir: String): DataFrame =
     graft.operators.Profile.categoricalAssociationByGroup(
-      Tables.events(s, dir).select(
-        (col("event_id") % 3).cast("string").as("snapshot"),
-        col("event_type"),
-        (col("user_id") % 7).cast("string").as("user_bucket")),
+      snapshotAssociationRows(s, dir),
       "snapshot", "event_type", "user_bucket")
 
   // ---------------------------------------------------------------- q242
@@ -5259,10 +5256,18 @@ object SparkEntry {
       docTokenMasses(s, dir).select(col("n_tokens")), "n_tokens")
 
   /** The (snapshot, type, bucket) frame q241's per-group association
-    * audits — shared by the q266/q267 maintenance twins. */
+    * audits — shared by the q266/q267 maintenance twins (ONE
+    * projection, so the batch query and its incremental/stream twins
+    * cannot desynchronize from their shared oracle). */
   private def snapshotAssociationRows(
       s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(
+    snapshotAssociationSlice(s, dir, lit(true))
+
+  /** [[snapshotAssociationRows]] restricted to an event-id predicate —
+    * the q266 shard carver. */
+  private def snapshotAssociationSlice(
+      s: SparkSession, dir: String, pred: Column): DataFrame =
+    Tables.events(s, dir).filter(pred).select(
       (col("event_id") % 3).cast("string").as("snapshot"),
       col("event_type"),
       (col("user_id") % 7).cast("string").as("user_bucket"))
@@ -5277,10 +5282,7 @@ object SparkEntry {
       s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Profile
     def slice(pred: Column): DataFrame = Profile.groupJointCountsOf(
-      Tables.events(s, dir).filter(pred)
-        .select((col("event_id") % 3).cast("string").as("snapshot"),
-          col("event_type"),
-          (col("user_id") % 7).cast("string").as("user_bucket")),
+      snapshotAssociationSlice(s, dir, pred),
       "snapshot", "event_type", "user_bucket")
     Profile.associationByGroupFromJoint(
       Profile.foldGroupJointCounts(
@@ -5373,18 +5375,11 @@ object SparkEntry {
   /** The q273/q286/q287 scored corpus: hash-uniform scores with
     * labels drawn at (approximately) the claimed rate — every score
     * and label a pure integer-hash function both engines derive
-    * identically. */
-  private def brierScoredDocs(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
-    val su = TextFunctions.portableTokenHash32(
-      concat(lit("cal:"), col("doc_id").cast("string")))
-      .cast("double") / lit(4294967296.0)
-    val label = pmod(TextFunctions.portableTokenHash32(
-      concat(lit("lab:"), col("doc_id").cast("string"))), lit(1000L))
-      .cast("double") < floor(su * lit(1000.0))
-    Tables.documents(s, dir).select(col("doc_id"))
-      .withColumn("s", su).withColumn("label", label)
-  }
+    * identically. ONE derivation shared with the sliced q290–q292
+    * fixture, so the grouped and ungrouped calibration corpora cannot
+    * desynchronize. */
+  private def brierScoredDocs(s: SparkSession, dir: String): DataFrame =
+    brierScoredDocsBySource(s, dir).drop("source")
 
   // ---------------------------------------------------------------- q274
   /** Per-source HHI off the maintained per-group count state
@@ -5757,7 +5752,6 @@ object SparkEntry {
       "doc_id", "n_tokens", "n_chars", depth = 50, p = 0.9)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_sum_agg" -> (q01SumAgg _),
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
     "q03_catalog" -> (q03Catalog _),

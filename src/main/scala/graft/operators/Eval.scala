@@ -420,8 +420,8 @@ object Eval {
     * confidence and realized frequency
     * (`Σ_b (n_b/n)·|frac_pos_b − mean_score_b|` over
     * [[calibrationBins]]'s buckets — the one-number summary of the
-    * reliability diagram). NULL scores are excluded (unscored, not
-    * wrong); scores outside [lo, hi] clamp into the edge buckets
+    * reliability diagram). NULL scores and NULL labels are
+    * excluded (unscored/unlabeled, not wrong); scores outside [lo, hi] clamp into the edge buckets
     * (the calibrationBins rule) but enter Brier verbatim.
     *
     * Cross-engine determinism: Brier terms and per-bucket gap terms
@@ -466,7 +466,10 @@ object Eval {
       .cast("int")
     val bucket = least(greatest(raw, lit(0)), lit(bins - 1))
     val y = when(col(labelCol).cast("boolean"), lit(1.0)).otherwise(lit(0.0))
-    scored.filter(v.isNotNull)
+    // NULL labels are excluded (unlabeled, not negative — the Annotate
+    // discipline): silently scoring them as y=0 would bias Brier/ECE
+    // upward exactly on the unlabeled rows
+    scored.filter(v.isNotNull && col(labelCol).isNotNull)
       .select(bucket.as("bucket"),
         (y === 1.0).as("__y"),
         round(v, 6).cast("decimal(28,6)").as("__s6"),
@@ -525,7 +528,7 @@ object Eval {
       .cast("int")
     val bucket = least(greatest(raw, lit(0)), lit(bins - 1))
     val y = when(col(labelCol).cast("boolean"), lit(1.0)).otherwise(lit(0.0))
-    scored.filter(v.isNotNull)
+    scored.filter(v.isNotNull && col(labelCol).isNotNull)
       .select(col(groupCol).cast("string").as("__g"),
         bucket.as("bucket"),
         (y === 1.0).as("__y"),
@@ -556,7 +559,12 @@ object Eval {
     val gap = (col("n").cast("double") / col("__ntot").cast("double")) *
       abs(col("n_pos").cast("double") / col("n").cast("double") -
         col("__ssum").cast("double") / col("n").cast("double"))
-    state.join(totals, Seq("__g"))
+    // null-safe group join — the NULL slice is exactly the kind of
+    // degenerate stratum a per-slice audit exists to surface
+    state.alias("__l")
+      .join(totals.alias("__r"), col("__l.__g") <=> col("__r.__g"))
+      .select(col("__l.__g").as("__g"), col("n"), col("n_pos"),
+        col("__ssum"), col("__ntot"), col("__btot"))
       .groupBy("__g").agg(
         max(col("__ntot")).as("n"),
         max(col("__btot")).as("__btot"),
@@ -978,10 +986,21 @@ object Eval {
     require(p > 0.0 && p < 1.0,
       s"rankBiasedOverlap: p ($p) must be in (0, 1)")
     val spark = df.sparkSession
+    // NULL ids are excluded BEFORE ranking (a NULL id would take a
+    // top-k slot both sides yet vanish from the id join); duplicate
+    // ids fail loudly below — a duplicated id would cross-multiply in
+    // the join and push X_d past d
     val base = df.select(col(idCol).cast("string").as("__id"),
         col(scoreColA).cast("double").as("__a"),
         col(scoreColB).cast("double").as("__b"))
-      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .filter(col("__id").isNotNull &&
+        col("__a").isNotNull && col("__b").isNotNull)
+      .localCheckpoint()
+    val dims = base.agg(count(lit(1)).as("n"),
+      countDistinct(col("__id")).as("d")).head()
+    require(dims.getLong(0) == dims.getLong(1),
+      s"rankBiasedOverlap: ${dims.getLong(0) - dims.getLong(1)} " +
+        "duplicate id(s) — one row per ranked item")
     val ra = General.withContiguousRowIds(
       base.select(col("__id"), (-col("__a")).as("__na")),
       Seq("__na", "__id"), "__ra")
@@ -997,6 +1016,7 @@ object Eval {
     val counts = worse.filter(col("__m") <= depth.toLong)
       .groupBy("__m").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    Blocks.release(base)
     var x = 0L
     var acc = BigDecimal(0)
     var d = 1

@@ -1157,8 +1157,14 @@ object Stats {
     val term = when(col("__x") > 0L,
         share * log(col("__n").cast("double") * share))
       .otherwise(lit(0.0))
+    // null-safe group join: a NULL group is its own stratum (the
+    // giniIndexByGroup convention) — a plain USING join would silently
+    // drop it
     theilGroupReadout(
-      masses.join(totals, Seq("__g"))
+      masses.alias("__l")
+        .join(totals.alias("__r"), col("__l.__g") <=> col("__r.__g"))
+        .select(col("__l.__g").as("__g"), col("__x"), col("__n"),
+          col("__t"))
         .groupBy("__g").agg(
           max(col("__n")).as("n"), max(col("__t")).as("__t"),
           sum(round(term, 12).cast("decimal(38,12)")).cast("double")
@@ -1200,7 +1206,10 @@ object Stats {
         share * log(col("__n").cast("double") * share))
       .otherwise(lit(0.0))
     theilGroupReadout(
-      guarded.join(totals, Seq("__g"))
+      guarded.alias("__l")
+        .join(totals.alias("__r"), col("__l.__g") <=> col("__r.__g"))
+        .select(col("__l.__g").as("__g"), col("v"), col("cnt"),
+          col("__n"), col("__t"))
         .groupBy("__g").agg(
           max(col("__n")).as("n"), max(col("__t")).as("__t"),
           sum(col("cnt").cast("decimal(23,0)") *
@@ -1280,7 +1289,11 @@ object Stats {
               log(col("__ng").cast("double") *
                 col("__x").cast("double") / col("__tg").cast("double")))
           .otherwise(lit(0.0))
-        val within = masses.join(groups, Seq("__g"))
+        // null-safe: the NULL group's s_g·T_g term must stay in the
+        // within sum or the spec-pinned between+within==total identity
+        // breaks on NULL-group corpora
+        val within = masses.alias("__l")
+          .join(groups.alias("__r"), col("__l.__g") <=> col("__r.__g"))
           .agg(dsum(withinTerm)).head().getDouble(0)
         def r6(x: Double) = BigDecimal(x)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -129,6 +129,22 @@ class ConcentrationSpec extends AnyFunSuite {
       Stats.theilIndexByGroup(df, "g", "x").collect().map(_.toSeq).toSeq)
   }
 
+  test("NULL group is its own stratum in every per-group reader") {
+    val df = table("g string, x bigint",
+      Seq(row("a", 3L), row("a", 9L), row(null, 4L), row(null, 2L)))
+    val tg = Stats.theilIndexByGroup(df, "g", "x").collect()
+    assert(tg.length == 2 && tg.exists(_.isNullAt(0)),
+      tg.map(_.toSeq).mkString("; "))
+    val hg = Stats.hhiIndexByGroup(df, "g", "x").collect()
+    assert(hg.length == 2 && hg.exists(_.isNullAt(0)))
+    // the NULL group's within term stays in the decomposition, so the
+    // identity still holds
+    val d = Stats.theilDecomposition(df, "g", "x").head()
+    assert(d.getLong(1) == 2L, "two groups incl. the NULL stratum")
+    assert(math.abs(d.getDouble(3) - (d.getDouble(4) + d.getDouble(5)))
+      < 1e-5, d.toSeq.toString)
+  }
+
   test("loud guards: negative, fractional, and zero-total masses") {
     val neg = masses(Seq(3L, -1L))
     val e1 = intercept[Exception] {

@@ -510,10 +510,12 @@ class EvalSpec extends AnyFunSuite {
       row(false, 0.9), row(false, 0.9)))
     val w = Eval.brierEce(wrong, "label", "s").head()
     assert(w.toSeq == Seq(2L, 0.81, 0.9))
-    // NULL scores excluded; empty is loud
+    // NULL scores AND NULL labels excluded (unlabeled, not negative);
+    // empty is loud
     val withNull = table("label boolean, s double", Seq(
-      row(true, 1.0), row(false, null)))
-    assert(Eval.brierEce(withNull, "label", "s").head().getLong(0) == 1L)
+      row(true, 1.0), row(false, null), row(null, 0.95)))
+    val nn = Eval.brierEce(withNull, "label", "s").head()
+    assert(nn.getLong(0) == 1L && nn.getDouble(1) == 0.0)
     intercept[IllegalArgumentException] {
       Eval.brierEce(
         table("label boolean, s double", Seq(row(true, null))),

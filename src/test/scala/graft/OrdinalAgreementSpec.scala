@@ -93,6 +93,18 @@ class OrdinalAgreementSpec extends AnyFunSuite {
     val r = Eval.rankBiasedOverlap(rev, "id", "sa", "sb",
       depth = 50, p = 0.9).head()
     assert(r.getLong(3) == 0L && r.getDouble(4) == 0.0)
+    // NULL ids drop before ranking; duplicate ids are loud
+    val withNull = table("id bigint, sa double, sb double",
+      Seq(row(null, 99.0, 99.0), row(1L, 2.0, 2.0), row(2L, 1.0, 1.0)))
+    val wn = Eval.rankBiasedOverlap(withNull, "id", "sa", "sb",
+      depth = 2, p = 0.9).head()
+    assert(wn.getLong(0) == 2L && wn.getLong(3) == 2L)
+    val dup = table("id bigint, sa double, sb double",
+      Seq(row(1L, 1.0, 1.0), row(1L, 2.0, 2.0)))
+    val e = intercept[IllegalArgumentException] {
+      Eval.rankBiasedOverlap(dup, "id", "sa", "sb").head()
+    }
+    assert(e.getMessage.contains("duplicate id"))
     intercept[IllegalArgumentException] {
       Eval.rankBiasedOverlap(df, "id", "sa", "sb", depth = 0)
     }
