@@ -5751,6 +5751,67 @@ object SparkEntry {
         col("n_chars")),
       "doc_id", "n_tokens", "n_chars", depth = 50, p = 0.9)
 
+  // ---------------------------------------------------------------- q299
+  /** Per-language Cohen's kappa ([[graft.operators.Eval
+    * .cohenKappaByGroup]]): raters r0 (8% noise) and r1 (16% noise)
+    * from the annotation panel, agreement drilled into each language
+    * — the slice audit that catches raters guessing on one language
+    * while agreeing overall. Whole readout in-plan; oracle replays
+    * per-group cells, marginals, and the exact-integer closed
+    * form. */
+  private def q299KappaByLang(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    def label(r: Int): Column = {
+      val key = concat(lit(s"$r:"), col("doc_id").cast("string"))
+      val noisy = pmod(TextFunctions.portableTokenHash32(
+        concat(lit("ann:"), key)), lit(100L)) < (r + 1) * 8
+      val junk = concat(lit("z"),
+        substring(md5(concat(lit("annx:"), key)), 1, 1))
+      when(noisy, junk).otherwise(col("lang"))
+    }
+    graft.operators.Eval.cohenKappaByGroup(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .withColumn("label_a", label(0)).withColumn("label_b", label(1)),
+      "lang", "label_a", "label_b")
+  }
+
+  // ---------------------------------------------------------------- q300
+  /** Per-language vocabulary richness ([[graft.operators.Corpus
+    * .vocabRichnessByGroup]]): Chao1 + unseen mass per language —
+    * "is the German crawl saturated while Chinese still buys new
+    * types?" — whole readout in-plan over the group-keyed frequency
+    * table. */
+  private def q300VocabByLang(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.vocabRichnessByGroup(
+      Tables.documents(s, dir), "lang", "text")
+
+  // ---------------------------------------------------------------- q301
+  /** Incremental per-language vocabulary maintenance ([[graft
+    * .operators.Corpus.foldGroupTokenFrequencies]]): the group-keyed
+    * frequency table folded across a doc-parity split — held to
+    * q300's VERBATIM oracle. */
+  private def q301IncrementalGroupVocab(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val docs = Tables.documents(s, dir)
+    Corpus.vocabRichnessByGroupFromFrequencies(
+      Corpus.foldGroupTokenFrequencies(
+        Corpus.groupTokenFrequencies(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), "lang", "text"),
+        Corpus.groupTokenFrequencies(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), "lang", "text")),
+      "lang")
+  }
+
+  // ---------------------------------------------------------------- q302
+  /** Streaming per-language saturation monitor ([[graft.streaming
+    * .StreamGate.replayGroupVocabMonitor]]) — held to q300's verbatim
+    * oracle. */
+  private def q302StreamGroupVocab(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayGroupVocabMonitor(
+      Tables.documents(s, dir).select(col("lang"), col("text")),
+      "lang", "text")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -6050,6 +6111,10 @@ object SparkEntry {
     "q296_incremental_vocab" -> (q296IncrementalVocab _),
     "q297_stream_vocab" -> (q297StreamVocab _),
     "q298_rbo" -> (q298Rbo _),
+    "q299_kappa_by_lang" -> (q299KappaByLang _),
+    "q300_vocab_by_lang" -> (q300VocabByLang _),
+    "q301_incremental_group_vocab" -> (q301IncrementalGroupVocab _),
+    "q302_stream_group_vocab" -> (q302StreamGroupVocab _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7605,6 +7670,56 @@ object SparkEntry {
         |  ROUND((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * acc, 6)
         |    AS rbo6
         |FROM nn, agg""".stripMargin,
+    "q299_kappa_by_lang" ->
+      s"""WITH lbl AS (
+         |  SELECT lang AS g,
+         |    CASE WHEN ${hash32Sql(
+             "'ann:0:' || CAST(doc_id AS VARCHAR)")} % 100 < 8
+         |      THEN 'z' || substr(md5('annx:0:' ||
+         |        CAST(doc_id AS VARCHAR)), 1, 1)
+         |      ELSE lang END AS a,
+         |    CASE WHEN ${hash32Sql(
+             "'ann:1:' || CAST(doc_id AS VARCHAR)")} % 100 < 16
+         |      THEN 'z' || substr(md5('annx:1:' ||
+         |        CAST(doc_id AS VARCHAR)), 1, 1)
+         |      ELSE lang END AS b
+         |  FROM documents
+         |), cells AS (
+         |  SELECT g, a, b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM lbl GROUP BY g, a, b
+         |), t AS (
+         |  SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+         |      AS n_agree
+         |  FROM cells GROUP BY g
+         |), ra AS (SELECT g, a, CAST(SUM(c) AS BIGINT) AS ra
+         |  FROM cells GROUP BY g, a
+         |), cb AS (SELECT g, b, CAST(SUM(c) AS BIGINT) AS cb
+         |  FROM cells GROUP BY g, b
+         |), p AS (
+         |  SELECT ra.g,
+         |    SUM(CAST(ra.ra AS DECIMAL(38,0)) *
+         |      CAST(cb.cb AS DECIMAL(38,0))) AS p
+         |  FROM ra JOIN cb ON ra.g IS NOT DISTINCT FROM cb.g
+         |    AND ra.a IS NOT DISTINCT FROM cb.b
+         |  GROUP BY ra.g
+         |)
+         |SELECT t.g AS lang, t.n, t.n_agree,
+         |  CASE WHEN CAST(t.n AS DECIMAL(38,0)) * t.n
+         |      - COALESCE(p.p, 0) <> 0
+         |    THEN ROUND(
+         |      CAST(CAST(t.n AS DECIMAL(38,0)) * t.n_agree
+         |          - COALESCE(p.p, 0) AS DOUBLE)
+         |      / CAST(CAST(t.n AS DECIMAL(38,0)) * t.n
+         |          - COALESCE(p.p, 0) AS DOUBLE), 6)
+         |  END AS kappa6
+         |FROM t LEFT JOIN p ON t.g IS NOT DISTINCT FROM p.g
+         |ORDER BY lang""".stripMargin,
+    "q300_vocab_by_lang" -> groupVocabOracle,
+    // the group-keyed frequency fold and streamed monitor are held to
+    // the batch per-language estimate's verbatim ground truth
+    "q301_incremental_group_vocab" -> groupVocabOracle,
+    "q302_stream_group_vocab" -> groupVocabOracle,
     "q273_brier_ece" -> brierEceOracle,
     "q286_incremental_calibration" -> brierEceOracle,
     "q287_stream_calibration" -> brierEceOracle,
@@ -11860,6 +11975,37 @@ object SparkEntry {
       |  ROUND(CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
       |    AS unseen_mass6
       |FROM a""".stripMargin
+
+  /** Shared by q300 (the batch per-language richness), q301 (the
+    * incremental group-keyed frequency fold), and q302 (the streaming
+    * monitor). */
+  private val groupVocabOracle: String =
+    """WITH tf AS (
+      |  SELECT g, token, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT lang AS g,
+      |          unnest(string_split_regex(trim(text), ' +')) AS token
+      |        FROM documents)
+      |  GROUP BY g, token
+      |), a AS (
+      |  SELECT g, CAST(SUM(freq) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS s,
+      |    CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS f1,
+      |    CAST(SUM(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS f2
+      |  FROM tf GROUP BY g
+      |)
+      |SELECT g AS lang, n AS n_tokens, s AS vocab, f1, f2,
+      |  ROUND(CASE WHEN f2 > 0
+      |      THEN CAST(s AS DOUBLE) +
+      |        CAST(CAST(f1 AS DECIMAL(38,0)) * f1 AS DOUBLE)
+      |          / CAST(2 * CAST(f2 AS DECIMAL(38,0)) AS DOUBLE)
+      |      ELSE CAST(s AS DOUBLE) +
+      |        CAST(CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) AS DOUBLE)
+      |          / 2.0 END, 6) AS chao1_6,
+      |  ROUND(CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      |    AS unseen_mass6
+      |FROM a ORDER BY lang""".stripMargin
 
   private val hhiTokenMassOracle: String =
     """WITH d AS (

@@ -70,6 +70,60 @@ object Corpus {
   def foldTokenFrequencies(base: DataFrame, delta: DataFrame): DataFrame =
     base.unionByName(delta).groupBy("token").agg(sum(col("freq")).as("freq"))
 
+  /** Per-group [[vocabRichness]] — saturation PER SLICE ("is the
+    * German crawl saturated while Chinese still buys new types?"):
+    * the whole Chao1/Good–Turing readout runs IN the plan over the
+    * group-keyed frequency table (group cardinality unbounded). A
+    * NULL group is its own stratum. Output: one row per group —
+    * (`groupCol` as STRING, `n_tokens`, `vocab`, `f1`, `f2`,
+    * `chao1_6`, `unseen_mass6`), ordered by group. */
+  def vocabRichnessByGroup(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    vocabRichnessByGroupFromFrequencies(
+      groupTokenFrequencies(df, groupCol, textCol), groupCol)
+
+  /** One shard's GROUP-KEYED frequency table — `(__g, token, freq)`;
+    * folds with [[foldGroupTokenFrequencies]]. */
+  def groupTokenFrequencies(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.select(col(groupCol).cast("string").as("__g"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("__g", "token").agg(count(lit(1)).as("freq"))
+
+  /** The group-keyed frequency fold. */
+  def foldGroupTokenFrequencies(
+      base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy("__g", "token")
+      .agg(sum(col("freq")).as("freq"))
+
+  /** [[vocabRichnessByGroup]]'s readout over accumulated
+    * `(__g, token, freq)` state — shared verbatim by the batch
+    * operator, the incremental fold, and the streaming monitor.
+    * `f1²` rides DECIMAL(38,0) before the double cast (a long f1
+    * square overflows near 3e9 singleton types — the 100 TB
+    * regime). */
+  def vocabRichnessByGroupFromFrequencies(
+      freq: DataFrame, groupCol: String): DataFrame = {
+    val f1D = col("f1").cast("decimal(38,0)")
+    freq.groupBy("__g").agg(
+        sum(col("freq")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("freq") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("freq") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("__g").as(groupCol), col("n_tokens"), col("vocab"),
+        col("f1"), col("f2"),
+        round(when(col("f2") > 0L,
+            col("vocab").cast("double") +
+              (f1D * f1D).cast("double") /
+                (lit(2).cast("decimal(38,0)") * col("f2")).cast("double"))
+          .otherwise(col("vocab").cast("double") +
+            (f1D * (f1D - 1)).cast("double") / lit(2.0)), 6)
+          .as("chao1_6"),
+        round(col("f1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("unseen_mass6"))
+      .orderBy(groupCol)
+  }
+
   /** Document-frequency table: in how many documents each distinct
     * token appears. `array_distinct` before the explode keeps the
     * shuffle per-document-distinct — a token repeated 1000x in one doc

@@ -818,6 +818,59 @@ object Eval {
       .toDF("n", "n_agree", "kappa6")
   }
 
+  /** Per-group [[cohenKappa]] — two-rater chance-corrected agreement
+    * PER SLICE (per language, per source, per task type): the
+    * drill-down that catches raters agreeing overall while guessing
+    * on one language. The whole readout runs IN the plan over exact
+    * decimal columns (group cardinality unbounded, no driver
+    * scalars): `κ = (n·a − P)/(n² − P)` per group with
+    * `P = Σ_k rowMarginal_k·colMarginal_k`, one rounded division on
+    * the 6dp gate; a group where chance agreement is 1 reports NULL.
+    * NULL labels are excluded ([[cohenKappa]]'s rule); a NULL group
+    * is its own stratum.
+    *
+    * Scale shape: one map-side-combined count onto (group, a, b)
+    * cells — groups × label-vocabulary² bounded — then group-keyed
+    * marginal joins over that table. Output: one row per group —
+    * (`groupCol` as STRING, `n`, `n_agree`, `kappa6`), ordered by
+    * group. */
+  def cohenKappaByGroup(
+      df: DataFrame, groupCol: String, colA: String,
+      colB: String): DataFrame = {
+    val cells = df.select(col(groupCol).cast("string").as("__g"),
+        col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__g", "__a", "__b").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val ra = cells.groupBy("__g", "__a").agg(sum(col("__c")).as("__ra"))
+    val cb = cells.groupBy("__g", "__b").agg(sum(col("__c")).as("__cb"))
+    val t = cells.groupBy("__g").agg(
+      sum(col("__c")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+        .as("n_agree"))
+    val p = ra.alias("__l")
+      .join(cb.alias("__r"),
+        col("__l.__g") <=> col("__r.__g") &&
+          col("__l.__a") <=> col("__r.__b"))
+      .select(col("__l.__g").as("__g"),
+        (col("__ra").cast("decimal(38,0)") *
+          col("__cb").cast("decimal(38,0)")).as("__rc"))
+      .groupBy("__g").agg(sum(col("__rc")).as("__p"))
+    val nD = col("n").cast("decimal(38,0)")
+    val pD = coalesce(col("__p"), lit(0).cast("decimal(38,0)"))
+    t.alias("__t")
+      .join(p.alias("__p2"), col("__t.__g") <=> col("__p2.__g"),
+        "left_outer")
+      .select(col("__t.__g").as(groupCol), col("n"), col("n_agree"),
+        when(nD * nD - pD =!= 0,
+            round((nD * col("n_agree").cast("decimal(38,0)") - pD)
+                .cast("double") /
+              (nD * nD - pD).cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("kappa6"))
+      .orderBy(groupCol)
+  }
+
   /** Weighted Cohen's kappa — [[cohenKappa]] for ORDINAL labels
     * (quality scores 0–4, Likert scales, star ratings), where
     * disagreeing by one level is NOT the same mistake as disagreeing

@@ -1158,6 +1158,24 @@ object StreamGate {
       graft.operators.Corpus.foldTokenFrequencies,
       state => graft.operators.Corpus.vocabRichnessFromFrequencies(state))
 
+  /** Streaming PER-GROUP vocabulary-saturation monitor — [[graft
+    * .operators.Corpus.vocabRichnessByGroup]] over group-keyed
+    * versioned frequency state: the live per-language saturation
+    * dashboard.
+    * @note one-generation replay contract — see the object doc. */
+  def replayGroupVocabMonitor(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(docs, Seq(groupCol, textCol), "gvocab",
+        filesPerTrigger)(
+      batch => graft.operators.Corpus.groupTokenFrequencies(
+        batch, groupCol, textCol),
+      graft.operators.Corpus.foldGroupTokenFrequencies,
+      state => graft.operators.Corpus.vocabRichnessByGroupFromFrequencies(
+        state, groupCol))
+
   /** Streaming label-consolidation monitor — [[graft.operators
     * .Annotate.consolidateLabels]] over the SAME maintained (item,
     * label) cell state as the agreement monitors: as annotations

@@ -112,4 +112,46 @@ class OrdinalAgreementSpec extends AnyFunSuite {
       Eval.rankBiasedOverlap(df, "id", "sa", "sb", p = 1.0)
     }
   }
+
+  test("cohenKappaByGroup == filtered ungrouped; NULL group kept") {
+    val df = table("g string, a string, b string", Seq(
+      row("x", "l1", "l1"), row("x", "l1", "l2"), row("x", "l2", "l2"),
+      row("x", "l2", "l1"),
+      row("y", "l1", "l1"), row("y", "l1", "l1"), row("y", "l2", "l2"),
+      row(null, "l1", "l1"), row(null, "l1", "l2")))
+    val grouped = Eval.cohenKappaByGroup(df, "g", "a", "b").collect()
+    assert(grouped.length == 3 && grouped.exists(_.isNullAt(0)))
+    Seq("x", "y").foreach { g =>
+      val solo = Eval.cohenKappa(df.filter(col("g") === g), "a", "b").head()
+      val mine = grouped.find(r => !r.isNullAt(0) && r.getString(0) == g).get
+      assert(mine.getLong(1) == solo.getLong(0), g)
+      assert(mine.getLong(2) == solo.getLong(1), g)
+      if (solo.isNullAt(2)) assert(mine.isNullAt(3), g)
+      else assert(mine.getDouble(3) == solo.getDouble(2), g)
+    }
+    // constant slice: chance agreement 1 -> NULL kappa
+    val const = table("g string, a string, b string", Seq(
+      row("c", "k", "k"), row("c", "k", "k")))
+    assert(Eval.cohenKappaByGroup(const, "g", "a", "b").head().isNullAt(3))
+  }
+
+  test("vocabRichnessByGroup == filtered ungrouped, and the fold preserves it") {
+    val docs = table("g string, text string", Seq(
+      row("de", "a a b c"), row("de", "d"), row("zh", "x y y")))
+    val grouped = Corpus.vocabRichnessByGroup(docs, "g", "text").collect()
+    Seq("de", "zh").zipWithIndex.foreach { case (g, i) =>
+      val solo = Corpus.vocabRichness(
+        docs.filter(col("g") === g), "text").head()
+      assert(grouped(i).getString(0) == g)
+      assert(grouped(i).toSeq.drop(1) == solo.toSeq, g)
+    }
+    val folded = Corpus.vocabRichnessByGroupFromFrequencies(
+      Corpus.foldGroupTokenFrequencies(
+        Corpus.groupTokenFrequencies(
+          docs.filter(col("text") =!= "d"), "g", "text"),
+        Corpus.groupTokenFrequencies(
+          docs.filter(col("text") === "d"), "g", "text")),
+      "g").collect()
+    assert(folded.map(_.toSeq).toSeq == grouped.map(_.toSeq).toSeq)
+  }
 }

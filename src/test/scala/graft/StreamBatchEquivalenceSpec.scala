@@ -487,6 +487,22 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       .exists(_.microBatches > 1))
   }
 
+  test("stream per-group vocab monitor == batch vocabRichnessByGroup") {
+    import graft.operators.Corpus
+    val docs = events.select(col("event_type").as("g"),
+      concat_ws(" ", col("event_type"),
+        (col("user_id") % 50).cast("string"),
+        (col("event_id") % 997).cast("string")).as("text"))
+    val streamed = StreamGate.replayGroupVocabMonitor(
+        docs.repartition(8), "g", "text", filesPerTrigger = 1)
+      .collect().map(_.toSeq)
+    val batch = Corpus.vocabRichnessByGroup(docs, "g", "text")
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(graft.streaming.StreamGate.lastReplayObservability
+      .exists(_.microBatches > 1))
+  }
+
   test("stream per-group gini monitor == batch giniIndexByGroup across folds") {
     import graft.operators.Stats
     val masses = events.select(col("event_type"),
