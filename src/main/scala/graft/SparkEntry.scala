@@ -5812,6 +5812,33 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("lang"), col("text")),
       "lang", "text")
 
+  // ---------------------------------------------------------------- q303
+  /** Incremental win-matrix maintenance ([[graft.operators.Preference
+    * .foldWinCounts]] + the shared Wilson readout): the directed
+    * win counts built from the first 80% of judged pairs, folded with
+    * the rest — the same maintained state the BT leaderboard reads,
+    * held to q257's VERBATIM oracle (per-pair n and wins are SUMs
+    * over the directed counts). */
+  private def q303IncrementalWins(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Preference
+    def counts(pred: Column): DataFrame = Preference.winCountsOf(
+      preferencePairsSlice(s, dir, pred), "winner", "loser", "q303")
+    Preference.pairwiseWinMatrixFromCounts(
+      Preference.foldWinCounts(
+        counts(pmod(col("a.event_id"), lit(20L)) < 16L),
+        counts(pmod(col("a.event_id"), lit(20L)) >= 16L)))
+  }
+
+  // ---------------------------------------------------------------- q304
+  /** Streaming win-matrix monitor ([[graft.streaming.StreamGate
+    * .replayWinMatrixMonitor]]): the comparison feed micro-batched,
+    * the live head-to-head table read off the accumulated win counts
+    * — held to q257's verbatim oracle; one maintained state now
+    * serves the leaderboard AND the matrix. */
+  private def q304StreamWins(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayWinMatrixMonitor(
+      preferencePairs(s, dir), "winner", "loser")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -6115,6 +6142,8 @@ object SparkEntry {
     "q300_vocab_by_lang" -> (q300VocabByLang _),
     "q301_incremental_group_vocab" -> (q301IncrementalGroupVocab _),
     "q302_stream_group_vocab" -> (q302StreamGroupVocab _),
+    "q303_incremental_wins" -> (q303IncrementalWins _),
+    "q304_stream_wins" -> (q304StreamWins _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7429,20 +7458,12 @@ object SparkEntry {
     "q256_krippendorff_alpha" -> alphaPanelOracle,
     "q282_incremental_alpha" -> alphaPanelOracle,
     "q283_stream_alpha" -> alphaPanelOracle,
-    "q257_pairwise_wins" ->
-      s"""WITH $preferencePairsCte,
-         |c AS (
-         |  SELECT LEAST(winner, loser) AS model_a,
-         |    GREATEST(winner, loser) AS model_b,
-         |    CASE WHEN winner < loser THEN 1 ELSE 0 END AS aw
-         |  FROM prefs
-         |), g AS (
-         |  SELECT model_a, model_b, CAST(COUNT(*) AS BIGINT) AS n,
-         |    CAST(SUM(aw) AS BIGINT) AS n_pass
-         |  FROM c GROUP BY model_a, model_b
-         |)
-         |SELECT * FROM (${wilsonSql("model_a, model_b")})
-         |ORDER BY model_a, model_b""".stripMargin,
+    "q257_pairwise_wins" -> pairwiseWinsOracle,
+    // the win-count fold and streamed monitor are held to the batch
+    // matrix's verbatim ground truth (the same maintained state the
+    // BT leaderboard reads)
+    "q303_incremental_wins" -> pairwiseWinsOracle,
+    "q304_stream_wins" -> pairwiseWinsOracle,
     "q258_bradley_terry" -> bradleyTerryOracle,
     // the win-count fold and streamed leaderboard are held to the
     // batch fit's verbatim ground truth
@@ -12006,6 +12027,23 @@ object SparkEntry {
       |  ROUND(CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
       |    AS unseen_mass6
       |FROM a ORDER BY lang""".stripMargin
+
+  /** Shared by q257 (the batch pairwise win matrix), q303 (the
+    * incremental win-count fold), and q304 (the streaming monitor). */
+  private val pairwiseWinsOracle: String =
+    s"""WITH $preferencePairsCte,
+         |c AS (
+         |  SELECT LEAST(winner, loser) AS model_a,
+         |    GREATEST(winner, loser) AS model_b,
+         |    CASE WHEN winner < loser THEN 1 ELSE 0 END AS aw
+         |  FROM prefs
+         |), g AS (
+         |  SELECT model_a, model_b, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(aw) AS BIGINT) AS n_pass
+         |  FROM c GROUP BY model_a, model_b
+         |)
+         |SELECT * FROM (${wilsonSql("model_a, model_b")})
+         |ORDER BY model_a, model_b""".stripMargin
 
   private val hhiTokenMassOracle: String =
     """WITH d AS (

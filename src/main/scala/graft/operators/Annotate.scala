@@ -73,10 +73,15 @@ object Annotate {
     * (`n_items`, `n_raters`, `n_labels`, `kappa6`). */
   def fleissKappa(
       df: DataFrame, itemCol: String, raterCol: String,
-      labelCol: String): DataFrame =
-    fleissKappaFromCells(
-      annotationCellsOf(df, itemCol, raterCol, labelCol, "fleissKappa")
-        .localCheckpoint())
+      labelCol: String): DataFrame = {
+    val cells = annotationCellsOf(df, itemCol, raterCol, labelCol,
+      "fleissKappa").localCheckpoint()
+    // eager readout — release here; the fromCells readers never
+    // release state they do not own (one maintained cell table serves
+    // kappa, alpha, AND consolidation)
+    try fleissKappaFromCells(cells)
+    finally Blocks.release(cells)
+  }
 
   /** One shard's (item, label) rating-cell state — `(__it, __l, __c)`
     * — the SUM-foldable sufficient statistics of the whole agreement
@@ -104,8 +109,7 @@ object Annotate {
     * checkpointing). */
   private[graft] def fleissKappaFromCells(cells: DataFrame): DataFrame = {
     val spark = cells.sparkSession
-    try {
-      val per = cells.groupBy("__it").agg(
+    val per = cells.groupBy("__it").agg(
         sum(col("__c")).as("__ni"),
         sum(col("__c").cast("decimal(38,0)") *
           col("__c").cast("decimal(38,0)")).as("__a"))
@@ -140,7 +144,6 @@ object Annotate {
       import spark.implicits._
       Seq((nItems, n, nLabels, kappa6))
         .toDF("n_items", "n_raters", "n_labels", "kappa6")
-    } finally Blocks.release(cells)
   }
 
   /** Krippendorff's alpha (nominal data) — the agreement coefficient
@@ -171,9 +174,12 @@ object Annotate {
     // checkpoint the CELLS (items × labels — the duplicate-guard pass
     // over the raw assignments runs once); the per-item rollup is a
     // cells-bounded re-aggregation wherever it recurs
-    krippendorffAlphaFromCells(
-      annotationCellsOf(df, itemCol, raterCol, labelCol,
-        "krippendorffAlpha").localCheckpoint())
+    {
+      val cells = annotationCellsOf(df, itemCol, raterCol, labelCol,
+        "krippendorffAlpha").localCheckpoint()
+      try krippendorffAlphaFromCells(cells)
+      finally Blocks.release(cells)
+    }
 
   /** [[krippendorffAlpha]]'s readout over accumulated
     * `(__it, __l, __c)` state — the SAME state [[fleissKappaFromCells]]
@@ -187,7 +193,7 @@ object Annotate {
         sum(col("__c").cast("decimal(38,0)") *
           col("__c").cast("decimal(38,0)")).as("__sq"))
       .filter(col("__ni") >= 2L)
-    try {
+    locally {
       val maxN = per.agg(coalesce(max(col("__ni")), lit(0L))).head().getLong(0)
       require(maxN >= 2L, "krippendorffAlpha: no item has 2+ ratings")
       require(maxN <= 16L,
@@ -225,7 +231,7 @@ object Annotate {
       import spark.implicits._
       Seq((nItems, nTot, nLabels, alpha6))
         .toDF("n_items", "n_ratings", "n_labels", "alpha6")
-    } finally Blocks.release(cells)
+    }
   }
 
   private def gcd(a: Long, b: Long): Long = if (b == 0L) a else gcd(b, a % b)

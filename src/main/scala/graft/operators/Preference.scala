@@ -91,11 +91,15 @@ object Preference {
     * reorder engines. */
   def bradleyTerry(
       df: DataFrame, winnerCol: String, loserCol: String,
-      iters: Int = 25, maxModels: Int = 4096): DataFrame =
-    bradleyTerryFromCounts(
-      winCountsOf(df, winnerCol, loserCol, "bradleyTerry")
-        .localCheckpoint(),
-      iters, maxModels)
+      iters: Int = 25, maxModels: Int = 4096): DataFrame = {
+    val c = winCountsOf(df, winnerCol, loserCol, "bradleyTerry")
+      .localCheckpoint()
+    // the readout is eager (driver MM), so the checkpoint releases
+    // here; fromCounts itself never releases state it does not own —
+    // callers fold ONE state table into several readers
+    try bradleyTerryFromCounts(c, iters, maxModels)
+    finally Blocks.release(c)
+  }
 
   /** One shard's directed win-count state — `(__w, __l, __c)`, the
     * SUM-foldable sufficient statistics of the whole preference
@@ -116,6 +120,25 @@ object Preference {
     base.unionByName(delta).groupBy("__w", "__l")
       .agg(sum(col("__c")).as("__c"))
 
+  /** [[pairwiseWinMatrix]]'s readout over accumulated `(__w, __l,
+    * __c)` state — the SECOND reader of the maintained win counts
+    * (after the BT leaderboard): per canonical pair, `n` and a's wins
+    * are SUMs over the directed counts, so the folded matrix is
+    * integer-identical to the batch one and the Wilson arithmetic is
+    * [[Quality.passRateCIFromCounts]] verbatim. */
+  private[graft] def pairwiseWinMatrixFromCounts(
+      c: DataFrame, z: Double = 1.96): DataFrame = {
+    val counts = c.select(
+        least(col("__w"), col("__l")).as("model_a"),
+        greatest(col("__w"), col("__l")).as("model_b"),
+        col("__c"),
+        when(col("__w") < col("__l"), col("__c")).otherwise(0L).as("__aw"))
+      .groupBy("model_a", "model_b")
+      .agg(sum(col("__c")).as("n"), sum(col("__aw")).as("n_pass"))
+    Quality.passRateCIFromCounts(counts, Seq("model_a", "model_b"), z)
+      .orderBy("model_a", "model_b")
+  }
+
   /** [[bradleyTerry]]'s MM readout over accumulated `(__w, __l, __c)`
     * state — shared verbatim by the batch operator, the incremental
     * fold, and the streaming monitor. */
@@ -124,7 +147,7 @@ object Preference {
     require(iters >= 1 && iters <= 10000,
       s"bradleyTerry: iters ($iters) must be in [1, 10000]")
     val spark = c.sparkSession
-    try {
+    locally {
       val k = c.select(explode(array(col("__w"), col("__l"))).as("m"))
         .distinct().count()
       require(k >= 2L, s"bradleyTerry: $k model(s) — need at least 2")
@@ -191,7 +214,7 @@ object Preference {
       import spark.implicits._
       ranked.toDF("model", "n_wins", "n_comparisons", "rating6", "rnk")
         .orderBy("rnk")
-    } finally Blocks.release(c)
+    }
   }
 
   /** Majority-tournament intransitivity audit — build the directed

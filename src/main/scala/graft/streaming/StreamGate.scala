@@ -1221,6 +1221,27 @@ object StreamGate {
       state => graft.operators.Eval.brierEceByGroupFromState(
         state.localCheckpoint(), groupCol))
 
+  /** Streaming pairwise-win-matrix monitor — [[graft.operators
+    * .Preference.pairwiseWinMatrix]] over the SAME maintained
+    * directed win-count state as the BT leaderboard: the live
+    * head-to-head table with honest Wilson intervals, kept current as
+    * judgments land. Returns the per-pair (`model_a`, `model_b`, `n`,
+    * `n_pass`, `rate6`, `lo6`, `hi6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayWinMatrixMonitor(
+      comparisons: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      z: Double = 1.96,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(comparisons, Seq(winnerCol, loserCol), "winmat",
+        filesPerTrigger)(
+      batch => graft.operators.Preference.winCountsOf(
+        batch, winnerCol, loserCol, "replayWinMatrixMonitor"),
+      graft.operators.Preference.foldWinCounts,
+      state => graft.operators.Preference.pairwiseWinMatrixFromCounts(
+        state, z))
+
   /** Streaming Bradley–Terry leaderboard — [[graft.operators
     * .Preference.bradleyTerry]] with the comparison feed as a FILE
     * STREAM: directed win counts fold by SUM into pair-bounded

@@ -429,15 +429,25 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     val batch = Preference.bradleyTerry(comps, "w", "l")
       .collect().map(_.toSeq)
     assert(streamed.toSeq == batch.toSeq)
-    val folded = Preference.bradleyTerryFromCounts(
-        Preference.foldWinCounts(
-          Preference.winCountsOf(
-            comps.filter(col("w") < col("l")), "w", "l", "spec"),
-          Preference.winCountsOf(
-            comps.filter(col("w") >= col("l")), "w", "l", "spec"))
-        .localCheckpoint())
+    val foldedCounts = Preference.foldWinCounts(
+        Preference.winCountsOf(
+          comps.filter(col("w") < col("l")), "w", "l", "spec"),
+        Preference.winCountsOf(
+          comps.filter(col("w") >= col("l")), "w", "l", "spec"))
+      .localCheckpoint()
+    val folded = Preference.bradleyTerryFromCounts(foldedCounts)
       .collect().map(_.toSeq)
     assert(folded.toSeq == batch.toSeq)
+    // the SAME folded state serves the win matrix, and its streamed
+    // twin matches too
+    val matrixBatch = Preference.pairwiseWinMatrix(comps, "w", "l")
+      .collect().map(_.toSeq)
+    assert(Preference.pairwiseWinMatrixFromCounts(foldedCounts)
+      .collect().map(_.toSeq).toSeq == matrixBatch.toSeq)
+    val matrixStream = StreamGate.replayWinMatrixMonitor(
+        comps.repartition(8), "w", "l", filesPerTrigger = 1)
+      .collect().map(_.toSeq)
+    assert(matrixStream.toSeq == matrixBatch.toSeq)
   }
 
   test("stream calibration monitor == batch brierEce across state folds") {
