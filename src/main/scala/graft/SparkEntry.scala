@@ -5839,6 +5839,230 @@ object SparkEntry {
     graft.streaming.StreamGate.replayWinMatrixMonitor(
       preferencePairs(s, dir), "winner", "loser")
 
+  /** Shared fixture of the Pearson/OLS family (q305–q310): character
+    * count vs whitespace token count per document — the q192 signal
+    * pair, now asked for the LINE instead of the rank agreement. The
+    * explicit null filter mirrors the oracle's WHERE (the operator
+    * would drop the same rows internally). */
+  private def momentDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("n_chars").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("double").as("x"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("double").as("y"))
+
+  // ---------------------------------------------------------------- q305
+  /** Pearson correlation + OLS trend ([[graft.operators.Moments
+    * .pearsonOls]]): does character count predict token count, and
+    * with what line? The linear companion to q192's Spearman — moments
+    * are exact 12dp-decimal sums (integer-valued inputs: exact
+    * outright), the uncentered closed forms replay
+    * operation-for-operation in the oracle, readouts gate at 6. */
+  private def q305PearsonOls(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Moments.pearsonOls(momentDocs(s, dir), "x", "y")
+
+  // ---------------------------------------------------------------- q306
+  /** Incremental moment maintenance ([[graft.operators.Moments
+    * .foldMomentState]]): the moment state built from even doc ids,
+    * folded with the odd — held to q305's VERBATIM oracle (all five
+    * moments merge by SUM; the fold provably cannot move a digit). */
+  private def q306IncrementalMoments(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Moments
+    val docs = momentDocs(s, dir)
+    Moments.bivariateFromMoments(
+      Moments.foldMomentState(
+        Moments.momentState(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), "x", "y"),
+        Moments.momentState(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), "x", "y")))
+  }
+
+  // ---------------------------------------------------------------- q307
+  /** Streaming Pearson/OLS monitor ([[graft.streaming.StreamGate
+    * .replayMomentsMonitor]]): the (x, y) feed micro-batched into a
+    * versioned ONE-ROW moment state — held to q305's verbatim
+    * oracle. */
+  private def q307StreamMoments(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayMomentsMonitor(
+      momentDocs(s, dir).select(col("x"), col("y")), "x", "y")
+
+  // ---------------------------------------------------------------- q308
+  /** Per-language Pearson/OLS ([[graft.operators.Moments
+    * .pearsonOlsByGroup]]): the chars-per-token line PER LANGUAGE —
+    * the drill-down under q305 (script density differs by language;
+    * the corpus-wide slope is a mixture). Group-keyed moment state,
+    * in-plan readout — group cardinality unbounded. */
+  private def q308OlsByLang(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Moments.pearsonOlsByGroup(
+      momentDocs(s, dir), "lang", "x", "y")
+
+  // ---------------------------------------------------------------- q309
+  /** Incremental PER-GROUP moment maintenance ([[graft.operators
+    * .Moments.foldGroupMomentState]]): per-language moment states
+    * from even doc ids folded with the odd — held to q308's VERBATIM
+    * oracle. */
+  private def q309IncrementalGroupMoments(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Moments
+    val docs = momentDocs(s, dir)
+    Moments.bivariateByGroupFromMoments(
+      Moments.foldGroupMomentState(
+        Moments.groupMomentState(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+          "lang", "x", "y"),
+        Moments.groupMomentState(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1L),
+          "lang", "x", "y")))
+  }
+
+  // ---------------------------------------------------------------- q310
+  /** Streaming per-language Pearson/OLS monitor ([[graft.streaming
+    * .StreamGate.replayGroupMomentsMonitor]]): the (lang, x, y) feed
+    * micro-batched into group-keyed moment state — held to q308's
+    * verbatim oracle. */
+  private def q310StreamGroupMoments(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayGroupMomentsMonitor(
+      momentDocs(s, dir).select(col("lang"), col("x"), col("y")),
+      "lang", "x", "y")
+
+  // ---------------------------------------------------------------- q311
+  /** Exact 1-Wasserstein drift ([[graft.operators.Profile
+    * .wassersteinDistance]]): the INTEGRAL of the CDF gap q196's KS
+    * takes its supremum of, over the same before/after event-value
+    * split — the drift number that weighs how FAR mass moved.
+    * Cumulatives and the value lag ride the range-partitioned
+    * machinery; terms are 12dp-decimal-summed; readout at 6. */
+  private def q311WassersteinDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.operators.Profile.wassersteinDistance(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs), "value")
+  }
+
+  // ---------------------------------------------------------------- q312
+  /** Streaming 1-Wasserstein drift ([[graft.streaming.StreamGate
+    * .replayWassersteinDrift]]): q311's statistic with the monitored
+    * slice as a file stream folding the SAME maintained ECDF count
+    * state as the KS/quantile monitors — held to q311's VERBATIM
+    * oracle. The drift matrix now closes PSI / categorical / KS / W1,
+    * each batch+stream. */
+  private def q312StreamWasserstein(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.streaming.StreamGate.replayWassersteinDrift(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs), "value")
+  }
+
+  // ---------------------------------------------------------------- q313
+  /** Jensen–Shannon categorical drift ([[graft.operators.Profile
+    * .jsDivergence]]): the bounded, symmetric divergence of the
+    * order-priority mix across q180's time split — the eps-free alarm
+    * next to PSI (a category on one side only contributes finite
+    * ½·p·ln2, where PSI must clamp). Terms 12dp-decimal-summed,
+    * readout at 6. */
+  private def q313JsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val split = lit("1996-01-01").cast("timestamp_ntz")
+    graft.operators.Profile.jsDivergence(
+      orders.filter(col("o_orderdate") < split),
+      orders.filter(col("o_orderdate") >= split),
+      "o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- q314
+  /** Streaming Jensen–Shannon drift ([[graft.streaming.StreamGate
+    * .replayJsDivergence]]): q313's divergence with the monitored
+    * slice as a file stream folding vocabulary-bounded category
+    * counts — held to q313's VERBATIM oracle. */
+  private def q314StreamJsd(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val split = lit("1996-01-01").cast("timestamp_ntz")
+    graft.streaming.StreamGate.replayJsDivergence(
+      orders.filter(col("o_orderdate") < split),
+      orders.filter(col("o_orderdate") >= split),
+      "o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- q315
+  /** Optimal operating point ([[graft.operators.Eval
+    * .optimalThreshold]]): q148's NB gate, now swept over EVERY
+    * distinct score (plus the predict-everything sentinel) for the
+    * F1-maximizing threshold — the curve reader q148 leaves to the
+    * user, as one argmax row. Cells are exact longs off two
+    * range-partitioned prefix sums; the objective is one division of
+    * exact longs; ties break to the smallest threshold. The oracle
+    * retrains the model and replays the full sweep. */
+  private def q315OptimalThreshold(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.optimalThreshold(nbScored(s, dir), "label", "sc")
+
+  // ---------------------------------------------------------------- q316
+  /** Mann–Whitney U location test ([[graft.operators.Profile
+    * .mannWhitney]]): did event values SYSTEMATICALLY shift across
+    * q196's time split? — the nonparametric answer next to the
+    * KS/W1/CvM distribution gaps, with Cliff's delta as the effect
+    * size. 2U stays an exact integer through decimals; the
+    * tie-corrected z replays operation-for-operation. */
+  private def q316MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.operators.Profile.mannWhitney(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs), "value")
+  }
+
+  // ---------------------------------------------------------------- q317
+  /** Streaming Mann–Whitney monitor ([[graft.streaming.StreamGate
+    * .replayMannWhitney]]): q316's test with the monitored slice
+    * folding the shared ECDF count state — held to q316's VERBATIM
+    * oracle. */
+  private def q317StreamMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.streaming.StreamGate.replayMannWhitney(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs), "value")
+  }
+
+  // ---------------------------------------------------------------- q318
+  /** Cramér–von Mises drift ([[graft.operators.Profile
+    * .cramerVonMises]]): the L2 member of the drift trio over q196's
+    * split — KS takes the gap's sup (q196), W1 its |·| integral
+    * (q311), this its SQUARE against the pooled distribution. */
+  private def q318CvmDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.operators.Profile.cramerVonMises(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs), "value")
+  }
+
+  // ---------------------------------------------------------------- q319
+  /** Streaming Cramér–von Mises monitor ([[graft.streaming.StreamGate
+    * .replayCvmDrift]]): q318 with the monitored slice folding the
+    * shared ECDF count state — held to q318's VERBATIM oracle. One
+    * maintained grid now serves KS/W1/CvM/Mann–Whitney/quantiles/
+    * Gini/HHI, batch + stream. */
+  private def q319StreamCvm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.streaming.StreamGate.replayCvmDrift(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs), "value")
+  }
+
+  // ---------------------------------------------------------------- q320
+  /** Exact average precision ([[graft.operators.Eval
+    * .averagePrecision]]): the PR-curve area under q148's NB gate —
+    * the rare-positive quality number next to q149-style ROC (ROC
+    * flatters when negatives dominate; AP only credits positives).
+    * Tie-consistent block sweep off the score grid; the oracle
+    * retrains the model and replays every block term. */
+  private def q320AveragePrecision(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.averagePrecision(nbScored(s, dir), "label", "sc")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -6144,6 +6368,22 @@ object SparkEntry {
     "q302_stream_group_vocab" -> (q302StreamGroupVocab _),
     "q303_incremental_wins" -> (q303IncrementalWins _),
     "q304_stream_wins" -> (q304StreamWins _),
+    "q305_pearson_ols" -> (q305PearsonOls _),
+    "q306_incremental_moments" -> (q306IncrementalMoments _),
+    "q307_stream_moments" -> (q307StreamMoments _),
+    "q308_ols_by_lang" -> (q308OlsByLang _),
+    "q309_incremental_group_moments" -> (q309IncrementalGroupMoments _),
+    "q310_stream_group_moments" -> (q310StreamGroupMoments _),
+    "q311_wasserstein_drift" -> (q311WassersteinDrift _),
+    "q312_stream_wasserstein" -> (q312StreamWasserstein _),
+    "q313_js_divergence" -> (q313JsDivergence _),
+    "q314_stream_jsd" -> (q314StreamJsd _),
+    "q315_optimal_threshold" -> (q315OptimalThreshold _),
+    "q316_mann_whitney" -> (q316MannWhitney _),
+    "q317_stream_mann_whitney" -> (q317StreamMannWhitney _),
+    "q318_cvm_drift" -> (q318CvmDrift _),
+    "q319_stream_cvm" -> (q319StreamCvm _),
+    "q320_average_precision" -> (q320AveragePrecision _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6393,6 +6633,239 @@ object SparkEntry {
       |  ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / CAST(t.na AS DOUBLE)
       |    - CAST(cumb AS DOUBLE) / CAST(t.nb AS DOUBLE))), 6) AS ks6
       |FROM c, t GROUP BY t.na, t.nb""".stripMargin
+
+  /** Shared by q305 (batch Pearson/OLS), q306 (the incremental moment
+    * fold), and q307 (the streaming monitor) — the statistics depend
+    * on the corpus only through the five SUM-foldable moments, so all
+    * three formulations are held to this one replay: the moment sums
+    * as 12dp-rounded decimals, then the uncentered closed forms
+    * operation-for-operation. */
+  private val momentsOracle: String =
+    """WITH b AS (
+      |  SELECT CAST(n_chars AS DOUBLE) AS x,
+      |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS y
+      |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+      |), s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(x*x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ROUND(y*y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(ROUND(x*y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      |  FROM b
+      |), f AS (
+      |  SELECT n, sx, sy, CAST(n AS DOUBLE) AS nd,
+      |    CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+      |    CAST(n AS DOUBLE) * sxx - sx * sx AS varxn,
+      |    CAST(n AS DOUBLE) * syy - sy * sy AS varyn
+      |  FROM s
+      |)
+      |SELECT n, ROUND(sx / nd, 6) AS mean_x6, ROUND(sy / nd, 6) AS mean_y6,
+      |  CASE WHEN varxn > 0 AND varyn > 0
+      |    THEN ROUND(covn / sqrt(varxn * varyn), 6) END AS pearson_r6,
+      |  CASE WHEN varxn > 0 THEN ROUND(covn / varxn, 6) END AS slope6,
+      |  CASE WHEN varxn > 0
+      |    THEN ROUND((sy - (covn / varxn) * sx) / nd, 6) END AS intercept6
+      |FROM f""".stripMargin
+
+  /** Shared by q308 (per-language Pearson/OLS), q309 (the per-group
+    * moment fold), and q310 (the streaming group monitor) — the
+    * per-group twin of [[momentsOracle]], one row per language. */
+  private val groupMomentsOracle: String =
+    """WITH b AS (
+      |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS x,
+      |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS y
+      |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+      |), s AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(x*x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ROUND(y*y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(ROUND(x*y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      |  FROM b GROUP BY g
+      |), f AS (
+      |  SELECT g, n, sx, sy, CAST(n AS DOUBLE) AS nd,
+      |    CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+      |    CAST(n AS DOUBLE) * sxx - sx * sx AS varxn,
+      |    CAST(n AS DOUBLE) * syy - sy * sy AS varyn
+      |  FROM s
+      |)
+      |SELECT g, n, ROUND(sx / nd, 6) AS mean_x6, ROUND(sy / nd, 6) AS mean_y6,
+      |  CASE WHEN n >= 2 AND varxn > 0 AND varyn > 0
+      |    THEN ROUND(covn / sqrt(varxn * varyn), 6) END AS pearson_r6,
+      |  CASE WHEN n >= 2 AND varxn > 0
+      |    THEN ROUND(covn / varxn, 6) END AS slope6,
+      |  CASE WHEN n >= 2 AND varxn > 0
+      |    THEN ROUND((sy - (covn / varxn) * sx) / nd, 6) END AS intercept6
+      |FROM f ORDER BY g""".stripMargin
+
+  /** Shared by q311 (batch 1-Wasserstein drift) and q312 (the
+    * streaming replay) — the integral depends on the samples only
+    * through the SUM-foldable distinct-value counts: exclusive
+    * prefixes are the CDF at the previous grid value, the gap terms
+    * are 12dp-rounded decimals. */
+  private val wassersteinOracle: String =
+    """WITH a AS (
+      |  SELECT value AS v, COUNT(*) AS ca FROM events
+      |  WHERE epoch_us(ts) < 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1
+      |), bb AS (
+      |  SELECT value AS v, COUNT(*) AS cb FROM events
+      |  WHERE epoch_us(ts) >= 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1
+      |), m AS (
+      |  SELECT COALESCE(a.v, bb.v) AS v, COALESCE(ca, 0) AS ca,
+      |    COALESCE(cb, 0) AS cb
+      |  FROM a FULL OUTER JOIN bb ON a.v = bb.v
+      |), t AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb FROM m
+      |), c AS (
+      |  SELECT v, LAG(v) OVER (ORDER BY v) AS pv,
+      |    COALESCE(SUM(ca) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pa,
+      |    COALESCE(SUM(cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb
+      |  FROM m
+      |), terms AS (
+      |  SELECT CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(38,12))
+      |    ELSE CAST(ROUND(ABS(CAST(pa AS DOUBLE) / CAST(t.na AS DOUBLE)
+      |        - CAST(pb AS DOUBLE) / CAST(t.nb AS DOUBLE)) * (v - pv), 12)
+      |      AS DECIMAL(38,12)) END AS tt
+      |  FROM c, t
+      |)
+      |SELECT t.na AS n_ref, t.nb AS n_cur,
+      |  ROUND(CAST(SUM(tt) AS DOUBLE), 6) AS w1_6
+      |FROM terms, t GROUP BY t.na, t.nb""".stripMargin
+
+  /** Shared by q313 (batch Jensen–Shannon drift) and q314 (the
+    * streaming replay) — the divergence depends on the mixes only
+    * through the SUM-foldable category counts. */
+  private val jsdOracle: String =
+    """WITH rc AS (
+      |  SELECT o_orderpriority AS category, COUNT(*) AS ca
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      |  GROUP BY 1
+      |), cc AS (
+      |  SELECT o_orderpriority AS category, COUNT(*) AS cb
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  GROUP BY 1
+      |), m AS (
+      |  SELECT COALESCE(rc.ca, 0) AS ca, COALESCE(cc.cb, 0) AS cb
+      |  FROM rc FULL OUTER JOIN cc
+      |  ON rc.category IS NOT DISTINCT FROM cc.category
+      |), t AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb,
+      |    CAST(COUNT(*) AS BIGINT) AS k FROM m
+      |), terms AS (
+      |  SELECT CAST(ROUND(
+      |      CASE WHEN ca > 0 THEN
+      |        0.5 * (CAST(ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+      |          * ln((CAST(ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+      |            / ((CAST(ca AS DOUBLE) / CAST(t.na AS DOUBLE)
+      |              + CAST(cb AS DOUBLE) / CAST(t.nb AS DOUBLE)) / 2.0))
+      |      ELSE 0.0 END
+      |      + CASE WHEN cb > 0 THEN
+      |        0.5 * (CAST(cb AS DOUBLE) / CAST(t.nb AS DOUBLE))
+      |          * ln((CAST(cb AS DOUBLE) / CAST(t.nb AS DOUBLE))
+      |            / ((CAST(ca AS DOUBLE) / CAST(t.na AS DOUBLE)
+      |              + CAST(cb AS DOUBLE) / CAST(t.nb AS DOUBLE)) / 2.0))
+      |      ELSE 0.0 END, 12) AS DECIMAL(38,12)) AS tt
+      |  FROM m, t
+      |)
+      |SELECT t.na AS n_ref, t.nb AS n_cur, t.k AS n_categories,
+      |  ROUND(CAST(SUM(tt) AS DOUBLE), 6) AS jsd6
+      |FROM terms, t GROUP BY t.na, t.nb, t.k""".stripMargin
+
+  /** Shared by q316 (batch Mann–Whitney) and q317 (the streaming
+    * replay) — 2U and the tie cubes are exact-integer SUMs over the
+    * foldable value-count grid; the z replays the tie-corrected
+    * closed form operation-for-operation. */
+  private val mannWhitneyOracle: String =
+    """WITH a AS (
+      |  SELECT value AS v, COUNT(*) AS ca FROM events
+      |  WHERE epoch_us(ts) < 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1
+      |), bb AS (
+      |  SELECT value AS v, COUNT(*) AS cb FROM events
+      |  WHERE epoch_us(ts) >= 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1
+      |), m AS (
+      |  SELECT COALESCE(a.v, bb.v) AS v, COALESCE(ca, 0) AS ca,
+      |    COALESCE(cb, 0) AS cb
+      |  FROM a FULL OUTER JOIN bb ON a.v = bb.v
+      |), t AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb FROM m
+      |), c AS (
+      |  SELECT ca, cb,
+      |    COALESCE(SUM(cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb
+      |  FROM m
+      |), s AS (
+      |  SELECT
+      |    CAST(SUM(CAST(ca AS HUGEINT) * (2 * pb + cb)) AS DOUBLE) AS u2,
+      |    CAST(SUM(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+      |      - (ca + cb)) AS DOUBLE) AS tie
+      |  FROM c
+      |), f AS (
+      |  SELECT t.na, t.nb, s.u2, s.tie,
+      |    CAST(t.na AS DOUBLE) AS nad, CAST(t.nb AS DOUBLE) AS nbd,
+      |    CAST(t.na AS DOUBLE) + CAST(t.nb AS DOUBLE) AS n
+      |  FROM s, t
+      |)
+      |SELECT na AS n_ref, nb AS n_cur, u2 AS u_x2,
+      |  ROUND(u2 / (nad * nbd) - 1.0, 6) AS cliffs_delta6,
+      |  CASE WHEN nad * nbd / 12.0 * ((n + 1.0) - tie / (n * (n - 1.0))) > 0
+      |    THEN ROUND((u2 / 2.0 - nad * nbd / 2.0)
+      |      / sqrt(nad * nbd / 12.0
+      |        * ((n + 1.0) - tie / (n * (n - 1.0)))), 6)
+      |  END AS z6
+      |FROM f""".stripMargin
+
+  /** Shared by q318 (batch Cramér–von Mises) and q319 (the streaming
+    * replay) — inclusive CDFs off the foldable grid, squared-gap
+    * terms against the pooled mass, 12dp-rounded decimals. */
+  private val cvmOracle: String =
+    """WITH a AS (
+      |  SELECT value AS v, COUNT(*) AS ca FROM events
+      |  WHERE epoch_us(ts) < 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1
+      |), bb AS (
+      |  SELECT value AS v, COUNT(*) AS cb FROM events
+      |  WHERE epoch_us(ts) >= 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1
+      |), m AS (
+      |  SELECT COALESCE(a.v, bb.v) AS v, COALESCE(ca, 0) AS ca,
+      |    COALESCE(cb, 0) AS cb
+      |  FROM a FULL OUTER JOIN bb ON a.v = bb.v
+      |), t AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb FROM m
+      |), c AS (
+      |  SELECT ca, cb,
+      |    SUM(ca) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      |  FROM m
+      |), terms AS (
+      |  SELECT CAST(ROUND(CAST(ca + cb AS DOUBLE) *
+      |      ((CAST(cuma AS DOUBLE) / CAST(t.na AS DOUBLE)
+      |        - CAST(cumb AS DOUBLE) / CAST(t.nb AS DOUBLE))
+      |       * (CAST(cuma AS DOUBLE) / CAST(t.na AS DOUBLE)
+      |        - CAST(cumb AS DOUBLE) / CAST(t.nb AS DOUBLE))), 12)
+      |    AS DECIMAL(38,12)) AS tt
+      |  FROM c, t
+      |)
+      |SELECT t.na AS n_ref, t.nb AS n_cur,
+      |  ROUND(CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)
+      |    / ((CAST(t.na AS DOUBLE) + CAST(t.nb AS DOUBLE))
+      |      * (CAST(t.na AS DOUBLE) + CAST(t.nb AS DOUBLE)))
+      |    * CAST(SUM(tt) AS DOUBLE), 6) AS cvm6
+      |FROM terms, t GROUP BY t.na, t.nb""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_sum_agg" ->
@@ -11373,6 +11846,142 @@ object SparkEntry {
         |    AS avg_logprob6
         |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+    "q305_pearson_ols" -> momentsOracle,
+    "q306_incremental_moments" -> momentsOracle,
+    "q307_stream_moments" -> momentsOracle,
+    "q308_ols_by_lang" -> groupMomentsOracle,
+    "q309_incremental_group_moments" -> groupMomentsOracle,
+    "q310_stream_group_moments" -> groupMomentsOracle,
+    "q311_wasserstein_drift" -> wassersteinOracle,
+    "q312_stream_wasserstein" -> wassersteinOracle,
+    "q313_js_divergence" -> jsdOracle,
+    "q314_stream_jsd" -> jsdOracle,
+    "q315_optimal_threshold" ->
+      """WITH tk AS (
+        |  SELECT doc_id, (lang = 'en') AS pos,
+        |    unnest(string_split_regex(trim(text), ' +')) AS token
+        |  FROM documents
+        |), cc AS (
+        |  SELECT token,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cneg
+        |  FROM tk GROUP BY token
+        |), scal AS (
+        |  SELECT SUM(cpos) AS totpos, SUM(cneg) AS totneg, COUNT(*) AS v
+        |  FROM cc
+        |), nd AS (
+        |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS npos,
+        |    COUNT(*) AS ntot
+        |  FROM documents
+        |), lp AS (
+        |  SELECT cc.token,
+        |    ln((cc.cpos + 1.0) / (s.totpos + CAST(s.v AS DOUBLE))) AS lppos,
+        |    ln((cc.cneg + 1.0) / (s.totneg + CAST(s.v AS DOUBLE))) AS lpneg
+        |  FROM cc CROSS JOIN scal s
+        |), dtf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token
+        |), sc AS (
+        |  SELECT dtf.doc_id, SUM(dtf.tf * (lp.lppos - lp.lpneg)) AS sd
+        |  FROM dtf JOIN lp USING (token) GROUP BY dtf.doc_id
+        |), scored AS (
+        |  SELECT d.doc_id, (d.lang = 'en') AS label,
+        |    ROUND(ln(CAST(nd.npos AS DOUBLE) / CAST(nd.ntot - nd.npos AS DOUBLE))
+        |      + COALESCE(sc.sd, 0.0), 6) AS s
+        |  FROM documents d CROSS JOIN nd
+        |  LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |), cnt AS (
+        |  SELECT s, SUM(CASE WHEN label THEN 1 ELSE 0 END) AS cp,
+        |    SUM(CASE WHEN label THEN 0 ELSE 1 END) AS cn
+        |  FROM scored GROUP BY s
+        |), tot AS (
+        |  SELECT CAST(SUM(cp) AS BIGINT) AS p, CAST(SUM(cn) AS BIGINT) AS nn,
+        |    MIN(s) AS mins
+        |  FROM cnt
+        |), cum AS (
+        |  SELECT s, SUM(cp) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccp,
+        |    SUM(cn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccn
+        |  FROM cnt
+        |), cand AS (
+        |  SELECT s AS threshold, CAST(t.p - ccp AS BIGINT) AS tp,
+        |    CAST(t.nn - ccn AS BIGINT) AS fp, CAST(ccp AS BIGINT) AS fn,
+        |    CAST(ccn AS BIGINT) AS tn
+        |  FROM cum, tot t
+        |  UNION ALL
+        |  SELECT t.mins - 1.0, t.p, t.nn, CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT)
+        |  FROM tot t
+        |), obj AS (
+        |  SELECT *, CASE WHEN 2*tp + fp + fn <> 0
+        |    THEN CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)
+        |    ELSE 0.0 END AS o
+        |  FROM cand
+        |)
+        |SELECT 'f1' AS objective, threshold, tp, fp, fn, tn,
+        |  ROUND(o, 6) AS obj6
+        |FROM obj ORDER BY o DESC, threshold LIMIT 1""".stripMargin,
+    "q316_mann_whitney" -> mannWhitneyOracle,
+    "q317_stream_mann_whitney" -> mannWhitneyOracle,
+    "q318_cvm_drift" -> cvmOracle,
+    "q319_stream_cvm" -> cvmOracle,
+    "q320_average_precision" ->
+      """WITH tk AS (
+        |  SELECT doc_id, (lang = 'en') AS pos,
+        |    unnest(string_split_regex(trim(text), ' +')) AS token
+        |  FROM documents
+        |), cc AS (
+        |  SELECT token,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cneg
+        |  FROM tk GROUP BY token
+        |), scal AS (
+        |  SELECT SUM(cpos) AS totpos, SUM(cneg) AS totneg, COUNT(*) AS v
+        |  FROM cc
+        |), nd AS (
+        |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS npos,
+        |    COUNT(*) AS ntot
+        |  FROM documents
+        |), lp AS (
+        |  SELECT cc.token,
+        |    ln((cc.cpos + 1.0) / (s.totpos + CAST(s.v AS DOUBLE))) AS lppos,
+        |    ln((cc.cneg + 1.0) / (s.totneg + CAST(s.v AS DOUBLE))) AS lpneg
+        |  FROM cc CROSS JOIN scal s
+        |), dtf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token
+        |), sc AS (
+        |  SELECT dtf.doc_id, SUM(dtf.tf * (lp.lppos - lp.lpneg)) AS sd
+        |  FROM dtf JOIN lp USING (token) GROUP BY dtf.doc_id
+        |), scored AS (
+        |  SELECT d.doc_id, (d.lang = 'en') AS label,
+        |    ROUND(ln(CAST(nd.npos AS DOUBLE) / CAST(nd.ntot - nd.npos AS DOUBLE))
+        |      + COALESCE(sc.sd, 0.0), 6) AS s
+        |  FROM documents d CROSS JOIN nd
+        |  LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |), cnt AS (
+        |  SELECT s, SUM(CASE WHEN label THEN 1 ELSE 0 END) AS cp,
+        |    SUM(CASE WHEN label THEN 0 ELSE 1 END) AS cn
+        |  FROM scored GROUP BY s
+        |), tot AS (
+        |  SELECT CAST(SUM(cp) AS BIGINT) AS p, CAST(SUM(cn) AS BIGINT) AS nn
+        |  FROM cnt
+        |), cum AS (
+        |  SELECT s, cp,
+        |    COALESCE(SUM(cp) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pp,
+        |    COALESCE(SUM(cn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pn
+        |  FROM cnt
+        |), terms AS (
+        |  SELECT CAST(ROUND((CAST(cp AS DOUBLE) / CAST(t.p AS DOUBLE))
+        |      * (CAST(t.p - pp AS DOUBLE)
+        |        / (CAST(t.p - pp AS DOUBLE) + CAST(t.nn - pn AS DOUBLE))),
+        |      12) AS DECIMAL(38,12)) AS tt
+        |  FROM cum, tot t
+        |)
+        |SELECT t.p AS n_pos, t.nn AS n_neg,
+        |  ROUND(CAST(SUM(tt) AS DOUBLE), 6) AS ap6
+        |FROM terms, tot t GROUP BY t.p, t.nn""".stripMargin,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +

@@ -303,6 +303,140 @@ object Eval {
     one.select(explode(array(entries: _*)).as("__e")).select(col("__e.*"))
   }
 
+  /** Optimal operating point — [[prCurve]] without the hand-picked
+    * threshold list: sweep EVERY distinct score as a candidate
+    * threshold (plus the predict-everything sentinel one unit below
+    * the minimum score, the operating point `score > threshold` can
+    * never reach from within the score set) and return the single row
+    * maximizing the objective — `f1` (2tp / (2tp+fp+fn)) or `youden`
+    * (tpr − fpr, the balanced-error choice when prevalence is skewed).
+    * Ties break toward the SMALLEST threshold (keep more, a
+    * deterministic cross-engine rule).
+    *
+    * Scale shape: the sweep is over the distinct-ROUNDED-score grid
+    * (`roundDigits`, the [[rocAuc]] rationale), never the row set:
+    * per-score class counts (one map-side-combined aggregation), two
+    * range-partitioned prefix sums ([[graft.operators.General
+    * .withRunningTotal]] — never a global one-partition window), then
+    * every candidate's confusion cells are closed forms of the
+    * cumulatives and two driver scalars; the argmax is a top-1, not a
+    * global sort. All cells are exact longs; the objective is one
+    * division of exact longs — identical doubles on both engines, so
+    * the argmax row (and its 6dp-rounded objective) is hash-exact.
+    * Rows with a NULL score or label are excluded.
+    *
+    * Output: one row — (`objective`, `threshold`, `tp`, `fp`, `fn`,
+    * `tn`, `obj6`). */
+  def optimalThreshold(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      objective: String = "f1",
+      roundDigits: Int = 6): DataFrame = {
+    require(Set("f1", "youden").contains(objective),
+      s"optimalThreshold: unknown objective '$objective' (f1 | youden)")
+    TempCols.reserve(scored, "optimalThreshold",
+      "__s", "__y", "__cp", "__cn", "__pp", "__pn")
+    val spark = scored.sparkSession
+    val counts = scored
+      .select(round(col(scoreCol).cast("double"), roundDigits).as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy("__s")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__cn"))
+    val t = counts.agg(coalesce(sum(col("__cp")), lit(0L)),
+      coalesce(sum(col("__cn")), lit(0L)), min(col("__s"))).head()
+    val (nPos, nNeg) = (t.getLong(0), t.getLong(1))
+    require(nPos > 0L && nNeg > 0L,
+      s"optimalThreshold: needs both classes (got $nPos positives, " +
+        s"$nNeg negatives)")
+    val minS = t.getDouble(2)
+    val cum = General.withRunningTotal(
+      General.withRunningTotal(counts, Seq("__s"), "__cp", "__pp"),
+      Seq("__s"), "__cn", "__pn")
+    val fromScores = cum.select(col("__s").as("threshold"),
+      (lit(nPos) - (col("__pp") + col("__cp"))).as("tp"),
+      (lit(nNeg) - (col("__pn") + col("__cn"))).as("fp"),
+      (col("__pp") + col("__cp")).as("fn"),
+      (col("__pn") + col("__cn")).as("tn"))
+    val sentinel = spark.range(1).select(
+      lit(minS - 1.0).as("threshold"), lit(nPos).as("tp"),
+      lit(nNeg).as("fp"), lit(0L).as("fn"), lit(0L).as("tn"))
+    val obj = objective match {
+      case "f1" =>
+        when(lit(2L) * col("tp") + col("fp") + col("fn") =!= 0L,
+          (lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .otherwise(lit(0.0))
+      case "youden" =>
+        col("tp").cast("double") / lit(nPos.toDouble) -
+          col("fp").cast("double") / lit(nNeg.toDouble)
+    }
+    fromScores.unionByName(sentinel)
+      .withColumn("__obj", obj)
+      .orderBy(col("__obj").desc, col("threshold").asc)
+      .limit(1)
+      .select(lit(objective).as("objective"), col("threshold"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("__obj"), 6).as("obj6"))
+  }
+
+  /** Exact average precision (area under the precision-recall curve,
+    * step-interpolated) — [[rocAuc]]'s companion for the
+    * rare-positive regimes where ROC flatters ("99.9% of documents
+    * are clean" makes any gate look good on ROC; AP only credits the
+    * positives): sweep the distinct ROUNDED scores DESCENDING as
+    * `score ≥ s` operating points and sum each block's
+    * recall-increment × precision,
+    * `AP = Σ_s (cp_s / P) · (tp_s / (tp_s + fp_s))` — ties share one
+    * block, the standard tie-consistent definition (a permutation of
+    * equal scores cannot move AP). Cells are closed forms of two
+    * range-partitioned prefix sums over the score grid (never a
+    * row-set sweep or a global window); each term is a product of two
+    * exact-long divisions — identical doubles on both engines —
+    * 12dp-rounded into an exact decimal sum, readout on the 6dp gate.
+    * Rows with a NULL score or label are excluded.
+    *
+    * Output: one row — (`n_pos`, `n_neg`, `ap6`). */
+  def averagePrecision(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    TempCols.reserve(scored, "averagePrecision",
+      "__s", "__y", "__cp", "__cn", "__pp", "__pn")
+    val spark = scored.sparkSession
+    val counts = scored
+      .select(round(col(scoreCol).cast("double"), roundDigits).as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy("__s")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__cn"))
+    val t = counts.agg(coalesce(sum(col("__cp")), lit(0L)),
+      coalesce(sum(col("__cn")), lit(0L))).head()
+    val (nPos, nNeg) = (t.getLong(0), t.getLong(1))
+    require(nPos > 0L,
+      s"averagePrecision: needs at least one positive (got $nPos)")
+    val cum = General.withRunningTotal(
+      General.withRunningTotal(counts, Seq("__s"), "__cp", "__pp"),
+      Seq("__s"), "__cn", "__pn")
+    // predicted-positive at block s is score >= s: tp = P - exclusive
+    // prefix of positives, fp = N - exclusive prefix of negatives
+    val tp = (lit(nPos) - col("__pp")).cast("double")
+    val fp = (lit(nNeg) - col("__pn")).cast("double")
+    val term = round(
+      (col("__cp").cast("double") / lit(nPos.toDouble)) * (tp / (tp + fp)),
+      12).cast("decimal(38,12)")
+    val ap = cum.agg(coalesce(sum(term), lit(0).cast("decimal(38,12)")))
+      .head().getDecimal(0)
+    import spark.implicits._
+    Seq((nPos, nNeg, BigDecimal(ap.doubleValue)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_pos", "n_neg", "ap6")
+  }
+
   /** Decile lift table — "how much better than random is the top of
     * the ranking": rows ranked by score descending (ties by `idCol`
     * for a deterministic, partition-independent order), cut into

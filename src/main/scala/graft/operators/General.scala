@@ -189,6 +189,54 @@ object General {
     df.sparkSession.createDataFrame(withTotals, schema)
   }
 
+  /** Distributed lag-1: each row gets the value of `valueCol` from the
+    * row IMMEDIATELY BEFORE it in `sortCols` order (NULL for the first
+    * row) — [[withRunningTotal]]'s lag twin, and the same scale story:
+    * `lag().over(Window.orderBy(...))` funnels the whole dataset
+    * through ONE sorted partition, while this keeps the sort
+    * range-partitioned and runs two passes over the
+    * `localCheckpoint()`ed sorted RDD — each partition's LAST value (a
+    * tiny collect of one value per partition, carried across empty
+    * partitions) seeds the next partition's first row, then each
+    * partition lags locally. The value keeps its input type; a NULL
+    * stored value propagates as a legitimate prev (indistinguishable
+    * from the first-row NULL — pre-filter if that matters).
+    *
+    * Deterministic when `sortCols` is a total order (unique keys). */
+  def withPrevValue(
+      df: DataFrame,
+      sortCols: Seq[String],
+      valueCol: String,
+      outCol: String = "prev_value"): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    require(sortCols.nonEmpty, "a sort order is required for a deterministic lag")
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val sorted = df.sort(sortCols.map(col): _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outCol, df.schema(valueCol).dataType, nullable = true))
+    val rdd = sorted.rdd.localCheckpoint()
+    val lasts = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var last: Any = null
+        var seen = false
+        while (it.hasNext) { last = it.next().get(vIdx); seen = true }
+        Iterator((i, if (seen) Some(last) else None))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    // partition i starts from the last value of the nearest non-empty
+    // partition before it (scanLeft carries across empty partitions)
+    val seeds = lasts.scanLeft(Option.empty[Any])((acc, cur) => cur.orElse(acc))
+    val lagged = rdd.mapPartitionsWithIndex { (i, it) =>
+      var prev: Any = seeds(i).orNull
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ prev)
+        prev = r.get(vIdx)
+        out
+      }
+    }
+    df.sparkSession.createDataFrame(lagged, schema)
+  }
+
   /** Deterministic hash sampling: keep rows whose key hashes into
     * `residue` mod `m` — reproducible across runs, executors, engines
     * (pass a portable hash like

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bivariate moment statistics — Pearson correlation and the OLS
+  * trend line (slope + intercept), computed from an ALGEBRAIC moment
+  * state `(n, Σx, Σy, Σx², Σy², Σxy)` instead of a centered two-pass
+  * formula. No reference counterpart — an LLM-pipeline extension
+  * ("does character count predict token count, and with what line?"
+  * — the linear companion to the rank correlations in
+  * [[graft.operators.Eval.spearmanRho]] / [[graft.operators.Eval
+  * .kendallTauB]], which see order but not the line).
+  *
+  * The moment state is the POINT of the design: all five sums fold by
+  * `SUM` — associatively and commutatively — so one implementation
+  * serves the whole maintenance matrix (batch, incremental shard
+  * folds, the streaming monitor, and the per-group drill-down) and
+  * the folded readout is provably identical to the batch one. Each
+  * per-row term is rounded at 12 decimal places and summed as
+  * `DECIMAL(38,12)` (the associationFromJoint discipline): the sum is
+  * exact and order-independent, so shard/micro-batch splits cannot
+  * move a digit, and an oracle replays it verbatim. For integer-valued
+  * inputs (lengths, counts — the common case) the 12dp rounding is the
+  * identity and the state is exact outright.
+  *
+  * Readout formulas avoid the mean-centered form on purpose: with
+  * `covN = n·Σxy − Σx·Σy`, `varXN = n·Σx² − (Σx)²`,
+  * `varYN = n·Σy² − (Σy)²`,
+  *
+  *   - `pearson_r = covN / sqrt(varXN · varYN)`
+  *   - `slope     = covN / varXN`
+  *   - `intercept = (Σy − slope·Σx) / n`
+  *
+  * — every operand is a double cast of the exact decimal state and the
+  * expression tree is small enough to replay operation-for-operation
+  * in an oracle's SQL (the wilsonSql discipline: never a pre-evaluated
+  * literal the other engine's last ulp could differ on). Readouts gate
+  * at 6 decimals. A zero-variance axis reports NULL (r is 0/0 there),
+  * never a division blow-up.
+  *
+  * Scale shape: the state is ONE map-side-combined aggregation —
+  * 6 numbers per group, no shuffle wider than the group key, facts
+  * scanned once. The scalar readout collects a single row; the
+  * per-group readout stays in-plan (group cardinality unbounded).
+  *
+  * Caveat, documented not guarded: for NON-integer inputs the 12dp
+  * term rounding can leave a mathematically-constant column with a
+  * tiny nonzero `varXN`, so a near-constant float axis can report a
+  * numerically meaningless r instead of NULL. Integer-valued columns
+  * (the fixtures and the common pipeline case) are immune — their
+  * moments are exact.
+  */
+object Moments {
+
+  private val Dec = "decimal(38,12)"
+
+  /** 12dp-rounded decimal term — exact, order-independent under SUM. */
+  private def dterm(c: Column): Column = round(c, 12).cast(Dec)
+
+  private def dsum(c: Column): Column =
+    coalesce(sum(dterm(c)), lit(0).cast(Dec)).cast(Dec)
+
+  private def numericGuard(df: DataFrame, owner: String, cols: String*): Unit =
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"$owner: column '$c' must be numeric (got ${dt.simpleString})")
+    }
+
+  /** The one-row foldable moment state over rows where BOTH columns
+    * are non-null — `(n, sx, sy, sxx, syy, sxy)`: a long count and
+    * five exact `DECIMAL(38,12)` sums of 12dp-rounded terms. Folds
+    * with [[foldMomentState]]; reads out with
+    * [[bivariateFromMoments]]. */
+  def momentState(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    require(xCol != yCol,
+      s"momentState needs two distinct columns (got $xCol twice)")
+    numericGuard(df, "momentState", xCol, yCol)
+    TempCols.reserve(df, "momentState", "__x", "__y")
+    val rows = df
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val (x, y) = (col("__x"), col("__y"))
+    rows.agg(
+      count(lit(1)).as("n"),
+      dsum(x).as("sx"), dsum(y).as("sy"),
+      dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
+      dsum(x * y).as("sxy"))
+  }
+
+  /** Merge two moment states — plain column-wise SUM (n as long, the
+    * five moments as exact decimals): associative, commutative, so
+    * shard order and micro-batch splits provably cannot change the
+    * folded state. */
+  def foldMomentState(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).agg(
+      sum(col("n")).cast("long").as("n"),
+      sum(col("sx")).cast(Dec).as("sx"), sum(col("sy")).cast(Dec).as("sy"),
+      sum(col("sxx")).cast(Dec).as("sxx"),
+      sum(col("syy")).cast(Dec).as("syy"),
+      sum(col("sxy")).cast(Dec).as("sxy"))
+
+  /** [[pearsonOls]]'s readout over a prepared moment state — shared
+    * VERBATIM by the batch operator, the incremental fold, and the
+    * streaming monitor (the ksFromCounts discipline). Collects the
+    * single state row, computes the uncentered closed forms in double
+    * (the oracle replays the identical expression tree), and returns
+    * the literal one-row frame `(n, mean_x6, mean_y6, pearson_r6,
+    * slope6, intercept6)`. Zero-variance axes report NULL r (and NULL
+    * slope/intercept when x is the degenerate axis). */
+  def bivariateFromMoments(state: DataFrame): DataFrame = {
+    val spark = state.sparkSession
+    val r0 = state.select(col("n").cast("long"),
+      col("sx").cast("double"), col("sy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"),
+      col("sxy").cast("double")).head()
+    val n = r0.getLong(0)
+    require(n >= 2L,
+      s"bivariateFromMoments: needs >= 2 complete (x, y) rows (got $n)")
+    val (sx, sy, sxx, syy, sxy) =
+      (r0.getDouble(1), r0.getDouble(2), r0.getDouble(3),
+        r0.getDouble(4), r0.getDouble(5))
+    val nd = n.toDouble
+    val covN = nd * sxy - sx * sy
+    val varXN = nd * sxx - sx * sx
+    val varYN = nd * syy - sy * sy
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pearson =
+      if (varXN > 0.0 && varYN > 0.0)
+        Some(r6(covN / math.sqrt(varXN * varYN)))
+      else None
+    val slope = if (varXN > 0.0) Some(covN / varXN) else None
+    import spark.implicits._
+    Seq((n, r6(sx / nd), r6(sy / nd), pearson, slope.map(r6),
+        slope.map(b => r6((sy - b * sx) / nd))))
+      .toDF("n", "mean_x6", "mean_y6", "pearson_r6", "slope6",
+        "intercept6")
+  }
+
+  /** Batch Pearson + OLS: [[bivariateFromMoments]] over
+    * [[momentState]] — one corpus pass, one collected row. */
+  def pearsonOls(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    bivariateFromMoments(momentState(df, xCol, yCol))
+
+  /** GROUP-KEYED moment state — `(g, n, sx, sy, sxx, syy, sxy)`, one
+    * row per group (the group cast to string, NULL its own group —
+    * the categoricalAssociationByGroup key discipline). Folds with
+    * [[foldGroupMomentState]]; reads out with
+    * [[bivariateByGroupFromMoments]]. */
+  def groupMomentState(
+      df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    require(xCol != yCol,
+      s"groupMomentState needs two distinct columns (got $xCol twice)")
+    require(groupCol != xCol && groupCol != yCol,
+      s"groupMomentState: group column '$groupCol' overlaps a value column")
+    numericGuard(df, "groupMomentState", xCol, yCol)
+    TempCols.reserve(df, "groupMomentState", "__g", "__x", "__y")
+    val rows = df
+      .select(col(groupCol).cast("string").as("__g"),
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val (x, y) = (col("__x"), col("__y"))
+    rows.groupBy(col("__g").as("g")).agg(
+      count(lit(1)).as("n"),
+      dsum(x).as("sx"), dsum(y).as("sy"),
+      dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
+      dsum(x * y).as("sxy"))
+  }
+
+  /** Merge two group-keyed moment states — SUM per group key
+    * (null-safe: a NULL group folds with itself). */
+  def foldGroupMomentState(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy("g").agg(
+      sum(col("n")).cast("long").as("n"),
+      sum(col("sx")).cast(Dec).as("sx"), sum(col("sy")).cast(Dec).as("sy"),
+      sum(col("sxx")).cast(Dec).as("sxx"),
+      sum(col("syy")).cast(Dec).as("syy"),
+      sum(col("sxy")).cast(Dec).as("sxy"))
+
+  /** Per-group readout over a prepared group-keyed state — the batch
+    * arithmetic VERBATIM per group, entirely IN-PLAN (group
+    * cardinality unbounded, never a driver loop over the scalar
+    * operator). Groups with n < 2 or a zero-variance axis report NULL
+    * statistics (their means still read out). Output: one row per
+    * group — `(g, n, mean_x6, mean_y6, pearson_r6, slope6,
+    * intercept6)`, ordered by group. */
+  def bivariateByGroupFromMoments(state: DataFrame): DataFrame = {
+    val nd = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val covN = nd * sxy - sx * sy
+    val varXN = nd * sxx - sx * sx
+    val varYN = nd * syy - sy * sy
+    val enough = col("n") >= lit(2L)
+    state.select(col("g"), col("n").cast("long").as("n"),
+        round(sx / nd, 6).as("mean_x6"),
+        round(sy / nd, 6).as("mean_y6"),
+        when(enough && varXN > 0.0 && varYN > 0.0,
+          round(covN / sqrt(varXN * varYN), 6)).as("pearson_r6"),
+        when(enough && varXN > 0.0,
+          round(covN / varXN, 6)).as("slope6"),
+        when(enough && varXN > 0.0,
+          round((sy - (covN / varXN) * sx) / nd, 6)).as("intercept6"))
+      .orderBy("g")
+  }
+
+  /** Batch per-group Pearson + OLS ("the chars-per-token line per
+    * language"): [[bivariateByGroupFromMoments]] over
+    * [[groupMomentState]]. */
+  def pearsonOlsByGroup(
+      df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame =
+    bivariateByGroupFromMoments(groupMomentState(df, groupCol, xCol, yCol))
+}

@@ -316,6 +316,263 @@ object Profile {
       .toDF("n_ref", "n_cur", "ks6")
   }
 
+  /** Exact 1-Wasserstein (earth-mover) distance between two samples —
+    * the INTEGRAL of the empirical-CDF gap where [[ksStatistic]] takes
+    * its supremum: `W1 = ∫ |F_ref(v) − F_cur(v)| dv`, the drift number
+    * that weighs HOW FAR mass moved, not just whether it did (a 1%
+    * tail excursion and a full-distribution shift can share a KS D but
+    * never a W1). Exact over the merged distinct-value grid: the gap
+    * is piecewise-constant between consecutive grid values, so
+    * `W1 = Σ_i |F_ref(v_{i−1}) − F_cur(v_{i−1})| · (v_i − v_{i−1})` —
+    * and each row's EXCLUSIVE prefix count IS the inclusive CDF count
+    * at the previous value, so one prefix sum per side plus a lag of
+    * the value column computes it without window functions: cumulative
+    * counts via two range-partitioned prefix sums
+    * ([[General.withRunningTotal]]) and the previous grid value via
+    * the same machinery's lag twin ([[General.withPrevValue]]) — never
+    * a global one-partition window over the value grid. Per-row terms
+    * are integer-ratio × value-gap doubles, 12dp-rounded and summed as
+    * exact decimals (order-independent — the shard/micro-batch split
+    * provably cannot move a digit), readout on the 6dp gate.
+    * NULLs are excluded (no position on the value line).
+    *
+    * Output: one row (`n_ref`, `n_cur`, `w1_6`). */
+  def wassersteinDistance(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String): DataFrame =
+    wassersteinFromCounts(ksSideCounts(ref, valueCol, "ca"),
+      ksSideCounts(cur, valueCol, "cb"))
+
+  /** [[wassersteinDistance]]'s arithmetic over two prepared
+    * distinct-value count tables (`(v, ca)` / `(v, cb)`) — the SAME
+    * foldable ECDF state the KS/quantile/Gini family maintains, shared
+    * verbatim by the batch operator and the streaming replay gate
+    * ([[graft.streaming.StreamGate.replayWassersteinDrift]]). */
+  private[graft] def wassersteinFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val spark = refCounts.sparkSession
+    val m = refCounts.join(curCounts, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val t = m.agg(coalesce(sum(col("ca")), lit(0L)),
+      coalesce(sum(col("cb")), lit(0L))).head()
+    val (na, nb) = (t.getLong(0), t.getLong(1))
+    require(na > 0L && nb > 0L,
+      s"wassersteinDistance: both samples need non-null values " +
+        s"(got $na ref, $nb cur)")
+    val cum = General.withRunningTotal(
+      General.withRunningTotal(m, Seq("v"), "ca", "__pa"),
+      Seq("v"), "cb", "__pb")
+    val lagged = General.withPrevValue(cum, Seq("v"), "v", "__pv")
+    val term = round(
+      abs(col("__pa").cast("double") / lit(na.toDouble) -
+        col("__pb").cast("double") / lit(nb.toDouble)) *
+        (col("v") - col("__pv")), 12).cast("decimal(38,12)")
+    val w1 = lagged
+      .agg(coalesce(sum(when(col("__pv").isNotNull, term)),
+        lit(0).cast("decimal(38,12)")))
+      .head().getDecimal(0)
+    import spark.implicits._
+    Seq((na, nb, BigDecimal(w1.doubleValue)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_ref", "n_cur", "w1_6")
+  }
+
+  /** Jensen–Shannon divergence between two CATEGORICAL mixes — the
+    * bounded, symmetric drift number next to [[categoricalDrift]]'s
+    * PSI: `JSD = ½·KL(p ‖ m) + ½·KL(q ‖ m)` with `m = (p+q)/2`,
+    * natural log, so `0 ≤ JSD ≤ ln 2` — no eps floor needed (a
+    * category absent from one side contributes a FINITE `½·p·ln 2`
+    * term, where PSI must clamp), which is exactly why it is the
+    * better alarm for vocabularies that legitimately grow. NULL
+    * categories group as one category.
+    *
+    * Two map-side-combined counts bounded by the category vocabulary,
+    * one null-safe vocabulary-bounded join, per-category terms
+    * 12dp-rounded into an exact decimal sum, readout on the 6dp gate.
+    *
+    * Output: one row (`n_ref`, `n_cur`, `n_categories`, `jsd6`). */
+  def jsDivergence(
+      reference: DataFrame,
+      current: DataFrame,
+      c: String): DataFrame =
+    jsDivergenceFromCounts(catSideCounts(reference, c, "ca"),
+      catSideCounts(current, c, "cb"))
+
+  /** One side's category count table (`category`, `out`) — the
+    * foldable state the streaming JSD gate accumulates (counts merge
+    * by SUM; the [[categoricalDriftFromCounts]] state shape). */
+  private[graft] def catSideCounts(
+      df: DataFrame, c: String, out: String): DataFrame =
+    df.groupBy(col(c).cast("string").as("category"))
+      .agg(count(lit(1)).as(out))
+
+  /** [[jsDivergence]]'s arithmetic over two prepared category count
+    * tables — shared verbatim by the batch operator and the streaming
+    * replay gate ([[graft.streaming.StreamGate.replayJsDivergence]]),
+    * the psiFromCounts discipline. */
+  private[graft] def jsDivergenceFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val spark = refCounts.sparkSession
+    val joined = refCounts
+      .withColumnRenamed("category", "__jref")
+      .join(curCounts.withColumnRenamed("category", "__jcur"),
+        col("__jref") <=> col("__jcur"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint() // vocabulary-bounded; scalars + terms read it
+    try {
+      val t = joined.agg(coalesce(sum(col("ca")), lit(0L)),
+        coalesce(sum(col("cb")), lit(0L)), count(lit(1))).head()
+      val (na, nb, k) = (t.getLong(0), t.getLong(1), t.getLong(2))
+      require(na > 0L && nb > 0L,
+        s"jsDivergence: both sides need rows (got $na ref, $nb cur)")
+      val pa = col("ca").cast("double") / lit(na.toDouble)
+      val pb = col("cb").cast("double") / lit(nb.toDouble)
+      val mm = (pa + pb) / lit(2.0)
+      val term =
+        when(col("ca") > 0L, lit(0.5) * pa * log(pa / mm))
+          .otherwise(lit(0.0)) +
+          when(col("cb") > 0L, lit(0.5) * pb * log(pb / mm))
+            .otherwise(lit(0.0))
+      val jsd = joined
+        .agg(coalesce(sum(round(term, 12).cast("decimal(38,12)")),
+          lit(0).cast("decimal(38,12)")))
+        .head().getDecimal(0)
+      import spark.implicits._
+      Seq((na, nb, k, BigDecimal(jsd.doubleValue)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("n_ref", "n_cur", "n_categories", "jsd6")
+    } finally Blocks.release(joined)
+  }
+
+  /** Exact Mann–Whitney U rank-sum test with Cliff's delta — the
+    * NONPARAMETRIC location test next to the drift family's
+    * distribution gaps ("did values in the current slice
+    * systematically shift up?"): `U = #(ref > cur) + ½·#(ref = cur)`
+    * over all cross pairs, WITHOUT pair enumeration — per distinct
+    * value, `ca_v · (cumb_before(v) + cb_v/2)` off the merged grid's
+    * prefix sum, kept exact as the INTEGER `2U` through
+    * `DECIMAL` arithmetic (a cross-pair count can pass 2^63 long
+    * before the corpus is large). Reported alongside:
+    *
+    *   - `u_x2` — exactly 2U, cast to double only at readout;
+    *   - `cliffs_delta6` — the effect size `2U/(na·nb) − 1 ∈ [−1, 1]`
+    *     (+1 = every ref value above every cur value);
+    *   - `z6` — the tie-corrected normal approximation
+    *     `(U − na·nb/2) / sqrt(na·nb/12 · ((n+1) − Σ(t³−t)/(n(n−1))))`
+    *     (NULL when the variance degenerates — all mass on one value).
+    *
+    * Tie cubes run through widened decimals (one 3M-deep hot value
+    * overflows a long cube). One grid prefix sum, map-side terms,
+    * three driver scalars — the ksFromCounts scale shape; same
+    * foldable count state. NULLs excluded.
+    *
+    * Output: one row (`n_ref`, `n_cur`, `u_x2`, `cliffs_delta6`,
+    * `z6`). */
+  def mannWhitney(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String): DataFrame =
+    mannWhitneyFromCounts(ksSideCounts(ref, valueCol, "ca"),
+      ksSideCounts(cur, valueCol, "cb"))
+
+  /** [[mannWhitney]]'s arithmetic over two prepared distinct-value
+    * count tables — shared verbatim by the batch operator and the
+    * streaming replay gate ([[graft.streaming.StreamGate
+    * .replayMannWhitney]]). */
+  private[graft] def mannWhitneyFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val spark = refCounts.sparkSession
+    val m = refCounts.join(curCounts, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val t = m.agg(coalesce(sum(col("ca")), lit(0L)),
+      coalesce(sum(col("cb")), lit(0L))).head()
+    val (na, nb) = (t.getLong(0), t.getLong(1))
+    require(na > 0L && nb > 0L,
+      s"mannWhitney: both samples need non-null values (got $na ref, $nb cur)")
+    val cum = General.withRunningTotal(m, Seq("v"), "cb", "__pb")
+    // 2U = Σ ca·(2·cumb_before + cb): exact integers end-to-end
+    val ties = col("ca") + col("cb")
+    val s = cum.agg(
+      coalesce(sum(col("ca").cast("decimal(19,0)") *
+        (col("__pb") * lit(2L) + col("cb")).cast("decimal(19,0)")),
+        lit(0).cast("decimal(38,0)")).as("u2"),
+      coalesce(sum(ties.cast("decimal(19,0)") * ties.cast("decimal(19,0)") *
+        ties.cast("decimal(19,0)") - ties.cast("decimal(19,0)")),
+        lit(0).cast("decimal(38,0)")).as("tie")).head()
+    val u2 = s.getDecimal(0).doubleValue
+    val tie = s.getDecimal(1).doubleValue
+    val (nad, nbd) = (na.toDouble, nb.toDouble)
+    val n = nad + nbd
+    val u = u2 / 2.0
+    val mu = nad * nbd / 2.0
+    val varU = nad * nbd / 12.0 * ((n + 1.0) - tie / (n * (n - 1.0)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z = if (varU > 0.0) Some(r6((u - mu) / math.sqrt(varU))) else None
+    import spark.implicits._
+    Seq((na, nb, u2, r6(u2 / (nad * nbd) - 1.0), z))
+      .toDF("n_ref", "n_cur", "u_x2", "cliffs_delta6", "z6")
+  }
+
+  /** Exact two-sample Cramér–von Mises criterion — the L2 member of
+    * the drift trio ([[ksStatistic]] = sup of the CDF gap,
+    * [[wassersteinDistance]] = ∫|gap| dv, this = the gap SQUARED
+    * integrated against the POOLED empirical distribution):
+    * `T = (na·nb / n²) · Σ_v (ca_v + cb_v) · (F_ref(v) − F_cur(v))²`
+    * (Anderson's two-sample form), sensitive to spread and shape where
+    * a mean-matched shift hides from rank tests. Exact over the merged
+    * distinct-value grid: inclusive CDFs off two range-partitioned
+    * prefix sums (never a global window), per-value terms 12dp-rounded
+    * into an exact decimal sum, readout on the 6dp gate. Same foldable
+    * ECDF count state as the KS/W1/quantile family. NULLs excluded.
+    *
+    * Output: one row (`n_ref`, `n_cur`, `cvm6`). */
+  def cramerVonMises(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String): DataFrame =
+    cvmFromCounts(ksSideCounts(ref, valueCol, "ca"),
+      ksSideCounts(cur, valueCol, "cb"))
+
+  /** [[cramerVonMises]]'s arithmetic over two prepared count tables —
+    * shared verbatim by the batch operator and the streaming replay
+    * gate ([[graft.streaming.StreamGate.replayCvmDrift]]). */
+  private[graft] def cvmFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val spark = refCounts.sparkSession
+    val m = refCounts.join(curCounts, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val t = m.agg(coalesce(sum(col("ca")), lit(0L)),
+      coalesce(sum(col("cb")), lit(0L))).head()
+    val (na, nb) = (t.getLong(0), t.getLong(1))
+    require(na > 0L && nb > 0L,
+      s"cramerVonMises: both samples need non-null values (got $na ref, $nb cur)")
+    val cum = General.withRunningTotal(
+      General.withRunningTotal(m, Seq("v"), "ca", "__pa"),
+      Seq("v"), "cb", "__pb")
+    val d = (col("__pa") + col("ca")).cast("double") / lit(na.toDouble) -
+      (col("__pb") + col("cb")).cast("double") / lit(nb.toDouble)
+    val term = round((col("ca") + col("cb")).cast("double") * (d * d), 12)
+      .cast("decimal(38,12)")
+    val tt = cum.agg(coalesce(sum(term), lit(0).cast("decimal(38,12)")))
+      .head().getDecimal(0)
+    val n = na.toDouble + nb.toDouble
+    import spark.implicits._
+    Seq((na, nb, BigDecimal(
+        na.toDouble * nb.toDouble / (n * n) * tt.doubleValue)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_ref", "n_cur", "cvm6")
+  }
+
   /** Exact quantiles off the SAME distinct-value count state the KS
     * family folds ([[ksSideCounts]] — counts merge by SUM, so the
     * maintained ECDF is provably split- and order-invariant): for

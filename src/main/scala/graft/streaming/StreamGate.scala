@@ -896,6 +896,97 @@ object StreamGate {
         graft.operators.Profile.ksSideCounts(reference, valueCol, "ca"),
         state))
 
+  /** Streaming 1-Wasserstein drift — [[graft.operators.Profile
+    * .wassersteinDistance]] with the monitored slice as a FILE
+    * STREAM: the SAME maintained distinct-value count state as
+    * [[replayKsDrift]] (one ECDF state serves KS, W1, quantiles, and
+    * Gini alike), with the final integral running [[graft.operators
+    * .Profile.wassersteinFromCounts]] against the batch-computed
+    * reference counts — identical arithmetic to the batch operator,
+    * so the replay is held to its verbatim oracle. State is
+    * distinct-value-bounded. Returns the one-row
+    * (`n_ref`, `n_cur`, `w1_6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayWassersteinDrift(
+      reference: DataFrame,
+      monitored: DataFrame,
+      valueCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(valueCol), "w1", filesPerTrigger)(
+      batch => graft.operators.Profile.ksSideCounts(batch, valueCol, "cb"),
+      (base, delta) => base.unionByName(delta)
+        .groupBy("v").agg(sum(col("cb")).as("cb")),
+      state => graft.operators.Profile.wassersteinFromCounts(
+        graft.operators.Profile.ksSideCounts(reference, valueCol, "ca"),
+        state))
+
+  /** Streaming Mann–Whitney location monitor — [[graft.operators
+    * .Profile.mannWhitney]] with the monitored slice as a FILE
+    * STREAM folding the SAME maintained distinct-value count state as
+    * the KS/W1/quantile monitors, the final rank-sum arithmetic
+    * running [[graft.operators.Profile.mannWhitneyFromCounts]]
+    * against the batch-computed reference counts — held to the batch
+    * operator's verbatim oracle. Returns the one-row (`n_ref`,
+    * `n_cur`, `u_x2`, `cliffs_delta6`, `z6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayMannWhitney(
+      reference: DataFrame,
+      monitored: DataFrame,
+      valueCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(valueCol), "mwu", filesPerTrigger)(
+      batch => graft.operators.Profile.ksSideCounts(batch, valueCol, "cb"),
+      (base, delta) => base.unionByName(delta)
+        .groupBy("v").agg(sum(col("cb")).as("cb")),
+      state => graft.operators.Profile.mannWhitneyFromCounts(
+        graft.operators.Profile.ksSideCounts(reference, valueCol, "ca"),
+        state))
+
+  /** Streaming Cramér–von Mises drift — [[graft.operators.Profile
+    * .cramerVonMises]] with the monitored slice as a FILE STREAM over
+    * the same maintained ECDF count state, readout via
+    * [[graft.operators.Profile.cvmFromCounts]] against the
+    * batch-computed reference counts — held to the batch operator's
+    * verbatim oracle. One foldable grid now serves KS (sup), W1
+    * (∫|gap|), CvM (∫gap²), Mann–Whitney, quantiles, Gini, and HHI.
+    * Returns the one-row (`n_ref`, `n_cur`, `cvm6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayCvmDrift(
+      reference: DataFrame,
+      monitored: DataFrame,
+      valueCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(valueCol), "cvm", filesPerTrigger)(
+      batch => graft.operators.Profile.ksSideCounts(batch, valueCol, "cb"),
+      (base, delta) => base.unionByName(delta)
+        .groupBy("v").agg(sum(col("cb")).as("cb")),
+      state => graft.operators.Profile.cvmFromCounts(
+        graft.operators.Profile.ksSideCounts(reference, valueCol, "ca"),
+        state))
+
+  /** Streaming Jensen–Shannon drift — [[graft.operators.Profile
+    * .jsDivergence]] with the monitored slice as a FILE STREAM: each
+    * micro-batch's category counts fold by null-safe SUM into
+    * versioned parquet state (the [[replayCategoricalDrift]] state
+    * shape — vocabulary-bounded), and the final divergence runs
+    * [[graft.operators.Profile.jsDivergenceFromCounts]] against the
+    * batch-computed reference counts — the batch operator's verbatim
+    * arithmetic. Returns the one-row (`n_ref`, `n_cur`,
+    * `n_categories`, `jsd6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayJsDivergence(
+      reference: DataFrame,
+      monitored: DataFrame,
+      c: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(c), "jsd", filesPerTrigger)(
+      batch => graft.operators.Profile.catSideCounts(batch, c, "cb"),
+      (base, delta) => base.unionByName(delta)
+        .groupBy("category").agg(sum(col("cb")).as("cb")),
+      state => graft.operators.Profile.jsDivergenceFromCounts(
+        graft.operators.Profile.catSideCounts(reference, c, "ca"),
+        state))
+
   /** Shared skeleton of the versioned fold-state monitors (quantile /
     * association / bootstrap-CI): write the projected feed as a file
     * source, stream it micro-batched, reduce each batch with `seed`,
@@ -1093,6 +1184,51 @@ object StreamGate {
       batch => graft.operators.Profile.jointCountsOf(batch, colA, colB),
       graft.operators.Profile.foldJointCounts,
       state => graft.operators.Profile.associationFromJoint(state))
+
+  /** Streaming Pearson/OLS monitor — [[graft.operators.Moments
+    * .pearsonOls]] with the (x, y) feed as a FILE STREAM: each
+    * micro-batch's algebraic moment state (n, Σx, Σy, Σx², Σy², Σxy —
+    * 12dp-rounded exact-decimal sums) folds by SUM into a versioned
+    * ONE-ROW parquet state, and the final correlation + trend-line
+    * readout runs the SHARED uncentered closed forms over the
+    * accumulated moments — "is the chars-per-token line drifting as
+    * the crawl lands?" All five moments merge associatively and
+    * commutatively, so the micro-batch split provably cannot move a
+    * digit of the state — held to the batch operator's verbatim
+    * oracle. State is O(1). Returns the one-row (`n`, `mean_x6`,
+    * `mean_y6`, `pearson_r6`, `slope6`, `intercept6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayMomentsMonitor(
+      monitored: DataFrame,
+      xCol: String,
+      yCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(xCol, yCol), "mom", filesPerTrigger)(
+      batch => graft.operators.Moments.momentState(batch, xCol, yCol),
+      graft.operators.Moments.foldMomentState,
+      state => graft.operators.Moments.bivariateFromMoments(state))
+
+  /** Streaming PER-GROUP Pearson/OLS monitor — [[graft.operators
+    * .Moments.pearsonOlsByGroup]] with the (group, x, y) feed as a
+    * FILE STREAM: per-group moment states fold by group-keyed SUM
+    * into versioned state (one row per group — group-bounded, the
+    * smallest state in the monitor family), readout = the per-group
+    * in-plan closed forms. Held to the batch operator's verbatim
+    * oracle. Returns the (`g`, `n`, `mean_x6`, `mean_y6`,
+    * `pearson_r6`, `slope6`, `intercept6`) frame ordered by group.
+    * @note one-generation replay contract — see the object doc. */
+  def replayGroupMomentsMonitor(
+      monitored: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(groupCol, xCol, yCol), "gmom",
+        filesPerTrigger)(
+      batch => graft.operators.Moments.groupMomentState(
+        batch, groupCol, xCol, yCol),
+      graft.operators.Moments.foldGroupMomentState,
+      state => graft.operators.Moments.bivariateByGroupFromMoments(state))
 
   /** Streaming inter-rater agreement monitor — [[graft.operators
     * .Annotate.fleissKappa]] with the ratings feed as a FILE STREAM:

@@ -9,6 +9,67 @@ import graft.testkit.SparkTestKit._
 
 class EvalSpec extends AnyFunSuite {
 
+  test("averagePrecision: hand blocks, perfect ranking, tie block, loud") {
+    // blocks desc: 0.9(T) prec 1 -> 0.5; 0.7(T) prec 2/3 -> 1/3
+    val df = table("label boolean, s double", Seq(
+      row(true, 0.9), row(false, 0.8), row(true, 0.7), row(false, 0.6)))
+    assert(Eval.averagePrecision(df, "label", "s").head().toSeq ==
+      Seq(2L, 2L, 0.833333))
+    // every positive above every negative: AP = 1
+    val perfect = table("label boolean, s double", Seq(
+      row(true, 1.0), row(true, 0.9), row(false, 0.1)))
+    assert(Eval.averagePrecision(perfect, "label", "s").head()
+      .getDouble(2) == 1.0)
+    // a tied block shares one operating point: T,F at the same score
+    // -> single block tp=1 fp=1: AP = (1/1)*(1/2) = 0.5; any
+    // permutation of the tie scores the same
+    val tie = table("label boolean, s double", Seq(
+      row(true, 0.5), row(false, 0.5)))
+    assert(Eval.averagePrecision(tie, "label", "s").head().toSeq ==
+      Seq(1L, 1L, 0.5))
+    // no negatives: precision 1 everywhere, AP = 1
+    val allPos = table("label boolean, s double", Seq(
+      row(true, 0.2), row(true, 0.8)))
+    assert(Eval.averagePrecision(allPos, "label", "s").head()
+      .getDouble(2) == 1.0)
+    val e = intercept[IllegalArgumentException] {
+      Eval.averagePrecision(
+        table("label boolean, s double", Seq(row(false, 1.0))),
+        "label", "s").head()
+    }
+    assert(e.getMessage.contains("at least one positive"))
+  }
+
+  test("optimalThreshold: hand-computed F1 argmax, youden tie-break, loud") {
+    val df = table("label boolean, s double", Seq(
+      row(true, 0.9), row(true, 0.8), row(false, 0.7),
+      row(true, 0.6), row(false, 0.5), row(false, 0.4)))
+    // f1 by threshold: -0.6->6/9, 0.4->6/8, 0.5->6/7, 0.6->4/6,
+    // 0.7->4/5, 0.8->2/5, 0.9->0: argmax at 0.5
+    assert(Eval.optimalThreshold(df, "label", "s").head().toSeq ==
+      Seq("f1", 0.5, 3L, 1L, 0L, 2L, 0.857143))
+    // youden: J = 0.5 exactly at BOTH th=0 and th=2 -> smaller wins
+    val tie = table("label boolean, s double", Seq(
+      row(true, 3.0), row(false, 2.0), row(true, 1.0), row(false, 0.0)))
+    assert(Eval.optimalThreshold(tie, "label", "s", "youden")
+      .head().toSeq == Seq("youden", 0.0, 2L, 1L, 0L, 1L, 0.5))
+    // the sentinel (predict everything) can win: one F at the top
+    val allin = table("label boolean, s double", Seq(
+      row(false, 2.0), row(true, 1.0), row(true, 0.0)))
+    val a = Eval.optimalThreshold(allin, "label", "s").head()
+    assert(a.getDouble(1) == -1.0 && a.getDouble(6) == 0.8)
+    val e1 = intercept[IllegalArgumentException] {
+      Eval.optimalThreshold(
+        table("label boolean, s double", Seq(row(true, 1.0), row(true, 0.0))),
+        "label", "s").head()
+    }
+    assert(e1.getMessage.contains("both classes"))
+    val e2 = intercept[IllegalArgumentException] {
+      Eval.optimalThreshold(df, "label", "s", "accuracy")
+    }
+    assert(e2.getMessage.contains("unknown objective"))
+  }
+
   private def vecTable(rows: Seq[(Long, Seq[Float])]) =
     table("vec_id bigint, embedding array<float>",
       rows.map { case (id, v) => row(id, v) })

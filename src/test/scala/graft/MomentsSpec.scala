@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Moments
+import graft.testkit.SparkTestKit._
+
+/** Pearson/OLS moment-state contracts: hand-computed closed forms,
+  * the fold==batch equivalence the maintenance matrix rests on,
+  * degenerate-axis NULLs, and the loud validation surface.
+  * (q305–q310 check the documents corpus against DuckDB; this pins
+  * the arithmetic.) */
+class MomentsSpec extends AnyFunSuite {
+
+  test("pearsonOls: exact line, hand case, anti-correlation") {
+    // y = 2x + 1 over x = 1..5: r = 1, slope = 2, intercept = 1
+    val line = table("x bigint, y bigint",
+      (1L to 5L).map(i => row(i, 2 * i + 1)))
+    assert(Moments.pearsonOls(line, "x", "y").head().toSeq ==
+      Seq(5L, 3.0, 7.0, 1.0, 2.0, 1.0))
+    // hand case x=(1,2,3), y=(2,1,4): covN=6, varXN=6, varYN=14
+    // r = 6/sqrt(84) = 0.654654, slope = 1, intercept = 1/3
+    val hand = table("x bigint, y bigint",
+      Seq(row(1L, 2L), row(2L, 1L), row(3L, 4L)))
+    assert(Moments.pearsonOls(hand, "x", "y").head().toSeq ==
+      Seq(3L, 2.0, 2.333333, 0.654654, 1.0, 0.333333))
+    val anti = table("x bigint, y bigint",
+      (1L to 4L).map(i => row(i, -i)))
+    assert(Moments.pearsonOls(anti, "x", "y").head().getDouble(3) == -1.0)
+  }
+
+  test("pearsonOls: degenerate axes NULL, null rows excluded, loud guards") {
+    // constant y: r NULL (0/0), slope exactly 0, intercept = mean y
+    val flat = table("x bigint, y bigint",
+      (1L to 4L).map(i => row(i, 7L)))
+    val f = Moments.pearsonOls(flat, "x", "y").head()
+    assert(f.isNullAt(3) && f.getDouble(4) == 0.0 && f.getDouble(5) == 7.0)
+    // constant x: varXN = 0 -> r, slope, intercept all NULL
+    val vert = table("x bigint, y bigint",
+      Seq(row(3L, 1L), row(3L, 2L), row(3L, 5L)))
+    val v = Moments.pearsonOls(vert, "x", "y").head()
+    assert(v.isNullAt(3) && v.isNullAt(4) && v.isNullAt(5))
+    // rows with a NULL on either axis carry no moment
+    val holes = table("x bigint, y bigint",
+      Seq(row(1L, 3L), row(2L, 5L), row(null, 9L), row(4L, null)))
+    assert(Moments.pearsonOls(holes, "x", "y").head().getLong(0) == 2L)
+    val e1 = intercept[IllegalArgumentException] {
+      Moments.pearsonOls(table("x bigint, y bigint", Seq(row(1L, 1L))),
+        "x", "y").head()
+    }
+    assert(e1.getMessage.contains(">= 2 complete"))
+    val e2 = intercept[IllegalArgumentException] {
+      Moments.pearsonOls(holes, "x", "x")
+    }
+    assert(e2.getMessage.contains("distinct columns"))
+    val e3 = intercept[IllegalArgumentException] {
+      Moments.pearsonOls(
+        table("x string, y bigint", Seq(row("a", 1L))), "x", "y")
+    }
+    assert(e3.getMessage.contains("must be numeric"))
+  }
+
+  test("foldMomentState: shard fold == batch state, readouts identical") {
+    val full = table("x bigint, y bigint",
+      Seq(row(1L, 2L), row(2L, 1L), row(3L, 4L), row(5L, 9L), row(8L, 2L)))
+    val even = full.filter(pmod(col("x"), lit(2L)) === 0L)
+    val odd = full.filter(pmod(col("x"), lit(2L)) === 1L)
+    val folded = Moments.foldMomentState(
+      Moments.momentState(even, "x", "y"),
+      Moments.momentState(odd, "x", "y"))
+    assertDfEquality(folded, Moments.momentState(full, "x", "y"))
+    assertDfEquality(Moments.bivariateFromMoments(folded),
+      Moments.pearsonOls(full, "x", "y"))
+  }
+
+  test("pearsonOlsByGroup: grouped == filtered-ungrouped, NULL group, n=1") {
+    val df = table("g string, x bigint, y bigint", Seq(
+      row("a", 1L, 2L), row("a", 2L, 1L), row("a", 3L, 4L),
+      row("b", 1L, 3L), row("b", 4L, 9L),
+      row(null, 2L, 5L), row(null, 6L, 1L),
+      row("solo", 7L, 7L)))
+    val grouped = Moments.pearsonOlsByGroup(df, "g", "x", "y")
+    val a = grouped.filter(col("g") === "a")
+      .drop("g")
+    assertDfEquality(a,
+      Moments.pearsonOls(df.filter(col("g") === "a"), "x", "y"),
+      ignoreNullable = true)
+    // NULL group is its own stratum, not dropped
+    assert(grouped.filter(col("g").isNull).head().getLong(1) == 2L)
+    // a 1-row group reads out its means but NULL statistics
+    val solo = grouped.filter(col("g") === "solo").head()
+    assert(solo.getLong(1) == 1L && solo.getDouble(2) == 7.0 &&
+      solo.isNullAt(4) && solo.isNullAt(5) && solo.isNullAt(6))
+    // group fold == batch group state
+    val folded = Moments.foldGroupMomentState(
+      Moments.groupMomentState(df.filter(pmod(col("x"), lit(2L)) === 0L),
+        "g", "x", "y"),
+      Moments.groupMomentState(df.filter(pmod(col("x"), lit(2L)) === 1L),
+        "g", "x", "y"))
+    assertDfEquality(
+      Moments.bivariateByGroupFromMoments(folded),
+      grouped, ignoreRowOrder = true)
+  }
+}

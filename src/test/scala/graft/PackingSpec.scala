@@ -29,6 +29,25 @@ class PackingSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0L), (2L, 5L), (3L, 12L), (4L, 22L)))
   }
 
+  test("withPrevValue: lag in sort order across many partitions, empty-safe") {
+    val df = table("k bigint, v double",
+      (1L to 100L).map(i => row(i, i.toDouble * 0.5)))
+      .repartition(7)
+    val out = General.withPrevValue(df, Seq("k"), "v", "pv")
+      .orderBy("k").collect()
+    assert(out.head.isNullAt(2), "first row has no prev")
+    out.tail.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getDouble(2) == (k - 1).toDouble * 0.5, s"prev at k=$k")
+    }
+    // more partitions than rows: the seed carry crosses empty partitions
+    val sparse = table("k bigint, v double",
+      Seq(row(10L, 1.0), row(20L, 2.0))).repartition(8)
+    val got = General.withPrevValue(sparse, Seq("k"), "v", "pv")
+      .orderBy("k").collect().map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(got.toSeq == Seq(None, Some(1.0)))
+  }
+
   test("packSequences: seq_id from start offset over the token budget") {
     val df = table("doc_id bigint, text string", Seq(
       row(1L, "a b c"),      // start 0, seq 0

@@ -139,6 +139,105 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("wassersteinDistance: hand-computed transport, shift, identity, loud") {
+    def side(vs: Seq[Double]) = table("v double", vs.map(row(_)))
+    // identical samples: zero distance
+    val same = Profile.wassersteinDistance(
+      side(Seq(1.0, 2.0, 5.0)), side(Seq(1.0, 2.0, 5.0)), "v").head()
+    assert(same.toSeq == Seq(3L, 3L, 0.0))
+    // unit point masses one apart: W1 = 1
+    assert(Profile.wassersteinDistance(
+      side(Seq(0.0)), side(Seq(1.0)), "v").head().getDouble(2) == 1.0)
+    // a pure shift by 1 moves every quantile by 1: W1 = 1
+    assert(Profile.wassersteinDistance(
+      side(Seq(0.0, 1.0, 2.0, 3.0)), side(Seq(1.0, 2.0, 3.0, 4.0)),
+      "v").head().getDouble(2) == 1.0)
+    // optimal transport with ties: {0,0,2} -> {1} moves 2/3 mass by 1
+    // and 1/3 mass by 1: W1 = 1
+    assert(Profile.wassersteinDistance(
+      side(Seq(0.0, 0.0, 2.0)), side(Seq(1.0)), "v").head().getDouble(2)
+      == 1.0)
+    // NULLs carry no position; an all-NULL side fails loudly
+    val holey = table("v double", Seq(row(3.0), row(null)))
+    assert(Profile.wassersteinDistance(holey, side(Seq(3.0)), "v")
+      .head().getLong(0) == 1L)
+    val e = intercept[IllegalArgumentException] {
+      Profile.wassersteinDistance(
+        table("v double", Seq(row(null))), side(Seq(1.0)), "v").head()
+    }
+    assert(e.getMessage.contains("non-null values"))
+  }
+
+  test("mannWhitney: hand-computed U/delta/z, ties degenerate z, identity") {
+    def side(vs: Seq[Double]) = table("v double", vs.map(row(_)))
+    // ref strictly below cur: U = 0, delta = -1, z = -2/sqrt(5/3)
+    val below = Profile.mannWhitney(
+      side(Seq(1.0, 2.0)), side(Seq(3.0, 4.0)), "v").head()
+    assert(below.toSeq == Seq(2L, 2L, 0.0, -1.0, -1.549193))
+    // mirrored: U = na*nb, delta = +1, z positive
+    val above = Profile.mannWhitney(
+      side(Seq(3.0, 4.0)), side(Seq(1.0, 2.0)), "v").head()
+    assert(above.toSeq == Seq(2L, 2L, 8.0, 1.0, 1.549193))
+    // identical samples: U = na*nb/2, delta 0, z 0
+    val same = Profile.mannWhitney(
+      side(Seq(1.0, 2.0)), side(Seq(1.0, 2.0)), "v").head()
+    assert(same.toSeq == Seq(2L, 2L, 4.0, 0.0, 0.0))
+    // every value tied: variance degenerates -> z NULL, delta 0
+    val tied = Profile.mannWhitney(
+      side(Seq(1.0, 1.0)), side(Seq(1.0, 1.0)), "v").head()
+    assert(tied.getDouble(2) == 4.0 && tied.getDouble(3) == 0.0 &&
+      tied.isNullAt(4))
+    val e = intercept[IllegalArgumentException] {
+      Profile.mannWhitney(table("v double", Seq(row(null))),
+        side(Seq(1.0)), "v").head()
+    }
+    assert(e.getMessage.contains("non-null values"))
+  }
+
+  test("cramerVonMises: hand-computed pooled L2 gap, identity, loud") {
+    def side(vs: Seq[Double]) = table("v double", vs.map(row(_)))
+    assert(Profile.cramerVonMises(
+      side(Seq(1.0, 2.0, 5.0)), side(Seq(1.0, 2.0, 5.0)), "v")
+      .head().toSeq == Seq(3L, 3L, 0.0))
+    // {0} vs {1}: gap 1 on the v=0 cell only: T = (1*1/4)*1 = 0.25
+    assert(Profile.cramerVonMises(
+      side(Seq(0.0)), side(Seq(1.0)), "v").head().toSeq ==
+      Seq(1L, 1L, 0.25))
+    // {0} vs {0,1}: d(0) = 1 - 1/2, cells (2, 1): T = (2/9)*(2*0.25)
+    assert(Profile.cramerVonMises(
+      side(Seq(0.0)), side(Seq(0.0, 1.0)), "v").head().toSeq ==
+      Seq(1L, 2L, 0.111111))
+    val e = intercept[IllegalArgumentException] {
+      Profile.cramerVonMises(side(Seq()), side(Seq(1.0)), "v").head()
+    }
+    assert(e.getMessage.contains("non-null values"))
+  }
+
+  test("jsDivergence: identity 0, disjoint ln2, symmetry, NULL category, loud") {
+    def mix(vs: Seq[String]) = table("c string", vs.map(row(_)))
+    val same = Profile.jsDivergence(
+      mix(Seq("a", "a", "b")), mix(Seq("a", "a", "b")), "c").head()
+    assert(same.toSeq == Seq(3L, 3L, 2L, 0.0))
+    // fully disjoint supports: JSD = ln 2
+    assert(Profile.jsDivergence(mix(Seq("a")), mix(Seq("b")), "c")
+      .head().getDouble(3) == 0.693147)
+    // symmetric by construction
+    val ab = Profile.jsDivergence(
+      mix(Seq("a", "a", "b")), mix(Seq("a", "b", "b", "b")), "c").head()
+    val ba = Profile.jsDivergence(
+      mix(Seq("a", "b", "b", "b")), mix(Seq("a", "a", "b")), "c").head()
+    assert(ab.getDouble(3) == ba.getDouble(3))
+    assert(ab.getDouble(3) > 0.0 && ab.getDouble(3) < 0.693147)
+    // NULL categories group as ONE category on both sides
+    val withNull = table("c string", Seq(row("a"), row(null)))
+    val n = Profile.jsDivergence(withNull, withNull, "c").head()
+    assert(n.toSeq == Seq(2L, 2L, 2L, 0.0))
+    val e = intercept[IllegalArgumentException] {
+      Profile.jsDivergence(mix(Seq()), mix(Seq("a")), "c").head()
+    }
+    assert(e.getMessage.contains("both sides"))
+  }
+
   test("exactQuantiles: hand-computed discrete ranks, duplicates, NULLs, validation") {
     // values {1,2,2,3,10}: n=5; p=0.2 -> rank 1 -> 1; p=0.5 -> rank 3
     // -> 2 (the duplicate mass); p=0.6 -> rank 3 -> 2; p=0.61 -> rank
