@@ -6063,6 +6063,52 @@ object SparkEntry {
   private def q320AveragePrecision(s: SparkSession, dir: String): DataFrame =
     graft.operators.Eval.averagePrecision(nbScored(s, dir), "label", "sc")
 
+  // ---------------------------------------------------------------- q321
+  /** PER-GROUP exact KS drift ([[graft.operators.Profile.ksByGroup]]):
+    * q196's alarm drilled into each event type — a drift confined to
+    * one slice dilutes linearly in the pooled statistic, so the
+    * per-type sup-gap is the actionable readout. Group-local CDFs off
+    * ONE global range-partitioned prefix sum per side (the
+    * global-prefix − group-offset trick), group totals in-plan. */
+  private def q321GroupKs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.operators.Profile.ksByGroup(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs),
+      "event_type", "value")
+  }
+
+  // ---------------------------------------------------------------- q322
+  /** Streaming per-group KS monitor ([[graft.streaming.StreamGate
+    * .replayGroupKsDrift]]): q321 with the monitored slice folding
+    * group-keyed value counts — held to q321's VERBATIM oracle. */
+  private def q322StreamGroupKs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.streaming.StreamGate.replayGroupKsDrift(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs),
+      "event_type", "value")
+  }
+
+  // ---------------------------------------------------------------- q323
+  /** Lag-1 autocorrelation of the daily value series ([[graft
+    * .operators.Moments.autocorrelation]]): does yesterday's total
+    * predict today's? — [[graft.operators.General.withPrevValue]]'s
+    * distributed lag pairing composed with the q305 moment machinery
+    * (`pearson_r6` = the autocorrelation, `slope6`/`intercept6` the
+    * AR(1) fit). Daily sums gate through 12dp decimals so the series
+    * itself is order-exact before the pairing. */
+  private def q323DailyAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value"), 12).cast("decimal(38,12)"))
+        .cast("double").as("dv"))
+    graft.operators.Moments.autocorrelation(daily, Seq("day"), "dv")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -6384,6 +6430,9 @@ object SparkEntry {
     "q318_cvm_drift" -> (q318CvmDrift _),
     "q319_stream_cvm" -> (q319StreamCvm _),
     "q320_average_precision" -> (q320AveragePrecision _),
+    "q321_group_ks" -> (q321GroupKs _),
+    "q322_stream_group_ks" -> (q322StreamGroupKs _),
+    "q323_daily_autocorr" -> (q323DailyAutocorr _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6866,6 +6915,42 @@ object SparkEntry {
       |      * (CAST(t.na AS DOUBLE) + CAST(t.nb AS DOUBLE)))
       |    * CAST(SUM(tt) AS DOUBLE), 6) AS cvm6
       |FROM terms, t GROUP BY t.na, t.nb""".stripMargin
+
+  /** Shared by q321 (batch per-group KS) and q322 (the streaming
+    * replay) — per-group sup-gaps off the group-keyed SUM-foldable
+    * value counts; GROUP BY (never a join) so a NULL group meets
+    * itself. */
+  private val groupKsOracle: String =
+    """WITH a AS (
+      |  SELECT event_type AS g, value AS v, COUNT(*) AS ca FROM events
+      |  WHERE epoch_us(ts) < 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1, 2
+      |), bb AS (
+      |  SELECT event_type AS g, value AS v, COUNT(*) AS cb FROM events
+      |  WHERE epoch_us(ts) >= 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1, 2
+      |), m AS (
+      |  SELECT g, v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+      |    SELECT g, v, ca, 0 AS cb FROM a
+      |    UNION ALL SELECT g, v, 0 AS ca, cb FROM bb)
+      |  GROUP BY g, v
+      |), c AS (
+      |  SELECT g,
+      |    SUM(ca) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(cb) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+      |    SUM(ca) OVER (PARTITION BY g) AS na,
+      |    SUM(cb) OVER (PARTITION BY g) AS nb
+      |  FROM m
+      |)
+      |SELECT g, CAST(MAX(na) AS BIGINT) AS n_ref,
+      |  CAST(MAX(nb) AS BIGINT) AS n_cur,
+      |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+      |    THEN ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+      |      - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+      |  END AS ks6
+      |FROM c GROUP BY g ORDER BY g""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_sum_agg" ->
@@ -11925,6 +12010,40 @@ object SparkEntry {
     "q317_stream_mann_whitney" -> mannWhitneyOracle,
     "q318_cvm_drift" -> cvmOracle,
     "q319_stream_cvm" -> cvmOracle,
+    "q321_group_ks" -> groupKsOracle,
+    "q322_stream_group_ks" -> groupKsOracle,
+    "q323_daily_autocorr" ->
+      """WITH d AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS dv
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), lagd AS (
+        |  SELECT LAG(dv) OVER (ORDER BY day) AS x, dv AS y FROM d
+        |), b AS (
+        |  SELECT x, y FROM lagd WHERE x IS NOT NULL
+        |), s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(x*x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ROUND(y*y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(ROUND(x*y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        |  FROM b
+        |), f AS (
+        |  SELECT n, sx, sy, CAST(n AS DOUBLE) AS nd,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS varxn,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS varyn
+        |  FROM s
+        |)
+        |SELECT n, ROUND(sx / nd, 6) AS mean_x6, ROUND(sy / nd, 6) AS mean_y6,
+        |  CASE WHEN varxn > 0 AND varyn > 0
+        |    THEN ROUND(covn / sqrt(varxn * varyn), 6) END AS pearson_r6,
+        |  CASE WHEN varxn > 0 THEN ROUND(covn / varxn, 6) END AS slope6,
+        |  CASE WHEN varxn > 0
+        |    THEN ROUND((sy - (covn / varxn) * sx) / nd, 6) END AS intercept6
+        |FROM f""".stripMargin,
     "q320_average_precision" ->
       """WITH tk AS (
         |  SELECT doc_id, (lang = 'en') AS pos,

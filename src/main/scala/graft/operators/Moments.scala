@@ -219,4 +219,31 @@ object Moments {
       df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame =
     bivariateByGroupFromMoments(groupMomentState(df, groupCol, xCol, yCol))
+
+  /** Lag-1 autocorrelation of a series — "does today's value predict
+    * tomorrow's?": each row is paired with its PREDECESSOR in
+    * `orderCols` order via the distributed lag
+    * ([[General.withPrevValue]] — range-partitioned, never a global
+    * one-partition window), and the (prev, current) pairs run through
+    * the SAME moment state + closed forms as [[pearsonOls]] —
+    * `pearson_r6` is the autocorrelation, `slope6`/`intercept6` the
+    * AR(1) fit. The first row has no predecessor and carries no
+    * moment; rows whose stored value is NULL pair with and contribute
+    * nothing (the momentState null filter). Deterministic when
+    * `orderCols` is a total order.
+    *
+    * Output: [[bivariateFromMoments]]'s one-row frame — x is the
+    * lagged value, y the current. */
+  def autocorrelation(
+      df: DataFrame, orderCols: Seq[String], valueCol: String): DataFrame = {
+    require(orderCols.nonEmpty,
+      "autocorrelation needs a sort order for the lag pairing")
+    numericGuard(df, "autocorrelation", valueCol)
+    TempCols.reserve(df, "autocorrelation", "__prev")
+    val lagged = General.withPrevValue(
+      df.select((orderCols.filterNot(_ == valueCol) :+ valueCol)
+        .map(col): _*),
+      orderCols, valueCol, "__prev")
+    bivariateFromMoments(momentState(lagged, "__prev", valueCol))
+  }
 }

@@ -651,6 +651,71 @@ object Profile {
     groupQuantilesFromCounts(groupSideCounts(df, groupCol, valueCol),
       groupCol, ps)
 
+  /** PER-GROUP exact two-sample KS drift — [[ksStatistic]] keyed by a
+    * slice column ("did the value distribution drift WITHIN each event
+    * type?"), the drill-down under the corpus-wide alarm (a drift
+    * confined to one slice dilutes linearly in the pooled statistic).
+    * Per-group CDFs WITHOUT a per-group window sort: the merged
+    * two-sided grid rides ONE global range-partitioned prefix sum over
+    * (group, value) per side, and each row's group-local cumulative is
+    * recovered as `global_prefix − group_offset + count` (the
+    * [[exactQuantilesByGroup]] trick, twice). Group totals are
+    * columns, never driver scalars — group cardinality unbounded. A
+    * group present on only ONE side reports NULL ks6 (no CDF to
+    * compare) instead of failing the whole report. NULL is its own
+    * group; NULL values are excluded (no position on the value line).
+    *
+    * Output: one row per group — (`g` as STRING, `n_ref`, `n_cur`,
+    * `ks6`), ordered by group. */
+  def ksByGroup(
+      ref: DataFrame,
+      cur: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame =
+    ksByGroupFromCounts(
+      groupSideCounts(ref, groupCol, valueCol).withColumnRenamed("cnt", "ca"),
+      groupSideCounts(cur, groupCol, valueCol).withColumnRenamed("cnt", "cb"))
+
+  /** [[ksByGroup]]'s arithmetic over two prepared group-keyed count
+    * tables (`(__g, v, ca)` / `(__g, v, cb)`) — shared verbatim by the
+    * batch operator and the streaming replay gate ([[graft.streaming
+    * .StreamGate.replayGroupKsDrift]]). The two-sided merge is a
+    * UNION + re-aggregation (never a null-unsafe join — a NULL group
+    * must meet itself). */
+  private[graft] def ksByGroupFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val m = refCounts.select(col("__g"), col("v"), col("ca"), lit(0L).as("cb"))
+      .unionByName(
+        curCounts.select(col("__g"), col("v"), lit(0L).as("ca"), col("cb")))
+      .groupBy("__g", "v")
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val pre = General.withRunningTotal(
+      General.withRunningTotal(m, Seq("__g", "v"), "ca", "__preA"),
+      Seq("__g", "v"), "cb", "__preB")
+    val offs = pre.groupBy("__g").agg(
+      min(col("__preA")).as("__offA"), min(col("__preB")).as("__offB"),
+      sum(col("ca")).as("__na"), sum(col("cb")).as("__nb"))
+    val cum = pre.alias("__l")
+      .join(offs.alias("__r"), col("__l.__g") <=> col("__r.__g"))
+      .select(col("__l.__g").as("__g"),
+        (col("__preA") - col("__offA") + col("ca")).as("__ca"),
+        (col("__preB") - col("__offB") + col("cb")).as("__cb"),
+        col("__na"), col("__nb"))
+    cum.groupBy("__g")
+      .agg(max(col("__na")).as("n_ref"), max(col("__nb")).as("n_cur"),
+        // the one-sided guard sits INSIDE the row expression: ANSI
+        // mode turns 0-total divisions into errors, not NaNs, and a
+        // single one-sided group must not abort the whole report
+        max(when(col("__na") > 0L && col("__nb") > 0L,
+          abs(col("__ca").cast("double") / col("__na").cast("double")
+            - col("__cb").cast("double") / col("__nb").cast("double"))))
+          .as("__d"))
+      .select(col("__g").as("g"), col("n_ref"), col("n_cur"),
+        round(col("__d"), 6).as("ks6"))
+      .orderBy("g")
+  }
+
   /** One batch's per-group value-count state `(__g, v, cnt)` — the
     * [[ksSideCounts]] shape keyed by group, NULL group and NULL-safe
     * grouping included; the seed the per-group quantile maintenance

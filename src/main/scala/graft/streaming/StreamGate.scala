@@ -920,6 +920,32 @@ object StreamGate {
         graft.operators.Profile.ksSideCounts(reference, valueCol, "ca"),
         state))
 
+  /** Streaming PER-GROUP KS drift — [[graft.operators.Profile
+    * .ksByGroup]] with the monitored slice as a FILE STREAM folding
+    * group-keyed distinct-value counts (the per-group quantile/Gini
+    * monitors' state shape — one maintained group grid serves all
+    * three), the final per-group sup-gap running [[graft.operators
+    * .Profile.ksByGroupFromCounts]] against the batch-computed
+    * reference counts — held to the batch operator's verbatim oracle.
+    * Returns the (`g`, `n_ref`, `n_cur`, `ks6`) frame ordered by
+    * group.
+    * @note one-generation replay contract — see the object doc. */
+  def replayGroupKsDrift(
+      reference: DataFrame,
+      monitored: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(groupCol, valueCol), "gks",
+        filesPerTrigger)(
+      batch => graft.operators.Profile.groupSideCounts(
+        batch, groupCol, valueCol),
+      graft.operators.Profile.foldGroupValueCounts,
+      state => graft.operators.Profile.ksByGroupFromCounts(
+        graft.operators.Profile.groupSideCounts(
+          reference, groupCol, valueCol).withColumnRenamed("cnt", "ca"),
+        state.withColumnRenamed("cnt", "cb")))
+
   /** Streaming Mann–Whitney location monitor — [[graft.operators
     * .Profile.mannWhitney]] with the monitored slice as a FILE
     * STREAM folding the SAME maintained distinct-value count state as

@@ -74,6 +74,23 @@ class MomentsSpec extends AnyFunSuite {
       Moments.pearsonOls(full, "x", "y"))
   }
 
+  test("autocorrelation: AR(1) line, alternating series, partition-invariant") {
+    // series 1..5 in time order: pairs lie on y = x + 1 exactly
+    val walk = table("t bigint, v bigint",
+      (1L to 5L).map(i => row(i, i)))
+    val got = Moments.autocorrelation(walk, Seq("t"), "v").head()
+    assert(got.toSeq == Seq(4L, 2.5, 3.5, 1.0, 1.0, 1.0))
+    // alternating 1,0,1,0,1: every pair flips -> r = -1
+    val alt = table("t bigint, v bigint",
+      (1L to 5L).map(i => row(i, i % 2)))
+    assert(Moments.autocorrelation(alt, Seq("t"), "v").head()
+      .getDouble(3) == -1.0)
+    // input partitioning cannot change the pairing
+    assertDfEquality(
+      Moments.autocorrelation(walk.repartition(7), Seq("t"), "v"),
+      Moments.autocorrelation(walk, Seq("t"), "v"))
+  }
+
   test("pearsonOlsByGroup: grouped == filtered-ungrouped, NULL group, n=1") {
     val df = table("g string, x bigint, y bigint", Seq(
       row("a", 1L, 2L), row("a", 2L, 1L), row("a", 3L, 4L),

@@ -168,6 +168,38 @@ class ProfileSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-null values"))
   }
 
+  test("ksByGroup == ungrouped per filtered group; one-sided group NULL; NULL group") {
+    val ref = table("g string, v double", Seq(
+      row("a", 1.0), row("a", 2.0), row("a", 3.0),
+      row("b", 1.0), row("b", 1.0),
+      row(null, 5.0), row(null, 6.0),
+      row("ref_only", 9.0)))
+    val cur = table("g string, v double", Seq(
+      row("a", 2.0), row("a", 3.0), row("a", 4.0),
+      row("b", 7.0),
+      row(null, 5.0), row(null, 8.0),
+      row("cur_only", 1.0)))
+    val got = Profile.ksByGroup(ref, cur, "g", "v")
+      .collect().map(r => (Option(r.getString(0)),
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // per group, the scalar operator on the filtered slices agrees
+    for (g <- Seq("a", "b")) {
+      val e = Profile.ksStatistic(ref.filter(col("g") === g),
+        cur.filter(col("g") === g), "v").head()
+      assert(got(Some(g)) == ((e.getLong(0), e.getLong(1),
+        Some(e.getDouble(2)))), s"group $g")
+    }
+    // NULL group is its own stratum
+    val en = Profile.ksStatistic(ref.filter(col("g").isNull),
+      cur.filter(col("g").isNull), "v").head()
+    assert(got(None) == ((en.getLong(0), en.getLong(1),
+      Some(en.getDouble(2)))))
+    // one-sided groups report NULL instead of failing the report
+    assert(got(Some("ref_only")) == ((1L, 0L, None)))
+    assert(got(Some("cur_only")) == ((0L, 1L, None)))
+  }
+
   test("mannWhitney: hand-computed U/delta/z, ties degenerate z, identity") {
     def side(vs: Seq[Double]) = table("v double", vs.map(row(_)))
     // ref strictly below cur: U = 0, delta = -1, z = -2/sqrt(5/3)
