@@ -6109,6 +6109,71 @@ object SparkEntry {
     graft.operators.Moments.autocorrelation(daily, Seq("day"), "dv")
   }
 
+  // ---------------------------------------------------------------- q324
+  /** Per-group 1-Wasserstein drift ([[graft.operators.Profile
+    * .wassersteinByGroup]]): q311's transport integral drilled into
+    * each event type — the per-slice drift pair next to q321's KS
+    * (not just WHETHER each type drifted, but how FAR its mass
+    * moved). Group-local prefixes + boundary-guarded lags, all off
+    * one global range-partitioned machinery. */
+  private def q324GroupWasserstein(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.operators.Profile.wassersteinByGroup(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs),
+      "event_type", "value")
+  }
+
+  // ---------------------------------------------------------------- q325
+  /** Streaming per-group 1-Wasserstein monitor ([[graft.streaming
+    * .StreamGate.replayGroupWassersteinDrift]]): q324 with the
+    * monitored slice folding the shared group-keyed count state —
+    * held to q324's VERBATIM oracle. */
+  private def q325StreamGroupWasserstein(
+      s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.streaming.StreamGate.replayGroupWassersteinDrift(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs),
+      "event_type", "value")
+  }
+
+  // ---------------------------------------------------------------- q326
+  /** CUSUM change-point scan ([[graft.operators.Stats
+    * .changePointScan]]): WHEN did the daily value level shift? —
+    * the root-cause pointer under the drift alarms (q196/q311 answer
+    * whether; this answers where in time). Daily sums fixed-pointed
+    * through exact decimals, the excursion argmax an exact integer
+    * compare with earliest-k ties. */
+  private def q326ChangePoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(sum(round(col("value"), 12).cast("decimal(38,12)"))
+        .cast("double").as("dv"))
+    graft.operators.Stats.changePointScan(daily, Seq("day"), "dv")
+  }
+
+  // ---------------------------------------------------------------- q327
+  /** Per-type lag-1 autocorrelation ([[graft.operators.Moments
+    * .autocorrelationByGroup]]): is the purchase series sticky while
+    * the click series is memoryless? — q323's pairing run per event
+    * type with boundary-guarded lags (the last day of one type never
+    * pairs into the next), per-group moment readout in-plan. */
+  private def q327GroupAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value"), 12).cast("decimal(38,12)"))
+        .cast("double").as("dv"))
+    graft.operators.Moments.autocorrelationByGroup(
+      daily, "event_type", Seq("day"), "dv")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -6433,6 +6498,10 @@ object SparkEntry {
     "q321_group_ks" -> (q321GroupKs _),
     "q322_stream_group_ks" -> (q322StreamGroupKs _),
     "q323_daily_autocorr" -> (q323DailyAutocorr _),
+    "q324_group_wasserstein" -> (q324GroupWasserstein _),
+    "q325_stream_group_wasserstein" -> (q325StreamGroupWasserstein _),
+    "q326_change_point" -> (q326ChangePoint _),
+    "q327_group_autocorr" -> (q327GroupAutocorr _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -6951,6 +7020,49 @@ object SparkEntry {
       |      - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
       |  END AS ks6
       |FROM c GROUP BY g ORDER BY g""".stripMargin
+
+  /** Shared by q324 (batch per-group 1-Wasserstein) and q325 (the
+    * streaming replay) — per-group transport integrals off the
+    * group-keyed SUM-foldable value counts; a term fires only inside
+    * a group (the LAG is group-partitioned) and on two-sided
+    * groups. */
+  private val groupWassersteinOracle: String =
+    """WITH a AS (
+      |  SELECT event_type AS g, value AS v, COUNT(*) AS ca FROM events
+      |  WHERE epoch_us(ts) < 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1, 2
+      |), bb AS (
+      |  SELECT event_type AS g, value AS v, COUNT(*) AS cb FROM events
+      |  WHERE epoch_us(ts) >= 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1, 2
+      |), m AS (
+      |  SELECT g, v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+      |    SELECT g, v, ca, 0 AS cb FROM a
+      |    UNION ALL SELECT g, v, 0 AS ca, cb FROM bb)
+      |  GROUP BY g, v
+      |), c AS (
+      |  SELECT g, v,
+      |    LAG(v) OVER (PARTITION BY g ORDER BY v) AS pv,
+      |    COALESCE(SUM(ca) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pa,
+      |    COALESCE(SUM(cb) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb,
+      |    SUM(ca) OVER (PARTITION BY g) AS na,
+      |    SUM(cb) OVER (PARTITION BY g) AS nb
+      |  FROM m
+      |), terms AS (
+      |  SELECT g, na, nb,
+      |    CASE WHEN pv IS NOT NULL AND na > 0 AND nb > 0
+      |      THEN CAST(ROUND(ABS(CAST(pa AS DOUBLE) / CAST(na AS DOUBLE)
+      |        - CAST(pb AS DOUBLE) / CAST(nb AS DOUBLE)) * (v - pv), 12)
+      |        AS DECIMAL(38,12)) END AS tt
+      |  FROM c
+      |)
+      |SELECT g, CAST(MAX(na) AS BIGINT) AS n_ref,
+      |  CAST(MAX(nb) AS BIGINT) AS n_cur,
+      |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+      |    THEN ROUND(CAST(COALESCE(SUM(tt), 0) AS DOUBLE), 6) END AS w1_6
+      |FROM terms GROUP BY g ORDER BY g""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_sum_agg" ->
@@ -12012,6 +12124,73 @@ object SparkEntry {
     "q319_stream_cvm" -> cvmOracle,
     "q321_group_ks" -> groupKsOracle,
     "q322_stream_group_ks" -> groupKsOracle,
+    "q324_group_wasserstein" -> groupWassersteinOracle,
+    "q325_stream_group_wasserstein" -> groupWassersteinOracle,
+    "q326_change_point" ->
+      """WITH d AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS dv
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), s AS (
+        |  SELECT day,
+        |    CAST(CAST(ROUND(dv, 6) AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+        |      AS vl,
+        |    ROW_NUMBER() OVER (ORDER BY day) - 1 AS rid
+        |  FROM d
+        |), t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(vl) AS BIGINT) AS sn FROM s
+        |), c AS (
+        |  SELECT day, rid,
+        |    SUM(vl) OVER (ORDER BY rid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk
+        |  FROM s
+        |), nums AS (
+        |  SELECT day, rid,
+        |    ABS(CAST(sk AS HUGEINT) * t.n
+        |      - CAST(rid + 1 AS HUGEINT) * t.sn) AS num
+        |  FROM c, t
+        |)
+        |SELECT t.n AS n, CAST(rid + 1 AS BIGINT) AS k, day,
+        |  ROUND(CAST(num AS DOUBLE)
+        |    / (CAST(t.n AS DOUBLE) * 1000000.0), 6) AS cusum6
+        |FROM nums, t ORDER BY num DESC, rid LIMIT 1""".stripMargin,
+    "q327_group_autocorr" ->
+      """WITH d AS (
+        |  SELECT event_type AS g, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS dv
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), lagd AS (
+        |  SELECT g, dv AS y,
+        |    LAG(dv) OVER (PARTITION BY g ORDER BY day) AS x
+        |  FROM d
+        |), b AS (
+        |  SELECT g, x, y FROM lagd WHERE x IS NOT NULL
+        |), s AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(x*x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ROUND(y*y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(ROUND(x*y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        |  FROM b GROUP BY g
+        |), f AS (
+        |  SELECT g, n, sx, sy, CAST(n AS DOUBLE) AS nd,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS varxn,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS varyn
+        |  FROM s
+        |)
+        |SELECT g, n, ROUND(sx / nd, 6) AS mean_x6, ROUND(sy / nd, 6) AS mean_y6,
+        |  CASE WHEN n >= 2 AND varxn > 0 AND varyn > 0
+        |    THEN ROUND(covn / sqrt(varxn * varyn), 6) END AS pearson_r6,
+        |  CASE WHEN n >= 2 AND varxn > 0
+        |    THEN ROUND(covn / varxn, 6) END AS slope6,
+        |  CASE WHEN n >= 2 AND varxn > 0
+        |    THEN ROUND((sy - (covn / varxn) * sx) / nd, 6) END AS intercept6
+        |FROM f ORDER BY g""".stripMargin,
     "q323_daily_autocorr" ->
       """WITH d AS (
         |  SELECT date_trunc('day', ts) AS day,

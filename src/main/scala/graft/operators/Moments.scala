@@ -246,4 +246,36 @@ object Moments {
       orderCols, valueCol, "__prev")
     bivariateFromMoments(momentState(lagged, "__prev", valueCol))
   }
+
+  /** PER-GROUP lag-1 autocorrelation — [[autocorrelation]] keyed by a
+    * slice column ("is the purchase series sticky but the click
+    * series memoryless?"): rows sort by (group, orderCols) through
+    * the SAME distributed lag, run TWICE — once for the value, once
+    * for the group itself — and a pair only forms when the lagged
+    * group null-safe-equals the row's group, so the last value of one
+    * group never leaks into the next group's first pair. The surviving
+    * (prev, current) pairs feed the per-group moment state and the
+    * in-plan closed forms — group cardinality unbounded. NULL is its
+    * own group. Output: [[bivariateByGroupFromMoments]]'s frame,
+    * ordered by group. */
+  def autocorrelationByGroup(
+      df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(orderCols.nonEmpty,
+      "autocorrelationByGroup needs a sort order for the lag pairing")
+    require(!orderCols.contains(groupCol),
+      s"group column '$groupCol' cannot also be an order column")
+    numericGuard(df, "autocorrelationByGroup", valueCol)
+    TempCols.reserve(df, "autocorrelationByGroup", "__prev", "__pg")
+    val sortCols = groupCol +: orderCols
+    val sel = df.select(
+      (groupCol +: orderCols.filterNot(_ == valueCol) :+ valueCol)
+        .distinct.map(col): _*)
+    val lagged = General.withPrevValue(
+      General.withPrevValue(sel, sortCols, valueCol, "__prev"),
+      sortCols, groupCol, "__pg")
+    bivariateByGroupFromMoments(groupMomentState(
+      lagged.filter(col("__pg") <=> col(groupCol)),
+      groupCol, "__prev", valueCol))
+  }
 }

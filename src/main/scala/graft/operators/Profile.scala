@@ -716,6 +716,77 @@ object Profile {
       .orderBy("g")
   }
 
+  /** PER-GROUP exact 1-Wasserstein drift — [[wassersteinDistance]]
+    * keyed by a slice column, completing the per-group drift pair
+    * next to [[ksByGroup]] ("not just whether each event type's
+    * values drifted, but how FAR each type's mass moved").
+    * Group-local exclusive prefixes ride the ksByGroup machinery
+    * (one global range-partitioned prefix sum per side, group offsets
+    * recovered by a group-bounded MIN join); the previous grid value
+    * comes from TWO distributed lags ([[General.withPrevValue]] on
+    * the value AND on the group — a term only fires when the lagged
+    * group null-safe-equals the row's group, so group boundaries
+    * never leak a gap). One-sided groups report NULL w1_6; a
+    * both-sided group whose grid is a single value reports 0 (its
+    * only row has no predecessor — the COALESCE is semantic, not
+    * cosmetic). NULL is its own group; NULL values excluded.
+    *
+    * Output: one row per group — (`g` as STRING, `n_ref`, `n_cur`,
+    * `w1_6`), ordered by group. */
+  def wassersteinByGroup(
+      ref: DataFrame,
+      cur: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame =
+    wassersteinByGroupFromCounts(
+      groupSideCounts(ref, groupCol, valueCol).withColumnRenamed("cnt", "ca"),
+      groupSideCounts(cur, groupCol, valueCol).withColumnRenamed("cnt", "cb"))
+
+  /** [[wassersteinByGroup]]'s arithmetic over two prepared group-keyed
+    * count tables — shared verbatim by the batch operator and the
+    * streaming replay gate ([[graft.streaming.StreamGate
+    * .replayGroupWassersteinDrift]]). */
+  private[graft] def wassersteinByGroupFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val m = refCounts.select(col("__g"), col("v"), col("ca"), lit(0L).as("cb"))
+      .unionByName(
+        curCounts.select(col("__g"), col("v"), lit(0L).as("ca"), col("cb")))
+      .groupBy("__g", "v")
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val pre = General.withRunningTotal(
+      General.withRunningTotal(m, Seq("__g", "v"), "ca", "__preA"),
+      Seq("__g", "v"), "cb", "__preB")
+    val lagged = General.withPrevValue(
+      General.withPrevValue(pre, Seq("__g", "v"), "v", "__pv"),
+      Seq("__g", "v"), "__g", "__pg")
+    val offs = lagged.groupBy("__g").agg(
+      min(col("__preA")).as("__offA"), min(col("__preB")).as("__offB"),
+      sum(col("ca")).as("__na"), sum(col("cb")).as("__nb"))
+    val cum = lagged.alias("__l")
+      .join(offs.alias("__r"), col("__l.__g") <=> col("__r.__g"))
+      .select(col("__l.__g").as("__g"), col("v"), col("__pv"),
+        col("__l.__pg").as("__pg"),
+        (col("__preA") - col("__offA")).as("__pa"),
+        (col("__preB") - col("__offB")).as("__pb"),
+        col("__na"), col("__nb"))
+    // a term fires only INSIDE a group (lagged group == group) and on
+    // two-sided groups (the ANSI zero-division guard, in-row)
+    val term = when(col("__pg") <=> col("__g") &&
+        col("__na") > 0L && col("__nb") > 0L,
+      round(abs(col("__pa").cast("double") / col("__na").cast("double")
+          - col("__pb").cast("double") / col("__nb").cast("double")) *
+          (col("v") - col("__pv")), 12).cast("decimal(38,12)"))
+    cum.groupBy("__g")
+      .agg(max(col("__na")).as("n_ref"), max(col("__nb")).as("n_cur"),
+        sum(term).as("__t"))
+      .select(col("__g").as("g"), col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L,
+          round(coalesce(col("__t"), lit(0).cast("decimal(38,12)"))
+            .cast("double"), 6)).as("w1_6"))
+      .orderBy("g")
+  }
+
   /** One batch's per-group value-count state `(__g, v, cnt)` — the
     * [[ksSideCounts]] shape keyed by group, NULL group and NULL-safe
     * grouping included; the seed the per-group quantile maintenance

@@ -597,6 +597,61 @@ object Stats {
     * engine and the readout is ONE double division on the 6dp gate.
     * Negative masses fail loudly at scan time; NULL masses are
     * excluded. Output: one row — (`n`, `total`, `gini6`). */
+  /** CUSUM change-point scan — WHERE did a series' level shift?
+    * The classic single-change-point scan statistic
+    * `max_k |S_k − (k/n)·S_n|` (the cumulative sum's maximum
+    * excursion from the no-change diagonal), reported with its argmax
+    * position — the root-cause pointer the drift alarms
+    * (KS/W1/PSI answer WHETHER, this answers WHEN). Values are
+    * fixed-pointed at `scaleDigits` decimals through exact DECIMAL
+    * arithmetic (never a double multiply whose last ulp could flip a
+    * truncation), so every candidate's excursion is the exact integer
+    * `|S_k·n − k·S_n|` — the argmax is an integer compare on both
+    * engines, ties breaking to the EARLIEST k. The statistic reads
+    * out in original units on the 6dp gate.
+    *
+    * Scale shape: one range-partitioned contiguous-id pass + one
+    * range-partitioned prefix sum ([[General.withContiguousRowIds]] /
+    * [[General.withRunningTotal]] — never a global one-partition
+    * window), two driver scalars, and a top-1 (TakeOrdered, not a
+    * global sort). Rows with a NULL value are excluded (they carry no
+    * level). Deterministic when `orderCols` is a total order.
+    *
+    * Output: one row — (`n`, `k`, the `orderCols` values at the
+    * argmax, `cusum6`). */
+  def changePointScan(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      scaleDigits: Int = 6): DataFrame = {
+    require(orderCols.nonEmpty,
+      "changePointScan needs a sort order for the series")
+    require(scaleDigits >= 0 && scaleDigits <= 9,
+      s"scaleDigits ($scaleDigits) must be in [0, 9]")
+    TempCols.reserve(df, "changePointScan", "__vl", "__rid", "__pre")
+    val pow = math.pow(10.0, scaleDigits).toLong
+    val sel = df
+      .filter(col(valueCol).isNotNull)
+      .select((orderCols.filterNot(_ == valueCol).map(col) :+
+        (round(col(valueCol).cast("double"), scaleDigits)
+          .cast(s"decimal(28,$scaleDigits)") * lit(pow))
+          .cast("long").as("__vl")): _*)
+    val ids = General.withContiguousRowIds(sel, orderCols, "__rid")
+    val pre = General.withRunningTotal(ids, Seq("__rid"), "__vl", "__pre")
+    val t = pre.agg(count(lit(1)), coalesce(sum(col("__vl")), lit(0L))).head()
+    val (n, sn) = (t.getLong(0), t.getLong(1))
+    require(n >= 2L, s"changePointScan: needs >= 2 series points (got $n)")
+    val num = abs((col("__pre") + col("__vl")).cast("decimal(19,0)") * lit(n)
+      - (col("__rid") + lit(1L)).cast("decimal(19,0)") * lit(sn))
+    pre.withColumn("__num", num)
+      .orderBy(col("__num").desc, col("__rid").asc)
+      .limit(1)
+      .select((lit(n).as("n") +: (col("__rid") + lit(1L)).as("k") +:
+        orderCols.filterNot(_ == valueCol).map(col)) :+
+        round(col("__num").cast("double") /
+          (lit(n.toDouble) * lit(pow.toDouble)), 6).as("cusum6"): _*)
+  }
+
   def giniIndex(
       df: DataFrame, valueCol: String, idCol: String): DataFrame = {
     val ranked = giniRankedMasses(df, valueCol, idCol)

@@ -946,6 +946,32 @@ object StreamGate {
           reference, groupCol, valueCol).withColumnRenamed("cnt", "ca"),
         state.withColumnRenamed("cnt", "cb")))
 
+  /** Streaming PER-GROUP 1-Wasserstein drift — [[graft.operators
+    * .Profile.wassersteinByGroup]] with the monitored slice as a FILE
+    * STREAM folding the SAME group-keyed value-count state the
+    * per-group KS/quantile/Gini monitors maintain, the final
+    * per-group transport integral running [[graft.operators.Profile
+    * .wassersteinByGroupFromCounts]] against the batch-computed
+    * reference counts — held to the batch operator's verbatim oracle.
+    * Returns the (`g`, `n_ref`, `n_cur`, `w1_6`) frame ordered by
+    * group.
+    * @note one-generation replay contract — see the object doc. */
+  def replayGroupWassersteinDrift(
+      reference: DataFrame,
+      monitored: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(groupCol, valueCol), "gw1",
+        filesPerTrigger)(
+      batch => graft.operators.Profile.groupSideCounts(
+        batch, groupCol, valueCol),
+      graft.operators.Profile.foldGroupValueCounts,
+      state => graft.operators.Profile.wassersteinByGroupFromCounts(
+        graft.operators.Profile.groupSideCounts(
+          reference, groupCol, valueCol).withColumnRenamed("cnt", "ca"),
+        state.withColumnRenamed("cnt", "cb")))
+
   /** Streaming Mann–Whitney location monitor — [[graft.operators
     * .Profile.mannWhitney]] with the monitored slice as a FILE
     * STREAM folding the SAME maintained distinct-value count state as

@@ -91,6 +91,26 @@ class MomentsSpec extends AnyFunSuite {
       Moments.autocorrelation(walk, Seq("t"), "v"))
   }
 
+  test("autocorrelationByGroup: no cross-group leak, == filtered per group") {
+    // group a descends while group b ascends; a cross-boundary pair
+    // (a's last value into b's first) would corrupt both fits
+    val df = table("g string, t bigint, v bigint", Seq(
+      row("a", 1L, 9L), row("a", 2L, 6L), row("a", 3L, 3L),
+      row("b", 1L, 1L), row("b", 2L, 2L), row("b", 3L, 3L),
+      row(null, 1L, 5L), row(null, 2L, 5L), row(null, 3L, 5L)))
+    val grouped = Moments.autocorrelationByGroup(df, "g", Seq("t"), "v")
+    for (g <- Seq("a", "b")) {
+      assertDfEquality(
+        grouped.filter(col("g") === g).drop("g"),
+        Moments.autocorrelation(df.filter(col("g") === g), Seq("t"), "v"))
+    }
+    assert(grouped.filter(col("g") === "a").head().getDouble(4) == 1.0)
+    assert(grouped.filter(col("g") === "b").head().getDouble(4) == 1.0)
+    // the NULL group is constant: its own stratum, degenerate r
+    val n = grouped.filter(col("g").isNull).head()
+    assert(n.getLong(1) == 2L && n.isNullAt(4))
+  }
+
   test("pearsonOlsByGroup: grouped == filtered-ungrouped, NULL group, n=1") {
     val df = table("g string, x bigint, y bigint", Seq(
       row("a", 1L, 2L), row("a", 2L, 1L), row("a", 3L, 4L),

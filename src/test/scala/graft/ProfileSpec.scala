@@ -200,6 +200,38 @@ class ProfileSpec extends AnyFunSuite {
     assert(got(Some("cur_only")) == ((0L, 1L, None)))
   }
 
+  test("wassersteinByGroup == ungrouped per group; point-mass 0; one-sided NULL") {
+    val ref = table("g string, v double", Seq(
+      row("a", 0.0), row("a", 1.0), row("a", 2.0), row("a", 3.0),
+      row("b", 0.0), row("b", 0.0), row("b", 2.0),
+      row(null, 7.0),
+      row("point", 5.0), row("ref_only", 9.0)))
+    val cur = table("g string, v double", Seq(
+      row("a", 1.0), row("a", 2.0), row("a", 3.0), row("a", 4.0),
+      row("b", 1.0),
+      row(null, 8.0),
+      row("point", 5.0), row("cur_only", 1.0)))
+    val got = Profile.wassersteinByGroup(ref, cur, "g", "v")
+      .collect().map(r => (Option(r.getString(0)),
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    for (g <- Seq("a", "b")) {
+      val e = Profile.wassersteinDistance(ref.filter(col("g") === g),
+        cur.filter(col("g") === g), "v").head()
+      assert(got(Some(g)) == ((e.getLong(0), e.getLong(1),
+        Some(e.getDouble(2)))), s"group $g")
+    }
+    // shift-by-1 group reads exactly 1; NULL group is its own stratum
+    assert(got(Some("a"))._3.contains(1.0))
+    assert(got(None) == ((1L, 1L, Some(1.0))))
+    // both sides on ONE value: a single grid row has no predecessor,
+    // and the answer is 0 (the COALESCE), never NULL
+    assert(got(Some("point")) == ((1L, 1L, Some(0.0))))
+    // one-sided groups report NULL instead of failing the report
+    assert(got(Some("ref_only")) == ((1L, 0L, None)))
+    assert(got(Some("cur_only")) == ((0L, 1L, None)))
+  }
+
   test("mannWhitney: hand-computed U/delta/z, ties degenerate z, identity") {
     def side(vs: Seq[Double]) = table("v double", vs.map(row(_)))
     // ref strictly below cur: U = 0, delta = -1, z = -2/sqrt(5/3)

@@ -62,6 +62,32 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
 
   // --------------------------------------------------------- Stats
 
+  test("changePointScan: hand step, earliest-k ties, boundary, loud") {
+    // level shift after the 3rd point: 0,0,0,10,10 -> argmax at k=3,
+    // |S_3 - (3/5)*20| = 12
+    val step = table("t string, v double", Seq(
+      row("a", 0.0), row("b", 0.0), row("c", 0.0),
+      row("d", 10.0), row("e", 10.0)))
+    assert(Stats.changePointScan(step, Seq("t"), "v").head().toSeq ==
+      Seq(5L, 3L, "c", 12.0))
+    // a perfectly linear ramp ties k=1 and k=2 exactly -> earliest k
+    val ramp = table("t string, v double", Seq(
+      row("a", 0.0), row("b", 5.0), row("c", 10.0)))
+    assert(Stats.changePointScan(ramp, Seq("t"), "v").head().toSeq ==
+      Seq(3L, 1L, "a", 5.0))
+    // two points: the only candidate k=1
+    assert(Stats.changePointScan(
+      table("t string, v double", Seq(row("a", 0.0), row("b", 10.0))),
+      Seq("t"), "v").head().toSeq == Seq(2L, 1L, "a", 5.0))
+    // NULL values carry no level; fewer than 2 points fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Stats.changePointScan(
+        table("t string, v double", Seq(row("a", 1.0), row("b", null))),
+        Seq("t"), "v").head()
+    }
+    assert(e.getMessage.contains(">= 2 series points"))
+  }
+
   test("zScore: known groups standardize; degenerate groups yield NULL") {
     val df = table("g string, v bigint", Seq(
       row("a", 1L), row("a", 2L), row("a", 3L), // mean 2, sd 1
