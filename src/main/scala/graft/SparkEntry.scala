@@ -6174,6 +6174,37 @@ object SparkEntry {
       daily, "event_type", Seq("day"), "dv")
   }
 
+  // ---------------------------------------------------------------- q328
+  /** Per-type CUSUM change-point scan ([[graft.operators.Stats
+    * .changePointScanByGroup]]): each event type's OWN level-shift
+    * day — the per-slice root-cause pointer under q326 (a shift in
+    * one type dilutes in the pooled series). Within-group positions
+    * and prefix sums off the skew-proof global machinery; the
+    * per-group argmax is a max_by over exact-integer excursions. */
+  private def q328GroupChangePoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("value"), 12).cast("decimal(38,12)"))
+        .cast("double").as("dv"))
+    graft.operators.Stats.changePointScanByGroup(
+      daily, "event_type", Seq("day"), "dv")
+  }
+
+  // ---------------------------------------------------------------- q329
+  /** Streaming CUSUM change-point monitor ([[graft.streaming
+    * .StreamGate.replayChangePointMonitor]]): q326's scan with the
+    * event feed micro-batched into per-day exact-decimal sum state —
+    * held to q326's VERBATIM oracle (daily sums fold by SUM; the
+    * double cast happens once at readout). */
+  private def q329StreamChangePoint(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayChangePointMonitor(
+      Tables.events(s, dir).select(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("value")),
+      "day", "value")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -6502,6 +6533,8 @@ object SparkEntry {
     "q325_stream_group_wasserstein" -> (q325StreamGroupWasserstein _),
     "q326_change_point" -> (q326ChangePoint _),
     "q327_group_autocorr" -> (q327GroupAutocorr _),
+    "q328_group_change_point" -> (q328GroupChangePoint _),
+    "q329_stream_change_point" -> (q329StreamChangePoint _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7063,6 +7096,41 @@ object SparkEntry {
       |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
       |    THEN ROUND(CAST(COALESCE(SUM(tt), 0) AS DOUBLE), 6) END AS w1_6
       |FROM terms GROUP BY g ORDER BY g""".stripMargin
+
+  /** Shared by q326 (batch CUSUM change-point scan) and q329 (the
+    * streaming replay) — the scan depends on the feed only through
+    * the SUM-foldable per-day exact-decimal sums; the fixed-pointing,
+    * every excursion, and the earliest-k argmax replay verbatim. */
+  private val changePointOracle: String =
+    """WITH d AS (
+      |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    CAST(SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12))) AS DOUBLE)
+      |      AS dv
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1
+      |), s AS (
+      |  SELECT day,
+      |    CAST(CAST(ROUND(dv, 6) AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+      |      AS vl,
+      |    ROW_NUMBER() OVER (ORDER BY day) - 1 AS rid
+      |  FROM d
+      |), t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(vl) AS BIGINT) AS sn FROM s
+      |), c AS (
+      |  SELECT day, rid,
+      |    SUM(vl) OVER (ORDER BY rid
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk
+      |  FROM s
+      |), nums AS (
+      |  SELECT day, rid,
+      |    ABS(CAST(sk AS HUGEINT) * t.n
+      |      - CAST(rid + 1 AS HUGEINT) * t.sn) AS num
+      |  FROM c, t
+      |)
+      |SELECT t.n AS n, CAST(rid + 1 AS BIGINT) AS k, day,
+      |  ROUND(CAST(num AS DOUBLE)
+      |    / (CAST(t.n AS DOUBLE) * 1000000.0), 6) AS cusum6
+      |FROM nums, t ORDER BY num DESC, rid LIMIT 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_sum_agg" ->
@@ -12126,36 +12194,43 @@ object SparkEntry {
     "q322_stream_group_ks" -> groupKsOracle,
     "q324_group_wasserstein" -> groupWassersteinOracle,
     "q325_stream_group_wasserstein" -> groupWassersteinOracle,
-    "q326_change_point" ->
+    "q326_change_point" -> changePointOracle,
+    "q329_stream_change_point" -> changePointOracle,
+    "q328_group_change_point" ->
       """WITH d AS (
-        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  SELECT event_type AS g,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |    CAST(SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12))) AS DOUBLE)
         |      AS dv
-        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         |), s AS (
-        |  SELECT day,
+        |  SELECT g, day,
         |    CAST(CAST(ROUND(dv, 6) AS DECIMAL(28,6)) * 1000000 AS BIGINT)
         |      AS vl,
-        |    ROW_NUMBER() OVER (ORDER BY day) - 1 AS rid
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY day) - 1 AS rid
         |  FROM d
-        |), t AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(vl) AS BIGINT) AS sn FROM s
         |), c AS (
-        |  SELECT day, rid,
-        |    SUM(vl) OVER (ORDER BY rid
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk
+        |  SELECT g, day, rid,
+        |    SUM(vl) OVER (PARTITION BY g ORDER BY rid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk,
+        |    COUNT(*) OVER (PARTITION BY g) AS n,
+        |    SUM(vl) OVER (PARTITION BY g) AS sn
         |  FROM s
         |), nums AS (
-        |  SELECT day, rid,
-        |    ABS(CAST(sk AS HUGEINT) * t.n
-        |      - CAST(rid + 1 AS HUGEINT) * t.sn) AS num
-        |  FROM c, t
+        |  SELECT g, day, rid, n,
+        |    ABS(CAST(sk AS HUGEINT) * n
+        |      - CAST(rid + 1 AS HUGEINT) * sn) AS num
+        |  FROM c
+        |), ranked AS (
+        |  SELECT g, CAST(n AS BIGINT) AS n, CAST(rid + 1 AS BIGINT) AS k,
+        |    day,
+        |    ROUND(CAST(num AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * 1000000.0), 6) AS cusum6,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY num DESC, rid) AS rn
+        |  FROM nums
         |)
-        |SELECT t.n AS n, CAST(rid + 1 AS BIGINT) AS k, day,
-        |  ROUND(CAST(num AS DOUBLE)
-        |    / (CAST(t.n AS DOUBLE) * 1000000.0), 6) AS cusum6
-        |FROM nums, t ORDER BY num DESC, rid LIMIT 1""".stripMargin,
+        |SELECT g, n, k, day, cusum6 FROM ranked WHERE rn = 1
+        |ORDER BY g""".stripMargin,
     "q327_group_autocorr" ->
       """WITH d AS (
         |  SELECT event_type AS g, date_trunc('day', ts) AS day,

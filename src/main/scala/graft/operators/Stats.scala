@@ -626,6 +626,9 @@ object Stats {
       scaleDigits: Int = 6): DataFrame = {
     require(orderCols.nonEmpty,
       "changePointScan needs a sort order for the series")
+    require(!orderCols.contains(valueCol),
+      s"changePointScan: value column '$valueCol' cannot be an order " +
+        "column (it is consumed into the fixed-point series)")
     require(scaleDigits >= 0 && scaleDigits <= 9,
       s"scaleDigits ($scaleDigits) must be in [0, 9]")
     TempCols.reserve(df, "changePointScan", "__vl", "__rid", "__pre")
@@ -650,6 +653,74 @@ object Stats {
         orderCols.filterNot(_ == valueCol).map(col)) :+
         round(col("__num").cast("double") /
           (lit(n.toDouble) * lit(pow.toDouble)), 6).as("cusum6"): _*)
+  }
+
+  /** PER-GROUP CUSUM change-point scan — [[changePointScan]] keyed by
+    * a slice column ("each event type's own level-shift day"), fully
+    * IN-PLAN: within-group positions ride
+    * [[General.withContiguousRowIdsPerGroup]]'s skew-proof global
+    * sort, group-local prefix sums come off ONE range-partitioned
+    * running total minus a group-bounded MIN offset (the
+    * exactQuantilesByGroup trick), group totals are columns, and the
+    * per-group argmax is a `max_by` over the exact-integer excursion
+    * with earliest-k ties (lexicographic (num, −k) — an integer
+    * compare on both engines). A single-point group reads k=1,
+    * cusum 0 (no interior candidate — the zero excursion IS the
+    * answer, not a special case). Group cardinality unbounded; NULL
+    * is its own group; NULL values excluded.
+    *
+    * Output: one row per group — (`g` as STRING, `n`, `k`, the
+    * `orderCols` values at the argmax, `cusum6`), ordered by group. */
+  def changePointScanByGroup(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      scaleDigits: Int = 6): DataFrame = {
+    require(orderCols.nonEmpty,
+      "changePointScanByGroup needs a sort order for the series")
+    require(!orderCols.contains(valueCol) && groupCol != valueCol &&
+      !orderCols.contains(groupCol),
+      "changePointScanByGroup: group, order, and value columns must be " +
+        "distinct")
+    require(scaleDigits >= 0 && scaleDigits <= 9,
+      s"scaleDigits ($scaleDigits) must be in [0, 9]")
+    TempCols.reserve(df, "changePointScanByGroup",
+      "__g", "__vl", "__k0", "__pre", "__off", "__n", "__sn", "__num")
+    val pow = math.pow(10.0, scaleDigits).toLong
+    val sel = df
+      .filter(col(valueCol).isNotNull)
+      .select((col(groupCol).cast("string").as("__g") +:
+        orderCols.map(col)) :+
+        (round(col(valueCol).cast("double"), scaleDigits)
+          .cast(s"decimal(28,$scaleDigits)") * lit(pow))
+          .cast("long").as("__vl"): _*)
+    val ids = General.withContiguousRowIdsPerGroup(
+      sel, Seq("__g"), orderCols, "__k0")
+    val pre = General.withRunningTotal(
+      ids, Seq("__g") ++ orderCols, "__vl", "__pre")
+    val offs = pre.groupBy("__g").agg(
+      min(col("__pre")).as("__off"), count(lit(1)).as("__n"),
+      sum(col("__vl")).as("__sn"))
+    val cum = pre.alias("__l")
+      .join(offs.alias("__r"), col("__l.__g") <=> col("__r.__g"))
+      .select((col("__l.__g").as("__g") +: orderCols.map(col)) ++
+        Seq(col("__k0"), col("__n"), col("__sn"),
+          (col("__pre") - col("__off") + col("__vl")).as("__sk")): _*)
+    val num = abs(col("__sk").cast("decimal(19,0)") * col("__n")
+      - (col("__k0") + lit(1L)).cast("decimal(19,0)") * col("__sn"))
+    val payload = struct((col("__n") +: (col("__k0") + lit(1L)).as("__k") +:
+      orderCols.map(col)) :+
+      round(num.cast("double") /
+        (col("__n").cast("double") * lit(pow.toDouble)), 6)
+        .as("__cusum6"): _*)
+    cum.groupBy("__g")
+      .agg(max_by(payload, struct(num, -col("__k0"))).as("__best"))
+      .select((col("__g").as("g") +: col("__best.__n").as("n") +:
+        col("__best.__k").as("k") +:
+        orderCols.map(c => col(s"__best.$c").as(c))) :+
+        col("__best.__cusum6").as("cusum6"): _*)
+      .orderBy("g")
   }
 
   def giniIndex(

@@ -920,6 +920,37 @@ object StreamGate {
         graft.operators.Profile.ksSideCounts(reference, valueCol, "ca"),
         state))
 
+  /** Streaming CUSUM change-point monitor — [[graft.operators.Stats
+    * .changePointScan]] with the raw feed as a FILE STREAM: each
+    * micro-batch's per-bucket exact-decimal value sums (12dp-rounded
+    * terms — the q133 rollup discipline) fold by SUM into a versioned
+    * bucket-bounded state table, and the final scan runs the batch
+    * operator's fixed-point excursion argmax over the accumulated
+    * series — "WHEN did the level shift?" kept current as events
+    * land. Decimal sums merge associatively and commutatively and the
+    * double cast happens once at readout, so the micro-batch split
+    * provably cannot move the series — held to the batch operator's
+    * verbatim oracle. Returns the one-row (`n`, `k`, `bucketCol`,
+    * `cusum6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayChangePointMonitor(
+      monitored: DataFrame,
+      bucketCol: String,
+      valueCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(bucketCol, valueCol), "cpt",
+        filesPerTrigger)(
+      batch => batch.filter(col(valueCol).isNotNull)
+        .groupBy(bucketCol)
+        .agg(sum(round(col(valueCol), 12).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("__cps")),
+      (base, delta) => base.unionByName(delta)
+        .groupBy(bucketCol)
+        .agg(sum(col("__cps")).cast("decimal(38,12)").as("__cps")),
+      state => graft.operators.Stats.changePointScan(
+        state.select(col(bucketCol), col("__cps").cast("double").as("__cpv")),
+        Seq(bucketCol), "__cpv"))
+
   /** Streaming PER-GROUP KS drift — [[graft.operators.Profile
     * .ksByGroup]] with the monitored slice as a FILE STREAM folding
     * group-keyed distinct-value counts (the per-group quantile/Gini

@@ -88,6 +88,30 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     assert(e.getMessage.contains(">= 2 series points"))
   }
 
+  test("changePointScanByGroup == ungrouped per group; single point; NULL group") {
+    val df = table("g string, t string, v double", Seq(
+      row("a", "t1", 0.0), row("a", "t2", 0.0), row("a", "t3", 0.0),
+      row("a", "t4", 10.0), row("a", "t5", 10.0),
+      row("b", "t1", 5.0), row("b", "t2", 0.0),
+      row(null, "t1", 1.0), row(null, "t2", 2.0), row(null, "t3", 3.0),
+      row("solo", "t1", 7.0)))
+    val got = Stats.changePointScanByGroup(df, "g", Seq("t"), "v")
+    for (g <- Seq("a", "b")) {
+      assertDfEquality(got.filter(col("g") === g).drop("g"),
+        Stats.changePointScan(df.filter(col("g") === g), Seq("t"), "v"),
+        ignoreNullable = true)
+    }
+    assert(got.filter(col("g") === "a").head().toSeq ==
+      Seq("a", 5L, 3L, "t3", 12.0))
+    // NULL group is its own stratum; its linear ramp ties exactly at
+    // k=1 and k=2 -> earliest k
+    val n = got.filter(col("g").isNull).head()
+    assert(n.getLong(1) == 3L && n.getLong(2) == 1L && n.getDouble(4) == 1.0)
+    // a single-point group reads k=1 with zero excursion, not a crash
+    assert(got.filter(col("g") === "solo").head().toSeq ==
+      Seq("solo", 1L, 1L, "t1", 0.0))
+  }
+
   test("zScore: known groups standardize; degenerate groups yield NULL") {
     val df = table("g string, v bigint", Seq(
       row("a", 1L), row("a", 2L), row("a", 3L), // mean 2, sd 1
