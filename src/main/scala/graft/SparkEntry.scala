@@ -6205,6 +6205,76 @@ object SparkEntry {
         col("value")),
       "day", "value")
 
+  // ---------------------------------------------------------------- q330
+  /** Benford first-digit audit ([[graft.operators.Profile
+    * .benfordAudit]]): the order-amount column against Benford's law
+    * — the classic fabricated-numbers screen for a monetary field,
+    * with structural zeros (digits the data never hits) riding a
+    * literal grid. Digit extraction is decimal-string-based so no
+    * log10 boundary ulp can flip a decade; expected probabilities are
+    * the identical ln-expression on both engines. */
+  private def q330Benford(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.benfordAudit(
+      Tables.orders(s, dir), "o_totalprice")
+
+  // ---------------------------------------------------------------- q331
+  /** Per-status Jensen–Shannon drift ([[graft.operators.Profile
+    * .jsDivergenceByGroup]]): q313's divergence drilled into each
+    * order status — which slice's priority mix actually moved across
+    * the time split. Group totals in-plan, per-group exact decimal
+    * term sums. */
+  private def q331GroupJsd(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val split = lit("1996-01-01").cast("timestamp_ntz")
+    graft.operators.Profile.jsDivergenceByGroup(
+      orders.filter(col("o_orderdate") < split),
+      orders.filter(col("o_orderdate") >= split),
+      "o_orderstatus", "o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- q332
+  /** Streaming per-group JSD monitor ([[graft.streaming.StreamGate
+    * .replayGroupJsDivergence]]): q331 with the monitored slice
+    * folding group-keyed category counts — held to q331's VERBATIM
+    * oracle. */
+  private def q332StreamGroupJsd(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val split = lit("1996-01-01").cast("timestamp_ntz")
+    graft.streaming.StreamGate.replayGroupJsDivergence(
+      orders.filter(col("o_orderdate") < split),
+      orders.filter(col("o_orderdate") >= split),
+      "o_orderstatus", "o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- q333
+  /** Hellinger drift ([[graft.operators.Profile.hellingerDistance]]):
+    * the metric-space member of the categorical drift family over
+    * q180's split — a TRUE metric bounded [0,1] next to PSI's
+    * unbounded surprise and JSD's divergence, with the Bhattacharyya
+    * coefficient reported alongside. */
+  private def q333Hellinger(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val split = lit("1996-01-01").cast("timestamp_ntz")
+    graft.operators.Profile.hellingerDistance(
+      orders.filter(col("o_orderdate") < split),
+      orders.filter(col("o_orderdate") >= split),
+      "o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- q334
+  /** Streaming Hellinger monitor ([[graft.streaming.StreamGate
+    * .replayHellinger]]): q333 over the same folded category-count
+    * state the JSD monitor maintains — held to q333's VERBATIM
+    * oracle. */
+  private def q334StreamHellinger(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val split = lit("1996-01-01").cast("timestamp_ntz")
+    graft.streaming.StreamGate.replayHellinger(
+      orders.filter(col("o_orderdate") < split),
+      orders.filter(col("o_orderdate") >= split),
+      "o_orderpriority")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -6535,6 +6605,11 @@ object SparkEntry {
     "q327_group_autocorr" -> (q327GroupAutocorr _),
     "q328_group_change_point" -> (q328GroupChangePoint _),
     "q329_stream_change_point" -> (q329StreamChangePoint _),
+    "q330_benford" -> (q330Benford _),
+    "q331_group_jsd" -> (q331GroupJsd _),
+    "q332_stream_group_jsd" -> (q332StreamGroupJsd _),
+    "q333_hellinger" -> (q333Hellinger _),
+    "q334_stream_hellinger" -> (q334StreamHellinger _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7131,6 +7206,88 @@ object SparkEntry {
       |  ROUND(CAST(num AS DOUBLE)
       |    / (CAST(t.n AS DOUBLE) * 1000000.0), 6) AS cusum6
       |FROM nums, t ORDER BY num DESC, rid LIMIT 1""".stripMargin
+
+  /** Shared by q331 (batch per-group JSD) and q332 (the streaming
+    * replay) — per-group divergences off the group-keyed SUM-foldable
+    * category counts; group totals per-row window values. */
+  private val groupJsdOracle: String =
+    """WITH rc AS (
+      |  SELECT o_orderstatus AS g, o_orderpriority AS category,
+      |    COUNT(*) AS ca
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      |  GROUP BY 1, 2
+      |), cc AS (
+      |  SELECT o_orderstatus AS g, o_orderpriority AS category,
+      |    COUNT(*) AS cb
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  GROUP BY 1, 2
+      |), m AS (
+      |  SELECT g, category, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+      |    SELECT g, category, ca, 0 AS cb FROM rc
+      |    UNION ALL SELECT g, category, 0 AS ca, cb FROM cc)
+      |  GROUP BY g, category
+      |), c AS (
+      |  SELECT g, ca, cb,
+      |    SUM(ca) OVER (PARTITION BY g) AS na,
+      |    SUM(cb) OVER (PARTITION BY g) AS nb,
+      |    COUNT(*) OVER (PARTITION BY g) AS k
+      |  FROM m
+      |), terms AS (
+      |  SELECT g, na, nb, k,
+      |    CASE WHEN na > 0 AND nb > 0 THEN CAST(ROUND(
+      |      CASE WHEN ca > 0 THEN
+      |        0.5 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+      |          * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+      |            / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+      |              + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+      |      ELSE 0.0 END
+      |      + CASE WHEN cb > 0 THEN
+      |        0.5 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |          * ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |            / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+      |              + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+      |      ELSE 0.0 END, 12) AS DECIMAL(38,12)) END AS tt
+      |  FROM c
+      |)
+      |SELECT g, CAST(MAX(na) AS BIGINT) AS n_ref,
+      |  CAST(MAX(nb) AS BIGINT) AS n_cur,
+      |  CAST(MAX(k) AS BIGINT) AS n_categories,
+      |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+      |    THEN ROUND(CAST(COALESCE(SUM(tt), 0) AS DOUBLE), 6) END AS jsd6
+      |FROM terms GROUP BY g ORDER BY g""".stripMargin
+
+  /** Shared by q333 (batch Hellinger) and q334 (the streaming
+    * replay) — the Bhattacharyya terms are SUMs over the foldable
+    * category counts. */
+  private val hellingerOracle: String =
+    """WITH rc AS (
+      |  SELECT o_orderpriority AS category, COUNT(*) AS ca
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      |  GROUP BY 1
+      |), cc AS (
+      |  SELECT o_orderpriority AS category, COUNT(*) AS cb
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  GROUP BY 1
+      |), m AS (
+      |  SELECT COALESCE(rc.ca, 0) AS ca, COALESCE(cc.cb, 0) AS cb
+      |  FROM rc FULL OUTER JOIN cc
+      |  ON rc.category IS NOT DISTINCT FROM cc.category
+      |), t AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb,
+      |    CAST(COUNT(*) AS BIGINT) AS k FROM m
+      |), terms AS (
+      |  SELECT CAST(ROUND(sqrt((CAST(ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+      |      * (CAST(cb AS DOUBLE) / CAST(t.nb AS DOUBLE))), 12)
+      |    AS DECIMAL(38,12)) AS tt
+      |  FROM m, t
+      |), bcagg AS (
+      |  SELECT CAST(SUM(tt) AS DOUBLE) AS bc FROM terms
+      |)
+      |SELECT t.na AS n_ref, t.nb AS n_cur, t.k AS n_categories,
+      |  ROUND(bc, 6) AS bc6,
+      |  ROUND(sqrt(GREATEST(1.0 - bc, 0.0)), 6) AS hellinger6
+      |FROM bcagg, t""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_sum_agg" ->
@@ -12196,6 +12353,35 @@ object SparkEntry {
     "q325_stream_group_wasserstein" -> groupWassersteinOracle,
     "q326_change_point" -> changePointOracle,
     "q329_stream_change_point" -> changePointOracle,
+    "q331_group_jsd" -> groupJsdOracle,
+    "q332_stream_group_jsd" -> groupJsdOracle,
+    "q333_hellinger" -> hellingerOracle,
+    "q334_stream_hellinger" -> hellingerOracle,
+    "q330_benford" ->
+      """WITH digits AS (
+        |  SELECT regexp_extract(
+        |    CAST(CAST(o_totalprice AS DECIMAL(38,12)) AS VARCHAR),
+        |    '[1-9]', 0) AS d
+        |  FROM orders
+        |), dd AS (
+        |  SELECT CAST(d AS INT) AS digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM digits WHERE d IS NOT NULL AND d <> '' GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM dd
+        |), grid AS (
+        |  SELECT CAST(UNNEST(range(1, 10)) AS INT) AS digit
+        |)
+        |SELECT g.digit, COALESCE(dd.n_obs, 0) AS n_obs,
+        |  ROUND(CAST(COALESCE(dd.n_obs, 0) AS DOUBLE)
+        |    / CAST(t.n AS DOUBLE), 6) AS obs_p6,
+        |  ROUND(ln(1.0 + 1.0 / CAST(g.digit AS DOUBLE)) / ln(10.0), 6)
+        |    AS exp_p6,
+        |  ROUND(ABS(CAST(COALESCE(dd.n_obs, 0) AS DOUBLE)
+        |      / CAST(t.n AS DOUBLE)
+        |    - ln(1.0 + 1.0 / CAST(g.digit AS DOUBLE)) / ln(10.0)), 6)
+        |    AS dev6
+        |FROM grid g LEFT JOIN dd ON g.digit = dd.digit, t
+        |ORDER BY g.digit""".stripMargin,
     "q328_group_change_point" ->
       """WITH d AS (
         |  SELECT event_type AS g,

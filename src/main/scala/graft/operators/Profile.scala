@@ -573,6 +573,181 @@ object Profile {
       .toDF("n_ref", "n_cur", "cvm6")
   }
 
+  /** Benford first-significant-digit audit — the classic
+    * fabricated-numbers screen for a monetary/measure column: the
+    * observed first-digit mix against Benford's law
+    * `P(d) = log10(1 + 1/d)`, one row per digit 1–9 INCLUDING digits
+    * the data never hits (a missing digit is the loudest Benford
+    * violation there is — structural zeros ride a literal digit grid).
+    * The digit is extracted CROSS-ENGINE-DETERMINISTICALLY: the value
+    * quantizes to `DECIMAL(38,12)` (the same rounding both engines run
+    * everywhere else) and the first `[1-9]` of its string form IS the
+    * first significant digit — true in plain AND scientific notation,
+    * so no log10/pow boundary ulp can ever flip a 999.999… across a
+    * decade. Values that are NULL or quantize to zero carry no digit
+    * and are excluded. Expected probabilities are `ln(1+1/d)/ln(10)`
+    * — the identical expression on both engines, never a pasted
+    * constant. Map-only digit extraction, one 9-row aggregation.
+    *
+    * Output: one row per digit — (`digit`, `n_obs`, `obs_p6`,
+    * `exp_p6`, `dev6` = |obs−exp| at 6dp), digit ascending. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    TempCols.reserve(df, "benfordAudit", "__d")
+    val digits = df
+      .select(regexp_extract(
+        col(valueCol).cast("decimal(38,12)").cast("string"),
+        "[1-9]", 0).as("__d"))
+      .filter(col("__d") =!= "")
+      .groupBy(col("__d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val t = digits.agg(coalesce(sum(col("n_obs")), lit(0L))).head()
+    val n = t.getLong(0)
+    require(n > 0L, "benfordAudit: no non-zero values to audit")
+    val grid = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    val obs = col("n_obs").cast("double") / lit(n.toDouble)
+    val exp = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    grid.join(digits, Seq("digit"), "left_outer")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .select(col("digit"), col("n_obs"),
+        round(obs, 6).as("obs_p6"), round(exp, 6).as("exp_p6"),
+        round(abs(obs - exp), 6).as("dev6"))
+      .orderBy("digit")
+  }
+
+  /** PER-GROUP Jensen–Shannon drift — [[jsDivergence]] keyed by a
+    * slice column ("which snapshot's priority mix actually moved?"),
+    * the drill-down under the corpus-wide divergence. The group-keyed
+    * category counts merge by UNION + re-aggregation (NULL groups
+    * meet themselves), per-group totals are columns (group
+    * cardinality unbounded), and the per-category terms are the
+    * scalar operator's verbatim — 12dp-rounded into per-group exact
+    * decimal sums. A group present on only one side reports NULL
+    * jsd6 (no mix to compare against). NULL is its own group AND its
+    * own category.
+    *
+    * Output: one row per group — (`g` as STRING, `n_ref`, `n_cur`,
+    * `n_categories`, `jsd6`), ordered by group. */
+  def jsDivergenceByGroup(
+      reference: DataFrame,
+      current: DataFrame,
+      groupCol: String,
+      c: String): DataFrame =
+    jsDivergenceByGroupFromCounts(
+      groupCatCounts(reference, groupCol, c, "ca"),
+      groupCatCounts(current, groupCol, c, "cb"))
+
+  /** One side's GROUP-KEYED category count table
+    * (`__g`, `category`, `out`) — the foldable state the streaming
+    * per-group JSD gate accumulates. */
+  private[graft] def groupCatCounts(
+      df: DataFrame, groupCol: String, c: String, out: String): DataFrame =
+    df.select(col(groupCol).cast("string").as("__g"),
+        col(c).cast("string").as("category"))
+      .groupBy("__g", "category").agg(count(lit(1)).as(out))
+
+  /** The per-group category-count fold — counts merge by SUM per
+    * (group, category) cell. */
+  def foldGroupCatCounts(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy("__g", "category")
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** [[jsDivergenceByGroup]]'s arithmetic over two prepared
+    * group-keyed count tables — shared verbatim by the batch operator
+    * and the streaming replay gate ([[graft.streaming.StreamGate
+    * .replayGroupJsDivergence]]). */
+  private[graft] def jsDivergenceByGroupFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val m = refCounts
+      .select(col("__g"), col("category"), col("ca"), lit(0L).as("cb"))
+      .unionByName(curCounts
+        .select(col("__g"), col("category"), lit(0L).as("ca"), col("cb")))
+      .groupBy("__g", "category")
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val tot = m.groupBy("__g").agg(sum(col("ca")).as("__na"),
+      sum(col("cb")).as("__nb"), count(lit(1)).as("__k"))
+    val j = m.alias("__l")
+      .join(tot.alias("__r"), col("__l.__g") <=> col("__r.__g"))
+      .select(col("__l.__g").as("__g"), col("ca"), col("cb"),
+        col("__na"), col("__nb"), col("__k"))
+    val pa = col("ca").cast("double") / col("__na").cast("double")
+    val pb = col("cb").cast("double") / col("__nb").cast("double")
+    val mm = (pa + pb) / lit(2.0)
+    // the two-sided guard is per-row: ANSI zero division must not
+    // abort the report over one one-sided group
+    val term = when(col("__na") > 0L && col("__nb") > 0L,
+      round(when(col("ca") > 0L, lit(0.5) * pa * log(pa / mm))
+          .otherwise(lit(0.0)) +
+        when(col("cb") > 0L, lit(0.5) * pb * log(pb / mm))
+          .otherwise(lit(0.0)), 12).cast("decimal(38,12)"))
+    j.groupBy("__g")
+      .agg(max(col("__na")).as("n_ref"), max(col("__nb")).as("n_cur"),
+        max(col("__k")).as("n_categories"), sum(term).as("__t"))
+      .select(col("__g").as("g"), col("n_ref"), col("n_cur"),
+        col("n_categories"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L,
+          round(coalesce(col("__t"), lit(0).cast("decimal(38,12)"))
+            .cast("double"), 6)).as("jsd6"))
+      .orderBy("g")
+  }
+
+  /** Hellinger distance between two categorical mixes — the
+    * metric-space companion to [[jsDivergence]] (a TRUE metric on
+    * distributions, bounded [0,1]): `H = sqrt(1 − BC)` with the
+    * Bhattacharyya coefficient `BC = Σ √(p_i·q_i)` — 1 on identical
+    * mixes, 0 on disjoint supports. Same vocabulary-bounded null-safe
+    * machinery as JSD; per-category √-terms 12dp-rounded into an
+    * exact decimal sum; the readout clamps 1−BC at 0 before the
+    * square root (term rounding can push BC a hair past 1 on
+    * identical mixes — the clamp is the identical expression on both
+    * engines). NULL categories group as one category.
+    *
+    * Output: one row (`n_ref`, `n_cur`, `n_categories`, `bc6`,
+    * `hellinger6`). */
+  def hellingerDistance(
+      reference: DataFrame,
+      current: DataFrame,
+      c: String): DataFrame =
+    hellingerFromCounts(catSideCounts(reference, c, "ca"),
+      catSideCounts(current, c, "cb"))
+
+  /** [[hellingerDistance]]'s arithmetic over two prepared category
+    * count tables — shared verbatim by the batch operator and the
+    * streaming replay gate ([[graft.streaming.StreamGate
+    * .replayHellinger]]). */
+  private[graft] def hellingerFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val spark = refCounts.sparkSession
+    val joined = refCounts
+      .withColumnRenamed("category", "__href")
+      .join(curCounts.withColumnRenamed("category", "__hcur"),
+        col("__href") <=> col("__hcur"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint()
+    try {
+      val t = joined.agg(coalesce(sum(col("ca")), lit(0L)),
+        coalesce(sum(col("cb")), lit(0L)), count(lit(1))).head()
+      val (na, nb, k) = (t.getLong(0), t.getLong(1), t.getLong(2))
+      require(na > 0L && nb > 0L,
+        s"hellingerDistance: both sides need rows (got $na ref, $nb cur)")
+      val pa = col("ca").cast("double") / lit(na.toDouble)
+      val pb = col("cb").cast("double") / lit(nb.toDouble)
+      val bc = joined
+        .agg(coalesce(sum(round(sqrt(pa * pb), 12).cast("decimal(38,12)")),
+          lit(0).cast("decimal(38,12)")))
+        .head().getDecimal(0).doubleValue
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import spark.implicits._
+      Seq((na, nb, k, r6(bc), r6(math.sqrt(math.max(1.0 - bc, 0.0)))))
+        .toDF("n_ref", "n_cur", "n_categories", "bc6", "hellinger6")
+    } finally Blocks.release(joined)
+  }
+
   /** Exact quantiles off the SAME distinct-value count state the KS
     * family folds ([[ksSideCounts]] — counts merge by SUM, so the
     * maintained ECDF is provably split- and order-invariant): for

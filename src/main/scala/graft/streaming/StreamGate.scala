@@ -920,6 +920,52 @@ object StreamGate {
         graft.operators.Profile.ksSideCounts(reference, valueCol, "ca"),
         state))
 
+  /** Streaming PER-GROUP Jensen–Shannon drift — [[graft.operators
+    * .Profile.jsDivergenceByGroup]] with the monitored slice as a
+    * FILE STREAM folding group-keyed category counts (cells-bounded:
+    * groups × categories), the final per-group divergence running
+    * [[graft.operators.Profile.jsDivergenceByGroupFromCounts]]
+    * against the batch-computed reference counts — held to the batch
+    * operator's verbatim oracle. Returns the (`g`, `n_ref`, `n_cur`,
+    * `n_categories`, `jsd6`) frame ordered by group.
+    * @note one-generation replay contract — see the object doc. */
+  def replayGroupJsDivergence(
+      reference: DataFrame,
+      monitored: DataFrame,
+      groupCol: String,
+      c: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(groupCol, c), "gjsd", filesPerTrigger)(
+      batch => graft.operators.Profile.groupCatCounts(
+        batch, groupCol, c, "cnt"),
+      graft.operators.Profile.foldGroupCatCounts,
+      state => graft.operators.Profile.jsDivergenceByGroupFromCounts(
+        graft.operators.Profile.groupCatCounts(
+          reference, groupCol, c, "ca"),
+        state.withColumnRenamed("cnt", "cb")))
+
+  /** Streaming Hellinger drift — [[graft.operators.Profile
+    * .hellingerDistance]] with the monitored slice as a FILE STREAM
+    * over the SAME vocabulary-bounded category-count state the JSD
+    * monitor folds, readout via [[graft.operators.Profile
+    * .hellingerFromCounts]] against the batch-computed reference
+    * counts — held to the batch operator's verbatim oracle. Returns
+    * the one-row (`n_ref`, `n_cur`, `n_categories`, `bc6`,
+    * `hellinger6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayHellinger(
+      reference: DataFrame,
+      monitored: DataFrame,
+      c: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(c), "hell", filesPerTrigger)(
+      batch => graft.operators.Profile.catSideCounts(batch, c, "cb"),
+      (base, delta) => base.unionByName(delta)
+        .groupBy("category").agg(sum(col("cb")).as("cb")),
+      state => graft.operators.Profile.hellingerFromCounts(
+        graft.operators.Profile.catSideCounts(reference, c, "ca"),
+        state))
+
   /** Streaming CUSUM change-point monitor — [[graft.operators.Stats
     * .changePointScan]] with the raw feed as a FILE STREAM: each
     * micro-batch's per-bucket exact-decimal value sums (12dp-rounded

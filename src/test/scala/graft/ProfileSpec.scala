@@ -277,6 +277,80 @@ class ProfileSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-null values"))
   }
 
+  test("benfordAudit: hand digits, structural zeros, sub-1 values, loud") {
+    val df = table("v double", Seq(
+      row(1.0), row(15.0), row(2.0), row(19.0), row(0.03),
+      row(-3.5), row(null), row(0.0)))
+    // digits: 1,1,2,1,3(0.03),3(-3.5) -> n=6; d1=3, d2=1, d3=2
+    val got = Profile.benfordAudit(df, "v")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet == (1 to 9).toSet, "all nine digits present")
+    assert(got(1) == ((3L, 0.5)) && got(2) == ((1L, 0.166667)) &&
+      got(3) == ((2L, 0.333333)))
+    (4 to 9).foreach(d => assert(got(d)._1 == 0L, s"digit $d structural"))
+    // expected column follows Benford exactly: P(1) = ln2/ln10
+    val e1 = Profile.benfordAudit(df, "v")
+      .filter(col("digit") === 1).head().getDouble(3)
+    assert(e1 == BigDecimal(math.log(2.0) / math.log(10.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val e = intercept[IllegalArgumentException] {
+      Profile.benfordAudit(
+        table("v double", Seq(row(0.0), row(null))), "v").head()
+    }
+    assert(e.getMessage.contains("no non-zero values"))
+  }
+
+  test("jsDivergenceByGroup == scalar per group; one-sided NULL; NULL group") {
+    val ref = table("g string, c string", Seq(
+      row("a", "x"), row("a", "x"), row("a", "y"),
+      row("b", "x"),
+      row(null, "z"),
+      row("ref_only", "x")))
+    val cur = table("g string, c string", Seq(
+      row("a", "x"), row("a", "y"), row("a", "y"), row("a", "y"),
+      row("b", "y"),
+      row(null, "z"),
+      row("cur_only", "x")))
+    val got = Profile.jsDivergenceByGroup(ref, cur, "g", "c")
+      .collect().map(r => (Option(r.getString(0)),
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    for (g <- Seq("a", "b")) {
+      val e = Profile.jsDivergence(ref.filter(col("g") === g),
+        cur.filter(col("g") === g), "c").head()
+      assert(got(Some(g)) == ((e.getLong(0), e.getLong(1), e.getLong(2),
+        Some(e.getDouble(3)))), s"group $g")
+    }
+    // disjoint mixes within group b: exactly ln 2
+    assert(got(Some("b"))._4.contains(0.693147))
+    // identical NULL-group mixes: 0; one-sided groups NULL
+    assert(got(None) == ((1L, 1L, 1L, Some(0.0))))
+    assert(got(Some("ref_only"))._4.isEmpty)
+    assert(got(Some("cur_only"))._4.isEmpty)
+  }
+
+  test("hellingerDistance: identity, disjoint 1, symmetry, loud") {
+    def mix(vs: Seq[String]) = table("c string", vs.map(row(_)))
+    // identical thirds: per-category sqrt terms sum to exactly 1
+    val same = Profile.hellingerDistance(
+      mix(Seq("a", "a", "b")), mix(Seq("a", "a", "b")), "c").head()
+    assert(same.toSeq == Seq(3L, 3L, 2L, 1.0, 0.0))
+    // disjoint supports: BC 0, H 1
+    assert(Profile.hellingerDistance(mix(Seq("a")), mix(Seq("b")), "c")
+      .head().toSeq == Seq(1L, 1L, 2L, 0.0, 1.0))
+    val ab = Profile.hellingerDistance(
+      mix(Seq("a", "a", "b")), mix(Seq("a", "b", "b", "b")), "c").head()
+    val ba = Profile.hellingerDistance(
+      mix(Seq("a", "b", "b", "b")), mix(Seq("a", "a", "b")), "c").head()
+    assert(ab.getDouble(4) == ba.getDouble(4))
+    assert(ab.getDouble(4) > 0.0 && ab.getDouble(4) < 1.0)
+    val e = intercept[IllegalArgumentException] {
+      Profile.hellingerDistance(mix(Seq()), mix(Seq("a")), "c").head()
+    }
+    assert(e.getMessage.contains("both sides"))
+  }
+
   test("jsDivergence: identity 0, disjoint ln2, symmetry, NULL category, loud") {
     def mix(vs: Seq[String]) = table("c string", vs.map(row(_)))
     val same = Profile.jsDivergence(
