@@ -6275,6 +6275,56 @@ object SparkEntry {
       "o_orderpriority")
   }
 
+  // ---------------------------------------------------------------- q335
+  /** Quantile-shift drift report ([[graft.operators.Profile
+    * .quantileShift]]): WHERE along the value distribution q196's
+    * drift landed — p50 vs p99 movement is the story a single KS/W1
+    * number averages away. Both sides run the shared discrete-rank
+    * arithmetic; shifts are one subtraction of verbatim-input
+    * doubles. */
+  private def q335QuantileShift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.operators.Profile.quantileShift(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs),
+      "value", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+  }
+
+  // ---------------------------------------------------------------- q336
+  /** Streaming quantile-shift monitor ([[graft.streaming.StreamGate
+    * .replayQuantileShift]]): q335 with the monitored slice folding
+    * the shared ECDF count state — held to q335's VERBATIM oracle. */
+  private def q336StreamQuantileShift(
+      s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.streaming.StreamGate.replayQuantileShift(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs),
+      "value", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+  }
+
+  // ---------------------------------------------------------------- q337
+  /** One-pass correlation matrix ([[graft.operators.Moments
+    * .correlationMatrix]]): every pair among three document signals —
+    * character count, token count, uppercase count — in one corpus
+    * pass, pairwise-complete. The profile-stage redundancy readout
+    * before feature selection; the oracle replays each pair's
+    * conditional moment sums. */
+  private def q337CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir).select(
+      col("n_chars").cast("double").as("n_chars"),
+      when(col("text").isNotNull,
+        TextFunctions.tokenCount(col("text")).cast("double")).as("n_tokens"),
+      when(col("text").isNotNull,
+        length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double"))
+        .as("n_upper"))
+    graft.operators.Moments.correlationMatrix(
+      docs, Seq("n_chars", "n_tokens", "n_upper"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -6610,6 +6660,9 @@ object SparkEntry {
     "q332_stream_group_jsd" -> (q332StreamGroupJsd _),
     "q333_hellinger" -> (q333Hellinger _),
     "q334_stream_hellinger" -> (q334StreamHellinger _),
+    "q335_quantile_shift" -> (q335QuantileShift _),
+    "q336_stream_quantile_shift" -> (q336StreamQuantileShift _),
+    "q337_corr_matrix" -> (q337CorrMatrix _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7288,6 +7341,43 @@ object SparkEntry {
       |  ROUND(bc, 6) AS bc6,
       |  ROUND(sqrt(GREATEST(1.0 - bc, 0.0)), 6) AS hellinger6
       |FROM bcagg, t""".stripMargin
+
+  /** Shared by q335 (batch quantile-shift) and q336 (the streaming
+    * replay) — both sides replay the discrete-rank rule off the
+    * SUM-foldable value counts; the shift is one subtraction. */
+  private val quantileShiftOracle: String =
+    """WITH a AS (
+      |  SELECT CAST(value AS DOUBLE) AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events
+      |  WHERE epoch_us(ts) < 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY v
+      |), bb AS (
+      |  SELECT CAST(value AS DOUBLE) AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events
+      |  WHERE epoch_us(ts) >= 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY v
+      |), ps AS (
+      |  SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS p
+      |), cuma AS (
+      |  SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM a
+      |), nna AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM a
+      |), qa AS (
+      |  SELECT ps.p AS p, nna.n AS n_ref, MIN(cuma.v) AS q_ref
+      |  FROM ps CROSS JOIN nna CROSS JOIN cuma
+      |  WHERE cuma.cum >= GREATEST(CAST(CEIL(ps.p * nna.n) AS BIGINT), 1)
+      |  GROUP BY ps.p, nna.n
+      |), cumb AS (
+      |  SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM bb
+      |), nnb AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM bb
+      |), qb AS (
+      |  SELECT ps.p AS p, nnb.n AS n_cur, MIN(cumb.v) AS q_cur
+      |  FROM ps CROSS JOIN nnb CROSS JOIN cumb
+      |  WHERE cumb.cum >= GREATEST(CAST(CEIL(ps.p * nnb.n) AS BIGINT), 1)
+      |  GROUP BY ps.p, nnb.n
+      |)
+      |SELECT qa.p AS p, qa.n_ref, qb.n_cur, qa.q_ref, qb.q_cur,
+      |  ROUND(qb.q_cur - qa.q_ref, 6) AS shift6
+      |FROM qa JOIN qb ON qa.p = qb.p ORDER BY p""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_sum_agg" ->
@@ -12357,6 +12447,77 @@ object SparkEntry {
     "q332_stream_group_jsd" -> groupJsdOracle,
     "q333_hellinger" -> hellingerOracle,
     "q334_stream_hellinger" -> hellingerOracle,
+    "q335_quantile_shift" -> quantileShiftOracle,
+    "q336_stream_quantile_shift" -> quantileShiftOracle,
+    "q337_corr_matrix" ->
+      """WITH b AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS x1,
+        |    CASE WHEN text IS NOT NULL THEN
+        |      CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE)
+        |    END AS x2,
+        |    CASE WHEN text IS NOT NULL THEN
+        |      CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+        |    END AS x3
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT 'n_chars' AS x_col, 'n_tokens' AS y_col,
+        |    CAST(COUNT(CASE WHEN x1 IS NOT NULL AND x2 IS NOT NULL
+        |      THEN 1 END) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN x1 IS NOT NULL AND x2 IS NOT NULL
+        |      THEN CAST(ROUND(x1, 12) AS DECIMAL(38,12)) END) AS DOUBLE) AS sx,
+        |    CAST(SUM(CASE WHEN x1 IS NOT NULL AND x2 IS NOT NULL
+        |      THEN CAST(ROUND(x2, 12) AS DECIMAL(38,12)) END) AS DOUBLE) AS sy,
+        |    CAST(SUM(CASE WHEN x1 IS NOT NULL AND x2 IS NOT NULL
+        |      THEN CAST(ROUND(x1*x1, 12) AS DECIMAL(38,12)) END) AS DOUBLE)
+        |      AS sxx,
+        |    CAST(SUM(CASE WHEN x1 IS NOT NULL AND x2 IS NOT NULL
+        |      THEN CAST(ROUND(x2*x2, 12) AS DECIMAL(38,12)) END) AS DOUBLE)
+        |      AS syy,
+        |    CAST(SUM(CASE WHEN x1 IS NOT NULL AND x2 IS NOT NULL
+        |      THEN CAST(ROUND(x1*x2, 12) AS DECIMAL(38,12)) END) AS DOUBLE)
+        |      AS sxy
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'n_chars', 'n_upper',
+        |    CAST(COUNT(CASE WHEN x1 IS NOT NULL AND x3 IS NOT NULL
+        |      THEN 1 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN x1 IS NOT NULL AND x3 IS NOT NULL
+        |      THEN CAST(ROUND(x1, 12) AS DECIMAL(38,12)) END) AS DOUBLE),
+        |    CAST(SUM(CASE WHEN x1 IS NOT NULL AND x3 IS NOT NULL
+        |      THEN CAST(ROUND(x3, 12) AS DECIMAL(38,12)) END) AS DOUBLE),
+        |    CAST(SUM(CASE WHEN x1 IS NOT NULL AND x3 IS NOT NULL
+        |      THEN CAST(ROUND(x1*x1, 12) AS DECIMAL(38,12)) END) AS DOUBLE),
+        |    CAST(SUM(CASE WHEN x1 IS NOT NULL AND x3 IS NOT NULL
+        |      THEN CAST(ROUND(x3*x3, 12) AS DECIMAL(38,12)) END) AS DOUBLE),
+        |    CAST(SUM(CASE WHEN x1 IS NOT NULL AND x3 IS NOT NULL
+        |      THEN CAST(ROUND(x1*x3, 12) AS DECIMAL(38,12)) END) AS DOUBLE)
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'n_tokens', 'n_upper',
+        |    CAST(COUNT(CASE WHEN x2 IS NOT NULL AND x3 IS NOT NULL
+        |      THEN 1 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN x2 IS NOT NULL AND x3 IS NOT NULL
+        |      THEN CAST(ROUND(x2, 12) AS DECIMAL(38,12)) END) AS DOUBLE),
+        |    CAST(SUM(CASE WHEN x2 IS NOT NULL AND x3 IS NOT NULL
+        |      THEN CAST(ROUND(x3, 12) AS DECIMAL(38,12)) END) AS DOUBLE),
+        |    CAST(SUM(CASE WHEN x2 IS NOT NULL AND x3 IS NOT NULL
+        |      THEN CAST(ROUND(x2*x2, 12) AS DECIMAL(38,12)) END) AS DOUBLE),
+        |    CAST(SUM(CASE WHEN x2 IS NOT NULL AND x3 IS NOT NULL
+        |      THEN CAST(ROUND(x3*x3, 12) AS DECIMAL(38,12)) END) AS DOUBLE),
+        |    CAST(SUM(CASE WHEN x2 IS NOT NULL AND x3 IS NOT NULL
+        |      THEN CAST(ROUND(x2*x3, 12) AS DECIMAL(38,12)) END) AS DOUBLE)
+        |  FROM b
+        |), f AS (
+        |  SELECT x_col, y_col, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS varxn,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS varyn
+        |  FROM pairs
+        |)
+        |SELECT x_col, y_col, n,
+        |  CASE WHEN n >= 2 AND varxn > 0 AND varyn > 0
+        |    THEN ROUND(covn / sqrt(varxn * varyn), 6) END AS pearson_r6
+        |FROM f ORDER BY x_col, y_col""".stripMargin,
     "q330_benford" ->
       """WITH digits AS (
         |  SELECT regexp_extract(

@@ -247,6 +247,57 @@ object Moments {
     bivariateFromMoments(momentState(lagged, "__prev", valueCol))
   }
 
+  /** Pairwise correlation matrix over k numeric columns in ONE corpus
+    * pass — the profile-stage "which signals are redundant?" readout
+    * before feature selection: every unordered column pair's Pearson
+    * r, PAIRWISE-COMPLETE (each pair's moments sum over the rows
+    * where BOTH columns are non-null — the convention that neither
+    * drops a row for an unrelated column's hole nor quietly imputes).
+    * All k(k−1)/2 pairs' moment sets ride a single aggregation (6
+    * conditional sums per pair — the prCurve one-pass sweep shape),
+    * then the uncentered closed form per pair in-plan; zero-variance
+    * or n<2 pairs read NULL. Long-format output so k is data, not
+    * schema.
+    *
+    * Output: one row per pair — (`x_col`, `y_col`, `n`,
+    * `pearson_r6`), ordered by (x_col, y_col). */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    require(cols.distinct.size == cols.size,
+      s"correlationMatrix: duplicate columns in $cols")
+    numericGuard(df, "correlationMatrix", cols: _*)
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val x = col(a).cast("double")
+      val y = col(b).cast("double")
+      val both = x.isNotNull && y.isNotNull
+      def cdsum(c: Column) =
+        coalesce(sum(when(both, dterm(c))), lit(0).cast(Dec))
+      Seq(sum(when(both, 1L).otherwise(0L)).as(s"__n$i"),
+        cdsum(x).as(s"__sx$i"), cdsum(y).as(s"__sy$i"),
+        cdsum(x * x).as(s"__sxx$i"), cdsum(y * y).as(s"__syy$i"),
+        cdsum(x * y).as(s"__sxy$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val nd = col(s"__n$i").cast("double")
+      val sx = col(s"__sx$i").cast("double")
+      val sy = col(s"__sy$i").cast("double")
+      val sxx = col(s"__sxx$i").cast("double")
+      val syy = col(s"__syy$i").cast("double")
+      val sxy = col(s"__sxy$i").cast("double")
+      val covN = nd * sxy - sx * sy
+      val varXN = nd * sxx - sx * sx
+      val varYN = nd * syy - sy * sy
+      struct(lit(a).as("x_col"), lit(b).as("y_col"),
+        col(s"__n$i").as("n"),
+        when(col(s"__n$i") >= lit(2L) && varXN > 0.0 && varYN > 0.0,
+          round(covN / sqrt(varXN * varYN), 6)).as("pearson_r6"))
+    }
+    one.select(explode(array(entries: _*)).as("__e")).select(col("__e.*"))
+      .orderBy("x_col", "y_col")
+  }
+
   /** PER-GROUP lag-1 autocorrelation — [[autocorrelation]] keyed by a
     * slice column ("is the purchase series sticky but the click
     * series memoryless?"): rows sort by (group, orderCols) through

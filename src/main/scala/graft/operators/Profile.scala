@@ -573,6 +573,44 @@ object Profile {
       .toDF("n_ref", "n_cur", "cvm6")
   }
 
+  /** Quantile-shift drift report — WHERE along the distribution did
+    * the drift land: the exact discrete quantiles of the reference
+    * and current samples side by side, with the per-probability shift
+    * ("p50 moved +3 but p99 moved +120" is the long-document story a
+    * single KS/W1 number averages away). Both sides ride
+    * [[exactQuantilesFromCounts]]'s verbatim discrete-rank arithmetic
+    * over the SAME foldable count state as the rest of the drift
+    * family; the shift is one subtraction of two verbatim-input
+    * doubles on the 6dp gate. NULLs excluded.
+    *
+    * Output: one row per probability — (`p`, `n_ref`, `n_cur`,
+    * `q_ref`, `q_cur`, `shift6`), ordered by p. */
+  def quantileShift(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      ps: Seq[Double]): DataFrame =
+    quantileShiftFromCounts(ksSideCounts(ref, valueCol, "cnt"),
+      ksSideCounts(cur, valueCol, "cnt"), ps)
+
+  /** [[quantileShift]]'s arithmetic over two prepared count tables —
+    * shared verbatim by the batch operator and the streaming replay
+    * gate ([[graft.streaming.StreamGate.replayQuantileShift]]). */
+  private[graft] def quantileShiftFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame,
+      ps: Seq[Double]): DataFrame = {
+    val a = exactQuantilesFromCounts(refCounts, ps)
+      .select(col("p"), col("n").as("n_ref"), col("q").as("q_ref"))
+    val b = exactQuantilesFromCounts(curCounts, ps)
+      .select(col("p"), col("n").as("n_cur"), col("q").as("q_cur"))
+    a.join(b, Seq("p"))
+      .select(col("p"), col("n_ref"), col("n_cur"),
+        col("q_ref"), col("q_cur"),
+        round(col("q_cur") - col("q_ref"), 6).as("shift6"))
+      .orderBy("p")
+  }
+
   /** Benford first-significant-digit audit — the classic
     * fabricated-numbers screen for a monetary/measure column: the
     * observed first-digit mix against Benford's law

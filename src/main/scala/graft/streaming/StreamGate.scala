@@ -920,6 +920,29 @@ object StreamGate {
         graft.operators.Profile.ksSideCounts(reference, valueCol, "ca"),
         state))
 
+  /** Streaming quantile-shift drift — [[graft.operators.Profile
+    * .quantileShift]] with the monitored slice as a FILE STREAM over
+    * the SAME maintained distinct-value count state as the
+    * KS/W1/CvM/Mann–Whitney monitors, the final per-probability
+    * shifts running [[graft.operators.Profile
+    * .quantileShiftFromCounts]] against the batch-computed reference
+    * counts — held to the batch operator's verbatim oracle. Returns
+    * the (`p`, `n_ref`, `n_cur`, `q_ref`, `q_cur`, `shift6`) frame
+    * ordered by p.
+    * @note one-generation replay contract — see the object doc. */
+  def replayQuantileShift(
+      reference: DataFrame,
+      monitored: DataFrame,
+      valueCol: String,
+      ps: Seq[Double],
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(valueCol), "qshift", filesPerTrigger)(
+      batch => graft.operators.Profile.ksSideCounts(batch, valueCol, "cnt"),
+      graft.operators.Profile.foldValueCounts,
+      state => graft.operators.Profile.quantileShiftFromCounts(
+        graft.operators.Profile.ksSideCounts(reference, valueCol, "cnt"),
+        state, ps))
+
   /** Streaming PER-GROUP Jensen–Shannon drift — [[graft.operators
     * .Profile.jsDivergenceByGroup]] with the monitored slice as a
     * FILE STREAM folding group-keyed category counts (cells-bounded:

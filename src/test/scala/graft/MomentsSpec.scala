@@ -74,6 +74,31 @@ class MomentsSpec extends AnyFunSuite {
       Moments.pearsonOls(full, "x", "y"))
   }
 
+  test("correlationMatrix: one-pass pairs, pairwise-complete, degenerate NULL") {
+    val df = table("a bigint, b bigint, c bigint, k bigint", Seq(
+      row(1L, 2L, -1L, 5L), row(2L, 4L, -2L, 5L),
+      row(3L, 6L, -3L, 5L), row(4L, null, -4L, 5L)))
+    val got = Moments.correlationMatrix(df, Seq("a", "b", "c", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got.size == 6)
+    // b has a hole: (a,b) is pairwise-complete over 3 rows, (a,c) over 4
+    assert(got(("a", "b")) == ((3L, Some(1.0))))
+    assert(got(("a", "c")) == ((4L, Some(-1.0))))
+    assert(got(("b", "c")) == ((3L, Some(-1.0))))
+    // a constant column: zero variance -> NULL r, n intact
+    assert(got(("a", "k")) == ((4L, None)))
+    // each pair agrees with the scalar operator on its complete rows
+    val ab = Moments.pearsonOls(df.filter(col("b").isNotNull), "a", "b")
+      .head().getDouble(3)
+    assert(got(("a", "b"))._2.contains(ab))
+    val e = intercept[IllegalArgumentException] {
+      Moments.correlationMatrix(df, Seq("a", "a"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("autocorrelation: AR(1) line, alternating series, partition-invariant") {
     // series 1..5 in time order: pairs lie on y = x + 1 exactly
     val walk = table("t bigint, v bigint",

@@ -277,6 +277,24 @@ class ProfileSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-null values"))
   }
 
+  test("quantileShift: pure shift reads the shift at every p, identity 0") {
+    def side(vs: Seq[Double]) = table("v double", vs.map(row(_)))
+    val ps = Seq(0.25, 0.5, 0.75, 1.0)
+    val shifted = Profile.quantileShift(
+      side(Seq(1.0, 2.0, 3.0, 4.0)), side(Seq(3.0, 4.0, 5.0, 6.0)),
+      "v", ps).collect()
+    assert(shifted.length == 4)
+    shifted.foreach { r =>
+      assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+      assert(r.getDouble(5) == 2.0, s"shift at p=${r.getDouble(0)}")
+      assert(r.getDouble(4) == r.getDouble(3) + 2.0)
+    }
+    val same = Profile.quantileShift(
+      side(Seq(1.0, 2.0, 3.0)), side(Seq(1.0, 2.0, 3.0)), "v", ps)
+      .collect()
+    same.foreach(r => assert(r.getDouble(5) == 0.0))
+  }
+
   test("benfordAudit: hand digits, structural zeros, sub-1 values, loud") {
     val df = table("v double", Seq(
       row(1.0), row(15.0), row(2.0), row(19.0), row(0.03),
