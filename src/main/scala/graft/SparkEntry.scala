@@ -6325,6 +6325,63 @@ object SparkEntry {
       docs, Seq("n_chars", "n_tokens", "n_upper"))
   }
 
+  // ---------------------------------------------------------------- q338
+  /** Per-group Mann–Whitney U ([[graft.operators.Profile
+    * .mannWhitneyByGroup]]): which event type's values SHIFTED, and
+    * which way — the per-slice location test with Cliff's delta,
+    * completing the per-group drift matrix (KS whether / W1 how far /
+    * CvM shape / MWU direction). 2U exact per group; readouts fully
+    * in-plan. */
+  private def q338GroupMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.operators.Profile.mannWhitneyByGroup(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs),
+      "event_type", "value")
+  }
+
+  // ---------------------------------------------------------------- q339
+  /** Streaming per-group Mann–Whitney monitor ([[graft.streaming
+    * .StreamGate.replayGroupMannWhitney]]): q338 folding the shared
+    * group count state — held to q338's VERBATIM oracle. */
+  private def q339StreamGroupMwu(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.streaming.StreamGate.replayGroupMannWhitney(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs),
+      "event_type", "value")
+  }
+
+  // ---------------------------------------------------------------- q340
+  /** Per-group Cramér–von Mises ([[graft.operators.Profile
+    * .cramerVonMisesByGroup]]): each event type's squared CDF gap
+    * against its own pooled distribution — the shape-sensitive member
+    * of the per-slice drift matrix. */
+  private def q340GroupCvm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.operators.Profile.cramerVonMisesByGroup(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs),
+      "event_type", "value")
+  }
+
+  // ---------------------------------------------------------------- q341
+  /** Streaming per-group CvM monitor ([[graft.streaming.StreamGate
+    * .replayGroupCvmDrift]]): q340 folding the shared group count
+    * state — held to q340's VERBATIM oracle. The per-slice drift
+    * matrix closes batch + stream on ONE maintained group grid. */
+  private def q341StreamGroupCvm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.streaming.StreamGate.replayGroupCvmDrift(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs),
+      "event_type", "value")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -6663,6 +6720,10 @@ object SparkEntry {
     "q335_quantile_shift" -> (q335QuantileShift _),
     "q336_stream_quantile_shift" -> (q336StreamQuantileShift _),
     "q337_corr_matrix" -> (q337CorrMatrix _),
+    "q338_group_mann_whitney" -> (q338GroupMannWhitney _),
+    "q339_stream_group_mwu" -> (q339StreamGroupMwu _),
+    "q340_group_cvm" -> (q340GroupCvm _),
+    "q341_stream_group_cvm" -> (q341StreamGroupCvm _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7378,6 +7439,104 @@ object SparkEntry {
       |SELECT qa.p AS p, qa.n_ref, qb.n_cur, qa.q_ref, qb.q_cur,
       |  ROUND(qb.q_cur - qa.q_ref, 6) AS shift6
       |FROM qa JOIN qb ON qa.p = qb.p ORDER BY p""".stripMargin
+
+  /** Shared by q338 (batch per-group Mann–Whitney) and q339 (the
+    * streaming replay) — per-group 2U and tie cubes are exact-integer
+    * SUMs over the group-keyed foldable counts; the tie term carries
+    * the same explicit n>1 guard the operator runs. */
+  private val groupMannWhitneyOracle: String =
+    """WITH a AS (
+      |  SELECT event_type AS g, value AS v, COUNT(*) AS ca FROM events
+      |  WHERE epoch_us(ts) < 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1, 2
+      |), bb AS (
+      |  SELECT event_type AS g, value AS v, COUNT(*) AS cb FROM events
+      |  WHERE epoch_us(ts) >= 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1, 2
+      |), m AS (
+      |  SELECT g, v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+      |    SELECT g, v, ca, 0 AS cb FROM a
+      |    UNION ALL SELECT g, v, 0 AS ca, cb FROM bb)
+      |  GROUP BY g, v
+      |), c AS (
+      |  SELECT g, ca, cb,
+      |    COALESCE(SUM(cb) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb
+      |  FROM m
+      |), s AS (
+      |  SELECT g, CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb,
+      |    CAST(SUM(CAST(ca AS HUGEINT) * (2 * pb + cb)) AS DOUBLE) AS u2,
+      |    CAST(SUM(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+      |      - (ca + cb)) AS DOUBLE) AS tie
+      |  FROM c GROUP BY g
+      |), f AS (
+      |  SELECT g, na, nb, u2,
+      |    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+      |    CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS n,
+      |    CASE WHEN CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) > 1.0
+      |      THEN tie / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+      |        * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0))
+      |      ELSE 0.0 END AS tieterm
+      |  FROM s
+      |)
+      |SELECT g, na AS n_ref, nb AS n_cur,
+      |  CASE WHEN na > 0 AND nb > 0 THEN u2 END AS u_x2,
+      |  CASE WHEN na > 0 AND nb > 0
+      |    THEN ROUND(u2 / (nad * nbd) - 1.0, 6) END AS cliffs_delta6,
+      |  CASE WHEN na > 0 AND nb > 0
+      |      AND nad * nbd / 12.0 * ((n + 1.0) - tieterm) > 0
+      |    THEN ROUND((u2 / 2.0 - nad * nbd / 2.0)
+      |      / sqrt(nad * nbd / 12.0 * ((n + 1.0) - tieterm)), 6)
+      |  END AS z6
+      |FROM f ORDER BY g""".stripMargin
+
+  /** Shared by q340 (batch per-group Cramér–von Mises) and q341 (the
+    * streaming replay) — per-group pooled squared-gap integrals off
+    * the group-keyed foldable counts. */
+  private val groupCvmOracle: String =
+    """WITH a AS (
+      |  SELECT event_type AS g, value AS v, COUNT(*) AS ca FROM events
+      |  WHERE epoch_us(ts) < 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1, 2
+      |), bb AS (
+      |  SELECT event_type AS g, value AS v, COUNT(*) AS cb FROM events
+      |  WHERE epoch_us(ts) >= 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1, 2
+      |), m AS (
+      |  SELECT g, v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+      |    SELECT g, v, ca, 0 AS cb FROM a
+      |    UNION ALL SELECT g, v, 0 AS ca, cb FROM bb)
+      |  GROUP BY g, v
+      |), c AS (
+      |  SELECT g, ca, cb,
+      |    SUM(ca) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(cb) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+      |    SUM(ca) OVER (PARTITION BY g) AS na,
+      |    SUM(cb) OVER (PARTITION BY g) AS nb
+      |  FROM m
+      |), terms AS (
+      |  SELECT g, na, nb,
+      |    CASE WHEN na > 0 AND nb > 0 THEN
+      |      CAST(ROUND(CAST(ca + cb AS DOUBLE) *
+      |        ((CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+      |          - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |         * (CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+      |          - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))), 12)
+      |        AS DECIMAL(38,12)) END AS tt
+      |  FROM c
+      |)
+      |SELECT g, CAST(MAX(na) AS BIGINT) AS n_ref,
+      |  CAST(MAX(nb) AS BIGINT) AS n_cur,
+      |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+      |    THEN ROUND(CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)
+      |      / ((CAST(MAX(na) AS DOUBLE) + CAST(MAX(nb) AS DOUBLE))
+      |        * (CAST(MAX(na) AS DOUBLE) + CAST(MAX(nb) AS DOUBLE)))
+      |      * CAST(COALESCE(SUM(tt), 0) AS DOUBLE), 6)
+      |  END AS cvm6
+      |FROM terms GROUP BY g ORDER BY g""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_sum_agg" ->
@@ -12449,6 +12608,10 @@ object SparkEntry {
     "q334_stream_hellinger" -> hellingerOracle,
     "q335_quantile_shift" -> quantileShiftOracle,
     "q336_stream_quantile_shift" -> quantileShiftOracle,
+    "q338_group_mann_whitney" -> groupMannWhitneyOracle,
+    "q339_stream_group_mwu" -> groupMannWhitneyOracle,
+    "q340_group_cvm" -> groupCvmOracle,
+    "q341_stream_group_cvm" -> groupCvmOracle,
     "q337_corr_matrix" ->
       """WITH b AS (
         |  SELECT CAST(n_chars AS DOUBLE) AS x1,

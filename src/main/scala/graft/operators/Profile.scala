@@ -1000,6 +1000,140 @@ object Profile {
       .orderBy("g")
   }
 
+  /** PER-GROUP Mann–Whitney U with Cliff's delta — [[mannWhitney]]
+    * keyed by a slice column, completing the per-slice drift matrix
+    * (KS, W1, CvM, MWU — whether / how far / shape-weighted / which
+    * direction, each per group): `2U` per group stays an exact
+    * integer through widened decimals off ONE group-local prefix of
+    * the current-side counts, tie cubes through decimals, and the
+    * tie-corrected z / effect-size readouts run fully IN-PLAN (group
+    * totals are columns — group cardinality unbounded). One-sided
+    * groups report NULL statistics; a degenerate per-group variance
+    * reports NULL z. NULL is its own group; NULL values excluded.
+    *
+    * Output: one row per group — (`g` as STRING, `n_ref`, `n_cur`,
+    * `u_x2`, `cliffs_delta6`, `z6`), ordered by group. */
+  def mannWhitneyByGroup(
+      ref: DataFrame,
+      cur: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame =
+    mannWhitneyByGroupFromCounts(
+      groupSideCounts(ref, groupCol, valueCol).withColumnRenamed("cnt", "ca"),
+      groupSideCounts(cur, groupCol, valueCol).withColumnRenamed("cnt", "cb"))
+
+  /** [[mannWhitneyByGroup]]'s arithmetic over two prepared group-keyed
+    * count tables — shared verbatim by the batch operator and the
+    * streaming replay gate ([[graft.streaming.StreamGate
+    * .replayGroupMannWhitney]]). */
+  private[graft] def mannWhitneyByGroupFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val m = refCounts.select(col("__g"), col("v"), col("ca"), lit(0L).as("cb"))
+      .unionByName(
+        curCounts.select(col("__g"), col("v"), lit(0L).as("ca"), col("cb")))
+      .groupBy("__g", "v")
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val pre = General.withRunningTotal(m, Seq("__g", "v"), "cb", "__preB")
+    val offs = pre.groupBy("__g").agg(min(col("__preB")).as("__offB"),
+      sum(col("ca")).as("__na"), sum(col("cb")).as("__nb"))
+    val cum = pre.alias("__l")
+      .join(offs.alias("__r"), col("__l.__g") <=> col("__r.__g"))
+      .select(col("__l.__g").as("__g"), col("ca"), col("cb"),
+        (col("__preB") - col("__offB")).as("__pb"),
+        col("__na"), col("__nb"))
+    val ties = col("ca") + col("cb")
+    val agg = cum.groupBy("__g").agg(
+      max(col("__na")).as("n_ref"), max(col("__nb")).as("n_cur"),
+      coalesce(sum(col("ca").cast("decimal(19,0)") *
+        (col("__pb") * lit(2L) + col("cb")).cast("decimal(19,0)")),
+        lit(0).cast("decimal(38,0)")).as("__u2"),
+      coalesce(sum(ties.cast("decimal(19,0)") * ties.cast("decimal(19,0)") *
+        ties.cast("decimal(19,0)") - ties.cast("decimal(19,0)")),
+        lit(0).cast("decimal(38,0)")).as("__tie"))
+    val nad = col("n_ref").cast("double")
+    val nbd = col("n_cur").cast("double")
+    val n = nad + nbd
+    val u2d = col("__u2").cast("double")
+    val tied = col("__tie").cast("double")
+    // the n>1 guard is explicit, not left to &&-short-circuit: a
+    // one-sided single-row group has n(n-1)=0 and ANSI mode errors on
+    // the double division instead of producing a NaN to discard
+    val tieTerm = when(n > 1.0, tied / (n * (n - lit(1.0))))
+      .otherwise(lit(0.0))
+    val varU = nad * nbd / lit(12.0) * ((n + lit(1.0)) - tieTerm)
+    val bothSided = col("n_ref") > 0L && col("n_cur") > 0L
+    agg.select(col("__g").as("g"), col("n_ref"), col("n_cur"),
+        when(bothSided, u2d).as("u_x2"),
+        when(bothSided, round(u2d / (nad * nbd) - lit(1.0), 6))
+          .as("cliffs_delta6"),
+        when(bothSided && varU > 0.0,
+          round((u2d / lit(2.0) - nad * nbd / lit(2.0)) / sqrt(varU), 6))
+          .as("z6"))
+      .orderBy("g")
+  }
+
+  /** PER-GROUP Cramér–von Mises drift — [[cramerVonMises]] keyed by a
+    * slice column: each group's squared CDF gap integrated against
+    * its own pooled distribution, fully in-plan off the shared
+    * group-local prefix machinery (the ksByGroup shape with the gap
+    * squared and mass-weighted). One-sided groups report NULL. NULL
+    * is its own group; NULL values excluded.
+    *
+    * Output: one row per group — (`g` as STRING, `n_ref`, `n_cur`,
+    * `cvm6`), ordered by group. */
+  def cramerVonMisesByGroup(
+      ref: DataFrame,
+      cur: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame =
+    cvmByGroupFromCounts(
+      groupSideCounts(ref, groupCol, valueCol).withColumnRenamed("cnt", "ca"),
+      groupSideCounts(cur, groupCol, valueCol).withColumnRenamed("cnt", "cb"))
+
+  /** [[cramerVonMisesByGroup]]'s arithmetic over two prepared
+    * group-keyed count tables — shared verbatim by the batch operator
+    * and the streaming replay gate ([[graft.streaming.StreamGate
+    * .replayGroupCvmDrift]]). */
+  private[graft] def cvmByGroupFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val m = refCounts.select(col("__g"), col("v"), col("ca"), lit(0L).as("cb"))
+      .unionByName(
+        curCounts.select(col("__g"), col("v"), lit(0L).as("ca"), col("cb")))
+      .groupBy("__g", "v")
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val pre = General.withRunningTotal(
+      General.withRunningTotal(m, Seq("__g", "v"), "ca", "__preA"),
+      Seq("__g", "v"), "cb", "__preB")
+    val offs = pre.groupBy("__g").agg(
+      min(col("__preA")).as("__offA"), min(col("__preB")).as("__offB"),
+      sum(col("ca")).as("__na"), sum(col("cb")).as("__nb"))
+    val cum = pre.alias("__l")
+      .join(offs.alias("__r"), col("__l.__g") <=> col("__r.__g"))
+      .select(col("__l.__g").as("__g"), col("ca"), col("cb"),
+        (col("__preA") - col("__offA") + col("ca")).as("__ca"),
+        (col("__preB") - col("__offB") + col("cb")).as("__cb"),
+        col("__na"), col("__nb"))
+    val d = col("__ca").cast("double") / col("__na").cast("double") -
+      col("__cb").cast("double") / col("__nb").cast("double")
+    val term = when(col("__na") > 0L && col("__nb") > 0L,
+      round((col("ca") + col("cb")).cast("double") * (d * d), 12)
+        .cast("decimal(38,12)"))
+    val nad = col("n_ref").cast("double")
+    val nbd = col("n_cur").cast("double")
+    val n = nad + nbd
+    cum.groupBy("__g")
+      .agg(max(col("__na")).as("n_ref"), max(col("__nb")).as("n_cur"),
+        sum(term).as("__t"))
+      .select(col("__g").as("g"), col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L,
+          round(nad * nbd / (n * n) *
+            coalesce(col("__t"), lit(0).cast("decimal(38,12)"))
+              .cast("double"), 6)).as("cvm6"))
+      .orderBy("g")
+  }
+
   /** One batch's per-group value-count state `(__g, v, cnt)` — the
     * [[ksSideCounts]] shape keyed by group, NULL group and NULL-safe
     * grouping included; the seed the per-group quantile maintenance

@@ -1072,6 +1072,55 @@ object StreamGate {
           reference, groupCol, valueCol).withColumnRenamed("cnt", "ca"),
         state.withColumnRenamed("cnt", "cb")))
 
+  /** Streaming PER-GROUP Mann–Whitney monitor — [[graft.operators
+    * .Profile.mannWhitneyByGroup]] with the monitored slice as a FILE
+    * STREAM folding the shared group-keyed value-count state, readout
+    * via [[graft.operators.Profile.mannWhitneyByGroupFromCounts]]
+    * against the batch-computed reference counts — held to the batch
+    * operator's verbatim oracle. Returns the (`g`, `n_ref`, `n_cur`,
+    * `u_x2`, `cliffs_delta6`, `z6`) frame ordered by group.
+    * @note one-generation replay contract — see the object doc. */
+  def replayGroupMannWhitney(
+      reference: DataFrame,
+      monitored: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(groupCol, valueCol), "gmwu",
+        filesPerTrigger)(
+      batch => graft.operators.Profile.groupSideCounts(
+        batch, groupCol, valueCol),
+      graft.operators.Profile.foldGroupValueCounts,
+      state => graft.operators.Profile.mannWhitneyByGroupFromCounts(
+        graft.operators.Profile.groupSideCounts(
+          reference, groupCol, valueCol).withColumnRenamed("cnt", "ca"),
+        state.withColumnRenamed("cnt", "cb")))
+
+  /** Streaming PER-GROUP Cramér–von Mises monitor — [[graft.operators
+    * .Profile.cramerVonMisesByGroup]] over the same folded group
+    * count state, readout via [[graft.operators.Profile
+    * .cvmByGroupFromCounts]] against the batch-computed reference —
+    * held to the batch operator's verbatim oracle. The per-slice
+    * drift matrix (KS / W1 / CvM / MWU, each per group) now closes
+    * batch + stream on ONE maintained group grid. Returns the (`g`,
+    * `n_ref`, `n_cur`, `cvm6`) frame ordered by group.
+    * @note one-generation replay contract — see the object doc. */
+  def replayGroupCvmDrift(
+      reference: DataFrame,
+      monitored: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(groupCol, valueCol), "gcvm",
+        filesPerTrigger)(
+      batch => graft.operators.Profile.groupSideCounts(
+        batch, groupCol, valueCol),
+      graft.operators.Profile.foldGroupValueCounts,
+      state => graft.operators.Profile.cvmByGroupFromCounts(
+        graft.operators.Profile.groupSideCounts(
+          reference, groupCol, valueCol).withColumnRenamed("cnt", "ca"),
+        state.withColumnRenamed("cnt", "cb")))
+
   /** Streaming Mann–Whitney location monitor — [[graft.operators
     * .Profile.mannWhitney]] with the monitored slice as a FILE
     * STREAM folding the SAME maintained distinct-value count state as

@@ -28,7 +28,15 @@ import graft.testkit.SparkTestKit._
   * aggregate, every `Seq(...).toDF` readout) have internal plans this
   * audit never sees — those internals are pinned DIRECTLY by the
   * "eager operator internals" test at the bottom, via the operators'
-  * private[graft] plan hooks.
+  * private[graft] plan hooks. The drift family's scalar readouts
+  * (ksFromCounts, wassersteinFromCounts, cvmFromCounts,
+  * mannWhitneyFromCounts, jsDivergenceFromCounts, hellingerFromCounts,
+  * bivariateFromMoments) sit in the same literal-readout class but
+  * need no dedicated hook: their internals are grid-bounded equi-joins
+  * (full-outer count merges) plus the RDD-level prefix/lag machinery
+  * (withRunningTotal / withPrevValue), which structurally cannot plan
+  * a window or a nested loop — there is nothing for this audit to
+  * catch that the construction does not already exclude.
   */
 class PlanShapeSpec extends AnyFunSuite {
 

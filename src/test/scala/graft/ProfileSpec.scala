@@ -258,6 +258,60 @@ class ProfileSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-null values"))
   }
 
+  test("mannWhitneyByGroup == scalar per group; one-sided NULL incl. n=1 tie guard") {
+    val ref = table("g string, v double", Seq(
+      row("a", 1.0), row("a", 2.0),
+      row("b", 3.0), row("b", 4.0),
+      row(null, 1.0), row(null, 2.0),
+      row("ref_only", 9.0)))
+    val cur = table("g string, v double", Seq(
+      row("a", 3.0), row("a", 4.0),
+      row("b", 1.0), row("b", 2.0),
+      row(null, 1.0), row(null, 2.0),
+      row("cur_only", 1.0)))
+    val got = Profile.mannWhitneyByGroup(ref, cur, "g", "v")
+      .collect().map(r => (Option(r.getString(0)), r.toSeq.drop(1))).toMap
+    for (g <- Seq("a", "b")) {
+      val e = Profile.mannWhitney(ref.filter(col("g") === g),
+        cur.filter(col("g") === g), "v").head()
+      assert(got(Some(g)) == e.toSeq, s"group $g")
+    }
+    assert(got(Some("a")) == Seq(2L, 2L, 0.0, -1.0, -1.549193))
+    assert(got(Some("b")) == Seq(2L, 2L, 8.0, 1.0, 1.549193))
+    // identical NULL-group samples: delta 0, z 0
+    assert(got(None) == Seq(2L, 2L, 4.0, 0.0, 0.0))
+    // one-sided single-row groups: NULL stats, and the n=1 tie term
+    // must not trip the ANSI division guard
+    assert(got(Some("ref_only")) == Seq(1L, 0L, null, null, null))
+    assert(got(Some("cur_only")) == Seq(0L, 1L, null, null, null))
+  }
+
+  test("cramerVonMisesByGroup == scalar per group; one-sided NULL; NULL group") {
+    val ref = table("g string, v double", Seq(
+      row("a", 0.0), row("a", 1.0),
+      row("b", 0.0),
+      row(null, 5.0),
+      row("ref_only", 9.0)))
+    val cur = table("g string, v double", Seq(
+      row("a", 0.0), row("a", 1.0),
+      row("b", 1.0),
+      row(null, 5.0),
+      row("cur_only", 1.0)))
+    val got = Profile.cramerVonMisesByGroup(ref, cur, "g", "v")
+      .collect().map(r => (Option(r.getString(0)), r.toSeq.drop(1))).toMap
+    for (g <- Seq("a", "b")) {
+      val e = Profile.cramerVonMises(ref.filter(col("g") === g),
+        cur.filter(col("g") === g), "v").head()
+      assert(got(Some(g)) == e.toSeq, s"group $g")
+    }
+    // identical mixes 0; {0} vs {1} reads the hand 0.25
+    assert(got(Some("a")) == Seq(2L, 2L, 0.0))
+    assert(got(Some("b")) == Seq(1L, 1L, 0.25))
+    assert(got(None) == Seq(1L, 1L, 0.0))
+    assert(got(Some("ref_only")) == Seq(1L, 0L, null))
+    assert(got(Some("cur_only")) == Seq(0L, 1L, null))
+  }
+
   test("cramerVonMises: hand-computed pooled L2 gap, identity, loud") {
     def side(vs: Seq[Double]) = table("v double", vs.map(row(_)))
     assert(Profile.cramerVonMises(
