@@ -6382,6 +6382,53 @@ object SparkEntry {
       "event_type", "value")
   }
 
+  // ---------------------------------------------------------------- q342
+  /** Token-mass-weighted Pearson/OLS ([[graft.operators.Moments
+    * .weightedPearsonOls]]): does character count predict uppercase
+    * count where the TOKENS are — the q227 weighted-quantile story
+    * applied to the moment family (a million short docs cannot
+    * outvote the token mass). Weights are loudly-integral token
+    * counts; the readout is the shared closed form with n = total
+    * mass. */
+  private def q342WeightedOls(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir)
+      .filter(col("n_chars").isNotNull && col("text").isNotNull)
+      .select(col("n_chars").cast("double").as("x"),
+        length(regexp_replace(col("text"), "[^A-Z]", ""))
+          .cast("double").as("y"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("w"))
+    graft.operators.Moments.weightedPearsonOls(docs, "x", "y", "w")
+  }
+
+  // ---------------------------------------------------------------- q343
+  /** Per-status Hellinger drift ([[graft.operators.Profile
+    * .hellingerByGroup]]): q333's metric drilled into each order
+    * status over the same group-keyed category counts the per-group
+    * JSD reads — one maintained state, two metric readouts. */
+  private def q343GroupHellinger(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val split = lit("1996-01-01").cast("timestamp_ntz")
+    graft.operators.Profile.hellingerByGroup(
+      orders.filter(col("o_orderdate") < split),
+      orders.filter(col("o_orderdate") >= split),
+      "o_orderstatus", "o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- q344
+  /** Streaming per-group Hellinger monitor ([[graft.streaming
+    * .StreamGate.replayGroupHellinger]]): q343 folding the shared
+    * group category-count state — held to q343's VERBATIM oracle. */
+  private def q344StreamGroupHellinger(
+      s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val split = lit("1996-01-01").cast("timestamp_ntz")
+    graft.streaming.StreamGate.replayGroupHellinger(
+      orders.filter(col("o_orderdate") < split),
+      orders.filter(col("o_orderdate") >= split),
+      "o_orderstatus", "o_orderpriority")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -6724,6 +6771,9 @@ object SparkEntry {
     "q339_stream_group_mwu" -> (q339StreamGroupMwu _),
     "q340_group_cvm" -> (q340GroupCvm _),
     "q341_stream_group_cvm" -> (q341StreamGroupCvm _),
+    "q342_weighted_ols" -> (q342WeightedOls _),
+    "q343_group_hellinger" -> (q343GroupHellinger _),
+    "q344_stream_group_hellinger" -> (q344StreamGroupHellinger _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7536,6 +7586,51 @@ object SparkEntry {
       |        * (CAST(MAX(na) AS DOUBLE) + CAST(MAX(nb) AS DOUBLE)))
       |      * CAST(COALESCE(SUM(tt), 0) AS DOUBLE), 6)
       |  END AS cvm6
+      |FROM terms GROUP BY g ORDER BY g""".stripMargin
+
+  /** Shared by q343 (batch per-group Hellinger) and q344 (the
+    * streaming replay) — per-group Bhattacharyya terms are SUMs over
+    * the group-keyed foldable category counts. */
+  private val groupHellingerOracle: String =
+    """WITH rc AS (
+      |  SELECT o_orderstatus AS g, o_orderpriority AS category,
+      |    COUNT(*) AS ca
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      |  GROUP BY 1, 2
+      |), cc AS (
+      |  SELECT o_orderstatus AS g, o_orderpriority AS category,
+      |    COUNT(*) AS cb
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  GROUP BY 1, 2
+      |), m AS (
+      |  SELECT g, category, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+      |    SELECT g, category, ca, 0 AS cb FROM rc
+      |    UNION ALL SELECT g, category, 0 AS ca, cb FROM cc)
+      |  GROUP BY g, category
+      |), c AS (
+      |  SELECT g, ca, cb,
+      |    SUM(ca) OVER (PARTITION BY g) AS na,
+      |    SUM(cb) OVER (PARTITION BY g) AS nb,
+      |    COUNT(*) OVER (PARTITION BY g) AS k
+      |  FROM m
+      |), terms AS (
+      |  SELECT g, na, nb, k,
+      |    CASE WHEN na > 0 AND nb > 0 THEN CAST(ROUND(sqrt(
+      |        (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+      |        * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 12)
+      |      AS DECIMAL(38,12)) END AS tt
+      |  FROM c
+      |)
+      |SELECT g, CAST(MAX(na) AS BIGINT) AS n_ref,
+      |  CAST(MAX(nb) AS BIGINT) AS n_cur,
+      |  CAST(MAX(k) AS BIGINT) AS n_categories,
+      |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+      |    THEN ROUND(CAST(COALESCE(SUM(tt), 0) AS DOUBLE), 6)
+      |  END AS bc6,
+      |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+      |    THEN ROUND(sqrt(GREATEST(
+      |      1.0 - CAST(COALESCE(SUM(tt), 0) AS DOUBLE), 0.0)), 6)
+      |  END AS hellinger6
       |FROM terms GROUP BY g ORDER BY g""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -12612,6 +12707,44 @@ object SparkEntry {
     "q339_stream_group_mwu" -> groupMannWhitneyOracle,
     "q340_group_cvm" -> groupCvmOracle,
     "q341_stream_group_cvm" -> groupCvmOracle,
+    "q342_weighted_ols" ->
+      """WITH b AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS x,
+        |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+        |      AS y,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS w
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+        |), bw AS (
+        |  SELECT x, y, w, CAST(w AS DOUBLE) AS wd FROM b WHERE w <> 0
+        |), s AS (
+        |  SELECT CAST(SUM(w) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(wd * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sx,
+        |    CAST(SUM(CAST(ROUND(wd * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sy,
+        |    CAST(SUM(CAST(ROUND(wd * (x*x), 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ROUND(wd * (y*y), 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(ROUND(wd * (x*y), 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS sxy
+        |  FROM bw
+        |), f AS (
+        |  SELECT n, sx, sy, CAST(n AS DOUBLE) AS nd,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS varxn,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS varyn
+        |  FROM s
+        |)
+        |SELECT n, ROUND(sx / nd, 6) AS mean_x6, ROUND(sy / nd, 6) AS mean_y6,
+        |  CASE WHEN varxn > 0 AND varyn > 0
+        |    THEN ROUND(covn / sqrt(varxn * varyn), 6) END AS pearson_r6,
+        |  CASE WHEN varxn > 0 THEN ROUND(covn / varxn, 6) END AS slope6,
+        |  CASE WHEN varxn > 0
+        |    THEN ROUND((sy - (covn / varxn) * sx) / nd, 6) END AS intercept6
+        |FROM f""".stripMargin,
+    "q343_group_hellinger" -> groupHellingerOracle,
+    "q344_stream_group_hellinger" -> groupHellingerOracle,
     "q337_corr_matrix" ->
       """WITH b AS (
         |  SELECT CAST(n_chars AS DOUBLE) AS x1,

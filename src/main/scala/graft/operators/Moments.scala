@@ -247,6 +247,67 @@ object Moments {
     bivariateFromMoments(momentState(lagged, "__prev", valueCol))
   }
 
+  /** WEIGHT-MASS moment state — each row carries `weightCol` units of
+    * mass (the [[graft.operators.Profile.weightedExactQuantiles]]
+    * weight contract: non-negative INTEGERS, loudly enforced —
+    * a fractional weight fails at scan time instead of silently
+    * truncating; zero/NULL weights carry no mass): `n` becomes the
+    * total mass `W` and every moment is `Σ w·term`, so the SHARED
+    * readout ([[bivariateFromMoments]]) computes the mass-weighted
+    * correlation and trend line verbatim — "does length predict
+    * uppercase density where the TOKENS are", not where the documents
+    * are. Folds with [[foldMomentState]] like the unweighted state
+    * (mass sums merge by SUM). */
+  def weightedMomentState(
+      df: DataFrame, xCol: String, yCol: String,
+      weightCol: String): DataFrame = {
+    require(xCol != yCol,
+      s"weightedMomentState needs two distinct columns (got $xCol twice)")
+    require(weightCol != xCol && weightCol != yCol,
+      s"weightedMomentState: weight column '$weightCol' overlaps a " +
+        "value column")
+    numericGuard(df, "weightedMomentState", xCol, yCol, weightCol)
+    TempCols.reserve(df, "weightedMomentState", "__x", "__y", "__w")
+    val integral = df.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val w0 = col(weightCol)
+    val guarded =
+      if (integral) when(w0 >= 0, w0).otherwise(raise_error(concat(
+        lit("weightedMomentState: negative weight "), w0.cast("string"))))
+      else when(w0 >= 0 && w0 === floor(w0), w0).otherwise(raise_error(
+        concat(lit("weightedMomentState: weight must be a non-negative " +
+          "integer, got "), w0.cast("string"))))
+    // NULL/zero weights drop BEFORE the guard projects: the loud
+    // raise_error must never fire on a row that carries no mass
+    // (w0 >= 0 is NULL for a NULL weight and would take the otherwise
+    // branch) — the weightedExactQuantiles filter-then-guard order
+    val rows = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) =!= 0)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"),
+        guarded.cast("long").as("__w"))
+    val (x, y) = (col("__x"), col("__y"))
+    val wd = col("__w").cast("double")
+    rows.agg(
+      coalesce(sum(col("__w")), lit(0L)).as("n"),
+      dsum(wd * x).as("sx"), dsum(wd * y).as("sy"),
+      dsum(wd * (x * x)).as("sxx"), dsum(wd * (y * y)).as("syy"),
+      dsum(wd * (x * y)).as("sxy"))
+  }
+
+  /** Batch WEIGHTED Pearson + OLS: [[bivariateFromMoments]] over
+    * [[weightedMomentState]] — the readout's `n` is the total mass. */
+  def weightedPearsonOls(
+      df: DataFrame, xCol: String, yCol: String,
+      weightCol: String): DataFrame =
+    bivariateFromMoments(weightedMomentState(df, xCol, yCol, weightCol))
+
   /** Pairwise correlation matrix over k numeric columns in ONE corpus
     * pass — the profile-stage "which signals are redundant?" readout
     * before feature selection: every unordered column pair's Pearson

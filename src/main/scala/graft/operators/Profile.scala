@@ -786,6 +786,62 @@ object Profile {
     } finally Blocks.release(joined)
   }
 
+  /** PER-GROUP Hellinger distance — [[hellingerDistance]] keyed by a
+    * slice column, the metric twin of [[jsDivergenceByGroup]] over
+    * the SAME group-keyed category counts: per-group Bhattacharyya
+    * terms 12dp-rounded into exact decimal sums, the 1−BC clamp and
+    * square root fully in-plan (group cardinality unbounded),
+    * one-sided groups NULL. NULL is its own group AND category.
+    *
+    * Output: one row per group — (`g` as STRING, `n_ref`, `n_cur`,
+    * `n_categories`, `bc6`, `hellinger6`), ordered by group. */
+  def hellingerByGroup(
+      reference: DataFrame,
+      current: DataFrame,
+      groupCol: String,
+      c: String): DataFrame =
+    hellingerByGroupFromCounts(
+      groupCatCounts(reference, groupCol, c, "ca"),
+      groupCatCounts(current, groupCol, c, "cb"))
+
+  /** [[hellingerByGroup]]'s arithmetic over two prepared group-keyed
+    * count tables — shared verbatim by the batch operator and the
+    * streaming replay gate ([[graft.streaming.StreamGate
+    * .replayGroupHellinger]]). */
+  private[graft] def hellingerByGroupFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val m = refCounts
+      .select(col("__g"), col("category"), col("ca"), lit(0L).as("cb"))
+      .unionByName(curCounts
+        .select(col("__g"), col("category"), lit(0L).as("ca"), col("cb")))
+      .groupBy("__g", "category")
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val tot = m.groupBy("__g").agg(sum(col("ca")).as("__na"),
+      sum(col("cb")).as("__nb"), count(lit(1)).as("__k"))
+    val j = m.alias("__l")
+      .join(tot.alias("__r"), col("__l.__g") <=> col("__r.__g"))
+      .select(col("__l.__g").as("__g"), col("ca"), col("cb"),
+        col("__na"), col("__nb"), col("__k"))
+    val pa = col("ca").cast("double") / col("__na").cast("double")
+    val pb = col("cb").cast("double") / col("__nb").cast("double")
+    val term = when(col("__na") > 0L && col("__nb") > 0L,
+      round(sqrt(pa * pb), 12).cast("decimal(38,12)"))
+    val bc = coalesce(col("__t"), lit(0).cast("decimal(38,12)"))
+      .cast("double")
+    j.groupBy("__g")
+      .agg(max(col("__na")).as("n_ref"), max(col("__nb")).as("n_cur"),
+        max(col("__k")).as("n_categories"), sum(term).as("__t"))
+      .select(col("__g").as("g"), col("n_ref"), col("n_cur"),
+        col("n_categories"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L,
+          round(bc, 6)).as("bc6"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L,
+          round(sqrt(greatest(lit(1.0) - bc, lit(0.0))), 6))
+          .as("hellinger6"))
+      .orderBy("g")
+  }
+
   /** Exact quantiles off the SAME distinct-value count state the KS
     * family folds ([[ksSideCounts]] — counts merge by SUM, so the
     * maintained ECDF is provably split- and order-invariant): for

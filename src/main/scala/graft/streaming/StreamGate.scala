@@ -967,6 +967,31 @@ object StreamGate {
           reference, groupCol, c, "ca"),
         state.withColumnRenamed("cnt", "cb")))
 
+  /** Streaming PER-GROUP Hellinger drift — [[graft.operators.Profile
+    * .hellingerByGroup]] with the monitored slice as a FILE STREAM
+    * over the SAME folded group-keyed category counts as the
+    * per-group JSD monitor (one cells-bounded state, two metric
+    * readouts), via [[graft.operators.Profile
+    * .hellingerByGroupFromCounts]] against the batch-computed
+    * reference — held to the batch operator's verbatim oracle.
+    * Returns the (`g`, `n_ref`, `n_cur`, `n_categories`, `bc6`,
+    * `hellinger6`) frame ordered by group.
+    * @note one-generation replay contract — see the object doc. */
+  def replayGroupHellinger(
+      reference: DataFrame,
+      monitored: DataFrame,
+      groupCol: String,
+      c: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(groupCol, c), "ghell", filesPerTrigger)(
+      batch => graft.operators.Profile.groupCatCounts(
+        batch, groupCol, c, "cnt"),
+      graft.operators.Profile.foldGroupCatCounts,
+      state => graft.operators.Profile.hellingerByGroupFromCounts(
+        graft.operators.Profile.groupCatCounts(
+          reference, groupCol, c, "ca"),
+        state.withColumnRenamed("cnt", "cb")))
+
   /** Streaming Hellinger drift — [[graft.operators.Profile
     * .hellingerDistance]] with the monitored slice as a FILE STREAM
     * over the SAME vocabulary-bounded category-count state the JSD

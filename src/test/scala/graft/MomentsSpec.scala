@@ -74,6 +74,32 @@ class MomentsSpec extends AnyFunSuite {
       Moments.pearsonOls(full, "x", "y"))
   }
 
+  test("weightedPearsonOls: weight-1 == unweighted, replication, loud weights") {
+    val df = table("x bigint, y bigint, w bigint", Seq(
+      row(1L, 2L, 1L), row(2L, 1L, 1L), row(3L, 4L, 1L)))
+    assertDfEquality(Moments.weightedPearsonOls(df, "x", "y", "w"),
+      Moments.pearsonOls(df, "x", "y"))
+    // w = 2 is exactly the row twice; zero/NULL weights carry no mass
+    val weighted = table("x bigint, y bigint, w bigint", Seq(
+      row(1L, 2L, 2L), row(2L, 1L, 1L), row(3L, 4L, 0L), row(5L, 5L, null)))
+    val replicated = table("x bigint, y bigint", Seq(
+      row(1L, 2L), row(1L, 2L), row(2L, 1L)))
+    assertDfEquality(Moments.weightedPearsonOls(weighted, "x", "y", "w"),
+      Moments.pearsonOls(replicated, "x", "y"))
+    val frac = table("x bigint, y bigint, w double",
+      Seq(row(1L, 1L, 2.7), row(2L, 2L, 1.0)))
+    val e1 = intercept[Exception] {
+      Moments.weightedPearsonOls(frac, "x", "y", "w").head()
+    }
+    assert(e1.getMessage.contains("non-negative integer"))
+    val neg = table("x bigint, y bigint, w bigint",
+      Seq(row(1L, 1L, -1L), row(2L, 2L, 1L)))
+    val e2 = intercept[Exception] {
+      Moments.weightedPearsonOls(neg, "x", "y", "w").head()
+    }
+    assert(e2.getMessage.contains("negative weight"))
+  }
+
   test("correlationMatrix: one-pass pairs, pairwise-complete, degenerate NULL") {
     val df = table("a bigint, b bigint, c bigint, k bigint", Seq(
       row(1L, 2L, -1L, 5L), row(2L, 4L, -2L, 5L),

@@ -402,6 +402,31 @@ class ProfileSpec extends AnyFunSuite {
     assert(got(Some("cur_only"))._4.isEmpty)
   }
 
+  test("hellingerByGroup == scalar per group; one-sided NULL; NULL group") {
+    val ref = table("g string, c string", Seq(
+      row("a", "x"), row("a", "x"), row("a", "y"),
+      row("b", "x"),
+      row(null, "z"),
+      row("ref_only", "x")))
+    val cur = table("g string, c string", Seq(
+      row("a", "x"), row("a", "y"), row("a", "y"), row("a", "y"),
+      row("b", "y"),
+      row(null, "z"),
+      row("cur_only", "x")))
+    val got = Profile.hellingerByGroup(ref, cur, "g", "c")
+      .collect().map(r => (Option(r.getString(0)), r.toSeq.drop(1))).toMap
+    for (g <- Seq("a", "b")) {
+      val e = Profile.hellingerDistance(ref.filter(col("g") === g),
+        cur.filter(col("g") === g), "c").head()
+      assert(got(Some(g)) == e.toSeq, s"group $g")
+    }
+    // disjoint within b: BC 0, H 1; identical NULL-group mixes: H 0
+    assert(got(Some("b")) == Seq(1L, 1L, 2L, 0.0, 1.0))
+    assert(got(None) == Seq(1L, 1L, 1L, 1.0, 0.0))
+    assert(got(Some("ref_only")) == Seq(1L, 0L, 1L, null, null))
+    assert(got(Some("cur_only")) == Seq(0L, 1L, 1L, null, null))
+  }
+
   test("hellingerDistance: identity, disjoint 1, symmetry, loud") {
     def mix(vs: Seq[String]) = table("c string", vs.map(row(_)))
     // identical thirds: per-category sqrt terms sum to exactly 1
