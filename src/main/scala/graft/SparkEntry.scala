@@ -6429,6 +6429,36 @@ object SparkEntry {
       "o_orderstatus", "o_orderpriority")
   }
 
+  // ---------------------------------------------------------------- q345
+  /** Per-priority Benford audit ([[graft.operators.Profile
+    * .benfordAuditByGroup]]): q330's fabricated-numbers screen
+    * drilled into each order priority — a clean corpus can hide one
+    * cooked slice. Per-group structural zeros ride an explode (never
+    * a literal-grid cross join); the digit extraction and expected
+    * law are q330's verbatim. */
+  private def q345GroupBenford(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.benfordAuditByGroup(
+      Tables.orders(s, dir), "o_orderpriority", "o_totalprice")
+
+  // ---------------------------------------------------------------- q346
+  /** Per-language optimal threshold ([[graft.operators.Eval
+    * .optimalThresholdByGroup]]): the token-count cutoff that best
+    * predicts the 100-char length gate PER LANGUAGE — script density
+    * differs by language (q308's slope story), so one global token
+    * threshold over- or under-filters minority scripts. Group-local
+    * sweeps off one prefix sum per class, argmax per group via
+    * max_by, smallest-threshold ties. */
+  private def q346GroupThreshold(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("lang"),
+        (col("n_chars") >= 100L).as("label"),
+        TextFunctions.tokenCount(col("text")).cast("double").as("sc"))
+    graft.operators.Eval.optimalThresholdByGroup(
+      docs, "lang", "label", "sc")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -6774,6 +6804,8 @@ object SparkEntry {
     "q342_weighted_ols" -> (q342WeightedOls _),
     "q343_group_hellinger" -> (q343GroupHellinger _),
     "q344_stream_group_hellinger" -> (q344StreamGroupHellinger _),
+    "q345_group_benford" -> (q345GroupBenford _),
+    "q346_group_threshold" -> (q346GroupThreshold _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -12745,6 +12777,77 @@ object SparkEntry {
         |FROM f""".stripMargin,
     "q343_group_hellinger" -> groupHellingerOracle,
     "q344_stream_group_hellinger" -> groupHellingerOracle,
+    "q345_group_benford" ->
+      """WITH digits AS (
+        |  SELECT o_orderpriority AS g,
+        |    regexp_extract(
+        |      CAST(CAST(o_totalprice AS DECIMAL(38,12)) AS VARCHAR),
+        |      '[1-9]', 0) AS d
+        |  FROM orders
+        |), dd AS (
+        |  SELECT g, CAST(d AS INT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM digits WHERE d IS NOT NULL AND d <> '' GROUP BY 1, 2
+        |), t AS (
+        |  SELECT g, CAST(SUM(n_obs) AS BIGINT) AS n FROM dd GROUP BY g
+        |), grid AS (
+        |  SELECT t.g, t.n, CAST(UNNEST(range(1, 10)) AS INT) AS digit
+        |  FROM t
+        |)
+        |SELECT gr.g, gr.digit, COALESCE(dd.n_obs, 0) AS n_obs,
+        |  ROUND(CAST(COALESCE(dd.n_obs, 0) AS DOUBLE)
+        |    / CAST(gr.n AS DOUBLE), 6) AS obs_p6,
+        |  ROUND(ln(1.0 + 1.0 / CAST(gr.digit AS DOUBLE)) / ln(10.0), 6)
+        |    AS exp_p6,
+        |  ROUND(ABS(CAST(COALESCE(dd.n_obs, 0) AS DOUBLE)
+        |      / CAST(gr.n AS DOUBLE)
+        |    - ln(1.0 + 1.0 / CAST(gr.digit AS DOUBLE)) / ln(10.0)), 6)
+        |    AS dev6
+        |FROM grid gr LEFT JOIN dd
+        |ON gr.g IS NOT DISTINCT FROM dd.g AND gr.digit = dd.digit
+        |ORDER BY gr.g, gr.digit""".stripMargin,
+    "q346_group_threshold" ->
+      """WITH scored AS (
+        |  SELECT lang AS g, (n_chars >= 100) AS label,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS s
+        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+        |), cnt AS (
+        |  SELECT g, s, SUM(CASE WHEN label THEN 1 ELSE 0 END) AS cp,
+        |    SUM(CASE WHEN label THEN 0 ELSE 1 END) AS cn
+        |  FROM scored GROUP BY g, s
+        |), tot AS (
+        |  SELECT g, CAST(SUM(cp) AS BIGINT) AS p,
+        |    CAST(SUM(cn) AS BIGINT) AS nn, MIN(s) AS mins
+        |  FROM cnt GROUP BY g
+        |), cum AS (
+        |  SELECT g, s,
+        |    SUM(cp) OVER (PARTITION BY g ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccp,
+        |    SUM(cn) OVER (PARTITION BY g ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccn
+        |  FROM cnt
+        |), cand AS (
+        |  SELECT c.g, c.s AS threshold, CAST(t.p - ccp AS BIGINT) AS tp,
+        |    CAST(t.nn - ccn AS BIGINT) AS fp, CAST(ccp AS BIGINT) AS fn,
+        |    CAST(ccn AS BIGINT) AS tn
+        |  FROM cum c JOIN tot t ON c.g IS NOT DISTINCT FROM t.g
+        |  UNION ALL
+        |  SELECT g, mins - 1.0, p, nn, CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT)
+        |  FROM tot
+        |), objd AS (
+        |  SELECT *, CASE WHEN 2*tp + fp + fn <> 0
+        |    THEN CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)
+        |    ELSE 0.0 END AS o
+        |  FROM cand
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY o DESC, threshold) AS rn
+        |  FROM objd
+        |)
+        |SELECT g, 'f1' AS objective, threshold, tp, fp, fn, tn,
+        |  ROUND(o, 6) AS obj6
+        |FROM ranked WHERE rn = 1 ORDER BY g""".stripMargin,
     "q337_corr_matrix" ->
       """WITH b AS (
         |  SELECT CAST(n_chars AS DOUBLE) AS x1,

@@ -382,6 +382,92 @@ object Eval {
         round(col("__obj"), 6).as("obj6"))
   }
 
+  /** PER-GROUP optimal operating point — [[optimalThreshold]] keyed
+    * by a slice column ("the per-language threshold", where one
+    * global cutoff over-filters the minority language): each group's
+    * distinct-score sweep plus its own predict-everything sentinel,
+    * with group-local cumulative class counts recovered from ONE
+    * range-partitioned prefix sum per class (global prefix − group
+    * offset — never a per-group window sort) and the argmax taken
+    * in-plan per group by `max_by` over (objective, −threshold) —
+    * group cardinality unbounded, ties to the smallest threshold.
+    * Single-class groups are well-defined, not special-cased: with no
+    * negatives the sentinel's F1 is exactly 1 (keep everything); with
+    * no positives every F1 is 0 and the tie rule picks the sentinel.
+    * Rows with a NULL score or label are excluded; NULL is its own
+    * group.
+    *
+    * Output: one row per group — (`g` as STRING, `objective`,
+    * `threshold`, `tp`, `fp`, `fn`, `tn`, `obj6`), ordered by
+    * group. */
+  def optimalThresholdByGroup(
+      scored: DataFrame,
+      groupCol: String,
+      labelCol: String,
+      scoreCol: String,
+      objective: String = "f1",
+      roundDigits: Int = 6): DataFrame = {
+    require(Set("f1", "youden").contains(objective),
+      s"optimalThresholdByGroup: unknown objective '$objective' (f1 | youden)")
+    TempCols.reserve(scored, "optimalThresholdByGroup",
+      "__g", "__s", "__y", "__cp", "__cn", "__pp", "__pn")
+    val counts = scored
+      .select(col(groupCol).cast("string").as("__g"),
+        round(col(scoreCol).cast("double"), roundDigits).as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy("__g", "__s")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__cn"))
+    val pre = General.withRunningTotal(
+      General.withRunningTotal(counts, Seq("__g", "__s"), "__cp", "__pp"),
+      Seq("__g", "__s"), "__cn", "__pn")
+    val offs = pre.groupBy("__g").agg(
+      min(col("__pp")).as("__offP"), min(col("__pn")).as("__offN"),
+      sum(col("__cp")).as("__P"), sum(col("__cn")).as("__N"),
+      min(col("__s")).as("__minS"))
+    val joined = pre.alias("__l")
+      .join(offs.alias("__r"), col("__l.__g") <=> col("__r.__g"))
+      .select(col("__l.__g").as("__g"), col("__s"),
+        (col("__pp") - col("__offP") + col("__cp")).as("__ccp"),
+        (col("__pn") - col("__offN") + col("__cn")).as("__ccn"),
+        col("__P"), col("__N"), col("__minS"))
+    val fromScores = joined.select(col("__g"),
+      col("__s").as("threshold"),
+      (col("__P") - col("__ccp")).as("tp"),
+      (col("__N") - col("__ccn")).as("fp"),
+      col("__ccp").as("fn"), col("__ccn").as("tn"),
+      col("__P"), col("__N"))
+    val sentinel = offs.select(col("__g"),
+      (col("__minS") - lit(1.0)).as("threshold"),
+      col("__P").as("tp"), col("__N").as("fp"),
+      lit(0L).as("fn"), lit(0L).as("tn"), col("__P"), col("__N"))
+    val obj = objective match {
+      case "f1" =>
+        when(lit(2L) * col("tp") + col("fp") + col("fn") =!= 0L,
+          (lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .otherwise(lit(0.0))
+      case "youden" =>
+        when(col("__P") > 0L && col("__N") > 0L,
+          col("tp").cast("double") / col("__P").cast("double") -
+            col("fp").cast("double") / col("__N").cast("double"))
+          .otherwise(lit(0.0))
+    }
+    val cand = fromScores.unionByName(sentinel).withColumn("__obj", obj)
+    val payload = struct(col("threshold"), col("tp"), col("fp"),
+      col("fn"), col("tn"), round(col("__obj"), 6).as("__obj6"))
+    cand.groupBy("__g")
+      .agg(max_by(payload, struct(col("__obj"), -col("threshold")))
+        .as("__best"))
+      .select(col("__g").as("g"), lit(objective).as("objective"),
+        col("__best.threshold").as("threshold"),
+        col("__best.tp").as("tp"), col("__best.fp").as("fp"),
+        col("__best.fn").as("fn"), col("__best.tn").as("tn"),
+        col("__best.__obj6").as("obj6"))
+      .orderBy("g")
+  }
+
   /** Exact average precision (area under the precision-recall curve,
     * step-interpolated) — [[rocAuc]]'s companion for the
     * rare-positive regimes where ROC flatters ("99.9% of documents

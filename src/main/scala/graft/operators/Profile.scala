@@ -654,6 +654,48 @@ object Profile {
       .orderBy("digit")
   }
 
+  /** PER-GROUP Benford first-digit audit — [[benfordAudit]] keyed by
+    * a slice column ("does any ONE priority tier's amounts look
+    * fabricated?" — a clean corpus can hide one cooked slice). Same
+    * decimal-string digit extraction; the 9-digit grid per group
+    * comes from an EXPLODE over the group totals (never a cross
+    * join — a literal-grid cross join would plan the nested loop the
+    * plan gate forbids), so structural zeros appear per group and
+    * group cardinality stays unbounded. Groups whose values all
+    * quantize to zero simply have no rows (no digit mix to audit).
+    * NULL is its own group.
+    *
+    * Output: one row per (group, digit) — (`g` as STRING, `digit`,
+    * `n_obs`, `obs_p6`, `exp_p6`, `dev6`), ordered by (g, digit). */
+  def benfordAuditByGroup(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    TempCols.reserve(df, "benfordAuditByGroup", "__g", "__d", "__n")
+    val digits = df
+      .select(col(groupCol).cast("string").as("__g"),
+        regexp_extract(
+          col(valueCol).cast("decimal(38,12)").cast("string"),
+          "[1-9]", 0).as("__d"))
+      .filter(col("__d") =!= "")
+      .groupBy(col("__g"), col("__d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val tot = digits.groupBy("__g").agg(sum(col("n_obs")).as("__n"))
+    val grid = tot.select(col("__g"), col("__n"),
+      explode(array((1 to 9).map(lit): _*)).as("digit"))
+    val obs = col("n_obs").cast("double") / col("__n").cast("double")
+    val exp = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    grid.alias("__l")
+      .join(digits.alias("__r"),
+        col("__l.__g") <=> col("__r.__g") &&
+          col("__l.digit") === col("__r.digit"), "left_outer")
+      .select(col("__l.__g").as("__g"), col("__l.digit").as("digit"),
+        col("__n"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .select(col("__g").as("g"), col("digit"), col("n_obs"),
+        round(obs, 6).as("obs_p6"), round(exp, 6).as("exp_p6"),
+        round(abs(obs - exp), 6).as("dev6"))
+      .orderBy("g", "digit")
+  }
+
   /** PER-GROUP Jensen–Shannon drift — [[jsDivergence]] keyed by a
     * slice column ("which snapshot's priority mix actually moved?"),
     * the drill-down under the corpus-wide divergence. The group-keyed

@@ -9,6 +9,30 @@ import graft.testkit.SparkTestKit._
 
 class EvalSpec extends AnyFunSuite {
 
+  test("optimalThresholdByGroup == scalar per group; single-class groups; NULL group") {
+    val df = table("g string, label boolean, s double", Seq(
+      row("a", true, 0.9), row("a", true, 0.8), row("a", false, 0.7),
+      row("a", true, 0.6), row("a", false, 0.5), row("a", false, 0.4),
+      row("b", true, 2.0), row("b", false, 1.0),
+      row(null, true, 3.0), row(null, false, 1.0),
+      row("allpos", true, 0.3), row("allpos", true, 0.1),
+      row("allneg", false, 0.2)))
+    val got = Eval.optimalThresholdByGroup(df, "g", "label", "s")
+      .collect().map(r => (Option(r.getString(0)), r.toSeq.drop(1))).toMap
+    // two-class groups agree with the scalar argmax on the slice
+    for (g <- Seq("a", "b")) {
+      val e = Eval.optimalThreshold(df.filter(col("g") === g), "label", "s")
+        .head()
+      assert(got(Some(g)) == e.toSeq, s"group $g")
+    }
+    assert(got(Some("a")) == Seq("f1", 0.5, 3L, 1L, 0L, 2L, 0.857143))
+    assert(got(None).drop(1) == Seq(1.0, 1L, 0L, 0L, 1L, 1.0))
+    // no negatives: the sentinel keeps everything at F1 = 1
+    assert(got(Some("allpos")) == Seq("f1", -0.9, 2L, 0L, 0L, 0L, 1.0))
+    // no positives: every F1 is 0, ties resolve to the sentinel
+    assert(got(Some("allneg")) == Seq("f1", -0.8, 0L, 1L, 0L, 0L, 0.0))
+  }
+
   test("averagePrecision: hand blocks, perfect ranking, tie block, loud") {
     // blocks desc: 0.9(T) prec 1 -> 0.5; 0.7(T) prec 2/3 -> 1/3
     val df = table("label boolean, s double", Seq(

@@ -373,6 +373,24 @@ class ProfileSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no non-zero values"))
   }
 
+  test("benfordAuditByGroup == ungrouped per group; NULL group; per-group zeros") {
+    val df = table("g string, v double", Seq(
+      row("a", 1.0), row("a", 15.0), row("a", 2.0),
+      row("b", 9.0), row("b", 0.0),
+      row(null, 3.0), row(null, 0.5)))
+    val got = Profile.benfordAuditByGroup(df, "g", "v")
+    for (g <- Seq("a", "b")) {
+      assertDfEquality(got.filter(col("g") === g).drop("g"),
+        Profile.benfordAudit(df.filter(col("g") === g), "v"))
+    }
+    assertDfEquality(got.filter(col("g").isNull).drop("g"),
+      Profile.benfordAudit(df.filter(col("g").isNull), "v"))
+    // each group carries its own 9-digit grid including zeros
+    assert(got.count() == 27)
+    val b = got.filter(col("g") === "b" && col("digit") === 9).head()
+    assert(b.getLong(2) == 1L && b.getDouble(3) == 1.0)
+  }
+
   test("jsDivergenceByGroup == scalar per group; one-sided NULL; NULL group") {
     val ref = table("g string, c string", Seq(
       row("a", "x"), row("a", "x"), row("a", "y"),
