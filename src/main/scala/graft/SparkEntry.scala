@@ -6459,6 +6459,36 @@ object SparkEntry {
       docs, "lang", "label", "sc")
   }
 
+  // ---------------------------------------------------------------- q347
+  /** Per-type quantile-shift report ([[graft.operators.Profile
+    * .quantileShiftByGroup]]): whose p99 moved — q335's
+    * where-along-the-distribution readout drilled into each event
+    * type, the last per-slice completion of the drift matrix. Both
+    * sides run the shared per-group global-prefix rank arithmetic. */
+  private def q347GroupQuantileShift(
+      s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.operators.Profile.quantileShiftByGroup(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs),
+      "event_type", "value", Seq(0.5, 0.9, 0.99))
+  }
+
+  // ---------------------------------------------------------------- q348
+  /** Streaming per-type quantile-shift monitor ([[graft.streaming
+    * .StreamGate.replayGroupQuantileShift]]): q347 folding the shared
+    * group count state — held to q347's VERBATIM oracle. */
+  private def q348StreamGroupQuantileShift(
+      s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val splitUs = 1705363200000000L
+    graft.streaming.StreamGate.replayGroupQuantileShift(
+      ev.filter(unix_micros(col("ts")) < splitUs),
+      ev.filter(unix_micros(col("ts")) >= splitUs),
+      "event_type", "value", Seq(0.5, 0.9, 0.99))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -6806,6 +6836,8 @@ object SparkEntry {
     "q344_stream_group_hellinger" -> (q344StreamGroupHellinger _),
     "q345_group_benford" -> (q345GroupBenford _),
     "q346_group_threshold" -> (q346GroupThreshold _),
+    "q347_group_quantile_shift" -> (q347GroupQuantileShift _),
+    "q348_stream_group_quantile_shift" -> (q348StreamGroupQuantileShift _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7664,6 +7696,53 @@ object SparkEntry {
       |      1.0 - CAST(COALESCE(SUM(tt), 0) AS DOUBLE), 0.0)), 6)
       |  END AS hellinger6
       |FROM terms GROUP BY g ORDER BY g""".stripMargin
+
+  /** Shared by q347 (batch per-group quantile-shift) and q348 (the
+    * streaming replay) — per-group discrete ranks off the group-keyed
+    * SUM-foldable counts, both sides, joined per (group, p). */
+  private val groupQuantileShiftOracle: String =
+    """WITH a AS (
+      |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events
+      |  WHERE epoch_us(ts) < 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1, 2
+      |), bb AS (
+      |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events
+      |  WHERE epoch_us(ts) >= 1705363200000000 AND value IS NOT NULL
+      |  GROUP BY 1, 2
+      |), ps AS (
+      |  SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p
+      |), cuma AS (
+      |  SELECT g, v,
+      |    SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY g) AS n
+      |  FROM a
+      |), qa AS (
+      |  SELECT g, ps.p AS p, CAST(MAX(n) AS BIGINT) AS n_ref,
+      |    MIN(v) AS q_ref
+      |  FROM cuma CROSS JOIN ps
+      |  WHERE cum >= GREATEST(CAST(CEIL(ps.p * n) AS BIGINT), 1)
+      |  GROUP BY g, ps.p
+      |), cumb AS (
+      |  SELECT g, v,
+      |    SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY g) AS n
+      |  FROM bb
+      |), qb AS (
+      |  SELECT g, ps.p AS p, CAST(MAX(n) AS BIGINT) AS n_cur,
+      |    MIN(v) AS q_cur
+      |  FROM cumb CROSS JOIN ps
+      |  WHERE cum >= GREATEST(CAST(CEIL(ps.p * n) AS BIGINT), 1)
+      |  GROUP BY g, ps.p
+      |)
+      |SELECT qa.g, qa.p, qa.n_ref, qb.n_cur, qa.q_ref, qb.q_cur,
+      |  ROUND(qb.q_cur - qa.q_ref, 6) AS shift6
+      |FROM qa JOIN qb
+      |ON qa.g IS NOT DISTINCT FROM qb.g AND qa.p = qb.p
+      |ORDER BY qa.g, qa.p""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_sum_agg" ->
@@ -12777,6 +12856,8 @@ object SparkEntry {
         |FROM f""".stripMargin,
     "q343_group_hellinger" -> groupHellingerOracle,
     "q344_stream_group_hellinger" -> groupHellingerOracle,
+    "q347_group_quantile_shift" -> groupQuantileShiftOracle,
+    "q348_stream_group_quantile_shift" -> groupQuantileShiftOracle,
     "q345_group_benford" ->
       """WITH digits AS (
         |  SELECT o_orderpriority AS g,

@@ -611,6 +611,51 @@ object Profile {
       .orderBy("p")
   }
 
+  /** PER-GROUP quantile-shift drift report — [[quantileShift]] keyed
+    * by a slice column ("whose p99 moved?"): each group's reference
+    * and current discrete quantiles side by side with the
+    * per-(group, probability) shift, off the group-keyed foldable
+    * count state via [[groupQuantilesFromCounts]]'s verbatim
+    * global-prefix arithmetic per side. The join is null-safe on the
+    * group (NULL is its own group) and inner on (g, p) — a group
+    * present on only one side has no shift to report and drops,
+    * documented rather than NULL-padded (the quantile frame has no
+    * row to anchor the NULL on). Output: one row per (group, p) —
+    * (`g`, `p`, `n_ref`, `n_cur`, `q_ref`, `q_cur`, `shift6`),
+    * ordered by (g, p). */
+  def quantileShiftByGroup(
+      ref: DataFrame,
+      cur: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double]): DataFrame =
+    quantileShiftByGroupFromCounts(
+      groupSideCounts(ref, groupCol, valueCol),
+      groupSideCounts(cur, groupCol, valueCol), groupCol, ps)
+
+  /** [[quantileShiftByGroup]]'s arithmetic over two prepared
+    * group-keyed count tables — shared verbatim by the batch operator
+    * and the streaming replay gate ([[graft.streaming.StreamGate
+    * .replayGroupQuantileShift]]). */
+  private[graft] def quantileShiftByGroupFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame,
+      groupCol: String,
+      ps: Seq[Double]): DataFrame = {
+    val a = groupQuantilesFromCounts(refCounts, groupCol, ps)
+      .select(col(groupCol).as("g"), col("p"),
+        col("n").as("n_ref"), col("q").as("q_ref"))
+    val b = groupQuantilesFromCounts(curCounts, groupCol, ps)
+      .select(col(groupCol).as("g"), col("p"),
+        col("n").as("n_cur"), col("q").as("q_cur"))
+    a.alias("__l").join(b.alias("__r"),
+        col("__l.g") <=> col("__r.g") && col("__l.p") === col("__r.p"))
+      .select(col("__l.g").as("g"), col("__l.p").as("p"),
+        col("n_ref"), col("n_cur"), col("q_ref"), col("q_cur"),
+        round(col("q_cur") - col("q_ref"), 6).as("shift6"))
+      .orderBy("g", "p")
+  }
+
   /** Benford first-significant-digit audit — the classic
     * fabricated-numbers screen for a monetary/measure column: the
     * observed first-digit mix against Benford's law

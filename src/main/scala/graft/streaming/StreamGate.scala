@@ -943,6 +943,33 @@ object StreamGate {
         graft.operators.Profile.ksSideCounts(reference, valueCol, "cnt"),
         state, ps))
 
+  /** Streaming PER-GROUP quantile-shift drift — [[graft.operators
+    * .Profile.quantileShiftByGroup]] with the monitored slice as a
+    * FILE STREAM folding the SAME group-keyed value-count state the
+    * per-group KS/W1/CvM/MWU/quantile monitors maintain, the final
+    * per-(group, probability) shifts running [[graft.operators
+    * .Profile.quantileShiftByGroupFromCounts]] against the
+    * batch-computed reference counts — held to the batch operator's
+    * verbatim oracle. Returns the (`g`, `p`, `n_ref`, `n_cur`,
+    * `q_ref`, `q_cur`, `shift6`) frame ordered by (g, p).
+    * @note one-generation replay contract — see the object doc. */
+  def replayGroupQuantileShift(
+      reference: DataFrame,
+      monitored: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double],
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(groupCol, valueCol), "gqshift",
+        filesPerTrigger)(
+      batch => graft.operators.Profile.groupSideCounts(
+        batch, groupCol, valueCol),
+      graft.operators.Profile.foldGroupValueCounts,
+      state => graft.operators.Profile.quantileShiftByGroupFromCounts(
+        graft.operators.Profile.groupSideCounts(
+          reference, groupCol, valueCol),
+        state, groupCol, ps))
+
   /** Streaming PER-GROUP Jensen–Shannon drift — [[graft.operators
     * .Profile.jsDivergenceByGroup]] with the monitored slice as a
     * FILE STREAM folding group-keyed category counts (cells-bounded:

@@ -373,6 +373,33 @@ class ProfileSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no non-zero values"))
   }
 
+  test("quantileShiftByGroup == ungrouped per group; NULL group; one-sided drops") {
+    val ref = table("g string, v double", Seq(
+      row("a", 1.0), row("a", 2.0), row("a", 3.0), row("a", 4.0),
+      row("b", 10.0), row("b", 20.0),
+      row(null, 5.0),
+      row("ref_only", 1.0)))
+    val cur = table("g string, v double", Seq(
+      row("a", 3.0), row("a", 4.0), row("a", 5.0), row("a", 6.0),
+      row("b", 10.0), row("b", 30.0),
+      row(null, 7.0),
+      row("cur_only", 1.0)))
+    val ps = Seq(0.5, 1.0)
+    val got = Profile.quantileShiftByGroup(ref, cur, "g", "v", ps)
+    for (g <- Seq("a", "b")) {
+      assertDfEquality(got.filter(col("g") === g).drop("g"),
+        Profile.quantileShift(ref.filter(col("g") === g),
+          cur.filter(col("g") === g), "v", ps))
+    }
+    // a pure +2 shift reads 2 at every p for group a
+    got.filter(col("g") === "a").collect()
+      .foreach(r => assert(r.getDouble(6) == 2.0))
+    // NULL group is its own stratum
+    assert(got.filter(col("g").isNull).count() == 2L)
+    // one-sided groups have no shift to report and drop
+    assert(got.filter(col("g").isin("ref_only", "cur_only")).count() == 0L)
+  }
+
   test("benfordAuditByGroup == ungrouped per group; NULL group; per-group zeros") {
     val df = table("g string, v double", Seq(
       row("a", 1.0), row("a", 15.0), row("a", 2.0),
