@@ -667,8 +667,13 @@ object Profile {
     * everywhere else) and the first `[1-9]` of its string form IS the
     * first significant digit — true in plain AND scientific notation,
     * so no log10/pow boundary ulp can ever flip a 999.999… across a
-    * decade. Values that are NULL or quantize to zero carry no digit
-    * and are excluded. Expected probabilities are `ln(1+1/d)/ln(10)`
+    * decade. Magnitudes the decimal cannot hold (|v| ≥ 1e26 — ANSI
+    * would abort the cast) fall back to the double's own string form,
+    * whose leading `[1-9]` is the same first significant digit
+    * (NaN/Infinity render no digit and drop out). Values that are
+    * NULL or zero carry no digit and are excluded — zero by an
+    * EXPLICIT `!= 0` filter, not by trusting any engine's rendering
+    * of decimal zero. Expected probabilities are `ln(1+1/d)/ln(10)`
     * — the identical expression on both engines, never a pasted
     * constant. Map-only digit extraction, one 9-row aggregation.
     *
@@ -678,9 +683,8 @@ object Profile {
     val spark = df.sparkSession
     TempCols.reserve(df, "benfordAudit", "__d")
     val digits = df
-      .select(regexp_extract(
-        col(valueCol).cast("decimal(38,12)").cast("string"),
-        "[1-9]", 0).as("__d"))
+      .filter(col(valueCol).isNotNull && col(valueCol) =!= 0)
+      .select(firstSignificantDigit(valueCol).as("__d"))
       .filter(col("__d") =!= "")
       .groupBy(col("__d").cast("int").as("digit"))
       .agg(count(lit(1)).as("n_obs"))
@@ -699,6 +703,19 @@ object Profile {
       .orderBy("digit")
   }
 
+  /** First-significant-digit extraction shared by the Benford audits:
+    * DECIMAL(38,12)-string within the decimal's range, the double's
+    * own string form beyond it (both notations lead with the first
+    * significant digit; CaseWhen branches evaluate lazily, so the
+    * ANSI-fatal decimal cast never runs on an out-of-range value). */
+  private def firstSignificantDigit(
+      valueCol: String): org.apache.spark.sql.Column =
+    regexp_extract(
+      when(abs(col(valueCol).cast("double")) < lit(1e26),
+          col(valueCol).cast("decimal(38,12)").cast("string"))
+        .otherwise(col(valueCol).cast("double").cast("string")),
+      "[1-9]", 0)
+
   /** PER-GROUP Benford first-digit audit — [[benfordAudit]] keyed by
     * a slice column ("does any ONE priority tier's amounts look
     * fabricated?" — a clean corpus can hide one cooked slice). Same
@@ -716,10 +733,9 @@ object Profile {
       df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     TempCols.reserve(df, "benfordAuditByGroup", "__g", "__d", "__n")
     val digits = df
+      .filter(col(valueCol).isNotNull && col(valueCol) =!= 0)
       .select(col(groupCol).cast("string").as("__g"),
-        regexp_extract(
-          col(valueCol).cast("decimal(38,12)").cast("string"),
-          "[1-9]", 0).as("__d"))
+        firstSignificantDigit(valueCol).as("__d"))
       .filter(col("__d") =!= "")
       .groupBy(col("__g"), col("__d").cast("int").as("digit"))
       .agg(count(lit(1)).as("n_obs"))

@@ -578,25 +578,6 @@ object Stats {
       round(max(col("h2")), 6).as("hi6"))
   }
 
-  /** Exact Gini concentration index over non-negative INTEGER masses
-    * (token counts, byte sizes, event counts) — the one-number
-    * concentration audit of a corpus recipe: G near 0 = mass spread
-    * evenly across documents/sources, G near 1 = a handful dominate
-    * (the "is the corpus secretly one domain?" alarm that a mean
-    * can't raise). Uses the rank identity
-    * `G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)` over ascending-mass
-    * 1-based ranks — ties ordered by (mass, id) for determinism,
-    * though the identity's value is provably tie-order-invariant
-    * (swapping equal masses cannot change Σ i·x_i).
-    *
-    * Scale shape: ranks ride [[General.withContiguousRowIds]]'s
-    * range-partitioned sort (never one global window partition); both
-    * sums are per-term-exact DECIMAL(38,0) products (a long
-    * rank×mass product would overflow near 10^19 — exactly the
-    * 100 TB regime), so the two scalars are integer-exact on any
-    * engine and the readout is ONE double division on the 6dp gate.
-    * Negative masses fail loudly at scan time; NULL masses are
-    * excluded. Output: one row — (`n`, `total`, `gini6`). */
   /** CUSUM change-point scan — WHERE did a series' level shift?
     * The classic single-change-point scan statistic
     * `max_k |S_k − (k/n)·S_n|` (the cumulative sum's maximum
@@ -723,6 +704,25 @@ object Stats {
       .orderBy("g")
   }
 
+  /** Exact Gini concentration index over non-negative INTEGER masses
+    * (token counts, byte sizes, event counts) — the one-number
+    * concentration audit of a corpus recipe: G near 0 = mass spread
+    * evenly across documents/sources, G near 1 = a handful dominate
+    * (the "is the corpus secretly one domain?" alarm that a mean
+    * can't raise). Uses the rank identity
+    * `G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)` over ascending-mass
+    * 1-based ranks — ties ordered by (mass, id) for determinism,
+    * though the identity's value is provably tie-order-invariant
+    * (swapping equal masses cannot change Σ i·x_i).
+    *
+    * Scale shape: ranks ride [[General.withContiguousRowIds]]'s
+    * range-partitioned sort (never one global window partition); both
+    * sums are per-term-exact DECIMAL(38,0) products (a long
+    * rank×mass product would overflow near 10^19 — exactly the
+    * 100 TB regime), so the two scalars are integer-exact on any
+    * engine and the readout is ONE double division on the 6dp gate.
+    * Negative masses fail loudly at scan time; NULL masses are
+    * excluded. Output: one row — (`n`, `total`, `gini6`). */
   def giniIndex(
       df: DataFrame, valueCol: String, idCol: String): DataFrame = {
     val ranked = giniRankedMasses(df, valueCol, idCol)

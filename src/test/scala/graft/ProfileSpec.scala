@@ -371,6 +371,15 @@ class ProfileSpec extends AnyFunSuite {
         table("v double", Seq(row(0.0), row(null))), "v").head()
     }
     assert(e.getMessage.contains("no non-zero values"))
+    // |v| >= 1e26 exceeds DECIMAL(38,12): the double-string fallback
+    // still reads the first significant digit; NaN/Inf carry none.
+    val huge = table("v double", Seq(
+      row(7.2e27), row(-3.0e30), row(4.0), row(Double.NaN),
+      row(Double.PositiveInfinity)))
+    val gotHuge = Profile.benfordAudit(huge, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gotHuge(7) == 1L && gotHuge(3) == 1L && gotHuge(4) == 1L)
+    assert(gotHuge.values.sum == 3L)
   }
 
   test("quantileShiftByGroup == ungrouped per group; NULL group; one-sided drops") {
