@@ -6489,6 +6489,74 @@ object SparkEntry {
       "event_type", "value", Seq(0.5, 0.9, 0.99))
   }
 
+  // ---------------------------------------------------------------- q349
+  /** Deterministic messy-URL corpus shared by q349/q350: one absolute
+    * URL per document, with scheme/host casing, userinfo, default and
+    * non-default ports, trailing slashes, unsorted + tracking query
+    * params, and fragments all varied by doc_id arithmetic — the
+    * byte-level noise [[graft.functions.UrlFunctions.urlNormalize]]
+    * exists to cancel. The SAME arithmetic replays verbatim in the
+    * DuckDB oracle. */
+  private def q349UrlCorpus(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val hostBase = concat(lit("docs."), col("source"),
+      when(id % 3 === 0, lit(".co.uk"))
+        .when(id % 3 === 1, lit(".com"))
+        .otherwise(lit(".github.io")))
+    val url = concat(
+      when(id % 4 === 0, lit("HTTP://")).when(id % 4 === 1, lit("http://"))
+        .when(id % 4 === 2, lit("HTTPS://")).otherwise(lit("https://")),
+      when(id % 7 === 0, lit("user:Pw@")).otherwise(lit("")),
+      when(id % 2 === 0, upper(hostBase)).otherwise(hostBase),
+      when(id % 5 === 0, lit(":80")).when(id % 5 === 1, lit(":443"))
+        .when(id % 5 === 2, lit(":8080")).otherwise(lit("")),
+      lit("/d/"), (id % 25).cast("string"),
+      when(id % 6 === 0, lit("/")).otherwise(lit("")),
+      lit("?page="), (id % 4).cast("string"),
+      when(id % 2 === 0, lit("&utm_source=news")).otherwise(lit("")),
+      when(id % 3 === 0, lit("&B=2&a=1")).otherwise(lit("")),
+      when(id % 5 === 0, lit("#Sec1")).otherwise(lit("")))
+    Tables.documents(s, dir).select(col("doc_id"), url.as("url"))
+  }
+
+  /** URL-keyed exact dedup ([[graft.functions.UrlFunctions
+    * .urlNormalize]] → [[graft.operators.Dedup.exactDedupIds]]): the
+    * stage-0 pass of every web-corpus recipe — canonicalize each raw
+    * URL (case, userinfo, ports, slashes, tracking params, fragments)
+    * and keep the earliest doc_id per canonical URL. Map-only codegen
+    * normalization riding the scan; the only shuffle ships
+    * (normalized-url, id) pairs through a map-side-combined min. */
+  private def q349UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UrlFunctions
+    val nd = q349UrlCorpus(s, dir).select(col("doc_id"),
+      UrlFunctions.urlNormalize(col("url")).as("url"))
+    Dedup.exactDedupIds(nd, Seq("url"), "doc_id")
+      .select(col("url"), col("doc_id").as("first_doc_id"))
+      .orderBy("url")
+  }
+
+  // ---------------------------------------------------------------- q350
+  /** Per-registered-domain rollup of the URL-deduped corpus
+    * ([[graft.functions.UrlFunctions.registeredDomain]] over q349's
+    * winners): the crawl mixture report keyed on pay-level domains
+    * against a caller-supplied public-suffix list (exercising the
+    * longest-match rule — `co.uk` beats `uk`, `github.io` beats
+    * `io`). Suffix probe is one array-literal expression, no join. */
+  private def q350DomainRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UrlFunctions
+    q349UrlDedup(s, dir)
+      .select(col("first_doc_id"),
+        UrlFunctions.registeredDomain(
+          UrlFunctions.urlHost(col("url")), Q350Suffixes).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        min(col("first_doc_id")).as("first_doc_id"))
+      .orderBy("domain")
+  }
+
+  private val Q350Suffixes =
+    Seq("com", "org", "uk", "co.uk", "io", "github.io")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_agg" -> (q01SumAgg _),
     "q02_schema_introspect" -> (q02SchemaIntrospect _),
@@ -6838,6 +6906,8 @@ object SparkEntry {
     "q346_group_threshold" -> (q346GroupThreshold _),
     "q347_group_quantile_shift" -> (q347GroupQuantileShift _),
     "q348_stream_group_quantile_shift" -> (q348StreamGroupQuantileShift _),
+    "q349_url_dedup" -> (q349UrlDedup _),
+    "q350_domain_rollup" -> (q350DomainRollup _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7743,6 +7813,71 @@ object SparkEntry {
       |FROM qa JOIN qb
       |ON qa.g IS NOT DISTINCT FROM qb.g AND qa.p = qb.p
       |ORDER BY qa.g, qa.p""".stripMargin
+
+  /** Shared by q349 (URL-keyed dedup) and q350 (domain rollup): the
+    * DuckDB replay of the deterministic URL synthesis AND the full
+    * [[graft.functions.UrlFunctions.urlNormalize]] pipeline, ending
+    * in a `dedup(url, first_doc_id)` CTE. The component regexes are
+    * interpolated from the SAME constants the Spark expressions
+    * compile (never a pasted copy), and every list/string primitive
+    * (str_split, list_filter/sort, array_to_string, lpad) has
+    * byte-identical semantics in both engines on this ASCII data. */
+  private def urlDedupOracleCte: String = {
+    val strip = graft.functions.UrlFunctions.DefaultTrackingParams
+      .map(p => s"'$p'").mkString(", ")
+    val urlRe = graft.functions.UrlFunctions.UrlRe
+    val hostRe = graft.functions.UrlFunctions.HostRe
+    val portRe = graft.functions.UrlFunctions.PortRe
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    (CASE doc_id % 4 WHEN 0 THEN 'HTTP://' WHEN 1 THEN 'http://'
+       |          WHEN 2 THEN 'HTTPS://' ELSE 'https://' END)
+       |    || (CASE WHEN doc_id % 7 = 0 THEN 'user:Pw@' ELSE '' END)
+       |    || (CASE WHEN doc_id % 2 = 0
+       |          THEN upper('docs.' || source ||
+       |            (CASE doc_id % 3 WHEN 0 THEN '.co.uk'
+       |                  WHEN 1 THEN '.com' ELSE '.github.io' END))
+       |          ELSE 'docs.' || source ||
+       |            (CASE doc_id % 3 WHEN 0 THEN '.co.uk'
+       |                  WHEN 1 THEN '.com' ELSE '.github.io' END) END)
+       |    || (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+       |             WHEN 2 THEN ':8080' ELSE '' END)
+       |    || '/d/' || CAST(doc_id % 25 AS VARCHAR)
+       |    || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+       |    || '?page=' || CAST(doc_id % 4 AS VARCHAR)
+       |    || (CASE WHEN doc_id % 2 = 0 THEN '&utm_source=news' ELSE '' END)
+       |    || (CASE WHEN doc_id % 3 = 0 THEN '&B=2&a=1' ELSE '' END)
+       |    || (CASE WHEN doc_id % 5 = 0 THEN '#Sec1' ELSE '' END) AS u
+       |  FROM documents
+       |), parts AS (
+       |  SELECT doc_id,
+       |    lower(regexp_extract(u, '$urlRe', 1)) AS sch,
+       |    regexp_extract(u, '$urlRe', 2) AS auth,
+       |    regexp_extract(u, '$urlRe', 3) AS p0,
+       |    regexp_extract(u, '$urlRe', 4) AS q0
+       |  FROM raw
+       |), comp AS (
+       |  SELECT doc_id, sch,
+       |    lower(regexp_extract(auth, '$hostRe', 1)) AS host,
+       |    TRY_CAST(regexp_extract(auth, '$portRe', 1) AS BIGINT) AS portn,
+       |    CASE WHEN regexp_replace(p0, '/+$$', '') = '' THEN '/'
+       |         ELSE regexp_replace(p0, '/+$$', '') END AS path,
+       |    array_to_string(list_sort(list_filter(str_split(q0, '&'),
+       |      x -> x <> '' AND NOT list_contains([$strip],
+       |        lower(regexp_extract(x, '^([^=]*)', 1))))), '&') AS q
+       |  FROM parts
+       |), norm AS (
+       |  SELECT doc_id, sch || '://' || host
+       |    || (CASE WHEN portn IS NOT NULL
+       |             AND NOT ((sch = 'http' AND portn = 80)
+       |               OR (sch = 'https' AND portn = 443))
+       |        THEN ':' || CAST(portn AS VARCHAR) ELSE '' END)
+       |    || path || (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS url
+       |  FROM comp
+       |), dedup AS (
+       |  SELECT url, MIN(doc_id) AS first_doc_id FROM norm GROUP BY url
+       |)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_sum_agg" ->
@@ -13182,6 +13317,37 @@ object SparkEntry {
         |SELECT t.p AS n_pos, t.nn AS n_neg,
         |  ROUND(CAST(SUM(tt) AS DOUBLE), 6) AS ap6
         |FROM terms, tot t GROUP BY t.p, t.nn""".stripMargin,
+    "q349_url_dedup" -> (urlDedupOracleCte +
+      "\nSELECT url, first_doc_id FROM dedup ORDER BY url"),
+    "q350_domain_rollup" -> (urlDedupOracleCte + s"""
+       |, dom AS (
+       |  SELECT first_doc_id,
+       |    lower(regexp_extract(regexp_extract(url,
+       |      '${graft.functions.UrlFunctions.UrlRe}', 2),
+       |      '${graft.functions.UrlFunctions.HostRe}', 1)) AS host
+       |  FROM dedup
+       |), eff AS (
+       |  SELECT first_doc_id, host,
+       |    COALESCE(substr(list_aggregate(list_transform(list_filter(
+       |      [${Q350Suffixes.map(s => s"'$s'").mkString(", ")}],
+       |      s -> host = s OR ends_with(host, '.' || s)),
+       |      s -> lpad(CAST(length(s) AS VARCHAR), 4, '0') || ':' || s),
+       |      'max'), 6),
+       |      regexp_extract(host, '([^.]*)$$', 1)) AS suf
+       |  FROM dom
+       |), reg AS (
+       |  SELECT first_doc_id,
+       |    CASE WHEN host = suf OR lastl = '' THEN NULL
+       |         ELSE lastl || '.' || suf END AS domain
+       |  FROM (SELECT first_doc_id, host, suf,
+       |      regexp_extract(
+       |        CASE WHEN length(host) - length(suf) - 1 > 0
+       |             THEN substr(host, 1, length(host) - length(suf) - 1)
+       |             ELSE '' END, '([^.]*)$$', 1) AS lastl
+       |    FROM eff)
+       |)
+       |SELECT domain, COUNT(*) AS n_urls, MIN(first_doc_id) AS first_doc_id
+       |FROM reg GROUP BY domain ORDER BY domain""".stripMargin),
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +
