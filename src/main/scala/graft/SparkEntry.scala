@@ -6489,6 +6489,51 @@ object SparkEntry {
       "event_type", "value", Seq(0.5, 0.9, 0.99))
   }
 
+  // ---------------------------------------------------------------- q351
+  /** Per-language correlation matrix ([[graft.operators.Moments
+    * .correlationMatrixByGroup]]): q337's three-signal redundancy
+    * readout sliced by language — the check that a correlation seen
+    * in the pooled corpus isn't just the majority script's (Simpson's
+    * trap). One group-keyed aggregation carries all pairs' moments. */
+  private def q351GroupCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir).select(
+      col("lang"),
+      col("n_chars").cast("double").as("n_chars"),
+      when(col("text").isNotNull,
+        TextFunctions.tokenCount(col("text")).cast("double")).as("n_tokens"),
+      when(col("text").isNotNull,
+        length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double"))
+        .as("n_upper"))
+    graft.operators.Moments.correlationMatrixByGroup(
+      docs, "lang", Seq("n_chars", "n_tokens", "n_upper"))
+  }
+
+  // ---------------------------------------------------------------- q352
+  /** CUPED covariate-adjusted experiment readout ([[graft.operators
+    * .Experiment.cupedReport]]): per-user pre-period value as the
+    * covariate for the post-period outcome, arms assigned by the
+    * deterministic portable hash (q199's machinery, fresh salt) —
+    * θ from the pooled moment state, adjusted means with normal CIs
+    * and the raw-vs-adjusted variance shrink in the report. The
+    * oracle replays the hash, θ, and the adjustment term-for-term. */
+  private def q352CupedReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Experiment
+    val splitUs = 1705363200000000L
+    def side(pre: Boolean) = sum(when(
+      if (pre) unix_micros(col("ts")) < splitUs
+      else unix_micros(col("ts")) >= splitUs,
+      round(col("value"), 12).cast("decimal(38,12)"))).cast("double")
+    val users = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(side(pre = true).as("pre_value"),
+        side(pre = false).as("post_value"))
+    val assigned = Experiment.assignArms(users, "user_id", salt = "cuped1",
+      arms = Seq(("control", 0.5), ("treat", 0.5)))
+    Experiment.cupedReport(assigned, "arm", "post_value", "pre_value")
+  }
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -6908,6 +6953,8 @@ object SparkEntry {
     "q348_stream_group_quantile_shift" -> (q348StreamGroupQuantileShift _),
     "q349_url_dedup" -> (q349UrlDedup _),
     "q350_domain_rollup" -> (q350DomainRollup _),
+    "q351_group_corr_matrix" -> (q351GroupCorrMatrix _),
+    "q352_cuped_report" -> (q352CupedReport _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7813,6 +7860,26 @@ object SparkEntry {
       |FROM qa JOIN qb
       |ON qa.g IS NOT DISTINCT FROM qb.g AND qa.p = qb.p
       |ORDER BY qa.g, qa.p""".stripMargin
+
+  /** One GROUP BY g branch of q351's per-group pair-moment replay —
+    * the q337 conditional moment sums (verbatim arithmetic) keyed by
+    * the slice column. */
+  private def groupCorrPairBranch(
+      xName: String, yName: String, x: String, y: String): String = {
+    def csum(e: String) =
+      s"""CAST(SUM(CASE WHEN $x IS NOT NULL AND $y IS NOT NULL
+         |      THEN CAST(ROUND($e, 12) AS DECIMAL(38,12)) END) AS DOUBLE)"""
+        .stripMargin
+    s"""SELECT g, '$xName' AS x_col, '$yName' AS y_col,
+       |    CAST(COUNT(CASE WHEN $x IS NOT NULL AND $y IS NOT NULL
+       |      THEN 1 END) AS BIGINT) AS n,
+       |    ${csum(x)} AS sx,
+       |    ${csum(y)} AS sy,
+       |    ${csum(s"$x*$x")} AS sxx,
+       |    ${csum(s"$y*$y")} AS syy,
+       |    ${csum(s"$x*$y")} AS sxy
+       |  FROM b GROUP BY g""".stripMargin
+  }
 
   /** Shared by q349 (URL-keyed dedup) and q350 (domain rollup): the
     * DuckDB replay of the deterministic URL synthesis AND the full
@@ -13348,6 +13415,102 @@ object SparkEntry {
        |)
        |SELECT domain, COUNT(*) AS n_urls, MIN(first_doc_id) AS first_doc_id
        |FROM reg GROUP BY domain ORDER BY domain""".stripMargin),
+    "q351_group_corr_matrix" -> s"""WITH b AS (
+       |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS x1,
+       |    CASE WHEN text IS NOT NULL THEN
+       |      CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE)
+       |    END AS x2,
+       |    CASE WHEN text IS NOT NULL THEN
+       |      CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+       |    END AS x3
+       |  FROM documents
+       |), pairs AS (
+       |  ${groupCorrPairBranch("n_chars", "n_tokens", "x1", "x2")}
+       |  UNION ALL
+       |  ${groupCorrPairBranch("n_chars", "n_upper", "x1", "x3")}
+       |  UNION ALL
+       |  ${groupCorrPairBranch("n_tokens", "n_upper", "x2", "x3")}
+       |), f AS (
+       |  SELECT g, x_col, y_col, n,
+       |    CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+       |    CAST(n AS DOUBLE) * sxx - sx * sx AS varxn,
+       |    CAST(n AS DOUBLE) * syy - sy * sy AS varyn
+       |  FROM pairs
+       |)
+       |SELECT g, x_col, y_col, n,
+       |  CASE WHEN n >= 2 AND varxn > 0 AND varyn > 0
+       |    THEN ROUND(covn / sqrt(varxn * varyn), 6) END AS pearson_r6
+       |FROM f ORDER BY g, x_col, y_col""".stripMargin,
+    "q352_cuped_report" ->
+      """WITH u0 AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) < 1705363200000000
+        |      THEN CAST(ROUND(value, 12) AS DECIMAL(38,12)) END)
+        |      AS DOUBLE) AS x,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) >= 1705363200000000
+        |      THEN CAST(ROUND(value, 12) AS DECIMAL(38,12)) END)
+        |      AS DOUBLE) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id
+        |), u AS (
+        |  SELECT * FROM u0 WHERE x IS NOT NULL AND y IS NOT NULL
+        |), h AS (
+        |  SELECT x, y,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5('cuped1:' || CAST(user_id AS VARCHAR)),
+        |           CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) AS hv
+        |  FROM u
+        |), a AS (
+        |  SELECT x, y,
+        |    CASE WHEN hv < 2147483648 THEN 'control' ELSE 'treat' END AS arm
+        |  FROM h
+        |), st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(x*x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sxx,
+        |    CAST(SUM(CAST(ROUND(x*y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sxy
+        |  FROM a
+        |), th AS (
+        |  SELECT CASE WHEN CAST(n AS DOUBLE)*sxx - sx*sx > 0
+        |    THEN (CAST(n AS DOUBLE)*sxy - sx*sy)
+        |      / (CAST(n AS DOUBLE)*sxx - sx*sx)
+        |    ELSE 0.0 END AS theta,
+        |    sx / CAST(n AS DOUBLE) AS mux
+        |  FROM st
+        |), adj AS (
+        |  SELECT arm, y, y - th.theta * (x - th.mux) AS ya, th.theta
+        |  FROM a, th
+        |), g AS (
+        |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, MAX(theta) AS theta,
+        |    CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(y*y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS syy,
+        |    CAST(SUM(CAST(ROUND(ya, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sa,
+        |    CAST(SUM(CAST(ROUND(ya*ya, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS saa
+        |  FROM adj GROUP BY arm
+        |), f AS (
+        |  SELECT arm, n, theta, CAST(n AS DOUBLE) AS nd, sy, syy, sa, saa,
+        |    (CAST(n AS DOUBLE)*syy - sy*sy)
+        |      / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)) AS vraw,
+        |    (CAST(n AS DOUBLE)*saa - sa*sa)
+        |      / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)) AS vadj
+        |  FROM g
+        |)
+        |SELECT arm, n, ROUND(theta, 6) AS theta6,
+        |  ROUND(sy / nd, 6) AS mean_raw6,
+        |  ROUND(sa / nd, 6) AS mean_adj6,
+        |  CASE WHEN n >= 2 THEN ROUND(vraw, 6) END AS var_raw6,
+        |  CASE WHEN n >= 2 THEN ROUND(vadj, 6) END AS var_adj6,
+        |  CASE WHEN n >= 2 THEN ROUND(sa/nd - 1.96*sqrt(
+        |    (CASE WHEN vadj > 0 THEN vadj ELSE 0.0 END)/nd), 6) END AS lo6,
+        |  CASE WHEN n >= 2 THEN ROUND(sa/nd + 1.96*sqrt(
+        |    (CASE WHEN vadj > 0 THEN vadj ELSE 0.0 END)/nd), 6) END AS hi6
+        |FROM f ORDER BY arm""".stripMargin,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +

@@ -124,6 +124,103 @@ object Experiment {
         .withColumnRenamed(armCol, "arm"),
       controlArm, z)
 
+  /** Pooled CUPED state — θ and the pre-period mean, both closed
+    * forms over [[Moments.momentState]]'s exact decimal sums (two
+    * driver scalars, one corpus pass). θ falls back to 0 (no
+    * adjustment) when the covariate has zero variance. Rows missing
+    * the arm, the covariate, or the outcome are excluded — CUPED
+    * needs all three. */
+  private def cupedState(
+      df: DataFrame, armCol: String, yCol: String,
+      xCol: String): (DataFrame, Double, Double) = {
+    val base = df.filter(col(armCol).isNotNull &&
+      col(xCol).isNotNull && col(yCol).isNotNull)
+    val r0 = Moments.momentState(base, xCol, yCol).select(
+      col("n").cast("long"), col("sx").cast("double"),
+      col("sy").cast("double"), col("sxx").cast("double"),
+      col("sxy").cast("double")).head()
+    val n = r0.getLong(0)
+    require(n >= 2L,
+      s"cuped: needs >= 2 complete (covariate, outcome) rows (got $n)")
+    val (sx, sy, sxx, sxy) =
+      (r0.getDouble(1), r0.getDouble(2), r0.getDouble(3), r0.getDouble(4))
+    val nd = n.toDouble
+    val varXN = nd * sxx - sx * sx
+    val theta = if (varXN > 0.0) (nd * sxy - sx * sy) / varXN else 0.0
+    (base, theta, sx / nd)
+  }
+
+  /** CUPED adjustment as a COLUMN: `y − θ·(x − μ_pre)` with θ and
+    * μ_pre pooled across arms (assignment is independent of the
+    * pre-period, so the pooled θ is unbiased and shared). Returns the
+    * complete-rows frame plus `outCol` — composable with any
+    * continuous readout (e.g. [[Stats.bootstrapMeanCIByGroup]] keyed
+    * by the arm column). */
+  def cupedAdjust(
+      df: DataFrame, armCol: String, yCol: String, xCol: String,
+      outCol: String = "y_adj"): DataFrame = {
+    val (base, theta, mux) = cupedState(df, armCol, yCol, xCol)
+    base.withColumn(outCol, col(yCol).cast("double") -
+      lit(theta) * (col(xCol).cast("double") - lit(mux)))
+  }
+
+  /** CUPED covariate-adjusted experiment readout over a CONTINUOUS
+    * outcome: the variance-reduction standard for pre-period metrics
+    * (Deng, Xu, Kohavi, Walker, "Improving the Sensitivity of Online
+    * Controlled Experiments by Utilizing Pre-Experiment Data",
+    * WSDM'13) — θ = cov(x,y)/var(x) from the pooled moment state,
+    * each unit's outcome shifted to `y − θ·(x − μ_pre)`, then per-arm
+    * mean, sample variance, and normal CI `mean ± z·s/√n` on both the
+    * raw and adjusted outcome so the variance reduction is IN the
+    * report. When covariate and outcome are uncorrelated θ is ~0 and
+    * the adjusted numbers equal the raw ones; when correlated, the
+    * adjusted variance shrinks by the r² factor, CIs tighten, and the
+    * same experiment decides at a smaller n.
+    *
+    * Scale shape: one pooled moment pass (six scalars), then ONE
+    * arm-keyed map-side-combined aggregation of four 12dp-exact
+    * decimal term sums; every readout is in-plan double arithmetic on
+    * arm-count rows. Single-unit arms read NULL variance/CI.
+    *
+    * Output: one row per arm — (`arm`, `n`, `theta6`, `mean_raw6`,
+    * `mean_adj6`, `var_raw6`, `var_adj6`, `lo6`, `hi6`), arm
+    * ascending; the CI bounds are on the ADJUSTED mean. */
+  def cupedReport(
+      df: DataFrame, armCol: String, yCol: String, xCol: String,
+      z: Double = 1.96): DataFrame = {
+    TempCols.reserve(df, "cupedReport", "__sy", "__syy", "__sa", "__saa")
+    val (base, theta, mux) = cupedState(df, armCol, yCol, xCol)
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val adj = y - lit(theta) * (x - lit(mux))
+    def dterm(c: Column) = round(c, 12).cast("decimal(38,12)")
+    val g = base.groupBy(col(armCol).cast("string").as("arm")).agg(
+      count(lit(1)).as("n"),
+      sum(dterm(y)).as("__sy"), sum(dterm(y * y)).as("__syy"),
+      sum(dterm(adj)).as("__sa"), sum(dterm(adj * adj)).as("__saa"))
+    val nd = col("n").cast("double")
+    val sy = col("__sy").cast("double")
+    val syy = col("__syy").cast("double")
+    val sa = col("__sa").cast("double")
+    val saa = col("__saa").cast("double")
+    val varRaw = (nd * syy - sy * sy) / (nd * (nd - lit(1.0)))
+    val varAdj = (nd * saa - sa * sa) / (nd * (nd - lit(1.0)))
+    // float cancellation can leave an exact-zero variance a hair
+    // negative; clamp before the sqrt on BOTH engines identically
+    val se = sqrt(when(varAdj > 0.0, varAdj).otherwise(0.0) / nd)
+    val theta6 = BigDecimal(theta)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    g.select(col("arm"), col("n"),
+        lit(theta6).as("theta6"),
+        round(sy / nd, 6).as("mean_raw6"),
+        round(sa / nd, 6).as("mean_adj6"),
+        when(col("n") >= 2L, round(varRaw, 6)).as("var_raw6"),
+        when(col("n") >= 2L, round(varAdj, 6)).as("var_adj6"),
+        when(col("n") >= 2L, round(sa / nd - lit(z) * se, 6)).as("lo6"),
+        when(col("n") >= 2L, round(sa / nd + lit(z) * se, 6)).as("hi6"))
+      .orderBy("arm")
+  }
+
   /** [[abReport]]'s readout arithmetic over a prepared per-arm CI
     * table (`arm`, `n`, `n_pass`, `rate6`, `lo6`, `hi6`) — shared
     * verbatim by the batch operator and the streaming monitor (the

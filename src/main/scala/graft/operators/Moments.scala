@@ -323,12 +323,58 @@ object Moments {
     * Output: one row per pair — (`x_col`, `y_col`, `n`,
     * `pearson_r6`), ordered by (x_col, y_col). */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val pairs = cmPairs(df, "correlationMatrix", cols)
+    val one = df.agg(cmAggs(pairs).head, cmAggs(pairs).tail: _*)
+    one.select(explode(array(cmEntries(pairs): _*)).as("__e"))
+      .select(col("__e.*"))
+      .orderBy("x_col", "y_col")
+  }
+
+  /** PER-GROUP one-pass correlation matrix — [[correlationMatrix]]
+    * keyed by a slice column ("are token count and char count
+    * redundant in EVERY language, or only in the majority one?"):
+    * the identical k(k−1)/2 conditional moment sets ride a single
+    * group-keyed aggregation (map-side combined — the shuffle ships
+    * 6·pairs decimals per group, never rows), then each group's pairs
+    * unfold from one explode. Pairwise-complete NULL semantics are
+    * the scalar operator's verbatim, per group; zero-variance or n<2
+    * pairs read NULL. NULL is its own group; group cardinality
+    * unbounded (the state per group is O(k²) scalars, not data).
+    *
+    * Output: one row per (group, pair) — (`g` as STRING, `x_col`,
+    * `y_col`, `n`, `pearson_r6`), ordered by (g, x_col, y_col). */
+  def correlationMatrixByGroup(
+      df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
+    require(!cols.contains(groupCol),
+      s"correlationMatrixByGroup: group column '$groupCol' cannot " +
+        "also be a value column")
+    val pairs = cmPairs(df, "correlationMatrixByGroup", cols)
+    TempCols.reserve(df, "correlationMatrixByGroup", "__g", "__e")
+    val perGroup = df.groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(cmAggs(pairs).head, cmAggs(pairs).tail: _*)
+    perGroup
+      .select(col("__g").as("g"),
+        explode(array(cmEntries(pairs): _*)).as("__e"))
+      .select(col("g"), col("__e.*"))
+      .orderBy("g", "x_col", "y_col")
+  }
+
+  /** Validated unordered column pairs for the correlation-matrix
+    * family. */
+  private def cmPairs(
+      df: DataFrame, owner: String,
+      cols: Seq[String]): Seq[(String, String)] = {
+    require(cols.size >= 2, s"$owner needs at least two columns")
     require(cols.distinct.size == cols.size,
-      s"correlationMatrix: duplicate columns in $cols")
-    numericGuard(df, "correlationMatrix", cols: _*)
-    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
-    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      s"$owner: duplicate columns in $cols")
+    numericGuard(df, owner, cols: _*)
+    cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+  }
+
+  /** The 6 pairwise-complete conditional moment sums per pair —
+    * ONE aggregation row regardless of pair count. */
+  private def cmAggs(pairs: Seq[(String, String)]): Seq[Column] =
+    pairs.zipWithIndex.flatMap { case ((a, b), i) =>
       val x = col(a).cast("double")
       val y = col(b).cast("double")
       val both = x.isNotNull && y.isNotNull
@@ -339,8 +385,11 @@ object Moments {
         cdsum(x * x).as(s"__sxx$i"), cdsum(y * y).as(s"__syy$i"),
         cdsum(x * y).as(s"__sxy$i"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val entries = pairs.zipWithIndex.map { case ((a, b), i) =>
+
+  /** Per-pair uncentered closed-form readouts over [[cmAggs]]'s
+    * columns, as explodable structs. */
+  private def cmEntries(pairs: Seq[(String, String)]): Seq[Column] =
+    pairs.zipWithIndex.map { case ((a, b), i) =>
       val nd = col(s"__n$i").cast("double")
       val sx = col(s"__sx$i").cast("double")
       val sy = col(s"__sy$i").cast("double")
@@ -355,9 +404,6 @@ object Moments {
         when(col(s"__n$i") >= lit(2L) && varXN > 0.0 && varYN > 0.0,
           round(covN / sqrt(varXN * varYN), 6)).as("pearson_r6"))
     }
-    one.select(explode(array(entries: _*)).as("__e")).select(col("__e.*"))
-      .orderBy("x_col", "y_col")
-  }
 
   /** PER-GROUP lag-1 autocorrelation — [[autocorrelation]] keyed by a
     * slice column ("is the purchase series sticky but the click

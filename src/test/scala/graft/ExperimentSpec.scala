@@ -122,4 +122,91 @@ class ExperimentSpec extends AnyFunSuite {
         Seq("lang"), "id", 5, "x")
     }
   }
+
+  test("cupedReport: correlated covariate strictly shrinks variance") {
+    // y = 2x + arm effect + deterministic 'noise'; x varies within arm
+    val rows = (0 until 40).map { i =>
+      val arm = if (i % 2 == 0) "control" else "treat"
+      val x = (i % 10).toDouble + 0.25 * (i % 3)
+      val lift = if (arm == "treat") 1.5 else 0.0
+      val y = 2.0 * x + lift + 0.1 * (i % 7)
+      row(arm, x, y)
+    }
+    val df = table("arm string, x double, y double", rows)
+    val got = Experiment.cupedReport(df, "arm", "y", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("control", "treat"))
+    Seq("control", "treat").foreach { a =>
+      val r = got(a)
+      val (vRaw, vAdj) = (r.getDouble(5), r.getDouble(6))
+      assert(vAdj < vRaw,
+        s"arm $a: adjusted variance $vAdj must shrink below raw $vRaw")
+      // the CI stays a valid interval around the adjusted mean
+      assert(r.getDouble(7) < r.getDouble(4) && r.getDouble(4) < r.getDouble(8))
+    }
+    // theta recovers the true slope within the noise scale
+    assert(math.abs(got("control").getDouble(2) - 2.0) < 0.1)
+    // the adjusted lift is still the true lift (means shift together)
+    val liftAdj = got("treat").getDouble(4) - got("control").getDouble(4)
+    assert(math.abs(liftAdj - 1.5) < 0.2)
+  }
+
+  test("cupedReport: exactly-uncorrelated covariate changes nothing") {
+    // cov(x, y) = 0 by construction: the 2x2 balanced design
+    val rows = Seq(
+      row("a", 0.0, 0.0), row("a", 0.0, 1.0),
+      row("a", 1.0, 0.0), row("a", 1.0, 1.0),
+      row("b", 0.0, 2.0), row("b", 0.0, 3.0),
+      row("b", 1.0, 2.0), row("b", 1.0, 3.0))
+    val df = table("arm string, x double, y double", rows)
+    val got = Experiment.cupedReport(df, "arm", "y", "x").collect()
+    got.foreach { r =>
+      assert(r.getDouble(2) == 0.0, "theta must be exactly 0")
+      assert(r.getDouble(3) == r.getDouble(4), "mean unchanged")
+      assert(r.getDouble(5) == r.getDouble(6), "variance unchanged")
+    }
+  }
+
+  test("cupedReport: zero-variance covariate falls back to theta 0; edges") {
+    val df = table("arm string, x double, y double", Seq(
+      row("a", 5.0, 1.0), row("a", 5.0, 3.0), row("b", 5.0, 2.0)))
+    val got = Experiment.cupedReport(df, "arm", "y", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getDouble(2) == 0.0)
+    assert(got("a").getDouble(3) == got("a").getDouble(4))
+    // single-unit arm: mean reads, variance and CI are NULL
+    assert(got("b").getLong(1) == 1L && got("b").getDouble(4) == 2.0)
+    assert(got("b").isNullAt(5) && got("b").isNullAt(6) &&
+      got("b").isNullAt(7) && got("b").isNullAt(8))
+    // incomplete rows (NULL arm/covariate/outcome) are excluded
+    val holes = table("arm string, x double, y double", Seq(
+      row("a", 1.0, 1.0), row("a", 2.0, 2.0),
+      row(null, 3.0, 3.0), row("a", null, 4.0), row("a", 5.0, null)))
+    assert(Experiment.cupedReport(holes, "arm", "y", "x")
+      .head().getLong(1) == 2L)
+    val e = intercept[IllegalArgumentException] {
+      Experiment.cupedReport(
+        table("arm string, x double, y double", Seq(row("a", 1.0, 1.0))),
+        "arm", "y", "x").head()
+    }
+    assert(e.getMessage.contains(">= 2"))
+  }
+
+  test("cupedAdjust composes: y_adj matches the report's arithmetic") {
+    val rows = (0 until 12).map { i =>
+      row(if (i % 2 == 0) "a" else "b",
+        (i % 4).toDouble, 3.0 * (i % 4) + (i % 5))
+    }
+    val df = table("arm string, x double, y double", rows)
+    val adj = Experiment.cupedAdjust(df, "arm", "y", "x")
+    assert(adj.columns.contains("y_adj"))
+    // per-arm mean of y_adj equals cupedReport's mean_adj6
+    val means = adj.groupBy("arm")
+      .agg(round(sum(round(col("y_adj"), 12).cast("decimal(38,12)"))
+        .cast("double") / count(lit(1)), 6).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Experiment.cupedReport(df, "arm", "y", "x").collect().foreach { r =>
+      assert(means(r.getString(0)) == r.getDouble(4))
+    }
+  }
 }

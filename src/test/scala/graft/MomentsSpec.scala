@@ -125,6 +125,36 @@ class MomentsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("correlationMatrixByGroup == ungrouped per group; NULL group; loud") {
+    val df = table("g string, a bigint, b bigint, c bigint", Seq(
+      row("x", 1L, 2L, -1L), row("x", 2L, 4L, -2L),
+      row("x", 3L, 6L, -3L), row("x", 4L, null, -4L),
+      row("y", 1L, 1L, 9L), row("y", 2L, 3L, 9L), row("y", 3L, 2L, 9L),
+      row(null, 5L, 1L, 2L), row(null, 6L, 2L, 1L),
+      row("solo", 7L, 7L, 7L)))
+    val cols = Seq("a", "b", "c")
+    val got = Moments.correlationMatrixByGroup(df, "g", cols)
+    for (g <- Seq("x", "y", "solo")) {
+      assertDfEquality(got.filter(col("g") === g).drop("g"),
+        Moments.correlationMatrix(df.filter(col("g") === g), cols))
+    }
+    assertDfEquality(got.filter(col("g").isNull).drop("g"),
+      Moments.correlationMatrix(df.filter(col("g").isNull), cols))
+    // single-row group: every pair reads n=1, NULL r
+    got.filter(col("g") === "solo").collect().foreach { r =>
+      assert(r.getLong(3) == 1L && r.isNullAt(4))
+    }
+    // constant column within a group only nulls THAT group's pairs
+    assert(got.filter(col("g") === "y" && col("x_col") === "a" &&
+      col("y_col") === "c").head().isNullAt(4))
+    assert(!got.filter(col("g") === "x" && col("x_col") === "a" &&
+      col("y_col") === "c").head().isNullAt(4))
+    val e = intercept[IllegalArgumentException] {
+      Moments.correlationMatrixByGroup(df, "g", Seq("g", "a"))
+    }
+    assert(e.getMessage.contains("group column"))
+  }
+
   test("autocorrelation: AR(1) line, alternating series, partition-invariant") {
     // series 1..5 in time order: pairs lie on y = x + 1 exactly
     val walk = table("t bigint, v bigint",
