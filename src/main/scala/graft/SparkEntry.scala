@@ -6534,6 +6534,54 @@ object SparkEntry {
     Experiment.cupedReport(assigned, "arm", "post_value", "pre_value")
   }
 
+  // ---------------------------------------------------------------- q353
+  /** The ordinal-score panel shared by q353/q354: five raters score
+    * each document 1–5 (base = n_chars%5+1) with hash-noised ±1
+    * shifts clamped to the scale, under ~70% varying participation —
+    * numeric GRADED labels for the metric alpha family, every
+    * decision integer arithmetic on a portable hash so both engines
+    * derive the identical panel. */
+  private def ordinalRatings(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val r = col("rater_i")
+    val key = concat(r.cast("string"), lit(":"),
+      col("doc_id").cast("string"))
+    val h = pmod(TextFunctions.portableTokenHash32(
+      concat(lit("ord:"), key)), lit(100L))
+    val shift = when(h < 15, lit(-1L)).when(h >= 85, lit(1L))
+      .otherwise(lit(0L))
+    val score = greatest(lit(1L),
+      least(lit(5L), col("n_chars") % 5L + lit(1L) + shift))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(4))).as("rater_i"))
+      .filter(pmod(TextFunctions.portableTokenHash32(
+        concat(lit("ordp:"), key)), lit(100L)) < 70L)
+      .select(col("doc_id"),
+        concat(lit("r"), r.cast("string")).as("rater"),
+        score.as("score"))
+  }
+
+  /** Interval Krippendorff's alpha ([[graft.operators.Annotate
+    * .krippendorffAlphaMetric]], squared distance): the graded
+    * agreement readout over the 1–5 panel — a 1-vs-5 miss costs 16×
+    * a 1-vs-2 miss, the distinction the nominal alpha (q256) cannot
+    * see. Per-item moment identities, no label-pair join; oracle
+    * replays the panel, both disagreement sums, and the one ratio. */
+  private def q353IntervalAlpha(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Annotate.krippendorffAlphaMetric(
+      ordinalRatings(s, dir), "doc_id", "rater", "score", "interval")
+
+  // ---------------------------------------------------------------- q354
+  /** Linear Krippendorff's alpha ([[graft.operators.Annotate
+    * .krippendorffAlphaMetric]], absolute distance): the same panel
+    * under the equally-spaced ordinal reading — item-partitioned
+    * prefix folds over the rating cells, marginal prefix fold over
+    * the 5-level scale. */
+  private def q354LinearAlpha(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Annotate.krippendorffAlphaMetric(
+      ordinalRatings(s, dir), "doc_id", "rater", "score", "linear")
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -6955,6 +7003,8 @@ object SparkEntry {
     "q350_domain_rollup" -> (q350DomainRollup _),
     "q351_group_corr_matrix" -> (q351GroupCorrMatrix _),
     "q352_cuped_report" -> (q352CupedReport _),
+    "q353_interval_alpha" -> (q353IntervalAlpha _),
+    "q354_linear_alpha" -> (q354LinearAlpha _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7879,6 +7929,42 @@ object SparkEntry {
        |    ${csum(s"$y*$y")} AS syy,
        |    ${csum(s"$x*$y")} AS sxy
        |  FROM b GROUP BY g""".stripMargin
+  }
+
+  /** Shared by q353/q354: the ordinal 1–5 panel
+    * ([[ordinalRatings]]'s derivation verbatim) down to the pairable
+    * numeric rating cells `pair(it, v, c, ni)` — items with one
+    * rating excluded, [[graft.operators.Annotate
+    * .krippendorffAlphaMetric]]'s rule. */
+  private val ordinalPairCte: String = {
+    val key = "CAST(g.r AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)"
+    s"""rt AS (
+       |  SELECT CAST(d.doc_id AS VARCHAR) AS it,
+       |    GREATEST(1, LEAST(5, d.n_chars % 5 + 1 +
+       |      CASE WHEN ${hash32Sql(s"'ord:' || $key")} % 100 < 15 THEN -1
+       |           WHEN ${hash32Sql(s"'ord:' || $key")} % 100 >= 85 THEN 1
+       |           ELSE 0 END)) AS score
+       |  FROM documents d CROSS JOIN (SELECT unnest(range(5)) AS r) g
+       |  WHERE ${hash32Sql(s"'ordp:' || $key")} % 100 < 70
+       |), cells AS (
+       |  SELECT it, CAST(score AS DOUBLE) AS v,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM rt GROUP BY it, score
+       |), per0 AS (
+       |  SELECT it, CAST(SUM(c) AS BIGINT) AS ni
+       |  FROM cells GROUP BY it HAVING SUM(c) >= 2
+       |), pair AS (
+       |  SELECT cells.it, v, c, ni FROM cells JOIN per0 USING (it)
+       |), tot AS (
+       |  SELECT CAST(COUNT(DISTINCT it) AS BIGINT) AS n_items,
+       |    CAST(SUM(c) AS BIGINT) AS n_tot,
+       |    CAST(COUNT(DISTINCT v) AS BIGINT) AS n_labels,
+       |    CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * v, 12)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS snv,
+       |    CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * v * v, 12)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS snv2
+       |  FROM pair
+       |)""".stripMargin
   }
 
   /** Shared by q349 (URL-keyed dedup) and q350 (domain rollup): the
@@ -13511,6 +13597,70 @@ object SparkEntry {
         |  CASE WHEN n >= 2 THEN ROUND(sa/nd + 1.96*sqrt(
         |    (CASE WHEN vadj > 0 THEN vadj ELSE 0.0 END)/nd), 6) END AS hi6
         |FROM f ORDER BY arm""".stripMargin,
+    "q353_interval_alpha" -> s"""WITH $ordinalPairCte,
+       |peri AS (
+       |  SELECT it, MAX(ni) AS ni,
+       |    CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * v, 12)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+       |    CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * v * v, 12)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS sv2
+       |  FROM pair GROUP BY it
+       |), so AS (
+       |  SELECT SUM(CAST(ROUND(
+       |    (CAST(ni AS DOUBLE) * sv2 - sv * sv)
+       |      / CAST(ni - 1 AS DOUBLE), 12) AS DECIMAL(38,12))) AS s
+       |  FROM peri
+       |)
+       |SELECT n_items, n_tot AS n_ratings, n_labels,
+       |  'interval' AS metric,
+       |  CASE WHEN CAST(n_tot AS DOUBLE) * snv2 - snv * snv = 0 THEN NULL
+       |    ELSE ROUND(1.0 - CAST(n_tot - 1 AS DOUBLE) * CAST(so.s AS DOUBLE)
+       |      / (CAST(n_tot AS DOUBLE) * snv2 - snv * snv), 6)
+       |    END AS alpha6
+       |FROM tot, so""".stripMargin,
+    "q354_linear_alpha" -> s"""WITH $ordinalPairCte,
+       |belw AS (
+       |  SELECT it, v, c, ni,
+       |    COALESCE(SUM(c) OVER (PARTITION BY it ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+       |    CAST(COALESCE(SUM(CAST(ROUND(CAST(c AS DOUBLE) * v, 12)
+       |        AS DECIMAL(38,12)))
+       |      OVER (PARTITION BY it ORDER BY v
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS DOUBLE) AS sb
+       |  FROM pair
+       |), perl AS (
+       |  SELECT it, MAX(ni) AS ni,
+       |    SUM(CAST(ROUND(CAST(c AS DOUBLE)
+       |      * (v * CAST(cb AS DOUBLE) - sb), 12) AS DECIMAL(38,12))) AS t
+       |  FROM belw GROUP BY it
+       |), so AS (
+       |  SELECT SUM(CAST(ROUND(CAST(t AS DOUBLE)
+       |    / CAST(ni - 1 AS DOUBLE), 12) AS DECIMAL(38,12))) AS s
+       |  FROM perl
+       |), marg AS (
+       |  SELECT v, CAST(SUM(c) AS BIGINT) AS ck FROM pair GROUP BY v
+       |), mb AS (
+       |  SELECT v, ck,
+       |    COALESCE(SUM(ck) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+       |    CAST(COALESCE(SUM(CAST(ROUND(CAST(ck AS DOUBLE) * v, 12)
+       |        AS DECIMAL(38,12)))
+       |      OVER (ORDER BY v
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS DOUBLE) AS sb
+       |  FROM marg
+       |), se AS (
+       |  SELECT CAST(SUM(CAST(ROUND(CAST(ck AS DOUBLE)
+       |    * (v * CAST(cb AS DOUBLE) - sb), 12) AS DECIMAL(38,12)))
+       |    AS DOUBLE) AS e
+       |  FROM mb
+       |)
+       |SELECT n_items, n_tot AS n_ratings, n_labels, 'linear' AS metric,
+       |  CASE WHEN se.e = 0 THEN NULL
+       |    ELSE ROUND(1.0 - CAST(n_tot - 1 AS DOUBLE) * CAST(so.s AS DOUBLE)
+       |      / se.e, 6) END AS alpha6
+       |FROM tot, so, se""".stripMargin,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +

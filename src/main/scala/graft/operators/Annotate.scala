@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Annotation-quality operators for labeled training data: multi-rater
@@ -235,6 +236,146 @@ object Annotate {
   }
 
   private def gcd(a: Long, b: Long): Long = if (b == 0L) a else gcd(b, a % b)
+
+  /** Krippendorff's alpha with a METRIC distance over NUMERIC levels —
+    * the graded-label completion of [[krippendorffAlpha]]: a 1-vs-2
+    * disagreement on a 5-point quality scale is not the same miss as
+    * 1-vs-5, and the nominal coefficient cannot see the difference.
+    * `metric = "interval"` uses squared distance `(v−w)²`
+    * (Krippendorff's interval metric); `metric = "linear"` uses
+    * `|v−w|` — the ordinal reading for equally-spaced numeric levels.
+    * (Krippendorff's own ordinal metric distances by cumulative
+    * marginal RANKS; for the equally-spaced scales labeling pipelines
+    * actually use, the linear metric is the standard substitute and
+    * keeps every distance a plain expression both engines share.)
+    * Labels must be NUMERIC — loud otherwise. When every distinct
+    * pair of levels is at distance exactly 1 (e.g. levels {0,1}),
+    * both metrics provably reduce to the nominal alpha.
+    *
+    * `α = 1 − D_o/D_e` computes WITHOUT any label-pair join:
+    *  - interval: per item `Σ_{c<c'} n_c n_c'(v_c−v_c')²
+    *    = n_i·Σn_cv² − (Σn_cv)²` — pure per-item moments; the
+    *    expected term is the same identity over the pooled marginals
+    *    (one aggregation row);
+    *  - linear: per item `Σ_{c<c'} n_c n_c'(v_{c'}−v_c)
+    *    = Σ_c n_c(v_c·cnt_below − sum_below)` off an item-partitioned
+    *    prefix over the CELLS (≤ scale-size rows per item — bounded,
+    *    unlike a window over raw ratings); the marginal term runs the
+    *    same prefix fold over the collected level marginals (loud
+    *    above 4096 distinct levels — a rating SCALE, not a
+    *    measurement stream).
+    * Term sums ride 12dp-exact decimals; the readout is one double
+    * ratio `1 − (n_tot−1)·S_o/S_e` on the 6-decimal gate. All-equal
+    * ratings: D_e = 0, alpha NULL (vacuous agreement). Items with one
+    * rating are excluded, [[krippendorffAlpha]]'s rule.
+    *
+    * Output: one row — (`n_items`, `n_ratings`, `n_labels`, `metric`,
+    * `alpha6`). */
+  def krippendorffAlphaMetric(
+      df: DataFrame, itemCol: String, raterCol: String, labelCol: String,
+      metric: String = "interval"): DataFrame = {
+    require(metric == "interval" || metric == "linear",
+      s"krippendorffAlphaMetric: metric '$metric' must be 'interval' " +
+        "(squared distance) or 'linear' (absolute distance)")
+    val dt = df.schema(labelCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"krippendorffAlphaMetric: label column '$labelCol' must be " +
+        s"numeric for metric distances (got ${dt.simpleString}); use " +
+        "krippendorffAlpha for nominal labels")
+    val cells = annotationCellsOf(df, itemCol, raterCol, labelCol,
+      "krippendorffAlphaMetric").localCheckpoint()
+    try krippendorffAlphaMetricFromCells(cells, metric)
+    finally Blocks.release(cells)
+  }
+
+  /** [[krippendorffAlphaMetric]]'s readout over accumulated
+    * `(__it, __l, __c)` state — the FOURTH reader of the maintained
+    * cell table (the labels must round-trip as numbers). */
+  private[graft] def krippendorffAlphaMetricFromCells(
+      cells: DataFrame, metric: String): DataFrame = {
+    val spark = cells.sparkSession
+    val Dec12 = "decimal(38,12)"
+    def d12(c: Column) = round(c, 12).cast(Dec12)
+    def dz = lit(0).cast(Dec12)
+    val base = cells.select(col("__it"),
+      col("__l").cast("double").as("__v"), col("__c"))
+    val per0 = base.groupBy("__it").agg(sum(col("__c")).as("__ni"))
+      .filter(col("__ni") >= 2L)
+    val pairable = base.join(per0, Seq("__it"))
+    val cd = col("__c").cast("double")
+    val soDec: java.math.BigDecimal = metric match {
+      case "interval" =>
+        val per = pairable.groupBy("__it").agg(
+          max(col("__ni")).as("__ni"),
+          coalesce(sum(d12(cd * col("__v"))), dz).as("__sv"),
+          coalesce(sum(d12(cd * col("__v") * col("__v"))), dz).as("__sv2"))
+        per.agg(coalesce(sum(d12(
+            (col("__ni").cast("double") * col("__sv2").cast("double")
+              - col("__sv").cast("double") * col("__sv").cast("double"))
+              / (col("__ni") - lit(1L)).cast("double"))), dz))
+          .head().getDecimal(0)
+      case _ =>
+        val w = Window.partitionBy("__it").orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val below = pairable
+          .withColumn("__cb", coalesce(sum(col("__c")).over(w), lit(0L)))
+          .withColumn("__sb",
+            coalesce(sum(d12(cd * col("__v"))).over(w), dz))
+        val per = below.groupBy("__it").agg(
+          max(col("__ni")).as("__ni"),
+          coalesce(sum(d12(cd * (col("__v") * col("__cb").cast("double")
+            - col("__sb").cast("double")))), dz).as("__t"))
+        per.agg(coalesce(sum(d12(col("__t").cast("double")
+            / (col("__ni") - lit(1L)).cast("double"))), dz))
+          .head().getDecimal(0)
+    }
+    val tot = pairable.agg(
+      count_distinct(col("__it")).as("n_items"),
+      coalesce(sum(col("__c")), lit(0L)).as("n_tot"),
+      count_distinct(col("__v")).as("n_labels"),
+      coalesce(sum(d12(cd * col("__v"))), dz).as("snv"),
+      coalesce(sum(d12(cd * col("__v") * col("__v"))), dz).as("snv2"))
+      .head()
+    val (nItems, nTot, nLabels) =
+      (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    require(nItems > 0L,
+      "krippendorffAlphaMetric: no item has 2+ ratings")
+    val seD: Double = metric match {
+      case "interval" =>
+        nTot.toDouble * tot.getDecimal(4).doubleValue -
+          tot.getDecimal(3).doubleValue * tot.getDecimal(3).doubleValue
+      case _ =>
+        val marg = pairable.groupBy("__v").agg(sum(col("__c")).as("__ck"))
+          .orderBy("__v").collect()
+        require(marg.length <= 4096,
+          s"krippendorffAlphaMetric: ${marg.length} distinct levels " +
+            "exceeds the rating-scale guard (4096) — a linear-metric " +
+            "alpha over a measurement stream is not an agreement study")
+        // Spark's round(double, 12) semantics: BigDecimal.valueOf
+        def r12(x: Double): java.math.BigDecimal =
+          java.math.BigDecimal.valueOf(x)
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+        var cb = 0L
+        var sb = java.math.BigDecimal.ZERO
+        var se = java.math.BigDecimal.ZERO
+        marg.foreach { r =>
+          val (v, ck) = (r.getDouble(0), r.getLong(1))
+          se = se.add(r12(ck.toDouble *
+            (v * cb.toDouble - sb.doubleValue)))
+          cb += ck
+          sb = sb.add(r12(ck.toDouble * v))
+        }
+        se.doubleValue
+    }
+    val alpha6: Option[Double] =
+      if (seD == 0.0) None
+      else Some(BigDecimal(
+          1.0 - (nTot - 1L).toDouble * soDec.doubleValue / seD)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    import spark.implicits._
+    Seq((nItems, nTot, nLabels, metric, alpha6))
+      .toDF("n_items", "n_ratings", "n_labels", "metric", "alpha6")
+  }
 
   /** Majority-vote label consolidation — the consensus label per item
     * with a DETERMINISTIC tie rule (most votes, ties to the

@@ -82,8 +82,11 @@ object Preference {
     *
     * Scale shape: comparisons collapse in ONE map-side-combined pass
     * onto ordered-pair win counts — bounded by the model-vocabulary
-    * square, never the comparison count — behind a count-first guard
-    * (`maxModels`, default 4096: k² doubles on the driver). The MM
+    * square, never the comparison count — behind TWO count-first
+    * guards: `maxPairs` (default 2²¹) bounds the directed pair rows
+    * actually collected (the true driver cost — a dense tournament
+    * fills k(k−1) cells), and `maxModels` (default 4096) bounds the
+    * k² working matrix the MM loop allocates. The MM
     * loop is driver arithmetic on that bounded matrix, exactly the
     * [[Linkage.estimateFsParams]] discipline. Output: one row per
     * model — (`model`, `n_wins`, `n_comparisons`, `rating6`, `rnk`),
@@ -91,13 +94,14 @@ object Preference {
     * reorder engines. */
   def bradleyTerry(
       df: DataFrame, winnerCol: String, loserCol: String,
-      iters: Int = 25, maxModels: Int = 4096): DataFrame = {
+      iters: Int = 25, maxModels: Int = 4096,
+      maxPairs: Long = 2097152L): DataFrame = {
     val c = winCountsOf(df, winnerCol, loserCol, "bradleyTerry")
       .localCheckpoint()
     // the readout is eager (driver MM), so the checkpoint releases
     // here; fromCounts itself never releases state it does not own —
     // callers fold ONE state table into several readers
-    try bradleyTerryFromCounts(c, iters, maxModels)
+    try bradleyTerryFromCounts(c, iters, maxModels, maxPairs)
     finally Blocks.release(c)
   }
 
@@ -143,11 +147,22 @@ object Preference {
     * state — shared verbatim by the batch operator, the incremental
     * fold, and the streaming monitor. */
   private[graft] def bradleyTerryFromCounts(
-      c: DataFrame, iters: Int = 25, maxModels: Int = 4096): DataFrame = {
+      c: DataFrame, iters: Int = 25, maxModels: Int = 4096,
+      maxPairs: Long = 2097152L): DataFrame = {
     require(iters >= 1 && iters <= 10000,
       s"bradleyTerry: iters ($iters) must be in [1, 10000]")
     val spark = c.sparkSession
     locally {
+      // the DRIVER bound is the directed-pair cardinality — the rows
+      // about to be collected (already aggregated, so counting them
+      // is cheap); k <= maxModels alone would admit a dense 4096-model
+      // tournament's ~16.7M pair rows onto the driver
+      val nPairs = c.count()
+      require(nPairs <= maxPairs,
+        s"bradleyTerry: $nPairs directed win-count pairs exceeds " +
+          s"maxPairs ($maxPairs) — the collected pair table must stay " +
+          "driver-bounded; raise the guard deliberately or shard the " +
+          "tournament")
       val k = c.select(explode(array(col("__w"), col("__l"))).as("m"))
         .distinct().count()
       require(k >= 2L, s"bradleyTerry: $k model(s) — need at least 2")

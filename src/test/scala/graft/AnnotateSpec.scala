@@ -119,4 +119,76 @@ class AnnotateSpec extends AnyFunSuite {
     // Wilson upper bound at 1/4 is ~0.699 < 0.7 -> flagged
     assert(got(2).getDouble(5) < 0.7 && got(2).getBoolean(6))
   }
+
+  // hand case: A rated 1,2; B rated 1,1; C rated 2,4,4
+  private def metricRatings = table("it string, r string, l int", Seq(
+    row("A", "r1", 1), row("A", "r2", 2),
+    row("B", "r1", 1), row("B", "r2", 1),
+    row("C", "r1", 2), row("C", "r2", 4), row("C", "r3", 4)))
+
+  test("krippendorffAlphaMetric: hand-computed interval case") {
+    // S_o: A: 2*5-9=1; B: 0; C: (3*36-100)/2=4 -> 5
+    // S_e: 7*43 - 15^2 = 76; alpha = 1 - 6*5/76 = 0.605263
+    val got = Annotate.krippendorffAlphaMetric(
+      metricRatings, "it", "r", "l", "interval").head()
+    assert(got.getLong(0) == 3L && got.getLong(1) == 7L &&
+      got.getLong(2) == 3L && got.getString(3) == "interval")
+    assert(got.getDouble(4) == 0.605263)
+  }
+
+  test("krippendorffAlphaMetric: hand-computed linear case") {
+    // S_o: A: 1; B: 0; C: 4/2=2 -> 3
+    // S_e: pairs (1,2):6 (1,4):18 (2,4):8 -> 32; alpha = 1 - 18/32
+    val got = Annotate.krippendorffAlphaMetric(
+      metricRatings, "it", "r", "l", "linear").head()
+    assert(got.getString(3) == "linear")
+    assert(got.getDouble(4) == 0.4375)
+  }
+
+  test("krippendorffAlphaMetric: 0/1 levels reduce to the nominal alpha") {
+    val df = table("it string, r string, l int", Seq(
+      row("A", "r1", 0), row("A", "r2", 0), row("A", "r3", 1),
+      row("B", "r1", 1), row("B", "r2", 1),
+      row("C", "r1", 0), row("C", "r2", 1),
+      row("D", "r1", 0), row("D", "r2", 0)))
+    val nominal = Annotate.krippendorffAlpha(df, "it", "r", "l")
+      .head().getDouble(3)
+    Seq("interval", "linear").foreach { m =>
+      val a = Annotate.krippendorffAlphaMetric(df, "it", "r", "l", m)
+        .head().getDouble(4)
+      assert(a == nominal, s"metric $m must equal nominal on 0/1 levels")
+    }
+  }
+
+  test("krippendorffAlphaMetric: degenerate NULL, exclusions, loud guards") {
+    // all ratings identical: D_e = 0 -> NULL alpha
+    val same = table("it string, r string, l int", Seq(
+      row("A", "r1", 3), row("A", "r2", 3), row("B", "r1", 3),
+      row("B", "r2", 3)))
+    assert(Annotate.krippendorffAlphaMetric(same, "it", "r", "l")
+      .head().isNullAt(4))
+    // single-rating items are excluded from every statistic
+    val got = Annotate.krippendorffAlphaMetric(
+      metricRatings.unionByName(table("it string, r string, l int",
+        Seq(row("Z", "r1", 5)))), "it", "r", "l", "interval").head()
+    assert(got.getLong(0) == 3L && got.getLong(1) == 7L &&
+      got.getDouble(4) == 0.605263)
+    val e1 = intercept[IllegalArgumentException] {
+      Annotate.krippendorffAlphaMetric(
+        table("it string, r string, l string", Seq(row("A", "r1", "x"))),
+        "it", "r", "l")
+    }
+    assert(e1.getMessage.contains("must be numeric"))
+    val e2 = intercept[IllegalArgumentException] {
+      Annotate.krippendorffAlphaMetric(metricRatings, "it", "r", "l",
+        "ordinal-rank")
+    }
+    assert(e2.getMessage.contains("metric"))
+    val e3 = intercept[IllegalArgumentException] {
+      Annotate.krippendorffAlphaMetric(
+        table("it string, r string, l int", Seq(row("A", "r1", 1))),
+        "it", "r", "l").head()
+    }
+    assert(e3.getMessage.contains("no item has 2+"))
+  }
 }

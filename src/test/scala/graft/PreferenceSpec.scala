@@ -90,4 +90,23 @@ class PreferenceSpec extends AnyFunSuite {
     assert(got.toSeq.take(6) == Seq(3L, 3L, 2L, 1L, 0L, 0L))
     assert(got.isNullAt(6))
   }
+
+  test("bradleyTerry: dense tournament trips the pair guard, not the model one") {
+    // 30 models, full round robin both directions: 870 directed pairs
+    // is well under 30^2 models-squared intuition but is the ACTUAL
+    // driver cost — the guard must count pairs
+    val models = (0 until 30).map(i => f"m$i%02d")
+    val dense = table("w string, l string",
+      for { a <- models; b <- models if a != b } yield row(a, b))
+    val e = intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(dense, "w", "l", maxPairs = 500L)
+    }
+    assert(e.getMessage.contains("870 directed win-count pairs") &&
+      e.getMessage.contains("maxPairs"))
+    // at the default bound the same tournament fits and ties flat
+    val ok = Preference.bradleyTerry(dense, "w", "l")
+    assert(ok.count() == 30L)
+    val ratings = ok.collect().map(_.getDouble(3)).distinct
+    assert(ratings.length == 1, "symmetric round robin rates all equal")
+  }
 }
