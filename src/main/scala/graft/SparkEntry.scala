@@ -6582,6 +6582,27 @@ object SparkEntry {
     graft.operators.Annotate.krippendorffAlphaMetric(
       ordinalRatings(s, dir), "doc_id", "rater", "score", "linear")
 
+  // ---------------------------------------------------------------- q355
+  /** Kaplan–Meier retention curve ([[graft.operators.Events
+    * .kaplanMeier]]): each user's observed lifetime (whole days
+    * between first and last event), right-censored for users still
+    * active in the corpus's final week — the unbiased survival
+    * readout q93's fixed-offset cohort matrix cannot give. Risk sets
+    * and the ln-product ride the range-partitioned prefix machinery;
+    * the oracle replays risk sets, fixed-point ln terms, and the
+    * exponentiated product. */
+  private def q355KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val censorUs = 1706054400000000L // 2024-01-24T00:00Z
+    val users = Tables.events(s, dir).groupBy("user_id").agg(
+        min(unix_micros(col("ts"))).as("__f"),
+        max(unix_micros(col("ts"))).as("__l"))
+      .select(
+        floor((col("__l") - col("__f")).cast("double") /
+          lit(8.64e10)).as("dur_days"),
+        (col("__l") < censorUs).as("observed"))
+    graft.operators.Events.kaplanMeier(users, "dur_days", "observed")
+  }
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -7005,6 +7026,7 @@ object SparkEntry {
     "q352_cuped_report" -> (q352CupedReport _),
     "q353_interval_alpha" -> (q353IntervalAlpha _),
     "q354_linear_alpha" -> (q354LinearAlpha _),
+    "q355_kaplan_meier" -> (q355KaplanMeier _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -13661,6 +13683,49 @@ object SparkEntry {
        |    ELSE ROUND(1.0 - CAST(n_tot - 1 AS DOUBLE) * CAST(so.s AS DOUBLE)
        |      / se.e, 6) END AS alpha6
        |FROM tot, so, se""".stripMargin,
+    "q355_kaplan_meier" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(MIN(ts)) AS f, epoch_us(MAX(ts)) AS l
+        |  FROM events GROUP BY user_id
+        |), subj AS (
+        |  SELECT FLOOR(CAST(l - f AS DOUBLE) / 8.64e10) AS t,
+        |    (l < 1706054400000000) AS obs
+        |  FROM u
+        |), g AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY t
+        |), tot AS (
+        |  SELECT CAST(SUM(d + c) AS BIGINT) AS total FROM g
+        |), pre AS (
+        |  SELECT g.t, g.d, g.c, tot.total,
+        |    CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS p
+        |  FROM g, tot
+        |), term AS (
+        |  SELECT t, total - p AS n, d, c,
+        |    CASE WHEN d > 0 AND d < total - p
+        |      THEN CAST(CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE)
+        |          / CAST(total - p AS DOUBLE)), 12) AS DECIMAL(28,12))
+        |        * 1000000000000 AS BIGINT)
+        |      ELSE 0 END AS lt,
+        |    CASE WHEN d = total - p THEN 1 ELSE 0 END AS z
+        |  FROM pre
+        |), cum AS (
+        |  SELECT t, n, d, c,
+        |    SUM(lt) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp,
+        |    SUM(z) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zp
+        |  FROM term
+        |)
+        |SELECT t, n AS n_risk, d AS n_events, c AS n_censored,
+        |  CASE WHEN zp > 0 THEN 0.0
+        |    ELSE ROUND(exp(CAST(lp AS DOUBLE) / 1e12), 6)
+        |    END AS survival6
+        |FROM cum ORDER BY t""".stripMargin,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +

@@ -130,6 +130,81 @@ object Events {
       .agg(countDistinct(col(keyCol)).as("n_keys"))
   }
 
+  /** Kaplan–Meier survival (retention) curve over RIGHT-CENSORED
+    * durations — the survival-analysis completion of
+    * [[cohortRetention]]: the cohort matrix reads retention at fixed
+    * offsets but silently treats a user whose observation window
+    * simply ENDED as churned; KM credits a censored user to every
+    * risk set up to their last-seen duration and to none after, the
+    * unbiased estimate when users join continuously. One row per
+    * subject: `durationCol` (time observed, must be >= 0) and
+    * `observedCol` (true = the event/churn happened at that duration;
+    * false = censored there). At each distinct duration `t` with
+    * `n_t` at risk and `d_t` events, `S(t) = Π_{s<=t} (1 − d_s/n_s)`
+    * — the product over EVENT times only; censoring times appear in
+    * the output with the survival carried forward.
+    *
+    * Scale shape: subjects collapse onto the distinct-duration grid
+    * in one map-side-combined pass; risk sets are `total − prefix`
+    * off ONE range-partitioned prefix sum
+    * ([[General.withRunningTotal]] — never a global one-partition
+    * window); the cumulative product runs as a SECOND prefix sum of
+    * 12dp fixed-point `ln(1 − d/n)` terms (exact longs — shard
+    * order provably cannot move a digit) exponentiated at readout
+    * on the 6dp gate. A risk set fully consumed (`d = n`) drops
+    * survival to EXACTLY 0 from that duration on (a prefix-summed
+    * flag, never `exp(−∞)`). Duration grids past 200k distinct
+    * values are refused loudly (the fixed-point budget — coarsen the
+    * duration unit). NULL duration/observed rows are excluded;
+    * negative durations fail loudly.
+    *
+    * Output: one row per distinct duration — (`t`, `n_risk`,
+    * `n_events`, `n_censored`, `survival6`), duration ascending. */
+  def kaplanMeier(
+      df: DataFrame, durationCol: String, observedCol: String): DataFrame = {
+    TempCols.reserve(df, "kaplanMeier",
+      "__t", "__o", "__d", "__c", "__dc", "__pre", "__n", "__lt", "__z",
+      "__lp", "__zp")
+    val rows = df
+      .filter(col(durationCol).isNotNull && col(observedCol).isNotNull)
+      .select(col(durationCol).cast("double").as("__t"),
+        col(observedCol).cast("boolean").as("__o"))
+    val g = rows.groupBy("__t").agg(
+        sum(when(col("__o"), 1L).otherwise(0L)).as("__d"),
+        sum(when(!col("__o"), 1L).otherwise(0L)).as("__c"))
+      .withColumn("__dc", col("__d") + col("__c"))
+    val chk = g.agg(count(lit(1)),
+      coalesce(sum(col("__dc")), lit(0L)),
+      coalesce(min(col("__t")), lit(0.0))).head()
+    val (nGrid, total, minT) =
+      (chk.getLong(0), chk.getLong(1), chk.getDouble(2))
+    require(total > 0L, "kaplanMeier: no complete (duration, observed) rows")
+    require(minT >= 0.0,
+      s"kaplanMeier: negative duration $minT — durations are time spans")
+    require(nGrid <= 200000L,
+      s"kaplanMeier: $nGrid distinct durations exceeds the fixed-point " +
+        "budget (200000) — coarsen the duration unit (days, not micros)")
+    val pre = General.withRunningTotal(g, Seq("__t"), "__dc", "__pre")
+    val atRisk = lit(total) - col("__pre")
+    val lnTerm = when(col("__d") > 0L && col("__d") < atRisk,
+      (round(log(lit(1.0) -
+          col("__d").cast("double") / atRisk.cast("double")), 12)
+        .cast("decimal(28,12)") * lit(1000000000000L)).cast("long"))
+      .otherwise(lit(0L))
+    val withT = pre.withColumn("__n", atRisk)
+      .withColumn("__lt", lnTerm)
+      .withColumn("__z", when(col("__d") === col("__n"), 1L).otherwise(0L))
+    val p2 = General.withRunningTotal(withT, Seq("__t"), "__lt", "__lp")
+    val p3 = General.withRunningTotal(p2, Seq("__t"), "__z", "__zp")
+    p3.select(col("__t").as("t"), col("__n").as("n_risk"),
+        col("__d").as("n_events"), col("__c").as("n_censored"),
+        when(col("__zp") + col("__z") > 0L, lit(0.0))
+          .otherwise(round(exp(
+            (col("__lp") + col("__lt")).cast("double") / lit(1.0e12)), 6))
+          .as("survival6"))
+      .orderBy("t")
+  }
+
   /** Rolling event-time window features: for every event, the count
     * and (decimal-exact) sum of `valueCol` over this key's events in
     * the PRECEDING `windowSec` seconds, inclusive of the current row —

@@ -254,6 +254,62 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
       ("1970-01-12", 0, 1L)))
   }
 
+  test("kaplanMeier: hand-computed curve with censoring carried forward") {
+    // events at 1,2,4; censored at 3,5:
+    // S(1)=4/5=0.8, S(2)=0.8*3/4=0.6, S(3)=0.6 (censor only),
+    // S(4)=0.6*1/2=0.3, S(5)=0.3
+    val df = table("dur double, obs boolean", Seq(
+      row(1.0, true), row(2.0, true), row(3.0, false),
+      row(4.0, true), row(5.0, false)))
+    val got = Events.kaplanMeier(df, "dur", "obs").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1.0, 5L, 1L, 0L, 0.8), (2.0, 4L, 1L, 0L, 0.6),
+      (3.0, 3L, 0L, 1L, 0.6), (4.0, 2L, 1L, 0L, 0.3),
+      (5.0, 1L, 0L, 1L, 0.3)))
+  }
+
+  test("kaplanMeier: tied event times share one risk set") {
+    // two events at t=1 out of 4: S(1) = 1 - 2/4 = 0.5
+    // at t=2: one event, one censor, n=2: S(2) = 0.5 * 0.5 = 0.25
+    val df = table("dur double, obs boolean", Seq(
+      row(1.0, true), row(1.0, true), row(2.0, false), row(2.0, true)))
+    val got = Events.kaplanMeier(df, "dur", "obs").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((1.0, 4L, 2L, 0L, 0.5), (2.0, 2L, 1L, 1L, 0.25)))
+  }
+
+  test("kaplanMeier: exhausted risk set reads exactly 0; censoring differs") {
+    val df = table("dur double, obs boolean", Seq(
+      row(1.0, true), row(2.0, true), row(2.0, true)))
+    val got = Events.kaplanMeier(df, "dur", "obs").collect()
+    assert(got(0).getDouble(4) == 0.666667)
+    assert(got(1).getDouble(4) == 0.0)
+    // the SAME durations censored instead: survival never drops to 0
+    val cen = table("dur double, obs boolean", Seq(
+      row(1.0, true), row(2.0, false), row(2.0, false)))
+    val got2 = Events.kaplanMeier(cen, "dur", "obs").collect()
+    assert(got2(1).getDouble(4) == 0.666667)
+  }
+
+  test("kaplanMeier: NULLs excluded, negative and empty loud") {
+    val df = table("dur double, obs boolean", Seq(
+      row(1.0, true), row(2.0, true), row(null, true), row(3.0, null)))
+    assert(Events.kaplanMeier(df, "dur", "obs").count() == 2L)
+    val e1 = intercept[IllegalArgumentException] {
+      Events.kaplanMeier(table("dur double, obs boolean",
+        Seq(row(-1.0, true))), "dur", "obs").head()
+    }
+    assert(e1.getMessage.contains("negative duration"))
+    val e2 = intercept[IllegalArgumentException] {
+      Events.kaplanMeier(table("dur double, obs boolean",
+        Seq(row(null, true))), "dur", "obs").head()
+    }
+    assert(e2.getMessage.contains("no complete"))
+  }
+
   test("rollingWindow: range bounds are inclusive and equal timestamps are peers") {
     val df = table("u bigint, t_us bigint, v double", Seq(
       row(1L, 0L, 1.0),
