@@ -6583,24 +6583,113 @@ object SparkEntry {
       ordinalRatings(s, dir), "doc_id", "rater", "score", "linear")
 
   // ---------------------------------------------------------------- q355
-  /** Kaplan–Meier retention curve ([[graft.operators.Events
-    * .kaplanMeier]]): each user's observed lifetime (whole days
-    * between first and last event), right-censored for users still
-    * active in the corpus's final week — the unbiased survival
-    * readout q93's fixed-offset cohort matrix cannot give. Risk sets
-    * and the ln-product ride the range-partitioned prefix machinery;
-    * the oracle replays risk sets, fixed-point ln terms, and the
+  /** Kaplan–Meier time-to-conversion curve ([[graft.operators.Events
+    * .kaplanMeier]]): duration = whole days from a user's first event
+    * to their 14th purchase (q199's conversion bar), RIGHT-CENSORED
+    * at last-seen for users who never reach it (~54% at sf0.01 — a
+    * genuinely mixed curve, the case q93's fixed-offset cohort matrix
+    * biases by counting censored users as churned). Risk sets and the
+    * ln-product ride the range-partitioned prefix machinery; the
+    * oracle replays risk sets, fixed-point ln terms, and the
     * exponentiated product. */
-  private def q355KaplanMeier(s: SparkSession, dir: String): DataFrame = {
-    val censorUs = 1706054400000000L // 2024-01-24T00:00Z
-    val users = Tables.events(s, dir).groupBy("user_id").agg(
-        min(unix_micros(col("ts"))).as("__f"),
-        max(unix_micros(col("ts"))).as("__l"))
-      .select(
-        floor((col("__l") - col("__f")).cast("double") /
-          lit(8.64e10)).as("dur_days"),
-        (col("__l") < censorUs).as("observed"))
-    graft.operators.Events.kaplanMeier(users, "dur_days", "observed")
+  private def q355KaplanMeier(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.kaplanMeier(
+      survivalSubjects(s, dir), "dur_days", "observed")
+
+  // ---------------------------------------------------------------- q356
+  /** The survival fixture shared by q355–q357: one subject row per
+    * user — time-to-14th-purchase in whole days from the user's first
+    * event, right-censored at last-seen when the bar is never reached
+    * (the sorted per-user purchase-micros array makes the 14th order
+    * statistic engine-exact; the ANSI-fatal element_at is guarded by
+    * the lazy size check), plus the user's FIRST event type
+    * (deterministic string-min over a zero-padded (micros, type)
+    * key — both engines take the same byte min) and the even/odd
+    * null-split calibration arm. */
+  private def survivalSubjects(s: SparkSession, dir: String): DataFrame = {
+    val micros = unix_micros(col("ts"))
+    val converted = size(col("__ps")) >= 14
+    Tables.events(s, dir).groupBy("user_id").agg(
+        min(micros).as("__f"), max(micros).as("__l"),
+        sort_array(collect_list(
+          when(col("event_type") === "purchase", micros))).as("__ps"),
+        regexp_extract(min(concat(
+          lpad(micros.cast("string"), 20, "0"),
+          lit(":"), col("event_type"))), ":(.*)", 1).as("first_type"))
+      .select(col("user_id"), col("first_type"),
+        when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))
+          .as("parity"),
+        converted.as("observed"),
+        when(converted,
+          floor((element_at(col("__ps"), 14) - col("__f")).cast("double") /
+            lit(8.64e10)))
+          .otherwise(
+            floor((col("__l") - col("__f")).cast("double") / lit(8.64e10)))
+          .as("dur_days"))
+  }
+
+  /** Per-cohort Kaplan–Meier ([[graft.operators.Events
+    * .kaplanMeierByGroup]]): one retention curve per first-event
+    * type — the per-slice completion of q355, group-local risk sets
+    * and ln-products off the shared range-partitioned prefix
+    * machinery with first-row carry recovery. */
+  private def q356GroupKaplanMeier(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.kaplanMeierByGroup(
+      survivalSubjects(s, dir), "first_type", "dur_days", "observed")
+
+  // ---------------------------------------------------------------- q357
+  /** Two-sample log-rank test ([[graft.operators.Events
+    * .logRankTest]]) on the even/odd user split — which this
+    * synthetic generator turns out to correlate with purchase
+    * propensity: the test reads z ≈ −2.9 at sf0.01 (even users
+    * convert FASTER than the pooled risk sets predict), exactly the
+    * censoring-honest difference a naive mean-duration comparison
+    * muddles. The true-null negative control lives in the spec
+    * (identical groups read exactly 0). Hypergeometric terms as
+    * 12dp-exact decimal sums over the pooled duration grid. */
+  private def q357LogRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.logRankTest(
+      survivalSubjects(s, dir), "parity", "dur_days", "observed")
+
+  // ---------------------------------------------------------------- q358
+  /** Per-domain row cap ([[graft.operators.Corpus.capGroupShare]]
+    * over [[graft.functions.UrlFunctions.registeredDomain]]): no
+    * registered domain keeps more than 1% of the corpus (floored at
+    * one survivor each) — the document-level mixture control next to
+    * the weight-level recipe, survivors the smallest portable hashes
+    * so the kept set is rerun- and engine-stable. */
+  private def q358DomainCap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UrlFunctions
+    val withDom = q349UrlCorpus(s, dir).select(col("doc_id"),
+      UrlFunctions.registeredDomain(
+        UrlFunctions.urlHost(col("url")), Q350Suffixes).as("domain"))
+    graft.operators.Corpus
+      .capGroupShare(withDom, Seq("domain"), "doc_id", 0.01, "cap1")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc_id"))
+      .orderBy("domain")
+  }
+
+  // ---------------------------------------------------------------- q359
+  /** Incremental URL-ledger dedup ([[graft.operators.Dedup
+    * .incrementalKeyDedup]]): q349's corpus arriving as two
+    * id-ordered shards — the first shard's winners seed a keys-only
+    * ledger, the second ingests against it without rescanning shard
+    * one; because the split is id-ordered, the union of winners is
+    * PROVABLY the batch dedup and is held to q349's VERBATIM oracle
+    * (the q131/q133 maintained-family pattern). */
+  private def q359IncUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UrlFunctions
+    val all = q349UrlCorpus(s, dir).select(col("doc_id"),
+      UrlFunctions.urlNormalize(col("url")).as("url"))
+    val w1 = Dedup.exactDedupIds(
+      all.filter(col("doc_id") < 400L), Seq("url"), "doc_id")
+    val kept = Dedup.incrementalKeyDedup(
+      all.filter(col("doc_id") >= 400L), "url", "doc_id",
+      w1.select("url"), "url")
+    w1.unionByName(kept)
+      .select(col("url"), col("doc_id").as("first_doc_id"))
+      .orderBy("url")
   }
 
   // ---------------------------------------------------------------- q349
@@ -7027,6 +7116,10 @@ object SparkEntry {
     "q353_interval_alpha" -> (q353IntervalAlpha _),
     "q354_linear_alpha" -> (q354LinearAlpha _),
     "q355_kaplan_meier" -> (q355KaplanMeier _),
+    "q356_group_kaplan_meier" -> (q356GroupKaplanMeier _),
+    "q357_logrank" -> (q357LogRank _),
+    "q358_domain_cap" -> (q358DomainCap _),
+    "q359_incremental_url_dedup" -> (q359IncUrlDedup _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7952,6 +8045,29 @@ object SparkEntry {
        |    ${csum(s"$x*$y")} AS sxy
        |  FROM b GROUP BY g""".stripMargin
   }
+
+  /** The survival subjects shared by q355/q356/q357 —
+    * [[survivalSubjects]]'s derivation verbatim: per user, the
+    * first-event micros, last-seen micros, the sorted purchase-micros
+    * list (its 14th element IS the conversion instant), the first
+    * event type, and the parity arm. */
+  private val survivalSubjectsCte: String =
+    """u AS (
+      |  SELECT user_id, epoch_us(MIN(ts)) AS f, epoch_us(MAX(ts)) AS l,
+      |    list_sort(list(epoch_us(ts)) FILTER (event_type = 'purchase'))
+      |      AS ps,
+      |    regexp_extract(MIN(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+      |      ':' || event_type), ':(.*)', 1) AS ft
+      |  FROM events GROUP BY user_id
+      |), subj AS (
+      |  SELECT ft,
+      |    CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS par,
+      |    (len(ps) >= 14) AS obs,
+      |    CASE WHEN len(ps) >= 14
+      |      THEN FLOOR(CAST(ps[14] - f AS DOUBLE) / 8.64e10)
+      |      ELSE FLOOR(CAST(l - f AS DOUBLE) / 8.64e10) END AS t
+      |  FROM u
+      |)""".stripMargin
 
   /** Shared by q353/q354: the ordinal 1–5 panel
     * ([[ordinalRatings]]'s derivation verbatim) down to the pairable
@@ -13494,6 +13610,44 @@ object SparkEntry {
         |FROM terms, tot t GROUP BY t.p, t.nn""".stripMargin,
     "q349_url_dedup" -> (urlDedupOracleCte +
       "\nSELECT url, first_doc_id FROM dedup ORDER BY url"),
+    // the incremental ledger fold is held to the batch recompute —
+    // the q131/q133 maintained-family pattern
+    "q359_incremental_url_dedup" -> (urlDedupOracleCte +
+      "\nSELECT url, first_doc_id FROM dedup ORDER BY url"),
+    "q358_domain_cap" -> (urlDedupOracleCte + s"""
+       |, dom AS (
+       |  SELECT doc_id, host,
+       |    COALESCE(substr(list_aggregate(list_transform(list_filter(
+       |      [${Q350Suffixes.map(s => s"'$s'").mkString(", ")}],
+       |      s -> host = s OR ends_with(host, '.' || s)),
+       |      s -> lpad(CAST(length(s) AS VARCHAR), 4, '0') || ':' || s),
+       |      'max'), 6),
+       |      regexp_extract(host, '([^.]*)$$', 1)) AS suf
+       |  FROM comp
+       |), reg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN host = suf OR lastl = '' THEN NULL
+       |         ELSE lastl || '.' || suf END AS domain
+       |  FROM (SELECT doc_id, host, suf,
+       |      regexp_extract(
+       |        CASE WHEN length(host) - length(suf) - 1 > 0
+       |             THEN substr(host, 1, length(host) - length(suf) - 1)
+       |             ELSE '' END, '([^.]*)$$', 1) AS lastl
+       |    FROM dom)
+       |), tt AS (
+       |  SELECT COUNT(*) AS n FROM reg
+       |), rk AS (
+       |  SELECT doc_id, domain,
+       |    ROW_NUMBER() OVER (PARTITION BY domain
+       |      ORDER BY ${hash32Sql("'cap1:' || CAST(doc_id AS VARCHAR)")},
+       |        doc_id) - 1 AS rk
+       |  FROM reg
+       |), cap AS (
+       |  SELECT GREATEST(1, CAST(FLOOR(0.01 * n) AS BIGINT)) AS c FROM tt
+       |)
+       |SELECT domain, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
+       |FROM rk, cap WHERE rk < cap.c
+       |GROUP BY domain ORDER BY domain""".stripMargin),
     "q350_domain_rollup" -> (urlDedupOracleCte + s"""
        |, dom AS (
        |  SELECT first_doc_id,
@@ -13684,14 +13838,7 @@ object SparkEntry {
        |      / se.e, 6) END AS alpha6
        |FROM tot, so, se""".stripMargin,
     "q355_kaplan_meier" ->
-      """WITH u AS (
-        |  SELECT user_id, epoch_us(MIN(ts)) AS f, epoch_us(MAX(ts)) AS l
-        |  FROM events GROUP BY user_id
-        |), subj AS (
-        |  SELECT FLOOR(CAST(l - f AS DOUBLE) / 8.64e10) AS t,
-        |    (l < 1706054400000000) AS obs
-        |  FROM u
-        |), g AS (
+      s"""WITH $survivalSubjectsCte, g AS (
         |  SELECT t,
         |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
         |    CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
@@ -13726,6 +13873,95 @@ object SparkEntry {
         |    ELSE ROUND(exp(CAST(lp AS DOUBLE) / 1e12), 6)
         |    END AS survival6
         |FROM cum ORDER BY t""".stripMargin,
+    "q356_group_kaplan_meier" ->
+      s"""WITH $survivalSubjectsCte, cells AS (
+        |  SELECT ft AS g, t,
+        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY g, t
+        |), tot AS (
+        |  SELECT g, CAST(SUM(d + c) AS BIGINT) AS total
+        |  FROM cells GROUP BY g
+        |), pre AS (
+        |  SELECT cells.g, t, d, c, tot.total,
+        |    CAST(COALESCE(SUM(d + c) OVER (PARTITION BY cells.g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS p
+        |  FROM cells JOIN tot ON cells.g = tot.g
+        |), term AS (
+        |  SELECT g, t, total - p AS n, d, c,
+        |    CASE WHEN d > 0 AND d < total - p
+        |      THEN CAST(CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE)
+        |          / CAST(total - p AS DOUBLE)), 12) AS DECIMAL(28,12))
+        |        * 1000000000000 AS BIGINT)
+        |      ELSE 0 END AS lt,
+        |    CASE WHEN d = total - p THEN 1 ELSE 0 END AS z
+        |  FROM pre
+        |), cum AS (
+        |  SELECT g, t, n, d, c,
+        |    SUM(lt) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp,
+        |    SUM(z) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zp
+        |  FROM term
+        |)
+        |SELECT g, t, n AS n_risk, d AS n_events, c AS n_censored,
+        |  CASE WHEN zp > 0 THEN 0.0
+        |    ELSE ROUND(exp(CAST(lp AS DOUBLE) / 1e12), 6)
+        |    END AS survival6
+        |FROM cum ORDER BY g, t""".stripMargin,
+    "q357_logrank" ->
+      s"""WITH $survivalSubjectsCte, grid AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN par = 'even' AND obs THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS da,
+        |    CAST(SUM(CASE WHEN par = 'even' AND NOT obs THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN par = 'odd' AND obs THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS db,
+        |    CAST(SUM(CASE WHEN par = 'odd' AND NOT obs THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM subj GROUP BY t
+        |), tt AS (
+        |  SELECT CAST(SUM(da + ca) AS BIGINT) AS ta,
+        |    CAST(SUM(db + cb) AS BIGINT) AS tb
+        |  FROM grid
+        |), pre AS (
+        |  SELECT grid.*, tt.ta, tt.tb,
+        |    CAST(COALESCE(SUM(da + ca) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pa,
+        |    CAST(COALESCE(SUM(db + cb) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pb
+        |  FROM grid, tt
+        |), term AS (
+        |  SELECT da, db,
+        |    CAST(da + db AS DOUBLE) AS d,
+        |    CAST(ta - pa AS DOUBLE) AS na,
+        |    CAST(tb - pb AS DOUBLE) AS nb
+        |  FROM pre
+        |), agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN d > 0
+        |      THEN CAST(ROUND(CAST(da AS DOUBLE) - d * na / (na + nb), 12)
+        |        AS DECIMAL(38,12))
+        |      ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS oe,
+        |    CAST(SUM(CASE WHEN d > 0 AND na + nb > 1
+        |      THEN CAST(ROUND(d * (na / (na + nb)) * (nb / (na + nb))
+        |        * ((na + nb) - d) / ((na + nb) - 1.0), 12)
+        |        AS DECIMAL(38,12))
+        |      ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS v,
+        |    CAST(SUM(da + db) AS BIGINT) AS nev
+        |  FROM term
+        |)
+        |SELECT 'even' AS group_a, 'odd' AS group_b,
+        |  tt.ta AS n_a, tt.tb AS n_b, agg.nev AS n_events,
+        |  ROUND(oe, 6) AS o_minus_e6, ROUND(v, 6) AS var6,
+        |  CASE WHEN v > 0 THEN ROUND(oe / sqrt(v), 6) END AS z6,
+        |  CASE WHEN v > 0 THEN ROUND(ROUND(oe / sqrt(v), 6)
+        |    * ROUND(oe / sqrt(v), 6), 6) END AS chi2_6
+        |FROM agg, tt""".stripMargin,
   )
 
   /** ONE shared components ground truth: exact-Jaccard pair graph +

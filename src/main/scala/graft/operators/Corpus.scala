@@ -838,6 +838,57 @@ object Corpus {
     * one-partition window), and deal positions round-robin into
     * `nShards` equal output shards. Rerunnable: same ids -> same
     * permutation -> same shards, on any cluster size. */
+  /** Deterministic per-group ROW cap — the mixture control that
+    * actually drops documents ("no domain exceeds 1% of the corpus"),
+    * next to [[mixtureWeights]]' weight-level recipe: every group
+    * keeps at most `cap = max(1, ⌊maxShare·N⌋)` rows, chosen as the
+    * `cap` smallest portable hashes of `(salt, id)` with ties to the
+    * smaller id — a pure function of (salt, membership), so reruns
+    * and engine changes keep the identical survivor set, and adding
+    * rows to one group can displace only that group's largest-hash
+    * survivors (bounded churn; the global N moves the cap itself, a
+    * documented coupling — pin `maxShare·N` to a fixed budget by
+    * construction if cross-run set stability across corpus growth is
+    * required). The `max(1, …)` floor means a cap below one row keeps
+    * each group's single earliest-hash representative rather than
+    * silently emptying the corpus.
+    *
+    * Scale shape: within-group hash ranks ride
+    * [[General.withContiguousRowIdsPerGroup]]'s skew-proof GLOBAL
+    * range-partitioned sort — never a per-group window (one 40%-mass
+    * domain would single-task it) and never a k-bounded heap: this is
+    * deliberately NOT [[General.exactCapPerStratum]] (whose bounded
+    * heap is ideal for SMALL absolute caps — eval samples, audit
+    * slices) because a share-derived cap is itself corpus-sized (1%
+    * of 10¹¹ documents is 10⁹ ids — no per-group heap holds that);
+    * rank-and-filter is the shape that survives the cap growing with
+    * the data. NULL ids fail loudly (no stable identity); NULL groups
+    * form their own stratum. Returns the surviving rows with their
+    * original columns. */
+  def capGroupShare(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      maxShare: Double,
+      salt: String): DataFrame = {
+    require(groupCols.nonEmpty, "capGroupShare needs group columns")
+    require(maxShare > 0.0 && maxShare <= 1.0,
+      s"capGroupShare: maxShare ($maxShare) must be in (0, 1]")
+    TempCols.reserve(df, "capGroupShare", "__h", "__rk")
+    val nullIds = df.filter(col(idCol).isNull).limit(1).count()
+    require(nullIds == 0L,
+      s"capGroupShare: NULL $idCol rows have no stable cap identity")
+    val total = df.count()
+    require(total > 0L, "capGroupShare: empty input")
+    val cap = math.max(1L, math.floor(maxShare * total).toLong)
+    val h = TextFunctions.portableTokenHash32(
+      concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    General.withContiguousRowIdsPerGroup(
+        df.withColumn("__h", h), groupCols, Seq("__h", idCol), "__rk")
+      .filter(col("__rk") < cap)
+      .drop("__h", "__rk")
+  }
+
   def shuffleShard(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     val keyed = df.withColumn("__skey", md5(col(idCol).cast("string")))

@@ -106,6 +106,29 @@ object Dedup {
     incoming.join(winners.select(col(idCol)), Seq(idCol), "left_semi")
   }
 
+  /** Incremental KEY-keyed exact dedup — [[incrementalExactDedup]]'s
+    * generic twin for a PRECOMPUTED key column (a normalized URL, an
+    * external fingerprint): keep rows of `incoming` whose key (a) is
+    * absent from the `seenKeys` ledger and (b) is first (min `idCol`)
+    * within `incoming` itself. Ids must be unique within `incoming`
+    * (the winner id names its row). NULL keys follow the text twin's
+    * pinned rule: never match the ledger (NOT-EXISTS semantics), kept
+    * collapsed to one winner. Same scale shape: payload-free
+    * (key, id) mins through one map-side-combined aggregation, a
+    * keys-only anti join, one semi join to restore payloads. */
+  def incrementalKeyDedup(
+      incoming: DataFrame,
+      keyCol: String,
+      idCol: String,
+      seenKeys: DataFrame,
+      seenKeyCol: String): DataFrame = {
+    val winners = incoming
+      .groupBy(col(keyCol)).agg(min(col(idCol)).as(idCol))
+      .join(seenKeys.select(col(seenKeyCol).as(keyCol)).distinct(),
+        Seq(keyCol), "left_anti")
+    incoming.join(winners.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** MinHash signature of a distinct-shingle array: k independent hash
     * functions realized as seeded xxhash64 (shingle, seed i), each taking
     * the min over the shingle set.

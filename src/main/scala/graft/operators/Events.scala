@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, StructField, StructType}
@@ -203,6 +203,176 @@ object Events {
             (col("__lp") + col("__lt")).cast("double") / lit(1.0e12)), 6))
           .as("survival6"))
       .orderBy("t")
+  }
+
+  /** PER-GROUP Kaplan–Meier — [[kaplanMeier]] keyed by a slice column
+    * ("does the DE cohort churn faster than EN?"), fully IN-PLAN: the
+    * (group, duration) grid rides ONE range-partitioned running total
+    * for risk sets (group-local prefix = global prefix − the group's
+    * MIN, valid because the cell mass is positive — the
+    * exactQuantilesByGroup trick), and the ln-product/zero-flag
+    * prefixes recover their group offsets from the value AT each
+    * group's first row (within-group dc-prefix 0 — the ln terms are
+    * NEGATIVE, so a min() offset would be wrong; the first-row carry
+    * is the correct one for any sign). Group cardinality unbounded;
+    * NULL is its own group; guards are [[kaplanMeier]]'s (the
+    * fixed-point budget bounds the whole grid).
+    *
+    * Output: one row per (group, duration) — (`g` as STRING, `t`,
+    * `n_risk`, `n_events`, `n_censored`, `survival6`), ordered by
+    * (g, t). */
+  def kaplanMeierByGroup(
+      df: DataFrame, groupCol: String, durationCol: String,
+      observedCol: String): DataFrame = {
+    TempCols.reserve(df, "kaplanMeierByGroup",
+      "__g", "__t", "__o", "__d", "__c", "__dc", "__pre", "__off",
+      "__tot", "__k0", "__n", "__lt", "__z", "__lp", "__zp", "__lo",
+      "__zo")
+    val rows = df
+      .filter(col(durationCol).isNotNull && col(observedCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(durationCol).cast("double").as("__t"),
+        col(observedCol).cast("boolean").as("__o"))
+    val g = rows.groupBy("__g", "__t").agg(
+        sum(when(col("__o"), 1L).otherwise(0L)).as("__d"),
+        sum(when(!col("__o"), 1L).otherwise(0L)).as("__c"))
+      .withColumn("__dc", col("__d") + col("__c"))
+    val chk = g.agg(count(lit(1)),
+      coalesce(min(col("__t")), lit(0.0))).head()
+    val (nGrid, minT) = (chk.getLong(0), chk.getDouble(1))
+    require(nGrid > 0L,
+      "kaplanMeierByGroup: no complete (duration, observed) rows")
+    require(minT >= 0.0,
+      s"kaplanMeierByGroup: negative duration $minT — durations are " +
+        "time spans")
+    require(nGrid <= 200000L,
+      s"kaplanMeierByGroup: $nGrid (group, duration) cells exceeds the " +
+        "fixed-point budget (200000) — coarsen the duration unit")
+    val pre = General.withRunningTotal(g, Seq("__g", "__t"), "__dc", "__pre")
+    val offs = pre.groupBy("__g").agg(
+      min(col("__pre")).as("__off"), sum(col("__dc")).as("__tot"))
+    val j = pre.alias("__l")
+      .join(offs.alias("__r"), col("__l.__g") <=> col("__r.__g"))
+      .select(col("__l.__g").as("__g"), col("__t"), col("__d"),
+        col("__c"), col("__dc"),
+        (col("__pre") - col("__off")).as("__k0"),
+        (col("__tot") - (col("__pre") - col("__off"))).as("__n"))
+    val lnTerm = when(col("__d") > 0L && col("__d") < col("__n"),
+      (round(log(lit(1.0) -
+          col("__d").cast("double") / col("__n").cast("double")), 12)
+        .cast("decimal(28,12)") * lit(1000000000000L)).cast("long"))
+      .otherwise(lit(0L))
+    val withT = j.withColumn("__lt", lnTerm)
+      .withColumn("__z", when(col("__d") === col("__n"), 1L).otherwise(0L))
+    val p2 = General.withRunningTotal(withT, Seq("__g", "__t"), "__lt", "__lp")
+    val p3 = General.withRunningTotal(p2, Seq("__g", "__t"), "__z", "__zp")
+    val carry = p3.groupBy("__g").agg(
+      max(when(col("__k0") === 0L, col("__lp"))).as("__lo"),
+      max(when(col("__k0") === 0L, col("__zp"))).as("__zo"))
+    p3.alias("__a")
+      .join(carry.alias("__b"), col("__a.__g") <=> col("__b.__g"))
+      .select(col("__a.__g").as("g"), col("__t").as("t"),
+        col("__n").as("n_risk"), col("__d").as("n_events"),
+        col("__c").as("n_censored"),
+        when(col("__zp") - col("__zo") + col("__z") > 0L, lit(0.0))
+          .otherwise(round(exp(
+            (col("__lp") - col("__lo") + col("__lt")).cast("double") /
+              lit(1.0e12)), 6))
+          .as("survival6"))
+      .orderBy("g", "t")
+  }
+
+  /** Two-sample log-rank test — do two retention curves differ, with
+    * censoring handled honestly (the hypothesis test next to
+    * [[kaplanMeier]]'s estimate): at every pooled event time the
+    * observed group-A events are compared to the hypergeometric
+    * expectation `d·n_A/n` given the pooled risk set, and
+    * `z = Σ(d_A − E)/√ΣV` with `V = d·(n_A/n)·(n_B/n)·(n−d)/(n−1)`
+    * (the variance of the hypergeometric draw; a one-at-risk time has
+    * zero variance and contributes nothing). Exactly TWO non-NULL
+    * groups, loudly checked — k-sample log-rank needs the full
+    * covariance matrix and is out of scope.
+    *
+    * Scale shape: subjects collapse onto the pooled duration grid
+    * with per-group conditional counts in one pass; both groups' risk
+    * sets come off range-partitioned prefix sums; per-time terms are
+    * 12dp-exact decimal sums and the readout is driver arithmetic on
+    * two scalars. Guards are [[kaplanMeier]]'s.
+    *
+    * Output: one row — (`group_a`, `group_b`, `n_a`, `n_b`,
+    * `n_events`, `o_minus_e6`, `var6`, `z6`, `chi2_6`); z/chi2 NULL
+    * when the variance is 0 (no information). Group order is
+    * lexicographic, so the sign of z is deterministic: z > 0 means
+    * group_a saw MORE events than expected (worse survival). */
+  def logRankTest(
+      df: DataFrame, groupCol: String, durationCol: String,
+      observedCol: String): DataFrame = {
+    TempCols.reserve(df, "logRankTest",
+      "__g", "__t", "__o", "__da", "__ca", "__db", "__cb", "__dca",
+      "__dcb", "__pa", "__pb")
+    val spark = df.sparkSession
+    val rows = df
+      .filter(col(groupCol).isNotNull && col(durationCol).isNotNull &&
+        col(observedCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(durationCol).cast("double").as("__t"),
+        col(observedCol).cast("boolean").as("__o"))
+    val gs = rows.select("__g").distinct().orderBy("__g")
+      .collect().map(_.getString(0))
+    require(gs.length == 2,
+      s"logRankTest: needs exactly 2 groups, got ${gs.length} " +
+        s"(${gs.take(5).mkString(", ")}${if (gs.length > 5) ", …" else ""})")
+    val (ga, gb) = (gs(0), gs(1))
+    val grid = rows.groupBy("__t").agg(
+        sum(when(col("__g") === ga && col("__o"), 1L).otherwise(0L))
+          .as("__da"),
+        sum(when(col("__g") === ga && !col("__o"), 1L).otherwise(0L))
+          .as("__ca"),
+        sum(when(col("__g") === gb && col("__o"), 1L).otherwise(0L))
+          .as("__db"),
+        sum(when(col("__g") === gb && !col("__o"), 1L).otherwise(0L))
+          .as("__cb"))
+      .withColumn("__dca", col("__da") + col("__ca"))
+      .withColumn("__dcb", col("__db") + col("__cb"))
+    val chk = grid.agg(count(lit(1)),
+      coalesce(sum(col("__dca")), lit(0L)),
+      coalesce(sum(col("__dcb")), lit(0L)),
+      coalesce(min(col("__t")), lit(0.0))).head()
+    val (nGrid, totA, totB, minT) =
+      (chk.getLong(0), chk.getLong(1), chk.getLong(2), chk.getDouble(3))
+    require(minT >= 0.0,
+      s"logRankTest: negative duration $minT — durations are time spans")
+    require(nGrid <= 200000L,
+      s"logRankTest: $nGrid distinct durations exceeds the grid budget " +
+        "(200000) — coarsen the duration unit")
+    val p1 = General.withRunningTotal(grid, Seq("__t"), "__dca", "__pa")
+    val p2 = General.withRunningTotal(p1, Seq("__t"), "__dcb", "__pb")
+    val na = (lit(totA) - col("__pa")).cast("double")
+    val nb = (lit(totB) - col("__pb")).cast("double")
+    val n = na + nb
+    val d = (col("__da") + col("__db")).cast("double")
+    def d12(c: Column) = round(c, 12).cast("decimal(38,12)")
+    def dz = lit(0).cast("decimal(38,12)")
+    val oeTerm = when(d > 0.0,
+      d12(col("__da").cast("double") - d * na / n)).otherwise(dz)
+    val varTerm = when(d > 0.0 && n > 1.0,
+      d12(d * (na / n) * (nb / n) * (n - d) / (n - lit(1.0))))
+      .otherwise(dz)
+    val t = p2.agg(
+      coalesce(sum(oeTerm), dz),
+      coalesce(sum(varTerm), dz),
+      coalesce(sum(col("__da") + col("__db")), lit(0L))).head()
+    val (oe, v, nEv) =
+      (t.getDecimal(0).doubleValue, t.getDecimal(1).doubleValue,
+        t.getLong(2))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z: Option[Double] = if (v > 0.0) Some(r6(oe / math.sqrt(v))) else None
+    import spark.implicits._
+    Seq((ga, gb, totA, totB, nEv, r6(oe), r6(v), z,
+        z.map(zz => r6(zz * zz))))
+      .toDF("group_a", "group_b", "n_a", "n_b", "n_events",
+        "o_minus_e6", "var6", "z6", "chi2_6")
   }
 
   /** Rolling event-time window features: for every event, the count

@@ -106,6 +106,43 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL"))
   }
 
+  test("capGroupShare: share-derived cap, smallest hashes win, floor of one") {
+    import graft.functions.TextFunctions
+    // 20 rows, maxShare 0.2 -> cap 4; group 'big' has 15, 'small' 5
+    val rows = (0L until 15L).map(i => row(i, "big")) ++
+      (100L until 105L).map(i => row(i, "small"))
+    val df = table("id bigint, g string", rows)
+    val got = Corpus.capGroupShare(df, Seq("g"), "id", 0.2, "s1")
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(got.count(_._1 == "big") == 4 && got.count(_._1 == "small") == 4)
+    // ground truth: per group the cap SMALLEST portable hashes of
+    // "s1:<id>", ties by id
+    val hv = df.select(col("g"), col("id"),
+        TextFunctions.portableTokenHash32(
+          concat(lit("s1:"), col("id").cast("string"))).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = hv.groupBy(_._1).toSeq.flatMap { case (g, grp) =>
+      grp.sortBy(t => (t._3, t._2)).take(4).map(t => (g, t._2))
+    }.toSet
+    assert(got.toSet == expected)
+    // the floor: a cap below one row keeps one representative per group
+    val tiny = Corpus.capGroupShare(df, Seq("g"), "id", 0.01, "s1")
+    assert(tiny.groupBy("g").count().collect()
+      .forall(_.getLong(1) == 1L))
+    // determinism: identical rerun, identical survivors
+    assert(Corpus.capGroupShare(df, Seq("g"), "id", 0.2, "s1")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet == got.toSet)
+    // loudness
+    intercept[IllegalArgumentException] {
+      Corpus.capGroupShare(df, Seq("g"), "id", 1.5, "s1")
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.capGroupShare(
+        table("id bigint, g string", Seq(row(null, "a"))),
+        Seq("g"), "id", 0.5, "s1")
+    }
+  }
+
   test("exactCapPerStratum: unsupported key type fails loudly, never empty") {
     val df = table("id double, s string",
       Seq(row(1.5, "x"), row(2.5, "x")))

@@ -193,6 +193,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(kept == Seq(5L, 7L))
   }
 
+  test("incrementalKeyDedup: generic key twin — ledger misses, in-shard mins, NULL keys") {
+    val ledger = table("k string", Seq(row("http://a.com/x"), row("zzz")))
+    val incoming = table("id bigint, url string", Seq(
+      row(4L, "http://a.com/x"),   // in the ledger: dropped
+      row(5L, "http://b.com/y"),   // in-shard dup, min id wins
+      row(6L, "http://b.com/y"),
+      row(7L, "http://c.com/z"),
+      row(8L, null),               // NULL never matches the ledger:
+      row(9L, null)))              // kept, collapsed to one winner
+    val kept = Dedup.incrementalKeyDedup(incoming, "url", "id",
+        ledger, "k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(5L, 7L, 8L))
+    // two-shard ingest over an id-ordered split equals the batch dedup
+    val all = table("id bigint, url string",
+      (0L until 20L).map(i => row(i, s"u${i % 7}")))
+    val s1 = all.filter(col("id") < 10L)
+    val s2 = all.filter(col("id") >= 10L)
+    val w1 = Dedup.exactDedupIds(s1, Seq("url"), "id")
+    val inc = w1.unionByName(
+      Dedup.incrementalKeyDedup(s2, "url", "id", w1.select("url"), "url")
+        .select("url", "id"))
+    assertDfEquality(inc.orderBy("url"),
+      Dedup.exactDedupIds(all, Seq("url"), "id").orderBy("url"))
+  }
+
   test("word shingles: distinct n-grams; short docs empty") {
     val sh = table("t string", Seq(row("a b c d"), row("a b")))
       .select(TextFunctions.wordShingles(col("t"), 3).as("s"))

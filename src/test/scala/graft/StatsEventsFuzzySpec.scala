@@ -310,6 +310,60 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no complete"))
   }
 
+  test("kaplanMeierByGroup == ungrouped per group; NULL group; negative carry") {
+    // group b's ln terms are NEGATIVE from its first row: the
+    // first-row carry recovery must not use a min() offset
+    val df = table("g string, dur double, obs boolean", Seq(
+      row("a", 1.0, true), row("a", 2.0, true), row("a", 3.0, false),
+      row("b", 1.0, true), row("b", 1.0, true), row("b", 2.0, false),
+      row("b", 2.0, true),
+      row(null, 1.0, true), row(null, 2.0, false)))
+    val got = Events.kaplanMeierByGroup(df, "g", "dur", "obs")
+    for (g <- Seq("a", "b")) {
+      assertDfEquality(got.filter(col("g") === g).drop("g"),
+        Events.kaplanMeier(df.filter(col("g") === g), "dur", "obs"))
+    }
+    assertDfEquality(got.filter(col("g").isNull).drop("g"),
+      Events.kaplanMeier(df.filter(col("g").isNull), "dur", "obs"))
+    // hand values: group b is the tied-events case
+    val b = got.filter(col("g") === "b").collect()
+    assert(b(0).getDouble(5) == 0.5 && b(1).getDouble(5) == 0.25)
+  }
+
+  test("logRankTest: hand-computed two-sample case") {
+    // A: events at 1, 3; B: event at 2, censored at 4
+    // t=1: oe=0.5, v=0.25; t=2: oe=-1/3, v=2/9; t=3: oe=0.5, v=0.25
+    val df = table("g string, dur double, obs boolean", Seq(
+      row("A", 1.0, true), row("A", 3.0, true),
+      row("B", 2.0, true), row("B", 4.0, false)))
+    val r = Events.logRankTest(df, "g", "dur", "obs").head()
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 3L)
+    assert(r.getDouble(5) == 0.666667) // 0.5 - 0.333333333333 + 0.5
+    assert(r.getDouble(6) == 0.722222) // 0.25 + 0.222222222222 + 0.25
+    val z = r.getDouble(7)
+    assert(math.abs(z - 0.666666666667 / math.sqrt(0.722222222222)) < 1e-5)
+    assert(r.getDouble(8) == BigDecimal(z * z)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("logRankTest: identical groups read zero; group count is loud") {
+    val base = Seq((1.0, true), (2.0, true), (3.0, false), (5.0, true))
+    val df = table("g string, dur double, obs boolean",
+      base.flatMap { case (t, o) => Seq(row("x", t, o), row("y", t, o)) })
+    val r = Events.logRankTest(df, "g", "dur", "obs").head()
+    assert(r.getDouble(5) == 0.0 && r.getDouble(7) == 0.0 &&
+      r.getDouble(8) == 0.0)
+    val e = intercept[IllegalArgumentException] {
+      Events.logRankTest(
+        table("g string, dur double, obs boolean",
+          Seq(row("a", 1.0, true), row("b", 1.0, true),
+            row("c", 1.0, true))),
+        "g", "dur", "obs")
+    }
+    assert(e.getMessage.contains("exactly 2 groups"))
+  }
+
   test("rollingWindow: range bounds are inclusive and equal timestamps are peers") {
     val df = table("u bigint, t_us bigint, v double", Seq(
       row(1L, 0L, 1.0),
