@@ -6692,6 +6692,35 @@ object SparkEntry {
       .orderBy("url")
   }
 
+  // ---------------------------------------------------------------- q360
+  /** Incremental Kaplan–Meier ([[graft.operators.Events
+    * .foldSurvivalCells]] + [[graft.operators.Events
+    * .kaplanMeierFromCells]]): the duration-grid cell state built
+    * from the pre-split subjects, kept current by folding the
+    * post-split shard's cells — subjects are never rescanned, and
+    * because counts merge by SUM the folded curve is held to q355's
+    * VERBATIM full-recompute oracle (the q131/q133 pattern). */
+  private def q360IncrementalKm(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Events
+    val subj = survivalSubjects(s, dir)
+    val base = Events.survivalCellsOf(
+      subj.filter(col("user_id") % 10 < 8), "dur_days", "observed")
+    val delta = Events.survivalCellsOf(
+      subj.filter(col("user_id") % 10 >= 8), "dur_days", "observed")
+    Events.kaplanMeierFromCells(Events.foldSurvivalCells(base, delta))
+  }
+
+  // ---------------------------------------------------------------- q361
+  /** Streaming Kaplan–Meier monitor ([[graft.streaming.StreamGate
+    * .replayKaplanMeierMonitor]]): q355's subjects micro-batched,
+    * duration-grid cells folding by SUM into versioned state,
+    * readout = the shared prefix/fixed-point arithmetic — held to
+    * q355's VERBATIM oracle, completing the survival family's
+    * batch / incremental / stream matrix. */
+  private def q361StreamKm(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayKaplanMeierMonitor(
+      survivalSubjects(s, dir), "dur_days", "observed")
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -7120,6 +7149,8 @@ object SparkEntry {
     "q357_logrank" -> (q357LogRank _),
     "q358_domain_cap" -> (q358DomainCap _),
     "q359_incremental_url_dedup" -> (q359IncUrlDedup _),
+    "q360_incremental_km" -> (q360IncrementalKm _),
+    "q361_stream_km" -> (q361StreamKm _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -8169,6 +8200,46 @@ object SparkEntry {
        |  SELECT url, MIN(doc_id) AS first_doc_id FROM norm GROUP BY url
        |)""".stripMargin
   }
+
+  /** Shared by q355 (batch KM), q360 (incremental cell fold), and
+    * q361 (the streaming monitor) — one maintained duration grid,
+    * one ground truth. */
+  private val kaplanMeierOracle: String =
+    s"""WITH $survivalSubjectsCte, g AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY t
+        |), tot AS (
+        |  SELECT CAST(SUM(d + c) AS BIGINT) AS total FROM g
+        |), pre AS (
+        |  SELECT g.t, g.d, g.c, tot.total,
+        |    CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS p
+        |  FROM g, tot
+        |), term AS (
+        |  SELECT t, total - p AS n, d, c,
+        |    CASE WHEN d > 0 AND d < total - p
+        |      THEN CAST(CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE)
+        |          / CAST(total - p AS DOUBLE)), 12) AS DECIMAL(28,12))
+        |        * 1000000000000 AS BIGINT)
+        |      ELSE 0 END AS lt,
+        |    CASE WHEN d = total - p THEN 1 ELSE 0 END AS z
+        |  FROM pre
+        |), cum AS (
+        |  SELECT t, n, d, c,
+        |    SUM(lt) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp,
+        |    SUM(z) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zp
+        |  FROM term
+        |)
+        |SELECT t, n AS n_risk, d AS n_events, c AS n_censored,
+        |  CASE WHEN zp > 0 THEN 0.0
+        |    ELSE ROUND(exp(CAST(lp AS DOUBLE) / 1e12), 6)
+        |    END AS survival6
+        |FROM cum ORDER BY t""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_sum_agg" ->
@@ -13837,42 +13908,11 @@ object SparkEntry {
        |    ELSE ROUND(1.0 - CAST(n_tot - 1 AS DOUBLE) * CAST(so.s AS DOUBLE)
        |      / se.e, 6) END AS alpha6
        |FROM tot, so, se""".stripMargin,
-    "q355_kaplan_meier" ->
-      s"""WITH $survivalSubjectsCte, g AS (
-        |  SELECT t,
-        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
-        |    CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
-        |  FROM subj GROUP BY t
-        |), tot AS (
-        |  SELECT CAST(SUM(d + c) AS BIGINT) AS total FROM g
-        |), pre AS (
-        |  SELECT g.t, g.d, g.c, tot.total,
-        |    CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS p
-        |  FROM g, tot
-        |), term AS (
-        |  SELECT t, total - p AS n, d, c,
-        |    CASE WHEN d > 0 AND d < total - p
-        |      THEN CAST(CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE)
-        |          / CAST(total - p AS DOUBLE)), 12) AS DECIMAL(28,12))
-        |        * 1000000000000 AS BIGINT)
-        |      ELSE 0 END AS lt,
-        |    CASE WHEN d = total - p THEN 1 ELSE 0 END AS z
-        |  FROM pre
-        |), cum AS (
-        |  SELECT t, n, d, c,
-        |    SUM(lt) OVER (ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp,
-        |    SUM(z) OVER (ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zp
-        |  FROM term
-        |)
-        |SELECT t, n AS n_risk, d AS n_events, c AS n_censored,
-        |  CASE WHEN zp > 0 THEN 0.0
-        |    ELSE ROUND(exp(CAST(lp AS DOUBLE) / 1e12), 6)
-        |    END AS survival6
-        |FROM cum ORDER BY t""".stripMargin,
+    "q355_kaplan_meier" -> kaplanMeierOracle,
+    // the incremental fold and the streaming monitor are held to
+    // the batch recompute (the q131/q133 pattern)
+    "q360_incremental_km" -> kaplanMeierOracle,
+    "q361_stream_km" -> kaplanMeierOracle,
     "q356_group_kaplan_meier" ->
       s"""WITH $survivalSubjectsCte, cells AS (
         |  SELECT ft AS g, t,

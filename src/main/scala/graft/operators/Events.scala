@@ -165,14 +165,36 @@ object Events {
     TempCols.reserve(df, "kaplanMeier",
       "__t", "__o", "__d", "__c", "__dc", "__pre", "__n", "__lt", "__z",
       "__lp", "__zp")
-    val rows = df
-      .filter(col(durationCol).isNotNull && col(observedCol).isNotNull)
+    kaplanMeierFromCells(survivalCellsOf(df, durationCol, observedCol))
+  }
+
+  /** One shard's duration-grid cell state — `(__t, __d, __c)`: per
+    * distinct duration, event and censor counts. The SUM-foldable
+    * sufficient statistics of the whole KM readout (risk sets and the
+    * product depend on the subjects only through these counts), so
+    * the batch, incremental, and streaming survival curves are
+    * formulations of one ground truth. */
+  private[graft] def survivalCellsOf(
+      df: DataFrame, durationCol: String, observedCol: String): DataFrame =
+    df.filter(col(durationCol).isNotNull && col(observedCol).isNotNull)
       .select(col(durationCol).cast("double").as("__t"),
         col(observedCol).cast("boolean").as("__o"))
-    val g = rows.groupBy("__t").agg(
+      .groupBy("__t").agg(
         sum(when(col("__o"), 1L).otherwise(0L)).as("__d"),
         sum(when(!col("__o"), 1L).otherwise(0L)).as("__c"))
-      .withColumn("__dc", col("__d") + col("__c"))
+
+  /** The survival-cell fold: union + one grid-bounded re-aggregation;
+    * counts merge by SUM. */
+  def foldSurvivalCells(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy("__t")
+      .agg(sum(col("__d")).as("__d"), sum(col("__c")).as("__c"))
+
+  /** [[kaplanMeier]]'s readout over accumulated `(__t, __d, __c)`
+    * state — shared verbatim by the batch operator, the incremental
+    * fold, and the streaming monitor (the guards run here, over the
+    * accumulated grid). */
+  private[graft] def kaplanMeierFromCells(cells: DataFrame): DataFrame = {
+    val g = cells.withColumn("__dc", col("__d") + col("__c"))
     val chk = g.agg(count(lit(1)),
       coalesce(sum(col("__dc")), lit(0L)),
       coalesce(min(col("__t")), lit(0.0))).head()

@@ -970,6 +970,31 @@ object StreamGate {
           reference, groupCol, valueCol),
         state, groupCol, ps))
 
+  /** Streaming Kaplan–Meier monitor — [[graft.operators.Events
+    * .kaplanMeier]] with the (duration, observed) subject feed as a
+    * FILE STREAM: each micro-batch's duration-grid cells (per
+    * duration, event/censor counts) fold by SUM into versioned
+    * parquet state (grid-bounded, never the subjects), and the final
+    * readout runs the SHARED prefix-sum/fixed-point-ln arithmetic
+    * over the accumulated grid — the retention curve that stays
+    * current as cohorts mature. Counts merge associatively and
+    * commutatively per duration cell, so the micro-batch split
+    * provably cannot move any risk set or survival value — held to
+    * the batch operator's verbatim oracle. Returns the (`t`,
+    * `n_risk`, `n_events`, `n_censored`, `survival6`) frame.
+    * @note one-generation replay contract — see the object doc. */
+  def replayKaplanMeierMonitor(
+      monitored: DataFrame,
+      durationCol: String,
+      observedCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(durationCol, observedCol), "km",
+        filesPerTrigger)(
+      batch => graft.operators.Events.survivalCellsOf(
+        batch, durationCol, observedCol),
+      graft.operators.Events.foldSurvivalCells,
+      state => graft.operators.Events.kaplanMeierFromCells(state))
+
   /** Streaming PER-GROUP Jensen–Shannon drift — [[graft.operators
     * .Profile.jsDivergenceByGroup]] with the monitored slice as a
     * FILE STREAM folding group-keyed category counts (cells-bounded:

@@ -810,6 +810,25 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("stream Kaplan-Meier == batch curve across micro-batch cell folds") {
+    import graft.operators.Events
+    val rnd = new scala.util.Random(47)
+    val subjects = table("dur double, obs boolean",
+      (0 until 300).map { _ =>
+        row(rnd.nextInt(25).toDouble, rnd.nextBoolean())
+      })
+    val got = StreamGate.replayKaplanMeierMonitor(
+      subjects, "dur", "obs", filesPerTrigger = 1)
+    assertDfEquality(got, Events.kaplanMeier(subjects, "dur", "obs"))
+    // incremental fold over an arbitrary (non-id-ordered) split too
+    val inc = Events.kaplanMeierFromCells(Events.foldSurvivalCells(
+      Events.survivalCellsOf(subjects.filter(col("dur") < 12.0),
+        "dur", "obs"),
+      Events.survivalCellsOf(subjects.filter(col("dur") >= 12.0),
+        "dur", "obs")))
+    assertDfEquality(inc, Events.kaplanMeier(subjects, "dur", "obs"))
+  }
+
   test("stream drift PSI == batch drift across micro-batch histogram folds") {
     import graft.operators.Profile
     val ev = events
