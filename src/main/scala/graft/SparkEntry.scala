@@ -6721,6 +6721,27 @@ object SparkEntry {
     graft.streaming.StreamGate.replayKaplanMeierMonitor(
       survivalSubjects(s, dir), "dur_days", "observed")
 
+  // ---------------------------------------------------------------- q362
+  /** Nelson–Aalen cumulative hazard ([[graft.operators.Events
+    * .nelsonAalen]]): the conversion pressure per day over q355's
+    * subjects — the increments ARE the per-duration event rates,
+    * the readout that localizes WHEN conversion accelerates where
+    * KM's product only shows the surviving fraction. Second reader
+    * of the same maintained duration-grid cells. */
+  private def q362NelsonAalen(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.nelsonAalen(
+      survivalSubjects(s, dir), "dur_days", "observed")
+
+  // ---------------------------------------------------------------- q363
+  /** Restricted mean survival time ([[graft.operators.Events
+    * .rmst]], τ = 20 days): expected days-to-14th-purchase within
+    * the first 20 — the single-number curve summary that stays
+    * defined under q355's ~54% censoring (the median never is).
+    * Exact step-function area off the published 6dp curve. */
+  private def q363Rmst(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.rmst(
+      survivalSubjects(s, dir), "dur_days", "observed", tau = 20.0)
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -7151,6 +7172,8 @@ object SparkEntry {
     "q359_incremental_url_dedup" -> (q359IncUrlDedup _),
     "q360_incremental_km" -> (q360IncrementalKm _),
     "q361_stream_km" -> (q361StreamKm _),
+    "q362_nelson_aalen" -> (q362NelsonAalen _),
+    "q363_rmst" -> (q363Rmst _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -13913,6 +13936,99 @@ object SparkEntry {
     // the batch recompute (the q131/q133 pattern)
     "q360_incremental_km" -> kaplanMeierOracle,
     "q361_stream_km" -> kaplanMeierOracle,
+    "q362_nelson_aalen" ->
+      s"""WITH $survivalSubjectsCte, g AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY t
+        |), tot AS (
+        |  SELECT CAST(SUM(d + c) AS BIGINT) AS total FROM g
+        |), pre AS (
+        |  SELECT g.t, g.d, g.c, tot.total,
+        |    CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS p
+        |  FROM g, tot
+        |), term AS (
+        |  SELECT t, total - p AS n, d, c,
+        |    CASE WHEN d > 0
+        |      THEN CAST(CAST(ROUND(CAST(d AS DOUBLE)
+        |          / CAST(total - p AS DOUBLE), 12) AS DECIMAL(28,12))
+        |        * 1000000000000 AS BIGINT)
+        |      ELSE 0 END AS ht
+        |  FROM pre
+        |), cum AS (
+        |  SELECT t, n, d, c,
+        |    SUM(ht) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hp
+        |  FROM term
+        |)
+        |SELECT t, n AS n_risk, d AS n_events, c AS n_censored,
+        |  ROUND(CAST(hp AS DOUBLE) / 1e12, 6) AS cumhaz6
+        |FROM cum ORDER BY t""".stripMargin,
+    "q363_rmst" ->
+      s"""WITH $survivalSubjectsCte, g AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY t
+        |), tot AS (
+        |  SELECT CAST(SUM(d + c) AS BIGINT) AS total FROM g
+        |), pre AS (
+        |  SELECT g.t, g.d, g.c, tot.total,
+        |    CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS p
+        |  FROM g, tot
+        |), term0 AS (
+        |  SELECT t, total - p AS n, d, c,
+        |    CASE WHEN d > 0 AND d < total - p
+        |      THEN CAST(CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE)
+        |          / CAST(total - p AS DOUBLE)), 12) AS DECIMAL(28,12))
+        |        * 1000000000000 AS BIGINT)
+        |      ELSE 0 END AS lt,
+        |    CASE WHEN d = total - p THEN 1 ELSE 0 END AS z
+        |  FROM pre
+        |), cum AS (
+        |  SELECT t, d, c,
+        |    SUM(lt) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp,
+        |    SUM(z) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zp
+        |  FROM term0
+        |), curve AS (
+        |  SELECT t, d, c,
+        |    CASE WHEN zp > 0 THEN 0.0
+        |      ELSE ROUND(exp(CAST(lp AS DOUBLE) / 1e12), 6)
+        |      END AS survival6
+        |  FROM cum
+        |), lagd AS (
+        |  SELECT t, d, c, survival6,
+        |    LAG(t) OVER (ORDER BY t) AS pt,
+        |    LAG(survival6) OVER (ORDER BY t) AS psv
+        |  FROM curve
+        |), seg AS (
+        |  SELECT d, c,
+        |    CASE WHEN COALESCE(pt, 0.0) < 20.0
+        |      THEN CAST(ROUND(COALESCE(psv, 1.0)
+        |        * (LEAST(t, 20.0) - COALESCE(pt, 0.0)), 12)
+        |        AS DECIMAL(38,12))
+        |      ELSE CAST(0 AS DECIMAL(38,12)) END AS term
+        |  FROM lagd
+        |), lst AS (
+        |  SELECT t AS tl, survival6 AS sl FROM curve
+        |  ORDER BY t DESC LIMIT 1
+        |)
+        |SELECT 20.0 AS tau, CAST(SUM(d + c) AS BIGINT) AS n,
+        |  CAST(SUM(d) AS BIGINT) AS n_events,
+        |  ROUND(CAST(SUM(term)
+        |    + (CASE WHEN 20.0 > lst.tl
+        |        THEN CAST(ROUND(lst.sl * (20.0 - lst.tl), 12)
+        |          AS DECIMAL(38,12))
+        |        ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE), 6)
+        |    AS rmst6
+        |FROM seg, lst GROUP BY lst.tl, lst.sl""".stripMargin,
     "q356_group_kaplan_meier" ->
       s"""WITH $survivalSubjectsCte, cells AS (
         |  SELECT ft AS g, t,

@@ -227,6 +227,112 @@ object Events {
       .orderBy("t")
   }
 
+  /** Nelson–Aalen cumulative hazard — the SECOND reader of
+    * [[kaplanMeier]]'s maintained duration-grid cells: `H(t) =
+    * Σ_{s≤t} d_s/n_s`, the estimator whose INCREMENTS are the
+    * interpretable quantity (each step is that duration's raw event
+    * rate among those still at risk — flat stretches mean nothing is
+    * happening, a steepening slope means conversion/churn is
+    * accelerating; KM's product answers "how many survive", this
+    * answers "how hard is the hazard pushing"). A fully consumed risk
+    * set contributes its exact `d/n = 1` — no infinity to special-case
+    * (the reason NA is the numerically robust twin).
+    *
+    * Same scale shape as the KM readout: one range-partitioned prefix
+    * for risk sets, one for the 12dp fixed-point `d/n` terms, readout
+    * on the 6dp gate; same guards. Output: one row per distinct
+    * duration — (`t`, `n_risk`, `n_events`, `n_censored`,
+    * `cumhaz6`). */
+  def nelsonAalen(
+      df: DataFrame, durationCol: String, observedCol: String): DataFrame = {
+    TempCols.reserve(df, "nelsonAalen",
+      "__t", "__o", "__d", "__c", "__dc", "__pre", "__n", "__ht", "__hp")
+    nelsonAalenFromCells(survivalCellsOf(df, durationCol, observedCol))
+  }
+
+  /** [[nelsonAalen]]'s readout over accumulated `(__t, __d, __c)`
+    * state — the same fold ([[foldSurvivalCells]]) serves KM and NA. */
+  private[graft] def nelsonAalenFromCells(cells: DataFrame): DataFrame = {
+    val g = cells.withColumn("__dc", col("__d") + col("__c"))
+    val chk = g.agg(count(lit(1)),
+      coalesce(sum(col("__dc")), lit(0L)),
+      coalesce(min(col("__t")), lit(0.0))).head()
+    val (nGrid, total, minT) =
+      (chk.getLong(0), chk.getLong(1), chk.getDouble(2))
+    require(total > 0L, "nelsonAalen: no complete (duration, observed) rows")
+    require(minT >= 0.0,
+      s"nelsonAalen: negative duration $minT — durations are time spans")
+    require(nGrid <= 200000L,
+      s"nelsonAalen: $nGrid distinct durations exceeds the fixed-point " +
+        "budget (200000) — coarsen the duration unit")
+    val pre = General.withRunningTotal(g, Seq("__t"), "__dc", "__pre")
+    val atRisk = lit(total) - col("__pre")
+    val hTerm = when(col("__d") > 0L,
+      (round(col("__d").cast("double") / atRisk.cast("double"), 12)
+        .cast("decimal(28,12)") * lit(1000000000000L)).cast("long"))
+      .otherwise(lit(0L))
+    val withT = pre.withColumn("__n", atRisk).withColumn("__ht", hTerm)
+    General.withRunningTotal(withT, Seq("__t"), "__ht", "__hp")
+      .select(col("__t").as("t"), col("__n").as("n_risk"),
+        col("__d").as("n_events"), col("__c").as("n_censored"),
+        round((col("__hp") + col("__ht")).cast("double") / lit(1.0e12), 6)
+          .as("cumhaz6"))
+      .orderBy("t")
+  }
+
+  /** Restricted mean survival time — the area under [[kaplanMeier]]'s
+    * step curve up to a horizon `tau`: "expected days survived (or
+    * until conversion) within the first τ days", the single-number
+    * summary that stays well-defined under heavy censoring where the
+    * median survival may never be reached. Computed EXACTLY on the
+    * step function: segment `[t_{i-1}, t_i)` carries the survival
+    * AFTER `t_{i-1}` (S₀ = 1 before the first grid point), each
+    * segment clipped to `[0, τ]`, 12dp-rounded products summed as
+    * exact decimals, plus the tail `[t_last, τ]` at the final
+    * survival when τ runs past the grid.
+    *
+    * One [[kaplanMeier]] readout + one range-partitioned lag
+    * ([[General.withPrevValue]]) + one decimal sum. Output: one row —
+    * (`tau`, `n`, `n_events`, `rmst6`). */
+  def rmst(
+      df: DataFrame, durationCol: String, observedCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0.0, s"rmst: tau ($tau) must be positive")
+    val spark = df.sparkSession
+    val curve = kaplanMeier(df, durationCol, observedCol)
+    val lagged = General.withPrevValue(
+      General.withPrevValue(curve, Seq("t"), "t", "__pt"),
+      Seq("t"), "survival6", "__ps")
+    // segment [prev_t, t) carries prev survival (1 before the grid)
+    val segStart = coalesce(col("__pt"), lit(0.0))
+    val segSurv = coalesce(col("__ps"), lit(1.0))
+    val clippedEnd = least(col("t"), lit(tau))
+    val term = when(segStart < lit(tau),
+      round(segSurv * (clippedEnd - segStart), 12).cast("decimal(38,12)"))
+      .otherwise(lit(0).cast("decimal(38,12)"))
+    // the tail segment needs the LAST grid row's survival: a top-1
+    // (TakeOrdered), never a global window
+    val lastRow = curve.orderBy(col("t").desc).limit(1)
+      .select(col("t"), col("survival6")).head()
+    val (tLast, sLast) = (lastRow.getDouble(0), lastRow.getDouble(1))
+    val base = lagged.agg(
+      coalesce(sum(term), lit(0).cast("decimal(38,12)")),
+      coalesce(sum(col("n_events")), lit(0L)),
+      coalesce(sum(col("n_events") + col("n_censored")), lit(0L))).head()
+    val inGrid = base.getDecimal(0)
+    val nEv = base.getLong(1)
+    val n = base.getLong(2)
+    val tail =
+      if (tau > tLast)
+        java.math.BigDecimal.valueOf(sLast * (tau - tLast))
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+      else java.math.BigDecimal.ZERO
+    val rmst6 = BigDecimal(inGrid.add(tail).doubleValue)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    Seq((tau, n, nEv, rmst6)).toDF("tau", "n", "n_events", "rmst6")
+  }
+
   /** PER-GROUP Kaplan–Meier — [[kaplanMeier]] keyed by a slice column
     * ("does the DE cohort churn faster than EN?"), fully IN-PLAN: the
     * (group, duration) grid rides ONE range-partitioned running total

@@ -310,6 +310,40 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no complete"))
   }
 
+  test("nelsonAalen: hand-computed hazard, exhausted risk set is finite") {
+    val df = table("dur double, obs boolean", Seq(
+      row(1.0, true), row(2.0, true), row(3.0, false),
+      row(4.0, true), row(5.0, false)))
+    // H: 1/5=0.2, +1/4=0.45, +0, +1/2=0.95, +0
+    val got = Events.nelsonAalen(df, "dur", "obs").collect()
+      .map(r => (r.getDouble(0), r.getDouble(4)))
+    assert(got.toSeq == Seq((1.0, 0.2), (2.0, 0.45), (3.0, 0.45),
+      (4.0, 0.95), (5.0, 0.95)))
+    // d = n contributes exactly 1 — no infinity special case
+    val ex = table("dur double, obs boolean", Seq(
+      row(1.0, true), row(2.0, true), row(2.0, true)))
+    val got2 = Events.nelsonAalen(ex, "dur", "obs").collect()
+    assert(got2(0).getDouble(4) == 0.333333 &&
+      got2(1).getDouble(4) == 1.333333)
+  }
+
+  test("rmst: step-area with clipping and the past-grid tail") {
+    val df = table("dur double, obs boolean", Seq(
+      row(1.0, true), row(2.0, true), row(3.0, false),
+      row(4.0, true), row(5.0, false)))
+    // S: 0.8, 0.6, 0.6, 0.3, 0.3 at t = 1..5
+    def r(tau: Double) = Events.rmst(df, "dur", "obs", tau).head()
+    assert(r(4.5).getDouble(3) == 3.15) // 1+0.8+0.6+0.6+0.15
+    assert(r(7.0).getDouble(3) == 3.9)  // 3.3 in-grid + 0.3*2 tail
+    assert(r(0.5).getDouble(3) == 0.5)  // clipped first segment only
+    val row45 = r(4.5)
+    assert(row45.getDouble(0) == 4.5 && row45.getLong(1) == 5L &&
+      row45.getLong(2) == 3L)
+    intercept[IllegalArgumentException] {
+      Events.rmst(df, "dur", "obs", 0.0)
+    }
+  }
+
   test("kaplanMeierByGroup == ungrouped per group; NULL group; negative carry") {
     // group b's ln terms are NEGATIVE from its first row: the
     // first-row carry recovery must not use a min() offset
