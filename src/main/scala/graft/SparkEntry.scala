@@ -6742,6 +6742,23 @@ object SparkEntry {
     graft.operators.Events.rmst(
       survivalSubjects(s, dir), "dur_days", "observed", tau = 20.0)
 
+  // ---------------------------------------------------------------- q364
+  /** Spearman's rank correlation ([[graft.operators.Moments
+    * .spearmanRho]]): character count vs token count as a MONOTONE
+    * association — the robustness check on q337's Pearson reading
+    * (a heavy-tailed document can drag Pearson; it cannot move a
+    * rank). Tie-averaged ranks off value-grid prefix sums, never a
+    * row sort; ρ via the shared moment state. */
+  private def q364SpearmanRho(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir).select(
+      col("n_chars").cast("double").as("n_chars"),
+      when(col("text").isNotNull,
+        TextFunctions.tokenCount(col("text")).cast("double"))
+        .as("n_tokens"))
+    graft.operators.Moments.spearmanRho(docs, "n_chars", "n_tokens")
+  }
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -7174,6 +7191,7 @@ object SparkEntry {
     "q361_stream_km" -> (q361StreamKm _),
     "q362_nelson_aalen" -> (q362NelsonAalen _),
     "q363_rmst" -> (q363Rmst _),
+    "q364_spearman_rho" -> (q364SpearmanRho _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -13771,6 +13789,58 @@ object SparkEntry {
        |)
        |SELECT domain, COUNT(*) AS n_urls, MIN(first_doc_id) AS first_doc_id
        |FROM reg GROUP BY domain ORDER BY domain""".stripMargin),
+    "q364_spearman_rho" ->
+      """WITH b AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS x,
+        |    CASE WHEN text IS NOT NULL THEN
+        |      CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE)
+        |    END AS y
+        |  FROM documents
+        |), rws AS (
+        |  SELECT x, y FROM b WHERE x IS NOT NULL AND y IS NOT NULL
+        |), gx AS (
+        |  SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM rws GROUP BY x
+        |), rx AS (
+        |  SELECT x,
+        |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS DOUBLE) + (CAST(cnt AS DOUBLE) + 1.0) / 2.0 AS ra
+        |  FROM gx
+        |), gy AS (
+        |  SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM rws GROUP BY y
+        |), ry AS (
+        |  SELECT y,
+        |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS DOUBLE) + (CAST(cnt AS DOUBLE) + 1.0) / 2.0 AS rb
+        |  FROM gy
+        |), ranked AS (
+        |  SELECT ra, rb FROM rws
+        |  JOIN rx USING (x) JOIN ry USING (y)
+        |), st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(ra, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sx,
+        |    CAST(SUM(CAST(ROUND(rb, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sy,
+        |    CAST(SUM(CAST(ROUND(ra*ra, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sxx,
+        |    CAST(SUM(CAST(ROUND(rb*rb, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS syy,
+        |    CAST(SUM(CAST(ROUND(ra*rb, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sxy
+        |  FROM ranked
+        |), f AS (
+        |  SELECT n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS varxn,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS varyn
+        |  FROM st
+        |)
+        |SELECT n,
+        |  CASE WHEN varxn > 0 AND varyn > 0
+        |    THEN ROUND(covn / sqrt(varxn * varyn), 6) END AS spearman_rho6
+        |FROM f""".stripMargin,
     "q351_group_corr_matrix" -> s"""WITH b AS (
        |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS x1,
        |    CASE WHEN text IS NOT NULL THEN
@@ -14103,20 +14173,30 @@ object SparkEntry {
         |      THEN CAST(ROUND(CAST(da AS DOUBLE) - d * na / (na + nb), 12)
         |        AS DECIMAL(38,12))
         |      ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS oe,
+        |    CAST(SUM(CASE WHEN d > 0
+        |      THEN CAST(ROUND(d * na / (na + nb), 12) AS DECIMAL(38,12))
+        |      ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS ea,
         |    CAST(SUM(CASE WHEN d > 0 AND na + nb > 1
         |      THEN CAST(ROUND(d * (na / (na + nb)) * (nb / (na + nb))
         |        * ((na + nb) - d) / ((na + nb) - 1.0), 12)
         |        AS DECIMAL(38,12))
         |      ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS v,
-        |    CAST(SUM(da + db) AS BIGINT) AS nev
+        |    CAST(SUM(da + db) AS BIGINT) AS nev,
+        |    CAST(SUM(da) AS BIGINT) AS oa
         |  FROM term
         |)
         |SELECT 'even' AS group_a, 'odd' AS group_b,
         |  tt.ta AS n_a, tt.tb AS n_b, agg.nev AS n_events,
+        |  agg.oa AS o_a, ROUND(ea, 6) AS e_a6,
         |  ROUND(oe, 6) AS o_minus_e6, ROUND(v, 6) AS var6,
         |  CASE WHEN v > 0 THEN ROUND(oe / sqrt(v), 6) END AS z6,
         |  CASE WHEN v > 0 THEN ROUND(ROUND(oe / sqrt(v), 6)
-        |    * ROUND(oe / sqrt(v), 6), 6) END AS chi2_6
+        |    * ROUND(oe / sqrt(v), 6), 6) END AS chi2_6,
+        |  CASE WHEN ea > 0 AND CAST(nev AS DOUBLE) - ea > 0
+        |        AND nev - oa > 0
+        |    THEN ROUND((CAST(oa AS DOUBLE) / ea)
+        |      / (CAST(nev - oa AS DOUBLE) / (CAST(nev AS DOUBLE) - ea)), 6)
+        |    END AS hazard_ratio6
         |FROM agg, tt""".stripMargin,
   )
 

@@ -428,10 +428,13 @@ object Events {
     * two scalars. Guards are [[kaplanMeier]]'s.
     *
     * Output: one row — (`group_a`, `group_b`, `n_a`, `n_b`,
-    * `n_events`, `o_minus_e6`, `var6`, `z6`, `chi2_6`); z/chi2 NULL
-    * when the variance is 0 (no information). Group order is
-    * lexicographic, so the sign of z is deterministic: z > 0 means
-    * group_a saw MORE events than expected (worse survival). */
+    * `n_events`, `o_a`, `e_a6`, `o_minus_e6`, `var6`, `z6`, `chi2_6`,
+    * `hazard_ratio6` — the one-step O/E estimate
+    * `(O_a/E_a)/(O_b/E_b)`, the standard effect size next to the
+    * test; NULL when either expectation is 0); z/chi2 NULL when the
+    * variance is 0 (no information). Group order is lexicographic,
+    * so the sign of z is deterministic: z > 0 means group_a saw MORE
+    * events than expected (worse survival). */
   def logRankTest(
       df: DataFrame, groupCol: String, durationCol: String,
       observedCol: String): DataFrame = {
@@ -483,24 +486,36 @@ object Events {
     def dz = lit(0).cast("decimal(38,12)")
     val oeTerm = when(d > 0.0,
       d12(col("__da").cast("double") - d * na / n)).otherwise(dz)
+    val eaTerm = when(d > 0.0, d12(d * na / n)).otherwise(dz)
     val varTerm = when(d > 0.0 && n > 1.0,
       d12(d * (na / n) * (nb / n) * (n - d) / (n - lit(1.0))))
       .otherwise(dz)
     val t = p2.agg(
       coalesce(sum(oeTerm), dz),
       coalesce(sum(varTerm), dz),
-      coalesce(sum(col("__da") + col("__db")), lit(0L))).head()
-    val (oe, v, nEv) =
+      coalesce(sum(col("__da") + col("__db")), lit(0L)),
+      coalesce(sum(col("__da")), lit(0L)),
+      coalesce(sum(eaTerm), dz)).head()
+    val (oe, v, nEv, oA, eA) =
       (t.getDecimal(0).doubleValue, t.getDecimal(1).doubleValue,
-        t.getLong(2))
+        t.getLong(2), t.getLong(3), t.getDecimal(4).doubleValue)
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val z: Option[Double] = if (v > 0.0) Some(r6(oe / math.sqrt(v))) else None
+    // one-step hazard-ratio estimate: E_b = total events − E_a,
+    // O_b = total events − O_a (each time's expectations sum to d)
+    val oB = nEv - oA
+    val eB = nEv.toDouble - eA
+    val hr: Option[Double] =
+      if (eA > 0.0 && eB > 0.0 && oB > 0L)
+        Some(r6((oA.toDouble / eA) / (oB.toDouble / eB)))
+      else None
     import spark.implicits._
-    Seq((ga, gb, totA, totB, nEv, r6(oe), r6(v), z,
-        z.map(zz => r6(zz * zz))))
+    Seq((ga, gb, totA, totB, nEv, oA, r6(eA), r6(oe), r6(v), z,
+        z.map(zz => r6(zz * zz)), hr))
       .toDF("group_a", "group_b", "n_a", "n_b", "n_events",
-        "o_minus_e6", "var6", "z6", "chi2_6")
+        "o_a", "e_a6", "o_minus_e6", "var6", "z6", "chi2_6",
+        "hazard_ratio6")
   }
 
   /** Rolling event-time window features: for every event, the count

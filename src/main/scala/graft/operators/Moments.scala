@@ -359,6 +359,56 @@ object Moments {
       .orderBy("g", "x_col", "y_col")
   }
 
+  /** Spearman's rank correlation — the monotone-association screen
+    * next to [[pearsonOls]]'s linear one: Pearson over TIE-AVERAGED
+    * (fractional) ranks, so a heavy-tailed size column or any
+    * monotone transform reads the same ρ (the profile-stage check
+    * that an apparent linear correlation isn't three outliers, and
+    * that a nonlinear-but-monotone relation isn't missed). Pairwise
+    * complete: rows where both columns are non-null.
+    *
+    * Ranks are computed WITHOUT sorting rows: each axis's distinct
+    * values collapse to a count grid, one range-partitioned prefix
+    * sum ([[General.withRunningTotal]]) gives every value its
+    * exclusive below-count, and the tie-averaged rank is the exact
+    * half-integer `below + (cnt+1)/2` — rows then join their two
+    * grids (value-grid-bounded builds) and the ρ readout is
+    * [[bivariateFromMoments]] over the shared exact moment state.
+    * Exactness envelope: rank moments grow as n³, so the
+    * DECIMAL(38,12) term sums are exact to n ≈ 10^8.6 pairs — past
+    * that, pre-aggregate (the ranks, not the data, are the bound;
+    * the same envelope as any moment over values ~n).
+    *
+    * Output: one row — (`n`, `spearman_rho6`); NULL ρ when either
+    * axis is constant (rank variance 0). */
+  def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    require(xCol != yCol,
+      s"spearmanRho needs two distinct columns (got $xCol twice)")
+    numericGuard(df, "spearmanRho", xCol, yCol)
+    TempCols.reserve(df, "spearmanRho",
+      "__x", "__y", "__cnt", "__pre", "__rx", "__ry", "__ra", "__rb")
+    val rows = df
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint()
+    try {
+      def rankGrid(c: String, out: String): DataFrame = {
+        val g = rows.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+        General.withRunningTotal(g, Seq(c), "__cnt", "__pre")
+          .select(col(c),
+            (col("__pre").cast("double") +
+              (col("__cnt").cast("double") + lit(1.0)) / lit(2.0)).as(out))
+      }
+      val ranked = rows
+        .join(rankGrid("__x", "__rx"), Seq("__x"))
+        .join(rankGrid("__y", "__ry"), Seq("__y"))
+        .select(col("__rx").as("__ra"), col("__ry").as("__rb"))
+      bivariateFromMoments(momentState(ranked, "__ra", "__rb"))
+        .select(col("n"), col("pearson_r6").as("spearman_rho6"))
+    } finally Blocks.release(rows)
+  }
+
   /** Validated unordered column pairs for the correlation-matrix
     * family. */
   private def cmPairs(

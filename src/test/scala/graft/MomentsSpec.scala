@@ -155,6 +155,37 @@ class MomentsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("group column"))
   }
 
+  test("spearmanRho: monotone reads 1, ties match hand ranks, degenerate NULL") {
+    // perfectly monotone but nonlinear: rho = 1, Pearson < 1
+    val cubic = table("x bigint, y bigint",
+      (1L to 5L).map(i => row(i, i * i * i)))
+    assert(Moments.spearmanRho(cubic, "x", "y").head().getDouble(1) == 1.0)
+    assert(Moments.pearsonOls(cubic, "x", "y").head().getDouble(3) < 1.0)
+    // anti-monotone reads -1
+    val anti = table("x bigint, y bigint",
+      (1L to 5L).map(i => row(i, -i * i)))
+    assert(Moments.spearmanRho(anti, "x", "y").head().getDouble(1) == -1.0)
+    // ties: rho equals Pearson over the hand-computed fractional ranks
+    val tied = table("x double, y double", Seq(
+      row(1.0, 10.0), row(1.0, 20.0), row(2.0, 20.0), row(3.0, 30.0)))
+    val got = Moments.spearmanRho(tied, "x", "y").head()
+    val handRanks = table("rx double, ry double", Seq(
+      row(1.5, 1.0), row(1.5, 2.5), row(3.0, 2.5), row(4.0, 4.0)))
+    val exp = Moments.pearsonOls(handRanks, "rx", "ry").head().getDouble(3)
+    assert(got.getLong(0) == 4L && got.getDouble(1) == exp)
+    // a monotone-order-preserving outlier cannot move rho
+    val outlier = table("x bigint, y bigint",
+      (1L to 9L).map(i => row(i, if (i == 9L) 1000000L else i)))
+    assert(Moments.spearmanRho(outlier, "x", "y").head().getDouble(1) == 1.0)
+    // constant axis: NULL rho; NULL holes pairwise-complete
+    val const = table("x bigint, y bigint",
+      Seq(row(1L, 7L), row(2L, 7L), row(3L, 7L)))
+    assert(Moments.spearmanRho(const, "x", "y").head().isNullAt(1))
+    val holes = table("x bigint, y bigint", Seq(
+      row(1L, 1L), row(2L, 2L), row(null, 9L), row(3L, null), row(4L, 4L)))
+    assert(Moments.spearmanRho(holes, "x", "y").head().getLong(0) == 3L)
+  }
+
   test("autocorrelation: AR(1) line, alternating series, partition-invariant") {
     // series 1..5 in time order: pairs lie on y = x + 1 exactly
     val walk = table("t bigint, v bigint",

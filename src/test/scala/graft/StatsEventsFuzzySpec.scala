@@ -373,12 +373,16 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     val r = Events.logRankTest(df, "g", "dur", "obs").head()
     assert(r.getString(0) == "A" && r.getString(1) == "B")
     assert(r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 3L)
-    assert(r.getDouble(5) == 0.666667) // 0.5 - 0.333333333333 + 0.5
-    assert(r.getDouble(6) == 0.722222) // 0.25 + 0.222222222222 + 0.25
-    val z = r.getDouble(7)
+    // O_a = 2 (t=1, t=3 are A's); E_a = 0.5 + 1/3 + 0.5
+    assert(r.getLong(5) == 2L && r.getDouble(6) == 1.333333)
+    assert(r.getDouble(7) == 0.666667) // 0.5 - 0.333333333333 + 0.5
+    assert(r.getDouble(8) == 0.722222) // 0.25 + 0.222222222222 + 0.25
+    val z = r.getDouble(9)
     assert(math.abs(z - 0.666666666667 / math.sqrt(0.722222222222)) < 1e-5)
-    assert(r.getDouble(8) == BigDecimal(z * z)
+    assert(r.getDouble(10) == BigDecimal(z * z)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // HR = (2 / (4/3)) / (1 / (5/3)) = 1.5 / 0.6 = 2.5
+    assert(r.getDouble(11) == 2.5)
   }
 
   test("logRankTest: identical groups read zero; group count is loud") {
@@ -386,8 +390,9 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     val df = table("g string, dur double, obs boolean",
       base.flatMap { case (t, o) => Seq(row("x", t, o), row("y", t, o)) })
     val r = Events.logRankTest(df, "g", "dur", "obs").head()
-    assert(r.getDouble(5) == 0.0 && r.getDouble(7) == 0.0 &&
-      r.getDouble(8) == 0.0)
+    assert(r.getDouble(7) == 0.0 && r.getDouble(9) == 0.0 &&
+      r.getDouble(10) == 0.0)
+    assert(r.getDouble(11) == 1.0, "identical groups: hazard ratio 1")
     val e = intercept[IllegalArgumentException] {
       Events.logRankTest(
         table("g string, dur double, obs boolean",
