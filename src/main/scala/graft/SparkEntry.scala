@@ -6759,6 +6759,24 @@ object SparkEntry {
     graft.operators.Moments.spearmanRho(docs, "n_chars", "n_tokens")
   }
 
+  // ---------------------------------------------------------------- q365
+  /** Per-language Spearman ([[graft.operators.Moments
+    * .spearmanRhoByGroup]]): q364's monotone-association readout
+    * sliced by language — group-local tie-averaged ranks off ONE
+    * range-partitioned running total with group-MIN offsets, null-safe
+    * grid joins, per-group ρ off the shared group moment state. */
+  private def q365GroupSpearman(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir).select(
+      col("lang"),
+      col("n_chars").cast("double").as("n_chars"),
+      when(col("text").isNotNull,
+        TextFunctions.tokenCount(col("text")).cast("double"))
+        .as("n_tokens"))
+    graft.operators.Moments.spearmanRhoByGroup(
+      docs, "lang", "n_chars", "n_tokens")
+  }
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -7192,6 +7210,7 @@ object SparkEntry {
     "q362_nelson_aalen" -> (q362NelsonAalen _),
     "q363_rmst" -> (q363Rmst _),
     "q364_spearman_rho" -> (q364SpearmanRho _),
+    "q365_group_spearman" -> (q365GroupSpearman _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -13841,6 +13860,61 @@ object SparkEntry {
         |  CASE WHEN varxn > 0 AND varyn > 0
         |    THEN ROUND(covn / sqrt(varxn * varyn), 6) END AS spearman_rho6
         |FROM f""".stripMargin,
+    "q365_group_spearman" ->
+      """WITH b AS (
+        |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS x,
+        |    CASE WHEN text IS NOT NULL THEN
+        |      CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE)
+        |    END AS y
+        |  FROM documents
+        |), rws AS (
+        |  SELECT g, x, y FROM b WHERE x IS NOT NULL AND y IS NOT NULL
+        |), gx AS (
+        |  SELECT g, x, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM rws GROUP BY g, x
+        |), rx AS (
+        |  SELECT g, x,
+        |    CAST(COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS DOUBLE) + (CAST(cnt AS DOUBLE) + 1.0) / 2.0 AS ra
+        |  FROM gx
+        |), gy AS (
+        |  SELECT g, y, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM rws GROUP BY g, y
+        |), ry AS (
+        |  SELECT g, y,
+        |    CAST(COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS DOUBLE) + (CAST(cnt AS DOUBLE) + 1.0) / 2.0 AS rb
+        |  FROM gy
+        |), ranked AS (
+        |  SELECT rws.g, ra, rb FROM rws
+        |  JOIN rx ON rws.g IS NOT DISTINCT FROM rx.g AND rws.x = rx.x
+        |  JOIN ry ON rws.g IS NOT DISTINCT FROM ry.g AND rws.y = ry.y
+        |), st AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(ra, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sx,
+        |    CAST(SUM(CAST(ROUND(rb, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sy,
+        |    CAST(SUM(CAST(ROUND(ra*ra, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sxx,
+        |    CAST(SUM(CAST(ROUND(rb*rb, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS syy,
+        |    CAST(SUM(CAST(ROUND(ra*rb, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sxy
+        |  FROM ranked GROUP BY g
+        |), f AS (
+        |  SELECT g, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS varxn,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS varyn
+        |  FROM st
+        |)
+        |SELECT g, n,
+        |  CASE WHEN n >= 2 AND varxn > 0 AND varyn > 0
+        |    THEN ROUND(covn / sqrt(varxn * varyn), 6) END AS spearman_rho6
+        |FROM f ORDER BY g""".stripMargin,
     "q351_group_corr_matrix" -> s"""WITH b AS (
        |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS x1,
        |    CASE WHEN text IS NOT NULL THEN

@@ -409,6 +409,68 @@ object Moments {
     } finally Blocks.release(rows)
   }
 
+  /** PER-GROUP Spearman — [[spearmanRho]] keyed by a slice column
+    * ("is length→tokens monotone in EVERY language?"): group-local
+    * tie-averaged ranks come off the group-keyed value grids through
+    * ONE range-partitioned running total minus a group-bounded MIN
+    * offset (valid — counts are positive — the exactQuantilesByGroup
+    * trick), rows join their two grids on (group, value), and the
+    * per-group ρ is [[bivariateByGroupFromMoments]] over the shared
+    * group moment state. Group cardinality unbounded; NULL is its own
+    * group; single-row or constant-axis groups read NULL ρ.
+    *
+    * Output: one row per group — (`g` as STRING, `n`,
+    * `spearman_rho6`), ordered by group. */
+  def spearmanRhoByGroup(
+      df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    require(xCol != yCol,
+      s"spearmanRhoByGroup needs two distinct columns (got $xCol twice)")
+    require(groupCol != xCol && groupCol != yCol,
+      s"spearmanRhoByGroup: group column '$groupCol' overlaps a value " +
+        "column")
+    numericGuard(df, "spearmanRhoByGroup", xCol, yCol)
+    TempCols.reserve(df, "spearmanRhoByGroup",
+      "__gk", "__x", "__y", "__cnt", "__pre", "__off", "__rx", "__ry",
+      "__ra", "__rb")
+    // no checkpoint: the output is a LAZY group-bounded frame (the
+    // caller may collect it much later), and the projected rows are a
+    // cheap scan to recompute for the two grids + the join
+    val rows = df
+      .select(col(groupCol).cast("string").as("__gk"),
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def rankGrid(c: String, out: String): DataFrame = {
+      val g = rows.groupBy(col("__gk"), col(c))
+        .agg(count(lit(1)).as("__cnt"))
+      val pre = General.withRunningTotal(g, Seq("__gk", c), "__cnt", "__pre")
+      val offs = pre.groupBy("__gk").agg(min(col("__pre")).as("__off"))
+      pre.alias("__l")
+        .join(offs.alias("__r"), col("__l.__gk") <=> col("__r.__gk"))
+        .select(col("__l.__gk").as("__gk"), col(c),
+          ((col("__pre") - col("__off")).cast("double") +
+            (col("__cnt").cast("double") + lit(1.0)) / lit(2.0)).as(out))
+    }
+    // null-safe group equality: NULL is its own group and must meet
+    // its own rank grid (a USING join would silently drop it)
+    val withRx = rows.alias("__a")
+      .join(rankGrid("__x", "__rx").alias("__b"),
+        col("__a.__gk") <=> col("__b.__gk") &&
+          col("__a.__x") === col("__b.__x"))
+      .select(col("__a.__gk").as("__gk"), col("__a.__y").as("__y"),
+        col("__rx"))
+    val ranked = withRx.alias("__c")
+      .join(rankGrid("__y", "__ry").alias("__d"),
+        col("__c.__gk") <=> col("__d.__gk") &&
+          col("__c.__y") === col("__d.__y"))
+      .select(col("__c.__gk").as("__gk"),
+        col("__rx").as("__ra"), col("__ry").as("__rb"))
+    bivariateByGroupFromMoments(
+        groupMomentState(ranked, "__gk", "__ra", "__rb"))
+      .select(col("g"), col("n"), col("pearson_r6").as("spearman_rho6"))
+  }
+
   /** Validated unordered column pairs for the correlation-matrix
     * family. */
   private def cmPairs(

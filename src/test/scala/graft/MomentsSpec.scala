@@ -186,6 +186,27 @@ class MomentsSpec extends AnyFunSuite {
     assert(Moments.spearmanRho(holes, "x", "y").head().getLong(0) == 3L)
   }
 
+  test("spearmanRhoByGroup == ungrouped per group; NULL group; degenerates") {
+    val df = table("g string, x double, y double", Seq(
+      row("a", 1.0, 1.0), row("a", 2.0, 8.0), row("a", 3.0, 27.0),
+      row("a", 1.0, 3.0),
+      row("b", 1.0, 5.0), row("b", 2.0, 4.0), row("b", 3.0, 3.0),
+      row(null, 1.0, 2.0), row(null, 2.0, 1.0),
+      row("solo", 9.0, 9.0),
+      row("flat", 1.0, 7.0), row("flat", 2.0, 7.0)))
+    val got = Moments.spearmanRhoByGroup(df, "g", "x", "y")
+    for (g <- Seq("a", "b", "flat")) {
+      assertDfEquality(got.filter(col("g") === g).drop("g"),
+        Moments.spearmanRho(df.filter(col("g") === g), "x", "y"))
+    }
+    assertDfEquality(got.filter(col("g").isNull).drop("g"),
+      Moments.spearmanRho(df.filter(col("g").isNull), "x", "y"))
+    val m = got.collect().map(r => Option(r.getString(0)).getOrElse("∅") ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(m("b") == Some(-1.0) && m("∅") == Some(-1.0))
+    assert(m("solo").isEmpty && m("flat").isEmpty)
+  }
+
   test("autocorrelation: AR(1) line, alternating series, partition-invariant") {
     // series 1..5 in time order: pairs lie on y = x + 1 exactly
     val walk = table("t bigint, v bigint",
