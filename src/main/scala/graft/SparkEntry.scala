@@ -6777,6 +6777,22 @@ object SparkEntry {
       docs, "lang", "n_chars", "n_tokens")
   }
 
+  // ---------------------------------------------------------------- q366
+  /** Streaming URL-dedup monitor ([[graft.streaming.StreamGate
+    * .replayKeyDedupMonitor]]): q349's normalized URLs micro-batched,
+    * per-key min-id winners folding by re-min into versioned state —
+    * arrival order provably cannot change a winner, so the stream
+    * registry is held to q349's VERBATIM oracle; completes the URL
+    * family's batch (q349) / incremental ledger (q359) / stream
+    * matrix. */
+  private def q366StreamUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UrlFunctions
+    val all = q349UrlCorpus(s, dir).select(col("doc_id"),
+      UrlFunctions.urlNormalize(col("url")).as("url"))
+    graft.streaming.StreamGate.replayKeyDedupMonitor(all, "url", "doc_id")
+      .select(col("url"), col("doc_id").as("first_doc_id"))
+  }
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -7211,6 +7227,7 @@ object SparkEntry {
     "q363_rmst" -> (q363Rmst _),
     "q364_spearman_rho" -> (q364SpearmanRho _),
     "q365_group_spearman" -> (q365GroupSpearman _),
+    "q366_stream_url_dedup" -> (q366StreamUrlDedup _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -13744,6 +13761,8 @@ object SparkEntry {
     // the incremental ledger fold is held to the batch recompute —
     // the q131/q133 maintained-family pattern
     "q359_incremental_url_dedup" -> (urlDedupOracleCte +
+      "\nSELECT url, first_doc_id FROM dedup ORDER BY url"),
+    "q366_stream_url_dedup" -> (urlDedupOracleCte +
       "\nSELECT url, first_doc_id FROM dedup ORDER BY url"),
     "q358_domain_cap" -> (urlDedupOracleCte + s"""
        |, dom AS (

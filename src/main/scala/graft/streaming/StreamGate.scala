@@ -970,6 +970,29 @@ object StreamGate {
           reference, groupCol, valueCol),
         state, groupCol, ps))
 
+  /** Streaming KEY-keyed dedup monitor — [[graft.operators.Dedup
+    * .exactDedupIds]] with the (key, id) feed as a FILE STREAM: each
+    * micro-batch's per-key min-id winners fold into versioned state
+    * by RE-MINNING (min is associative and commutative, so ARRIVAL
+    * ORDER cannot change a winner — strictly stronger than the
+    * first-shard-wins ledger, and exactly the batch dedup whatever
+    * the split). The canonical-URL registry that stays current as the
+    * crawl lands: state is one (key, id) row per distinct key, never
+    * the raw rows. Held to the batch operator's verbatim oracle.
+    * Returns the (key, id) winner table ordered by key.
+    * @note one-generation replay contract — see the object doc. */
+  def replayKeyDedupMonitor(
+      monitored: DataFrame,
+      keyCol: String,
+      idCol: String,
+      filesPerTrigger: Int = 2): DataFrame =
+    replayFoldState(monitored, Seq(keyCol, idCol), "keydedup",
+        filesPerTrigger)(
+      batch => graft.operators.Dedup.exactDedupIds(batch, Seq(keyCol), idCol),
+      (base, delta) => graft.operators.Dedup.exactDedupIds(
+        base.unionByName(delta), Seq(keyCol), idCol),
+      state => state.orderBy(keyCol))
+
   /** Streaming Kaplan–Meier monitor — [[graft.operators.Events
     * .kaplanMeier]] with the (duration, observed) subject feed as a
     * FILE STREAM: each micro-batch's duration-grid cells (per
