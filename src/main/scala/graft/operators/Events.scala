@@ -333,6 +333,85 @@ object Events {
     Seq((tau, n, nEv, rmst6)).toDF("tau", "n", "n_events", "rmst6")
   }
 
+  /** Aalen–Johansen cumulative incidence under COMPETING RISKS —
+    * when a subject can exit for more than one reason (convert vs
+    * churn; click vs bounce), "1 − KM per cause, treating the other
+    * cause as censoring" is the classic BIAS (it pretends competing
+    * exits could still have the event later, overestimates every
+    * cause, and the per-cause curves can sum past 1). The honest
+    * estimator: `CIF_k(t) = Σ_{s≤t} S(s⁻)·d_k(s)/n(s)` with `S` the
+    * ALL-CAUSE Kaplan–Meier — per-cause incidences then provably sum
+    * with the overall survival to exactly 1 at any time with no
+    * censoring beyond it. Input: one row per subject — a duration
+    * and an event-type STRING (`NULL` = censored).
+    *
+    * Scale shape: the all-cause grid runs [[kaplanMeier]]'s prefix
+    * machinery, `S(s⁻)` falling out of the EXCLUSIVE prefixes
+    * directly; per-(type, time) cells join the grid on the duration
+    * (grid-bounded), and each type's running incidence is one more
+    * range-partitioned prefix with group-MIN offsets (terms
+    * non-negative). Same guards as [[kaplanMeier]]. Output: one row
+    * per (event type, its own event times) — (`event_type`, `t`,
+    * `n_risk`, `n_events`, `cif6`), ordered by (type, t); the CIF is
+    * a step function changing only at own-type event times. */
+  def cumulativeIncidence(
+      df: DataFrame, durationCol: String, eventCol: String): DataFrame = {
+    TempCols.reserve(df, "cumulativeIncidence",
+      "__t", "__k", "__d", "__c", "__dc", "__pre", "__n", "__lt", "__z",
+      "__lp", "__zp", "__sm", "__dk", "__ci", "__cp", "__off")
+    val rows = df.filter(col(durationCol).isNotNull)
+      .select(col(durationCol).cast("double").as("__t"),
+        col(eventCol).cast("string").as("__k"))
+    val grid = rows.groupBy("__t").agg(
+        sum(when(col("__k").isNotNull, 1L).otherwise(0L)).as("__d"),
+        sum(when(col("__k").isNull, 1L).otherwise(0L)).as("__c"))
+      .withColumn("__dc", col("__d") + col("__c"))
+    val chk = grid.agg(count(lit(1)),
+      coalesce(sum(col("__dc")), lit(0L)),
+      coalesce(min(col("__t")), lit(0.0))).head()
+    val (nGrid, total, minT) =
+      (chk.getLong(0), chk.getLong(1), chk.getDouble(2))
+    require(total > 0L, "cumulativeIncidence: no subjects")
+    require(minT >= 0.0,
+      s"cumulativeIncidence: negative duration $minT")
+    require(nGrid <= 200000L,
+      s"cumulativeIncidence: $nGrid distinct durations exceeds the " +
+        "fixed-point budget (200000) — coarsen the duration unit")
+    val pre = General.withRunningTotal(grid, Seq("__t"), "__dc", "__pre")
+    val atRisk = lit(total) - col("__pre")
+    val lnTerm = when(col("__d") > 0L && col("__d") < atRisk,
+      (round(log(lit(1.0) -
+          col("__d").cast("double") / atRisk.cast("double")), 12)
+        .cast("decimal(28,12)") * lit(1000000000000L)).cast("long"))
+      .otherwise(lit(0L))
+    val withT = pre.withColumn("__n", atRisk)
+      .withColumn("__lt", lnTerm)
+      .withColumn("__z", when(col("__d") === col("__n"), 1L).otherwise(0L))
+    val p2 = General.withRunningTotal(withT, Seq("__t"), "__lt", "__lp")
+    val p3 = General.withRunningTotal(p2, Seq("__t"), "__z", "__zp")
+    // S(t−) IS the exclusive prefix — no + own term
+    val sMinus = when(col("__zp") > 0L, lit(0.0))
+      .otherwise(exp(col("__lp").cast("double") / lit(1.0e12)))
+    val tInfo = p3.select(col("__t"), col("__n"), sMinus.as("__sm"))
+    val cellsK = rows.filter(col("__k").isNotNull)
+      .groupBy("__k", "__t").agg(count(lit(1)).as("__dk"))
+    val withTerm = cellsK.join(tInfo, Seq("__t"))
+      .withColumn("__ci",
+        (round(col("__sm") * col("__dk").cast("double") /
+            col("__n").cast("double"), 12)
+          .cast("decimal(28,12)") * lit(1000000000000L)).cast("long"))
+    val cum = General.withRunningTotal(
+      withTerm, Seq("__k", "__t"), "__ci", "__cp")
+    val offs = cum.groupBy("__k").agg(min(col("__cp")).as("__off"))
+    cum.alias("__l")
+      .join(offs.alias("__r"), col("__l.__k") === col("__r.__k"))
+      .select(col("__l.__k").as("event_type"), col("__t").as("t"),
+        col("__n").as("n_risk"), col("__dk").as("n_events"),
+        round((col("__cp") - col("__off") + col("__ci")).cast("double") /
+          lit(1.0e12), 6).as("cif6"))
+      .orderBy("event_type", "t")
+  }
+
   /** PER-GROUP Kaplan–Meier — [[kaplanMeier]] keyed by a slice column
     * ("does the DE cohort churn faster than EN?"), fully IN-PLAN: the
     * (group, duration) grid rides ONE range-partitioned running total

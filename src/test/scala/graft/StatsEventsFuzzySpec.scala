@@ -344,6 +344,30 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("cumulativeIncidence: hand case, no-censoring identity, bias vs 1-KM") {
+    // (1,'a'), (2,'b'), (3, censored): CIF_a(1)=1/3, CIF_b(2)=(2/3)/2
+    val df = table("dur double, ev string", Seq(
+      row(1.0, "a"), row(2.0, "b"), row(3.0, null)))
+    val got = Events.cumulativeIncidence(df, "dur", "ev").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(4)))
+    assert(got.toSeq == Seq(("a", 1.0, 0.333333), ("b", 2.0, 0.333333)))
+    // no censoring: CIF_a + CIF_b + S == 1 at the last time
+    val full = table("dur double, ev string", Seq(
+      row(1.0, "a"), row(2.0, "b"), row(3.0, "a")))
+    val cif = Events.cumulativeIncidence(full, "dur", "ev").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(4)))
+    assert(cif.toSeq == Seq(("a", 1.0, 0.333333), ("a", 3.0, 0.666667),
+      ("b", 2.0, 0.333333)))
+    // the naive per-cause 1-KM (competitors as censoring) OVERESTIMATES:
+    // for cause 'a' it reads 1 - (2/3)(0) at t=3 -> 1.0 > CIF_a = 2/3
+    val naiveA = Events.kaplanMeier(
+      full.select(col("dur"), (col("ev") === "a").as("obs")),
+      "dur", "obs")
+      .orderBy(col("t").desc).limit(1).head().getDouble(4)
+    assert(1.0 - naiveA > 0.666667 + 1e-9,
+      s"naive 1-KM must exceed the honest CIF (got ${1.0 - naiveA})")
+  }
+
   test("kaplanMeierByGroup == ungrouped per group; NULL group; negative carry") {
     // group b's ln terms are NEGATIVE from its first row: the
     // first-row carry recovery must not use a min() offset
