@@ -6811,6 +6811,17 @@ object SparkEntry {
           .otherwise(lit(null).cast("string")).as("outcome")),
       "dur_days", "outcome")
 
+  // ---------------------------------------------------------------- q368
+  /** Per-cohort restricted mean survival time ([[graft.operators
+    * .Events.rmstByGroup]], τ = 20): expected days-to-conversion
+    * within 20 per first-event type — the per-slice effect number a
+    * cohort comparison reports, off q356's per-group curves with
+    * boundary-clean lags and max_by tails. */
+  private def q368GroupRmst(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.rmstByGroup(
+      survivalSubjects(s, dir), "first_type", "dur_days", "observed",
+      tau = 20.0)
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -7247,6 +7258,7 @@ object SparkEntry {
     "q365_group_spearman" -> (q365GroupSpearman _),
     "q366_stream_url_dedup" -> (q366StreamUrlDedup _),
     "q367_cumulative_incidence" -> (q367CumulativeIncidence _),
+    "q368_group_rmst" -> (q368GroupRmst _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -14238,6 +14250,74 @@ object SparkEntry {
         |SELECT k AS event_type, t, n AS n_risk, dk AS n_events,
         |  ROUND(CAST(cp AS DOUBLE) / 1e12, 6) AS cif6
         |FROM cc ORDER BY event_type, t""".stripMargin,
+    "q368_group_rmst" ->
+      s"""WITH $survivalSubjectsCte, cells AS (
+        |  SELECT ft AS g, t,
+        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY g, t
+        |), tot AS (
+        |  SELECT g, CAST(SUM(d + c) AS BIGINT) AS total
+        |  FROM cells GROUP BY g
+        |), pre AS (
+        |  SELECT cells.g, t, d, c, tot.total,
+        |    CAST(COALESCE(SUM(d + c) OVER (PARTITION BY cells.g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS p
+        |  FROM cells JOIN tot ON cells.g = tot.g
+        |), term0 AS (
+        |  SELECT g, t, total - p AS n, d, c,
+        |    CASE WHEN d > 0 AND d < total - p
+        |      THEN CAST(CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE)
+        |          / CAST(total - p AS DOUBLE)), 12) AS DECIMAL(28,12))
+        |        * 1000000000000 AS BIGINT)
+        |      ELSE 0 END AS lt,
+        |    CASE WHEN d = total - p THEN 1 ELSE 0 END AS z
+        |  FROM pre
+        |), cum AS (
+        |  SELECT g, t, d, c,
+        |    SUM(lt) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp,
+        |    SUM(z) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zp
+        |  FROM term0
+        |), curve AS (
+        |  SELECT g, t, d, c,
+        |    CASE WHEN zp > 0 THEN 0.0
+        |      ELSE ROUND(exp(CAST(lp AS DOUBLE) / 1e12), 6)
+        |      END AS survival6
+        |  FROM cum
+        |), lagd AS (
+        |  SELECT g, t, d, c, survival6,
+        |    LAG(t) OVER (PARTITION BY g ORDER BY t) AS pt,
+        |    LAG(survival6) OVER (PARTITION BY g ORDER BY t) AS psv
+        |  FROM curve
+        |), seg AS (
+        |  SELECT g, d, c,
+        |    CASE WHEN COALESCE(pt, 0.0) < 20.0
+        |      THEN CAST(ROUND(COALESCE(psv, 1.0)
+        |        * (LEAST(t, 20.0) - COALESCE(pt, 0.0)), 12)
+        |        AS DECIMAL(38,12))
+        |      ELSE CAST(0 AS DECIMAL(38,12)) END AS term
+        |  FROM lagd
+        |), pg AS (
+        |  SELECT g, SUM(term) AS tin, CAST(SUM(d) AS BIGINT) AS nev,
+        |    CAST(SUM(d + c) AS BIGINT) AS n
+        |  FROM seg GROUP BY g
+        |), lst AS (
+        |  SELECT g, t AS tl, survival6 AS sl FROM (
+        |    SELECT g, t, survival6,
+        |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY t DESC) AS rn
+        |    FROM curve) WHERE rn = 1
+        |)
+        |SELECT pg.g, 20.0 AS tau, pg.n, pg.nev AS n_events,
+        |  ROUND(CAST(pg.tin
+        |    + (CASE WHEN 20.0 > lst.tl
+        |        THEN CAST(ROUND(lst.sl * (20.0 - lst.tl), 12)
+        |          AS DECIMAL(38,12))
+        |        ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE), 6)
+        |    AS rmst6
+        |FROM pg JOIN lst ON pg.g = lst.g ORDER BY pg.g""".stripMargin,
     "q362_nelson_aalen" ->
       s"""WITH $survivalSubjectsCte, g AS (
         |  SELECT t,

@@ -412,6 +412,52 @@ object Events {
       .orderBy("event_type", "t")
   }
 
+  /** PER-GROUP restricted mean survival time — [[rmst]] keyed by a
+    * slice column ("expected days-to-conversion within 20, per
+    * cohort" — the per-slice effect readout survival comparisons
+    * actually report): segments ride the distributed lag run THREE
+    * times (t, survival, and the group itself — a lag crossing a
+    * group boundary must read the BEFORE-GRID defaults (0, 1), not
+    * the previous group's tail), per-group sums are one aggregation,
+    * and each group's past-grid tail comes off a `max_by` over its
+    * last curve row — fully IN-PLAN, group cardinality unbounded.
+    * Output: one row per group — (`g`, `tau`, `n`, `n_events`,
+    * `rmst6`), ordered by group. */
+  def rmstByGroup(
+      df: DataFrame, groupCol: String, durationCol: String,
+      observedCol: String, tau: Double): DataFrame = {
+    require(tau > 0.0, s"rmstByGroup: tau ($tau) must be positive")
+    val curve = kaplanMeierByGroup(df, groupCol, durationCol, observedCol)
+    val lagged = General.withPrevValue(
+      General.withPrevValue(
+        General.withPrevValue(curve, Seq("g", "t"), "t", "__pt"),
+        Seq("g", "t"), "survival6", "__ps"),
+      Seq("g", "t"), "g", "__pg")
+    val sameG = col("__pg") <=> col("g")
+    val segStart = when(sameG, coalesce(col("__pt"), lit(0.0)))
+      .otherwise(lit(0.0))
+    val segSurv = when(sameG, coalesce(col("__ps"), lit(1.0)))
+      .otherwise(lit(1.0))
+    val clippedEnd = least(col("t"), lit(tau))
+    val term = when(segStart < lit(tau),
+      round(segSurv * (clippedEnd - segStart), 12).cast("decimal(38,12)"))
+      .otherwise(lit(0).cast("decimal(38,12)"))
+    val perG = lagged.groupBy("g").agg(
+      coalesce(sum(term), lit(0).cast("decimal(38,12)")).as("__in"),
+      coalesce(sum(col("n_events")), lit(0L)).as("__nev"),
+      coalesce(sum(col("n_events") + col("n_censored")), lit(0L)).as("__n"),
+      max_by(struct(col("t"), col("survival6")), col("t")).as("__last"))
+    val tl = col("__last.t")
+    val sl = col("__last.survival6")
+    val tail = when(lit(tau) > tl,
+      round(sl * (lit(tau) - tl), 12).cast("decimal(38,12)"))
+      .otherwise(lit(0).cast("decimal(38,12)"))
+    perG.select(col("g"), lit(tau).as("tau"), col("__n").as("n"),
+        col("__nev").as("n_events"),
+        round((col("__in") + tail).cast("double"), 6).as("rmst6"))
+      .orderBy("g")
+  }
+
   /** PER-GROUP Kaplan–Meier — [[kaplanMeier]] keyed by a slice column
     * ("does the DE cohort churn faster than EN?"), fully IN-PLAN: the
     * (group, duration) grid rides ONE range-partitioned running total

@@ -344,6 +344,31 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("rmstByGroup == ungrouped per group; group-boundary lag is clean") {
+    val df = table("g string, dur double, obs boolean", Seq(
+      row("a", 1.0, true), row("a", 2.0, true), row("a", 3.0, false),
+      row("a", 4.0, true), row("a", 5.0, false),
+      // b's grid starts HIGH: a leaked lag from a's tail would corrupt
+      // b's before-grid segment
+      row("b", 10.0, true), row("b", 20.0, false),
+      row(null, 2.0, true)))
+    val tau = 4.5
+    val got = Events.rmstByGroup(df, "g", "dur", "obs", tau)
+    for (g <- Seq("a", "b")) {
+      assertDfEquality(got.filter(col("g") === g).drop("g"),
+        Events.rmst(df.filter(col("g") === g), "dur", "obs", tau))
+    }
+    assertDfEquality(got.filter(col("g").isNull).drop("g"),
+      Events.rmst(df.filter(col("g").isNull), "dur", "obs", tau))
+    val m = got.collect().map(r => Option(r.getString(0)).getOrElse("∅")
+      -> r.getDouble(4)).toMap
+    assert(m("a") == 3.15)
+    assert(m("b") == 4.5, "b never drops inside tau: full 4.5 at S=1")
+    intercept[IllegalArgumentException] {
+      Events.rmstByGroup(df, "g", "dur", "obs", -1.0)
+    }
+  }
+
   test("cumulativeIncidence: hand case, no-censoring identity, bias vs 1-KM") {
     // (1,'a'), (2,'b'), (3, censored): CIF_a(1)=1/3, CIF_b(2)=(2/3)/2
     val df = table("dur double, ev string", Seq(
