@@ -6822,6 +6822,16 @@ object SparkEntry {
       survivalSubjects(s, dir), "first_type", "dur_days", "observed",
       tau = 20.0)
 
+  // ---------------------------------------------------------------- q369
+  /** Per-cohort Nelson–Aalen ([[graft.operators.Events
+    * .nelsonAalenByGroup]]): each first-event type's own conversion
+    * pressure curve — the per-slice completion of q362, group-local
+    * risk sets and hazard prefixes off the shared range-partitioned
+    * machinery. */
+  private def q369GroupNelsonAalen(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.nelsonAalenByGroup(
+      survivalSubjects(s, dir), "first_type", "dur_days", "observed")
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -7259,6 +7269,7 @@ object SparkEntry {
     "q366_stream_url_dedup" -> (q366StreamUrlDedup _),
     "q367_cumulative_incidence" -> (q367CumulativeIncidence _),
     "q368_group_rmst" -> (q368GroupRmst _),
+    "q369_group_nelson_aalen" -> (q369GroupNelsonAalen _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -14318,6 +14329,38 @@ object SparkEntry {
         |        ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE), 6)
         |    AS rmst6
         |FROM pg JOIN lst ON pg.g = lst.g ORDER BY pg.g""".stripMargin,
+    "q369_group_nelson_aalen" ->
+      s"""WITH $survivalSubjectsCte, cells AS (
+        |  SELECT ft AS g, t,
+        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY g, t
+        |), tot AS (
+        |  SELECT g, CAST(SUM(d + c) AS BIGINT) AS total
+        |  FROM cells GROUP BY g
+        |), pre AS (
+        |  SELECT cells.g, t, d, c, tot.total,
+        |    CAST(COALESCE(SUM(d + c) OVER (PARTITION BY cells.g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS p
+        |  FROM cells JOIN tot ON cells.g = tot.g
+        |), term AS (
+        |  SELECT g, t, total - p AS n, d, c,
+        |    CASE WHEN d > 0
+        |      THEN CAST(CAST(ROUND(CAST(d AS DOUBLE)
+        |          / CAST(total - p AS DOUBLE), 12) AS DECIMAL(28,12))
+        |        * 1000000000000 AS BIGINT)
+        |      ELSE 0 END AS ht
+        |  FROM pre
+        |), cum AS (
+        |  SELECT g, t, n, d, c,
+        |    SUM(ht) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hp
+        |  FROM term
+        |)
+        |SELECT g, t, n AS n_risk, d AS n_events, c AS n_censored,
+        |  ROUND(CAST(hp AS DOUBLE) / 1e12, 6) AS cumhaz6
+        |FROM cum ORDER BY g, t""".stripMargin,
     "q362_nelson_aalen" ->
       s"""WITH $survivalSubjectsCte, g AS (
         |  SELECT t,

@@ -280,6 +280,65 @@ object Events {
       .orderBy("t")
   }
 
+  /** PER-GROUP Nelson–Aalen — [[nelsonAalen]] keyed by a slice column
+    * ("whose conversion pressure is accelerating?"): the
+    * [[kaplanMeierByGroup]] grid shape with the simpler hazard
+    * arithmetic — group-local risk sets off one range-partitioned
+    * prefix with group-MIN offsets, the `d/n` fixed-point terms
+    * (non-negative, so the min-offset recovery IS valid here, unlike
+    * the KM ln terms) off a second. Output: one row per
+    * (group, duration) — (`g` as STRING, `t`, `n_risk`, `n_events`,
+    * `n_censored`, `cumhaz6`), ordered by (g, t). */
+  def nelsonAalenByGroup(
+      df: DataFrame, groupCol: String, durationCol: String,
+      observedCol: String): DataFrame = {
+    TempCols.reserve(df, "nelsonAalenByGroup",
+      "__g", "__t", "__o", "__d", "__c", "__dc", "__pre", "__off",
+      "__tot", "__n", "__ht", "__hp", "__ho")
+    val rows = df
+      .filter(col(durationCol).isNotNull && col(observedCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(durationCol).cast("double").as("__t"),
+        col(observedCol).cast("boolean").as("__o"))
+    val g = rows.groupBy("__g", "__t").agg(
+        sum(when(col("__o"), 1L).otherwise(0L)).as("__d"),
+        sum(when(!col("__o"), 1L).otherwise(0L)).as("__c"))
+      .withColumn("__dc", col("__d") + col("__c"))
+    val chk = g.agg(count(lit(1)),
+      coalesce(min(col("__t")), lit(0.0))).head()
+    val (nGrid, minT) = (chk.getLong(0), chk.getDouble(1))
+    require(nGrid > 0L,
+      "nelsonAalenByGroup: no complete (duration, observed) rows")
+    require(minT >= 0.0,
+      s"nelsonAalenByGroup: negative duration $minT")
+    require(nGrid <= 200000L,
+      s"nelsonAalenByGroup: $nGrid (group, duration) cells exceeds the " +
+        "fixed-point budget (200000) — coarsen the duration unit")
+    val pre = General.withRunningTotal(g, Seq("__g", "__t"), "__dc", "__pre")
+    val offs = pre.groupBy("__g").agg(
+      min(col("__pre")).as("__off"), sum(col("__dc")).as("__tot"))
+    val j = pre.alias("__l")
+      .join(offs.alias("__r"), col("__l.__g") <=> col("__r.__g"))
+      .select(col("__l.__g").as("__g"), col("__t"), col("__d"),
+        col("__c"),
+        (col("__tot") - (col("__pre") - col("__off"))).as("__n"))
+    val hTerm = when(col("__d") > 0L,
+      (round(col("__d").cast("double") / col("__n").cast("double"), 12)
+        .cast("decimal(28,12)") * lit(1000000000000L)).cast("long"))
+      .otherwise(lit(0L))
+    val p2 = General.withRunningTotal(
+      j.withColumn("__ht", hTerm), Seq("__g", "__t"), "__ht", "__hp")
+    val hOffs = p2.groupBy("__g").agg(min(col("__hp")).as("__ho"))
+    p2.alias("__a")
+      .join(hOffs.alias("__b"), col("__a.__g") <=> col("__b.__g"))
+      .select(col("__a.__g").as("g"), col("__t").as("t"),
+        col("__n").as("n_risk"), col("__d").as("n_events"),
+        col("__c").as("n_censored"),
+        round((col("__hp") - col("__ho") + col("__ht")).cast("double") /
+          lit(1.0e12), 6).as("cumhaz6"))
+      .orderBy("g", "t")
+  }
+
   /** Restricted mean survival time — the area under [[kaplanMeier]]'s
     * step curve up to a horizon `tau`: "expected days survived (or
     * until conversion) within the first τ days", the single-number

@@ -344,6 +344,23 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("nelsonAalenByGroup == ungrouped per group; NULL group") {
+    val df = table("g string, dur double, obs boolean", Seq(
+      row("a", 1.0, true), row("a", 2.0, true), row("a", 3.0, false),
+      row("b", 1.0, true), row("b", 1.0, true), row("b", 2.0, true),
+      row(null, 1.0, true), row(null, 2.0, false)))
+    val got = Events.nelsonAalenByGroup(df, "g", "dur", "obs")
+    for (g <- Seq("a", "b")) {
+      assertDfEquality(got.filter(col("g") === g).drop("g"),
+        Events.nelsonAalen(df.filter(col("g") === g), "dur", "obs"))
+    }
+    assertDfEquality(got.filter(col("g").isNull).drop("g"),
+      Events.nelsonAalen(df.filter(col("g").isNull), "dur", "obs"))
+    // b exhausts its risk set: hazard increments by exactly 1, finite
+    val b = got.filter(col("g") === "b").collect()
+    assert(b(0).getDouble(5) == 0.666667 && b(1).getDouble(5) == 1.666667)
+  }
+
   test("rmstByGroup == ungrouped per group; group-boundary lag is clean") {
     val df = table("g string, dur double, obs boolean", Seq(
       row("a", 1.0, true), row("a", 2.0, true), row("a", 3.0, false),
