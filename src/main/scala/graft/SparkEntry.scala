@@ -8300,7 +8300,10 @@ object SparkEntry {
        |), comp AS (
        |  SELECT doc_id, sch,
        |    lower(regexp_extract(auth, '$hostRe', 1)) AS host,
-       |    TRY_CAST(regexp_extract(auth, '$portRe', 1) AS BIGINT) AS portn,
+       |    CASE WHEN length(regexp_extract(auth, '$portRe', 1))
+       |      BETWEEN 1 AND 9
+       |      THEN CAST(regexp_extract(auth, '$portRe', 1) AS BIGINT)
+       |      END AS portn,
        |    CASE WHEN regexp_replace(p0, '/+$$', '') = '' THEN '/'
        |         ELSE regexp_replace(p0, '/+$$', '') END AS path,
        |    array_to_string(list_sort(list_filter(str_split(q0, '&'),
@@ -14141,66 +14144,6 @@ object SparkEntry {
     // the batch recompute (the q131/q133 pattern)
     "q360_incremental_km" -> kaplanMeierOracle,
     "q361_stream_km" -> kaplanMeierOracle,
-    "q367_cumulative_incidence" ->
-      s"""WITH $survivalSubjectsCte, s2 AS (
-        |  SELECT t, CASE WHEN obs THEN 'converted'
-        |    WHEN t <= 28 THEN 'stalled' END AS k
-        |  FROM subj
-        |), grid AS (
-        |  SELECT t,
-        |    CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS d,
-        |    CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS c
-        |  FROM s2 GROUP BY t
-        |), tot AS (
-        |  SELECT CAST(SUM(d + c) AS BIGINT) AS total FROM grid
-        |), pre AS (
-        |  SELECT grid.t, grid.d, tot.total,
-        |    CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS p
-        |  FROM grid, tot
-        |), term AS (
-        |  SELECT t, total - p AS n, d,
-        |    CASE WHEN d > 0 AND d < total - p
-        |      THEN CAST(CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE)
-        |          / CAST(total - p AS DOUBLE)), 12) AS DECIMAL(28,12))
-        |        * 1000000000000 AS BIGINT)
-        |      ELSE 0 END AS lt,
-        |    CASE WHEN d = total - p THEN 1 ELSE 0 END AS z
-        |  FROM pre
-        |), cum AS (
-        |  SELECT t, n,
-        |    CAST(COALESCE(SUM(lt) OVER (ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS lp,
-        |    CAST(COALESCE(SUM(z) OVER (ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS zp
-        |  FROM term
-        |), tinfo AS (
-        |  SELECT t, n,
-        |    CASE WHEN zp > 0 THEN 0.0
-        |      ELSE exp(CAST(lp AS DOUBLE) / 1e12) END AS sm
-        |  FROM cum
-        |), cells AS (
-        |  SELECT k, t, CAST(COUNT(*) AS BIGINT) AS dk
-        |  FROM s2 WHERE k IS NOT NULL GROUP BY k, t
-        |), wt AS (
-        |  SELECT cells.k, cells.t, tinfo.n, cells.dk,
-        |    CAST(CAST(ROUND(sm * CAST(dk AS DOUBLE) / CAST(n AS DOUBLE),
-        |      12) AS DECIMAL(28,12)) * 1000000000000 AS BIGINT) AS ci
-        |  FROM cells JOIN tinfo ON cells.t = tinfo.t
-        |), cc AS (
-        |  SELECT k, t, n, dk,
-        |    SUM(ci) OVER (PARTITION BY k ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
-        |  FROM wt
-        |)
-        |SELECT k AS event_type, t, n AS n_risk, dk AS n_events,
-        |  ROUND(CAST(cp AS DOUBLE) / 1e12, 6) AS cif6
-        |FROM cc ORDER BY event_type, t""".stripMargin,
     "q367_cumulative_incidence" ->
       s"""WITH $survivalSubjectsCte, s2 AS (
         |  SELECT t, CASE WHEN obs THEN 'converted'

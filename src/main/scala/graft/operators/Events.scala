@@ -632,10 +632,14 @@ object Events {
       .select(col(groupCol).cast("string").as("__g"),
         col(durationCol).cast("double").as("__t"),
         col(observedCol).cast("boolean").as("__o"))
+    // limit(16) bounds the misuse path: a high-cardinality group
+    // column fails the require loudly WITHOUT a driver-sized collect
+    // (count-first-guard discipline, cf. bradleyTerry's maxPairs)
     val gs = rows.select("__g").distinct().orderBy("__g")
-      .collect().map(_.getString(0))
+      .limit(16).collect().map(_.getString(0))
     require(gs.length == 2,
-      s"logRankTest: needs exactly 2 groups, got ${gs.length} " +
+      s"logRankTest: needs exactly 2 groups, got " +
+        s"${if (gs.length >= 16) "16+" else gs.length.toString} " +
         s"(${gs.take(5).mkString(", ")}${if (gs.length > 5) ", …" else ""})")
     val (ga, gb) = (gs(0), gs(1))
     val grid = rows.groupBy("__t").agg(

@@ -51,6 +51,16 @@ class UrlFunctionsSpec extends AnyFunSuite {
       "http://example.com:008080/a" -> "http://example.com:8080/a")
   }
 
+  test("urlNormalize: adversarial over-long port digit run never crashes") {
+    // a >9-digit "port" is not a port: dropped, job survives (ANSI
+    // cast overflow would otherwise kill the whole stage on one URL)
+    norm(
+      "http://a.com:99999999999999999999999/x" -> "http://a.com/x",
+      "http://a.com:1234567890/x" -> "http://a.com/x",
+      // 9 digits is still within the bound and kept
+      "http://a.com:123456789/x" -> "http://a.com:123456789/x")
+  }
+
   test("urlNormalize: IPv6 bracket host keeps its colons, port still parsed") {
     norm(
       "http://[2001:DB8::1]/a" -> "http://[2001:db8::1]/a",
