@@ -6832,6 +6832,35 @@ object SparkEntry {
     graft.operators.Events.nelsonAalenByGroup(
       survivalSubjects(s, dir), "first_type", "dur_days", "observed")
 
+  // ---------------------------------------------------------------- q370
+  /** Per-segment CUPED readout ([[graft.operators.Experiment
+    * .cupedReportByGroup]]): q352's pre/post user table sliced into
+    * three deterministic user segments — θ estimated PER SLICE, so a
+    * segment where the pre-period value predicts the post-period
+    * outcome more strongly gets more variance reduction ("did the
+    * treatment lift segment 0 but not segment 2?"). Arms off the same
+    * portable-hash assignment (fresh salt); the oracle replays the
+    * per-segment θ and every adjusted term. */
+  private def q370GroupCuped(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Experiment
+    val splitUs = 1705363200000000L
+    def side(pre: Boolean) = sum(when(
+      if (pre) unix_micros(col("ts")) < splitUs
+      else unix_micros(col("ts")) >= splitUs,
+      round(col("value"), 12).cast("decimal(38,12)"))).cast("double")
+    val users = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(side(pre = true).as("pre_value"),
+        side(pre = false).as("post_value"))
+      .withColumn("segment",
+        concat(lit("seg"), (col("user_id") % 3L).cast("string")))
+    val assigned = Experiment.assignArms(users, "user_id", salt = "cuped2",
+      arms = Seq(("control", 0.5), ("treat", 0.5)))
+    Experiment.cupedReportByGroup(assigned, "segment", "arm",
+      "post_value", "pre_value")
+  }
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -7270,6 +7299,7 @@ object SparkEntry {
     "q367_cumulative_incidence" -> (q367CumulativeIncidence _),
     "q368_group_rmst" -> (q368GroupRmst _),
     "q369_group_nelson_aalen" -> (q369GroupNelsonAalen _),
+    "q370_group_cuped" -> (q370GroupCuped _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -14304,6 +14334,77 @@ object SparkEntry {
         |SELECT g, t, n AS n_risk, d AS n_events, c AS n_censored,
         |  ROUND(CAST(hp AS DOUBLE) / 1e12, 6) AS cumhaz6
         |FROM cum ORDER BY g, t""".stripMargin,
+    "q370_group_cuped" ->
+      """WITH u0 AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) < 1705363200000000
+        |      THEN CAST(ROUND(value, 12) AS DECIMAL(38,12)) END)
+        |      AS DOUBLE) AS x,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) >= 1705363200000000
+        |      THEN CAST(ROUND(value, 12) AS DECIMAL(38,12)) END)
+        |      AS DOUBLE) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id
+        |), u AS (
+        |  SELECT 'seg' || CAST(user_id % 3 AS VARCHAR) AS g, user_id, x, y
+        |  FROM u0 WHERE x IS NOT NULL AND y IS NOT NULL
+        |), h AS (
+        |  SELECT g, x, y,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5('cuped2:' || CAST(user_id AS VARCHAR)),
+        |           CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) AS hv
+        |  FROM u
+        |), a AS (
+        |  SELECT g, x, y,
+        |    CASE WHEN hv < 2147483648 THEN 'control' ELSE 'treat' END AS arm
+        |  FROM h
+        |), st AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(x*x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sxx,
+        |    CAST(SUM(CAST(ROUND(x*y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sxy
+        |  FROM a GROUP BY g
+        |), th AS (
+        |  SELECT g, CASE WHEN CAST(n AS DOUBLE)*sxx - sx*sx > 0
+        |    THEN (CAST(n AS DOUBLE)*sxy - sx*sy)
+        |      / (CAST(n AS DOUBLE)*sxx - sx*sx)
+        |    ELSE 0.0 END AS theta,
+        |    sx / CAST(n AS DOUBLE) AS mux
+        |  FROM st
+        |), adj AS (
+        |  SELECT a.g, arm, y, y - th.theta * (x - th.mux) AS ya, th.theta
+        |  FROM a JOIN th ON a.g = th.g
+        |), gg AS (
+        |  SELECT g, arm, CAST(COUNT(*) AS BIGINT) AS n, MAX(theta) AS theta,
+        |    CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(y*y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS syy,
+        |    CAST(SUM(CAST(ROUND(ya, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sa,
+        |    CAST(SUM(CAST(ROUND(ya*ya, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS saa
+        |  FROM adj GROUP BY g, arm
+        |), f AS (
+        |  SELECT g, arm, n, theta, CAST(n AS DOUBLE) AS nd, sy, sa,
+        |    CASE WHEN n >= 2 THEN (CAST(n AS DOUBLE)*syy - sy*sy)
+        |      / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)) END AS vraw,
+        |    CASE WHEN n >= 2 THEN (CAST(n AS DOUBLE)*saa - sa*sa)
+        |      / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)) END AS vadj
+        |  FROM gg
+        |)
+        |SELECT g, arm, n, ROUND(theta, 6) AS theta6,
+        |  ROUND(sy / nd, 6) AS mean_raw6,
+        |  ROUND(sa / nd, 6) AS mean_adj6,
+        |  CASE WHEN n >= 2 THEN ROUND(vraw, 6) END AS var_raw6,
+        |  CASE WHEN n >= 2 THEN ROUND(vadj, 6) END AS var_adj6,
+        |  CASE WHEN n >= 2 THEN ROUND(sa/nd - 1.96*sqrt(
+        |    (CASE WHEN vadj > 0 THEN vadj ELSE 0.0 END)/nd), 6) END AS lo6,
+        |  CASE WHEN n >= 2 THEN ROUND(sa/nd + 1.96*sqrt(
+        |    (CASE WHEN vadj > 0 THEN vadj ELSE 0.0 END)/nd), 6) END AS hi6
+        |FROM f ORDER BY g, arm""".stripMargin,
     "q362_nelson_aalen" ->
       s"""WITH $survivalSubjectsCte, g AS (
         |  SELECT t,

@@ -221,6 +221,94 @@ object Experiment {
       .orderBy("arm")
   }
 
+  /** PER-GROUP CUPED readout — [[cupedReport]] keyed by a slice
+    * column ("did the treatment lift EN but not DE?"): θ and μ_pre
+    * are estimated PER SLICE from the group-keyed moment state (the
+    * [[Moments.correlationMatrixByGroup]] grouping pattern composed
+    * with [[cupedReport]]'s arithmetic — a slice whose covariate
+    * predicts the outcome differently gets its own variance
+    * reduction), then each unit's outcome shifts by its own slice's
+    * `θ_g·(x − μ_g)` and the per-(group, arm) readout is
+    * [[cupedReport]]'s verbatim. A zero-covariate-variance slice
+    * (including any single-row group) reads θ = 0 — no adjustment,
+    * adjusted == raw — so the grouped report on a one-group frame
+    * provably equals the pooled operator's (the house
+    * grouped==filtered equivalence, spec-pinned).
+    *
+    * Scale shape: one group-keyed moment aggregation (five scalars
+    * per group, map-side combined), the θ/μ table joined back on the
+    * group key (null-safe — NULL is its own group; group-count-sized,
+    * AQE broadcasts it when small), then ONE (group, arm)-keyed
+    * aggregation of the four 12dp-exact decimal term sums; readouts
+    * are in-plan double arithmetic on (group × arm)-count rows.
+    * Group cardinality unbounded (state is O(1) scalars per group).
+    * Single-unit arms read NULL variance/CI (guards INSIDE when() —
+    * ANSI-safe).
+    *
+    * Output: one row per (group, arm) — (`g` as STRING, `arm`, `n`,
+    * `theta6`, `mean_raw6`, `mean_adj6`, `var_raw6`, `var_adj6`,
+    * `lo6`, `hi6`), ordered by (g, arm). */
+  def cupedReportByGroup(
+      df: DataFrame, groupCol: String, armCol: String, yCol: String,
+      xCol: String, z: Double = 1.96): DataFrame = {
+    require(Seq(armCol, yCol, xCol).forall(_ != groupCol),
+      s"cupedReportByGroup: group column '$groupCol' overlaps an " +
+        "arm/outcome/covariate column")
+    TempCols.reserve(df, "cupedReportByGroup",
+      "__gk", "__gk2", "__arm", "__x", "__y", "__n", "__sx", "__sy",
+      "__sxx", "__sxy", "__theta", "__mux", "__syy", "__sa", "__saa")
+    val base = df.filter(col(armCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__gk"),
+        col(armCol).cast("string").as("__arm"),
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    def dterm(c: Column) = round(c, 12).cast("decimal(38,12)")
+    val x = col("__x")
+    val y = col("__y")
+    val st = base.groupBy("__gk").agg(
+      count(lit(1)).as("__n"),
+      sum(dterm(x)).cast("double").as("__sx"),
+      sum(dterm(y)).cast("double").as("__sy"),
+      sum(dterm(x * x)).cast("double").as("__sxx"),
+      sum(dterm(x * y)).cast("double").as("__sxy"))
+    val nd0 = col("__n").cast("double")
+    val varXN = nd0 * col("__sxx") - col("__sx") * col("__sx")
+    // division guarded INSIDE the when (lazy CaseWhen — ANSI-safe)
+    val thetaG = when(varXN > 0.0,
+      (nd0 * col("__sxy") - col("__sx") * col("__sy")) / varXN)
+      .otherwise(0.0)
+    val stT = st.select(col("__gk").as("__gk2"),
+      thetaG.as("__theta"), (col("__sx") / nd0).as("__mux"))
+    // <=> join: a NULL group is its own group and must not drop
+    val adj = y - col("__theta") * (x - col("__mux"))
+    val g = base.join(stT, col("__gk") <=> col("__gk2")).drop("__gk2")
+      .groupBy(col("__gk"), col("__arm"))
+      .agg(count(lit(1)).as("n"),
+        max(col("__theta")).as("__theta"), // per-group constant
+        sum(dterm(y)).cast("double").as("__sy"),
+        sum(dterm(y * y)).cast("double").as("__syy"),
+        sum(dterm(adj)).cast("double").as("__sa"),
+        sum(dterm(adj * adj)).cast("double").as("__saa"))
+    val nd = col("n").cast("double")
+    val varRaw = (nd * col("__syy") - col("__sy") * col("__sy")) /
+      (nd * (nd - lit(1.0)))
+    val varAdj = (nd * col("__saa") - col("__sa") * col("__sa")) /
+      (nd * (nd - lit(1.0)))
+    val se = sqrt(when(varAdj > 0.0, varAdj).otherwise(0.0) / nd)
+    g.select(col("__gk").as("g"), col("__arm").as("arm"), col("n"),
+        round(col("__theta"), 6).as("theta6"),
+        round(col("__sy") / nd, 6).as("mean_raw6"),
+        round(col("__sa") / nd, 6).as("mean_adj6"),
+        when(col("n") >= 2L, round(varRaw, 6)).as("var_raw6"),
+        when(col("n") >= 2L, round(varAdj, 6)).as("var_adj6"),
+        when(col("n") >= 2L,
+          round(col("__sa") / nd - lit(z) * se, 6)).as("lo6"),
+        when(col("n") >= 2L,
+          round(col("__sa") / nd + lit(z) * se, 6)).as("hi6"))
+      .orderBy("g", "arm")
+  }
+
   /** [[abReport]]'s readout arithmetic over a prepared per-arm CI
     * table (`arm`, `n`, `n_pass`, `rate6`, `lo6`, `hi6`) — shared
     * verbatim by the batch operator and the streaming monitor (the

@@ -192,6 +192,60 @@ class ExperimentSpec extends AnyFunSuite {
     assert(e.getMessage.contains(">= 2"))
   }
 
+  test("cupedReportByGroup: grouped equals filtered-ungrouped per slice") {
+    // two slices with DIFFERENT true slopes, so pooled theta would be
+    // wrong for both and the per-slice theta is load-bearing
+    val rows = (0 until 60).map { i =>
+      val g = if (i % 3 == 0) "en" else "de"
+      val arm = if (i % 2 == 0) "control" else "treat"
+      val x = (i % 10).toDouble + 0.5 * (i % 4)
+      val slope = if (g == "en") 2.0 else -1.0
+      val lift = if (arm == "treat") 1.0 else 0.0
+      row(g, arm, x, slope * x + lift + 0.1 * (i % 7))
+    }
+    val df = table("g string, arm string, x double, y double", rows)
+    val grouped = Experiment.cupedReportByGroup(df, "g", "arm", "y", "x")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    Seq("en", "de").foreach { g =>
+      val solo = Experiment.cupedReport(
+          df.filter(col("g") === g), "arm", "y", "x")
+        .collect().map(r => r.getString(0) -> r).toMap
+      solo.foreach { case (arm, s) =>
+        val r = grouped((g, arm))
+        // (n, theta6, mean_raw6, mean_adj6, var_raw6, var_adj6, lo6, hi6)
+        assert(r.getLong(2) == s.getLong(1), s"$g/$arm n")
+        (3 to 9).foreach { i =>
+          assert(r.getDouble(i) == s.getDouble(i - 1), s"$g/$arm col $i")
+        }
+      }
+    }
+    // per-slice theta recovered each slice's own slope
+    assert(math.abs(grouped(("en", "control")).getDouble(3) - 2.0) < 0.15)
+    assert(math.abs(grouped(("de", "control")).getDouble(3) + 1.0) < 0.15)
+  }
+
+  test("cupedReportByGroup: zero-variance slice theta 0; NULL group kept") {
+    val df = table("g string, arm string, x double, y double", Seq(
+      // slice 'flat': constant covariate -> theta 0, adjusted == raw
+      row("flat", "a", 5.0, 1.0), row("flat", "a", 5.0, 3.0),
+      row("flat", "b", 5.0, 2.0), row("flat", "b", 5.0, 4.0),
+      // NULL slice is its own group (null-safe join must keep it)
+      row(null, "a", 1.0, 1.0), row(null, "a", 2.0, 3.0)))
+    val got = Experiment.cupedReportByGroup(df, "g", "arm", "y", "x")
+      .collect()
+    val flat = got.filter(r => !r.isNullAt(0) && r.getString(0) == "flat")
+    assert(flat.length == 2)
+    flat.foreach { r =>
+      assert(r.getDouble(3) == 0.0, "theta must be exactly 0")
+      assert(r.getDouble(4) == r.getDouble(5), "mean unchanged")
+    }
+    val nullG = got.filter(_.isNullAt(0))
+    assert(nullG.length == 1 && nullG(0).getLong(2) == 2L,
+      s"NULL group must survive the join: ${got.mkString("; ")}")
+    // theta of the NULL slice: x 1->1, 2->3 is slope 2
+    assert(nullG(0).getDouble(3) == 2.0)
+  }
+
   test("cupedAdjust composes: y_adj matches the report's arithmetic") {
     val rows = (0 until 12).map { i =>
       row(if (i % 2 == 0) "a" else "b",
