@@ -6861,6 +6861,35 @@ object SparkEntry {
       "post_value", "pre_value")
   }
 
+  // ---------------------------------------------------------------- q371
+  /** k-sample log-rank ([[graft.operators.Events.logRankTestK]]):
+    * does time-to-conversion differ across THREE first-touch cohorts
+    * (browse = click/view, error, intent = purchase/signup)? Per
+    * pooled event time every cohort's O−E and the full covariance
+    * accumulate as 12dp-exact decimal sums; χ² over 2 df through the
+    * exact-decimal adjugate. The oracle replays risk sets, every
+    * hypergeometric term, and the fixed-point 2×2 quadratic form. */
+  private def q371LogRankK(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.logRankTestK(
+      survivalSubjects(s, dir).withColumn("cohort",
+        when(col("first_type").isin("purchase", "signup"), lit("intent"))
+          .when(col("first_type").isin("click", "view"), lit("browse"))
+          .otherwise(lit("error"))),
+      "cohort", "dur_days", "observed")
+
+  // ---------------------------------------------------------------- q372
+  /** Stratified log-rank ([[graft.operators.Events.logRankTestK]]
+    * with `strataCol`): the q357 even/odd comparison ADJUSTED for
+    * first-event type — each stratum contributes its own
+    * hypergeometric O−E and variance off stratum-local risk sets,
+    * summed before the χ² readout (1 df), so a cohort-mix imbalance
+    * between the arms can no longer masquerade as a survival
+    * difference. */
+  private def q372StratifiedLogRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.logRankTestK(
+      survivalSubjects(s, dir), "parity", "dur_days", "observed",
+      strataCol = Some("first_type"))
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -7300,6 +7329,8 @@ object SparkEntry {
     "q368_group_rmst" -> (q368GroupRmst _),
     "q369_group_nelson_aalen" -> (q369GroupNelsonAalen _),
     "q370_group_cuped" -> (q370GroupCuped _),
+    "q371_logrank_k" -> (q371LogRankK _),
+    "q372_stratified_logrank" -> (q372StratifiedLogRank _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -14405,6 +14436,180 @@ object SparkEntry {
         |  CASE WHEN n >= 2 THEN ROUND(sa/nd + 1.96*sqrt(
         |    (CASE WHEN vadj > 0 THEN vadj ELSE 0.0 END)/nd), 6) END AS hi6
         |FROM f ORDER BY g, arm""".stripMargin,
+    "q371_logrank_k" ->
+      s"""WITH $survivalSubjectsCte, s2 AS (
+        |  SELECT CASE WHEN ft IN ('purchase','signup') THEN 'intent'
+        |              WHEN ft IN ('click','view') THEN 'browse'
+        |              ELSE 'error' END AS g, t, obs
+        |  FROM subj
+        |), cells AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN g='browse' AND obs THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d0,
+        |    CAST(SUM(CASE WHEN g='browse' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x0,
+        |    CAST(SUM(CASE WHEN g='error' AND obs THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN g='error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN g='intent' AND obs THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d2,
+        |    CAST(SUM(CASE WHEN g='intent' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x2
+        |  FROM s2 GROUP BY t
+        |), tt AS (
+        |  SELECT CAST(SUM(x0) AS BIGINT) AS t0,
+        |    CAST(SUM(x1) AS BIGINT) AS t1,
+        |    CAST(SUM(x2) AS BIGINT) AS t2 FROM cells
+        |), pre AS (
+        |  SELECT t, d0, d1, d2,
+        |    CAST(COALESCE(SUM(x0) OVER w, 0) AS BIGINT) AS p0,
+        |    CAST(COALESCE(SUM(x1) OVER w, 0) AS BIGINT) AS p1,
+        |    CAST(COALESCE(SUM(x2) OVER w, 0) AS BIGINT) AS p2
+        |  FROM cells
+        |  WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), tm AS (
+        |  SELECT d0, d1, d2,
+        |    CAST(t0 - p0 AS DOUBLE) AS n0, CAST(t1 - p1 AS DOUBLE) AS n1,
+        |    CAST(t2 - p2 AS DOUBLE) AS n2,
+        |    CAST(t0 - p0 AS DOUBLE) + CAST(t1 - p1 AS DOUBLE)
+        |      + CAST(t2 - p2 AS DOUBLE) AS n,
+        |    CAST(d0 + d1 + d2 AS DOUBLE) AS d
+        |  FROM pre, tt
+        |), agg AS (
+        |  SELECT
+        |    CAST(SUM(d0) AS BIGINT) AS o0, CAST(SUM(d1) AS BIGINT) AS o1,
+        |    CAST(SUM(d2) AS BIGINT) AS o2,
+        |    SUM(CASE WHEN d > 0 THEN CAST(ROUND(d*n0/n, 12)
+        |      AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS e0,
+        |    SUM(CASE WHEN d > 0 THEN CAST(ROUND(d*n1/n, 12)
+        |      AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS e1,
+        |    SUM(CASE WHEN d > 0 THEN CAST(ROUND(d*n2/n, 12)
+        |      AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS e2,
+        |    SUM(CASE WHEN d > 0 AND n > 1 THEN CAST(ROUND(
+        |      d*(n-d)/(n-1.0) * (n0*(n-n0)) / (n*n), 12)
+        |      AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS v00,
+        |    SUM(CASE WHEN d > 0 AND n > 1 THEN CAST(ROUND(
+        |      d*(n-d)/(n-1.0) * (-n0*n1) / (n*n), 12)
+        |      AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS v01,
+        |    SUM(CASE WHEN d > 0 AND n > 1 THEN CAST(ROUND(
+        |      d*(n-d)/(n-1.0) * (n1*(n-n1)) / (n*n), 12)
+        |      AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS v11,
+        |    SUM(CASE WHEN d > 0 AND n > 1 THEN CAST(ROUND(
+        |      d*(n-d)/(n-1.0) * (n2*(n-n2)) / (n*n), 12)
+        |      AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS v22
+        |  FROM tm
+        |), sc AS (
+        |  SELECT o0, o1, o2, e0, e1, e2, v00, v01, v11, v22,
+        |    CAST(CAST(o0 AS DECIMAL(38,12)) - e0 AS DECIMAL(18,12)) AS w0,
+        |    CAST(CAST(o1 AS DECIMAL(38,12)) - e1 AS DECIMAL(18,12)) AS w1
+        |  FROM agg
+        |), qf AS (
+        |  SELECT *,
+        |    CAST(ROUND(CAST(v00 AS DECIMAL(18,12))
+        |        * CAST(v11 AS DECIMAL(18,12)), 12) AS DECIMAL(18,12))
+        |      - CAST(ROUND(CAST(v01 AS DECIMAL(18,12))
+        |        * CAST(v01 AS DECIMAL(18,12)), 12) AS DECIMAL(18,12))
+        |      AS det,
+        |    CAST(ROUND(CAST(ROUND(w0 * w0, 12) AS DECIMAL(18,12))
+        |        * CAST(v11 AS DECIMAL(18,12)), 12) AS DECIMAL(18,12))
+        |    + CAST(ROUND(CAST(ROUND(w0 * w1, 12) AS DECIMAL(18,12))
+        |        * (- CAST(v01 AS DECIMAL(18,12))), 12) AS DECIMAL(18,12))
+        |    + CAST(ROUND(CAST(ROUND(w1 * w0, 12) AS DECIMAL(18,12))
+        |        * (- CAST(v01 AS DECIMAL(18,12))), 12) AS DECIMAL(18,12))
+        |    + CAST(ROUND(CAST(ROUND(w1 * w1, 12) AS DECIMAL(18,12))
+        |        * CAST(v00 AS DECIMAL(18,12)), 12) AS DECIMAL(18,12))
+        |      AS num
+        |  FROM sc
+        |), fin AS (
+        |  SELECT *, CASE WHEN det > 0 THEN
+        |    ROUND(CAST(num AS DOUBLE) / CAST(det AS DOUBLE), 6) END AS chi2
+        |  FROM qf, tt
+        |)
+        |SELECT 'browse' AS g, t0 AS n, o0 AS o,
+        |  ROUND(CAST(e0 AS DOUBLE), 6) AS e6,
+        |  ROUND(CAST(CAST(o0 AS DECIMAL(38,12)) - e0 AS DOUBLE), 6)
+        |    AS o_minus_e6,
+        |  ROUND(CAST(v00 AS DOUBLE), 6) AS var6,
+        |  chi2 AS chi2_6, CAST(2 AS BIGINT) AS df FROM fin
+        |UNION ALL
+        |SELECT 'error' AS g, t1, o1, ROUND(CAST(e1 AS DOUBLE), 6),
+        |  ROUND(CAST(CAST(o1 AS DECIMAL(38,12)) - e1 AS DOUBLE), 6),
+        |  ROUND(CAST(v11 AS DOUBLE), 6), chi2, CAST(2 AS BIGINT) FROM fin
+        |UNION ALL
+        |SELECT 'intent' AS g, t2, o2, ROUND(CAST(e2 AS DOUBLE), 6),
+        |  ROUND(CAST(CAST(o2 AS DECIMAL(38,12)) - e2 AS DOUBLE), 6),
+        |  ROUND(CAST(v22 AS DOUBLE), 6), chi2, CAST(2 AS BIGINT)
+        |FROM fin""".stripMargin,
+    "q372_stratified_logrank" ->
+      s"""WITH $survivalSubjectsCte, cells AS (
+        |  SELECT ft AS s, t,
+        |    CAST(SUM(CASE WHEN par='even' AND obs THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d0,
+        |    CAST(SUM(CASE WHEN par='even' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x0,
+        |    CAST(SUM(CASE WHEN par='odd' AND obs THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN par='odd' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x1
+        |  FROM subj GROUP BY ft, t
+        |), tt AS (
+        |  SELECT s, CAST(SUM(x0) AS BIGINT) AS t0,
+        |    CAST(SUM(x1) AS BIGINT) AS t1
+        |  FROM cells GROUP BY s
+        |), pre AS (
+        |  SELECT s, t, d0, d1,
+        |    CAST(COALESCE(SUM(x0) OVER w, 0) AS BIGINT) AS p0,
+        |    CAST(COALESCE(SUM(x1) OVER w, 0) AS BIGINT) AS p1
+        |  FROM cells
+        |  WINDOW w AS (PARTITION BY s ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), tm AS (
+        |  SELECT d0, d1,
+        |    CAST(tt.t0 - p0 AS DOUBLE) AS n0,
+        |    CAST(tt.t1 - p1 AS DOUBLE) AS n1,
+        |    CAST(tt.t0 - p0 AS DOUBLE) + CAST(tt.t1 - p1 AS DOUBLE) AS n,
+        |    CAST(d0 + d1 AS DOUBLE) AS d
+        |  FROM pre JOIN tt ON pre.s = tt.s
+        |), agg AS (
+        |  SELECT CAST(SUM(d0) AS BIGINT) AS o0,
+        |    CAST(SUM(d1) AS BIGINT) AS o1,
+        |    SUM(CASE WHEN d > 0 THEN CAST(ROUND(d*n0/n, 12)
+        |      AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS e0,
+        |    SUM(CASE WHEN d > 0 THEN CAST(ROUND(d*n1/n, 12)
+        |      AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS e1,
+        |    SUM(CASE WHEN d > 0 AND n > 1 THEN CAST(ROUND(
+        |      d*(n-d)/(n-1.0) * (n0*(n-n0)) / (n*n), 12)
+        |      AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS v00,
+        |    SUM(CASE WHEN d > 0 AND n > 1 THEN CAST(ROUND(
+        |      d*(n-d)/(n-1.0) * (n1*(n-n1)) / (n*n), 12)
+        |      AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS v11
+        |  FROM tm
+        |), gt AS (
+        |  SELECT CAST(SUM(t0) AS BIGINT) AS g0,
+        |    CAST(SUM(t1) AS BIGINT) AS g1 FROM tt
+        |), fin AS (
+        |  SELECT *,
+        |    CAST(CAST(o0 AS DECIMAL(38,12)) - e0 AS DECIMAL(18,12)) AS w0
+        |  FROM agg
+        |), fin2 AS (
+        |  SELECT *, CASE WHEN v00 > 0 THEN
+        |    ROUND(CAST(CAST(ROUND(w0 * w0, 12) AS DECIMAL(18,12)) AS DOUBLE)
+        |      / CAST(v00 AS DOUBLE), 6) END AS chi2
+        |  FROM fin
+        |)
+        |SELECT 'even' AS g, g0 AS n, o0 AS o,
+        |  ROUND(CAST(e0 AS DOUBLE), 6) AS e6,
+        |  ROUND(CAST(CAST(o0 AS DECIMAL(38,12)) - e0 AS DOUBLE), 6)
+        |    AS o_minus_e6,
+        |  ROUND(CAST(v00 AS DOUBLE), 6) AS var6,
+        |  chi2 AS chi2_6, CAST(1 AS BIGINT) AS df FROM fin2, gt
+        |UNION ALL
+        |SELECT 'odd' AS g, g1, o1, ROUND(CAST(e1 AS DOUBLE), 6),
+        |  ROUND(CAST(CAST(o1 AS DECIMAL(38,12)) - e1 AS DOUBLE), 6),
+        |  ROUND(CAST(v11 AS DOUBLE), 6), chi2, CAST(1 AS BIGINT)
+        |FROM fin2, gt""".stripMargin,
     "q362_nelson_aalen" ->
       s"""WITH $survivalSubjectsCte, g AS (
         |  SELECT t,

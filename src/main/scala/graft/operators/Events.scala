@@ -706,6 +706,180 @@ object Events {
         "hazard_ratio6")
   }
 
+  /** k-sample (and stratified) log-rank test — [[logRankTest]]
+    * generalized past exactly-2 groups ("does retention differ across
+    * k engagement tiers?") with an optional stratification column
+    * ("…adjusting for signup cohort?"). Per pooled event time (within
+    * each stratum when `strataCol` is set): every group's observed
+    * events `d_i`, the hypergeometric expectation `d·n_i/n`, and the
+    * full covariance `V_ij = d(n−d)/(n−1) · (δ_ij n_i n − n_i n_j)/n²`
+    * accumulate as 12dp-exact decimal sums; strata simply sum their
+    * O−E and V contributions (the standard stratified test). The
+    * readout is `χ² = vᵀ V₋ᵀ⁻¹ v` over the first k−1 groups, with the
+    * inverse applied through the EXACT-decimal adjugate: determinant
+    * and cofactors via first-row minor expansion with every product
+    * rounded at 12dp (a FIXED fixed-point algorithm, so both engines
+    * replay it bit-for-bit — no float elimination order to disagree
+    * on), one final double division, χ² over k−1 df. A singular (or
+    * non-positive-determinant) covariance reads NULL χ² — no
+    * information, never a blow-up; `maxGroups` (default 9) bounds the
+    * driver-side solve loudly.
+    *
+    * Scale shape: subjects collapse onto the pooled (stratum,
+    * duration) grid with k per-group conditional count columns in ONE
+    * pass; all k risk sets come off ONE multi-column range-partitioned
+    * prefix ([[General.withRunningTotals]]) with per-stratum MIN
+    * offsets (counts are non-negative); per-time terms are in-plan
+    * decimal sums — k(k+1)/2 + 2k scalars reach the driver, never
+    * rows. Guards are [[kaplanMeier]]'s (grid ≤ 200k cells, durations
+    * ≥ 0) plus the group-cardinality bound.
+    *
+    * Output: one row per group, ordered — (`g`, `n`, `o`, `e6`,
+    * `o_minus_e6`, `var6` — the group's covariance diagonal), with
+    * the shared readout repeated on every row (`chi2_6`, `df`).
+    * At k=2 the χ² agrees with [[logRankTest]]'s z² up to the two
+    * formulations' final-digit rounding (spec-pinned). */
+  def logRankTestK(
+      df: DataFrame, groupCol: String, durationCol: String,
+      observedCol: String, strataCol: Option[String] = None,
+      maxGroups: Int = 9): DataFrame = {
+    require(maxGroups >= 2 && maxGroups <= 16,
+      s"logRankTestK: maxGroups ($maxGroups) must be in [2, 16]")
+    strataCol.foreach(sc => require(sc != groupCol,
+      s"logRankTestK: strata column '$sc' cannot equal the group column"))
+    TempCols.reserve(df, "logRankTestK",
+      Seq("__g", "__s", "__t", "__o") ++
+        (0 until maxGroups).flatMap(i =>
+          Seq(s"__d$i", s"__x$i", s"__p$i", s"__off$i", s"__tt$i",
+            s"__n$i")): _*)
+    val spark = df.sparkSession
+    val sExpr: Column = strataCol
+      .map(c => col(c).cast("string")).getOrElse(lit(""))
+    val rows = df
+      .filter(col(groupCol).isNotNull && col(durationCol).isNotNull &&
+        col(observedCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        sExpr.as("__s"),
+        col(durationCol).cast("double").as("__t"),
+        col(observedCol).cast("boolean").as("__o"))
+    // limit-bounded probe: a mistaken high-cardinality group column
+    // fails loudly without a driver-sized collect
+    val gs = rows.select("__g").distinct().orderBy("__g")
+      .limit(maxGroups + 1).collect().map(_.getString(0))
+    require(gs.length >= 2 && gs.length <= maxGroups,
+      s"logRankTestK: needs 2..$maxGroups groups, got " +
+        s"${if (gs.length > maxGroups) s"${maxGroups + 1}+" else gs.length.toString} " +
+        s"(${gs.take(5).mkString(", ")}${if (gs.length > 5) ", …" else ""})")
+    val k = gs.length
+    val aggs = (0 until k).flatMap { i =>
+      Seq(sum(when(col("__g") === gs(i) && col("__o"), 1L).otherwise(0L))
+          .as(s"__d$i"),
+        sum(when(col("__g") === gs(i), 1L).otherwise(0L)).as(s"__x$i"))
+    }
+    val grid = rows.groupBy("__s", "__t").agg(aggs.head, aggs.tail: _*)
+    val chk = grid.agg(count(lit(1)),
+      coalesce(min(col("__t")), lit(0.0))).head()
+    val (nGrid, minT) = (chk.getLong(0), chk.getDouble(1))
+    require(minT >= 0.0,
+      s"logRankTestK: negative duration $minT — durations are time spans")
+    require(nGrid <= 200000L,
+      s"logRankTestK: $nGrid (stratum, duration) cells exceeds the grid " +
+        "budget (200000) — coarsen the duration unit")
+    val pre = General.withRunningTotals(grid, Seq("__s", "__t"),
+      (0 until k).map(i => s"__x$i"), (0 until k).map(i => s"__p$i"))
+    val offAggs = (0 until k).flatMap { i =>
+      Seq(min(col(s"__p$i")).as(s"__off$i"),
+        sum(col(s"__x$i")).as(s"__tt$i"))
+    }
+    val offs = pre.groupBy("__s").agg(offAggs.head, offAggs.tail: _*)
+    val nCols = (0 until k).map { i =>
+      (col(s"__tt$i") - (col(s"__p$i") - col(s"__off$i")))
+        .cast("double").as(s"__n$i")
+    }
+    val j = pre.alias("__l")
+      .join(offs.alias("__r"), col("__l.__s") <=> col("__r.__s"))
+      .select(Seq(col("__l.__s").as("__s"), col("__t")) ++
+        (0 until k).map(i => col(s"__d$i")) ++
+        (0 until k).map(i => col(s"__x$i")) ++ nCols: _*)
+    val n = (0 until k).map(i => col(s"__n$i")).reduce(_ + _)
+    val d = (0 until k).map(i => col(s"__d$i")).reduce(_ + _).cast("double")
+    def d12(c: Column) = round(c, 12).cast("decimal(38,12)")
+    def dz = lit(0).cast("decimal(38,12)")
+    def ni(i: Int) = col(s"__n$i")
+    val oeAggs = (0 until k).flatMap { i =>
+      Seq(coalesce(sum(col(s"__d$i")), lit(0L)).as(s"o_$i"),
+        coalesce(sum(when(d > 0.0, d12(d * ni(i) / n)).otherwise(dz)), dz)
+          .as(s"e_$i"),
+        coalesce(sum(col(s"__x$i")), lit(0L)).as(s"nn_$i"))
+    }
+    val vAggs = for (a <- 0 until (k - 1); b <- a until (k - 1)) yield {
+      val cross =
+        if (a == b) ni(a) * (n - ni(a))
+        else -ni(a) * ni(b)
+      coalesce(sum(when(d > 0.0 && n > 1.0,
+        d12(d * (n - d) / (n - lit(1.0)) * cross / (n * n)))
+        .otherwise(dz)), dz).as(s"v_${a}_$b")
+    }
+    // the LAST group's diagonal too (reported, though outside V₋)
+    val vLast = coalesce(sum(when(d > 0.0 && n > 1.0,
+      d12(d * (n - d) / (n - lit(1.0)) *
+        (ni(k - 1) * (n - ni(k - 1))) / (n * n))).otherwise(dz)), dz)
+      .as(s"v_${k - 1}_${k - 1}")
+    val t = j.agg((oeAggs ++ vAggs :+ vLast).head,
+      (oeAggs ++ vAggs :+ vLast).tail: _*).head()
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def dec(name: String): JBD = t.getDecimal(t.fieldIndex(name))
+      .setScale(12, RoundingMode.HALF_UP)
+    val o = (0 until k).map(i => t.getLong(t.fieldIndex(s"o_$i")))
+    val e = (0 until k).map(i => dec(s"e_$i"))
+    val vDiag = (0 until k).map { i =>
+      if (i < k - 1) dec(s"v_${i}_$i") else dec(s"v_${k - 1}_${k - 1}")
+    }
+    val m = k - 1
+    val vm = Vector.tabulate(m, m)((a, b) =>
+      if (a <= b) dec(s"v_${a}_$b") else dec(s"v_${b}_$a"))
+    val oe = (0 until k).map(i =>
+      new JBD(o(i)).setScale(12).subtract(e(i)))
+    def mul12(a: JBD, b: JBD): JBD =
+      a.multiply(b).setScale(12, RoundingMode.HALF_UP)
+    // exact-decimal determinant: first-row minor expansion, every
+    // product rounded at 12dp — a FIXED fixed-point recurrence both
+    // engines can replay digit-for-digit
+    def detX(mx: Vector[Vector[JBD]]): JBD =
+      if (mx.isEmpty) JBD.ONE
+      else if (mx.size == 1) mx(0)(0)
+      else mx(0).indices.foldLeft(JBD.ZERO) { (acc, c) =>
+        val minor = mx.tail.map(r => r.patch(c, Nil, 1))
+        val term = mul12(mx(0)(c), detX(minor))
+        if (c % 2 == 0) acc.add(term) else acc.subtract(term)
+      }
+    val det = detX(vm)
+    val chi2: Option[Double] =
+      if (det.signum <= 0) None
+      else {
+        var num = JBD.ZERO
+        for (a <- 0 until m; b <- 0 until m) {
+          val minor = Vector.tabulate(m - 1, m - 1) { (r, c) =>
+            vm(if (r < a) r else r + 1)(if (c < b) c else c + 1)
+          }
+          val cof =
+            if ((a + b) % 2 == 0) detX(minor) else detX(minor).negate()
+          num = num.add(mul12(mul12(oe(a), oe(b)), cof))
+        }
+        val q = num.doubleValue / det.doubleValue
+        if (q.isNaN || q.isInfinite) None
+        else Some(BigDecimal(q)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    def r6(x: JBD) = BigDecimal(x.doubleValue)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    (0 until k).map { i =>
+      (gs(i), t.getLong(t.fieldIndex(s"nn_$i")), o(i), r6(e(i)),
+        r6(oe(i)), r6(vDiag(i)), chi2, (k - 1).toLong)
+    }.toDF("g", "n", "o", "e6", "o_minus_e6", "var6", "chi2_6", "df")
+  }
+
   /** Rolling event-time window features: for every event, the count
     * and (decimal-exact) sum of `valueCol` over this key's events in
     * the PRECEDING `windowSec` seconds, inclusive of the current row —

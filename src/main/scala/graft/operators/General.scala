@@ -189,6 +189,57 @@ object General {
     df.sparkSession.createDataFrame(withTotals, schema)
   }
 
+  /** [[withRunningTotal]] for SEVERAL value columns in ONE
+    * range-partitioned pass: one sort, one per-partition totals
+    * collect (a tiny vector of longs per partition), one accumulate —
+    * instead of k sequential two-pass prefixes when an operator needs
+    * k aligned prefixes over the same order (the k-sample log-rank's
+    * per-group risk sets). Semantics per column are
+    * [[withRunningTotal]]'s verbatim (exclusive prefix, exact long
+    * sums, ANSI overflow). */
+  def withRunningTotals(
+      df: DataFrame,
+      sortCols: Seq[String],
+      valueCols: Seq[String],
+      outCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(sortCols.nonEmpty, "a sort order is required for a deterministic prefix")
+    require(valueCols.nonEmpty && valueCols.size == outCols.size,
+      s"withRunningTotals: ${valueCols.size} value columns vs " +
+        s"${outCols.size} out columns")
+    val casted = valueCols.foldLeft(df.sort(sortCols.map(col): _*)) {
+      (d, c) => d.withColumn(c, col(c).cast(LongType))
+    }
+    val vIdxs = valueCols.map(casted.schema.fieldIndex).toArray
+    val m = vIdxs.length
+    val schema = StructType(casted.schema.fields ++
+      outCols.map(c => StructField(c, LongType, nullable = false)))
+    val rdd = casted.rdd.localCheckpoint()
+    val partTotals = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val acc = new Array[Long](m)
+        it.foreach { r =>
+          var j = 0
+          while (j < m) { acc(j) = Math.addExact(acc(j), r.getLong(vIdxs(j))); j += 1 }
+        }
+        Iterator((i, acc))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(new Array[Long](m)) { (a, b) =>
+      Array.tabulate(m)(j => Math.addExact(a(j), b(j)))
+    }
+    val withTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+      val acc = offsets(i).clone()
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq ++ acc.toSeq)
+        var j = 0
+        while (j < m) { acc(j) = Math.addExact(acc(j), r.getLong(vIdxs(j))); j += 1 }
+        out
+      }
+    }
+    df.sparkSession.createDataFrame(withTotals, schema)
+  }
+
   /** Distributed lag-1: each row gets the value of `valueCol` from the
     * row IMMEDIATELY BEFORE it in `sortCols` order (NULL for the first
     * row) — [[withRunningTotal]]'s lag twin, and the same scale story:

@@ -469,6 +469,108 @@ class StatsEventsFuzzySpec extends AnyFunSuite {
     assert(e.getMessage.contains("exactly 2 groups"))
   }
 
+  test("logRankTestK: k=2 agrees with the two-sample test") {
+    val df = table("g string, dur double, obs boolean", Seq(
+      row("A", 1.0, true), row("A", 3.0, true),
+      row("B", 2.0, true), row("B", 4.0, false)))
+    val rk = Events.logRankTestK(df, "g", "dur", "obs")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = rk("A")
+    // per-group O/E/V match the two-sample hand values exactly
+    assert(a.getLong(1) == 2L && a.getLong(2) == 2L)
+    assert(a.getDouble(3) == 1.333333 && a.getDouble(4) == 0.666667)
+    assert(a.getDouble(5) == 0.722222)
+    assert(rk("B").getDouble(4) == -0.666667)
+    assert(a.getLong(7) == 1L, "df = k-1")
+    // chi2 equals z^2 from the two-sample formulation up to the two
+    // final-digit rounding paths (decimal quadratic form vs r6(z)^2)
+    val z = Events.logRankTest(df, "g", "dur", "obs").head().getDouble(9)
+    assert(math.abs(a.getDouble(6) - z * z) < 2e-6,
+      s"chi2 ${a.getDouble(6)} vs z^2 ${z * z}")
+  }
+
+  test("logRankTestK: identical groups read exactly zero; guards are loud") {
+    val base = Seq((1.0, true), (2.0, true), (3.0, false), (5.0, true))
+    val df = table("g string, dur double, obs boolean",
+      base.flatMap { case (t, o) =>
+        Seq(row("x", t, o), row("y", t, o), row("z", t, o))
+      })
+    val got = Events.logRankTestK(df, "g", "dur", "obs").collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(r.getDouble(4) == 0.0 && r.getDouble(6) == 0.0 &&
+        r.getLong(7) == 2L, r.toString)
+    }
+    // one group: loud
+    val e1 = intercept[IllegalArgumentException] {
+      Events.logRankTestK(
+        table("g string, dur double, obs boolean",
+          Seq(row("a", 1.0, true), row("a", 2.0, true))),
+        "g", "dur", "obs")
+    }
+    assert(e1.getMessage.contains("2..9"))
+    // more than maxGroups: loud, and bounded (limit-probe)
+    val many = table("g string, dur double, obs boolean",
+      (0 until 30).map(i => row(s"g$i", 1.0, true)))
+    val e2 = intercept[IllegalArgumentException] {
+      Events.logRankTestK(many, "g", "dur", "obs")
+    }
+    assert(e2.getMessage.contains("10+"))
+  }
+
+  test("logRankTestK: ties and an exhausted risk set contribute honestly") {
+    // t=1: three tied events (one per group) leaves 3 at risk;
+    // t=2: d == n (every remaining subject dies) -> V term is 0
+    // (n-d = 0) but O/E still count
+    val df = table("g string, dur double, obs boolean", Seq(
+      row("a", 1.0, true), row("a", 2.0, true),
+      row("b", 1.0, true), row("b", 2.0, true),
+      row("c", 1.0, true), row("c", 2.0, true)))
+    val got = Events.logRankTestK(df, "g", "dur", "obs")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // perfectly balanced: every group O = E = 2, oe = 0
+    Seq("a", "b", "c").foreach { g =>
+      assert(got(g).getLong(2) == 2L && got(g).getDouble(3) == 2.0)
+      assert(got(g).getDouble(4) == 0.0)
+    }
+    // t=1 contributes v = 3*(1/3)*(2/3)*(6-3)/5 per diagonal;
+    // t=2 contributes 0 (n-d = 0): V_aa = 3*(1/3)*(2/3)*3/5 = 0.4
+    assert(got("a").getDouble(5) == 0.4)
+    assert(got("a").getDouble(6) == 0.0)
+  }
+
+  test("logRankTestK: constant-strata equals unstratified; strata sum O-E") {
+    val rows = (0 until 40).map { i =>
+      row(if (i % 3 == 0) "hi" else "lo",
+        if (i % 2 == 0) "s1" else "s2",
+        (i % 7 + 1).toDouble, i % 5 != 0)
+    }
+    val df = table("g string, s string, dur double, obs boolean", rows)
+    val un = Events.logRankTestK(df, "g", "dur", "obs").collect()
+    val const = Events.logRankTestK(
+      df.withColumn("cs", lit("")), "g", "dur", "obs", Some("cs"))
+      .collect()
+    assert(un.map(_.toSeq).toSeq == const.map(_.toSeq).toSeq,
+      "a constant stratum must not change anything")
+    // the stratified O-E is the SUM of per-stratum O-E (per group)
+    val strat = Events.logRankTestK(df, "g", "dur", "obs", Some("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val perS = Seq("s1", "s2").map { sv =>
+      Events.logRankTestK(df.filter(col("s") === sv), "g", "dur", "obs")
+        .collect().map(r => r.getString(0) -> r).toMap
+    }
+    Seq("hi", "lo").foreach { g =>
+      val sumOe = perS.map(_(g).getDouble(4)).sum
+      assert(math.abs(strat(g).getDouble(4) - sumOe) < 1e-6, g)
+      val sumV = perS.map(_(g).getDouble(5)).sum
+      assert(math.abs(strat(g).getDouble(5) - sumV) < 1e-6, g)
+      assert(strat(g).getLong(1) == perS.map(_(g).getLong(1)).sum)
+    }
+    // stratified differs from pooled when strata are informative
+    assert(strat("hi").getDouble(6) != un.head.getDouble(6) ||
+      strat("hi").getDouble(4) != un.head.getDouble(4))
+  }
+
   test("rollingWindow: range bounds are inclusive and equal timestamps are peers") {
     val df = table("u bigint, t_us bigint, v double", Seq(
       row(1L, 0L, 1.0),
