@@ -6890,6 +6890,40 @@ object SparkEntry {
       survivalSubjects(s, dir), "parity", "dur_days", "observed",
       strataCol = Some("first_type"))
 
+  // ---------------------------------------------------------------- q373
+  /** Unigram-LM (SentencePiece-style) tokenizer training
+    * ([[graft.operators.Corpus.unigramTrainModel]]): substring seed
+    * candidates off the distinct-word table, two deterministic hard-EM
+    * rounds (in-plan Viterbi over a plan-literal 12dp fixed-point log
+    * table, exact long path scores, zero-count multis pruned), final
+    * cut to 40 tokens. The oracle replays the seed heuristic, BOTH EM
+    * rounds' lattices position-by-position, the tie rule, and the
+    * add-one normalizer. */
+  private def q373UnigramTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.unigramTrain(
+      Tables.documents(s, dir), "text", vocabSize = 40,
+      maxTokenLen = 4, seedSize = 256, iters = 2, maxWordLen = 16)
+
+  // ---------------------------------------------------------------- q374
+  /** Unigram-LM Viterbi encode ([[graft.operators.Corpus
+    * .unigramEncode]]) under q373's trained model: every corpus word
+    * segmented map-only against the plan-literal vocabulary (unseen
+    * characters fall back at the add-one zero-count score), read out
+    * as the top-50 encoded-token frequencies — the q105 readout
+    * pattern. maxWordLen 16 keeps the loud encode guard aligned with
+    * the oracle's unroll depth. */
+  private def q374UnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val model = Corpus.unigramTrainModel(
+      Tables.documents(s, dir), "text", vocabSize = 40,
+      maxTokenLen = 4, seedSize = 256, iters = 2, maxWordLen = 16)
+    Corpus.unigramEncode(Tables.documents(s, dir), "text", model,
+        maxWordLen = 16)
+      .select(explode(col("unigram_tokens")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(50)
+  }
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -7331,6 +7365,8 @@ object SparkEntry {
     "q370_group_cuped" -> (q370GroupCuped _),
     "q371_logrank_k" -> (q371LogRankK _),
     "q372_stratified_logrank" -> (q372StratifiedLogRank _),
+    "q373_unigram_train" -> (q373UnigramTrain _),
+    "q374_unigram_encode" -> (q374UnigramEncode _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -10840,6 +10876,8 @@ object SparkEntry {
     "q101_funnel_sorted" -> funnelOracle,
     "q102_stream_funnel" -> funnelOracle,
     "q103_bpe_merges" -> bpeOracle,
+    "q373_unigram_train" -> unigramTrainOracle,
+    "q374_unigram_encode" -> unigramEncodeOracle,
     "q105_bpe_encode" -> bpeEncodeOracle,
     "q107_bpe_ids" -> bpeIdsOracle,
     "q108_pack_bpe" -> bpePackOracle,
@@ -15894,6 +15932,137 @@ object SparkEntry {
        |),
        |$levels""".stripMargin
   }
+
+  /** q373/q374: the unigram-LM hard-EM recurrence replayed in SQL —
+    * the q103 pattern at full depth. Per EM iteration: the add-one
+    * 12dp fixed-point log table, the Viterbi DP UNROLLED per word
+    * position (1..maxWordLen, ≤ maxTokenLen edges each, struct max on
+    * (score, len) = the engine's exact tie rule), a recursive
+    * back-walk over the stored edge lengths, and the path-count
+    * aggregation. `MATERIALIZED` on every multiply-referenced CTE —
+    * the dp chain would otherwise inline exponentially. */
+  private def unigramCte(iters: Int, forEncode: Boolean): String = {
+    val (maxTok, seed, maxW, vocab) = (4, 256, 16, 40)
+    val parts = Seq.newBuilder[String]
+    parts += s"""words AS MATERIALIZED (
+      |  SELECT w, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+      |    FROM documents
+      |  ) WHERE length(w) BETWEEN 1 AND $maxW GROUP BY w
+      |)""".stripMargin
+    parts += s"""subs AS MATERIALIZED (
+      |  SELECT token, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT freq, unnest(flatten(list_transform(
+      |      range(1, length(w)+1), i ->
+      |      list_transform(range(1, least($maxTok, length(w)-i+1)+1), l ->
+      |        substr(w, CAST(i AS INT), CAST(l AS INT)))))) AS token
+      |    FROM words)
+      |  GROUP BY token
+      |)""".stripMargin
+    parts += ("sing AS MATERIALIZED (SELECT token, cnt FROM subs " +
+      "WHERE length(token) = 1)")
+    parts += s"""mult0 AS (
+      |  SELECT token, cnt FROM (
+      |    SELECT token, cnt, ROW_NUMBER() OVER
+      |      (ORDER BY cnt * length(token) DESC, token) AS rn
+      |    FROM subs WHERE length(token) > 1)
+      |  WHERE rn <= $seed - (SELECT COUNT(*) FROM sing)
+      |)""".stripMargin
+    parts += ("cand0 AS MATERIALIZED (SELECT token, cnt FROM sing " +
+      "UNION ALL SELECT token, cnt FROM mult0)")
+    def emBlock(candSrc: String, sfx: String): Seq[String] = {
+      val blk = Seq.newBuilder[String]
+      blk += s"tot$sfx AS (SELECT CAST(SUM(cnt + 1) AS BIGINT) AS t " +
+        s"FROM $candSrc)"
+      blk += s"""lp$sfx AS MATERIALIZED (
+        |  SELECT token, CAST(CAST(ROUND(ln((cnt + 1.0) / t), 12)
+        |    AS DECIMAL(28,12)) * 1000000000000 AS BIGINT) AS lp
+        |  FROM $candSrc, tot$sfx
+        |)""".stripMargin
+      blk += s"""unk$sfx AS (
+        |  SELECT CAST(CAST(ROUND(ln(1.0 / t), 12) AS DECIMAL(28,12))
+        |    * 1000000000000 AS BIGINT) AS lp FROM tot$sfx
+        |)""".stripMargin
+      for (j <- 1 to maxW) {
+        val branches = (1 to math.min(maxTok, j)).map { l =>
+          val prev = if (j - l == 0) "CAST(0 AS BIGINT)" else "p.st.score"
+          val pjoin = if (j - l == 0) ""
+            else s"\n    JOIN dp${sfx}_${j - l} p ON p.w = d.w"
+          if (l == 1)
+            s"""    SELECT d.w, $prev + COALESCE(c.lp, u.lp) AS sc,
+              |      CAST(1 AS INT) AS l
+              |    FROM words d$pjoin
+              |    LEFT JOIN lp$sfx c ON c.token = substr(d.w, $j, 1)
+              |    CROSS JOIN unk$sfx u
+              |    WHERE length(d.w) >= $j""".stripMargin
+          else
+            s"""    SELECT d.w, $prev + c.lp AS sc, CAST($l AS INT) AS l
+              |    FROM words d$pjoin
+              |    JOIN lp$sfx c ON c.token = substr(d.w, ${j - l + 1}, $l)
+              |    WHERE length(d.w) >= $j""".stripMargin
+        }
+        blk += s"""dp${sfx}_$j AS MATERIALIZED (
+          |  SELECT w, max({'score': sc, 'len': l}) AS st FROM (
+          |${branches.mkString("\n    UNION ALL\n")}
+          |  ) GROUP BY w
+          |)""".stripMargin
+      }
+      blk += s"""dpall$sfx AS MATERIALIZED (
+        |${(1 to maxW).map(j =>
+             s"  SELECT w, $j AS pos, st.len AS len FROM dp${sfx}_$j")
+             .mkString("\n  UNION ALL\n")}
+        |)""".stripMargin
+      blk += s"""walk$sfx AS (
+        |  SELECT w, freq, length(w) AS pos, CAST([] AS VARCHAR[]) AS toks
+        |  FROM words
+        |  UNION ALL
+        |  SELECT k.w, k.freq, k.pos - d.len,
+        |    list_prepend(substr(k.w, k.pos - d.len + 1, d.len), k.toks)
+        |  FROM walk$sfx k JOIN dpall$sfx d ON d.w = k.w AND d.pos = k.pos
+        |  WHERE k.pos > 0
+        |)""".stripMargin
+      blk += s"""cnt$sfx AS MATERIALIZED (
+        |  SELECT token, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(toks) AS token FROM walk$sfx WHERE pos = 0)
+        |  GROUP BY token
+        |)""".stripMargin
+      blk.result()
+    }
+    for (it <- 1 to iters) {
+      parts ++= emBlock(s"cand${it - 1}", it.toString)
+      parts += s"""cand$it AS MATERIALIZED (
+        |  SELECT s.token, COALESCE(c.cnt, 0) AS cnt
+        |  FROM sing s LEFT JOIN cnt$it c USING (token)
+        |  UNION ALL
+        |  SELECT m.token, c.cnt
+        |  FROM cand${it - 1} m JOIN cnt$it c USING (token)
+        |  WHERE length(m.token) > 1 AND c.cnt > 0
+        |)""".stripMargin
+    }
+    parts += s"""finv AS MATERIALIZED (
+      |  SELECT token, cnt FROM cand$iters WHERE length(token) = 1
+      |  UNION ALL
+      |  SELECT token, cnt FROM (
+      |    SELECT token, cnt, ROW_NUMBER() OVER
+      |      (ORDER BY cnt DESC, token) AS rn
+      |    FROM cand$iters WHERE length(token) > 1)
+      |  WHERE rn <= $vocab - (SELECT COUNT(*) FROM sing)
+      |)""".stripMargin
+    if (forEncode) parts ++= emBlock("finv", "e")
+    parts.result().mkString(",\n")
+  }
+
+  private val unigramTrainOracle: String =
+    s"""WITH RECURSIVE ${unigramCte(2, forEncode = false)},
+      |ftot AS (SELECT CAST(SUM(cnt + 1) AS BIGINT) AS t FROM finv)
+      |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+      |  token, cnt AS freq, ROUND(ln((cnt + 1.0) / t), 6) AS logp6
+      |FROM finv, ftot ORDER BY rank""".stripMargin
+
+  private val unigramEncodeOracle: String =
+    s"""WITH RECURSIVE ${unigramCte(2, forEncode = true)}
+      |SELECT token, cnt AS freq FROM cnte
+      |ORDER BY freq DESC, token LIMIT 50""".stripMargin
 
   private val bpeOracle: String = {
     val n = 8

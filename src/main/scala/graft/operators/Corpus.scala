@@ -2330,4 +2330,287 @@ object Corpus {
         filter(TextFunctions.tokens(col(textCol)), w => length(w) > 0),
         encodeWord)))
   }
+
+  // ------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer — the other dominant
+  // production tokenizer lineage next to BPE (Kudo, "Subword
+  // Regularization", ACL'18): a vocabulary of subword candidates with
+  // unigram probabilities, words segmented by the max-probability
+  // (Viterbi) path over the candidate lattice.
+
+  /** A trained unigram-LM vocabulary: the kept tokens with their
+    * final hard-EM (Viterbi) path counts. Probabilities are add-one
+    * smoothed over the kept set — `p(s) = (cnt+1)/Σ(cnt+1)` — so
+    * single-character fallback tokens stay usable even at count 0 and
+    * an UNSEEN character at encode time scores as a zero-count token
+    * (the deterministic unk rule, no tuned penalty). */
+  case class UnigramModel(entries: Vector[(String, Long)]) {
+    require(entries.nonEmpty, "unigram model: empty vocabulary")
+    require(entries.map(_._1).distinct.length == entries.length,
+      "unigram model: duplicate tokens")
+    require(entries.forall(_._2 >= 0L), "unigram model: negative count")
+    /** Σ(cnt+1) — the add-one normalizer. */
+    def totalSmoothed: Long = entries.map(_._2 + 1L).sum
+    /** Longest token, in code points — the lattice's edge bound. */
+    def maxTokenLen: Int =
+      entries.map(e => e._1.codePointCount(0, e._1.length)).max
+  }
+
+  /** `round(ln((cnt+1)/total), 12) × 1e12` as an exact long — the
+    * 12dp fixed-point log-probability (the survival family's ln
+    * discipline: one correctly-rounded-to-12dp ln per token, exact
+    * integer sums thereafter, so Viterbi score comparisons are
+    * engine-exact). */
+  private def unigramLp12(cnt: Long, totalSmoothed: Long): Long =
+    (BigDecimal(Math.log((cnt + 1L).toDouble / totalSmoothed.toDouble))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      * BigDecimal(1000000000000L)).toLongExact
+
+  /** The Viterbi segmentation of one word as a pure COLUMN — the
+    * max-score path over the subword lattice, scores as exact
+    * fixed-point longs. Left-to-right DP via `aggregate` over
+    * positions: `dp[j] = max over len ∈ 1..L of (dp[j−len] +
+    * lp(w[j−len+1..j]))`, a multi-character edge valid only when its
+    * substring is in the vocabulary, a single-character edge always
+    * valid (vocabulary lp, else `lpUnk`). Ties break to the LONGER
+    * token (struct max on (score, len) — both exact integers, so the
+    * choice is engine-deterministic); the token array reconstructs by
+    * a second `aggregate` walking the stored edge lengths back from
+    * the end. Map-only: the vocabulary rides the plan as ONE map
+    * literal (the ReplaceChain discipline), no join, no UDF. */
+  private def unigramViterbi(
+      w: Column, lpEntries: Seq[(String, Long)], maxTokenLen: Int,
+      lpUnk: Long): Column = {
+    val lpMap = map(lpEntries.flatMap { case (t, l) =>
+      Seq(lit(t), lit(l)) }: _*)
+    val n = length(w)
+    val dp = aggregate(
+      sequence(lit(1), n),
+      array(struct(lit(0L).as("score"), lit(0).as("len"))),
+      (acc, j) => {
+        val cands = filter(
+          transform(sequence(lit(1), least(j, lit(maxTokenLen))), l => {
+            val sub = w.substr(j - l + lit(1), l)
+            val prev = element_at(acc, j - l + lit(1))
+            val lp = coalesce(element_at(lpMap, sub),
+              when(l === 1, lit(lpUnk)))
+            struct((prev.getField("score") + lp).as("score"),
+              l.as("len"))
+          }),
+          c => c.getField("score").isNotNull)
+        val best = array_max(cands)
+        concat(acc, array(struct(
+          coalesce(best.getField("score"), lit(0L)).as("score"),
+          coalesce(best.getField("len"), lit(0)).as("len"))))
+      })
+    aggregate(
+      sequence(lit(1), n),
+      struct(n.as("pos"), lit(Array.empty[String]).as("toks")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val l = element_at(dp, pos + 1).getField("len")
+        val tok = w.substr(pos - l + lit(1), l)
+        when(pos > 0,
+          struct((pos - l).as("pos"),
+            concat(array(tok), acc.getField("toks")).as("toks")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("toks"))
+  }
+
+  /** Train a unigram-LM vocabulary with deterministic hard
+    * (Viterbi) EM — bit-reproducible like [[bpeMerges]], every choice
+    * an exact-integer comparison:
+    *
+    *  1. SEED: the word-frequency table (one distributed
+    *     aggregation; words longer than `maxWordLen` are excluded
+    *     from TRAINING — crawl garbage must not shape the
+    *     vocabulary) explodes into all substrings of length ≤
+    *     `maxTokenLen` with occurrence-weighted counts (one
+    *     vocabulary-bounded aggregation over the DISTINCT word
+    *     table, never the corpus). Every single character is kept;
+    *     the top `seedSize − |alphabet|` multi-character candidates
+    *     by the SentencePiece seed score `cnt × len` (ties by token
+    *     bytes) join them.
+    *  2. EM (`iters` fixed rounds): E-step Viterbi-segments every
+    *     distinct word IN-PLAN ([[unigramViterbi]] — the candidate
+    *     lp table is a plan literal, 12dp fixed-point logs, exact
+    *     long path scores) and aggregates path counts weighted by
+    *     word frequency (vocabulary-bounded); M-step re-normalizes
+    *     with add-one smoothing. Multi-character candidates whose
+    *     count drops to 0 are pruned; single characters never are
+    *     (full coverage).
+    *  3. PRUNE: keep all single characters plus the top
+    *     `vocabSize − |alphabet|` multis by (final count, token
+    *     bytes).
+    *
+    * Scale shape: the corpus is scanned ONCE (word frequencies);
+    * every EM round is one map-only Viterbi pass over the
+    * vocabulary-bounded distinct-word table plus one
+    * candidate-bounded count aggregation; only candidate tables
+    * (≤ `seedSize` ≤ 4096, the plan-literal bound) ever reach the
+    * driver. */
+  def unigramTrainModel(
+      df: DataFrame, textCol: String, vocabSize: Int,
+      maxTokenLen: Int = 4, seedSize: Int = 1024, iters: Int = 2,
+      maxWordLen: Int = 16): UnigramModel = {
+    require(vocabSize >= 2, s"vocabSize ($vocabSize) must be >= 2")
+    require(maxTokenLen >= 2 && maxTokenLen <= 8,
+      s"maxTokenLen ($maxTokenLen) must be in [2, 8]")
+    require(seedSize >= 2 && seedSize <= 4096,
+      s"seedSize ($seedSize) must be in [2, 4096] (plan-literal bound)")
+    require(iters >= 1 && iters <= 8,
+      s"iters ($iters) must be in [1, 8]")
+    require(maxWordLen >= maxTokenLen && maxWordLen <= 64,
+      s"maxWordLen ($maxWordLen) must be in [$maxTokenLen, 64]")
+    val words = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")).between(1, maxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    try {
+      val subs = words.select(col("freq"),
+          explode(flatten(transform(
+            sequence(lit(1), length(col("w"))), i =>
+              transform(sequence(lit(1),
+                least(lit(maxTokenLen), length(col("w")) - i + lit(1))),
+                l => col("w").substr(i, l))))).as("token"))
+        .groupBy("token").agg(sum(col("freq")).as("cnt"))
+        .localCheckpoint()
+      val singles =
+        try {
+          val s = subs.filter(length(col("token")) === 1)
+            .limit(seedSize).collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+          require(s.nonEmpty, "unigramTrain: empty corpus")
+          require(s.length < seedSize,
+            s"unigramTrain: alphabet (${s.length}+) does not fit " +
+              s"seedSize ($seedSize) — raise seedSize")
+          val nMulti = seedSize - s.length
+          val m = subs.filter(length(col("token")) > 1)
+            .orderBy((col("cnt") * length(col("token"))).desc, col("token"))
+            .limit(nMulti).collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+          (s, m)
+        } finally Blocks.release(subs)
+      val (sing0, mult0) = singles
+      val singleSet = sing0.map(_._1).toSet
+      var kept: Vector[(String, Long)] = (sing0 ++ mult0).toVector
+        .sortWith((a, b) => utf8Compare(a._1, b._1) < 0)
+      var iter = 0
+      while (iter < iters) {
+        val total = kept.map(_._2 + 1L).sum
+        val lpUnk = unigramLp12(0L, total)
+        val lpEntries = kept.map { case (t, c) => (t, unigramLp12(c, total)) }
+        val cnts = words
+          .select(col("freq"),
+            explode(unigramViterbi(col("w"), lpEntries, maxTokenLen,
+              lpUnk)).as("token"))
+          .groupBy("token").agg(sum(col("freq")).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        kept = kept.flatMap { case (t, _) =>
+          val c = cnts.getOrElse(t, 0L)
+          if (singleSet(t) || c > 0L) Some((t, c)) else None
+        }
+        iter += 1
+      }
+      val (sing, mult) = kept.partition(e => singleSet(e._1))
+      val keepMulti = mult.sortWith { (a, b) =>
+        if (a._2 != b._2) a._2 > b._2 else utf8Compare(a._1, b._1) < 0
+      }.take(math.max(0, vocabSize - sing.length))
+      UnigramModel((sing ++ keepMulti)
+        .sortWith((a, b) => utf8Compare(a._1, b._1) < 0))
+    } finally Blocks.release(words)
+  }
+
+  /** [[unigramTrainModel]] as a readout frame: one row per kept
+    * token — (`rank` by (freq desc, token bytes), `token`, `freq` —
+    * the final Viterbi path count, `logp6` — the add-one smoothed
+    * log-probability over the final vocabulary). */
+  def unigramTrain(
+      df: DataFrame, textCol: String, vocabSize: Int,
+      maxTokenLen: Int = 4, seedSize: Int = 1024, iters: Int = 2,
+      maxWordLen: Int = 16): DataFrame =
+    unigramVocabFrame(df.sparkSession,
+      unigramTrainModel(df, textCol, vocabSize, maxTokenLen, seedSize,
+        iters, maxWordLen))
+
+  /** The (rank, token, freq, logp6) readout of a [[UnigramModel]]. */
+  def unigramVocabFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      model: UnigramModel): DataFrame = {
+    val total = model.totalSmoothed
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ranked = model.entries.sortWith { (a, b) =>
+      if (a._2 != b._2) a._2 > b._2 else utf8Compare(a._1, b._1) < 0
+    }.zipWithIndex.map { case ((t, c), i) =>
+      (i + 1L, t, c,
+        r6(Math.log((c + 1L).toDouble / total.toDouble)))
+    }
+    import spark.implicits._
+    ranked.toDF("rank", "token", "freq", "logp6")
+  }
+
+  /** Persist a trained [[UnigramModel]] as plain parquet (the
+    * [[Ivf.save]] artifact discipline: stamped, one bounded table,
+    * exact longs survive parquet bit-for-bit). */
+  def unigramSave(
+      spark: org.apache.spark.sql.SparkSession, model: UnigramModel,
+      path: String): Unit = {
+    import spark.implicits._
+    ArtifactFormat.stamp(
+        model.entries.toDF("token", "freq"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[unigramSave]]d model, loudly validated (distinct
+    * non-empty tokens, non-negative counts — a corrupted artifact
+    * fails here, not as silently wrong segmentations). Bit-identical
+    * roundtrip, pinned by spec. */
+  def unigramLoad(
+      spark: org.apache.spark.sql.SparkSession, path: String): UnigramModel = {
+    val rows = ArtifactFormat.checked(
+        spark.read.parquet(path), "unigram model", path)
+      .select(col("token"), col("freq"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(rows.forall(_._1.nonEmpty),
+      s"unigram model at $path is corrupted: empty token")
+    UnigramModel(rows.toVector
+      .sortWith((a, b) => utf8Compare(a._1, b._1) < 0))
+  }
+
+  /** Viterbi-encode a text column under a trained [[UnigramModel]]:
+    * whitespace words each segmented by [[unigramViterbi]] (map-only,
+    * vocabulary as ONE plan-literal map, exact fixed-point scores),
+    * concatenated in document order into `outCol`. Unseen characters
+    * score as zero-count (add-one) tokens and pass through as
+    * themselves — deterministic byte-level fallback, nothing is
+    * dropped. Words longer than `maxWordLen` fail LOUDLY (count-first
+    * probe): encode must never silently skip content — pre-split
+    * pathological words upstream. */
+  def unigramEncode(
+      df: DataFrame, textCol: String, model: UnigramModel,
+      maxWordLen: Int = 64,
+      outCol: String = "unigram_tokens"): DataFrame = {
+    require(maxWordLen >= model.maxTokenLen,
+      s"maxWordLen ($maxWordLen) must be >= the model's longest " +
+        s"token (${model.maxTokenLen})")
+    val over = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > maxWordLen).limit(1).count()
+    require(over == 0L,
+      s"unigramEncode: a word exceeds maxWordLen ($maxWordLen) — " +
+        "pre-split pathological words upstream")
+    val total = model.totalSmoothed
+    val lpUnk = unigramLp12(0L, total)
+    val lpEntries = model.entries.map { case (t, c) =>
+      (t, unigramLp12(c, total))
+    }
+    df.withColumn(outCol,
+      flatten(transform(
+        filter(TextFunctions.tokens(col(textCol)), w => length(w) > 0),
+        w => unigramViterbi(w, lpEntries, model.maxTokenLen, lpUnk))))
+  }
 }
