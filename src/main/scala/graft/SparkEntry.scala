@@ -6924,6 +6924,46 @@ object SparkEntry {
       .orderBy(col("freq").desc, col("token")).limit(50)
   }
 
+  /** q375/q376's shared experiment frame — q199's deterministic
+    * assignment and conversion outcome. */
+  private def seqAbAssigned(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Experiment
+    val users = Tables.events(s, dir).groupBy("user_id")
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= 14L).as("converted"))
+    Experiment.assignArms(users, "user_id", salt = "exp1",
+      arms = Seq(("control", 0.5), ("treat_a", 0.25), ("treat_b", 0.25)))
+  }
+
+  // ---------------------------------------------------------------- q375
+  /** Always-valid (mSPRT) sequential experiment readout
+    * ([[graft.operators.Experiment.sequentialAbReport]]): q199's
+    * experiment under the peeking-safe p-value — the normal-mixture
+    * likelihood ratio over the pooled two-proportion variance,
+    * `p = min(1, √((V+τ²)/V)·exp(−θ̂²τ²/(2V(V+τ²))))`. A null
+    * experiment by construction, so p sits near 1. The oracle replays
+    * the hash, the counts, and the boundary arithmetic in the
+    * identical expression tree. */
+  private def q375SequentialAb(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Experiment.sequentialAbReport(
+      seqAbAssigned(s, dir), "arm", "converted", controlArm = "control")
+      .orderBy("arm")
+
+  // ---------------------------------------------------------------- q376
+  /** Streaming sequential experiment monitor ([[graft.streaming
+    * .StreamGate.replaySequentialAbMonitor]]): q375's experiment with
+    * outcomes arriving as a file stream, the always-valid p LOOKED AT
+    * after every micro-batch (safe by construction — that is mSPRT's
+    * point) and its running minimum folded. The final-look columns
+    * are held to q375's VERBATIM oracle (counts fold by SUM); the
+    * sequential trail (`min_av_p6`/`ever_crossed`/`n_looks`) is
+    * spec-pinned. */
+  private def q376StreamSequentialAb(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replaySequentialAbMonitor(
+      seqAbAssigned(s, dir), "arm", "converted", controlArm = "control")
+      .select("arm", "n", "n_pass", "rate6", "av_p6", "significant")
+      .orderBy("arm")
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -7367,6 +7407,8 @@ object SparkEntry {
     "q372_stratified_logrank" -> (q372StratifiedLogRank _),
     "q373_unigram_train" -> (q373UnigramTrain _),
     "q374_unigram_encode" -> (q374UnigramEncode _),
+    "q375_sequential_ab" -> (q375SequentialAb _),
+    "q376_stream_sequential_ab" -> (q376StreamSequentialAb _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7585,6 +7627,65 @@ object SparkEntry {
         |      / sqrt(pool*(1.0-pool)*(1.0/nd + 1.0/nc)), 6)) >= 1.96 END
         |    AS significant
         |FROM zc ORDER BY arm""".stripMargin
+
+  /** q375's oracle — the always-valid (mSPRT) p off the identical
+    * hash/count CTEs; shared verbatim by q376 (per-arm counts fold by
+    * SUM, so the monitor's final look equals the batch readout). The
+    * mixture variance enters as the literal product `0.1*0.1` so both
+    * engines square the SAME double. */
+  private val sequentialAbOracle: String =
+    """WITH u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |      AS converted
+        |  FROM events GROUP BY user_id
+        |), h AS (
+        |  SELECT converted,
+        |    CAST(list_sum(list_transform(range(8), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
+        |           CAST(i+1 AS INT), 1)) - 1)
+        |        * 16**(7-i))) AS BIGINT) AS hv
+        |  FROM u
+        |), a AS (
+        |  SELECT converted,
+        |    CASE WHEN hv < 2147483648 THEN 'control'
+        |         WHEN hv < 3221225472 THEN 'treat_a'
+        |         ELSE 'treat_b' END AS arm
+        |  FROM h
+        |), g AS (
+        |  SELECT arm, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pass
+        |  FROM a GROUP BY arm
+        |), ctl AS (
+        |  SELECT CAST(n AS DOUBLE) AS nc, CAST(n_pass AS DOUBLE) AS kc
+        |  FROM g WHERE arm = 'control'
+        |), w AS (
+        |  SELECT arm, n, n_pass,
+        |    CAST(n_pass AS DOUBLE) / n AS p, CAST(n AS DOUBLE) AS nd,
+        |    ctl.nc, ctl.kc
+        |  FROM g, ctl
+        |), vv AS (
+        |  SELECT *,
+        |    ((CAST(n_pass AS DOUBLE) + kc) / (nd + nc))
+        |      * (1.0 - (CAST(n_pass AS DOUBLE) + kc) / (nd + nc))
+        |      * (1.0/nd + 1.0/nc) AS v,
+        |    p - kc/nc AS th,
+        |    0.1*0.1 AS t2
+        |  FROM w
+        |), pp AS (
+        |  SELECT arm, n, n_pass, p,
+        |    CASE WHEN arm = 'control' OR v <= 0 THEN NULL
+        |      ELSE ROUND(LEAST(1.0, sqrt((v + t2) / v)
+        |        * exp(-(th*th) * t2 / (2.0 * v * (v + t2)))), 6)
+        |      END AS avp
+        |  FROM vv
+        |)
+        |SELECT arm, n, n_pass, ROUND(p, 6) AS rate6, avp AS av_p6,
+        |  CASE WHEN avp IS NULL THEN NULL ELSE avp <= 0.05 END
+        |    AS significant
+        |FROM pp ORDER BY arm""".stripMargin
 
   /** q196's oracle — shared verbatim by q198 (the streaming fold must
     * hash-match the batch statistic). */
@@ -12832,6 +12933,12 @@ object SparkEntry {
     // the streaming fold is held to the identical readout (per-arm
     // counts merge by SUM, so the monitored rates are split-invariant)
     "q205_stream_ab_monitor" -> abExperimentOracle,
+    "q375_sequential_ab" -> sequentialAbOracle,
+    // the monitor's final look is held to the batch readout (per-arm
+    // counts fold by SUM; the sequential min/crossed trail is
+    // spec-pinned, not oracle-checked — it depends on the look
+    // schedule by design)
+    "q376_stream_sequential_ab" -> sequentialAbOracle,
 
     "q197_pruning_report" -> {
       val zTerms = (0 until 16).map(i =>

@@ -309,6 +309,84 @@ object Experiment {
       .orderBy("g", "arm")
   }
 
+  /** Always-valid (mSPRT) sequential A/B readout — the peeking-safe
+    * complement to [[abReport]]'s fixed-horizon z test (Johari,
+    * Koomen, Pekelis, Walsh, "Peeking at A/B Tests", KDD'17 — the
+    * mixture sequential probability ratio test): for each treatment
+    * arm vs control, the two-proportion effect `θ̂ = p_a − p_c` with
+    * pooled variance `V = p̂(1−p̂)(1/n_a + 1/n_c)` feeds the
+    * normal-mixture likelihood ratio (mixture N(0, τ²)), and the
+    * always-valid p-value is
+    * `p = min(1, √((V+τ²)/V) · exp(−θ̂²τ²/(2V(V+τ²))))` — computed in
+    * THIS exact form (the ratio inverted before the exp, so the
+    * exponent is negative and can never overflow). Because p is
+    * always-valid, a monitor may look after EVERY micro-batch and
+    * `min` over looks without inflating the false-positive rate —
+    * that is the entire point. The control arm and degenerate pools
+    * (V = 0) read NULL p. `significant` = p ≤ `alpha`.
+    *
+    * One arm-bounded count aggregation; all readout arithmetic is
+    * driver-side doubles over exact collected longs, in a fixed
+    * expression tree both engines replay. Output per arm, ordered:
+    * (`arm`, `n`, `n_pass`, `rate6`, `av_p6`, `significant`). */
+  def sequentialAbReport(
+      df: DataFrame, armCol: String, flagCol: String, controlArm: String,
+      tau: Double = 0.1, alpha: Double = 0.05): DataFrame = {
+    val counts = df
+      .filter(col(armCol).isNotNull && col(flagCol).isNotNull)
+      .groupBy(col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(flagCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_pass"))
+    sequentialAbFromCounts(counts, controlArm, tau, alpha)
+  }
+
+  /** [[sequentialAbReport]]'s readout over a prepared per-arm count
+    * table (`arm`, `n`, `n_pass`) — shared VERBATIM by the batch
+    * operator and the streaming monitor (the ksFromCounts
+    * discipline: counts fold by SUM, so the monitor's final look
+    * provably equals the batch readout). */
+  private[graft] def sequentialAbFromCounts(
+      counts: DataFrame, controlArm: String, tau: Double,
+      alpha: Double): DataFrame = {
+    require(tau > 0.0, s"sequentialAb: tau ($tau) must be > 0")
+    require(alpha > 0.0 && alpha < 1.0,
+      s"sequentialAb: alpha ($alpha) must be in (0, 1)")
+    val spark = counts.sparkSession
+    val rows = counts.select(col("arm").cast("string"),
+        col("n").cast("long"), col("n_pass").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val ctl = rows.filter(_._1 == controlArm)
+    require(ctl.length == 1,
+      s"sequentialAb: control arm '$controlArm' matched ${ctl.length} rows")
+    val (_, nc, kc) = ctl.head
+    require(nc > 0L, s"sequentialAb: control arm '$controlArm' is empty")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tau2 = tau * tau
+    val out = rows.map { case (arm, n, k) =>
+      val p: Option[Double] =
+        if (arm == controlArm || n == 0L) None
+        else {
+          val pa = k.toDouble / n.toDouble
+          val pc = kc.toDouble / nc.toDouble
+          val pool = (k + kc).toDouble / (n + nc).toDouble
+          val v = pool * (1.0 - pool) * (1.0 / n.toDouble + 1.0 / nc.toDouble)
+          if (v > 0.0) {
+            val th = pa - pc
+            Some(r6(math.min(1.0, math.sqrt((v + tau2) / v) *
+              math.exp(-(th * th) * tau2 / (2.0 * v * (v + tau2))))))
+          } else None
+        }
+      (arm, n, k, if (n > 0L) Some(r6(k.toDouble / n.toDouble)) else None,
+        p, p.map(_ <= alpha))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("arm", "n", "n_pass", "rate6", "av_p6", "significant")
+  }
+
   /** [[abReport]]'s readout arithmetic over a prepared per-arm CI
     * table (`arm`, `n`, `n_pass`, `rate6`, `lo6`, `hi6`) — shared
     * verbatim by the batch operator and the streaming monitor (the

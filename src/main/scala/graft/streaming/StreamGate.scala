@@ -1998,6 +1998,113 @@ object StreamGate {
     }
   }
 
+  /** Streaming SEQUENTIAL experiment monitor — the always-valid
+    * (mSPRT) p-value LOOKED AT after every micro-batch, which is safe
+    * by construction ([[graft.operators.Experiment
+    * .sequentialAbReport]]'s point: a fixed-horizon z looked at each
+    * batch inflates false positives — peeking bias — while the
+    * always-valid p admits `min` over any number of looks). Per-arm
+    * counts fold by SUM into versioned state (the [[replayAbMonitor]]
+    * shape); after EACH batch the driver computes every arm's
+    * always-valid p from the cumulative counts and folds the running
+    * minimum — the live decision. The final-look columns are the
+    * SHARED [[graft.operators.Experiment.sequentialAbFromCounts]]
+    * readout, so they provably equal the batch operator's (counts
+    * fold; held to the batch oracle), while `min_av_p6` /
+    * `ever_crossed` / `n_looks` carry the sequential decision trail
+    * (spec-pinned: min ≤ final, never crosses under a null stream,
+    * crosses under a planted effect).
+    *
+    * Output per arm, ordered: (`arm`, `n`, `n_pass`, `rate6`,
+    * `av_p6`, `significant`, `min_av_p6`, `ever_crossed`,
+    * `n_looks`). */
+  def replaySequentialAbMonitor(
+      outcomes: DataFrame,
+      armCol: String,
+      flagCol: String,
+      controlArm: String,
+      tau: Double = 0.1,
+      alpha: Double = 0.05,
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = outcomes.sparkSession
+    val src = tempDir("graft_seqab_src")
+    outcomes.select(col(armCol).as("arm"), col(flagCol).as("flag"))
+      .coalesce(8).write.mode("overwrite").parquet(src)
+    val stateRoot = tempDir("graft_seqab_state")
+    val ck = tempDir("graft_seqab_ck")
+    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    // AvailableNow foreachBatch runs looks sequentially; a plain map
+    // under its own lock is enough
+    val minP = scala.collection.mutable.Map.empty[String, Double]
+    val looks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark)
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("arm",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("flag",
+          org.apache.spark.sql.types.BooleanType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bh = batch.groupBy("arm")
+            .agg(count(col("flag")).as("n"),
+              sum(when(col("flag") === true, 1L).otherwise(0L)).as("n_pass"))
+          val merged = Option(state.get()) match {
+            case None => bh
+            case Some(p) => spark.read.parquet(p).unionByName(bh)
+              .groupBy("arm")
+              .agg(sum(col("n")).cast("long").as("n"),
+                sum(col("n_pass")).cast("long").as("n_pass"))
+          }
+          val next = s"$stateRoot/v${version.incrementAndGet()}"
+          merged.write.mode("overwrite").parquet(next)
+          state.set(next)
+          // THE LOOK: always-valid p off the cumulative counts,
+          // folded into the running per-arm minimum
+          looks.incrementAndGet()
+          graft.operators.Experiment.sequentialAbFromCounts(
+              spark.read.parquet(next), controlArm, tau, alpha)
+            .collect().foreach { r =>
+              if (!r.isNullAt(4)) minP.synchronized {
+                val arm = r.getString(0)
+                val p = r.getDouble(4)
+                minP(arm) = math.min(minP.getOrElse(arm, p), p)
+              }
+            }
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
+      require(state.get() != null,
+        "replaySequentialAbMonitor saw no micro-batches")
+      val fin = graft.operators.Experiment.sequentialAbFromCounts(
+        spark.read.parquet(state.get()), controlArm, tau, alpha)
+      val minExpr = minP.synchronized {
+        minP.toSeq.sortBy(_._1)
+          .foldLeft(lit(null).cast("double")) { case (e, (a, p)) =>
+            when(col("arm") === a, lit(p)).otherwise(e)
+          }
+      }
+      val withMin = fin.withColumn("min_av_p6", minExpr)
+        .withColumn("ever_crossed",
+          when(col("min_av_p6").isNotNull, col("min_av_p6") <= alpha))
+        .withColumn("n_looks", lit(looks.get().toLong))
+      releaseLastReplay(withMin.orderBy("arm").localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, stateRoot, ck).foreach(deleteRecursively)
+    }
+  }
+
   /** Streaming incremental connected components — [[graft.operators
     * .Components.incrementalComponents]] with the EDGE feed as a file
     * stream: each micro-batch of new edges folds into the versioned

@@ -192,6 +192,43 @@ class ExperimentSpec extends AnyFunSuite {
     assert(e.getMessage.contains(">= 2"))
   }
 
+  test("sequentialAbReport: hand-computed mSPRT p, null reads 1, edges") {
+    def armRows(arm: String, pass: Int, fail: Int) =
+      Seq.fill(pass)(row(arm, true)) ++ Seq.fill(fail)(row(arm, false))
+    // control 50/100, treat 70/100: a real effect
+    val df = table("arm string, f boolean",
+      armRows("control", 50, 50) ++ armRows("treat", 70, 30))
+    val got = Experiment.sequentialAbReport(df, "arm", "f", "control")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("control").isNullAt(4) && got("control").isNullAt(5))
+    // replay the documented closed form
+    val (tau2, pool) = (0.1 * 0.1, 120.0 / 200.0)
+    val v = pool * (1.0 - pool) * (1.0 / 100.0 + 1.0 / 100.0)
+    val th = 0.7 - 0.5
+    val expect = BigDecimal(math.min(1.0, math.sqrt((v + tau2) / v) *
+        math.exp(-(th * th) * tau2 / (2.0 * v * (v + tau2)))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("treat").getDouble(4) == expect)
+    assert(got("treat").getBoolean(5) == (expect <= 0.05))
+    // identical arms: theta 0 -> the likelihood ratio favors the
+    // null, p pins to exactly 1 and never signals
+    val same = table("arm string, f boolean",
+      armRows("control", 40, 60) ++ armRows("treat", 40, 60))
+    val nullRow = Experiment.sequentialAbReport(same, "arm", "f", "control")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(nullRow("treat").getDouble(4) == 1.0)
+    assert(!nullRow("treat").getBoolean(5))
+    // degenerate pool (all-true outcomes): V = 0 -> NULL p
+    val degen = table("arm string, f boolean",
+      armRows("control", 10, 0) ++ armRows("treat", 10, 0))
+    val degenRows = Experiment.sequentialAbReport(degen, "arm", "f", "control")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(degenRows("treat").isNullAt(4))
+    intercept[IllegalArgumentException] {
+      Experiment.sequentialAbReport(df, "arm", "f", "missing").collect()
+    }
+  }
+
   test("cupedReportByGroup: grouped equals filtered-ungrouped per slice") {
     // two slices with DIFFERENT true slopes, so pooled theta would be
     // wrong for both and the per-slice theta is load-bearing

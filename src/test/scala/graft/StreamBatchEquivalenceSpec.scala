@@ -594,6 +594,42 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(uFolded == uBatch, s"fold $uFolded != batch $uBatch")
   }
 
+  test("stream sequential AB monitor: final look == batch; null never crosses; effect does") {
+    import graft.operators.Experiment
+    // null stream: both arms identical pass rates, repartitioned so
+    // the monitor genuinely looks several times
+    def armRows(arm: String, pass: Int, fail: Int) =
+      Seq.fill(pass)(row(arm, true)) ++ Seq.fill(fail)(row(arm, false))
+    val nullDf = table("arm string, f boolean",
+      armRows("control", 80, 120) ++ armRows("treat", 80, 120))
+      .repartition(8)
+    val mon = StreamGate.replaySequentialAbMonitor(
+        nullDf, "arm", "f", "control", filesPerTrigger = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val batch = Experiment.sequentialAbReport(nullDf, "arm", "f", "control")
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("control", "treat").foreach { a =>
+      // final-look columns equal the batch readout (counts fold)
+      assert(mon(a).toSeq.take(6) == batch(a).toSeq.take(6), a)
+    }
+    assert(mon("treat").getLong(8) > 1L, "monitor must look more than once")
+    // never crosses under the null: every look's p stayed above alpha
+    assert(mon("treat").getDouble(6) > 0.05,
+      s"null stream crossed: min p ${mon("treat").getDouble(6)}")
+    assert(!mon("treat").getBoolean(7))
+    // the min over looks is a genuine min: <= the final look's p
+    assert(mon("treat").getDouble(6) <= mon("treat").getDouble(4))
+    // a strong planted effect crosses mid-stream and stays crossed
+    val effDf = table("arm string, f boolean",
+      armRows("control", 40, 360) ++ armRows("treat", 360, 40))
+      .repartition(8)
+    val eff = StreamGate.replaySequentialAbMonitor(
+        effDf, "arm", "f", "control", filesPerTrigger = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(eff("treat").getDouble(6) <= 0.05 && eff("treat").getBoolean(7),
+      s"planted effect must cross: ${eff("treat").toSeq}")
+  }
+
   test("stream SCD-2 enrichment == batch scdJoin across micro-batches") {
     import graft.operators.AsOfJoin
     // two-version dimension over user ids; facts = the events feed
