@@ -6964,6 +6964,34 @@ object SparkEntry {
       .select("arm", "n", "n_pass", "rate6", "av_p6", "significant")
       .orderBy("arm")
 
+  // ---------------------------------------------------------------- q377
+  /** Logistic-regression quality gate ([[graft.operators.Classify
+    * .trainLogistic]] + `scoreLogistic`): a linear English-vs-rest
+    * filter calibrated on (chars, tokens) — the jointly-weighted
+    * complement to q112's NB gate, whose independence assumption
+    * double-counts these correlated signals. Three deterministic
+    * Newton steps over 12dp-exact gradient/Hessian sums, the 3×3
+    * solve through the exact-decimal adjugate; the oracle replays
+    * EVERY iteration's linear algebra — each μ, each term sum, each
+    * cofactor product, each β update — and every final score. */
+  private def q377LogisticGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Classify
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir)
+      .withColumn("label", col("lang") === "en")
+      .withColumn("x1", col("n_chars").cast("double") / 1000.0)
+      .withColumn("x2",
+        when(col("text").isNotNull,
+          TextFunctions.tokenCount(col("text")).cast("double") / 100.0))
+    val model = Classify.trainLogistic(docs, Seq("x1", "x2"), "label",
+      iters = 3)
+    Classify.scoreLogistic(docs, Seq("x1", "x2"), model)
+      .select(col("doc_id"), col("label"),
+        round(col("log_odds"), 6).as("log_odds6"),
+        (round(col("log_odds"), 6) > 0.0).as("predicted"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -7409,6 +7437,7 @@ object SparkEntry {
     "q374_unigram_encode" -> (q374UnigramEncode _),
     "q375_sequential_ab" -> (q375SequentialAb _),
     "q376_stream_sequential_ab" -> (q376StreamSequentialAb _),
+    "q377_logistic_gate" -> (q377LogisticGate _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -10979,6 +11008,7 @@ object SparkEntry {
     "q103_bpe_merges" -> bpeOracle,
     "q373_unigram_train" -> unigramTrainOracle,
     "q374_unigram_encode" -> unigramEncodeOracle,
+    "q377_logistic_gate" -> logisticGateOracle,
     "q105_bpe_encode" -> bpeEncodeOracle,
     "q107_bpe_ids" -> bpeIdsOracle,
     "q108_pack_bpe" -> bpePackOracle,
@@ -16170,6 +16200,101 @@ object SparkEntry {
     s"""WITH RECURSIVE ${unigramCte(2, forEncode = true)}
       |SELECT token, cnt AS freq FROM cnte
       |ORDER BY freq DESC, token LIMIT 50""".stripMargin
+
+  /** q377: the exact-decimal adjugate replayed SYMBOLICALLY — the SQL
+    * is generated by the SAME first-row minor-expansion recursion as
+    * [[graft.operators.Classify.trainLogistic]]'s detX, so every
+    * 12dp-rounded product appears in the oracle in the identical
+    * order. Inner results (re-multiplied) ride DECIMAL(18,12); the
+    * top level (never re-multiplied) widens to DECIMAL(30,12) — the
+    * sf0.01 magnitude envelope, documented, driver side is unbounded
+    * BigDecimal. */
+  private def logisticMul12Sql(a: String, b: String, wide: Boolean): String = {
+    val out = if (wide) "DECIMAL(30,12)" else "DECIMAL(18,12)"
+    s"CAST(ROUND(CAST($a AS DECIMAL(18,12)) * CAST($b AS DECIMAL(18,12)), " +
+      s"12) AS $out)"
+  }
+
+  private def logisticDetSql(
+      mx: Vector[Vector[String]], wide: Boolean): String =
+    if (mx.isEmpty) "CAST(1 AS DECIMAL(18,12))"
+    else if (mx.size == 1) s"CAST(${mx(0)(0)} AS DECIMAL(18,12))"
+    else mx(0).indices.map { c =>
+      val minor = mx.tail.map(r => r.patch(c, Nil, 1))
+      val t = logisticMul12Sql(
+        mx(0)(c), logisticDetSql(minor, wide = false), wide)
+      if (c % 2 == 0) s"+ $t" else s"- $t"
+    }.mkString("(", " ", ")")
+
+  private val logisticGateOracle: String = {
+    val (m, iters) = (3, 3)
+    val h = Vector.tabulate(m, m)((a, b) =>
+      if (a <= b) s"h_${a}_$b" else s"h_${b}_$a")
+    val parts = Seq.newBuilder[String]
+    parts += """feat AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+      |    CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+      |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE)
+      |      / 100.0 AS x2
+      |  FROM documents
+      |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+      |    AND text IS NOT NULL
+      |)""".stripMargin
+    parts += "beta0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"
+    for (i <- 1 to iters) {
+      parts += s"""mu$i AS (
+        |  SELECT y, x1, x2,
+        |    1.0/(1.0 + exp(-((1.0*b0 + x1*b1) + x2*b2))) AS mu
+        |  FROM feat, beta${i - 1}
+        |)""".stripMargin
+      parts += s"""s$i AS MATERIALIZED (
+        |  SELECT
+        |    SUM(CAST(ROUND(y - mu, 12) AS DECIMAL(38,12))) AS g_0,
+        |    SUM(CAST(ROUND(x1 * (y - mu), 12) AS DECIMAL(38,12))) AS g_1,
+        |    SUM(CAST(ROUND(x2 * (y - mu), 12) AS DECIMAL(38,12))) AS g_2,
+        |    SUM(CAST(ROUND(mu * (1.0 - mu), 12) AS DECIMAL(38,12)))
+        |      AS h_0_0,
+        |    SUM(CAST(ROUND(x1 * (mu * (1.0 - mu)), 12) AS DECIMAL(38,12)))
+        |      AS h_0_1,
+        |    SUM(CAST(ROUND(x2 * (mu * (1.0 - mu)), 12) AS DECIMAL(38,12)))
+        |      AS h_0_2,
+        |    SUM(CAST(ROUND(x1 * x1 * (mu * (1.0 - mu)), 12)
+        |      AS DECIMAL(38,12))) AS h_1_1,
+        |    SUM(CAST(ROUND(x1 * x2 * (mu * (1.0 - mu)), 12)
+        |      AS DECIMAL(38,12))) AS h_1_2,
+        |    SUM(CAST(ROUND(x2 * x2 * (mu * (1.0 - mu)), 12)
+        |      AS DECIMAL(38,12))) AS h_2_2
+        |  FROM mu$i
+        |)""".stripMargin
+      val det = logisticDetSql(h, wide = true)
+      val nums = (0 until m).map { j =>
+        (0 until m).map { gi =>
+          val minor = Vector.tabulate(m - 1, m - 1)((r, c) =>
+            h(if (r < gi) r else r + 1)(if (c < j) c else c + 1))
+          val cofAbs = logisticDetSql(minor, wide = false)
+          val signed =
+            if ((gi + j) % 2 == 0) cofAbs else s"(- $cofAbs)"
+          s"+ ${logisticMul12Sql(s"g_$gi", signed, wide = true)}"
+        }.mkString("(", " ", ")")
+      }
+      parts += s"""beta$i AS (
+        |  SELECT
+        |    ROUND(b0 + CAST(${nums(0)} AS DOUBLE)
+        |      / CAST($det AS DOUBLE), 12) AS b0,
+        |    ROUND(b1 + CAST(${nums(1)} AS DOUBLE)
+        |      / CAST($det AS DOUBLE), 12) AS b1,
+        |    ROUND(b2 + CAST(${nums(2)} AS DOUBLE)
+        |      / CAST($det AS DOUBLE), 12) AS b2
+        |  FROM beta${i - 1}, s$i
+        |)""".stripMargin
+    }
+    s"""WITH ${parts.result().mkString(",\n")}
+      |SELECT doc_id, y = 1.0 AS label,
+      |  ROUND((1.0*b0 + x1*b1) + x2*b2, 6) AS log_odds6,
+      |  ROUND((1.0*b0 + x1*b1) + x2*b2, 6) > 0.0 AS predicted
+      |FROM feat, beta$iters ORDER BY doc_id""".stripMargin
+  }
 
   private val bpeOracle: String = {
     val n = 8

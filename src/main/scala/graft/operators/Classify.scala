@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -108,6 +108,142 @@ object Classify {
         (lit(model.priorLogOdds) + coalesce(col("__s"), lit(0.0)))
           .as("log_odds"))
       .withColumn("predicted", col("log_odds") > 0.0)
+  }
+
+  /** A trained logistic-regression model: `beta` is (intercept,
+    * coefficients...) aligned with the training feature columns, each
+    * component 12dp-rounded so the model is a compact, reproducible
+    * artifact. */
+  final case class LogisticModel(beta: Vector[Double])
+
+  private def r12d(x: Double): Double = BigDecimal(x)
+    .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Train a binary logistic regression by FIXED-ITERATION
+    * deterministic Newton (IRLS) — the quality-gate calibrator for
+    * labeled numeric features where [[trainNaiveBayes]]'s
+    * independence assumption saturates (correlated length/punct/
+    * stopword signals double-count in NB; the logistic fit weighs
+    * them jointly). Every run is bit-reproducible:
+    *
+    *  - β starts at 0 (first pass needs no transcendentals: μ = ½
+    *    exactly); each iteration computes the gradient
+    *    `g = Σ x(y−μ)` and Hessian `H = Σ xxᵀ μ(1−μ)` as 12dp-exact
+    *    decimal term sums in ONE map-side-combined aggregation —
+    *    k(k+3)/2 + k+1 scalars reach the driver, never rows;
+    *  - the (k+1)×(k+1) Newton step solves through the EXACT-decimal
+    *    adjugate (first-row minor expansion, every product rounded at
+    *    12dp — the [[Events.logRankTestK]] fixed-point discipline, no
+    *    float elimination order), one double division per component,
+    *    β ← round12(β + δ);
+    *  - iteration count is FIXED (`iters`), so the model is a pure
+    *    function of the data — no convergence-test float compare.
+    *
+    * Features are k-bounded LOUDLY (`maxFeatures` ≤ 6: the adjugate
+    * solve is factorial in k — a wide feature set belongs in a
+    * different trainer). NULL features/labels are excluded; both
+    * classes required; a non-positive-determinant Hessian (perfectly
+    * separated or degenerate data driven too far) fails loudly rather
+    * than emitting garbage coefficients. */
+  def trainLogistic(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      iters: Int = 3,
+      maxFeatures: Int = 6): LogisticModel = {
+    require(featureCols.nonEmpty && featureCols.size <= maxFeatures,
+      s"trainLogistic: ${featureCols.size} features outside " +
+        s"[1, $maxFeatures] (the exact adjugate solve is factorial in k)")
+    require(featureCols.distinct.size == featureCols.size,
+      "trainLogistic: duplicate feature columns")
+    require(iters >= 1 && iters <= 16,
+      s"trainLogistic: iters ($iters) must be in [1, 16]")
+    val m = featureCols.size + 1
+    val base = df.filter(col(labelCol).isNotNull &&
+        featureCols.map(col(_).isNotNull).reduce(_ && _))
+      .select((col(labelCol).cast("boolean").as("__y") +:
+        featureCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__x${i + 1}")
+        }): _*)
+      .localCheckpoint()
+    try {
+      val classes = base.agg(
+        sum(when(col("__y"), 1L).otherwise(0L)), count(lit(1))).head()
+      require(classes.getLong(0) > 0L && classes.getLong(0) < classes.getLong(1),
+        s"trainLogistic needs both classes present, got " +
+          s"${classes.getLong(0)} positive of ${classes.getLong(1)} rows")
+      def x(j: Int): Column = if (j == 0) lit(1.0) else col(s"__x$j")
+      def dterm(c: Column) = round(c, 12).cast("decimal(38,12)")
+      def dz = lit(0).cast("decimal(38,12)")
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      def mul12(a: JBD, b: JBD): JBD =
+        a.multiply(b).setScale(12, RoundingMode.HALF_UP)
+      def detX(mx: Vector[Vector[JBD]]): JBD =
+        if (mx.isEmpty) JBD.ONE
+        else if (mx.size == 1) mx(0)(0)
+        else mx(0).indices.foldLeft(JBD.ZERO) { (acc, c) =>
+          val minor = mx.tail.map(r => r.patch(c, Nil, 1))
+          val term = mul12(mx(0)(c), detX(minor))
+          if (c % 2 == 0) acc.add(term) else acc.subtract(term)
+        }
+      var beta = Vector.fill(m)(0.0)
+      var iter = 0
+      while (iter < iters) {
+        val z = (0 until m).map(j => x(j) * lit(beta(j))).reduce(_ + _)
+        val mu = lit(1.0) / (lit(1.0) + exp(-z))
+        val w = mu * (lit(1.0) - mu)
+        val y = when(col("__y"), 1.0).otherwise(0.0)
+        val gAggs = (0 until m).map(j =>
+          coalesce(sum(dterm(x(j) * (y - mu))), dz).as(s"g_$j"))
+        val hAggs = for (a <- 0 until m; b <- a until m) yield
+          coalesce(sum(dterm(x(a) * x(b) * w)), dz).as(s"h_${a}_$b")
+        val t = base.agg((gAggs ++ hAggs).head, (gAggs ++ hAggs).tail: _*)
+          .head()
+        def dec(n: String): JBD = t.getDecimal(t.fieldIndex(n))
+          .setScale(12, RoundingMode.HALF_UP)
+        val g = Vector.tabulate(m)(j => dec(s"g_$j"))
+        val h = Vector.tabulate(m, m)((a, b) =>
+          if (a <= b) dec(s"h_${a}_$b") else dec(s"h_${b}_$a"))
+        val det = detX(h)
+        require(det.signum > 0,
+          s"trainLogistic: singular Hessian at iteration ${iter + 1} — " +
+            "perfectly separated or degenerate data; fewer iterations " +
+            "or better-conditioned features")
+        beta = Vector.tabulate(m) { j =>
+          var num = JBD.ZERO
+          for (i <- 0 until m) {
+            val minor = Vector.tabulate(m - 1, m - 1) { (r, c) =>
+              h(if (r < i) r else r + 1)(if (c < j) c else c + 1)
+            }
+            val cof =
+              if ((i + j) % 2 == 0) detX(minor) else detX(minor).negate()
+            num = num.add(mul12(g(i), cof))
+          }
+          r12d(beta(j) + num.doubleValue / det.doubleValue)
+        }
+        iter += 1
+      }
+      LogisticModel(beta)
+    } finally Blocks.release(base)
+  }
+
+  /** Score rows under a trained [[LogisticModel]]: `log_odds` =
+    * βᵀ(1, x) as a map-only in-plan expression, `predicted` =
+    * log_odds > 0. NULL features read NULL log_odds (no silent
+    * zero-fill). */
+  def scoreLogistic(
+      df: DataFrame,
+      featureCols: Seq[String],
+      model: LogisticModel,
+      outCol: String = "log_odds"): DataFrame = {
+    require(featureCols.size + 1 == model.beta.size,
+      s"scoreLogistic: ${featureCols.size} features vs model arity " +
+        s"${model.beta.size - 1}")
+    val z = (lit(model.beta(0)) +: featureCols.zipWithIndex.map {
+      case (c, i) => col(c).cast("double") * lit(model.beta(i + 1))
+    }).reduce(_ + _)
+    df.withColumn(outCol, z)
+      .withColumn("predicted", col(outCol) > 0.0)
   }
 
   /** Persist a trained model: the vocabulary table as parquet plus one

@@ -181,4 +181,79 @@ class ClassifySpec extends AnyFunSuite {
       Classify.labelErrorScreen(df, "id", "text", "lbl", "id", 1.0)
     }.getMessage.contains("folds"))
   }
+
+  test("trainLogistic: hand-computed Newton steps on the symmetric pair") {
+    // (x=1, y=1), (x=-1, y=0); beta starts (0,0), mu = 0.5 exactly:
+    //   g = (0, 1), H = [[0.5, 0], [0, 0.5]] -> beta1 = (0, 2)
+    val df = table("x double, y boolean", Seq(
+      row(1.0, true), row(-1.0, false)))
+    val m1 = Classify.trainLogistic(df, Seq("x"), "y", iters = 1)
+    assert(m1.beta == Vector(0.0, 2.0))
+    // second step: mu(2) = 1/(1+e^-2); g_x = 2(1-mu); h_xx = 2w ->
+    // delta = (1-mu)/w = 1.135335...; intercept stays exactly 0 by
+    // symmetry (g_0 = 0 at every step)
+    val m2 = Classify.trainLogistic(df, Seq("x"), "y", iters = 2)
+    assert(m2.beta(0) == 0.0)
+    assert(m2.beta(1) > 3.13 && m2.beta(1) < 3.14, m2.beta.toString)
+    // scoring is the plain linear form; NULL features read NULL
+    val scored = Classify.scoreLogistic(
+      table("x double", Seq(row(1.0), row(-1.0),
+        row(null.asInstanceOf[java.lang.Double]))), Seq("x"), m1)
+      .collect()
+    assert(scored(0).getDouble(1) == 2.0 && scored(0).getBoolean(2))
+    assert(scored(1).getDouble(1) == -2.0 && !scored(1).getBoolean(2))
+    assert(scored(2).isNullAt(1) && scored(2).isNullAt(2))
+  }
+
+  test("trainLogistic: loud guards — arity, classes, collinear Hessian") {
+    val df = table("x double, y boolean", Seq(
+      row(1.0, true), row(2.0, false), row(3.0, true)))
+    intercept[IllegalArgumentException] {
+      Classify.trainLogistic(df, Seq.empty, "y")
+    }
+    intercept[IllegalArgumentException] {
+      Classify.trainLogistic(df,
+        Seq("a", "b", "c", "d", "e", "f", "g"), "y")
+    }
+    intercept[IllegalArgumentException] {
+      Classify.trainLogistic(df, Seq("x", "x"), "y")
+    }
+    val oneClass = table("x double, y boolean", Seq(
+      row(1.0, true), row(2.0, true)))
+    assert(intercept[IllegalArgumentException] {
+      Classify.trainLogistic(oneClass, Seq("x"), "y")
+    }.getMessage.contains("both classes"))
+    // exactly collinear duplicate feature -> singular Hessian, loud
+    val dup = table("x double, x2 double, y boolean", Seq(
+      row(1.0, 1.0, true), row(2.0, 2.0, false), row(3.0, 3.0, true)))
+    assert(intercept[IllegalArgumentException] {
+      Classify.trainLogistic(dup, Seq("x", "x2"), "y")
+    }.getMessage.contains("singular Hessian"))
+  }
+
+  test("trainLogistic agrees with NB orientation on a separable fixture") {
+    // long docs are positive, short docs negative — both the token
+    // gate (NB over words) and the linear gate (over token count)
+    // must point the same way on every doc
+    val rows = (0 until 30).map { i =>
+      val pos = i % 2 == 0
+      val text = if (pos) "alpha beta gamma delta epsilon zeta"
+        else "alpha beta"
+      row(i.toLong, text, pos)
+    }
+    val docs = table("id bigint, text string, label boolean", rows)
+      .withColumn("n_tok",
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("double") / 10.0)
+    val nb = Classify.trainNaiveBayes(docs, "text", "label")
+    val nbPred = Classify.scoreNaiveBayes(docs, "id", "text", nb)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val lr = Classify.trainLogistic(docs, Seq("n_tok"), "label", iters = 3)
+    val lrPred = Classify.scoreLogistic(docs, Seq("n_tok"), lr)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.length - 1)).toMap
+    (0 until 30).foreach { i =>
+      assert(nbPred(i.toLong) == lrPred(i.toLong), s"doc $i disagrees")
+      assert(lrPred(i.toLong) == (i % 2 == 0), s"doc $i misclassified")
+    }
+  }
 }
