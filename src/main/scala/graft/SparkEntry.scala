@@ -6992,6 +6992,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q378
+  /** Mergeable quantile sketch ([[graft.operators.Profile
+    * .sketchQuantiles]]): the bottom-k-by-portable-hash sample sketch
+    * over event values — the sketch tier for cardinalities where even
+    * the distinct value grid is too large for the exact family — with
+    * the realized rank error gated against the DKW envelope IN the
+    * readout (the ANN recall-gate discipline). Every output is an
+    * exact long or a verbatim data value; the oracle replays the
+    * hash, the bottom-k, the order-statistic pick, and both rank
+    * counts. */
+  private def q378SketchQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.sketchQuantiles(
+      Tables.events(s, dir), "value", "event_id",
+      ps = Seq(0.25, 0.5, 0.9), k = 1024)
+
+  // ---------------------------------------------------------------- q379
+  /** Streaming sketch-quantile monitor ([[graft.streaming.StreamGate
+    * .replaySketchQuantileMonitor]]): the same events arriving as a
+    * file stream, each micro-batch's own bottom-k folding into the
+    * k-row state by min-k — associative, commutative, idempotent, so
+    * the final state provably equals q378's batch sketch whatever the
+    * split. Held to q378's VERBATIM oracle; completes the quantile
+    * family's exact batch/incremental/stream (q221-q223) with a
+    * sketch-tier batch/stream pair. */
+  private def q379StreamSketchQuantiles(
+      s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replaySketchQuantileMonitor(
+      Tables.events(s, dir), "value", "event_id",
+      ps = Seq(0.25, 0.5, 0.9), k = 1024)
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -7438,6 +7468,8 @@ object SparkEntry {
     "q375_sequential_ab" -> (q375SequentialAb _),
     "q376_stream_sequential_ab" -> (q376StreamSequentialAb _),
     "q377_logistic_gate" -> (q377LogisticGate _),
+    "q378_sketch_quantiles" -> (q378SketchQuantiles _),
+    "q379_stream_sketch_quantiles" -> (q379StreamSketchQuantiles _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7715,6 +7747,43 @@ object SparkEntry {
         |  CASE WHEN avp IS NULL THEN NULL ELSE avp <= 0.05 END
         |    AS significant
         |FROM pp ORDER BY arm""".stripMargin
+
+  /** q378's oracle — replays the portable hash, the bottom-k sample,
+    * the order-statistic pick, and both exact rank counts; shared
+    * verbatim by q379 (min-k folds are split-invariant, so the
+    * monitor's final state IS the batch sketch). */
+  private val sketchQuantilesOracle: String = {
+    val h = hash32Sql("'qsk:' || CAST(event_id AS VARCHAR)")
+    s"""WITH s AS MATERIALIZED (
+      |  SELECT $h AS h, event_id AS id, CAST(value AS DOUBLE) AS v
+      |  FROM events WHERE value IS NOT NULL
+      |), samp AS MATERIALIZED (
+      |  SELECT v FROM s ORDER BY h, id LIMIT 1024
+      |), mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM samp),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+      |ord AS (
+      |  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM samp
+      |), ps(p) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+      |  (CAST(0.9 AS DOUBLE))),
+      |est AS (
+      |  SELECT p, (SELECT o.v FROM ord o, mm
+      |    WHERE o.r = LEAST(mm.m,
+      |      GREATEST(1, CAST(CEIL(p * mm.m) AS BIGINT)))) AS est
+      |  FROM ps
+      |), rk AS (
+      |  SELECT e.p, e.est,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s
+      |     WHERE s.v <= e.est) AS rnk
+      |  FROM est e
+      |)
+      |SELECT rk.p, nn.n, mm.m AS sample_m, rk.est,
+      |  CAST(ABS(rnk - CAST(CEIL(rk.p * nn.n) AS BIGINT)) AS BIGINT)
+      |    AS rank_abs_err,
+      |  ABS(rnk - CAST(CEIL(rk.p * nn.n) AS BIGINT))
+      |    <= CAST(CEIL(4.0 * nn.n / sqrt(1024.0)) AS BIGINT)
+      |    AS within_bound
+      |FROM rk, mm, nn ORDER BY rk.p""".stripMargin
+  }
 
   /** q196's oracle — shared verbatim by q198 (the streaming fold must
     * hash-match the batch statistic). */
@@ -11009,6 +11078,10 @@ object SparkEntry {
     "q373_unigram_train" -> unigramTrainOracle,
     "q374_unigram_encode" -> unigramEncodeOracle,
     "q377_logistic_gate" -> logisticGateOracle,
+    "q378_sketch_quantiles" -> sketchQuantilesOracle,
+    // min-k sketch folds are split-invariant: the monitor's final
+    // state IS the batch sketch, readout shared verbatim
+    "q379_stream_sketch_quantiles" -> sketchQuantilesOracle,
     "q105_bpe_encode" -> bpeEncodeOracle,
     "q107_bpe_ids" -> bpeIdsOracle,
     "q108_pack_bpe" -> bpePackOracle,

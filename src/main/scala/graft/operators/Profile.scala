@@ -1000,6 +1000,118 @@ object Profile {
       df: DataFrame, valueCol: String, ps: Seq[Double]): DataFrame =
     exactQuantilesFromCounts(ksSideCounts(df, valueCol, "cnt"), ps)
 
+  /** Mergeable quantile SKETCH state — the sketch-tier twin of
+    * [[exactQuantiles]] for cardinalities where even the distinct
+    * value grid is too large to aggregate: the k rows with the
+    * smallest `portable_hash32(salt:id)` (ties by id), each carrying
+    * its value — a deterministic bottom-k uniform sample.
+    *
+    * Why bottom-k instead of KLL/t-digest: a compaction sketch's
+    * content depends on the MERGE TREE, so two partitionings of the
+    * same data yield different sketches — un-oracle-able and
+    * non-reproducible by construction. The bottom-k state is an ORDER
+    * STATISTIC of a deterministic per-row key: any partitioning, any
+    * merge order, any micro-batch split folds to the IDENTICAL k rows
+    * (min-k is associative, commutative, idempotent) — bit-reproducible
+    * across engines and partitionings, spec-pinned. The price is a
+    * probabilistic (not worst-case) rank guarantee: the sample is
+    * uniform, so by DKW
+    * `P(sup-rank-error > t·n/√k) ≤ 2·exp(−2t²)` — at the default
+    * gate `t = 4` that is ≥ 1 − 2e⁻³² ; [[sketchQuantileReport]]
+    * carries the realized error against that bound IN the readout
+    * (the ANN recall-gate discipline).
+    *
+    * Scale shape: ONE `TakeOrderedAndProject` pass — every partition
+    * keeps its own k-bounded heap, the driver merges heaps; the
+    * shuffle carries k rows per partition, never data. NULL ids are
+    * rejected loudly ([[graft.operators.Experiment.stratifiedSample]]'s
+    * rule: no identity, no stable membership); NULL values are
+    * excluded (no position on the value line). */
+  def sketchStateOf(
+      df: DataFrame, valueCol: String, idCol: String,
+      k: Int = 1024, salt: String = "qsk"): DataFrame = {
+    require(k >= 16 && k <= 65536,
+      s"quantile sketch k ($k) must be in [16, 65536]")
+    TempCols.reserve(df, "sketchStateOf", "__qh", "__qid", "__qv")
+    val base = df.filter(col(valueCol).isNotNull)
+    val nullIds = base.filter(col(idCol).isNull).limit(1).count()
+    require(nullIds == 0L,
+      s"quantile sketch: NULL $idCol rows have no stable membership")
+    base.select(
+        graft.functions.TextFunctions.portableTokenHash32(
+          concat(lit(salt), lit(":"), col(idCol).cast("string")))
+          .as("__qh"),
+        col(idCol).cast("long").as("__qid"),
+        col(valueCol).cast("double").as("__qv"))
+      .orderBy("__qh", "__qid").limit(k)
+  }
+
+  /** Fold two sketch states: union, dedup on (hash, id) — a row's
+    * identity; its value is functionally dependent — then keep the k
+    * smallest (hash, id). Min-k over identities is associative,
+    * commutative, AND idempotent, so the fold provably equals the
+    * batch sketch whatever the split (the merge proof spec) and an
+    * at-least-once redelivery of a micro-batch cannot corrupt the
+    * state. Inputs are ≤ k rows each. */
+  def foldSketchState(base: DataFrame, delta: DataFrame, k: Int): DataFrame =
+    base.unionByName(delta).dropDuplicates("__qh", "__qid")
+      .orderBy("__qh", "__qid").limit(k)
+
+  /** Quantile estimates off a sketch state, gated against the exact
+    * ranks: for each p the estimate is the sample's
+    * `max(1, ⌈p·m⌉)`-th smallest value (m = sample size; when the
+    * data fits inside the sample, m = n and the answer is EXACT);
+    * `rank_abs_err = |#{v ≤ est} − ⌈p·n⌉|` is measured against the
+    * full data and `within_bound` gates it at `⌈t·n/√k⌉` (t = 4, the
+    * DKW envelope above) — the report carries its own honesty check.
+    * All outputs are exact longs and verbatim data values (no
+    * rounding anywhere — the estimate IS a data point).
+    *
+    * Output: one row per p — (`p`, `n`, `sample_m`, `est`,
+    * `rank_abs_err`, `within_bound`), ordered by p. */
+  def sketchQuantileReport(
+      state: DataFrame, data: DataFrame, valueCol: String,
+      ps: Seq[Double], k: Int = 1024, t: Double = 4.0): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantile sketch: probabilities ${ps.mkString(",")} outside (0, 1]")
+    val spark = state.sparkSession
+    // the state is k-bounded by construction — the bounded-model-table
+    // discipline, like IVF codebooks
+    val sample = state.select(col("__qv")).collect()
+      .map(_.getDouble(0)).sorted
+    val m = sample.length
+    require(m > 0, "quantile sketch: empty state")
+    val vals = data.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__qv"))
+    val ests = ps.map { p =>
+      p -> sample(math.min(m, math.max(1L,
+        math.ceil(p * m.toDouble).toLong)).toInt - 1)
+    }
+    val aggs = ests.zipWithIndex.map { case ((_, est), i) =>
+      sum(when(col("__qv") <= est, 1L).otherwise(0L)).as(s"__r$i")
+    } :+ count(lit(1)).as("__n")
+    val r = vals.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(r.fieldIndex("__n"))
+    val bound = math.ceil(t * n.toDouble / math.sqrt(k.toDouble)).toLong
+    val out = ests.zipWithIndex.map { case ((p, est), i) =>
+      val rank = r.getLong(r.fieldIndex(s"__r$i"))
+      val target = math.ceil(p * n.toDouble).toLong
+      val err = math.abs(rank - target)
+      (p, n, m.toLong, est, err, err <= bound)
+    }
+    import spark.implicits._
+    out.toDF("p", "n", "sample_m", "est", "rank_abs_err", "within_bound")
+      .orderBy("p")
+  }
+
+  /** One-shot sketch-quantile report: [[sketchStateOf]] +
+    * [[sketchQuantileReport]] over the same frame. */
+  def sketchQuantiles(
+      df: DataFrame, valueCol: String, idCol: String, ps: Seq[Double],
+      k: Int = 1024, salt: String = "qsk"): DataFrame =
+    sketchQuantileReport(sketchStateOf(df, valueCol, idCol, k, salt),
+      df, valueCol, ps, k)
+
   /** PER-GROUP exact discrete quantiles — [[exactQuantiles]] keyed by
     * a group ("the p90 document length per language") WITHOUT a
     * group-partitioned window over the value grid: for a continuous

@@ -2105,6 +2105,75 @@ object StreamGate {
     }
   }
 
+  /** Streaming mergeable-quantile-sketch monitor — [[graft.operators
+    * .Profile.sketchStateOf]] maintained over a file stream: each
+    * micro-batch's own bottom-k sample folds into the versioned state
+    * by min-k ([[graft.operators.Profile.foldSketchState]]), which is
+    * associative, commutative, and idempotent — so the final state
+    * provably equals the batch sketch WHATEVER the micro-batch split
+    * (the mergeable-sketch property itself, spec-pinned), and the
+    * final [[graft.operators.Profile.sketchQuantileReport]] readout
+    * is held to the batch query's verbatim oracle. State is k rows,
+    * ever; the accumulated history is never rescanned. */
+  def replaySketchQuantileMonitor(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String,
+      ps: Seq[Double],
+      k: Int = 1024,
+      salt: String = "qsk",
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = df.sparkSession
+    val src = tempDir("graft_qsk_src")
+    df.select(col(idCol).cast("long").as("id"),
+        col(valueCol).cast("double").as("v"))
+      .coalesce(8).write.mode("overwrite").parquet(src)
+    val stateRoot = tempDir("graft_qsk_state")
+    val ck = tempDir("graft_qsk_ck")
+    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark)
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bh = graft.operators.Profile.sketchStateOf(
+            batch, "v", "id", k, salt)
+          val merged = Option(state.get()) match {
+            case None => bh
+            case Some(p) => graft.operators.Profile.foldSketchState(
+              spark.read.parquet(p), bh, k)
+          }
+          val next = s"$stateRoot/v${version.incrementAndGet()}"
+          merged.write.mode("overwrite").parquet(next)
+          state.set(next)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
+      require(state.get() != null,
+        "replaySketchQuantileMonitor saw no micro-batches")
+      releaseLastReplay(graft.operators.Profile.sketchQuantileReport(
+          spark.read.parquet(state.get()), df, valueCol, ps, k)
+        .localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, stateRoot, ck).foreach(deleteRecursively)
+    }
+  }
+
   /** Streaming incremental connected components — [[graft.operators
     * .Components.incrementalComponents]] with the EDGE feed as a file
     * stream: each micro-batch of new edges folds into the versioned

@@ -714,4 +714,65 @@ class ProfileSpec extends AnyFunSuite {
       Profile.categoricalAssociation(dep.limit(0), "a", "b")
     }
   }
+
+  test("quantile sketch: merge proof — any split folds to the batch state") {
+    val df = table("id bigint, v double",
+      (0 until 500).map(i => row(i.toLong, (i * 37 % 211).toDouble)))
+    val k = 64
+    val batch = Profile.sketchStateOf(df, "v", "id", k)
+      .orderBy("__qh", "__qid").collect().map(_.toSeq).toSeq
+    // three very different splits, folded in different orders
+    val splits = Seq(
+      Seq(df.filter(col("id") < 100), df.filter(col("id") >= 100)),
+      Seq(df.filter(col("id") % 3 === 0), df.filter(col("id") % 3 === 1),
+        df.filter(col("id") % 3 === 2)),
+      Seq(df.filter(col("id") >= 450), df.filter(col("id") < 450)))
+    splits.foreach { parts =>
+      val folded = parts.map(Profile.sketchStateOf(_, "v", "id", k))
+        .reduce(Profile.foldSketchState(_, _, k))
+        .orderBy("__qh", "__qid").collect().map(_.toSeq).toSeq
+      assert(folded == batch, "fold must be bit-identical to batch")
+    }
+    // idempotent: folding the state with itself changes nothing
+    val st = Profile.sketchStateOf(df, "v", "id", k)
+    val self = Profile.foldSketchState(st, st, k)
+      .orderBy("__qh", "__qid").collect().map(_.toSeq).toSeq
+    assert(self == batch)
+  }
+
+  test("quantile sketch report: exact when data fits the sample; gate holds") {
+    // n = 100 <= k = 128: the sample IS the data, estimates are the
+    // exact discrete quantiles and rank error vs ceil(p*n) is bounded
+    // by the tie structure (here all-distinct: exactly 0)
+    val df = table("id bigint, v double",
+      (1 to 100).map(i => row(i.toLong, i.toDouble)))
+    val got = Profile.sketchQuantiles(df, "v", "id",
+        ps = Seq(0.25, 0.5, 0.9), k = 128)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    assert(got(0.25) == ((100L, 100L, 25.0, 0L, true)))
+    assert(got(0.5) == ((100L, 100L, 50.0, 0L, true)))
+    assert(got(0.9) == ((100L, 100L, 90.0, 0L, true)))
+    // the DKW gate holds on a big frame at a small k too
+    val big = table("id bigint, v double",
+      (0 until 20000).map(i => row(i.toLong, ((i * 7919) % 65536).toDouble)))
+    val rep = Profile.sketchQuantiles(big, "v", "id",
+      ps = Seq(0.25, 0.5, 0.9), k = 256).collect()
+    rep.foreach(r => assert(r.getBoolean(5),
+      s"rank error ${r.getLong(4)} broke the bound at p=${r.getDouble(0)}"))
+    // guards: NULL ids loud, bad p loud, k bounds loud
+    intercept[IllegalArgumentException] {
+      Profile.sketchStateOf(
+        table("id bigint, v double",
+          Seq(row(null.asInstanceOf[java.lang.Long], 1.0))),
+        "v", "id", 64)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.sketchQuantiles(df, "v", "id", Seq(0.0), k = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.sketchStateOf(df, "v", "id", 8)
+    }
+  }
 }

@@ -630,6 +630,19 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       s"planted effect must cross: ${eff("treat").toSeq}")
   }
 
+  test("stream sketch-quantile monitor == batch sketch across min-k folds") {
+    import graft.operators.Profile
+    val streamed = StreamGate.replaySketchQuantileMonitor(
+        events.repartition(8), "value", "event_id",
+        ps = Seq(0.25, 0.5, 0.9), k = 128, filesPerTrigger = 1)
+      .collect().map(_.toSeq)
+    val batch = Profile.sketchQuantiles(events, "value", "event_id",
+        ps = Seq(0.25, 0.5, 0.9), k = 128)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+  }
+
   test("stream SCD-2 enrichment == batch scdJoin across micro-batches") {
     import graft.operators.AsOfJoin
     // two-version dimension over user ids; facts = the events feed
