@@ -602,8 +602,9 @@ object Events {
     * `z = Σ(d_A − E)/√ΣV` with `V = d·(n_A/n)·(n_B/n)·(n−d)/(n−1)`
     * (the variance of the hypergeometric draw; a one-at-risk time has
     * zero variance and contributes nothing). Exactly TWO non-NULL
-    * groups, loudly checked — k-sample log-rank needs the full
-    * covariance matrix and is out of scope.
+    * groups, loudly checked — for k groups (or a stratification
+    * covariate) use [[logRankTestK]], which carries the full
+    * covariance matrix.
     *
     * Scale shape: subjects collapse onto the pooled duration grid
     * with per-group conditional counts in one pass; both groups' risk
