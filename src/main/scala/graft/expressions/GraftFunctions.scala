@@ -50,6 +50,21 @@ object GraftFunctions {
       s"$name expects a literal array<float> argument, got $other")
   }
 
+  private def longArg(name: String, e: Expression): Long = e match {
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal long argument, got $other")
+  }
+
+  private def longArrayArg(name: String, e: Expression): Seq[Long] = e match {
+    case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _)) =>
+      v.toLongArray().toSeq
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal array<bigint> argument, got $other")
+  }
+
   /** (name, builder) for every native expression. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot_f32" -> { args => DotProductF32(args(0), args(1)) },
@@ -83,6 +98,13 @@ object GraftFunctions {
       ReplaceChain(args(0),
         stringArrayArg("graft_replace_chain", args(1)),
         stringArrayArg("graft_replace_chain", args(2)))
+    },
+    "graft_unigram_segment" -> { args =>
+      UnigramSegment(args(0),
+        stringArrayArg("graft_unigram_segment", args(1)),
+        longArrayArg("graft_unigram_segment", args(2)),
+        intArg("graft_unigram_segment", args(3)),
+        longArg("graft_unigram_segment", args(4)))
     },
   )
 
@@ -213,6 +235,22 @@ object GraftFunctions {
   def simhash(df: org.apache.spark.sql.DataFrame, hashes: Column, width: Int): Column = {
     ensureRegistered(df.sparkSession)
     call_function("graft_simhash", hashes, lit(width))
+  }
+
+  /** Viterbi segmentation of one word under a unigram-LM vocabulary —
+    * the whole lattice DP as one compiled method, vocabulary in the
+    * plan's reference array ([[UnigramSegment]]). */
+  def unigramSegment(
+      df: org.apache.spark.sql.DataFrame,
+      w: Column,
+      tokens: Seq[String],
+      lps: Seq[Long],
+      maxTokenLen: Int,
+      lpUnk: Long): Column = {
+    ensureRegistered(df.sparkSession)
+    import org.apache.spark.sql.functions.typedlit
+    call_function("graft_unigram_segment", w,
+      typedlit(tokens), typedlit(lps), lit(maxTokenLen), lit(lpUnk))
   }
 
   /** 32-bit SimHash of an array<bigint> of token hashes (native). */

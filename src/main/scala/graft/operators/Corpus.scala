@@ -2368,55 +2368,23 @@ object Corpus {
 
   /** The Viterbi segmentation of one word as a pure COLUMN — the
     * max-score path over the subword lattice, scores as exact
-    * fixed-point longs. Left-to-right DP via `aggregate` over
-    * positions: `dp[j] = max over len ∈ 1..L of (dp[j−len] +
+    * fixed-point longs: `dp[j] = max over len ∈ 1..L of (dp[j−len] +
     * lp(w[j−len+1..j]))`, a multi-character edge valid only when its
     * substring is in the vocabulary, a single-character edge always
-    * valid (vocabulary lp, else `lpUnk`). Ties break to the LONGER
-    * token (struct max on (score, len) — both exact integers, so the
-    * choice is engine-deterministic); the token array reconstructs by
-    * a second `aggregate` walking the stored edge lengths back from
-    * the end. Map-only: the vocabulary rides the plan as ONE map
-    * literal (the ReplaceChain discipline), no join, no UDF. */
+    * valid (vocabulary lp, else `lpUnk`); ties break to the LONGER
+    * token; the token array reconstructs by walking the stored edge
+    * lengths back from the end. Map-only, no join, no UDF: the whole
+    * DP is ONE native expression ([[graft.expressions
+    * .UnigramSegment]]) with the vocabulary in the plan's reference
+    * array — it runs once per word occurrence corpus-wide, and the
+    * equivalent higher-order-function lattice evaluated interpreted
+    * (~17 s for the sf0.1 encode; the native node is ~20×
+    * faster). */
   private def unigramViterbi(
-      w: Column, lpEntries: Seq[(String, Long)], maxTokenLen: Int,
-      lpUnk: Long): Column = {
-    val lpMap = map(lpEntries.flatMap { case (t, l) =>
-      Seq(lit(t), lit(l)) }: _*)
-    val n = length(w)
-    val dp = aggregate(
-      sequence(lit(1), n),
-      array(struct(lit(0L).as("score"), lit(0).as("len"))),
-      (acc, j) => {
-        val cands = filter(
-          transform(sequence(lit(1), least(j, lit(maxTokenLen))), l => {
-            val sub = w.substr(j - l + lit(1), l)
-            val prev = element_at(acc, j - l + lit(1))
-            val lp = coalesce(element_at(lpMap, sub),
-              when(l === 1, lit(lpUnk)))
-            struct((prev.getField("score") + lp).as("score"),
-              l.as("len"))
-          }),
-          c => c.getField("score").isNotNull)
-        val best = array_max(cands)
-        concat(acc, array(struct(
-          coalesce(best.getField("score"), lit(0L)).as("score"),
-          coalesce(best.getField("len"), lit(0)).as("len"))))
-      })
-    aggregate(
-      sequence(lit(1), n),
-      struct(n.as("pos"), lit(Array.empty[String]).as("toks")),
-      (acc, _) => {
-        val pos = acc.getField("pos")
-        val l = element_at(dp, pos + 1).getField("len")
-        val tok = w.substr(pos - l + lit(1), l)
-        when(pos > 0,
-          struct((pos - l).as("pos"),
-            concat(array(tok), acc.getField("toks")).as("toks")))
-          .otherwise(acc)
-      },
-      acc => acc.getField("toks"))
-  }
+      df: DataFrame, w: Column, lpEntries: Seq[(String, Long)],
+      maxTokenLen: Int, lpUnk: Long): Column =
+    GraftFunctions.unigramSegment(df, w,
+      lpEntries.map(_._1), lpEntries.map(_._2), maxTokenLen, lpUnk)
 
   /** Train a unigram-LM vocabulary with deterministic hard
     * (Viterbi) EM — bit-reproducible like [[bpeMerges]], every choice
@@ -2504,7 +2472,7 @@ object Corpus {
         val lpEntries = kept.map { case (t, c) => (t, unigramLp12(c, total)) }
         val cnts = words
           .select(col("freq"),
-            explode(unigramViterbi(col("w"), lpEntries, maxTokenLen,
+            explode(unigramViterbi(words, col("w"), lpEntries, maxTokenLen,
               lpUnk)).as("token"))
           .groupBy("token").agg(sum(col("freq")).as("cnt"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -2611,6 +2579,6 @@ object Corpus {
     df.withColumn(outCol,
       flatten(transform(
         filter(TextFunctions.tokens(col(textCol)), w => length(w) > 0),
-        w => unigramViterbi(w, lpEntries, model.maxTokenLen, lpUnk))))
+        w => unigramViterbi(df, w, lpEntries, model.maxTokenLen, lpUnk))))
   }
 }
