@@ -227,6 +227,37 @@ object Classify {
     } finally Blocks.release(base)
   }
 
+  /** Persist a trained [[LogisticModel]] — one (idx, beta) row per
+    * coefficient, intercept at idx 0 (the [[Ivf.save]] artifact
+    * discipline: stamped, driver-bounded, doubles bit-exact in
+    * parquet), so the gate trains once and every ingestion job loads
+    * it. */
+  def saveLogistic(
+      spark: SparkSession, model: LogisticModel, path: String): Unit = {
+    import spark.implicits._
+    ArtifactFormat.stamp(
+        model.beta.zipWithIndex.map { case (b, i) => (i, b) }
+          .toDF("idx", "beta"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveLogistic]]d model, loudly validated: indices must be
+    * exactly 0..k (the intercept-first alignment every scoring call
+    * keys on) — a corrupted artifact fails here, not as silently
+    * misaligned coefficients. Bit-identical roundtrip, spec-pinned. */
+  def loadLogistic(spark: SparkSession, path: String): LogisticModel = {
+    val rows = ArtifactFormat.checked(
+        spark.read.parquet(path), "logistic model", path)
+      .select(col("idx").cast("int"), col("beta").cast("double"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"logistic model at $path is empty")
+    val idxs = rows.map(_.getInt(0)).toSeq
+    require(idxs == (0 until rows.length),
+      s"logistic model at $path is corrupted: indices " +
+        s"${idxs.take(20).mkString(",")} are not contiguous 0..k")
+    LogisticModel(rows.map(_.getDouble(1)).toVector)
+  }
+
   /** Score rows under a trained [[LogisticModel]]: `log_odds` =
     * βᵀ(1, x) as a map-only in-plan expression, `predicted` =
     * log_odds > 0. NULL features read NULL log_odds (no silent

@@ -270,8 +270,14 @@ object StreamGate {
       df.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
           // blocking: supersession is deterministic — the prior frame
-          // is invalid the moment this replay returns, not "eventually"
-          lr.rdd.unpersist(blocking = true)
+          // is invalid the moment this replay returns, not "eventually".
+          // A prior replay whose CONTEXT has since been stopped (the
+          // bench's fresh-session mode rebuilds the session between
+          // queries) has nothing left to release — its blocks died
+          // with the context, and unpersisting through the dead
+          // BlockManagerMaster would NPE and fail the NEXT query.
+          if (!lr.rdd.sparkContext.isStopped)
+            lr.rdd.unpersist(blocking = true)
         case _ => ()
       }
     }

@@ -231,6 +231,30 @@ class ClassifySpec extends AnyFunSuite {
     }.getMessage.contains("singular Hessian"))
   }
 
+  test("logistic model: save/load roundtrip is bit-identical, corruption loud") {
+    val df = table("x double, y boolean", Seq(
+      row(1.0, true), row(-1.0, false), row(2.0, true), row(-2.0, false)))
+    val model = Classify.trainLogistic(df, Seq("x"), "y", iters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("logistic_model").toString + "/m"
+    Classify.saveLogistic(df.sparkSession, model, dir)
+    val loaded = Classify.loadLogistic(df.sparkSession, dir)
+    assert(loaded.beta == model.beta)
+    // a gap in the index space fails loudly
+    val broken = java.nio.file.Files
+      .createTempDirectory("logistic_broken").toString + "/m"
+    Classify.saveLogistic(df.sparkSession,
+      Classify.LogisticModel(Vector(1.0, 2.0, 3.0)), broken)
+    val spark = df.sparkSession
+    graft.operators.ArtifactFormat.stamp(
+        spark.range(1).select(lit(0).as("idx"), lit(1.0).as("beta"))
+          .union(spark.range(1).select(lit(2).as("idx"), lit(3.0).as("beta"))))
+      .coalesce(1).write.mode("overwrite").parquet(broken)
+    assert(intercept[IllegalArgumentException] {
+      Classify.loadLogistic(spark, broken)
+    }.getMessage.contains("not contiguous"))
+  }
+
   test("trainLogistic agrees with NB orientation on a separable fixture") {
     // long docs are positive, short docs negative — both the token
     // gate (NB over words) and the linear gate (over token count)

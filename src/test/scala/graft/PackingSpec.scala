@@ -29,6 +29,29 @@ class PackingSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0L), (2L, 5L), (3L, 12L), (4L, 22L)))
   }
 
+  test("withRunningTotals: one pass equals k sequential single-column prefixes") {
+    val df = table("k bigint, a int, b int, c int",
+      (1L to 200L).map(i => row(i, i.toInt, (i % 7).toInt, (3 * i % 11).toInt)))
+      .repartition(7)
+    val multi = General.withRunningTotals(df, Seq("k"),
+        Seq("a", "b", "c"), Seq("pa", "pb", "pc"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val single = Seq("a", "b", "c").map { c =>
+      General.withRunningTotal(df, Seq("k"), c, "p")
+        .orderBy("k").collect()
+        .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    }
+    multi.foreach { case (k, pa, pb, pc) =>
+      assert(pa == single(0)(k) && pb == single(1)(k) && pc == single(2)(k),
+        s"k=$k")
+    }
+    // arity mismatch is loud
+    intercept[IllegalArgumentException] {
+      General.withRunningTotals(df, Seq("k"), Seq("a", "b"), Seq("pa"))
+    }
+  }
+
   test("withPrevValue: lag in sort order across many partitions, empty-safe") {
     val df = table("k bigint, v double",
       (1L to 100L).map(i => row(i, i.toDouble * 0.5)))
