@@ -7022,6 +7022,31 @@ object SparkEntry {
       Tables.events(s, dir), "value", "event_id",
       ps = Seq(0.25, 0.5, 0.9), k = 1024)
 
+  // ---------------------------------------------------------------- q380
+  /** Unigram token-id streams (the q107 analogue for the unigram
+    * family — BPE and unigram now both close the loop train → encode
+    * → ids): every document Viterbi-encoded under q373's model, ids
+    * from the (freq desc, token) ranking over the encoded stream
+    * ([[graft.operators.Corpus.vocabularyFromFrequencies]]'s rule),
+    * positions per document. The oracle replays the trained lattice,
+    * each word's segmentation, per-doc positions by (word order,
+    * subword order), and the id ranking. */
+  private def q380UnigramIds(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val docs = Tables.documents(s, dir)
+    val model = Corpus.unigramTrainModel(docs, "text", vocabSize = 40,
+      maxTokenLen = 4, seedSize = 256, iters = 2, maxWordLen = 16)
+    val enc = Corpus.unigramEncode(docs, "text", model, maxWordLen = 16)
+    val vocab = Corpus.vocabularyFromFrequencies(
+      enc.select(explode(col("unigram_tokens")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq")))
+    enc.select(col("doc_id"),
+        posexplode(col("unigram_tokens")).as(Seq("pos", "token")))
+      .join(vocab.select("token", "token_id"), Seq("token"))
+      .select(col("doc_id"), col("pos"), col("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
   // ---------------------------------------------------------------- q349
   /** Deterministic messy-URL corpus shared by q349/q350: one absolute
     * URL per document, with scheme/host casing, userinfo, default and
@@ -7470,6 +7495,7 @@ object SparkEntry {
     "q377_logistic_gate" -> (q377LogisticGate _),
     "q378_sketch_quantiles" -> (q378SketchQuantiles _),
     "q379_stream_sketch_quantiles" -> (q379StreamSketchQuantiles _),
+    "q380_unigram_ids" -> (q380UnigramIds _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -11077,6 +11103,7 @@ object SparkEntry {
     "q103_bpe_merges" -> bpeOracle,
     "q373_unigram_train" -> unigramTrainOracle,
     "q374_unigram_encode" -> unigramEncodeOracle,
+    "q380_unigram_ids" -> unigramIdsOracle,
     "q377_logistic_gate" -> logisticGateOracle,
     "q378_sketch_quantiles" -> sketchQuantilesOracle,
     // min-k sketch folds are split-invariant: the monitor's final
@@ -16273,6 +16300,42 @@ object SparkEntry {
     s"""WITH RECURSIVE ${unigramCte(2, forEncode = true)}
       |SELECT token, cnt AS freq FROM cnte
       |ORDER BY freq DESC, token LIMIT 50""".stripMargin
+
+  /** q380: the encode lattice + per-document reconstruction (the
+    * bpeIdsOracle shape) — each doc's words in order, each word's
+    * Viterbi segmentation, positions by (word order, subword order),
+    * ids from the (freq DESC, token) ranking over the encoded
+    * stream. */
+  private val unigramIdsOracle: String =
+    s"""WITH RECURSIVE ${unigramCte(2, forEncode = true)},
+      |docw AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(toks)), i ->
+      |    {'wo': i, 'w': toks[CAST(i + 1 AS INT)]})) AS u
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+      |        FROM documents)
+      |), dw AS (
+      |  SELECT doc_id, u.wo AS word_ord, u.w AS w FROM docw
+      |  WHERE length(u.w) > 0
+      |), segt AS (
+      |  SELECT w, toks FROM walke WHERE pos = 0
+      |), subt AS (
+      |  SELECT doc_id, word_ord,
+      |    unnest(list_transform(range(len(s.toks)), j ->
+      |      {'so': j, 'tok': s.toks[CAST(j + 1 AS INT)]})) AS v
+      |  FROM dw JOIN segt s ON dw.w = s.w
+      |), post AS (
+      |  SELECT doc_id, v.tok AS token,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY word_ord, v.so) - 1 AS pos
+      |  FROM subt
+      |), vocab AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1
+      |    AS token_id, token
+      |  FROM cnte
+      |)
+      |SELECT p.doc_id, CAST(p.pos AS INT) AS pos, v.token_id
+      |FROM post p JOIN vocab v USING (token)
+      |ORDER BY doc_id, pos""".stripMargin
 
   /** q377: the exact-decimal adjugate replayed SYMBOLICALLY — the SQL
     * is generated by the SAME first-row minor-expansion recursion as
