@@ -7022,6 +7022,27 @@ object SparkEntry {
       Tables.events(s, dir), "value", "event_id",
       ps = Seq(0.25, 0.5, 0.9), k = 1024)
 
+  // ---------------------------------------------------------------- q381
+  /** Unigram-aware sequence packing (the q108 analogue — the unigram
+    * family's end product): every document Viterbi-encoded and
+    * SUBWORD-counted under q373's model, the corpus packed into
+    * 256-subword training sequences via the distributed prefix sum
+    * ([[graft.operators.Corpus.packSequencesByCount]]). The oracle
+    * recomputes per-doc subword counts from the trained lattice and
+    * replays the running window — every offset and sequence
+    * assignment integer-exact. */
+  private def q381PackUnigram(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val model = Corpus.unigramTrainModel(docs, "text", vocabSize = 40,
+      maxTokenLen = 4, seedSize = 256, iters = 2, maxWordLen = 16)
+    val counted = Corpus.unigramEncode(docs, "text", model, maxWordLen = 16)
+      .select(col("doc_id"), size(col("unigram_tokens")).as("n_subwords"))
+    Corpus.packSequencesByCount(counted, "doc_id", "n_subwords",
+        seqLen = 256L)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q380
   /** Unigram token-id streams (the q107 analogue for the unigram
     * family — BPE and unigram now both close the loop train → encode
@@ -7496,6 +7517,7 @@ object SparkEntry {
     "q378_sketch_quantiles" -> (q378SketchQuantiles _),
     "q379_stream_sketch_quantiles" -> (q379StreamSketchQuantiles _),
     "q380_unigram_ids" -> (q380UnigramIds _),
+    "q381_pack_unigram" -> (q381PackUnigram _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -11104,6 +11126,7 @@ object SparkEntry {
     "q373_unigram_train" -> unigramTrainOracle,
     "q374_unigram_encode" -> unigramEncodeOracle,
     "q380_unigram_ids" -> unigramIdsOracle,
+    "q381_pack_unigram" -> unigramPackOracle,
     "q377_logistic_gate" -> logisticGateOracle,
     "q378_sketch_quantiles" -> sketchQuantilesOracle,
     // min-k sketch folds are split-invariant: the monitor's final
@@ -16336,6 +16359,37 @@ object SparkEntry {
       |SELECT p.doc_id, CAST(p.pos AS INT) AS pos, v.token_id
       |FROM post p JOIN vocab v USING (token)
       |ORDER BY doc_id, pos""".stripMargin
+
+  /** q381: per-doc subword counts from the trained lattice (the
+    * bpePackOracle shape), then the 256-subword running window. */
+  private val unigramPackOracle: String =
+    s"""WITH RECURSIVE ${unigramCte(2, forEncode = true)},
+      |docw AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(toks)), i ->
+      |    {'wo': i, 'w': toks[CAST(i + 1 AS INT)]})) AS u
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+      |        FROM documents WHERE text IS NOT NULL)
+      |), dw AS (
+      |  SELECT doc_id, u.w AS w FROM docw WHERE length(u.w) > 0
+      |), segt AS (
+      |  SELECT w, toks FROM walke WHERE pos = 0
+      |), cntd AS (
+      |  SELECT dw.doc_id, CAST(SUM(len(s.toks)) AS BIGINT) AS n_subwords
+      |  FROM dw JOIN segt s ON dw.w = s.w
+      |  GROUP BY dw.doc_id
+      |), base AS (
+      |  SELECT d.doc_id, COALESCE(c.n_subwords, 0) AS n_subwords
+      |  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+      |  LEFT JOIN cntd c USING (doc_id)
+      |)
+      |SELECT doc_id, n_subwords,
+      |  CAST(COALESCE(SUM(n_subwords) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS start_offset,
+      |  CAST(FLOOR(COALESCE(SUM(n_subwords) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+      |    AS BIGINT) AS seq_id
+      |FROM base ORDER BY doc_id""".stripMargin
 
   /** q377: the exact-decimal adjugate replayed SYMBOLICALLY — the SQL
     * is generated by the SAME first-row minor-expansion recursion as
