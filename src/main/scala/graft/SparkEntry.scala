@@ -16391,13 +16391,16 @@ object SparkEntry {
       |    AS BIGINT) AS seq_id
       |FROM base ORDER BY doc_id""".stripMargin
 
-  /** q377: the exact-decimal adjugate replayed SYMBOLICALLY — the SQL
-    * is generated by the SAME first-row minor-expansion recursion as
-    * [[graft.operators.Classify.trainLogistic]]'s detX, so every
-    * 12dp-rounded product appears in the oracle in the identical
-    * order. Inner results (re-multiplied) ride DECIMAL(18,12); the
-    * top level (never re-multiplied) widens to DECIMAL(30,12) — the
-    * sf0.01 magnitude envelope, documented, driver side is unbounded
+  /** q377: the exact-decimal adjugate replayed SYMBOLICALLY — the
+    * top-level determinant SQL is generated by
+    * [[graft.functions.ExactLinAlg.det12Sql]], the symbolic twin of
+    * the driver's fraction-free Bareiss recurrence (identical pivot
+    * order, 12dp products, double-division rounding); the 2×2
+    * cofactors keep this literal minor-expansion generator, whose
+    * size-≤2 values `ExactLinAlg.cofactor12` reproduces exactly.
+    * Inner results (re-multiplied) ride DECIMAL(18,12); the top level
+    * (never re-multiplied) widens to DECIMAL(30,12) — the sf0.01
+    * magnitude envelope, documented, driver side is unbounded
     * BigDecimal. */
   private def logisticMul12Sql(a: String, b: String, wide: Boolean): String = {
     val out = if (wide) "DECIMAL(30,12)" else "DECIMAL(18,12)"
@@ -16457,7 +16460,12 @@ object SparkEntry {
         |      AS DECIMAL(38,12))) AS h_2_2
         |  FROM mu$i
         |)""".stripMargin
-      val det = logisticDetSql(h, wide = true)
+      // top-level det replays the driver's fraction-free Bareiss
+      // recurrence (ExactLinAlg.det12 / det12Sql — same fixed pivot
+      // order, same 12dp products, same double-division rounding);
+      // the 2×2 cofactors below keep the literal minor form, which
+      // ExactLinAlg.cofactor12 reproduces value-for-value at size 2
+      val det = graft.functions.ExactLinAlg.det12Sql(h, wide = true)
       val nums = (0 until m).map { j =>
         (0 until m).map { gi =>
           val minor = Vector.tabulate(m - 1, m - 1)((r, c) =>

@@ -132,16 +132,21 @@ object Classify {
     *    decimal term sums in ONE map-side-combined aggregation —
     *    k(k+3)/2 + k+1 scalars reach the driver, never rows;
     *  - the (k+1)×(k+1) Newton step solves through the EXACT-decimal
-    *    adjugate (first-row minor expansion, every product rounded at
-    *    12dp — the [[Events.logRankTestK]] fixed-point discipline, no
-    *    float elimination order), one double division per component,
-    *    β ← round12(β + δ);
+    *    adjugate ([[graft.functions.ExactLinAlg]]: fraction-free
+    *    Bareiss determinants in a fixed pivot order, every product
+    *    rounded at 12dp — the [[Events.logRankTestK]] fixed-point
+    *    discipline, no float elimination order, O(k³) per determinant
+    *    rather than the factorial minor expansion), one double
+    *    division per component, β ← round12(β + δ);
     *  - iteration count is FIXED (`iters`), so the model is a pure
     *    function of the data — no convergence-test float compare.
     *
-    * Features are k-bounded LOUDLY (`maxFeatures` ≤ 6: the adjugate
-    * solve is factorial in k — a wide feature set belongs in a
-    * different trainer). NULL features/labels are excluded; both
+    * Features are k-bounded LOUDLY (`maxFeatures` defaults to 6 and
+    * is itself hard-capped at 16 — the per-iteration aggregation is
+    * k(k+3)/2 columns and the driver solve O(k⁵) fixed-point ops, so
+    * the whole allowed range completes in well under a second, but a
+    * genuinely wide feature set belongs in a different trainer).
+    * NULL features/labels are excluded; both
     * classes required; a non-positive-determinant Hessian (perfectly
     * separated or degenerate data driven too far) fails loudly rather
     * than emitting garbage coefficients. */
@@ -151,9 +156,14 @@ object Classify {
       labelCol: String,
       iters: Int = 3,
       maxFeatures: Int = 6): LogisticModel = {
+    require(maxFeatures >= 1 && maxFeatures <= 16,
+      s"trainLogistic: maxFeatures ($maxFeatures) must be in [1, 16] — " +
+        "the Newton step aggregates k(k+3)/2 decimal sums per " +
+        "iteration and solves a (k+1)×(k+1) system on the driver; a " +
+        "wider feature set belongs in a different trainer")
     require(featureCols.nonEmpty && featureCols.size <= maxFeatures,
       s"trainLogistic: ${featureCols.size} features outside " +
-        s"[1, $maxFeatures] (the exact adjugate solve is factorial in k)")
+        s"[1, $maxFeatures]")
     require(featureCols.distinct.size == featureCols.size,
       "trainLogistic: duplicate feature columns")
     require(iters >= 1 && iters <= 16,
@@ -176,16 +186,7 @@ object Classify {
       def dterm(c: Column) = round(c, 12).cast("decimal(38,12)")
       def dz = lit(0).cast("decimal(38,12)")
       import java.math.{BigDecimal => JBD, RoundingMode}
-      def mul12(a: JBD, b: JBD): JBD =
-        a.multiply(b).setScale(12, RoundingMode.HALF_UP)
-      def detX(mx: Vector[Vector[JBD]]): JBD =
-        if (mx.isEmpty) JBD.ONE
-        else if (mx.size == 1) mx(0)(0)
-        else mx(0).indices.foldLeft(JBD.ZERO) { (acc, c) =>
-          val minor = mx.tail.map(r => r.patch(c, Nil, 1))
-          val term = mul12(mx(0)(c), detX(minor))
-          if (c % 2 == 0) acc.add(term) else acc.subtract(term)
-        }
+      import graft.functions.ExactLinAlg.{mul12, det12, cofactor12}
       var beta = Vector.fill(m)(0.0)
       var iter = 0
       while (iter < iters) {
@@ -204,22 +205,16 @@ object Classify {
         val g = Vector.tabulate(m)(j => dec(s"g_$j"))
         val h = Vector.tabulate(m, m)((a, b) =>
           if (a <= b) dec(s"h_${a}_$b") else dec(s"h_${b}_$a"))
-        val det = detX(h)
-        require(det.signum > 0,
+        val det = det12(h).filter(_.signum > 0)
+        require(det.isDefined,
           s"trainLogistic: singular Hessian at iteration ${iter + 1} — " +
             "perfectly separated or degenerate data; fewer iterations " +
             "or better-conditioned features")
         beta = Vector.tabulate(m) { j =>
           var num = JBD.ZERO
-          for (i <- 0 until m) {
-            val minor = Vector.tabulate(m - 1, m - 1) { (r, c) =>
-              h(if (r < i) r else r + 1)(if (c < j) c else c + 1)
-            }
-            val cof =
-              if ((i + j) % 2 == 0) detX(minor) else detX(minor).negate()
-            num = num.add(mul12(g(i), cof))
-          }
-          r12d(beta(j) + num.doubleValue / det.doubleValue)
+          for (i <- 0 until m)
+            num = num.add(mul12(g(i), cofactor12(h, i, j)))
+          r12d(beta(j) + num.doubleValue / det.get.doubleValue)
         }
         iter += 1
       }

@@ -718,13 +718,17 @@ object Events {
     * O−E and V contributions (the standard stratified test). The
     * readout is `χ² = vᵀ V₋ᵀ⁻¹ v` over the first k−1 groups, with the
     * inverse applied through the EXACT-decimal adjugate: determinant
-    * and cofactors via first-row minor expansion with every product
-    * rounded at 12dp (a FIXED fixed-point algorithm, so both engines
-    * replay it bit-for-bit — no float elimination order to disagree
-    * on), one final double division, χ² over k−1 df. A singular (or
-    * non-positive-determinant) covariance reads NULL χ² — no
-    * information, never a blow-up; `maxGroups` (default 9) bounds the
-    * driver-side solve loudly.
+    * and cofactors via [[graft.functions.ExactLinAlg]]'s fraction-free
+    * Bareiss elimination in a FIXED pivot order, every product rounded
+    * at 12dp (a fixed-point algorithm both engines replay bit-for-bit
+    * — no float elimination order to disagree on), one final double
+    * division, χ² over k−1 df. Bareiss keeps the solve O(m³) per
+    * determinant (O(m⁵) with the cofactor loop) — the full
+    * `maxGroups = 16` range completes in well under a second, where
+    * the previous minor-expansion recursion was O(m!) and would hang
+    * the driver past m ≈ 10. A singular (or non-positive-determinant)
+    * covariance reads NULL χ² — no information, never a blow-up;
+    * `maxGroups` (default 9) bounds the driver-side solve loudly.
     *
     * Scale shape: subjects collapse onto the pooled (stratum,
     * duration) grid with k per-group conditional count columns in ONE
@@ -841,32 +845,19 @@ object Events {
       if (a <= b) dec(s"v_${a}_$b") else dec(s"v_${b}_$a"))
     val oe = (0 until k).map(i =>
       new JBD(o(i)).setScale(12).subtract(e(i)))
-    def mul12(a: JBD, b: JBD): JBD =
-      a.multiply(b).setScale(12, RoundingMode.HALF_UP)
-    // exact-decimal determinant: first-row minor expansion, every
-    // product rounded at 12dp — a FIXED fixed-point recurrence both
-    // engines can replay digit-for-digit
-    def detX(mx: Vector[Vector[JBD]]): JBD =
-      if (mx.isEmpty) JBD.ONE
-      else if (mx.size == 1) mx(0)(0)
-      else mx(0).indices.foldLeft(JBD.ZERO) { (acc, c) =>
-        val minor = mx.tail.map(r => r.patch(c, Nil, 1))
-        val term = mul12(mx(0)(c), detX(minor))
-        if (c % 2 == 0) acc.add(term) else acc.subtract(term)
-      }
-    val det = detX(vm)
+    // exact-decimal determinant/adjugate through the shared
+    // fraction-free Bareiss recurrence (ExactLinAlg) — O(m³) per
+    // determinant with a fixed elimination order both engines can
+    // replay digit-for-digit; sizes ≤ 2 are the literal
+    // mul12(a,d) − mul12(b,c) minor values, so every k ≤ 3 readout is
+    // bit-identical to the pre-Bareiss (round-18) values
+    import graft.functions.ExactLinAlg.{mul12, det12, cofactor12}
     val chi2: Option[Double] =
-      if (det.signum <= 0) None
-      else {
+      det12(vm).filter(_.signum > 0).flatMap { det =>
         var num = JBD.ZERO
-        for (a <- 0 until m; b <- 0 until m) {
-          val minor = Vector.tabulate(m - 1, m - 1) { (r, c) =>
-            vm(if (r < a) r else r + 1)(if (c < b) c else c + 1)
-          }
-          val cof =
-            if ((a + b) % 2 == 0) detX(minor) else detX(minor).negate()
-          num = num.add(mul12(mul12(oe(a), oe(b)), cof))
-        }
+        for (a <- 0 until m; b <- 0 until m)
+          num = num.add(
+            mul12(mul12(oe(a), oe(b)), cofactor12(vm, a, b)))
         val q = num.doubleValue / det.doubleValue
         if (q.isNaN || q.isInfinite) None
         else Some(BigDecimal(q)
