@@ -7803,7 +7803,8 @@ object SparkEntry {
   private val sketchQuantilesOracle: String = {
     val h = hash32Sql("'qsk:' || CAST(event_id AS VARCHAR)")
     s"""WITH s AS MATERIALIZED (
-      |  SELECT $h AS h, event_id AS id, CAST(value AS DOUBLE) AS v
+      |  SELECT $h AS h, CAST(event_id AS VARCHAR) AS id,
+      |    CAST(value AS DOUBLE) AS v
       |  FROM events WHERE value IS NOT NULL
       |), samp AS MATERIALIZED (
       |  SELECT v FROM s ORDER BY h, id LIMIT 1024
@@ -8644,8 +8645,9 @@ object SparkEntry {
        |), comp AS (
        |  SELECT doc_id, sch,
        |    lower(regexp_extract(auth, '$hostRe', 1)) AS host,
-       |    CASE WHEN length(regexp_extract(auth, '$portRe', 1))
-       |      BETWEEN 1 AND 9
+       |    CASE WHEN regexp_extract(auth, '$portRe', 1) <> ''
+       |      AND length(regexp_replace(
+       |        regexp_extract(auth, '$portRe', 1), '^0+', '')) <= 9
        |      THEN CAST(regexp_extract(auth, '$portRe', 1) AS BIGINT)
        |      END AS portn,
        |    CASE WHEN regexp_replace(p0, '/+$$', '') = '' THEN '/'

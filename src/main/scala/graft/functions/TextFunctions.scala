@@ -274,4 +274,28 @@ object TextFunctions {
     }
     counts
   }
+
+  /** Spark/DuckDB string order: unsigned byte-wise UTF-8 comparison —
+    * the HOUSE order for any driver-side sort that an engine replays.
+    * JVM `String.compareTo` is UTF-16 code-unit order, which disagrees
+    * beyond the BMP (supplementary-plane characters sort before
+    * U+E000..U+FFFF in UTF-16 code units but after in UTF-8 bytes), so
+    * a driver tier sorting with the default `String` ordering could
+    * hash-mismatch an engine-ordered oracle on exotic keys. */
+  def utf8Compare(x: String, y: String): Int = {
+    val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(xb.length, yb.length)
+    while (i < n) {
+      val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    xb.length - yb.length
+  }
+
+  /** [[utf8Compare]] as an `Ordering[String]` for `sortBy`/`sorted`. */
+  val Utf8Ordering: Ordering[String] =
+    (x: String, y: String) => utf8Compare(x, y)
 }

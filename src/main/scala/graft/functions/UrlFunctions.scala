@@ -97,12 +97,15 @@ object UrlFunctions {
     val host = lower(regexp_extract(auth, HostRe, 1))
     val portS = regexp_extract(auth, PortRe, 1)
     // lazy CaseWhen guards the ANSI-fatal cast of '' to a number;
-    // the <= 9-digit bound keeps an adversarial digit run (crawl data:
-    // `http://a.com:9999999999999999999/x`) from overflowing the cast —
+    // the <= 9-digit bound — applied AFTER stripping leading zeros, so
+    // a zero-padded valid port (`:0000000080`) still normalizes —
+    // keeps an adversarial digit run (crawl data:
+    // `http://a.com:9999999999999999999/x`) from overflowing the cast:
     // such a "port" is not a port, so it is dropped, and the oracle
-    // mirrors the same length rule (never TRY_CAST, which would differ
-    // at 10-18 digits)
-    val portN = when(portS =!= "" && length(portS) <= 9, portS.cast("long"))
+    // mirrors the same strip+length rule (never TRY_CAST, which would
+    // differ at 10-18 significant digits)
+    val portN = when(portS =!= "" &&
+      length(regexp_replace(portS, "^0+", "")) <= 9, portS.cast("long"))
     val isDefault = (scheme === "http" && portN === 80L) ||
       (scheme === "https" && portN === 443L)
     val hostPort = concat(host,

@@ -1965,22 +1965,12 @@ object Corpus {
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq"), passes)
   }
 
-  /** Spark/DuckDB string order: unsigned byte-wise UTF-8 comparison.
-    * JVM `String.compareTo` is UTF-16 code-unit order, which disagrees
-    * beyond the BMP — the driver tier must tie-break exactly like the
-    * engines replaying the recurrence. */
-  private def utf8Compare(x: String, y: String): Int = {
-    val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(xb.length, yb.length)
-    while (i < n) {
-      val c = (xb(i) & 0xff) - (yb(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    xb.length - yb.length
-  }
+  /** Spark/DuckDB string order: unsigned byte-wise UTF-8 comparison
+    * (the shared [[graft.functions.TextFunctions.utf8Compare]]) —
+    * the driver tier must tie-break exactly like the engines
+    * replaying the recurrence. */
+  private def utf8Compare(x: String, y: String): Int =
+    graft.functions.TextFunctions.utf8Compare(x, y)
 
   /** (cnt desc, lhs, rhs) with UTF-8 byte string order — the merge
     * argmax's total order, shared by both tiers. */

@@ -357,7 +357,7 @@ object Experiment {
         col("n").cast("long"), col("n_pass").cast("long"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
+      .sortBy(_._1)(graft.functions.TextFunctions.Utf8Ordering)
     val ctl = rows.filter(_._1 == controlArm)
     require(ctl.length == 1,
       s"sequentialAb: control arm '$controlArm' matched ${ctl.length} rows")

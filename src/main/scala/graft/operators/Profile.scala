@@ -1025,8 +1025,15 @@ object Profile {
     * keeps its own k-bounded heap, the driver merges heaps; the
     * shuffle carries k rows per partition, never data. NULL ids are
     * rejected loudly ([[graft.operators.Experiment.stratifiedSample]]'s
-    * rule: no identity, no stable membership); NULL values are
-    * excluded (no position on the value line). */
+    * rule: no identity, no stable membership), and so are DUPLICATE
+    * ids — (hash, id) is the row's whole identity, so a duplicated id
+    * would make the retained VALUE an arbitrary pick and break the
+    * fold==batch idempotence proof; the probe is one payload-free
+    * id-count aggregation that short-circuits at the first duplicate.
+    * The id rides the state AS A STRING — the exact form that was
+    * hashed — so non-numeric ids work unchanged and tie order among
+    * hash collisions is the hashed byte order on both engines. NULL
+    * values are excluded (no position on the value line). */
   def sketchStateOf(
       df: DataFrame, valueCol: String, idCol: String,
       k: Int = 1024, salt: String = "qsk"): DataFrame = {
@@ -1037,11 +1044,17 @@ object Profile {
     val nullIds = base.filter(col(idCol).isNull).limit(1).count()
     require(nullIds == 0L,
       s"quantile sketch: NULL $idCol rows have no stable membership")
+    val dupIds = base.groupBy(col(idCol)).count()
+      .filter(col("count") > 1L).limit(1).count()
+    require(dupIds == 0L,
+      s"quantile sketch: duplicate $idCol values — (hash, id) is the " +
+        "row identity, so duplicates would make the retained value " +
+        "an arbitrary pick; deduplicate or choose a unique id column")
     base.select(
         graft.functions.TextFunctions.portableTokenHash32(
           concat(lit(salt), lit(":"), col(idCol).cast("string")))
           .as("__qh"),
-        col(idCol).cast("long").as("__qid"),
+        col(idCol).cast("string").as("__qid"),
         col(valueCol).cast("double").as("__qv"))
       .orderBy("__qh", "__qid").limit(k)
   }

@@ -1953,7 +1953,14 @@ object StreamGate {
       filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
     val spark = outcomes.sparkSession
     val src = tempDir("graft_ab_src")
-    outcomes.select(col(armCol).as("arm"), col(flagCol).as("flag"))
+    // mirror the batch operator's input contract: NULL arms/flags are
+    // excluded there, and the replay's fixed read schema is
+    // (string, boolean) — cast explicitly so a typed arm column
+    // cannot silently break stream==batch parity
+    outcomes
+      .filter(col(armCol).isNotNull && col(flagCol).isNotNull)
+      .select(col(armCol).cast("string").as("arm"),
+        col(flagCol).cast("boolean").as("flag"))
       .coalesce(8).write.mode("overwrite").parquet(src)
     val stateRoot = tempDir("graft_ab_state")
     val ck = tempDir("graft_ab_ck")
@@ -2034,7 +2041,14 @@ object StreamGate {
       filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
     val spark = outcomes.sparkSession
     val src = tempDir("graft_seqab_src")
-    outcomes.select(col(armCol).as("arm"), col(flagCol).as("flag"))
+    // the batch sequentialAbReport filters NULL arms/flags before
+    // counting — mirror it here (a NULL arm would reach
+    // sequentialAbFromCounts and break the stream==batch parity) and
+    // cast to the replay's fixed (string, boolean) read schema
+    outcomes
+      .filter(col(armCol).isNotNull && col(flagCol).isNotNull)
+      .select(col(armCol).cast("string").as("arm"),
+        col(flagCol).cast("boolean").as("flag"))
       .coalesce(8).write.mode("overwrite").parquet(src)
     val stateRoot = tempDir("graft_seqab_state")
     val ck = tempDir("graft_seqab_ck")

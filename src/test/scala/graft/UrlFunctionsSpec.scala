@@ -48,7 +48,11 @@ class UrlFunctionsSpec extends AnyFunSuite {
       "https://example.com:80/a" -> "https://example.com:80/a",
       "http://example.com:8080/a" -> "http://example.com:8080/a",
       "http://example.com:0080/a" -> "http://example.com/a",
-      "http://example.com:008080/a" -> "http://example.com:8080/a")
+      "http://example.com:008080/a" -> "http://example.com:8080/a",
+      // zero-PADDED but numerically valid: the 9-digit bound applies
+      // to significant digits, not raw length
+      "http://example.com:0000000080/a" -> "http://example.com/a",
+      "http://example.com:000000008080/a" -> "http://example.com:8080/a")
   }
 
   test("urlNormalize: adversarial over-long port digit run never crashes") {
