@@ -7043,6 +7043,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q382
+  /** PER-GROUP mergeable quantile sketch ([[graft.operators.Profile
+    * .sketchQuantilesByGroup]]): the q378 bottom-k-by-portable-hash
+    * sample keyed by event type — each group's own ≤ k sample via the
+    * bounded-heap aggregator (map-side partial, O(k × partitions)
+    * shuffle rows per group however skewed), each group's estimates
+    * gated against ITS OWN exact ranks and DKW envelope in the
+    * readout. The oracle replays the hash, each group's bottom-k, the
+    * order-statistic picks, and both rank counts per group. */
+  private def q382GroupSketchQuantiles(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.sketchQuantilesByGroup(
+      Tables.events(s, dir), "event_type", "value", "event_id",
+      ps = Seq(0.5, 0.9), k = 256)
+
+  // ---------------------------------------------------------------- q383
+  /** Streaming per-group sketch monitor ([[graft.streaming.StreamGate
+    * .replayGroupSketchQuantileMonitor]]): q382's state maintained
+    * over a file stream, micro-batch samples folding by keyed min-k —
+    * associative, commutative, idempotent per group — so the final
+    * state provably equals the batch state whatever the split. Held
+    * to q382's VERBATIM oracle. */
+  private def q383StreamGroupSketchQuantiles(
+      s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.replayGroupSketchQuantileMonitor(
+      Tables.events(s, dir), "event_type", "value", "event_id",
+      ps = Seq(0.5, 0.9), k = 256)
+
   // ---------------------------------------------------------------- q380
   /** Unigram token-id streams (the q107 analogue for the unigram
     * family — BPE and unigram now both close the loop train → encode
@@ -7518,6 +7546,9 @@ object SparkEntry {
     "q379_stream_sketch_quantiles" -> (q379StreamSketchQuantiles _),
     "q380_unigram_ids" -> (q380UnigramIds _),
     "q381_pack_unigram" -> (q381PackUnigram _),
+    "q382_group_sketch_quantiles" -> (q382GroupSketchQuantiles _),
+    "q383_stream_group_sketch_quantiles" ->
+      (q383StreamGroupSketchQuantiles _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7800,6 +7831,51 @@ object SparkEntry {
     * the order-statistic pick, and both exact rank counts; shared
     * verbatim by q379 (min-k folds are split-invariant, so the
     * monitor's final state IS the batch sketch). */
+  /** q382's oracle — the q378 replay PER GROUP: hash, each group's
+    * bottom-k by (hash, id), the order-statistic pick at
+    * `LEAST(m, GREATEST(1, CEIL(p·m)))`, both exact rank counts, and
+    * the per-group DKW gate; shared verbatim by q383 (keyed min-k
+    * folds are split-invariant, so the monitor's final state IS the
+    * batch state). */
+  private val groupSketchQuantilesOracle: String = {
+    val h = hash32Sql("'qsk:' || CAST(event_id AS VARCHAR)")
+    s"""WITH s AS MATERIALIZED (
+      |  SELECT CAST(event_type AS VARCHAR) AS g, $h AS h,
+      |    CAST(event_id AS VARCHAR) AS id, CAST(value AS DOUBLE) AS v
+      |  FROM events WHERE value IS NOT NULL
+      |), samp AS MATERIALIZED (
+      |  SELECT g, v FROM (
+      |    SELECT g, v,
+      |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, id) AS rk
+      |    FROM s) WHERE rk <= 256
+      |), mm AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM samp GROUP BY g),
+      |nn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY g),
+      |ord AS (
+      |  SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS r
+      |  FROM samp
+      |), ps(p) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE))),
+      |est AS (
+      |  SELECT mm.g, p, mm.m, (SELECT o.v FROM ord o
+      |    WHERE o.g = mm.g AND o.r = LEAST(mm.m,
+      |      GREATEST(1, CAST(CEIL(p * mm.m) AS BIGINT)))) AS est
+      |  FROM mm, ps
+      |), rk AS (
+      |  SELECT e.g, e.p, e.m, e.est,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s
+      |     WHERE s.g = e.g AND s.v <= e.est) AS rnk
+      |  FROM est e
+      |)
+      |SELECT rk.g AS g, rk.p AS p, nn.n, rk.m AS sample_m,
+      |  rk.est AS est,
+      |  CAST(ABS(rnk - CAST(CEIL(rk.p * nn.n) AS BIGINT)) AS BIGINT)
+      |    AS rank_abs_err,
+      |  ABS(rnk - CAST(CEIL(rk.p * nn.n) AS BIGINT))
+      |    <= CAST(CEIL(4.0 * nn.n / sqrt(256.0)) AS BIGINT)
+      |    AS within_bound
+      |FROM rk JOIN nn ON rk.g = nn.g ORDER BY g, p""".stripMargin
+  }
+
   private val sketchQuantilesOracle: String = {
     val h = hash32Sql("'qsk:' || CAST(event_id AS VARCHAR)")
     s"""WITH s AS MATERIALIZED (
@@ -11134,6 +11210,10 @@ object SparkEntry {
     // min-k sketch folds are split-invariant: the monitor's final
     // state IS the batch sketch, readout shared verbatim
     "q379_stream_sketch_quantiles" -> sketchQuantilesOracle,
+    "q382_group_sketch_quantiles" -> groupSketchQuantilesOracle,
+    // keyed min-k folds are split-invariant per group: the monitor's
+    // final state IS the batch state, readout shared verbatim
+    "q383_stream_group_sketch_quantiles" -> groupSketchQuantilesOracle,
     "q105_bpe_encode" -> bpeEncodeOracle,
     "q107_bpe_ids" -> bpeIdsOracle,
     "q108_pack_bpe" -> bpePackOracle,

@@ -96,6 +96,40 @@ object Aggregators {
       .select(groups.map(col) :+ col("__e.score").as(scoreCol) :+ col("__e.id").as(idCol): _*)
   }
 
+  /** One (hash, id, value) row flowing into [[BottomKByHash]]. */
+  final case class HashRow(h: Long, id: String, v: Double)
+
+  /** Per-group bottom-k by (hash, id) — the GROUPED tier of the
+    * mergeable quantile sketch ([[graft.operators.Profile
+    * .sketchStateByGroup]]): keeps the k smallest (hash, id)
+    * identities of each group with their values. Id ties (hash
+    * collisions) break in UTF-8 BYTE order
+    * ([[TextFunctions.Utf8Ordering]]) — the engines' string order —
+    * so the retained set replays in any engine. Same scale argument
+    * as [[TopKBase]]: map-side partial aggregation bounds every
+    * task's buffer at k, the shuffle carries O(k × partitions) rows
+    * per group however skewed the group is (a per-group window sort
+    * would shuffle whole groups to single tasks). */
+  final class BottomKByHash(k: Int)
+      extends Aggregator[HashRow, Seq[HashRow], Seq[HashRow]] {
+    require(k > 0, "k must be positive")
+    private implicit val idOrd: Ordering[String] = TextFunctions.Utf8Ordering
+    private val ord = implicitly[Ordering[(Long, String)]]
+    private def key(e: HashRow): (Long, String) = (e.h, e.id)
+    override def zero: Seq[HashRow] = Vector.empty
+    // invariant: buffer sorted by (hash, id) — a full buffer rejects a
+    // non-qualifying row with one comparison against its worst element
+    override def reduce(b: Seq[HashRow], a: HashRow): Seq[HashRow] =
+      if (b.size >= k && ord.gteq(key(a), key(b.last))) b
+      else ((b :+ a): Seq[HashRow]).sortBy(key)(ord).take(k)
+    override def merge(b1: Seq[HashRow], b2: Seq[HashRow]): Seq[HashRow] =
+      (b1 ++ b2).sortBy(key)(ord).take(k)
+    override def finish(r: Seq[HashRow]): Seq[HashRow] = r.sortBy(key)(ord)
+    override def bufferEncoder: Encoder[Seq[HashRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HashRow]]()
+    override def outputEncoder: Encoder[Seq[HashRow]] = bufferEncoder
+  }
+
   /** Misra-Gries heavy-hitter sketch: a bounded summary of at most `k`
     * (item, weight) counters with the classical guarantee that any item
     * whose true frequency exceeds n/(k+1) is PRESENT in the final

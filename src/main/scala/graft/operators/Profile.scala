@@ -1125,6 +1125,151 @@ object Profile {
     sketchQuantileReport(sketchStateOf(df, valueCol, idCol, k, salt),
       df, valueCol, ps, k)
 
+  /** PER-GROUP mergeable quantile sketch state — [[sketchStateOf]]
+    * keyed by a group column ("the sketched p90 per language") with
+    * the same identity contract (bottom-k rows by portable
+    * (hash, id), id carried as the hashed STRING form) applied within
+    * each group.
+    *
+    * Scale shape: NOT a global TakeOrdered and NOT a per-group window
+    * sort (which would shuffle every row of a group to one task) —
+    * the bounded-heap Aggregator
+    * ([[graft.functions.Aggregators.BottomKByHash]], the topKPerGroup
+    * discipline) reduces each map task's slice to ≤ k rows per group
+    * BEFORE the shuffle, so the exchange carries O(k × partitions)
+    * rows per group however skewed the group is, and group
+    * cardinality stays unbounded — nothing per-group ever reaches the
+    * driver. NULL ids and duplicate ids WITHIN a group are rejected
+    * loudly (the pooled sketch's probes, group-scoped); NULL group is
+    * its own group ([[exactQuantilesByGroup]]'s rule).
+    *
+    * Output: (`__qg` string, `__qh`, `__qid`, `__qv`) — ≤ k rows per
+    * group. Fold states with [[foldSketchStateByGroup]]. */
+  def sketchStateByGroup(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      k: Int = 1024, salt: String = "qsk"): DataFrame = {
+    require(k >= 16 && k <= 65536,
+      s"quantile sketch k ($k) must be in [16, 65536]")
+    TempCols.reserve(df, "sketchStateByGroup",
+      "__qg", "__qh", "__qid", "__qv")
+    val base = df.filter(col(valueCol).isNotNull)
+    val nullIds = base.filter(col(idCol).isNull).limit(1).count()
+    require(nullIds == 0L,
+      s"quantile sketch: NULL $idCol rows have no stable membership")
+    val dupIds = base.groupBy(col(groupCol), col(idCol)).count()
+      .filter(col("count") > 1L).limit(1).count()
+    require(dupIds == 0L,
+      s"quantile sketch: duplicate ($groupCol, $idCol) values — " +
+        "(hash, id) is the row identity within a group, so duplicates " +
+        "would make the retained value an arbitrary pick")
+    val bk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.Aggregators.BottomKByHash(k),
+      org.apache.spark.sql.Encoders
+        .product[graft.functions.Aggregators.HashRow])
+    base.select(col(groupCol).cast("string").as("__qg"),
+        graft.functions.TextFunctions.portableTokenHash32(
+          concat(lit(salt), lit(":"), col(idCol).cast("string")))
+          .as("__qh"),
+        col(idCol).cast("string").as("__qid"),
+        col(valueCol).cast("double").as("__qv"))
+      .groupBy("__qg")
+      .agg(bk(col("__qh"), col("__qid"), col("__qv")).as("__rows"))
+      .select(col("__qg"), explode(col("__rows")).as("__e"))
+      .select(col("__qg"), col("__e.h").as("__qh"),
+        col("__e.id").as("__qid"), col("__e.v").as("__qv"))
+  }
+
+  /** Fold two per-group sketch states: union, dedup on
+    * (group, hash, id) — the value is functionally dependent on the
+    * identity — then per-group min-k through the same bounded-heap
+    * aggregator. Min-k over identities is associative, commutative,
+    * AND idempotent per group, so the fold provably equals the batch
+    * state whatever the split (the [[foldSketchState]] proof, keyed).
+    * Inputs are ≤ k rows per group each. */
+  def foldSketchStateByGroup(
+      base: DataFrame, delta: DataFrame, k: Int): DataFrame = {
+    val bk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.Aggregators.BottomKByHash(k),
+      org.apache.spark.sql.Encoders
+        .product[graft.functions.Aggregators.HashRow])
+    base.unionByName(delta).dropDuplicates("__qg", "__qh", "__qid")
+      .groupBy("__qg")
+      .agg(bk(col("__qh"), col("__qid"), col("__qv")).as("__rows"))
+      .select(col("__qg"), explode(col("__rows")).as("__e"))
+      .select(col("__qg"), col("__e.h").as("__qh"),
+        col("__e.id").as("__qid"), col("__e.v").as("__qv"))
+  }
+
+  /** Per-group quantile estimates off a [[sketchStateByGroup]] state,
+    * each group gated against ITS OWN exact ranks and DKW envelope —
+    * [[sketchQuantileReport]] keyed, with every step IN the plan
+    * (group cardinality unbounded, nothing per-group on the driver):
+    * the per-group sample collapses to ONE sorted ≤ k-element array
+    * (`sort_array(collect_list(...))` — k-bounded by construction, the
+    * bounded-model-table discipline), order statistics are
+    * `element_at` picks, and the exact rank counts ride one NULL-safe
+    * broadcast-shaped join of the data against the one-row-per-group
+    * estimate table followed by one aggregation. Estimates are
+    * verbatim data values; ranks/bounds exact longs — no rounding
+    * anywhere.
+    *
+    * Output: one row per (group, p) — (`g`, `p`, `n`, `sample_m`,
+    * `est`, `rank_abs_err`, `within_bound` with the per-group bound
+    * `⌈t·n_g/√k⌉`), ordered by (g, p). */
+  def sketchQuantileReportByGroup(
+      state: DataFrame, data: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double], k: Int = 1024,
+      t: Double = 4.0): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantile sketch: probabilities ${ps.mkString(",")} outside (0, 1]")
+    val perG = state.groupBy(col("__qg"))
+      .agg(sort_array(collect_list(col("__qv"))).as("__vs"),
+        count(lit(1)).as("__m"))
+    val estCols = ps.zipWithIndex.map { case (p, i) =>
+      element_at(col("__vs"),
+        greatest(lit(1L), least(col("__m"),
+          ceil(lit(p) * col("__m")))).cast("int")).as(s"__e$i")
+    }
+    val ests = perG.select(
+      (col("__qg").as("__qg2") +: col("__m").as("__m2") +: estCols): _*)
+    val vals = data.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__qg"),
+        col(valueCol).cast("double").as("__v"))
+    // NULL-safe equality: NULL is its own group and must not drop
+    val joined = vals.join(ests, col("__qg") <=> col("__qg2"))
+    val aggs = Seq(count(lit(1)).as("__n"),
+        first(col("__m2")).as("__m")) ++
+      ps.indices.map(i =>
+        sum(when(col("__v") <= col(s"__e$i"), 1L).otherwise(0L))
+          .as(s"__r$i")) ++
+      ps.indices.map(i => first(col(s"__e$i")).as(s"__est$i"))
+    val r = joined.groupBy(col("__qg")).agg(aggs.head, aggs.tail: _*)
+    val rows = explode(array(ps.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("p"), col(s"__est$i").as("est"),
+        col(s"__r$i").as("rank"))
+    }: _*))
+    r.select(col("__qg").as("g"), col("__n").as("n"),
+        col("__m").as("sample_m"), rows.as("__x"))
+      .select(col("g"), col("__x.p").as("p"), col("n"),
+        col("sample_m"), col("__x.est").as("est"),
+        abs(col("__x.rank") - ceil(col("__x.p") * col("n")))
+          .as("rank_abs_err"))
+      .withColumn("within_bound",
+        col("rank_abs_err") <=
+          ceil(lit(t) * col("n") / lit(math.sqrt(k.toDouble))))
+      .orderBy("g", "p")
+  }
+
+  /** One-shot per-group sketch-quantile report:
+    * [[sketchStateByGroup]] + [[sketchQuantileReportByGroup]] over the
+    * same frame. */
+  def sketchQuantilesByGroup(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      ps: Seq[Double], k: Int = 1024, salt: String = "qsk"): DataFrame =
+    sketchQuantileReportByGroup(
+      sketchStateByGroup(df, groupCol, valueCol, idCol, k, salt),
+      df, groupCol, valueCol, ps, k)
+
   /** PER-GROUP exact discrete quantiles — [[exactQuantiles]] keyed by
     * a group ("the p90 document length per language") WITHOUT a
     * group-partitioned window over the value grid: for a continuous

@@ -2194,6 +2194,81 @@ object StreamGate {
     }
   }
 
+  /** Streaming PER-GROUP mergeable-quantile-sketch monitor —
+    * [[graft.operators.Profile.sketchStateByGroup]] maintained over a
+    * file stream: each micro-batch's own per-group bottom-k sample
+    * folds into the versioned state by keyed min-k
+    * ([[graft.operators.Profile.foldSketchStateByGroup]]) —
+    * associative, commutative, idempotent per group, so the final
+    * state provably equals the batch state WHATEVER the split, and
+    * the final [[graft.operators.Profile.sketchQuantileReportByGroup]]
+    * readout is held to the batch query's verbatim oracle. State is
+    * ≤ k rows per group, ever; history is never rescanned. Ids ride
+    * as strings end-to-end (the hashed form), so the micro-batch
+    * hash equals the batch hash byte-for-byte. */
+  def replayGroupSketchQuantileMonitor(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      ps: Seq[Double],
+      k: Int = 1024,
+      salt: String = "qsk",
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = df.sparkSession
+    val src = tempDir("graft_gqsk_src")
+    df.select(col(groupCol).cast("string").as("g"),
+        col(idCol).cast("string").as("id"),
+        col(valueCol).cast("double").as("v"))
+      .coalesce(8).write.mode("overwrite").parquet(src)
+    val stateRoot = tempDir("graft_gqsk_state")
+    val ck = tempDir("graft_gqsk_ck")
+    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark)
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bh = graft.operators.Profile.sketchStateByGroup(
+            batch, "g", "v", "id", k, salt)
+          val merged = Option(state.get()) match {
+            case None => bh
+            case Some(p) => graft.operators.Profile.foldSketchStateByGroup(
+              spark.read.parquet(p), bh, k)
+          }
+          val next = s"$stateRoot/v${version.incrementAndGet()}"
+          merged.write.mode("overwrite").parquet(next)
+          state.set(next)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
+      require(state.get() != null,
+        "replayGroupSketchQuantileMonitor saw no micro-batches")
+      releaseLastReplay(graft.operators.Profile.sketchQuantileReportByGroup(
+          spark.read.parquet(state.get()), df, groupCol, valueCol, ps, k)
+        .localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, stateRoot, ck).foreach(deleteRecursively)
+    }
+  }
+
   /** Streaming incremental connected components — [[graft.operators
     * .Components.incrementalComponents]] with the EDGE feed as a file
     * stream: each micro-batch of new edges folds into the versioned

@@ -775,4 +775,85 @@ class ProfileSpec extends AnyFunSuite {
       Profile.sketchStateOf(df, "v", "id", 8)
     }
   }
+
+  test("grouped sketch state: equals the ungrouped sketch of each slice") {
+    // the house grouped==filtered-ungrouped identity: the per-group
+    // bottom-k via the bounded-heap aggregator retains EXACTLY the
+    // rows the global TakeOrdered retains on the filtered slice
+    val df = table("g string, id bigint, v double",
+      (0 until 600).map(i =>
+        row(s"g${i % 3}", i.toLong, (i * 37 % 211).toDouble)))
+    val k = 32
+    val grouped = Profile.sketchStateByGroup(df, "g", "v", "id", k)
+    (0 until 3).foreach { gi =>
+      val slice = grouped.filter(col("__qg") === s"g$gi")
+        .select("__qh", "__qid", "__qv")
+        .orderBy("__qh", "__qid").collect().map(_.toSeq).toSeq
+      val solo = Profile.sketchStateOf(
+          df.filter(col("g") === s"g$gi"), "v", "id", k)
+        .orderBy("__qh", "__qid").collect().map(_.toSeq).toSeq
+      assert(slice == solo, s"group g$gi diverged from its solo sketch")
+    }
+  }
+
+  test("grouped sketch: keyed merge proof — any split folds to batch") {
+    val df = table("g string, id bigint, v double",
+      (0 until 500).map(i =>
+        row(s"g${i % 2}", i.toLong, (i * 53 % 197).toDouble)))
+    val k = 32
+    val batch = Profile.sketchStateByGroup(df, "g", "v", "id", k)
+      .orderBy("__qg", "__qh", "__qid").collect().map(_.toSeq).toSeq
+    val splits = Seq(
+      Seq(df.filter(col("id") < 100), df.filter(col("id") >= 100)),
+      Seq(df.filter(col("id") % 3 === 0), df.filter(col("id") % 3 === 1),
+        df.filter(col("id") % 3 === 2)))
+    splits.foreach { parts =>
+      val folded = parts.map(Profile.sketchStateByGroup(_, "g", "v", "id", k))
+        .reduce(Profile.foldSketchStateByGroup(_, _, k))
+        .orderBy("__qg", "__qh", "__qid").collect().map(_.toSeq).toSeq
+      assert(folded == batch, "keyed fold must be bit-identical to batch")
+    }
+    val st = Profile.sketchStateByGroup(df, "g", "v", "id", k)
+    val self = Profile.foldSketchStateByGroup(st, st, k)
+      .orderBy("__qg", "__qh", "__qid").collect().map(_.toSeq).toSeq
+    assert(self == batch, "self-fold must be idempotent")
+  }
+
+  test("grouped sketch report: exact per group when data fits; guards") {
+    // two groups of 50 distinct values each, k = 128 >= both: the
+    // sample IS each group's data, estimates exact, rank error 0
+    val df = table("g string, id bigint, v double",
+      (1 to 50).flatMap(i => Seq(
+        row("a", i.toLong, i.toDouble),
+        row("b", (1000 + i).toLong, (i * 10).toDouble))))
+    val got = Profile.sketchQuantilesByGroup(df, "g", "v", "id",
+        ps = Seq(0.5, 0.9), k = 128)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5),
+          r.getBoolean(6))).toMap
+    assert(got(("a", 0.5)) == ((50L, 50L, 25.0, 0L, true)))
+    assert(got(("a", 0.9)) == ((50L, 50L, 45.0, 0L, true)))
+    assert(got(("b", 0.5)) == ((50L, 50L, 250.0, 0L, true)))
+    assert(got(("b", 0.9)) == ((50L, 50L, 450.0, 0L, true)))
+    // NULL group is its own group (the exactQuantilesByGroup rule)
+    val withNull = table("g string, id bigint, v double",
+      (1 to 30).map(i => row(if (i % 2 == 0) "a" else null,
+        i.toLong, i.toDouble)))
+    val gs = Profile.sketchQuantilesByGroup(withNull, "g", "v", "id",
+        ps = Seq(0.5), k = 64)
+      .collect().map(r => Option(r.getString(0)))
+    assert(gs.toSet == Set(Some("a"), None), gs.mkString(","))
+    // duplicate id WITHIN a group is loud; same id ACROSS groups is fine
+    intercept[IllegalArgumentException] {
+      Profile.sketchStateByGroup(
+        table("g string, id bigint, v double",
+          Seq(row("a", 1L, 1.0), row("a", 1L, 2.0))),
+        "g", "v", "id", 64)
+    }
+    val cross = Profile.sketchStateByGroup(
+      table("g string, id bigint, v double",
+        Seq(row("a", 1L, 1.0), row("b", 1L, 2.0))),
+      "g", "v", "id", 64)
+    assert(cross.count() == 2L)
+  }
 }
