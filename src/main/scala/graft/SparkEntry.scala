@@ -7071,6 +7071,170 @@ object SparkEntry {
       Tables.events(s, dir), "event_type", "value", "event_id",
       ps = Seq(0.5, 0.9), k = 256)
 
+  /** The q384/q385 corpus: documents.text plus a deterministic
+    * doc_id-keyed non-ASCII suffix — byte-level BPE must prove itself
+    * on MULTI-BYTE text (a 2-3-byte character is several byte symbols
+    * the merges must re-join), and the stock sf corpus is ASCII. */
+  private def multiByteDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(concat(col("text"),
+      element_at(array(lit(" café"), lit(" naïve über"),
+          lit(" 日本語"), lit(" żółć")),
+        (col("doc_id") % 4 + 1).cast("int"))).as("text2"))
+
+  // ---------------------------------------------------------------- q384
+  /** Byte-level BPE training ([[graft.operators.Corpus
+    * .byteBpeMerges]] — the GPT-2 production lineage): whitespace
+    * words decomposed into UTF-8 BYTE symbols through the
+    * bytes↔unicode table (a native codegen'd map), then the exact
+    * [[graft.operators.Corpus.bpeMerges]] recurrence over byte
+    * symbols — multi-byte characters enter as several symbols that
+    * merges must re-join, and coverage is total by construction (byte
+    * fallback, no unk). The oracle replays the byte mapping from the
+    * SAME 256-char table and all 8 merge levels. */
+  private def q384ByteBpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.byteBpeMerges(
+      multiByteDocs(s, dir), "text2", 8)
+
+  // ---------------------------------------------------------------- q385
+  /** Byte-level BPE encode ([[graft.operators.Corpus.byteBpeEncode]]
+    * through the save/load artifact roundtrip): the trained byte
+    * merge table applied by the native replace chain, token
+    * frequencies over the encoded corpus. The oracle replays mapping,
+    * training, and the end-of-training repr invariant
+    * (encode(word) == final training repr). */
+  private def q385ByteBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val docs = multiByteDocs(s, dir)
+    val mergesDf = Corpus.byteBpeMerges(docs, "text2", 8)
+    val artDir = java.nio.file.Files
+      .createTempDirectory("graft-q385-merges").toString
+    val merges = try {
+      Corpus.saveMerges(mergesDf, artDir)
+      Corpus.loadMerges(s, artDir)
+    } finally graft.streaming.StreamGate.deleteRecursively(artDir)
+    Corpus.byteBpeEncode(docs, "text2", merges)
+      .select(explode(col("byte_bpe_tokens")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(50)
+  }
+
+  /** The q386 corpus: documents.text reshaped into a deterministic
+    * multi-line form (the sf corpus is single-line, and the Gopher
+    * line/paragraph rules need real newlines): three 50-char segments
+    * of each doc, with doc_id%3 picking clean lines, a planted
+    * duplicate LINE, or a planted duplicate PARAGRAPH — so both
+    * granularities, the char fractions, and the empty-segment filter
+    * (short docs have an empty third segment) are all exercised. */
+  private def multiLineDocs(s: SparkSession, dir: String): DataFrame = {
+    val a = substring(col("text"), 1, 50)
+    val b = substring(col("text"), 51, 50)
+    val c = substring(col("text"), 101, 50)
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat_ws("\n", a, b, a, c))
+        .when(col("doc_id") % 3 === 1, concat_ws("\n\n",
+          concat(a, lit("\n"), b), c, concat(a, lit("\n"), b)))
+        .otherwise(concat_ws("\n", a, b, c)).as("text2"))
+  }
+
+  // ---------------------------------------------------------------- q386
+  /** Gopher structural repetition rules ([[graft.functions
+    * .TextFunctions.structuralRepetitionMetrics]] — the remaining
+    * Rae et al. Table A1 siblings of q53): duplicate line/paragraph
+    * fraction and duplicate line/paragraph CHAR fraction, map-only
+    * per-row expressions over the derived multi-line corpus. The
+    * oracle recomputes every unit split, distinct count, char sum,
+    * and division. */
+  private def q386StructuralRepetition(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.functions.TextFunctions.structuralRepetitionMetrics(col("text2"))
+    multiLineDocs(s, dir)
+      .select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m.n_lines").as("n_lines"),
+        col("__m.n_distinct_lines").as("n_distinct_lines"),
+        col("__m.dup_line_frac").as("dup_line_frac"),
+        col("__m.dup_line_char_frac").as("dup_line_char_frac"),
+        col("__m.n_paragraphs").as("n_paragraphs"),
+        col("__m.n_distinct_paragraphs").as("n_distinct_paragraphs"),
+        col("__m.dup_paragraph_frac").as("dup_paragraph_frac"),
+        col("__m.dup_paragraph_char_frac").as("dup_paragraph_char_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q387
+  /** Whole-document first-fit-decreasing packing
+    * ([[graft.operators.Corpus.packFirstFitDecreasing]] +
+    * [[graft.operators.Corpus.binPaddingReport]]): every document
+    * intact in one 256-token bin, shard by portable hash, largest-
+    * first within shard — the deterministic bin-packing complement to
+    * q54's offset packing, with the per-bin fill/padding readout
+    * joined on. The oracle replays the hash, the (count DESC, id)
+    * order, and the ENTIRE first-fit recurrence per shard via a
+    * recursive CTE — one document in a different bin anywhere fails
+    * the hash. */
+  private def q387PackFfd(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val counted = Tables.documents(s, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    val packed = Corpus.packFirstFitDecreasing(counted, "doc_id", "n_tokens",
+      seqLen = 256L, numShards = 4)
+    val report = Corpus.binPaddingReport(packed, "shard", "bin", "n", 256L)
+    packed.join(report, Seq("shard", "bin"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("n"),
+        col("shard"), col("bin"),
+        col("n_docs"), col("fill"), col("padding"), col("padding_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q388
+  /** Per-sequence padding/overflow readout for the GREEDY offset
+    * packer ([[graft.operators.Corpus.binPaddingReport]] over q54's
+    * [[graft.operators.Corpus.packSequences]] assignment): docs are
+    * assigned whole to the sequence their start offset lands in, so
+    * fills scatter around the 512 budget — the padding and overflow
+    * columns quantify exactly the waste the q387 FFD packer removes.
+    * The oracle replays the prefix sum, the seq assignment, and every
+    * per-sequence aggregate. */
+  private def q388GreedyPackPadding(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val packed = Corpus.packSequences(Tables.documents(s, dir), "doc_id",
+      "text", seqLen = 512L)
+    Corpus.binPaddingReport(packed.withColumn("__one", lit(0)),
+        "__one", "seq_id", "n_tokens", 512L)
+      .select(col("bin").as("seq_id"), col("n_docs"), col("fill"),
+        col("padding"), col("overflow"), col("padding_frac"),
+        col("utilization"))
+      .orderBy("seq_id")
+  }
+
+  // ---------------------------------------------------------------- q389
+  /** Exact shared-substring decontamination
+    * ([[graft.operators.Corpus.exactSubstringSpans]] — Lee et al.'s
+    * exact-substring criterion with offsets): every maximal verbatim
+    * token span >= 7 shared between the doc_id%7==3 eval split and
+    * the rest of the corpus, over a corpus with planted cross-split
+    * boilerplate suffixes (two suffix classes by doc_id%3) on top of
+    * the generator's own duplicated spans. The oracle re-derives the
+    * corpus, joins every 7-gram anchor by its STRING (full recall —
+    * the engine's hashed join + verification walk must produce the
+    * identical span set), replays both extensions position-by-
+    * position, and dedupes to maximal spans — one span offset or
+    * length wrong anywhere fails the hash. */
+  private def q389ExactSubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"), element_at(array(lit(""),
+          lit(" the quick brown fox jumps over the lazy dog end"),
+          lit(" shared boilerplate legal notice terms apply here now")),
+        (col("doc_id") % 3 + 1).cast("int"))).as("text2"))
+    val eval = planted.filter(col("doc_id") % 7 === 3)
+    val train = planted.filter(col("doc_id") % 7 =!= 3)
+    graft.operators.Corpus.exactSubstringSpans(
+        eval, "doc_id", "text2", train, "doc_id", "text2",
+        minTokens = 7)
+      .orderBy("left_id", "right_id", "left_start", "right_start")
+  }
+
   // ---------------------------------------------------------------- q380
   /** Unigram token-id streams (the q107 analogue for the unigram
     * family — BPE and unigram now both close the loop train → encode
@@ -7549,6 +7713,12 @@ object SparkEntry {
     "q382_group_sketch_quantiles" -> (q382GroupSketchQuantiles _),
     "q383_stream_group_sketch_quantiles" ->
       (q383StreamGroupSketchQuantiles _),
+    "q384_byte_bpe_merges" -> (q384ByteBpeMerges _),
+    "q385_byte_bpe_encode" -> (q385ByteBpeEncode _),
+    "q386_structural_repetition" -> (q386StructuralRepetition _),
+    "q387_pack_ffd" -> (q387PackFfd _),
+    "q388_greedy_pack_padding" -> (q388GreedyPackPadding _),
+    "q389_exact_substring_spans" -> (q389ExactSubstringSpans _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -7908,6 +8078,61 @@ object SparkEntry {
       |    <= CAST(CEIL(4.0 * nn.n / sqrt(1024.0)) AS BIGINT)
       |    AS within_bound
       |FROM rk, mm, nn ORDER BY rk.p""".stripMargin
+  }
+
+  /** q387's oracle: replays [[graft.operators.Corpus
+    * .packFirstFitDecreasing]] EXACTLY — the portable-hash shard, the
+    * (count DESC, id ASC) order, and the first-fit-decreasing
+    * recurrence itself as a recursive CTE that advances one document
+    * per level in every shard simultaneously, carrying each shard's
+    * bin-fill LIST as state (`list_transform` updates the chosen bin,
+    * `list_append` opens a new one; the chosen bin is the MIN index
+    * whose fill still accepts the doc — literally the first-fit
+    * rule). Then the per-bin padding report on top. */
+  private val packFfdOracle: String = {
+    val h = hash32Sql("id")
+    s"""WITH t AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS id,
+      |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n
+      |  FROM documents
+      |), sh AS (
+      |  SELECT id, n, CAST($h % 4 AS INT) AS shard FROM t
+      |), ordered AS MATERIALIZED (
+      |  SELECT id, n, shard,
+      |    row_number() OVER (PARTITION BY shard ORDER BY n DESC, id ASC)
+      |      AS rn
+      |  FROM sh
+      |), rec AS MATERIALIZED (
+      |  WITH RECURSIVE st(shard, rn, id, n, bin, bins) AS (
+      |    SELECT shard, 0, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+      |      CAST(NULL AS INT), CAST([] AS BIGINT[])
+      |    FROM (SELECT DISTINCT shard FROM ordered)
+      |    UNION ALL
+      |    SELECT o.shard, o.rn, o.id, o.n,
+      |      CAST(CASE WHEN j <= len(s.bins) THEN j
+      |                ELSE len(s.bins) + 1 END AS INT),
+      |      CASE WHEN j <= len(s.bins)
+      |           THEN list_transform(s.bins,
+      |             (x, i) -> CASE WHEN i = j THEN x + o.n ELSE x END)
+      |           ELSE list_append(s.bins, o.n) END
+      |    FROM st s
+      |    JOIN ordered o ON o.shard = s.shard AND o.rn = s.rn + 1,
+      |    LATERAL (SELECT COALESCE(list_min(list_transform(s.bins,
+      |      (x, i) -> CASE WHEN x + o.n <= 256 THEN i END)),
+      |      2147483647) AS j) l
+      |  )
+      |  SELECT shard, id, n, bin FROM st WHERE rn > 0
+      |), rep AS (
+      |  SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n) AS BIGINT) AS fill
+      |  FROM rec GROUP BY shard, bin
+      |)
+      |SELECT CAST(a.id AS BIGINT) AS doc_id, a.n, a.shard, a.bin,
+      |  r.n_docs, r.fill,
+      |  GREATEST(256 - r.fill, 0) AS padding,
+      |  CAST(GREATEST(256 - r.fill, 0) AS DOUBLE) / 256.0 AS padding_frac
+      |FROM rec a JOIN rep r ON a.shard = r.shard AND a.bin = r.bin
+      |ORDER BY doc_id""".stripMargin
   }
 
   /** q196's oracle — shared verbatim by q198 (the streaming fold must
@@ -11214,6 +11439,125 @@ object SparkEntry {
     // keyed min-k folds are split-invariant per group: the monitor's
     // final state IS the batch state, readout shared verbatim
     "q383_stream_group_sketch_quantiles" -> groupSketchQuantilesOracle,
+    "q384_byte_bpe_merges" -> byteBpeOracle,
+    "q385_byte_bpe_encode" -> byteBpeEncodeOracle,
+    "q386_structural_repetition" ->
+      """WITH seg AS (
+        |  SELECT doc_id, substring(text, 1, 50) AS a,
+        |    substring(text, 51, 50) AS b, substring(text, 101, 50) AS c
+        |  FROM documents
+        |), d2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN concat_ws(chr(10), a, b, a, c)
+        |         WHEN doc_id % 3 = 1 THEN concat_ws(chr(10) || chr(10),
+        |           a || chr(10) || b, c, a || chr(10) || b)
+        |         ELSE concat_ws(chr(10), a, b, c) END AS t2
+        |  FROM seg
+        |), u AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(t2, chr(10)), x -> len(x) > 0) AS ln,
+        |    list_filter(string_split_regex(t2, '\n\n+'), x -> len(x) > 0) AS pg
+        |  FROM d2
+        |), m AS (
+        |  SELECT doc_id, ln, pg,
+        |    COALESCE(list_sum(list_transform(ln, x -> len(x))), 0) AS lc,
+        |    COALESCE(list_sum(list_transform(list_distinct(ln),
+        |      x -> len(x))), 0) AS ldc,
+        |    COALESCE(list_sum(list_transform(pg, x -> len(x))), 0) AS pc,
+        |    COALESCE(list_sum(list_transform(list_distinct(pg),
+        |      x -> len(x))), 0) AS pdc
+        |  FROM u
+        |)
+        |SELECT doc_id,
+        |  CAST(len(ln) AS INT) AS n_lines,
+        |  CAST(len(list_distinct(ln)) AS INT) AS n_distinct_lines,
+        |  CASE WHEN len(ln) = 0 THEN 0.0
+        |       ELSE CAST(len(ln) - len(list_distinct(ln)) AS DOUBLE)
+        |         / CAST(len(ln) AS DOUBLE) END AS dup_line_frac,
+        |  CASE WHEN lc = 0 THEN 0.0
+        |       ELSE CAST(lc - ldc AS DOUBLE) / CAST(lc AS DOUBLE) END
+        |    AS dup_line_char_frac,
+        |  CAST(len(pg) AS INT) AS n_paragraphs,
+        |  CAST(len(list_distinct(pg)) AS INT) AS n_distinct_paragraphs,
+        |  CASE WHEN len(pg) = 0 THEN 0.0
+        |       ELSE CAST(len(pg) - len(list_distinct(pg)) AS DOUBLE)
+        |         / CAST(len(pg) AS DOUBLE) END AS dup_paragraph_frac,
+        |  CASE WHEN pc = 0 THEN 0.0
+        |       ELSE CAST(pc - pdc AS DOUBLE) / CAST(pc AS DOUBLE) END
+        |    AS dup_paragraph_char_frac
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q387_pack_ffd" -> packFfdOracle,
+    "q388_greedy_pack_padding" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n,
+        |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS so
+        |  FROM t
+        |), a AS (
+        |  SELECT doc_id, n, CAST(FLOOR(so / 512.0) AS BIGINT) AS seq_id
+        |  FROM o
+        |), g AS (
+        |  SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n) AS BIGINT) AS fill
+        |  FROM a GROUP BY seq_id
+        |)
+        |SELECT seq_id, n_docs, fill,
+        |  GREATEST(512 - fill, 0) AS padding,
+        |  GREATEST(fill - 512, 0) AS overflow,
+        |  CAST(GREATEST(512 - fill, 0) AS DOUBLE) / 512.0 AS padding_frac,
+        |  CAST(LEAST(fill, 512) AS DOUBLE) / 512.0 AS utilization
+        |FROM g ORDER BY seq_id""".stripMargin,
+    "q389_exact_substring_spans" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, text ||
+        |    ['', ' the quick brown fox jumps over the lazy dog end',
+        |     ' shared boilerplate legal notice terms apply here now'
+        |    ][CAST(doc_id % 3 + 1 AS INT)] AS t2
+        |  FROM documents
+        |), tk AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(t2), ' +') AS toks FROM d2
+        |), la AS MATERIALIZED (
+        |  SELECT doc_id AS lid, toks AS lt, CAST(i + 1 AS BIGINT) AS lp,
+        |    array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 7 AS INT)], ' ')
+        |      AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 6)) AS i
+        |        FROM tk WHERE doc_id % 7 = 3)
+        |), ra AS MATERIALIZED (
+        |  SELECT doc_id AS rid, toks AS rt, CAST(i + 1 AS BIGINT) AS rp,
+        |    array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 7 AS INT)], ' ')
+        |      AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 6)) AS i
+        |        FROM tk WHERE doc_id % 7 != 3)
+        |), ext AS (
+        |  SELECT lid, rid, lp, rp, lt, rt,
+        |    LEAST(lp, rp) - 1 AS liml,
+        |    LEAST(len(lt) - lp - 6, len(rt) - rp - 6) AS limr
+        |  FROM la JOIN ra ON la.g = ra.g
+        |), e2 AS (
+        |  SELECT lid, rid, lp, rp,
+        |    CASE WHEN liml < 1 THEN 0 ELSE (
+        |      CASE WHEN ml > 0 THEN ml - 1 ELSE liml END) END AS el,
+        |    CASE WHEN limr < 1 THEN 0 ELSE (
+        |      CASE WHEN mr > 0 THEN mr - 1 ELSE limr END) END AS er
+        |  FROM ext, LATERAL (SELECT
+        |    COALESCE(list_position(list_transform(range(1, liml + 1),
+        |      i -> lt[CAST(lp - i AS INT)] = rt[CAST(rp - i AS INT)]),
+        |      false), 0) AS ml,
+        |    COALESCE(list_position(list_transform(range(1, limr + 1),
+        |      i -> lt[CAST(lp + 6 + i AS INT)] = rt[CAST(rp + 6 + i AS INT)]),
+        |      false), 0) AS mr) x
+        |)
+        |SELECT DISTINCT lid AS left_id, rid AS right_id,
+        |  CAST(lp - el AS BIGINT) AS left_start,
+        |  CAST(rp - el AS BIGINT) AS right_start,
+        |  CAST(el + 7 + er AS BIGINT) AS span_len
+        |FROM e2
+        |ORDER BY left_id, right_id, left_start, right_start""".stripMargin,
     "q105_bpe_encode" -> bpeEncodeOracle,
     "q107_bpe_ids" -> bpeIdsOracle,
     "q108_pack_bpe" -> bpePackOracle,
@@ -16246,8 +16590,12 @@ object SparkEntry {
     * char-level symbol init (v0), and `n` unrolled merge-training
     * levels — level i's argmax lives in m$i, the rewritten vocabulary
     * in v$i. */
-  private def bpeTrainingCte(n: Int): String = {
-    val levels = (1 to n).map { i =>
+  /** The shared per-merge level CTEs (p_i/m_i/v_i) of the BPE
+    * training replay — generic over whatever `v0` (space-wrapped
+    * symbol reprs with word frequencies) feeds them, so the
+    * char-level and byte-level oracles share one recurrence. */
+  private def bpeLevelsCte(n: Int): String =
+    (1 to n).map { i =>
       s"""p$i AS (
          |  SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
          |    SELECT freq, unnest(list_transform(range(1, len(s)), j ->
@@ -16262,6 +16610,8 @@ object SparkEntry {
          |  FROM v${i - 1} CROSS JOIN m$i
          |)""".stripMargin
     }.mkString(",\n")
+
+  private def bpeTrainingCte(n: Int): String =
     s"""words AS (
        |  SELECT w, COUNT(*) AS freq FROM (
        |    SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
@@ -16272,8 +16622,46 @@ object SparkEntry {
        |    i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS repr
        |  FROM words
        |),
-       |$levels""".stripMargin
+       |${bpeLevelsCte(n)}""".stripMargin
+
+  /** The byte↔unicode map as DuckDB SQL over an expression `w` —
+    * interpolated from the SAME 256-char table the native expression
+    * compiles ([[graft.expressions.ByteUnicode.Alphabet]], never a
+    * pasted copy): per UTF-8 byte, hex-digit positions index the
+    * table. */
+  private def byteMapSql(w: String): String = {
+    val alpha = graft.expressions.ByteUnicode.Alphabet.replace("'", "''")
+    s"""array_to_string(list_transform(range(octet_length(encode($w))),
+       |    i -> substr('$alpha',
+       |      (strpos('0123456789ABCDEF',
+       |         substr(hex(encode($w)), CAST(2*i+1 AS INT), 1)) - 1) * 16
+       |      + strpos('0123456789ABCDEF',
+       |          substr(hex(encode($w)), CAST(2*i+2 AS INT), 1)), 1)),
+       |  '')""".stripMargin
   }
+
+  /** q384/q385's shared training replay: the deterministic multi-byte
+    * corpus (each document's text plus a doc_id-keyed non-ASCII
+    * suffix), whitespace words BYTE-MAPPED through [[byteMapSql]],
+    * then the identical merge recurrence over byte symbols. */
+  private def byteBpeTrainingCte(n: Int): String =
+    s"""docs2 AS (
+       |  SELECT text || (CASE doc_id % 4
+       |    WHEN 0 THEN ' café' WHEN 1 THEN ' naïve über'
+       |    WHEN 2 THEN ' 日本語' ELSE ' żółć' END) AS text2
+       |  FROM documents
+       |), words AS (
+       |  SELECT ${byteMapSql("w0")} AS w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(text2), ' +')) AS w0
+       |    FROM docs2
+       |  ) WHERE length(w0) > 0 GROUP BY 1
+       |), v0 AS (
+       |  SELECT w, freq,
+       |    ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+       |    i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS repr
+       |  FROM words
+       |),
+       |${bpeLevelsCte(n)}""".stripMargin
 
   /** q373/q374: the unigram-LM hard-EM recurrence replayed in SQL —
     * the q103 pattern at full depth. Per EM iteration: the add-one
@@ -16585,6 +16973,32 @@ object SparkEntry {
     s"""WITH ${bpeTrainingCte(n)}
        |$union
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** q384: the byte-level merge table — byte mapping + all 8 levels
+    * replayed. */
+  private val byteBpeOracle: String = {
+    val n = 8
+    val union = (1 to n).map { i =>
+      s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, " +
+        s"cnt AS pair_freq FROM m$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${byteBpeTrainingCte(n)}
+       |$union
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** q385: byte-level token frequencies via the end-of-training repr
+    * invariant (encode(word) == the word's final training repr). */
+  private val byteBpeEncodeOracle: String = {
+    val n = 8
+    s"""WITH ${byteBpeTrainingCte(n)}
+       |SELECT token, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+       |  SELECT freq, unnest(string_split(trim(repr), '  ')) AS token FROM v$n
+       |)
+       |GROUP BY token
+       |ORDER BY freq DESC, token
+       |LIMIT 50""".stripMargin
   }
 
   /** q107: training CTEs + per-document reconstruction — each doc's

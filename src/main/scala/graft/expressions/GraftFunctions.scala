@@ -106,6 +106,8 @@ object GraftFunctions {
         intArg("graft_unigram_segment", args(3)),
         longArg("graft_unigram_segment", args(4)))
     },
+    "graft_byte_unicode" -> { args => ByteUnicodeMap(args(0)) },
+    "graft_byte_unicode_inv" -> { args => ByteUnicodeUnmap(args(0)) },
   )
 
   /** Idempotent per-session registration (temp functions live in the
@@ -251,6 +253,21 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.typedlit
     call_function("graft_unigram_segment", w,
       typedlit(tokens), typedlit(lps), lit(maxTokenLen), lit(lpUnk))
+  }
+
+  /** Byte-level-BPE symbol form of a string: UTF-8 bytes each mapped
+    * through [[ByteUnicode.Alphabet]] (native, codegen'd). */
+  def byteUnicode(df: org.apache.spark.sql.DataFrame, c: Column): Column = {
+    ensureRegistered(df.sparkSession)
+    call_function("graft_byte_unicode", c)
+  }
+
+  /** Exact inverse of [[byteUnicode]] — NULL when any code point is
+    * outside the 256-entry table (native, codegen'd). */
+  def byteUnicodeInverse(
+      df: org.apache.spark.sql.DataFrame, c: Column): Column = {
+    ensureRegistered(df.sparkSession)
+    call_function("graft_byte_unicode_inv", c)
   }
 
   /** 32-bit SimHash of an array<bigint> of token hashes (native). */

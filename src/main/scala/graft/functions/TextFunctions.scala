@@ -158,6 +158,53 @@ object TextFunctions {
         .as("top_bigram_frac"))
   }
 
+  /** Structural repetition metrics — the remaining Gopher-rule siblings
+    * of [[repetitionMetrics]] (Rae et al. 2021, "Scaling Language
+    * Models", Table A1): the fraction of a document's LINES (and
+    * PARAGRAPHS) that are repeats of an earlier identical line (resp.
+    * paragraph), and the fraction of its line (paragraph) CHARACTERS
+    * inside those repeats. Docs built from templates/boilerplate score
+    * high on the count fractions; docs whose few repeated lines are the
+    * LONG ones (nav blocks, legal footers) are caught by the char
+    * fractions even when the count fractions look tame.
+    *
+    * Definitions (exact integer counts, single final divisions):
+    * units = non-empty segments after splitting on `\n` (lines) or on
+    * blank-line runs `\n\n+` (paragraphs); a "duplicate" is every
+    * occurrence of a value BEYOND its first, so
+    * `dup_frac = (n - n_distinct) / n` and
+    * `dup_char_frac = (chars(all) - chars(distinct values)) / chars(all)`
+    * (the second identity holds because each value's first occurrence
+    * is the one `array_distinct` keeps). Empty/unit-free docs score 0.
+    *
+    * One struct per document, pure per-row built-in expressions —
+    * map-only, no shuffle, cost O(units²) worst-case per doc (the
+    * `array_distinct` scan), bounded by document length not corpus
+    * size; every fraction is a single division of exact integers, so
+    * the struct is oracle-checkable cross-engine with no rounding
+    * gate. */
+  def structuralRepetitionMetrics(c: Column): Column = {
+    def metrics(units: Column, prefix: String): Seq[Column] = {
+      val n = size(units)
+      val dist = array_distinct(units)
+      val nDist = size(dist)
+      val chars = aggregate(units, lit(0L), (acc, u) => acc + length(u))
+      val distChars = aggregate(dist, lit(0L), (acc, u) => acc + length(u))
+      Seq(
+        n.as(s"n_${prefix}s"),
+        nDist.as(s"n_distinct_${prefix}s"),
+        when(n === 0, lit(0.0))
+          .otherwise((n - nDist).cast("double") / n.cast("double"))
+          .as(s"dup_${prefix}_frac"),
+        when(chars === 0L, lit(0.0))
+          .otherwise((chars - distChars).cast("double") / chars.cast("double"))
+          .as(s"dup_${prefix}_char_frac"))
+    }
+    val lines = filter(split(c, "\n"), u => length(u) > 0)
+    val paras = filter(split(c, "\n\n+"), u => length(u) > 0)
+    struct(metrics(lines, "line") ++ metrics(paras, "paragraph"): _*)
+  }
+
   /** Shannon entropy (bits) of the CHARACTER unigram distribution of a
     * string — the gibberish/low-diversity filter next to
     * [[repetitionMetrics]]: binary junk decoded as text scores high,

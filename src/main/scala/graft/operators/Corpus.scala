@@ -297,6 +297,116 @@ object Corpus {
       .select(col(idCol), col(countCol), col("start_offset"), col("seq_id"))
   }
 
+  /** Whole-document first-fit-decreasing packing — the bin-packing
+    * complement to [[packSequencesByCount]] for consumers that must
+    * NOT split a document across training sequences (instruction
+    * tuning, long-context curricula): each document goes intact into
+    * one `seqLen`-capacity bin, bins are opened per shard, and within
+    * a shard documents are placed largest-first into the FIRST bin
+    * they fit (classic FFD — within a shard, never more than
+    * `11/9·OPT + 6/9` bins).
+    *
+    * Determinism contract (the whole point — the assignment is
+    * oracle-replayable): the shard is
+    * `portable_hash32(id-as-string) mod numShards`, the within-shard
+    * order is (count DESC, id-string ASC by UTF-8 byte order), and
+    * FFD over that order is a pure function — so the output is
+    * invariant to input partitioning and identical cross-engine.
+    * Documents longer than `seqLen` fail loudly up front (pre-filter
+    * with [[tokenBudgetReport]]'s truncation stage if the corpus has
+    * them). NULL or duplicate ids would make the replay ambiguous —
+    * both fail loudly.
+    *
+    * Scale shape: ONE hash shuffle on the shard key; inside each
+    * shard the rows STREAM through `flatMapSortedGroups` (Spark's
+    * shuffle-machinery secondary sort) — the only per-shard state is
+    * the bin-fill array (`total_shard_tokens / seqLen` longs, NOT the
+    * rows), so a shard's document count is unbounded by executor
+    * memory. The linear first-fit scan costs O(bins) per document;
+    * pick `numShards` so per-shard bins stay ~10⁴-10⁵ (at 100 TB and
+    * seqLen 4k that is numShards ~10⁵ — each shard an independent
+    * task, the packing embarrassingly parallel across shards).
+    * Output: (`idCol` as string, `n`, `shard`, `bin`) — bin ids are
+    * 1-based and dense per shard. */
+  def packFirstFitDecreasing(
+      counted: DataFrame,
+      idCol: String,
+      countCol: String,
+      seqLen: Long,
+      numShards: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen ($seqLen) must be positive")
+    require(numShards > 0, s"numShards ($numShards) must be positive")
+    val prepared = counted.select(
+        col(idCol).cast("string").as("__id"),
+        col(countCol).cast("long").as("__n"))
+    val bad = prepared
+      .filter(col("__id").isNull || col("__n").isNull || col("__n") > seqLen)
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"packFirstFitDecreasing: NULL id/count or count > seqLen ($seqLen) " +
+        s"found (e.g. ${bad.headOption}); filter or truncate first — a " +
+        "whole-document packer cannot place an over-budget document")
+    val dup = prepared.groupBy("__id").count().filter(col("count") > 1L)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"packFirstFitDecreasing: duplicate id ${dup.headOption} — the " +
+        "deterministic replay needs distinct ids")
+    val sharded = prepared
+      .withColumn("__shard",
+        pmod(TextFunctions.portableTokenHash32(col("__id")),
+          lit(numShards.toLong)).cast("int"))
+      .withColumn("__negn", -col("__n"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("__oid", StringType), StructField("__on", LongType),
+      StructField("__bin", IntegerType)))
+    val cap = seqLen
+    Grouped.applyPerGroupSorted(sharded, Seq("__shard"),
+        Seq("__negn", "__id"), outSchema) { rows =>
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      rows.map { r =>
+        val id = r.getString(0)
+        val n = r.getLong(1)
+        var j = 0
+        while (j < bins.length && bins(j) + n > cap) j += 1
+        if (j == bins.length) bins += n else bins(j) += n
+        Row(id, n, j + 1)
+      }
+    }
+      .select(col("__oid").as(idCol), col("__on").as("n"),
+        col("__shard").as("shard"), col("__bin").as("bin"))
+  }
+
+  /** Per-bin padding readout over ANY whole-document packing
+    * assignment ([[packFirstFitDecreasing]] output, or an offset
+    * packing's `seq_id` with a constant shard): for every (shard,
+    * bin), the documents placed, the token fill, the padding the bin
+    * burns (`seqLen - fill`, floored at 0) and the overflow it spills
+    * (`fill - seqLen`, 0 for a capacity-respecting packer) — plus the
+    * two fractions a training-efficiency dashboard plots. Exact
+    * integer arithmetic until the two final divisions.
+    *
+    * Scale shape: ONE map-side-combined aggregation on (shard, bin) —
+    * bins-bounded, not corpus-bounded. */
+  def binPaddingReport(
+      assigned: DataFrame,
+      shardCol: String,
+      binCol: String,
+      countCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen ($seqLen) must be positive")
+    assigned.groupBy(col(shardCol).as("shard"), col(binCol).as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(countCol)).as("fill"))
+      .select(col("shard"), col("bin"), col("n_docs"), col("fill"),
+        greatest(lit(seqLen) - col("fill"), lit(0L)).as("padding"),
+        greatest(col("fill") - lit(seqLen), lit(0L)).as("overflow"),
+        (greatest(lit(seqLen) - col("fill"), lit(0L)).cast("double") /
+          lit(seqLen.toDouble)).as("padding_frac"),
+        (least(col("fill"), lit(seqLen)).cast("double") /
+          lit(seqLen.toDouble)).as("utilization"))
+  }
+
   /** Train/test decontamination report: for each evaluation document,
     * how many of its distinct word `n`-grams appear ANYWHERE in the
     * training corpus (the standard benchmark-leakage check run before
@@ -563,6 +673,116 @@ object Corpus {
         size(col("toks")).as("n_tokens"),
         (size(col("toks")) - size(col("kept"))).as("n_removed"),
         array_join(col("kept"), " ").as("cleaned_text"))
+  }
+
+  /** Exact shared-substring detection with offsets — the Lee et al.
+    * (ACL'22) EXACT-substring decontamination the shingle-set tools
+    * cannot do: every MAXIMAL token span of length >= `minTokens`
+    * shared verbatim between a left doc and a right doc, with both
+    * start offsets, so a training doc's leaked benchmark span can be
+    * surgically excised (or the doc dropped) instead of relying on
+    * set-membership at a fixed shingle width ([[contaminationReport]]
+    * misses verbatim runs SHORTER than its n and reports no
+    * positions; this reports exact spans and positions).
+    *
+    * Method (suffix-array-free, join-shaped for Spark): every
+    * `minTokens`-gram start position is an ANCHOR keyed by the gram's
+    * `xxhash64`; anchors equality-join left-vs-right (8-byte keys
+    * across the exchange, the q64 trick); each anchor match is then
+    * VERIFIED against the real tokens and extended left and right to
+    * its maximal run (so a 2^-64 hash collision can only waste a
+    * candidate, never emit a wrong span — the LSH-family
+    * verification-walk discipline); every anchor inside one maximal
+    * span extends to the SAME (ids, starts, len) tuple, so one
+    * `dropDuplicates` collapses them. Full recall is structural: a
+    * shared span of length >= minTokens contains its own first
+    * minTokens-gram as an anchor.
+    *
+    * Scale shape: anchor tables are map-only explodes; the join is a
+    * hash equi-join on the 8-byte gram key, guarded COUNT-FIRST on
+    * BOTH sides ([[BucketGuard]] discipline — an anchor key hotter
+    * than `maxPositionsPerGram` on either side fails loudly before
+    * any pair materializes, naming the side and cardinality; a
+    * stop-phrase that verbatim-repeats corpus-wide must be handled
+    * upstream, exactly the LSH family's contract). Token arrays ride
+    * to the candidates via two joins AFTER candidate pruning (AQE
+    * broadcasts the small side); extension work is O(span) per
+    * candidate, O(span²) per doc-pair worst case — bounded by doc
+    * length, never corpus size. Output: (`left_id`, `right_id`,
+    * `left_start`, `right_start`, `span_len`), starts 1-based in the
+    * whitespace token stream. */
+  def exactSubstringSpans(
+      left: DataFrame,
+      leftIdCol: String,
+      leftTextCol: String,
+      right: DataFrame,
+      rightIdCol: String,
+      rightTextCol: String,
+      minTokens: Int,
+      maxPositionsPerGram: Int = 10000): DataFrame = {
+    require(minTokens >= 2, s"minTokens ($minTokens) must be >= 2")
+    require(maxPositionsPerGram >= 1, "maxPositionsPerGram must be >= 1")
+    val l = minTokens
+    val emptyS = array().cast("array<string>")
+    def anchors(df: DataFrame, idCol: String, textCol: String,
+        side: String): (DataFrame, DataFrame) = {
+      val docs = df.select(col(idCol).as(s"${side}_id"),
+        coalesce(TextFunctions.tokens(col(textCol)), emptyS)
+          .as(s"__${side}t"))
+      val pos = docs
+        .select(col(s"${side}_id"),
+          when(size(col(s"__${side}t")) < l, emptyS)
+            .otherwise(transform(sequence(lit(0), size(col(s"__${side}t")) - l),
+              i => array_join(slice(col(s"__${side}t"), i + 1, lit(l)), " ")))
+            .as("__grams"))
+        .select(col(s"${side}_id"), posexplode(col("__grams")).as(Seq("__i", "__gram")))
+        .select(col(s"${side}_id"), (col("__i") + 1).as(s"__${side}p"),
+          xxhash64(col("__gram")).as("__g"))
+      val guarded = BucketGuard.bounded(pos, Seq("__g"), minSize = 1,
+        maxBucket = maxPositionsPerGram, dropOversize = false,
+        oversizeMsg = n => concat(
+          lit(s"exactSubstringSpans: $side-side anchor gram at "),
+          n.cast("string"),
+          lit(s" positions exceeds maxPositionsPerGram=$maxPositionsPerGram" +
+            " — remove corpus-wide boilerplate upstream or raise the budget")))
+      (docs, guarded)
+    }
+    val (ldocs, lanch) = anchors(left, leftIdCol, leftTextCol, "left")
+    val (rdocs, ranch) = anchors(right, rightIdCol, rightTextCol, "right")
+    val cand = lanch.join(ranch, Seq("__g")).drop("__g")
+    val lt = col("__leftt"); val rt = col("__rightt")
+    val lp = col("__leftp"); val rp = col("__rightp")
+    val anchorOk = forall(sequence(lit(0), lit(l - 1)),
+      i => element_at(lt, (lp + i).cast("int")) ===
+        element_at(rt, (rp + i).cast("int")))
+    def runLen(lim: Column, miss: Column): Column =
+      when(lim < 1, lit(0L)).otherwise(coalesce(
+        when(miss > 0, miss - 1), lim.cast("long")))
+    val limL = least(lp, rp) - 1
+    val missL = array_position(
+      when(limL < 1, array().cast("array<boolean>"))
+        .otherwise(transform(sequence(lit(1), limL.cast("int")),
+          i => element_at(lt, (lp - i).cast("int")) ===
+            element_at(rt, (rp - i).cast("int")))), lit(false))
+    val limR = least(size(lt) - lp - (l - 1), size(rt) - rp - (l - 1))
+    val missR = array_position(
+      when(limR < 1, array().cast("array<boolean>"))
+        .otherwise(transform(sequence(lit(1), limR.cast("int")),
+          i => element_at(lt, (lp + (l - 1) + i).cast("int")) ===
+            element_at(rt, (rp + (l - 1) + i).cast("int")))), lit(false))
+    cand
+      .join(ldocs, Seq("left_id"))
+      .join(rdocs, Seq("right_id"))
+      .filter(anchorOk)
+      .select(col("left_id"), col("right_id"),
+        runLen(limL, missL).as("__el"), runLen(limR, missR).as("__er"),
+        lp, rp)
+      .select(col("left_id"), col("right_id"),
+        (lp - col("__el")).cast("long").as("left_start"),
+        (rp - col("__el")).cast("long").as("right_start"),
+        (col("__el") + l + col("__er")).cast("long").as("span_len"))
+      .dropDuplicates("left_id", "right_id", "left_start", "right_start",
+        "span_len")
   }
 
   /** Boilerplate LINE removal — the line-granularity companion to
@@ -2320,6 +2540,76 @@ object Corpus {
         filter(TextFunctions.tokens(col(textCol)), w => length(w) > 0),
         encodeWord)))
   }
+
+  // ------------------------------------------------------------------
+  // BYTE-LEVEL BPE mode (the GPT-2/Llama production lineage — Radford
+  // et al. 2019's public bytes_to_unicode rule): pretokenize on
+  // whitespace, then operate on each word's UTF-8 BYTES, every byte
+  // mapped to one printable code point (graft.expressions.ByteUnicode
+  // — 256 distinct BMP chars, none of them whitespace). The char-level
+  // trainer/encoder then runs on byte symbols unchanged, which changes
+  // segmentation on ANY non-ASCII corpus (a multi-byte character is
+  // now several symbols that merges must learn to re-join) and gives
+  // FULL coverage with no unk token: an unseen character always
+  // decomposes into single-byte symbols — the byte-fallback property.
+
+  /** The byte-level symbol form of a text column: whitespace words,
+    * each word's UTF-8 bytes mapped through the byte↔unicode table,
+    * re-joined with single spaces. Map-only, one native codegen'd
+    * expression per word ([[graft.expressions.ByteUnicodeMap]]) — the
+    * mapped alphabet contains no whitespace, so word boundaries
+    * survive and the downstream space-wrapped symbol machinery is
+    * untouched. */
+  private def byteSymbolText(df: DataFrame, textCol: String): Column =
+    array_join(
+      transform(
+        filter(TextFunctions.tokens(col(textCol)), w => length(w) > 0),
+        w => graft.expressions.GraftFunctions.byteUnicode(df, w)),
+      " ")
+
+  /** BYTE-LEVEL [[bpeMerges]]: identical recurrence, byte symbols.
+    * Merge table symbols (lhs/rhs/merged) are in the mapped space —
+    * decode readable forms with [[byteBpeDecode]] where valid UTF-8.
+    * Same tiers, same batching proof, same engine-exact tie order
+    * (mapped symbols are plain strings). */
+  def byteBpeMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      batchK: Int = 16,
+      maxDriverWords: Int = 1000000): DataFrame = {
+    TempCols.reserve(df, "byteBpeMerges", "__byte_text")
+    bpeMerges(
+      df.select(byteSymbolText(df, textCol).as("__byte_text")),
+      "__byte_text", numMerges, batchK, maxDriverWords)
+  }
+
+  /** BYTE-LEVEL [[bpeEncode]]: each word byte-mapped, then the same
+    * rank-ordered native replace chain. Output tokens are byte-space
+    * symbols; every input — any script, any binary-ish crawl junk —
+    * encodes with zero unk (single-byte symbols are always valid
+    * starting symbols, merges only ever join them). */
+  def byteBpeEncode(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+      outCol: String = "byte_bpe_tokens"): DataFrame = {
+    TempCols.reserve(df, "byteBpeEncode", "__byte_text")
+    bpeEncode(
+        df.withColumn("__byte_text", byteSymbolText(df, textCol)),
+        "__byte_text", merges, outCol)
+      .drop("__byte_text")
+  }
+
+  /** Decode an array of byte-space tokens back to text: concatenate,
+    * invert the byte map ([[graft.expressions.ByteUnicodeUnmap]] —
+    * exact byte inverse). NULL when any code point is outside the
+    * table. Decoding a whole word's tokens always yields the original
+    * word (the roundtrip spec); a lone mid-sequence token may not be
+    * valid UTF-8 on its own — that is the byte-level contract. */
+  def byteBpeDecode(df: DataFrame, tokens: Column): Column =
+    graft.expressions.GraftFunctions.byteUnicodeInverse(
+      df, array_join(tokens, ""))
 
   // ------------------------------------------------------------------
   // Unigram-LM (SentencePiece-style) tokenizer — the other dominant
