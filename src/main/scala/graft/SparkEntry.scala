@@ -7221,18 +7221,83 @@ object SparkEntry {
     * identical span set), replays both extensions position-by-
     * position, and dedupes to maximal spans — one span offset or
     * length wrong anywhere fails the hash. */
+  /** The q389/q390 corpus: sparse plant classes (mod 23 / mod 29) —
+    * the pair count must stay candidate-shaped, not
+    * quadratic-in-corpus: at mod 3 the planted cross-split pairs
+    * alone were ~680k at sf0.1 (41 s); at these densities they are
+    * ~10k (the operator's guard exists for corpora where boilerplate
+    * really is that hot; the QUERY should model a decontamination
+    * workload, where leaked spans are rare). */
+  private def plantedSpanDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 23 === 5,
+          lit(" the quick brown fox jumps over the lazy dog end"))
+          .when(col("doc_id") % 29 === 11,
+            lit(" shared boilerplate legal notice terms apply here now"))
+          .otherwise(lit(""))).as("text2"))
+
   private def q389ExactSubstringSpans(s: SparkSession, dir: String): DataFrame = {
-    val planted = Tables.documents(s, dir).select(col("doc_id"),
-      concat(col("text"), element_at(array(lit(""),
-          lit(" the quick brown fox jumps over the lazy dog end"),
-          lit(" shared boilerplate legal notice terms apply here now")),
-        (col("doc_id") % 3 + 1).cast("int"))).as("text2"))
+    val planted = plantedSpanDocs(s, dir)
     val eval = planted.filter(col("doc_id") % 7 === 3)
     val train = planted.filter(col("doc_id") % 7 =!= 3)
     graft.operators.Corpus.exactSubstringSpans(
         eval, "doc_id", "text2", train, "doc_id", "text2",
         minTokens = 7)
       .orderBy("left_id", "right_id", "left_start", "right_start")
+  }
+
+  // ---------------------------------------------------------------- q390
+  /** Offset-addressed span removal ([[graft.operators.Corpus
+    * .removeSpansAt]] consuming q389's span table — the detect→cut
+    * loop closed): every train doc loses exactly the token positions
+    * its shared-span offsets cover (the planted boilerplate suffix
+    * and the generator's own duplicated runs), unique prose survives.
+    * The oracle recomputes the FULL span table (q389's replay as a
+    * CTE) and then replays the coverage test and the rebuild token by
+    * token. */
+  private def q390RemoveSpans(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val planted = plantedSpanDocs(s, dir)
+    val eval = planted.filter(col("doc_id") % 7 === 3)
+    val train = planted.filter(col("doc_id") % 7 =!= 3)
+    val spans = Corpus.exactSubstringSpans(
+      eval, "doc_id", "text2", train, "doc_id", "text2", minTokens = 7)
+    Corpus.removeSpansAt(train, "doc_id", "text2",
+        spans, "right_id", "right_start", "span_len")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q391
+  /** Gopher line-format quality rules ([[graft.functions
+    * .TextFunctions.gopherLineRules]] — bullet-start / ellipsis-end
+    * line fractions, #/... symbol-to-word ratio, alphabetic-word
+    * fraction) over a derived corpus that plants each formatting
+    * pathology by doc class: doc_id%4==0 bullets every line, %4==1
+    * ellipsis-ends every line, %4==2 prepends a `#` symbol, else
+    * untouched. The oracle re-derives the corpus and recomputes
+    * every line test, symbol count, and division. */
+  private def q391GopherLineRules(s: SparkSession, dir: String): DataFrame = {
+    val nl = lit("\n")
+    val t2 = col("text2")
+    val t3 = when(col("doc_id") % 4 === 0,
+        concat(lit("- "), replace(t2, nl, lit("\n- "))))
+      .when(col("doc_id") % 4 === 1,
+        concat(replace(t2, nl, lit("...\n")), lit("...")))
+      .when(col("doc_id") % 4 === 2, concat(lit("# "), t2))
+      .otherwise(t2)
+    val m = graft.functions.TextFunctions.gopherLineRules(col("text3"))
+    multiLineDocs(s, dir)
+      .select(col("doc_id"), t3.as("text3"))
+      .select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m.n_lines").as("n_lines"),
+        col("__m.bullet_line_frac").as("bullet_line_frac"),
+        col("__m.ellipsis_line_frac").as("ellipsis_line_frac"),
+        col("__m.n_words").as("n_words"),
+        col("__m.symbol_word_ratio").as("symbol_word_ratio"),
+        col("__m.alpha_word_frac").as("alpha_word_frac"))
+      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- q380
@@ -7719,6 +7784,8 @@ object SparkEntry {
     "q387_pack_ffd" -> (q387PackFfd _),
     "q388_greedy_pack_padding" -> (q388GreedyPackPadding _),
     "q389_exact_substring_spans" -> (q389ExactSubstringSpans _),
+    "q390_remove_spans" -> (q390RemoveSpans _),
+    "q391_gopher_line_rules" -> (q391GopherLineRules _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -8134,6 +8201,91 @@ object SparkEntry {
       |FROM rec a JOIN rep r ON a.shard = r.shard AND a.bin = r.bin
       |ORDER BY doc_id""".stripMargin
   }
+
+  /** q389/q390's shared replay: the planted-suffix corpus, every
+    * 7-gram anchor joined by STRING (full recall — the engine's
+    * hashed join + verification walk must land on the identical
+    * set), both extensions replayed position-by-position, deduped to
+    * maximal spans (`spans`). */
+  private val exactSpansCte: String =
+    """WITH d2 AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 23 = 5
+      |         THEN ' the quick brown fox jumps over the lazy dog end'
+      |         WHEN doc_id % 29 = 11
+      |         THEN ' shared boilerplate legal notice terms apply here now'
+      |         ELSE '' END AS t2
+      |  FROM documents
+      |), tk AS MATERIALIZED (
+      |  SELECT doc_id, string_split_regex(trim(t2), ' +') AS toks FROM d2
+      |), la AS MATERIALIZED (
+      |  SELECT doc_id AS lid, toks AS lt, CAST(i + 1 AS BIGINT) AS lp,
+      |    array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 7 AS INT)], ' ')
+      |      AS g
+      |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 6)) AS i
+      |        FROM tk WHERE doc_id % 7 = 3)
+      |), ra AS MATERIALIZED (
+      |  SELECT doc_id AS rid, toks AS rt, CAST(i + 1 AS BIGINT) AS rp,
+      |    array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 7 AS INT)], ' ')
+      |      AS g
+      |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 6)) AS i
+      |        FROM tk WHERE doc_id % 7 != 3)
+      |), ext AS (
+      |  SELECT lid, rid, lp, rp, lt, rt,
+      |    LEAST(lp, rp) - 1 AS liml,
+      |    LEAST(len(lt) - lp - 6, len(rt) - rp - 6) AS limr
+      |  FROM la JOIN ra ON la.g = ra.g
+      |), e2 AS (
+      |  SELECT lid, rid, lp, rp,
+      |    CASE WHEN liml < 1 THEN 0 ELSE (
+      |      CASE WHEN ml > 0 THEN ml - 1 ELSE liml END) END AS el,
+      |    CASE WHEN limr < 1 THEN 0 ELSE (
+      |      CASE WHEN mr > 0 THEN mr - 1 ELSE limr END) END AS er
+      |  FROM ext, LATERAL (SELECT
+      |    COALESCE(list_position(list_transform(range(1, liml + 1),
+      |      i -> lt[CAST(lp - i AS INT)] = rt[CAST(rp - i AS INT)]),
+      |      false), 0) AS ml,
+      |    COALESCE(list_position(list_transform(range(1, limr + 1),
+      |      i -> lt[CAST(lp + 6 + i AS INT)] = rt[CAST(rp + 6 + i AS INT)]),
+      |      false), 0) AS mr) x
+      |), spans AS MATERIALIZED (
+      |  SELECT DISTINCT lid AS left_id, rid AS right_id,
+      |    CAST(lp - el AS BIGINT) AS left_start,
+      |    CAST(rp - el AS BIGINT) AS right_start,
+      |    CAST(el + 7 + er AS BIGINT) AS span_len
+      |  FROM e2
+      |)""".stripMargin
+
+  private val exactSpansOracle: String = exactSpansCte +
+    """
+      |SELECT left_id, right_id, left_start, right_start, span_len
+      |FROM spans
+      |ORDER BY left_id, right_id, left_start, right_start""".stripMargin
+
+  /** q390's oracle: q389's span replay, then the coverage test and
+    * token-by-token rebuild of every train doc. */
+  private val removeSpansOracle: String = exactSpansCte +
+    """, tr AS (
+      |  SELECT doc_id, toks FROM tk WHERE doc_id % 7 != 3
+      |), pos AS (
+      |  SELECT doc_id, toks, unnest(range(len(toks))) AS p0 FROM tr
+      |), kept AS (
+      |  SELECT doc_id, p0, toks[CAST(p0 + 1 AS INT)] AS tok
+      |  FROM pos w
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+      |    WHERE s.right_id = w.doc_id
+      |      AND w.p0 + 1 >= s.right_start
+      |      AND w.p0 + 1 < s.right_start + s.span_len)
+      |), agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY p0) AS cleaned
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+      |  CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS INT) AS n_removed,
+      |  COALESCE(a.cleaned, '') AS cleaned_text
+      |FROM tr t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
 
   /** q196's oracle — shared verbatim by q198 (the streaming fold must
     * hash-match the batch statistic). */
@@ -11512,52 +11664,62 @@ object SparkEntry {
         |  CAST(GREATEST(512 - fill, 0) AS DOUBLE) / 512.0 AS padding_frac,
         |  CAST(LEAST(fill, 512) AS DOUBLE) / 512.0 AS utilization
         |FROM g ORDER BY seq_id""".stripMargin,
-    "q389_exact_substring_spans" ->
-      """WITH d2 AS (
-        |  SELECT doc_id, text ||
-        |    ['', ' the quick brown fox jumps over the lazy dog end',
-        |     ' shared boilerplate legal notice terms apply here now'
-        |    ][CAST(doc_id % 3 + 1 AS INT)] AS t2
+    "q389_exact_substring_spans" -> exactSpansOracle,
+    "q390_remove_spans" -> removeSpansOracle,
+    "q391_gopher_line_rules" ->
+      """WITH seg AS (
+        |  SELECT doc_id, substring(text, 1, 50) AS a,
+        |    substring(text, 51, 50) AS b, substring(text, 101, 50) AS c
         |  FROM documents
-        |), tk AS MATERIALIZED (
-        |  SELECT doc_id, string_split_regex(trim(t2), ' +') AS toks FROM d2
-        |), la AS MATERIALIZED (
-        |  SELECT doc_id AS lid, toks AS lt, CAST(i + 1 AS BIGINT) AS lp,
-        |    array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 7 AS INT)], ' ')
-        |      AS g
-        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 6)) AS i
-        |        FROM tk WHERE doc_id % 7 = 3)
-        |), ra AS MATERIALIZED (
-        |  SELECT doc_id AS rid, toks AS rt, CAST(i + 1 AS BIGINT) AS rp,
-        |    array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 7 AS INT)], ' ')
-        |      AS g
-        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 6)) AS i
-        |        FROM tk WHERE doc_id % 7 != 3)
-        |), ext AS (
-        |  SELECT lid, rid, lp, rp, lt, rt,
-        |    LEAST(lp, rp) - 1 AS liml,
-        |    LEAST(len(lt) - lp - 6, len(rt) - rp - 6) AS limr
-        |  FROM la JOIN ra ON la.g = ra.g
-        |), e2 AS (
-        |  SELECT lid, rid, lp, rp,
-        |    CASE WHEN liml < 1 THEN 0 ELSE (
-        |      CASE WHEN ml > 0 THEN ml - 1 ELSE liml END) END AS el,
-        |    CASE WHEN limr < 1 THEN 0 ELSE (
-        |      CASE WHEN mr > 0 THEN mr - 1 ELSE limr END) END AS er
-        |  FROM ext, LATERAL (SELECT
-        |    COALESCE(list_position(list_transform(range(1, liml + 1),
-        |      i -> lt[CAST(lp - i AS INT)] = rt[CAST(rp - i AS INT)]),
-        |      false), 0) AS ml,
-        |    COALESCE(list_position(list_transform(range(1, limr + 1),
-        |      i -> lt[CAST(lp + 6 + i AS INT)] = rt[CAST(rp + 6 + i AS INT)]),
-        |      false), 0) AS mr) x
+        |), d2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN concat_ws(chr(10), a, b, a, c)
+        |         WHEN doc_id % 3 = 1 THEN concat_ws(chr(10) || chr(10),
+        |           a || chr(10) || b, c, a || chr(10) || b)
+        |         ELSE concat_ws(chr(10), a, b, c) END AS t2
+        |  FROM seg
+        |), d3 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |           THEN '- ' || replace(t2, chr(10), chr(10) || '- ')
+        |         WHEN doc_id % 4 = 1
+        |           THEN replace(t2, chr(10), '...' || chr(10)) || '...'
+        |         WHEN doc_id % 4 = 2 THEN '# ' || t2
+        |         ELSE t2 END AS t3
+        |  FROM d2
+        |), m AS (
+        |  SELECT doc_id, t3,
+        |    list_filter(string_split(t3, chr(10)), x -> len(x) > 0) AS ln,
+        |    string_split_regex(trim(t3), ' +') AS toks
+        |  FROM d3
+        |), r AS (
+        |  SELECT doc_id,
+        |    CAST(len(ln) AS INT) AS n_lines,
+        |    CAST(len(list_filter(ln, x -> starts_with(x, '• ')
+        |      OR starts_with(x, '- ') OR starts_with(x, '* '))) AS INT)
+        |      AS bullets,
+        |    CAST(len(list_filter(ln, x -> ends_with(x, '...')
+        |      OR ends_with(x, '…'))) AS INT) AS ellipses,
+        |    CAST(len(toks) AS INT) AS n_words,
+        |    length(t3) - length(replace(t3, '#', '')) AS hashes,
+        |    CAST((length(t3) - length(replace(t3, '...', ''))) / 3.0
+        |      AS BIGINT) AS dots,
+        |    CAST(len(list_filter(toks,
+        |      t -> regexp_matches(t, '[A-Za-z]'))) AS INT) AS alpha
+        |  FROM m
         |)
-        |SELECT DISTINCT lid AS left_id, rid AS right_id,
-        |  CAST(lp - el AS BIGINT) AS left_start,
-        |  CAST(rp - el AS BIGINT) AS right_start,
-        |  CAST(el + 7 + er AS BIGINT) AS span_len
-        |FROM e2
-        |ORDER BY left_id, right_id, left_start, right_start""".stripMargin,
+        |SELECT doc_id, n_lines,
+        |  CASE WHEN n_lines = 0 THEN 0.0
+        |       ELSE CAST(bullets AS DOUBLE) / CAST(n_lines AS DOUBLE) END
+        |    AS bullet_line_frac,
+        |  CASE WHEN n_lines = 0 THEN 0.0
+        |       ELSE CAST(ellipses AS DOUBLE) / CAST(n_lines AS DOUBLE) END
+        |    AS ellipsis_line_frac,
+        |  n_words,
+        |  CAST(hashes + dots AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |    AS symbol_word_ratio,
+        |  CAST(alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_word_frac
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q105_bpe_encode" -> bpeEncodeOracle,
     "q107_bpe_ids" -> bpeIdsOracle,
     "q108_pack_bpe" -> bpePackOracle,

@@ -205,6 +205,52 @@ object TextFunctions {
     struct(metrics(lines, "line") ++ metrics(paras, "paragraph"): _*)
   }
 
+  /** Gopher line-format quality rules (Rae et al. 2021, Table A1 — the
+    * formatting siblings of [[structuralRepetitionMetrics]]): the
+    * fraction of lines that START with a bullet marker (`• `, `- `,
+    * `* ` — Gopher drops at 90%), the fraction that END in an
+    * ellipsis (`...` or `…` — drops at 30%, the truncated-listicle
+    * signal), the `#`/`...` symbol-to-word ratio (drops at 0.1), and
+    * the fraction of words containing at least one alphabetic
+    * character (keeps at 80%). Lines are the non-empty `\n` segments,
+    * words the whitespace tokens; symbol counts ride the
+    * `length − length(replace)` identity (non-overlapping
+    * leftmost-first, identical cross-engine), so every fraction is a
+    * single division of exact integers. Map-only per-row expressions,
+    * no shuffle; empty docs score 0 on line fractions, and the
+    * one-empty-token contract of [[tokens]] keeps the word divisions
+    * total. One struct per document: (`n_lines`, `bullet_line_frac`,
+    * `ellipsis_line_frac`, `n_words`, `symbol_word_ratio`,
+    * `alpha_word_frac`). */
+  def gopherLineRules(c: Column): Column = {
+    val lines = filter(split(c, "\n"), u => length(u) > 0)
+    val n = size(lines)
+    val bullets = size(filter(lines, u =>
+      startswith(u, lit("• ")) || startswith(u, lit("- ")) ||
+        startswith(u, lit("* "))))
+    val ellipses = size(filter(lines, u =>
+      endswith(u, lit("...")) || endswith(u, lit("…"))))
+    val toks = tokens(c)
+    val nWords = size(toks)
+    val hashes = length(c) - length(replace(c, lit("#"), lit("")))
+    val dotRuns = ((length(c) - length(replace(c, lit("..."), lit(""))))
+      .cast("double") / lit(3.0)).cast("long")
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    struct(
+      n.as("n_lines"),
+      when(n === 0, lit(0.0))
+        .otherwise(bullets.cast("double") / n.cast("double"))
+        .as("bullet_line_frac"),
+      when(n === 0, lit(0.0))
+        .otherwise(ellipses.cast("double") / n.cast("double"))
+        .as("ellipsis_line_frac"),
+      nWords.as("n_words"),
+      ((hashes + dotRuns).cast("double") / nWords.cast("double"))
+        .as("symbol_word_ratio"),
+      (alphaWords.cast("double") / nWords.cast("double"))
+        .as("alpha_word_frac"))
+  }
+
   /** Shannon entropy (bits) of the CHARACTER unigram distribution of a
     * string — the gibberish/low-diversity filter next to
     * [[repetitionMetrics]]: binary junk decoded as text scores high,

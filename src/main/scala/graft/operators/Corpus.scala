@@ -785,6 +785,51 @@ object Corpus {
         "span_len")
   }
 
+  /** Offset-addressed span removal — the surgical CUT that consumes
+    * [[exactSubstringSpans]] output (or any (id, start, len) span
+    * table): every token position covered by a span is excised and
+    * the document rebuilt from the survivors, so a training doc
+    * leaking a benchmark span loses exactly the leaked run, not the
+    * whole page ([[removeDuplicatedSpans]] is the same surgery
+    * decided by corpus-wide gram frequency; this one is decided by an
+    * explicit span list — detect with offsets, then cut).
+    *
+    * Scale shape: spans aggregate to ONE (start, len) array per doc
+    * (span count is bounded by doc length — the bounded-doc-row
+    * assumption of every per-doc array op in this file), ONE equi
+    * join back to the corpus (AQE broadcasts a small span side), and
+    * the rebuild is map-side per-doc array work. Docs with no spans
+    * pass through unchanged via the left join. Output: one row per
+    * input doc — (`idCol`, `n_tokens`, `n_removed`, `cleaned_text`). */
+  def removeSpansAt(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: DataFrame,
+      spanIdCol: String,
+      startCol: String,
+      lenCol: String): DataFrame = {
+    val emptyS = array().cast("array<string>")
+    val perDoc = spans.select(col(spanIdCol).as("id"),
+        struct(col(startCol).cast("long").as("s"),
+          col(lenCol).cast("long").as("n")).as("sp"))
+      .groupBy("id").agg(collect_list(col("sp")).as("sps"))
+    val docs = df.select(col(idCol).as("id"),
+      coalesce(TextFunctions.tokens(col(textCol)), emptyS).as("toks"))
+    docs.join(perDoc, Seq("id"), "left")
+      .withColumn("sps", coalesce(col("sps"),
+        array().cast("array<struct<s:bigint,n:bigint>>")))
+      .withColumn("kept",
+        filter(col("toks"), (_, p0) =>
+          !exists(col("sps"), sp =>
+            p0 + 1 >= sp.getField("s") &&
+              p0 + 1 < sp.getField("s") + sp.getField("n"))))
+      .select(col("id").as(idCol),
+        size(col("toks")).as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+  }
+
   /** Boilerplate LINE removal — the line-granularity companion to
     * [[removeDuplicatedSpans]] and the recipe CCNet (Wenzek et al.,
     * LREC'20) actually runs on web text: a line (navigation chrome,

@@ -423,7 +423,8 @@ class GraftExpressionsSpec extends AnyFunSuite {
       "graft_quantized_dot", "graft_sorted_intersect", "graft_sparse_dot",
       "graft_pq_encode", "graft_bloom_might_contain",
       "graft_unicode_normalize", "graft_dhash64", "graft_replace_chain",
-      "graft_jaro_winkler", "graft_unigram_segment"))
+      "graft_jaro_winkler", "graft_unigram_segment",
+      "graft_byte_unicode", "graft_byte_unicode_inv"))
     // per-session registration: repeated calls are safe, functions resolve
     GraftFunctions.ensureRegistered(spark)
     GraftFunctions.ensureRegistered(spark)

@@ -195,6 +195,81 @@ class PackingDecontamSpec extends AnyFunSuite {
     assert(spans(ls, rs, 3) == expect)
   }
 
+  test("removeSpansAt: cuts exactly the covered positions") {
+    val docs = table("id bigint, text string", Seq(
+      row(1L, "a b c d e f g h"),
+      row(2L, "u v w x y"),      // no spans -> untouched
+      row(3L, "q r s t")))       // fully covered -> empty
+    val spans = table("rid bigint, st bigint, ln bigint", Seq(
+      row(1L, 3L, 2L),           // cut c d
+      row(1L, 6L, 2L),           // cut f g
+      row(1L, 2L, 2L),           // overlaps: cut b c (with first span)
+      row(3L, 1L, 4L)))
+    val got = Corpus.removeSpansAt(docs, "id", "text", spans,
+        "rid", "st", "ln")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got(0) == ((1L, 8, 5, "a e h")))
+    assert(got(1) == ((2L, 5, 0, "u v w x y")))
+    assert(got(2) == ((3L, 4, 4, "")))
+  }
+
+  test("removeSpansAt closes the loop: detect then cut kills the overlap") {
+    val left = table("id bigint, text string",
+      Seq(row(1L, "p q shared run of five x")))
+    val right = table("id bigint, text string",
+      Seq(row(2L, "start shared run of five end tail")))
+    val spans = Corpus.exactSubstringSpans(left, "id", "text",
+      right, "id", "text", minTokens = 4)
+    val cleaned = Corpus.removeSpansAt(right, "id", "text", spans,
+      "right_id", "right_start", "span_len")
+    val r = cleaned.head()
+    assert(r.getAs[String]("cleaned_text") == "start end tail")
+    // and re-detecting on the cleaned text finds nothing
+    val cleanedRight = table("id bigint, text string",
+      Seq(row(2L, r.getAs[String]("cleaned_text"))))
+    val again = Corpus.exactSubstringSpans(left, "id", "text",
+      cleanedRight, "id", "text", minTokens = 4)
+    assert(again.count() == 0L)
+  }
+
+  // -------------------------------------------- Gopher line rules
+
+  test("gopherLineRules: bullets, ellipses, symbols, alpha words") {
+    val docs = table("id bigint, text string", Seq(
+      row(1L, "- item one\n- item two\nplain line"),
+      row(2L, "first part...\nsecond...\nthird"),
+      row(3L, "# one # two 42 99"),
+      row(4L, "")))
+    val got = docs.select(col("id"),
+        TextFunctions.gopherLineRules(col("text")).as("m"))
+      .orderBy("id").collect().map(_.getStruct(1))
+    assert(got(0).getAs[Double]("bullet_line_frac") == 2.0 / 3.0)
+    assert(got(0).getAs[Double]("ellipsis_line_frac") == 0.0)
+    assert(got(1).getAs[Double]("ellipsis_line_frac") == 2.0 / 3.0)
+    // doc 3: 2 hashes, 0 dot runs, 6 words; 2 alpha of 6
+    assert(got(2).getAs[Int]("n_words") == 6)
+    assert(got(2).getAs[Double]("symbol_word_ratio") == 2.0 / 6.0)
+    assert(got(2).getAs[Double]("alpha_word_frac") == 2.0 / 6.0)
+    // empty doc: zero lines, fractions 0; one empty word, 0 alpha
+    assert(got(3).getAs[Int]("n_lines") == 0)
+    assert(got(3).getAs[Double]("bullet_line_frac") == 0.0)
+    assert(got(3).getAs[Double]("alpha_word_frac") == 0.0)
+  }
+
+  test("gopherLineRules: dot runs count non-overlapping, unicode ellipsis") {
+    val docs = table("text string",
+      Seq(row("wait...... what…\nok")))
+    val m = docs.select(TextFunctions.gopherLineRules(col("text")).as("m"))
+      .head().getStruct(0)
+    // '......' = two non-overlapping '...' runs; words are SPACE-split
+    // ('what…\nok' is one token), so 2 symbols over 2 words
+    assert(m.getAs[Int]("n_words") == 2)
+    assert(m.getAs[Double]("symbol_word_ratio") == 1.0)
+    // line 1 ends with the unicode ellipsis
+    assert(m.getAs[Double]("ellipsis_line_frac") == 0.5)
+  }
+
   test("spans: hot anchor gram fails loudly count-first") {
     val many = table("id bigint, text string",
       (1L to 30L).map(i => row(i, "same five token run here")))
