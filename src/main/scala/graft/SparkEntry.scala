@@ -7300,6 +7300,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q392
+  /** Streaming exact-substring firewall ([[graft.streaming.StreamGate
+    * .replayExactSubstringGate]]): the train split arrives as a file
+    * stream in multi-file micro-batches, each batch gated against the
+    * STATIC eval split by [[graft.operators.Corpus
+    * .dropExactSubstringMatches]] — the verbatim-leak twin of q113's
+    * fuzzy firewall. Verdicts are per-doc against the static side, so
+    * the replay's oracle is the plain batch semantics: every train
+    * doc sharing NO token run >= 7 with any eval doc (a doc wrongly
+    * dropped or leaked in ANY micro-batch fails the hash). */
+  private def q392StreamExactSubstringGate(
+      s: SparkSession, dir: String): DataFrame = {
+    val planted = plantedSpanDocs(s, dir)
+    val eval = planted.filter(col("doc_id") % 7 === 3)
+    val train = planted.filter(col("doc_id") % 7 =!= 3)
+    graft.streaming.StreamGate.replayExactSubstringGate(
+        train, "doc_id", "text2", eval, "doc_id", "text2", minTokens = 7)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text2")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q380
   /** Unigram token-id streams (the q107 analogue for the unigram
     * family — BPE and unigram now both close the loop train → encode
@@ -7786,6 +7808,7 @@ object SparkEntry {
     "q389_exact_substring_spans" -> (q389ExactSubstringSpans _),
     "q390_remove_spans" -> (q390RemoveSpans _),
     "q391_gopher_line_rules" -> (q391GopherLineRules _),
+    "q392_stream_exact_substring_gate" -> (q392StreamExactSubstringGate _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -11666,6 +11689,15 @@ object SparkEntry {
         |FROM g ORDER BY seq_id""".stripMargin,
     "q389_exact_substring_spans" -> exactSpansOracle,
     "q390_remove_spans" -> removeSpansOracle,
+    // per-doc verdicts against a static benchmark: micro-batch split
+    // provably cannot change the survivor set — batch-semantics oracle
+    "q392_stream_exact_substring_gate" -> (exactSpansCte +
+      """
+        |SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens
+        |FROM tk t
+        |WHERE t.doc_id % 7 != 3
+        |  AND NOT EXISTS (SELECT 1 FROM spans s WHERE s.right_id = t.doc_id)
+        |ORDER BY t.doc_id""".stripMargin),
     "q391_gopher_line_rules" ->
       """WITH seg AS (
         |  SELECT doc_id, substring(text, 1, 50) AS a,

@@ -785,6 +785,37 @@ object Corpus {
         "span_len")
   }
 
+  /** Whole-document exact-substring firewall — the drop/keep gate over
+    * [[exactSubstringSpans]]: documents sharing ANY verbatim token run
+    * >= `minTokens` with the benchmark corpus are dropped wholesale
+    * (the policy most eval-decontamination pipelines run;
+    * [[removeSpansAt]] is the keep-and-cut alternative when the doc
+    * should survive minus the leak). Verdicts are per-document and
+    * depend only on the STATIC benchmark side, so the gate is
+    * partition- and arrival-order-invariant — the property the
+    * streaming replay's oracle rests on.
+    *
+    * Scale shape: [[exactSubstringSpans]]'s candidate machinery
+    * (hashed anchors, count-first guard) reduced to its cheapest
+    * consumer — only DISTINCT contaminated ids survive the span
+    * table, then ONE left_anti equi join (AQE broadcasts the id
+    * set). */
+  def dropExactSubstringMatches(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      minTokens: Int,
+      maxPositionsPerGram: Int = 10000): DataFrame = {
+    val contaminated = exactSubstringSpans(
+        benchmark, benchIdCol, benchTextCol, docs, idCol, textCol,
+        minTokens, maxPositionsPerGram)
+      .select(col("right_id").as(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Offset-addressed span removal — the surgical CUT that consumes
     * [[exactSubstringSpans]] output (or any (id, start, len) span
     * table): every token position covered by a span is excised and

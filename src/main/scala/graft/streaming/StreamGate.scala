@@ -565,6 +565,63 @@ object StreamGate {
     }
   }
 
+  /** Streaming EXACT-substring ingestion firewall — the verbatim-leak
+    * twin of [[replayNearDupGate]]: each micro-batch of arriving
+    * documents is gated against the STATIC benchmark corpus with the
+    * batch operator
+    * ([[graft.operators.Corpus.dropExactSubstringMatches]]) inside
+    * `foreachBatch` — anchors, count-first guard, verification walk,
+    * and the anti join all run per trigger, because a per-doc verdict
+    * needs the whole candidate machinery, not a stateless transform.
+    * Verdicts are per-document and depend only on the static side, so
+    * the micro-batch split provably cannot change any answer and the
+    * replay faces the exact batch oracle — the q113 pattern at exact
+    * (rather than Jaccard) semantics. State never accumulates: the
+    * benchmark IS the state, owned outside the query.
+    * @note one-generation replay contract — see the object doc. */
+  def replayExactSubstringGate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      minTokens: Int,
+      maxPositionsPerGram: Int = 10000,
+      filesPerTrigger: Int = 2): DataFrame = replayLock.synchronized {
+    val spark = docs.sparkSession
+    val src = tempDir("graft_docs_src")
+    docs.coalesce(8).write.mode("overwrite").parquet(src)
+    val out = tempDir("graft_stream_out")
+    val ck = tempDir("graft_stream_ck")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    ProgressLedger.ensure(spark) // before start: the ledger must see every event
+    try {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Corpus.dropExactSubstringMatches(batch, idCol,
+              textCol, benchmark, benchIdCol, benchTextCol, minTokens,
+              maxPositionsPerGram)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastObs = Some(observabilityOf(q))
+      releaseLastReplay(
+        spark.read.schema(docs.schema).parquet(out).localCheckpoint())
+    } finally {
+      spark.conf.set(key, prev)
+      Seq(src, out, ck).foreach(deleteRecursively)
+    }
+  }
+
   /** Streaming shot-boundary detection: the media table (id, binary
     * payload) arriving as a FILE stream — the ingest-time shape of a
     * video pipeline, where cut detection runs as assets land, not as a

@@ -233,6 +233,26 @@ class PackingDecontamSpec extends AnyFunSuite {
     assert(again.count() == 0L)
   }
 
+  test("exact-substring gate: batch drops leaks; stream replay == batch") {
+    val bench = table("id bigint, text string", Seq(
+      row(100L, "alpha beta gamma delta epsilon zeta"),
+      row(101L, "one two three four five six")))
+    val docs = table("id bigint, text string", Seq(
+      row(1L, "x alpha beta gamma delta y"),     // 4-run leak -> drop
+      row(2L, "clean doc with its own words"),
+      row(3L, "y one two three four z"),         // 4-run leak -> drop
+      row(4L, "three four five but only a trio"))) // 3-run < L -> keep
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val batch = Corpus.dropExactSubstringMatches(docs, "id", "text",
+      bench, "id", "text", minTokens = 4)
+    assert(ids(batch) == Set(2L, 4L))
+    val stream = graft.streaming.StreamGate.replayExactSubstringGate(
+      docs.repartition(3), "id", "text", bench, "id", "text", minTokens = 4,
+      filesPerTrigger = 1)
+    assert(ids(stream) == Set(2L, 4L), "stream survivors must equal batch")
+  }
+
   // -------------------------------------------- Gopher line rules
 
   test("gopherLineRules: bullets, ellipses, symbols, alpha words") {
