@@ -7300,6 +7300,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q393
+  /** Embedding-truncation retrieval eval ([[graft.operators.Similarity
+    * .embeddingTruncationReport]] — the Matryoshka adoption question):
+    * exact cosine top-10 under 8/16/32-dim prefixes vs the full
+    * 64-dim exact top-10, recall@10 per budget over the sampled query
+    * set. The oracle replays every pairwise prefix cosine (the q201
+    * index-order double discipline over list slices), both rankings
+    * with the (cos DESC, id ASC) tie rule, the set intersection, and
+    * the exact recall division. */
+  private def q393TruncationRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity.embeddingTruncationReport(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") % 101 === 7), "vec_id", "embedding",
+      dimBudgets = Seq(8, 16, 32), k = 10)
+  }
+
   // ---------------------------------------------------------------- q392
   /** Streaming exact-substring firewall ([[graft.streaming.StreamGate
     * .replayExactSubstringGate]]): the train split arrives as a file
@@ -7809,6 +7826,7 @@ object SparkEntry {
     "q390_remove_spans" -> (q390RemoveSpans _),
     "q391_gopher_line_rules" -> (q391GopherLineRules _),
     "q392_stream_exact_substring_gate" -> (q392StreamExactSubstringGate _),
+    "q393_truncation_recall" -> (q393TruncationRecall _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -11689,6 +11707,45 @@ object SparkEntry {
         |FROM g ORDER BY seq_id""".stripMargin,
     "q389_exact_substring_spans" -> exactSpansOracle,
     "q390_remove_spans" -> removeSpansOracle,
+    "q393_truncation_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id % 101 = 7
+        |), c AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |), sc AS MATERIALIZED (
+        |  SELECT qid, cid, d,
+        |    CASE WHEN l.nq2 = 0 OR l.nc2 = 0 THEN 0.0
+        |         ELSE l.dot / (sqrt(l.nq2) * sqrt(l.nc2)) END AS cos
+        |  FROM q, c, (VALUES (8), (16), (32), (64)) b(d),
+        |  LATERAL (SELECT
+        |    list_sum(list_transform(list_zip(qv[1:d], cv[1:d]),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(qv[1:d],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq2,
+        |    list_sum(list_transform(cv[1:d],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nc2) l
+        |  WHERE cid != qid
+        |), rk AS (
+        |  SELECT qid, cid, d,
+        |    row_number() OVER (PARTITION BY qid, d
+        |      ORDER BY cos DESC, cid ASC) AS r
+        |  FROM sc
+        |), top AS MATERIALIZED (
+        |  SELECT qid, cid, d FROM rk WHERE r <= 10
+        |), hits AS (
+        |  SELECT t.d, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM top t JOIN top f
+        |    ON f.d = 64 AND f.qid = t.qid AND f.cid = t.cid
+        |  WHERE t.d != 64 GROUP BY t.d
+        |), nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q)
+        |SELECT CAST(b.d AS INT) AS dims_budget, CAST(64 AS INT) AS full_dims,
+        |  nq.n AS n_queries, CAST(10 AS INT) AS k,
+        |  COALESCE(h.n_hits, 0) AS n_hits,
+        |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / (nq.n * 10) AS recall
+        |FROM (VALUES (8), (16), (32)) b(d)
+        |LEFT JOIN hits h ON h.d = b.d, nq
+        |ORDER BY dims_budget""".stripMargin,
     // per-doc verdicts against a static benchmark: micro-batch split
     // provably cannot change the survivor set — batch-semantics oracle
     "q392_stream_exact_substring_gate" -> (exactSpansCte +

@@ -105,6 +105,111 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
+  /** Embedding-truncation retrieval eval (the Matryoshka/MRL adoption
+    * question: how many trailing dimensions can an index drop before
+    * retrieval degrades?): for a SAMPLED query set, exact cosine top-k
+    * under each prefix-dimension budget is compared against the
+    * full-dimension exact top-k, and recall@k is reported per budget —
+    * the number that decides whether a 4x-smaller truncated index is
+    * safe to ship. Ground truth and candidates both come from the
+    * same exact scoring (no ANN in the loop), so the report isolates
+    * the TRUNCATION effect alone.
+    *
+    * Determinism: cosines ride the fused [[graft.expressions
+    * .GraftFunctions.cosineF32]] loop (double accumulation in index
+    * order — engine-reproducible, the q201 discipline) over column
+    * SLICES, ranking ties break by id, so both top-k sets and every
+    * recall fraction are exact. Queries also in the corpus never match
+    * themselves (id inequality on the pair).
+    *
+    * Scale shape: queries are LOUDLY bounded (`maxQueries`) and enter
+    * the plan as LITERAL vectors (the IVF-centroid discipline — only
+    * n_queries × dims floats reach the driver, and the scoring plan
+    * has NO join node, nested-loop or otherwise); the corpus is
+    * scanned ONCE with per-row work = n_queries × budgets fused
+    * cosines (query literals pre-sliced at build time, norms inside
+    * the same compiled loop — no interpreted HOF); per-(query,
+    * budget) top-k rides the bounded-heap [[graft.functions
+    * .Aggregators.topKPerGroup]] (map-side partial heaps, k rows per
+    * group in the shuffle — never a corpus-wide sort). Output: one
+    * row per budget — (`dims_budget`, `full_dims`, `n_queries`, `k`,
+    * `n_hits`, `recall`), recall the single exact division
+    * hits/(n_queries*k). */
+  def embeddingTruncationReport(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      dimBudgets: Seq[Int],
+      k: Int,
+      maxQueries: Int = 1024): DataFrame = {
+    require(dimBudgets.nonEmpty && dimBudgets.forall(_ >= 1),
+      s"dimBudgets ($dimBudgets) must be non-empty positive")
+    require(dimBudgets.distinct.size == dimBudgets.size,
+      s"dimBudgets ($dimBudgets) must be distinct")
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(maxQueries >= 1, "maxQueries must be >= 1")
+    val spark = corpus.sparkSession
+    val qRows = queries.select(col(qIdCol).cast("long").as("__qid"),
+        col(qVecCol).as("__qv"))
+      .limit(maxQueries + 1).collect() // bounded driver read (guarded)
+    require(qRows.length <= maxQueries,
+      s"embeddingTruncationReport: over $maxQueries queries — sample the " +
+        "query side (the report is per-query exact scoring; its cost is " +
+        "n_queries corpus scans' worth of per-row work)")
+    require(qRows.nonEmpty, "embeddingTruncationReport: no queries")
+    val nq = qRows.length.toLong
+    val dimRow = corpus.agg(min(size(col(vecCol))).as("lo"),
+      max(size(col(vecCol))).as("hi")).head()
+    val dims = dimRow.getInt(0)
+    require(dims == dimRow.getInt(1),
+      s"embeddingTruncationReport: ragged dims [$dims, ${dimRow.getInt(1)}]")
+    require(dimBudgets.forall(_ < dims),
+      s"dimBudgets ($dimBudgets) must be < full dims ($dims)")
+    val c = corpus.select(col(idCol).cast("long").as("__cid"),
+      col(vecCol).as("__cv"))
+    // a zero-norm PREFIX (all-zero leading dims) reads 0/0 = NaN from
+    // the fused loop — score it 0 so it ranks below any real match
+    // (the oracle's CASE WHEN norm = 0 twin)
+    def cosTo(qv: Seq[Float], d: Int): Column = {
+      val raw =
+        if (d == dims)
+          GraftFunctions.cosineF32(corpus, vectorLit(qv), col("__cv"))
+        else
+          GraftFunctions.cosineF32(corpus,
+            vectorLit(qv.take(d)), slice(col("__cv"), 1, d))
+      when(isnan(raw), lit(0.0)).otherwise(raw)
+    }
+    val entries: Seq[Column] = for {
+      qr <- qRows.toSeq
+      d <- dimBudgets :+ dims
+    } yield struct(lit(qr.getLong(0)).as("qid"), lit(d).as("d"),
+      cosTo(qr.getSeq[Float](1), d).as("cos"))
+    val stacked = c
+      .select(col("__cid"), explode(array(entries: _*)).as("__e"))
+      .select(col("__e.qid").as("__qid"), col("__cid"),
+        col("__e.d").as("__d"), col("__e.cos").as("__cos"))
+      .filter(col("__qid") =!= col("__cid"))
+    val ranked = graft.functions.Aggregators.topKPerGroup(
+      stacked, Seq("__qid", "__d"), "__cos", "__cid", k)
+    val fullTop = ranked.filter(col("__d") === dims)
+      .select(col("__qid"), col("__cid"))
+    val hits = ranked.filter(col("__d") =!= dims)
+      .join(fullTop, Seq("__qid", "__cid"))
+      .groupBy(col("__d")).agg(count(lit(1)).as("n_hits"))
+    import spark.implicits._
+    dimBudgets.toDF("__d")
+      .join(hits, Seq("__d"), "left")
+      .select(col("__d").as("dims_budget"), lit(dims).as("full_dims"),
+        lit(nq).as("n_queries"), lit(k).as("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          lit(nq.toDouble * k)).as("recall"))
+      .orderBy("dims_budget")
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
     * a splitmix64-style integer mix of (plane, dim) — no RNG state, so
     * every executor and every run derives identical planes. */

@@ -71,6 +71,54 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(out == Seq((2L, 2), (1L, 3)))
   }
 
+  test("embeddingTruncationReport: hand-computed recall, prefix flips rank") {
+    import graft.operators.Similarity
+    // query [1,0,0,0]; full-dim ranking c(0.5) > b(0.316) > a(0);
+    // 2-dim prefixes rank b(1.0) > c(0.707) > a(0) — truncation FLIPS
+    // the winner, so recall@1 = 0 while the top-2 SET is unchanged
+    val emb = table("vec_id bigint, embedding array<float>", Seq(
+      row(1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // the query row
+      row(2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // a
+      row(3L, Seq(1.0f, 0.0f, 0.0f, 3.0f)),   // b
+      row(4L, Seq(0.5f, 0.5f, 0.5f, 0.5f))))  // c
+    val q = emb.filter(col("vec_id") === 1L)
+    def recalls(k: Int) = Similarity.embeddingTruncationReport(
+        emb, "vec_id", "embedding", q, "vec_id", "embedding",
+        dimBudgets = Seq(2), k = k)
+      .collect().map(r => (r.getAs[Int]("dims_budget"),
+        r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))).toSeq
+    assert(recalls(1) == Seq((2, 0L, 0.0)))
+    assert(recalls(2) == Seq((2, 2L, 1.0)))
+  }
+
+  test("embeddingTruncationReport: zero-norm prefix scores 0, guards fire") {
+    import graft.operators.Similarity
+    // query's 2-dim prefix is all-zero: every prefix cosine is 0, so
+    // the d=2 top-1 is the lowest id, not NaN-poisoned
+    val emb = table("vec_id bigint, embedding array<float>", Seq(
+      row(1L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      row(2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      row(3L, Seq(0.0f, 0.0f, 1.0f, 1.0f))))
+    val q = emb.filter(col("vec_id") === 1L)
+    val out = Similarity.embeddingTruncationReport(
+        emb, "vec_id", "embedding", q, "vec_id", "embedding",
+        dimBudgets = Seq(2), k = 1)
+      .collect()
+    // full top-1 = {3} (cos 1/sqrt(2)); d2 top-1 = {2} (all cos 0, id
+    // tie-break) -> 0 hits, and no NaN anywhere
+    assert(out.length == 1 && out(0).getAs[Long]("n_hits") == 0L)
+    val tooMany = intercept[IllegalArgumentException] {
+      Similarity.embeddingTruncationReport(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", Seq(2), k = 1, maxQueries = 2)
+    }
+    assert(tooMany.getMessage.contains("queries"))
+    val badBudget = intercept[IllegalArgumentException] {
+      Similarity.embeddingTruncationReport(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", Seq(4), k = 1)
+    }
+    assert(badBudget.getMessage.contains("full dims"))
+  }
+
   test("capPerStratumSample: computed rates match hand-specified stratifiedHashSample") {
     val rows = (0L until 10L).map(i => row(i, "big")) ++
       (100L until 103L).map(i => row(i, "small"))
