@@ -7317,6 +7317,22 @@ object SparkEntry {
       dimBudgets = Seq(8, 16, 32), k = 10)
   }
 
+  // ---------------------------------------------------------------- q394
+  /** Two-stage truncated-retrieve → full-dim re-rank eval
+    * ([[graft.operators.Similarity.truncatedRerankReport]] — the
+    * funnel q393's curve motivates): stage-1 top-m by 16-dim prefix
+    * cosine, stage-2 re-ranks those m at full 64 dims, recall@10 vs
+    * exact per candidate budget m. The oracle replays both cosines
+    * per pair, the prefix ranking, the within-funnel re-ranking, the
+    * exact ranking, and the intersection counts. */
+  private def q394TruncatedRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity.truncatedRerankReport(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") % 101 === 7), "vec_id", "embedding",
+      prefixDims = 16, mCandidates = Seq(20, 50, 100), k = 10)
+  }
+
   // ---------------------------------------------------------------- q392
   /** Streaming exact-substring firewall ([[graft.streaming.StreamGate
     * .replayExactSubstringGate]]): the train split arrives as a file
@@ -7827,6 +7843,7 @@ object SparkEntry {
     "q391_gopher_line_rules" -> (q391GopherLineRules _),
     "q392_stream_exact_substring_gate" -> (q392StreamExactSubstringGate _),
     "q393_truncation_recall" -> (q393TruncationRecall _),
+    "q394_truncated_rerank" -> (q394TruncatedRerank _),
   )
 
   /** Shared by q110 (batch semantic decontamination) and q173 (the
@@ -11746,6 +11763,61 @@ object SparkEntry {
         |FROM (VALUES (8), (16), (32)) b(d)
         |LEFT JOIN hits h ON h.d = b.d, nq
         |ORDER BY dims_budget""".stripMargin,
+    "q394_truncated_rerank" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id % 101 = 7
+        |), c AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |), sc AS MATERIALIZED (
+        |  SELECT qid, cid,
+        |    CASE WHEN l.np = 0 OR l.ncp = 0 THEN 0.0
+        |         ELSE l.dotp / (sqrt(l.np) * sqrt(l.ncp)) END AS cosp,
+        |    CASE WHEN l.nf = 0 OR l.ncf = 0 THEN 0.0
+        |         ELSE l.dotf / (sqrt(l.nf) * sqrt(l.ncf)) END AS cosf
+        |  FROM q, c,
+        |  LATERAL (SELECT
+        |    list_sum(list_transform(list_zip(qv[1:16], cv[1:16]),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dotp,
+        |    list_sum(list_transform(qv[1:16],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS np,
+        |    list_sum(list_transform(cv[1:16],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS ncp,
+        |    list_sum(list_transform(list_zip(qv, cv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dotf,
+        |    list_sum(list_transform(qv,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nf,
+        |    list_sum(list_transform(cv,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS ncf) l
+        |  WHERE cid != qid
+        |), ex AS MATERIALIZED (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cosf DESC, cid ASC) AS r FROM sc)
+        |  WHERE r <= 10
+        |), s1 AS (
+        |  SELECT qid, cid, cosf, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cosp DESC, cid ASC) AS pr
+        |  FROM sc
+        |), fun AS (
+        |  SELECT m, qid, cid FROM (
+        |    SELECT b.m, s.qid, s.cid,
+        |      row_number() OVER (PARTITION BY b.m, s.qid
+        |        ORDER BY s.cosf DESC, s.cid ASC) AS fr
+        |    FROM s1 s JOIN (VALUES (20), (50), (100)) b(m) ON s.pr <= b.m)
+        |  WHERE fr <= 10
+        |), hits AS (
+        |  SELECT f.m, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM fun f JOIN ex ON ex.qid = f.qid AND ex.cid = f.cid
+        |  GROUP BY f.m
+        |), nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q)
+        |SELECT CAST(16 AS INT) AS prefix_dims, CAST(b.m AS INT) AS m,
+        |  CAST(10 AS INT) AS k, nq.n AS n_queries,
+        |  COALESCE(h.n_hits, 0) AS n_hits,
+        |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / (nq.n * 10) AS recall
+        |FROM (VALUES (20), (50), (100)) b(m)
+        |LEFT JOIN hits h ON h.m = b.m, nq
+        |ORDER BY m""".stripMargin,
     // per-doc verdicts against a static benchmark: micro-batch split
     // provably cannot change the survivor set — batch-semantics oracle
     "q392_stream_exact_substring_gate" -> (exactSpansCte +

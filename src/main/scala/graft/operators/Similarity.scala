@@ -210,6 +210,109 @@ object Similarity {
       .orderBy("dims_budget")
   }
 
+  /** Two-stage truncated-retrieve → full-dim re-rank eval — the funnel
+    * [[embeddingTruncationReport]]'s recall numbers motivate: stage 1
+    * retrieves top-`m` candidates by PREFIX-dimension cosine (the
+    * cheap truncated index), stage 2 re-ranks only those `m` at full
+    * dimension, and the report gives recall@k of the funnel against
+    * the exact full-dimension top-k, per candidate budget `m` — the
+    * curve that picks the smallest stage-1 budget whose funnel recall
+    * is indistinguishable from exact search.
+    *
+    * Determinism and scale shape as [[embeddingTruncationReport]]:
+    * bounded literal queries, NO join in scoring (one derived scan
+    * per ranking branch — exact, stage-1, and the cosF join-back,
+    * each corpus-scan-shaped with per-row fused cosines), both
+    * cosines for a pair computed in the same projection, ties by id
+    * everywhere; the only windows run over per-query candidate sets
+    * (≤ max(m) rows per query), never the corpus. Output: one row per
+    * `m` — (`prefix_dims`, `m`, `k`, `n_queries`, `n_hits`,
+    * `recall`). */
+  def truncatedRerankReport(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      prefixDims: Int,
+      mCandidates: Seq[Int],
+      k: Int,
+      maxQueries: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(mCandidates.nonEmpty && mCandidates.forall(_ >= k),
+      s"mCandidates ($mCandidates) must be non-empty, each >= k ($k)")
+    require(mCandidates.distinct.size == mCandidates.size,
+      s"mCandidates ($mCandidates) must be distinct")
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(maxQueries >= 1, "maxQueries must be >= 1")
+    val spark = corpus.sparkSession
+    val qRows = queries.select(col(qIdCol).cast("long").as("__qid"),
+        col(qVecCol).as("__qv"))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"truncatedRerankReport: over $maxQueries queries — sample the " +
+        "query side")
+    require(qRows.nonEmpty, "truncatedRerankReport: no queries")
+    val nq = qRows.length.toLong
+    val dimRow = corpus.agg(min(size(col(vecCol))).as("lo"),
+      max(size(col(vecCol))).as("hi")).head()
+    val dims = dimRow.getInt(0)
+    require(dims == dimRow.getInt(1),
+      s"truncatedRerankReport: ragged dims [$dims, ${dimRow.getInt(1)}]")
+    require(prefixDims >= 1 && prefixDims < dims,
+      s"prefixDims ($prefixDims) must be in [1, $dims)")
+    val mMax = mCandidates.max
+    val c = corpus.select(col(idCol).cast("long").as("__cid"),
+      col(vecCol).as("__cv"))
+    def guard(raw: Column): Column =
+      when(isnan(raw), lit(0.0)).otherwise(raw)
+    val entries: Seq[Column] = qRows.toSeq.map { qr =>
+      val qv = qr.getSeq[Float](1)
+      struct(lit(qr.getLong(0)).as("qid"),
+        guard(GraftFunctions.cosineF32(corpus,
+          vectorLit(qv.take(prefixDims)),
+          slice(col("__cv"), 1, prefixDims))).as("cosp"),
+        guard(GraftFunctions.cosineF32(corpus,
+          vectorLit(qv), col("__cv"))).as("cosf"))
+    }
+    val scored = c
+      .select(col("__cid"), explode(array(entries: _*)).as("__e"))
+      .select(col("__e.qid").as("__qid"), col("__cid"),
+        col("__e.cosp").as("__cosp"), col("__e.cosf").as("__cosf"))
+      .filter(col("__qid") =!= col("__cid"))
+    val exact = graft.functions.Aggregators.topKPerGroup(
+        scored, Seq("__qid"), "__cosf", "__cid", k)
+      .select(col("__qid"), col("__cid"))
+    // stage-1 candidates at the LARGEST budget, full-dim score joined
+    // back (equi join, candidate-bounded), prefix rank recovered over
+    // the <= mMax-row per-query set
+    val s1 = graft.functions.Aggregators.topKPerGroup(
+      scored, Seq("__qid"), "__cosp", "__cid", mMax)
+    val s1f = s1.join(scored.select("__qid", "__cid", "__cosf"),
+        Seq("__qid", "__cid"))
+      .withColumn("__prank", row_number().over(Window.partitionBy("__qid")
+        .orderBy(col("__cosp").desc, col("__cid"))))
+    import spark.implicits._
+    val funnel = s1f
+      .withColumn("m", explode(array(mCandidates.map(lit): _*)))
+      .filter(col("__prank") <= col("m"))
+      .withColumn("__frank", row_number().over(Window.partitionBy("m", "__qid")
+        .orderBy(col("__cosf").desc, col("__cid"))))
+      .filter(col("__frank") <= k)
+      .select(col("m"), col("__qid"), col("__cid"))
+    val hits = funnel.join(exact, Seq("__qid", "__cid"))
+      .groupBy("m").agg(count(lit(1)).as("n_hits"))
+    mCandidates.toDF("m")
+      .join(hits, Seq("m"), "left")
+      .select(lit(prefixDims).as("prefix_dims"), col("m"),
+        lit(k).as("k"), lit(nq).as("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          lit(nq.toDouble * k)).as("recall"))
+      .orderBy("m")
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
     * a splitmix64-style integer mix of (plane, dim) — no RNG state, so
     * every executor and every run derives identical planes. */

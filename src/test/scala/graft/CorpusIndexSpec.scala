@@ -119,6 +119,30 @@ class CorpusIndexSpec extends AnyFunSuite {
     assert(badBudget.getMessage.contains("full dims"))
   }
 
+  test("truncatedRerankReport: small funnel misses, larger funnel recovers") {
+    import graft.operators.Similarity
+    // prefix-2 ranking b > c > a, full ranking c > b > a: at m=1 the
+    // funnel only sees b and misses the true winner c; at m=2 the
+    // re-rank recovers c exactly
+    val emb = table("vec_id bigint, embedding array<float>", Seq(
+      row(1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      row(2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // a
+      row(3L, Seq(1.0f, 0.0f, 0.0f, 3.0f)),   // b
+      row(4L, Seq(0.5f, 0.5f, 0.5f, 0.5f))))  // c
+    val q = emb.filter(col("vec_id") === 1L)
+    val out = Similarity.truncatedRerankReport(
+        emb, "vec_id", "embedding", q, "vec_id", "embedding",
+        prefixDims = 2, mCandidates = Seq(1, 2), k = 1)
+      .collect().map(r => (r.getAs[Int]("m"), r.getAs[Long]("n_hits"),
+        r.getAs[Double]("recall"))).toSeq
+    assert(out == Seq((1, 0L, 0.0), (2, 1L, 1.0)))
+    val badM = intercept[IllegalArgumentException] {
+      Similarity.truncatedRerankReport(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", 2, Seq(1), k = 2)
+    }
+    assert(badM.getMessage.contains(">= k"))
+  }
+
   test("capPerStratumSample: computed rates match hand-specified stratifiedHashSample") {
     val rows = (0L until 10L).map(i => row(i, "big")) ++
       (100L until 103L).map(i => row(i, "small"))
