@@ -121,9 +121,17 @@ object Apss {
           log(lit(nDocs.toDouble) / col("__df").cast("double"))).as("__w"))
     val norms = w.groupBy("__id")
       .agg(sqrt(sum(col("__w") * col("__w"))).as("__norm"))
+    // Materialized ONCE: four branches consume nw (max-weight ranking,
+    // prefix-bound cumulative features, posting lists, verification
+    // vectors), and without the checkpoint each re-runs the idf join +
+    // norm aggregation + normalize join from tf — three redundant
+    // shuffle rounds over the corpus-length weight table (measured in
+    // the r19 plan audit: 4 identical Exchange subtrees). Same block
+    // release discipline as tf above.
     val nw = w.join(norms, "__id")
       .filter(col("__norm") > 0.0)
       .select(col("__id"), col("__gram"), (col("__w") / col("__norm")).as("__nw"))
+      .localCheckpoint()
 
     // Global feature order, hottest first: rank over (df desc, gram) via
     // the range-partitioned contiguous-id machinery.

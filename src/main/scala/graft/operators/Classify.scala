@@ -332,18 +332,32 @@ object Classify {
       labelCol: String,
       alpha: Double = 1.0): NbMultiModel = {
     require(alpha > 0.0, s"alpha ($alpha) must be positive")
-    val nullLabels = df.filter(col(labelCol).isNull).count()
-    require(nullLabels == 0,
-      s"trainMultinomialNB: $nullLabels rows have a NULL label")
     val docs = df.select(col(labelCol).cast("string").as("cls"),
       col(textCol).as("__text"))
+    // ONE corpus pass yields the aggregated (token, class) counts AND
+    // the doc-level totals: the corpus total and the NULL-label count
+    // ride the tokenize scan as observed metrics, and the aggregate is
+    // localCheckpoint'ed because four consumers read it (the distinct-
+    // vocabulary count, classTotals twice, the smoothed grid join) —
+    // previously each re-ran the full tokenize + count shuffle. The
+    // checkpoint is VOCABULARY-bounded (≤ v·k rows), never corpus-
+    // sized, so materializing it is safe at any corpus scale.
+    val obs = org.apache.spark.sql.Observation()
+    val tokCounts = docs
+      .observe(obs, count(lit(1)).as("__n"),
+        count(when(col("cls").isNull, lit(1))).as("__nulls"))
+      .select(col("cls"), explode(TextFunctions.tokens(col("__text"))).as("token"))
+      .groupBy("token", "cls").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val totRow = scala.concurrent.Await.result(
+      obs.future, scala.concurrent.duration.Duration(30, "seconds"))
+    val nullLabels = totRow.getLong(1)
+    require(nullLabels == 0,
+      s"trainMultinomialNB: $nullLabels rows have a NULL label")
+    val nTot = totRow.getLong(0)
     val classCounts = docs.groupBy("cls").agg(count(lit(1)).as("n_docs"))
     val k = classCounts.count()
     require(k >= 2, s"trainMultinomialNB needs >= 2 classes, got $k")
-    val nTot = docs.count()
-    val tokCounts = docs
-      .select(col("cls"), explode(TextFunctions.tokens(col("__text"))).as("token"))
-      .groupBy("token", "cls").agg(count(lit(1)).as("cnt"))
     val scal = tokCounts.agg(count_distinct(col("token")).as("v")).head()
     val v = scal.getLong(0)
     val classTotals = tokCounts.groupBy("cls").agg(sum(col("cnt")).as("tot"))
@@ -374,10 +388,14 @@ object Classify {
     val grid = tokCounts.select(col("token")).distinct()
       .select(col("token"), gridLit.as("__g"))
       .select(col("token"), col("__g.cls").as("cls"), col("__g.tot").as("tot"))
+    // Checkpointed like tokCounts (same v·k bound): scoring reads the
+    // vocabulary twice (seen-token join + the unseen anti-join's
+    // distinct), and without this each read re-ran the grid join.
     val vocab = grid.join(tokCounts, Seq("token", "cls"), "left")
       .select(col("token"), col("cls"),
         log((coalesce(col("cnt"), lit(0L)) + alpha) /
           (col("tot") + lit(alpha) * v)).as("lp"))
+      .localCheckpoint()
     val classes = classCounts.join(classTotals, "cls")
       .select(col("cls"),
         log(col("n_docs").cast("double") / lit(nTot.toDouble))

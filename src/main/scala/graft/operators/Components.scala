@@ -49,6 +49,22 @@ object Components {
     * explicitly the moment no live plan can reference them. Lineage
     * caveat: an unpersisted local checkpoint CANNOT recompute, so this
     * must only ever run on frames the returned plan does not read. */
+  /** Read a one-long observed metric off a frame that was just
+    * eagerly `localCheckpoint`ed: the checkpoint materialization runs
+    * the plan's `CollectMetrics` node, so the metric arrives with the
+    * checkpoint and the fixpoint test costs ZERO extra jobs (verified:
+    * the Observation future is completed synchronously by the
+    * checkpoint action). `fallback` recomputes the same value with a
+    * scan of the checkpointed blocks — correctness-identical, only
+    * paid if the metrics delivery ever fails to land in time. */
+  private def observedLong(
+      obs: org.apache.spark.sql.Observation, fallback: => Long): Long =
+    try {
+      val row = scala.concurrent.Await.result(
+        obs.future, scala.concurrent.duration.Duration(10, "seconds"))
+      row.getLong(0)
+    } catch { case _: java.util.concurrent.TimeoutException => fallback }
+
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
@@ -91,12 +107,20 @@ object Components {
         val nbMin = sym
           .join(labels.select(col("node").as("nb"), col("comp").as("nb_comp")), "nb")
           .groupBy("node").agg(min("nb_comp").as("nb_min"))
-        // eager checkpoint: materialized before the old gen dies
+        // eager checkpoint: materialized before the old gen dies. The
+        // changed-label count rides the checkpoint job as an observed
+        // metric, so the fixpoint test is free — previously a separate
+        // per-iteration pass over the labels (at corpus scale, one
+        // full label scan per iteration saved).
+        val obs = org.apache.spark.sql.Observation()
         val joined = ckpt(labels
           .join(nbMin, Seq("node"), "left")
           .select(col("node"), col("comp").as("__old"),
-            least(col("comp"), coalesce(col("nb_min"), col("comp"))).as("comp")))
-        converged = joined.filter(col("comp") < col("__old")).isEmpty
+            least(col("comp"), coalesce(col("nb_min"), col("comp"))).as("comp"))
+          .observe(obs,
+            count(when(col("comp") < col("__old"), lit(1))).as("__changed")))
+        converged = observedLong(obs,
+          joined.filter(col("comp") < col("__old")).count()) == 0L
         release(checkpoint) // superseded generation
         checkpoint = joined
         labels = joined.select("node", "comp") // reads the checkpoint, plan stays 1-node
@@ -245,11 +269,18 @@ object Components {
         .distinct())
       // Orient larger -> smaller; self-loops carry no connectivity (their
       // nodes still get labeled via `nodes`).
+      val curObs = org.apache.spark.sql.Observation()
       var cur = ckpt(edges
         .select(greatest(col(srcCol), col(dstCol)).as("u"),
           least(col(srcCol), col(dstCol)).as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct())
+        .distinct()
+        .observe(curObs, count(lit(1)).as("__n")))
+      // edge-set cardinality carried across rounds: each round's count
+      // rides its checkpoint job as an observed metric, so the
+      // fixpoint's count test costs zero extra passes (previously two
+      // block scans per round).
+      var curCount = observedLong(curObs, cur.count())
       var round = 0
       var converged = false
       while (!converged && round < maxRounds) {
@@ -264,19 +295,26 @@ object Components {
         // small-star on the larger->smaller orientation:
         // emit (x, min(N(u))) for every x in N(u) ∪ {u}
         val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+        val nextObs = org.apache.spark.sql.Observation()
         val next = ckpt(ls.join(ssMin, "u")
           .select(col("v").as("u"), col("m").as("v"))
           .unionByName(ssMin.select(col("u"), col("m").as("v")))
           .filter(col("u") =!= col("v"))
-          .distinct())
-        // both frames are checkpointed, so the fixpoint test scans
-        // blocks. Equal counts + empty anti join ⟺ set equality here,
-        // because both edge frames are `.distinct()` by construction —
-        // `except` would redundantly re-distinct both sides per round.
-        converged = next.count() == cur.count() &&
+          .distinct()
+          .observe(nextObs, count(lit(1)).as("__n")))
+        // Equal counts + empty anti join ⟺ set equality here, because
+        // both edge frames are `.distinct()` by construction (`except`
+        // would redundantly re-distinct both sides per round). Both
+        // counts ride their rounds' checkpoint jobs as observed
+        // metrics, so only the anti join — and only on rounds whose
+        // counts already agree, i.e. normally just the final one —
+        // costs a job.
+        val nextCount = observedLong(nextObs, next.count())
+        converged = nextCount == curCount &&
           next.join(cur, Seq("u", "v"), "left_anti").isEmpty
         release(cur) // superseded round (next is already material)
         cur = next
+        curCount = nextCount
         round += 1
       }
       require(converged,

@@ -720,35 +720,67 @@ object Corpus {
       rightTextCol: String,
       minTokens: Int,
       maxPositionsPerGram: Int = 10000): DataFrame = {
+    val (ldocs, lanch) = substringAnchorSide(left, leftIdCol, leftTextCol,
+      "left", minTokens, maxPositionsPerGram)
+    exactSubstringSpansFromLeft(ldocs, lanch, right, rightIdCol,
+      rightTextCol, minTokens, maxPositionsPerGram)
+  }
+
+  /** One side of [[exactSubstringSpans]]: the tokenized doc table
+    * `(<side>_id, __<side>t)` and the count-first-guarded anchor
+    * position table `(<side>_id, __<side>p, __g)`. Split out so a
+    * caller with a FROZEN side — the streaming firewall, whose
+    * benchmark corpus never changes for the gate's lifetime — can
+    * build and `localCheckpoint` it once instead of re-tokenizing,
+    * re-hashing and re-guarding it on every micro-batch. Deterministic
+    * given the input, so materializing it cannot change results. */
+  private[graft] def substringAnchorSide(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      side: String,
+      minTokens: Int,
+      maxPositionsPerGram: Int): (DataFrame, DataFrame) = {
     require(minTokens >= 2, s"minTokens ($minTokens) must be >= 2")
     require(maxPositionsPerGram >= 1, "maxPositionsPerGram must be >= 1")
     val l = minTokens
     val emptyS = array().cast("array<string>")
-    def anchors(df: DataFrame, idCol: String, textCol: String,
-        side: String): (DataFrame, DataFrame) = {
-      val docs = df.select(col(idCol).as(s"${side}_id"),
-        coalesce(TextFunctions.tokens(col(textCol)), emptyS)
-          .as(s"__${side}t"))
-      val pos = docs
-        .select(col(s"${side}_id"),
-          when(size(col(s"__${side}t")) < l, emptyS)
-            .otherwise(transform(sequence(lit(0), size(col(s"__${side}t")) - l),
-              i => array_join(slice(col(s"__${side}t"), i + 1, lit(l)), " ")))
-            .as("__grams"))
-        .select(col(s"${side}_id"), posexplode(col("__grams")).as(Seq("__i", "__gram")))
-        .select(col(s"${side}_id"), (col("__i") + 1).as(s"__${side}p"),
-          xxhash64(col("__gram")).as("__g"))
-      val guarded = BucketGuard.bounded(pos, Seq("__g"), minSize = 1,
-        maxBucket = maxPositionsPerGram, dropOversize = false,
-        oversizeMsg = n => concat(
-          lit(s"exactSubstringSpans: $side-side anchor gram at "),
-          n.cast("string"),
-          lit(s" positions exceeds maxPositionsPerGram=$maxPositionsPerGram" +
-            " — remove corpus-wide boilerplate upstream or raise the budget")))
-      (docs, guarded)
-    }
-    val (ldocs, lanch) = anchors(left, leftIdCol, leftTextCol, "left")
-    val (rdocs, ranch) = anchors(right, rightIdCol, rightTextCol, "right")
+    val docs = df.select(col(idCol).as(s"${side}_id"),
+      coalesce(TextFunctions.tokens(col(textCol)), emptyS)
+        .as(s"__${side}t"))
+    val pos = docs
+      .select(col(s"${side}_id"),
+        when(size(col(s"__${side}t")) < l, emptyS)
+          .otherwise(transform(sequence(lit(0), size(col(s"__${side}t")) - l),
+            i => array_join(slice(col(s"__${side}t"), i + 1, lit(l)), " ")))
+          .as("__grams"))
+      .select(col(s"${side}_id"), posexplode(col("__grams")).as(Seq("__i", "__gram")))
+      .select(col(s"${side}_id"), (col("__i") + 1).as(s"__${side}p"),
+        xxhash64(col("__gram")).as("__g"))
+    val guarded = BucketGuard.bounded(pos, Seq("__g"), minSize = 1,
+      maxBucket = maxPositionsPerGram, dropOversize = false,
+      oversizeMsg = n => concat(
+        lit(s"exactSubstringSpans: $side-side anchor gram at "),
+        n.cast("string"),
+        lit(s" positions exceeds maxPositionsPerGram=$maxPositionsPerGram" +
+          " — remove corpus-wide boilerplate upstream or raise the budget")))
+    (docs, guarded)
+  }
+
+  /** [[exactSubstringSpans]] against a prebuilt (possibly
+    * materialized) left side from [[substringAnchorSide]]. */
+  private[graft] def exactSubstringSpansFromLeft(
+      ldocs: DataFrame,
+      lanch: DataFrame,
+      right: DataFrame,
+      rightIdCol: String,
+      rightTextCol: String,
+      minTokens: Int,
+      maxPositionsPerGram: Int): DataFrame = {
+    require(minTokens >= 2, s"minTokens ($minTokens) must be >= 2")
+    val l = minTokens
+    val (rdocs, ranch) = substringAnchorSide(right, rightIdCol,
+      rightTextCol, "right", minTokens, maxPositionsPerGram)
     val cand = lanch.join(ranch, Seq("__g")).drop("__g")
     val lt = col("__leftt"); val rt = col("__rightt")
     val lp = col("__leftp"); val rp = col("__rightp")
@@ -809,8 +841,26 @@ object Corpus {
       benchTextCol: String,
       minTokens: Int,
       maxPositionsPerGram: Int = 10000): DataFrame = {
-    val contaminated = exactSubstringSpans(
-        benchmark, benchIdCol, benchTextCol, docs, idCol, textCol,
+    val (bdocs, banch) = substringAnchorSide(benchmark, benchIdCol,
+      benchTextCol, "left", minTokens, maxPositionsPerGram)
+    dropExactSubstringMatchesAgainstIndex(docs, idCol, textCol,
+      bdocs, banch, minTokens, maxPositionsPerGram)
+  }
+
+  /** [[dropExactSubstringMatches]] against a prebuilt benchmark side
+    * ([[substringAnchorSide]] with side = "left") — the streaming
+    * firewall builds and materializes the benchmark tokens + guarded
+    * anchors once and drops every micro-batch against the blocks. */
+  private[graft] def dropExactSubstringMatchesAgainstIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchDocs: DataFrame,
+      benchAnchors: DataFrame,
+      minTokens: Int,
+      maxPositionsPerGram: Int): DataFrame = {
+    val contaminated = exactSubstringSpansFromLeft(
+        benchDocs, benchAnchors, docs, idCol, textCol,
         minTokens, maxPositionsPerGram)
       .select(col("right_id").as(idCol)).distinct()
     docs.join(contaminated, Seq(idCol), "left_anti")
@@ -1903,10 +1953,18 @@ object Corpus {
     require(minPairCount >= 1, s"minPairCount ($minPairCount) must be >= 1")
     val toks = TextFunctions.tokens(col(textCol))
     val docs = df.select(toks.as("__toks"))
+    // The corpus token total N rides the unigram checkpoint job as an
+    // observed metric (the Apss.allPairsCosine idiom): one job yields
+    // both the materialized unigram table and N, replacing the
+    // separate aggregate-over-checkpoint pass this used to pay.
+    val nObs = org.apache.spark.sql.Observation()
     val unigrams = docs.select(explode(col("__toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("__c"))
-      .localCheckpoint() // read 3x below: N, w1 join, w2 join
-    val n = unigrams.agg(sum(col("__c"))).first().getLong(0)
+      .observe(nObs, sum(col("__c")).as("__n"))
+      .localCheckpoint() // read 2x below: w1 join, w2 join
+    val nRow = scala.concurrent.Await.result(
+      nObs.future, scala.concurrent.duration.Duration(30, "seconds"))
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     val pairs = docs.filter(size(col("__toks")) >= 2)
       .select(explode(transform(sequence(lit(0), size(col("__toks")) - 2),
         i => struct(element_at(col("__toks"), i + 1).as("w1"),

@@ -79,14 +79,23 @@ object General {
     * imperative step is the textbook justified RDD drop-down — no
     * Column expression can see partition-local position.
     *
-    * The sorted RDD is `localCheckpoint()`ed so the sort executes ONCE:
-    * the counts pass materializes the sorted partitions on the
-    * executors and the id pass reads them back, instead of re-running
-    * the sort lineage (shuffle-file reuse made pass 2 cheap anyway;
-    * the checkpoint makes the single-sort cost model explicit). The
-    * checkpointed blocks outlive the call (the returned plan reads
-    * them) and are freed by the ContextCleaner after driver GC — a
-    * long-lived session that wants them gone the moment the result is
+    * The sorted FRAME is `localCheckpoint()`ed so the sort executes
+    * ONCE: the counts pass reads the materialized partitions and the id
+    * pass reads them again. Both passes stay in Tungsten rows end to
+    * end — pass 1 is a map-side-combined `count per
+    * spark_partition_id()` (one row per partition crosses the wire),
+    * pass 2 is a codegen'd projection computing
+    * `offset(partition) + partition-local index`, where the local index
+    * is recovered from `monotonically_increasing_id()`'s documented
+    * layout (partition id in the upper bits, a 0-based per-partition
+    * counter in the lower 33). The previous implementation dropped to
+    * `sorted.rdd` + `Row.fromSeq` + `createDataFrame`, which
+    * deserializes every row to external objects and re-converts them
+    * back one field at a time (guide §1.4's `.rdd` trap) — per-row
+    * boxing on a corpus-length frame, for arithmetic a projection can
+    * do. The checkpointed blocks outlive the call (the returned plan
+    * reads them) and are freed by the ContextCleaner after driver GC —
+    * a long-lived session that wants them gone the moment the result is
     * consumed calls [[Blocks.release]] on the returned frame.
     *
     * Deterministic when `sortCols` is a total order (unique keys). */
@@ -94,21 +103,26 @@ object General {
       df: DataFrame,
       sortCols: Seq[String],
       outCol: String = "row_id"): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     require(sortCols.nonEmpty, "a sort order is required for deterministic ids")
-    val sorted = df.sort(sortCols.map(col): _*)
-    val schema = StructType(
-      StructField(outCol, LongType, nullable = false) +: sorted.schema.fields)
-    val rdd = sorted.rdd.localCheckpoint()
-    val counts = rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val withIds = rdd.mapPartitionsWithIndex { (i, it) =>
-      var id = offsets(i)
-      it.map { r => val out = Row.fromSeq(id +: r.toSeq); id += 1; out }
-    }
-    df.sparkSession.createDataFrame(withIds, schema)
+    val sorted = df.sort(sortCols.map(col): _*).localCheckpoint()
+    val counts = sorted
+      .groupBy(spark_partition_id().as("__cri_pid"))
+      .agg(count(lit(1)).as("__cri_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val o = acc; acc = Math.addExact(acc, n); (pid, o)
+    }.toMap
+    // mid = (pid << 33) + 0-based record number within the partition
+    // (monotonically_increasing_id's documented layout); empty
+    // partitions tag no rows, so the offset map covers every row.
+    val pid = spark_partition_id()
+    val localIdx =
+      monotonically_increasing_id() - shiftleft(pid.cast("long"), 33)
+    val offset = coalesce(
+      element_at(typedLit(offsets), pid), lit(0L))
+    sorted.select(
+      (offset + localIdx).as(outCol) +: df.columns.toSeq.map(col): _*)
   }
 
   /** PER-GROUP contiguous 0-based row ids in `orderCols` order — the

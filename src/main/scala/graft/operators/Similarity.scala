@@ -683,8 +683,31 @@ object Similarity {
       nprobe: Int = 2,
       maxCell: Int = 10000,
       dropOversize: Boolean = false): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold ($threshold) must be in (0, 1]")
+    require(nprobe > 0, s"nprobe ($nprobe) must be positive")
+    decontaminateAgainstIndex(eval,
+      decontaminationIndex(train, idCol, vecCol, model,
+        math.min(nprobe, model.k), maxCell, dropOversize),
+      idCol, vecCol, model, threshold, math.min(nprobe, model.k))
+  }
+
+  /** The train-side half of [[semanticDecontaminate]]: the
+    * probe-assigned, count-first-guarded cell table
+    * `(__cell, __tid, __tvec)` the eval side joins against. Split out
+    * so a caller holding a FROZEN train corpus + model (the streaming
+    * ingestion gate, which otherwise re-plans — and therefore
+    * re-assigns — the whole train side on EVERY micro-batch) can build
+    * the index once, `localCheckpoint` it, and score every batch
+    * against the materialized cells; the one-shot batch operator
+    * composes the same two halves unchanged. Deterministic given
+    * (train, model), so materializing it cannot change any result. */
+  private[graft] def decontaminationIndex(
+      train: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Ivf.Model,
+      nprobe: Int,
+      maxCell: Int,
+      dropOversize: Boolean = false): DataFrame = {
     require(nprobe > 0, s"nprobe ($nprobe) must be positive")
     require(maxCell >= 1, s"maxCell ($maxCell) must be >= 1 — a cross " +
       "pair needs one train vector in the cell")
@@ -694,13 +717,30 @@ object Similarity {
       "__tvec", model, np, "__cell")
     // Count-first cap on train cell population (probe rows), so a
     // degenerate cell fails before the join ever expands it.
-    val trainG = BucketGuard.bounded(trainP, Seq("__cell"),
+    BucketGuard.bounded(trainP, Seq("__cell"),
       minSize = 1, maxBucket = maxCell, dropOversize = dropOversize,
       oversizeMsg = n => concat(
         lit(s"semanticDecontaminate train cell exceeded maxCell=$maxCell " +
           "(size "), n.cast("string"),
         lit(") — raise k (more, smaller cells), raise maxCell, or pass " +
           "dropOversize=true to accept recall loss.")))
+  }
+
+  /** The eval-side half of [[semanticDecontaminate]]: probe-assign the
+    * eval vectors, join the (possibly pre-materialized) train index on
+    * the cell id, threshold, dedup, aggregate per eval id. */
+  private[graft] def decontaminateAgainstIndex(
+      eval: DataFrame,
+      trainG: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Ivf.Model,
+      threshold: Double,
+      nprobe: Int): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    require(nprobe > 0, s"nprobe ($nprobe) must be positive")
+    val np = math.min(nprobe, model.k)
     val evalP = Ivf.assignProbes(
       eval.select(col(idCol).as("__eid"), col(vecCol).as("__evec")),
       "__evec", model, np, "__cell")

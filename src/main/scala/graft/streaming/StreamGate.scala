@@ -41,6 +41,29 @@ object StreamGate {
   private def tempDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Replay-scoped shuffle/state partition count, derived from the
+    * just-written source's bytes instead of a constant: one state
+    * partition per ~32 MB of replayed input, clamped to [1, session
+    * setting]. A stateful operator materializes one state-store
+    * instance per shuffle partition per micro-batch, so a KB-scale
+    * replay at N partitions pays N× pure per-store commit overhead;
+    * deriving N from input size keeps the gate cheap at any SF while a
+    * production-sized replay simply keeps the session's own partition
+    * count (the deployment's deliberate choice). Guide §2: make
+    * partitioning scale-adaptive, never a constant tuned for one
+    * scale. Unreadable dirs fall back to the session setting. */
+  private def replayPartitions(prev: Int, srcDir: String): Int = {
+    val bytes =
+      try {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(srcDir))
+        try walk.filter(p => java.nio.file.Files.isRegularFile(p))
+          .mapToLong(p => java.nio.file.Files.size(p)).sum
+        finally walk.close()
+      } catch { case _: Exception => Long.MaxValue }
+    val target = math.max(1L, (bytes + (32L << 20) - 1) / (32L << 20))
+    math.min(math.max(1, prev).toLong, target).toInt
+  }
+
   /** Best-effort recursive delete (replay hygiene must never turn a
     * green query into a failure — a locked file just stays behind).
     * `private[graft]` so artifact-roundtrip query paths (q105) can
@@ -78,18 +101,61 @@ object StreamGate {
     (EventStream.readEventStream(spark, src, eventSchema(spark)), src)
   }
 
+  /** [[replayStream]] with flush sentinels, in ONE corpus pass plus a
+    * sentinel append: the newest real event time rides the source
+    * WRITE as an observed metric (previously a separate full-scan
+    * aggregate ran before the write could even be planned, because the
+    * sentinel rows were unioned into the written frame), and the
+    * sentinel rows land as an appended parquet file in the same source
+    * dir — the file stream reads real + sentinel files in the same
+    * single AvailableNow batch, so the replay semantics (and the
+    * emitted rows) are identical to the old union write. `perKey`
+    * selects the per-key sentinel shape (one sentinel per user —
+    * closes every per-key session/funnel) vs the single global
+    * watermark-dragging sentinel. */
+  private def replayStreamSentineled(
+      events: DataFrame,
+      horizonUs: Long,
+      perKey: Boolean): (DataFrame, String) = {
+    val spark = events.sparkSession
+    val src = tempDir("graft_stream_src")
+    val proj = events.select("event_id", "ts", "user_id", "event_type", "value")
+    val obs = org.apache.spark.sql.Observation()
+    proj.observe(obs, max(unix_micros(col("ts"))).as("__max"))
+      .coalesce(16)
+      .write.mode("overwrite").parquet(src)
+    val maxRow = scala.concurrent.Await.result(
+      obs.future, scala.concurrent.duration.Duration(30, "seconds"))
+    val maxUs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val sentinelTs = timestamp_micros(lit(maxUs + horizonUs))
+    val sentinels =
+      if (perKey)
+        proj.select("user_id").distinct()
+          .select(lit(-1L).as("event_id"), sentinelTs.as("ts"),
+            col("user_id"), lit("__sentinel").as("event_type"),
+            lit(0.0).as("value"))
+      else
+        spark.range(1)
+          .select(lit(-1L).as("event_id"), sentinelTs.as("ts"),
+            lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+            lit(0.0).as("value"))
+    sentinels.coalesce(1).write.mode("append").parquet(src)
+    (EventStream.readEventStream(spark, src, eventSchema(spark)), src)
+  }
+
   /** Drive a streaming frame to a parquet sink with AvailableNow and
     * read the result back with the sink's own schema.
     *
-    * The stream runs with `spark.sql.shuffle.partitions` scoped down to
-    * at most 8 (restored right after): a stateful operator materializes
-    * one state-store instance per shuffle partition per micro-batch,
-    * and a single-node replay carrying KBs of state per partition pays
-    * pure per-store overhead at 32 partitions. The setting is captured
-    * into the query's fresh checkpoint at `start()`, so only this
-    * replay is affected; on a real cluster the state partition count is
-    * a deliberate deployment choice — this scoping documents exactly
-    * that knob. Batch queries never see the change (the replay drives
+    * The stream runs with `spark.sql.shuffle.partitions` scoped to
+    * [[replayPartitions]] — derived from the replayed source's bytes
+    * (restored right after): a stateful operator materializes one
+    * state-store instance per shuffle partition per micro-batch, and a
+    * single-node replay carrying KBs of state per partition pays pure
+    * per-store overhead at the session's partition count. The setting
+    * is captured into the query's fresh checkpoint at `start()`, so
+    * only this replay is affected; a production-sized replay keeps the
+    * session's own partition count (the deployment's deliberate
+    * choice) because the byte-derived target exceeds it. Batch queries never see the change (the replay drives
     * the query to completion before restoring).
     *
     * The read-back is eagerly `localCheckpoint`ed — materialized into
@@ -291,7 +357,7 @@ object StreamGate {
     val ck = tempDir("graft_stream_ck")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    spark.conf.set(key, replayPartitions(prev.toInt, srcDir).toString)
     ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val q = df.writeStream.format("parquet")
@@ -310,36 +376,6 @@ object StreamGate {
     }
   }
 
-  /** One sentinel event per user, `horizonUs` past the newest real
-    * event: closes every user's final session (the sentinel's own
-    * session stays open in state and is never emitted). */
-  private def withPerKeySentinels(events: DataFrame, horizonUs: Long): DataFrame = {
-    val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val sentinels = events.select("user_id").distinct()
-      .select(lit(-1L).as("event_id"),
-        timestamp_micros(lit(maxUs + horizonUs)).as("ts"),
-        col("user_id"),
-        lit("__sentinel").as("event_type"),
-        lit(0.0).as("value"))
-    events.select("event_id", "ts", "user_id", "event_type", "value")
-      .unionByName(sentinels)
-  }
-
-  /** One global sentinel `horizonUs` past the newest real event: drags
-    * the watermark past every real window so append mode flushes them
-    * all (the sentinel's own window stays unflushed). */
-  private def withGlobalSentinel(events: DataFrame, horizonUs: Long): DataFrame = {
-    val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val sentinel = events.limit(1)
-      .select(lit(-1L).as("event_id"),
-        timestamp_micros(lit(maxUs + horizonUs)).as("ts"),
-        lit(-1L).as("user_id"),
-        lit("__sentinel").as("event_type"),
-        lit(0.0).as("value"))
-    events.select("event_id", "ts", "user_id", "event_type", "value")
-      .unionByName(sentinel)
-  }
-
   /** Replay through [[EventStream.sessionizeStream]]: every real
     * session closes (per-key sentinels) and comes back as a batch
     * frame of Session rows.
@@ -347,7 +383,7 @@ object StreamGate {
   def replaySessionize(events: DataFrame, gapUs: Long): DataFrame = replayLock.synchronized {
     val spark = events.sparkSession
     import spark.implicits._
-    val (streamDf, src) = replayStream(withPerKeySentinels(events, 2 * gapUs))
+    val (streamDf, src) = replayStreamSentineled(events, 2 * gapUs, perKey = true)
     val stream = streamDf.as[EventStream.Event]
     runToParquet(EventStream.sessionizeStream(stream, gapUs).toDF(), src)
   }
@@ -359,8 +395,8 @@ object StreamGate {
   def replayFunnel(events: DataFrame, steps: Seq[String]): DataFrame = replayLock.synchronized {
     val spark = events.sparkSession
     import spark.implicits._
-    val (streamDf, src) = replayStream(
-      withPerKeySentinels(events, horizonUs = 3600L * 1000000L))
+    val (streamDf, src) = replayStreamSentineled(events,
+      horizonUs = 3600L * 1000000L, perKey = true)
     val stream = streamDf.as[EventStream.Event]
     runToParquet(EventStream.funnelStream(stream, steps).toDF(), src)
   }
@@ -376,7 +412,7 @@ object StreamGate {
       slide: String,
       watermark: String,
       horizonUs: Long): DataFrame = replayLock.synchronized {
-    val (stream, src) = replayStream(withGlobalSentinel(events, horizonUs))
+    val (stream, src) = replayStreamSentineled(events, horizonUs, perKey = false)
     runToParquet(EventStream.windowedCounts(stream, windowDur, slide, watermark), src)
       .filter(col("event_type") =!= "__sentinel")
   }
@@ -416,9 +452,7 @@ object StreamGate {
       maxGap: String,
       watermark: String,
       horizonUs: Long): DataFrame = replayLock.synchronized {
-    val (stream, src) = replayStream(withGlobalSentinel(
-      events.select("event_id", "ts", "user_id", "event_type", "value"),
-      horizonUs))
+    val (stream, src) = replayStreamSentineled(events, horizonUs, perKey = false)
     val joined = EventStream.leftOuterIntervalJoinStream(
       stream.filter(col("event_type").isin(typeA, "__sentinel")),
       stream.filter(col("event_type").isin(typeB, "__sentinel")),
@@ -492,7 +526,7 @@ object StreamGate {
       windowDur: String,
       watermark: String,
       horizonUs: Long): DataFrame = replayLock.synchronized {
-    val (stream, src) = replayStream(withGlobalSentinel(events, horizonUs))
+    val (stream, src) = replayStreamSentineled(events, horizonUs, perKey = false)
     runToParquet(
       EventStream.topUsersPerWindowStream(stream, k, windowDur, watermark),
       src)
@@ -540,7 +574,7 @@ object StreamGate {
     val ck = tempDir("graft_stream_ck")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream.schema(docs.schema)
@@ -596,7 +630,21 @@ object StreamGate {
     val ck = tempDir("graft_stream_ck")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    // The benchmark corpus is FROZEN for this gate's lifetime, so its
+    // tokenized docs and count-first-guarded anchor table are built and
+    // materialized ONCE (under the session's own parallelism, before
+    // the replay-scoped partition override) — the previous per-batch
+    // dropExactSubstringMatches call re-tokenized, re-hashed and
+    // re-guarded the whole benchmark on EVERY trigger for a side that
+    // cannot change. Benchmark suites are the small side of a
+    // decontamination join by construction, so the checkpoint is
+    // eval-corpus-bounded.
+    val (bdocs0, banch0) = graft.operators.Corpus.substringAnchorSide(
+      benchmark, benchIdCol, benchTextCol, "left", minTokens,
+      maxPositionsPerGram)
+    val bdocs = bdocs0.localCheckpoint()
+    val banch = banch0.localCheckpoint()
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream.schema(docs.schema)
@@ -604,8 +652,8 @@ object StreamGate {
         .parquet(src)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.operators.Corpus.dropExactSubstringMatches(batch, idCol,
-              textCol, benchmark, benchIdCol, benchTextCol, minTokens,
+          graft.operators.Corpus.dropExactSubstringMatchesAgainstIndex(
+              batch, idCol, textCol, bdocs, banch, minTokens,
               maxPositionsPerGram)
             .write.mode("append").parquet(out)
         }
@@ -617,6 +665,8 @@ object StreamGate {
       releaseLastReplay(
         spark.read.schema(docs.schema).parquet(out).localCheckpoint())
     } finally {
+      graft.operators.Blocks.release(bdocs)
+      graft.operators.Blocks.release(banch)
       spark.conf.set(key, prev)
       Seq(src, out, ck).foreach(deleteRecursively)
     }
@@ -660,7 +710,7 @@ object StreamGate {
         org.apache.spark.sql.types.StringType)))
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream.schema(media.schema)
@@ -719,7 +769,7 @@ object StreamGate {
     val ck = tempDir("graft_stream_ck")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark) // before start: the ledger must see every event
     val catCols = patterns.map { case (cat, _) => s"${cat}_hits" }
     try {
@@ -777,7 +827,7 @@ object StreamGate {
     val ck = tempDir("graft_stream_ck")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream.schema(df.schema)
@@ -838,7 +888,7 @@ object StreamGate {
     val version = new java.util.concurrent.atomic.AtomicInteger(0)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream.schema(facts.schema)
@@ -901,7 +951,7 @@ object StreamGate {
     val version = new java.util.concurrent.atomic.AtomicInteger(0)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream.schema(facts.schema)
@@ -1380,7 +1430,7 @@ object StreamGate {
     val version = new java.util.concurrent.atomic.AtomicInteger(0)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream
@@ -1965,7 +2015,7 @@ object StreamGate {
       facts.limit(0), factKey, factTime, dim, dimKey, validFrom, validTo).schema
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream.schema(facts.schema)
@@ -2025,7 +2075,7 @@ object StreamGate {
     val version = new java.util.concurrent.atomic.AtomicInteger(0)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -2117,7 +2167,7 @@ object StreamGate {
     val looks = new java.util.concurrent.atomic.AtomicInteger(0)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark)
     try {
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -2211,7 +2261,7 @@ object StreamGate {
     val version = new java.util.concurrent.atomic.AtomicInteger(0)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark)
     try {
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -2284,7 +2334,7 @@ object StreamGate {
     val version = new java.util.concurrent.atomic.AtomicInteger(0)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark)
     try {
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -2353,7 +2403,7 @@ object StreamGate {
     val version = new java.util.concurrent.atomic.AtomicInteger(0)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -2438,7 +2488,7 @@ object StreamGate {
     val version = new java.util.concurrent.atomic.AtomicInteger(0)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream.schema(current.schema)
@@ -2509,7 +2559,7 @@ object StreamGate {
     val version = new java.util.concurrent.atomic.AtomicInteger(0)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream.schema(current.schema)
@@ -2585,7 +2635,20 @@ object StreamGate {
     val ck = tempDir("graft_semgate_ck")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    // The train corpus and model are FROZEN for this gate's lifetime,
+    // so the probe-assigned + guarded train cell table is built and
+    // materialized ONCE — before the replay-scoped partition override,
+    // under the session's own parallelism — and every micro-batch
+    // joins the blocks. The previous per-batch semanticDecontaminate
+    // call re-planned (and therefore re-assigned and re-guarded) the
+    // whole train side on every trigger: k cosine scorings of every
+    // train vector per batch for an index that cannot change. A
+    // growing ledger would invalidate this and belongs to the
+    // re-plan-per-batch shape of replayNearDupGate.
+    val np = math.min(nprobe, model.k)
+    val index = graft.operators.Similarity.decontaminationIndex(
+      train, idCol, vecCol, model, np, maxCell).localCheckpoint()
+    spark.conf.set(key, replayPartitions(prev.toInt, src).toString)
     ProgressLedger.ensure(spark) // before start: the ledger must see every event
     try {
       val stream = spark.readStream.schema(eval.schema)
@@ -2594,8 +2657,8 @@ object StreamGate {
       val sawBatch = new java.util.concurrent.atomic.AtomicBoolean(false)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.operators.Similarity.semanticDecontaminate(batch, train,
-              idCol, vecCol, model, threshold, nprobe, maxCell)
+          graft.operators.Similarity.decontaminateAgainstIndex(batch,
+              index, idCol, vecCol, model, threshold, np)
             .write.mode("append").parquet(out)
           sawBatch.set(true)
         }
@@ -2612,6 +2675,7 @@ object StreamGate {
         "replaySemanticGate saw no micro-batches — empty eval source")
       releaseLastReplay(spark.read.parquet(out).localCheckpoint())
     } finally {
+      graft.operators.Blocks.release(index) // the index dies with the gate
       spark.conf.set(key, prev)
       Seq(src, out, ck).foreach(deleteRecursively)
     }
