@@ -458,7 +458,17 @@ object Dedup {
       maxBucket: Int = 1000): NearDupIngest = {
     val b = resolveBands(bands, numHashes, threshold)
     val rows = numHashes / b
+    // Materialized ONCE per ingested shard: the signature table is
+    // consumed by FIVE branches (ledger contamination probe, banding,
+    // both within-shard verification sides, the kept-signature ledger
+    // append) and each otherwise re-shingles and re-signs the shard.
+    // A signature ledger is STORED state by design — the production
+    // loop persists it between shards — so materializing the shard's
+    // signatures (hashed shingles + minhash, a fraction of the text
+    // bytes) is the honest model of that contract, not a cache of the
+    // corpus.
     val sigs = signatureLedger(shard, idCol, textCol, shingleN, numHashes)
+      .localCheckpoint()
     def banded(d: DataFrame): DataFrame = bandedSigs(d, b, rows)
     // 1) ledger contamination
     val contaminated =

@@ -119,10 +119,16 @@ object Graph {
     val ed = e
       .join(deg.select(col("v").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("degree").as("db")), "b")
+    // Materialized ONCE (three longs per edge): the oriented edge list
+    // is consumed THREE times (both wedge sides and the confirming
+    // probe) and each consumer otherwise re-runs the distinct + two
+    // degree joins above — the checkpoint replaces two full rebuilds
+    // of the oriented list with block reads.
     val oriented = ed.select(
       when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
       when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("w"),
       when(col("da") <= col("db"), col("db")).otherwise(col("da")).as("dw"))
+      .localCheckpoint()
     // Wedges at the pivot's low-rank end, ordered so each candidate
     // pair (w1, w2) has rank(w1) < rank(w2) — exactly the orientation
     // the confirming edge carries, so one equi-probe closes it.

@@ -82,24 +82,31 @@ object Ivf {
     // assignment pass per iteration); persist it for the duration of
     // training and release it before returning — the classic iterative-
     // ML cache, bounded by sampleMod, never the full corpus.
+    // The sample size rides the FIRST action over the persisted sample
+    // (the init sort inside trainOnSample) as an observed metric — the
+    // previous max(row id) pass was a whole extra job just to learn n.
+    val obs = org.apache.spark.sql.Observation()
     val sampled = df
       .filter(pmod(xxhash64(col(idCol), lit(seed)), lit(sampleMod)) === 0)
       .select(col(idCol), col(vecCol))
+      .observe(obs, count(lit(1)).as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      trainOnSample(sampled, idCol, vecCol, k, iters)
+      trainOnSample(sampled, obs, idCol, vecCol, k, iters)
     } finally sampled.unpersist(blocking = false)
   }
 
   private def trainOnSample(
       sampled: DataFrame,
+      nObs: org.apache.spark.sql.Observation,
       idCol: String,
       vecCol: String,
       k: Int,
       iters: Int): Model = {
     // deterministic init: evenly spaced vectors of the id-sorted sample
     val indexed = General.withContiguousRowIds(sampled, Seq(idCol), "__rid")
-    val n = indexed.select(max(col("__rid"))).head().getLong(0) + 1
+    val n = scala.concurrent.Await.result(
+      nObs.future, scala.concurrent.duration.Duration(30, "seconds")).getLong(0)
     require(n >= k, s"sample of $n vectors cannot seed $k centroids")
     val targets = (0 until k).map(i => i.toLong * n / k)
     var centroids: Vector[Array[Float]] = indexed

@@ -284,12 +284,18 @@ object Multimodal {
         "shared signature would be dropped and no pair could ever form")
     val prepared = media.select(col(idCol).as("media_id"),
       col(payloadCol).as("payload"))
+    // Materialized ONCE: the signature table is media-bounded (≤
+    // nFrames longs per media, never payload-sized) and BOTH the
+    // hot-frame count and the guard join consume it — without the
+    // checkpoint each consumer re-scanned every payload and re-ran
+    // frame sampling + dHash (the query's most expensive map work).
     val fh = sampleFrames(prepared.filter(col("payload").isNotNull),
         nFrames, frameBytes)
       .select(col("media_id"), explode(col("frames")).as("__f"))
       .select(col("media_id"),
         graft.expressions.GraftFunctions.dhash64(prepared, col("__f")).as("fh"))
       .distinct()
+      .localCheckpoint()
     val hot = fh.groupBy("fh").agg(count(lit(1)).as("__n"))
     val guarded = fh.join(
       if (dropOversize) hot.filter(col("__n") <= maxFrameBucket)
@@ -306,6 +312,10 @@ object Multimodal {
     // one media-bounded aggregation carries BOTH orders: signatures by
     // the global (frequency asc, signature) rank for the prefix, and
     // by VALUE for the sorted-merge verification kernel
+    // Also media-bounded (one row per media, two ≤ nFrames arrays) and
+    // consumed FOUR times (both prefix-join sides, both verification
+    // set sides) — checkpointed so the guard join + per-media
+    // aggregation run once instead of per consumer.
     val perMedia = guarded.groupBy("media_id").agg(
         sort_array(collect_list(struct(col("__n"), col("fh")))).as("__byrank"),
         sort_array(collect_list(col("fh"))).as("__sigs"))
@@ -313,6 +323,7 @@ object Multimodal {
       .withColumn("__plen",
         col("__sz") -
           ceil(lit(threshold) * col("__sz") - lit(1e-9)).cast("int") + 1)
+      .localCheckpoint()
     val prefixes = perMedia.select(col("media_id"),
       explode(slice(transform(col("__byrank"), s => s.getField("fh")),
         lit(1), col("__plen"))).as("fh"))

@@ -61,7 +61,17 @@ object StreamGate {
         finally walk.close()
       } catch { case _: Exception => Long.MaxValue }
     val target = math.max(1L, (bytes + (32L << 20) - 1) / (32L << 20))
-    math.min(math.max(1, prev).toLong, target).toInt
+    // Floor of 4 (when the session has it): replays mix state-store
+    // commit overhead (linear in partitions — argues for few) with
+    // CPU-dense per-key work (windowed top-k ranking, bootstrap
+    // resampling — argues for some parallelism). Measured on the r19
+    // probe set: 1 partition won the state-heavy joins (q58 5.3→2.9 s)
+    // but serialized the compute-heavy monitors (q117 +0.9 s,
+    // q250/q252 +0.7 s); 4 keeps ~all of the former's win and none of
+    // the latter's loss at local scale, and is irrelevant at
+    // production scale where the byte-derived target exceeds it.
+    val floor = math.min(4, math.max(1, prev))
+    math.max(floor.toLong, math.min(math.max(1, prev).toLong, target)).toInt
   }
 
   /** Best-effort recursive delete (replay hygiene must never turn a
