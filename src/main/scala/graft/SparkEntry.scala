@@ -1886,9 +1886,12 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val merges = Corpus.collectMerges(Corpus.bpeMerges(docs, "text", 8))
     val enc = Corpus.bpeEncode(docs, "text", merges)
+    // vocabulary side rides the distinct-word factorization — one
+    // map-side-combined word count + encode of the DISTINCT word table
+    // — instead of a second corpus-wide encode pass (value-identical;
+    // see Corpus.bpeTokenFrequencies)
     val vocab = Corpus.vocabularyFromFrequencies(
-      enc.select(explode(col("bpe_tokens")).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("freq")))
+      Corpus.bpeTokenFrequencies(docs, "text", merges))
     enc.select(col("doc_id"),
         posexplode(col("bpe_tokens")).as(Seq("pos", "token")))
       .join(vocab.select("token", "token_id"), Seq("token"))
@@ -4722,6 +4725,11 @@ object SparkEntry {
           Linkage.FsField("c_name", 0.99, 0.001)),
         matchThreshold = 5.0)
       .filter(col("is_match")).select("id_a", "id_b")
+      // materialized ONCE (match-bounded — two ids per matched pair,
+      // never the candidate table): BOTH the base-shard CC and the
+      // delta fold consume the match table, and each otherwise re-runs
+      // the full Fellegi–Sunter candidate join + field scoring
+      .localCheckpoint()
     val prev = Components.connectedComponents(
       matches.filter(col("id_a") % 2 === 0), "id_a", "id_b")
     val records = leftR.select(col("cid"))

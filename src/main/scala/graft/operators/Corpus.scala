@@ -2659,9 +2659,23 @@ object Corpus {
       merges: Seq[(String, String)],
       outCol: String = "bpe_tokens"): DataFrame = {
     validateMerges(merges)
+    df.withColumn(outCol,
+      flatten(transform(
+        filter(TextFunctions.tokens(col(textCol)), w => length(w) > 0),
+        encodeWordCol(df, merges))))
+  }
+
+  /** The per-word BPE encode kernel [[bpeEncode]] maps over each
+    * document's words — factored out so word-table consumers
+    * ([[bpeTokenFrequencies]]) apply the IDENTICAL expression to the
+    * identical word values (no re-tokenization of the word, which
+    * could trim whitespace-edged words differently). */
+  private def encodeWordCol(
+      df: DataFrame,
+      merges: Seq[(String, String)]): Column => Column = {
     val searches = merges.map { case (a, b) => s" $a  $b " }
     val replacements = merges.map { case (a, b) => s" $a$b " }
-    val encodeWord: Column => Column = w => {
+    w => {
       val repr0 = concat(lit(" "),
         array_join(transform(sequence(lit(1), length(w)),
           i => w.substr(i, lit(1))), "  "),
@@ -2669,10 +2683,39 @@ object Corpus {
       val reprN = GraftFunctions.replaceChain(df, repr0, searches, replacements)
       split(trim(reprN), "  ")
     }
-    df.withColumn(outCol,
-      flatten(transform(
-        filter(TextFunctions.tokens(col(textCol)), w => length(w) > 0),
-        encodeWord)))
+  }
+
+  /** Subword-token frequencies of [[bpeEncode]]'s output stream — the
+    * vocabulary-building aggregate — WITHOUT a second corpus-wide
+    * encode pass. BPE encoding is deterministic PER WORD, so the
+    * frequency of a subword is sum over distinct words of
+    * (occurrences of the word in the corpus) x (occurrences of the
+    * subword in that word's encoding): count words once (map-side
+    * combined, the exchange carries one partial count per distinct
+    * word per map task), run the encode kernel over the DISTINCT word
+    * table only, and weight. At production merge counts the encode
+    * kernel is the expensive part (the rank-ordered rewrite loops over
+    * the whole merge table per word), so collapsing it from
+    * per-occurrence to per-distinct-word is the same Zipf win the
+    * unigram trainer's distinct-word segmentation rides — and locally
+    * it removes one full ReplaceChain pass over the corpus.
+    * Value-identical to
+    * `bpeEncode(df,...).select(explode(col(out))).groupBy.count` by
+    * commutativity of the count (pinned by spec + the q107 oracle). */
+  def bpeTokenFrequencies(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    validateMerges(merges)
+    val wordFreq = df
+      .select(explode(
+        filter(TextFunctions.tokens(col(textCol)), w => length(w) > 0))
+        .as("__word"))
+      .groupBy("__word").agg(count(lit(1)).as("__wf"))
+    wordFreq
+      .select(explode(encodeWordCol(wordFreq, merges)(col("__word")))
+        .as("token"), col("__wf"))
+      .groupBy("token").agg(sum(col("__wf")).as("freq"))
   }
 
   // ------------------------------------------------------------------

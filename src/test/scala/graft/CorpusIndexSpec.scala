@@ -764,6 +764,31 @@ class CorpusIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTokenFrequencies == explode+count of bpeEncode (generative)") {
+    import graft.operators.Corpus
+    // the distinct-word factorization (count words once, encode only
+    // the DISTINCT word table, weight) must be value-identical to
+    // counting the encoded corpus stream — same tokens, same counts
+    val rnd = new scala.util.Random(99)
+    (0 until 3).foreach { trial =>
+      val words = (0 until 40).map(_ =>
+        (0 until (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val docs = words.grouped(5).zipWithIndex
+        .map { case (ws, i) => row(i.toLong, ws.mkString(" ")) }.toSeq ++
+        Seq(row(98L, ""), row(99L, null)) // degenerate docs drop identically
+      val df = table("id bigint, text string", docs)
+      val learned = Corpus.collectMerges(
+        Corpus.bpeMerges(df, "text", numMerges = 1 + rnd.nextInt(6)))
+      val direct = Corpus.bpeEncode(df, "text", learned)
+        .select(explode(col("bpe_tokens")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val factored = Corpus.bpeTokenFrequencies(df, "text", learned)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(factored == direct, s"trial $trial: $factored != $direct")
+    }
+  }
+
   test("collectMerges/bpeEncode: corrupted merge tables fail loudly at the API") {
     import graft.operators.Corpus
     val docs = table("id bigint, text string", Seq(row(1L, "ab")))
